@@ -1,0 +1,60 @@
+"""Benchmark runner: executes every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is forced with a count-style action (collect of the already-small
+result) — results are all aggregates/top-k, so the action cost is the query,
+not the transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    import __spark_entry__ as entry_mod
+    from data_engineering_nd_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    qs = entry_mod.queries()
+
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # queries, not session bootstrap.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,617 @@
+"""Star-schema analytics layer.
+
+The reference promises this layer but never ships it: its snowflake model
+exists so the 10 README questions (Capstone/README.md:21-30 — "which
+countries/cities/airports see the most visitors", monthly trends, average
+stay duration...) can be answered downstream "in a Notebook or Athena"
+(Explore_using_PySpark.ipynb cell 0). Here those query shapes are implemented
+against the driver's TPC-H-ish testdata, exercising every operator family in
+SURVEY.md §2: scans, projections/casts (P1-P4), filters (P5-P9), the implied
+equi-join surface (§2.3) with explicit broadcasts, aggregations (A1-A6),
+windows (§2.5), sorts/top-k (§2.6), unions (§2.7), scalar/date kernels
+(§2.8-2.9, incl. the UD1/UD2 native replacements).
+
+Scale notes (100 TB): every join here either broadcasts a bounded dimension
+(region/nation/dict-style mappings) or is an equi-join on the fact's natural
+key, which AQE plans as sort-merge with skew splitting; aggregates are
+partial-aggregated map-side by Catalyst; filters and column pruning reach the
+parquet scans (verified via .explain in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_engineering_nd_spark.catalog import load
+from data_engineering_nd_spark.functions.dates import flexible_date, sas_date, weekend_flag
+from data_engineering_nd_spark.registry import query
+
+
+def dsum(col: Column, scale: int = 4) -> Column:
+    """Order-independent double sum: accumulate in DECIMAL, emit DOUBLE.
+
+    Plain double summation is non-associative, so Spark and the DuckDB oracle
+    (different partition/summation orders) can disagree in the last ulp;
+    decimal accumulation is exact, and exact-decimal -> double is a single
+    well-defined rounding. Oracle mirror:
+    CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE).
+    """
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def davg(col: Column, scale: int = 4) -> Column:
+    """Deterministic average: decimal-sum as double / count as double."""
+    return dsum(col, scale) / F.count(col).cast("double")
+
+
+# --------------------------------------------------------------------------
+# q01 — pricing summary (TPC-H Q1 shape): filter + groupBy + 8 aggregates.
+# Exercises A1/A2-style aggregation with map-side partial agg; the predicate
+# pushes to the parquet scan.
+# --------------------------------------------------------------------------
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT
+        l_returnflag,
+        l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+        COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc, 6).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
+            (dsum(F.col("l_quantity")) / F.count(F.lit(1)).cast("double")).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q02 — flagship: top destination nations by revenue. The reference's
+# "which countries see the most visitors" (README.md:22) re-expressed:
+# fact ⋈ fact ⋈ dim ⋈ tiny-dim ⋈ tiny-dim, broadcast tiny dims, top-N.
+# --------------------------------------------------------------------------
+@query(
+    "q02_top_nations_by_revenue",
+    oracle="""
+    SELECT
+        n.n_name,
+        r.r_name,
+        CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        COUNT(DISTINCT o.o_orderkey) AS n_orders
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    ORDER BY revenue DESC, n_name
+    LIMIT 10
+    """,
+)
+def q02_top_nations_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    orders = load(spark, "orders", sf_dir)
+    cust = load(spark, "customer", sf_dir)
+    nation = load(spark, "nation", sf_dir)
+    region = load(spark, "region", sf_dir)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        # nation/region are bounded dims (25/5 rows at any SF): broadcast.
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            dsum(revenue, 6).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q03 — monthly trend (README Q1/Q5 shape: "what time of year sees the most
+# visitors"): date-part extraction + group-count, the A5 family.
+# --------------------------------------------------------------------------
+@query(
+    "q03_monthly_order_trend",
+    oracle="""
+    SELECT
+        CAST(year(o_orderdate) AS INTEGER) AS order_year,
+        CAST(month(o_orderdate) AS INTEGER) AS order_month,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM orders
+    GROUP BY order_year, order_month
+    """,
+)
+def q03_monthly_order_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, "orders", sf_dir)
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q04 — DISTINCT projection (A4: the reference dedups every table build via
+# dropDuplicates / SELECT DISTINCT, etl.py:172,203,208...).
+# --------------------------------------------------------------------------
+@query(
+    "q04_distinct_projection",
+    oracle="""
+    SELECT DISTINCT
+        l_returnflag,
+        l_linestatus,
+        CAST(year(l_shipdate) AS INTEGER) AS ship_year
+    FROM lineitem
+    """,
+)
+def q04_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    return li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.year("l_shipdate").alias("ship_year"),
+    ).dropDuplicates()
+
+
+# --------------------------------------------------------------------------
+# q05 — single-pass conditional null/nan audit (A3 + DQ3; the reference's
+# i94_data_quality_check.py:89-107 kernel, computed once, not 3x).
+# COUNT(CASE WHEN cond THEN 1 END) on both sides -> BIGINT, schema-stable.
+# --------------------------------------------------------------------------
+@query(
+    "q05_null_audit",
+    oracle="""
+    SELECT
+        COUNT(CASE WHEN event_id IS NULL THEN 1 END) AS event_id_nulls,
+        COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS user_id_nulls,
+        COUNT(CASE WHEN value IS NULL OR isnan(value) THEN 1 END) AS value_nulls,
+        COUNT(CASE WHEN props IS NULL THEN 1 END) AS props_nulls,
+        COUNT(*) AS n_rows
+    FROM events
+    """,
+)
+def q05_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+
+    def null_count(cond: Column, name: str) -> Column:
+        return F.count(F.when(cond, F.lit(1))).alias(name)
+
+    return ev.agg(
+        null_count(F.col("event_id").isNull(), "event_id_nulls"),
+        null_count(F.col("user_id").isNull(), "user_id_nulls"),
+        null_count(F.col("value").isNull() | F.isnan("value"), "value_nulls"),
+        null_count(F.col("props").isNull(), "props_nulls"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q06 — top-k per group via window (SURVEY §2.5: the ranking surface the
+# reference's README questions imply). row_number with a key tie-break keeps
+# the cut deterministic.
+# --------------------------------------------------------------------------
+@query(
+    "q06_top_customers_per_nation",
+    oracle="""
+    WITH spend AS (
+        SELECT
+            n.n_name,
+            c.c_custkey,
+            c.c_name,
+            CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name, c.c_custkey, c.c_name
+    )
+    SELECT n_name, c_custkey, c_name, total_spend, rank_in_nation
+    FROM (
+        SELECT *,
+            CAST(ROW_NUMBER() OVER (
+                PARTITION BY n_name
+                ORDER BY total_spend DESC, c_custkey
+            ) AS INTEGER) AS rank_in_nation
+        FROM spend
+    )
+    WHERE rank_in_nation <= 3
+    """,
+)
+def q06_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, "orders", sf_dir)
+    cust = load(spark, "customer", sf_dir)
+    nation = load(spark, "nation", sf_dir)
+    spend = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "c_custkey", "c_name")
+        .agg(dsum(F.col("o_totalprice")).alias("total_spend"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("total_spend"), "c_custkey")
+    return (
+        spend.withColumn("rank_in_nation", F.row_number().over(w))
+        .filter(F.col("rank_in_nation") <= 3)
+        .select("n_name", "c_custkey", "c_name", "total_spend", "rank_in_nation")
+    )
+
+
+# --------------------------------------------------------------------------
+# q07 — date dimension (the reference's i94_dates, etl.py:355-376: distinct
+# dates of the fact -> year/month/day/dow/weekend-flag attributes).
+# Spark dayofweek is 1=Sunday..7=Saturday; DuckDB dayofweek is 0=Sunday.
+# --------------------------------------------------------------------------
+@query(
+    "q07_date_dimension",
+    oracle="""
+    SELECT DISTINCT
+        CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS date_key,
+        CAST(year(o_orderdate) AS INTEGER) AS year,
+        CAST(month(o_orderdate) AS INTEGER) AS month,
+        CAST(dayofmonth(o_orderdate) AS INTEGER) AS day_of_month,
+        CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS day_of_week,
+        CASE WHEN dayofweek(o_orderdate) IN (0, 6) THEN 'weekend' ELSE 'weekday' END AS weekend_flag
+    FROM orders
+    """,
+)
+def q07_date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, "orders", sf_dir)
+    d = F.to_date("o_orderdate")
+    # date-typed outputs are surfaced as midnight timestamps so Spark's
+    # toPandas (datetime.date) and DuckDB's (datetime64) canonicalize alike.
+    return orders.select(
+        d.cast("timestamp_ntz").alias("date_key"),
+        F.year(d).alias("year"),
+        F.month(d).alias("month"),
+        F.dayofmonth(d).alias("day_of_month"),
+        F.dayofweek(d).alias("day_of_week"),
+        weekend_flag(d).alias("weekend_flag"),
+    ).dropDuplicates()
+
+
+# --------------------------------------------------------------------------
+# q08 — SAS epoch date kernel (UD1 parity, native: SURVEY §2.9). The day
+# offsets here come from l_quantity standing in for SAS arrdate doubles.
+# --------------------------------------------------------------------------
+@query(
+    "q08_sas_date_kernel",
+    oracle="""
+    SELECT DISTINCT
+        CAST(l_quantity AS INTEGER) AS day_offset,
+        CAST(DATE '1960-01-01' + CAST(l_quantity AS INTEGER) AS TIMESTAMP) AS sas_date
+    FROM lineitem
+    WHERE l_quantity IS NOT NULL
+    """,
+)
+def q08_sas_date_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    return (
+        li.filter(F.col("l_quantity").isNotNull())
+        .select(
+            F.col("l_quantity").cast("int").alias("day_offset"),
+            sas_date(F.col("l_quantity")).cast("timestamp_ntz").alias("sas_date"),
+        )
+        .dropDuplicates()
+    )
+
+
+# --------------------------------------------------------------------------
+# q09 — ambiguous-8-digit-date kernel (UD2 *intended* semantics — the shipped
+# reference UDF is dead code, SURVEY §2.9/§7.4). Strings are synthesized from
+# o_orderdate in both formats plus junk rows ('D/S', like the real dtaddto
+# junk in FIXTURES.md §5), then parsed back.
+# --------------------------------------------------------------------------
+_Q09_YEARS = tuple(range(1995, 2002))
+
+@query(
+    "q09_flexible_date_kernel",
+    oracle=f"""
+    WITH raw AS (
+        SELECT
+            o_orderkey,
+            CASE
+                WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y%m%d')
+                WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%m%d%Y')
+                ELSE 'D/S'
+            END AS date_str
+        FROM orders
+    )
+    SELECT
+        o_orderkey,
+        date_str,
+        CASE
+            WHEN substr(date_str, 1, 4) IN {tuple(str(y) for y in _Q09_YEARS)}
+                THEN CAST(CAST(try_strptime(date_str, '%Y%m%d') AS DATE) AS TIMESTAMP)
+            WHEN right(date_str, 4) IN {tuple(str(y) for y in _Q09_YEARS)}
+                THEN CAST(CAST(try_strptime(date_str, '%m%d%Y') AS DATE) AS TIMESTAMP)
+            ELSE NULL
+        END AS parsed_date
+    FROM raw
+    """,
+)
+def q09_flexible_date_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, "orders", sf_dir)
+    raw = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.date_format("o_orderdate", "yyyyMMdd"))
+        .when(F.col("o_orderkey") % 3 == 1, F.date_format("o_orderdate", "MMddyyyy"))
+        .otherwise(F.lit("D/S"))
+        .alias("date_str"),
+    )
+    return raw.select(
+        "o_orderkey",
+        "date_str",
+        flexible_date("date_str", valid_years=_Q09_YEARS)
+        .cast("timestamp_ntz")
+        .alias("parsed_date"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q10 — average interval (README Q9 shape, "average duration of stay":
+# avg(datediff(departure, arrival))) as ship delay per order priority.
+# --------------------------------------------------------------------------
+@query(
+    "q10_avg_ship_delay",
+    oracle="""
+    SELECT
+        o.o_orderpriority,
+        CAST(SUM(datediff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE))) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS avg_delay_days,
+        COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q10_avg_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    orders = load(spark, "orders", sf_dir)
+    delay = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            (F.sum(delay).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "avg_delay_days"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q11 — union-by-name fold (U1/U2: the reference's monthly-file concat,
+# etl.py:97-108, switched from positional unionAll to by-name).
+# --------------------------------------------------------------------------
+@query(
+    "q11_union_by_name",
+    oracle="""
+    SELECT o_orderkey, 'high' AS bucket, o_totalprice FROM orders WHERE o_totalprice > 300000
+    UNION ALL
+    SELECT o_orderkey, 'low' AS bucket, o_totalprice FROM orders WHERE o_totalprice < 10000
+    """,
+)
+def q11_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, "orders", sf_dir)
+    hi = orders.filter(F.col("o_totalprice") > 300000).select(
+        "o_orderkey", F.lit("high").alias("bucket"), "o_totalprice"
+    )
+    # deliberately different column order: unionByName aligns by name.
+    lo = orders.filter(F.col("o_totalprice") < 10000).select(
+        F.lit("low").alias("bucket"), "o_orderkey", "o_totalprice"
+    )
+    return hi.unionByName(lo)
+
+
+# --------------------------------------------------------------------------
+# q12 — string kernel battery (F2/F3/F4/F8: UPPER, SPLIT[i], CASE..LIKE —
+# the airport-table transforms, etl.py:291-311).
+# --------------------------------------------------------------------------
+@query(
+    "q12_string_kernels",
+    oracle="""
+    SELECT
+        p_partkey,
+        upper(p_brand) AS brand_upper,
+        split_part(p_type, ' ', 1) AS type_head,
+        CASE WHEN p_type LIKE 'PROMO%' THEN 'promo' ELSE 'other' END AS promo_flag,
+        string_split(p_name, ' ')[-1] AS name_tail
+    FROM part
+    """,
+)
+def q12_string_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, "part", sf_dir)
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_head"),
+        F.when(F.col("p_type").like("PROMO%"), F.lit("promo"))
+        .otherwise(F.lit("other"))
+        .alias("promo_flag"),
+        # F9 parity: the "city, state" rsplit-from-the-right idiom.
+        F.substring_index(F.col("p_name"), " ", -1).alias("name_tail"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q13 — local-collection dictionary dim + broadcast join (S6 + §2.3: the
+# i94 travel-mode/visa dictionary pattern — a tiny driver-side mapping
+# becomes a broadcast dimension).
+# --------------------------------------------------------------------------
+_EVENT_CATEGORIES = [
+    ("click", "engagement"),
+    ("view", "engagement"),
+    ("signup", "growth"),
+    ("purchase", "revenue"),
+    ("error", "ops"),
+]
+
+@query(
+    "q13_dictionary_broadcast_join",
+    oracle="""
+    SELECT
+        m.category,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN (VALUES
+        ('click', 'engagement'),
+        ('view', 'engagement'),
+        ('signup', 'growth'),
+        ('purchase', 'revenue'),
+        ('error', 'ops')
+    ) AS m(event_type, category) ON e.event_type = m.event_type
+    GROUP BY m.category
+    """,
+)
+def q13_dictionary_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    dim = spark.createDataFrame(_EVENT_CATEGORIES, ["event_type", "category"])
+    return (
+        ev.join(F.broadcast(dim), "event_type")
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q14 — filter + distinct (the i94_flights build, etl.py:258-281:
+# SELECT DISTINCT ... WHERE fltno IS NOT NULL).
+# --------------------------------------------------------------------------
+@query(
+    "q14_filtered_distinct",
+    oracle="""
+    SELECT DISTINCT user_id, event_type
+    FROM events
+    WHERE props IS NOT NULL AND event_type <> 'error'
+    """,
+)
+def q14_filtered_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    return (
+        ev.filter(F.col("props").isNotNull() & (F.col("event_type") != "error"))
+        .select("user_id", "event_type")
+        .dropDuplicates()
+    )
+
+
+# --------------------------------------------------------------------------
+# q15 — semi-structured extraction: pull a numeric field out of the events
+# props payload with a shared regex (regex on both sides avoids relying on a
+# JSON extension in the oracle).
+# --------------------------------------------------------------------------
+@query(
+    "q15_props_extraction",
+    oracle=r"""
+    SELECT
+        CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) % 10 AS k_bucket,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY k_bucket
+    """,
+)
+def q15_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("int")
+    return (
+        ev.groupBy((k % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q16 — sessionization via window lag + running sum: the classic event-stream
+# operator (batch form; streaming form in streaming/events.py). 30-minute
+# inactivity gap splits sessions.
+# --------------------------------------------------------------------------
+@query(
+    "q16_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT
+            user_id,
+            ts,
+            CASE
+                WHEN lag(ts) OVER w IS NULL THEN 1
+                WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1
+                ELSE 0
+            END AS is_new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT
+            user_id,
+            CAST(SUM(is_new_session) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT
+        user_id,
+        MAX(session_id) AS n_sessions,
+        COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id
+    """,
+)
+def q16_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_new = (
+        F.when(prev_ts.isNull(), 1)
+        .when(F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES"), 1)
+        .otherwise(0)
+    )
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.withColumn("is_new_session", is_new)
+        .withColumn("session_id", F.sum("is_new_session").over(run))
+        .groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

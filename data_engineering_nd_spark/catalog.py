@@ -1,0 +1,92 @@
+"""Table registry: name -> (format, path, schema, partition keys).
+
+The reference infers every schema at read time (SURVEY.md §1.4) and
+format-sniffs with try parquet / except csv
+(Capstone/scripts/i94_data_quality_check.py:258-262). Here each table is
+declared once; readers and the data-quality layer look formats and schemas up
+instead of guessing. Declared schemas also let Spark skip parquet footer
+schema-merging on huge multi-file tables.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# The driver's synthetic star schema (TESTDATA.md). `lineitem`/`orders` are
+# the facts; everything else is a dimension small enough to broadcast at any
+# scale factor except `part`/`customer`, which grow with SF.
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions that stay tiny at every scale factor -> always broadcast in joins.
+ALWAYS_BROADCAST = frozenset({"region", "nation", "supplier"})
+
+
+@dataclass(frozen=True)
+class TableSpec:
+    name: str
+    fmt: str = "parquet"
+    partition_keys: tuple[str, ...] = ()
+    options: dict[str, str] = field(default_factory=dict)
+
+    def path(self, base_dir: str) -> str:
+        ext = {"parquet": ".parquet", "csv": ".csv"}.get(self.fmt, "")
+        return os.path.join(base_dir, f"{self.name}{ext}")
+
+
+REGISTRY: dict[str, TableSpec] = {name: TableSpec(name) for name in TESTDATA_TABLES}
+
+
+def load(spark: SparkSession, name: str, base_dir: str | None = None) -> DataFrame:
+    """Read a registered table. Columnar formats get pushdown + pruning free."""
+    spec = REGISTRY[name]
+    path = spec.path(base_dir or DEFAULT_SF_DIR)
+    if name == "events":
+        return _load_events(spark, path)
+    reader = spark.read.format(spec.fmt).options(**spec.options)
+    if spec.fmt == "csv":
+        reader = reader.option("header", True)
+    return reader.load(path)
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    rejects. Read it as raw nanos (legacy long mode) and truncate to
+    microsecond TIMESTAMP_NTZ — same truncation DuckDB applies casting
+    TIMESTAMP_NS -> TIMESTAMP, so engine and oracle agree. Integer `div`
+    (not /1000.0): epoch-nanos exceed double's 53-bit mantissa."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def load_all(spark: SparkSession, base_dir: str | None = None) -> dict[str, DataFrame]:
+    return {name: load(spark, name, base_dir) for name in REGISTRY}
+
+
+def register_temp_views(spark: SparkSession, base_dir: str | None = None) -> None:
+    """Mirror of the reference's createOrReplaceTempView usage (etl.py:205...)
+    so every registered table is addressable from spark.sql."""
+    for name, df in load_all(spark, base_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,102 @@
+"""Text kernels for the document-pipeline operators (dedup, quality scoring,
+language ID). All are native Spark column expressions — string ops stay inside
+whole-stage codegen; nothing here crosses into Python.
+
+No counterpart in the reference (its only string ops are UPPER/SPLIT/LIKE,
+SURVEY.md §2.8); these extend the engine for LLM-training-data pipelines per
+the driver north star (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Explicit class (not \p{Punct}) so the DuckDB oracle can use the identical
+# regex — engine and oracle must agree character-for-character.
+PUNCT_CLASS = r"""[!"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]"""
+
+# Tiny embedded English stopword list — deterministic, dependency-free.
+STOPWORDS = (
+    "the", "a", "an", "and", "or", "but", "if", "then", "of", "to", "in",
+    "on", "for", "with", "at", "by", "from", "is", "are", "was", "were",
+    "be", "been", "it", "this", "that", "as", "not", "no", "so", "we",
+    "you", "they", "he", "she", "has", "have", "had", "will", "would",
+)
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalize_text(col: Column | str) -> Column:
+    """lower + trim + collapse internal whitespace to single spaces."""
+    return F.regexp_replace(F.lower(F.trim(_c(col))), r"\s+", " ")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the normalized text, '' -> empty array."""
+    norm = normalize_text(col)
+    return F.when(norm == "", F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("bigint")
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Array of k-word shingles (space-joined), deduplicated.
+
+    Built with transform over an index sequence — stays JVM-side; this is the
+    input to MinHash/Jaccard dedup. Documents shorter than k words yield a
+    single shingle of the whole text (so they can still be compared).
+    """
+    toks = tokens(col)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingle_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.slice(toks, i + 1, k)
+    )
+    return F.when(n <= 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(F.transform(starts, shingle_at))
+    )
+
+
+def char_ngrams(col: Column | str, n: int = 5) -> Column:
+    """Array of distinct character n-grams of the normalized text."""
+    norm = normalize_text(col)
+    length = F.length(norm)
+    starts = F.sequence(F.lit(1), F.greatest(length - n + 1, F.lit(1)))
+    return F.when(length == 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(F.transform(starts, lambda i: F.substring(norm, i, n)))
+    )
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are ASCII punctuation; '' -> 0.0."""
+    c = _c(col)
+    total = F.length(c)
+    punct = total - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
+    return F.when(total == 0, F.lit(0.0)).otherwise(punct / total)
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    """Fraction of tokens that are English stopwords; no tokens -> 0.0."""
+    toks = tokens(col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(hits / F.size(toks))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite heuristic quality score in [0,1]: rewards documents with a
+    healthy length, moderate stopword density, low punctuation density.
+    Deterministic arithmetic only — oracle-able in SQL."""
+    n_tok = token_count(col)
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    sw = stopword_ratio(col)
+    sw_score = F.lit(1.0) - F.abs(sw - F.lit(0.4))
+    p_score = F.lit(1.0) - F.least(punct_ratio(col) * 4, F.lit(1.0))
+    return F.round((len_score + sw_score + p_score) / 3.0, 4)

@@ -1,0 +1,342 @@
+"""Deduplication operators: exact, token-Jaccard, MinHash+LSH, SimHash.
+
+The reference's only dedup is full-row dropDuplicates on every table build
+(Capstone/scripts/etl.py:172,203 — a 28-column-wide shuffle; SURVEY.md §4.1).
+This module generalizes dedup into the family an LLM-training-data pipeline
+needs, each built scale-first:
+
+- exact:   hash-groupBy on a content key — one shuffle on a 64-bit key, not
+           the full row payload.
+- jaccard: all-pairs token-set Jaccard *within a blocking key* — exact but
+           quadratic per block; the correctness baseline for the approximate
+           methods. At 100 TB you only ever run this inside small blocks
+           (LSH buckets, same-source shards...).
+- minhash: MinHash signatures + banded LSH — near-dup candidate generation in
+           O(n) with one shuffle per... actually a single explode+groupBy
+           shuffle on (band, bucket-hash); candidates verified with true
+           Jaccard so false positives drop out. The standard web-scale dedup
+           (Broder 1997; same construction as Spark MLlib's MinHashLSH,
+           re-expressed on native columns — no Vector UDT, no Python loop).
+- simhash: 64-bit SimHash fingerprints (Charikar 2002) via per-token hash
+           bit-votes; near-dup = small Hamming distance, blocked on 16-bit
+           chunks (pigeonhole: d<=3 pairs share at least one of 4 chunks).
+
+All hashing is xxhash64 (JVM-side, deterministic across runs/partitionings —
+unlike monotonically_increasing_id, SURVEY §4.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_nd_spark.catalog import load
+from data_engineering_nd_spark.functions.text import normalize_text, tokens, word_shingles
+from data_engineering_nd_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# library API
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Keep one row per key (content-defined). Shuffles only the key hash +
+    payload once; Catalyst plans this as partial+final hash aggregate."""
+    return df.dropDuplicates(key_cols)
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str, content: Column
+) -> DataFrame:
+    """Group rows by identical content; emit (keeper_id, n_copies) —
+    keeper = min id, the deterministic survivor choice."""
+    return (
+        df.select(F.col(id_col), content.alias("__content"))
+        .groupBy("__content")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .drop("__content")
+        .select("keeper_id", "n_copies")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact token-set Jaccard over all pairs sharing ``block_col``.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    The block join is an equi-join -> shuffles once on the block key; pairs
+    are generated inside each block only. Quadratic per block by design —
+    use minhash_lsh_pairs for unblocked corpora.
+    """
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("block"),
+        F.array_distinct(tokens(text_col)).alias("toks"),
+    )
+    a = sets.alias("a")
+    b = sets.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")))
+        # filter on the raw ratio (mirrors the oracle), round only for output
+        .filter(jac >= threshold)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+def minhash_signature(text_col: str | Column, num_hashes: int = 64, shingle_k: int = 3) -> Column:
+    """MinHash signature as array<bigint>: for seed i, min over shingles of
+    xxhash64(i, shingle). Built with transform/aggregate — stays in codegen."""
+    sh = word_shingles(text_col, k=shingle_k)
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    min_over = lambda i: F.array_min(  # noqa: E731
+        F.transform(sh, lambda s: F.xxhash64(i, s))
+    )
+    return F.when(F.size(sh) == 0, F.lit(None)).otherwise(F.transform(seeds, min_over))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH, verified with true
+    shingle Jaccard.
+
+    Candidate generation: signature split into ``bands`` bands of
+    num_hashes/bands rows; docs agreeing on any full band land in the same
+    bucket (bucket key = xxhash64 of the band slice). One explode (x bands)
+    + one groupBy-join shuffle on the bucket key — O(n·bands) work, never
+    O(n^2). Verification recomputes exact Jaccard on the candidate pairs
+    only. With 64 hashes / 16 bands the S-curve midpoint is ~(1/16)^(1/4)
+    ≈ 0.5, so recall at threshold 0.7 is high; false positives are removed
+    by verification.
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(text_col, k=shingle_k).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    sig = base.withColumn(
+        "sig", minhash_signature_from_shingles("shingles", num_hashes)
+    )
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    bucketed = sig.select(
+        "id",
+        "shingles",
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(b, F.slice("sig", b * rows_per_band + 1, rows_per_band))
+                    .alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "shingles", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+    return (
+        cand.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signature_from_shingles(shingles_col: str | Column, num_hashes: int = 64) -> Column:
+    sh = F.col(shingles_col) if isinstance(shingles_col, str) else shingles_col
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return F.transform(seeds, lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(i, s))))
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash of each document's token multiset -> (id, fp: bigint).
+
+    Per token: h = xxhash64(token); each of the 64 bit positions votes +1/-1;
+    fingerprint bit b = 1 iff the vote sum is positive (Charikar 2002).
+
+    Shape chosen for scale: explode tokens -> one hash per (doc, token) ->
+    single hash-aggregate on doc id with 64 conditional-sum vote columns.
+    That's one shuffle of (id, 64 small ints after map-side partial agg) and
+    stays entirely in whole-stage codegen — vs. evaluating 64 nested array
+    folds per row. Empty documents produce no tokens and drop out (SimHash
+    is undefined for them).
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
+    ).select("id", F.xxhash64("tok").alias("h"))
+    votes = ex.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    fp = None
+    for b in range(64):
+        bit = F.when(
+            F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return votes.select("id", fp.alias("fp"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Blocking: the 64-bit fingerprint splits into max_hamming+1 chunks; by
+    pigeonhole, any pair within distance max_hamming agrees on >=1 full
+    chunk, so candidates come from an equi-join per chunk (explode x chunks,
+    one shuffle) — exact recall, no O(n^2) scan. More chunks = shorter
+    chunk keys = more candidates to verify; keep max_hamming small.
+    """
+    n_chunks = max_hamming + 1
+    bounds = [round(i * 64 / n_chunks) for i in range(n_chunks + 1)]
+    spans = [(bounds[i], bounds[i + 1] - bounds[i]) for i in range(n_chunks)]
+    fp = simhash64(df, id_col, text_col)
+    chunks = fp.select(
+        "id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright("fp", start)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for i, (start, width) in enumerate(spans)
+                ]
+            )
+        ).alias("ck"),
+    ).select("id", "fp", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    xor = F.col("a.fp").bitwiseXOR(F.col("b.fp"))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(xor).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver queries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_groups",
+    oracle=r"""
+    SELECT
+        MIN(doc_id) AS keeper_id,
+        COUNT(*) AS n_copies
+    FROM (
+        SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS content
+        FROM documents
+    )
+    GROUP BY content
+    """,
+)
+def dedup_exact_groups_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    return exact_dedup_groups(docs, "doc_id", normalize_text("text"))
+
+
+@query(
+    "dedup_jaccard_pairs",
+    oracle=r"""
+    WITH sets AS (
+        SELECT doc_id AS id,
+               lang AS block,
+               list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+        FROM documents
+        WHERE doc_id < 200
+    )
+    SELECT
+        a.id AS id_a,
+        b.id AS id_b,
+        round(
+            CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE),
+            6
+        ) AS jaccard
+    FROM sets a
+    JOIN sets b ON a.block = b.block AND a.id < b.id
+    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          >= 0.5
+    """,
+)
+def dedup_jaccard_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # doc_id < 200 bounds the quadratic-per-block work at large SF; the
+    # unbounded path is minhash_lsh below.
+    docs = load(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    return jaccard_pairs(docs, "doc_id", "text", "lang", threshold=0.5)
+
+
+@query("dedup_minhash_lsh")  # xxhash64-based: not SQL-expressible -> rows-only check
+def dedup_minhash_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    return minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.7)
+
+
+@query("dedup_simhash")  # xxhash64-based: not SQL-expressible -> rows-only check
+def dedup_simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)

@@ -1,0 +1,86 @@
+"""Tests for the dedup operator family on handcrafted near/exact duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from data_engineering_nd_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash64,
+    simhash_pairs,
+)
+from data_engineering_nd_spark.functions.text import normalize_text
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm windowsill in the afternoon sun and everyone is happy"
+)
+NEAR = BASE.replace("afternoon", "morning")  # one-token change
+FAR = (
+    "completely different content about distributed query engines shuffling "
+    "partitions across executors with adaptive execution enabled for scale"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=1, text=BASE, lang="en"),
+        Row(doc_id=2, text="  " + BASE.upper() + "  ", lang="en"),  # exact after norm
+        Row(doc_id=3, text=NEAR, lang="en"),
+        Row(doc_id=4, text=FAR, lang="en"),
+        Row(doc_id=5, text=BASE, lang="de"),  # other block
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup(spark, docs):
+    assert exact_dedup(docs, ["text"]).count() == 4  # docs 1 and 5 share raw text
+    groups = {
+        r.keeper_id: r.n_copies
+        for r in exact_dedup_groups(docs, "doc_id", normalize_text("text")).collect()
+    }
+    assert groups[1] == 3  # 1, 2 (case/space-normalized) and 5 collapse
+    assert groups[3] == 1 and groups[4] == 1
+
+
+def test_jaccard_pairs(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(docs, "doc_id", "text", "lang", threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical token sets
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.8  # one-token diff
+    assert not any(4 in p for p in pairs)  # FAR matches nothing
+    assert not any(5 in p for p in pairs)  # other block never compared
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    # exact dup pair must be found (identical signatures -> identical buckets)
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 5) in pairs and (2, 5) in pairs
+    # near-dup should be surfaced at this threshold with 16 bands
+    assert (1, 3) in pairs
+    # verification step keeps false positives out
+    assert all(j >= 0.5 for j in pairs.values())
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash_properties(spark, docs):
+    fps = {r.id: r.fp for r in simhash64(docs, "doc_id", "text").collect()}
+    assert fps[1] == fps[2] == fps[5]  # normalization-identical docs
+    ham_13 = bin((fps[1] ^ fps[3]) & (2**64 - 1)).count("1")
+    ham_14 = bin((fps[1] ^ fps[4]) & (2**64 - 1)).count("1")
+    assert ham_13 < ham_14  # near-dup closer than unrelated
+    pairs = {(r.id_a, r.id_b) for r in simhash_pairs(spark.createDataFrame(
+        [Row(doc_id=1, text=BASE), Row(doc_id=2, text=BASE + " extra")]
+    ), "doc_id", "text", max_hamming=10).collect()}
+    assert (1, 2) in pairs

@@ -1,0 +1,111 @@
+"""Unit tests for the scalar kernels (dates, text, hashing) on tiny
+in-memory frames — the per-operator test layer the reference lacks
+(SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from data_engineering_nd_spark.functions.dates import (
+    flexible_date,
+    register_sas_date_udf,
+    sas_date,
+    weekend_flag,
+)
+from data_engineering_nd_spark.functions.hashing import content_key
+from data_engineering_nd_spark.functions.text import (
+    char_ngrams,
+    normalize_text,
+    punct_ratio,
+    stopword_ratio,
+    token_count,
+    word_shingles,
+)
+
+
+def test_sas_date_epoch_and_nulls(spark):
+    df = spark.createDataFrame(
+        [Row(x=0.0), Row(x=20545.0), Row(x=None), Row(x=1.9)]
+    )
+    out = [r.d for r in df.select(sas_date("x").alias("d")).collect()]
+    assert out[0] == datetime.date(1960, 1, 1)
+    assert out[1] == datetime.date(2016, 4, 1)  # known SAS offset (FIXTURES.md)
+    assert out[2] is None
+    assert out[3] == datetime.date(1960, 1, 2)  # double -> int truncation
+
+
+def test_sas_date_udf_matches_native(spark):
+    register_sas_date_udf(spark)
+    df = spark.createDataFrame([Row(x=20545.0), Row(x=None), Row(x=366.0)])
+    df.createOrReplaceTempView("t_sas")
+    via_udf = [r.d for r in spark.sql("SELECT SASDateConverter(x) AS d FROM t_sas").collect()]
+    via_native = [r.d for r in df.select(sas_date("x").alias("d")).collect()]
+    assert via_udf == via_native
+
+
+def test_flexible_date_intended_semantics(spark):
+    # the reference's shipped UDF returns NULL for everything (etl.py:142-159
+    # type bug); these are the *intended* semantics per the notebook prototype.
+    rows = [
+        Row(s="20160401"),  # yyyyMMdd, year prefix
+        Row(s="10282016"),  # MMddyyyy, year suffix
+        Row(s="D/S"),       # junk (real dtaddto value)
+        Row(s="/   183D"),  # junk
+        Row(s="20150401"),  # valid format, year not whitelisted
+        Row(s=None),
+    ]
+    df = spark.createDataFrame(rows)
+    out = [r.d for r in df.select(flexible_date("s").alias("d")).collect()]
+    assert out[0] == datetime.date(2016, 4, 1)
+    assert out[1] == datetime.date(2016, 10, 28)
+    assert out[2] is None
+    assert out[3] is None
+    assert out[4] is None
+    assert out[5] is None
+
+
+def test_weekend_flag(spark):
+    df = spark.createDataFrame(
+        [Row(d=datetime.date(2016, 4, 2)), Row(d=datetime.date(2016, 4, 4))]
+    )
+    out = [r.f for r in df.select(weekend_flag("d").alias("f")).collect()]
+    assert out == ["weekend", "weekday"]  # Saturday, Monday
+
+
+def test_content_key_deterministic_across_repartition(spark):
+    df = spark.range(100).select(
+        F.col("id"), F.concat(F.lit("row-"), F.col("id")).alias("name")
+    )
+    k1 = {r.id: r.k for r in df.select("id", content_key("id", "name").alias("k")).collect()}
+    k2 = {
+        r.id: r.k
+        for r in df.repartition(7)
+        .select("id", content_key("id", "name").alias("k"))
+        .collect()
+    }
+    assert k1 == k2  # unlike monotonically_increasing_id (etl.py:204)
+    assert len(set(k1.values())) == 100
+
+
+def test_text_kernels(spark):
+    df = spark.createDataFrame([Row(t="  The  quick, brown fox! "), Row(t="")])
+    row = df.select(
+        normalize_text("t").alias("norm"),
+        token_count("t").alias("n"),
+        punct_ratio("t").alias("p"),
+        stopword_ratio("t").alias("s"),
+        word_shingles("t", 2).alias("sh"),
+        char_ngrams("t", 3).alias("ng"),
+    ).collect()
+    r = row[0]
+    assert r.norm == "the quick, brown fox!"
+    assert r.n == 4
+    assert abs(r.p - 2 / 25) < 1e-12  # ',' and '!' over raw length 25
+    assert abs(r.s - 1 / 4) < 1e-12  # 'the'
+    assert r.sh == ["the quick,", "quick, brown", "brown fox!"]
+    assert "the" in r.ng and len(r.ng) == len(set(r.ng))
+    empty = row[1]
+    assert empty.n == 0 and empty.p == 0.0 and empty.s == 0.0 and empty.sh == []
