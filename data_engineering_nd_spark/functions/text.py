@@ -29,6 +29,19 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def _bind(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` once and pass it to ``fn`` as a higher-order-function
+    lambda variable.
+
+    Catalyst does not common-subexpression-eliminate through lambda bodies:
+    ``transform(starts, i -> f(expensive_expr, i))`` re-evaluates
+    expensive_expr for EVERY array element (measured ~25x slowdown building
+    shingles, where the expr is a regex+split). Wrapping the expr as the
+    single element of an array makes it the lambda argument — computed once.
+    """
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def normalize_text(col: Column | str) -> Column:
     """lower + trim + collapse internal whitespace to single spaces."""
     return F.regexp_replace(F.lower(F.trim(_c(col))), r"\s+", " ")
@@ -53,25 +66,29 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     input to MinHash/Jaccard dedup. Documents shorter than k words yield a
     single shingle of the whole text (so they can still be compared).
     """
-    toks = tokens(col)
-    n = F.size(toks)
-    starts = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    shingle_at = lambda i: F.concat_ws(  # noqa: E731
-        " ", F.slice(toks, i + 1, k)
-    )
-    return F.when(n <= 0, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(F.transform(starts, shingle_at))
-    )
+
+    def build(toks: Column) -> Column:
+        n = F.size(toks)
+        starts = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        shingle_at = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))  # noqa: E731
+        return F.when(n <= 0, F.array().cast("array<string>")).otherwise(
+            F.array_distinct(F.transform(starts, shingle_at))
+        )
+
+    return _bind(tokens(col), build)
 
 
 def char_ngrams(col: Column | str, n: int = 5) -> Column:
     """Array of distinct character n-grams of the normalized text."""
-    norm = normalize_text(col)
-    length = F.length(norm)
-    starts = F.sequence(F.lit(1), F.greatest(length - n + 1, F.lit(1)))
-    return F.when(length == 0, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(F.transform(starts, lambda i: F.substring(norm, i, n)))
-    )
+
+    def build(norm: Column) -> Column:
+        length = F.length(norm)
+        starts = F.sequence(F.lit(1), F.greatest(length - n + 1, F.lit(1)))
+        return F.when(length == 0, F.array().cast("array<string>")).otherwise(
+            F.array_distinct(F.transform(starts, lambda i: F.substring(norm, i, n)))
+        )
+
+    return _bind(normalize_text(col), build)
 
 
 def punct_ratio(col: Column | str) -> Column:
@@ -84,10 +101,13 @@ def punct_ratio(col: Column | str) -> Column:
 
 def stopword_ratio(col: Column | str) -> Column:
     """Fraction of tokens that are English stopwords; no tokens -> 0.0."""
-    toks = tokens(col)
-    sw = F.array(*[F.lit(w) for w in STOPWORDS])
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(hits / F.size(toks))
+
+    def build(toks: Column) -> Column:
+        sw = F.array(*[F.lit(w) for w in STOPWORDS])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(hits / F.size(toks))
+
+    return _bind(tokens(col), build)
 
 
 def quality_score(col: Column | str) -> Column:
