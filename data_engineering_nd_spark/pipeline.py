@@ -1,0 +1,106 @@
+"""Batch pipeline runner: extract -> transform -> load -> quality-check.
+
+Replaces the reference's Airflow DAG semantics (SURVEY.md §2.12, §3.3) with
+a plain function pipeline: the DAG's Spark-relevant stages were exactly
+(1) read raw monthly files + union, (2) build the 13 tables, (3) partitioned
+writes, (4) data-quality checks on what landed. S3/bucket orchestration is
+out of the query engine's scope (SURVEY §2.12).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_engineering_nd_spark import io as engine_io
+from data_engineering_nd_spark import transforms
+from data_engineering_nd_spark.operators.quality import NullAuditResult, null_audit
+
+# Parquet fact/dim layout mirrors the reference's (etl.py:754, 434-491):
+# big tables parquet + hive-partitioned by period, small dims unpartitioned.
+TABLE_LAYOUT: dict[str, dict] = {
+    "i94_immigrations": {"fmt": "parquet", "partition_keys": ("i94_year", "i94_month")},
+    "i94_trips": {"fmt": "parquet", "partition_keys": ("i94_year", "i94_month")},
+    "i94_visitors": {"fmt": "parquet", "partition_keys": ("i94_year", "i94_month")},
+    "i94_dates": {"fmt": "parquet", "partition_keys": ()},
+    "i94_flights": {"fmt": "parquet", "partition_keys": ()},
+    "i94_airports": {"fmt": "parquet", "partition_keys": ()},
+    "i94_us_states_demographic": {"fmt": "parquet", "partition_keys": ()},
+    "i94_us_cities_demographic": {"fmt": "parquet", "partition_keys": ()},
+}
+
+# Null-free-PK expectations per table (the reference parameterizes this via
+# config JSON, etl_config.cfg:62-64).
+DEFAULT_PK_CHECKS: dict[str, list[str]] = {
+    "i94_trips": ["trip_id", "custom_client_id"],
+    "i94_immigrations": ["custom_client_id"],
+    "i94_visitors": ["admissions_number"],
+    "i94_flights": ["flight_id"],
+}
+
+
+@dataclass
+class PipelineResult:
+    tables: dict[str, engine_io.WriteResult] = field(default_factory=dict)
+    quality: dict[str, NullAuditResult] = field(default_factory=dict)
+
+    @property
+    def ok(self) -> bool:
+        return all(r.ok for r in self.quality.values())
+
+
+def run(
+    spark: SparkSession,
+    raw_paths: list[str],
+    out_dir: str,
+    raw_fmt: str = "parquet",
+    airport_codes_path: str | None = None,
+    demographics_path: str | None = None,
+    mode: str = "overwrite",
+    valid_years=(2016,),
+    pk_checks: dict[str, list[str]] | None = None,
+) -> PipelineResult:
+    """End-to-end run of the i94 pipeline over the given raw inputs."""
+    raw = engine_io.read_many(spark, raw_paths, fmt=raw_fmt)
+    airport_codes = (
+        engine_io.read(spark, airport_codes_path, "csv")
+        if airport_codes_path
+        else None
+    )
+    demographics = (
+        engine_io.read(spark, demographics_path, "csv", delimiter=";")
+        if demographics_path
+        else None
+    )
+
+    tables = transforms.build_all(
+        raw,
+        airport_codes=airport_codes,
+        demographics=demographics,
+        valid_years=valid_years,
+    )
+
+    result = PipelineResult()
+    for name, df in tables.items():
+        layout = TABLE_LAYOUT.get(name, {"fmt": "parquet", "partition_keys": ()})
+        result.tables[name] = engine_io.write(
+            df,
+            os.path.join(out_dir, name),
+            fmt=layout["fmt"],
+            mode=mode,
+            partition_keys=layout["partition_keys"],
+        )
+
+    # quality gate on what actually landed (one pass per table). The read
+    # gets the builder's declared schema: schema inference on an empty
+    # partitioned write (no data files) throws UNABLE_TO_INFER_SCHEMA.
+    for name, cols in (pk_checks or DEFAULT_PK_CHECKS).items():
+        if name not in result.tables:
+            continue
+        landed: DataFrame = engine_io.read(
+            spark, result.tables[name].path, schema=tables[name].schema
+        )
+        result.quality[name] = null_audit(landed, cols, table=name)
+    return result

@@ -1,0 +1,69 @@
+"""Tests for the multimodal mapInPandas plumbing (decode stubbed with the
+deterministic fake; Spark-side schema/batching/1-to-N shapes are real)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from data_engineering_nd_spark.operators.multimodal import (
+    decode_image,
+    image_features,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        Row(media_id=1, kind="image", payload=bytes(b"\x01\x02\x03" * 100),
+            mime="image/png", width=None, height=None, duration_ms=None),
+        Row(media_id=2, kind="image", payload=bytes(b"\xff\x00" * 50),
+            mime="image/jpeg", width=None, height=None, duration_ms=None),
+        Row(media_id=3, kind="video", payload=bytes(b"\x09" * 64),
+            mime="video/mp4", width=None, height=None, duration_ms=3500),
+        Row(media_id=4, kind="audio", payload=bytes(b"\x05" * 10),
+            mime="audio/wav", width=None, height=None, duration_ms=2000),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "media_id bigint, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+
+
+def test_real_decoder_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"bytes")
+
+
+def test_image_features_schema_and_determinism(spark, media):
+    out = image_features(media)
+    assert out.schema.simpleString() == (
+        "struct<media_id:bigint,n_bytes:bigint,checksum:bigint,"
+        "decoded_width:int,decoded_height:int,mean_intensity:double>"
+    )
+    rows = {r.media_id: r for r in out.collect()}
+    assert set(rows) == {1, 2}  # only images
+    assert rows[1].n_bytes == 300
+    again = {r.media_id: r for r in image_features(media).collect()}
+    assert {k: v.checksum for k, v in rows.items()} == {
+        k: v.checksum for k, v in again.items()
+    }
+    # fake decode contract: plausible bounded dimensions
+    assert 1 <= rows[1].decoded_width <= 64
+    assert 0.0 <= rows[1].mean_intensity <= 1.0
+
+
+def test_frame_sampling_one_to_many(spark, media):
+    frames = sample_frames(media, every_ms=1000).collect()
+    assert {r.media_id for r in frames} == {3}  # only video
+    assert [r.frame_index for r in sorted(frames, key=lambda r: r.frame_index)] == [0, 1, 2]
+    assert len({r.frame_checksum for r in frames}) == 3
+
+
+def test_empty_partition_batches(spark, media):
+    # mapInPandas must handle empty input batches (e.g. partitions with no
+    # image rows after the filter)
+    out = image_features(media.repartition(8))
+    assert out.count() == 2

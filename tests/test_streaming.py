@@ -1,0 +1,74 @@
+"""Structured Streaming tests: the event transforms run identically on batch
+frames and on a real file-source stream (availableNow trigger -> memory sink)."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_engineering_nd_spark.catalog import load
+from data_engineering_nd_spark.streaming.events import (
+    enriched_counts,
+    run_stream_to_memory,
+    session_windows,
+    windowed_event_counts,
+    with_watermark,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    return load(spark, "events", SF_DIR)
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, events_batch, tmp_path_factory):
+    # materialize the same events as a file-source stream (ntz ts preserved)
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    events_batch.write.parquet(path)
+    return spark.readStream.schema(events_batch.schema).parquet(path)
+
+
+def test_windowed_counts_batch_vs_stream(spark, events_batch, events_stream):
+    batch = {
+        (r.window_start, r.event_type): r.n_events
+        for r in windowed_event_counts(with_watermark(events_batch), "1 hour").collect()
+    }
+    assert batch  # non-trivial
+
+    q = run_stream_to_memory(
+        windowed_event_counts(with_watermark(events_stream), "1 hour"),
+        "win_counts",
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert streamed == batch  # incremental == batch on the same data
+
+
+def test_session_windows_stream(spark, events_stream, events_batch):
+    q = run_stream_to_memory(
+        session_windows(with_watermark(events_stream), "30 minutes"), "sessions"
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM sessions")
+    total_events = out.groupBy().sum("n_events").collect()[0][0]
+    assert total_events == events_batch.count()  # every event in some session
+    # session bounds are ordered and per-user
+    bad = out.filter("session_end <= session_start").count()
+    assert bad == 0
+
+
+def test_enriched_counts_stream_static_join(spark, events_stream, events_batch):
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"), ("signup", "growth"),
+         ("purchase", "revenue"), ("error", "ops")],
+        ["event_type", "category"],
+    )
+    q = run_stream_to_memory(enriched_counts(events_stream, dim), "cat_counts")
+    q.awaitTermination(120)
+    out = {r.category: r.n_events for r in spark.sql("SELECT * FROM cat_counts").collect()}
+    assert sum(out.values()) == events_batch.count()
+    assert set(out) == {"engagement", "growth", "revenue", "ops"}
