@@ -615,3 +615,155 @@ def q16_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q17/q18 — the rest of the equi-join surface (SURVEY §2.3): left-anti and
+# left-semi, the idioms dimension maintenance needs ("which customers never
+# placed an urgent order"). Both plan as broadcast/shuffled hash joins with
+# no payload from the probe side.
+# --------------------------------------------------------------------------
+@query(
+    "q17_anti_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def q17_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, "customer", sf_dir)
+    urgent = load(spark, "orders", sf_dir).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "q18_semi_join",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q18_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, "customer", sf_dir)
+    big = load(spark, "orders", sf_dir).filter(F.col("o_totalprice") > 300000)
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q19 — global top-k (L2: distributed orderBy + limit, which the reference
+# only ever does in pandas). TakeOrderedAndProject: each partition keeps k,
+# driver merges — no full sort at any scale.
+# --------------------------------------------------------------------------
+@query(
+    "q19_top_parts_by_revenue",
+    oracle="""
+    SELECT
+        p.p_partkey,
+        p.p_name,
+        CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_partkey, p.p_name
+    ORDER BY revenue DESC, p_partkey
+    LIMIT 15
+    """,
+)
+def q19_top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    part = load(spark, "part", sf_dir)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_name")
+        .agg(dsum(revenue, 6).alias("revenue"))
+        .orderBy(F.desc("revenue"), "p_partkey")
+        .limit(15)
+    )
+
+
+# --------------------------------------------------------------------------
+# q20 — column profile in ONE pass (A2 global min/max + A6 null-percentage,
+# the notebook profiling the reference does column-by-column in pandas).
+# --------------------------------------------------------------------------
+@query(
+    "q20_column_profile",
+    oracle="""
+    SELECT
+        CAST(MIN(l_quantity) AS DOUBLE) AS qty_min,
+        CAST(MAX(l_quantity) AS DOUBLE) AS qty_max,
+        CAST(MIN(l_extendedprice) AS DOUBLE) AS price_min,
+        CAST(MAX(l_extendedprice) AS DOUBLE) AS price_max,
+        round(100.0 * COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) / COUNT(*), 4) AS qty_null_pct,
+        round(100.0 * COUNT(CASE WHEN l_shipdate IS NULL THEN 1 END) / COUNT(*), 4) AS shipdate_null_pct,
+        COUNT(*) AS n_rows
+    FROM lineitem
+    """,
+)
+def q20_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    n = F.count(F.lit(1))
+    nulls = lambda c: F.count(F.when(F.col(c).isNull(), F.lit(1)))  # noqa: E731
+    return li.agg(
+        F.min("l_quantity").cast("double").alias("qty_min"),
+        F.max("l_quantity").cast("double").alias("qty_max"),
+        F.min("l_extendedprice").cast("double").alias("price_min"),
+        F.max("l_extendedprice").cast("double").alias("price_max"),
+        F.round(nulls("l_quantity") * 100.0 / n, 4).alias("qty_null_pct"),
+        F.round(nulls("l_shipdate") * 100.0 / n, 4).alias("shipdate_null_pct"),
+        n.alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q21 — the spark.sql surface (S11: temp-view registration + SQL-string
+# transform, the reference's primary idiom, etl.py:205,206-223...). Same
+# Catalyst plan as the DataFrame form — this registers the views and runs
+# a pure-SQL star query.
+# --------------------------------------------------------------------------
+@query(
+    "q21_sql_api_revenue_by_region",
+    oracle="""
+    SELECT
+        r.r_name,
+        CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q21_sql_api_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "orders", "customer", "nation", "region"):
+        load(spark, t, sf_dir).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        """
+        SELECT
+            r.r_name,
+            CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM v_lineitem l
+        JOIN v_orders o ON l.l_orderkey = o.o_orderkey
+        JOIN v_customer c ON o.o_custkey = c.c_custkey
+        JOIN v_nation n ON c.c_nationkey = n.n_nationkey
+        JOIN v_region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        """
+    )

@@ -368,3 +368,68 @@ def dedup_minhash_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir)
     return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+def embedding_cosine_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity.
+
+    Blocked on ``block_col`` (a coarse cluster/cell id) so the pair space is
+    quadratic per block, not per corpus — same IVF trade as
+    similarity.ivf_topk. With block_col=None it degrades to all-pairs
+    (correctness baseline; never run that unblocked at scale).
+    """
+    from data_engineering_nd_spark.operators.similarity import cosine
+
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("vec")]
+    if block_col:
+        cols.append(F.col(block_col).alias("block"))
+    v = vectors.select(*cols)
+    a, b = v.alias("a"), v.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = cond & (F.col("a.block") == F.col("b.block"))
+    sim = cosine(F.col("a.vec"), F.col("b.vec"))
+    return (
+        a.join(b, cond)
+        .filter(sim >= threshold)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(sim, 4).alias("cosine_sim"),
+        )
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings
+    )
+    SELECT
+        a.vec_id AS id_a,
+        b.vec_id AS id_b,
+        round(
+            list_dot_product(a.emb, b.emb)
+              / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))),
+            4
+        ) AS cosine_sim
+    FROM v a
+    JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.emb, b.emb)
+          / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))
+          >= 0.35
+    """,
+)
+def dedup_embedding_cosine_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # threshold 0.35 surfaces the near-dup tail of the synthetic embeddings
+    # (max intra-cell cosine ~0.47); production near-dup removal uses ~0.9+.
+    emb = load(spark, "embeddings", sf_dir)
+    return embedding_cosine_pairs(emb, threshold=0.35)
