@@ -381,28 +381,71 @@ def embedding_cosine_pairs(
 
     Blocked on ``block_col`` (a coarse cluster/cell id) so the pair space is
     quadratic per block, not per corpus — same IVF trade as
-    similarity.ivf_topk. With block_col=None it degrades to all-pairs
-    (correctness baseline; never run that unblocked at scale).
-    """
-    from data_engineering_nd_spark.operators.similarity import cosine
+    similarity.ivf_topk. Each block's pairs are computed as ONE float64
+    Gram matrix (numpy BLAS) inside applyInPandas: a single shuffle on the
+    cell id, then O(b²·d) vectorized work per cell with no per-pair
+    expression evaluation. At 100 TB you bound the cell size (split hot
+    cells) and this stays one matmul per task.
 
-    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("vec")]
-    if block_col:
-        cols.append(F.col(block_col).alias("block"))
-    v = vectors.select(*cols)
-    a, b = v.alias("a"), v.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
-    if block_col:
-        cond = cond & (F.col("a.block") == F.col("b.block"))
-    sim = cosine(F.col("a.vec"), F.col("b.vec"))
-    return (
-        a.join(b, cond)
-        .filter(sim >= threshold)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(sim, 4).alias("cosine_sim"),
+    With block_col=None it degrades to all-pairs via a self-join with the
+    JVM-side fold dot product (correctness baseline; never run that
+    unblocked at scale).
+    """
+    if block_col is None:
+        from data_engineering_nd_spark.operators.similarity import dot, l2_norm
+
+        v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        a, b = v.alias("a"), v.alias("b")
+        denom = l2_norm(F.col("a.vec")) * l2_norm(F.col("b.vec"))
+        # zero vectors -> cosine 0 (ANSI mode would throw on x/0)
+        sim = F.when(
+            denom > 0, dot(F.col("a.vec"), F.col("b.vec")) / denom
+        ).otherwise(F.lit(0.0))
+        return (
+            a.join(b, F.col("a.id") < F.col("b.id"))
+            .filter(sim >= threshold)
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.round(sim, 4).alias("cosine_sim"),
+            )
         )
+
+    import numpy as np
+    import pandas as pd
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cosine_sim": pd.Series(dtype="float64"),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy()
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0  # zero vectors -> cosine 0, not NaN
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sims[iu, ju] >= threshold
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[keep]],
+                "id_b": ids[ju[keep]],
+                "cosine_sim": np.round(sims[iu[keep], ju[keep]], 4),
+            }
+        )
+
+    return (
+        vectors.select(F.col(id_col), F.col(vec_col), F.col(block_col))
+        .groupBy(block_col)
+        .applyInPandas(block_pairs, "id_a bigint, id_b bigint, cosine_sim double")
     )
 
 

@@ -123,3 +123,42 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     return df.filter(F.col("kind") == "video").select(
         "media_id", "duration_ms", "payload"
     ).mapInPandas(process, FRAME_SAMPLE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# driver-facing queries. The testdata ships no binary media table, so the
+# media frame is synthesized deterministically from `documents` (payload =
+# UTF-8 bytes of the text) — the decode kernels are byte-level Python and not
+# SQL-expressible, so these register as rows-only checks (no oracle).
+# ---------------------------------------------------------------------------
+from pyspark.sql import SparkSession  # noqa: E402
+
+from data_engineering_nd_spark.catalog import load  # noqa: E402
+from data_engineering_nd_spark.registry import query  # noqa: E402
+
+
+def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> MEDIA_SCHEMA frame: every doc an 'image', every 5th a
+    'video' whose duration is derived from its length."""
+    docs = load(spark, "documents", sf_dir)
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("video"))
+        .otherwise(F.lit("image"))
+        .alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.length("text") * F.lit(10)).cast("int").alias("duration_ms"),
+    )
+
+
+@query("multimodal_image_features")
+def multimodal_image_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return image_features(synthetic_media(spark, sf_dir))
+
+
+@query("multimodal_frame_samples")
+def multimodal_frame_samples_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(synthetic_media(spark, sf_dir), every_ms=1000)

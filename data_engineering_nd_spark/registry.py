@@ -45,6 +45,8 @@ def load_all_modules() -> None:
     """Import every module that registers queries (idempotent)."""
     import data_engineering_nd_spark.analytics  # noqa: F401
     import data_engineering_nd_spark.operators.dedup  # noqa: F401
+    import data_engineering_nd_spark.operators.multimodal  # noqa: F401
     import data_engineering_nd_spark.operators.quality  # noqa: F401
     import data_engineering_nd_spark.operators.similarity  # noqa: F401
     import data_engineering_nd_spark.operators.text_analysis  # noqa: F401
+    import data_engineering_nd_spark.streaming.queries  # noqa: F401

@@ -1,0 +1,160 @@
+"""Driver-facing Structured Streaming queries.
+
+Each entry runs a REAL stream: ``spark.readStream`` over the events parquet
+(file source, explicit schema), the pure-plan transforms from
+``streaming.events``, and a memory sink driven to completion with
+``trigger(availableNow=True)``. Because the transforms are deterministic
+aggregations, the streamed result equals the batch result — so these carry
+full DuckDB oracles, not just rows-only checks.
+
+Reference has no streaming (SURVEY.md §2.10); this is the Structured
+Streaming surface the north star asks for. Scale notes in
+``streaming/events.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_nd_spark.catalog import REGISTRY
+from data_engineering_nd_spark.registry import query
+from data_engineering_nd_spark.streaming.events import (
+    enriched_counts,
+    run_stream_to_memory,
+    session_windows,
+    windowed_event_counts,
+    with_watermark,
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table.
+
+    Streaming readers require an explicit schema (no inference at start);
+    we take it from one driver-side batch-footer read — the same nanos
+    handling as catalog._load_events (ts lands as bigint nanos when the
+    file uses TIMESTAMP(NANOS), else as timestamp).
+    """
+    path = REGISTRY["events"].path(sf_dir)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    # The file source derives basePath from the path and requires a
+    # directory; the testdata table is a single file, so address it with a
+    # glob — the glob's parent (the sf dir) becomes the basePath.
+    df = spark.readStream.schema(schema).parquet(path.replace(".parquet", ".parque[t]"))
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def _run(df: DataFrame, name: str, spark: SparkSession) -> DataFrame:
+    q = run_stream_to_memory(df, name)
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "stream_windowed_counts",
+    oracle="""
+    SELECT
+        time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) + INTERVAL '1 hour' AS window_end,
+        event_type,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_windowed_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = with_watermark(read_events_stream(spark, sf_dir))
+    counts = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run(counts, "stream_windowed_counts_sink", spark)
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+    WITH flagged AS (
+        SELECT
+            user_id,
+            CAST(ts AS TIMESTAMP) AS ts,
+            CASE
+                WHEN lag(ts) OVER w IS NULL THEN 1
+                WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1
+                ELSE 0
+            END AS is_new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT
+            user_id,
+            ts,
+            SUM(is_new_session) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS session_id
+        FROM flagged
+    )
+    SELECT
+        user_id,
+        MIN(ts) AS session_start,
+        MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session_windows_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = with_watermark(read_events_stream(spark, sf_dir))
+    sessions = session_windows(ev, gap="30 minutes").select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+    )
+    return _run(sessions, "stream_session_windows_sink", spark)
+
+
+@query(
+    "stream_enriched_counts",
+    oracle="""
+    SELECT
+        m.category,
+        COUNT(*) AS n_events
+    FROM events e
+    JOIN (VALUES
+        ('click', 'engagement'),
+        ('view', 'engagement'),
+        ('signup', 'growth'),
+        ('purchase', 'revenue'),
+        ('error', 'ops')
+    ) AS m(event_type, category) ON e.event_type = m.event_type
+    GROUP BY m.category
+    """,
+)
+def stream_enriched_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_nd_spark.analytics import _EVENT_CATEGORIES
+
+    dim = spark.createDataFrame(_EVENT_CATEGORIES, ["event_type", "category"])
+    ev = read_events_stream(spark, sf_dir)
+    return _run(enriched_counts(ev, dim), "stream_enriched_counts_sink", spark)

@@ -84,3 +84,32 @@ def test_simhash_properties(spark, docs):
         [Row(doc_id=1, text=BASE), Row(doc_id=2, text=BASE + " extra")]
     ), "doc_id", "text", max_hamming=10).collect()}
     assert (1, 2) in pairs
+
+
+def test_embedding_cosine_blocked_matches_allpairs(spark):
+    from pyspark.sql import Row
+
+    from data_engineering_nd_spark.operators.dedup import embedding_cosine_pairs
+
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0], label=0),
+        Row(vec_id=2, embedding=[0.99, 0.14, 0.0], label=0),   # near-dup of 1
+        Row(vec_id=3, embedding=[0.0, 1.0, 0.0], label=0),     # orthogonal
+        Row(vec_id=4, embedding=[0.0, 0.98, 0.2], label=1),    # other block
+        Row(vec_id=5, embedding=[0.0, 0.97, 0.24], label=1),   # near-dup of 4
+        Row(vec_id=6, embedding=[0.0, 0.0, 0.0], label=1),     # zero vector
+    ]
+    vecs = spark.createDataFrame(rows)
+    blocked = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in embedding_cosine_pairs(vecs, threshold=0.9).collect()
+    }
+    assert set(blocked) == {(1, 2), (4, 5)}
+    # numpy Gram path agrees with the JVM fold path on the same pairs
+    allpairs = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in embedding_cosine_pairs(vecs, block_col=None, threshold=0.9).collect()
+    }
+    assert set(blocked) <= set(allpairs)
+    for k in blocked:
+        assert abs(blocked[k] - allpairs[k]) < 1e-9

@@ -67,3 +67,23 @@ def test_empty_partition_batches(spark, media):
     # image rows after the filter)
     out = image_features(media.repartition(8))
     assert out.count() == 2
+
+
+def test_registered_multimodal_queries(spark):
+    from data_engineering_nd_spark.operators.multimodal import (
+        multimodal_frame_samples_query,
+        multimodal_image_features_query,
+        synthetic_media,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    media = synthetic_media(spark, sf)
+    kinds = dict(media.groupBy("kind").count().collect())
+    assert set(kinds) == {"image", "video"}
+    feats = multimodal_image_features_query(spark, sf)
+    row = feats.orderBy("media_id").first()
+    assert row.n_bytes > 0 and 0.0 <= row.mean_intensity <= 1.0
+    frames = multimodal_frame_samples_query(spark, sf)
+    # every video with duration >= 1s yields at least one frame row
+    n_videos = media.filter("kind = 'video' AND duration_ms >= 1000").count()
+    assert frames.select("media_id").distinct().count() == n_videos

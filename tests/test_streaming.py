@@ -72,3 +72,24 @@ def test_enriched_counts_stream_static_join(spark, events_stream, events_batch):
     out = {r.category: r.n_events for r in spark.sql("SELECT * FROM cat_counts").collect()}
     assert sum(out.values()) == events_batch.count()
     assert set(out) == {"engagement", "growth", "revenue", "ops"}
+
+
+def test_driver_stream_queries_match_batch(spark):
+    """The registered readStream queries equal their batch equivalents."""
+    from data_engineering_nd_spark.catalog import load
+    from data_engineering_nd_spark.streaming.queries import (
+        stream_windowed_counts_query,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    streamed = stream_windowed_counts_query(spark, sf)
+    ev = load(spark, "events", sf)
+    from pyspark.sql import functions as F
+
+    batch = (
+        ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .count()
+    )
+    assert streamed.count() == batch.count()
+    assert streamed.groupBy().sum("n_events").collect()[0][0] == ev.count()
