@@ -1,0 +1,79 @@
+"""Plan-regression tests: pin the scale-critical physical choices.
+
+A lost broadcast, a dropped pushdown, or an un-pruned scan is invisible in
+value tests at sf0.001 and catastrophic at 100 TB — so plan properties are
+asserted like results (SURVEY.md §4 maps each to the reference's gap)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_nd_spark.catalog import load
+from data_engineering_nd_spark.plans import (
+    assert_broadcast_join,
+    assert_no_python_udf_in,
+    assert_operator,
+    pushed_filters,
+    scan_read_schema,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_small_dims_broadcast_in_star_join(spark):
+    from data_engineering_nd_spark.analytics import q02_top_nations_by_revenue
+
+    df = q02_top_nations_by_revenue(spark, SF_DIR)
+    # nation + region sides must broadcast: the fact side never shuffles
+    # for the dimension joins.
+    assert_broadcast_join(df, min_count=2)
+
+
+def test_dictionary_dim_broadcasts(spark):
+    from data_engineering_nd_spark.analytics import q13_dictionary_broadcast_join
+
+    assert_broadcast_join(q13_dictionary_broadcast_join(spark, SF_DIR))
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    li = load(spark, "lineitem", SF_DIR)
+    df = li.filter(F.col("l_shipdate") >= "1995-01-01").select("l_orderkey")
+    pushed = pushed_filters(df)
+    assert any("l_shipdate" in p for p in pushed), pushed
+
+
+def test_column_pruning_in_projection(spark):
+    li = load(spark, "lineitem", SF_DIR)
+    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
+    cols = set(scan_read_schema(df, table_hint="lineitem"))
+    # scan must read exactly the two referenced columns, not all 16
+    assert cols == {"l_returnflag", "l_quantity"}, cols
+
+
+def test_global_topk_avoids_full_sort(spark):
+    from data_engineering_nd_spark.analytics import q19_top_parts_by_revenue
+
+    # orderBy().limit() must plan as TakeOrderedAndProject: each partition
+    # keeps k rows, the driver merges — never a cluster-wide sort.
+    assert_operator(q19_top_parts_by_revenue(spark, SF_DIR), "TakeOrderedAndProject")
+
+
+def test_analytics_hot_paths_have_no_rowwise_python(spark):
+    from data_engineering_nd_spark import analytics
+
+    for q in (
+        analytics.q01_pricing_summary,
+        analytics.q06_top_customers_per_nation,
+        analytics.q16_sessionize,
+    ):
+        assert_no_python_udf_in(q(spark, SF_DIR))
+
+
+def test_exact_dedup_shuffles_key_not_payload(spark):
+    from data_engineering_nd_spark.operators.dedup import dedup_exact_groups_query
+
+    df = dedup_exact_groups_query(spark, SF_DIR)
+    # hash-aggregate shape: partial agg before the exchange (map-side
+    # combine), never a raw row shuffle of the documents payload.
+    assert_operator(df, "HashAggregate")
+    assert_no_python_udf_in(df)
