@@ -767,3 +767,174 @@ def q21_sql_api_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame
         GROUP BY r.r_name
         """
     )
+
+
+# --------------------------------------------------------------------------
+# q22-q24 — the window-frame surface (SURVEY §2.5: the reference has NO
+# window functions; rank lives in q06. These add running frames, moving
+# frames, and lag/lead — the analytic trio every warehouse query layer
+# needs). All shuffle once on the partition key; frames evaluate inside
+# the sorted partition with no extra exchange.
+# --------------------------------------------------------------------------
+@query(
+    "q22_running_total",
+    oracle="""
+    WITH monthly AS (
+        SELECT
+            date_trunc('month', o_orderdate) AS order_month,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS month_revenue
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT
+        CAST(order_month AS TIMESTAMP) AS order_month,
+        month_revenue,
+        round(SUM(month_revenue) OVER (
+            ORDER BY order_month
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ), 4) AS running_revenue
+    FROM monthly
+    """,
+)
+def q22_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    monthly = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
+        .agg(dsum(F.col("o_totalprice")).alias("month_revenue"))
+    )
+    w = Window.orderBy("order_month").rowsBetween(Window.unboundedPreceding, 0)
+    return monthly.select(
+        F.col("order_month").cast("timestamp_ntz").alias("order_month"),
+        "month_revenue",
+        F.round(F.sum("month_revenue").over(w), 4).alias("running_revenue"),
+    )
+
+
+@query(
+    "q23_moving_average",
+    oracle="""
+    WITH monthly AS (
+        SELECT
+            n.n_name,
+            date_trunc('month', o.o_orderdate) AS order_month,
+            CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS month_revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    )
+    SELECT
+        n_name,
+        CAST(order_month AS TIMESTAMP) AS order_month,
+        round(AVG(month_revenue) OVER (
+            PARTITION BY n_name ORDER BY order_month
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+        ), 4) AS revenue_ma3
+    FROM monthly
+    """,
+)
+def q23_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    c = load(spark, "customer", sf_dir)
+    n = load(spark, "nation", sf_dir)
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.date_trunc("month", "o_orderdate").alias("order_month"))
+        .agg(dsum(F.col("o_totalprice")).alias("month_revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy("order_month").rowsBetween(-2, 0)
+    return monthly.select(
+        "n_name",
+        F.col("order_month").cast("timestamp_ntz").alias("order_month"),
+        F.round(F.avg("month_revenue").over(w), 4).alias("revenue_ma3"),
+    )
+
+
+@query(
+    "q24_order_gap_days",
+    oracle="""
+    WITH gaps AS (
+        SELECT
+            o_custkey,
+            o_orderdate,
+            date_diff('day',
+                lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                o_orderdate
+            ) AS gap_days
+        FROM orders
+    )
+    SELECT
+        o_custkey,
+        CAST(COUNT(gap_days) AS BIGINT) AS n_gaps,
+        CAST(AVG(CAST(gap_days AS DECIMAL(18,4))) AS DOUBLE) AS avg_gap_days,
+        MAX(gap_days) AS max_gap_days
+    FROM gaps
+    GROUP BY o_custkey
+    HAVING COUNT(gap_days) > 0
+    """,
+)
+def q24_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias("gap_days"),
+    )
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count("gap_days").alias("n_gaps"),
+            (
+                F.sum(F.col("gap_days").cast("decimal(18,4)")).cast("double")
+                / F.count("gap_days").cast("double")
+            ).alias("avg_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
+        )
+        .filter(F.col("n_gaps") > 0)
+    )
+
+
+# --------------------------------------------------------------------------
+# q25 — hierarchical rollup (region -> nation -> total) in one pass.
+# Spark expands grouping sets map-side; one shuffle serves all three
+# levels — vs running three separate aggregations.
+# --------------------------------------------------------------------------
+@query(
+    "q25_rollup_revenue",
+    oracle="""
+    SELECT
+        COALESCE(r.r_name, '__ALL__') AS region_name,
+        CASE WHEN GROUPING(n.n_name) = 1 THEN '__ALL__' ELSE n.n_name END AS nation_name,
+        CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def q25_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    c = load(spark, "customer", sf_dir)
+    n = load(spark, "nation", sf_dir)
+    r = load(spark, "region", sf_dir)
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            dsum(F.col("o_totalprice")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("__ALL__")).alias("region_name"),
+            F.coalesce("n_name", F.lit("__ALL__")).alias("nation_name"),
+            "revenue",
+            "n_orders",
+        )
+    )

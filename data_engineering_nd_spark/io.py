@@ -77,24 +77,31 @@ def write(
     partition_keys: tuple[str, ...] = (),
     **options: str,
 ) -> WriteResult:
-    """Partitioned/unpartitioned write, overwrite or append (S9/S10)."""
-    writer = df.write.format(fmt).mode(mode).options(**options)
+    """Partitioned/unpartitioned write, overwrite or append (S9/S10).
+
+    The audit row count rides on the write job itself via ``observe`` —
+    the reference instead runs count() before every write (etl.py:528),
+    a full extra scan per table."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+    writer = observed.write.format(fmt).mode(mode).options(**options)
     if fmt == "csv":
         writer = writer.option("header", "true")
     if partition_keys:
         writer = writer.partitionBy(*partition_keys)
     writer.save(path)
-    rows = _last_write_rows(df.sparkSession)
+    try:
+        rows = int(obs.get["rows"])
+    except Exception:
+        rows = None  # observation unavailable -> count is advisory only
     return WriteResult(path, fmt, mode, tuple(partition_keys), rows)
 
 
-def _last_write_rows(spark: SparkSession) -> int | None:
-    """Row count of the just-finished write from the commit protocol metrics
-    (numOutputRows), avoiding the reference's count()-before-write extra
-    scan. Returns None when the listener data isn't reachable."""
-    try:
-        status = spark.sparkContext.statusTracker()
-        _ = status  # metrics API not uniformly exposed in local mode
-        return None
-    except Exception:
-        return None
+def empty_frame(spark: SparkSession, schema) -> DataFrame:
+    """Empty-relation source (S7: the reference's createDataFrame([], R([]))
+    sentinel, etl.py:795-796) — with a REAL declared schema, so downstream
+    unions/joins resolve instead of failing on a zero-column frame."""
+    return spark.createDataFrame([], schema)

@@ -205,6 +205,9 @@ def test_pipeline_end_to_end(spark, raw, tmp_path):
     trips = spark.read.parquet(res.tables["i94_trips"].path)
     assert trips.count() == 2
     assert set(trips.columns) >= {"trip_id", "i94_year", "i94_month"}
+    # audit row counts came from the write job's observation — no extra
+    # count() scan (the reference's double execution, etl.py:528)
+    assert res.tables["i94_trips"].rows == 2
     # append mode doubles rows
     pipeline.run(spark, [raw_path], out, mode="append")
     assert spark.read.parquet(res.tables["i94_trips"].path).count() == 4
