@@ -44,6 +44,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def load_all_modules() -> None:
     """Import every module that registers queries (idempotent)."""
     import data_engineering_nd_spark.analytics  # noqa: F401
+    import data_engineering_nd_spark.i94_parity  # noqa: F401
     import data_engineering_nd_spark.operators.dedup  # noqa: F401
     import data_engineering_nd_spark.operators.multimodal  # noqa: F401
     import data_engineering_nd_spark.operators.quality  # noqa: F401
