@@ -158,3 +158,43 @@ def stream_enriched_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = spark.createDataFrame(_EVENT_CATEGORIES, ["event_type", "category"])
     ev = read_events_stream(spark, sf_dir)
     return _run(enriched_counts(ev, dim), "stream_enriched_counts_sink", spark)
+
+
+@query(
+    "stream_user_lifetime_stats",
+    oracle="""
+    SELECT
+        user_id,
+        COUNT(*) AS n_events,
+        round(SUM(value), 4) AS total_value,
+        MIN(CAST(ts AS TIMESTAMP)) AS first_seen,
+        MAX(CAST(ts AS TIMESTAMP)) AS last_seen
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_user_lifetime_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) driven as a real
+    stream; one availableNow batch makes it equal the batch groupBy, which
+    the oracle checks value-for-value."""
+    from data_engineering_nd_spark.streaming.stateful import user_lifetime_stats
+
+    ev = read_events_stream(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    stats = user_lifetime_stats(ev).select(
+        "user_id",
+        "n_events",
+        F.round("total_value", 4).alias("total_value"),
+        F.col("first_seen").cast("timestamp_ntz").alias("first_seen"),
+        F.col("last_seen").cast("timestamp_ntz").alias("last_seen"),
+    )
+    sink = (
+        stats.writeStream.format("memory")
+        .queryName("stream_user_lifetime_stats_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sink.awaitTermination()
+    return spark.table("stream_user_lifetime_stats_sink")

@@ -93,3 +93,47 @@ def test_driver_stream_queries_match_batch(spark):
     )
     assert streamed.count() == batch.count()
     assert streamed.groupBy().sum("n_events").collect()[0][0] == ev.count()
+
+
+def test_stateful_operator_accumulates_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-user state across micro-batches:
+    two files -> two batches (maxFilesPerTrigger=1); the final update per
+    user must reflect BOTH batches."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from data_engineering_nd_spark.streaming.stateful import user_lifetime_stats
+
+    d = str(tmp_path / "ev")
+    b1 = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 10.0), (2, "2024-01-01 10:05:00", 5.0)],
+        ["user_id", "ts", "value"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b2 = spark.createDataFrame(
+        [(1, "2024-01-01 11:00:00", 7.0)], ["user_id", "ts", "value"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b1.coalesce(1).write.parquet(d + "/f1")
+    b2.coalesce(1).write.parquet(d + "/f2")
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    q = (
+        user_lifetime_stats(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_test_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("SELECT * FROM stateful_test_sink").toPandas()
+    # one update row per (user, batch-it-appeared-in); the LAST row per user
+    # carries the accumulated lifetime profile
+    last = out.sort_values(["user_id", "n_events"]).groupby("user_id").last()
+    assert int(last.loc[1, "n_events"]) == 2
+    assert abs(float(last.loc[1, "total_value"]) - 17.0) < 1e-9
+    assert int(last.loc[2, "n_events"]) == 1
+    assert pd.Timestamp(last.loc[1, "first_seen"]).hour == 10
+    assert pd.Timestamp(last.loc[1, "last_seen"]).hour == 11
