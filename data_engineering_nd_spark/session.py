@@ -54,7 +54,7 @@ def get_spark(
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

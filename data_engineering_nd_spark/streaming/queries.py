@@ -50,9 +50,31 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+class _few_state_partitions:
+    """Temporarily clamp shuffle partitions while a stream starts.
+
+    The number of state-store instances is fixed at stream start from
+    spark.sql.shuffle.partitions; these testdata streams carry at most a
+    few thousand keys, so 32 stores are pure checkpoint overhead (~4x
+    wall-clock on the stateful query). At production scale you size this
+    to key cardinality instead — the conf is restored on exit either way.
+    """
+
+    def __init__(self, spark: SparkSession, n: int = 8):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.saved = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.saved)
+
+
 def _run(df: DataFrame, name: str, spark: SparkSession) -> DataFrame:
-    q = run_stream_to_memory(df, name)
-    q.awaitTermination()
+    with _few_state_partitions(spark):
+        q = run_stream_to_memory(df, name)
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -189,12 +211,13 @@ def stream_user_lifetime_stats_query(spark: SparkSession, sf_dir: str) -> DataFr
         F.col("first_seen").cast("timestamp_ntz").alias("first_seen"),
         F.col("last_seen").cast("timestamp_ntz").alias("last_seen"),
     )
-    sink = (
-        stats.writeStream.format("memory")
-        .queryName("stream_user_lifetime_stats_sink")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    sink.awaitTermination()
+    with _few_state_partitions(spark):
+        sink = (
+            stats.writeStream.format("memory")
+            .queryName("stream_user_lifetime_stats_sink")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        sink.awaitTermination()
     return spark.table("stream_user_lifetime_stats_sink")
