@@ -77,3 +77,22 @@ def test_exact_dedup_shuffles_key_not_payload(spark):
     # combine), never a raw row shuffle of the documents payload.
     assert_operator(df, "HashAggregate")
     assert_no_python_udf_in(df)
+
+
+def test_partition_pruning_on_hive_layout(spark, tmp_path):
+    """Reads of the partitioned warehouse layout (the reference's
+    i94_year/i94_month scheme) must prune partitions at the scan."""
+    import re
+
+    from data_engineering_nd_spark import io
+    from data_engineering_nd_spark.plans.inspect import physical_plan
+
+    li = load(spark, "lineitem", SF_DIR).withColumn(
+        "ship_year", F.year(F.to_date("l_shipdate"))
+    )
+    out = str(tmp_path / "part")
+    io.write(li, out, partition_keys=("ship_year",))
+    back = spark.read.parquet(out).filter(F.col("ship_year") == 1995)
+    plan = physical_plan(back)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "ship_year" in m.group(1), plan
