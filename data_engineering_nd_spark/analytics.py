@@ -938,3 +938,78 @@ def q25_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q27 — exact percentiles (interpolated): Spark `percentile` and DuckDB
+# `quantile_cont` share linear-interpolation semantics, so this is
+# value-checkable. Exact percentile sorts within each group — for the
+# 100 TB path use percentile_approx (q28), which is a mergeable sketch.
+# --------------------------------------------------------------------------
+@query(
+    "q27_price_percentiles",
+    oracle="""
+    SELECT
+        l_returnflag,
+        round(quantile_cont(l_extendedprice, 0.50), 4) AS price_p50,
+        round(quantile_cont(l_extendedprice, 0.95), 4) AS price_p95,
+        round(quantile_cont(l_extendedprice, 0.99), 4) AS price_p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q27_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("price_p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("price_p95"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("price_p99"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q28 — approximate aggregates: HLL++ distinct counts and KLL-style quantile
+# sketches. These are THE scale path (mergeable, bounded-memory, one pass) —
+# but their values are algorithm-specific, so DuckDB's approximations don't
+# hash-match and the driver records a rows-only check; the accuracy bound
+# vs the exact answer is asserted in tests/test_entry-adjacent pytest.
+# --------------------------------------------------------------------------
+@query("q28_approx_aggregates")
+def q28_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q29 — JSON column extraction via from_json (schema-on-read over the
+# events.props payload; the reference has no JSON surface at all). Catalyst
+# prunes the parsed struct to the single referenced field.
+# --------------------------------------------------------------------------
+@query(
+    "q29_json_extraction",
+    oracle="""
+    SELECT
+        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 90
+    GROUP BY k
+    """,
+)
+def q29_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    k = F.from_json("props", "k INT").getField("k")
+    return (
+        ev.select(k.alias("k"), "value")
+        .filter(F.col("k") >= 90)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+    )

@@ -35,3 +35,29 @@ def test_query_runs(spark, name):
     # every query must produce a stable schema and execute; most return rows
     assert df.columns
     df.count()
+
+
+def test_approx_aggregates_within_bounds(spark):
+    """q28's sketches must track the exact answers (HLL++ rsd=1%,
+    percentile_approx accuracy=10000)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_nd_spark.analytics import q28_approx_aggregates
+    from data_engineering_nd_spark.catalog import load
+
+    sf = "/root/testdata/sf0.01"
+    approx = {r.l_returnflag: r for r in q28_approx_aggregates(spark, sf).collect()}
+    exact = {
+        r.l_returnflag: r
+        for r in load(spark, "lineitem", sf)
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("orders"),
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+        )
+        .collect()
+    }
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a.approx_orders - e.orders) / e.orders < 0.05
+        assert abs(a.approx_p50 - e.p50) / e.p50 < 0.02
