@@ -476,3 +476,97 @@ def dedup_embedding_cosine_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (max intra-cell cosine ~0.47); production near-dup removal uses ~0.9+.
     emb = load(spark, "embeddings", sf_dir)
     return embedding_cosine_pairs(emb, threshold=0.35)
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Near-duplicate pair list -> cluster assignment (connected components
+    by iterative min-label propagation): every doc gets cluster_id = the
+    smallest doc id reachable through the pair graph, so "keep one per
+    cluster" is a deterministic filter (id == cluster_id).
+
+    Each iteration is one join + one min-aggregate; localCheckpoint cuts
+    the lineage so plan size stays constant across iterations. Iterations
+    needed = graph diameter, and near-dup clusters are shallow (dup chains,
+    not long paths). At web scale you'd switch to the large-star/small-star
+    algorithm (Kiveris et al. 2014) — same Spark primitives, fewer rounds;
+    the loop shape here is identical.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = fwd.union(rev).distinct().localCheckpoint()
+    labels = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("id"), F.col("src").alias("comp"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        e, l = edges.alias("e"), labels.alias("l")
+        neigh = e.join(l, F.col("e.dst") == F.col("l.id")).select(
+            F.col("e.src").alias("id"), F.col("l.comp").alias("comp")
+        )
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        n, o = new_labels.alias("n"), labels.alias("o")
+        changed = (
+            n.join(o, F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.comp") < F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+
+
+@query(
+    "dedup_cluster_assignment",
+    oracle=r"""
+    WITH RECURSIVE
+    sets AS (
+        SELECT doc_id AS id,
+               lang AS block,
+               list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+        FROM documents
+        WHERE doc_id < 200
+    ),
+    pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM sets a
+        JOIN sets b ON a.block = b.block AND a.id < b.id
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+    )
+    SELECT id AS doc_id, MIN(r) AS cluster_id
+    FROM reach
+    GROUP BY id
+    """,
+)
+def dedup_cluster_assignment_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure over the jaccard-0.5 pair graph (same pair
+    source as dedup_jaccard_pairs)."""
+    docs = load(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    pairs = jaccard_pairs(docs, "doc_id", "text", "lang", threshold=0.5)
+    return dedup_clusters(pairs)

@@ -113,3 +113,15 @@ def test_embedding_cosine_blocked_matches_allpairs(spark):
     assert set(blocked) <= set(allpairs)
     for k in blocked:
         assert abs(blocked[k] - allpairs[k]) < 1e-9
+
+
+def test_dedup_clusters_transitive_closure(spark):
+    from data_engineering_nd_spark.operators.dedup import dedup_clusters
+
+    # chain 1-2-3 plus isolated pair (10, 11): transitivity must pull 3
+    # into cluster 1 even though (1,3) is not a pair.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
