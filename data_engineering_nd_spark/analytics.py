@@ -1013,3 +1013,58 @@ def q29_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("value")).alias("total_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q30 — multi-granularity time rollup over the event stream (hypertable-
+# style continuous-aggregate shape): day and hour levels from ONE shuffle
+# via grouping sets.
+# --------------------------------------------------------------------------
+@query(
+    "q30_time_rollup",
+    oracle="""
+    WITH ev AS (
+        SELECT event_type,
+               time_bucket(INTERVAL '1 day',  CAST(ts AS TIMESTAMP)) AS day_bucket,
+               time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS hour_bucket,
+               value
+        FROM events
+    )
+    SELECT
+        event_type,
+        CASE WHEN GROUPING(hour_bucket) = 1 THEN 'day' ELSE 'hour' END AS grain,
+        COALESCE(hour_bucket, day_bucket) AS bucket,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM ev
+    GROUP BY GROUPING SETS ((event_type, day_bucket), (event_type, day_bucket, hour_bucket))
+    """,
+)
+def q30_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir).select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day_bucket"),
+        F.date_trunc("hour", "ts").alias("hour_bucket"),
+        "value",
+    )
+    return (
+        ev.groupingSets(
+            [["event_type", "day_bucket"], ["event_type", "day_bucket", "hour_bucket"]],
+            "event_type", "day_bucket", "hour_bucket",
+        )
+        .agg(
+            # grouping() only resolves inside the aggregate itself
+            F.when(F.grouping("hour_bucket") == 1, F.lit("day"))
+            .otherwise(F.lit("hour"))
+            .alias("grain"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            "event_type",
+            "grain",
+            F.coalesce("hour_bucket", "day_bucket").alias("bucket"),
+            "n_events",
+            "total_value",
+        )
+    )
