@@ -1068,3 +1068,113 @@ def q30_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q31 — set operations (the surface the reference never uses, SURVEY §2.7):
+# EXCEPT/INTERSECT as hash-based left-anti/semi under Catalyst.
+# --------------------------------------------------------------------------
+@query(
+    "q31_set_operations",
+    oracle="""
+    WITH active AS (
+        SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    ),
+    finished AS (
+        SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT 'only_open' AS segment, COUNT(*) AS n FROM (
+        SELECT custkey FROM active EXCEPT SELECT custkey FROM finished
+    )
+    UNION ALL
+    SELECT 'both' AS segment, COUNT(*) AS n FROM (
+        SELECT custkey FROM active INTERSECT SELECT custkey FROM finished
+    )
+    """,
+)
+def q31_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    active = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    ).distinct()
+    finished = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    ).distinct()
+    only_open = active.exceptAll(finished).agg(
+        F.lit("only_open").alias("segment"), F.count(F.lit(1)).alias("n")
+    )
+    both = active.intersect(finished).agg(
+        F.lit("both").alias("segment"), F.count(F.lit(1)).alias("n")
+    )
+    return only_open.unionByName(both)
+
+
+# --------------------------------------------------------------------------
+# q32 — pivot (long -> wide): per-nation order counts by priority. Spark
+# pivot with an EXPLICIT value list stays a single pass (no extra distinct
+# job to discover columns — required practice at scale).
+# --------------------------------------------------------------------------
+@query(
+    "q32_pivot_priority",
+    oracle="""
+    SELECT
+        n.n_name,
+        COUNT(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 END) AS urgent,
+        COUNT(CASE WHEN o.o_orderpriority = '2-HIGH' THEN 1 END) AS high,
+        COUNT(CASE WHEN o.o_orderpriority = '3-MEDIUM' THEN 1 END) AS medium
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q32_pivot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    c = load(spark, "customer", sf_dir)
+    n = load(spark, "nation", sf_dir)
+    joined = o.join(c, o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    return (
+        joined.groupBy("n_name")
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM"])
+        .agg(F.count(F.lit(1)))
+        .withColumnsRenamed(
+            {"1-URGENT": "urgent", "2-HIGH": "high", "3-MEDIUM": "medium"}
+        )
+        # pivot emits NULL for empty cells; the CASE-count oracle emits 0
+        .na.fill(0, ["urgent", "high", "medium"])
+    )
+
+
+# --------------------------------------------------------------------------
+# q33 — explode / lateral flatten: tokenize document text and rank words.
+# One narrow explode feeding a hash aggregate — the generate node must not
+# force the full text column through the shuffle (only the token does).
+# --------------------------------------------------------------------------
+@query(
+    "q33_top_tokens",
+    oracle=r"""
+    SELECT tok, COUNT(*) AS n
+    FROM (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        FROM documents
+    )
+    WHERE tok <> ''
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 25
+    """,
+)
+def q33_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_nd_spark.functions.text import tokens
+
+    docs = load(spark, "documents", sf_dir)
+    return (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(25)
+    )
