@@ -90,3 +90,15 @@ def register_temp_views(spark: SparkSession, base_dir: str | None = None) -> Non
     so every registered table is addressable from spark.sql."""
     for name, df in load_all(spark, base_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Repartition up to cluster parallelism when a scan arrived as fewer
+    splits (small/single-file tables), so CPU-heavy downstream kernels
+    (tokenization, shingling, hashing) use every core instead of one task.
+    The shuffle moves only the small input once; at real scale inputs have
+    >= cluster-parallelism splits and this is a no-op."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

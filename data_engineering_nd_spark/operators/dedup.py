@@ -360,13 +360,19 @@ def dedup_jaccard_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_minhash_lsh")  # xxhash64-based: not SQL-expressible -> rows-only check
 def dedup_minhash_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, "documents", sf_dir)
+    from data_engineering_nd_spark.catalog import ensure_parallelism
+
+    # single-file testdata arrives as 1 split; fan the CPU-heavy shingle
+    # kernel out across cores before hashing
+    docs = ensure_parallelism(load(spark, "documents", sf_dir))
     return minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.7)
 
 
 @query("dedup_simhash")  # xxhash64-based: not SQL-expressible -> rows-only check
 def dedup_simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, "documents", sf_dir)
+    from data_engineering_nd_spark.catalog import ensure_parallelism
+
+    docs = ensure_parallelism(load(spark, "documents", sf_dir))
     return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
