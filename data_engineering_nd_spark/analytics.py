@@ -1178,3 +1178,56 @@ def q33_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "tok")
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# q34 — vectorized scalar pandas_udf (the Arrow-batched UDF tier between
+# native expressions and row-wise Python; SURVEY §2.9 notes the reference
+# has none). The sigmoid is computed on whole numpy arrays per batch.
+# --------------------------------------------------------------------------
+@query(
+    "q34_pandas_udf_score",
+    oracle="""
+    SELECT
+        doc_id,
+        round(1.0 / (1.0 + exp(-(n_chars / 1000.0))), 6) AS length_score
+    FROM documents
+    """,
+)
+def q34_pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_nd_spark.functions.vectorized import sigmoid_length_score
+
+    docs = load(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id", F.round(sigmoid_length_score("n_chars"), 6).alias("length_score")
+    )
+
+
+# --------------------------------------------------------------------------
+# q35 — Python UDTF (table function): one input row -> N output rows with
+# per-row Python logic, applied laterally. Oracle = generate_series.
+# --------------------------------------------------------------------------
+@query(
+    "q35_udtf_expand",
+    oracle="""
+    SELECT r_regionkey, unnest(range(0, r_regionkey + 1)) AS i
+    FROM region
+    """,
+)
+def q35_udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="r_regionkey int, i int")
+    class RangeExpand:
+        def eval(self, k: int):
+            for i in range(k + 1):
+                yield (k, i)
+
+    spark.udtf.register("range_expand", RangeExpand)
+    load(spark, "region", sf_dir).createOrReplaceTempView("v_region_udtf")
+    return spark.sql(
+        """
+        SELECT f.r_regionkey, f.i
+        FROM v_region_udtf r, LATERAL range_expand(r.r_regionkey) AS f
+        """
+    )

@@ -274,3 +274,178 @@ def i94_dates_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transforms.i94_dates(trips).withColumn(
         "arrival_date", F.col("arrival_date").cast("timestamp_ntz")
     )
+
+
+def synth_airport_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier -> airport-codes-shaped CSV frame (all-string columns, like
+    the reference's header-only CSV read). Coordinates are assembled from
+    integer text so Spark and DuckDB produce byte-identical strings."""
+    s = load(spark, "supplier", sf_dir)
+    k = F.col("s_suppkey")
+    return s.select(
+        F.concat(F.lit("AP"), k.cast("string")).alias("ident"),
+        F.when(k % 3 == 0, F.lit("small_airport"))
+        .when(k % 3 == 1, F.lit("heliport"))
+        .otherwise(F.lit("closed"))
+        .alias("type"),
+        F.col("s_name").alias("name"),
+        (k % 5000).cast("string").alias("elevation_ft"),
+        F.lit("NA").alias("continent"),
+        F.when(k % 4 == 0, F.lit("US")).otherwise(F.lit("MX")).alias("iso_country"),
+        F.when(k % 4 == 0, F.concat(F.lit("US-S"), (k % 45).cast("string")))
+        .otherwise(F.concat(F.lit("MX-S"), (k % 30).cast("string")))
+        .alias("iso_region"),
+        F.concat(F.lit("CITY"), (k % 100).cast("string")).alias("municipality"),
+        F.concat(F.lit("G"), k.cast("string")).alias("gps_code"),
+        F.when(k % 2 == 0, F.concat(F.lit("I"), (k % 900).cast("string")))
+        .otherwise(F.lit(None))
+        .alias("iata_code"),
+        F.concat(F.lit("L"), k.cast("string")).alias("local_code"),
+        F.concat(
+            ((k % 180) - 90).cast("string"),
+            F.lit(".5, "),
+            ((k % 360) - 180).cast("string"),
+            F.lit(".25"),
+        ).alias("coordinates"),
+    )
+
+
+_AIRPORT_RAW_CTE = """
+    raw AS (
+        SELECT
+            'AP' || CAST(s_suppkey AS VARCHAR) AS ident,
+            CASE WHEN s_suppkey % 3 = 0 THEN 'small_airport'
+                 WHEN s_suppkey % 3 = 1 THEN 'heliport'
+                 ELSE 'closed' END AS type,
+            s_name AS name,
+            CAST(s_suppkey % 5000 AS VARCHAR) AS elevation_ft,
+            'NA' AS continent,
+            CASE WHEN s_suppkey % 4 = 0 THEN 'US' ELSE 'MX' END AS iso_country,
+            CASE WHEN s_suppkey % 4 = 0 THEN 'US-S' || CAST(s_suppkey % 45 AS VARCHAR)
+                 ELSE 'MX-S' || CAST(s_suppkey % 30 AS VARCHAR) END AS iso_region,
+            'CITY' || CAST(s_suppkey % 100 AS VARCHAR) AS municipality,
+            'G' || CAST(s_suppkey AS VARCHAR) AS gps_code,
+            CASE WHEN s_suppkey % 2 = 0 THEN 'I' || CAST(s_suppkey % 900 AS VARCHAR)
+                 ELSE NULL END AS iata_code,
+            'L' || CAST(s_suppkey AS VARCHAR) AS local_code,
+            CAST((s_suppkey % 180) - 90 AS VARCHAR) || '.5, '
+                || CAST((s_suppkey % 360) - 180 AS VARCHAR) || '.25' AS coordinates
+        FROM supplier
+    )
+"""
+
+
+@query(
+    "i94_airports_build",
+    oracle=f"""
+    WITH {_AIRPORT_RAW_CTE}
+    SELECT DISTINCT
+        ident AS airport_id,
+        type AS airport_type,
+        name AS airport_name,
+        elevation_ft,
+        continent,
+        iso_country,
+        iso_region,
+        CASE WHEN iso_region LIKE 'US-%' THEN string_split(iso_region, '-')[2]
+             ELSE NULL END AS us_state,
+        municipality,
+        gps_code,
+        iata_code,
+        local_code,
+        CAST(string_split(coordinates, ',')[1] AS DOUBLE) AS latitude,
+        CAST(string_split(coordinates, ',')[2] AS DOUBLE) AS longitude
+    FROM raw
+    """,
+)
+def i94_airports_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transforms.i94_airports(synth_airport_codes(spark, sf_dir))
+
+
+def synth_demographics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer -> us-cities-demographics-shaped frame, INCLUDING the
+    reference CSV's spaced column names (exercises the backtick-identifier
+    path F8 end-to-end). State-level values derive from the state key alone
+    so the states builder's DISTINCT collapses city rows, like the real
+    file; city/race rows vary per customer."""
+    c = load(spark, "customer", sf_dir)
+    k = F.col("c_custkey")
+    st = F.col("c_nationkey") % 40
+    return c.select(
+        F.concat(F.lit("City"), (k % 60).cast("string")).alias("City"),
+        F.concat(F.lit("State"), st.cast("string")).alias("State"),
+        F.concat(((st % 30) + 20).cast("string"), F.lit(".5")).alias("Median Age"),
+        ((st * 13791) % 500000).cast("string").alias("Male Population"),
+        ((st * 17231) % 500000).cast("string").alias("Female Population"),
+        ((st * 731) % 50000).cast("string").alias("Number of Veterans"),
+        ((st * 977) % 100000).cast("string").alias("Foreign-born"),
+        F.concat(F.lit("2."), ((st % 9) + 1).cast("string")).alias(
+            "Average Household Size"
+        ),
+        F.concat(F.lit("S"), st.cast("string")).alias("State Code"),
+        F.when(k % 5 == 0, F.lit("Asian"))
+        .when(k % 5 == 1, F.lit("White"))
+        .when(k % 5 == 2, F.lit("Black or African-American"))
+        .when(k % 5 == 3, F.lit("Hispanic or Latino"))
+        .otherwise(F.lit("American Indian and Alaska Native"))
+        .alias("Race"),
+        ((k * 37) % 90000).cast("string").alias("Count"),
+    )
+
+
+_DEMO_RAW_CTE = """
+    raw AS (
+        SELECT
+            'City' || CAST(c_custkey % 60 AS VARCHAR) AS "City",
+            'State' || CAST(c_nationkey % 40 AS VARCHAR) AS "State",
+            CAST(((c_nationkey % 40) % 30) + 20 AS VARCHAR) || '.5' AS "Median Age",
+            CAST(((c_nationkey % 40) * 13791) % 500000 AS VARCHAR) AS "Male Population",
+            CAST(((c_nationkey % 40) * 17231) % 500000 AS VARCHAR) AS "Female Population",
+            CAST(((c_nationkey % 40) * 731) % 50000 AS VARCHAR) AS "Number of Veterans",
+            CAST(((c_nationkey % 40) * 977) % 100000 AS VARCHAR) AS "Foreign-born",
+            '2.' || CAST(((c_nationkey % 40) % 9) + 1 AS VARCHAR) AS "Average Household Size",
+            'S' || CAST(c_nationkey % 40 AS VARCHAR) AS "State Code",
+            CASE WHEN c_custkey % 5 = 0 THEN 'Asian'
+                 WHEN c_custkey % 5 = 1 THEN 'White'
+                 WHEN c_custkey % 5 = 2 THEN 'Black or African-American'
+                 WHEN c_custkey % 5 = 3 THEN 'Hispanic or Latino'
+                 ELSE 'American Indian and Alaska Native' END AS "Race",
+            CAST((c_custkey * 37) % 90000 AS VARCHAR) AS "Count"
+        FROM customer
+    )
+"""
+
+
+@query(
+    "i94_states_demographic_build",
+    oracle=f"""
+    WITH {_DEMO_RAW_CTE}
+    SELECT DISTINCT
+        "State" AS state,
+        CAST("Median Age" AS DOUBLE) AS median_age,
+        CAST("Male Population" AS INTEGER) AS male_population,
+        CAST("Female Population" AS INTEGER) AS female_population,
+        CAST("Number of Veterans" AS INTEGER) AS num_veterans,
+        CAST("Foreign-born" AS INTEGER) AS num_foreign_born,
+        CAST("Average Household Size" AS DOUBLE) AS avg_household_size,
+        "State Code" AS state_code
+    FROM raw
+    """,
+)
+def i94_states_demographic_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transforms.i94_us_states_demographic(synth_demographics(spark, sf_dir))
+
+
+@query(
+    "i94_cities_demographic_build",
+    oracle=f"""
+    WITH {_DEMO_RAW_CTE}
+    SELECT
+        upper("City") AS city,
+        "Race" AS race,
+        CAST("Count" AS INTEGER) AS population
+    FROM raw
+    """,
+)
+def i94_cities_demographic_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transforms.i94_us_cities_demographic(synth_demographics(spark, sf_dir))
