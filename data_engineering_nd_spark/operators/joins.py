@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from data_engineering_nd_spark.catalog import load
 from data_engineering_nd_spark.registry import query
@@ -88,3 +89,172 @@ def q26_salted_skew_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal the plain groupBy."""
     ev = load(spark, "events", sf_dir)
     return salted_group_count(ev, "event_type")
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+    how: str = "left",
+) -> DataFrame:
+    """As-of join: each probe row gets the build row with the greatest
+    build.ts <= probe.ts for its key (the time-series enrichment join Spark
+    lacks natively; DuckDB/kdb call it ASOF JOIN).
+
+    Implementation is a union + last-value carry-forward window, NOT a
+    range self-join: tag build rows seq=0 and probe rows seq=1, sort each
+    key's timeline once, and carry the last non-null build value forward.
+    One shuffle on the key, O(n log n) per key for the sort, no quadratic
+    candidate space — at 100 TB this is the only shape that survives
+    (a theta-join on ts <= ts would plan as a broadcast-nested-loop).
+    Ties (build.ts == probe.ts) resolve build-first, matching DuckDB's
+    ASOF >= semantics.
+    """
+    carried = f"asof_{value_col}"
+    b = build.select(
+        F.col(key).alias("__k"),
+        F.col(ts).alias("__ts"),
+        F.lit(0).alias("__seq"),
+        F.col(value_col).alias(carried),
+        *[F.lit(None).cast(t).alias(c) for c, t in probe.dtypes],
+    )
+    p = probe.select(
+        F.col(key).alias("__k"),
+        F.col(ts).alias("__ts"),
+        F.lit(1).alias("__seq"),
+        F.lit(None).cast(dict(build.dtypes)[value_col]).alias(carried),
+        *[F.col(c) for c in probe.columns],
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__seq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = (
+        b.unionByName(p)
+        .withColumn(carried, F.last(carried, ignorenulls=True).over(w))
+        .filter(F.col("__seq") == 1)
+        .drop("__k", "__ts", "__seq")
+    )
+    if how == "inner":
+        joined = joined.filter(F.col(carried).isNotNull())
+    return joined
+
+
+@query(
+    "q37_asof_join",
+    oracle="""
+    WITH build AS (
+        SELECT user_id, ts, value AS status_value,
+               row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+        FROM events
+        WHERE event_id % 10 = 0
+    ),
+    b AS (SELECT user_id, ts, status_value FROM build WHERE rn = 1)
+    SELECT
+        e.event_id,
+        e.user_id,
+        CAST(e.ts AS TIMESTAMP) AS ts,
+        round(b.status_value, 4) AS asof_status
+    FROM events e
+    ASOF LEFT JOIN b ON e.user_id = b.user_id AND e.ts >= b.ts
+    """,
+)
+def q37_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich every event with the most recent 'status update' (every 10th
+    event) at or before its timestamp."""
+    ev = load(spark, "events", sf_dir)
+    build = (
+        ev.filter(F.col("event_id") % 10 == 0)
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts").orderBy("event_id")
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "ts", F.col("value").alias("status_value"))
+    )
+    probe = ev.select("event_id", "user_id", "ts")
+    return asof_join(probe, build, "user_id", "ts", "status_value").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        F.round("asof_status_value", 4).alias("asof_status"),
+    )
+
+
+def range_join_bucketed(
+    events: DataFrame,
+    ts_col: str,
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval-containment join (ts in [start, end)) as an EQUI-join.
+
+    The naive formulation is a theta-join, which Spark plans as a (broadcast)
+    nested loop — quadratic scans at scale. Bucketing fixes the shape: each
+    interval explodes into the coarse time buckets it overlaps, each event
+    has exactly one bucket, and the join becomes hash-partitioned equi on
+    the bucket id with an exact residual filter. Work is O(events +
+    intervals x buckets-per-interval); pick bucket_seconds near the typical
+    interval length so that factor stays small.
+    """
+    ev_bucket = (F.unix_timestamp(F.col(ts_col).cast("timestamp")) / bucket_seconds).cast(
+        "long"
+    )
+    s_bucket = (
+        F.unix_timestamp(F.col(start_col).cast("timestamp")) / bucket_seconds
+    ).cast("long")
+    e_bucket = (
+        F.unix_timestamp(F.col(end_col).cast("timestamp")) / bucket_seconds
+    ).cast("long")
+    ev = events.withColumn("__bucket", ev_bucket)
+    iv = intervals.withColumn("__bucket", F.explode(F.sequence(s_bucket, e_bucket)))
+    return ev.join(iv, "__bucket").filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    ).drop("__bucket")
+
+
+@query(
+    "q38_range_join",
+    oracle="""
+    WITH windows AS (
+        SELECT event_id AS window_id,
+               CAST(ts AS TIMESTAMP) AS w_start,
+               CAST(ts AS TIMESTAMP) + INTERVAL '1 hour' AS w_end
+        FROM events
+        WHERE event_id % 500 = 0
+    )
+    SELECT
+        w.window_id,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM windows w
+    JOIN events e
+      ON CAST(e.ts AS TIMESTAMP) >= w.w_start AND CAST(e.ts AS TIMESTAMP) < w.w_end
+    GROUP BY w.window_id
+    """,
+)
+def q38_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count events inside 1-hour observation windows anchored at every
+    500th event — containment expressed as bucketed equi-join."""
+    ev = load(spark, "events", sf_dir)
+    windows = ev.filter(F.col("event_id") % 500 == 0).select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end"),
+    )
+    probe = ev.select("ts", "value")
+    return (
+        range_join_bucketed(probe, "ts", windows, "w_start", "w_end")
+        .groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+    )

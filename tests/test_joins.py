@@ -35,3 +35,48 @@ def test_salts_are_deterministic_across_repartition(spark):
     a = {r.event_type: r.n for r in salted_group_count(ev, "event_type").collect()}
     b = {r.event_type: r.n for r in salted_group_count(ev.repartition(3), "event_type").collect()}
     assert a == b
+
+
+def test_asof_join_semantics(spark):
+    from data_engineering_nd_spark.operators.joins import asof_join
+
+    build = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 15, "x")], ["k", "t", "v"]
+    )
+    probe = spark.createDataFrame(
+        [(101, 1, 5), (102, 1, 10), (103, 1, 19), (104, 1, 25), (105, 2, 14), (106, 3, 50)],
+        ["pid", "k", "t"],
+    )
+    got = {r.pid: r.asof_v for r in asof_join(probe, build, "k", "t", "v").collect()}
+    assert got == {
+        101: None,   # before any build row
+        102: "a",    # tie: build at same ts wins (>= semantics)
+        103: "a",    # most recent at-or-before
+        104: "b",
+        105: None,   # build for key 2 is later
+        106: None,   # key never in build
+    }
+    inner = asof_join(probe, build, "k", "t", "v", how="inner")
+    assert {r.pid for r in inner.collect()} == {102, 103, 104}
+
+
+def test_range_join_bucketed_boundaries(spark):
+    from data_engineering_nd_spark.operators.joins import range_join_bucketed
+
+    iv = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "2024-01-01 12:00:00")], ["wid", "s", "e"]
+    ).selectExpr("wid", "CAST(s AS TIMESTAMP) AS s", "CAST(e AS TIMESTAMP) AS e")
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:59:59"),  # before -> excluded
+            (2, "2024-01-01 10:00:00"),  # at start -> included
+            (3, "2024-01-01 11:30:00"),  # inside, different bucket -> included
+            (4, "2024-01-01 12:00:00"),  # at end -> excluded (half-open)
+        ],
+        ["eid", "t"],
+    ).selectExpr("eid", "CAST(t AS TIMESTAMP) AS t")
+    got = {
+        r.eid
+        for r in range_join_bucketed(ev, "t", iv, "s", "e", bucket_seconds=3600).collect()
+    }
+    assert got == {2, 3}
