@@ -449,3 +449,97 @@ def i94_states_demographic_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def i94_cities_demographic_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transforms.i94_us_cities_demographic(synth_demographics(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# dictionary dims under the gate: a representative labels file (same proc-
+# format shape as I94_SAS_Labels_Descriptions.SAS, incl. duplicate keys and
+# embedded-comma ports) parsed by the real parser; the oracle is the
+# expected VALUES list. Exercises: ';' section split, first-wins dedup,
+# quote stripping, last-comma city/state split.
+# ---------------------------------------------------------------------------
+_LABELS_SAMPLE = """libname library 'path';
+value i94yr 2016 = '2016' ;
+value i94cntyl
+   582 =  'MEXICO Air Sea, and Not Reported (I-94, no land arrivals)'
+   236 =  'AFGHANISTAN'
+   101 =  'ALBANIA'
+   236 =  'DUPLICATE-LOSES'
+;
+value $i94prtl
+   'ALC' = 'ALCAN, AK'
+   'ANC' = 'ANCHORAGE, AK'
+   'GPM' = 'GEN M. ESCOBEDO, Monterrey, MX'
+   'NOL' = 'NO PORT CODE'
+;
+value i94model
+   1 = 'Air'
+   2 = 'Sea'
+   3 = 'Land'
+   9 = 'Not reported'
+;
+value i94addrl
+   'AK' = 'ALASKA'
+   'TX' = 'TEXAS'
+;
+value i94visa
+   1 = 'Business'
+   2 = 'Pleasure'
+   3 = 'Student'
+;"""
+
+
+@query(
+    "i94_dictionary_build",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('countries', '582', 'MEXICO Air Sea, and Not Reported (I-94, no land arrivals)', NULL),
+        ('countries', '236', 'AFGHANISTAN', NULL),
+        ('countries', '101', 'ALBANIA', NULL),
+        ('ports', 'ALC', 'ALCAN', 'AK'),
+        ('ports', 'ANC', 'ANCHORAGE', 'AK'),
+        ('ports', 'GPM', 'GEN M. ESCOBEDO, Monterrey', 'MX'),
+        ('ports', 'NOL', 'NO PORT CODE', NULL),
+        ('mode', '1', 'Air', NULL),
+        ('mode', '2', 'Sea', NULL),
+        ('mode', '3', 'Land', NULL),
+        ('mode', '9', 'Not reported', NULL),
+        ('states', 'AK', 'ALASKA', NULL),
+        ('states', 'TX', 'TEXAS', NULL),
+        ('visa', '1', 'Business', NULL),
+        ('visa', '2', 'Pleasure', NULL),
+        ('visa', '3', 'Student', NULL)
+    ) AS t(dim, key, value, state_code)
+    """,
+)
+def i94_dictionary_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_nd_spark.dictionary import dictionary_frames
+
+    frames = dictionary_frames(spark, _LABELS_SAMPLE)
+    tagged = []
+    for tag, name, key_col, val_col in (
+        ("countries", "i94_countries", "country_id", "country_name"),
+        ("mode", "i94_travel_mode", "mode_id", "mode_name"),
+        ("states", "i94_state_mapping", "state_code", "state_name"),
+        ("visa", "i94_visa", "visa_id", "visa_purpose"),
+    ):
+        tagged.append(
+            frames[name].select(
+                F.lit(tag).alias("dim"),
+                F.col(key_col).alias("key"),
+                F.col(val_col).alias("value"),
+                F.lit(None).cast("string").alias("state_code"),
+            )
+        )
+    tagged.append(
+        frames["i94_port_state_mapping"].select(
+            F.lit("ports").alias("dim"),
+            F.col("i94_port").alias("key"),
+            F.col("city").alias("value"),
+            "state_code",
+        )
+    )
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionByName(t)
+    return out

@@ -104,3 +104,53 @@ def run(
         )
         result.quality[name] = null_audit(landed, cols, table=name)
     return result
+
+
+def _main(argv: list[str] | None = None) -> int:
+    """CLI runner — the reference's `python etl.py --env ...` surface
+    (etl.py:591-607) without the env/bucket indirection: inputs and output
+    are explicit paths, credentials belong to the session environment."""
+    import argparse
+    import json
+    import sys
+
+    from data_engineering_nd_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(prog="python -m data_engineering_nd_spark.pipeline")
+    ap.add_argument("--raw", nargs="+", required=True, help="raw i94 input paths")
+    ap.add_argument("--out", required=True, help="warehouse output directory")
+    ap.add_argument("--raw-fmt", default="parquet")
+    ap.add_argument("--airport-codes", default=None, help="airport-codes csv path")
+    ap.add_argument("--demographics", default=None, help="demographics csv path")
+    ap.add_argument("--mode", default="overwrite", choices=["overwrite", "append"])
+    ap.add_argument("--valid-years", nargs="*", type=int, default=[2016])
+    args = ap.parse_args(argv)
+
+    spark = get_spark(app_name="i94-pipeline")
+    res = run(
+        spark,
+        args.raw,
+        args.out,
+        raw_fmt=args.raw_fmt,
+        airport_codes_path=args.airport_codes,
+        demographics_path=args.demographics,
+        mode=args.mode,
+        valid_years=tuple(args.valid_years),
+    )
+    print(
+        json.dumps(
+            {
+                "ok": res.ok,
+                "tables": {n: r.rows for n, r in res.tables.items()},
+                "quality": {
+                    n: {"ok": q.ok, "null_counts": q.null_counts}
+                    for n, q in res.quality.items()
+                },
+            }
+        )
+    )
+    return 0 if res.ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(_main())

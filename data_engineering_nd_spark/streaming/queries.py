@@ -221,3 +221,60 @@ def stream_user_lifetime_stats_query(spark: SparkSession, sf_dir: str) -> DataFr
         )
         sink.awaitTermination()
     return spark.table("stream_user_lifetime_stats_sink")
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT
+        c.event_id AS click_id,
+        p.event_id AS purchase_id,
+        c.user_id,
+        round(p.value, 4) AS purchase_value
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND p.event_type = 'purchase'
+     AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL '1 hour'
+    """,
+)
+def stream_stream_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition
+    (click -> purchase attribution within 1 hour). Both sides are real
+    streams; watermarks bound the join state on each side, which is what
+    makes this shape viable on an unbounded stream — without them Spark
+    would buffer both streams forever."""
+    clicks = (
+        with_watermark(read_events_stream(spark, sf_dir))
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        with_watermark(read_events_stream(spark, sf_dir))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.round("value", 4).alias("purchase_value"),
+    )
+    return _run(joined, "stream_stream_join_sink", spark)
