@@ -1231,3 +1231,47 @@ def q35_udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v_region_udtf r, LATERAL range_expand(r.r_regionkey) AS f
         """
     )
+
+
+# --------------------------------------------------------------------------
+# q39 — array aggregation (collect_set) made deterministic: collection
+# order is partition-dependent, so the array is sorted and joined before
+# leaving the query. Array-typed results only ever cross an engine
+# boundary in a canonical form.
+# --------------------------------------------------------------------------
+@query(
+    "q39_array_agg",
+    oracle="""
+    SELECT
+        event_type,
+        array_to_string(list_sort(list(DISTINCT user_id % 10)), ',') AS user_buckets,
+        COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q39_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set(F.col("user_id") % 10))).alias(
+            "user_buckets"
+        ),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q40 — stratified sampling (sampleBy): per-stratum Bernoulli fractions,
+# seed-fixed. The row set is implementation-defined (Spark's sampler),
+# so this is a rows-only driver check; statistical bounds are asserted
+# in pytest instead.
+# --------------------------------------------------------------------------
+@query("q40_stratified_sample")
+def q40_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    fractions = {"click": 0.1, "view": 0.05, "purchase": 1.0, "signup": 0.5, "error": 1.0}
+    return (
+        ev.sampleBy("event_type", fractions, seed=42)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )

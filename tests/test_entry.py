@@ -61,3 +61,21 @@ def test_approx_aggregates_within_bounds(spark):
         a = approx[flag]
         assert abs(a.approx_orders - e.orders) / e.orders < 0.05
         assert abs(a.approx_p50 - e.p50) / e.p50 < 0.02
+
+
+def test_stratified_sample_fractions(spark):
+    """q40: per-stratum sample sizes track the requested fractions, and
+    fraction-1.0 strata are complete."""
+    from data_engineering_nd_spark.analytics import q40_stratified_sample
+    from data_engineering_nd_spark.catalog import load
+
+    sf = "/root/testdata/sf0.01"
+    sampled = {r.event_type: r.n_sampled for r in q40_stratified_sample(spark, sf).collect()}
+    totals = {
+        r.event_type: r["count"]
+        for r in load(spark, "events", sf).groupBy("event_type").count().collect()
+    }
+    assert sampled["purchase"] == totals["purchase"]
+    assert sampled["error"] == totals["error"]
+    assert 0.05 < sampled["click"] / totals["click"] < 0.2  # ~0.1
+    assert 0.3 < sampled["signup"] / totals["signup"] < 0.7  # ~0.5
