@@ -35,10 +35,16 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in qs.items():
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+        except Exception as e:  # one broken query must not kill the bench
+            errors[name] = str(e).splitlines()[0][:200]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
@@ -50,6 +56,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                **({"errors": errors} if errors else {}),
                 "sf": sf,
             }
         )
