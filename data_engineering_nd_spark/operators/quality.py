@@ -130,3 +130,58 @@ def dq_pk_uniqueness_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_orderkey").alias("n_distinct_pk"),
         (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("n_dup_pk"),
     )
+
+
+def _main(argv: list[str] | None = None) -> int:
+    """Standalone data-quality CLI — the reference's
+    `python i94_data_quality_check.py --tables=... --table-col=...` surface
+    (JSON-typed args, i94_data_quality_check.py:131-149), computing each
+    check ONCE (the reference recomputes up to 3x per table, SURVEY §3.2).
+    Exits nonzero when any table is missing, empty, or has null PKs."""
+    import argparse
+    import json
+    import os
+    import sys
+
+    from data_engineering_nd_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(
+        prog="python -m data_engineering_nd_spark.operators.quality"
+    )
+    ap.add_argument("--path", required=True, help="warehouse base directory")
+    ap.add_argument("--tables", required=True, help='JSON list: ["t1", "t2"]')
+    ap.add_argument(
+        "--table-col", required=True, help='JSON dict: {"t1": ["pk1"], ...}'
+    )
+    ap.add_argument("--fmt", default="parquet", choices=["parquet", "csv"])
+    args = ap.parse_args(argv)
+    tables: list[str] = json.loads(args.tables)
+    table_cols: dict[str, list[str]] = json.loads(args.table_col)
+
+    spark = get_spark(app_name="i94-data-quality")
+    report: dict[str, dict] = {}
+    ok = True
+    for name in tables:
+        path = os.path.join(args.path, name)
+        if not os.path.isdir(path):
+            report[name] = {"exists": False}
+            ok = False
+            continue
+        reader = spark.read.format(args.fmt)
+        if args.fmt == "csv":
+            reader = reader.option("header", True)
+        df = reader.load(path)
+        audit = null_audit(df, table_cols.get(name, []), table=name)
+        report[name] = {
+            "exists": True,
+            "n_rows": audit.n_rows,
+            "null_counts": audit.null_counts,
+            "ok": audit.ok,
+        }
+        ok = ok and audit.ok
+    print(json.dumps({"ok": ok, "tables": report}))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(_main())

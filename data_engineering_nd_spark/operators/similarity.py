@@ -190,3 +190,152 @@ def ann_brute_force_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, "embeddings", sf_dir)
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+# ---------------------------------------------------------------------------
+# IVF with a real trained codebook (the scale path when no precomputed cell
+# id exists). Train: bounded deterministic sample -> driver-side numpy
+# k-means on the unit sphere (spherical k-means, cosine-consistent).
+# Assign: one Arrow-batched matmul per batch (mapInPandas), codebook rides
+# the closure (KBs). Search: query probes its nprobe nearest cells, so
+# recall degrades gracefully instead of falling off a cliff at cell edges.
+# ---------------------------------------------------------------------------
+
+
+def train_codebook(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    sample: int = 4096,
+    iters: int = 10,
+):
+    """Spherical k-means codebook (numpy, driver-side) from a deterministic
+    bounded sample — sampling more than ~thousands of vectors does not
+    improve centroids enough to matter, so the driver pull is O(sample·d)
+    regardless of corpus size. Fixed init (first n_cells sample rows in id
+    order) keeps re-runs identical."""
+    import numpy as np
+
+    rows = (
+        vectors.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    )
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cents = x[:n_cells].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(n_cells):
+            members = x[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents
+
+
+def assign_cells(
+    df: DataFrame,
+    codebook,
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Append the nearest-centroid cell id: one numpy matmul per Arrow
+    batch, no shuffle (narrow transformation)."""
+    import numpy as np
+    import pandas as pd
+
+    cents = np.asarray(codebook, dtype=np.float64)
+    out_fields = df.schema.fields
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields)
+    schema += f", {out_col} int"
+
+    def add_cell(batches):
+        for pdf in batches:
+            if len(pdf):
+                mat = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+                pdf = pdf.assign(**{out_col: np.argmax(mat @ cents.T, axis=1).astype("int32")})
+            else:
+                pdf = pdf.assign(**{out_col: pd.Series(dtype="int32")})
+            yield pdf
+
+    return df.mapInPandas(add_cell, schema)
+
+
+def ivf_topk_nprobe(
+    vectors: DataFrame,
+    queries: DataFrame,
+    codebook,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF search with multi-cell probing: each query fans out to its nprobe
+    nearest centroids (explode of a tiny array), candidates come from an
+    equi-join on the cell id, exact cosine reranks. Scan fraction ≈
+    nprobe/n_cells of the corpus per query."""
+    import numpy as np
+    import pandas as pd
+
+    cents = np.asarray(codebook, dtype=np.float64)
+    v = assign_cells(
+        vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_vec")),
+        cents,
+        vec_col="v_vec",
+    )
+
+    q_schema = "query_id bigint, q_vec array<float>, cell int"
+
+    def probe_cells(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({"query_id": [], "q_vec": [], "cell": []})
+                continue
+            mat = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["q_vec"]])
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            order = np.argsort(-(mat @ cents.T), axis=1)[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy().repeat(nprobe),
+                    "q_vec": list(pdf["q_vec"].repeat(nprobe)),
+                    "cell": order.reshape(-1).astype("int32"),
+                }
+            )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).mapInPandas(probe_cells, q_schema)
+
+    sim = (
+        v.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("v_vec")).alias("sim_raw"),
+        )
+        # a candidate can surface via several probed cells -> dedup
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), "neighbor_id")
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("sim_raw", 4).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
+@query("ann_ivf_kmeans_topk")  # codebook is learned -> not SQL-mirrorable; rows-only
+def ann_ivf_kmeans_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load(spark, "embeddings", sf_dir)
+    codebook = train_codebook(vecs, n_cells=8)
+    queries = vecs.filter(F.col("vec_id") < 10)
+    return ivf_topk_nprobe(vecs, queries, codebook, k=5, nprobe=2)

@@ -38,3 +38,35 @@ def test_brute_force_topk_ordering(spark, vectors):
 def test_ivf_restricts_to_cell(spark, vectors):
     out = ivf_topk(vectors, vectors.filter("vec_id = 0"), k=4).collect()
     assert {r.neighbor_id for r in out} == {1, 4}  # label-0 cell only
+
+
+def test_ivf_kmeans_recall_vs_brute_force(spark):
+    """Learned-codebook IVF with nprobe=2 must recover most of the exact
+    top-5 (the synthetic embeddings are cluster-structured, so spherical
+    k-means recovers the cells)."""
+    from data_engineering_nd_spark.catalog import load
+    from data_engineering_nd_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk_nprobe,
+        train_codebook,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    vecs = load(spark, "embeddings", sf)
+    queries = vecs.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(vecs, queries, k=5).collect()
+    }
+    codebook = train_codebook(vecs, n_cells=8)
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk_nprobe(vecs, queries, codebook, k=5, nprobe=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall
+    # and the codebook train is deterministic
+    import numpy as np
+
+    assert np.allclose(codebook, train_codebook(vecs, n_cells=8))
