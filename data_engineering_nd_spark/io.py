@@ -23,6 +23,7 @@ partition pruning for free).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import reduce
 
@@ -105,3 +106,55 @@ def empty_frame(spark: SparkSession, schema) -> DataFrame:
     sentinel, etl.py:795-796) — with a REAL declared schema, so downstream
     unions/joins resolve instead of failing on a zero-column frame."""
     return spark.createDataFrame([], schema)
+
+
+def upsert_parquet(
+    df: DataFrame,
+    path: str,
+    key_cols: list[str],
+) -> WriteResult:
+    """Key-idempotent append (MERGE-lite without a table format): incoming
+    rows whose key already exists in the target are dropped via left-anti
+    join, the remainder appends. Makes re-runs of an incremental load safe
+    — the reference's mode('append') (etl.py:445-448) silently duplicates
+    on retry.
+
+    At scale the anti-join prunes with predicate pushdown on the key
+    columns only (existing payload columns are never read); with a real
+    lakehouse format (Delta/Iceberg) this becomes MERGE INTO on the same
+    key — the call-site contract is identical.
+    """
+    import os
+
+    spark = df.sparkSession
+    if os.path.isdir(path):
+        existing = spark.read.parquet(path).select(*key_cols)
+        df = df.join(existing, on=key_cols, how="left_anti")
+    return write(df, path, mode="append")
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_partitions: int | None = None,
+) -> WriteResult:
+    """Small-file compaction: rewrite a parquet location into
+    ``target_partitions`` files (default: cluster parallelism). Streaming
+    sinks and incremental appends accumulate files; at 100 TB unbounded
+    file counts dominate planning time (listing + footer reads), so
+    compaction is scheduled maintenance. Rewrite goes through a temp
+    location: the source must be fully read before overwrite destroys it.
+    """
+    import shutil
+    import tempfile
+
+    df = spark.read.parquet(path)
+    n = target_partitions or spark.sparkContext.defaultParallelism
+    tmp = tempfile.mkdtemp(prefix="compact_")
+    try:
+        staged = os.path.join(tmp, "staged")
+        df.repartition(n).write.mode("overwrite").parquet(staged)
+        res = write(spark.read.parquet(staged), path, mode="overwrite")
+        return res
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

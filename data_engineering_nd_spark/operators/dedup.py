@@ -511,26 +511,26 @@ def dedup_clusters(
         .select(F.col("src").alias("id"), F.col("src").alias("comp"))
         .localCheckpoint()
     )
+    # labels only ever decrease, so sum(comp) is a strictly decreasing
+    # fixed-point witness: equal sums on consecutive rounds == converged.
+    # One scalar aggregate per round on the checkpointed frame — cheaper
+    # than the old/new join a direct changed-row count would need.
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
     for _ in range(max_iterations):
         e, l = edges.alias("e"), labels.alias("l")
         neigh = e.join(l, F.col("e.dst") == F.col("l.id")).select(
             F.col("e.src").alias("id"), F.col("l.comp").alias("comp")
         )
-        new_labels = (
+        labels = (
             labels.unionByName(neigh)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint()
         )
-        n, o = new_labels.alias("n"), labels.alias("o")
-        changed = (
-            n.join(o, F.col("n.id") == F.col("o.id"))
-            .filter(F.col("n.comp") < F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(
         F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id")
     )

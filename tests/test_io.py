@@ -42,3 +42,32 @@ def test_read_many_tolerates_schema_drift(spark, tmp_path):
     assert set(df.columns) == {"k", "v"}
     # drifted column is NULL-filled, not silently position-matched
     assert df.filter("v IS NULL").count() == 1
+
+
+def test_upsert_parquet_is_key_idempotent(spark, tmp_path):
+    from data_engineering_nd_spark.io import upsert_parquet
+
+    out = str(tmp_path / "ups")
+    first = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    upsert_parquet(first, out, ["k"])
+    # re-running the same load adds nothing; a genuinely new key appends
+    second = spark.createDataFrame([(2, "b"), (3, "c")], ["k", "v"])
+    upsert_parquet(second, out, ["k"])
+    upsert_parquet(second, out, ["k"])  # retry of the retry
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    assert {r.k for r in back.collect()} == {1, 2, 3}
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    import glob
+
+    from data_engineering_nd_spark.io import compact_parquet
+
+    out = str(tmp_path / "frag")
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    df.repartition(24).write.parquet(out)
+    assert len(glob.glob(out + "/part-*")) == 24
+    compact_parquet(spark, out, target_partitions=2)
+    assert len(glob.glob(out + "/part-*")) == 2
+    assert spark.read.parquet(out).count() == 1000
