@@ -96,3 +96,15 @@ def test_partition_pruning_on_hive_layout(spark, tmp_path):
     plan = physical_plan(back)
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "ship_year" in m.group(1), plan
+
+
+def test_asof_and_range_joins_are_not_nested_loops(spark):
+    """The whole point of the asof/range formulations is avoiding the
+    quadratic BroadcastNestedLoopJoin a raw theta-join would plan."""
+    from data_engineering_nd_spark.operators.joins import q37_asof_join, q38_range_join
+    from data_engineering_nd_spark.plans.inspect import physical_plan
+
+    for q in (q37_asof_join, q38_range_join):
+        plan = physical_plan(q(spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
