@@ -1,0 +1,265 @@
+"""Versioned parquet tables: a minimal lakehouse commit protocol.
+
+The reference writes bare parquet/csv directories with mode('overwrite'|
+'append') (etl.py:434-491) — no atomicity (a failed overwrite destroys the
+old table), no isolation (readers see half-written appends), no history.
+``io.upsert_parquet`` fixes idempotency but still mutates in place.
+
+This module gives the same write surface ACID-ish semantics with nothing
+but parquet + a JSON manifest log, the way Delta Lake / Iceberg do it:
+
+- every commit writes NEW immutable data files into its own
+  ``data/v{N}/`` directory, then publishes an ordered manifest
+  ``_log/{N}.json`` listing the exact files of that snapshot;
+- the manifest rename is the atomic commit point (os.rename of a
+  same-directory temp file; POSIX guarantees atomicity, and a second
+  writer racing to the same version loses because rename-over-existing is
+  rejected) — optimistic concurrency, single winner per version;
+- readers resolve the latest (or any historical) manifest and read ONLY
+  the files it lists — failed/in-flight writers are invisible, overwrite
+  never deletes data a concurrent reader is scanning, and time travel is
+  ``snapshot(version=K)``;
+- MERGE is copy-on-write at FILE granularity: only data files that
+  actually contain a matching key are rewritten (found via
+  ``input_file_name``), untouched files carry over into the new manifest
+  by reference. At 100 TB this is the difference between rewriting
+  gigabytes and rewriting the table: a merge touching 0.1% of keys
+  rewrites ~0.1% of files.
+- ``vacuum`` deletes files referenced by no manifest ≤ the retained
+  horizon (expired snapshots lose time travel but readers of the latest
+  snapshot are unaffected).
+
+Scale notes: the manifest holds one relative path per data file — file
+COUNT, not data size, is the bound, which is why ``io.compact_parquet``-
+style compaction matters; compact() here rewrites the snapshot into
+cluster-parallelism-many files as a normal versioned commit (old
+snapshots keep their granular files until vacuumed).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_LOG = "_log"
+_DATA = "data"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer published this version first (optimistic-concurrency
+    loser). Re-read the table and retry the transaction."""
+
+
+class VersionedTable:
+    """A parquet table whose snapshots are defined by a JSON manifest log.
+
+    Layout::
+
+        <root>/_log/00000000000.json   ordered manifests (the commit log)
+        <root>/data/v00000000000/*.parquet   immutable files per commit
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # -- log plumbing -----------------------------------------------------
+
+    def _log_dir(self) -> str:
+        return os.path.join(self.root, _LOG)
+
+    def versions(self) -> list[int]:
+        d = self._log_dir()
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(f[: -len(".json")])
+            for f in os.listdir(d)
+            if f.endswith(".json")
+        )
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _manifest(self, version: int) -> dict:
+        with open(os.path.join(self._log_dir(), f"{version:011d}.json")) as f:
+            return json.load(f)
+
+    def history(self) -> list[dict]:
+        return [self._manifest(v) for v in self.versions()]
+
+    def _publish(
+        self,
+        version: int,
+        files: list[str],
+        operation: str,
+        schema_json: str,
+    ) -> dict:
+        """Atomic commit point: temp-file + rename within _log/."""
+        os.makedirs(self._log_dir(), exist_ok=True)
+        manifest = {
+            "version": version,
+            "operation": operation,
+            "files": sorted(files),
+            "num_files": len(files),
+            "schema": schema_json,
+        }
+        final = os.path.join(self._log_dir(), f"{version:011d}.json")
+        tmp = final + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        if os.path.exists(final):  # lost the race before we even renamed
+            os.remove(tmp)
+            raise CommitConflict(f"version {version} already committed")
+        os.rename(tmp, final)
+        return manifest
+
+    # -- data-file plumbing ----------------------------------------------
+
+    def _write_files(self, df: DataFrame, version: int) -> list[str]:
+        """Write df as immutable parquet files under data/v{N}/ and return
+        their table-relative paths."""
+        rel_dir = os.path.join(_DATA, f"v{version:011d}")
+        out = os.path.join(self.root, rel_dir)
+        df.write.mode("overwrite").parquet(out)
+        return [
+            os.path.join(rel_dir, f)
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        ]
+
+    def _read_files(self, files: list[str], schema_json: str) -> DataFrame:
+        if not files:
+            from pyspark.sql.types import StructType
+
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(json.loads(schema_json))
+            )
+        return self.spark.read.parquet(
+            *[os.path.join(self.root, f) for f in files]
+        )
+
+    # -- public surface ---------------------------------------------------
+
+    def snapshot(self, version: int | None = None) -> DataFrame:
+        """Read a consistent snapshot (latest by default; time travel via
+        ``version=``). Only manifest-listed files are scanned, so
+        concurrent/failed writers are invisible."""
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        m = self._manifest(version)
+        return self._read_files(m["files"], m["schema"])
+
+    def commit(self, df: DataFrame, mode: str = "overwrite") -> dict:
+        """Publish df as the next snapshot. 'overwrite' replaces the file
+        set; 'append' adds the new files to the previous snapshot's set
+        (old files carried over BY REFERENCE — nothing is rewritten)."""
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+        prev = self.latest_version()
+        version = 0 if prev is None else prev + 1
+        files = self._write_files(df, version)
+        if mode == "append" and prev is not None:
+            files += self._manifest(prev)["files"]
+        return self._publish(
+            version, files, mode, df.schema.json()
+        )
+
+    def merge(self, source: DataFrame, key_cols: list[str]) -> dict:
+        """Upsert (MERGE): rows in ``source`` replace snapshot rows with
+        the same key; unmatched source rows insert. Copy-on-write at file
+        granularity — only files containing a matched key are rewritten.
+
+        The affected-file discovery is a semi-join on key columns only
+        (column pruning keeps payload columns out of the scan), grouped to
+        the distinct file list; everything else carries over by reference.
+        """
+        prev = self.latest_version()
+        if prev is None:
+            return self.commit(source, mode="overwrite")
+        m = self._manifest(prev)
+        version = prev + 1
+        current = self._read_files(m["files"], m["schema"])
+
+        keys = source.select(*key_cols).dropDuplicates()
+        tagged = current.withColumn("__file", F.input_file_name())
+        affected_abs = {
+            r["__file"].removeprefix("file://")
+            for r in tagged.select("__file", *key_cols)
+            .join(F.broadcast(keys), on=key_cols, how="left_semi")
+            .select("__file")
+            .distinct()
+            .collect()
+        }
+        affected_rel = [
+            f
+            for f in m["files"]
+            if os.path.join(self.root, f) in affected_abs
+            or os.path.abspath(os.path.join(self.root, f)) in affected_abs
+        ]
+        untouched = [f for f in m["files"] if f not in set(affected_rel)]
+
+        # rewrite only the affected files, minus matched keys, plus source
+        survivors = (
+            self._read_files(affected_rel, m["schema"]).join(
+                F.broadcast(keys), on=key_cols, how="left_anti"
+            )
+            if affected_rel
+            else None
+        )
+        incoming = source.select(*current.columns)  # align column order
+        rewritten = (
+            survivors.unionByName(incoming) if survivors is not None
+            else incoming
+        )
+        new_files = self._write_files(rewritten, version)
+        return self._publish(
+            version,
+            new_files + untouched,
+            f"merge(rewrote={len(affected_rel)},kept={len(untouched)})",
+            m["schema"],
+        )
+
+    def compact(self, target_partitions: int | None = None) -> dict:
+        """Rewrite the latest snapshot into ~target_partitions files as a
+        new version (small-file compaction as a normal commit; history
+        keeps the granular files until vacuum)."""
+        df = self.snapshot()
+        n = target_partitions or self.spark.sparkContext.defaultParallelism
+        return self.commit(df.repartition(n), mode="overwrite")
+
+    def vacuum(self, retain_last: int = 1) -> list[str]:
+        """Delete data files referenced by none of the last ``retain_last``
+        manifests. Time travel to expired versions stops working; the
+        retained snapshots are untouched."""
+        vs = self.versions()
+        keep_vs = vs[-retain_last:] if retain_last > 0 else []
+        live = {f for v in keep_vs for f in self._manifest(v)["files"]}
+        removed: list[str] = []
+        data_root = os.path.join(self.root, _DATA)
+        if not os.path.isdir(data_root):
+            return removed
+        for sub in sorted(os.listdir(data_root)):
+            subdir = os.path.join(data_root, sub)
+            for f in sorted(os.listdir(subdir)):
+                rel = os.path.join(_DATA, sub, f)
+                if f.endswith(".parquet") and rel not in live:
+                    os.remove(os.path.join(subdir, f))
+                    removed.append(rel)
+            if not os.listdir(subdir):
+                shutil.rmtree(subdir)
+        # drop expired manifests so history() reflects what is readable
+        for v in vs:
+            if v not in keep_vs:
+                os.remove(
+                    os.path.join(self._log_dir(), f"{v:011d}.json")
+                )
+        return removed

@@ -1,0 +1,78 @@
+"""Bucketed tables (bucketing.py): the pre-shuffled join path.
+
+The plan assertion is the point: a join of two tables bucketed on the
+join key must contain ZERO Exchange operators — the shuffle happened
+once at write time, not per query.
+"""
+
+import pytest
+from pyspark.sql import Row
+
+from data_engineering_nd_spark import bucketing
+from data_engineering_nd_spark.plans.inspect import (
+    count_exchanges,
+    physical_plan,
+)
+
+
+@pytest.fixture()
+def bucket_db(spark, tmp_path):
+    spark.sql(f"CREATE DATABASE bkt LOCATION '{tmp_path}/wh'")
+    yield "bkt"
+    spark.sql("DROP DATABASE bkt CASCADE")
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucket_db):
+    orders = spark.createDataFrame(
+        [Row(o_custkey=i % 50, o_orderkey=i, o_total=float(i)) for i in range(500)]
+    )
+    cust = spark.createDataFrame(
+        [Row(o_custkey=i, c_name=f"c{i}") for i in range(50)]
+    )
+    bucketing.write_bucketed(orders, f"{bucket_db}.orders_b", ["o_custkey"], 4)
+    bucketing.write_bucketed(cust, f"{bucket_db}.cust_b", ["o_custkey"], 4)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketing.bucketed_join(
+            spark, f"{bucket_db}.orders_b", f"{bucket_db}.cust_b", ["o_custkey"]
+        )
+        plan = physical_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert count_exchanges(joined) == 0, plan
+        assert joined.count() == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_unbucketed_same_join_shuffles_both_sides(spark):
+    """Control: the identical join over plain frames costs two Exchanges —
+    what bucketing removes."""
+    orders = spark.createDataFrame(
+        [Row(o_custkey=i % 50, o_orderkey=i) for i in range(500)]
+    )
+    cust = spark.createDataFrame(
+        [Row(o_custkey=i, c_name=f"c{i}") for i in range(50)]
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = orders.join(cust, on=["o_custkey"])
+        assert count_exchanges(joined) >= 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_groupby_has_no_shuffle(spark, bucket_db):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [Row(k=i % 10, v=float(i)) for i in range(200)]
+    )
+    bucketing.write_bucketed(df, f"{bucket_db}.agg_b", ["k"], 4)
+    agg = spark.table(f"{bucket_db}.agg_b").groupBy("k").agg(
+        F.sum("v").alias("s")
+    )
+    assert count_exchanges(agg) == 0, physical_plan(agg)
+    assert agg.count() == 10

@@ -1,0 +1,110 @@
+"""Versioned parquet tables (tables.VersionedTable): commit protocol,
+snapshot isolation, time travel, file-granular COW merge, vacuum."""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from data_engineering_nd_spark.tables import CommitConflict, VersionedTable
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return VersionedTable(spark, str(tmp_path / "tbl"))
+
+
+def _rows(df):
+    return sorted((r["k"], r["v"]) for r in df.collect())
+
+
+def test_commit_and_snapshot(spark, table):
+    df = spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")])
+    m = table.commit(df)
+    assert m["version"] == 0 and m["operation"] == "overwrite"
+    assert _rows(table.snapshot()) == [(1, "a"), (2, "b")]
+
+
+def test_append_carries_old_files_by_reference(spark, table):
+    table.commit(spark.createDataFrame([Row(k=1, v="a")]))
+    m0_files = set(table.history()[0]["files"])
+    m1 = table.commit(spark.createDataFrame([Row(k=2, v="b")]), mode="append")
+    # append references v0's files instead of rewriting them
+    assert m0_files < set(m1["files"])
+    assert _rows(table.snapshot()) == [(1, "a"), (2, "b")]
+
+
+def test_time_travel_and_overwrite_isolation(spark, table):
+    table.commit(spark.createDataFrame([Row(k=1, v="old")]))
+    table.commit(spark.createDataFrame([Row(k=9, v="new")]))
+    assert _rows(table.snapshot(version=0)) == [(1, "old")]
+    assert _rows(table.snapshot()) == [(9, "new")]
+    # overwrite never deleted v0's data files
+    assert all(
+        os.path.exists(os.path.join(table.root, f))
+        for f in table.history()[0]["files"]
+    )
+
+
+def test_merge_is_file_granular_cow(spark, table):
+    # two commits -> two disjoint file sets; merge touching only keys from
+    # the second commit must carry the first commit's files by reference
+    table.commit(spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")]))
+    table.commit(
+        spark.createDataFrame([Row(k=3, v="c"), Row(k=4, v="d")]),
+        mode="append",
+    )
+    v0_files = set(table.history()[0]["files"])
+    m = table.merge(
+        spark.createDataFrame([Row(k=3, v="C!"), Row(k=5, v="e")]),
+        key_cols=["k"],
+    )
+    assert v0_files < set(m["files"])  # untouched files kept by reference
+    assert _rows(table.snapshot()) == [
+        (1, "a"), (2, "b"), (3, "C!"), (4, "d"), (5, "e"),
+    ]
+    assert "rewrote=" in m["operation"]
+
+
+def test_merge_into_empty_table(spark, table):
+    m = table.merge(spark.createDataFrame([Row(k=1, v="a")]), key_cols=["k"])
+    assert m["version"] == 0
+    assert _rows(table.snapshot()) == [(1, "a")]
+
+
+def test_commit_conflict_single_winner(spark, table):
+    df = spark.createDataFrame([Row(k=1, v="a")])
+    table.commit(df)
+    # simulate a racing writer that already published version 1
+    racing = VersionedTable(spark, table.root)
+    racing.commit(df, mode="append")
+    files = table._write_files(df, 1)
+    with pytest.raises(CommitConflict):
+        table._publish(1, files, "overwrite", df.schema.json())
+
+
+def test_compact_reduces_file_count(spark, table):
+    df = spark.createDataFrame([Row(k=i, v=str(i)) for i in range(100)])
+    table.commit(df.repartition(16))
+    assert table.history()[-1]["num_files"] >= 16
+    m = table.compact(target_partitions=2)
+    assert m["num_files"] <= 2
+    assert len(_rows(table.snapshot())) == 100
+
+
+def test_vacuum_removes_expired_files_keeps_latest(spark, table):
+    table.commit(spark.createDataFrame([Row(k=1, v="a")]))
+    table.commit(spark.createDataFrame([Row(k=2, v="b")]))
+    removed = table.vacuum(retain_last=1)
+    assert removed  # v0's files are gone
+    assert _rows(table.snapshot()) == [(2, "b")]
+    assert table.versions() == [1]
+
+
+def test_empty_dataframe_snapshot_roundtrip(spark, table):
+    df = spark.createDataFrame([Row(k=1, v="a")])
+    table.commit(df.filter(F.lit(False)))
+    snap = table.snapshot()
+    assert snap.count() == 0
+    assert snap.schema == df.schema
