@@ -339,3 +339,128 @@ def ann_ivf_kmeans_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook = train_codebook(vecs, n_cells=8)
     queries = vecs.filter(F.col("vec_id") < 10)
     return ivf_topk_nprobe(vecs, queries, codebook, k=5, nprobe=2)
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (cosine LSH). Complements IVF: no training pass, no
+# centroid quality dependence; collision probability per hyperplane is
+# 1 - angle/pi (Charikar's SimHash bound), banded so near neighbors collide
+# in >=1 band with high probability. The data-side cost is one narrow
+# Arrow-batched matmul (signatures) + an explode by n_bands; candidate
+# generation is an equi-join on (band, band_hash) — the corpus never
+# pairs up quadratically, and per-band bucket sizes (not corpus size) bound
+# the rerank work. Tuning: fewer bits/band -> more candidates/recall,
+# more bits/band -> fewer candidates/speed.
+# ---------------------------------------------------------------------------
+
+
+def hyperplanes(dim: int, n_bits: int, seed: int = 7):
+    """Deterministic Gaussian hyperplanes (seeded) — re-runs and retries
+    produce identical signatures, a determinism requirement at scale."""
+    import numpy as np
+
+    return np.random.RandomState(seed).randn(n_bits, dim)
+
+
+def _signature_bands(
+    df: DataFrame,
+    planes,
+    n_bands: int,
+    id_out: str,
+    vec_out: str,
+):
+    """id, vec -> (id, vec, band, band_hash): sign-bit signature packed per
+    band into an int64 key. One matmul per Arrow batch; rows fan out
+    x n_bands (each row meets each of its bands exactly once)."""
+    import numpy as np
+    import pandas as pd
+
+    p = np.asarray(planes, dtype=np.float64)
+    n_bits = p.shape[0]
+    assert n_bits % n_bands == 0, "n_bits must divide into n_bands"
+    bits_per_band = n_bits // n_bands
+    weights = 1 << np.arange(bits_per_band, dtype=np.int64)
+
+    def sign_bands(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(
+                    {id_out: pd.Series(dtype="int64"), vec_out: [],
+                     "band": pd.Series(dtype="int32"),
+                     "band_hash": pd.Series(dtype="int64")}
+                )
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_out]])
+            bits = (mat @ p.T > 0).astype(np.int64)          # (n, n_bits)
+            hashes = bits.reshape(len(pdf), n_bands, bits_per_band) @ weights
+            yield pd.DataFrame(
+                {
+                    id_out: pdf[id_out].to_numpy().repeat(n_bands),
+                    vec_out: list(pdf[vec_out].repeat(n_bands)),
+                    "band": np.tile(
+                        np.arange(n_bands, dtype=np.int32), len(pdf)
+                    ),
+                    "band_hash": hashes.reshape(-1),
+                }
+            )
+
+    schema = f"{id_out} bigint, {vec_out} array<float>, band int, band_hash bigint"
+    return df.mapInPandas(sign_bands, schema)
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_bits: int = 64,
+    n_bands: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate cosine top-k via banded random-hyperplane LSH: candidates
+    are vectors sharing >=1 band hash with the query, exact cosine reranks.
+    Same output contract as brute_force_topk (recall < 1 by design)."""
+    dim = vectors.select(F.size(vec_col)).first()[0]
+    planes = hyperplanes(dim, n_bits, seed)
+
+    v = _signature_bands(
+        vectors.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_vec")
+        ),
+        planes, n_bands, "neighbor_id", "v_vec",
+    )
+    q = _signature_bands(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ),
+        planes, n_bands, "query_id", "q_vec",
+    )
+    sim = (
+        v.join(F.broadcast(q), ["band", "band_hash"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        # a pair colliding in several bands must rerank once
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("v_vec")).alias("sim_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), "neighbor_id")
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("sim_raw", 4).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
+@query("ann_lsh_topk")  # seeded hyperplanes -> not SQL-mirrorable; rows-only
+def ann_lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load(spark, "embeddings", sf_dir)
+    return lsh_topk(vecs, vecs.filter(F.col("vec_id") < 10), k=5)

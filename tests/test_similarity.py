@@ -70,3 +70,64 @@ def test_ivf_kmeans_recall_vs_brute_force(spark):
     import numpy as np
 
     assert np.allclose(codebook, train_codebook(vecs, n_cells=8))
+
+
+def test_lsh_topk_collides_true_neighbor(spark, vectors):
+    """With every band available, the handcrafted near-duplicate of vector 0
+    must surface and rerank with its exact cosine."""
+    from data_engineering_nd_spark.operators.similarity import lsh_topk
+
+    out = lsh_topk(
+        vectors, vectors.filter("vec_id = 0"), k=4, n_bits=16, n_bands=8
+    ).collect()
+    sims = {r.neighbor_id: r.cosine_sim for r in out}
+    assert 1 in sims  # 8 bands of 2 bits: a 0.994-cosine pair collides
+    assert sims[1] == pytest.approx(0.9939, abs=1e-4)
+
+
+def test_lsh_recall_and_determinism(spark):
+    """Banded hyperplane LSH at the registered query's settings must
+    recover most of the exact top-5 on the cluster-structured testdata,
+    and two runs must agree row-for-row (seeded planes)."""
+    from data_engineering_nd_spark.catalog import load
+    from data_engineering_nd_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    vecs = load(spark, "embeddings", sf)
+    queries = vecs.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(vecs, queries, k=5).collect()
+    }
+    run1 = lsh_topk(vecs, queries, k=5).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in run1}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall
+    run2 = lsh_topk(vecs, queries, k=5).collect()
+    assert sorted(map(tuple, run1)) == sorted(map(tuple, run2))
+
+
+def test_lsh_rerank_sims_match_brute_force(spark):
+    """Every LSH candidate's reranked cosine must equal the exact cosine
+    brute force computes for the same pair (the approximation is in the
+    candidate set, never in the scores)."""
+    from data_engineering_nd_spark.catalog import load
+    from data_engineering_nd_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    vecs = load(spark, "embeddings", sf)
+    queries = vecs.filter(F.col("vec_id") < 3)
+    exact_all = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in brute_force_topk(vecs, queries, k=499).collect()
+    }
+    for r in lsh_topk(vecs, queries, k=5).collect():
+        assert exact_all[(r.query_id, r.neighbor_id)] == r.cosine_sim

@@ -137,3 +137,43 @@ def test_stateful_operator_accumulates_across_batches(spark, tmp_path):
     assert int(last.loc[2, "n_events"]) == 1
     assert pd.Timestamp(last.loc[1, "first_seen"]).hour == 10
     assert pd.Timestamp(last.loc[1, "last_seen"]).hour == 11
+
+
+def test_upsert_stream_sink_is_replay_idempotent(spark, tmp_path):
+    """foreachBatch + VersionedTable.merge: streamed rows land exactly once
+    by key — and re-merging the same batch (a replay) changes nothing."""
+    from pyspark.sql import Row
+
+    from data_engineering_nd_spark.streaming.sink import upsert_stream
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame(
+        [Row(event_id=i, user_id=i % 3, value=float(i)) for i in range(20)]
+    ).write.parquet(src_dir)
+
+    table = VersionedTable(spark, str(tmp_path / "tbl"))
+    stream = spark.readStream.schema(
+        spark.read.parquet(src_dir).schema
+    ).parquet(src_dir)
+    q = upsert_stream(
+        stream, table, ["event_id"], str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    assert table.snapshot().count() == 20
+
+    # replay: merge the same data again -> same keys, same row count
+    table.merge(spark.read.parquet(src_dir), ["event_id"])
+    assert table.snapshot().count() == 20
+
+    # a second stream batch with overlapping keys updates, not duplicates
+    spark.createDataFrame(
+        [Row(event_id=i, user_id=0, value=-1.0) for i in range(15, 25)]
+    ).write.mode("append").parquet(src_dir)
+    q2 = upsert_stream(
+        stream, table, ["event_id"], str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination()
+    snap = table.snapshot()
+    assert snap.count() == 25
+    assert snap.filter("event_id = 17 AND value = -1.0").count() == 1
