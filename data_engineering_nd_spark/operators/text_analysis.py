@@ -192,3 +192,162 @@ def text_detect_language_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir)
     return docs.select("doc_id", fingerprint("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Repetition metrics (Gopher/C4-style quality filters): how much of a
+# document is the same word over and over. The distributed shape is
+# explode -> (doc, word) hash-aggregate (map-side partial combine does the
+# heavy lifting: per-partition word counts are tiny) -> per-doc rollup.
+# Both shuffles key on doc_id+word / doc_id — no skew beyond document
+# length, which the explode already spreads across partitions.
+# ---------------------------------------------------------------------------
+
+
+def repetition_metrics(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document word-repetition profile: word count, distinct words,
+    duplicate-word ratio, and the dominant word + its mass fraction
+    (ties break lexicographically for cross-engine determinism)."""
+    from pyspark.sql.window import Window
+
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    )
+    wc = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    rn = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(F.desc("c"), "w")
+    )
+    per_doc = (
+        wc.withColumn("rn", rn)
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count(F.lit(1)).alias("distinct_words"),
+            F.max(F.when(F.col("rn") == 1, F.col("w"))).alias("top_word"),
+            F.max(F.when(F.col("rn") == 1, F.col("c"))).alias("top_word_count"),
+        )
+    )
+    n = F.col("n_words").cast("double")
+    return per_doc.select(
+        id_col,
+        "n_words",
+        "distinct_words",
+        F.round(
+            F.lit(1.0) - F.col("distinct_words").cast("double") / n, 4
+        ).alias("dup_word_ratio"),
+        "top_word",
+        "top_word_count",
+        F.round(F.col("top_word_count").cast("double") / n, 4).alias(
+            "top_word_ratio"
+        ),
+    )
+
+
+@query(
+    "text_repetition_metrics",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), wc AS (
+        SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY c DESC, w
+        ) AS rn FROM wc
+    )
+    SELECT
+        doc_id,
+        CAST(SUM(c) AS BIGINT) AS n_words,
+        COUNT(*) AS distinct_words,
+        round(1.0 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 4) AS dup_word_ratio,
+        MAX(CASE WHEN rn = 1 THEN w END) AS top_word,
+        MAX(CASE WHEN rn = 1 THEN c END) AS top_word_count,
+        round(
+            MAX(CASE WHEN rn = 1 THEN c END) / CAST(SUM(c) AS DOUBLE), 4
+        ) AS top_word_ratio
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def text_repetition_metrics_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    return repetition_metrics(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction. Patterns are written in the common subset of
+# Java regex (Spark) and RE2 (DuckDB): no lookaround, no backreferences,
+# non-capturing groups only — which is also what keeps them cheap enough to
+# run inside codegen over 100 TB. Redaction order is fixed (email, ssn,
+# phone, ip) so outputs are reproducible.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def detect_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document match counts for every PII pattern, plus a has_pii
+    flag. Pure column expressions — narrow, codegen'd, no shuffle."""
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)).alias(
+            f"n_{name}"
+        )
+        for name, pat in PII_PATTERNS.items()
+    ]
+    keep = [c for c in df.columns if c not in (id_col, text_col)]
+    out = df.select(F.col(id_col), *keep, *counts)
+    any_pii = None
+    for name in PII_PATTERNS:
+        c = F.col(f"n_{name}") > 0
+        any_pii = c if any_pii is None else (any_pii | c)
+    return out.withColumn("has_pii", any_pii)
+
+
+def redact_pii(text_col: str) -> Column:
+    """Replace every PII match with a typed placeholder ([EMAIL], [SSN],
+    [PHONE], [IPV4]), applied in fixed pattern order."""
+    col = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        col = F.regexp_replace(col, pat, f"[{name.upper()}]")
+    return col
+
+
+@query(
+    "text_pii_scan",
+    oracle=r"""
+    SELECT
+        source,
+        COUNT(*) AS n_docs,
+        CAST(SUM(len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT)
+            AS n_email,
+        CAST(SUM(len(regexp_extract_all(text,
+            '\b\d{3}-\d{2}-\d{4}\b'))) AS BIGINT) AS n_ssn,
+        CAST(SUM(CASE WHEN
+            regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+            OR regexp_matches(text, '\b\d{3}-\d{2}-\d{4}\b')
+            OR regexp_matches(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')
+            OR regexp_matches(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii
+    FROM documents
+    GROUP BY source
+    """,
+)
+def text_pii_scan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level PII audit by source. (The synthetic corpus is PII-free —
+    zero counts here; the pattern semantics are pinned by handcrafted unit
+    tests in tests/test_quality.py.)"""
+    docs = load(spark, "documents", sf_dir)
+    pii = detect_pii(docs.select("doc_id", "source", "text"), "doc_id", "text")
+    return pii.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").cast("bigint").alias("n_email"),
+        F.sum("n_ssn").cast("bigint").alias("n_ssn"),
+        F.sum(F.col("has_pii").cast("int")).cast("bigint").alias("n_docs_with_pii"),
+    )

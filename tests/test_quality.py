@@ -31,3 +31,61 @@ def test_null_audit_clean_table(spark):
     df = spark.createDataFrame([Row(pk=1), Row(pk=2)])
     res = null_audit(df, ["pk"])
     assert res.ok and res.failed_columns == []
+
+
+def test_detect_pii_handcrafted(spark):
+    """Pattern semantics pinned on text that actually contains PII (the
+    synthetic corpus is PII-free, so the oracle query only proves zeros)."""
+    from pyspark.sql import Row
+
+    from data_engineering_nd_spark.operators.text_analysis import detect_pii
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="mail me at jane.doe+x@corp.example.com now"),
+            Row(doc_id=1, text="ssn 123-45-6789 and phone 555-867-5309 ok"),
+            Row(doc_id=2, text="server at 10.0.255.1 port 80"),
+            Row(doc_id=3, text="nothing sensitive here 1234 5678"),
+        ]
+    )
+    out = {r.doc_id: r for r in detect_pii(df, "doc_id", "text").collect()}
+    assert out[0].n_email == 1 and out[0].has_pii
+    assert out[1].n_ssn == 1 and out[1].n_phone == 1 and out[1].has_pii
+    assert out[2].n_ipv4 == 1 and out[2].has_pii
+    assert not out[3].has_pii
+    assert out[3].n_email == out[3].n_ssn == out[3].n_phone == out[3].n_ipv4 == 0
+
+
+def test_redact_pii_handcrafted(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from data_engineering_nd_spark.operators.text_analysis import redact_pii
+
+    df = spark.createDataFrame(
+        [Row(text="a@b.co or 123-45-6789 or 555-867-5309 or 10.0.0.1 end")]
+    )
+    got = df.select(redact_pii("text").alias("t")).first().t
+    assert got == "[EMAIL] or [SSN] or [PHONE] or [IPV4] end"
+
+
+def test_repetition_metrics_handcrafted(spark):
+    from pyspark.sql import Row
+
+    from data_engineering_nd_spark.operators.text_analysis import (
+        repetition_metrics,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="a a a b"),          # 'a' dominates 3/4
+            Row(doc_id=1, text="x y z w"),          # all distinct
+            Row(doc_id=2, text="m m n n"),          # tie -> lexicographic 'm'
+        ]
+    )
+    out = {r.doc_id: r for r in repetition_metrics(df, "doc_id", "text").collect()}
+    assert out[0].n_words == 4 and out[0].distinct_words == 2
+    assert out[0].top_word == "a" and out[0].top_word_ratio == 0.75
+    assert out[0].dup_word_ratio == 0.5
+    assert out[1].dup_word_ratio == 0.0 and out[1].top_word_count == 1
+    assert out[2].top_word == "m"  # deterministic tie-break
