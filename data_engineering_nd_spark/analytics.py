@@ -1275,3 +1275,158 @@ def q40_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
     )
+
+
+# --------------------------------------------------------------------------
+# q41 — CUBE: all four grain combinations of (returnflag, linestatus) from ONE
+# shuffle (Catalyst expands grouping sets map-side; the alternative — four
+# separate groupBys — scans the fact four times).
+# --------------------------------------------------------------------------
+@query(
+    "q41_cube_returnflag_linestatus",
+    oracle="""
+    SELECT
+        COALESCE(l_returnflag, '__ALL__') AS returnflag,
+        COALESCE(l_linestatus, '__ALL__') AS linestatus,
+        COUNT(*) AS n_items,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q41_cube_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("__ALL__")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("__ALL__")).alias("linestatus"),
+            "n_items",
+            "sum_qty",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q42 — deterministic hash sampling: the cross-engine, cross-run-stable way
+# to sample (sample membership is a pure function of the key, never of
+# partitioning or RNG state — re-runs, retries, and different engines agree
+# row-for-row). An md5 hex-prefix compare gives a 1/16 bucket without any
+# integer-conversion dialect differences. This is how a 100 TB pipeline
+# pins a dev slice: the predicate pushes to the scan and prunes nothing
+# but CPU, yet the slice is reproducible everywhere.
+# --------------------------------------------------------------------------
+@query(
+    "q42_deterministic_sample",
+    oracle="""
+    SELECT
+        o_orderstatus,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sampled_revenue
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+    GROUP BY o_orderstatus
+    """,
+)
+def q42_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    return (
+        o.filter(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) == "0"
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("sampled_revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q43 — rank-distribution windows: ntile / percent_rank / cume_dist share
+# exact definitions between Spark and DuckDB, so the whole distribution is
+# value-checkable. One window spec -> one shuffle on the partition key.
+# --------------------------------------------------------------------------
+@query(
+    "q43_rank_distribution",
+    oracle="""
+    SELECT
+        c_custkey,
+        c_nationkey,
+        CAST(ntile(4) OVER w AS INT) AS balance_quartile,
+        round(percent_rank() OVER w, 6) AS pct_rank,
+        round(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q43_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, "customer", sf_dir)
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q44 — deep star join (7 relations, two roles for nation): the join-
+# reordering / broadcast-planning stress case. Only the lineitem-orders
+# edge is big-big (AQE sort-merge); customer joins on its key; nation (x2)
+# and region are explicit broadcasts — the fact table shuffles once for
+# orders and once for the final aggregate, nothing else.
+# --------------------------------------------------------------------------
+@query(
+    "q44_supplier_market_share",
+    oracle="""
+    SELECT
+        r.r_name AS region_name,
+        sn.n_name AS supp_nation,
+        CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN region r ON cn.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    GROUP BY r.r_name, sn.n_name
+    """,
+)
+def q44_supplier_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    o = load(spark, "orders", sf_dir)
+    c = load(spark, "customer", sf_dir)
+    n = load(spark, "nation", sf_dir)
+    r = load(spark, "region", sf_dir)
+    s = load(spark, "supplier", sf_dir)
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_nationkey"),
+        F.col("n_regionkey").alias("cn_regionkey"),
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_nationkey"))
+        .join(F.broadcast(r), F.col("cn_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_nationkey"))
+        .groupBy(F.col("r_name").alias("region_name"), "supp_nation")
+        .agg(
+            dsum(revenue, 6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

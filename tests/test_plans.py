@@ -108,3 +108,43 @@ def test_asof_and_range_joins_are_not_nested_loops(spark):
         plan = physical_plan(q(spark, SF_DIR))
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert "CartesianProduct" not in plan, plan
+
+
+def test_deep_star_join_broadcasts_all_dims(spark):
+    """q44 joins 7 relations; every dimension edge (nation x2, region,
+    supplier) must be a broadcast join and nothing may fall back to a
+    nested loop. (At test scale AQE may broadcast the fact edges too —
+    the invariant is the floor, not the exact count.)"""
+    from data_engineering_nd_spark.analytics import q44_supplier_market_share
+    from data_engineering_nd_spark.plans.inspect import physical_plan
+
+    df = q44_supplier_market_share(spark, SF_DIR)
+    assert_broadcast_join(df, min_count=4)
+    assert "NestedLoop" not in physical_plan(df)
+
+
+def test_cube_expands_from_single_exchange(spark):
+    """q41's four grains (CUBE) must come from ONE shuffle — the Expand
+    operator multiplies rows map-side; four separate groupBys would scan
+    the fact four times."""
+    from data_engineering_nd_spark.analytics import (
+        q41_cube_returnflag_linestatus,
+    )
+    from data_engineering_nd_spark.plans.inspect import (
+        count_exchanges,
+        physical_plan,
+    )
+
+    df = q41_cube_returnflag_linestatus(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "Expand" in plan
+    assert count_exchanges(df) == 1, plan
+
+
+def test_deterministic_sample_filter_is_jvm_side(spark):
+    """q42's hash-sample predicate must stay in codegen (no Python UDF) —
+    it is pure CPU over the scan, the shape that survives 100 TB."""
+    from data_engineering_nd_spark.analytics import q42_deterministic_sample
+
+    df = q42_deterministic_sample(spark, SF_DIR)
+    assert_no_python_udf_in(df)
