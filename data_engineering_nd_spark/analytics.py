@@ -1430,3 +1430,103 @@ def q44_supplier_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q45 — time-series gap filling (resample): regularize an event stream to
+# an hourly grid with explicit zeros for silent hours. The spine is
+# sequence+explode over the observed bounds (one 1-row aggregate, then a
+# generated axis — no data shuffle to build it); the fill is a left join
+# spine->counts. At 100 TB the spine stays tiny (hours x types), so it
+# BROADCASTS against the aggregated counts — the raw events are touched
+# exactly once, by the counting aggregate.
+# --------------------------------------------------------------------------
+@query(
+    "q45_gap_fill_hourly",
+    oracle="""
+    WITH b AS (
+        SELECT
+            date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS h0,
+            date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS h1
+        FROM events
+    ),
+    hours AS (
+        SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    hourly AS (
+        SELECT
+            date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+            event_type,
+            count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT
+        h.hour,
+        t.event_type,
+        COALESCE(c.n_events, 0) AS n_events
+    FROM hours h
+    CROSS JOIN types t
+    LEFT JOIN hourly c ON c.hour = h.hour AND c.event_type = t.event_type
+    """,
+)
+def q45_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_raw"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    spine = hours.crossJoin(types)
+    return spine.join(hourly, ["hour", "event_type"], "left").select(
+        F.col("hour").cast("timestamp_ntz").alias("hour"),
+        "event_type",
+        F.coalesce(F.col("n_raw"), F.lit(0)).cast("bigint").alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q46 — fixed-width histogram: binning as pure arithmetic (floor of a
+# division, clamped) so the bucket id computes identically in Spark and
+# DuckDB (neither engine's width_bucket is used — DuckDB 1.0 lacks it, and
+# identical double arithmetic is the stronger determinism guarantee).
+# One hash-aggregate on a derived int key; codegen end-to-end.
+# --------------------------------------------------------------------------
+@query(
+    "q46_price_histogram",
+    oracle="""
+    SELECT
+        CAST(LEAST(FLOOR(l_extendedprice / 5000.0), 20) AS INT) AS price_bucket,
+        CAST(LEAST(FLOOR(l_extendedprice / 5000.0), 20) * 5000.0 AS DOUBLE)
+            AS bucket_lo,
+        COUNT(*) AS n_items,
+        round(MIN(l_extendedprice), 4) AS min_price,
+        round(MAX(l_extendedprice), 4) AS max_price
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def q46_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    bucket = F.least(
+        F.floor(F.col("l_extendedprice") / F.lit(5000.0)), F.lit(20)
+    )
+    return (
+        li.groupBy(
+            bucket.cast("int").alias("price_bucket"),
+            (bucket * F.lit(5000.0)).cast("double").alias("bucket_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+        )
+    )
