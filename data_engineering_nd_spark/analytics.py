@@ -1530,3 +1530,52 @@ def q46_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("l_extendedprice"), 4).alias("max_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q47 — correlated subqueries: EXISTS (decorrelated by Catalyst into a
+# left-semi join) and a correlated scalar subquery (decorrelated into an
+# aggregate + join). The point is the DECORRELATION: the naive reading is
+# one subquery execution per outer row (O(n) scans); Catalyst rewrites
+# both into single joins, which is the only shape that survives scale.
+# --------------------------------------------------------------------------
+@query(
+    "q47_correlated_subqueries",
+    oracle="""
+    SELECT
+        c.c_custkey,
+        c.c_nationkey,
+        round(c.c_acctbal, 4) AS acctbal,
+        (
+            SELECT COUNT(*) FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+        ) AS n_finished_orders
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000
+    )
+    ORDER BY c.c_custkey
+    """,
+)
+def q47_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, "customer", sf_dir).createOrReplaceTempView("v_customer")
+    load(spark, "orders", sf_dir).createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT
+            c.c_custkey,
+            c.c_nationkey,
+            round(c.c_acctbal, 4) AS acctbal,
+            (
+                SELECT COUNT(*) FROM v_orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+            ) AS n_finished_orders
+        FROM v_customer c
+        WHERE EXISTS (
+            SELECT 1 FROM v_orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000
+        )
+        ORDER BY c.c_custkey
+        """
+    )

@@ -148,3 +148,15 @@ def test_deterministic_sample_filter_is_jvm_side(spark):
 
     df = q42_deterministic_sample(spark, SF_DIR)
     assert_no_python_udf_in(df)
+
+
+def test_correlated_subqueries_decorrelate_to_joins(spark):
+    """q47's EXISTS and scalar subquery must decorrelate into joins — a
+    per-outer-row subquery execution (nested loop) would be O(n) scans."""
+    from data_engineering_nd_spark.analytics import q47_correlated_subqueries
+    from data_engineering_nd_spark.plans.inspect import physical_plan
+
+    df = q47_correlated_subqueries(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "NestedLoop" not in plan
+    assert "Join LeftSemi" in plan or "LeftSemi" in plan
