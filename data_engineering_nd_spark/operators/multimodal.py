@@ -125,6 +125,77 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     ).mapInPandas(process, FRAME_SAMPLE_SCHEMA)
 
 
+AUDIO_CHUNK_SCHEMA = (
+    "media_id bigint, chunk_index int, start_ms int, end_ms int, rms double"
+)
+
+
+def decode_audio(payload: bytes) -> "list[float]":
+    """Real decoder — requires an audio codec library not present in this
+    container. The Spark plumbing uses the deterministic byte-level fake."""
+    raise NotImplementedError(
+        "audio codecs unavailable in this environment; chunk_audio uses the "
+        "payload bytes as fake PCM"
+    )
+
+
+def chunk_audio(
+    df: DataFrame, window_ms: int = 2000, hop_ms: int = 1000
+) -> DataFrame:
+    """Overlapping-window audio chunking: each payload expands to
+    ceil(duration/hop) windows of ``window_ms`` with an RMS-style energy
+    per chunk. The 1-to-N-with-overlap mapInPandas shape (hop < window
+    means adjacent chunks share samples) — with a real codec only the
+    sample-extraction line changes. Chunking is per-row and narrow: no
+    shuffle, parallelism = input partitions."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for media_id, duration, payload in zip(
+                pdf["media_id"], pdf["duration_ms"], pdf["payload"]
+            ):
+                data = bytes(payload) if payload is not None else b""
+                dur = int(duration or 0)
+                if not data or dur <= 0:
+                    continue
+                # fake PCM: bytes as centered samples, time-scaled to dur
+                samples = np.frombuffer(data, dtype=np.uint8).astype(
+                    np.float64
+                ) - 128.0
+                per_ms = max(len(samples) / dur, 1e-9)
+                start = 0
+                idx = 0
+                while start < dur:
+                    end = min(start + window_ms, dur)
+                    lo = int(start * per_ms)
+                    hi = max(int(end * per_ms), lo + 1)
+                    w = samples[lo:hi]
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "chunk_index": idx,
+                            "start_ms": start,
+                            "end_ms": end,
+                            "rms": round(
+                                float(np.sqrt(np.mean(w * w))), 4
+                            ),
+                        }
+                    )
+                    start += hop_ms
+                    idx += 1
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "chunk_index", "start_ms", "end_ms", "rms"],
+            )
+
+    return df.filter(F.col("kind") == "audio").select(
+        "media_id", "duration_ms", "payload"
+    ).mapInPandas(process, AUDIO_CHUNK_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # driver-facing queries. The testdata ships no binary media table, so the
 # media frame is synthesized deterministically from `documents` (payload =
@@ -144,6 +215,7 @@ def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.when(F.col("doc_id") % 5 == 0, F.lit("video"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("audio"))
         .otherwise(F.lit("image"))
         .alias("kind"),
         F.encode("text", "UTF-8").alias("payload"),
@@ -162,3 +234,8 @@ def multimodal_image_features_query(spark: SparkSession, sf_dir: str) -> DataFra
 @query("multimodal_frame_samples")
 def multimodal_frame_samples_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(synthetic_media(spark, sf_dir), every_ms=1000)
+
+
+@query("multimodal_audio_chunks")
+def multimodal_audio_chunks_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_audio(synthetic_media(spark, sf_dir))

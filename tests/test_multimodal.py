@@ -79,7 +79,7 @@ def test_registered_multimodal_queries(spark):
     sf = "/root/testdata/sf0.001"
     media = synthetic_media(spark, sf)
     kinds = dict(media.groupBy("kind").count().collect())
-    assert set(kinds) == {"image", "video"}
+    assert set(kinds) == {"image", "video", "audio"}
     feats = multimodal_image_features_query(spark, sf)
     row = feats.orderBy("media_id").first()
     assert row.n_bytes > 0 and 0.0 <= row.mean_intensity <= 1.0
@@ -87,3 +87,40 @@ def test_registered_multimodal_queries(spark):
     # every video with duration >= 1s yields at least one frame row
     n_videos = media.filter("kind = 'video' AND duration_ms >= 1000").count()
     assert frames.select("media_id").distinct().count() == n_videos
+
+
+def test_audio_chunking_overlap_and_energy(spark, media):
+    from data_engineering_nd_spark.operators.multimodal import chunk_audio
+
+    # media_id=4: duration 2000ms -> windows [0,2000),[1000,2000)
+    chunks = sorted(
+        chunk_audio(media, window_ms=2000, hop_ms=1000).collect(),
+        key=lambda r: r.chunk_index,
+    )
+    assert [r.media_id for r in chunks] == [4, 4]
+    assert [(r.start_ms, r.end_ms) for r in chunks] == [
+        (0, 2000), (1000, 2000),
+    ]
+    # constant fake PCM (byte 0x05 everywhere) -> identical RMS per chunk
+    assert len({r.rms for r in chunks}) == 1 and chunks[0].rms > 0
+
+
+def test_audio_chunking_registered_query(spark):
+    from data_engineering_nd_spark.operators.multimodal import (
+        multimodal_audio_chunks_query,
+        synthetic_media,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = multimodal_audio_chunks_query(spark, sf)
+    media = synthetic_media(spark, sf)
+    n_audio = media.filter("kind = 'audio' AND duration_ms > 0").count()
+    assert out.select("media_id").distinct().count() == n_audio
+    # chunks tile the duration: per media, max(end_ms) == duration_ms
+    import pyspark.sql.functions as F
+
+    joined = (
+        out.groupBy("media_id").agg(F.max("end_ms").alias("last_end"))
+        .join(media.select("media_id", "duration_ms"), "media_id")
+    )
+    assert joined.filter("last_end <> duration_ms").count() == 0
