@@ -132,6 +132,95 @@ def dq_pk_uniqueness_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# Table reconciliation: the migration-validation operator. Given two
+# versions of a table (old pipeline vs new, yesterday vs today, source vs
+# replica), classify every key as only_left / only_right / value_mismatch /
+# equal in ONE full-outer join. Payload comparison hashes all non-key
+# columns into a single xxhash64 (column-order-canonicalized), so the
+# shuffle moves keys + one 8-byte digest — not the payloads — and the
+# comparison cost is independent of column count at the join.
+# ---------------------------------------------------------------------------
+
+
+def reconcile(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    include_equal: bool = False,
+) -> DataFrame:
+    """Symmetric table diff on ``key_cols``. Returns key columns + a
+    ``diff_status`` column; equal rows are dropped unless requested."""
+    payload = sorted(c for c in left.columns if c not in key_cols)
+    if sorted(c for c in right.columns if c not in key_cols) != payload:
+        raise ValueError("left/right payload columns differ — align schemas first")
+
+    def digested(df: DataFrame, name: str) -> DataFrame:
+        cols = [F.col(c).cast("string") for c in payload]
+        return df.select(
+            *key_cols, F.xxhash64(*cols).alias(f"__h_{name}")
+        )
+
+    j = digested(left, "l").join(digested(right, "r"), key_cols, "full_outer")
+    status = (
+        F.when(F.col("__h_r").isNull(), F.lit("only_left"))
+        .when(F.col("__h_l").isNull(), F.lit("only_right"))
+        .when(F.col("__h_l") != F.col("__h_r"), F.lit("value_mismatch"))
+        .otherwise(F.lit("equal"))
+    )
+    out = j.select(*key_cols, status.alias("diff_status"))
+    return out if include_equal else out.filter(F.col("diff_status") != "equal")
+
+
+@query(
+    "dq_reconcile_versions",
+    oracle="""
+    WITH l AS (SELECT * FROM orders),
+    r AS (
+        SELECT o_orderkey,
+               o_custkey,
+               o_orderstatus,
+               CASE WHEN o_orderkey % 97 = 0
+                    THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 31 <> 0
+    )
+    SELECT
+        COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+        CASE
+            WHEN r.o_orderkey IS NULL THEN 'only_left'
+            WHEN l.o_orderkey IS NULL THEN 'only_right'
+            WHEN l.o_custkey IS DISTINCT FROM r.o_custkey
+              OR l.o_orderstatus IS DISTINCT FROM r.o_orderstatus
+              OR l.o_totalprice IS DISTINCT FROM r.o_totalprice
+              OR l.o_orderdate IS DISTINCT FROM r.o_orderdate
+              OR l.o_orderpriority IS DISTINCT FROM r.o_orderpriority
+            THEN 'value_mismatch'
+            ELSE 'equal'
+        END AS diff_status
+    FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
+    WHERE r.o_orderkey IS NULL OR l.o_orderkey IS NULL
+       OR l.o_totalprice IS DISTINCT FROM r.o_totalprice
+    """,
+)
+def dq_reconcile_versions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconcile orders against a deterministically perturbed copy (every
+    31st key dropped, every 97th price bumped) — the migration-diff shape,
+    oracle-checked row-for-row."""
+    o = load(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    perturbed = o.filter(F.col("o_orderkey") % 31 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return reconcile(o, perturbed, ["o_orderkey"])
+
+
 def _main(argv: list[str] | None = None) -> int:
     """Standalone data-quality CLI — the reference's
     `python i94_data_quality_check.py --tables=... --table-col=...` surface

@@ -89,3 +89,36 @@ def test_repetition_metrics_handcrafted(spark):
     assert out[0].dup_word_ratio == 0.5
     assert out[1].dup_word_ratio == 0.0 and out[1].top_word_count == 1
     assert out[2].top_word == "m"  # deterministic tie-break
+
+
+def test_reconcile_classifies_all_diff_kinds(spark):
+    from pyspark.sql import Row
+
+    from data_engineering_nd_spark.operators.quality import reconcile
+
+    left = spark.createDataFrame(
+        [Row(k=1, a="x", b=1.0), Row(k=2, a="y", b=2.0), Row(k=3, a="z", b=3.0)]
+    )
+    right = spark.createDataFrame(
+        [Row(k=2, a="y", b=2.0), Row(k=3, a="z", b=9.9), Row(k=4, a="w", b=4.0)]
+    )
+    got = {r.k: r.diff_status for r in reconcile(left, right, ["k"]).collect()}
+    assert got == {1: "only_left", 3: "value_mismatch", 4: "only_right"}
+
+    with_equal = {
+        r.k: r.diff_status
+        for r in reconcile(left, right, ["k"], include_equal=True).collect()
+    }
+    assert with_equal[2] == "equal" and len(with_equal) == 4
+
+
+def test_reconcile_rejects_misaligned_schemas(spark):
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from data_engineering_nd_spark.operators.quality import reconcile
+
+    left = spark.createDataFrame([Row(k=1, a="x")])
+    right = spark.createDataFrame([Row(k=1, z="x")])
+    with _pytest.raises(ValueError):
+        reconcile(left, right, ["k"])
