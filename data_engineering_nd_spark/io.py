@@ -158,3 +158,32 @@ def compact_parquet(
         return res
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int | None = None,
+) -> WriteResult:
+    """Range-clustered parquet write: globally range-partition on
+    ``cluster_cols`` then sort within each partition before writing.
+
+    Each output file then covers a narrow, mostly-disjoint slice of the
+    cluster-key domain, so parquet footer min/max statistics let readers
+    skip whole files/row-groups for selective predicates on those columns
+    — the poor man's Z-order, and at 100 TB the difference between
+    scanning a day and scanning a decade for a date-range query. Costs one
+    range shuffle (sampled boundaries) at write time; hive partitioning
+    (``write(partition_keys=...)``) remains the tool for LOW-cardinality
+    keys, clustering for high-cardinality ones like timestamps.
+
+    tests/test_io.py asserts the per-file min/max footer ranges are
+    near-disjoint after this write and heavily overlapping without it.
+    """
+    spark = df.sparkSession
+    n = n_files or spark.sparkContext.defaultParallelism
+    clustered = df.repartitionByRange(n, *cluster_cols).sortWithinPartitions(
+        *cluster_cols
+    )
+    return write(clustered, path, mode="overwrite")

@@ -71,3 +71,56 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     compact_parquet(spark, out, target_partitions=2)
     assert len(glob.glob(out + "/part-*")) == 2
     assert spark.read.parquet(out).count() == 1000
+
+
+def test_write_clustered_yields_near_disjoint_file_ranges(spark, tmp_path):
+    """Range-clustered files must carve the key domain into narrow slices
+    (footer min/max per file), the property that makes predicate-driven
+    file skipping work; a hash-shuffled control write must not."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from data_engineering_nd_spark.catalog import load
+    from data_engineering_nd_spark.io import write_clustered
+    from tests.conftest import SF_DIR
+
+    orders = load(spark, "orders", SF_DIR).select("o_orderkey", "o_totalprice")
+
+    def file_ranges(path):
+        out = []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(path, f))
+            col_idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }["o_orderkey"]
+            lo = min(
+                md.row_group(g).column(col_idx).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(g).column(col_idx).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            out.append((lo, hi))
+        return sorted(out)
+
+    clustered_path = str(tmp_path / "clustered")
+    write_clustered(orders, clustered_path, ["o_orderkey"], n_files=4)
+    control_path = str(tmp_path / "control")
+    orders.repartition(4).write.parquet(control_path)
+
+    def total_overlap(ranges):
+        span = max(h for _, h in ranges) - min(l for l, _ in ranges)
+        covered = sum(h - l for l, h in ranges)
+        return covered / span  # 1.0 = perfectly disjoint tiling
+
+    clustered = file_ranges(clustered_path)
+    control = file_ranges(control_path)
+    assert len(clustered) == 4
+    assert total_overlap(clustered) < 1.5   # near-disjoint slices
+    assert total_overlap(control) > 3.0     # every file spans ~everything
+    # and the data survives intact
+    assert spark.read.parquet(clustered_path).count() == orders.count()
