@@ -1579,3 +1579,361 @@ def q47_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c.c_custkey
         """
     )
+
+
+# --------------------------------------------------------------------------
+# q48 — returned-item revenue (TPC-H Q10 shape): which customers returned
+# the most value. fact ⋈ fact equi-join (AQE sort-merge, skew-splittable)
+# then two broadcast dims; top-20. The reference's "which visitors /
+# countries dominate" question family (Capstone/README.md:21-30) at the
+# customer grain.
+# --------------------------------------------------------------------------
+@query(
+    "q48_returned_item_revenue",
+    oracle="""
+    SELECT
+        c.c_custkey,
+        c.c_name,
+        n.n_name,
+        CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q48_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    orders = load(spark, "orders", sf_dir)
+    cust = load(spark, "customer", sf_dir)
+    nation = load(spark, "nation", sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(rev, 6).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q49 — late-shipment priority audit (TPC-H Q12 shape): line items shipped
+# >60 days after the order date, by order priority. datediff arithmetic on
+# the join output; both sides of the join are facts.
+# --------------------------------------------------------------------------
+@query(
+    "q49_late_shipment_priority",
+    oracle="""
+    SELECT
+        o.o_orderpriority,
+        COUNT(*) AS n_late_items,
+        CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS late_revenue,
+        CAST(SUM(DATE_DIFF('day', o.o_orderdate, l.l_shipdate)) AS BIGINT) AS total_delay_days
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q49_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    orders = load(spark, "orders", sf_dir)
+    delay = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(delay > 60)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_late_items"),
+            dsum(F.col("l_extendedprice")).alias("late_revenue"),
+            F.sum(delay).cast("bigint").alias("total_delay_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# q50 — promo revenue share by month (TPC-H Q14 shape): conditional
+# aggregation over a fact ⋈ dim join; the percentage is a ratio of two
+# decimal-accumulated sums, rounded, so both engines agree bit-for-bit.
+# --------------------------------------------------------------------------
+@query(
+    "q50_promo_revenue_share",
+    oracle="""
+    SELECT
+        CAST(year(l.l_shipdate) AS INT) AS ship_year,
+        CAST(month(l.l_shipdate) AS INT) AS ship_month,
+        round(
+            100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
+                ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+            / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+            6) AS promo_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q50_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    part = load(spark, "part", sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev.cast("decimal(18,6)")).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+            F.month("l_shipdate").cast("int").alias("ship_month"),
+        )
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(rev.cast("decimal(18,6)")).cast("double"),
+                6,
+            ).alias("promo_pct")
+        )
+        .orderBy("ship_year", "ship_month")
+    )
+
+
+# --------------------------------------------------------------------------
+# q51 — large-volume orders (TPC-H Q18 shape): aggregate lineitem by order,
+# HAVING over the aggregate, join back to orders + customer. The HAVING
+# filter runs before the join, so only qualifying orderkeys (a tiny set)
+# reach the join — at 100 TB the post-aggregate side is broadcastable.
+# --------------------------------------------------------------------------
+@query(
+    "q51_large_volume_orders",
+    oracle="""
+    SELECT
+        c.c_custkey,
+        c.c_name,
+        o.o_orderkey,
+        CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+        round(o.o_totalprice, 4) AS o_totalprice,
+        CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2, 3, 4, 5
+    HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,4))) > 250
+    ORDER BY o_orderkey
+    """,
+)
+def q51_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    orders = load(spark, "orders", sf_dir)
+    cust = load(spark, "customer", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp_ntz").alias("o_orderdate"),
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q52 — small-quantity revenue (TPC-H Q17 shape): correlated aggregate —
+# revenue of line items whose quantity is below half the part's average.
+# Catalyst decorrelates the per-part average into one aggregate + join.
+# --------------------------------------------------------------------------
+@query(
+    "q52_small_quantity_revenue",
+    oracle="""
+    WITH avg_qty AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS part_avg_qty
+        FROM lineitem GROUP BY 1
+    )
+    SELECT
+        p.p_brand,
+        COUNT(*) AS n_small_items,
+        CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS small_revenue
+    FROM lineitem l
+    JOIN avg_qty a ON l.l_partkey = a.l_partkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_quantity < 0.5 * a.part_avg_qty
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q52_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    part = load(spark, "part", sf_dir)
+    avg_qty = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        davg(F.col("l_quantity")).alias("part_avg_qty")
+    )
+    return (
+        li.join(avg_qty, li.l_partkey == avg_qty.a_partkey)
+        .filter(F.col("l_quantity") < 0.5 * F.col("part_avg_qty"))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small_items"),
+            dsum(F.col("l_extendedprice")).alias("small_revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# --------------------------------------------------------------------------
+# q53 — top supplier by windowed revenue (TPC-H Q15 shape): revenue per
+# supplier in a 6-month ship window, return the max-revenue supplier(s).
+# The scalar max comes from the same decimal-deterministic aggregate on
+# both engines, so the double equality filter is safe.
+# --------------------------------------------------------------------------
+@query(
+    "q53_top_supplier_revenue",
+    oracle="""
+    WITH rev AS (
+        SELECT
+            l_suppkey,
+            CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-07-01'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q53_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    sup = load(spark, "supplier", sf_dir)
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("total_rev"))
+    )
+    top = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(top), rev.total_rev == top.max_rev)
+        .join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q54 — customer order-count distribution (TPC-H Q13 shape): double
+# aggregation — orders per customer (left join keeps zero-order customers),
+# then customers per order-count. Two shuffles, both on shrinking keys.
+# --------------------------------------------------------------------------
+@query(
+    "q54_customer_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+        FROM customer c
+        LEFT JOIN orders o
+          ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '5-LOW'
+        GROUP BY 1
+    )
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM per_cust
+    GROUP BY 1
+    ORDER BY n_customers DESC, n_orders DESC
+    """,
+)
+def q54_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, "orders", sf_dir)
+    cust = load(spark, "customer", sf_dir)
+    per_cust = (
+        cust.join(
+            orders.filter(F.col("o_orderpriority") != "5-LOW"),
+            cust.c_custkey == orders.o_custkey,
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q55 — dormant rich customers by nation (TPC-H Q22 shape): scalar global
+# average (broadcast single row) + anti join against urgent orders, grouped
+# by nation. Anti join prunes to the small complement before the aggregate.
+# (The anti-join side is filtered to '1-URGENT' so the complement is
+# non-empty on the synthetic data — every customer has *some* order.)
+# --------------------------------------------------------------------------
+@query(
+    "q55_dormant_rich_customers",
+    oracle="""
+    WITH avg_bal AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS a
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT
+        c.c_nationkey,
+        COUNT(*) AS n_customers,
+        CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q55_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, "orders", sf_dir)
+    cust = load(spark, "customer", sf_dir)
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        davg(F.col("c_acctbal")).alias("a")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(
+            orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+            cust.c_custkey == orders.o_custkey,
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

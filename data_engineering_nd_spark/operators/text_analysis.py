@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from data_engineering_nd_spark.catalog import load
 from data_engineering_nd_spark.functions.text import (
@@ -351,3 +352,77 @@ def text_pii_scan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_ssn").cast("bigint").alias("n_ssn"),
         F.sum(F.col("has_pii").cast("int")).cast("bigint").alias("n_docs_with_pii"),
     )
+
+
+def tfidf_top_terms(docs: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document, fully distributed.
+
+    Classic training-corpus weighting: tf = term count within the document,
+    idf = ln(N / df) with df = number of documents containing the term.
+    Tokenization is a plain whitespace split (matching the oracle's
+    string_split); N arrives via a broadcast single-row aggregate, never a
+    driver-side collect. Scores are rounded to 6 dp before ranking so the
+    (score DESC, term ASC) order is total and engine-independent.
+
+    Scale: two hash aggregates on (doc, term) / (term) — both map-side
+    combined — plus one per-document window for the top-k. The widest
+    shuffle key is (doc_id, term), which is near-unique, so skew is bounded
+    by the most repetitive single document, not the corpus.
+    """
+    words = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = words.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_counts, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    words AS (SELECT doc_id, term FROM w WHERE term <> ''),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT
+            tf.doc_id,
+            tf.term,
+            round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 6) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+        FROM scored
+    )
+    WHERE rn <= 3
+    """,
+)
+def text_tfidf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    return tfidf_top_terms(docs, "doc_id", "text", k=3)
