@@ -1937,3 +1937,118 @@ def q55_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# --------------------------------------------------------------------------
+# q56 — ordered event funnel (signup -> first view after signup -> first
+# purchase after that view). Each stage is a min-aggregate then an
+# equi-join on user_id with a range predicate on ts — the classic scalable
+# funnel shape: no window over the whole event stream, no per-user
+# collect_list; state per user is one timestamp per stage. At 100 TB the
+# three stage frames are each <= |users| rows, far smaller than the event
+# fact they summarize.
+# --------------------------------------------------------------------------
+@query(
+    "q56_event_funnel",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS ts_signup
+        FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    v AS (
+        SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS ts_view
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'view' AND CAST(e.ts AS TIMESTAMP) > s.ts_signup
+        GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS ts_purchase
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > v.ts_view
+        GROUP BY 1
+    )
+    SELECT
+        (SELECT COUNT(*) FROM s) AS n_signup,
+        (SELECT COUNT(*) FROM v) AS n_view_after_signup,
+        (SELECT COUNT(*) FROM p) AS n_purchase_after_view
+    """,
+)
+def q56_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_signup"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("ts_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("ts_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_purchase"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(v.agg(F.count(F.lit(1)).alias("n_view_after_signup")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_view")))
+    )
+
+
+# --------------------------------------------------------------------------
+# q57 — weekly cohort retention: users grouped by first-seen week, distinct
+# active users per (cohort, week-offset). Two aggregates over the event
+# fact; the per-user first-seen frame joins back broadcast-small. Both
+# engines truncate weeks to Monday, and the offset is integer day-diff / 7
+# (both week-truncated, so the division is exact).
+# --------------------------------------------------------------------------
+@query(
+    "q57_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id,
+               date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS cohort_week
+        FROM events GROUP BY 1
+    ),
+    activity AS (
+        SELECT DISTINCT user_id,
+               date_trunc('week', CAST(ts AS TIMESTAMP)) AS active_week
+        FROM events
+    )
+    SELECT
+        CAST(f.cohort_week AS TIMESTAMP) AS cohort_week,
+        CAST(DATE_DIFF('day', CAST(f.cohort_week AS DATE),
+                       CAST(a.active_week AS DATE)) / 7 AS INT) AS week_offset,
+        COUNT(DISTINCT a.user_id) AS n_active
+    FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q57_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    offset = (
+        F.datediff(F.col("active_week").cast("date"), F.col("cohort_week").cast("date"))
+        / 7
+    ).cast("int")
+    return (
+        activity.join(F.broadcast(first_seen), "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("timestamp_ntz").alias("cohort_week"),
+            offset.alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )

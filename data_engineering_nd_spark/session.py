@@ -48,6 +48,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow for pandas_udf / applyInPandas / toPandas interchange.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Runtime row-level join pruning: inject a bloom filter built from the
+        # small/filtered side of a join into the big side's scan. At 100 TB
+        # this skips reading most of a fact's rows when the dim side is
+        # selective; at test scale it is a no-op below the creation threshold.
+        # (runtimeFilter.semiJoinReduction is deliberately NOT enabled: it
+        # hangs session startup on this Spark build — bloom injection alone
+        # is the safe, effective variant.)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cpus, 8)))
         # Read timestamps without timezone as TIMESTAMP_NTZ to match the
         # driver's DuckDB oracle (plain TIMESTAMP) semantics.
