@@ -464,3 +464,132 @@ def lsh_topk(
 def ann_lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load(spark, "embeddings", sf_dir)
     return lsh_topk(vecs, vecs.filter(F.col("vec_id") < 10), k=5)
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization: the memory-bandwidth path. At 100 TB of
+# embeddings the scan is bandwidth-bound; symmetric per-vector int8 cuts
+# bytes moved 4x, candidate scoring runs on the quantized arrays, and the
+# exact float cosine touches only the surviving candidates.
+# ---------------------------------------------------------------------------
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", out_prefix: str = "q"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization.
+
+    scale = max|x| / 127; q_i = round(x_i / scale) in [-127, 127]. Cosine is
+    scale-invariant, so quantized cosine needs no dequantization. Pure
+    column expressions (transform/array_max) — codegen'd, no Python. The
+    all-zero vector keeps scale 0 and quantizes to zeros.
+    """
+    v = F.col(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))) / F.lit(127.0)
+    q = F.transform(
+        v,
+        lambda x: F.when(scale > 0, F.round(x.cast("double") / scale))
+        .otherwise(F.lit(0.0))
+        .cast("int"),
+    )
+    return df.withColumn(f"{out_prefix}_vec", q).withColumn(
+        f"{out_prefix}_scale", scale
+    )
+
+
+def _int_cosine(a: Column, b: Column) -> Column:
+    """Cosine over int arrays: exact bigint dot product, double norms."""
+    d = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    ).cast("double")
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: (x * x).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: (x * x).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+    return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(-2.0))
+
+
+def quantized_rerank_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    expand: int = 4,
+) -> DataFrame:
+    """Top-k by int8-quantized cosine, exact-reranked.
+
+    Stage 1 scores every candidate with the integer cosine (the cheap,
+    bandwidth-friendly pass) and keeps k*expand per query; stage 2 joins the
+    float vectors back for ONLY those candidates and reranks with the exact
+    cosine. Integer stage is bit-deterministic (bigint accumulation is
+    associative), so candidate sets are stable across runs/partitionings.
+    """
+    qv = quantize_int8(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_full")),
+        "q_full",
+        "qq",
+    )
+    vv = quantize_int8(
+        vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_full")),
+        "v_full",
+        "qv",
+    )
+    coarse = (
+        vv.select("neighbor_id", "qv_vec")
+        .crossJoin(F.broadcast(qv.select("query_id", "qq_vec")))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _int_cosine(F.col("qq_vec"), F.col("qv_vec")).alias("coarse_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("coarse_sim"), "neighbor_id")
+    cands = (
+        coarse.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= k * expand)
+        .select("query_id", "neighbor_id")
+    )
+    exact = (
+        cands.join(
+            F.broadcast(qv.select("query_id", "q_full")), "query_id"
+        )
+        .join(vv.select("neighbor_id", "v_full"), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_full"), F.col("v_full")).alias("sim_raw"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), "neighbor_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("sim_raw", 4).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
+@query("ann_quantized_topk")  # int8 coarse pass -> not SQL-mirrorable; rows-only
+def ann_quantized_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10 fixed queries, int8-quantized candidate scoring, exact rerank.
+    Recall vs exact brute force is pinned in tests/test_similarity.py."""
+    emb = load(spark, "embeddings", sf_dir)
+    return quantized_rerank_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)

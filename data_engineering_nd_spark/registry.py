@@ -46,6 +46,7 @@ def load_all_modules() -> None:
     import data_engineering_nd_spark.analytics  # noqa: F401
     import data_engineering_nd_spark.i94_parity  # noqa: F401
     import data_engineering_nd_spark.operators.dedup  # noqa: F401
+    import data_engineering_nd_spark.operators.graph  # noqa: F401
     import data_engineering_nd_spark.operators.joins  # noqa: F401
     import data_engineering_nd_spark.operators.multimodal  # noqa: F401
     import data_engineering_nd_spark.operators.quality  # noqa: F401

@@ -278,3 +278,44 @@ def stream_stream_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 4).alias("purchase_value"),
     )
     return _run(joined, "stream_stream_join_sink", spark)
+
+
+@query(
+    "stream_dedup_exactly_once",
+    oracle="""
+    SELECT
+        time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        event_type,
+        COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_dedup_exactly_once_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once effect under at-least-once delivery, as a stream.
+
+    The input is deliberately DUPLICATED (the same file source unioned with
+    itself — every event arrives twice, the way an at-least-once bus
+    redelivers), then ``dropDuplicatesWithinWatermark`` on the event key
+    collapses redeliveries before a windowed aggregation. The oracle counts
+    each event ONCE — it matches only if the dedup actually removed every
+    duplicate.
+
+    Scale: dedup state is one entry per event key within the watermark
+    horizon — bounded by arrival rate x delay, evicted as the watermark
+    advances; the downstream agg state is one row per (window, type). No
+    unbounded state anywhere.
+    """
+    a = with_watermark(read_events_stream(spark, sf_dir))
+    b = with_watermark(read_events_stream(spark, sf_dir))
+    deduped = a.unionByName(b).dropDuplicatesWithinWatermark(["event_id"])
+    counts = (
+        deduped.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return _run(counts, "stream_dedup_sink", spark)

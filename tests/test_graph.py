@@ -1,0 +1,74 @@
+"""PageRank correctness vs a dense numpy power-iteration oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_nd_spark.operators.graph import graph_pagerank_topk_query, pagerank
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def numpy_pagerank(edges, n, damping=0.85, iterations=10):
+    """Dense reference: same convention (ranks sum to n, dangling mass
+    redistributed uniformly)."""
+    W = np.zeros((n, n))
+    for s, d in edges:
+        W[s, d] += 1.0
+    out = W.sum(axis=1)
+    r = np.ones(n)
+    for _ in range(iterations):
+        contrib = np.zeros(n)
+        for s in range(n):
+            if out[s] > 0:
+                contrib += r[s] * W[s] / out[s]
+        dangling = r[out == 0].sum()
+        r = (1 - damping) + damping * (contrib + dangling / n)
+    return r
+
+
+@pytest.mark.parametrize(
+    "edges,n",
+    [
+        # chain with a hub and a dangling node
+        ([(0, 1), (1, 2), (2, 0), (3, 0), (4, 0), (0, 5)], 6),
+        # weighted (repeated) edges + two components
+        ([(0, 1), (0, 1), (1, 0), (2, 3), (3, 2), (3, 4)], 5),
+    ],
+)
+def test_pagerank_matches_numpy(spark, edges, n):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(df, iterations=10).collect()
+    }
+    want = numpy_pagerank(edges, n)
+    # nodes with no edges at all never enter the frame; check the ones present
+    for node, rank in got.items():
+        assert abs(rank - want[node]) < 1e-9, (node, rank, want[node])
+    # total mass over present nodes matches the oracle's over the same nodes
+    assert abs(sum(got.values()) - want[list(got)].sum()) < 1e-9
+
+
+def test_pagerank_deterministic_across_runs(spark):
+    edges = [(0, 1), (1, 2), (2, 0), (0, 2)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    a = sorted(pagerank(df, iterations=8).collect())
+    b = sorted(pagerank(df, iterations=8).collect())
+    assert a == b
+
+
+def test_pagerank_topk_query_shape(spark):
+    out = graph_pagerank_topk_query(spark, SF_DIR)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert [f.name for f in out.schema.fields] == ["id", "kind", "rank"]
+    # ranks positive, sorted desc
+    ranks = [r["rank"] for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    assert all(r["kind"] in ("customer", "supplier") for r in rows)
+    # suppliers are far fewer than customers -> they concentrate rank; the
+    # top of the list should contain at least one supplier
+    assert any(r["kind"] == "supplier" for r in rows[:5])

@@ -131,3 +131,48 @@ def test_lsh_rerank_sims_match_brute_force(spark):
     }
     for r in lsh_topk(vecs, queries, k=5).collect():
         assert exact_all[(r.query_id, r.neighbor_id)] == r.cosine_sim
+
+
+def test_quantized_rerank_recall_and_exact_scores(spark):
+    """int8 coarse pass + exact rerank: high recall vs brute force, and the
+    emitted scores are EXACT cosines (quantization only affects which
+    candidates get reranked, never the reported similarity)."""
+    from data_engineering_nd_spark.catalog import load
+    from data_engineering_nd_spark.operators.similarity import (
+        brute_force_topk,
+        quantized_rerank_topk,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    vecs = load(spark, "embeddings", sf)
+    queries = vecs.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(vecs, queries, k=5).collect()
+    }
+    exact_all = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in brute_force_topk(vecs, queries, k=499).collect()
+    }
+    run1 = quantized_rerank_topk(vecs, queries, k=5).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in run1}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall  # int8 on unit-ish vectors is near-lossless
+    for r in run1:
+        assert exact_all[(r.query_id, r.neighbor_id)] == r.cosine_sim
+    run2 = quantized_rerank_topk(vecs, queries, k=5).collect()
+    assert sorted(map(tuple, run1)) == sorted(map(tuple, run2))
+
+
+def test_quantize_int8_bounds(spark):
+    """Quantized values stay in [-127,127]; zero vectors quantize to zeros."""
+    from data_engineering_nd_spark.operators.similarity import quantize_int8
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -2.0, 1.0]), (2, [0.0, 0.0, 0.0])], ["vec_id", "embedding"]
+    )
+    out = {r.vec_id: r.q_vec for r in quantize_int8(df).collect()}
+    assert out[1] == [32, -127, 64]  # round(0.5/ (2/127)), -127, round(1/(2/127))
+    assert out[2] == [0, 0, 0]
