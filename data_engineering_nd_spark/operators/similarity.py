@@ -593,3 +593,83 @@ def ann_quantized_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     Recall vs exact brute force is pinned in tests/test_similarity.py."""
     emb = load(spark, "embeddings", sf_dir)
     return quantized_rerank_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+# ---------------------------------------------------------------------------
+# PCA dimensionality reduction: train driver-side on a bounded deterministic
+# sample (same economics as train_codebook — O(sample·d) driver pull no
+# matter the corpus size), project distributed as one Arrow-batched matmul
+# per batch. The projection is a narrow transformation: no shuffle, the
+# (d × k) component matrix rides the task closure.
+# ---------------------------------------------------------------------------
+
+
+def train_pca(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_components: int = 8,
+    sample: int = 4096,
+):
+    """PCA basis from a deterministic bounded sample: mean vector and the
+    top-k right singular vectors of the centered sample. Deterministic
+    given the data: the sample is id-ordered, SVD sign is fixed by forcing
+    each component's largest-|coordinate| entry positive."""
+    import numpy as np
+
+    rows = vectors.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    mean = x.mean(axis=0)
+    _, _, vt = np.linalg.svd(x - mean, full_matrices=False)
+    comps = vt[:n_components]
+    for i in range(comps.shape[0]):
+        j = np.argmax(np.abs(comps[i]))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps
+
+
+def project_pca(
+    df: DataFrame,
+    mean,
+    components,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Append the k-dim PCA projection as array<double> — one matmul per
+    Arrow batch, no Python per-row cost, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    mu = np.asarray(mean, dtype=np.float64)
+    w = np.asarray(components, dtype=np.float64)  # (k, d)
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    schema += f", {out_col} array<double>"
+
+    def proj(batches):
+        for pdf in batches:
+            if len(pdf):
+                mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+                p = (mat - mu) @ w.T
+                pdf = pdf.assign(**{out_col: list(p)})
+            else:
+                pdf = pdf.assign(**{out_col: pd.Series(dtype=object)})
+            yield pdf
+
+    return df.mapInPandas(proj, schema)
+
+
+@query("ann_pca_projection")  # learned basis -> not SQL-mirrorable; rows-only
+def ann_pca_projection_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 4 principal components of every embedding, rounded for a stable
+    rows-only check. Variance capture and orthonormality are pinned in
+    tests/test_similarity.py."""
+    emb = load(spark, "embeddings", sf_dir)
+    mean, comps = train_pca(emb, n_components=4)
+    out = project_pca(emb.select("vec_id", "embedding"), mean, comps)
+    return out.select(
+        "vec_id",
+        F.transform(F.col("pca"), lambda x: F.round(x, 4)).alias("pca4"),
+    ).orderBy("vec_id")

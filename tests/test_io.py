@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from data_engineering_nd_spark import io
 
 
@@ -124,3 +126,58 @@ def test_write_clustered_yields_near_disjoint_file_ranges(spark, tmp_path):
     assert total_overlap(control) > 3.0     # every file spans ~everything
     # and the data survives intact
     assert spark.read.parquet(clustered_path).count() == orders.count()
+
+
+def test_zorder_write_skips_files_on_both_dims(spark, tmp_path):
+    """Z-ordered files each cover a small rectangle of the 2D key domain,
+    so a box predicate on EITHER column can skip most files; a hash-shuffled
+    control spreads the full domain over every file (no skipping possible)."""
+    import pyarrow.parquet as pq
+    from data_engineering_nd_spark.catalog import load
+    from data_engineering_nd_spark.io import write_zordered
+
+    li = load(spark, "lineitem", "/root/testdata/sf0.01").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+
+    def file_ranges(path):
+        out = []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            mins = {"l_partkey": None, "l_suppkey": None}
+            maxs = {"l_partkey": None, "l_suppkey": None}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name in mins and col.statistics is not None:
+                        s = col.statistics
+                        mins[name] = s.min if mins[name] is None else min(mins[name], s.min)
+                        maxs[name] = s.max if maxs[name] is None else max(maxs[name], s.max)
+            out.append((mins, maxs))
+        return out
+
+    zpath = str(tmp_path / "zordered")
+    hpath = str(tmp_path / "hashed")
+    write_zordered(li, zpath, ["l_partkey", "l_suppkey"], n_files=16)
+    li.repartition(16).write.mode("overwrite").parquet(hpath)
+
+    # box predicate: lower-left 1/16 of the domain on both dims
+    pk_hi = li.agg({"l_partkey": "max"}).collect()[0][0] / 4
+    sk_hi = li.agg({"l_suppkey": "max"}).collect()[0][0] / 4
+
+    def candidates(ranges):
+        return sum(
+            1
+            for mins, maxs in ranges
+            if mins["l_partkey"] <= pk_hi and mins["l_suppkey"] <= sk_hi
+        )
+
+    z = file_ranges(zpath)
+    h = file_ranges(hpath)
+    assert len(z) >= 8 and len(h) >= 8
+    # every hashed file intersects the box; z-ordering skips a majority
+    assert candidates(h) == len(h)
+    assert candidates(z) <= len(z) // 2, (candidates(z), len(z))

@@ -176,3 +176,43 @@ def test_quantize_int8_bounds(spark):
     out = {r.vec_id: r.q_vec for r in quantize_int8(df).collect()}
     assert out[1] == [32, -127, 64]  # round(0.5/ (2/127)), -127, round(1/(2/127))
     assert out[2] == [0, 0, 0]
+
+
+def test_pca_orthonormal_and_variance_ordered(spark):
+    """Components are orthonormal; per-component projected variance is
+    non-increasing; projection is deterministic across runs."""
+    import numpy as np
+    from data_engineering_nd_spark.catalog import load
+    from data_engineering_nd_spark.operators.similarity import project_pca, train_pca
+
+    sf = "/root/testdata/sf0.001"
+    emb = load(spark, "embeddings", sf)
+    mean, comps = train_pca(emb, n_components=4)
+    gram = comps @ comps.T
+    assert np.allclose(gram, np.eye(4), atol=1e-9)
+    rows = project_pca(emb.select("vec_id", "embedding"), mean, comps).collect()
+    p = np.array([r["pca"] for r in rows])
+    var = p.var(axis=0)
+    assert all(var[i] >= var[i + 1] - 1e-12 for i in range(3)), var
+    mean2, comps2 = train_pca(emb, n_components=4)
+    assert np.array_equal(comps, comps2) and np.array_equal(mean, mean2)
+
+
+def test_pca_reconstruction_beats_truncation(spark):
+    """Sanity: reconstructing from 4 PCs loses less energy than just
+    zeroing all but 4 coordinates (PCA basis actually learned something)."""
+    import numpy as np
+    from data_engineering_nd_spark.catalog import load
+    from data_engineering_nd_spark.operators.similarity import train_pca
+
+    sf = "/root/testdata/sf0.001"
+    emb = load(spark, "embeddings", sf)
+    rows = emb.select("embedding").orderBy("vec_id").limit(500).collect()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    mean, comps = train_pca(emb, n_components=4)
+    xc = x - mean
+    pca_err = ((xc - (xc @ comps.T) @ comps) ** 2).sum()
+    trunc = xc.copy()
+    trunc[:, 4:] = 0
+    trunc_err = ((xc - trunc) ** 2).sum()
+    assert pca_err < trunc_err
