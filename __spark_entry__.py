@@ -29,10 +29,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ the
     training-data-pipeline operators)."""
     registry.load_all_modules()
-    return dict(registry.QUERIES)
+    return registry.gate_ordered(registry.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL mirror for each SQL-expressible query."""
     registry.load_all_modules()
-    return dict(registry.ORACLE_SQL)
+    return registry.gate_ordered(registry.ORACLE_SQL)
