@@ -39,52 +39,62 @@ def pagerank(
     Fixed iteration count for deterministic output shape; convergence for
     typical graphs is well inside 10-20 rounds.
     """
+    # Materialize the weighted edge list ONCE — its upstream (often a join +
+    # distinct over the fact table) is referenced by out_w, e_norm and nodes
+    # below and would otherwise be recomputed for each of them.
     e = (
         edges.groupBy(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
         .localCheckpoint()
     )
-    out_w = (
-        e.groupBy("src")
-        .agg(F.sum("w").alias("out_w"))
-        .select(F.col("src").alias("ow_src"), "out_w")
+    # Loop-invariant work, done ONCE: normalize each edge by its source's
+    # total outgoing weight so the per-round contribution is just rank * nw.
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # localCheckpoint preserves outputPartitioning: materialize the (big)
+    # edge frame hash-partitioned by src ONCE, so every round's ranks ⋈ edges
+    # join shuffles only the small rank frame — the edges never move again.
+    e_norm = (
+        e.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("nw"))
+        .repartition("src")
         .localCheckpoint()
     )
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
+        .repartition("id")
         .localCheckpoint()
     )
+    # Dangling node SET is loop-invariant (only its mass changes per round).
+    dangling_ids = nodes.join(
+        e_norm.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
+    ).localCheckpoint()
     n_nodes = nodes.count()
     ranks = nodes.select("id", F.lit(1.0).alias("rank")).localCheckpoint()
 
     for _ in range(iterations):
-        r = ranks.join(out_w, ranks.id == out_w.ow_src, "left").select(
-            ranks.id.alias("rid"), "rank", "out_w"
-        )
-        # per-edge contribution: rank * w / total outgoing weight
+        # One equi-join + one hash-agg: contributions flowing into each dst.
         contribs = (
-            r.join(e, F.col("rid") == F.col("src"))
-            .select(
-                F.col("dst").alias("id"),
-                (F.col("rank") * F.col("w") / F.col("out_w")).alias("c"),
-            )
-            .groupBy("id")
-            .agg(F.sum("c").alias("c"))
+            ranks.join(e_norm, ranks.id == e_norm.src)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("rank") * F.col("nw")).alias("c"))
         )
-        dangling = (
-            r.filter(F.col("out_w").isNull()).agg(F.sum("rank").alias("s")).collect()[0][0]
-            or 0.0
+        # Dangling mass as a broadcast 1-row aggregate inside the SAME action
+        # (no driver round-trip per iteration).
+        dmass = (
+            ranks.join(dangling_ids, "id", "left_semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
         )
         ranks = (
             nodes.join(contribs, "id", "left")
+            .crossJoin(F.broadcast(dmass))
             .select(
                 "id",
                 (
                     F.lit(1.0 - damping)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n_nodes))
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") / F.lit(float(n_nodes)))
                 ).alias("rank"),
             )
             .localCheckpoint()
