@@ -11,9 +11,31 @@ schema-merging on huge multi-file tables.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+@contextmanager
+def scoped_conf(spark: SparkSession, key: str, value: str):
+    """Set a session conf for the duration of a block, then restore the
+    prior value (or unset). DataFrames DEFINED inside the block keep the
+    scoped value — Spark captures the conf into the relation at read
+    creation — while unrelated reads elsewhere in the session are never
+    silently affected."""
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -72,8 +94,8 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     (not /1000.0): epoch-nanos exceed double's 53-bit mantissa."""
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+        df = spark.read.parquet(path)
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")

@@ -134,6 +134,34 @@ def upsert_parquet(
     return write(df, path, mode="append")
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` resolved through Hadoop's FS API —
+    the same abstraction Spark's own writers use, so file://, hdfs:// and
+    s3a:// all behave identically from the driver's point of view."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    return jpath.getFileSystem(conf), jpath
+
+
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """Object-store-safe existence check (S12: the reference shells out to
+    boto3 bucket checks, copy_files_to_s3.py:35-68; here one FS API serves
+    local, HDFS and s3a URIs alike)."""
+    fs, p = _hadoop_fs(spark, path)
+    return bool(fs.exists(p))
+
+
+def fs_listdir(spark: SparkSession, path: str) -> list[str]:
+    """Non-recursive child listing (names only) of a directory/prefix via
+    the Hadoop FS API — bucket/prefix inventory for data-quality checks
+    against object stores without pulling in an S3 SDK."""
+    fs, p = _hadoop_fs(spark, path)
+    if not fs.exists(p):
+        return []
+    return sorted(st.getPath().getName() for st in fs.listStatus(p))
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -143,22 +171,41 @@ def compact_parquet(
     ``target_partitions`` files (default: cluster parallelism). Streaming
     sinks and incremental appends accumulate files; at 100 TB unbounded
     file counts dominate planning time (listing + footer reads), so
-    compaction is scheduled maintenance. Rewrite goes through a temp
-    location: the source must be fully read before overwrite destroys it.
+    compaction is scheduled maintenance.
+
+    The rewrite stages under ``<path>__staging_<uuid>`` — a SIBLING of the
+    destination, hence on the destination's own filesystem (never a
+    driver-local tempdir) — and publishes by renaming through the Hadoop
+    FS API. The source directory is replaced only after the staged copy is
+    fully written; a failure at any earlier point leaves the source
+    untouched, and a failure between the two renames rolls the source
+    back. (On rename-less object stores the two renames are copies; for a
+    fully atomic publish use ``tables.VersionedTable.compact``, whose
+    manifest swap is the commit point.)
     """
-    import shutil
-    import tempfile
+    import uuid as _uuid
 
     df = spark.read.parquet(path)
     n = target_partitions or spark.sparkContext.defaultParallelism
-    tmp = tempfile.mkdtemp(prefix="compact_")
+    token = _uuid.uuid4().hex[:8]
+    base = path.rstrip("/")
+    staged, backup = f"{base}__staging_{token}", f"{base}__backup_{token}"
+    fs, src = _hadoop_fs(spark, base)
+    _, p_staged = _hadoop_fs(spark, staged)
+    _, p_backup = _hadoop_fs(spark, backup)
     try:
-        staged = os.path.join(tmp, "staged")
-        df.repartition(n).write.mode("overwrite").parquet(staged)
-        res = write(spark.read.parquet(staged), path, mode="overwrite")
-        return res
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        res = write(df.repartition(n), staged, mode="overwrite")
+    except Exception:
+        fs.delete(p_staged, True)  # source untouched; drop partial staging
+        raise
+    if not fs.rename(src, p_backup):
+        fs.delete(p_staged, True)
+        raise OSError(f"compact_parquet: could not move {base} aside")
+    if not fs.rename(p_staged, src):
+        fs.rename(p_backup, src)  # roll back: source restored verbatim
+        raise OSError(f"compact_parquet: publish failed; {base} restored")
+    fs.delete(p_backup, True)
+    return WriteResult(base, res.fmt, res.mode, res.partition_keys, res.rows)
 
 
 def write_clustered(

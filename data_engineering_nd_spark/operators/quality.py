@@ -157,7 +157,14 @@ def reconcile(
         raise ValueError("left/right payload columns differ — align schemas first")
 
     def digested(df: DataFrame, name: str) -> DataFrame:
-        cols = [F.col(c).cast("string") for c in payload]
+        # xxhash64 SKIPS null inputs (the seed passes through unchanged),
+        # so without a sentinel (NULL,'x') and ('x',NULL) hash identically
+        # and a real value_mismatch would report as 'equal'. Coalesce each
+        # payload column to a distinct non-occurring sentinel first.
+        cols = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\u0000NULL"))
+            for c in payload
+        ]
         return df.select(
             *key_cols, F.xxhash64(*cols).alias(f"__h_{name}")
         )

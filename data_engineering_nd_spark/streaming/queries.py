@@ -36,13 +36,19 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     handling as catalog._load_events (ts lands as bigint nanos when the
     file uses TIMESTAMP(NANOS), else as timestamp).
     """
+    from data_engineering_nd_spark.catalog import scoped_conf
+
     path = REGISTRY["events"].path(sf_dir)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
-    # The file source derives basePath from the path and requires a
-    # directory; the testdata table is a single file, so address it with a
-    # glob — the glob's parent (the sf dir) becomes the basePath.
-    df = spark.readStream.schema(schema).parquet(path.replace(".parquet", ".parque[t]"))
+    with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+        schema = spark.read.parquet(path).schema
+        # The file source derives basePath from the path and requires a
+        # directory; the testdata table is a single file, so address it
+        # with a glob — the glob's parent (the sf dir) becomes the
+        # basePath. The scoped conf is captured into the stream's source
+        # at definition; later unrelated reads are unaffected.
+        df = spark.readStream.schema(schema).parquet(
+            path.replace(".parquet", ".parque[t]")
+        )
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")

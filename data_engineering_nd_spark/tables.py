@@ -8,13 +8,15 @@ old table), no isolation (readers see half-written appends), no history.
 This module gives the same write surface ACID-ish semantics with nothing
 but parquet + a JSON manifest log, the way Delta Lake / Iceberg do it:
 
-- every commit writes NEW immutable data files into its own
-  ``data/v{N}/`` directory, then publishes an ordered manifest
-  ``_log/{N}.json`` listing the exact files of that snapshot;
-- the manifest rename is the atomic commit point (os.rename of a
-  same-directory temp file; POSIX guarantees atomicity, and a second
-  writer racing to the same version loses because rename-over-existing is
-  rejected) — optimistic concurrency, single winner per version;
+- every commit writes NEW immutable data files into its own salted
+  ``data/v{N}-{salt}/`` directory (racing writers never share a write
+  directory), then publishes an ordered manifest ``_log/{N}.json``
+  listing the exact files of that snapshot;
+- the manifest ``os.link`` is the atomic commit point: hard-linking the
+  same-directory temp file onto the final name fails with EEXIST when a
+  competitor already published that version (unlike os.rename, which on
+  POSIX silently replaces) — optimistic concurrency, exactly one winner
+  per version, the loser raises ``CommitConflict``;
 - readers resolve the latest (or any historical) manifest and read ONLY
   the files it lists — failed/in-flight writers are invisible, overwrite
   never deletes data a concurrent reader is scanning, and time travel is
@@ -61,7 +63,7 @@ class VersionedTable:
     Layout::
 
         <root>/_log/00000000000.json   ordered manifests (the commit log)
-        <root>/data/v00000000000/*.parquet   immutable files per commit
+        <root>/data/v00000000000-<salt>/*.parquet   immutable files per commit
     """
 
     def __init__(self, spark: SparkSession, root: str):
@@ -114,18 +116,28 @@ class VersionedTable:
         tmp = final + f".{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
-        if os.path.exists(final):  # lost the race before we even renamed
-            os.remove(tmp)
+        # os.link fails with EEXIST when the destination exists (unlike
+        # os.rename, which silently REPLACES it on POSIX) — so the link is
+        # a genuinely exclusive commit point: exactly one writer per
+        # version wins, the loser gets CommitConflict instead of silently
+        # clobbering the winner's manifest.
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
             raise CommitConflict(f"version {version} already committed")
-        os.rename(tmp, final)
+        finally:
+            os.remove(tmp)
         return manifest
 
     # -- data-file plumbing ----------------------------------------------
 
     def _write_files(self, df: DataFrame, version: int) -> list[str]:
-        """Write df as immutable parquet files under data/v{N}/ and return
-        their table-relative paths."""
-        rel_dir = os.path.join(_DATA, f"v{version:011d}")
+        """Write df as immutable parquet files under data/v{N}-{salt}/ and
+        return their table-relative paths. The per-commit salt means two
+        writers racing toward the same version number write into DISJOINT
+        directories — the optimistic-concurrency loser can never corrupt
+        the winner's part files, it just leaves orphans for vacuum()."""
+        rel_dir = os.path.join(_DATA, f"v{version:011d}-{uuid.uuid4().hex[:8]}")
         out = os.path.join(self.root, rel_dir)
         df.write.mode("overwrite").parquet(out)
         return [
@@ -191,8 +203,14 @@ class VersionedTable:
 
         keys = source.select(*key_cols).dropDuplicates()
         tagged = current.withColumn("__file", F.input_file_name())
-        affected_abs = {
-            r["__file"].removeprefix("file://")
+        # input_file_name() returns a percent-encoded URI; decode it and
+        # match on BASENAMES (Spark part-file names embed a per-job UUID,
+        # so they are unique across the table) — string-comparing absolute
+        # paths breaks as soon as the table root needs URI escaping.
+        from urllib.parse import unquote, urlparse
+
+        affected_names = {
+            os.path.basename(unquote(urlparse(r["__file"]).path))
             for r in tagged.select("__file", *key_cols)
             .join(F.broadcast(keys), on=key_cols, how="left_semi")
             .select("__file")
@@ -200,10 +218,7 @@ class VersionedTable:
             .collect()
         }
         affected_rel = [
-            f
-            for f in m["files"]
-            if os.path.join(self.root, f) in affected_abs
-            or os.path.abspath(os.path.join(self.root, f)) in affected_abs
+            f for f in m["files"] if os.path.basename(f) in affected_names
         ]
         untouched = [f for f in m["files"] if f not in set(affected_rel)]
 

@@ -75,6 +75,69 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     assert spark.read.parquet(out).count() == 1000
 
 
+def test_compact_parquet_stages_on_destination_filesystem(spark, tmp_path):
+    """The staged rewrite must be a SIBLING of the destination (same
+    filesystem) — never a driver-local tempdir — and must vanish after a
+    successful publish."""
+    import glob
+
+    from data_engineering_nd_spark.io import compact_parquet
+
+    out = str(tmp_path / "t")
+    spark.range(100).repartition(8).write.parquet(out)
+    compact_parquet(spark, out, target_partitions=1)
+    leftovers = [
+        p
+        for p in glob.glob(str(tmp_path / "t__*"))
+    ]
+    assert leftovers == []  # staging + backup cleaned up
+    assert spark.read.parquet(out).count() == 100
+
+
+def test_compact_parquet_failure_leaves_source_intact(spark, tmp_path):
+    """Failure injection: if the staged rewrite dies mid-write, the source
+    directory must survive byte-for-byte readable and no staging debris
+    may remain."""
+    import glob
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_engineering_nd_spark import io as dio
+
+    out = str(tmp_path / "t")
+    spark.range(50).withColumnRenamed("id", "k").write.parquet(out)
+    before = sorted(r.k for r in spark.read.parquet(out).collect())
+
+    real_write = dio.write
+
+    def exploding_write(df, path, *a, **kw):
+        raise RuntimeError("injected mid-compaction failure")
+
+    dio.write = exploding_write
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            dio.compact_parquet(spark, out, target_partitions=1)
+    finally:
+        dio.write = real_write
+    assert sorted(r.k for r in spark.read.parquet(out).collect()) == before
+    assert glob.glob(str(tmp_path / "t__*")) == []
+
+
+def test_fs_exists_and_listdir(spark, tmp_path):
+    """Object-store shim (S12): existence + prefix listing through the
+    Hadoop FS API — same call works for file://, hdfs:// and s3a:// URIs."""
+    from data_engineering_nd_spark.io import fs_exists, fs_listdir
+
+    out = str(tmp_path / "bucketish")
+    spark.range(10).write.parquet(out)
+    assert fs_exists(spark, out)
+    assert not fs_exists(spark, str(tmp_path / "missing"))
+    names = fs_listdir(spark, out)
+    assert any(n.startswith("part-") for n in names)
+    assert fs_listdir(spark, str(tmp_path / "missing")) == []
+
+
 def test_write_clustered_yields_near_disjoint_file_ranges(spark, tmp_path):
     """Range-clustered files must carve the key domain into narrow slices
     (footer min/max per file), the property that makes predicate-driven

@@ -91,6 +91,18 @@ def test_repetition_metrics_handcrafted(spark):
     assert out[2].top_word == "m"  # deterministic tie-break
 
 
+def test_reconcile_distinguishes_null_position(spark):
+    """(NULL,'x') vs ('x',NULL) must report value_mismatch — xxhash64
+    skips NULL inputs, so without a sentinel both sides hash identically
+    and the diff is silently dropped."""
+    from data_engineering_nd_spark.operators.quality import reconcile
+
+    left = spark.createDataFrame([(1, None, "x")], "k int, a string, b string")
+    right = spark.createDataFrame([(1, "x", None)], "k int, a string, b string")
+    got = {r.k: r.diff_status for r in reconcile(left, right, ["k"]).collect()}
+    assert got == {1: "value_mismatch"}
+
+
 def test_reconcile_classifies_all_diff_kinds(spark):
     from pyspark.sql import Row
 
