@@ -20,9 +20,44 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_P = 1_000_000_007
+_POW131 = np.ones(1, dtype=np.int64)  # growable cache of 131^j mod _P
+
+
+def _powers131(n: int) -> np.ndarray:
+    """First n powers of 131 mod 1e9+7 (cached; grows monotonically)."""
+    global _POW131
+    if len(_POW131) < n:
+        ext = np.empty(n, dtype=np.int64)
+        ext[: len(_POW131)] = _POW131
+        for j in range(len(_POW131), n):
+            ext[j] = (ext[j - 1] * 131) % _P
+        _POW131 = ext
+    return _POW131[:n]
+
+
+def poly_checksum(data: bytes) -> int:
+    """131-base polynomial hash mod 1e9+7 — bit-identical to the Horner
+    loop ``c = (c*131 + b) % P`` but computed as a numpy dot product
+    against precomputed powers, so the per-BYTE work is vectorized (the
+    loop version was the hot path's anti-pattern: row-at-a-time Python
+    inside mapInPandas). Each (byte × power) term is < 2^38 and the
+    reduction is chunked at 2^20 terms, so int64 never overflows."""
+    n = len(data)
+    if n == 0:
+        return 0
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    pw = _powers131(n)[::-1]  # exponent n-1-i at position i
+    total = 0
+    chunk = 1 << 20
+    for i in range(0, n, chunk):
+        total = (total + int(np.dot(b[i : i + chunk], pw[i : i + chunk]) % _P)) % _P
+    return total
 
 MEDIA_SCHEMA = (
     "media_id bigint, kind string, payload binary, mime string, "
@@ -50,13 +85,12 @@ def fake_decode_image(payload: bytes) -> dict:
     """Deterministic stand-in with the same contract as decode_image:
     returns dict(width, height, mean_intensity) derived purely from bytes."""
     n = len(payload)
-    checksum = 0
-    for b in payload:
-        checksum = (checksum * 131 + b) % 1_000_000_007
+    checksum = poly_checksum(payload)
+    head = np.frombuffer(payload[: min(n, 256)], dtype=np.uint8)
     return {
         "width": (checksum % 64) + 1,
         "height": ((checksum // 64) % 64) + 1,
-        "mean_intensity": (sum(payload[:256]) / max(min(n, 256), 1)) / 255.0,
+        "mean_intensity": (int(head.sum()) / max(min(n, 256), 1)) / 255.0,
     }
 
 
@@ -70,24 +104,35 @@ def image_features(df: DataFrame, decoder=fake_decode_image) -> DataFrame:
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                data = bytes(payload) if payload is not None else b""
-                checksum = 0
-                for b in data:
-                    checksum = (checksum * 131 + b) % 1_000_000_007
-                d = decoder(data)
-                out.append(
-                    {
-                        "media_id": media_id,
-                        "n_bytes": len(data),
-                        "checksum": checksum,
-                        "decoded_width": d["width"],
-                        "decoded_height": d["height"],
-                        "mean_intensity": d["mean_intensity"],
-                    }
-                )
-            yield pd.DataFrame(out, columns=[c.split()[0] for c in IMAGE_FEATURES_SCHEMA.split(", ")])
+            payloads = [
+                bytes(p) if p is not None else b"" for p in pdf["payload"]
+            ]
+            decoded = [decoder(d) for d in payloads]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "n_bytes": np.fromiter(
+                        (len(d) for d in payloads), np.int64, len(payloads)
+                    ),
+                    # vectorized per row (numpy dot, no per-byte Python)
+                    "checksum": np.fromiter(
+                        (poly_checksum(d) for d in payloads),
+                        np.int64,
+                        len(payloads),
+                    ),
+                    "decoded_width": np.fromiter(
+                        (d["width"] for d in decoded), np.int64, len(decoded)
+                    ),
+                    "decoded_height": np.fromiter(
+                        (d["height"] for d in decoded), np.int64, len(decoded)
+                    ),
+                    "mean_intensity": np.fromiter(
+                        (d["mean_intensity"] for d in decoded),
+                        np.float64,
+                        len(decoded),
+                    ),
+                }
+            )
 
     return df.filter(F.col("kind") == "image").select("media_id", "payload").mapInPandas(
         process, IMAGE_FEATURES_SCHEMA
@@ -101,23 +146,40 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for media_id, duration, payload in zip(
-                pdf["media_id"], pdf["duration_ms"], pdf["payload"]
-            ):
-                n_frames = max(int((duration or 0) // every_ms), 0)
-                data = bytes(payload) if payload is not None else b""
-                base = sum(data[:64]) + 1
-                for i in range(n_frames):
-                    rows.append(
-                        {
-                            "media_id": media_id,
-                            "frame_index": i,
-                            "frame_checksum": (base * 131 + i) % 1_000_000_007,
-                        }
+            n = len(pdf)
+            durs = (
+                pd.to_numeric(pdf["duration_ms"], errors="coerce")
+                .fillna(0)
+                .to_numpy(np.int64)
+            )
+            n_frames = np.maximum(durs // every_ms, 0)
+            base = np.fromiter(
+                (
+                    int(
+                        np.frombuffer(
+                            (bytes(p) if p is not None else b"")[:64], np.uint8
+                        ).sum()
                     )
+                    + 1
+                    for p in pdf["payload"]
+                ),
+                np.int64,
+                n,
+            )
+            # 1-to-N expansion without a per-frame Python loop
+            rep_ids = np.repeat(pdf["media_id"].to_numpy(), n_frames)
+            rep_base = np.repeat(base, n_frames)
+            frame_idx = (
+                np.concatenate([np.arange(k, dtype=np.int64) for k in n_frames])
+                if n
+                else np.empty(0, dtype=np.int64)
+            )
             yield pd.DataFrame(
-                rows, columns=["media_id", "frame_index", "frame_checksum"]
+                {
+                    "media_id": rep_ids,
+                    "frame_index": frame_idx,
+                    "frame_checksum": (rep_base * 131 + frame_idx) % _P,
+                }
             )
 
     return df.filter(F.col("kind") == "video").select(

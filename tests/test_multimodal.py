@@ -32,6 +32,23 @@ def media(spark):
     )
 
 
+def test_poly_checksum_matches_sequential_horner():
+    """The vectorized checksum must be bit-identical to the reference
+    per-byte Horner loop it replaced."""
+    import random
+
+    from data_engineering_nd_spark.operators.multimodal import poly_checksum
+
+    rng = random.Random(42)
+    cases = [b"", b"\x00", b"abc", bytes(range(256)),
+             bytes(rng.randrange(256) for _ in range(10_000))]
+    for data in cases:
+        c = 0
+        for b in data:
+            c = (c * 131 + b) % 1_000_000_007
+        assert poly_checksum(data) == c, f"mismatch on {len(data)}-byte case"
+
+
 def test_real_decoder_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image(b"bytes")
