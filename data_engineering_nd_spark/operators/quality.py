@@ -78,6 +78,25 @@ def check_tables(
     return out
 
 
+def check_location(spark: SparkSession, path: str) -> dict:
+    """Object-store-safe location DQ (S12): existence + non-empty listing
+    through the Hadoop FS API, so the same check runs against file://,
+    hdfs:// and s3a:// URIs (the reference shells these checks out to
+    boto3, copy_files_to_s3.py:35-68 / create_s3_bucket.py:23-38)."""
+    from data_engineering_nd_spark.io import fs_exists, fs_listdir
+
+    exists = fs_exists(spark, path)
+    names = fs_listdir(spark, path) if exists else []
+    data_files = [n for n in names if not n.startswith(("_", "."))]
+    return {
+        "path": path,
+        "exists": exists,
+        "n_entries": len(names),
+        "n_data_files": len(data_files),
+        "ok": exists and bool(data_files),
+    }
+
+
 # ---------------------------------------------------------------------------
 # driver queries
 # ---------------------------------------------------------------------------

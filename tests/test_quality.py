@@ -91,6 +91,19 @@ def test_repetition_metrics_handcrafted(spark):
     assert out[2].top_word == "m"  # deterministic tie-break
 
 
+def test_check_location(spark, tmp_path):
+    """S12 location DQ: existence + data-file listing via the Hadoop FS
+    API (same call shape for file:// and s3a:// URIs)."""
+    from data_engineering_nd_spark.operators.quality import check_location
+
+    out = str(tmp_path / "loc")
+    spark.range(5).write.parquet(out)
+    res = check_location(spark, out)
+    assert res["ok"] and res["exists"] and res["n_data_files"] >= 1
+    missing = check_location(spark, str(tmp_path / "nope"))
+    assert not missing["exists"] and not missing["ok"]
+
+
 def test_reconcile_distinguishes_null_position(spark):
     """(NULL,'x') vs ('x',NULL) must report value_mismatch — xxhash64
     skips NULL inputs, so without a sentinel both sides hash identically
