@@ -1261,17 +1261,39 @@ def q39_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q40 — stratified sampling (sampleBy): per-stratum Bernoulli fractions,
-# seed-fixed. The row set is implementation-defined (Spark's sampler),
-# so this is a rows-only driver check; statistical bounds are asserted
-# in pytest instead.
+# q40 — stratified sampling, DETERMINISTIC: per-stratum fractions applied
+# via the md5-bucket technique (as q42) instead of Spark's seeded Bernoulli
+# sampler. Sample membership is a pure function of event_id — re-runs,
+# retries, and different engines pick the SAME rows, which makes the query
+# hash-matchable against the DuckDB oracle (sampleBy's row set is
+# implementation-defined RNG and was only rows-only checkable). Two
+# lowercase-hex chars give 256 buckets; a stratum's threshold string keeps
+# floor(256·f) of them ('zz' sorts above every hex pair -> keep all).
 # --------------------------------------------------------------------------
-@query("q40_stratified_sample")
+_Q40_THRESHOLDS = {"click": "1a", "view": "0d", "signup": "80"}  # ~0.10/0.05/0.50
+
+
+@query(
+    "q40_stratified_sample",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_sampled
+    FROM events
+    WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) <
+          CASE event_type WHEN 'click' THEN '1a' WHEN 'view' THEN '0d'
+                          WHEN 'signup' THEN '80' ELSE 'zz' END
+    GROUP BY event_type
+    """,
+)
 def q40_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, "events", sf_dir)
-    fractions = {"click": 0.1, "view": 0.05, "purchase": 1.0, "signup": 0.5, "error": 1.0}
+    threshold = F.when(F.lit(False), F.lit(""))
+    for stratum, hexmax in _Q40_THRESHOLDS.items():
+        threshold = threshold.when(F.col("event_type") == stratum, F.lit(hexmax))
+    threshold = threshold.otherwise(F.lit("zz"))  # full-fraction strata
     return (
-        ev.sampleBy("event_type", fractions, seed=42)
+        ev.filter(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 2) < threshold
+        )
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
     )

@@ -66,7 +66,9 @@ RECORDED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "q27_price_percentiles", "q28_approx_aggregates", "q29_json_extraction",
     "q30_time_rollup", "q31_set_operations", "q32_pivot_priority", "q33_top_tokens",
     "q34_pandas_udf_score", "q35_udtf_expand", "q39_array_agg",
-    "q40_stratified_sample", "q41_cube_returnflag_linestatus",
+    # q40 deliberately NOT listed: its r01 record was err=no_oracle; round 2
+    # made it deterministic (md5-bucket) and it must re-verify as hash-PASS.
+    "q41_cube_returnflag_linestatus",
     "q42_deterministic_sample", "q43_rank_distribution", "q44_supplier_market_share",
     "q45_gap_fill_hourly", "q46_price_histogram", "q47_correlated_subqueries",
     "q48_returned_item_revenue", "q49_late_shipment_priority",

@@ -62,6 +62,21 @@ def test_approx_aggregates_within_bounds(spark):
         assert abs(a.approx_orders - e.orders) / e.orders < 0.05
         assert abs(a.approx_p50 - e.p50) / e.p50 < 0.02
 
+    # cross-engine delta: DuckDB's own HLL estimate must agree with
+    # Spark's within the combined error budget (both sketches target the
+    # same exact cardinality; their estimates may differ, not diverge).
+    import duckdb
+
+    duck = {
+        flag: n
+        for flag, n in duckdb.sql(
+            f"SELECT l_returnflag, approx_count_distinct(l_orderkey) "
+            f"FROM '{sf}/lineitem.parquet' GROUP BY l_returnflag"
+        ).fetchall()
+    }
+    for flag, e in exact.items():
+        assert abs(approx[flag].approx_orders - duck[flag]) / e.orders < 0.08
+
 
 def test_stratified_sample_fractions(spark):
     """q40: per-stratum sample sizes track the requested fractions, and
