@@ -6,6 +6,11 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is forced with a count-style action (collect of the already-small
 result) — results are all aggregates/top-k, so the action cost is the query,
 not the transfer.
+
+Regression guard: after the run, per-query times are diffed against the
+newest committed BENCH_r{N}.json in the repo root; queries slower than
+1.5x their previous recording are flagged on stderr (the JSON line on
+stdout stays single-line and schema-stable).
 """
 
 from __future__ import annotations
@@ -48,19 +53,90 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    _flag_regressions(timings, repo_root)
+
     total = round(sum(timings.values()), 3)
+    # Full per-query detail goes to a sibling file; the stdout line keeps
+    # the contract shape but inlines only the slowest queries so the whole
+    # line stays ~1 KB — round 1 showed the driver's stdout capture window
+    # truncates a 3 KB line mid-map, recording nothing parseable at all.
+    full = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        **({"errors": errors} if errors else {}),
+        "sf": sf,
+    }
+    with open(os.path.join(repo_root, "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:15]
+    )
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                **({"errors": errors} if errors else {}),
+                "queries": {n: round(t, 2) for n, t in slowest.items()},
+                "n_queries_run": len(timings),
+                "n_errors": len(errors),
+                "queries_full": "BENCH_FULL.json",
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
+
+
+def _flag_regressions(
+    timings: dict[str, float], repo_root: str, factor: float = 1.5
+) -> None:
+    """Diff against the newest committed BENCH_r{N}.json; flag >factor
+    slowdowns on stderr. Sub-second queries are noise-dominated locally,
+    so only queries that were >=0.5s before are compared."""
+    import glob
+
+    rounds = sorted(
+        glob.glob(os.path.join(repo_root, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    # prefer the newest driver-recorded round (it may wrap our JSON under
+    # "parsed"); fall back to the committed BENCH_FULL.json from the
+    # previous local run (this function runs before it is overwritten).
+    prev: dict[str, float] = {}
+    baseline = ""
+    for path in rounds[::-1] + [os.path.join(repo_root, "BENCH_FULL.json")]:
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+            doc = doc.get("parsed") or doc
+            prev = doc.get("queries") or {}
+        except Exception:
+            continue
+        if prev:
+            baseline = os.path.basename(path)
+            break
+    if not prev:
+        return
+    flagged = [
+        (name, prev[name], t)
+        for name, t in timings.items()
+        if name in prev and prev[name] >= 0.5 and t > prev[name] * factor
+    ]
+    for name, was, now in sorted(flagged, key=lambda x: x[2] - x[1], reverse=True):
+        print(
+            f"# REGRESSION {name}: {was}s -> {now}s "
+            f"({now / was:.1f}x, vs {baseline})",
+            file=sys.stderr,
+        )
+    if not flagged:
+        print(
+            f"# no regressions vs {baseline} (threshold {factor}x)",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":
