@@ -83,6 +83,7 @@ RECORDED_PRIOR_ROUNDS: frozenset[str] = frozenset({
 _COST_CLASS: tuple[tuple[str, int], ...] = (
     ("i94_", 0), ("dq_", 0), ("q", 1), ("text_", 2), ("dedup_", 3),
     ("ann_", 3), ("multimodal_", 4), ("graph_", 5), ("stream_", 6),
+    ("ds_", 7),  # added AFTER round 1 — let the r01 backlog verify first
 )
 
 
@@ -108,6 +109,7 @@ def load_all_modules() -> None:
     """Import every module that registers queries (idempotent)."""
     import data_engineering_nd_spark.analytics  # noqa: F401
     import data_engineering_nd_spark.i94_parity  # noqa: F401
+    import data_engineering_nd_spark.operators.datasets  # noqa: F401
     import data_engineering_nd_spark.operators.dedup  # noqa: F401
     import data_engineering_nd_spark.operators.graph  # noqa: F401
     import data_engineering_nd_spark.operators.joins  # noqa: F401
