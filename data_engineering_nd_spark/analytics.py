@@ -2074,3 +2074,397 @@ def q57_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_active"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# --------------------------------------------------------------------------
+# q58 — local supplier volume (TPC-H Q5 shape): five-way join where the
+# customer's and the supplier's nation must coincide, restricted to one
+# region and one order year. The nation/region dims broadcast; the
+# customer⋈orders⋈lineitem⋈supplier chain shuffles only on fact keys, and
+# the same-nation constraint is an extra equi-predicate on the supplier
+# join (no post-filter over a wider join).
+# --------------------------------------------------------------------------
+@query(
+    "q58_local_supplier_volume",
+    oracle="""
+    SELECT
+        n.n_name,
+        CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+             AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+    GROUP BY 1
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q58_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, "customer", sf_dir)
+    orders = load(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1997-01-01").cast("date"))
+    )
+    li = load(spark, "lineitem", sf_dir)
+    supp = load(spark, "supplier", sf_dir)
+    nation = load(spark, "nation", sf_dir)
+    region = load(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(rev, 6).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# q59 — volume shipping between nation pairs (TPC-H Q7 shape): the same
+# fact chain joined to TWO nation aliases (supplier's and customer's),
+# restricted to a 2-nation corridor in both directions. Both nation dims
+# broadcast; the corridor filter lands on the broadcast side so the fact
+# scan is reduced before the shuffle joins.
+# --------------------------------------------------------------------------
+@query(
+    "q59_volume_shipping",
+    oracle="""
+    SELECT
+        ns.n_name AS supp_nation,
+        nc.n_name AS cust_nation,
+        CAST(year(l.l_shipdate) AS INT) AS ship_year,
+        CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+             AS DOUBLE) AS volume
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+    JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+    WHERE ns.n_name IN ('NATION_1', 'NATION_2')
+      AND nc.n_name IN ('NATION_1', 'NATION_2')
+      AND ns.n_name <> nc.n_name
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def q59_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    orders = load(spark, "orders", sf_dir)
+    cust = load(spark, "customer", sf_dir)
+    supp = load(spark, "supplier", sf_dir)
+    nation = load(spark, "nation", sf_dir)
+    corridor = nation.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    ns = corridor.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = corridor.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(ns), supp.s_nationkey == F.col("ns_key"))
+        .join(F.broadcast(nc), cust.c_nationkey == F.col("nc_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(dsum(rev, 6).alias("volume"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# q60 — product-type profit by nation and year (TPC-H Q9 shape). The
+# testdata has no partsupp table, so supply cost is a deterministic proxy
+# (40% of the part's retail price per unit) — the join/agg shape (part dim
+# filter -> fact chain -> two-level groupBy) is what Q9 exercises, and the
+# proxy keeps both engines bit-identical through decimal accumulation.
+# --------------------------------------------------------------------------
+@query(
+    "q60_product_type_profit",
+    oracle="""
+    SELECT
+        n.n_name AS nation,
+        CAST(year(o.o_orderdate) AS INT) AS order_year,
+        CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      - 0.4 * p.p_retailprice * l.l_quantity
+                      AS DECIMAL(18,6))) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_type = 'STANDARD'
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q60_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    part = load(spark, "part", sf_dir).filter(F.col("p_type") == "STANDARD")
+    supp = load(spark, "supplier", sf_dir)
+    orders = load(spark, "orders", sf_dir)
+    nation = load(spark, "nation", sf_dir)
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.4 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(dsum(profit, 6).alias("profit"))
+        .orderBy("nation", "order_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# q61 — disjunctive multi-branch predicate (TPC-H Q19 shape): an OR of
+# three (brand, size-range, quantity-range) conjunctions over part⋈lineitem.
+# Catalyst extracts the common l_partkey = p_partkey equi-condition so the
+# join stays hash-based; the disjunction becomes a post-join filter, and
+# the shared p_size/l_quantity bounds are pushed to the scans.
+# --------------------------------------------------------------------------
+@query(
+    "q61_disjunctive_predicates",
+    oracle="""
+    SELECT
+        CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+             AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#33' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def q61_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    part = load(spark, "part", sf_dir)
+    qty = F.col("l_quantity")
+    size = F.col("p_size")
+    brand = F.col("p_brand")
+    cond = (
+        ((brand == "Brand#11") & size.between(1, 15) & qty.between(1, 20))
+        | ((brand == "Brand#22") & size.between(10, 30) & qty.between(10, 30))
+        | ((brand == "Brand#33") & size.between(20, 50) & qty.between(20, 50))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(dsum(rev, 6).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q62 — suppliers who kept orders waiting (TPC-H Q21 shape). The classic
+# EXISTS / NOT-EXISTS pair is rewritten as one per-order aggregate
+# (distinct suppliers, distinct LATE suppliers) joined back to the late
+# lines — a single extra shuffle on l_orderkey instead of two correlated
+# self-joins, which is the scalable plan for this query on any engine.
+# "Late" = shipped more than 60 days after the order date.
+# --------------------------------------------------------------------------
+@query(
+    "q62_waiting_orders",
+    oracle="""
+    WITH per_order AS (
+        SELECT
+            l.l_orderkey,
+            COUNT(DISTINCT l.l_suppkey) AS n_supp,
+            COUNT(DISTINCT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                                THEN l.l_suppkey END) AS n_late_supp
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY 1
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    JOIN per_order po ON po.l_orderkey = l1.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND po.n_supp > 1
+      AND po.n_late_supp = 1
+    GROUP BY 1
+    ORDER BY numwait DESC, s_name
+    LIMIT 25
+    """,
+)
+def q62_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "F")
+    li = load(spark, "lineitem", sf_dir)
+    supp = load(spark, "supplier", sf_dir)
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    lines = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "is_late", late
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    return (
+        lines.filter(F.col("is_late"))
+        .join(per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
+              "l_orderkey")
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# q63 — revenue-change forecast (TPC-H Q6 shape): a pure scan-filter-agg
+# with range predicates on three columns, all pushed to the parquet scan
+# (no join at all). The simplest possible 100 TB query: one map-side
+# partial agg, one 1-row exchange.
+# --------------------------------------------------------------------------
+@query(
+    "q63_forecast_revenue_change",
+    oracle="""
+    SELECT
+        CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+             AS DOUBLE) AS potential_revenue,
+        COUNT(*) AS n_items
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q63_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    return (
+        li.filter(
+            (F.col("l_shipdate").cast("date") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1998-01-01").cast("date"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), 6).alias(
+                "potential_revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q64 — shipping priority (TPC-H Q3 shape): unshipped-as-of-date orders
+# ranked by revenue. Two fact joins with date predicates on opposite sides
+# of the cutoff; TakeOrderedAndProject caps the result at 10 rows so the
+# driver never materializes the full aggregate.
+# --------------------------------------------------------------------------
+@query(
+    "q64_shipping_priority",
+    oracle="""
+    SELECT
+        l.l_orderkey,
+        CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+             AS DOUBLE) AS revenue,
+        CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+        o.o_orderpriority
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE CAST(o.o_orderdate AS DATE) < DATE '1997-06-01'
+      AND CAST(l.l_shipdate AS DATE) > DATE '1997-06-01'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q64_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate").cast("date") > F.lit("1997-06-01").cast("date")
+    )
+    orders = load(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate").cast("date") < F.lit("1997-06-01").cast("date")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(dsum(rev, 6).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q65 — order priority check (TPC-H Q4 shape): orders in a quarter that
+# had at least one slow line item, counted by priority. The EXISTS is a
+# LEFT SEMI join whose extra range predicate (shipdate vs orderdate + 30d)
+# rides on the equi-join — no correlated subquery re-execution.
+# --------------------------------------------------------------------------
+@query(
+    "q65_order_priority_check",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE CAST(o.o_orderdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q65_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1997-04-01").cast("date"))
+    )
+    li = load(spark, "lineitem", sf_dir)
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
