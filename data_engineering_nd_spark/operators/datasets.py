@@ -253,3 +253,326 @@ def ds_domain_mix_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total",
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide duplicated-span removal (paragraph / chunk dedup)
+# ---------------------------------------------------------------------------
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Remove corpus-wide duplicated paragraphs, keeping only the FIRST
+    occurrence (lowest (doc, position)), and reassemble each document.
+
+    The RefinedWeb/CCNet-style line-level dedup step: any paragraph seen
+    earlier anywhere in the corpus is dropped from later documents. "First"
+    is defined on content order — (id, paragraph index) — never on
+    partitioning, so re-runs and different engines keep the same survivor.
+
+    Scale shape: explode(paragraphs) -> one hash-agg on the paragraph's md5
+    (32-byte shuffle keys, not raw text) -> broadcast-or-shuffle join back
+    -> one groupBy(id) to reassemble. Two shuffles total, both on narrow
+    keys; no self-join, no quadratic path. At 100 TB the paragraph frame is
+    ~#paragraphs rows of (md5, long) — the heavy text column stays out of
+    the dedup join entirely.
+
+    Returns (id, clean_text, n_kept, n_removed).
+    """
+    parts = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("__idx", "__para"),
+    ).filter(F.trim("__para") != "")
+    # lexicographic (id, idx) packed into one long so MIN() gives the global
+    # first occurrence in a single agg on both engines (idx < 1e6 per doc).
+    occ = parts.withColumn(
+        "__okey", F.col("__id").cast("long") * 1_000_000 + F.col("__idx")
+    ).withColumn("__h", F.md5(F.col("__para")))
+    firsts = occ.groupBy("__h").agg(F.min("__okey").alias("__first"))
+    tagged = occ.join(firsts, "__h").withColumn(
+        "__keep", F.col("__okey") == F.col("__first")
+    )
+    kept_struct = F.when(
+        F.col("__keep"), F.struct(F.col("__idx"), F.col("__para"))
+    )
+    return (
+        tagged.groupBy("__id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.filter(
+                            F.collect_list(kept_struct), lambda x: x.isNotNull()
+                        )
+                    ),
+                    lambda x: x["__para"],
+                ),
+                sep,
+            ).alias("clean_text"),
+            F.sum(F.col("__keep").cast("int")).alias("n_kept"),
+            F.sum((~F.col("__keep")).cast("int")).alias("n_removed"),
+        )
+        .select(
+            F.col("__id").alias(id_col), "clean_text", "n_kept", "n_removed"
+        )
+    )
+
+
+def chunk_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 16,
+) -> DataFrame:
+    """Split each document into fixed-width non-overlapping token chunks
+    (id, chunk_idx, chunk). The unit of exact-substring dedup when the
+    corpus has no paragraph structure, and the unit of embedding/indexing
+    for RAG-style pipelines. Pure array expressions — no Python, no
+    shuffle."""
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("__id"), F.posexplode(chunks).alias("chunk_idx", "chunk")
+    ).select(F.col("__id").alias(id_col), "chunk_idx", "chunk")
+
+
+@query(
+    "ds_chunk_dedup",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, i AS chunk_idx,
+               array_to_string(t[i * 16 + 1 : i * 16 + 16], ' ') AS chunk
+        FROM toks, unnest(range(CAST(ceil(len(t) / 16.0) AS BIGINT))) AS r(i)
+    ),
+    occ AS (
+        SELECT doc_id, chunk_idx,
+               doc_id * 1000000 + chunk_idx AS okey,
+               md5(chunk) AS h
+        FROM chunks
+    ),
+    firsts AS (SELECT h, MIN(okey) AS first_okey FROM occ GROUP BY h)
+    SELECT
+        o.doc_id,
+        COUNT(*) AS n_chunks,
+        SUM(CASE WHEN o.okey = f.first_okey THEN 1 ELSE 0 END) AS n_kept,
+        SUM(CASE WHEN o.okey <> f.first_okey THEN 1 ELSE 0 END) AS n_removed
+    FROM occ o JOIN firsts f ON o.h = f.h
+    GROUP BY 1
+    ORDER BY n_removed DESC, doc_id
+    LIMIT 50
+    """,
+)
+def ds_chunk_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup report at 16-token chunk granularity: for each
+    document, how many chunks are corpus-wide first occurrences vs already
+    seen elsewhere (first-wins on (doc_id, chunk_idx) order). The synthetic
+    corpus has no newlines, so chunks stand in for paragraphs; the
+    delimiter-based variant is `paragraph_dedup` (unit-tested on
+    multi-paragraph docs)."""
+    docs = load(spark, "documents", sf_dir)
+    occ = (
+        chunk_text(docs, "doc_id", "text", 16)
+        .withColumn(
+            "okey", F.col("doc_id").cast("long") * 1_000_000 + F.col("chunk_idx")
+        )
+        .withColumn("h", F.md5("chunk"))
+    )
+    firsts = occ.groupBy("h").agg(F.min("okey").alias("first_okey"))
+    tagged = occ.join(firsts, "h")
+    keep = F.col("okey") == F.col("first_okey")
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(keep.cast("int")).alias("n_kept"),
+            F.sum((~keep).cast("int")).alias("n_removed"),
+        )
+        .orderBy(F.desc("n_removed"), "doc_id")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sequence packing (token-budget binning)
+# ---------------------------------------------------------------------------
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int = 2048,
+    n_groups: int = 16,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences with
+    deterministic next-fit packing: documents are taken in id order within
+    a hash-derived pack group, and a sequence closes when the running token
+    count would exceed the budget (a document that straddles the boundary
+    starts the next sequence; documents longer than the budget get a
+    sequence of their own).
+
+    Parallelism comes from the pack groups: the running-sum window is
+    per-group, so the sort is n_groups independent partial sorts, never a
+    global single-partition window. At 100 TB, n_groups scales with the
+    cluster (one group per target output file); determinism is preserved
+    because group assignment is a content hash and in-group order is the id.
+
+    Returns the input plus (pack_group, seq_id).
+    """
+    grp = _md5_bucket(F.col(id_col), 2) % n_groups
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_grp = df.withColumn("pack_group", grp)
+    cum = F.sum(token_col).over(w)
+    # next-fit: bin index = how many full budgets fit strictly BEFORE this
+    # document's span; a straddling doc opens the next bin.
+    return with_grp.withColumn(
+        "seq_id", F.floor((cum - F.col(token_col)) / F.lit(budget)).cast("int")
+    )
+
+
+@query(
+    "ds_pack_sequences",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                    AS INT) % 16 AS pack_group,
+               len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT pack_group, n_tokens,
+               CAST(floor((SUM(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - n_tokens) / 2048.0) AS INT) AS seq_id
+        FROM toks
+    )
+    SELECT pack_group, seq_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens
+    FROM packed
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def ds_pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sequence packing report (docs and token mass per 2048-token
+    training sequence) over 16 deterministic pack groups."""
+    from data_engineering_nd_spark.functions.text import token_count
+
+    docs = load(spark, "documents", sf_dir).select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    packed = pack_sequences(docs, "doc_id", "n_tokens", budget=2048, n_groups=16)
+    return (
+        packed.groupBy("pack_group", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("pack_group", "seq_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids (the "class prototype" reduction)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ds_label_centroids",
+    oracle="""
+    WITH flat AS (
+        SELECT label,
+               unnest(range(len(embedding))) AS dim,
+               unnest(CAST(embedding AS DOUBLE[])) AS val
+        FROM embeddings
+    )
+    SELECT label, CAST(dim AS INT) AS dim,
+           round(CAST(SUM(CAST(val AS DECIMAL(28,10))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS centroid_val,
+           COUNT(*) AS n_vectors
+    FROM flat
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def ds_label_centroids_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean embedding per label (posexplode -> decimal-accumulated mean per
+    (label, dim)). The scalable shape for class prototypes / cluster seeds:
+    one shuffle on (label, dim) — narrow 12-byte keys — instead of any
+    collect-and-average on the driver. Decimal accumulation makes the mean
+    order-independent, so Spark and DuckDB hash-match bit-for-bit."""
+    emb = load(spark, "embeddings", sf_dir)
+    flat = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "val")
+    )
+    dec_mean = (
+        F.sum(F.col("val").cast("decimal(28,10)")).cast("double")
+        / F.count(F.lit(1)).cast("double")
+    )
+    return (
+        flat.groupBy("label", F.col("dim").cast("int").alias("dim"))
+        .agg(
+            F.round(dec_mean, 6).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle (training-order assignment)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ds_training_order",
+    oracle="""
+    SELECT doc_id,
+           md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS training_pos
+    FROM documents
+    ORDER BY training_pos
+    LIMIT 100
+    """,
+)
+def ds_training_order_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-data shuffle: position = rank of
+    md5(id). Reproducible across engines, retries, and epochs (append the
+    epoch to the hashed key for a new permutation). At scale the ORDER BY
+    is a range-partitioned sort (Spark samples the key space) — no single
+    reducer; here the window is only used to emit the first 100 positions
+    for the gate."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, "documents", sf_dir)
+    keyed = docs.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("shuffle_key")
+    )
+    w = Window.orderBy("shuffle_key", "doc_id")
+    return (
+        keyed.withColumn("training_pos", F.row_number().over(w))
+        .orderBy("training_pos")
+        .limit(100)
+    )

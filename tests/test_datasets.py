@@ -85,3 +85,71 @@ def test_domain_weighted_sample_caps_and_keeps_small_domains(spark):
         for r in domain_weighted_sample(df, "source", "doc_id", cap=20).collect()
     )
     assert k1 == k2
+
+
+def test_paragraph_dedup_first_wins_and_reassembles(spark):
+    from data_engineering_nd_spark.operators.datasets import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\nshared paragraph\nunique one"),
+            (2, "shared paragraph\nanother line"),
+            (3, "shared paragraph\nshared paragraph\nfinal"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in paragraph_dedup(docs, "doc_id", "text").collect()}
+    # doc 1 holds the first occurrence of the shared paragraph -> all kept
+    assert out[1].clean_text == "alpha beta\nshared paragraph\nunique one"
+    assert out[1].n_removed == 0
+    # later docs lose every copy of it, including in-document repeats
+    assert out[2].clean_text == "another line"
+    assert out[2].n_removed == 1
+    assert out[3].clean_text == "final"
+    assert out[3].n_removed == 2
+
+
+def test_paragraph_dedup_drops_blank_paragraphs(spark):
+    from data_engineering_nd_spark.operators.datasets import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a\n\n  \nb")], "doc_id long, text string"
+    )
+    row = paragraph_dedup(docs, "doc_id", "text").collect()[0]
+    assert row.clean_text == "a\nb"
+    assert row.n_kept == 2
+
+
+def test_pack_sequences_next_fit_invariants(spark):
+    from data_engineering_nd_spark.operators.datasets import pack_sequences
+
+    docs = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        (((F.xxhash64(F.col("id")) % 1000) + 1000) % 1000 + 50).alias("n_tokens"),
+    )
+    packed = pack_sequences(docs, "doc_id", "n_tokens", budget=2048, n_groups=8)
+    rows = packed.collect()
+    assert len(rows) == 400  # packing never drops or duplicates docs
+    # a sequence's token mass stays under budget + one straddling doc
+    seqs = (
+        packed.groupBy("pack_group", "seq_id")
+        .agg(F.sum("n_tokens").alias("tot"), F.max("n_tokens").alias("mx"))
+        .collect()
+    )
+    for s in seqs:
+        assert s.tot < 2048 + s.mx
+    # deterministic: same input -> same assignment
+    again = pack_sequences(docs, "doc_id", "n_tokens", budget=2048, n_groups=8)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+def test_chunk_text_covers_all_tokens(spark):
+    from data_engineering_nd_spark.operators.datasets import chunk_text
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(37)))], "doc_id long, text string"
+    )
+    chunks = chunk_text(docs, "doc_id", "text", 16).orderBy("chunk_idx").collect()
+    assert len(chunks) == 3  # ceil(37/16)
+    rebuilt = " ".join(c.chunk for c in chunks)
+    assert rebuilt == " ".join(f"w{i}" for i in range(37))
