@@ -244,3 +244,40 @@ def test_zorder_write_skips_files_on_both_dims(spark, tmp_path):
     # every hashed file intersects the box; z-ordering skips a majority
     assert candidates(h) == len(h)
     assert candidates(z) <= len(z) // 2, (candidates(z), len(z))
+
+
+def test_jsonl_roundtrip_with_declared_schema(spark, tmp_path):
+    """JSON-lines source/sink through the same pluggable read/write paths
+    (S5): schema declared on read so types survive the text format."""
+    from data_engineering_nd_spark import io
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, name string, score double"
+    )
+    path = str(tmp_path / "t.jsonl")
+    io.write(df, path, fmt="json")
+    back = io.read(spark, path, fmt="json", schema="id long, name string, score double")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    assert back.schema == df.schema
+
+
+def test_orc_roundtrip_partitioned(spark, tmp_path):
+    """ORC source/sink with partition keys: same contract as the parquet
+    sink (S9), including partition-directory layout and pruning."""
+    from data_engineering_nd_spark import io
+
+    df = spark.createDataFrame(
+        [(1, "x", "2024-01-01"), (2, "y", "2024-01-02"), (3, "x", "2024-01-01")],
+        "id long, grp string, day string",
+    )
+    path = str(tmp_path / "t.orc")
+    res = io.write(df, path, fmt="orc", partition_keys=("grp",))
+    assert res.rows == 3
+    back = io.read(spark, path, fmt="orc")
+    assert back.count() == 3
+    # partition layout on disk and pruning in the plan
+    import os
+
+    assert any(d.startswith("grp=") for d in os.listdir(path))
+    plan = back.filter(back.grp == "x")._jdf.queryExecution().executedPlan().toString()
+    assert "x" in plan
