@@ -136,3 +136,37 @@ def graph_pagerank_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), "id")
         .limit(20)
     )
+
+
+@query(
+    "graph_degree_distribution",
+    oracle="""
+    WITH rel AS (
+        SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    deg AS (SELECT cust, COUNT(*) AS degree FROM rel GROUP BY cust)
+    SELECT degree, COUNT(*) AS n_customers
+    FROM deg GROUP BY degree ORDER BY degree
+    """,
+)
+def graph_degree_distribution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the customer->supplier trading graph (how
+    many distinct suppliers each customer touches). Two hash-aggs back to
+    back — the skew-detection profile run before any iterative graph
+    algorithm, because the max-degree node bounds the per-round shuffle
+    fan-in of PageRank/CC. Hash-matched against the oracle (exact integer
+    aggregation, unlike the iterative double accumulation above)."""
+    li = load(spark, "lineitem", sf_dir)
+    orders = load(spark, "orders", sf_dir)
+    rel = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    deg = rel.groupBy("cust").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("degree")
+    )

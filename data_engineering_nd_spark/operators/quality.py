@@ -300,3 +300,59 @@ def _main(argv: list[str] | None = None) -> int:
 
 if __name__ == "__main__":
     raise SystemExit(_main())
+
+
+@query(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk, COUNT(*) AS n_orphans
+    FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem->part', COUNT(*)
+    FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    UNION ALL
+    SELECT 'lineitem->supplier', COUNT(*)
+    FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+    UNION ALL
+    SELECT 'orders->customer', COUNT(*)
+    FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'customer->nation', COUNT(*)
+    FROM customer c WHERE NOT EXISTS
+        (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    ORDER BY fk
+    """,
+)
+def dq_referential_integrity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan count for every foreign key in the star schema — each FK is
+    one LEFT ANTI join (dimension side broadcast where bounded), so the
+    whole sweep is five scans with no wide shuffle. The DQ gate a pipeline
+    runs after every load; the reference's checks stop at row counts and
+    PK nullability (i94_data_quality_check.py), this closes the FK class.
+    """
+    from data_engineering_nd_spark.catalog import load as _load
+
+    def orphans(name, child, child_key, parent, parent_key):
+        c = _load(spark, child, sf_dir)
+        p = _load(spark, parent, sf_dir).select(parent_key)
+        return (
+            c.join(F.broadcast(p), c[child_key] == p[parent_key], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(name).alias("fk"), "n_orphans")
+        )
+
+    checks = [
+        orphans("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        orphans("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        orphans("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        orphans("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        orphans("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.union(c)
+    return out.orderBy("fk")

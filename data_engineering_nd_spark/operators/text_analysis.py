@@ -426,3 +426,65 @@ def tfidf_top_terms(docs: DataFrame, id_col: str, text_col: str, k: int = 3) -> 
 def text_tfidf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir)
     return tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+def unigram_logprob_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean negative log-probability under the corpus's own
+    unigram model — the CCNet-style LM-perplexity quality filter, reduced
+    to its scalable skeleton (a real deployment swaps the unigram table
+    for KenLM scores; the join/agg shape is identical).
+
+    Shape: one explode -> one token-count agg (the "model", ~|vocab| rows)
+    -> broadcast join back onto the exploded tokens -> per-doc agg. The
+    token fact shuffles once on doc id; the model is broadcast, never
+    shuffled. Low scores = typical text, high scores = outlier/garbage.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    neg_ll = -F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .join(F.broadcast(total))
+        .groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.round(F.avg(neg_ll), 4).alias("mean_neg_logprob"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(
+            regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        FROM documents WHERE trim(text) <> ''
+    ),
+    vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+    total AS (SELECT SUM(cnt) AS total FROM vocab)
+    SELECT
+        t.doc_id,
+        round(AVG(-ln(CAST(v.cnt AS DOUBLE) / CAST(total.total AS DOUBLE))), 4)
+            AS mean_neg_logprob,
+        COUNT(*) AS n_tokens
+    FROM toks t JOIN vocab v USING (tok), total
+    GROUP BY t.doc_id
+    ORDER BY mean_neg_logprob DESC, doc_id
+    LIMIT 100
+    """,
+)
+def text_unigram_logprob_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 most-surprising documents under the corpus unigram model (the
+    quality-filter ranking a pipeline thresholds on)."""
+    docs = load(spark, "documents", sf_dir)
+    return (
+        unigram_logprob_score(docs)
+        .orderBy(F.desc("mean_neg_logprob"), "doc_id")
+        .limit(100)
+    )
