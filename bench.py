@@ -35,13 +35,44 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     qs = entry_mod.queries()
 
-    # warm the JVM + parquet footers once so per-query numbers measure the
-    # queries, not session bootstrap.
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # Warm the JVM so per-query numbers measure the queries, not session
+    # bootstrap: parquet footers, whole-stage codegen, the broadcast
+    # machinery, and the window-exec path all compile on first use and
+    # would otherwise be billed to whichever query happens to run first
+    # (r02 flagged a phantom 2x "regression" on i94_trips_build when the
+    # gate rotation moved it to the front of the run).
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    li.count()
+    (
+        li.join(F.broadcast(orders.limit(100)), li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)))
+        .collect()
+    )
+    li.limit(1000).select(
+        F.row_number().over(Window.orderBy("l_orderkey"))
+    ).count()
+    li.dropDuplicates(["l_orderkey"]).limit(1).count()
+    # Python-worker + Arrow lane (pandas_udf / mapInPandas) and the
+    # localCheckpoint storage path each have their own first-use cost.
+    def _ident(v):
+        return v
+
+    li.limit(256).select(
+        F.pandas_udf(_ident, "double")(F.col("l_quantity"))
+    ).count()
+    li.limit(256).mapInPandas(lambda it: it, schema=li.schema).count()
+    li.limit(16).localCheckpoint().count()
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, fn in qs.items():
+    # fixed name order: comparable across rounds regardless of the gate
+    # rotation in registry.gate_ordered
+    for name, fn in sorted(qs.items()):
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
@@ -108,12 +139,28 @@ def _flag_regressions(
     # previous local run (this function runs before it is overwritten).
     prev: dict[str, float] = {}
     baseline = ""
+    this_sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     for path in rounds[::-1] + [os.path.join(repo_root, "BENCH_FULL.json")]:
         try:
             with open(path) as f:
                 doc = json.load(f)
-            doc = doc.get("parsed") or doc
-            prev = doc.get("queries") or {}
+            inner = doc.get("parsed") or doc
+            # cross-SF comparisons are meaningless; both our BENCH_FULL and
+            # the driver's wrapper record the sf they ran at.
+            sf_of = inner.get("sf", doc.get("sf"))
+            if sf_of is not None and f"sf{sf_of}" not in this_sf:
+                continue
+            prev = inner.get("queries") or {}
+            if not prev and isinstance(doc.get("tail"), str):
+                # driver wrapper whose stdout parse failed (r01): recover
+                # per-query seconds from the captured tail fragment.
+                prev = {
+                    m.group(1): float(m.group(2))
+                    for m in re.finditer(
+                        r'"([A-Za-z]\w+)":\s*([0-9]+\.[0-9]+)', doc["tail"]
+                    )
+                    if m.group(1) not in ("value", "sf")
+                }
         except Exception:
             continue
         if prev:
