@@ -65,16 +65,18 @@ def assign_split(
 
 
 def shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int = 8
+    df: DataFrame, id_col: str, text_col: str, n: int = 8, distinct: bool = True
 ) -> DataFrame:
-    """Distinct (id, md5(shingle)) pairs: word n-grams over the family's
+    """(id, md5(shingle)) pairs: word n-grams over the family's
     shared normalization (``functions.text.tokens``), keyed by a
     fixed-width digest so downstream joins shuffle 32-byte keys instead
     of raw n-gram strings. Documents shorter than ``n`` words emit
     nothing (strict n-grams — unlike ``word_shingles``' whole-text
     fallback, matching the decontamination convention and the SQL
     oracle). The WHEN guard matters: Spark's ``sequence(1, stop)``
-    produces a DESCENDING sequence when stop < 1, not an empty one."""
+    produces a DESCENDING sequence when stop < 1, not an empty one.
+    ``distinct=False`` skips the per-(id, shingle) dedup shuffle for
+    callers that prune the stream first (see ``contamination_pairs``)."""
     from data_engineering_nd_spark.functions.text import tokens
 
     toks = tokens(F.col(text_col))
@@ -85,11 +87,11 @@ def shingles(
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
+    out = (
         df.select(F.col(id_col), F.explode(grams).alias("shingle"))
         .select(id_col, F.md5("shingle").alias("sh_key"))
-        .dropDuplicates()
     )
+    return out.dropDuplicates() if distinct else out
 
 
 def contamination_pairs(
@@ -102,18 +104,28 @@ def contamination_pairs(
 ) -> DataFrame:
     """Benchmark-contamination check: corpus documents sharing >=
     ``min_overlap`` distinct word ``n``-grams with any benchmark document
-    (the standard eval-set decontamination join). One equi-join on the
-    shingle digest + one hash-agg on the doc pair; at 100 TB the join is
-    linear in total shingle count and the hot side can additionally be
-    bloom-pruned by the (small) benchmark shingle set."""
-    c = shingles(corpus, id_col, text_col, n).withColumnRenamed(
-        id_col, "corpus_doc"
+    (the standard eval-set decontamination join).
+
+    Scale shape: the benchmark side is a (small) eval suite by design, so
+    its distinct shingle set is materialized once and BROADCAST as a
+    semi-join filter over the raw corpus shingle stream — the corpus-side
+    dedup shuffle then carries only shingles that appear in the benchmark
+    (usually a vanishing fraction), not the whole corpus. The final join
+    and the (corpus_doc, benchmark_doc) hash-agg are linear in match count.
+    The corpus text itself is never shuffled at any width."""
+    b = (
+        shingles(benchmark, id_col, text_col, n)
+        .withColumnRenamed(id_col, "benchmark_doc")
+        .localCheckpoint()  # small by contract; computed once, used twice
     )
-    b = shingles(benchmark, id_col, text_col, n).withColumnRenamed(
-        id_col, "benchmark_doc"
+    c = (
+        shingles(corpus, id_col, text_col, n, distinct=False)
+        .join(F.broadcast(b.select("sh_key").dropDuplicates()), "sh_key", "left_semi")
+        .dropDuplicates()  # only benchmark-hitting shingles reach this shuffle
+        .withColumnRenamed(id_col, "corpus_doc")
     )
     return (
-        c.join(b, "sh_key")
+        c.join(F.broadcast(b), "sh_key")
         .groupBy("corpus_doc", "benchmark_doc")
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
         .filter(F.col("n_shared_shingles") >= min_overlap)
@@ -216,7 +228,10 @@ def ds_contamination_check_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     held-out benchmark; corpus docs sharing >=3 distinct 8-grams with a
     benchmark doc are flagged (the documents table's planted near-dups
     make this non-empty)."""
-    docs = load(spark, "documents", sf_dir)
+    from data_engineering_nd_spark.catalog import ensure_parallelism
+
+    # Shingling is CPU-bound; fan a small/single-file scan to all cores.
+    docs = ensure_parallelism(load(spark, "documents", sf_dir))
     is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
     return contamination_pairs(
         docs.filter(~is_bench), docs.filter(is_bench), n=8, min_overlap=3
@@ -385,7 +400,10 @@ def ds_chunk_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus has no newlines, so chunks stand in for paragraphs; the
     delimiter-based variant is `paragraph_dedup` (unit-tested on
     multi-paragraph docs)."""
-    docs = load(spark, "documents", sf_dir)
+    from data_engineering_nd_spark.catalog import ensure_parallelism
+
+    # Chunk hashing is CPU-bound; fan a small/single-file scan to all cores.
+    docs = ensure_parallelism(load(spark, "documents", sf_dir))
     occ = (
         chunk_text(docs, "doc_id", "text", 16)
         .withColumn(
