@@ -134,13 +134,17 @@ def _flag_regressions(
         glob.glob(os.path.join(repo_root, "BENCH_r*.json")),
         key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
     )
-    # prefer the newest driver-recorded round (it may wrap our JSON under
-    # "parsed"); fall back to the committed BENCH_FULL.json from the
-    # previous local run (this function runs before it is overwritten).
+    # Prefer the committed BENCH_FULL.json from the previous run (this
+    # function runs before it is overwritten): it holds EVERY query's time.
+    # The driver's BENCH_r{N}.json wrappers inline only the 15 slowest, so
+    # a gate that read them first was blind to regressions outside the
+    # top 15 (r03 missed an 8x slowdown on q08_sas_date_kernel this way).
+    # Round files remain the fallback for a fresh clone without a prior
+    # local run.
     prev: dict[str, float] = {}
     baseline = ""
     this_sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    for path in rounds[::-1] + [os.path.join(repo_root, "BENCH_FULL.json")]:
+    for path in [os.path.join(repo_root, "BENCH_FULL.json")] + rounds[::-1]:
         try:
             with open(path) as f:
                 doc = json.load(f)
@@ -179,9 +183,12 @@ def _flag_regressions(
             f"({now / was:.1f}x, vs {baseline})",
             file=sys.stderr,
         )
+    compared = sum(1 for n in timings if n in prev and prev[n] >= 0.5)
     if not flagged:
         print(
-            f"# no regressions vs {baseline} (threshold {factor}x)",
+            f"# no regressions vs {baseline} (threshold {factor}x, "
+            f"{compared} queries >=0.5s compared, "
+            f"{len(prev)} in baseline)",
             file=sys.stderr,
         )
 

@@ -578,19 +578,23 @@ def ds_label_centroids_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ds_training_order_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global training-data shuffle: position = rank of
     md5(id). Reproducible across engines, retries, and epochs (append the
-    epoch to the hashed key for a new permutation). At scale the ORDER BY
-    is a range-partitioned sort (Spark samples the key space) — no single
-    reducer; here the window is only used to emit the first 100 positions
-    for the gate."""
+    epoch to the hashed key for a new permutation).
+
+    Scale shape: the top-k is taken FIRST via orderBy+limit, which Spark
+    plans as TakeOrderedAndProject — a per-partition bounded heap plus a
+    driver-side merge of k·numPartitions rows, never a global sort through
+    one reducer. Only the surviving k rows see the row_number window (a
+    single tiny partition by construction). For the full-corpus permutation
+    (no limit), drop the window entirely and use a range-partitioned
+    sortWithinPartitions + zipWithIndex-style offset join; pinned in
+    tests/test_plans.py that THIS plan contains no single-partition
+    Exchange before the limit."""
     from pyspark.sql.window import Window
 
     docs = load(spark, "documents", sf_dir)
     keyed = docs.select(
         "doc_id", F.md5(F.col("doc_id").cast("string")).alias("shuffle_key")
     )
+    top = keyed.orderBy("shuffle_key", "doc_id").limit(100)
     w = Window.orderBy("shuffle_key", "doc_id")
-    return (
-        keyed.withColumn("training_pos", F.row_number().over(w))
-        .orderBy("training_pos")
-        .limit(100)
-    )
+    return top.withColumn("training_pos", F.row_number().over(w)).orderBy("training_pos")

@@ -138,6 +138,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    max_bucket: int | None = 512,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH, verified with true
     shingle Jaccard.
@@ -150,6 +151,15 @@ def minhash_lsh_pairs(
     only. With 64 hashes / 16 bands the S-curve midpoint is ~(1/16)^(1/4)
     ≈ 0.5, so recall at threshold 0.7 is high; false positives are removed
     by verification.
+
+    Skew guard: buckets with more than ``max_bucket`` members are dropped
+    before the self-join. A hot bucket is degenerate — boilerplate or
+    empty-ish text colliding across millions of docs — and at corpus scale
+    a single 1M-doc bucket alone would emit 5·10^11 candidate pairs. True
+    near-dups inside a dropped bucket almost always re-pair through their
+    other ``bands - 1`` bands, so the recall cost is negligible while the
+    worst-case join output becomes bounded by n·bands·max_bucket. The cap
+    count rides the same (band, bucket) shuffle key as the join itself.
     """
     rows_per_band = num_hashes // bands
     base = df.select(
@@ -186,6 +196,15 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+
+        bucket_w = Window.partitionBy("band", "bucket")
+        bucketed = (
+            bucketed.withColumn("_bsz", F.count(F.lit(1)).over(bucket_w))
+            .filter(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
     shingle_map = base  # (id, shingles) for verification
 
     a = bucketed.alias("a")

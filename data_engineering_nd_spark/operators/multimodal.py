@@ -209,48 +209,75 @@ def chunk_audio(
     per chunk. The 1-to-N-with-overlap mapInPandas shape (hop < window
     means adjacent chunks share samples) — with a real codec only the
     sample-extraction line changes. Chunking is per-row and narrow: no
-    shuffle, parallelism = input partitions."""
+    shuffle, parallelism = input partitions.
+
+    Fully vectorized per Arrow batch (same repeat/concatenate shape as
+    sample_frames): chunk windows expand via np.repeat + concatenated
+    aranges, and every chunk's RMS comes from one global prefix-sum of
+    squared samples — sum(sq[lo:hi]) = S[hi] - S[lo] — so there is no
+    per-row (or per-chunk) Python loop."""
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        empty = pd.DataFrame(
+            {
+                "media_id": pd.Series(dtype="int64"),
+                "chunk_index": pd.Series(dtype="int32"),
+                "start_ms": pd.Series(dtype="int32"),
+                "end_ms": pd.Series(dtype="int32"),
+                "rms": pd.Series(dtype="float64"),
+            }
+        )
         for pdf in batches:
-            rows = []
-            for media_id, duration, payload in zip(
-                pdf["media_id"], pdf["duration_ms"], pdf["payload"]
-            ):
-                data = bytes(payload) if payload is not None else b""
-                dur = int(duration or 0)
-                if not data or dur <= 0:
-                    continue
-                # fake PCM: bytes as centered samples, time-scaled to dur
-                samples = np.frombuffer(data, dtype=np.uint8).astype(
-                    np.float64
-                ) - 128.0
-                per_ms = max(len(samples) / dur, 1e-9)
-                start = 0
-                idx = 0
-                while start < dur:
-                    end = min(start + window_ms, dur)
-                    lo = int(start * per_ms)
-                    hi = max(int(end * per_ms), lo + 1)
-                    w = samples[lo:hi]
-                    rows.append(
-                        {
-                            "media_id": media_id,
-                            "chunk_index": idx,
-                            "start_ms": start,
-                            "end_ms": end,
-                            "rms": round(
-                                float(np.sqrt(np.mean(w * w))), 4
-                            ),
-                        }
-                    )
-                    start += hop_ms
-                    idx += 1
+            durs = (
+                pd.to_numeric(pdf["duration_ms"], errors="coerce")
+                .fillna(0)
+                .to_numpy(np.int64)
+            )
+            payloads = [
+                bytes(p) if p is not None else b"" for p in pdf["payload"]
+            ]
+            lens = np.fromiter(map(len, payloads), np.int64, len(payloads))
+            keep = (durs > 0) & (lens > 0)
+            if not keep.any():
+                yield empty
+                continue
+            ids = pdf["media_id"].to_numpy()[keep]
+            durs = durs[keep]
+            lens = lens[keep]
+            # fake PCM: bytes as centered samples, time-scaled to duration
+            flat = (
+                np.frombuffer(b"".join(p for p, k in zip(payloads, keep) if k), np.uint8)
+                .astype(np.float64)
+                - 128.0
+            )
+            sq_prefix = np.concatenate([[0.0], np.cumsum(flat * flat)])
+            offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            per_ms = np.maximum(lens / durs, 1e-9)
+
+            n_chunks = -(-durs // hop_ms)  # ceil(dur / hop)
+            rep = np.repeat(np.arange(len(durs)), n_chunks)
+            chunk_idx = np.concatenate(
+                [np.arange(k, dtype=np.int64) for k in n_chunks]
+            )
+            start = chunk_idx * hop_ms
+            end = np.minimum(start + window_ms, durs[rep])
+            lo = (start * per_ms[rep]).astype(np.int64)
+            hi = np.maximum((end * per_ms[rep]).astype(np.int64), lo + 1)
+            glo = offsets[rep] + lo
+            ghi = offsets[rep] + hi
+            rms = np.sqrt(
+                (sq_prefix[ghi] - sq_prefix[glo]) / (ghi - glo)
+            ).round(4)
             yield pd.DataFrame(
-                rows,
-                columns=["media_id", "chunk_index", "start_ms", "end_ms", "rms"],
+                {
+                    "media_id": ids[rep],
+                    "chunk_index": chunk_idx.astype(np.int32),
+                    "start_ms": start.astype(np.int32),
+                    "end_ms": end.astype(np.int32),
+                    "rms": rms,
+                }
             )
 
     return df.filter(F.col("kind") == "audio").select(

@@ -664,12 +664,14 @@ def project_pca(
 @query("ann_pca_projection")  # learned basis -> not SQL-mirrorable; rows-only
 def ann_pca_projection_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 4 principal components of every embedding, rounded for a stable
-    rows-only check. Variance capture and orthonormality are pinned in
-    tests/test_similarity.py."""
+    rows-only check. Returned as four scalar DOUBLE columns (pca_0..pca_3),
+    not an array, so downstream tabular tooling (and the driver's pandas
+    canonicalization) can sort/hash the result. Variance capture and
+    orthonormality are pinned in tests/test_similarity.py."""
     emb = load(spark, "embeddings", sf_dir)
     mean, comps = train_pca(emb, n_components=4)
     out = project_pca(emb.select("vec_id", "embedding"), mean, comps)
     return out.select(
         "vec_id",
-        F.transform(F.col("pca"), lambda x: F.round(x, 4)).alias("pca4"),
+        *[F.round(F.col("pca")[i], 4).alias(f"pca_{i}") for i in range(4)],
     ).orderBy("vec_id")

@@ -135,9 +135,44 @@ def text_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_quality_scores",
-    oracle=None,  # quality_score + stopword_ratio are SQL-expressible but the
-    # stopword list expansion is unwieldy; oracle provided for the simpler
-    # text_stats above, this one adds the composite score (rows-only).
+    # Full SQL mirror of quality_score/stopword_ratio (functions/text.py):
+    # same stopword literals, same arithmetic order, same round placement.
+    oracle=r"""
+    WITH t AS (
+        SELECT
+            doc_id,
+            length(text) AS n_chars_actual,
+            string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks,
+            CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE CAST(length(text) - length(regexp_replace(text, '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', '', 'g')) AS DOUBLE)
+                      / CAST(length(text) AS DOUBLE)
+            END AS praw
+        FROM documents
+    ), s AS (
+        SELECT
+            doc_id, n_chars_actual, praw,
+            CAST(len(toks) AS BIGINT) AS n_tokens,
+            CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE CAST(len(list_filter(toks, x -> list_contains(
+                        ['the','a','an','and','or','but','if','then','of','to','in',
+                         'on','for','with','at','by','from','is','are','was','were',
+                         'be','been','it','this','that','as','not','no','so','we',
+                         'you','they','he','she','has','have','had','will','would'], x))) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE)
+            END AS sraw
+        FROM t
+    )
+    SELECT
+        doc_id,
+        n_chars_actual,
+        n_tokens,
+        round(praw, 4) AS punct_ratio,
+        round(sraw, 4) AS stopword_ratio,
+        round((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+               + (1.0 - abs(sraw - 0.4))
+               + (1.0 - least(praw * 4, 1.0))) / 3.0, 4) AS quality_score
+    FROM s
+    """,
 )
 def text_quality_scores_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir)
@@ -149,7 +184,7 @@ def text_quality_scores_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     SELECT
         source,
-        SUM(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))) AS total_tokens,
+        CAST(SUM(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))) AS BIGINT) AS total_tokens,
         COUNT(*) AS n_docs
     FROM documents
     GROUP BY source
@@ -166,7 +201,50 @@ def text_token_count_by_source_query(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
-@query("text_detect_language")  # argmax-over-struct: rows-only check
+@query(
+    "text_detect_language",
+    # Argmax over the 4 marker-hit ratios; tie-break = lexicographically
+    # smallest language code (mirrors the struct-greatest trick in
+    # detect_language above, so the CASE checks de < en < es < fr in order).
+    oracle=r"""
+    WITH t AS (
+        SELECT
+            doc_id,
+            string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        FROM documents
+    ), s AS (
+        SELECT
+            doc_id,
+            round(CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE CAST(len(list_filter(toks, x -> list_contains(
+                        ['the','and','of','to','in','is','that','for','with','on'], x))) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE) END, 6) AS s_en,
+            round(CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE CAST(len(list_filter(toks, x -> list_contains(
+                        ['el','la','de','que','y','en','un','una','los','las'], x))) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE) END, 6) AS s_es,
+            round(CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE CAST(len(list_filter(toks, x -> list_contains(
+                        ['le','la','de','et','les','des','un','une','est','dans'], x))) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE) END, 6) AS s_fr,
+            round(CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE CAST(len(list_filter(toks, x -> list_contains(
+                        ['der','die','das','und','ist','von','mit','den','ein','eine'], x))) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE) END, 6) AS s_de
+        FROM t
+    )
+    SELECT
+        doc_id,
+        CASE WHEN greatest(s_en, s_es, s_fr, s_de) >= 0.05 THEN
+            CASE WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+                 WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+                 WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+                 ELSE 'fr' END
+        ELSE 'unknown' END AS predicted_lang,
+        greatest(s_en, s_es, s_fr, s_de) AS lang_score
+    FROM s
+    """,
+)
 def text_detect_language_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir)
     return detect_language(docs, "doc_id", "text")

@@ -160,3 +160,65 @@ def test_correlated_subqueries_decorrelate_to_joins(spark):
     plan = physical_plan(df)
     assert "NestedLoop" not in plan
     assert "Join LeftSemi" in plan or "LeftSemi" in plan
+
+
+def test_training_order_topk_has_no_global_sort_before_limit(spark):
+    """ds_training_order must take its top-k via TakeOrderedAndProject
+    (per-partition heap + driver merge) BEFORE the row_number window; a
+    window over the whole corpus would funnel 100 TB through one reducer.
+    The only single-partition Exchange allowed is the one over the already-
+    limited k rows."""
+    from data_engineering_nd_spark.operators.datasets import (
+        ds_training_order_query,
+    )
+    from data_engineering_nd_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(ds_training_order_query(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    # no corpus-wide sort shuffle may appear anywhere: the window runs on
+    # the already-limited k rows (in the observed plan, with no Exchange at
+    # all — TakeOrderedAndProject feeds the Window directly)
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_contamination_check_broadcasts_benchmark_side(spark):
+    """ds_contamination_check's benchmark shingle set must ride a
+    BroadcastExchange (twice: semi-join filter + final join) so the corpus
+    text is never shuffled for the decontamination probe."""
+    from data_engineering_nd_spark.operators.datasets import (
+        ds_contamination_check_query,
+    )
+    from data_engineering_nd_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(ds_contamination_check_query(spark, SF_DIR))
+    assert plan.count("BroadcastExchange") >= 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_minhash_lsh_hot_bucket_cap_bounds_the_self_join(spark):
+    """The LSH bucket-size guard must be in the plan (window count over the
+    same (band, bucket) key as the join) and a degenerate corpus — many
+    identical docs — must produce capped candidate counts, not |bucket|^2."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_nd_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.range(40).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.lit("the same boilerplate text repeated in every document body").alias(
+            "text"
+        ),
+    )
+    # cap 10: every doc collides in every band; uncapped would yield
+    # 40*39/2 = 780 pairs; the cap drops the hot buckets entirely.
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.5, max_bucket=10
+    )
+    assert pairs.count() == 0
+    # and with the cap disabled the same corpus does produce the quadratic
+    # pair set (sanity that the guard, not a bug, removed them)
+    uncapped = minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.5, max_bucket=None
+    )
+    assert uncapped.count() == 780
