@@ -503,6 +503,94 @@ def dedup_embedding_cosine_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(emb, threshold=0.35)
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond").
+    Returns (id, comp) with comp = the component's minimum node id.
+
+    Why this beats plain min-label propagation at web scale: propagation
+    needs diameter-many rounds (a 1M-long dup chain = 1M shuffles); the
+    star operations square away path length, converging in
+    O(log^2 n) — in practice a handful — of rounds on any topology, and
+    every round is still just groupBy-min + equi-join on node id.
+
+    large-star: every node u sends m = min(u, Γ(u)) to its LARGER
+    neighbors; small-star: u collapses its smaller-or-equal neighborhood
+    onto that minimum. Both strictly shrink sum(dst) while preserving
+    connectivity, so the (checksum, count) fixed point is a true
+    convergence witness. The per-round frames carry only (bigint, bigint)
+    pairs — node payloads never enter the loop.
+    """
+    und = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    cur = (
+        und.union(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _adj_both(e: DataFrame) -> DataFrame:
+        return e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        adj = _adj_both(e)
+        m = adj.groupBy("src").agg(
+            F.least(F.first("src"), F.min("dst")).alias("m")
+        )
+        return (
+            adj.join(m, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        adj = _adj_both(e).filter(F.col("dst") <= F.col("src"))
+        m = adj.groupBy("src").agg(
+            F.least(F.first("src"), F.min("dst")).alias("m")
+        )
+        with_m = adj.join(m, "src")
+        out = with_m.select(F.col("dst").alias("src"), F.col("m").alias("dst")).union(
+            with_m.select("src", F.col("m").alias("dst"))
+        )
+        return out.filter(F.col("src") != F.col("dst")).distinct()
+
+    def _sig(e: DataFrame) -> tuple[int, int]:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulation: a sum of 64-bit hashes overflows bigint
+            # under ANSI mode
+            F.coalesce(
+                F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    prev = _sig(cur)
+    for _ in range(max_iterations):
+        cur = _small_star(_large_star(cur)).localCheckpoint()
+        sig = _sig(cur)
+        if sig == prev:
+            break
+        prev = sig
+    # converged: cur is a star forest (v -> component-min root)
+    return (
+        cur.select(F.col("src").alias("id"), F.col("dst").alias("comp"))
+        .union(cur.select(F.col("dst").alias("id"), F.col("dst").alias("comp")))
+        .groupBy("id")
+        .agg(F.min("comp").alias("comp"))
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -516,10 +604,11 @@ def dedup_clusters(
 
     Each iteration is one join + one min-aggregate; localCheckpoint cuts
     the lineage so plan size stays constant across iterations. Iterations
-    needed = graph diameter, and near-dup clusters are shallow (dup chains,
-    not long paths). At web scale you'd switch to the large-star/small-star
-    algorithm (Kiveris et al. 2014) — same Spark primitives, fewer rounds;
-    the loop shape here is identical.
+    needed = graph diameter — fine for near-dup clusters, which are
+    shallow (dup chains, not long paths). ``connected_components_star``
+    above is the diameter-independent web-scale variant; both produce the
+    identical (id, min-reachable-id) labelling (pinned equal on random
+    graphs in tests/test_dedup.py), so callers choose by topology.
     """
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
@@ -555,9 +644,10 @@ def dedup_clusters(
     )
 
 
-@query(
-    "dedup_cluster_assignment",
-    oracle=r"""
+# Shared by the propagation and star-CC cluster queries: both must produce
+# the identical (doc_id, min-reachable-id) labelling over the jaccard-0.5
+# pair graph, so they verify against the same recursive-SQL closure.
+_CLUSTER_ORACLE = r"""
     WITH RECURSIVE
     sets AS (
         SELECT doc_id AS id,
@@ -587,11 +677,27 @@ def dedup_clusters(
     SELECT id AS doc_id, MIN(r) AS cluster_id
     FROM reach
     GROUP BY id
-    """,
-)
+    """
+
+
+@query("dedup_cluster_assignment", oracle=_CLUSTER_ORACLE)
 def dedup_cluster_assignment_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure over the jaccard-0.5 pair graph (same pair
     source as dedup_jaccard_pairs)."""
     docs = load(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
     pairs = jaccard_pairs(docs, "doc_id", "text", "lang", threshold=0.5)
     return dedup_clusters(pairs)
+
+
+@query("dedup_cluster_star", oracle=_CLUSTER_ORACLE)
+def dedup_cluster_star_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering contract as dedup_cluster_assignment, computed with
+    the diameter-independent large-star/small-star algorithm — the variant
+    that holds when dup chains are long (propagation needs diameter-many
+    shuffle rounds; this needs O(log^2 n)). Hash-verified against the same
+    recursive-SQL closure, pinning that both implementations agree."""
+    docs = load(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    pairs = jaccard_pairs(docs, "doc_id", "text", "lang", threshold=0.5)
+    return connected_components_star(pairs, src="id_a", dst="id_b").select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )

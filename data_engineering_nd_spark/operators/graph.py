@@ -66,25 +66,27 @@ def pagerank(
         .repartition("id")
         .localCheckpoint()
     )
-    # Dangling node SET is loop-invariant (only its mass changes per round).
-    dangling_ids = nodes.join(
-        e_norm.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
-    ).localCheckpoint()
     n_nodes = nodes.count()
     ranks = nodes.select("id", F.lit(1.0).alias("rank")).localCheckpoint()
 
     for _ in range(iterations):
         # One equi-join + one hash-agg: contributions flowing into each dst.
+        # localCheckpoint: contribs feeds BOTH the dangling-mass aggregate
+        # and the rank update — materialize once instead of running the
+        # join+agg twice.
         contribs = (
             ranks.join(e_norm, ranks.id == e_norm.src)
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("rank") * F.col("nw")).alias("c"))
+            .localCheckpoint()
         )
-        # Dangling mass as a broadcast 1-row aggregate inside the SAME action
-        # (no driver round-trip per iteration).
-        dmass = (
-            ranks.join(dangling_ids, "id", "left_semi")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        # Dangling mass without touching the rank frame again: every
+        # non-dangling source's rank flows fully into contribs (its nw sums
+        # to 1), so sum(contribs) = N - dangling_mass. One 1-row aggregate
+        # over the small contribs frame replaces the per-round
+        # ranks ⋈ dangling_ids semi-join + aggregate.
+        dmass = contribs.agg(
+            (F.lit(float(n_nodes)) - F.coalesce(F.sum("c"), F.lit(0.0))).alias("dm")
         )
         ranks = (
             nodes.join(contribs, "id", "left")

@@ -432,6 +432,115 @@ def text_pii_scan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Composite corpus-filter decision (C4/Gopher-style): every heuristic
+# signal evaluated in ONE narrow projection — token count, stopword and
+# punctuation density, distinct-token repetition, PII flags — folded into a
+# keep/drop decision with the first failing rule as the reason. No shuffle
+# anywhere: this is the shape that filters 100 TB at scan speed.
+# ---------------------------------------------------------------------------
+
+#: (reason, rule) in priority order; first match wins.
+FILTER_RULES: tuple[tuple[str, str], ...] = (
+    ("too_short", "n_tokens < 20"),
+    ("high_punct", "punct_ratio > 0.10"),
+    ("low_stopword", "stopword_ratio < 0.02"),
+    ("high_repetition", "dup_token_ratio > 0.60"),
+    ("has_pii", "any PII pattern matches"),
+)
+
+
+def filter_decisions(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document keep/drop decision with audit columns. All ratios are
+    rounded to 4 dp BEFORE thresholding so boundary comparisons are
+    engine-independent (same contract as the rest of this module)."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks).cast("bigint")
+    dup = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0)
+        - F.size(F.array_distinct(toks)).cast("double") / n_tok.cast("double")
+    )
+    pii_any = None
+    for pat in PII_PATTERNS.values():
+        c = F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)) > 0
+        pii_any = c if pii_any is None else (pii_any | c)
+
+    base = df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.round(punct_ratio(text_col), 4).alias("punct_ratio"),
+        F.round(stopword_ratio(text_col), 4).alias("stopword_ratio"),
+        F.round(dup, 4).alias("dup_token_ratio"),
+        pii_any.alias("has_pii"),
+    )
+    reason = (
+        F.when(F.col("n_tokens") < 20, F.lit("too_short"))
+        .when(F.col("punct_ratio") > 0.10, F.lit("high_punct"))
+        .when(F.col("stopword_ratio") < 0.02, F.lit("low_stopword"))
+        .when(F.col("dup_token_ratio") > 0.60, F.lit("high_repetition"))
+        .when(F.col("has_pii"), F.lit("has_pii"))
+        .otherwise(F.lit("ok"))
+    )
+    return base.withColumn("reason", reason).withColumn(
+        "decision",
+        F.when(F.col("reason") == "ok", F.lit("keep")).otherwise(F.lit("drop")),
+    )
+
+
+@query(
+    "text_filter_decision",
+    oracle=r"""
+    WITH t AS (
+        SELECT
+            doc_id,
+            text,
+            string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks,
+            CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE CAST(length(text) - length(regexp_replace(text, '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', '', 'g')) AS DOUBLE)
+                      / CAST(length(text) AS DOUBLE)
+            END AS praw
+        FROM documents
+    ), s AS (
+        SELECT
+            doc_id,
+            CAST(len(toks) AS BIGINT) AS n_tokens,
+            round(praw, 4) AS punct_ratio,
+            round(CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE CAST(len(list_filter(toks, x -> list_contains(
+                        ['the','a','an','and','or','but','if','then','of','to','in',
+                         'on','for','with','at','by','from','is','are','was','were',
+                         'be','been','it','this','that','as','not','no','so','we',
+                         'you','they','he','she','has','have','had','will','would'], x))) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE) END, 4) AS stopword_ratio,
+            round(CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE) END, 4) AS dup_token_ratio,
+            (regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+             OR regexp_matches(text, '\b\d{3}-\d{2}-\d{4}\b')
+             OR regexp_matches(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')
+             OR regexp_matches(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS has_pii
+        FROM t
+    ), r AS (
+        SELECT *,
+            CASE WHEN n_tokens < 20 THEN 'too_short'
+                 WHEN punct_ratio > 0.10 THEN 'high_punct'
+                 WHEN stopword_ratio < 0.02 THEN 'low_stopword'
+                 WHEN dup_token_ratio > 0.60 THEN 'high_repetition'
+                 WHEN has_pii THEN 'has_pii'
+                 ELSE 'ok' END AS reason
+        FROM s
+    )
+    SELECT doc_id, n_tokens, punct_ratio, stopword_ratio, dup_token_ratio,
+           has_pii, reason,
+           CASE WHEN reason = 'ok' THEN 'keep' ELSE 'drop' END AS decision
+    FROM r
+    """,
+)
+def text_filter_decision_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    return filter_decisions(docs, "doc_id", "text")
+
+
 def tfidf_top_terms(docs: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """Top-k TF-IDF terms per document, fully distributed.
 

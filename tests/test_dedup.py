@@ -125,3 +125,73 @@ def test_dedup_clusters_transitive_closure(spark):
     )
     got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_star_cc_matches_label_propagation_and_union_find(spark):
+    """connected_components_star must equal both the propagation CC and a
+    plain union-find on random graphs — min-id labelling, every node
+    covered, no diameter dependence."""
+    import random
+
+    from data_engineering_nd_spark.operators.dedup import (
+        connected_components_star,
+        dedup_clusters,
+    )
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n, m = 60, 45
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        # union-find ground truth: comp = min id reachable
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        truth = {
+            i: find(i)
+            for i in range(n)
+            if any(i in e for e in edges)
+        }
+
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        star = {
+            r.id: r.comp
+            for r in connected_components_star(
+                pairs, src="id_a", dst="id_b"
+            ).collect()
+        }
+        prop = {
+            r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()
+        }
+        assert star == truth, f"trial {trial}: star != union-find"
+        assert prop == truth, f"trial {trial}: propagation != union-find"
+
+
+def test_star_cc_long_chain_converges_fast(spark):
+    """A 64-node path graph (diameter 63) must converge in O(log^2 n)
+    star rounds — the scenario where plain propagation needs 63 rounds."""
+    from data_engineering_nd_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], ["id_a", "id_b"]
+    )
+    got = {
+        r.id: r.comp
+        for r in connected_components_star(
+            pairs, src="id_a", dst="id_b", max_iterations=12
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(64)}

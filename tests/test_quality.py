@@ -147,3 +147,49 @@ def test_reconcile_rejects_misaligned_schemas(spark):
     right = spark.createDataFrame([Row(k=1, z="x")])
     with _pytest.raises(ValueError):
         reconcile(left, right, ["k"])
+
+
+def test_filter_decisions_rules_and_priority(spark):
+    """Handcrafted docs hit each rule; priority = first failing rule."""
+    from data_engineering_nd_spark.operators.text_analysis import (
+        filter_decisions,
+    )
+
+    good = "we have a good document that " + " ".join(
+        f"word{i} is here and" for i in range(10)
+    )
+    rows = [
+        (1, "tiny doc"),  # too_short (and low stopword — priority wins)
+        (2, "!!! ??? " * 12 + good),  # high_punct
+        (3, " ".join(f"tok{i}" for i in range(30))),  # low_stopword
+        (4, "the the the the the is is is is to to to and and a a " * 3),  # high_repetition
+        (5, good + " mail me at someone@example.com please"),  # has_pii
+        (6, good),  # keep
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.decision, r.reason)
+        for r in filter_decisions(df, "doc_id", "text").collect()
+    }
+    assert got[1] == ("drop", "too_short")
+    assert got[2] == ("drop", "high_punct")
+    assert got[3] == ("drop", "low_stopword")
+    assert got[4] == ("drop", "high_repetition")
+    assert got[5] == ("drop", "has_pii")
+    assert got[6] == ("keep", "ok")
+
+
+def test_filter_decisions_is_shuffle_free(spark):
+    """The composite filter must stay one narrow projection — zero
+    exchanges — because it runs over the full corpus at scan speed."""
+    from data_engineering_nd_spark.operators.text_analysis import (
+        text_filter_decision_query,
+    )
+    from data_engineering_nd_spark.plans.inspect import (
+        assert_no_python_udf_in,
+        count_exchanges,
+    )
+
+    df = text_filter_decision_query(spark, "/root/testdata/sf0.001")
+    assert count_exchanges(df) == 0
+    assert_no_python_udf_in(df)
