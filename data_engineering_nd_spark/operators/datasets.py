@@ -598,3 +598,90 @@ def ds_training_order_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = keyed.orderBy("shuffle_key", "doc_id").limit(100)
     w = Window.orderBy("shuffle_key", "doc_id")
     return top.withColumn("training_pos", F.row_number().over(w)).orderBy("training_pos")
+
+
+# ---------------------------------------------------------------------------
+# Keep-best dedup resolution: clusters -> one surviving doc each
+# ---------------------------------------------------------------------------
+
+@query(
+    "ds_keep_best_per_cluster",
+    oracle=None,  # composed below after import (needs dedup's cluster CTEs)
+)
+def ds_keep_best_per_cluster_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step after near-dup clustering that actually builds the corpus:
+    from each duplicate cluster keep the single highest-quality document
+    (quality_score DESC, doc_id ASC tie-break). Composite of three
+    already-verified operators — jaccard pair graph, connected components,
+    quality scoring — wired the way a production dedup pass runs them.
+
+    Scale shape: clusters and quality are both (doc_id, scalar) frames; the
+    join and the per-cluster window shuffle keys only. Window partitions =
+    dup clusters (small by construction), never the corpus."""
+    from pyspark.sql.window import Window
+
+    from data_engineering_nd_spark.functions.text import quality_score
+    from data_engineering_nd_spark.operators.dedup import (
+        dedup_clusters,
+        jaccard_pairs,
+    )
+
+    docs = load(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    pairs = jaccard_pairs(docs, "doc_id", "text", "lang", threshold=0.5)
+    clusters = dedup_clusters(pairs)
+    quality = docs.select(
+        "doc_id", quality_score("text").alias("quality_score")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), "doc_id"
+    )
+    return (
+        clusters.join(quality, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "cluster_id", "quality_score")
+    )
+
+
+def _register_keep_best_oracle() -> None:
+    from data_engineering_nd_spark.operators.dedup import CLUSTER_ORACLE_CTES
+    from data_engineering_nd_spark.registry import ORACLE_SQL
+
+    ORACLE_SQL["ds_keep_best_per_cluster"] = CLUSTER_ORACLE_CTES + r"""
+    , clusters AS (
+        SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    ), qbase AS (
+        SELECT
+            doc_id,
+            string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks,
+            CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE CAST(length(text) - length(regexp_replace(text, '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', '', 'g')) AS DOUBLE)
+                      / CAST(length(text) AS DOUBLE)
+            END AS praw
+        FROM documents
+        WHERE doc_id < 200
+    ), quality AS (
+        SELECT doc_id,
+            round((least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+                   + (1.0 - abs((CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE CAST(len(list_filter(toks, x -> list_contains(
+                            ['the','a','an','and','or','but','if','then','of','to','in',
+                             'on','for','with','at','by','from','is','are','was','were',
+                             'be','been','it','this','that','as','not','no','so','we',
+                             'you','they','he','she','has','have','had','will','would'], x))) AS DOUBLE)
+                             / CAST(len(toks) AS DOUBLE) END) - 0.4))
+                   + (1.0 - least(praw * 4, 1.0))) / 3.0, 4) AS quality_score
+        FROM qbase
+    ), ranked AS (
+        SELECT c.doc_id, c.cluster_id, q.quality_score,
+               row_number() OVER (
+                   PARTITION BY c.cluster_id
+                   ORDER BY q.quality_score DESC, c.doc_id
+               ) AS rn
+        FROM clusters c JOIN quality q USING (doc_id)
+    )
+    SELECT doc_id, cluster_id, quality_score FROM ranked WHERE rn = 1
+    """
+
+
+_register_keep_best_oracle()

@@ -644,10 +644,12 @@ def dedup_clusters(
     )
 
 
-# Shared by the propagation and star-CC cluster queries: both must produce
-# the identical (doc_id, min-reachable-id) labelling over the jaccard-0.5
-# pair graph, so they verify against the same recursive-SQL closure.
-_CLUSTER_ORACLE = r"""
+# Shared by the propagation and star-CC cluster queries (and the keep-best
+# assembly step in operators.datasets): all must produce the identical
+# (doc_id, min-reachable-id) labelling over the jaccard-0.5 pair graph, so
+# they verify against the same recursive-SQL closure. Split into the CTE
+# block + final select so composite oracles can extend the same CTEs.
+CLUSTER_ORACLE_CTES = r"""
     WITH RECURSIVE
     sets AS (
         SELECT doc_id AS id,
@@ -674,6 +676,9 @@ _CLUSTER_ORACLE = r"""
         UNION
         SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
     )
+    """
+
+_CLUSTER_ORACLE = CLUSTER_ORACLE_CTES + r"""
     SELECT id AS doc_id, MIN(r) AS cluster_id
     FROM reach
     GROUP BY id

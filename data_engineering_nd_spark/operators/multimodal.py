@@ -328,3 +328,41 @@ def multimodal_frame_samples_query(spark: SparkSession, sf_dir: str) -> DataFram
 @query("multimodal_audio_chunks")
 def multimodal_audio_chunks_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_audio(synthetic_media(spark, sf_dir))
+
+
+@query(
+    "multimodal_metadata_stats",
+    # The metadata lane IS SQL-expressible (unlike the byte-level decode
+    # kernels above): per-kind media counts, payload bytes, duration
+    # profile. This pins the synthetic_media contract itself — schema,
+    # kind assignment, duration derivation — with a value hash.
+    oracle="""
+    SELECT
+        CASE WHEN doc_id % 5 = 0 THEN 'video'
+             WHEN doc_id % 5 = 3 THEN 'audio'
+             ELSE 'image' END AS kind,
+        COUNT(*) AS n_media,
+        CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+        CAST(MAX(strlen(text)) AS BIGINT) AS max_bytes,
+        round(CAST(SUM(CAST(length(text) * 10 AS BIGINT)) AS DOUBLE)
+              / COUNT(*), 2) AS avg_duration_ms
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def multimodal_metadata_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kind-level media catalog profile — the query a pipeline runs before
+    deciding batch sizes and partitioning for the decode pass. One hash
+    aggregate over metadata columns only; payload bytes contribute their
+    LENGTH (a scan-side scalar), never their content, to the shuffle."""
+    media = synthetic_media(spark, sf_dir)
+    return media.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum(F.length("payload")).cast("bigint").alias("total_bytes"),
+        F.max(F.length("payload")).cast("bigint").alias("max_bytes"),
+        F.round(
+            F.sum(F.col("duration_ms").cast("bigint")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            2,
+        ).alias("avg_duration_ms"),
+    )
