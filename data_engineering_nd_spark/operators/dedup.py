@@ -162,10 +162,17 @@ def minhash_lsh_pairs(
     count rides the same (band, bucket) shuffle key as the join itself.
     """
     rows_per_band = num_hashes // bands
+    # The shingle frame feeds THREE consumers (signature explode, and both
+    # sides of the verification join); without materialization the
+    # regex+split+transform shingle build runs three times — measured 2.5x
+    # slower cold at sf0.1. localCheckpoint computes it once. At corpus
+    # scale swap for persist(DISK_ONLY) if executor memory is the
+    # constraint; the frame is (id, array<string>) — already the pruned
+    # minimum.
     base = df.select(
         F.col(id_col).alias("id"),
         word_shingles(text_col, k=shingle_k).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    ).filter(F.size("shingles") > 0).localCheckpoint()
 
     # Signature via explode + hash-aggregate: one xxhash64 per (doc, shingle),
     # then num_hashes cheap multiply-mod derived hashes, min-aggregated per
