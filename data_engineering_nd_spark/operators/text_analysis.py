@@ -675,3 +675,116 @@ def text_unigram_logprob_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("mean_neg_logprob"), "doc_id")
         .limit(100)
     )
+
+
+def bigram_logprob_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean negative log P(w_i | w_{i-1}) under the corpus's
+    own bigram MLE — the next step up from unigram_logprob_score toward a
+    real LM-perplexity filter, with the same swap-in point for KenLM.
+
+    Bigram pairs are built with a JVM-side transform over an index
+    sequence (one pass per doc, no window, no Python), then exploded. The
+    model is two hash-aggregates — conditional counts c(w1,w2) and context
+    counts c(w1) — joined back onto the bigram stream. Both model joins
+    key on near-uniform word hashes; AQE picks broadcast when the model
+    fits (it always does for the context table, |vocab| rows). Per-doc
+    rollup shuffles once on doc id."""
+    from data_engineering_nd_spark.functions.text import _bind
+
+    def pairs_of(toks: Column) -> Column:
+        return F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("w1"),
+                    F.element_at(toks, i + 1).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    bg = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(_bind(tokens(text_col), pairs_of)).alias("bg"),
+    ).select("__id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    m12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    m1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    neg_ll = -F.log(F.col("c12").cast("double") / F.col("c1").cast("double"))
+    return (
+        bg.join(m12, ["w1", "w2"])
+        .join(F.broadcast(m1), "w1")
+        .groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.round(F.avg(neg_ll), 4).alias("mean_neg_logprob_bigram"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
+
+
+@query(
+    "text_bigram_logprob",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        FROM documents WHERE trim(text) <> ''
+    ),
+    seq AS (
+        SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord
+        FROM t
+    ),
+    bg AS (
+        SELECT doc_id, tok AS w1,
+               lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+        FROM seq QUALIFY w2 IS NOT NULL
+    ),
+    m12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+    m1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1)
+    SELECT b.doc_id,
+           round(AVG(-ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))), 4)
+               AS mean_neg_logprob_bigram,
+           COUNT(*) AS n_bigrams
+    FROM bg b JOIN m12 USING (w1, w2) JOIN m1 USING (w1)
+    GROUP BY b.doc_id
+    ORDER BY mean_neg_logprob_bigram DESC, doc_id
+    LIMIT 100
+    """,
+)
+def text_bigram_logprob_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 most-surprising documents under the corpus bigram model."""
+    docs = load(spark, "documents", sf_dir)
+    return (
+        bigram_logprob_score(docs)
+        .orderBy(F.desc("mean_neg_logprob_bigram"), "doc_id")
+        .limit(100)
+    )
+
+
+@query(
+    "text_redact_pii",
+    # Redaction is pure regexp_replace chains in the Java∩RE2 subset, so
+    # the whole transform round-trips through the oracle: every doc's
+    # redacted text value-hashes against DuckDB applying the identical
+    # patterns in the identical fixed order. (The synthetic corpus is
+    # PII-free, so redacted == original here; the pattern semantics are
+    # pinned by handcrafted docs in tests/test_quality.py.)
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                       '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+                   '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+               '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IPV4]', 'g') AS redacted_text
+    FROM documents
+    """,
+)
+def text_redact_pii_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redacted copy of every document (typed placeholders, fixed pattern
+    order) — one narrow shuffle-free projection."""
+    docs = load(spark, "documents", sf_dir)
+    return docs.select("doc_id", redact_pii("text").alias("redacted_text"))
