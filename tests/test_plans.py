@@ -222,3 +222,18 @@ def test_minhash_lsh_hot_bucket_cap_bounds_the_self_join(spark):
         docs, "doc_id", "text", threshold=0.5, max_bucket=None
     )
     assert uncapped.count() == 780
+
+
+def test_bigram_model_joins_are_hash_joins(spark):
+    """text_bigram_logprob's model joins (bigram stream ⋈ conditional
+    counts ⋈ context counts) must be equi-joins — a theta/nested-loop
+    fallback would be quadratic in corpus size."""
+    from data_engineering_nd_spark.operators.text_analysis import (
+        text_bigram_logprob_query,
+    )
+    from data_engineering_nd_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(text_bigram_logprob_query(spark, SF_DIR))
+    assert "NestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
