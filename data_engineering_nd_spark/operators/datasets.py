@@ -685,3 +685,142 @@ def _register_keep_best_oracle() -> None:
 
 
 _register_keep_best_oracle()
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus build: the whole pipeline as ONE verified query
+# ---------------------------------------------------------------------------
+
+@query(
+    "ds_corpus_build_report",
+    oracle=None,  # composed below (reuses the shingle + split fragments)
+)
+def ds_corpus_build_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus build, end to end, as one dataflow:
+    quality filter (C4/Gopher rules) -> benchmark decontamination (8-gram
+    overlap) -> exact content dedup (min-id survivor) -> deterministic
+    split assignment -> per-(split, source) inventory. Every stage is an
+    already-verified operator; this query pins their COMPOSITION with a
+    value hash, which is what a real pipeline actually ships.
+
+    Scale shape: the filter is a narrow projection; decontamination
+    broadcasts the benchmark shingle set; dedup shuffles once on the
+    content hash; the split is a pure key function; the report is one
+    hash-agg. The corpus text is shuffled exactly once (dedup), nothing
+    else ever moves it."""
+    from pyspark.sql.window import Window
+
+    from data_engineering_nd_spark.catalog import ensure_parallelism
+    from data_engineering_nd_spark.functions.text import token_count
+    from data_engineering_nd_spark.operators.text_analysis import (
+        filter_decisions,
+    )
+
+    docs = ensure_parallelism(load(spark, "documents", sf_dir))
+    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    corpus = docs.filter(~is_bench)
+    benchmark = docs.filter(is_bench)
+
+    keep_ids = (
+        filter_decisions(corpus, "doc_id", "text")
+        .filter(F.col("reason") == "ok")
+        .select("doc_id")
+    )
+    contaminated = (
+        contamination_pairs(corpus, benchmark, n=8, min_overlap=3)
+        .select(F.col("corpus_doc").alias("doc_id"))
+        .distinct()
+    )
+    clean = (
+        corpus.join(keep_ids, "doc_id", "left_semi")
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    dedup_w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    final = (
+        clean.withColumn("rn", F.row_number().over(dedup_w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        assign_split(final, "doc_id")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count("text")).cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+def _register_corpus_build_oracle() -> None:
+    from data_engineering_nd_spark.registry import ORACLE_SQL
+
+    ORACLE_SQL["ds_corpus_build_report"] = f"""
+    {_SHINGLE_SQL},
+    bench AS (
+        SELECT doc_id AS benchmark_doc, sh_key FROM sh
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+    ),
+    corp AS (
+        SELECT doc_id AS corpus_doc, sh_key FROM sh
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'
+    ),
+    contaminated AS (
+        SELECT DISTINCT corpus_doc AS doc_id FROM (
+            SELECT corpus_doc, benchmark_doc
+            FROM corp JOIN bench USING (sh_key)
+            GROUP BY corpus_doc, benchmark_doc
+            HAVING COUNT(*) >= 3
+        )
+    ),
+    cbase AS (
+        SELECT
+            doc_id, source, text,
+            string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ctoks,
+            CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE CAST(length(text) - length(regexp_replace(text, '[!"#$%&''()*+,\\-./:;<=>?@\\[\\\\\\]^_`{{|}}~]', '', 'g')) AS DOUBLE)
+                      / CAST(length(text) AS DOUBLE)
+            END AS praw
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'
+    ),
+    cscore AS (
+        SELECT doc_id, source, text, ctoks,
+            CAST(len(ctoks) AS BIGINT) AS n_tokens,
+            round(praw, 4) AS punct_ratio,
+            round(CASE WHEN len(ctoks) = 0 THEN 0.0
+                 ELSE CAST(len(list_filter(ctoks, x -> list_contains(
+                        ['the','a','an','and','or','but','if','then','of','to','in',
+                         'on','for','with','at','by','from','is','are','was','were',
+                         'be','been','it','this','that','as','not','no','so','we',
+                         'you','they','he','she','has','have','had','will','would'], x))) AS DOUBLE)
+                      / CAST(len(ctoks) AS DOUBLE) END, 4) AS stopword_ratio,
+            round(CASE WHEN len(ctoks) = 0 THEN 0.0
+                 ELSE 1.0 - CAST(len(list_distinct(ctoks)) AS DOUBLE)
+                      / CAST(len(ctoks) AS DOUBLE) END, 4) AS dup_token_ratio,
+            (regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')
+             OR regexp_matches(text, '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b')
+             OR regexp_matches(text, '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b')
+             OR regexp_matches(text, '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b')) AS has_pii
+        FROM cbase
+    ),
+    kept AS (
+        SELECT doc_id, source, text, ctoks FROM cscore
+        WHERE NOT (n_tokens < 20 OR punct_ratio > 0.10 OR stopword_ratio < 0.02
+                   OR dup_token_ratio > 0.60 OR has_pii)
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    deduped AS (
+        SELECT doc_id, source, ctoks,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM kept
+    )
+    SELECT {_SPLIT_CASE_SQL} AS split, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(ctoks)) AS BIGINT) AS total_tokens
+    FROM deduped
+    WHERE rn = 1
+    GROUP BY 1, 2
+    """
+
+
+_register_corpus_build_oracle()
