@@ -788,3 +788,96 @@ def text_redact_pii_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     order) — one narrow shuffle-free projection."""
     docs = load(spark, "documents", sf_dir)
     return docs.select("doc_id", redact_pii("text").alias("redacted_text"))
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    max_df: int = 100,
+) -> DataFrame:
+    """Sparse near-duplicate pairs by TF-IDF cosine over an inverted
+    index — the classic IR construction, complementing the dense
+    embedding-cosine path in ``operators.dedup``.
+
+    Pipeline: (doc, term, tf) -> df-capped idf weights -> L2-normalize per
+    doc -> self-join the postings on term -> sum of weight products per
+    pair = cosine. The ``max_df`` cap is the scale guard AND a quality
+    choice: terms in more than ``max_df`` documents contribute near-zero
+    idf anyway, and dropping them bounds every posting list, so the
+    term-keyed self-join emits at most df² pairs per term — never the
+    corpus quadratic. All shuffles key on term or (id_a, id_b); document
+    text never moves. Cosines are rounded to 4 dp before thresholding so
+    the cross-engine comparison is exact."""
+    words = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = words.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = (
+        words.groupBy("term")
+        .agg(F.countDistinct("id").alias("df"))
+        .filter(F.col("df") <= max_df)
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(dfc, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            "id",
+            "term",
+            (
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))
+            ).alias("wt"),
+        )
+    )
+    norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm"))
+    wn = w.join(norms, "id").select(
+        "id", "term", (F.col("wt") / F.col("nrm")).alias("wn")
+    )
+    a, b = wn.alias("a"), wn.alias("b")
+    return (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.round(F.sum(F.col("a.wn") * F.col("b.wn")), 4).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+@query(
+    "text_tfidf_cosine_pairs",
+    oracle=r"""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), words2 AS (
+        SELECT doc_id, term FROM words WHERE term <> ''
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM words2 GROUP BY 1, 2
+    ), dfc AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM words2
+        GROUP BY 1 HAVING COUNT(DISTINCT doc_id) <= 100
+    ), n AS (
+        SELECT COUNT(*) AS n_docs FROM documents
+    ), w AS (
+        SELECT doc_id, tf.term,
+               CAST(tf.tf AS DOUBLE)
+               * ln(CAST(n.n_docs AS DOUBLE) / CAST(dfc.df AS DOUBLE)) AS wt
+        FROM tf JOIN dfc ON tf.term = dfc.term, n
+    ), norms AS (
+        SELECT doc_id, sqrt(SUM(wt * wt)) AS nrm FROM w GROUP BY 1
+    ), wn AS (
+        SELECT w.doc_id, term, wt / nrm AS wn FROM w JOIN norms USING (doc_id)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(SUM(a.wn * b.wn), 4) AS cosine_sim
+    FROM wn a JOIN wn b ON a.term = b.term AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING round(SUM(a.wn * b.wn), 4) >= 0.8
+    """,
+)
+def text_tfidf_cosine_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at TF-IDF cosine >= 0.8 (df-capped inverted index)."""
+    docs = load(spark, "documents", sf_dir)
+    return tfidf_cosine_pairs(docs, "doc_id", "text")

@@ -193,3 +193,30 @@ def test_filter_decisions_is_shuffle_free(spark):
     df = text_filter_decision_query(spark, "/root/testdata/sf0.001")
     assert count_exchanges(df) == 0
     assert_no_python_udf_in(df)
+
+
+def test_tfidf_cosine_df_cap_prunes_common_terms(spark):
+    """Terms above max_df must not generate candidate pairs: two docs
+    sharing ONLY a ubiquitous term score zero (the term is pruned), while
+    genuine near-dups sharing rare terms score high."""
+    from data_engineering_nd_spark.operators.text_analysis import (
+        tfidf_cosine_pairs,
+    )
+
+    common = "shared common words everywhere"
+    rows = [
+        (1, f"{common} unique alpha beta gamma delta"),
+        (2, f"{common} unique alpha beta gamma delta"),  # near-dup of 1
+        (3, f"{common} totally different rare tokens here"),
+        (4, f"{common} another unrelated payload entirely"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # max_df=3: 'shared/common/words/everywhere' appear in all 4 docs -> pruned
+    got = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in tfidf_cosine_pairs(
+            df, "doc_id", "text", threshold=0.5, max_df=3
+        ).collect()
+    }
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] == 1.0
