@@ -315,17 +315,118 @@ def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_image_features")
+@query(
+    "multimodal_image_features",
+    # The synthetic corpus is pure ASCII (chars == bytes for every doc,
+    # verified at sf0.01), so the byte-level fake decode IS SQL-mirrorable:
+    # the 131-base polynomial checksum is a Horner fold over ascii codes
+    # (bit-identical to poly_checksum's chunked numpy dot product), and the
+    # derived width/height/intensity are pure arithmetic on it. With real
+    # binary payloads this oracle would be dropped (rows-only) — the point
+    # here is pinning the mapInPandas plumbing end to end.
+    oracle=r"""
+    WITH img AS (
+        SELECT doc_id AS media_id, text
+        FROM documents
+        WHERE doc_id % 5 <> 0 AND doc_id % 5 <> 3
+    ), c AS (
+        SELECT media_id, text,
+            CAST(strlen(text) AS BIGINT) AS n_bytes,
+            list_reduce(
+                list_prepend(
+                    CAST(0 AS BIGINT),
+                    list_transform(string_split(text, ''),
+                                   x -> CAST(ascii(x) AS BIGINT))
+                ),
+                (acc, x) -> (acc * 131 + x) % 1000000007
+            ) AS checksum
+        FROM img
+    )
+    SELECT media_id, n_bytes, checksum,
+           CAST(checksum % 64 + 1 AS INT) AS decoded_width,
+           CAST((checksum // 64) % 64 + 1 AS INT) AS decoded_height,
+           CAST(list_sum(list_transform(string_split(substr(text, 1, 256), ''),
+                                        x -> CAST(ascii(x) AS BIGINT))) AS DOUBLE)
+               / greatest(least(n_bytes, 256), 1) / 255.0 AS mean_intensity
+    FROM c
+    """,
+)
 def multimodal_image_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(synthetic_media(spark, sf_dir))
 
 
-@query("multimodal_frame_samples")
+@query(
+    "multimodal_frame_samples",
+    # Same ASCII-corpus argument as multimodal_image_features: the frame
+    # expansion (duration // 1000 rows per video) and the byte-derived
+    # checksum are exact integer arithmetic, so the 1-to-N mapInPandas
+    # shape value-hashes against a generate_series UNNEST.
+    oracle=r"""
+    WITH vid AS (
+        SELECT doc_id AS media_id, text,
+               CAST(length(text) * 10 AS BIGINT) AS dur
+        FROM documents WHERE doc_id % 5 = 0
+    ), b AS (
+        SELECT media_id, dur // 1000 AS n_frames,
+               list_sum(list_transform(string_split(substr(text, 1, 64), ''),
+                                       x -> CAST(ascii(x) AS BIGINT))) + 1 AS base
+        FROM vid WHERE dur // 1000 >= 1
+    )
+    SELECT media_id,
+           CAST(t.j AS INT) AS frame_index,
+           (base * 131 + t.j) % 1000000007 AS frame_checksum
+    FROM b, UNNEST(generate_series(0, n_frames - 1)) AS t(j)
+    """,
+)
 def multimodal_frame_samples_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(synthetic_media(spark, sf_dir), every_ms=1000)
 
 
-@query("multimodal_audio_chunks")
+@query(
+    "multimodal_audio_chunks",
+    # The RMS arithmetic is exact until the last two ops: samples are
+    # integers, so sums of squares are integer-valued float64 (< 2^53) in
+    # BOTH engines regardless of accumulation order; the final
+    # sqrt(sum/count) then rounds identically. Window indices replicate
+    # the float64 expression order of the vectorized kernel exactly
+    # (trunc(start * max(n/dur, 1e-9))).
+    oracle=r"""
+    WITH aud AS (
+        SELECT doc_id AS media_id, text,
+               CAST(length(text) * 10 AS BIGINT) AS dur,
+               CAST(strlen(text) AS BIGINT) AS n
+        FROM documents WHERE doc_id % 5 = 3 AND length(text) > 0
+    ), chunks AS (
+        SELECT media_id, text, dur, n, CAST(t.j AS BIGINT) AS idx
+        FROM aud, UNNEST(generate_series(0, (dur + 999) // 1000 - 1)) AS t(j)
+    ), win AS (
+        SELECT media_id, text,
+               CAST(idx AS INT) AS chunk_index,
+               CAST(idx * 1000 AS INT) AS start_ms,
+               CAST(least(idx * 1000 + 2000, dur) AS INT) AS end_ms,
+               CAST(trunc(CAST(idx * 1000 AS DOUBLE)
+                          * greatest(CAST(n AS DOUBLE) / CAST(dur AS DOUBLE), 1e-9))
+                    AS BIGINT) AS lo,
+               greatest(
+                   CAST(trunc(CAST(least(idx * 1000 + 2000, dur) AS DOUBLE)
+                              * greatest(CAST(n AS DOUBLE) / CAST(dur AS DOUBLE), 1e-9))
+                        AS BIGINT),
+                   CAST(trunc(CAST(idx * 1000 AS DOUBLE)
+                              * greatest(CAST(n AS DOUBLE) / CAST(dur AS DOUBLE), 1e-9))
+                        AS BIGINT) + 1
+               ) AS hi
+        FROM chunks
+    )
+    SELECT media_id, chunk_index, start_ms, end_ms,
+           round(sqrt(
+               list_sum(list_transform(
+                   string_split(substr(text, CAST(lo + 1 AS INT), CAST(hi - lo AS INT)), ''),
+                   x -> (CAST(ascii(x) AS DOUBLE) - 128.0) * (CAST(ascii(x) AS DOUBLE) - 128.0)
+               )) / CAST(hi - lo AS DOUBLE)
+           ), 4) AS rms
+    FROM win
+    """,
+)
 def multimodal_audio_chunks_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_audio(synthetic_media(spark, sf_dir))
 
