@@ -171,7 +171,7 @@ _SPLIT_CASE_SQL = """
     "ds_split_assignment",
     oracle=f"""
     SELECT source, {_SPLIT_CASE_SQL} AS split,
-           COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+           COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY source, split
     """,
@@ -385,8 +385,8 @@ def chunk_text(
     SELECT
         o.doc_id,
         COUNT(*) AS n_chunks,
-        SUM(CASE WHEN o.okey = f.first_okey THEN 1 ELSE 0 END) AS n_kept,
-        SUM(CASE WHEN o.okey <> f.first_okey THEN 1 ELSE 0 END) AS n_removed
+        CAST(SUM(CASE WHEN o.okey = f.first_okey THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(SUM(CASE WHEN o.okey <> f.first_okey THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
     FROM occ o JOIN firsts f ON o.h = f.h
     GROUP BY 1
     ORDER BY n_removed DESC, doc_id
@@ -488,7 +488,7 @@ def pack_sequences(
     )
     SELECT pack_group, seq_id,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
     FROM packed
     GROUP BY 1, 2
     ORDER BY 1, 2

@@ -374,7 +374,7 @@ def multimodal_image_features_query(spark: SparkSession, sf_dir: str) -> DataFra
     )
     SELECT media_id,
            CAST(t.j AS INT) AS frame_index,
-           (base * 131 + t.j) % 1000000007 AS frame_checksum
+           CAST((base * 131 + t.j) % 1000000007 AS BIGINT) AS frame_checksum
     FROM b, UNNEST(generate_series(0, n_frames - 1)) AS t(j)
     """,
 )

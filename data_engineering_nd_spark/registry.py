@@ -53,51 +53,83 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Local verification (tools/verify_oracle.py, bench.py) always runs all
 # queries and is order-insensitive.
 
-#: Names already recorded in a committed CORRECTNESS_r*.json (the driver's
-#: files of record).  Four r02/r03 names are deliberately NOT listed so they
-#: re-enter the round-4 window: text_token_count_by_source (oracle hash
-#: mismatch, fixed), ann_pca_projection (harness error on array column,
-#: fixed), text_quality_scores and text_detect_language (oracles newly added).
-RECORDED_PRIOR_ROUNDS: frozenset[str] = frozenset({
-    # -- recorded in CORRECTNESS_r02/r03.json -------------------------------
-    "ann_brute_force_topk", "ann_ivf_kmeans_topk", "ann_ivf_topk",
-    "ann_lsh_topk", "ann_quantized_topk",
-    "dedup_cluster_assignment", "dedup_embedding_cosine", "dedup_exact_groups",
-    "dedup_jaccard_pairs", "dedup_minhash_lsh", "dedup_simhash",
-    "dq_pk_uniqueness", "dq_reconcile_versions", "dq_referential_integrity",
-    "dq_rowcounts",
-    "i94_airports_build", "i94_cities_demographic_build", "i94_dates_build",
-    "i94_dictionary_build", "i94_flights_build", "i94_immigrations_build",
-    "i94_states_demographic_build", "i94_trips_build", "i94_visitors_build",
-    "multimodal_image_features",
-    "q26_salted_skew_groupby", "q37_asof_join", "q38_range_join",
-    "q40_stratified_sample", "q55_dormant_rich_customers", "q56_event_funnel",
-    "q57_cohort_retention", "q58_local_supplier_volume", "q59_volume_shipping",
-    "q60_product_type_profit", "q61_disjunctive_predicates",
-    "q62_waiting_orders", "q63_forecast_revenue_change",
-    "q64_shipping_priority", "q65_order_priority_check",
-    "text_fingerprint", "text_pii_scan", "text_repetition_metrics",
-    "text_stats", "text_tfidf_top_terms", "text_unigram_logprob",
-    # -- recorded in CORRECTNESS_r01.json -----------------------------------
-    "q01_pricing_summary", "q02_top_nations_by_revenue", "q03_monthly_order_trend",
-    "q04_distinct_projection", "q05_null_audit", "q06_top_customers_per_nation",
-    "q07_date_dimension", "q08_sas_date_kernel", "q09_flexible_date_kernel",
-    "q10_avg_ship_delay", "q11_union_by_name", "q12_string_kernels",
-    "q13_dictionary_broadcast_join", "q14_filtered_distinct", "q15_props_extraction",
-    "q16_sessionize", "q17_anti_join", "q18_semi_join", "q19_top_parts_by_revenue",
-    "q20_column_profile", "q21_sql_api_revenue_by_region", "q22_running_total",
-    "q23_moving_average", "q24_order_gap_days", "q25_rollup_revenue",
-    "q27_price_percentiles", "q28_approx_aggregates", "q29_json_extraction",
-    "q30_time_rollup", "q31_set_operations", "q32_pivot_priority", "q33_top_tokens",
-    "q34_pandas_udf_score", "q35_udtf_expand", "q39_array_agg",
-    "q41_cube_returnflag_linestatus",
-    "q42_deterministic_sample", "q43_rank_distribution", "q44_supplier_market_share",
-    "q45_gap_fill_hourly", "q46_price_histogram", "q47_correlated_subqueries",
-    "q48_returned_item_revenue", "q49_late_shipment_priority",
-    "q50_promo_revenue_share", "q51_large_volume_orders",
-    "q52_small_quantity_revenue", "q53_top_supplier_revenue",
-    "q54_customer_order_distribution",
-})
+#: round-5 refresh (the established per-round protocol): for every name, the
+#: most recent committed CORRECTNESS_r0*.json that recorded it.  Deliberately
+#: NOT listed, so they re-enter the round-5 window at the front:
+#: ds_split_assignment / ds_chunk_dedup / ds_pack_sequences /
+#: multimodal_frame_samples (r04 hash-FAIL from uncast DuckDB HUGEINT
+#: oracles — fixed with CAST(... AS BIGINT), pass the hardened local gate)
+#: and multimodal_image_features (oracle newly added in r04 but never
+#: driver-verified — ADVICE r04 #2).
+LAST_RECORDED_ROUND: dict[str, int] = {
+    # -- latest record: CORRECTNESS_r01.json (stale — re-verify first) ------
+    **dict.fromkeys([
+        "q22_running_total", "q23_moving_average", "q24_order_gap_days",
+        "q25_rollup_revenue", "q27_price_percentiles", "q28_approx_aggregates",
+        "q29_json_extraction", "q30_time_rollup", "q31_set_operations",
+        "q32_pivot_priority", "q33_top_tokens", "q34_pandas_udf_score",
+        "q35_udtf_expand", "q39_array_agg", "q41_cube_returnflag_linestatus",
+        "q42_deterministic_sample", "q43_rank_distribution",
+        "q44_supplier_market_share", "q45_gap_fill_hourly",
+        "q46_price_histogram", "q47_correlated_subqueries",
+        "q48_returned_item_revenue", "q49_late_shipment_priority",
+        "q50_promo_revenue_share", "q51_large_volume_orders",
+        "q52_small_quantity_revenue", "q53_top_supplier_revenue",
+        "q54_customer_order_distribution",
+    ], 1),
+    # -- latest record: CORRECTNESS_r03.json --------------------------------
+    **dict.fromkeys([
+        "ann_brute_force_topk", "ann_ivf_kmeans_topk", "ann_ivf_topk",
+        "ann_lsh_topk", "ann_quantized_topk",
+        "dedup_cluster_assignment", "dedup_embedding_cosine",
+        "dedup_exact_groups", "dedup_jaccard_pairs", "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dq_pk_uniqueness", "dq_reconcile_versions",
+        "dq_referential_integrity", "dq_rowcounts",
+        "i94_airports_build", "i94_cities_demographic_build",
+        "i94_dates_build", "i94_dictionary_build", "i94_flights_build",
+        "i94_immigrations_build", "i94_states_demographic_build",
+        "i94_trips_build", "i94_visitors_build",
+        "q26_salted_skew_groupby", "q37_asof_join", "q38_range_join",
+        "q40_stratified_sample", "q55_dormant_rich_customers",
+        "q56_event_funnel", "q57_cohort_retention",
+        "q58_local_supplier_volume", "q59_volume_shipping",
+        "q60_product_type_profit", "q61_disjunctive_predicates",
+        "q62_waiting_orders", "q63_forecast_revenue_change",
+        "q64_shipping_priority", "q65_order_priority_check",
+        "text_fingerprint", "text_pii_scan", "text_repetition_metrics",
+        "text_stats", "text_tfidf_top_terms", "text_unigram_logprob",
+    ], 3),
+    # -- latest record: CORRECTNESS_r04.json (all green there) --------------
+    **dict.fromkeys([
+        "ann_pca_projection", "dedup_cluster_star", "ds_contamination_check",
+        "ds_corpus_build_report", "ds_domain_mix_sample",
+        "ds_keep_best_per_cluster", "ds_label_centroids",
+        "ds_training_order", "graph_degree_distribution",
+        "graph_pagerank_topk", "multimodal_audio_chunks",
+        "multimodal_metadata_stats",
+        "q01_pricing_summary", "q02_top_nations_by_revenue",
+        "q03_monthly_order_trend", "q04_distinct_projection",
+        "q05_null_audit", "q06_top_customers_per_nation",
+        "q07_date_dimension", "q08_sas_date_kernel",
+        "q09_flexible_date_kernel", "q10_avg_ship_delay",
+        "q11_union_by_name", "q12_string_kernels",
+        "q13_dictionary_broadcast_join", "q14_filtered_distinct",
+        "q15_props_extraction", "q16_sessionize", "q17_anti_join",
+        "q18_semi_join", "q19_top_parts_by_revenue", "q20_column_profile",
+        "q21_sql_api_revenue_by_region",
+        "stream_dedup_exactly_once", "stream_enriched_counts",
+        "stream_session_windows", "stream_stream_join",
+        "stream_user_lifetime_stats", "stream_windowed_counts",
+        "text_bigram_logprob", "text_detect_language",
+        "text_filter_decision", "text_quality_scores", "text_redact_pii",
+        "text_tfidf_cosine_pairs", "text_token_count_by_source",
+    ], 4),
+}
+
+#: Back-compat view used by older tests/docs: every name with a usable
+#: committed record.
+RECORDED_PRIOR_ROUNDS: frozenset[str] = frozenset(LAST_RECORDED_ROUND)
 
 #: Rough per-query gate cost at sf0.01, by name prefix (lower = cheaper =
 #: earlier).  Streaming queries carry a fixed micro-batch + state-store
@@ -118,12 +150,15 @@ def _cost_class(name: str) -> int:
 
 def gate_ordered(d: dict[str, object]) -> dict[str, object]:
     """Stable-reorder a registry dict for the driver's prefix-window gate:
-    never-recorded names first (by cost class, then registration order),
-    previously-recorded names after (registration order preserved)."""
+    never/needs-re-recording names first (by cost class, then registration
+    order), previously-recorded names after, OLDEST record first (VERDICT
+    r04 task #7: cycle the stale r01 names back through the window), ties
+    broken by registration order."""
     order = list(d)
-    fresh = [n for n in order if n not in RECORDED_PRIOR_ROUNDS]
+    fresh = [n for n in order if n not in LAST_RECORDED_ROUND]
     fresh.sort(key=lambda n: (_cost_class(n), order.index(n)))
-    seen = [n for n in order if n in RECORDED_PRIOR_ROUNDS]
+    seen = [n for n in order if n in LAST_RECORDED_ROUND]
+    seen.sort(key=lambda n: (LAST_RECORDED_ROUND[n], order.index(n)))
     return {n: d[n] for n in fresh + seen}
 
 

@@ -40,6 +40,53 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def dtype_family(s: pd.Series) -> str:
+    """Coarse dtype family ('int'/'float'/'str'/'datetime'/'bool'/'array')
+    used to catch engine-side type drift BEFORE the string-collapsing value
+    hash: an uncast DuckDB HUGEINT aggregate lands in pandas as float64
+    while Spark's bigint lands as int64, and ``%.6g`` would render both as
+    the same string — the driver's canonicalizer does not, so the local
+    gate must fail on the family mismatch (VERDICT r04 §What's-wrong #2)."""
+    import datetime
+    import decimal
+
+    import numpy as np
+
+    dt = str(s.dtype)
+    if dt.startswith("datetime64"):
+        return "datetime"
+    if dt == "bool" or dt == "boolean":
+        return "bool"
+    if pd.api.types.is_integer_dtype(s.dtype):
+        return "int"
+    if pd.api.types.is_float_dtype(s.dtype):
+        return "float"
+    for v in s.dropna().head(50):
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, (int, np.integer)):
+            return "int"
+        if isinstance(v, (float, np.floating, decimal.Decimal)):
+            return "float"
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return "datetime"
+        if isinstance(v, (list, tuple, np.ndarray)):
+            return "array"
+        if isinstance(v, str):
+            return "str"
+    return "empty"
+
+
+def dtype_mismatches(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    out = []
+    for c in sorted(set(sdf.columns) & set(odf.columns)):
+        fs, fo = dtype_family(sdf[c]), dtype_family(odf[c])
+        if "empty" in (fs, fo) or fs == fo:
+            continue
+        out.append(f"{c}: spark={fs} vs oracle={fo}")
+    return out
+
+
 def value_hash(df: pd.DataFrame) -> str:
     df = canon(df)
     parts = []
@@ -99,6 +146,7 @@ def main() -> int:
         if sorted(sdf.columns) != sorted(odf.columns):
             problems.append(f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
         else:
+            problems.extend(f"dtype {m}" for m in dtype_mismatches(sdf, odf))
             hs, ho = value_hash(sdf), value_hash(odf)
             if hs != ho:
                 problems.append(f"hash {hs} vs {ho}")
