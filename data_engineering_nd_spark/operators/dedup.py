@@ -583,12 +583,24 @@ def connected_components_star(
         return row["n"], row["h"]
 
     prev = _sig(cur)
+    converged = False
     for _ in range(max_iterations):
         cur = _small_star(_large_star(cur)).localCheckpoint()
         sig = _sig(cur)
         if sig == prev:
+            converged = True
             break
         prev = sig
+    if not converged:
+        # Falling through without the (count, checksum) fixed point means
+        # cur may NOT be a star forest yet — surface it instead of
+        # returning a silently-wrong labelling (ADVICE r04).
+        raise RuntimeError(
+            "connected_components_star: no convergence within "
+            f"{max_iterations} rounds; raise max_iterations "
+            "(O(log^2 n) rounds expected — this indicates a pathological "
+            "or adversarial edge set)"
+        )
     # converged: cur is a star forest (v -> component-min root)
     return (
         cur.select(F.col("src").alias("id"), F.col("dst").alias("comp"))
@@ -631,6 +643,7 @@ def dedup_clusters(
     # One scalar aggregate per round on the checkpointed frame — cheaper
     # than the old/new join a direct changed-row count would need.
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    converged = False
     for _ in range(max_iterations):
         e, l = edges.alias("e"), labels.alias("l")
         neigh = e.join(l, F.col("e.dst") == F.col("l.id")).select(
@@ -644,8 +657,16 @@ def dedup_clusters(
         )
         new_sum = labels.agg(F.sum("comp")).collect()[0][0]
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        raise RuntimeError(
+            "dedup_clusters: min-label propagation did not converge within "
+            f"{max_iterations} rounds — the pair graph's diameter exceeds "
+            "the budget; raise max_iterations or switch to "
+            "connected_components_star (diameter-independent)"
+        )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id")
     )

@@ -195,3 +195,25 @@ def test_star_cc_long_chain_converges_fast(spark):
         ).collect()
     }
     assert got == {i: 0 for i in range(64)}
+
+
+def test_cc_nonconvergence_raises_not_silent(spark):
+    """Exhausting max_iterations without the convergence witness must raise
+    (ADVICE r04): a fallen-through star frame is not a star forest and a
+    partially-propagated labelling is wrong — neither may be returned."""
+    import pytest
+
+    from data_engineering_nd_spark.operators.dedup import (
+        connected_components_star,
+        dedup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="no convergence"):
+        connected_components_star(
+            pairs, src="id_a", dst="id_b", max_iterations=1
+        ).collect()
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(pairs, max_iterations=1).collect()
