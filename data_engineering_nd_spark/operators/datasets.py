@@ -601,6 +601,104 @@ def ds_training_order_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Full-corpus epoch permutation (the operator ds_training_order only reports
+# the head of)
+# ---------------------------------------------------------------------------
+
+def epoch_permutation(
+    df: DataFrame,
+    id_col: str,
+    epoch: int = 0,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Assign EVERY row its position in a deterministic epoch-specific
+    global shuffle — the operator that writes a training epoch, where
+    ``ds_training_order`` only audits the head.
+
+    position(row) = rank of (shuffle_key, id) with shuffle_key =
+    md5(id) for epoch 0 and md5(id || ':' || epoch) otherwise, so each
+    epoch is a fresh reproducible permutation and epoch 0 extends
+    ``ds_training_order``'s top-100 exactly (pinned in tests).
+
+    Scale shape — a global rank with NO global sort and NO
+    single-partition window over corpus data:
+
+    1. bucket = integer value of the key's first hex byte. The bucket is a
+       PREFIX of the sort key, so concatenating buckets in numeric order
+       IS the global key order (lowercase hex compares identically
+       lexicographically and numerically). Content-derived — unlike
+       ``repartitionByRange`` there are no sampled range boundaries to
+       wobble between jobs, so the two passes below see identical
+       bucketing without a checkpoint barrier.
+    2. local rank: row_number windowed per bucket — md5 spreads rows
+       uniformly over the 256 buckets, so each window partition holds
+       ~n/256 rows and the shuffle is balanced by construction.
+    3. bucket offsets: one count-per-bucket aggregate (≤ n_buckets rows —
+       O(1) in corpus size, same bounded-driver-pull class as the ANN
+       codebook samples), prefix-summed on the driver and broadcast back.
+       The corpus-sized branch of the plan therefore contains hash
+       exchanges only — pinned in tests/test_plans.py.
+
+    Returns (id, shuffle_key, training_pos) with training_pos in
+    [1, n] — bigint, dense, collision-free.
+    """
+    key = (
+        F.md5(F.col(id_col).cast("string"))
+        if epoch == 0
+        else F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{epoch}")))
+    )
+    keyed = df.select(
+        F.col(id_col), key.alias("shuffle_key")
+    ).withColumn(
+        "_bucket",
+        F.conv(F.substring("shuffle_key", 1, 2), 16, 10).cast("int") % n_buckets,
+    )
+
+    from pyspark.sql.window import Window
+
+    counts = sorted(
+        keyed.groupBy("_bucket").count().collect(), key=lambda r: r["_bucket"]
+    )
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((r["_bucket"], acc))
+        acc += r["count"]
+    spark = df.sparkSession
+    off = F.broadcast(
+        spark.createDataFrame(offsets, ["_bucket", "_offset"])
+    )
+    w = Window.partitionBy("_bucket").orderBy("shuffle_key", id_col)
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .join(off, "_bucket")
+        .select(
+            id_col,
+            "shuffle_key",
+            (F.col("_offset") + F.col("_rn")).cast("bigint").alias("training_pos"),
+        )
+    )
+
+
+@query(
+    "ds_epoch_permutation",
+    oracle="""
+    SELECT doc_id,
+           md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS training_pos
+    FROM documents
+    """,
+)
+def ds_epoch_permutation_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus deterministic training shuffle for epoch 0 — every
+    document, its shuffle key, and its dense global position. The oracle is
+    the straight ROW_NUMBER mirror, so the bucket-offset decomposition is
+    value-verified row-for-row against a true global rank."""
+    docs = load(spark, "documents", sf_dir)
+    return epoch_permutation(docs, "doc_id", epoch=0)
+
+
+# ---------------------------------------------------------------------------
 # Keep-best dedup resolution: clusters -> one surviving doc each
 # ---------------------------------------------------------------------------
 

@@ -153,3 +153,33 @@ def test_chunk_text_covers_all_tokens(spark):
     assert len(chunks) == 3  # ceil(37/16)
     rebuilt = " ".join(c.chunk for c in chunks)
     assert rebuilt == " ".join(f"w{i}" for i in range(37))
+
+
+def test_epoch_permutation_dense_and_extends_training_order(spark):
+    """epoch_permutation must emit a dense collision-free 1..n rank whose
+    epoch-0 head-100 equals ds_training_order's audit report exactly, and
+    whose per-epoch permutations differ (fresh shuffle per epoch)."""
+    from data_engineering_nd_spark.catalog import load
+    from data_engineering_nd_spark.operators.datasets import (
+        ds_training_order_query,
+        epoch_permutation,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, "documents", sf)
+    n = docs.count()
+
+    e0 = epoch_permutation(docs, "doc_id", epoch=0).collect()
+    assert sorted(r.training_pos for r in e0) == list(range(1, n + 1))
+
+    head = {
+        r.doc_id: r.training_pos
+        for r in ds_training_order_query(spark, sf).collect()
+    }
+    full = {r.doc_id: r.training_pos for r in e0}
+    assert head == {d: p for d, p in full.items() if p <= 100}
+
+    e1 = {r.doc_id: r.training_pos for r in
+          epoch_permutation(docs, "doc_id", epoch=1).collect()}
+    assert sorted(e1.values()) == list(range(1, n + 1))
+    assert e1 != full  # a different epoch is a different permutation

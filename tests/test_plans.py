@@ -237,3 +237,20 @@ def test_bigram_model_joins_are_hash_joins(spark):
     assert "NestedLoop" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_epoch_permutation_has_no_single_partition_exchange(spark):
+    """The full-corpus permutation must produce a global dense rank with
+    ONLY hash exchanges on corpus data: bucket-prefix decomposition + a
+    broadcast offset join, never `Exchange SinglePartition` (the plan a
+    naive ROW_NUMBER() OVER (ORDER BY ...) would give, funneling 100 TB
+    through one reducer)."""
+    from data_engineering_nd_spark.operators.datasets import (
+        ds_epoch_permutation_query,
+    )
+    from data_engineering_nd_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(ds_epoch_permutation_query(spark, SF_DIR))
+    assert "SinglePartition" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "BroadcastExchange" in plan, plan  # offsets ride broadcast
