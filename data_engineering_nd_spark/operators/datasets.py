@@ -922,3 +922,148 @@ def _register_corpus_build_oracle() -> None:
 
 
 _register_corpus_build_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Composed quality gate: heuristic rules + quality score + LM perplexity
+# ---------------------------------------------------------------------------
+
+@query(
+    "ds_quality_gate",
+    # Full SQL mirror of the three chained stages (same stopword literals,
+    # same arithmetic order, same 4-dp round-before-threshold contract as
+    # text_filter_decision / text_quality_scores / text_bigram_logprob).
+    # Group score masses are reported as EXACT integer sums (score x 1e4
+    # as BIGINT): a rounded float mean can land exactly on a .00005
+    # boundary where Spark's BigDecimal HALF_UP and DuckDB's double
+    # rounding disagree (observed: 3.3882 vs 3.3883 on this very query),
+    # while integer sums of already-4dp-rounded scores hash-match by
+    # construction. Consumers derive means as sum_e4 / n / 1e4.
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, source, text,
+               string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(text) - length(regexp_replace(text, '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', '', 'g')) AS DOUBLE)
+                         / CAST(length(text) AS DOUBLE)
+               END AS praw
+        FROM documents
+    ), s AS (
+        SELECT doc_id, source, text, praw,
+            CAST(len(toks) AS BIGINT) AS n_tokens,
+            CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE CAST(len(list_filter(toks, x -> list_contains(
+                        ['the','a','an','and','or','but','if','then','of','to','in',
+                         'on','for','with','at','by','from','is','are','was','were',
+                         'be','been','it','this','that','as','not','no','so','we',
+                         'you','they','he','she','has','have','had','will','would'], x))) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE)
+            END AS sraw,
+            CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE)
+            END AS draw,
+            (regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+             OR regexp_matches(text, '\b\d{3}-\d{2}-\d{4}\b')
+             OR regexp_matches(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')
+             OR regexp_matches(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS has_pii
+        FROM t
+    ), r AS (
+        SELECT doc_id, source, n_tokens,
+            round((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                   + (1.0 - abs(sraw - 0.4))
+                   + (1.0 - least(praw * 4, 1.0))) / 3.0, 4) AS quality_score,
+            CASE WHEN n_tokens < 20 THEN 'too_short'
+                 WHEN round(praw, 4) > 0.10 THEN 'high_punct'
+                 WHEN round(sraw, 4) < 0.02 THEN 'low_stopword'
+                 WHEN round(draw, 4) > 0.60 THEN 'high_repetition'
+                 WHEN has_pii THEN 'has_pii'
+                 ELSE 'ok' END AS reason
+        FROM s
+    ),
+    seq AS (
+        SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord
+        FROM t
+    ),
+    bg AS (
+        SELECT doc_id, tok AS w1,
+               lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+        FROM seq QUALIFY w2 IS NOT NULL
+    ),
+    m12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+    m1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+    lmscore AS (
+        SELECT b.doc_id,
+               round(AVG(-ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))), 4) AS lm
+        FROM bg b JOIN m12 USING (w1, w2) JOIN m1 USING (w1)
+        GROUP BY b.doc_id
+    ),
+    gated AS (
+        SELECT r.source, r.n_tokens, r.quality_score, l.lm,
+            CASE WHEN r.reason <> 'ok' THEN r.reason
+                 WHEN r.quality_score < 0.65 THEN 'low_quality'
+                 WHEN l.lm > 3.41 THEN 'high_perplexity'
+                 ELSE 'ok' END AS gate_reason
+        FROM r LEFT JOIN lmscore l USING (doc_id)
+    )
+    SELECT source, gate_reason,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(round(quality_score * 10000) AS BIGINT)) AS BIGINT)
+               AS sum_quality_e4,
+           COUNT(lm) AS n_lm_docs,
+           CAST(SUM(CAST(round(lm * 10000) AS BIGINT)) AS BIGINT)
+               AS sum_neg_logprob_e4
+    FROM gated
+    GROUP BY 1, 2
+    """,
+)
+def ds_quality_gate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus quality gate a training pipeline publishes before
+    tokenization: every document is pushed through the heuristic filter
+    rules, the composite quality score, and the corpus-bigram LM surprise
+    score, and the first failing stage names the drop bucket —
+    rule reason -> 'low_quality' (score < 0.65) -> 'high_perplexity'
+    (mean neg-logprob > 3.41) -> 'ok'. Output is the per-(source, bucket)
+    inventory with token mass and exact integer score sums (x 1e4; means
+    are sum_e4 / n / 1e4 — see the oracle comment for why no float mean).
+
+    Scale shape: the rules and the score are scan-side narrow projections;
+    the LM is two hash-aggregates over the bigram stream joined back on
+    near-uniform word keys (broadcast for the context table); the report
+    is one hash-agg. Nothing quadratic, text never shuffles — the widest
+    shuffle key is (w1, w2)."""
+    from data_engineering_nd_spark.catalog import ensure_parallelism
+    from data_engineering_nd_spark.functions.text import quality_score
+    from data_engineering_nd_spark.operators.text_analysis import (
+        bigram_logprob_score,
+        filter_decisions,
+    )
+
+    docs = ensure_parallelism(load(spark, "documents", sf_dir))
+    fd = filter_decisions(docs, "doc_id", "text").select(
+        "doc_id", "n_tokens", "reason"
+    )
+    q = docs.select("doc_id", "source", quality_score("text").alias("quality_score"))
+    lm = bigram_logprob_score(docs).select(
+        "doc_id", F.col("mean_neg_logprob_bigram").alias("lm")
+    )
+    gated = (
+        fd.join(q, "doc_id")
+        .join(lm, "doc_id", "left")
+        .withColumn(
+            "gate_reason",
+            F.when(F.col("reason") != "ok", F.col("reason"))
+            .when(F.col("quality_score") < 0.65, F.lit("low_quality"))
+            .when(F.col("lm") > 3.41, F.lit("high_perplexity"))
+            .otherwise(F.lit("ok")),
+        )
+    )
+    e4 = lambda c: F.round(F.col(c) * 10000, 0).cast("bigint")  # noqa: E731
+    return gated.groupBy("source", "gate_reason").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(e4("quality_score")).alias("sum_quality_e4"),
+        F.count("lm").alias("n_lm_docs"),
+        F.sum(e4("lm")).alias("sum_neg_logprob_e4"),
+    )
