@@ -1067,3 +1067,147 @@ def ds_quality_gate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("lm").alias("n_lm_docs"),
         F.sum(e4("lm")).alias("sum_neg_logprob_e4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shard manifest: the file-level layout of one training epoch
+# ---------------------------------------------------------------------------
+
+def shard_manifest(
+    perm: DataFrame, token_col: str | None = None, shard_size: int = 64
+) -> DataFrame:
+    """Collapse an epoch permutation (any frame with a dense 1-based
+    ``training_pos``) into its output-shard manifest: shard_id =
+    (pos - 1) // shard_size, with per-shard row counts, position ranges,
+    and (optionally) token mass. This is the index a trainer's data
+    loader reads to map global step -> file -> offset.
+
+    One hash-agg on shard_id (dense integers, perfectly balanced by
+    construction since positions are dense). At 100 TB, shard_size is
+    rows-per-output-file; the manifest is corpus_size/shard_size rows —
+    tiny — and the same shard_id column feeds ``partitionBy`` on the
+    actual write."""
+    shard = ((F.col("training_pos") - 1) / F.lit(shard_size)).cast("bigint")
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("training_pos").alias("min_pos"),
+        F.max("training_pos").alias("max_pos"),
+    ]
+    if token_col is not None:
+        aggs.append(F.sum(token_col).cast("bigint").alias("total_tokens"))
+    return perm.withColumn("shard_id", shard).groupBy("shard_id").agg(*aggs)
+
+
+@query(
+    "ds_shard_manifest",
+    oracle=r"""
+    WITH perm AS (
+        SELECT doc_id,
+               len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS n_tokens,
+               ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS training_pos
+        FROM documents
+    )
+    SELECT CAST((training_pos - 1) // 64 AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           MIN(training_pos) AS min_pos,
+           MAX(training_pos) AS max_pos,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM perm
+    GROUP BY 1
+    """,
+)
+def ds_shard_manifest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-0 shard manifest at 64 docs/shard: permutation -> shard
+    layout with row counts, position ranges, and token mass per output
+    file — the composition of epoch_permutation and shard_manifest a
+    pipeline runs right before the partitioned write."""
+    from data_engineering_nd_spark.functions.text import token_count
+
+    docs = load(spark, "documents", sf_dir)
+    perm = epoch_permutation(docs, "doc_id", epoch=0)
+    with_tokens = perm.join(
+        docs.select("doc_id", token_count("text").alias("n_tokens")), "doc_id"
+    )
+    return shard_manifest(with_tokens, token_col="n_tokens", shard_size=64)
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus update: merge a new crawl batch into an existing corpus
+# ---------------------------------------------------------------------------
+
+@query(
+    "ds_incremental_update",
+    oracle=r"""
+    WITH existing AS (
+        SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 <> 0
+    ),
+    batch AS (
+        SELECT doc_id, source, md5(text) AS h,
+               len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS n_tokens
+        FROM documents WHERE doc_id % 7 = 0
+    ),
+    tagged AS (
+        SELECT b.doc_id, b.source, b.n_tokens,
+               EXISTS (SELECT 1 FROM existing e WHERE e.h = b.h) AS dup_vs_corpus,
+               b.doc_id <> MIN(b.doc_id) OVER (PARTITION BY b.h) AS dup_in_batch
+        FROM batch b
+    )
+    SELECT source,
+           CASE WHEN dup_vs_corpus THEN 'dup_vs_corpus'
+                WHEN dup_in_batch THEN 'dup_in_batch'
+                ELSE 'ingest' END AS disposition,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM tagged
+    GROUP BY 1, 2
+    """,
+)
+def ds_incremental_update_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge report for an incremental corpus build: an incoming batch
+    (every 7th doc stands in for the new crawl) is deduped against the
+    existing corpus (exact content hash semi-join) AND within itself
+    (first-id-wins per hash), and each document's disposition —
+    dup_vs_corpus / dup_in_batch / ingest — is inventoried per source.
+    This is the report an append-only corpus publishes per increment so
+    growth and dup rates are auditable.
+
+    Scale shape: the existing corpus contributes ONLY its 32-byte content
+    hashes (narrow projection, no text); the disposition is one left-semi
+    hash join on the digest plus one per-hash min-window over the
+    (small) incoming batch; the report is one hash-agg. Nothing moves
+    the corpus text, and the corpus side is never re-shuffled — exactly
+    how a daily increment should touch a 100 TB archive."""
+    from data_engineering_nd_spark.functions.text import token_count
+    from pyspark.sql.window import Window
+
+    docs = load(spark, "documents", sf_dir)
+    existing_h = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .select(F.md5("text").alias("h"))
+        .dropDuplicates()
+    )
+    batch = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", "source", F.md5("text").alias("h"),
+        token_count("text").alias("n_tokens"),
+    )
+    vs_corpus = batch.join(existing_h, "h", "left_semi").select("doc_id")
+    first_per_h = F.min("doc_id").over(Window.partitionBy("h"))
+    tagged = (
+        batch.withColumn("dup_in_batch", F.col("doc_id") != first_per_h)
+        .join(
+            vs_corpus.withColumn("dup_vs_corpus", F.lit(True)),
+            "doc_id",
+            "left",
+        )
+        .withColumn("dup_vs_corpus", F.coalesce("dup_vs_corpus", F.lit(False)))
+    )
+    disposition = (
+        F.when(F.col("dup_vs_corpus"), F.lit("dup_vs_corpus"))
+        .when(F.col("dup_in_batch"), F.lit("dup_in_batch"))
+        .otherwise(F.lit("ingest"))
+    )
+    return tagged.groupBy("source", disposition.alias("disposition")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )

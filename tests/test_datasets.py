@@ -183,3 +183,63 @@ def test_epoch_permutation_dense_and_extends_training_order(spark):
           epoch_permutation(docs, "doc_id", epoch=1).collect()}
     assert sorted(e1.values()) == list(range(1, n + 1))
     assert e1 != full  # a different epoch is a different permutation
+
+
+def test_shard_manifest_tiles_the_permutation(spark):
+    """Shards must tile the dense position space exactly: shard k covers
+    positions [64k+1, 64k+64] (last shard ragged), counts match widths,
+    and every document lands in exactly one shard."""
+    from data_engineering_nd_spark.catalog import load
+    from data_engineering_nd_spark.operators.datasets import (
+        epoch_permutation,
+        shard_manifest,
+    )
+
+    docs = load(spark, "documents", "/root/testdata/sf0.001")
+    n = docs.count()
+    man = sorted(
+        shard_manifest(
+            epoch_permutation(docs, "doc_id"), shard_size=64
+        ).collect(),
+        key=lambda r: r.shard_id,
+    )
+    assert [r.shard_id for r in man] == list(range((n + 63) // 64))
+    assert sum(r.n_docs for r in man) == n
+    for r in man:
+        assert r.min_pos == r.shard_id * 64 + 1
+        assert r.max_pos - r.min_pos + 1 == r.n_docs
+        assert r.n_docs == (64 if r.shard_id < len(man) - 1 else n - 64 * (len(man) - 1))
+
+
+def test_incremental_update_disposition_priority(spark):
+    """dup_vs_corpus must win over dup_in_batch; within-batch dedup is
+    first-id-wins; everything else ingests."""
+    from data_engineering_nd_spark.operators.datasets import (
+        ds_incremental_update_query,
+    )
+    import tempfile
+
+    rows = [
+        # existing corpus (id % 7 != 0)
+        (1, "srcA", "alpha"),
+        (2, "srcA", "beta"),
+        # batch (id % 7 == 0)
+        (7, "srcB", "alpha"),    # dup_vs_corpus
+        (14, "srcB", "gamma"),   # ingest (first of its hash in batch)
+        (21, "srcB", "gamma"),   # dup_in_batch (second)
+        (28, "srcB", "beta"),    # dup_vs_corpus even though also dup-ish in batch? unique here
+        (35, "srcC", "delta"),   # ingest
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        got = {
+            (r.source, r.disposition): r.n_docs
+            for r in ds_incremental_update_query(spark, d).collect()
+        }
+    assert got == {
+        ("srcB", "dup_vs_corpus"): 2,
+        ("srcB", "ingest"): 1,
+        ("srcB", "dup_in_batch"): 1,
+        ("srcC", "ingest"): 1,
+    }
