@@ -120,3 +120,26 @@ def quality_score(col: Column | str) -> Column:
     sw_score = F.lit(1.0) - F.abs(sw - F.lit(0.4))
     p_score = F.lit(1.0) - F.least(punct_ratio(col) * 4, F.lit(1.0))
     return F.round((len_score + sw_score + p_score) / 3.0, 4)
+
+
+#: BPE-ish pre-tokenization pattern (GPT-2 style, lookahead-free).
+#: Deliberately restricted to the Java-regex ∩ RE2 subset — no
+#: `\s+(?!\S)` refinement, since RE2 (DuckDB) has no lookahead — so the
+#: Spark expression and the SQL oracle tokenize identically. Alternation
+#: is leftmost-FIRST in both engines, which the alternative order relies
+#: on (contractions before words, words before residue).
+PRETOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def pretokens(col: Column | str) -> Column:
+    """GPT-2-style BPE pre-tokens of the RAW text (no normalization —
+    BPE vocabularies are case- and whitespace-sensitive): contractions,
+    space-prefixed words / digit runs / punctuation runs, whitespace
+    residue. The unit a byte-pair tokenizer merges within; counting them
+    is the standard fast proxy for post-BPE token cost."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(PRETOKEN_PATTERN), 0)
+
+
+def pretoken_count(col: Column | str) -> Column:
+    return F.size(pretokens(col)).cast("bigint")

@@ -881,3 +881,59 @@ def text_tfidf_cosine_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame
     """Near-dup pairs at TF-IDF cosine >= 0.8 (df-capped inverted index)."""
     docs = load(spark, "documents", sf_dir)
     return tfidf_cosine_pairs(docs, "doc_id", "text")
+
+
+@query(
+    "text_pretoken_stats",
+    # Same pattern string on both sides (PRETOKEN_PATTERN is inside the
+    # Java-regex ∩ RE2 subset — no lookahead, leftmost-first alternation
+    # in both engines), so the per-class splits value-hash exactly.
+    oracle=r"""
+    WITH p AS (
+        SELECT doc_id,
+               regexp_extract_all(text,
+                   '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'
+               ) AS pts,
+               length(text) AS n_chars
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(pts) AS BIGINT) AS n_pretokens,
+           CAST(len(list_filter(pts, x -> regexp_matches(x, '^ ?[A-Za-z]+$')))
+                AS BIGINT) AS n_word,
+           CAST(len(list_filter(pts, x -> regexp_matches(x, '^ ?[0-9]+$')))
+                AS BIGINT) AS n_numeric,
+           round(CASE WHEN n_chars = 0 THEN 0.0
+                      ELSE CAST(len(pts) AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                 END, 4) AS pretokens_per_char
+    FROM p
+    """,
+)
+def text_pretoken_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE pre-token accounting per document: total pre-tokens, word and
+    digit-run classes, and the pretokens-per-char ratio (the standard
+    cheap proxy for post-BPE token cost — high ratios flag text that will
+    tokenize expensively). One narrow shuffle-free projection: the regex
+    runs JVM-side in whole-stage codegen, counting 100 TB at scan speed
+    alongside the other text signals."""
+    from data_engineering_nd_spark.functions.text import pretokens
+
+    docs = load(spark, "documents", sf_dir)
+    pts = pretokens("text")
+    n_chars = F.length("text")
+    return docs.select(
+        "doc_id",
+        F.size(pts).cast("bigint").alias("n_pretokens"),
+        F.size(F.filter(pts, lambda x: x.rlike("^ ?[A-Za-z]+$")))
+        .cast("bigint")
+        .alias("n_word"),
+        F.size(F.filter(pts, lambda x: x.rlike("^ ?[0-9]+$")))
+        .cast("bigint")
+        .alias("n_numeric"),
+        F.round(
+            F.when(n_chars == 0, F.lit(0.0)).otherwise(
+                F.size(pts).cast("double") / n_chars.cast("double")
+            ),
+            4,
+        ).alias("pretokens_per_char"),
+    )

@@ -109,3 +109,21 @@ def test_text_kernels(spark):
     assert "the" in r.ng and len(r.ng) == len(set(r.ng))
     empty = row[1]
     assert empty.n == 0 and empty.p == 0.0 and empty.s == 0.0 and empty.sh == []
+
+
+def test_pretokens_bpe_ish_classes(spark):
+    """Pin the GPT-2-style pre-tokenization on handcrafted text:
+    contractions split, words/digits keep their leading space, punct runs
+    group, whitespace residue surfaces. (The pattern must stay in the
+    Java-regex ∩ RE2 subset so the DuckDB oracle tokenizes identically.)"""
+    from data_engineering_nd_spark.functions.text import pretoken_count, pretokens
+
+    df = spark.createDataFrame(
+        [("Don't stop 123 now!!",), ("  hello   world",), ("",)], ["t"]
+    )
+    got = [r.p for r in df.select(pretokens("t").alias("p")).collect()]
+    assert got[0] == ["Don", "'t", " stop", " 123", " now", "!!"]
+    assert got[1] == ["  ", "hello", "   ", "world"]
+    assert got[2] == []
+    counts = [r.c for r in df.select(pretoken_count("t").alias("c")).collect()]
+    assert counts == [6, 4, 0]
