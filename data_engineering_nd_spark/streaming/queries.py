@@ -325,3 +325,96 @@ def stream_dedup_exactly_once_query(spark: SparkSession, sf_dir: str) -> DataFra
         )
     )
     return _run(counts, "stream_dedup_sink", spark)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents table (same glob/basePath
+    handling as ``read_events_stream``; no nanos special case — the
+    schema is plain bigint/string columns)."""
+    path = REGISTRY["documents"].path(sf_dir)
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(
+        path.replace(".parquet", ".parque[t]")
+    )
+
+
+@query(
+    "stream_quality_filter",
+    # Aggregated form of the text_filter_decision oracle: the SAME batch
+    # operator (filter_decisions) runs inside the stream, and availableNow
+    # to completion makes the streamed inventory equal the batch one.
+    oracle=r"""
+    WITH t AS (
+        SELECT
+            doc_id,
+            text,
+            string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks,
+            CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE CAST(length(text) - length(regexp_replace(text, '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', '', 'g')) AS DOUBLE)
+                      / CAST(length(text) AS DOUBLE)
+            END AS praw
+        FROM documents
+    ), s AS (
+        SELECT
+            doc_id,
+            CAST(len(toks) AS BIGINT) AS n_tokens,
+            round(praw, 4) AS punct_ratio,
+            round(CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE CAST(len(list_filter(toks, x -> list_contains(
+                        ['the','a','an','and','or','but','if','then','of','to','in',
+                         'on','for','with','at','by','from','is','are','was','were',
+                         'be','been','it','this','that','as','not','no','so','we',
+                         'you','they','he','she','has','have','had','will','would'], x))) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE) END, 4) AS stopword_ratio,
+            round(CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE) END, 4) AS dup_token_ratio,
+            (regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+             OR regexp_matches(text, '\b\d{3}-\d{2}-\d{4}\b')
+             OR regexp_matches(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')
+             OR regexp_matches(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS has_pii
+        FROM t
+    ), r AS (
+        SELECT n_tokens,
+            CASE WHEN n_tokens < 20 THEN 'too_short'
+                 WHEN punct_ratio > 0.10 THEN 'high_punct'
+                 WHEN stopword_ratio < 0.02 THEN 'low_stopword'
+                 WHEN dup_token_ratio > 0.60 THEN 'high_repetition'
+                 WHEN has_pii THEN 'has_pii'
+                 ELSE 'ok' END AS reason
+        FROM s
+    )
+    SELECT reason,
+           CASE WHEN reason = 'ok' THEN 'keep' ELSE 'drop' END AS decision,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM r
+    GROUP BY 1, 2
+    """,
+)
+def stream_quality_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch quality-filter operator running unchanged inside a
+    stream: documents arrive through a file source, filter_decisions (the
+    exact batch function — narrow regex/ratio projections are
+    engine-mode-agnostic in Structured Streaming) tags each one, and the
+    per-(reason, decision) inventory aggregates in the sink. This is the
+    ingest-time shape of corpus curation: score and filter documents AS
+    they land, not in a nightly batch — and the oracle pins that the
+    streamed inventory equals the batch answer exactly.
+
+    Scale: the filter is stateless per-row work at source parallelism;
+    the only state is one row per (reason, decision) — seven keys."""
+    from data_engineering_nd_spark.operators.text_analysis import (
+        filter_decisions,
+    )
+
+    docs = read_documents_stream(spark, sf_dir)
+    inv = (
+        filter_decisions(docs, "doc_id", "text")
+        .groupBy("reason", "decision")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+    return _run(inv, "stream_quality_filter_sink", spark)
