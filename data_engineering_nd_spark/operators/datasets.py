@@ -1211,3 +1211,220 @@ def ds_incremental_update_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum staging and token-budget packing
+# ---------------------------------------------------------------------------
+
+#: Shared oracle fragment: per-document composite quality score + token
+#: count, the exact SQL mirror of functions/text.py quality_score()
+#: (same stopword literals, same arithmetic order, same 4-dp round) —
+#: identical to the fragment text_quality_scores hash-verifies standalone.
+_QSCORE_CTE = r"""
+    WITH t AS (
+        SELECT doc_id, source,
+               string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(text) - length(regexp_replace(text, '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', '', 'g')) AS DOUBLE)
+                         / CAST(length(text) AS DOUBLE)
+               END AS praw
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, source,
+            CAST(len(toks) AS BIGINT) AS n_tokens,
+            round((least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+                   + (1.0 - abs(
+                        CASE WHEN len(toks) = 0 THEN 0.0
+                             ELSE CAST(len(list_filter(toks, x -> list_contains(
+                                    ['the','a','an','and','or','but','if','then','of','to','in',
+                                     'on','for','with','at','by','from','is','are','was','were',
+                                     'be','been','it','this','that','as','not','no','so','we',
+                                     'you','they','he','she','has','have','had','will','would'], x))) AS DOUBLE)
+                                  / CAST(len(toks) AS DOUBLE)
+                        END - 0.4))
+                   + (1.0 - least(praw * 4, 1.0))) / 3.0, 4) AS quality_score
+        FROM t
+    )
+"""
+
+
+def curriculum_stages(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    score_col: str,
+    token_col: str,
+    n_stages: int = 4,
+) -> DataFrame:
+    """Per-(source, stage) curriculum inventory: within each source the
+    documents are ranked by quality (best first, id tiebreak) and cut into
+    ``n_stages`` equal NTILE stages — the easy->hard schedule a curriculum
+    trainer feeds in stage order. Reports doc/token mass and exact integer
+    score sums per stage (means derive as sum_e4 / n / 1e4; no float mean
+    in the contract — see ds_quality_gate's oracle note).
+
+    Scale shape: the NTILE window partitions by source and carries only
+    (id, score, tokens) — text never enters the window; the report is one
+    hash-agg on (source, stage). For a corpus with few giant sources the
+    same decomposition as ``token_budget_pack`` applies (score-bucket
+    windows + bucket-count offsets); NTILE is kept here because stage
+    boundaries at exact corpus quantiles are the operator's contract."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(source_col).orderBy(
+        F.desc(score_col), F.col(id_col)
+    )
+    e4 = F.round(F.col(score_col) * 10000, 0).cast("bigint")
+    return (
+        df.withColumn("stage", F.ntile(n_stages).over(w))
+        .groupBy(source_col, "stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_col).cast("bigint").alias("total_tokens"),
+            F.sum(e4).alias("sum_quality_e4"),
+            F.min(score_col).alias("min_score"),
+            F.max(score_col).alias("max_score"),
+        )
+    )
+
+
+@query(
+    "ds_curriculum_stages",
+    oracle=_QSCORE_CTE + """
+    , staged AS (
+        SELECT source, doc_id, n_tokens, quality_score,
+               CAST(NTILE(4) OVER (
+                   PARTITION BY source ORDER BY quality_score DESC, doc_id
+               ) AS INTEGER) AS stage
+        FROM scored
+    )
+    SELECT source, stage,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(round(quality_score * 10000) AS BIGINT)) AS BIGINT)
+               AS sum_quality_e4,
+           MIN(quality_score) AS min_score,
+           MAX(quality_score) AS max_score
+    FROM staged
+    GROUP BY 1, 2
+    """,
+)
+def ds_curriculum_stages_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum inventory of the documents corpus: 4 NTILE
+    stages per source by composite quality score."""
+    from data_engineering_nd_spark.functions.text import quality_score, token_count
+
+    docs = load(spark, "documents", sf_dir)
+    scored = docs.select(
+        "doc_id",
+        "source",
+        quality_score("text").alias("quality_score"),
+        token_count("text").alias("n_tokens"),
+    )
+    return curriculum_stages(
+        scored, "doc_id", "source", "quality_score", "n_tokens", n_stages=4
+    )
+
+
+def token_budget_pack(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    score_col: str,
+    token_col: str,
+    budget: int,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Greedy per-source token-budget selection: within each source take
+    documents best-quality-first (id tiebreak) while the running token
+    total stays within ``budget`` — the standard way a data mix is cut to
+    a per-domain token allocation.
+
+    Scale shape — the naive form is one running-sum window per source,
+    which at 100 TB with a handful of giant sources is a single reducer
+    per source. This implementation decomposes the cumsum exactly, the
+    same trick as ``epoch_permutation``:
+
+    1. bucket = floor((1 - score) * n_buckets) — a PREFIX of the
+       (score DESC, id) sort order, so bucket-major concatenation IS the
+       global per-source order (score is 4-dp-rounded in [0, 1], ties
+       stay inside one bucket).
+    2. within-bucket running sum: window per (source, bucket) — each
+       partition holds ~1/n_buckets of a source, carrying only
+       (id, score, tokens), never text.
+    3. bucket offsets: one (source, bucket) token-sum aggregate —
+       O(sources x n_buckets) rows — prefix-summed by a window over that
+       tiny frame and joined back.
+
+    cum_tokens = offset + within-bucket sum equals the flat cumsum by
+    construction; the oracle verifies exactly that (its SQL is the flat
+    SUM OVER (PARTITION BY source ORDER BY score DESC, id))."""
+    from pyspark.sql.window import Window
+
+    score, sid = F.col(score_col), F.col(id_col)
+    bucketed = df.withColumn(
+        "_bucket",
+        F.least(
+            F.floor((F.lit(1.0) - score) * n_buckets), F.lit(n_buckets - 1)
+        ).cast("int"),
+    )
+    w_in = (
+        Window.partitionBy(source_col, "_bucket")
+        .orderBy(F.desc(score_col), sid)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bucket_sums = bucketed.groupBy(source_col, "_bucket").agg(
+        F.sum(token_col).alias("_bucket_tokens")
+    )
+    w_off = (
+        Window.partitionBy(source_col)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_sums.select(
+        source_col,
+        "_bucket",
+        F.coalesce(F.sum("_bucket_tokens").over(w_off), F.lit(0)).alias("_offset"),
+    )
+    return (
+        bucketed.withColumn("_run", F.sum(token_col).over(w_in))
+        .join(F.broadcast(offsets), [source_col, "_bucket"])
+        .withColumn("cum_tokens", (F.col("_offset") + F.col("_run")).cast("bigint"))
+        .filter(F.col("cum_tokens") <= budget)
+        .select(source_col, id_col, score_col, F.col(token_col), "cum_tokens")
+    )
+
+
+@query(
+    "ds_token_budget_pack",
+    oracle=_QSCORE_CTE + """
+    , packed AS (
+        SELECT source, doc_id, quality_score, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY quality_score DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens
+        FROM scored
+    )
+    SELECT source, doc_id, quality_score, n_tokens, cum_tokens
+    FROM packed WHERE cum_tokens <= 800
+    """,
+)
+def ds_token_budget_pack_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut each source's document list to an 800-token budget,
+    best-quality-first — the per-domain allocation step of a data-mix
+    build. The bucket-decomposed cumsum is hash-verified against the
+    oracle's flat running-sum window."""
+    from data_engineering_nd_spark.functions.text import quality_score, token_count
+
+    docs = load(spark, "documents", sf_dir)
+    scored = docs.select(
+        "doc_id",
+        "source",
+        quality_score("text").alias("quality_score"),
+        token_count("text").alias("n_tokens"),
+    )
+    return token_budget_pack(
+        scored, "doc_id", "source", "quality_score", "n_tokens", budget=800
+    )

@@ -243,3 +243,69 @@ def test_incremental_update_disposition_priority(spark):
         ("srcB", "dup_in_batch"): 1,
         ("srcC", "ingest"): 1,
     }
+
+
+def test_token_budget_pack_equals_flat_cumsum(spark):
+    """The bucket-decomposed running sum must equal the naive flat
+    per-source cumsum — the exact-equivalence claim the oracle also
+    checks, pinned here on a handcrafted frame with score ties."""
+    from pyspark.sql.window import Window
+
+    from data_engineering_nd_spark.operators.datasets import token_budget_pack
+
+    rows = [
+        # (doc_id, source, score, tokens) — includes a tie on score 0.5
+        (1, "a", 0.9, 100), (2, "a", 0.5, 200), (3, "a", 0.5, 150),
+        (4, "a", 0.1, 400), (5, "b", 0.7, 500), (6, "b", 0.7, 300),
+        (7, "b", 0.0, 50), (8, "b", 1.0, 250),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "score", "n_tokens"])
+    budget = 600
+    got = {
+        (r.source, r.doc_id): r.cum_tokens
+        for r in token_budget_pack(
+            df, "doc_id", "source", "score", "n_tokens", budget=budget
+        ).collect()
+    }
+    flat = Window.partitionBy("source").orderBy(
+        F.desc("score"), "doc_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        (r.source, r.doc_id): r.cum
+        for r in df.withColumn("cum", F.sum("n_tokens").over(flat))
+        .filter(F.col("cum") <= budget)
+        .collect()
+    }
+    assert got == want
+    # greedy semantics: a:0.9(100)+0.5#2(300)+0.5#3(450) fits, #4 overflows
+    assert got[("a", 1)] == 100 and got[("a", 2)] == 300 and got[("a", 3)] == 450
+    assert ("a", 4) not in got
+    # b: 1.0(250)+0.7#5 overflows at 750 -> only the best doc survives
+    assert got[("b", 8)] == 250 and ("b", 5) not in got
+
+
+def test_curriculum_stages_partition_and_order(spark):
+    """Stages tile each source (union of stage members = source, equal-ish
+    sizes) and stage 1 dominates stage N on quality."""
+    from data_engineering_nd_spark.operators.datasets import curriculum_stages
+
+    rows = [
+        (i, "s", round(1.0 - i * 0.01, 4), 10 + i) for i in range(20)
+    ] + [(100 + i, "t", 0.5, 7) for i in range(8)]  # all-tied source
+    df = spark.createDataFrame(rows, ["doc_id", "source", "score", "n_tokens"])
+    out = curriculum_stages(
+        df, "doc_id", "source", "score", "n_tokens", n_stages=4
+    ).collect()
+    s = {r.stage: r for r in out if r.source == "s"}
+    assert sorted(s) == [1, 2, 3, 4]
+    assert all(s[k].n_docs == 5 for k in s)
+    # best 5 scores land in stage 1, worst 5 in stage 4
+    assert s[1].min_score > s[2].max_score
+    assert s[3].min_score > s[4].max_score
+    # exact integer score mass: stage 1 of 's' = sum of top-5 e4 scores
+    assert s[1].sum_quality_e4 == sum(
+        round((1.0 - i * 0.01) * 10000) for i in range(5)
+    )
+    # tied source still tiles: 8 docs -> 2 per stage, id-ordered
+    t = {r.stage: r for r in out if r.source == "t"}
+    assert all(t[k].n_docs == 2 for k in sorted(t))
