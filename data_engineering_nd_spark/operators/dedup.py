@@ -402,6 +402,87 @@ def dedup_simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
+def ngram_coverage(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Per-document duplicated-span coverage: what fraction of a document's
+    distinct word k-grams appears in at least one OTHER place in the corpus.
+    The scalable approximation of exact substring dedup (the suffix-array
+    pass of Lee et al.'s "Deduplicating Training Data Makes Language Models
+    Better") — a high dup_fraction marks boilerplate/templated documents
+    that pairwise whole-doc dedup misses because no single pair crosses the
+    similarity threshold.
+
+    Scale shape: one explode to ~n_tokens gram rows per document, hashed to
+    a fixed-width md5 digest scan-side so the corpus-frequency aggregate
+    and the join back both shuffle 32-byte keys, never gram text — the
+    inverted-index shape shared with tfidf_cosine_pairs. Per-doc grams are
+    pre-deduplicated (word_shingles is distinct), so the frequency table is
+    document frequency and the join fan-out is bounded by document length.
+    """
+    g = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, k)).alias("gram")
+    ).select(id_col, F.md5("gram").alias("gh"))
+    dfreq = g.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        g.join(dfreq, "gh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum((F.col("df") >= 2).cast("int")).cast("bigint").alias("n_dup_grams"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(
+                F.col("n_dup_grams").cast("double") / F.col("n_grams").cast("double"),
+                4,
+            ),
+        )
+    )
+
+
+@query(
+    "dedup_ngram_coverage",
+    # Exact mirror of tokens()/word_shingles(k=5): documents shorter than
+    # 5 words contribute one whole-text shingle; otherwise n-4 sliding
+    # 5-grams, deduplicated per document. Integer counts and an exact
+    # int/int division keep the 4-dp round engine-stable.
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        FROM documents
+    ),
+    g0 AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
+                    ELSE list_transform(range(1, len(toks) - 3),
+                                        i -> array_to_string(toks[i:i+4], ' '))
+               END AS grams
+        FROM t
+    ),
+    g AS (
+        SELECT DISTINCT doc_id, gram
+        FROM (SELECT doc_id, unnest(grams) AS gram FROM g0)
+    ),
+    c AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN c.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_grams,
+           round(CAST(SUM(CASE WHEN c.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS dup_fraction
+    FROM g JOIN c USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def dedup_ngram_coverage_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_nd_spark.catalog import ensure_parallelism
+
+    docs = ensure_parallelism(load(spark, "documents", sf_dir))
+    return ngram_coverage(docs, "doc_id", "text", k=5)
+
+
 def embedding_cosine_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",

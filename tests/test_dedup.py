@@ -217,3 +217,31 @@ def test_cc_nonconvergence_raises_not_silent(spark):
         ).collect()
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup_clusters(pairs, max_iterations=1).collect()
+
+
+def test_ngram_coverage_flags_shared_spans(spark):
+    """A 5-gram span shared verbatim between two documents is counted as
+    duplicated in both; unique spans are not; short docs compare as one
+    whole-text shingle."""
+    from data_engineering_nd_spark.operators.dedup import ngram_coverage
+
+    shared = "the quick brown fox jumps over the lazy dog"  # 9 words
+    rows = [
+        (1, shared + " alpha beta gamma delta epsilon"),
+        (2, shared + " zeta eta theta iota kappa"),
+        (3, "completely different words without any overlap here at all"),
+        (4, "tiny doc"),  # < 5 words -> single whole-text shingle
+        (5, "tiny doc"),  # exact duplicate of 4 -> fully covered
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in ngram_coverage(df, "doc_id", "text", k=5).collect()}
+    # 14 words -> 10 sliding 5-grams; the 5 grams fully inside `shared`
+    # (positions 1-5 of 9-4) are common to docs 1 and 2
+    assert out[1].n_grams == 10 and out[2].n_grams == 10
+    assert out[1].n_dup_grams == 5 and out[2].n_dup_grams == 5
+    assert out[1].dup_fraction == 0.5
+    # no cross-doc overlap -> zero coverage
+    assert out[3].n_dup_grams == 0 and out[3].dup_fraction == 0.0
+    # exact short duplicates fully cover each other
+    assert out[4].n_grams == 1 and out[4].dup_fraction == 1.0
+    assert out[5].dup_fraction == 1.0
