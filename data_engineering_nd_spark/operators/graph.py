@@ -175,6 +175,128 @@ def graph_degree_distribution_query(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Exact triangle census of an undirected graph given as unique
+    (a < b) edge pairs: one row with node/edge/wedge/triangle counts and
+    the global clustering coefficient (3T / open+closed wedges).
+
+    Scale shape — the degree-ordered join (Suri & Vassilvitskii's MR
+    triangle counting): every edge is oriented from its lower-(degree, id)
+    endpoint to the higher one, so each node's OUT-degree is O(sqrt(E))
+    regardless of in-degree — the wedge join explodes hubs by their
+    out-neighborhood only, which bounds intermediate rows by E^1.5 instead
+    of sum(deg^2). Three hash joins + three 1-row aggregates; no iteration,
+    no driver data pull."""
+    e = edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    deg = (
+        e.select(F.col("u").alias("id"))
+        .unionAll(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = (
+        e.join(deg.select(F.col("id").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("id").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    arcs = ed.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("dst_deg"),
+    )
+    x, y = arcs.alias("x"), arcs.alias("y")
+    wedges = x.join(y, "src").filter(
+        (F.col("x.dst_deg") < F.col("y.dst_deg"))
+        | (
+            (F.col("x.dst_deg") == F.col("y.dst_deg"))
+            & (F.col("x.dst") < F.col("y.dst"))
+        )
+    ).select(F.col("x.dst").alias("w_a"), F.col("y.dst").alias("w_b"))
+    closing = arcs.select(F.col("src").alias("w_a"), F.col("dst").alias("w_b"))
+    tri = wedges.join(closing, ["w_a", "w_b"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+    node_stats = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges"),
+    )
+    edge_cnt = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        node_stats.crossJoin(edge_cnt)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("global_clustering"),
+        )
+    )
+
+
+@query(
+    "graph_triangle_count",
+    # The oracle closes triangles by id order (s1<s2<s3 triple join) —
+    # a different orientation than Spark's degree order, but the same
+    # exact COUNT, so equality here also validates the orientation logic.
+    oracle="""
+    WITH co AS (
+        SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2,
+               a.l_orderkey AS ok
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    e AS (SELECT s1, s2 FROM co GROUP BY s1, s2 HAVING COUNT(*) >= 5),
+    deg AS (
+        SELECT id, COUNT(*) AS d
+        FROM (SELECT s1 AS id FROM e UNION ALL SELECT s2 FROM e)
+        GROUP BY id
+    ),
+    tri AS (
+        SELECT COUNT(*) AS t
+        FROM e x
+        JOIN e y ON x.s1 = y.s1 AND x.s2 < y.s2
+        JOIN e z ON z.s1 = x.s2 AND z.s2 = y.s2
+    )
+    SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+        (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+        (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles,
+        (SELECT round(3.0 * t / (SELECT SUM(d * (d - 1) // 2) FROM deg), 6)
+         FROM tri) AS global_clustering
+    """,
+)
+def graph_triangle_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the supplier co-occurrence graph: suppliers are
+    adjacent when they ship line items in >= 5 common orders (the support
+    floor keeps the graph sparse as SF grows — at sf0.1 it keeps ~10% of
+    co-occurring pairs). Triangle density + clustering coefficient is the
+    profile run before community detection, and the wedge/triangle ratio
+    is the standard skew diagnostic for the dedup cluster graphs above."""
+    li = load(spark, "lineitem", sf_dir)
+    a = li.select("l_orderkey", F.col("l_suppkey").alias("s1"))
+    b = li.select("l_orderkey", F.col("l_suppkey").alias("s2"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("s1") < F.col("s2"))
+        .select("s1", "s2", "l_orderkey")
+        .distinct()
+    )
+    edges = (
+        pairs.groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 5)
+        .select("s1", "s2")
+    )
+    return triangle_stats(edges, "s1", "s2")
+
+
 def _register_pagerank_oracle() -> None:
     """Hash-verify PageRank itself: the 10 fixed iterations unroll into 10
     chained (MATERIALIZED) CTEs — DuckDB would otherwise inline each CTE at

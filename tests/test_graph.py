@@ -72,3 +72,31 @@ def test_pagerank_topk_query_shape(spark):
     # suppliers are far fewer than customers -> they concentrate rank; the
     # top of the list should contain at least one supplier
     assert any(r["kind"] == "supplier" for r in rows[:5])
+
+
+def test_triangle_stats_known_graph(spark):
+    """K4 + a pendant vertex: 4 triangles, wedge count from degrees, and
+    the clustering coefficient follows exactly."""
+    from data_engineering_nd_spark.operators.graph import triangle_stats
+
+    # K4 on {1,2,3,4} (all 6 edges) plus pendant 5-1
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5)]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    row = triangle_stats(df, "a", "b").collect()[0]
+    assert row.n_nodes == 5 and row.n_edges == 7
+    assert row.n_triangles == 4
+    # degrees: 1->4, 2/3/4->3, 5->1 ; wedges = C(4,2)+3*C(3,2)+0 = 6+9 = 15
+    assert row.n_wedges == 15
+    assert row.global_clustering == round(12 / 15, 6)
+
+
+def test_triangle_stats_triangle_free(spark):
+    """A star has many wedges but zero triangles — exercises the hub
+    orientation path (all arcs point away from the low-degree leaves)."""
+    from data_engineering_nd_spark.operators.graph import triangle_stats
+
+    df = spark.createDataFrame([(0, i) for i in range(1, 9)], ["a", "b"])
+    row = triangle_stats(df, "a", "b").collect()[0]
+    assert row.n_triangles == 0
+    assert row.n_wedges == 28  # C(8,2) at the hub
+    assert row.global_clustering == 0.0
