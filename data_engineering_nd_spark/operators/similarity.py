@@ -180,6 +180,73 @@ def ann_brute_force_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def cosine_range_search(
+    vectors: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All (query, candidate) pairs with cosine similarity >= threshold —
+    the range-query sibling of ``brute_force_topk`` (radius search instead
+    of k-nearest): the shape used for "find EVERYTHING similar enough"
+    duplicate sweeps, where top-k would silently truncate large duplicate
+    families.
+
+    The threshold is applied to the 4-dp-ROUNDED similarity — that is the
+    operator's contract, so membership at the boundary is decided on a
+    value both engines (and any re-run) agree on bit-for-bit, rather than
+    on raw-float noise. Queries broadcast; the candidate scan never
+    shuffles, and the output is filter-pruned scan-side (no window at all,
+    unlike top-k)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_vec")
+    )
+    return (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("v_vec")), 4).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+@query(
+    "ann_cosine_range",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings
+    ),
+    q AS (SELECT * FROM v WHERE vec_id < 10)
+    SELECT query_id, neighbor_id, cosine_sim
+    FROM (
+        SELECT
+            q.vec_id AS query_id,
+            v.vec_id AS neighbor_id,
+            round(
+                list_dot_product(q.emb, v.emb)
+                / (sqrt(list_dot_product(q.emb, q.emb))
+                   * sqrt(list_dot_product(v.emb, v.emb))), 4) AS cosine_sim
+        FROM q
+        JOIN v ON q.vec_id <> v.vec_id
+    )
+    WHERE cosine_sim >= 0.30
+    """,
+)
+def ann_cosine_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, "embeddings", sf_dir)
+    return cosine_range_search(
+        emb, emb.filter(F.col("vec_id") < 10), threshold=0.30
+    )
+
+
 @query(
     "ann_ivf_topk",
     oracle=_ORACLE_TOPK.format(

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from data_engineering_nd_spark.operators.similarity import (
     brute_force_topk,
@@ -216,3 +217,32 @@ def test_pca_reconstruction_beats_truncation(spark):
     trunc[:, 4:] = 0
     trunc_err = ((xc - trunc) ** 2).sum()
     assert pca_err < trunc_err
+
+
+def test_cosine_range_search_contains_topk_above_threshold(spark):
+    """Range search must return exactly the brute-force top-k rows whose
+    similarity clears the threshold (plus anything beyond k) — consistency
+    between the two exact operators on the same data."""
+    from data_engineering_nd_spark.catalog import load
+    from data_engineering_nd_spark.operators.similarity import (
+        brute_force_topk,
+        cosine_range_search,
+    )
+
+    emb = load(spark, "embeddings", "/root/testdata/sf0.01")
+    q = emb.filter(F.col("vec_id") < 5)
+    thr = 0.30
+    rng = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in cosine_range_search(emb, q, threshold=thr).collect()
+    }
+    topk = brute_force_topk(emb, q, k=50).collect()
+    above = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in topk
+        if r.cosine_sim >= thr
+    }
+    # every above-threshold top-k hit appears with the identical similarity
+    assert above and all(rng.get(k) == v for k, v in above.items())
+    # nothing in range output falls below the threshold
+    assert all(v >= thr for v in rng.values())
