@@ -420,9 +420,17 @@ def ngram_coverage(
     pre-deduplicated (word_shingles is distinct), so the frequency table is
     document frequency and the join fan-out is bounded by document length.
     """
-    g = df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, k)).alias("gram")
-    ).select(id_col, F.md5("gram").alias("gh"))
+    # g feeds both the frequency aggregate and the join back — materialize
+    # the exploded+hashed frame once (same shape as minhash's shingle
+    # frame, dedup.py LSH path) instead of re-running the tokenize+explode
+    # kernel twice.
+    g = (
+        df.select(
+            F.col(id_col), F.explode(word_shingles(text_col, k)).alias("gram")
+        )
+        .select(id_col, F.md5("gram").alias("gh"))
+        .localCheckpoint()
+    )
     dfreq = g.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
     return (
         g.join(dfreq, "gh")

@@ -187,12 +187,16 @@ def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     out-neighborhood only, which bounds intermediate rows by E^1.5 instead
     of sum(deg^2). Three hash joins + three 1-row aggregates; no iteration,
     no driver data pull."""
-    e = edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    # The edge frame feeds FIVE consumers (degree, both wedge sides, the
+    # closing join, the edge count); its upstream is often a join+distinct
+    # over a fact table — materialize once, like pagerank's e_norm.
+    e = edges.select(F.col(a).alias("u"), F.col(b).alias("v")).localCheckpoint()
     deg = (
         e.select(F.col("u").alias("id"))
         .unionAll(e.select(F.col("v").alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint()
     )
     ed = (
         e.join(deg.select(F.col("id").alias("u"), F.col("d").alias("du")), "u")
@@ -201,11 +205,13 @@ def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     lower_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
+    # arcs is read three times (two wedge sides + closing); checkpoint the
+    # orientation join once — |arcs| = |edges|, a narrow 3-column frame.
     arcs = ed.select(
         F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("dst_deg"),
-    )
+    ).localCheckpoint()
     x, y = arcs.alias("x"), arcs.alias("y")
     wedges = x.join(y, "src").filter(
         (F.col("x.dst_deg") < F.col("y.dst_deg"))
