@@ -254,3 +254,61 @@ def test_epoch_permutation_has_no_single_partition_exchange(spark):
     assert "SinglePartition" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
     assert "BroadcastExchange" in plan, plan  # offsets ride broadcast
+
+
+def test_token_budget_pack_windows_are_bucket_partitioned(spark):
+    """The corpus-sized running-sum window must partition by
+    (source, bucket), never source alone — a per-source-only window on
+    corpus data is one reducer per source at 100 TB. The tiny offset
+    frame rides a broadcast join back."""
+    from data_engineering_nd_spark.operators.datasets import (
+        ds_token_budget_pack_query,
+    )
+    from data_engineering_nd_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(ds_token_budget_pack_query(spark, SF_DIR))
+    assert "SinglePartition" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    # the big-frame window keys on both source and the score bucket
+    assert "partitionBy: [source, _bucket" in plan.replace("#", " #").replace(
+        "source#", "source #"
+    ) or "_bucket" in plan, plan
+
+
+def test_triangle_count_has_no_cartesian_and_bounded_wedges(spark):
+    """Wedge generation must be equi-joins (hash or sort-merge) on the
+    oriented arc frame — no BroadcastNestedLoopJoin / CartesianProduct
+    (the all-pairs shape), and no Python in the plan."""
+    from data_engineering_nd_spark.operators.graph import (
+        graph_triangle_count_query,
+    )
+    from data_engineering_nd_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(graph_triangle_count_query(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    # the only nested-loop joins allowed are the two final 1-row stat
+    # cross-joins (three single-row aggregates combined at the end); the
+    # formatted plan names each node twice (tree + detail section)
+    assert plan.count("BroadcastNestedLoopJoin") <= 4, plan
+    # wedge generation + closing must be equi-joins
+    assert (
+        plan.count("SortMergeJoin")
+        + plan.count("ShuffledHashJoin")
+        + plan.count("BroadcastHashJoin")
+        >= 2
+    ), plan
+    assert "PythonUDF" not in plan, plan
+
+
+def test_cosine_range_search_broadcasts_queries_no_shuffle(spark):
+    """Range search is a broadcast + scan-side filter: the candidate side
+    must not shuffle at all (no hash exchange, no window)."""
+    from data_engineering_nd_spark.operators.similarity import (
+        ann_cosine_range_query,
+    )
+    from data_engineering_nd_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(ann_cosine_range_query(spark, SF_DIR))
+    assert "BroadcastExchange" in plan or "IdentityBroadcastMode" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Window" not in plan, plan
