@@ -418,3 +418,62 @@ def stream_quality_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run(inv, "stream_quality_filter_sink", spark)
+
+
+@query(
+    "stream_sliding_counts",
+    # Each event contributes to TWO overlapping windows (2h length, 1h
+    # slide): the ones starting at its hour bucket and one hour before.
+    # The oracle materializes exactly that membership with a 2-element
+    # unnest — the batch semantics Structured Streaming's sliding window
+    # implements incrementally.
+    oracle="""
+    WITH e AS (
+        SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+    ),
+    member AS (
+        SELECT
+            time_bucket(INTERVAL '1 hour', ts) - i * INTERVAL '1 hour'
+                AS window_start,
+            event_type, value
+        FROM e, UNNEST([0, 1]) AS t(i)
+    )
+    SELECT
+        window_start,
+        window_start + INTERVAL '2 hours' AS window_end,
+        event_type,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM member
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_sliding_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window stream aggregation — the overlapping-window shape
+    (2-hour windows advancing every hour) the tumbling query above cannot
+    express: each event is assigned to window_length/slide = 2 open
+    windows, and the state store keeps both partial aggregates live until
+    the watermark passes their end. This is the moving-average /
+    trending-counter pattern; state size is bounded by
+    (windows open per key) x keys = 2 x |event_type|, independent of
+    event volume."""
+    ev = with_watermark(read_events_stream(spark, sf_dir))
+    counts = (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run(counts, "stream_sliding_counts_sink", spark)

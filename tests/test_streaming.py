@@ -4,6 +4,7 @@ frames and on a real file-source stream (availableNow trigger -> memory sink).""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from data_engineering_nd_spark.catalog import load
 from data_engineering_nd_spark.streaming.events import (
@@ -177,3 +178,23 @@ def test_upsert_stream_sink_is_replay_idempotent(spark, tmp_path):
     snap = table.snapshot()
     assert snap.count() == 25
     assert snap.filter("event_id = 17 AND value = -1.0").count() == 1
+
+
+def test_sliding_counts_double_count_events(spark):
+    """2h windows sliding by 1h: every event lands in exactly two windows,
+    so the sliding inventory's event mass is exactly 2x the table's."""
+    from data_engineering_nd_spark.catalog import load
+    from data_engineering_nd_spark.streaming.queries import (
+        stream_sliding_counts_query,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = stream_sliding_counts_query(spark, sf)
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    n_events = load(spark, "events", sf).count()
+    assert total == 2 * n_events
+    # every window spans exactly 2 hours
+    bad = out.filter(
+        F.col("window_end") != F.col("window_start") + F.expr("INTERVAL 2 HOURS")
+    ).count()
+    assert bad == 0
