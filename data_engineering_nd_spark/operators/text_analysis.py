@@ -937,3 +937,85 @@ def text_pretoken_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("pretokens_per_char"),
     )
+
+
+def entropy_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document word-distribution entropy: Shannon entropy in bits of
+    the token frequency distribution, plus the normalized form (entropy /
+    log2(n_types), in [0,1]). Low entropy flags templated/repetitive text
+    that ratio-based repetition metrics can miss; it is the
+    information-theoretic cousin of dup_token_ratio in
+    ``repetition_metrics``.
+
+    Determinism contract: H = log2(n) - (1/n) * sum(c * log2(c)) — the
+    per-term doubles are rounded to 1e-6 and summed as INTEGERS, so the
+    cross-engine value hash never rides on float summation order (the
+    same e4/e6 trick as ds_quality_gate's score masses). The reported
+    entropy derives from exact integers through one identical expression
+    in both engines.
+
+    Scale shape: one explode to token rows, two hash-aggs
+    ((doc, token) then doc) — the inverted-index shuffle on near-uniform
+    keys; text itself never shuffles."""
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    tc = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = tc.groupBy(id_col).agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(
+            F.round(F.col("c").cast("double") * F.log2(F.col("c").cast("double")) * 1e6, 0).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("sum_clog2c_e6"),
+    )
+    ent = F.log2(F.col("n_tokens")) - (
+        F.col("sum_clog2c_e6").cast("double") / F.lit(1000000.0)
+    ) / F.col("n_tokens")
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        "n_types",
+        F.round(ent, 4).alias("entropy_bits"),
+        F.when(F.col("n_types") > 1, F.round(ent / F.log2(F.col("n_types")), 4))
+        .otherwise(F.lit(0.0))
+        .alias("normalized_entropy"),
+    )
+
+
+@query(
+    "text_entropy_metrics",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
+    d AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(CAST(round(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT)) AS BIGINT)
+                   AS sum_clog2c_e6
+        FROM tc GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_types,
+           round(log2(n_tokens)
+                 - (CAST(sum_clog2c_e6 AS DOUBLE) / 1000000.0) / n_tokens, 4)
+               AS entropy_bits,
+           CASE WHEN n_types > 1
+                THEN round((log2(n_tokens)
+                            - (CAST(sum_clog2c_e6 AS DOUBLE) / 1000000.0) / n_tokens)
+                           / log2(n_types), 4)
+                ELSE 0.0 END AS normalized_entropy
+    FROM d
+    """,
+)
+def text_entropy_metrics_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_nd_spark.catalog import ensure_parallelism
+
+    docs = ensure_parallelism(load(spark, "documents", sf_dir))
+    return entropy_metrics(docs, "doc_id", "text")

@@ -220,3 +220,27 @@ def test_tfidf_cosine_df_cap_prunes_common_terms(spark):
     }
     assert set(got) == {(1, 2)}
     assert got[(1, 2)] == 1.0
+
+
+def test_entropy_metrics_handcrafted(spark):
+    """Exact entropies on handcrafted distributions: uniform text hits
+    log2(n_types), constant text hits 0."""
+    import math
+
+    from data_engineering_nd_spark.operators.text_analysis import entropy_metrics
+
+    rows = [
+        (1, "a b c d"),          # uniform over 4 types -> H = 2 bits
+        (2, "x x x x x x"),      # single type -> H = 0
+        (3, "a a b b"),          # uniform over 2 -> H = 1
+        (4, "a a a b"),          # H = 2 - (3*log2(3))/4
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in entropy_metrics(df, "doc_id", "text").collect()}
+    assert out[1].entropy_bits == 2.0 and out[1].normalized_entropy == 1.0
+    assert out[2].entropy_bits == 0.0 and out[2].normalized_entropy == 0.0
+    assert out[2].n_types == 1
+    assert out[3].entropy_bits == 1.0
+    h4 = 2.0 - round(3 * math.log2(3) * 1e6) / 1e6 / 4
+    assert out[4].entropy_bits == round(h4, 4)
+    assert out[4].normalized_entropy == round(h4 / 1.0, 4)  # log2(2 types) = 1
