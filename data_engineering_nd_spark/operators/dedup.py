@@ -766,8 +766,7 @@ def dedup_clusters(
 # (doc_id, min-reachable-id) labelling over the jaccard-0.5 pair graph, so
 # they verify against the same recursive-SQL closure. Split into the CTE
 # block + final select so composite oracles can extend the same CTEs.
-CLUSTER_ORACLE_CTES = r"""
-    WITH RECURSIVE
+PAIR_EDGE_CTES = r"""
     sets AS (
         SELECT doc_id AS id,
                lang AS block,
@@ -787,7 +786,10 @@ CLUSTER_ORACLE_CTES = r"""
         SELECT id_a AS src, id_b AS dst FROM pairs
         UNION
         SELECT id_b AS src, id_a AS dst FROM pairs
-    ),
+    )
+    """
+
+CLUSTER_ORACLE_CTES = "\n    WITH RECURSIVE" + PAIR_EDGE_CTES + r""",
     reach(id, r) AS (
         SELECT DISTINCT src, src FROM edges
         UNION

@@ -351,3 +351,106 @@ def _register_pagerank_oracle() -> None:
 
 
 _register_pagerank_oracle()
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007), made deterministic: every node starts labelled with its own id;
+    each round every node adopts the label that is most frequent among its
+    neighbours, ties broken by the SMALLEST label. Fixed synchronous rounds
+    (no random visit order) so the result is a pure function of the edge
+    set — which is what lets the driver value-hash it against an unrolled
+    SQL mirror.
+
+    Scale shape: identical to :func:`pagerank` — the undirected edge frame
+    is materialized hash-partitioned by ``src`` ONCE, then each round is
+    one equi-join (labels ⋈ edges) plus two hash-aggregates (count labels
+    per (node, label), then arg-max per node via a single ``max(struct)``
+    — no window, so no per-node sort). Label state is one row per node;
+    the edges never move after round 0.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+        .distinct()
+        .repartition("src")
+        .localCheckpoint()
+    )
+    labels = (
+        e.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("lab"))
+        .localCheckpoint()
+    )
+    for _ in range(iterations):
+        labels = (
+            e.join(labels, e.src == labels.id)
+            .groupBy(F.col("dst").alias("nid"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+            # arg-max by (count DESC, label ASC) without a window: max of
+            # (c, -lab) picks the highest count, then the smallest label.
+            .groupBy(F.col("nid").alias("id"))
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lab")).alias("neg"))).alias("m"))
+            .select("id", (-F.col("m.neg")).alias("lab"))
+            .localCheckpoint()
+        )
+    return labels
+
+
+@query("graph_label_propagation")  # oracle registered below (unrolled rounds)
+def graph_label_propagation_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community labels over the jaccard-0.5 near-dup pair graph (the same
+    edge set `dedup_cluster_assignment`/`dedup_cluster_star` compute
+    connected components on): 5 synchronous label-propagation rounds.
+    Where CC answers "what is transitively connected", LPA answers "what
+    is densely connected" — on chained near-dup graphs it splits long
+    weak chains that CC merges, which is the safer clustering to feed a
+    keep-one-per-cluster dedup resolution. Hash-verified against a
+    5-round unrolled SQL mirror sharing the pair CTEs with the cluster
+    oracles, so CC-vs-LPA differences are attributable to the algorithm,
+    never the edge set."""
+    from data_engineering_nd_spark.operators.dedup import jaccard_pairs
+
+    docs = load(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    pairs = jaccard_pairs(docs, "doc_id", "text", "lang", threshold=0.5)
+    labels = label_propagation(pairs, "id_a", "id_b", iterations=5)
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("lab").alias("community")
+    )
+
+
+def _register_label_propagation_oracle() -> None:
+    """5 synchronous rounds unroll into 5 chained MATERIALIZED CTEs; each
+    round is exact integer arithmetic (COUNT + arg-max with a total
+    tie-break), so Spark and DuckDB agree bit-for-bit."""
+    from data_engineering_nd_spark.operators.dedup import PAIR_EDGE_CTES
+    from data_engineering_nd_spark.registry import ORACLE_SQL
+
+    sql = "\n    WITH" + PAIR_EDGE_CTES + """,
+    l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lab FROM edges)
+    """
+    for i in range(5):
+        sql += f""",
+    l{i + 1} AS MATERIALIZED (
+        SELECT id, lab FROM (
+            SELECT e.dst AS id, l.lab, COUNT(*) AS c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.dst
+                       ORDER BY COUNT(*) DESC, l.lab ASC) AS rn
+            FROM edges e JOIN l{i} l ON e.src = l.id
+            GROUP BY e.dst, l.lab
+        ) WHERE rn = 1
+    )
+    """
+    sql += """
+    SELECT id AS doc_id, lab AS community FROM l5
+    """
+    ORACLE_SQL["graph_label_propagation"] = sql
+
+
+_register_label_propagation_oracle()

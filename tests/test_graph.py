@@ -100,3 +100,39 @@ def test_triangle_stats_triangle_free(spark):
     assert row.n_triangles == 0
     assert row.n_wedges == 28  # C(8,2) at the hub
     assert row.global_clustering == 0.0
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 3-cliques joined by one bridge edge: LPA labels each clique by
+    its minimum id; the bridge is not enough for either side to flip."""
+    from data_engineering_nd_spark.operators.graph import label_propagation
+
+    clique_a = [(0, 1), (0, 2), (1, 2)]
+    clique_b = [(10, 11), (10, 12), (11, 12)]
+    edges = spark.createDataFrame(clique_a + clique_b + [(2, 10)], ["src", "dst"])
+    labels = {r["id"]: r["lab"] for r in label_propagation(edges, iterations=5).collect()}
+    assert labels[0] == labels[1] == labels[2] == 0
+    assert labels[10] == labels[11] == labels[12]
+    assert labels[10] != labels[0]
+
+
+def test_label_propagation_tie_breaks_to_smallest(spark):
+    """A node with two equally-frequent neighbour labels adopts the
+    smallest — the determinism contract the SQL mirror relies on."""
+    from data_engineering_nd_spark.operators.graph import label_propagation
+
+    # node 5 bridges singleton neighbours 1 and 2 (tie at count 1 each)
+    edges = spark.createDataFrame([(1, 5), (2, 5)], ["src", "dst"])
+    labels = {r["id"]: r["lab"] for r in label_propagation(edges, iterations=1).collect()}
+    assert labels[5] == 1
+
+
+def test_label_propagation_deterministic(spark):
+    from data_engineering_nd_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (2, 4)], ["src", "dst"]
+    )
+    a = sorted(label_propagation(edges, iterations=4).collect())
+    b = sorted(label_propagation(edges, iterations=4).collect())
+    assert a == b
