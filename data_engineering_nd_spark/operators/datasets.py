@@ -1428,3 +1428,102 @@ def ds_token_budget_pack_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_pack(
         scored, "doc_id", "source", "quality_score", "n_tokens", budget=800
     )
+
+
+# ---------------------------------------------------------------------------
+# domain mixing: temperature-scaled repeat/upsampling weights
+# ---------------------------------------------------------------------------
+
+
+def temperature_mixture(
+    per_source: DataFrame,
+    token_col: str = "total_tokens",
+    budget: int = 1_000_000,
+    alpha_sqrt: bool = True,
+) -> DataFrame:
+    """Temperature-scaled domain-mixing weights (the multilingual-sampling
+    alpha=0.5 rule): a source's sampling share is proportional to
+    ``tokens^0.5`` instead of ``tokens``, boosting small domains without
+    letting any giant domain dominate an epoch.
+
+    Determinism across engines: the irrational ``sqrt(tokens)`` is snapped
+    to an exact BIGINT of micro-units (``round(sqrt * 1e6)``) BEFORE the
+    global sum, so the denominator is integer arithmetic — no
+    float-summation-order drift between Spark and the SQL mirror. IEEE-754
+    ``sqrt`` is correctly rounded in both engines, so the per-row double is
+    identical too.
+
+    Scale shape: ``per_source`` is one row per domain (already aggregated),
+    so this is a per-row projection plus ONE tiny all-domain aggregate
+    broadcast back — nothing here touches the corpus again.
+    """
+    toks = F.col(token_col).cast("double")
+    units = F.round(F.sqrt(toks) * 1e6).cast("long") if alpha_sqrt else F.col(token_col)
+    with_units = per_source.withColumn("sqrt_units", units)
+    totals = with_units.agg(
+        F.sum(token_col).alias("tok_all"), F.sum("sqrt_units").alias("units_all")
+    )
+    share = F.col("sqrt_units").cast("double") / F.col("units_all").cast("double")
+    return (
+        with_units.crossJoin(F.broadcast(totals))
+        .select(
+            *[c for c in per_source.columns],
+            F.round(toks / F.col("tok_all").cast("double"), 6).alias("raw_share"),
+            F.round(share, 6).alias("temp_share"),
+            F.round(F.lit(float(budget)) * share).cast("long").alias("budget_tokens"),
+            F.round(F.lit(float(budget)) * share / toks, 4).alias("repeat_factor"),
+        )
+    )
+
+
+@query(
+    "ds_repeat_upsampling",
+    oracle=r"""
+    WITH t AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')))
+                    AS BIGINT) AS total_tokens
+        FROM documents GROUP BY source
+    ),
+    u AS (
+        SELECT t.*,
+               CAST(round(sqrt(CAST(total_tokens AS DOUBLE)) * 1000000.0)
+                    AS BIGINT) AS sqrt_units
+        FROM t
+    ),
+    s AS (
+        SELECT CAST(SUM(total_tokens) AS BIGINT) AS tok_all,
+               CAST(SUM(sqrt_units) AS BIGINT) AS units_all
+        FROM u
+    )
+    SELECT source, n_docs, total_tokens,
+           round(CAST(total_tokens AS DOUBLE) / CAST(tok_all AS DOUBLE), 6)
+               AS raw_share,
+           round(CAST(sqrt_units AS DOUBLE) / CAST(units_all AS DOUBLE), 6)
+               AS temp_share,
+           CAST(round(1000000.0 * (CAST(sqrt_units AS DOUBLE)
+                                   / CAST(units_all AS DOUBLE))) AS BIGINT)
+               AS budget_tokens,
+           round(1000000.0 * (CAST(sqrt_units AS DOUBLE)
+                              / CAST(units_all AS DOUBLE))
+                 / CAST(total_tokens AS DOUBLE), 4) AS repeat_factor
+    FROM u, s
+    ORDER BY source
+    """,
+)
+def ds_repeat_upsampling_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source repeat/upsampling plan for a 1M-token training epoch:
+    alpha=0.5 temperature shares, the token budget each source receives,
+    and the implied repeat factor (>1 = upsampled, <1 = subsampled). The
+    report a data-mixing pipeline publishes before materializing an epoch."""
+    from data_engineering_nd_spark.functions.text import token_count
+
+    docs = load(spark, "documents", sf_dir)
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).alias("total_tokens"),
+    )
+    return temperature_mixture(per_source, "total_tokens", budget=1_000_000).orderBy(
+        "source"
+    )

@@ -309,3 +309,23 @@ def test_curriculum_stages_partition_and_order(spark):
     # tied source still tiles: 8 docs -> 2 per stage, id-ordered
     t = {r.stage: r for r in out if r.source == "t"}
     assert all(t[k].n_docs == 2 for k in sorted(t))
+
+
+def test_temperature_mixture_boosts_small_domains(spark):
+    from data_engineering_nd_spark.operators.datasets import temperature_mixture
+
+    per_src = spark.createDataFrame(
+        [("big", 10, 900_000), ("small", 5, 10_000)],
+        ["source", "n_docs", "total_tokens"],
+    )
+    rows = {r["source"]: r for r in temperature_mixture(per_src, budget=100_000).collect()}
+    # shares sum to 1 (up to rounding)
+    assert abs(rows["big"]["temp_share"] + rows["small"]["temp_share"] - 1.0) < 1e-5
+    assert abs(rows["big"]["raw_share"] + rows["small"]["raw_share"] - 1.0) < 1e-5
+    # alpha=0.5 moves share from the big domain to the small one
+    assert rows["small"]["temp_share"] > rows["small"]["raw_share"]
+    assert rows["big"]["temp_share"] < rows["big"]["raw_share"]
+    # repeat factor: small domain upsampled relative to big
+    assert rows["small"]["repeat_factor"] > rows["big"]["repeat_factor"]
+    # budget tokens split the epoch budget (up to rounding)
+    assert abs(rows["big"]["budget_tokens"] + rows["small"]["budget_tokens"] - 100_000) <= 1
