@@ -467,3 +467,84 @@ def multimodal_metadata_stats_query(spark: SparkSession, sf_dir: str) -> DataFra
             2,
         ).alias("avg_duration_ms"),
     )
+
+
+def pair_manifest(
+    feats: DataFrame,
+    docs: DataFrame,
+    min_tokens: int = 20,
+    intensity_lo: float = 0.2,
+    intensity_hi: float = 0.6,
+) -> DataFrame:
+    """Caption–image pair assembly with dual-modality quality gates: keep a
+    (text, image) pair only when the text side has enough tokens AND the
+    decoded image side sits inside an intensity band (the stand-in for
+    "not black / not blown out" real-image filters). This is the manifest
+    a multimodal training pipeline materializes after decode — pairs that
+    survive both gates, with the features needed for packing downstream.
+
+    Scale shape: the decode output (small typed rows) joins the text table
+    on the id — an equi-join of two id-partitioned frames (sort-merge at
+    scale, never a shuffle of payload bytes: the binary column was dropped
+    before the join)."""
+    from data_engineering_nd_spark.functions.text import token_count
+
+    text_side = docs.select(
+        "doc_id", "lang", "source", token_count("text").alias("n_tokens")
+    )
+    return (
+        feats.join(text_side, feats.media_id == text_side.doc_id)
+        .filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("mean_intensity") > intensity_lo)
+            & (F.col("mean_intensity") < intensity_hi)
+        )
+        .select(
+            "media_id", "lang", "source", "n_tokens", "n_bytes",
+            "checksum", "mean_intensity",
+        )
+    )
+
+
+@query(
+    "multimodal_pair_manifest",
+    # Same ASCII-corpus byte-arithmetic argument as multimodal_image_features
+    # (whose oracle CTE this extends): the decode side is exact integer math,
+    # the text side is the proven token_count mirror, and the join key is the
+    # id — so the full two-modality manifest value-hashes.
+    oracle=r"""
+    WITH img AS (
+        SELECT doc_id AS media_id, text
+        FROM documents
+        WHERE doc_id % 5 <> 0 AND doc_id % 5 <> 3
+    ), c AS (
+        SELECT media_id,
+            CAST(strlen(text) AS BIGINT) AS n_bytes,
+            list_reduce(
+                list_prepend(
+                    CAST(0 AS BIGINT),
+                    list_transform(string_split(text, ''),
+                                   x -> CAST(ascii(x) AS BIGINT))
+                ),
+                (acc, x) -> (acc * 131 + x) % 1000000007
+            ) AS checksum,
+            CAST(list_sum(list_transform(string_split(substr(text, 1, 256), ''),
+                                         x -> CAST(ascii(x) AS BIGINT))) AS DOUBLE)
+                / greatest(least(strlen(text), 256), 1) / 255.0 AS mean_intensity
+        FROM img
+    ), d AS (
+        SELECT doc_id, lang, source,
+               CAST(len(string_split(
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT media_id, lang, source, n_tokens, n_bytes, checksum, mean_intensity
+    FROM c JOIN d ON c.media_id = d.doc_id
+    WHERE n_tokens >= 20 AND mean_intensity > 0.2 AND mean_intensity < 0.6
+    """,
+)
+def multimodal_pair_manifest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthetic_media(spark, sf_dir)
+    docs = load(spark, "documents", sf_dir)
+    return pair_manifest(image_features(media), docs)

@@ -141,3 +141,38 @@ def test_audio_chunking_registered_query(spark):
         .join(media.select("media_id", "duration_ms"), "media_id")
     )
     assert joined.filter("last_end <> duration_ms").count() == 0
+
+
+def test_pair_manifest_gates_both_modalities(spark):
+    """A pair survives only if BOTH the token gate and the intensity gate
+    pass; dropped ids are attributable to exactly one failing gate."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from data_engineering_nd_spark.operators.multimodal import (
+        image_features,
+        pair_manifest,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 4],
+                # 1: long enough text; 2: too short; 4: long enough
+                "text": ["tok " * 25, "short text", "tok " * 30],
+                "lang": ["en", "en", "de"],
+                "source": ["s0", "s0", "s1"],
+            }
+        )
+    )
+    media = docs.select(
+        docs.doc_id.alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    out = pair_manifest(image_features(media), docs).collect()
+    ids = {r["media_id"] for r in out}
+    assert 2 not in ids  # token gate
+    for r in out:
+        assert 0.2 < r["mean_intensity"] < 0.6
+        assert r["n_tokens"] >= 20
