@@ -386,6 +386,9 @@ def dedup_jaccard_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_minhash_lsh")  # xxhash64-based: not SQL-expressible -> rows-only check
 def dedup_minhash_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Default max_bucket=512 verified a no-op at both gate SFs (sf0.01: 25
+    # pairs capped and uncapped; sf0.1: 254 both) — the r02/r03-recorded
+    # row counts are unchanged by the skew guard (ADVICE r04 #3).
     from data_engineering_nd_spark.catalog import ensure_parallelism
 
     # single-file testdata arrives as 1 split; fan the CPU-heavy shingle

@@ -454,3 +454,114 @@ def _register_label_propagation_oracle() -> None:
 
 
 _register_label_propagation_oracle()
+
+
+def common_neighbor_candidates(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int | None = 256,
+) -> DataFrame:
+    """Link prediction by neighborhood overlap: for every NON-adjacent node
+    pair with at least one common neighbor, the common-neighbor count and
+    the neighborhood-Jaccard score. On a near-dup pair graph these are the
+    "two clusters that almost touch" — the candidates a dedup pipeline
+    re-scores with the expensive exact similarity before deciding whether
+    to merge clusters CC kept apart.
+
+    Scale shape: one wedge self-join (adjacency ⋈ adjacency on the shared
+    endpoint) + one hash-agg + one anti-join against the edge set. The
+    wedge join is quadratic per NODE (sum of deg^2), not per graph —
+    ``max_degree`` drops hub nodes as wedge centers (a hub connecting
+    everything predicts nothing anyway), bounding the join output by
+    n * max_degree exactly like the LSH hot-bucket cap."""
+    adj = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    ).localCheckpoint()
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    centers = adj.join(deg, "u")
+    if max_degree is not None:
+        centers = centers.filter(F.col("deg") <= max_degree)
+    w1 = centers.select(F.col("u").alias("w"), F.col("v").alias("a"))
+    w2 = centers.select(F.col("u").alias("w"), F.col("v").alias("b"))
+    wedges = (
+        w1.join(w2, "w")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+    )
+    # keep only non-adjacent pairs (the edge itself is already known)
+    non_adj = wedges.join(
+        adj.select(F.col("u").alias("a"), F.col("v").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    da = deg.select(F.col("u").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("u").alias("b"), F.col("deg").alias("deg_b"))
+    return (
+        non_adj.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("a").alias("id_a"),
+            F.col("b").alias("id_b"),
+            "common_neighbors",
+            F.round(
+                F.col("common_neighbors").cast("double")
+                / (
+                    F.col("deg_a") + F.col("deg_b") - F.col("common_neighbors")
+                ).cast("double"),
+                6,
+            ).alias("nb_jaccard"),
+        )
+    )
+
+
+@query(
+    "graph_common_neighbors",
+    oracle=None,  # registered below (shares the pair CTEs)
+)
+def graph_common_neighbors_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-repair candidates over the jaccard-0.5 near-dup graph: pairs
+    of docs that are NOT direct near-dups but share near-dup neighbors."""
+    from data_engineering_nd_spark.operators.dedup import jaccard_pairs
+
+    docs = load(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    pairs = jaccard_pairs(docs, "doc_id", "text", "lang", threshold=0.5)
+    return common_neighbor_candidates(pairs, "id_a", "id_b").orderBy(
+        F.desc("common_neighbors"), "id_a", "id_b"
+    )
+
+
+def _register_common_neighbors_oracle() -> None:
+    from data_engineering_nd_spark.operators.dedup import PAIR_EDGE_CTES
+    from data_engineering_nd_spark.registry import ORACLE_SQL
+
+    ORACLE_SQL["graph_common_neighbors"] = (
+        "\n    WITH" + PAIR_EDGE_CTES + r""",
+    deg AS (SELECT src AS u, COUNT(*) AS deg FROM edges GROUP BY src),
+    wedges AS (
+        SELECT w1.dst AS a, w2.dst AS b, COUNT(*) AS common_neighbors
+        FROM edges w1 JOIN edges w2 ON w1.src = w2.src AND w1.dst < w2.dst
+        GROUP BY 1, 2
+    ),
+    non_adj AS (
+        SELECT w.* FROM wedges w
+        WHERE NOT EXISTS (
+            SELECT 1 FROM edges e WHERE e.src = w.a AND e.dst = w.b
+        )
+    )
+    SELECT n.a AS id_a, n.b AS id_b, n.common_neighbors,
+           round(CAST(n.common_neighbors AS DOUBLE)
+                 / CAST(da.deg + db.deg - n.common_neighbors AS DOUBLE), 6)
+               AS nb_jaccard
+    FROM non_adj n
+    JOIN deg da ON da.u = n.a
+    JOIN deg db ON db.u = n.b
+    ORDER BY n.common_neighbors DESC, id_a, id_b
+    """
+    )
+
+
+_register_common_neighbors_oracle()

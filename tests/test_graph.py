@@ -136,3 +136,35 @@ def test_label_propagation_deterministic(spark):
     a = sorted(label_propagation(edges, iterations=4).collect())
     b = sorted(label_propagation(edges, iterations=4).collect())
     assert a == b
+
+
+def test_common_neighbor_candidates_path_graph(spark):
+    """Path 0-1-2: 0 and 2 share neighbor 1, are non-adjacent -> one
+    candidate with cn=1 and neighborhood jaccard 1/1 (deg 1 + deg 1 - 1)."""
+    from data_engineering_nd_spark.operators.graph import common_neighbor_candidates
+
+    edges = spark.createDataFrame([(0, 1), (1, 2)], ["src", "dst"])
+    rows = common_neighbor_candidates(edges).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"], r["common_neighbors"]) == (0, 2, 1)
+    assert abs(r["nb_jaccard"] - 1.0) < 1e-9
+
+
+def test_common_neighbor_candidates_excludes_existing_edges(spark):
+    """In a triangle every pair is adjacent -> no candidates."""
+    from data_engineering_nd_spark.operators.graph import common_neighbor_candidates
+
+    edges = spark.createDataFrame([(0, 1), (1, 2), (0, 2)], ["src", "dst"])
+    assert common_neighbor_candidates(edges).count() == 0
+
+
+def test_common_neighbor_candidates_degree_cap_drops_hub_wedges(spark):
+    """A star hub above max_degree stops being a wedge center, so its
+    leaves are no longer proposed as candidates."""
+    from data_engineering_nd_spark.operators.graph import common_neighbor_candidates
+
+    star = [(99, i) for i in range(5)]
+    edges = spark.createDataFrame(star, ["src", "dst"])
+    assert common_neighbor_candidates(edges, max_degree=None).count() == 10
+    assert common_neighbor_candidates(edges, max_degree=4).count() == 0
