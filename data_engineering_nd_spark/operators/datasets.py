@@ -1527,3 +1527,79 @@ def ds_repeat_upsampling_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mixture(per_source, "total_tokens", budget=1_000_000).orderBy(
         "source"
     )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer induction: first-iteration BPE merge candidates
+# ---------------------------------------------------------------------------
+
+
+def bpe_merge_candidates(
+    df: DataFrame, text_col: str, top_k: int = 30
+) -> DataFrame:
+    """Corpus-frequency-weighted adjacent character-pair counts — the
+    statistic the first BPE merge iteration maximizes. Returns the top-k
+    (pair, frequency) merge candidates.
+
+    Scale trick (the one real BPE trainers use): aggregate the corpus to
+    its WORD VOCABULARY first — one explode + hash-agg over tokens — then
+    count character pairs over the vocabulary weighted by word frequency.
+    The vocabulary is Zipf-bounded (millions of types for 100 TB of text),
+    so the quadratic-ish char-pair explode runs over the tiny vocab frame,
+    never over the corpus; the corpus itself is touched exactly once.
+    """
+    from data_engineering_nd_spark.functions.text import tokens
+
+    wc = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = wc.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substr(F.col("w"), i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "n",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").cast("bigint").alias("frequency"))
+        .orderBy(F.desc("frequency"), "pair")
+        .limit(top_k)
+    )
+
+
+@query(
+    "ds_bpe_merge_candidates",
+    oracle=r"""
+    WITH wc AS (
+        SELECT w, COUNT(*) AS n
+        FROM (
+            SELECT unnest(string_split(
+                regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+            FROM documents
+        )
+        GROUP BY w
+        HAVING length(w) >= 2
+    ),
+    pairs AS (
+        SELECT substr(w, CAST(i AS INT), 2) AS pair, n
+        FROM wc, unnest(range(1, length(w))) AS t(i)
+    )
+    SELECT pair, CAST(SUM(n) AS BIGINT) AS frequency
+    FROM pairs
+    GROUP BY pair
+    ORDER BY frequency DESC, pair
+    LIMIT 30
+    """,
+)
+def ds_bpe_merge_candidates_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 first-iteration BPE merges over the documents corpus: the
+    report a tokenizer-training pipeline publishes to sanity-check corpus
+    character statistics before the full merge loop."""
+    docs = load(spark, "documents", sf_dir)
+    return bpe_merge_candidates(docs, "text", top_k=30)

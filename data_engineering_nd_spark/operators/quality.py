@@ -356,3 +356,83 @@ def dq_referential_integrity_query(spark: SparkSession, sf_dir: str) -> DataFram
     for c in checks[1:]:
         out = out.union(c)
     return out.orderBy("fk")
+
+
+def volume_anomalies(
+    df: DataFrame, day_col: Column, z_threshold: float = 2.0
+) -> DataFrame:
+    """Volume-anomaly detection: days whose row count deviates from the
+    all-days mean by at least ``z_threshold`` standard deviations — the
+    data-quality tripwire a pipeline runs on every ingest ("did a partition
+    go missing / double-load?").
+
+    Cross-engine determinism: the moments are computed from EXACT integer
+    sums (sum n, sum n^2 over bigint counts), so mean/variance/z derive
+    from identical doubles via one identical expression in both engines —
+    no float-summation-order drift, same trick as ``temperature_mixture``.
+
+    Scale shape: one hash-agg to day grain (a few thousand rows for a
+    decade), one 1-row moment aggregate broadcast back. The corpus is
+    touched once."""
+    daily = df.groupBy(day_col.alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    moments = daily.agg(
+        F.sum("n_rows").cast("bigint").alias("s1"),
+        F.sum(F.col("n_rows") * F.col("n_rows")).cast("bigint").alias("s2"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    mean = F.col("s1").cast("double") / F.col("cnt").cast("double")
+    var = F.col("s2").cast("double") / F.col("cnt").cast("double") - mean * mean
+    # var == 0 (perfectly uniform volume) -> no anomalies, and the division
+    # would raise under ANSI mode: gate it.
+    z = F.when(
+        var > 0, (F.col("n_rows").cast("double") - mean) / F.sqrt(var)
+    ).otherwise(F.lit(0.0))
+    return (
+        daily.crossJoin(F.broadcast(moments))
+        .filter(F.abs(z) >= F.lit(z_threshold))
+        .select("day", "n_rows", F.round(z, 4).alias("z_score"))
+        .orderBy("day")
+    )
+
+
+@query(
+    "dq_volume_anomalies",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM orders GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(SUM(n_rows) AS BIGINT) AS s1,
+               CAST(SUM(n_rows * n_rows) AS BIGINT) AS s2,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM daily
+    ),
+    z AS (
+        SELECT day, n_rows,
+               CASE WHEN CAST(s2 AS DOUBLE) / CAST(cnt AS DOUBLE)
+                         - (CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE))
+                           * (CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE)) > 0
+                    THEN (CAST(n_rows AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE))
+                         / sqrt(CAST(s2 AS DOUBLE) / CAST(cnt AS DOUBLE)
+                                - (CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE))
+                                  * (CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE)))
+                    ELSE 0.0 END AS zval
+        FROM daily, s
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, n_rows, round(zval, 4) AS z_score
+    FROM z
+    WHERE abs(zval) >= 2.0
+    ORDER BY day
+    """,
+)
+def dq_volume_anomalies_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose order volume is >= 2 sigma from the mean — the ingest
+    health report."""
+    orders = load(spark, "orders", sf_dir)
+    return volume_anomalies(
+        orders, F.col("o_orderdate").cast("date").cast("timestamp_ntz")
+    )

@@ -477,3 +477,92 @@ def stream_sliding_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run(counts, "stream_sliding_counts_sink", spark)
+
+
+def merge_upsert_batch(current: DataFrame | None, batch_agg: DataFrame) -> DataFrame:
+    """One merge step of the foreachBatch upsert-sink pattern: combine the
+    existing keyed state with a micro-batch's partial aggregate (full outer
+    join on the key, additive combine). This is what a Delta/Iceberg MERGE
+    INTO does server-side; expressed as a pure DataFrame op it is testable
+    and engine-agnostic. Partial aggregates are additive (count, decimal
+    sum, max), so merging per batch equals aggregating the whole stream —
+    the invariant the driver oracle pins."""
+    if current is None:
+        return batch_agg
+    c = current.select(
+        F.col("user_id"),
+        F.col("n_events").alias("c_n"),
+        F.col("value_units").alias("c_v"),
+        F.col("last_seen").alias("c_t"),
+    )
+    b = batch_agg.select(
+        F.col("user_id"),
+        F.col("n_events").alias("b_n"),
+        F.col("value_units").alias("b_v"),
+        F.col("last_seen").alias("b_t"),
+    )
+    return c.join(b, "user_id", "full_outer").select(
+        "user_id",
+        (F.coalesce(F.col("c_n"), F.lit(0)) + F.coalesce(F.col("b_n"), F.lit(0))).alias(
+            "n_events"
+        ),
+        (
+            F.coalesce(F.col("c_v"), F.lit(0).cast("decimal(18,4)"))
+            + F.coalesce(F.col("b_v"), F.lit(0).cast("decimal(18,4)"))
+        ).cast("decimal(18,4)").alias("value_units"),
+        F.greatest(
+            F.coalesce(F.col("c_t"), F.col("b_t")),
+            F.coalesce(F.col("b_t"), F.col("c_t")),
+        ).alias("last_seen"),
+    )
+
+
+@query(
+    "stream_merge_upsert",
+    oracle="""
+    SELECT
+        user_id,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+        MAX(CAST(ts AS TIMESTAMP)) AS last_seen
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_merge_upsert_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The foreachBatch merge-sink pattern driven as a real stream: each
+    micro-batch computes a per-user partial aggregate, and the sink
+    upserts it into the keyed result (full-outer merge, additive combine)
+    instead of relying on the state store. This is the shape you use when
+    the sink must be a TABLE with exactly-once upsert semantics (MERGE
+    INTO at production scale) rather than an append log; the final state
+    equals the batch aggregate, which the oracle value-hashes."""
+    ev = read_events_stream(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    state: dict[str, DataFrame | None] = {"df": None}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        agg = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("value_units"),
+            F.max("ts").alias("last_seen"),
+        )
+        # localCheckpoint: the merged state is re-read by every later
+        # batch; keep the plan constant-size across batches.
+        state["df"] = merge_upsert_batch(state["df"], agg).localCheckpoint()
+
+    with _few_state_partitions(spark):
+        q = (
+            ev.writeStream.foreachBatch(merge)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    final = state["df"]
+    return final.select(
+        "user_id",
+        "n_events",
+        F.col("value_units").cast("double").alias("total_value"),
+        F.col("last_seen").cast("timestamp_ntz").alias("last_seen"),
+    )

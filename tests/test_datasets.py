@@ -329,3 +329,14 @@ def test_temperature_mixture_boosts_small_domains(spark):
     assert rows["small"]["repeat_factor"] > rows["big"]["repeat_factor"]
     # budget tokens split the epoch budget (up to rounding)
     assert abs(rows["big"]["budget_tokens"] + rows["small"]["budget_tokens"] - 100_000) <= 1
+
+
+def test_bpe_merge_candidates_known_corpus(spark):
+    from data_engineering_nd_spark.operators.datasets import bpe_merge_candidates
+
+    df = spark.createDataFrame(
+        [("aaab aaab",), ("aaab xy",)], ["text"]
+    )
+    # vocab: aaab (n=3), xy (n=1); pairs: aa x2 per aaab -> 6, ab -> 3, xy -> 1
+    rows = {r["pair"]: r["frequency"] for r in bpe_merge_candidates(df, "text").collect()}
+    assert rows == {"aa": 6, "ab": 3, "xy": 1}

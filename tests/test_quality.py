@@ -244,3 +244,30 @@ def test_entropy_metrics_handcrafted(spark):
     h4 = 2.0 - round(3 * math.log2(3) * 1e6) / 1e6 / 4
     assert out[4].entropy_bits == round(h4, 4)
     assert out[4].normalized_entropy == round(h4 / 1.0, 4)  # log2(2 types) = 1
+
+
+def test_volume_anomalies_flags_spike_and_gap(spark):
+    from pyspark.sql import functions as F
+
+    from data_engineering_nd_spark.operators.quality import volume_anomalies
+
+    rows = []
+    for d in range(1, 11):
+        rows += [(f"2024-01-{d:02d}",)] * 10
+    rows += [("2024-01-11",)] * 100  # spike day
+    df = spark.createDataFrame(rows, ["d"])
+    out = volume_anomalies(df, F.col("d").cast("date").cast("timestamp_ntz")).collect()
+    assert len(out) == 1
+    assert str(out[0]["day"]).startswith("2024-01-11")
+    assert out[0]["n_rows"] == 100
+    assert out[0]["z_score"] > 2
+
+
+def test_volume_anomalies_uniform_volume_is_clean(spark):
+    from pyspark.sql import functions as F
+
+    from data_engineering_nd_spark.operators.quality import volume_anomalies
+
+    rows = [(f"2024-02-{d:02d}",) for d in range(1, 21) for _ in range(5)]
+    df = spark.createDataFrame(rows, ["d"])
+    assert volume_anomalies(df, F.col("d").cast("date").cast("timestamp_ntz")).count() == 0

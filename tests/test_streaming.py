@@ -198,3 +198,34 @@ def test_sliding_counts_double_count_events(spark):
         F.col("window_end") != F.col("window_start") + F.expr("INTERVAL 2 HOURS")
     ).count()
     assert bad == 0
+
+
+def test_merge_upsert_batch_combines_partials(spark):
+    """Two partial aggregates merge to the same totals as aggregating the
+    union — the additive-combine invariant of the upsert sink."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_nd_spark.streaming.queries import merge_upsert_batch
+
+    def agg(rows):
+        df = spark.createDataFrame(rows, ["user_id", "value", "ts"])
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("value_units"),
+            F.max(F.col("ts").cast("timestamp")).alias("last_seen"),
+        )
+
+    t1, t2 = dt.datetime(2024, 1, 1, 10), dt.datetime(2024, 1, 2, 11)
+    b1 = [(1, 10.5, t1), (2, 1.0, t1)]
+    b2 = [(1, 2.5, t2), (3, 7.0, t2)]
+    merged = merge_upsert_batch(merge_upsert_batch(None, agg(b1)), agg(b2))
+    direct = agg(b1 + b2)
+    got = {r["user_id"]: r for r in merged.collect()}
+    want = {r["user_id"]: r for r in direct.collect()}
+    assert set(got) == set(want)
+    for uid in want:
+        assert got[uid]["n_events"] == want[uid]["n_events"]
+        assert got[uid]["value_units"] == want[uid]["value_units"]
+        assert got[uid]["last_seen"] == want[uid]["last_seen"]
