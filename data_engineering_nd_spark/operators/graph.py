@@ -30,6 +30,7 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     iterations: int = 10,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Weighted PageRank with dangling-mass redistribution.
 
@@ -39,68 +40,106 @@ def pagerank(
     Fixed iteration count for deterministic output shape; convergence for
     typical graphs is well inside 10-20 rounds.
     """
-    # Materialize the weighted edge list ONCE — its upstream (often a join +
-    # distinct over the fact table) is referenced by out_w, e_norm and nodes
-    # below and would otherwise be recomputed for each of them.
-    e = (
+    from pyspark.sql.window import Window
+
+    # Loop-invariant work, done ONCE and materialized hash-partitioned by
+    # src (localCheckpoint preserves outputPartitioning), so every round's
+    # ranks ⋈ edges join shuffles only the small rank frame — the edges
+    # never move again. Normalization by the source's total outgoing weight
+    # uses a window over the src partitioning instead of a separate
+    # aggregate + self-join: one shuffle fewer in setup, and exact — the
+    # weights are integer counts, so the window sum is order-independent.
+    w_src = Window.partitionBy("src")
+    e_norm = (
         edges.groupBy(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
-        .localCheckpoint()
-    )
-    # Loop-invariant work, done ONCE: normalize each edge by its source's
-    # total outgoing weight so the per-round contribution is just rank * nw.
-    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
-    # localCheckpoint preserves outputPartitioning: materialize the (big)
-    # edge frame hash-partitioned by src ONCE, so every round's ranks ⋈ edges
-    # join shuffles only the small rank frame — the edges never move again.
-    e_norm = (
-        e.join(out_w, "src")
-        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("nw"))
         .repartition("src")
+        .select(
+            "src", "dst", (F.col("w") / F.sum("w").over(w_src)).alias("nw")
+        )
         .localCheckpoint()
     )
+    # nodes derive from the CHECKPOINTED frame — the (often expensive)
+    # upstream of `edges` is never re-run.
     nodes = (
-        e.select(F.col("src").alias("id"))
-        .union(e.select(F.col("dst").alias("id")))
+        e_norm.select(F.col("src").alias("id"))
+        .union(e_norm.select(F.col("dst").alias("id")))
         .distinct()
         .repartition("id")
         .localCheckpoint()
     )
-    n_nodes = nodes.count()
+    # Loop-invariant: the dangling-node SET is fixed by the edges. When it
+    # is empty (e.g. any symmetrized/undirected graph), dangling mass is
+    # identically zero every round — skip the per-round mass aggregate AND
+    # the contribs materialization (contribs is then consumed exactly once,
+    # so the whole iteration folds into ONE action: join + agg + left-join,
+    # halving per-round job-scheduling overhead). Both invariant counts
+    # come from ONE job.
+    srcs = e_norm.select(F.col("src").alias("id")).distinct()
+    dsts = e_norm.select(F.col("dst").alias("id")).distinct()
+    stats = (
+        nodes.join(srcs.withColumn("__has_out", F.lit(1)), "id", "left")
+        .join(dsts.withColumn("__has_in", F.lit(1)), "id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("__has_out").isNull(), F.lit(1))).alias("d"),
+            F.count(F.when(F.col("__has_in").isNull(), F.lit(1))).alias("ni"),
+        )
+        .collect()[0]
+    )
+    n_nodes, n_dangling, n_no_in = stats["n"], stats["d"], stats["ni"]
+
     ranks = nodes.select("id", F.lit(1.0).alias("rank")).localCheckpoint()
 
-    for _ in range(iterations):
+    for it in range(iterations):
         # One equi-join + one hash-agg: contributions flowing into each dst.
-        # localCheckpoint: contribs feeds BOTH the dangling-mass aggregate
-        # and the rank update — materialize once instead of running the
-        # join+agg twice.
         contribs = (
             ranks.join(e_norm, ranks.id == e_norm.src)
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("rank") * F.col("nw")).alias("c"))
-            .localCheckpoint()
         )
-        # Dangling mass without touching the rank frame again: every
-        # non-dangling source's rank flows fully into contribs (its nw sums
-        # to 1), so sum(contribs) = N - dangling_mass. One 1-row aggregate
-        # over the small contribs frame replaces the per-round
-        # ranks ⋈ dangling_ids semi-join + aggregate.
-        dmass = contribs.agg(
-            (F.lit(float(n_nodes)) - F.coalesce(F.sum("c"), F.lit(0.0))).alias("dm")
-        )
-        ranks = (
-            nodes.join(contribs, "id", "left")
-            .crossJoin(F.broadcast(dmass))
-            .select(
-                "id",
-                (
-                    F.lit(1.0 - damping)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") / F.lit(float(n_nodes)))
-                ).alias("rank"),
+        if n_dangling:
+            # localCheckpoint: contribs feeds BOTH the dangling-mass
+            # aggregate and the rank update — materialize once instead of
+            # running the join+agg twice. Dangling mass without touching
+            # the rank frame again: every non-dangling source's rank flows
+            # fully into contribs (its nw sums to 1), so
+            # sum(contribs) = N - dangling_mass.
+            contribs = contribs.localCheckpoint()
+            dmass = contribs.agg(
+                (F.lit(float(n_nodes)) - F.coalesce(F.sum("c"), F.lit(0.0))).alias(
+                    "dm"
+                )
             )
-            .localCheckpoint()
+            inflow = F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") / F.lit(
+                float(n_nodes)
+            )
+            updated = nodes.join(contribs, "id", "left").crossJoin(
+                F.broadcast(dmass)
+            )
+        elif n_no_in:
+            inflow = F.coalesce(F.col("c"), F.lit(0.0))
+            updated = nodes.join(contribs, "id", "left")
+        else:
+            # Every node has in-edges (always true for symmetrized
+            # graphs): contribs already covers all of `nodes`, so the
+            # per-round nodes ⋈ contribs left join is an identity — skip
+            # it. Each iteration is then exactly one co-partitioned join
+            # + one hash-agg.
+            inflow = F.col("c")
+            updated = contribs
+        ranks = updated.select(
+            "id",
+            (F.lit(1.0 - damping) + F.lit(damping) * inflow).alias("rank"),
         )
+        # Checkpoint every K rounds, not every round: K lazy iterations
+        # fold into ONE submitted job (one analysis/AQE pass, K chained
+        # join+agg stages) instead of K jobs — driver-side per-action
+        # overhead dominates tiny iterative workloads. The dangling path
+        # still materializes contribs each round (its aggregate is an
+        # action-forcing broadcast), so K only applies to the pure plan.
+        if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
+            ranks = ranks.localCheckpoint()
     return ranks
 
 
