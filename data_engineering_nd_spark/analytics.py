@@ -2468,3 +2468,143 @@ def q65_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# q66 — resample + linear interpolation (time-series). Where q45 zero-fills
+# count gaps, this reconstructs a VALUE series: missing hours get the linear
+# interpolation between the nearest observed hours on each side (no
+# extrapolation past the ends). The TimescaleDB `interpolate()` /
+# pandas `resample().interpolate()` semantics, built from two ignore-nulls
+# windows — no UDF, no driver loop.
+#
+# Scale: windows partition by the series key (event_type here; a real
+# deployment has high-cardinality series ids, so partitions are many and
+# small). Each series sorts its own spine rows only. Determinism: hourly
+# means are decimal-accumulated; the interpolation arithmetic is the same
+# IEEE expression in both engines over exact integer hour-gaps.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q66_interpolate_hourly",
+    oracle="""
+    WITH b AS (
+        SELECT
+            date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS h0,
+            date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS h1
+        FROM events
+    ),
+    hours AS (
+        SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    hourly AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS val
+        FROM events GROUP BY 1, 2
+    ),
+    sp AS (
+        SELECT h.hour, t.event_type, c.val
+        FROM hours h CROSS JOIN types t
+        LEFT JOIN hourly c ON c.hour = h.hour AND c.event_type = t.event_type
+    ),
+    w AS (
+        SELECT hour, event_type, val,
+            last_value(CASE WHEN val IS NOT NULL THEN hour END IGNORE NULLS)
+                OVER (PARTITION BY event_type ORDER BY hour
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+            last_value(val IGNORE NULLS)
+                OVER (PARTITION BY event_type ORDER BY hour
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+            first_value(CASE WHEN val IS NOT NULL THEN hour END IGNORE NULLS)
+                OVER (PARTITION BY event_type ORDER BY hour
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh,
+            first_value(val IGNORE NULLS)
+                OVER (PARTITION BY event_type ORDER BY hour
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+        FROM sp
+    )
+    SELECT CAST(hour AS TIMESTAMP) AS hour, event_type,
+           -- floor-based half-up rounding: Spark's round() rounds the
+           -- shortest decimal repr while DuckDB's rounds the binary value,
+           -- so they disagree on interpolated midpoints (exact .00005s);
+           -- floor(x*1e4 + 0.5)/1e4 is the same IEEE arithmetic in both.
+           floor((CASE WHEN val IS NOT NULL THEN val
+                  ELSE pv + (nv - pv)
+                       * (CAST(date_diff('second', ph, hour) AS DOUBLE)
+                          / CAST(date_diff('second', ph, nh) AS DOUBLE))
+                  END) * 10000.0 + 0.5) / 10000.0 AS value,
+           (val IS NULL) AS is_interpolated
+    FROM w
+    WHERE val IS NOT NULL OR (pv IS NOT NULL AND nv IS NOT NULL)
+    ORDER BY event_type, hour
+    """,
+)
+def q66_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        (dsum(F.col("value")) / F.count(F.lit(1)).cast("double")).alias("val")
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    sp = hours.crossJoin(types).join(hourly, ["hour", "event_type"], "left")
+
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    observed_hour = F.when(F.col("val").isNotNull(), F.col("hour"))
+    with_marks = sp.select(
+        "hour",
+        "event_type",
+        "val",
+        F.last(observed_hour, ignorenulls=True).over(w_prev).alias("ph"),
+        F.last("val", ignorenulls=True).over(w_prev).alias("pv"),
+        F.first(observed_hour, ignorenulls=True).over(w_next).alias("nh"),
+        F.first("val", ignorenulls=True).over(w_next).alias("nv"),
+    )
+    secs = lambda a, b: (  # noqa: E731
+        F.col(b).cast("timestamp").cast("long")
+        - F.col(a).cast("timestamp").cast("long")
+    ).cast("double")
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        secs("ph", "hour") / secs("ph", "nh")
+    )
+    return (
+        with_marks.filter(
+            F.col("val").isNotNull()
+            | (F.col("pv").isNotNull() & F.col("nv").isNotNull())
+        )
+        .select(
+            F.col("hour").cast("timestamp_ntz").alias("hour"),
+            "event_type",
+            (
+                F.floor(
+                    F.when(F.col("val").isNotNull(), F.col("val")).otherwise(interp)
+                    * F.lit(10000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("value"),
+            F.col("val").isNull().alias("is_interpolated"),
+        )
+        .orderBy("event_type", "hour")
+    )

@@ -127,3 +127,36 @@ def test_pretokens_bpe_ish_classes(spark):
     assert got[2] == []
     counts = [r.c for r in df.select(pretoken_count("t").alias("c")).collect()]
     assert counts == [6, 4, 0]
+
+
+def test_interpolate_hourly_linear_midpoints(spark, tmp_path):
+    """Gap of 2 hours between observed values 10 and 40 -> interior hours
+    get 20 and 30; edges (before first / after last observation) excluded."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from data_engineering_nd_spark.analytics import q66_interpolate_hourly
+
+    rows = pd.DataFrame(
+        {
+            "event_id": [0, 1],
+            "ts": [dt.datetime(2024, 1, 1, 0, 30), dt.datetime(2024, 1, 1, 3, 15)],
+            "user_id": [1, 1],
+            "event_type": ["click", "click"],
+            "value": [10.0, 40.0],
+            "props": ["{}", "{}"],
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(rows).write.parquet(str(sf / "events.parquet"))
+    out = {
+        str(r["hour"]): (r["value"], r["is_interpolated"])
+        for r in q66_interpolate_hourly(spark, str(sf)).collect()
+    }
+    assert out["2024-01-01 00:00:00"] == (10.0, False)
+    assert out["2024-01-01 01:00:00"] == (20.0, True)
+    assert out["2024-01-01 02:00:00"] == (30.0, True)
+    assert out["2024-01-01 03:00:00"] == (40.0, False)
+    assert len(out) == 4
