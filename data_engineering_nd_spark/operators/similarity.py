@@ -742,3 +742,96 @@ def ann_pca_projection_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         *[F.round(F.col("pca")[i], 4).alias(f"pca_{i}") for i in range(4)],
     ).orderBy("vec_id")
+
+
+def knn_join(
+    vectors: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Blocked k-NN self-join: every vector's exact top-k neighbors WITHIN
+    its block — the SemDeDup shape (cluster the corpus, then
+    neighbor-search inside each cluster), where the block column is the
+    cluster assignment. Unlike ``brute_force_topk`` (a broadcast of a
+    small query set against everything) this is the all-rows-are-queries
+    variant: a self-equi-join on the block key, so the pair space is
+    sum(block²), never n², and the join co-partitions both sides on the
+    block — the embedding column shuffles once.
+
+    The cosine stays a JVM fold (``cosine``): Spark's `aggregate` and the
+    oracle's `list_dot_product` both reduce sequentially, so the raw
+    doubles — and therefore the RANK ORDER — are bit-identical across
+    engines (a numpy Gram matrix would sum in SIMD order and disagree in
+    the last ulp). Ties broken by neighbor id for a total order.
+    """
+    a = vectors.select(
+        F.col(id_col).alias("query_id"),
+        F.col(block_col).alias("block"),
+        F.col(vec_col).alias("q_vec"),
+    )
+    b = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(block_col).alias("block"),
+        F.col(vec_col).alias("v_vec"),
+    )
+    sims = (
+        a.join(b, "block")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "block",
+            cosine(
+                F.col("q_vec").cast("array<double>"),
+                F.col("v_vec").cast("array<double>"),
+            ).alias("sim_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "block",
+            F.round("sim_raw", 4).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
+@query(
+    "ann_knn_join",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings
+    ),
+    sim AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               a.label AS block,
+               list_dot_product(a.emb, b.emb)
+                 / (sqrt(list_dot_product(a.emb, a.emb))
+                    * sqrt(list_dot_product(b.emb, b.emb))) AS sim_raw
+        FROM v a
+        JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id, block, round(sim_raw, 4) AS cosine_sim, rank
+    FROM (
+        SELECT *,
+            CAST(ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY sim_raw DESC, neighbor_id
+            ) AS INTEGER) AS rank
+        FROM sim
+    )
+    WHERE rank <= 3
+    """,
+)
+def ann_knn_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact within-label top-3 neighbor list for every embedding — the
+    per-cluster neighbor table SemDeDup prunes from."""
+    emb = load(spark, "embeddings", sf_dir)
+    return knn_join(emb, k=3)

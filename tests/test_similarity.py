@@ -246,3 +246,35 @@ def test_cosine_range_search_contains_topk_above_threshold(spark):
     assert above and all(rng.get(k) == v for k, v in above.items())
     # nothing in range output falls below the threshold
     assert all(v >= thr for v in rng.values())
+
+
+def test_knn_join_within_block_exact(spark):
+    """Known 2-block geometry: neighbors ranked by exact cosine within the
+    block only; cross-block pairs never appear."""
+    import math
+
+    from data_engineering_nd_spark.operators.similarity import knn_join
+
+    rows = [
+        # block 0: x-axis, 45deg, y-axis
+        (0, [1.0, 0.0], 0),
+        (1, [1.0, 1.0], 0),
+        (2, [0.0, 1.0], 0),
+        # block 1: two opposite vectors
+        (10, [1.0, 0.0], 1),
+        (11, [-1.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = knn_join(df, k=2)
+    got = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine_sim"]) for r in out.collect()}
+    # query 0: nearest is 1 (cos 45deg ~ 0.7071), then 2 (0.0)
+    assert got[(0, 1)][0] == 1
+    assert abs(got[(0, 1)][1] - round(1 / math.sqrt(2), 4)) < 1e-9
+    assert got[(0, 2)] == (2, 0.0)
+    # block 1: only each other, opposite directions
+    assert got[(10, 1)] == (11, -1.0)
+    assert got[(11, 1)] == (10, -1.0)
+    assert (10, 2) not in got and (11, 2) not in got
+    # no cross-block neighbors anywhere
+    for (qid, _), (nid, _) in got.items():
+        assert (qid < 10) == (nid < 10)
