@@ -835,3 +835,94 @@ def ann_knn_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cluster neighbor table SemDeDup prunes from."""
     emb = load(spark, "embeddings", sf_dir)
     return knn_join(emb, k=3)
+
+
+def semantic_dedup_decisions(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """SemDeDup pruning decisions (Abbas et al. 2023 shape): within each
+    block (cluster), DROP a vector iff some EARLIER vector (smaller id =
+    keep-first, retry-deterministic) is more similar than ``threshold``.
+    Returns one decision row per vector with the similarity that killed it.
+
+    The drop decision is made on the 4-dp-ROUNDED max similarity — the
+    same boundary contract as ``cosine_range_search`` — so membership at
+    the threshold is engine- and rerun-exact. MAX over raw pair cosines is
+    order-independent, and each pair cosine is a sequential JVM fold, so
+    the rounded value is bit-identical to the SQL mirror.
+
+    Scale shape: one block-keyed self-join (pair space = sum(block²) —
+    the clustering bounds it) + one hash-agg + one left join back. The
+    embedding column never leaves its block partition."""
+    a = vectors.select(
+        F.col(id_col).alias("qid"),
+        F.col(block_col).alias("block"),
+        F.col(vec_col).alias("q_vec"),
+    )
+    b = vectors.select(
+        F.col(id_col).alias("nid"),
+        F.col(block_col).alias("block"),
+        F.col(vec_col).alias("v_vec"),
+    )
+    max_prior = (
+        a.join(b, "block")
+        .filter(F.col("nid") < F.col("qid"))
+        .groupBy(F.col("qid").alias(id_col))
+        .agg(
+            F.max(
+                cosine(
+                    F.col("q_vec").cast("array<double>"),
+                    F.col("v_vec").cast("array<double>"),
+                )
+            ).alias("ms")
+        )
+    )
+    return (
+        vectors.select(id_col, F.col(block_col).alias("block"))
+        .join(max_prior, id_col, "left")
+        .select(
+            id_col,
+            "block",
+            F.round("ms", 4).alias("max_prior_sim"),
+            F.coalesce(
+                F.round("ms", 4) >= F.lit(threshold), F.lit(False)
+            ).alias("dropped"),
+        )
+        .orderBy(id_col)
+    )
+
+
+@query(
+    "ann_semantic_dedup",
+    # threshold 0.35 is tuned to the SYNTHETIC embeddings (random vectors:
+    # within-label max prior similarity tops out at ~0.475, so a realistic
+    # 0.9x near-dup threshold would never fire here) — chosen to exercise
+    # both the keep and drop branches under the driver gate.
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings
+    ),
+    m AS (
+        SELECT a.vec_id,
+               MAX(list_dot_product(a.emb, b.emb)
+                   / (sqrt(list_dot_product(a.emb, a.emb))
+                      * sqrt(list_dot_product(b.emb, b.emb)))) AS ms
+        FROM v a
+        JOIN v b ON a.label = b.label AND b.vec_id < a.vec_id
+        GROUP BY 1
+    )
+    SELECT v.vec_id, v.label AS block,
+           round(m.ms, 4) AS max_prior_sim,
+           COALESCE(round(m.ms, 4) >= 0.35, FALSE) AS dropped
+    FROM v LEFT JOIN m ON v.vec_id = m.vec_id
+    ORDER BY v.vec_id
+    """,
+)
+def ann_semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, "embeddings", sf_dir)
+    return semantic_dedup_decisions(emb, threshold=0.35)

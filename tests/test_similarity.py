@@ -278,3 +278,24 @@ def test_knn_join_within_block_exact(spark):
     # no cross-block neighbors anywhere
     for (qid, _), (nid, _) in got.items():
         assert (qid < 10) == (nid < 10)
+
+
+def test_semantic_dedup_keep_first_within_block(spark):
+    """Identical vectors in one block: the smallest id survives, later
+    copies drop; an orthogonal vector and a lone other-block vector keep."""
+    from data_engineering_nd_spark.operators.similarity import (
+        semantic_dedup_decisions,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.0], 0),   # duplicate of 1 -> dropped
+        (3, [0.0, 1.0], 0),   # orthogonal -> kept
+        (4, [1.0, 0.0], 1),   # same direction but other block -> kept
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {r["vec_id"]: r for r in semantic_dedup_decisions(df, threshold=0.9).collect()}
+    assert not got[1]["dropped"] and got[1]["max_prior_sim"] is None
+    assert got[2]["dropped"] and got[2]["max_prior_sim"] == 1.0
+    assert not got[3]["dropped"] and got[3]["max_prior_sim"] == 0.0
+    assert not got[4]["dropped"] and got[4]["max_prior_sim"] is None
