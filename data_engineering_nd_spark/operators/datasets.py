@@ -1603,3 +1603,86 @@ def ds_bpe_merge_candidates_query(spark: SparkSession, sf_dir: str) -> DataFrame
     character statistics before the full merge loop."""
     docs = load(spark, "documents", sf_dir)
     return bpe_merge_candidates(docs, "text", top_k=30)
+
+
+@query(
+    "ds_pack_boundaries",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                    AS INT) % 16 AS pack_group,
+               CAST(len(string_split(
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, pack_group, n_tokens,
+               CAST(floor((SUM(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - n_tokens) / 2048.0) AS INT) AS seq_id
+        FROM toks
+    ),
+    with_off AS (
+        SELECT pack_group, seq_id, doc_id, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY pack_group, seq_id ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS off
+        FROM packed
+    )
+    SELECT pack_group, seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           STRING_AGG(CAST(off AS VARCHAR), ',' ORDER BY doc_id) AS boundaries
+    FROM with_off
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def ds_pack_boundaries_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attention-boundary manifest for the packed sequences: per
+    (pack_group, seq_id), the ordered start offsets of every document
+    inside the 2048-token training sequence — exactly what a loader needs
+    to build block-diagonal attention masks / loss-mask resets at document
+    joins. Same next-fit packing as ds_pack_sequences.
+
+    The per-sequence offset is a second running-sum window over the SAME
+    (pack_group ordered by doc_id) partitioning as the packing window —
+    Catalyst computes both in one sort, no extra shuffle. The ordered
+    boundary string is built JVM-side (sort_array of (id, off) structs ->
+    transform -> array_join), the deterministic mirror of SQL's
+    STRING_AGG(... ORDER BY)."""
+    from pyspark.sql.window import Window
+
+    from data_engineering_nd_spark.functions.text import token_count
+
+    docs = load(spark, "documents", sf_dir).select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    packed = pack_sequences(docs, "doc_id", "n_tokens", budget=2048, n_groups=16)
+    w = (
+        Window.partitionBy("pack_group", "seq_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_off = packed.withColumn(
+        "off", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return (
+        with_off.groupBy("pack_group", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("doc_id"), F.col("off")))
+                    ),
+                    lambda x: x["off"].cast("string"),
+                ),
+                ",",
+            ).alias("boundaries"),
+        )
+        .orderBy("pack_group", "seq_id")
+    )

@@ -340,3 +340,36 @@ def test_bpe_merge_candidates_known_corpus(spark):
     # vocab: aaab (n=3), xy (n=1); pairs: aa x2 per aaab -> 6, ab -> 3, xy -> 1
     rows = {r["pair"]: r["frequency"] for r in bpe_merge_candidates(df, "text").collect()}
     assert rows == {"aa": 6, "ab": 3, "xy": 1}
+
+
+def test_pack_boundaries_offsets_reset_per_sequence(spark):
+    from data_engineering_nd_spark.operators.datasets import (
+        ds_pack_boundaries_query,
+    )
+    from data_engineering_nd_spark.operators.datasets import pack_sequences
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    # single group, budget 10, docs of 4 tokens: starts at 0,4,8 stay in
+    # seq 0 (assignment is by START offset); the 4th starts at 12 -> seq 1
+    # with its in-sequence offset reset to 0.
+    docs = spark.createDataFrame(
+        [(1, 4), (2, 4), (3, 4), (4, 4)], ["doc_id", "n_tokens"]
+    )
+    packed = pack_sequences(docs, "doc_id", "n_tokens", budget=10, n_groups=1)
+    w = (
+        Window.partitionBy("pack_group", "seq_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rows = (
+        packed.withColumn("off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [(r["seq_id"], r["off"]) for r in rows] == [
+        (0, 0),
+        (0, 4),
+        (0, 8),
+        (1, 0),
+    ]
