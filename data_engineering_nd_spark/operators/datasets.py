@@ -1686,3 +1686,61 @@ def ds_pack_boundaries_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pack_group", "seq_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# split-leakage audit: near-dup pairs that cross the train/eval boundary
+# ---------------------------------------------------------------------------
+
+
+@query("ds_split_leakage")  # oracle registered below (shares the pair CTEs)
+def ds_split_leakage_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-hygiene audit: jaccard-0.5 near-dup pairs (same pair source as
+    the dedup cluster queries) whose two documents land in DIFFERENT
+    train/val/test splits — each such pair is benchmark leakage that
+    hash-based splitting alone cannot prevent (near-dups hash apart). The
+    fix a pipeline applies is split-by-cluster instead of split-by-doc;
+    this report is the evidence. Scale shape: the pair generation is the
+    blocked quadratic already bounded by the cluster queries; the split
+    join adds two broadcast-size probes keyed by id."""
+    from data_engineering_nd_spark.operators.dedup import jaccard_pairs
+
+    docs = load(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    pairs = jaccard_pairs(docs, "doc_id", "text", "lang", threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    sp = assign_split(
+        load(spark, "documents", sf_dir), "doc_id"
+    ).select("doc_id", "split")
+    sa = sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    sb = sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _register_split_leakage_oracle() -> None:
+    from data_engineering_nd_spark.operators.dedup import PAIR_EDGE_CTES
+    from data_engineering_nd_spark.registry import ORACLE_SQL
+
+    ORACLE_SQL["ds_split_leakage"] = (
+        "\n    WITH"
+        + PAIR_EDGE_CTES
+        + f""",
+    sp AS (SELECT doc_id, {_SPLIT_CASE_SQL} AS split FROM documents)
+    SELECT p.id_a, p.id_b,
+           sa.split AS split_a, sb.split AS split_b
+    FROM pairs p
+    JOIN sp sa ON sa.doc_id = p.id_a
+    JOIN sp sb ON sb.doc_id = p.id_b
+    WHERE sa.split <> sb.split
+    ORDER BY p.id_a, p.id_b
+    """
+    )
+
+
+_register_split_leakage_oracle()
