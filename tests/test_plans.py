@@ -312,3 +312,66 @@ def test_cosine_range_search_broadcasts_queries_no_shuffle(spark):
     assert "BroadcastExchange" in plan or "IdentityBroadcastMode" in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_knn_join_is_equi_join_no_cartesian(spark):
+    """The k-NN self-join must join on the block key (hash/sort-merge or
+    broadcast equi-join) — never an all-pairs nested loop — and the cosine
+    must stay JVM-side."""
+    from data_engineering_nd_spark.operators.similarity import ann_knn_join_query
+    from data_engineering_nd_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(ann_knn_join_query(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "PythonUDF" not in plan, plan
+
+
+def test_semantic_dedup_is_equi_join_no_cartesian(spark):
+    from data_engineering_nd_spark.operators.similarity import (
+        ann_semantic_dedup_query,
+    )
+    from data_engineering_nd_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(ann_semantic_dedup_query(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "PythonUDF" not in plan, plan
+
+
+def test_label_propagation_round_has_no_window(spark):
+    """One LPA round = join + two hash-aggs; the arg-max must be the
+    max(struct) form, never a per-node row_number window."""
+    from data_engineering_nd_spark.operators.graph import label_propagation
+    from data_engineering_nd_spark.plans.inspect import physical_plan
+
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["src", "dst"])
+    # peek at the plan of a single round by running 1 iteration and
+    # checking the FINAL frame's lineage (localCheckpoint cuts earlier
+    # rounds, so the visible plan is exactly one round's shape)
+    out = label_propagation(edges, iterations=1)
+    plan = physical_plan(out)
+    assert "Window" not in plan, plan
+    assert "PythonUDF" not in plan, plan
+
+
+def test_bpe_merge_candidates_aggregates_vocab_before_pair_explode(spark):
+    """The vocab-first contract: the character-pair Generate (explode) must
+    sit ABOVE the word-count HashAggregate in the plan — pairs explode
+    over the vocabulary, never over raw corpus tokens."""
+    from data_engineering_nd_spark.operators.datasets import (
+        ds_bpe_merge_candidates_query,
+    )
+    from data_engineering_nd_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(ds_bpe_merge_candidates_query(spark, SF_DIR))
+    # two Generates: token explode (below the vocab agg) and pair explode
+    # (above it). Locate the pair explode and assert an Aggregate below it.
+    lines = plan.splitlines()
+    pair_gen = [i for i, ln in enumerate(lines) if "Generate" in ln]
+    aggs = [i for i, ln in enumerate(lines) if "HashAggregate" in ln]
+    assert pair_gen and aggs, plan
+    # at least one aggregate must appear between the two generates
+    # (tree section prints top-down: pair explode first, token explode last)
+    assert any(pair_gen[0] < a < pair_gen[-1] for a in aggs), plan
+    assert "PythonUDF" not in plan, plan
