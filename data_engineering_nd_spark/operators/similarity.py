@@ -766,16 +766,20 @@ def knn_join(
     engines (a numpy Gram matrix would sum in SIMD order and disagree in
     the last ulp). Ties broken by neighbor id for a total order.
     """
+    # Precompute each vector's norm ONCE (n norm folds instead of 2·pairs):
+    # sim = dot(q,v) / (q_norm · v_norm) is the exact same arithmetic as
+    # cosine() per pair — same values, same multiply — so the SQL mirror
+    # (which factors norms identically) still hashes bit-for-bit.
     a = vectors.select(
         F.col(id_col).alias("query_id"),
         F.col(block_col).alias("block"),
-        F.col(vec_col).alias("q_vec"),
-    )
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    ).withColumn("q_norm", l2_norm(F.col("q_vec")))
     b = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(block_col).alias("block"),
-        F.col(vec_col).alias("v_vec"),
-    )
+        F.col(vec_col).cast("array<double>").alias("v_vec"),
+    ).withColumn("v_norm", l2_norm(F.col("v_vec")))
     sims = (
         a.join(b, "block")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -783,9 +787,9 @@ def knn_join(
             "query_id",
             "neighbor_id",
             "block",
-            cosine(
-                F.col("q_vec").cast("array<double>"),
-                F.col("v_vec").cast("array<double>"),
+            (
+                dot(F.col("q_vec"), F.col("v_vec"))
+                / (F.col("q_norm") * F.col("v_norm"))
             ).alias("sim_raw"),
         )
     )
@@ -858,26 +862,26 @@ def semantic_dedup_decisions(
     Scale shape: one block-keyed self-join (pair space = sum(block²) —
     the clustering bounds it) + one hash-agg + one left join back. The
     embedding column never leaves its block partition."""
+    # Per-vector norms precomputed before the join (see knn_join) — the
+    # factored arithmetic is identical, so the oracle hash is unchanged.
     a = vectors.select(
         F.col(id_col).alias("qid"),
         F.col(block_col).alias("block"),
-        F.col(vec_col).alias("q_vec"),
-    )
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    ).withColumn("q_norm", l2_norm(F.col("q_vec")))
     b = vectors.select(
         F.col(id_col).alias("nid"),
         F.col(block_col).alias("block"),
-        F.col(vec_col).alias("v_vec"),
-    )
+        F.col(vec_col).cast("array<double>").alias("v_vec"),
+    ).withColumn("v_norm", l2_norm(F.col("v_vec")))
     max_prior = (
         a.join(b, "block")
         .filter(F.col("nid") < F.col("qid"))
         .groupBy(F.col("qid").alias(id_col))
         .agg(
             F.max(
-                cosine(
-                    F.col("q_vec").cast("array<double>"),
-                    F.col("v_vec").cast("array<double>"),
-                )
+                dot(F.col("q_vec"), F.col("v_vec"))
+                / (F.col("q_norm") * F.col("v_norm"))
             ).alias("ms")
         )
     )
