@@ -828,3 +828,161 @@ def dedup_cluster_star_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_star(pairs, src="id_a", dst="id_b").select(
         F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id")
     )
+
+
+def minhash_lsh_pairs_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash + banded LSH with an md5-derived hash family — the
+    SQL-MIRRORABLE sibling of :func:`minhash_lsh_pairs`.
+
+    The production path keys everything off xxhash64 (fastest JVM hash,
+    but with no DuckDB equivalent, so the driver can only row-count it).
+    This variant derives each permutation as the first 60 bits of
+    ``md5(shingle ':' perm)`` — md5 exists verbatim in both engines, so
+    the ENTIRE pipeline (shingle -> 16-perm signature -> 4-row band
+    buckets -> candidate join -> exact-Jaccard verification) value-hashes
+    against a straight SQL transcription. Same asymptotics as the fast
+    path: one explode(x perms) + hash-agg for signatures, one equi-join
+    on (band, bucket key), verification only on collisions. Use THIS one
+    when you need the audit trail, the xxhash64 one for raw throughput.
+    """
+    rows_per_band = num_hashes // bands
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            word_shingles(text_col, k=shingle_k).alias("shingles"),
+        )
+        .filter(F.size("shingles") > 0)
+        .localCheckpoint()
+    )
+    hashed = (
+        base.select("id", F.explode("shingles").alias("sh"))
+        .withColumn("p", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))))
+        .select(
+            "id",
+            "p",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("sh"), F.lit(":"), F.col("p").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("mh"),
+        )
+    )
+    sig = hashed.groupBy("id", "p").agg(F.min("mh").alias("mh"))
+    bands_df = sig.groupBy(
+        "id", (F.col("p") / F.lit(rows_per_band)).cast("int").alias("band")
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "mh"))),
+                lambda x: x["mh"].cast("string"),
+            ),
+            ",",
+        ).alias("bucket")
+    )
+    a, b = bands_df.alias("a"), bands_df.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = base
+    cand = cand.join(
+        sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"),
+        "id_a",
+    ).join(
+        sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        cand.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@query(
+    "dedup_minhash_verified",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id AS id,
+               string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents
+    ),
+    sets AS (
+        SELECT id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(w) - 2, 1) + 1),
+                   i -> array_to_string(w[i:i+2], ' '))) AS shingles
+        FROM toks
+        WHERE len(list_distinct(list_transform(
+                   range(1, greatest(len(w) - 2, 1) + 1),
+                   i -> array_to_string(w[i:i+2], ' ')))) > 0
+    ),
+    hashed AS (
+        SELECT id, p,
+               MIN(CAST(concat('0x',
+                   substr(md5(s || ':' || CAST(p AS VARCHAR)), 1, 15))
+                   AS BIGINT)) AS mh
+        FROM (SELECT id, unnest(shingles) AS s FROM sets),
+             unnest(range(16)) AS t(p)
+        GROUP BY id, p
+    ),
+    bands AS (
+        SELECT id, CAST(p // 4 AS INT) AS band,
+               STRING_AGG(CAST(mh AS VARCHAR), ',' ORDER BY p) AS bucket
+        FROM hashed GROUP BY id, p // 4
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    )
+    SELECT id_a, id_b,
+           round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / CAST(len(sa.shingles) + len(sb.shingles)
+                        - len(list_intersect(sa.shingles, sb.shingles))
+                   AS DOUBLE), 6) AS jaccard
+    FROM cand
+    JOIN sets sa ON sa.id = cand.id_a
+    JOIN sets sb ON sb.id = cand.id_b
+    WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                / CAST(len(sa.shingles) + len(sb.shingles)
+                       - len(list_intersect(sa.shingles, sb.shingles))
+                  AS DOUBLE), 6) >= 0.5
+    """,
+)
+def dedup_minhash_verified_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full MinHash-LSH dedup pipeline under a VALUE-HASH contract:
+    signatures, banded buckets, candidate join, and exact-Jaccard
+    verification all mirrored in SQL via the md5 hash family. The
+    xxhash64 `dedup_minhash_lsh` remains the throughput path; this query
+    pins that the LSH construction itself (not just its row count) is
+    correct."""
+    from data_engineering_nd_spark.catalog import ensure_parallelism
+
+    docs = ensure_parallelism(load(spark, "documents", sf_dir))
+    return minhash_lsh_pairs_md5(docs, "doc_id", "text", threshold=0.5)

@@ -245,3 +245,22 @@ def test_ngram_coverage_flags_shared_spans(spark):
     # exact short duplicates fully cover each other
     assert out[4].n_grams == 1 and out[4].dup_fraction == 1.0
     assert out[5].dup_fraction == 1.0
+
+
+def test_minhash_md5_variant_finds_identical_and_skips_disjoint(spark):
+    """Identical docs collide in every band and verify at jaccard 1.0;
+    disjoint docs never pair. The md5 family must agree with ground truth
+    exactly like the xxhash64 family."""
+    from data_engineering_nd_spark.operators.dedup import minhash_lsh_pairs_md5
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "one two three four five six seven"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = minhash_lsh_pairs_md5(docs, "doc_id", "text", threshold=0.5).collect()
+    assert len(rows) == 1
+    assert (rows[0]["id_a"], rows[0]["id_b"], rows[0]["jaccard"]) == (1, 2, 1.0)
