@@ -986,3 +986,149 @@ def dedup_minhash_verified_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = ensure_parallelism(load(spark, "documents", sf_dir))
     return minhash_lsh_pairs_md5(docs, "doc_id", "text", threshold=0.5)
+
+
+_SIMHASH_MD5_BITS = 60  # 15 hex chars of md5 -> fits BIGINT in both engines
+
+
+def simhash_md5(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """60-bit SimHash with an md5-derived token hash — the SQL-mirrorable
+    sibling of :func:`simhash64` (same vote/assembly shape, same single
+    hash-aggregate scale profile; see `minhash_lsh_pairs_md5` for why the
+    md5 family exists)."""
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
+    ).select(
+        "id",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    votes = ex.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(_SIMHASH_MD5_BITS)
+        ]
+    )
+    fp = None
+    for b in range(_SIMHASH_MD5_BITS):
+        bit = F.when(
+            F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return votes.select("id", fp.alias("fp"))
+
+
+def simhash_pairs_md5(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs at Hamming <= max_hamming over the md5 SimHash, with
+    the same pigeonhole chunk blocking as :func:`simhash_pairs`."""
+    bits = _SIMHASH_MD5_BITS
+    n_chunks = max_hamming + 1
+    bounds = [round(i * bits / n_chunks) for i in range(n_chunks + 1)]
+    spans = [(bounds[i], bounds[i + 1] - bounds[i]) for i in range(n_chunks)]
+    fp = simhash_md5(df, id_col, text_col)
+    chunks = fp.select(
+        "id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright("fp", start)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for i, (start, width) in enumerate(spans)
+                ]
+            )
+        ).alias("ck"),
+    ).select("id", "fp", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    xor = F.col("a.fp").bitwiseXOR(F.col("b.fp"))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(xor).cast("int").alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+@query("dedup_simhash_verified")  # oracle registered below (generated SQL)
+def dedup_simhash_verified_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash near-dup pipeline under a VALUE-HASH contract (votes,
+    fingerprint assembly, pigeonhole chunking, Hamming verification) via
+    the md5 hash family; `dedup_simhash` (xxhash64) stays the throughput
+    path."""
+    from data_engineering_nd_spark.catalog import ensure_parallelism
+
+    docs = ensure_parallelism(load(spark, "documents", sf_dir))
+    return simhash_pairs_md5(docs, "doc_id", "text", max_hamming=3)
+
+
+def _register_simhash_md5_oracle() -> None:
+    from data_engineering_nd_spark.registry import ORACLE_SQL
+
+    bits = _SIMHASH_MD5_BITS
+    n_chunks = 4
+    bounds = [round(i * bits / n_chunks) for i in range(n_chunks + 1)]
+    spans = [(bounds[i], bounds[i + 1] - bounds[i]) for i in range(n_chunks)]
+    vote_cols = ",\n               ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    fp_expr = "\n               + ".join(
+        f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(bits)
+    )
+    chunk_case = " ".join(
+        f"WHEN {i} THEN (fp >> {start}) & {(1 << width) - 1}"
+        for i, (start, width) in enumerate(spans)
+    )
+    ORACLE_SQL["dedup_simhash_verified"] = rf"""
+    WITH tok AS (
+        SELECT doc_id AS id,
+               unnest(string_split(
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        FROM documents
+    ),
+    h AS (
+        SELECT id,
+               CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        FROM tok
+    ),
+    votes AS (
+        SELECT id,
+               {vote_cols}
+        FROM h GROUP BY id
+    ),
+    fps AS (
+        SELECT id,
+               CAST({fp_expr} AS BIGINT) AS fp
+        FROM votes
+    ),
+    chunks AS (
+        SELECT id, fp, c,
+               CASE c {chunk_case} END AS key
+        FROM fps, unnest(range({n_chunks})) AS t(c)
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+    FROM chunks a
+    JOIN chunks b ON a.c = b.c AND a.key = b.key AND a.id < b.id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 3
+    """
+
+
+_register_simhash_md5_oracle()

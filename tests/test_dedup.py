@@ -264,3 +264,18 @@ def test_minhash_md5_variant_finds_identical_and_skips_disjoint(spark):
     rows = minhash_lsh_pairs_md5(docs, "doc_id", "text", threshold=0.5).collect()
     assert len(rows) == 1
     assert (rows[0]["id_a"], rows[0]["id_b"], rows[0]["jaccard"]) == (1, 2, 1.0)
+
+
+def test_simhash_md5_variant_identical_and_disjoint(spark):
+    from data_engineering_nd_spark.operators.dedup import simhash_pairs_md5
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "unrelated words entirely different content here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = simhash_pairs_md5(docs, "doc_id", "text", max_hamming=3).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in rows] == [(1, 2, 0)]
