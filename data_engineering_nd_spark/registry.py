@@ -60,7 +60,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: multimodal_frame_samples (r04 hash-FAIL from uncast DuckDB HUGEINT
 #: oracles — fixed with CAST(... AS BIGINT), pass the hardened local gate)
 #: and multimodal_image_features (oracle newly added in r04 but never
-#: driver-verified — ADVICE r04 #2).
+#: driver-verified — ADVICE r04 #2).  Every query ADDED during round 5
+#: (q66, dq_volume_anomalies, the text/dedup/ann/graph/stream/ds additions)
+#: is fresh by construction and fills the window front ahead of the r01
+#: re-verification backlog; the remaining stale r01 names cycle through in
+#: round 6.
 LAST_RECORDED_ROUND: dict[str, int] = {
     # -- latest record: CORRECTNESS_r01.json (stale — re-verify first) ------
     **dict.fromkeys([
