@@ -75,3 +75,100 @@ def test_jaccard_bounds_and_symmetry(spark, toks_a, toks_b):
     sa, sb = set(toks_a), set(toks_b)
     expected = len(sa & sb) / len(sa | sb)
     assert abs(j - expected) < 1e-6
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_label_propagation_labels_stay_within_component(spark, edges):
+    """On ANY graph, a node's final label must be a node id from its own
+    connected component (labels only travel along edges)."""
+    from data_engineering_nd_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    labels = {r["id"]: r["lab"] for r in label_propagation(df, iterations=4).collect()}
+
+    # union-find ground-truth components
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    for node, lab in labels.items():
+        assert find(node) == find(lab), (node, lab, edges)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.text(st.characters(whitelist_categories=("Ll",)), min_size=1, max_size=4),
+                  st.integers(1, 10_000)),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_temperature_mixture_invariants(spark, sources):
+    """Shares sum to ~1; every repeat factor is positive; a domain never
+    gets a larger temp share than a strictly bigger domain."""
+    from data_engineering_nd_spark.operators.datasets import temperature_mixture
+
+    per_src = spark.createDataFrame(
+        [(name, 1, toks) for name, toks in sources],
+        ["source", "n_docs", "total_tokens"],
+    )
+    rows = temperature_mixture(per_src, budget=10_000).collect()
+    assert abs(sum(r["temp_share"] for r in rows) - 1.0) < 1e-4
+    assert all(r["repeat_factor"] > 0 for r in rows)
+    by_tokens = sorted(rows, key=lambda r: r["total_tokens"])
+    for small, big in zip(by_tokens, by_tokens[1:]):
+        if big["total_tokens"] > small["total_tokens"]:
+            assert big["temp_share"] >= small["temp_share"] - 1e-9
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(1, 50), min_size=1, max_size=30))
+def test_pack_offsets_are_dense_within_sequence(spark, token_counts):
+    """In every packed sequence the ordered offsets start at 0 and each
+    equals the previous offset + previous doc's tokens (no gaps/overlap)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from data_engineering_nd_spark.operators.datasets import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(token_counts)], ["doc_id", "n_tokens"]
+    )
+    packed = pack_sequences(docs, "doc_id", "n_tokens", budget=64, n_groups=2)
+    w = (
+        Window.partitionBy("pack_group", "seq_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rows = (
+        packed.withColumn("off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .orderBy("pack_group", "seq_id", "doc_id")
+        .collect()
+    )
+    seqs = {}
+    for r in rows:
+        seqs.setdefault((r["pack_group"], r["seq_id"]), []).append(
+            (r["off"], r["n_tokens"])
+        )
+    for parts in seqs.values():
+        assert parts[0][0] == 0
+        for (o1, n1), (o2, _) in zip(parts, parts[1:]):
+            assert o2 == o1 + n1
