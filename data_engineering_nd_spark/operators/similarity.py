@@ -930,3 +930,136 @@ def semantic_dedup_decisions(
 def ann_semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, "embeddings", sf_dir)
     return semantic_dedup_decisions(emb, threshold=0.35)
+
+
+def _md5_plane_weights(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
+    """Hyperplane weights derived from md5 — computable identically in
+    Python (here, embedded as plan literals), in DuckDB SQL, and by any
+    re-run: w[p][d] = (int(md5('hp:p:d')[:8], 16) % 2001 - 1000) / 1000."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"hp:{p}:{d}".encode()).hexdigest()[:8], 16) % 2001 - 1000)
+            / 1000.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def lsh_topk_md5(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH top-k with an md5-derived plane family — the
+    SQL-mirrorable sibling of the seeded-numpy ``ann_lsh_topk`` (same
+    bucket → candidate-join → exact-cosine-rerank shape; see
+    ``minhash_lsh_pairs_md5`` for why the md5 family exists). The sign
+    pattern over ``n_planes`` hyperplanes is the bucket; only same-bucket
+    candidates are reranked, so recall is the standard SRP-LSH tradeoff
+    while the verification cost is bucket-local."""
+    planes = _md5_plane_weights(n_planes, dim)
+    emb = F.col(vec_col).cast("array<double>")
+
+    def bucket_expr() -> Column:
+        acc = F.lit(0).cast("bigint")
+        for p, w in enumerate(planes):
+            side = dot(emb, F.array(*[F.lit(x) for x in w])) > 0
+            acc = acc + F.when(side, F.lit(1 << p)).otherwise(F.lit(0)).cast("bigint")
+        return acc
+
+    sig = lambda df, idn: df.select(  # noqa: E731
+        F.col(id_col).alias(idn),
+        emb.alias(f"{idn}_vec"),
+        bucket_expr().alias(f"{idn}_bucket"),
+    ).withColumn(f"{idn}_norm", l2_norm(F.col(f"{idn}_vec")))
+
+    q = sig(queries, "query_id")
+    v = sig(vectors, "neighbor_id")
+    sims = (
+        v.join(
+            F.broadcast(q),
+            (F.col("query_id_bucket") == F.col("neighbor_id_bucket"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("query_id_vec"), F.col("neighbor_id_vec"))
+                / (F.col("query_id_norm") * F.col("neighbor_id_norm"))
+            ).alias("sim_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("sim_raw", 4).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
+@query(
+    "ann_lsh_verified",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings
+    ),
+    planes AS (
+        SELECT p,
+               list_transform(range(1, 65), d ->
+                   (CAST(concat('0x', substr(md5(
+                        'hp:' || CAST(p AS VARCHAR) || ':'
+                               || CAST(d - 1 AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 2001 - 1000) / 1000.0) AS w
+        FROM unnest(range(8)) AS t(p)
+    ),
+    sigs AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN list_dot_product(v.emb, planes.w) > 0
+                        THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+        FROM v, planes
+        GROUP BY vec_id
+    ),
+    sv AS (
+        SELECT s.vec_id, s.bucket, v.emb,
+               sqrt(list_dot_product(v.emb, v.emb)) AS nrm
+        FROM sigs s JOIN v ON s.vec_id = v.vec_id
+    ),
+    sim AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS sim_raw
+        FROM sv q
+        JOIN sv c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, round(sim_raw, 4) AS cosine_sim, rank
+    FROM (
+        SELECT *,
+            CAST(ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY sim_raw DESC, neighbor_id
+            ) AS INTEGER) AS rank
+        FROM sim
+    )
+    WHERE rank <= 3
+    """,
+)
+def ann_lsh_verified_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH top-3 under a VALUE-HASH contract: bucket assignment,
+    candidate generation, and the exact-cosine rerank all mirror in SQL
+    via md5-derived hyperplanes. `ann_lsh_topk` (seeded numpy planes,
+    Arrow-batched) stays the throughput path."""
+    emb = load(spark, "embeddings", sf_dir)
+    return lsh_topk_md5(emb, emb.filter(F.col("vec_id") < 10), k=3)

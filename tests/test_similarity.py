@@ -299,3 +299,33 @@ def test_semantic_dedup_keep_first_within_block(spark):
     assert got[2]["dropped"] and got[2]["max_prior_sim"] == 1.0
     assert not got[3]["dropped"] and got[3]["max_prior_sim"] == 0.0
     assert not got[4]["dropped"] and got[4]["max_prior_sim"] is None
+
+
+def test_lsh_md5_neighbors_subset_of_brute_force_order(spark):
+    """Every (query, neighbor) the md5-SRP path returns must carry the
+    EXACT cosine (the rerank is exact, only candidate GENERATION is approximate)."""
+    from data_engineering_nd_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk_md5,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.filter("vec_id < 5")
+    # 3 planes -> 8 buckets so 60 vectors are guaranteed collisions
+    lsh = lsh_topk_md5(df, queries, k=3, n_planes=3)
+    bf = brute_force_topk(df, queries, k=60)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"] for r in bf.collect()
+    }
+    got = lsh.collect()
+    assert len(got) > 0
+    for r in got:
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in exact
+        assert abs(r["cosine_sim"] - exact[key]) < 1e-9
