@@ -172,3 +172,40 @@ def test_pack_offsets_are_dense_within_sequence(spark, token_counts):
         assert parts[0][0] == 0
         for (o1, n1), (o2, _) in zip(parts, parts[1:]):
             assert o2 == o1 + n1
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_common_neighbor_candidates_properties(spark, edges):
+    """On ANY graph: no candidate pair is an existing edge, every candidate
+    really shares >=1 neighbor, and the count is exact."""
+    from data_engineering_nd_spark.operators.graph import (
+        common_neighbor_candidates,
+    )
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    got = {
+        (r["id_a"], r["id_b"]): r["common_neighbors"]
+        for r in common_neighbor_candidates(df, max_degree=None).collect()
+    }
+    for (a, b), cn in got.items():
+        assert b not in adj[a], (a, b)  # non-adjacent
+        assert cn == len(adj[a] & adj[b]) and cn >= 1
+    # exhaustive: every qualifying non-adjacent pair is present
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            if b not in adj[a] and adj[a] & adj[b]:
+                assert (a, b) in got, (a, b)
