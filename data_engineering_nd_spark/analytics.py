@@ -2608,3 +2608,58 @@ def q66_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+# --------------------------------------------------------------------------
+# q67 — RANGE-frame window (time-based trailing aggregate). q23's moving
+# average is a ROWS frame (last k rows); this is the calendar-correct
+# variant: trailing 7 DAYS, which handles gaps in the date spine correctly
+# (a ROWS frame silently spans gaps). The frame is a RANGE over an integer
+# day ordinal, identical semantics in both engines.
+#
+# Scale: the window is ordered over the DAY GRAIN (one row per day — a few
+# thousand rows for a decade), not over the fact table; the fact collapses
+# to day grain in one hash-agg first. Determinism: revenue stays DECIMAL
+# through the window sum and becomes DOUBLE only at output.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q67_trailing_week_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(d AS TIMESTAMP) AS day,
+           CAST(rev AS DOUBLE) AS day_revenue,
+           CAST(SUM(rev) OVER (
+               ORDER BY d
+               RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_7d_revenue,
+           CAST(COUNT(*) OVER (
+               ORDER BY d
+               RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS trailing_7d_days
+    FROM daily
+    ORDER BY day
+    """,
+)
+def q67_trailing_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, "orders", sf_dir)
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev")
+    )
+    # integer day ordinal so rangeBetween(-6, 0) means calendar days
+    keyed = daily.withColumn("dnum", F.datediff("d", F.lit("1970-01-01")))
+    w = Window.orderBy("dnum").rangeBetween(-6, 0)
+    return (
+        keyed.select(
+            F.col("d").cast("timestamp_ntz").alias("day"),
+            F.col("rev").cast("double").alias("day_revenue"),
+            F.sum("rev").over(w).cast("double").alias("trailing_7d_revenue"),
+            F.count(F.lit(1)).over(w).cast("bigint").alias("trailing_7d_days"),
+        )
+        .orderBy("day")
+    )

@@ -548,3 +548,77 @@ def multimodal_pair_manifest_query(spark: SparkSession, sf_dir: str) -> DataFram
     media = synthetic_media(spark, sf_dir)
     docs = load(spark, "documents", sf_dir)
     return pair_manifest(image_features(media), docs)
+
+
+def scene_cuts(
+    frames: DataFrame, cut_threshold: int = 300_000_000
+) -> DataFrame:
+    """Shot-boundary detection over a sampled frame stream: a CUT is a
+    frame whose feature distance to the previous frame exceeds the
+    threshold (here the |Δchecksum| of the deterministic fake features —
+    with a real decoder this becomes a histogram/embedding distance, the
+    Spark shape is identical). Per-video lag window over the small typed
+    frame rows — the payload never reappears after the decode pass.
+
+    Returns per-video shot statistics: frame count, cut count, and the
+    index of the first cut (NULL when the video is one continuous shot).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("media_id").orderBy("frame_index")
+    delta = F.abs(
+        F.col("frame_checksum") - F.lag("frame_checksum").over(w)
+    )
+    flagged = frames.withColumn(
+        "is_cut", (delta > F.lit(cut_threshold)).cast("int")
+    )
+    return (
+        flagged.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+            F.coalesce(F.sum("is_cut"), F.lit(0)).cast("bigint").alias("n_cuts"),
+            F.min(F.when(F.col("is_cut") == 1, F.col("frame_index"))).alias(
+                "first_cut_index"
+            ),
+        )
+    )
+
+
+@query(
+    "multimodal_scene_cuts",
+    # Extends the frame_samples oracle CTE with a LAG over the exact
+    # integer checksums — the cut decision is pure integer arithmetic, so
+    # the per-video shot statistics value-hash.
+    oracle=r"""
+    WITH vid AS (
+        SELECT doc_id AS media_id, text,
+               CAST(length(text) * 10 AS BIGINT) AS dur
+        FROM documents WHERE doc_id % 5 = 0
+    ), b AS (
+        SELECT media_id, dur // 1000 AS n_frames,
+               list_sum(list_transform(string_split(substr(text, 1, 64), ''),
+                                       x -> CAST(ascii(x) AS BIGINT))) + 1 AS base
+        FROM vid WHERE dur // 1000 >= 1
+    ), fr AS (
+        SELECT media_id,
+               CAST(t.j AS INT) AS frame_index,
+               CAST((base * 131 + t.j) % 1000000007 AS BIGINT) AS frame_checksum
+        FROM b, UNNEST(generate_series(0, n_frames - 1)) AS t(j)
+    ), flagged AS (
+        SELECT media_id, frame_index,
+               CASE WHEN abs(frame_checksum - LAG(frame_checksum) OVER (
+                        PARTITION BY media_id ORDER BY frame_index))
+                         > 300000000
+                    THEN 1 ELSE 0 END AS is_cut
+        FROM fr
+    )
+    SELECT media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(COALESCE(SUM(is_cut), 0) AS BIGINT) AS n_cuts,
+           MIN(CASE WHEN is_cut = 1 THEN frame_index END) AS first_cut_index
+    FROM flagged
+    GROUP BY media_id
+    """,
+)
+def multimodal_scene_cuts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scene_cuts(sample_frames(synthetic_media(spark, sf_dir), every_ms=1000))

@@ -176,3 +176,25 @@ def test_pair_manifest_gates_both_modalities(spark):
     for r in out:
         assert 0.2 < r["mean_intensity"] < 0.6
         assert r["n_tokens"] >= 20
+
+
+def test_scene_cuts_flags_checksum_jumps(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from data_engineering_nd_spark.operators.multimodal import scene_cuts
+
+    frames = spark.createDataFrame(
+        [
+            # video 1: smooth, then a jump at frame 2, smooth after
+            (1, 0, 1000), (1, 1, 1200), (1, 2, 900_000_000), (1, 3, 900_000_100),
+            # video 2: one continuous shot
+            (2, 0, 5000), (2, 1, 5100),
+        ],
+        ["media_id", "frame_index", "frame_checksum"],
+    )
+    got = {r["media_id"]: r for r in scene_cuts(frames, cut_threshold=1_000_000).collect()}
+    assert got[1]["n_frames"] == 4
+    assert got[1]["n_cuts"] == 1
+    assert got[1]["first_cut_index"] == 2
+    assert got[2]["n_cuts"] == 0
+    assert got[2]["first_cut_index"] is None
