@@ -1744,3 +1744,87 @@ def _register_split_leakage_oracle() -> None:
 
 
 _register_split_leakage_oracle()
+
+
+@query(
+    "ds_dataset_card",
+    oracle=r"""
+    WITH base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(SUM(len(string_split(
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')))
+                    AS BIGINT) AS total_tokens,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_en
+        FROM documents
+    ),
+    dup AS (
+        SELECT CAST(COUNT(*) - COUNT(DISTINCT
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                    AS BIGINT) AS n_exact_dups
+        FROM documents
+    )
+    SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM base
+    UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM base
+    UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM base
+    UNION ALL SELECT 'total_tokens', CAST(total_tokens AS DOUBLE) FROM base
+    UNION ALL SELECT 'mean_doc_tokens',
+        round(CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 4) FROM base
+    UNION ALL SELECT 'pct_en',
+        round(CAST(n_en AS DOUBLE) / CAST(n_docs AS DOUBLE), 4) FROM base
+    UNION ALL SELECT 'n_exact_dup_docs', CAST(n_exact_dups AS DOUBLE) FROM dup
+    """,
+)
+def ds_dataset_card_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card: the one-page long-format summary (metric, value)
+    a pipeline publishes with every corpus release — sizes, source/lang
+    diversity, token mass, and the exact-dup rate. Two 1-row aggregates
+    over the corpus, stacked long; every downstream datasheet field is a
+    row here."""
+    from data_engineering_nd_spark.functions.text import normalize_text, token_count
+
+    docs = load(spark, "documents", sf_dir)
+    base = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum(token_count("text")).cast("bigint").alias("total_tokens"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_en"),
+    )
+    dup = docs.agg(
+        (F.count(F.lit(1)) - F.countDistinct(normalize_text("text")))
+        .cast("bigint")
+        .alias("n_exact_dups")
+    )
+    d = F.col
+    card = base.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("n_docs").alias("metric"), d("n_docs").cast("double").alias("value")),
+                F.struct(F.lit("n_sources").alias("metric"), d("n_sources").cast("double").alias("value")),
+                F.struct(F.lit("n_langs").alias("metric"), d("n_langs").cast("double").alias("value")),
+                F.struct(F.lit("total_tokens").alias("metric"), d("total_tokens").cast("double").alias("value")),
+                F.struct(
+                    F.lit("mean_doc_tokens").alias("metric"),
+                    F.round(
+                        d("total_tokens").cast("double") / d("n_docs").cast("double"), 4
+                    ).alias("value"),
+                ),
+                F.struct(
+                    F.lit("pct_en").alias("metric"),
+                    F.round(d("n_en").cast("double") / d("n_docs").cast("double"), 4).alias(
+                        "value"
+                    ),
+                ),
+            )
+        ).alias("kv")
+    ).select("kv.metric", "kv.value")
+    dup_row = dup.select(
+        F.lit("n_exact_dup_docs").alias("metric"),
+        F.col("n_exact_dups").cast("double").alias("value"),
+    )
+    return card.unionByName(dup_row)

@@ -436,3 +436,125 @@ def dq_volume_anomalies_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return volume_anomalies(
         orders, F.col("o_orderdate").cast("date").cast("timestamp_ntz")
     )
+
+
+def distribution_drift(
+    base: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population-Stability-Index report between two snapshots of a
+    numeric column: fixed-width buckets over [lo, hi) (clamped), Laplace
+    smoothing, and each bucket's PSI contribution
+    ``(p - q) * ln(p / q)``. PSI > 0.2 is the standard "distribution
+    moved" alarm for feature/ingest monitoring.
+
+    Determinism: bucket counts are exact integers; p and q derive from
+    them through one identical expression in both engines, so the rounded
+    contributions value-hash. Scale: one hash-agg per side at bucket
+    grain (n_buckets rows each), then a broadcast-size join — the two
+    snapshots are each scanned once."""
+
+    def bucketed(df: DataFrame, name: str) -> DataFrame:
+        width = (hi - lo) / n_buckets
+        b = F.least(
+            F.greatest(
+                F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)), F.lit(0)
+            ),
+            F.lit(n_buckets - 1),
+        ).cast("int")
+        return df.groupBy(b.alias("bucket")).agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"{name}_cnt")
+        )
+
+    all_buckets = (
+        base.sparkSession.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    )
+    joined = (
+        all_buckets.join(bucketed(base, "base"), "bucket", "left")
+        .join(bucketed(current, "cur"), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("base_cnt", F.lit(0)).alias("base_cnt"),
+            F.coalesce("cur_cnt", F.lit(0)).alias("cur_cnt"),
+        )
+    )
+    totals = joined.agg(
+        F.sum("base_cnt").alias("bt"), F.sum("cur_cnt").alias("ct")
+    )
+    nb = F.lit(float(n_buckets))
+    p = (F.col("base_cnt").cast("double") + F.lit(1.0)) / (
+        F.col("bt").cast("double") + nb
+    )
+    q = (F.col("cur_cnt").cast("double") + F.lit(1.0)) / (
+        F.col("ct").cast("double") + nb
+    )
+    return (
+        joined.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            "base_cnt",
+            "cur_cnt",
+            F.round((p - q) * F.log(p / q), 6).alias("psi_contribution"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "dq_distribution_drift",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(least(greatest(floor((o_totalprice - 0.0) / 50000.0), 0),
+                          9) AS INT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS base_cnt
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+        GROUP BY 1
+    ),
+    c AS (
+        SELECT CAST(least(greatest(floor((o_totalprice - 0.0) / 50000.0), 0),
+                          9) AS INT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cur_cnt
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        GROUP BY 1
+    ),
+    spine AS (SELECT CAST(t.g AS INT) AS bucket FROM unnest(range(10)) AS t(g)),
+    j AS (
+        SELECT spine.bucket,
+               COALESCE(b.base_cnt, 0) AS base_cnt,
+               COALESCE(c.cur_cnt, 0) AS cur_cnt
+        FROM spine
+        LEFT JOIN b ON b.bucket = spine.bucket
+        LEFT JOIN c ON c.bucket = spine.bucket
+    ),
+    s AS (SELECT CAST(SUM(base_cnt) AS BIGINT) AS bt,
+                 CAST(SUM(cur_cnt) AS BIGINT) AS ct FROM j)
+    SELECT bucket, base_cnt, cur_cnt,
+           round(((CAST(base_cnt AS DOUBLE) + 1.0) / (CAST(bt AS DOUBLE) + 10.0)
+                  - (CAST(cur_cnt AS DOUBLE) + 1.0) / (CAST(ct AS DOUBLE) + 10.0))
+                 * ln(((CAST(base_cnt AS DOUBLE) + 1.0) / (CAST(bt AS DOUBLE) + 10.0))
+                      / ((CAST(cur_cnt AS DOUBLE) + 1.0) / (CAST(ct AS DOUBLE) + 10.0))),
+                 6) AS psi_contribution
+    FROM j, s
+    ORDER BY bucket
+    """,
+)
+def dq_distribution_drift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift of the order-price distribution: pre-1996 orders as the
+    baseline snapshot vs 1996+ as current — the report a feature-store /
+    ingest monitor publishes per column per day."""
+    orders = load(spark, "orders", sf_dir)
+    cutoff = F.col("o_orderdate").cast("date") < F.lit("1996-01-01").cast("date")
+    return distribution_drift(
+        orders.filter(cutoff),
+        orders.filter(~cutoff),
+        "o_totalprice",
+        lo=0.0,
+        hi=500_000.0,
+        n_buckets=10,
+    )
