@@ -604,3 +604,85 @@ def _register_common_neighbors_oracle() -> None:
 
 
 _register_common_neighbors_oracle()
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 6,
+) -> DataFrame:
+    """k-core peeling: repeatedly remove nodes with degree < k (and their
+    edges) for a FIXED number of synchronous rounds; returns surviving
+    (id, degree). The k-core is the standard "dense enough to trust"
+    subgraph filter — run on a near-dup graph it separates genuine
+    duplicate families from incidental one-edge bridges before clustering.
+
+    Fixed rounds keep the result a pure function of the edge set (the SQL
+    mirror unrolls the same rounds); on real corpora peeling converges in
+    a handful of rounds because degrees only shrink. Per round: one
+    degree hash-agg + two semi-joins — the CC/LPA template. At 100 TB the
+    edge frame is the fact; it shrinks monotonically, and each round's
+    semi-join keys on node id only."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        e = (
+            e.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .localCheckpoint()
+        )
+    return (
+        e.groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        .filter(F.col("degree") >= k)
+    )
+
+
+@query("graph_kcore")  # oracle registered below (unrolled rounds)
+def graph_kcore_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the jaccard-0.5 near-dup graph: the nodes that survive
+    when one-edge bridges are peeled away — the trustworthy duplicate
+    families."""
+    from data_engineering_nd_spark.operators.dedup import jaccard_pairs
+
+    docs = load(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    pairs = jaccard_pairs(docs, "doc_id", "text", "lang", threshold=0.5)
+    return kcore(pairs, k=2, src="id_a", dst="id_b").select(
+        F.col("id").alias("doc_id"), "degree"
+    )
+
+
+def _register_kcore_oracle() -> None:
+    from data_engineering_nd_spark.operators.dedup import PAIR_EDGE_CTES
+    from data_engineering_nd_spark.registry import ORACLE_SQL
+
+    sql = "\n    WITH" + PAIR_EDGE_CTES + """,
+    e0 AS MATERIALIZED (SELECT src, dst FROM edges)
+    """
+    for i in range(6):
+        sql += f""",
+    k{i} AS MATERIALIZED (
+        SELECT src FROM e{i} GROUP BY src HAVING COUNT(*) >= 2
+    ),
+    e{i + 1} AS MATERIALIZED (
+        SELECT e.src, e.dst FROM e{i} e
+        WHERE e.src IN (SELECT src FROM k{i})
+          AND e.dst IN (SELECT src FROM k{i})
+    )
+    """
+    sql += """
+    SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM e6 GROUP BY src HAVING COUNT(*) >= 2
+    """
+    ORACLE_SQL["graph_kcore"] = sql
+
+
+_register_kcore_oracle()

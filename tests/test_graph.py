@@ -168,3 +168,23 @@ def test_common_neighbor_candidates_degree_cap_drops_hub_wedges(spark):
     edges = spark.createDataFrame(star, ["src", "dst"])
     assert common_neighbor_candidates(edges, max_degree=None).count() == 10
     assert common_neighbor_candidates(edges, max_degree=4).count() == 0
+
+
+def test_kcore_peels_tails_keeps_cliques(spark):
+    """Triangle + pendant chain: the 2-core is exactly the triangle; the
+    chain (all degree<=... after peeling) disappears entirely."""
+    from data_engineering_nd_spark.operators.graph import kcore
+
+    tri = [(0, 1), (1, 2), (0, 2)]
+    chain = [(2, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(tri + chain, ["src", "dst"])
+    got = {r["id"]: r["degree"] for r in kcore(edges, k=2).collect()}
+    assert got == {0: 2, 1: 2, 2: 2}
+
+
+def test_kcore_empty_when_forest(spark):
+    """Trees have no 2-core."""
+    from data_engineering_nd_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame([(0, 1), (1, 2), (1, 3)], ["src", "dst"])
+    assert kcore(edges, k=2).count() == 0
