@@ -160,3 +160,38 @@ def test_interpolate_hourly_linear_midpoints(spark, tmp_path):
     assert out["2024-01-01 02:00:00"] == (30.0, True)
     assert out["2024-01-01 03:00:00"] == (40.0, False)
     assert len(out) == 4
+
+
+def test_trailing_week_range_frame_respects_calendar_gaps(spark, tmp_path):
+    """Two orders 10 days apart: a ROWS frame would sum both; the RANGE
+    frame must keep them in separate trailing-7-day windows."""
+    import pandas as pd
+
+    from data_engineering_nd_spark.analytics import q67_trailing_week_revenue
+
+    rows = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3],
+            "o_custkey": [1, 1, 1],
+            "o_orderstatus": ["F", "F", "F"],
+            "o_totalprice": [100.0, 50.0, 25.0],
+            # day 1, day 3 (inside the week), day 13 (outside)
+            "o_orderdate": pd.to_datetime(
+                ["1995-01-01", "1995-01-03", "1995-01-13"]
+            ),
+            "o_orderpriority": ["1-URGENT"] * 3,
+            "o_clerk": ["c"] * 3,
+            "o_shippriority": [0] * 3,
+            "o_comment": ["x"] * 3,
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(rows).write.parquet(str(sf / "orders.parquet"))
+    got = {
+        str(r["day"])[:10]: (r["trailing_7d_revenue"], r["trailing_7d_days"])
+        for r in q67_trailing_week_revenue(spark, str(sf)).collect()
+    }
+    assert got["1995-01-01"] == (100.0, 1)
+    assert got["1995-01-03"] == (150.0, 2)  # day 1 still inside the window
+    assert got["1995-01-13"] == (25.0, 1)   # both earlier days aged out

@@ -271,3 +271,21 @@ def test_volume_anomalies_uniform_volume_is_clean(spark):
     rows = [(f"2024-02-{d:02d}",) for d in range(1, 21) for _ in range(5)]
     df = spark.createDataFrame(rows, ["d"])
     assert volume_anomalies(df, F.col("d").cast("date").cast("timestamp_ntz")).count() == 0
+
+
+def test_distribution_drift_zero_for_identical_and_positive_for_shifted(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from data_engineering_nd_spark.operators.quality import distribution_drift
+
+    base = spark.createDataFrame([(float(v),) for v in range(100)], ["x"])
+    same = distribution_drift(base, base, "x", lo=0.0, hi=100.0, n_buckets=5)
+    assert all(r["psi_contribution"] == 0.0 for r in same.collect())
+
+    shifted = spark.createDataFrame([(float(v) + 60,) for v in range(100)], ["x"])
+    drift = distribution_drift(base, shifted, "x", lo=0.0, hi=100.0, n_buckets=5)
+    rows = drift.collect()
+    total_psi = sum(r["psi_contribution"] for r in rows)
+    assert total_psi > 0.2  # the standard "distribution moved" alarm level
+    # clamping: values beyond hi land in the last bucket, not dropped
+    assert sum(r["cur_cnt"] for r in rows) == 100
