@@ -376,21 +376,3 @@ def test_bpe_merge_candidates_aggregates_vocab_before_pair_explode(spark):
     assert any(pair_gen[0] < a < pair_gen[-1] for a in aggs), plan
     assert "PythonUDF" not in plan, plan
 
-
-def test_pagerank_symmetric_loop_is_join_plus_agg_only(spark):
-    """On a symmetrized graph (no dangling, no in-degree-0 nodes) the
-    visible per-round plan must be the specialized fast path: no
-    nodes-left-join, no per-round broadcast, no window, no Python."""
-    from pyspark.sql import functions as F
-
-    from data_engineering_nd_spark.operators.graph import pagerank
-    from data_engineering_nd_spark.plans.inspect import physical_plan
-
-    e = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], ["src", "dst"])
-    edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    # checkpoint_every > iterations keeps the last round's plan visible
-    ranks = pagerank(edges, iterations=2, checkpoint_every=2)
-    plan = physical_plan(ranks)
-    assert "Window" not in plan, plan
-    assert "PythonUDF" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
