@@ -968,19 +968,58 @@ def q27_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q28 — approximate aggregates: HLL++ distinct counts and KLL-style quantile
-# sketches. These are THE scale path (mergeable, bounded-memory, one pass) —
-# but their values are algorithm-specific, so DuckDB's approximations don't
-# hash-match and the driver records a rows-only check; the accuracy bound
-# vs the exact answer is asserted in tests/test_entry-adjacent pytest.
+# q28 — approximate aggregates vs their exact answers: HLL++ distinct
+# counts and KLL-style quantile sketches are THE scale path (mergeable,
+# bounded-memory, one pass), but their raw values are algorithm-specific —
+# DuckDB's sketches produce different numbers, so the raw form could only
+# ever be a rows-only check. This query instead returns what IS
+# cross-engine checkable: the exact answers (hash-verified against the
+# oracle) plus a boolean per sketch asserting the approximation landed
+# within 2% of exact. The oracle emits literal TRUE for those booleans, so
+# a sketch drifting out of tolerance is a driver-visible hash FAIL — the
+# accuracy contract is now part of the gate, not just a local pytest
+# (which still pins tighter bounds in tests/test_entry.py).
 # --------------------------------------------------------------------------
-@query("q28_approx_aggregates")
-def q28_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query(
+    "q28_approx_vs_exact",
+    oracle="""
+    SELECT
+        l_returnflag,
+        COUNT(DISTINCT l_orderkey) AS exact_orders,
+        round(quantile_cont(l_extendedprice, 0.50), 4) AS exact_p50,
+        COUNT(*) AS n_rows,
+        TRUE AS orders_within_2pct,
+        TRUE AS p50_within_2pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q28_approx_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, "lineitem", sf_dir)
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
-        F.count(F.lit(1)).alias("n_rows"),
+    rel_err = lambda approx, exact: F.abs(  # noqa: E731
+        approx.cast("double") - exact.cast("double")
+    ) / exact.cast("double")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("exact_p50"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            "exact_p50",
+            "n_rows",
+            (rel_err(F.col("approx_orders"), F.col("exact_orders")) <= 0.02).alias(
+                "orders_within_2pct"
+            ),
+            (rel_err(F.col("approx_p50"), F.col("exact_p50")) <= 0.02).alias(
+                "p50_within_2pct"
+            ),
+        )
     )
 
 

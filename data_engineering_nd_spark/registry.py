@@ -53,28 +53,24 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Local verification (tools/verify_oracle.py, bench.py) always runs all
 # queries and is order-insensitive.
 
-#: round-5 refresh (the established per-round protocol): for every name, the
-#: most recent committed CORRECTNESS_r0*.json that recorded it.  Deliberately
-#: NOT listed, so they re-enter the round-5 window at the front:
-#: ds_split_assignment / ds_chunk_dedup / ds_pack_sequences /
-#: multimodal_frame_samples (r04 hash-FAIL from uncast DuckDB HUGEINT
-#: oracles — fixed with CAST(... AS BIGINT), pass the hardened local gate)
-#: and multimodal_image_features (oracle newly added in r04 but never
-#: driver-verified — ADVICE r04 #2).  Every query ADDED during round 5
-#: (q66, dq_volume_anomalies, the text/dedup/ann/graph/stream/ds additions)
-#: is fresh by construction and fills the window front ahead of the r01
-#: re-verification backlog; the remaining stale r01 names cycle through in
-#: round 6.
+#: round-6 refresh (the established per-round protocol): for every name, the
+#: most recent committed CORRECTNESS_r0*.json that recorded it.  Round 5
+#: recorded 50 names, all green (q28's slot was no_oracle by design — that
+#: query is replaced by the SQL-mirrorable q28_approx_vs_exact this round,
+#: so the old name no longer exists).  q44_supplier_market_share is pinned
+#: to round 0 — VERDICT r05 flagged its bench entry as a noise-suspect
+#: 1.7× and asked for a clean driver re-recording FIRST; round 0 sorts it
+#: ahead of the whole recorded backlog.  The remaining r01-stale names
+#: (q35, q39, q41–q54) plus the oldest r03 names fill the rest of the r06
+#: window behind the round's fresh registrations.
 LAST_RECORDED_ROUND: dict[str, int] = {
+    # -- bench watch item: re-record before everything else -----------------
+    "q44_supplier_market_share": 0,
     # -- latest record: CORRECTNESS_r01.json (stale — re-verify first) ------
     **dict.fromkeys([
-        "q22_running_total", "q23_moving_average", "q24_order_gap_days",
-        "q25_rollup_revenue", "q27_price_percentiles", "q28_approx_aggregates",
-        "q29_json_extraction", "q30_time_rollup", "q31_set_operations",
-        "q32_pivot_priority", "q33_top_tokens", "q34_pandas_udf_score",
         "q35_udtf_expand", "q39_array_agg", "q41_cube_returnflag_linestatus",
         "q42_deterministic_sample", "q43_rank_distribution",
-        "q44_supplier_market_share", "q45_gap_fill_hourly",
+        "q45_gap_fill_hourly",
         "q46_price_histogram", "q47_correlated_subqueries",
         "q48_returned_item_revenue", "q49_late_shipment_priority",
         "q50_promo_revenue_share", "q51_large_volume_orders",
@@ -104,6 +100,32 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "text_fingerprint", "text_pii_scan", "text_repetition_metrics",
         "text_stats", "text_tfidf_top_terms", "text_unigram_logprob",
     ], 3),
+    # -- latest record: CORRECTNESS_r05.json (all green there) --------------
+    **dict.fromkeys([
+        "dq_volume_anomalies", "dq_distribution_drift",
+        "q66_interpolate_hourly", "q67_trailing_week_revenue",
+        "text_pretoken_stats", "text_entropy_metrics",
+        "dedup_ngram_coverage", "dedup_minhash_verified",
+        "dedup_simhash_verified",
+        "ann_cosine_range", "ann_knn_join", "ann_semantic_dedup",
+        "ann_lsh_verified",
+        "multimodal_image_features", "multimodal_frame_samples",
+        "multimodal_pair_manifest", "multimodal_scene_cuts",
+        "graph_triangle_count", "graph_label_propagation",
+        "graph_common_neighbors", "graph_kcore",
+        "stream_quality_filter", "stream_sliding_counts",
+        "stream_merge_upsert",
+        "ds_split_assignment", "ds_chunk_dedup", "ds_pack_sequences",
+        "ds_epoch_permutation", "ds_quality_gate", "ds_shard_manifest",
+        "ds_incremental_update", "ds_curriculum_stages",
+        "ds_token_budget_pack", "ds_repeat_upsampling",
+        "ds_bpe_merge_candidates", "ds_pack_boundaries", "ds_split_leakage",
+        "ds_dataset_card",
+        "q22_running_total", "q23_moving_average", "q24_order_gap_days",
+        "q25_rollup_revenue", "q27_price_percentiles",
+        "q29_json_extraction", "q30_time_rollup", "q31_set_operations",
+        "q32_pivot_priority", "q33_top_tokens", "q34_pandas_udf_score",
+    ], 5),
     # -- latest record: CORRECTNESS_r04.json (all green there) --------------
     **dict.fromkeys([
         "ann_pca_projection", "dedup_cluster_star", "ds_contamination_check",

