@@ -1447,18 +1447,28 @@ def temperature_mixture(
     letting any giant domain dominate an epoch.
 
     Determinism across engines: the irrational ``sqrt(tokens)`` is snapped
-    to an exact BIGINT of micro-units (``round(sqrt * 1e6)``) BEFORE the
-    global sum, so the denominator is integer arithmetic — no
-    float-summation-order drift between Spark and the SQL mirror. IEEE-754
-    ``sqrt`` is correctly rounded in both engines, so the per-row double is
-    identical too.
+    to an exact BIGINT of micro-units BEFORE the global sum, so the
+    denominator is integer arithmetic — no float-summation-order drift
+    between Spark and the SQL mirror. IEEE-754 ``sqrt`` is correctly
+    rounded in both engines, so the per-row double is identical too. All
+    rounding goes through the floor-based half-up helpers
+    (functions.numeric): Spark round() and DuckDB round() disagree on
+    exact binary midpoints (the q66 lesson; ADVICE r05 #2), floor(x*p+0.5)
+    is the same IEEE arithmetic in both.
 
     Scale shape: ``per_source`` is one row per domain (already aggregated),
     so this is a per-row projection plus ONE tiny all-domain aggregate
     broadcast back — nothing here touches the corpus again.
     """
+    from data_engineering_nd_spark.functions.numeric import (
+        round_half_up,
+        round_half_up_long,
+    )
+
     toks = F.col(token_col).cast("double")
-    units = F.round(F.sqrt(toks) * 1e6).cast("long") if alpha_sqrt else F.col(token_col)
+    units = (
+        round_half_up_long(F.sqrt(toks) * 1e6) if alpha_sqrt else F.col(token_col)
+    )
     with_units = per_source.withColumn("sqrt_units", units)
     totals = with_units.agg(
         F.sum(token_col).alias("tok_all"), F.sum("sqrt_units").alias("units_all")
@@ -1468,10 +1478,14 @@ def temperature_mixture(
         with_units.crossJoin(F.broadcast(totals))
         .select(
             *[c for c in per_source.columns],
-            F.round(toks / F.col("tok_all").cast("double"), 6).alias("raw_share"),
-            F.round(share, 6).alias("temp_share"),
-            F.round(F.lit(float(budget)) * share).cast("long").alias("budget_tokens"),
-            F.round(F.lit(float(budget)) * share / toks, 4).alias("repeat_factor"),
+            round_half_up(toks / F.col("tok_all").cast("double"), 6).alias(
+                "raw_share"
+            ),
+            round_half_up(share, 6).alias("temp_share"),
+            round_half_up_long(F.lit(float(budget)) * share).alias("budget_tokens"),
+            round_half_up(F.lit(float(budget)) * share / toks, 4).alias(
+                "repeat_factor"
+            ),
         )
     )
 
@@ -1488,7 +1502,7 @@ def temperature_mixture(
     ),
     u AS (
         SELECT t.*,
-               CAST(round(sqrt(CAST(total_tokens AS DOUBLE)) * 1000000.0)
+               CAST(floor(sqrt(CAST(total_tokens AS DOUBLE)) * 1000000.0 + 0.5)
                     AS BIGINT) AS sqrt_units
         FROM t
     ),
@@ -1497,17 +1511,20 @@ def temperature_mixture(
                CAST(SUM(sqrt_units) AS BIGINT) AS units_all
         FROM u
     )
+    -- floor-based half-up rounding throughout: same IEEE arithmetic as the
+    -- Spark side's functions.numeric helpers (round() midpoint hazard)
     SELECT source, n_docs, total_tokens,
-           round(CAST(total_tokens AS DOUBLE) / CAST(tok_all AS DOUBLE), 6)
-               AS raw_share,
-           round(CAST(sqrt_units AS DOUBLE) / CAST(units_all AS DOUBLE), 6)
-               AS temp_share,
-           CAST(round(1000000.0 * (CAST(sqrt_units AS DOUBLE)
-                                   / CAST(units_all AS DOUBLE))) AS BIGINT)
+           floor((CAST(total_tokens AS DOUBLE) / CAST(tok_all AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS raw_share,
+           floor((CAST(sqrt_units AS DOUBLE) / CAST(units_all AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS temp_share,
+           CAST(floor(1000000.0 * (CAST(sqrt_units AS DOUBLE)
+                                   / CAST(units_all AS DOUBLE)) + 0.5) AS BIGINT)
                AS budget_tokens,
-           round(1000000.0 * (CAST(sqrt_units AS DOUBLE)
-                              / CAST(units_all AS DOUBLE))
-                 / CAST(total_tokens AS DOUBLE), 4) AS repeat_factor
+           floor((1000000.0 * (CAST(sqrt_units AS DOUBLE)
+                               / CAST(units_all AS DOUBLE))
+                  / CAST(total_tokens AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+               AS repeat_factor
     FROM u, s
     ORDER BY source
     """,

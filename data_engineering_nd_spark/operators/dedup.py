@@ -931,6 +931,11 @@ def minhash_lsh_pairs_md5(
         SELECT doc_id AS id,
                string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
         FROM documents
+        -- empty/whitespace-only docs: Spark's tokens() yields an empty
+        -- array (doc dropped) while string_split('', ' ') yields ['']
+        -- (kept, hashable '' token) — guard so the mirror stays exact if
+        -- the corpus ever gains empty texts (ADVICE r05 #3)
+        WHERE trim(text) <> ''
     ),
     sets AS (
         SELECT id,
@@ -1102,6 +1107,9 @@ def _register_simhash_md5_oracle() -> None:
                unnest(string_split(
                    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
         FROM documents
+        -- guard: Spark drops empty docs (empty token array), DuckDB's
+        -- string_split('', ' ') would keep a '' token (ADVICE r05 #3)
+        WHERE trim(text) <> ''
     ),
     h AS (
         SELECT id,

@@ -568,9 +568,13 @@ def graph_common_neighbors_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
     pairs = jaccard_pairs(docs, "doc_id", "text", "lang", threshold=0.5)
-    return common_neighbor_candidates(pairs, "id_a", "id_b").orderBy(
-        F.desc("common_neighbors"), "id_a", "id_b"
-    )
+    # max_degree=None: the DuckDB oracle has no hub cap, so the gated query
+    # must not apply one either (ADVICE r05 #1 — the default 256 was a
+    # silent no-op only because the doc_id<200 gate bounds degree at 199).
+    # Production callers keep the default cap.
+    return common_neighbor_candidates(
+        pairs, "id_a", "id_b", max_degree=None
+    ).orderBy(F.desc("common_neighbors"), "id_a", "id_b")
 
 
 def _register_common_neighbors_oracle() -> None:

@@ -36,6 +36,10 @@ def numpy_pagerank(edges, n, damping=0.85, iterations=10):
         ([(0, 1), (1, 2), (2, 0), (3, 0), (4, 0), (0, 5)], 6),
         # weighted (repeated) edges + two components
         ([(0, 1), (0, 1), (1, 0), (2, 3), (3, 2), (3, 4)], 5),
+        # NO dangling nodes but node 3 has no in-edges — exercises the
+        # middle `elif n_no_in` branch (coalesce-only path, no dangling
+        # mass redistribution); ADVICE r05 #4
+        ([(0, 1), (1, 2), (2, 0), (3, 1)], 4),
     ],
 )
 def test_pagerank_matches_numpy(spark, edges, n):
