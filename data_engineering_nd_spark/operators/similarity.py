@@ -546,16 +546,20 @@ def quantize_int8(
 ) -> DataFrame:
     """Symmetric per-vector int8 quantization.
 
-    scale = max|x| / 127; q_i = round(x_i / scale) in [-127, 127]. Cosine is
-    scale-invariant, so quantized cosine needs no dequantization. Pure
-    column expressions (transform/array_max) — codegen'd, no Python. The
-    all-zero vector keeps scale 0 and quantizes to zeros.
+    scale = max|x| / 127; q_i = floor(x_i / scale + 0.5) in [-127, 127]
+    (half-up toward +inf — the floor form is the same IEEE arithmetic in
+    Spark and DuckDB, unlike round(), whose binary-midpoint behavior
+    differs between engines; that determinism is what lets the quantized
+    pipeline carry a full value-hash oracle). Cosine is scale-invariant,
+    so quantized cosine needs no dequantization. Pure column expressions
+    (transform/array_max) — codegen'd, no Python. The all-zero vector
+    keeps scale 0 and quantizes to zeros.
     """
     v = F.col(vec_col)
     scale = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))) / F.lit(127.0)
     q = F.transform(
         v,
-        lambda x: F.when(scale > 0, F.round(x.cast("double") / scale))
+        lambda x: F.when(scale > 0, F.floor(x.cast("double") / scale + F.lit(0.5)))
         .otherwise(F.lit(0.0))
         .cast("int"),
     )
@@ -654,10 +658,78 @@ def quantized_rerank_topk(
     )
 
 
-@query("ann_quantized_topk")  # int8 coarse pass -> not SQL-mirrorable; rows-only
+@query(
+    "ann_quantized_topk",
+    # The int8 pipeline is EXACT arithmetic end-to-end (floor-based
+    # half-up quantization, integer dot products — all values < 2^53 so
+    # DuckDB's double list_dot_product over the quantized lists is exact
+    # too), which makes the production path itself value-hash verifiable —
+    # no md5 sibling needed (VERDICT r05 task #2).
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings
+    ),
+    qz AS (
+        SELECT vec_id, emb,
+               list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+        FROM v
+    ),
+    quant AS (
+        SELECT vec_id, emb,
+               list_transform(
+                   emb,
+                   x -> CASE WHEN scale > 0 THEN floor(x / scale + 0.5)
+                             ELSE 0.0 END) AS q
+        FROM qz
+    ),
+    qn AS (
+        SELECT vec_id, emb, q, sqrt(list_dot_product(q, q)) AS qnrm
+        FROM quant
+    ),
+    coarse AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CASE WHEN a.qnrm > 0 AND b.qnrm > 0
+                    THEN list_dot_product(a.q, b.q) / (a.qnrm * b.qnrm)
+                    ELSE -2.0 END AS coarse_sim
+        FROM qn a
+        JOIN qn b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+    ),
+    cands AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *,
+                ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY coarse_sim DESC, neighbor_id
+                ) AS crank
+            FROM coarse
+        ) WHERE crank <= 20
+    ),
+    exact AS (
+        SELECT c.query_id, c.neighbor_id,
+               list_dot_product(a.emb, b.emb)
+                 / (sqrt(list_dot_product(a.emb, a.emb))
+                    * sqrt(list_dot_product(b.emb, b.emb))) AS sim_raw
+        FROM cands c
+        JOIN v a ON a.vec_id = c.query_id
+        JOIN v b ON b.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(sim_raw, 4) AS cosine_sim, rank
+    FROM (
+        SELECT *,
+            CAST(ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY sim_raw DESC, neighbor_id
+            ) AS INTEGER) AS rank
+        FROM exact
+    )
+    WHERE rank <= 5
+    """,
+)
 def ann_quantized_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """10 fixed queries, int8-quantized candidate scoring, exact rerank.
-    Recall vs exact brute force is pinned in tests/test_similarity.py."""
+    """10 fixed queries, int8-quantized candidate scoring, exact rerank —
+    both the coarse integer pass and the float rerank are hash-verified
+    against the SQL mirror (the quantization is deterministic arithmetic,
+    so the candidate sets agree bit-for-bit across engines). Recall vs
+    exact brute force is pinned in tests/test_similarity.py."""
     emb = load(spark, "embeddings", sf_dir)
     return quantized_rerank_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
@@ -1063,3 +1135,251 @@ def ann_lsh_verified_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched) stays the throughput path."""
     emb = load(spark, "embeddings", sf_dir)
     return lsh_topk_md5(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
+# ---------------------------------------------------------------------------
+# md5-verified siblings for the two LEARNED kernels (VERDICT r05 task #2).
+# The production paths (ann_ivf_kmeans_topk: driver-trained spherical
+# k-means; ann_pca_projection: SVD basis from a sample) are intrinsically
+# rows-only — a learned codebook has no SQL mirror. These siblings swap the
+# learned parameters for md5-derived constants computable identically in
+# both engines, so the ALGORITHM (cell assignment, multi-cell probing,
+# candidate equi-join, rerank; center-subtract + projection) is value-hash
+# verified even though the trained parameters are not.
+# ---------------------------------------------------------------------------
+
+
+def _md5_const_vector(tag: str, dim: int = 64) -> list[float]:
+    """v[d] = (int(md5('{tag}:d')[:8], 16) % 2001 - 1000) / 1000 — the same
+    construction as `_md5_plane_weights`, shared by the IVF centroids, the
+    projection mean, and the projection basis."""
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"{tag}:{d}".encode()).hexdigest()[:8], 16) % 2001 - 1000)
+        / 1000.0
+        for d in range(dim)
+    ]
+
+
+def ivf_topk_md5(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_cells: int = 4,
+    nprobe: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k with fixed md5-derived centroids — the SQL-mirrorable
+    sibling of `ivf_topk_nprobe` (same assign → probe-nprobe-cells →
+    equi-join-on-cell → exact-rerank shape). Cell assignment is
+    argmax-dot against the centroid table (row_number over the tiny
+    vec×cell cross product, lowest cell id on ties); a query fans out to
+    its nprobe best cells, candidates come from the cell equi-join, and a
+    candidate meets a query at most once (each candidate lives in exactly
+    one cell), so no dedup is needed before the rerank."""
+    spark = vectors.sparkSession
+    cents = F.broadcast(
+        spark.createDataFrame(
+            [(c, _md5_const_vector(f"iv:{c}", dim)) for c in range(n_cells)],
+            "c int, w array<double>",
+        )
+    )
+
+    def cells(df: DataFrame, idn: str, rn_max: int) -> DataFrame:
+        emb = F.col(vec_col).cast("array<double>")
+        dp = df.select(
+            F.col(id_col).alias(idn), emb.alias(f"{idn}_vec")
+        ).crossJoin(cents).select(
+            idn,
+            f"{idn}_vec",
+            F.col("c").alias("cell"),
+            dot(F.col(f"{idn}_vec"), F.col("w")).alias("dp"),
+        )
+        w = Window.partitionBy(idn).orderBy(F.desc("dp"), "cell")
+        return (
+            dp.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= rn_max)
+            .withColumn(f"{idn}_norm", l2_norm(F.col(f"{idn}_vec")))
+            .select(idn, f"{idn}_vec", f"{idn}_norm", "cell")
+        )
+
+    v = cells(vectors, "neighbor_id", 1)
+    q = cells(queries, "query_id", nprobe)
+    sims = (
+        v.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("query_id_vec"), F.col("neighbor_id_vec"))
+                / (F.col("query_id_norm") * F.col("neighbor_id_norm"))
+            ).alias("sim_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("sim_raw", 4).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
+@query(
+    "ann_ivf_kmeans_verified",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT c,
+               list_transform(range(1, 65), d ->
+                   (CAST(concat('0x', substr(md5(
+                        'iv:' || CAST(c AS VARCHAR) || ':'
+                               || CAST(d - 1 AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 2001 - 1000) / 1000.0) AS w
+        FROM unnest(range(4)) AS t(c)
+    ),
+    ranked AS (
+        SELECT v.vec_id, cents.c AS cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY list_dot_product(v.emb, cents.w) DESC, cents.c
+               ) AS rn
+        FROM v, cents
+    ),
+    vc AS (
+        SELECT r.vec_id, r.cell, v.emb,
+               sqrt(list_dot_product(v.emb, v.emb)) AS nrm
+        FROM ranked r JOIN v ON v.vec_id = r.vec_id
+        WHERE r.rn = 1
+    ),
+    qc AS (
+        SELECT r.vec_id, r.cell, v.emb,
+               sqrt(list_dot_product(v.emb, v.emb)) AS nrm
+        FROM ranked r JOIN v ON v.vec_id = r.vec_id
+        WHERE r.rn <= 2 AND r.vec_id < 10
+    ),
+    sim AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS sim_raw
+        FROM qc q
+        JOIN vc c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, round(sim_raw, 4) AS cosine_sim, rank
+    FROM (
+        SELECT *,
+            CAST(ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY sim_raw DESC, neighbor_id
+            ) AS INTEGER) AS rank
+        FROM sim
+    )
+    WHERE rank <= 3
+    """,
+)
+def ann_ivf_kmeans_verified_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-with-codebook search under a VALUE-HASH contract: fixed md5
+    centroids make assignment + nprobe=2 probing + rerank exact SQL.
+    `ann_ivf_kmeans_topk` (trained spherical k-means, Arrow-batched
+    assignment) stays the quality/throughput path."""
+    emb = load(spark, "embeddings", sf_dir)
+    return ivf_topk_md5(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
+def project_md5(
+    vectors: DataFrame,
+    n_components: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Center-subtract + linear projection with an md5-derived mean and
+    basis — the SQL-mirrorable sibling of `project_pca`. Same contract
+    (k scalar output columns per vector, a narrow no-shuffle map), with
+    the dot products as sequential JVM folds so the doubles match
+    DuckDB's list_dot_product bit-for-bit; `project_pca` (trained SVD
+    basis, Arrow matmul) stays the production path. Rounding is
+    floor-based half-up (functions.numeric) — projections can be
+    negative, and the floor form is the engine-stable one."""
+    from data_engineering_nd_spark.functions.numeric import round_half_up
+
+    mu = F.array(*[F.lit(x) for x in _md5_const_vector("mu", dim)])
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"), mu, lambda x, y: x - y
+    )
+    out = vectors.select(
+        F.col(id_col), centered.alias("_centered")
+    )
+    comps = [
+        round_half_up(
+            dot(
+                F.col("_centered"),
+                F.array(*[F.lit(x) for x in _md5_const_vector(f"pc:{p}", dim)]),
+            ),
+            4,
+        ).alias(f"pc_{p}")
+        for p in range(n_components)
+    ]
+    return out.select(id_col, *comps)
+
+
+@query(
+    "ann_pca_verified",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings
+    ),
+    mu AS (
+        SELECT list_transform(range(1, 65), d ->
+            (CAST(concat('0x', substr(md5('mu:' || CAST(d - 1 AS VARCHAR)),
+                                      1, 8))
+                  AS BIGINT) % 2001 - 1000) / 1000.0) AS m
+    ),
+    basis AS (
+        SELECT p,
+               list_transform(range(1, 65), d ->
+                   (CAST(concat('0x', substr(md5(
+                        'pc:' || CAST(p AS VARCHAR) || ':'
+                               || CAST(d - 1 AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 2001 - 1000) / 1000.0) AS w
+        FROM unnest(range(4)) AS t(p)
+    ),
+    proj AS (
+        SELECT v.vec_id, b.p,
+               list_dot_product(
+                   list_transform(range(1, 65), i -> v.emb[i] - mu.m[i]),
+                   b.w) AS pr
+        FROM v, mu, basis b
+    )
+    SELECT vec_id,
+           floor(max(CASE WHEN p = 0 THEN pr END) * 10000.0 + 0.5) / 10000.0
+               AS pc_0,
+           floor(max(CASE WHEN p = 1 THEN pr END) * 10000.0 + 0.5) / 10000.0
+               AS pc_1,
+           floor(max(CASE WHEN p = 2 THEN pr END) * 10000.0 + 0.5) / 10000.0
+               AS pc_2,
+           floor(max(CASE WHEN p = 3 THEN pr END) * 10000.0 + 0.5) / 10000.0
+               AS pc_3
+    FROM proj
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """,
+)
+def ann_pca_verified_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dimensionality-reduction pipeline (center-subtract + 4-component
+    linear projection) under a VALUE-HASH contract via a fixed md5 mean
+    and basis. `ann_pca_projection` (trained PCA) stays rows-only — a
+    learned SVD basis has no SQL mirror — but the projection machinery it
+    shares with this query is now verified."""
+    emb = load(spark, "embeddings", sf_dir)
+    return project_md5(emb.select("vec_id", "embedding")).orderBy("vec_id")

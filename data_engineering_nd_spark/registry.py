@@ -78,9 +78,13 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "q54_customer_order_distribution",
     ], 1),
     # -- latest record: CORRECTNESS_r03.json --------------------------------
+    # NOTE: ann_quantized_topk is deliberately ABSENT (treated as fresh):
+    # its r03 record was a rows-only check, but the query gained a full
+    # value-hash oracle in round 6 (the int8 pipeline is exact arithmetic),
+    # so the old record no longer describes its contract class.
     **dict.fromkeys([
         "ann_brute_force_topk", "ann_ivf_kmeans_topk", "ann_ivf_topk",
-        "ann_lsh_topk", "ann_quantized_topk",
+        "ann_lsh_topk",
         "dedup_cluster_assignment", "dedup_embedding_cosine",
         "dedup_exact_groups", "dedup_jaccard_pairs", "dedup_minhash_lsh",
         "dedup_simhash",

@@ -329,3 +329,57 @@ def test_lsh_md5_neighbors_subset_of_brute_force_order(spark):
         key = (r["query_id"], r["neighbor_id"])
         assert key in exact
         assert abs(r["cosine_sim"] - exact[key]) < 1e-9
+
+
+def test_ivf_md5_cells_partition_and_rerank_exact(spark):
+    """md5-IVF: every vector lands in exactly one cell; the rerank carries
+    the EXACT cosine (candidate generation is the only approximate part)."""
+    import random
+
+    from data_engineering_nd_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk_md5,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.filter("vec_id < 5")
+    ivf = ivf_topk_md5(df, queries, k=3, n_cells=4, nprobe=2)
+    bf = brute_force_topk(df, queries, k=60)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"] for r in bf.collect()
+    }
+    got = ivf.collect()
+    assert len(got) > 0
+    for r in got:
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in exact
+        assert abs(r["cosine_sim"] - exact[key]) < 1e-9
+    # per query at most k rows, ranks dense from 1
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_project_md5_is_linear(spark):
+    """The md5 projection is affine: proj(a) - proj(b) equals the
+    projection of (a - b) (mean cancels), pinning that the Spark-side
+    fold really is the advertised linear map."""
+    from data_engineering_nd_spark.operators.similarity import (
+        _md5_const_vector,
+        project_md5,
+    )
+
+    a = [0.5] * 64
+    b = [-0.25] * 64
+    df = spark.createDataFrame(
+        [(1, a), (2, b)], ["vec_id", "embedding"]
+    )
+    got = {r["vec_id"]: r for r in project_md5(df).collect()}
+    for p in range(4):
+        w = _md5_const_vector(f"pc:{p}")
+        expect_diff = sum((x - y) * wi for x, y, wi in zip(a, b, w))
+        assert abs((got[1][f"pc_{p}"] - got[2][f"pc_{p}"]) - expect_diff) < 1e-3
