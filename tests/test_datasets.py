@@ -373,3 +373,41 @@ def test_pack_boundaries_offsets_reset_per_sequence(spark):
         (0, 8),
         (1, 0),
     ]
+
+
+def test_epoch_shards_greedy_invariants(spark):
+    """Shard ids are dense from 0 in position order; every non-last
+    shard's token mass lands inside budget +- max_doc_tokens (a doc
+    straddling a boundary stays whole in the earlier shard); totals
+    conserve the corpus."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_nd_spark.functions.text import token_count
+    from data_engineering_nd_spark.operators.datasets import (
+        epoch_permutation,
+        epoch_shards,
+    )
+    from data_engineering_nd_spark.catalog import load
+
+    budget = 500
+    docs = load(spark, "documents", "/root/testdata/sf0.001")
+    toks = docs.select("doc_id", token_count("text").alias("n_tokens"))
+    perm = epoch_permutation(docs, "doc_id", epoch=0).join(toks, "doc_id")
+    rows = sorted(
+        epoch_shards(perm, budget=budget).collect(), key=lambda r: r["shard_id"]
+    )
+    max_doc = toks.agg(F.max("n_tokens")).collect()[0][0]
+    total = toks.agg(F.sum("n_tokens")).collect()[0][0]
+    n_docs = docs.count()
+
+    assert [r["shard_id"] for r in rows] == list(range(len(rows)))
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert sum(r["total_tokens"] for r in rows) == total
+    for r in rows[:-1]:
+        assert r["total_tokens"] > budget - max_doc
+    for r in rows:
+        assert r["total_tokens"] < budget + max_doc
+    # position ranges are contiguous and non-overlapping in shard order
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_pos"] + 1 == b["min_pos"]
+    assert rows[0]["min_pos"] == 1 and rows[-1]["max_pos"] == n_docs

@@ -376,3 +376,19 @@ def test_bpe_merge_candidates_aggregates_vocab_before_pair_explode(spark):
     assert any(pair_gen[0] < a < pair_gen[-1] for a in aggs), plan
     assert "PythonUDF" not in plan, plan
 
+
+
+def test_epoch_shards_has_no_single_partition_exchange(spark):
+    """The token-budget shard assignment must reuse the permutation's
+    bucket decomposition: corpus-sized branches see only hash exchanges,
+    the offsets ride a broadcast, and no global running-sum window
+    funnels the corpus through one reducer."""
+    from data_engineering_nd_spark.operators.datasets import (
+        ds_epoch_shards_query,
+    )
+    from data_engineering_nd_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(ds_epoch_shards_query(spark, SF_DIR))
+    assert "SinglePartition" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
