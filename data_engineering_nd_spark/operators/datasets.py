@@ -1248,6 +1248,80 @@ def ds_epoch_shards_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Lakehouse maintenance audit: merge-driven small-file growth + OPTIMIZE
+# ---------------------------------------------------------------------------
+
+@query(
+    "ds_compaction_report",
+    # File counts are part of the VersionedTable commit CONTRACT (a
+    # repartition(n) commit of >= n rows writes exactly n files; a full
+    # optimize with target >= total bytes writes exactly 1), so the oracle
+    # states them as literals while the row counts are genuinely computed
+    # from the documents table on both engines — drift in either the
+    # commit/optimize file accounting or the snapshot row conservation
+    # hash-fails the slot.
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS total FROM documents),
+    a AS (SELECT COUNT(*) AS c5 FROM documents WHERE doc_id % 5 = 0),
+    b AS (SELECT COUNT(*) AS c7 FROM documents WHERE doc_id % 7 = 0)
+    SELECT CAST(version AS INTEGER) AS version, op_kind,
+           CAST(num_files AS INTEGER) AS num_files,
+           CAST(n_rows AS BIGINT) AS n_rows
+    FROM (
+        SELECT 0 AS version, 'overwrite' AS op_kind, 4 AS num_files,
+               total AS n_rows FROM n
+        UNION ALL
+        SELECT 1, 'append', 7, total + c5 FROM n, a
+        UNION ALL
+        SELECT 2, 'append', 12, total + c5 + c7 FROM n, a, b
+        UNION ALL
+        SELECT 3, 'optimize', 1, total + c5 + c7 FROM n, a, b
+    )
+    """,
+)
+def ds_compaction_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file lifecycle audit on a real VersionedTable: an overwrite
+    plus two appends accumulate 12 files, then ``optimize`` (size-floor
+    selective compaction, VERDICT r05 task #4) collapses them to one —
+    with per-version operation kind, manifest file count, and snapshot
+    row count. This is the maintenance report a lakehouse table publishes
+    so small-file growth from incremental writes is observable and the
+    compaction's row conservation is auditable.
+
+    Scale shape: table ops are the operators under audit (commit =
+    one write of the frame's partitions; optimize reads ONLY
+    sub-threshold files, sized from the manifest — no storage listing);
+    the report itself is 4 tiny driver-side manifest reads."""
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    docs = load(spark, "documents", sf_dir).select("doc_id", "source", "lang")
+    tmp = tempfile.mkdtemp(prefix="ds_compaction_report_")
+    try:
+        t = VersionedTable(spark, tmp)
+        t.commit(docs.repartition(4), mode="overwrite")
+        t.commit(docs.filter(F.col("doc_id") % 5 == 0).repartition(3), mode="append")
+        t.commit(docs.filter(F.col("doc_id") % 7 == 0).repartition(5), mode="append")
+        t.optimize(min_file_bytes=10**12, target_file_bytes=10**12)
+        rows = [
+            (
+                m["version"],
+                m["operation"].split("(")[0],
+                m["num_files"],
+                t.snapshot(version=m["version"]).count(),
+            )
+            for m in t.history()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version int, op_kind string, num_files int, n_rows bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Incremental corpus update: merge a new crawl batch into an existing corpus
 # ---------------------------------------------------------------------------
 

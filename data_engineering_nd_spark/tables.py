@@ -102,6 +102,7 @@ class VersionedTable:
         files: list[str],
         operation: str,
         schema_json: str,
+        sizes: dict[str, int] | None = None,
     ) -> dict:
         """Atomic commit point: temp-file + rename within _log/."""
         os.makedirs(self._log_dir(), exist_ok=True)
@@ -111,6 +112,10 @@ class VersionedTable:
             "files": sorted(files),
             "num_files": len(files),
             "schema": schema_json,
+            # per-file byte sizes: lets optimize() bin-pack from the
+            # manifest alone — at 100 TB a LIST/HEAD storm per maintenance
+            # pass is exactly what a manifest log exists to avoid
+            "sizes": sizes or {},
         }
         final = os.path.join(self._log_dir(), f"{version:011d}.json")
         tmp = final + f".{uuid.uuid4().hex}.tmp"
@@ -146,6 +151,16 @@ class VersionedTable:
             if f.endswith(".parquet")
         ]
 
+    def _file_sizes(self, files: list[str], manifest: dict | None = None) -> dict[str, int]:
+        """Byte size per table-relative path: manifest-recorded where
+        available (the scale path), stat fallback for files committed
+        before sizes were recorded."""
+        recorded = (manifest or {}).get("sizes", {})
+        return {
+            f: recorded.get(f) or os.path.getsize(os.path.join(self.root, f))
+            for f in files
+        }
+
     def _read_files(self, files: list[str], schema_json: str) -> DataFrame:
         if not files:
             from pyspark.sql.types import StructType
@@ -179,10 +194,13 @@ class VersionedTable:
         prev = self.latest_version()
         version = 0 if prev is None else prev + 1
         files = self._write_files(df, version)
+        sizes = self._file_sizes(files)
         if mode == "append" and prev is not None:
-            files += self._manifest(prev)["files"]
+            pm = self._manifest(prev)
+            files += pm["files"]
+            sizes.update(self._file_sizes(pm["files"], pm))
         return self._publish(
-            version, files, mode, df.schema.json()
+            version, files, mode, df.schema.json(), sizes
         )
 
     def merge(self, source: DataFrame, key_cols: list[str]) -> dict:
@@ -236,11 +254,14 @@ class VersionedTable:
             else incoming
         )
         new_files = self._write_files(rewritten, version)
+        sizes = self._file_sizes(new_files)
+        sizes.update(self._file_sizes(untouched, m))
         return self._publish(
             version,
             new_files + untouched,
             f"merge(rewrote={len(affected_rel)},kept={len(untouched)})",
             m["schema"],
+            sizes,
         )
 
     def compact(self, target_partitions: int | None = None) -> dict:
@@ -250,6 +271,48 @@ class VersionedTable:
         df = self.snapshot()
         n = target_partitions or self.spark.sparkContext.defaultParallelism
         return self.commit(df.repartition(n), mode="overwrite")
+
+    def optimize(
+        self,
+        min_file_bytes: int = 8 * 1024 * 1024,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> dict:
+        """OPTIMIZE-shaped selective compaction: rewrite ONLY the data
+        files below ``min_file_bytes`` into ~``target_file_bytes`` output
+        files; files already at size carry over by reference (VERDICT r05
+        task #4 — ``compact`` rewrites the whole snapshot, which at 100 TB
+        turns routine maintenance into a full-table write).
+
+        Sizes come from the manifest, not a storage listing; the rewrite
+        reads just the small files and bin-packs them into
+        ceil(small_bytes / target) outputs. Repeated merge()+optimize()
+        cycles therefore converge to a file count bounded by
+        table_bytes/target + merges_since_optimize, instead of growing
+        without bound. A no-op (0 or 1 small file) publishes nothing and
+        returns the current manifest unchanged."""
+        prev = self.latest_version()
+        if prev is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        m = self._manifest(prev)
+        sizes = self._file_sizes(m["files"], m)
+        small = [f for f in m["files"] if sizes[f] < min_file_bytes]
+        if len(small) <= 1:
+            return m
+        keep = [f for f in m["files"] if f not in set(small)]
+        small_bytes = sum(sizes[f] for f in small)
+        n_out = max(1, -(-small_bytes // target_file_bytes))  # ceil
+        version = prev + 1
+        rewritten = self._read_files(small, m["schema"]).repartition(n_out)
+        new_files = self._write_files(rewritten, version)
+        new_sizes = self._file_sizes(new_files)
+        new_sizes.update({f: sizes[f] for f in keep})
+        return self._publish(
+            version,
+            new_files + keep,
+            f"optimize(rewrote={len(small)},into={len(new_files)},kept={len(keep)})",
+            m["schema"],
+            new_sizes,
+        )
 
     def vacuum(self, retain_last: int = 1) -> list[str]:
         """Delete data files referenced by none of the last ``retain_last``

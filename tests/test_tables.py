@@ -108,3 +108,53 @@ def test_empty_dataframe_snapshot_roundtrip(spark, table):
     snap = table.snapshot()
     assert snap.count() == 0
     assert snap.schema == df.schema
+
+
+def test_optimize_rewrites_only_small_files(spark, table):
+    """Files at or above the size floor carry over BY REFERENCE; only the
+    small tail is rewritten, into ceil(bytes/target) outputs; the
+    snapshot's data is unchanged."""
+    big = spark.range(0, 500).withColumnRenamed("id", "k").repartition(1)
+    table.commit(big, mode="overwrite")
+    for i in range(6):
+        small = spark.range(1000 + i, 1001 + i).withColumnRenamed("id", "k").repartition(1)
+        table.commit(small, mode="append")
+    m0 = table._manifest(table.latest_version())
+    sizes = table._file_sizes(m0["files"], m0)
+    big_file = max(sizes, key=sizes.get)
+    assert m0["num_files"] == 7
+
+    m1 = table.optimize(min_file_bytes=sizes[big_file], target_file_bytes=10**9)
+    assert m1["operation"].startswith("optimize(rewrote=6,into=1,kept=1")
+    assert big_file in m1["files"]           # by reference, not rewritten
+    assert m1["num_files"] == 2
+    got = sorted(r["k"] for r in table.snapshot().collect())
+    assert got == sorted(list(range(500)) + [1000 + i for i in range(6)])
+
+
+def test_optimize_noop_when_nothing_small(spark, table):
+    df = spark.range(0, 10).withColumnRenamed("id", "k").repartition(1)
+    table.commit(df, mode="overwrite")
+    v = table.latest_version()
+    m = table.optimize(min_file_bytes=1)      # nothing under 1 byte
+    assert m["version"] == v                  # no new version published
+    assert table.latest_version() == v
+
+
+def test_repeated_merge_plus_optimize_converges_file_count(spark, table):
+    """Many MERGE cycles grow the file count without bound; interleaved
+    optimize() keeps it bounded while preserving the upserted data."""
+    base = spark.range(0, 100).selectExpr("id AS k", "id * 10 AS v").repartition(4)
+    table.commit(base, mode="overwrite")
+    for round_ in range(3):
+        for i in range(4):
+            batch = spark.createDataFrame(
+                [(i * 25 + round_, 99990 + round_)], ["k", "v"]
+            )
+            table.merge(batch, ["k"])
+        table.optimize(min_file_bytes=10**9, target_file_bytes=10**9)
+        m = table._manifest(table.latest_version())
+        assert m["num_files"] == 1            # everything under the floor
+    rows = {r["k"]: r["v"] for r in table.snapshot().collect()}
+    assert len(rows) == 100
+    assert rows[2] == 99992 and rows[27] == 99992 and rows[3] == 30
