@@ -1138,7 +1138,7 @@ def ds_shard_manifest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # actually consumes; VERDICT r05 task #3)
 # ---------------------------------------------------------------------------
 
-def epoch_shards(
+def assign_epoch_shards(
     perm: DataFrame,
     token_col: str = "n_tokens",
     budget: int = 2000,
@@ -1186,7 +1186,7 @@ def epoch_shards(
         .orderBy("training_pos")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    shards = (
+    return (
         bucketed.withColumn(
             "_run", F.coalesce(F.sum(token_col).over(w_in), F.lit(0))
         )
@@ -1195,8 +1195,59 @@ def epoch_shards(
             "shard_id",
             F.expr(f"(_offset + _run) div {int(budget)}").cast("bigint"),
         )
+        .drop("_bucket", "_run", "_offset")
     )
-    return shards.groupBy("shard_id").agg(
+
+
+def epoch_shards(
+    perm: DataFrame,
+    token_col: str = "n_tokens",
+    budget: int = 2000,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Per-shard manifest over :func:`assign_epoch_shards` — one hash-agg
+    on shard_id (docs, position range, token mass per output file)."""
+    assigned = assign_epoch_shards(perm, token_col, budget, n_buckets)
+    return assigned.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("training_pos").alias("min_pos"),
+        F.max("training_pos").alias("max_pos"),
+        F.sum(token_col).cast("bigint").alias("total_tokens"),
+    )
+
+
+def write_epoch_shards(
+    perm: DataFrame,
+    path: str,
+    token_col: str = "n_tokens",
+    budget: int = 2000,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Materialize a training epoch: every permuted row lands in its
+    token-budget shard directory (``shard_id=K/``), stored in
+    ``training_pos`` order, and the per-shard manifest is returned for
+    the caller to publish next to the data — the artifact a trainer's
+    data loader actually consumes (global step -> shard file -> offset).
+
+    Scale shape: rows are hash-repartitioned BY shard_id (each shard's
+    rows land in exactly one task — several shards may share a task, but
+    no shard splits) and sorted within partitions by ``training_pos``, so
+    parquet's preserved row order IS the training order inside every
+    shard file and the write needs no global sort. The dynamic
+    ``partitionBy`` write emits one directory per shard; shard count =
+    corpus_tokens/budget, sized so each file is a sane parquet object
+    (hundreds of MB at production budgets)."""
+    assigned = assign_epoch_shards(perm, token_col, budget, n_buckets)
+    (
+        assigned.repartition(F.col("shard_id"))
+        .sortWithinPartitions("training_pos")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )
+    spark = perm.sparkSession
+    written = spark.read.parquet(path)
+    return written.groupBy("shard_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("training_pos").alias("min_pos"),
         F.max("training_pos").alias("max_pos"),

@@ -411,3 +411,52 @@ def test_epoch_shards_greedy_invariants(spark):
     for a, b in zip(rows, rows[1:]):
         assert a["max_pos"] + 1 == b["min_pos"]
     assert rows[0]["min_pos"] == 1 and rows[-1]["max_pos"] == n_docs
+
+
+def test_write_epoch_shards_materializes_training_order(spark, tmp_path):
+    """The written epoch round-trips: the returned manifest equals the
+    planned one, every shard directory's rows are stored in training_pos
+    order, and reading back (shard_id, training_pos)-sorted reproduces
+    the full permutation exactly."""
+    import os
+
+    from data_engineering_nd_spark.functions.text import token_count
+    from data_engineering_nd_spark.operators.datasets import (
+        epoch_permutation,
+        epoch_shards,
+        write_epoch_shards,
+    )
+    from data_engineering_nd_spark.catalog import load
+
+    docs = load(spark, "documents", "/root/testdata/sf0.001")
+    toks = docs.select("doc_id", token_count("text").alias("n_tokens"))
+    perm = epoch_permutation(docs, "doc_id", epoch=0).join(toks, "doc_id")
+    out = os.path.join(str(tmp_path), "epoch0")
+
+    planned = {r["shard_id"]: r for r in epoch_shards(perm, budget=500).collect()}
+    written = {
+        r["shard_id"]: r
+        for r in write_epoch_shards(perm, out, budget=500).collect()
+    }
+    assert set(planned) == set(written)
+    for sid, p in planned.items():
+        w = written[sid]
+        assert (p["n_docs"], p["min_pos"], p["max_pos"], p["total_tokens"]) == (
+            w["n_docs"], w["min_pos"], w["max_pos"], w["total_tokens"]
+        )
+
+    # per-shard files store rows in training order (parquet preserves row
+    # order; the loader reads sequentially)
+    for sid in planned:
+        pdf = spark.read.parquet(os.path.join(out, f"shard_id={sid}")).toPandas()
+        assert list(pdf["training_pos"]) == sorted(pdf["training_pos"])
+
+    # global round-trip: (shard, pos)-ordered read == the permutation
+    back = (
+        spark.read.parquet(out)
+        .orderBy("shard_id", "training_pos")
+        .select("doc_id", "training_pos")
+        .collect()
+    )
+    want = perm.orderBy("training_pos").select("doc_id", "training_pos").collect()
+    assert [tuple(r) for r in back] == [tuple(r) for r in want]
