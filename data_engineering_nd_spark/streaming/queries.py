@@ -84,6 +84,22 @@ def _run(df: DataFrame, name: str, spark: SparkSession) -> DataFrame:
     return spark.table(name)
 
 
+def _write_stream_file(df: DataFrame, tmp: str, name: str, mtime: float) -> None:
+    """Write df as ONE parquet file ``<tmp>/in/<name>.parquet`` with an
+    explicit mtime — the file source admits files oldest-mtime-first, so
+    a sequence of these is a deterministic multi-micro-batch arrival
+    order under maxFilesPerTrigger=1."""
+    import os
+    import shutil
+
+    out = os.path.join(tmp, f"w_{name}")
+    df.coalesce(1).write.parquet(out)
+    part = next(f for f in os.listdir(out) if f.endswith(".parquet"))
+    dst = os.path.join(tmp, "in", f"{name}.parquet")
+    shutil.move(os.path.join(out, part), dst)
+    os.utime(dst, (mtime, mtime))
+
+
 @query(
     "stream_windowed_counts",
     oracle="""
@@ -618,22 +634,11 @@ def stream_late_data_metrics_query(spark: SparkSession, sf_dir: str) -> DataFram
     tmp = tempfile.mkdtemp(prefix="stream_late_data_")
     stream_dir = os.path.join(tmp, "in")
     os.makedirs(stream_dir)
-
-    def write_one(df: DataFrame, name: str, mtime: float) -> None:
-        out = os.path.join(tmp, f"w_{name}")
-        df.coalesce(1).write.parquet(out)
-        part = next(
-            f for f in os.listdir(out) if f.endswith(".parquet")
-        )
-        dst = os.path.join(stream_dir, f"{name}.parquet")
-        shutil.move(os.path.join(out, part), dst)
-        os.utime(dst, (mtime, mtime))
-
     import time as _time
 
     now = _time.time()
-    write_one(ev.filter(F.col("event_id") % 10 != 0), "0_ontime", now - 120)
-    write_one(ev.filter(F.col("event_id") % 10 == 0), "1_late", now - 60)
+    _write_stream_file(ev.filter(F.col("event_id") % 10 != 0), tmp, "0_ontime", now - 120)
+    _write_stream_file(ev.filter(F.col("event_id") % 10 == 0), tmp, "1_late", now - 60)
 
     schema = spark.read.parquet(stream_dir).schema
     state: dict[str, object] = {"max_ts": None, "counts": None}
@@ -687,4 +692,170 @@ def stream_late_data_metrics_query(spark: SparkSession, sf_dir: str) -> DataFram
     shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(
         rows, "event_type string, is_late boolean, n_events bigint, total_value double"
+    )
+
+
+@query(
+    "stream_stateful_sessions",
+    # Batch mirror of the custom stateful sessionizer: 30-minute-gap
+    # sessions per user. The stream's chronological file split cannot
+    # split a session wrongly (a cross-batch continuation within the gap
+    # arrives before the watermark can time the session out — see the
+    # query docstring), and the far-future sentinel rows advance the
+    # watermark past every real session's timeout, so the emitted set is
+    # EXACTLY the batch sessionization.
+    oracle="""
+    WITH flagged AS (
+        SELECT
+            user_id,
+            CAST(ts AS TIMESTAMP) AS ts,
+            CASE
+                WHEN lag(ts) OVER w IS NULL THEN 1
+                WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1
+                ELSE 0
+            END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+)
+def stream_stateful_sessions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming via ``applyInPandasWithState`` — the
+    Structured Streaming surface the built-in ``session_window`` query
+    (stream_session_windows) does not exercise: arbitrary per-key state
+    (open-session tuple), explicit event-time timeouts, and hand-rolled
+    emission. Each user's open session lives in the state store as
+    (start, last, count); a batch's rows extend it or close it on a
+    >30-minute gap, and ``EventTimeTimeout`` flushes sessions whose gap
+    window the watermark has passed.
+
+    Determinism of the emitted set: events arrive CHRONOLOGICALLY split
+    into two files (no late data), so a session spanning the boundary
+    cannot be timed out early — its continuation arrives with the very
+    next batch while the watermark still trails the boundary by the
+    1-hour delay (a last-event older than watermark-minus-gap implies
+    the next event is > gap away, i.e. a new session anyway). Two
+    far-future sentinel rows (filtered from the output; not in the
+    events table) then push the watermark past every real timeout, so
+    all remaining open sessions flush during DATA batches — no reliance
+    on no-data-batch semantics — and the result equals batch
+    sessionization exactly.
+
+    Scale shape: state is one fixed-width tuple per ACTIVE user (not per
+    event), evicted on timeout; each micro-batch shuffles only its own
+    rows by user_id. This is the template for any custom stateful
+    operator Spark lacks natively."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    import pandas as pd
+
+    from data_engineering_nd_spark.catalog import load
+
+    gap_minutes = 30
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    ev = load(spark, "events", sf_dir).select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_stateful_sessions_")
+    os.makedirs(os.path.join(tmp, "in"))
+    b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    cut = b["lo"] + (b["hi"] - b["lo"]) / 2
+    now = _time.time()
+    _write_stream_file(ev.filter(F.col("ts") <= F.lit(cut)), tmp, "0_first", now - 240)
+    _write_stream_file(ev.filter(F.col("ts") > F.lit(cut)), tmp, "1_second", now - 180)
+    import datetime as dt
+
+    sent = [(-1, -1, b["hi"] + dt.timedelta(hours=3)),
+            (-2, -1, b["hi"] + dt.timedelta(hours=5))]
+    for i, row in enumerate(sent):
+        _write_stream_file(
+            spark.createDataFrame(
+                [row], "event_id bigint, user_id bigint, ts timestamp"
+            ),
+            tmp, f"{2 + i}_sentinel", now - 120 + i * 60,
+        )
+
+    schema = spark.read.parquet(os.path.join(tmp, "in")).schema
+
+    def sessionize(key, pdfs, state):
+        if state.hasTimedOut:
+            s, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "start_us": [s], "end_us": [last],
+                 "n_events": [n]}
+            )
+            return
+        rows = pd.concat(list(pdfs))
+        ts = rows["ts"]
+        if getattr(ts.dt, "tz", None) is not None:
+            ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
+        us = sorted(int(v) // 1000 for v in ts.astype("int64"))
+        if state.exists:
+            s, last, n = state.get
+        else:
+            s = last = None
+            n = 0
+        closed = []
+        for t in us:
+            if s is None:
+                s, last, n = t, t, 1
+            elif t - last > gap_us:
+                closed.append((key[0], s, last, n))
+                s, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        state.update((int(s), int(last), int(n)))
+        # timeout once the watermark passes the session's gap window
+        state.setTimeoutTimestamp(last // 1000 + gap_minutes * 60 * 1000)
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=["user_id", "start_us", "end_us", "n_events"]
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmp, "in"))
+        .withWatermark("ts", "1 hour")
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        "user_id bigint, start_us bigint, end_us bigint, n_events bigint",
+        "start_us bigint, last_us bigint, n bigint",
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+    result = _run(sessions, "stream_stateful_sessions_sink", spark)
+    rows = result.filter(F.col("user_id") >= 0).collect()
+    shutil.rmtree(tmp, ignore_errors=True)
+    out = spark.createDataFrame(
+        [tuple(r) for r in rows],
+        "user_id bigint, start_us bigint, end_us bigint, n_events bigint",
+    )
+    return out.select(
+        "user_id",
+        F.timestamp_micros("start_us").cast("timestamp_ntz").alias("session_start"),
+        F.timestamp_micros("end_us").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
     )
