@@ -1380,6 +1380,8 @@ def ann_pca_verified_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear projection) under a VALUE-HASH contract via a fixed md5 mean
     and basis. `ann_pca_projection` (trained PCA) stays rows-only — a
     learned SVD basis has no SQL mirror — but the projection machinery it
-    shares with this query is now verified."""
+    shares with this query is now verified. No orderBy: the driver's
+    compare is order-insensitive, and a full-corpus global sort is a
+    range exchange this narrow map plan doesn't need."""
     emb = load(spark, "embeddings", sf_dir)
-    return project_md5(emb.select("vec_id", "embedding")).orderBy("vec_id")
+    return project_md5(emb.select("vec_id", "embedding"))

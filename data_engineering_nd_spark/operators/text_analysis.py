@@ -1019,3 +1019,100 @@ def text_entropy_metrics_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = ensure_parallelism(load(spark, "documents", sf_dir))
     return entropy_metrics(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary tokenization (encode): the step between tokenizer induction
+# (ds_bpe_merge_candidates trains; this applies) and sequence packing
+# ---------------------------------------------------------------------------
+
+
+def vocab_encode_summary(
+    df: DataFrame, id_col: str, text_col: str, vocab_size: int = 256
+) -> DataFrame:
+    """Encode every document against a corpus-derived word vocabulary and
+    return a verifiable per-document encoding summary.
+
+    Vocabulary: the ``vocab_size`` most frequent corpus words (count
+    DESC, word ASC tie-break), token id = rank 1..V; out-of-vocabulary
+    words map to id V+1 (the single UNK id). Rather than returning the
+    encoded id arrays (huge, and pointless to hash through the driver),
+    each document reports its token/OOV counts plus a position-weighted
+    checksum sum((pos+1) * id) — order-sensitive, so the checksum equals
+    the oracle's ONLY if every token id AND its position match: the full
+    encoding is verified without materializing it.
+
+    Scale shape: vocab = one corpus explode + hash-agg, then
+    TakeOrderedAndProject top-V (bounded heap per partition + driver
+    merge of V·partitions rows — no global sort) and a V-row window for
+    ranks; encoding = one posexplode + broadcast hash join on the V-row
+    vocab + one per-doc hash-agg. The corpus is read twice, shuffled only
+    by doc_id for the final agg; ids stay in exact BIGINT arithmetic."""
+    unk = vocab_size + 1
+    wc = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = wc.orderBy(F.desc("n"), "w").limit(vocab_size)
+    w_rank = Window.orderBy(F.desc("n"), "w")
+    vocab = top.withColumn("token_id", F.row_number().over(w_rank)).select(
+        "w", "token_id"
+    )
+    enc = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "w")
+    ).join(F.broadcast(vocab), "w", "left")
+    tid = F.coalesce(F.col("token_id"), F.lit(unk))
+    return enc.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.count(F.when(F.col("token_id").isNull(), F.lit(1)))
+        .cast("bigint")
+        .alias("n_oov"),
+        F.sum((F.col("pos") + 1).cast("bigint") * tid.cast("bigint"))
+        .cast("bigint")
+        .alias("encoding_checksum"),
+    )
+
+
+@query(
+    "text_vocab_encode",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents
+        WHERE trim(text) <> ''
+    ),
+    wc AS (
+        SELECT w, COUNT(*) AS n
+        FROM (SELECT unnest(w) AS w FROM t)
+        GROUP BY w
+    ),
+    vocab AS (
+        SELECT w, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, w) AS INTEGER)
+                   AS token_id
+        FROM wc ORDER BY n DESC, w LIMIT 256
+    ),
+    enc AS (
+        SELECT t.doc_id, CAST(p AS BIGINT) AS pos, t.w[CAST(p AS INT)] AS tok
+        FROM t, unnest(range(1, len(w) + 1)) AS u(p)
+    )
+    SELECT enc.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           CAST(SUM(pos * COALESCE(v.token_id, 257)) AS BIGINT)
+               AS encoding_checksum
+    FROM enc LEFT JOIN vocab v ON enc.tok = v.w
+    GROUP BY enc.doc_id
+    """,
+)
+def text_vocab_encode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-vocabulary encoding summary for every document: top-256
+    word vocabulary (id = frequency rank), per-doc token/OOV counts, and
+    the position-weighted checksum that value-verifies the entire encoded
+    sequence — ids and order — against the SQL mirror."""
+    from data_engineering_nd_spark.catalog import ensure_parallelism
+
+    docs = ensure_parallelism(load(spark, "documents", sf_dir))
+    return vocab_encode_summary(docs, "doc_id", "text", vocab_size=256)

@@ -100,3 +100,23 @@ def test_stratified_sample_fractions(spark):
     assert sampled["error"] == totals["error"]
     assert 0.05 < sampled["click"] / totals["click"] < 0.2  # ~0.1
     assert 0.3 < sampled["signup"] / totals["signup"] < 0.7  # ~0.5
+
+
+def test_vocab_encode_known_corpus(spark):
+    """Tiny corpus with a hand-computable vocabulary: ids follow frequency
+    rank (ties lexicographic), OOV maps to V+1, checksum is position-
+    weighted — verified against a by-hand encoding."""
+    from data_engineering_nd_spark.operators.text_analysis import (
+        vocab_encode_summary,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "b a b"), (2, "a c b")], "doc_id long, text string"
+    )
+    # counts: b=3, a=2, c=1 -> vocab(size=2): b=1, a=2; c is OOV -> 3
+    out = {r.doc_id: r for r in
+           vocab_encode_summary(docs, "doc_id", "text", vocab_size=2).collect()}
+    # doc 1: ids [1,2,1] -> 1*1 + 2*2 + 3*1 = 8
+    assert (out[1].n_tokens, out[1].n_oov, out[1].encoding_checksum) == (3, 0, 8)
+    # doc 2: ids [2,3,1] -> 1*2 + 2*3 + 3*1 = 11
+    assert (out[2].n_tokens, out[2].n_oov, out[2].encoding_checksum) == (3, 1, 11)
