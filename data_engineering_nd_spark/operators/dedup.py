@@ -276,6 +276,59 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return votes.select("id", fp.alias("fp"))
 
 
+def hamming_blocked_pairs(
+    fp: DataFrame, bits: int = 64, max_hamming: int = 3
+) -> DataFrame:
+    """Generic pigeonhole near-dup pairing: an (id, fp) fingerprint frame
+    -> all pairs at Hamming distance <= max_hamming, with EXACT recall and
+    no O(n²) scan. The fingerprint splits into max_hamming+1 chunks; any
+    pair within distance max_hamming agrees on >= 1 full chunk
+    (pigeonhole), so candidates come from one equi-join per chunk
+    (explode × chunks, one shuffle) and only collisions pay the XOR
+    verification. Shared by SimHash text dedup and perceptual-hash image
+    dedup (`multimodal.image_dhash_pairs`); at very large n, chunk-key
+    buckets are uniform (~n/2^chunk_bits) unless the fingerprint space is
+    degenerate — cap hot buckets upstream the way `minhash_lsh_pairs`
+    does if the corpus has giant boilerplate families."""
+    n_chunks = max_hamming + 1
+    bounds = [round(i * bits / n_chunks) for i in range(n_chunks + 1)]
+    spans = [(bounds[i], bounds[i + 1] - bounds[i]) for i in range(n_chunks)]
+    chunks = fp.select(
+        "id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright("fp", start)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for i, (start, width) in enumerate(spans)
+                ]
+            )
+        ).alias("ck"),
+    ).select("id", "fp", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    xor = F.col("a.fp").bitwiseXOR(F.col("b.fp"))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(xor).cast("int").alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:

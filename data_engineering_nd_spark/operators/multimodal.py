@@ -622,3 +622,122 @@ def scene_cuts(
 )
 def multimodal_scene_cuts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scene_cuts(sample_frames(synthetic_media(spark, sf_dir), every_ms=1000))
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup (dHash): the LAION-style near-duplicate sweep
+# over image payloads
+# ---------------------------------------------------------------------------
+
+_DHASH_BITS = 60  # fits signed BIGINT in both engines (same reason as
+                  # dedup._SIMHASH_MD5_BITS; real dHash uses 64 = 8x8)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Difference-hash fingerprint per image -> (id, fp: bigint).
+
+    Real dHash resizes the image to a tiny grid and sets bit b iff
+    pixel[b] > pixel[b+1]. The fake decoder's "pixel stream" IS the
+    payload byte sequence (see `fake_decode_image`), so the
+    resize-equivalent here samples _DHASH_BITS+1 byte positions spread
+    evenly over the payload — position_b = 1 + (n-1)*b // (bits), exact
+    integer arithmetic — and compares neighbors. Scale/offset-invariant
+    over the sampled stream, like the real thing over pixels.
+
+    Entirely JVM expression work (decode + ascii + compare folded into
+    whole-stage codegen) — the fingerprint pass is a narrow scan-side
+    projection with NO Python and no shuffle; with a real codec you'd
+    compute the same 60 bits inside the mapInPandas decode batch instead.
+    """
+    s = F.decode(F.col("payload"), "UTF-8")
+    n = F.length(s)
+
+    def byte_at(pos):  # 1-based Column position
+        return F.ascii(s.substr(pos.cast("int"), F.lit(1)))
+
+    fp = F.lit(0).cast("long")
+    for b in range(_DHASH_BITS):
+        # (n-1)*b / bits is exact: the product is a small int, the divide
+        # is by a constant — floor matches DuckDB's integer //
+        p = F.floor((n - 1) * F.lit(b) / F.lit(_DHASH_BITS)) + 1
+        q = F.floor((n - 1) * F.lit(b + 1) / F.lit(_DHASH_BITS)) + 1
+        bit = F.when(
+            byte_at(p) > byte_at(q),
+            F.shiftleft(F.lit(1).cast("long"), b),
+        ).otherwise(F.lit(0).cast("long"))
+        fp = fp.bitwiseOR(bit)
+    return (
+        media.filter(F.col("kind") == "image")
+        .filter(F.length("payload") >= 2)
+        .select(F.col("media_id").alias("id"), fp.alias("fp"))
+    )
+
+
+def image_dhash_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate image pairs at dHash Hamming <= max_hamming, via the
+    shared pigeonhole chunk blocking (`dedup.hamming_blocked_pairs`) —
+    exact recall, candidate generation by equi-join, never O(n²)."""
+    from data_engineering_nd_spark.operators.dedup import hamming_blocked_pairs
+
+    return hamming_blocked_pairs(
+        image_dhash(media), bits=_DHASH_BITS, max_hamming=max_hamming
+    ).select(
+        F.col("id_a").alias("media_id_a"),
+        F.col("id_b").alias("media_id_b"),
+        "hamming",
+    )
+
+
+@query("multimodal_dhash_dedup")  # oracle registered below (generated SQL)
+def multimodal_dhash_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup sweep over the synthetic image corpus: 60-bit
+    byte-stream dHash + pigeonhole Hamming<=3 blocking. The ASCII corpus
+    makes the whole pipeline SQL-mirrorable (chars == bytes), so the
+    fingerprint construction AND the blocking are value-hash verified —
+    with real codecs only the decode batch changes."""
+    return image_dhash_pairs(synthetic_media(spark, sf_dir), max_hamming=3)
+
+
+def _register_dhash_oracle() -> None:
+    from data_engineering_nd_spark.registry import ORACLE_SQL
+
+    bits = _DHASH_BITS
+    max_hamming = 3
+    n_chunks = max_hamming + 1
+    bounds = [round(i * bits / n_chunks) for i in range(n_chunks + 1)]
+    spans = [(bounds[i], bounds[i + 1] - bounds[i]) for i in range(n_chunks)]
+    bit_terms = "\n               + ".join(
+        f"CASE WHEN ascii(substr(text, CAST((length(text)-1) * {b} // {bits} + 1 AS INT), 1))"
+        f" > ascii(substr(text, CAST((length(text)-1) * {b + 1} // {bits} + 1 AS INT), 1))"
+        f" THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(bits)
+    )
+    chunk_case = " ".join(
+        f"WHEN {i} THEN (fp >> {start}) & {(1 << width) - 1}"
+        for i, (start, width) in enumerate(spans)
+    )
+    ORACLE_SQL["multimodal_dhash_dedup"] = f"""
+    WITH img AS (
+        SELECT doc_id AS media_id, text
+        FROM documents
+        WHERE doc_id % 5 <> 0 AND doc_id % 5 <> 3 AND length(text) >= 2
+    ),
+    fps AS (
+        SELECT media_id AS id,
+               CAST({bit_terms} AS BIGINT) AS fp
+        FROM img
+    ),
+    chunks AS (
+        SELECT id, fp, c,
+               CASE c {chunk_case} END AS key
+        FROM fps, unnest(range({n_chunks})) AS t(c)
+    )
+    SELECT DISTINCT a.id AS media_id_a, b.id AS media_id_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+    FROM chunks a
+    JOIN chunks b ON a.c = b.c AND a.key = b.key AND a.id < b.id
+    WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+    """
+
+
+_register_dhash_oracle()

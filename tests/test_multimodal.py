@@ -198,3 +198,29 @@ def test_scene_cuts_flags_checksum_jumps(spark):
     assert got[1]["first_cut_index"] == 2
     assert got[2]["n_cuts"] == 0
     assert got[2]["first_cut_index"] is None
+
+
+def test_image_dhash_exact_duplicates_collide(spark):
+    """Byte-identical payloads share a fingerprint (hamming 0); a payload
+    with a different byte PATTERN lands far away; pairs surface through
+    the pigeonhole blocking."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_nd_spark.operators.multimodal import (
+        image_dhash,
+        image_dhash_pairs,
+    )
+
+    rows = [
+        (1, "image", ("abcxyz" * 30).encode()),
+        (2, "image", ("abcxyz" * 30).encode()),   # exact dup of 1
+        (3, "image", ("zyxcba" * 30).encode()),   # reversed pattern
+        (4, "video", ("abcxyz" * 30).encode()),   # wrong kind: excluded
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    fps = {r["id"]: r["fp"] for r in image_dhash(df).collect()}
+    assert set(fps) == {1, 2, 3}
+    assert fps[1] == fps[2]
+    assert bin(fps[1] ^ fps[3]).count("1") > 3
+    pairs = image_dhash_pairs(df, max_hamming=3).collect()
+    assert [(r.media_id_a, r.media_id_b, r.hamming) for r in pairs] == [(1, 2, 0)]
