@@ -558,3 +558,143 @@ def dq_distribution_drift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi=500_000.0,
         n_buckets=10,
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative expectation suite: N checks per table in ONE pass
+# ---------------------------------------------------------------------------
+
+
+def expectation_suite(
+    df: DataFrame,
+    table_name: str,
+    checks: "list[tuple[str, Column, int, str]]",
+) -> DataFrame:
+    """Evaluate a list of declarative expectations over ``df`` in ONE
+    aggregation pass and return the long-format report
+    (table_name, expectation, observed, threshold, op, passed).
+
+    Each check is (name, observed_agg_expr -> BIGINT, threshold, op)
+    with op '>=' (observed must reach threshold, e.g. row counts) or
+    '<=' (observed must not exceed it, e.g. violation counts). All
+    observations are exact integer counts, so pass/fail decisions are
+    bit-identical across engines and retries — the same reason
+    volume_anomalies uses integer moments.
+
+    This generalizes the reference's DataQualityOperator
+    (dq checks driven by {'table', 'expected_result'} dicts,
+    Capstone airflow/plugins/operators/data_quality.py) into the
+    dbt-test / Great-Expectations shape: N expectations cost ONE
+    scan + ONE 1-row aggregate per table, not N queries — at 100 TB
+    the difference between a nightly suite and an all-day one. A
+    failing expectation is a report ROW (passed=false), not a query
+    error, so one bad check can't hide the rest of the suite."""
+    aggs = [c.cast("bigint").alias(f"_e{i}") for i, (n, c, t, o) in enumerate(checks)]
+    row = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("expectation"),
+                F.col(f"_e{i}").alias("observed"),
+                F.lit(int(threshold)).cast("bigint").alias("threshold"),
+                F.lit(op).alias("op"),
+            )
+            for i, (name, _, threshold, op) in enumerate(checks)
+        ]
+    )
+    passed = F.when(
+        F.col("e.op") == ">=", F.col("e.observed") >= F.col("e.threshold")
+    ).otherwise(F.col("e.observed") <= F.col("e.threshold"))
+    return row.select(F.explode(entries).alias("e")).select(
+        F.lit(table_name).alias("table_name"),
+        F.col("e.expectation").alias("expectation"),
+        F.col("e.observed").alias("observed"),
+        F.col("e.threshold").alias("threshold"),
+        F.col("e.op").alias("op"),
+        passed.alias("passed"),
+    )
+
+
+@query(
+    "dq_expectation_suite",
+    oracle="""
+    WITH o AS (
+        SELECT COUNT(*) AS cnt,
+               COUNT(*) - COUNT(DISTINCT o_orderkey) AS pk_dupes,
+               SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS custkey_nulls,
+               SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpos_total,
+               SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+                   AS status_domain
+        FROM orders
+    ),
+    l AS (
+        SELECT COUNT(*) AS cnt,
+               SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS orderkey_nulls,
+               SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+                   AS qty_range,
+               SUM(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) AS high_discount
+        FROM lineitem
+    )
+    SELECT * FROM (
+        SELECT 'orders' AS table_name, 'row_count_min' AS expectation,
+               CAST(cnt AS BIGINT) AS observed, CAST(100 AS BIGINT) AS threshold,
+               '>=' AS op, cnt >= 100 AS passed FROM o
+        UNION ALL
+        SELECT 'orders', 'pk_unique_violations', CAST(pk_dupes AS BIGINT),
+               CAST(0 AS BIGINT), '<=', pk_dupes <= 0 FROM o
+        UNION ALL
+        SELECT 'orders', 'custkey_nulls', CAST(custkey_nulls AS BIGINT),
+               CAST(0 AS BIGINT), '<=', custkey_nulls <= 0 FROM o
+        UNION ALL
+        SELECT 'orders', 'totalprice_nonpositive', CAST(nonpos_total AS BIGINT),
+               CAST(0 AS BIGINT), '<=', nonpos_total <= 0 FROM o
+        UNION ALL
+        SELECT 'orders', 'status_domain_violations', CAST(status_domain AS BIGINT),
+               CAST(0 AS BIGINT), '<=', status_domain <= 0 FROM o
+        UNION ALL
+        SELECT 'lineitem', 'row_count_min', CAST(cnt AS BIGINT),
+               CAST(100 AS BIGINT), '>=', cnt >= 100 FROM l
+        UNION ALL
+        SELECT 'lineitem', 'orderkey_nulls', CAST(orderkey_nulls AS BIGINT),
+               CAST(0 AS BIGINT), '<=', orderkey_nulls <= 0 FROM l
+        UNION ALL
+        SELECT 'lineitem', 'quantity_range_violations', CAST(qty_range AS BIGINT),
+               CAST(0 AS BIGINT), '<=', qty_range <= 0 FROM l
+        UNION ALL
+        SELECT 'lineitem', 'discount_above_8pct', CAST(high_discount AS BIGINT),
+               CAST(0 AS BIGINT), '<=', high_discount <= 0 FROM l
+    )
+    """,
+)
+def dq_expectation_suite_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nine declarative expectations over orders and lineitem, one scan
+    per table: row-count floors, PK uniqueness, null-free FKs, value
+    ranges, and a domain check — plus one deliberately tight rule
+    (discount_above_8pct) that FAILS on TPC-H data, pinning that the
+    suite reports failures as rows instead of dying on them."""
+    from data_engineering_nd_spark.catalog import load
+
+    o = load(spark, "orders", sf_dir)
+    li = load(spark, "lineitem", sf_dir)
+    cnt = F.count(F.lit(1))
+    orders_checks = [
+        ("row_count_min", cnt, 100, ">="),
+        ("pk_unique_violations", cnt - F.countDistinct("o_orderkey"), 0, "<="),
+        ("custkey_nulls", F.count(F.when(F.col("o_custkey").isNull(), 1)), 0, "<="),
+        ("totalprice_nonpositive",
+         F.count(F.when(F.col("o_totalprice") <= 0, 1)), 0, "<="),
+        ("status_domain_violations",
+         F.count(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)), 0, "<="),
+    ]
+    lineitem_checks = [
+        ("row_count_min", cnt, 100, ">="),
+        ("orderkey_nulls", F.count(F.when(F.col("l_orderkey").isNull(), 1)), 0, "<="),
+        ("quantity_range_violations",
+         F.count(F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)),
+         0, "<="),
+        ("discount_above_8pct",
+         F.count(F.when(F.col("l_discount") > 0.08, 1)), 0, "<="),
+    ]
+    return expectation_suite(o, "orders", orders_checks).unionByName(
+        expectation_suite(li, "lineitem", lineitem_checks)
+    )

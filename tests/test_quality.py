@@ -289,3 +289,31 @@ def test_distribution_drift_zero_for_identical_and_positive_for_shifted(spark):
     assert total_psi > 0.2  # the standard "distribution moved" alarm level
     # clamping: values beyond hi land in the last bucket, not dropped
     assert sum(r["cur_cnt"] for r in rows) == 100
+
+
+def test_expectation_suite_reports_failures_as_rows(spark):
+    """A failing expectation is a passed=false ROW, not an error; ops and
+    thresholds drive the decision; all observations are exact counts."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_nd_spark.operators.quality import expectation_suite
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "x"), (2, "y")], "k long, v string"
+    )
+    out = {
+        r["expectation"]: r
+        for r in expectation_suite(
+            df,
+            "t",
+            [
+                ("row_count_min", F.count(F.lit(1)), 5, ">="),
+                ("pk_dupes", F.count(F.lit(1)) - F.countDistinct("k"), 0, "<="),
+                ("v_nulls", F.count(F.when(F.col("v").isNull(), 1)), 1, "<="),
+            ],
+        ).collect()
+    }
+    assert not out["row_count_min"]["passed"] and out["row_count_min"]["observed"] == 3
+    assert not out["pk_dupes"]["passed"] and out["pk_dupes"]["observed"] == 1
+    assert out["v_nulls"]["passed"] and out["v_nulls"]["observed"] == 1
+    assert all(r["table_name"] == "t" for r in out.values())
