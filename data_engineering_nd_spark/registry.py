@@ -198,6 +198,7 @@ def load_all_modules() -> None:
     import data_engineering_nd_spark.i94_parity  # noqa: F401
     import data_engineering_nd_spark.operators.datasets  # noqa: F401
     import data_engineering_nd_spark.operators.dedup  # noqa: F401
+    import data_engineering_nd_spark.operators.dimensions  # noqa: F401
     import data_engineering_nd_spark.operators.graph  # noqa: F401
     import data_engineering_nd_spark.operators.joins  # noqa: F401
     import data_engineering_nd_spark.operators.multimodal  # noqa: F401
