@@ -162,13 +162,17 @@ class VersionedTable:
         }
 
     def _read_files(self, files: list[str], schema_json: str) -> DataFrame:
-        if not files:
-            from pyspark.sql.types import StructType
+        from pyspark.sql.types import StructType
 
-            return self.spark.createDataFrame(
-                [], StructType.fromJson(json.loads(schema_json))
-            )
-        return self.spark.read.parquet(
+        schema = StructType.fromJson(json.loads(schema_json))
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        # Always read with the MANIFEST schema, not footer inference: a
+        # snapshot whose schema evolved (append with added columns) lists
+        # files written under older schemas — the explicit schema makes
+        # Spark fill their missing columns with null instead of resolving
+        # against whichever footer it reads first.
+        return self.spark.read.schema(schema).parquet(
             *[os.path.join(self.root, f) for f in files]
         )
 
@@ -187,21 +191,51 @@ class VersionedTable:
 
     def commit(self, df: DataFrame, mode: str = "overwrite") -> dict:
         """Publish df as the next snapshot. 'overwrite' replaces the file
-        set; 'append' adds the new files to the previous snapshot's set
-        (old files carried over BY REFERENCE — nothing is rewritten)."""
+        set (and the schema); 'append' adds the new files to the previous
+        snapshot's set (old files carried over BY REFERENCE — nothing is
+        rewritten) and EVOLVES the schema additively: new columns in df
+        are appended to the table schema, old files read them as null;
+        same-name columns must keep their type. Time travel to an older
+        version still reads under that version's own schema."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
         prev = self.latest_version()
         version = 0 if prev is None else prev + 1
         files = self._write_files(df, version)
         sizes = self._file_sizes(files)
+        schema_json = df.schema.json()
         if mode == "append" and prev is not None:
             pm = self._manifest(prev)
             files += pm["files"]
             sizes.update(self._file_sizes(pm["files"], pm))
+            schema_json = self._evolve_schema(pm["schema"], df.schema.json())
         return self._publish(
-            version, files, mode, df.schema.json(), sizes
+            version, files, mode, schema_json, sizes
         )
+
+    @staticmethod
+    def _evolve_schema(old_json: str, new_json: str) -> str:
+        """Additive schema evolution: old columns keep their order and
+        types, brand-new columns append. A same-name column with a
+        different type is a conflict (a silent cast would corrupt either
+        the old files or the new ones) and raises."""
+        from pyspark.sql.types import StructType
+
+        old = StructType.fromJson(json.loads(old_json))
+        new = StructType.fromJson(json.loads(new_json))
+        by_name = {f.name: f for f in old.fields}
+        fields = list(old.fields)
+        for f in new.fields:
+            have = by_name.get(f.name)
+            if have is None:
+                fields.append(f)
+            elif have.dataType != f.dataType:
+                raise ValueError(
+                    f"schema conflict on column {f.name!r}: "
+                    f"{have.dataType.simpleString()} vs "
+                    f"{f.dataType.simpleString()}"
+                )
+        return StructType(fields).json()
 
     def merge(self, source: DataFrame, key_cols: list[str]) -> dict:
         """Upsert (MERGE): rows in ``source`` replace snapshot rows with

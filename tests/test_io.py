@@ -281,3 +281,31 @@ def test_orc_roundtrip_partitioned(spark, tmp_path):
     assert any(d.startswith("grp=") for d in os.listdir(path))
     plan = back.filter(back.grp == "x")._jdf.queryExecution().executedPlan().toString()
     assert "x" in plan
+
+
+def test_overwrite_partitions_replaces_only_touched_days(spark, tmp_path):
+    """Dynamic partition overwrite: re-loading one day swaps that day's
+    rows and leaves sibling partitions byte-untouched."""
+    import os
+
+    from data_engineering_nd_spark.io import overwrite_partitions, write
+
+    path = str(tmp_path / "days")
+    base = spark.createDataFrame(
+        [(1, "d1"), (2, "d2"), (3, "d3")], "v long, day string"
+    )
+    write(base, path, partition_keys=("day",))
+    d1_files = sorted(os.listdir(os.path.join(path, "day=d1")))
+
+    fix = spark.createDataFrame([(20, "d2"), (21, "d2")], "v long, day string")
+    res = overwrite_partitions(fix, path, ("day",))
+    assert res.rows == 2
+
+    rows = spark.read.parquet(path).collect()
+    by_day = {}
+    for r in rows:
+        by_day.setdefault(r.day, []).append(r.v)
+    assert sorted(by_day["d2"]) == [20, 21]          # replaced
+    assert by_day["d1"] == [1] and by_day["d3"] == [3]  # survived
+    # d1's physical files are the very same ones (not rewritten)
+    assert sorted(os.listdir(os.path.join(path, "day=d1"))) == d1_files

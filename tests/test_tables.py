@@ -158,3 +158,26 @@ def test_repeated_merge_plus_optimize_converges_file_count(spark, table):
     rows = {r["k"]: r["v"] for r in table.snapshot().collect()}
     assert len(rows) == 100
     assert rows[2] == 99992 and rows[27] == 99992 and rows[3] == 30
+
+
+def test_append_evolves_schema_additively(spark, table):
+    """Appending a frame with a new column evolves the snapshot schema;
+    old files read the new column as null; time travel to the old
+    version keeps the old schema; a type conflict raises."""
+    import pytest
+
+    v0 = spark.createDataFrame([(1, "a")], "k long, v string")
+    table.commit(v0, mode="overwrite")
+    v1 = spark.createDataFrame([(2, "b", 9.5)], "k long, v string, score double")
+    table.commit(v1, mode="append")
+
+    snap = table.snapshot()
+    assert snap.columns == ["k", "v", "score"]
+    rows = {r.k: r for r in snap.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
+    assert table.snapshot(version=0).columns == ["k", "v"]
+
+    bad = spark.createDataFrame([(3, "c", "not-a-double")],
+                                "k long, v string, score string")
+    with pytest.raises(ValueError, match="schema conflict"):
+        table.commit(bad, mode="append")
