@@ -1139,75 +1139,92 @@ def ds_shard_manifest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def assign_epoch_shards(
-    perm: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
     token_col: str = "n_tokens",
     budget: int = 2000,
+    epoch: int = 0,
     n_buckets: int = 256,
 ) -> DataFrame:
-    """Assign every permuted row to a TOKEN-budget-bounded shard and emit
-    the per-shard manifest. ``shard_manifest`` cuts by row count; real
-    training shards are cut by token mass so each output file feeds the
-    loader a near-constant number of steps: shard_id =
-    floor(cum_tokens_before / budget), where cum_tokens_before is the
-    exclusive running token total in ``training_pos`` order (greedy
-    sharding — every non-last shard's mass lands strictly inside
-    budget ± max_doc_tokens, since a document that straddles a budget
-    boundary stays whole in the earlier shard).
+    """Permute the corpus for ``epoch`` AND assign every row its
+    TOKEN-budget-bounded shard — fused into ONE bucket shuffle.
+    ``shard_manifest`` cuts by row count; real training shards are cut by
+    token mass so each output file feeds the loader a near-constant
+    number of steps: shard_id = floor(cum_tokens_before / budget), where
+    cum_tokens_before is the exclusive running token total in
+    ``training_pos`` order (greedy sharding — every non-last shard's mass
+    lands strictly inside budget ± max_doc_tokens, since a document that
+    straddles a budget boundary stays whole in the earlier shard).
 
-    Scale shape — the global exclusive cumsum reuses the permutation's
-    own md5-prefix bucket decomposition (``training_pos`` order IS
-    bucket-major order, because the bucket is a prefix of the sort key):
-    within-bucket exclusive running sum (window per bucket, ~n/256 rows
-    each), plus per-bucket token offsets (one ≤n_buckets-row aggregate,
-    prefix-summed on the driver and broadcast back — the same bounded
-    driver pull as ``epoch_permutation``). Shard arithmetic stays in
-    exact BIGINT ``div`` — no doubles, so no precision cliff when
-    cumulative tokens pass 2^53 at real corpus sizes. The manifest is one
-    hash-agg on shard_id."""
+    Scale shape — the fusion is the point (an earlier round composed
+    ``epoch_permutation`` + a join + a second bucket window: three
+    corpus shuffles; this is one): the md5-prefix bucket is a PREFIX of
+    the global sort key, so a single per-bucket window pass — shared
+    exchange and sort — produces BOTH the dense rank (row_number) and
+    the exclusive token cumsum, and one ≤n_buckets-row aggregate
+    driver-pull yields both row and token offsets. Shard arithmetic
+    stays in exact BIGINT ``div`` — no doubles, so no precision cliff
+    when cumulative tokens pass 2^53 at real corpus sizes.
+
+    Returns (id, shuffle_key, training_pos, token_col, shard_id)."""
     from pyspark.sql.window import Window
 
-    bucketed = perm.withColumn(
+    key = (
+        F.md5(F.col(id_col).cast("string"))
+        if epoch == 0
+        else F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{epoch}")))
+    )
+    keyed = df.select(
+        F.col(id_col), F.col(token_col), key.alias("shuffle_key")
+    ).withColumn(
         "_bucket",
         F.conv(F.substring("shuffle_key", 1, 2), 16, 10).cast("int") % n_buckets,
     )
-    tok_counts = sorted(
-        bucketed.groupBy("_bucket").agg(F.sum(token_col).alias("t")).collect(),
+    stats = sorted(
+        keyed.groupBy("_bucket")
+        .agg(F.count(F.lit(1)).alias("c"), F.sum(token_col).alias("t"))
+        .collect(),
         key=lambda r: r["_bucket"],
     )
-    offsets, acc = [], 0
-    for r in tok_counts:
-        offsets.append((r["_bucket"], acc))
-        acc += r["t"]
+    offsets, racc, tacc = [], 0, 0
+    for r in stats:
+        offsets.append((r["_bucket"], racc, tacc))
+        racc += r["c"]
+        tacc += r["t"]
     off = F.broadcast(
-        perm.sparkSession.createDataFrame(offsets, ["_bucket", "_offset"])
+        df.sparkSession.createDataFrame(
+            offsets, ["_bucket", "_row_off", "_tok_off"]
+        )
     )
-    w_in = (
-        Window.partitionBy("_bucket")
-        .orderBy("training_pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    w = Window.partitionBy("_bucket").orderBy("shuffle_key", id_col)
+    w_excl = w.rowsBetween(Window.unboundedPreceding, -1)
     return (
-        bucketed.withColumn(
-            "_run", F.coalesce(F.sum(token_col).over(w_in), F.lit(0))
-        )
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_run", F.coalesce(F.sum(token_col).over(w_excl), F.lit(0)))
         .join(off, "_bucket")
-        .withColumn(
-            "shard_id",
-            F.expr(f"(_offset + _run) div {int(budget)}").cast("bigint"),
+        .select(
+            id_col,
+            "shuffle_key",
+            (F.col("_row_off") + F.col("_rn")).cast("bigint").alias("training_pos"),
+            token_col,
+            F.expr(f"(_tok_off + _run) div {int(budget)}")
+            .cast("bigint")
+            .alias("shard_id"),
         )
-        .drop("_bucket", "_run", "_offset")
     )
 
 
 def epoch_shards(
-    perm: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
     token_col: str = "n_tokens",
     budget: int = 2000,
+    epoch: int = 0,
     n_buckets: int = 256,
 ) -> DataFrame:
     """Per-shard manifest over :func:`assign_epoch_shards` — one hash-agg
     on shard_id (docs, position range, token mass per output file)."""
-    assigned = assign_epoch_shards(perm, token_col, budget, n_buckets)
+    assigned = assign_epoch_shards(df, id_col, token_col, budget, epoch, n_buckets)
     return assigned.groupBy("shard_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("training_pos").alias("min_pos"),
@@ -1217,10 +1234,12 @@ def epoch_shards(
 
 
 def write_epoch_shards(
-    perm: DataFrame,
+    df: DataFrame,
     path: str,
+    id_col: str = "doc_id",
     token_col: str = "n_tokens",
     budget: int = 2000,
+    epoch: int = 0,
     n_buckets: int = 256,
 ) -> DataFrame:
     """Materialize a training epoch: every permuted row lands in its
@@ -1237,7 +1256,7 @@ def write_epoch_shards(
     ``partitionBy`` write emits one directory per shard; shard count =
     corpus_tokens/budget, sized so each file is a sane parquet object
     (hundreds of MB at production budgets)."""
-    assigned = assign_epoch_shards(perm, token_col, budget, n_buckets)
+    assigned = assign_epoch_shards(df, id_col, token_col, budget, epoch, n_buckets)
     (
         assigned.repartition(F.col("shard_id"))
         .sortWithinPartitions("training_pos")
@@ -1245,7 +1264,7 @@ def write_epoch_shards(
         .partitionBy("shard_id")
         .parquet(path)
     )
-    spark = perm.sparkSession
+    spark = df.sparkSession
     written = spark.read.parquet(path)
     return written.groupBy("shard_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1283,19 +1302,18 @@ def write_epoch_shards(
     """,
 )
 def ds_epoch_shards_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Epoch-0 training shards cut at a 2000-token budget: permutation →
-    token-mass shard assignment → per-shard manifest (docs, position
-    range, token mass). The bucket-decomposed exclusive cumsum is
-    hash-verified against the oracle's flat running-sum window; the same
-    shard_id column feeds ``partitionBy`` on the actual write."""
+    """Epoch-0 training shards cut at a 2000-token budget: fused
+    permutation + token-mass shard assignment → per-shard manifest
+    (docs, position range, token mass). The single-window-pass
+    decomposition is hash-verified against the oracle's flat running-sum
+    window; the same shard_id column feeds ``partitionBy`` on the actual
+    write."""
     from data_engineering_nd_spark.functions.text import token_count
 
-    docs = load(spark, "documents", sf_dir)
-    perm = epoch_permutation(docs, "doc_id", epoch=0)
-    with_tokens = perm.join(
-        docs.select("doc_id", token_count("text").alias("n_tokens")), "doc_id"
+    docs = load(spark, "documents", sf_dir).select(
+        "doc_id", token_count("text").alias("n_tokens")
     )
-    return epoch_shards(with_tokens, token_col="n_tokens", budget=2000)
+    return epoch_shards(docs, "doc_id", "n_tokens", budget=2000)
 
 
 # ---------------------------------------------------------------------------

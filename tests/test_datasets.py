@@ -383,18 +383,14 @@ def test_epoch_shards_greedy_invariants(spark):
     from pyspark.sql import functions as F
 
     from data_engineering_nd_spark.functions.text import token_count
-    from data_engineering_nd_spark.operators.datasets import (
-        epoch_permutation,
-        epoch_shards,
-    )
+    from data_engineering_nd_spark.operators.datasets import epoch_shards
     from data_engineering_nd_spark.catalog import load
 
     budget = 500
     docs = load(spark, "documents", "/root/testdata/sf0.001")
     toks = docs.select("doc_id", token_count("text").alias("n_tokens"))
-    perm = epoch_permutation(docs, "doc_id", epoch=0).join(toks, "doc_id")
     rows = sorted(
-        epoch_shards(perm, budget=budget).collect(), key=lambda r: r["shard_id"]
+        epoch_shards(toks, budget=budget).collect(), key=lambda r: r["shard_id"]
     )
     max_doc = toks.agg(F.max("n_tokens")).collect()[0][0]
     total = toks.agg(F.sum("n_tokens")).collect()[0][0]
@@ -430,13 +426,12 @@ def test_write_epoch_shards_materializes_training_order(spark, tmp_path):
 
     docs = load(spark, "documents", "/root/testdata/sf0.001")
     toks = docs.select("doc_id", token_count("text").alias("n_tokens"))
-    perm = epoch_permutation(docs, "doc_id", epoch=0).join(toks, "doc_id")
     out = os.path.join(str(tmp_path), "epoch0")
 
-    planned = {r["shard_id"]: r for r in epoch_shards(perm, budget=500).collect()}
+    planned = {r["shard_id"]: r for r in epoch_shards(toks, budget=500).collect()}
     written = {
         r["shard_id"]: r
-        for r in write_epoch_shards(perm, out, budget=500).collect()
+        for r in write_epoch_shards(toks, out, budget=500).collect()
     }
     assert set(planned) == set(written)
     for sid, p in planned.items():
@@ -458,5 +453,10 @@ def test_write_epoch_shards_materializes_training_order(spark, tmp_path):
         .select("doc_id", "training_pos")
         .collect()
     )
-    want = perm.orderBy("training_pos").select("doc_id", "training_pos").collect()
+    want = (
+        epoch_permutation(docs, "doc_id", epoch=0)
+        .orderBy("training_pos")
+        .select("doc_id", "training_pos")
+        .collect()
+    )
     assert [tuple(r) for r in back] == [tuple(r) for r in want]
