@@ -209,3 +209,98 @@ def test_common_neighbor_candidates_properties(spark, edges):
         for b in nodes[i + 1 :]:
             if b not in adj[a] and adj[a] & adj[b]:
                 assert (a, b) in got, (a, b)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=(1 << 60) - 1),
+        min_size=2,
+        max_size=24,
+        unique=True,
+    ),
+    st.integers(min_value=0, max_value=4),
+)
+def test_hamming_blocked_pairs_exact_recall(spark, fps, max_h):
+    """Pigeonhole blocking is EXACT: for random 60-bit fingerprints the
+    blocked pair set equals the brute-force all-pairs Hamming filter —
+    no pair within the threshold is ever lost to blocking."""
+    from data_engineering_nd_spark.operators.dedup import hamming_blocked_pairs
+
+    df = spark.createDataFrame(
+        [(i, fp) for i, fp in enumerate(fps)], "id long, fp long"
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_blocked_pairs(df, bits=60, max_hamming=max_h).collect()
+    }
+    want = {
+        (i, j, bin(fps[i] ^ fps[j]).count("1"))
+        for i in range(len(fps))
+        for j in range(i + 1, len(fps))
+        if bin(fps[i] ^ fps[j]).count("1") <= max_h
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=200),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=50, max_value=400),
+)
+def test_epoch_shards_tile_any_token_distribution(spark, token_counts, budget):
+    """For arbitrary token distributions the fused shard assignment
+    conserves docs/tokens, tiles positions contiguously, and respects
+    the greedy mass bounds."""
+    from data_engineering_nd_spark.operators.datasets import epoch_shards
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(token_counts)], "doc_id long, n_tokens long"
+    )
+    rows = sorted(
+        epoch_shards(df, budget=budget).collect(), key=lambda r: r["shard_id"]
+    )
+    assert sum(r["n_docs"] for r in rows) == len(token_counts)
+    assert sum(r["total_tokens"] for r in rows) == sum(token_counts)
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_pos"] + 1 == b["min_pos"]
+    mx = max(token_counts)
+    for r in rows[:-1]:
+        assert r["total_tokens"] > budget - mx
+    for r in rows:
+        assert r["total_tokens"] < budget + mx
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.sampled_from(["A", "B", "C", None])),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_scd2_replay_is_idempotent(spark, updates):
+    """Applying the SAME batch twice (a retry) changes nothing the second
+    time — the no-churn rule makes SCD2 idempotent to redelivery."""
+    import datetime as dt
+
+    from data_engineering_nd_spark.operators.dimensions import scd2_apply
+
+    t0, t1 = dt.datetime(2020, 1, 1), dt.datetime(2024, 1, 1)
+    base = spark.createDataFrame(
+        [(k, "A", t0, None, True) for k in range(5)],
+        "k long, seg string, effective_from timestamp_ntz, "
+        "effective_to timestamp_ntz, is_current boolean",
+    )
+    upd = spark.createDataFrame(list(updates), "k long, seg string")
+    once = scd2_apply(base, upd, "k", ["seg"], t1)
+    twice = scd2_apply(once, upd, "k", ["seg"], t1)
+    key = lambda r: tuple(map(str, r))  # noqa: E731 — None-safe ordering
+    a = sorted(map(tuple, once.collect()), key=key)
+    b = sorted(map(tuple, twice.collect()), key=key)
+    assert a == b
