@@ -1193,3 +1193,152 @@ def _register_simhash_md5_oracle() -> None:
 
 
 _register_simhash_md5_oracle()
+
+
+# ---------------------------------------------------------------------------
+# LSH quality evaluation: recall of the banded construction vs exact Jaccard
+# ---------------------------------------------------------------------------
+
+
+def lsh_recall_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """One-row report comparing the md5 MinHash-LSH pipeline against the
+    exact all-pairs Jaccard ground truth on the SAME corpus: document
+    count, true pair count, LSH-recovered pair count, and recall in
+    exact e4 units. This is the evaluation loop a dedup pipeline owner
+    runs when tuning (num_hashes, bands, threshold) — the S-curve math
+    predicts recall, this measures it.
+
+    LSH output is verified against true Jaccard at the same threshold,
+    so it is a SUBSET of the exact pair set by construction — recall is
+    the whole story (precision is 1 after verification). The exact side
+    is a deliberate all-pairs self-join: run it on a bounded evaluation
+    SAMPLE (the caller gates the corpus), never the full corpus — the
+    point of LSH is that the full corpus can't afford this join, and the
+    report quantifies what that shortcut costs on a slice that can.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(text_col, k=shingle_k).alias("shingles"),
+    ).filter(F.size("shingles") > 0).localCheckpoint()
+    a = base.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = base.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    exact = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b")
+    )
+    lsh = minhash_lsh_pairs_md5(
+        df, id_col, text_col, threshold=threshold, shingle_k=shingle_k
+    ).select("id_a", "id_b")
+    n_docs = base.count()
+    stats = exact.withColumn("_x", F.lit(1)).join(
+        lsh.withColumn("_l", F.lit(1)), ["id_a", "id_b"], "full_outer"
+    ).agg(
+        F.count(F.when(F.col("_x").isNotNull(), 1)).alias("n_exact_pairs"),
+        F.count(F.when(F.col("_l").isNotNull(), 1)).alias("n_lsh_pairs"),
+        F.count(F.when(F.col("_x").isNotNull() & F.col("_l").isNotNull(), 1)).alias(
+            "n_matched"
+        ),
+    )
+    return stats.select(
+        F.lit(n_docs).cast("bigint").alias("n_docs"),
+        F.col("n_exact_pairs").cast("bigint"),
+        F.col("n_lsh_pairs").cast("bigint"),
+        F.col("n_matched").cast("bigint"),
+        F.expr("n_matched * 10000 div n_exact_pairs").cast("bigint").alias(
+            "recall_e4"
+        ),
+    )
+
+
+@query(
+    "dedup_lsh_recall",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id AS id,
+               string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents
+        WHERE doc_id < 200 AND trim(text) <> ''
+    ),
+    sets AS (
+        SELECT id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(w) - 2, 1) + 1),
+                   i -> array_to_string(w[i:i+2], ' '))) AS shingles
+        FROM toks
+        WHERE len(list_distinct(list_transform(
+                   range(1, greatest(len(w) - 2, 1) + 1),
+                   i -> array_to_string(w[i:i+2], ' ')))) > 0
+    ),
+    exact AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM sets a JOIN sets b ON a.id < b.id
+        WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                    / CAST(len(a.shingles) + len(b.shingles)
+                           - len(list_intersect(a.shingles, b.shingles))
+                      AS DOUBLE), 6) >= 0.5
+    ),
+    hashed AS (
+        SELECT id, p,
+               MIN(CAST(concat('0x',
+                   substr(md5(s || ':' || CAST(p AS VARCHAR)), 1, 15))
+                   AS BIGINT)) AS mh
+        FROM (SELECT id, unnest(shingles) AS s FROM sets),
+             unnest(range(16)) AS t(p)
+        GROUP BY id, p
+    ),
+    bands AS (
+        SELECT id, CAST(p // 4 AS INT) AS band,
+               STRING_AGG(CAST(mh AS VARCHAR), ',' ORDER BY p) AS bucket
+        FROM hashed GROUP BY id, p // 4
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    lsh AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN sets sa ON sa.id = c.id_a
+        JOIN sets sb ON sb.id = c.id_b
+        WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                    / CAST(len(sa.shingles) + len(sb.shingles)
+                           - len(list_intersect(sa.shingles, sb.shingles))
+                      AS DOUBLE), 6) >= 0.5
+    )
+    SELECT (SELECT COUNT(*) FROM sets) AS n_docs,
+           (SELECT COUNT(*) FROM exact) AS n_exact_pairs,
+           (SELECT COUNT(*) FROM lsh) AS n_lsh_pairs,
+           (SELECT COUNT(*) FROM exact e
+            WHERE EXISTS (SELECT 1 FROM lsh l
+                          WHERE l.id_a = e.id_a AND l.id_b = e.id_b))
+               AS n_matched,
+           (SELECT COUNT(*) FROM exact e
+            WHERE EXISTS (SELECT 1 FROM lsh l
+                          WHERE l.id_a = e.id_a AND l.id_b = e.id_b))
+               * 10000 // (SELECT COUNT(*) FROM exact) AS recall_e4
+    """,
+)
+def dedup_lsh_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the 16-hash/4-band md5 MinHash-LSH against the
+    exact all-pairs Jaccard-0.5 ground truth on the doc_id<200 evaluation
+    slice — both sides AND the comparison value-hashed cross-engine."""
+    from data_engineering_nd_spark.catalog import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    )
+    return lsh_recall_report(docs, "doc_id", "text", threshold=0.5)
