@@ -1385,3 +1385,123 @@ def ann_pca_verified_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     range exchange this narrow map plan doesn't need."""
     emb = load(spark, "embeddings", sf_dir)
     return project_md5(emb.select("vec_id", "embedding"))
+
+
+def ann_recall_report(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """One-row recall@k report for the md5-SRP-LSH index against exact
+    brute-force cosine on the same query set — the tuning loop for
+    (n_planes, bucket width): collision probability per plane is
+    1 - angle/pi, this measures what that means on the actual corpus.
+    A true top-k neighbor counts as hit when the LSH path returns the
+    same (query, neighbor) pair at any rank. Exact e4 integer recall,
+    so the report value-hashes cross-engine."""
+    truth = brute_force_topk(vectors, queries, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = lsh_topk_md5(
+        vectors, queries, k=k, n_planes=n_planes, dim=dim
+    ).select("query_id", "neighbor_id")
+    joined = truth.withColumn("_t", F.lit(1)).join(
+        approx.withColumn("_a", F.lit(1)), ["query_id", "neighbor_id"], "full_outer"
+    )
+    return joined.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.when(F.col("_t").isNotNull(), 1)).alias("n_true_pairs"),
+        F.count(F.when(F.col("_a").isNotNull(), 1)).alias("n_lsh_pairs"),
+        F.count(F.when(F.col("_t").isNotNull() & F.col("_a").isNotNull(), 1)).alias(
+            "n_hits"
+        ),
+    ).select(
+        F.lit(k).cast("int").alias("k"),
+        "n_queries",
+        "n_true_pairs",
+        "n_lsh_pairs",
+        "n_hits",
+        F.expr("n_hits * 10000 div n_true_pairs").cast("bigint").alias("recall_e4"),
+    )
+
+
+@query(
+    "ann_recall_report",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings
+    ),
+    q AS (SELECT * FROM v WHERE vec_id < 10),
+    truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                ROW_NUMBER() OVER (
+                    PARTITION BY q.vec_id
+                    ORDER BY list_dot_product(q.emb, v.emb)
+                        / (sqrt(list_dot_product(q.emb, q.emb))
+                           * sqrt(list_dot_product(v.emb, v.emb))) DESC,
+                        v.vec_id
+                ) AS rnk
+            FROM q JOIN v ON q.vec_id <> v.vec_id
+        ) WHERE rnk <= 3
+    ),
+    planes AS (
+        SELECT p,
+               list_transform(range(1, 65), d ->
+                   (CAST(concat('0x', substr(md5(
+                        'hp:' || CAST(p AS VARCHAR) || ':'
+                               || CAST(d - 1 AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 2001 - 1000) / 1000.0) AS w
+        FROM unnest(range(8)) AS t(p)
+    ),
+    sigs AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN list_dot_product(v.emb, planes.w) > 0
+                        THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+        FROM v, planes
+        GROUP BY vec_id
+    ),
+    sv AS (
+        SELECT s.vec_id, s.bucket, v.emb,
+               sqrt(list_dot_product(v.emb, v.emb)) AS nrm
+        FROM sigs s JOIN v ON s.vec_id = v.vec_id
+    ),
+    approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+                ROW_NUMBER() OVER (
+                    PARTITION BY qq.vec_id
+                    ORDER BY list_dot_product(qq.emb, c.emb)
+                                 / (qq.nrm * c.nrm) DESC, c.vec_id
+                ) AS rnk
+            FROM sv qq
+            JOIN sv c ON qq.bucket = c.bucket AND qq.vec_id <> c.vec_id
+            WHERE qq.vec_id < 10
+        ) WHERE rnk <= 3
+    )
+    SELECT CAST(3 AS INT) AS k,
+           (SELECT COUNT(DISTINCT query_id)
+            FROM (SELECT query_id FROM truth
+                  UNION SELECT query_id FROM approx)) AS n_queries,
+           (SELECT COUNT(*) FROM truth) AS n_true_pairs,
+           (SELECT COUNT(*) FROM approx) AS n_lsh_pairs,
+           (SELECT COUNT(*) FROM truth t
+            WHERE EXISTS (SELECT 1 FROM approx a
+                          WHERE a.query_id = t.query_id
+                            AND a.neighbor_id = t.neighbor_id)) AS n_hits,
+           (SELECT COUNT(*) FROM truth t
+            WHERE EXISTS (SELECT 1 FROM approx a
+                          WHERE a.query_id = t.query_id
+                            AND a.neighbor_id = t.neighbor_id))
+               * 10000 // (SELECT COUNT(*) FROM truth) AS recall_e4
+    """,
+)
+def ann_recall_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the md5-SRP-LSH index vs exact brute force over the 10
+    fixed queries — the similarity-family sibling of dedup_lsh_recall,
+    value-hashed cross-engine."""
+    emb = load(spark, "embeddings", sf_dir)
+    return ann_recall_report(emb, emb.filter(F.col("vec_id") < 10), k=3)
