@@ -1257,9 +1257,12 @@ def lsh_recall_report(
         F.col("n_exact_pairs").cast("bigint"),
         F.col("n_lsh_pairs").cast("bigint"),
         F.col("n_matched").cast("bigint"),
-        F.expr("n_matched * 10000 div n_exact_pairs").cast("bigint").alias(
-            "recall_e4"
-        ),
+        F.when(
+            F.col("n_exact_pairs") > 0,
+            F.expr("n_matched * 10000 div n_exact_pairs"),
+        )
+        .cast("bigint")
+        .alias("recall_e4"),
     )
 
 
@@ -1326,10 +1329,12 @@ def lsh_recall_report(
             WHERE EXISTS (SELECT 1 FROM lsh l
                           WHERE l.id_a = e.id_a AND l.id_b = e.id_b))
                AS n_matched,
-           (SELECT COUNT(*) FROM exact e
-            WHERE EXISTS (SELECT 1 FROM lsh l
-                          WHERE l.id_a = e.id_a AND l.id_b = e.id_b))
-               * 10000 // (SELECT COUNT(*) FROM exact) AS recall_e4
+           CASE WHEN (SELECT COUNT(*) FROM exact) > 0 THEN
+               (SELECT COUNT(*) FROM exact e
+                WHERE EXISTS (SELECT 1 FROM lsh l
+                              WHERE l.id_a = e.id_a AND l.id_b = e.id_b))
+                   * 10000 // (SELECT COUNT(*) FROM exact)
+           END AS recall_e4
     """,
 )
 def dedup_lsh_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1423,7 +1423,11 @@ def ann_recall_report(
         "n_true_pairs",
         "n_lsh_pairs",
         "n_hits",
-        F.expr("n_hits * 10000 div n_true_pairs").cast("bigint").alias("recall_e4"),
+        F.when(
+            F.col("n_true_pairs") > 0, F.expr("n_hits * 10000 div n_true_pairs")
+        )
+        .cast("bigint")
+        .alias("recall_e4"),
     )
 
 
@@ -1492,11 +1496,13 @@ def ann_recall_report(
             WHERE EXISTS (SELECT 1 FROM approx a
                           WHERE a.query_id = t.query_id
                             AND a.neighbor_id = t.neighbor_id)) AS n_hits,
-           (SELECT COUNT(*) FROM truth t
-            WHERE EXISTS (SELECT 1 FROM approx a
-                          WHERE a.query_id = t.query_id
-                            AND a.neighbor_id = t.neighbor_id))
-               * 10000 // (SELECT COUNT(*) FROM truth) AS recall_e4
+           CASE WHEN (SELECT COUNT(*) FROM truth) > 0 THEN
+               (SELECT COUNT(*) FROM truth t
+                WHERE EXISTS (SELECT 1 FROM approx a
+                              WHERE a.query_id = t.query_id
+                                AND a.neighbor_id = t.neighbor_id))
+                   * 10000 // (SELECT COUNT(*) FROM truth)
+           END AS recall_e4
     """,
 )
 def ann_recall_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
