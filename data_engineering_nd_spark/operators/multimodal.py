@@ -741,3 +741,144 @@ def _register_dhash_oracle() -> None:
 
 
 _register_dhash_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Image resize (thumbnailing): the remaining decode-stage primitive
+# ---------------------------------------------------------------------------
+
+
+def fake_resize_image(payload: bytes, out_w: int = 8, out_h: int = 8) -> dict:
+    """Deterministic stand-in for a nearest-neighbor thumbnail resize.
+
+    The fake decoder's image is the payload byte stream laid out as a
+    (height x width) grid (width/height derived from the checksum, as in
+    `fake_decode_image`); the resize samples the byte at each of the
+    out_h x out_w nearest-neighbor grid positions — the exact index
+    arithmetic a real nearest-neighbor downscale performs, byte index =
+    ((r*H//out_h)*W + (c*W//out_w)) mod n. Returns the thumbnail's mean
+    intensity and its 131-base checksum (the resize analog of the decode
+    checksum)."""
+    n = len(payload)
+    if n == 0:
+        return {"resized_mean": 0.0, "resized_checksum": 0}
+    meta = fake_decode_image(payload)
+    w, h = meta["width"], meta["height"]
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    rows = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    cols = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    idx = (rows[:, None] * w + cols[None, :]).ravel() % n
+    sampled = arr[idx]
+    pw = _powers131(len(sampled))[::-1]
+    checksum = int(np.dot(sampled, pw) % _P)
+    return {
+        "resized_mean": float(sampled.sum()) / (out_w * out_h) / 255.0,
+        "resized_checksum": checksum,
+    }
+
+
+RESIZE_SCHEMA = (
+    "media_id bigint, thumb_w int, thumb_h int, "
+    "resized_mean double, resized_checksum bigint"
+)
+
+
+def resize_thumbnails(
+    df: DataFrame, out_w: int = 8, out_h: int = 8, resizer=fake_resize_image
+) -> DataFrame:
+    """Thumbnail every image payload via mapInPandas (Arrow batches) —
+    the resize runs inside the decode stage, payload bytes never cross a
+    shuffle, and the output is a small typed row per image. With a real
+    codec, swap ``resizer`` for a PIL/cv2 nearest-neighbor downscale;
+    the Spark-side plumbing (schema, batching, narrow no-shuffle plan)
+    is identical."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
+            out = [resizer(p, out_w, out_h) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "thumb_w": np.full(len(pdf), out_w, dtype="int32"),
+                    "thumb_h": np.full(len(pdf), out_h, dtype="int32"),
+                    "resized_mean": np.fromiter(
+                        (d["resized_mean"] for d in out), np.float64, len(out)
+                    ),
+                    "resized_checksum": np.fromiter(
+                        (d["resized_checksum"] for d in out), np.int64, len(out)
+                    ),
+                }
+            )
+
+    return (
+        df.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(process, RESIZE_SCHEMA)
+    )
+
+
+@query("multimodal_resize_thumbnails")  # oracle registered below (generated)
+def multimodal_resize_thumbnails_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8x8 nearest-neighbor thumbnails of every synthetic image: the
+    resize index arithmetic, sampled-byte checksum, and mean intensity
+    are all SQL-mirrorable on the ASCII corpus (chars == bytes), so the
+    whole resize stage — not just its row count — is value-hash
+    verified. With real codecs only the resizer kernel changes."""
+    return resize_thumbnails(synthetic_media(spark, sf_dir))
+
+
+def _register_resize_oracle() -> None:
+    from data_engineering_nd_spark.registry import ORACLE_SQL
+
+    out_w = out_h = 8
+    # sampled byte (1-based substr index) for thumbnail cell i (0..63):
+    # r = i // 8, c = i % 8; idx = ((r*h//8)*w + (c*w//8)) % n + 1
+    sample = (
+        "ascii(substr(text, CAST((((i // {ow}) * h // {oh}) * w"
+        " + ((i % {ow}) * w // {ow})) % n + 1 AS INT), 1))"
+    ).format(ow=out_w, oh=out_h)
+    ORACLE_SQL["multimodal_resize_thumbnails"] = f"""
+    WITH img AS (
+        SELECT doc_id AS media_id, text
+        FROM documents
+        WHERE doc_id % 5 <> 0 AND doc_id % 5 <> 3
+    ),
+    c AS (
+        SELECT media_id, text,
+            CAST(strlen(text) AS BIGINT) AS n,
+            list_reduce(
+                list_prepend(
+                    CAST(0 AS BIGINT),
+                    list_transform(string_split(text, ''),
+                                   x -> CAST(ascii(x) AS BIGINT))
+                ),
+                (acc, x) -> (acc * 131 + x) % 1000000007
+            ) AS checksum
+        FROM img
+    ),
+    dims AS (
+        SELECT media_id, text, n,
+               CAST(checksum % 64 + 1 AS BIGINT) AS w,
+               CAST((checksum // 64) % 64 + 1 AS BIGINT) AS h
+        FROM c
+    ),
+    sampled AS (
+        SELECT media_id,
+               list_transform(range(0, {out_w * out_h}),
+                              i -> CAST({sample} AS BIGINT)) AS px
+        FROM dims
+    )
+    SELECT media_id,
+           CAST({out_w} AS INT) AS thumb_w,
+           CAST({out_h} AS INT) AS thumb_h,
+           CAST(list_sum(px) AS DOUBLE) / {out_w * out_h} / 255.0
+               AS resized_mean,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), px),
+                       (acc, x) -> (acc * 131 + x) % 1000000007)
+               AS resized_checksum
+    FROM sampled
+    """
+
+
+_register_resize_oracle()

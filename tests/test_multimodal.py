@@ -224,3 +224,41 @@ def test_image_dhash_exact_duplicates_collide(spark):
     assert bin(fps[1] ^ fps[3]).count("1") > 3
     pairs = image_dhash_pairs(df, max_hamming=3).collect()
     assert [(r.media_id_a, r.media_id_b, r.hamming) for r in pairs] == [(1, 2, 0)]
+
+
+def test_fake_resize_known_grid(spark):
+    """Hand-checkable resize: a payload whose derived grid is known —
+    nearest-neighbor index arithmetic, checksum, and mean verified
+    against a direct python loop."""
+    from data_engineering_nd_spark.operators.multimodal import (
+        fake_decode_image,
+        fake_resize_image,
+    )
+
+    payload = bytes(range(37, 37 + 200))
+    meta = fake_decode_image(payload)
+    got = fake_resize_image(payload, 8, 8)
+    w, h, n = meta["width"], meta["height"], len(payload)
+    sampled = [
+        payload[(((r * h) // 8) * w + ((c * w) // 8)) % n]
+        for r in range(8)
+        for c in range(8)
+    ]
+    check = 0
+    for b in sampled:
+        check = (check * 131 + b) % 1_000_000_007
+    assert got["resized_checksum"] == check
+    assert abs(got["resized_mean"] - sum(sampled) / 64 / 255.0) < 1e-12
+
+
+def test_resize_thumbnails_only_images(spark):
+    from data_engineering_nd_spark.operators.multimodal import resize_thumbnails
+
+    rows = [
+        (1, "image", b"abcdefgh" * 10),
+        (2, "video", b"abcdefgh" * 10),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    out = resize_thumbnails(df).collect()
+    assert [r.media_id for r in out] == [1]
+    assert out[0].thumb_w == 8 and out[0].thumb_h == 8
