@@ -1411,6 +1411,12 @@ def q42_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q43 — rank-distribution windows: ntile / percent_rank / cume_dist share
 # exact definitions between Spark and DuckDB, so the whole distribution is
 # value-checkable. One window spec -> one shuffle on the partition key.
+# Rounding is floor-based half-up (functions.numeric): cume_dist = k/N is a
+# ratio of small integers, and when N is 2^a·5^b the value TERMINATES on an
+# exact decimal midpoint where Spark's round() (shortest-decimal half-up)
+# and DuckDB's (binary value) disagree — first seen live at sf0.1, where
+# nation 11 holds 640 customers and 333/640 = 0.5203125 rounded to
+# 0.520313 vs 0.520312 (the q66/ADVICE-r05 hazard class).
 # --------------------------------------------------------------------------
 @query(
     "q43_rank_distribution",
@@ -1419,21 +1425,23 @@ def q42_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         c_custkey,
         c_nationkey,
         CAST(ntile(4) OVER w AS INT) AS balance_quartile,
-        round(percent_rank() OVER w, 6) AS pct_rank,
-        round(cume_dist() OVER w, 6) AS cume
+        floor(percent_rank() OVER w * 1000000.0 + 0.5) / 1000000.0 AS pct_rank,
+        floor(cume_dist() OVER w * 1000000.0 + 0.5) / 1000000.0 AS cume
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
     """,
 )
 def q43_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_nd_spark.functions.numeric import round_half_up
+
     c = load(spark, "customer", sf_dir)
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
     return c.select(
         "c_custkey",
         "c_nationkey",
         F.ntile(4).over(w).alias("balance_quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        round_half_up(F.percent_rank().over(w), 6).alias("pct_rank"),
+        round_half_up(F.cume_dist().over(w), 6).alias("cume"),
     )
 
 
