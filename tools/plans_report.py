@@ -63,6 +63,13 @@ HEADLINERS = [
     "ann_pca_verified",
     "ds_epoch_shards",
     "q28_approx_vs_exact",
+    "multimodal_dhash_dedup",
+    "q68_scd2_customer_dim",
+    "dq_expectation_suite",
+    "text_vocab_encode",
+    "dedup_lsh_recall",
+    "multimodal_resize_thumbnails",
+    "q43_rank_distribution",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -126,6 +133,11 @@ EXPECTED_FLAGS = {
         "the cross join's build side is the 4-row broadcast centroid "
         "table (IdentityBroadcastMode over n_cells rows) — bounded by "
         "the codebook size, never by data"
+    ),
+    "dq_distribution_drift": (
+        "the cross join's build side is the 1-row grand-totals aggregate "
+        "(bt, ct) broadcast onto the n_buckets-row PSI frame — both sides "
+        "bounded by construction"
     ),
 }
 
