@@ -139,6 +139,40 @@ EXPECTED_FLAGS = {
         "(bt, ct) broadcast onto the n_buckets-row PSI frame — both sides "
         "bounded by construction"
     ),
+    "q45_gap_fill_hourly": (
+        "the cross join builds the hour×type spine: one side is the 1-row "
+        "min/max bounds aggregate, the other the tiny distinct-type list"
+    ),
+    "q56_event_funnel": (
+        "the cross joins combine three 1-row stage-count aggregates into "
+        "the funnel summary row"
+    ),
+    "text_tfidf_top_terms": (
+        "the cross join broadcasts the 1-row corpus-size aggregate (N for "
+        "the IDF term) onto the term frame"
+    ),
+    "ann_quantized_topk": (
+        "the cross join is the coarse scoring pass: the 10-row quantized "
+        "query set broadcast against candidates — bounded by |queries|, "
+        "the documented brute-force-style first stage"
+    ),
+    "q66_interpolate_hourly": (
+        "the cross join builds the hour×event-type spine from the 1-row "
+        "bounds aggregate and the tiny type list"
+    ),
+    "ds_repeat_upsampling": (
+        "the cross join broadcasts the 1-row token/unit totals onto the "
+        "per-domain frame (one row per source)"
+    ),
+    "dq_volume_anomalies": (
+        "the cross join broadcasts the 1-row integer-moment statistics "
+        "onto the day-grain frame"
+    ),
+    "dedup_lsh_recall": (
+        "the cross join IS the exact all-pairs ground truth of the "
+        "evaluation — run on the bounded doc_id<200 slice by design; the "
+        "report exists precisely because the full corpus cannot afford it"
+    ),
 }
 
 
