@@ -2710,3 +2710,104 @@ def q67_trailing_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# q69 — Count-Min Sketch heavy hitters: the bounded-memory frequency-sketch
+# primitive. The sketch is d×w counters REGARDLESS of corpus size (here
+# 4×1024 rows), built by one explode(×d) + hash-agg with map-side partial
+# counts — mergeable across partitions/streams by construction, which is
+# what makes it the 100 TB path for "how often does key X appear" when the
+# key space is too large to aggregate exactly. Estimates never
+# underestimate (min over d counters); the md5-derived hash family makes
+# the ENTIRE sketch — build, probe, min — value-hash verifiable in SQL,
+# same trick as the verified LSH siblings.
+# --------------------------------------------------------------------------
+@query(
+    "q69_countmin_heavy_hitters",
+    oracle="""
+    WITH buckets AS (
+        SELECT j,
+               CAST(concat('0x', substr(md5(CAST(j AS VARCHAR) || ':'
+                    || CAST(l_suppkey AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 1024 AS bucket
+        FROM lineitem, unnest(range(4)) AS t(j)
+    ),
+    cms AS (
+        SELECT j, bucket, COUNT(*) AS c
+        FROM buckets GROUP BY j, bucket
+    ),
+    top AS (
+        SELECT l_suppkey, COUNT(*) AS exact_n
+        FROM lineitem GROUP BY l_suppkey
+        ORDER BY exact_n DESC, l_suppkey LIMIT 10
+    ),
+    probes AS (
+        SELECT t.l_suppkey, t.exact_n, u.j,
+               CAST(concat('0x', substr(md5(CAST(u.j AS VARCHAR) || ':'
+                    || CAST(t.l_suppkey AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 1024 AS bucket
+        FROM top t, unnest(range(4)) AS u(j)
+    )
+    SELECT p.l_suppkey, p.exact_n,
+           CAST(MIN(c.c) AS BIGINT) AS cms_n,
+           MIN(c.c) >= p.exact_n AS never_underestimates
+    FROM probes p
+    JOIN cms c ON c.j = p.j AND c.bucket = p.bucket
+    GROUP BY p.l_suppkey, p.exact_n
+    """,
+)
+def q69_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-vs-sketch frequencies for the 10 heaviest suppliers: a
+    4×1024 Count-Min Sketch over lineitem, probed with the same md5 hash
+    family — estimates, and the never-underestimates guarantee, are
+    value-hashed cross-engine."""
+    d, w = 4, 1024
+    li = load(spark, "lineitem", sf_dir)
+
+    def bucket(j: Column, key: Column) -> Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(j.cast("string"), F.lit(":"), key.cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % w
+        )
+
+    rows = li.select(
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("j"), "l_suppkey"
+    ).select("j", bucket(F.col("j"), F.col("l_suppkey")).alias("bucket"))
+    cms = rows.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    top = (
+        li.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "l_suppkey")
+        .limit(10)
+    )
+    probes = top.select(
+        "l_suppkey",
+        "exact_n",
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("j"),
+    ).select(
+        "l_suppkey",
+        "exact_n",
+        "j",
+        bucket(F.col("j"), F.col("l_suppkey")).alias("bucket"),
+    )
+    return (
+        F.broadcast(probes)
+        .join(cms, ["j", "bucket"])
+        .groupBy("l_suppkey", "exact_n")
+        .agg(F.min("c").cast("bigint").alias("cms_n"))
+        .select(
+            "l_suppkey",
+            "exact_n",
+            "cms_n",
+            (F.col("cms_n") >= F.col("exact_n")).alias("never_underestimates"),
+        )
+    )
