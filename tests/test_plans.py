@@ -392,3 +392,46 @@ def test_epoch_shards_has_no_single_partition_exchange(spark):
     assert "SinglePartition" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_image_dhash_fingerprint_is_jvm_only(spark):
+    """The dHash fingerprint pass must stay in whole-stage codegen — no
+    Python in the plan (the docstring's core claim: with a real codec the
+    same bits come from the decode batch, but THIS path is pure JVM)."""
+    from data_engineering_nd_spark.operators.multimodal import (
+        image_dhash,
+        synthetic_media,
+    )
+    from data_engineering_nd_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(image_dhash(synthetic_media(spark, SF_DIR)))
+    assert "PythonUDF" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "MapInPandas" not in plan, plan
+
+
+def test_scd2_batch_joins_are_broadcast(spark):
+    """The SCD2 update batch must broadcast against the current slice —
+    a sort-merge/shuffle join on the dimension for a tiny batch would
+    re-shuffle the dimension once per merge."""
+    from data_engineering_nd_spark.operators.dimensions import (
+        q68_scd2_customer_dim_query,
+    )
+    from data_engineering_nd_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(q68_scd2_customer_dim_query(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_countmin_probe_broadcasts_against_sketch(spark):
+    """CMS build is explode + hash-agg; the 10-key probe set broadcasts —
+    nothing corpus-sized crosses a join."""
+    from data_engineering_nd_spark.analytics import q69_countmin_heavy_hitters
+    from data_engineering_nd_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(q69_countmin_heavy_hitters(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan  # exact top-10, no global sort
