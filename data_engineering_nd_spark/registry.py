@@ -205,4 +205,5 @@ def load_all_modules() -> None:
     import data_engineering_nd_spark.operators.quality  # noqa: F401
     import data_engineering_nd_spark.operators.similarity  # noqa: F401
     import data_engineering_nd_spark.operators.text_analysis  # noqa: F401
+    import data_engineering_nd_spark.sources.formats  # noqa: F401
     import data_engineering_nd_spark.streaming.queries  # noqa: F401

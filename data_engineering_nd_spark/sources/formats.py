@@ -1,0 +1,133 @@
+"""Additional source/sink formats: JSON-lines and ORC.
+
+The reference reads sas7bdat/CSV and writes parquet/CSV only
+(Capstone/scripts/etl.py); real ingest surfaces also speak JSONL (the
+lingua franca of API exports and crawl dumps) and ORC (the other columnar
+format large warehouses standardize on). Both are first-class Spark
+formats — these helpers pin the engine's read/write contract for them,
+and the registered round-trip queries verify the FORMAT LAYER end to end:
+a deterministic slice of a base table is written in the format, read
+back, and aggregated, with the oracle computing the same aggregate from
+the base table — a value-hash mismatch means the format layer lost or
+mangled rows.
+
+Scale notes: JSONL scans are schema-explicit (inference reads the data
+twice and types drift run-to-run — never at 100 TB); ORC gets the same
+predicate-pushdown/column-pruning treatment as parquet in Spark's
+vectorized reader. Writers here are only slice-sized for the round-trip
+proof; production writes go through io.write with partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_nd_spark.catalog import load
+from data_engineering_nd_spark.registry import query
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """Write df as JSON-lines (one object per row, Spark's json sink)."""
+    df.write.mode("overwrite").json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Schema-explicit JSONL read — no inference pass, stable types."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def _roundtrip_dir(prefix: str) -> str:
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=prefix)
+
+
+@query(
+    "q70_jsonl_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE event_id % 9 = 0
+    GROUP BY event_type
+    """,
+)
+def q70_jsonl_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 9th event written as JSON-lines, read back schema-explicit,
+    and aggregated — the aggregate hash-matches the base table, proving
+    the JSONL write/read path preserves rows, types, and values."""
+    import shutil
+
+    ev = load(spark, "events", sf_dir).filter(F.col("event_id") % 9 == 0).select(
+        "event_id", "event_type", "user_id", F.col("value").cast("double")
+    )
+    path = _roundtrip_dir("jsonl_roundtrip_")
+    try:
+        write_jsonl(ev, path)
+        back = read_jsonl(
+            spark, path,
+            "event_id bigint, event_type string, user_id bigint, value double",
+        )
+        out = back.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "event_type string, n_events bigint, total_value double, n_users bigint",
+    )
+
+
+@query(
+    "q71_orc_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    WHERE o_orderkey % 11 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def q71_orc_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 11th order written as ORC, read back through Spark's
+    vectorized ORC reader, and aggregated — hash-verified against the
+    base table."""
+    import shutil
+
+    o = load(spark, "orders", sf_dir).filter(F.col("o_orderkey") % 11 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _roundtrip_dir("orc_roundtrip_")
+    try:
+        write_orc(o, path)
+        out = read_orc(spark, path).groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, n_orders bigint, total_price double"
+    )
