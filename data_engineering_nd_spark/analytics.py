@@ -2811,3 +2811,57 @@ def q69_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_n") >= F.col("exact_n")).alias("never_underestimates"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q72 — argmax aggregates (max_by/min_by): "which row holds the extreme"
+# WITHOUT a window or self-join. The naive shapes — rank-and-filter
+# (window: full shuffle + sort of the fact) or groupBy-max + join-back
+# (two passes over the fact) — both do strictly more work than a single
+# hash-agg carrying (extreme, witness) pairs with map-side partial merge.
+# Ties: max_by is nondeterministic under ties in both engines, so the
+# ordering value is made unique per group by construction — a composite
+# scalar acctbal*1e9 +/- custkey (spacing 1e7 per cent dwarfs the key
+# range and double rounding error, and both engines compute the identical
+# product) — determinism is the operator's contract here, same reason the
+# engine bans monotonically_increasing_id.
+# --------------------------------------------------------------------------
+@query(
+    "q72_argmax_aggregates",
+    oracle="""
+    SELECT
+        n.n_name AS nation_name,
+        arg_max(c.c_custkey, c.c_acctbal * 1000000000.0 + c.c_custkey)
+            AS richest_cust,
+        CAST(arg_max(c.c_acctbal, c.c_acctbal * 1000000000.0 + c.c_custkey)
+             AS DOUBLE) AS richest_bal,
+        arg_min(c.c_custkey, c.c_acctbal * 1000000000.0 - c.c_custkey)
+            AS poorest_cust,
+        CAST(arg_min(c.c_acctbal, c.c_acctbal * 1000000000.0 - c.c_custkey)
+             AS DOUBLE) AS poorest_bal,
+        COUNT(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q72_argmax_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation richest/poorest customer via max_by/min_by over a
+    tie-broken composite ordering scalar — one hash-agg, no window, no
+    join-back; balance ties resolve to the highest key for max and the
+    lowest for min on BOTH engines, so the witnesses are deterministic."""
+    c = load(spark, "customer", sf_dir)
+    n = load(spark, "nation", sf_dir)
+    up = F.col("c_acctbal") * F.lit(1000000000.0) + F.col("c_custkey")
+    down = F.col("c_acctbal") * F.lit(1000000000.0) - F.col("c_custkey")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.max_by("c_custkey", up).alias("richest_cust"),
+            F.max_by("c_acctbal", up).cast("double").alias("richest_bal"),
+            F.min_by("c_custkey", down).alias("poorest_cust"),
+            F.min_by("c_acctbal", down).cast("double").alias("poorest_bal"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
