@@ -382,15 +382,14 @@ def multimodal_frame_samples_query(spark: SparkSession, sf_dir: str) -> DataFram
     return sample_frames(synthetic_media(spark, sf_dir), every_ms=1000)
 
 
-@query(
-    "multimodal_audio_chunks",
-    # The RMS arithmetic is exact until the last two ops: samples are
-    # integers, so sums of squares are integer-valued float64 (< 2^53) in
-    # BOTH engines regardless of accumulation order; the final
-    # sqrt(sum/count) then rounds identically. Window indices replicate
-    # the float64 expression order of the vectorized kernel exactly
-    # (trunc(start * max(n/dur, 1e-9))).
-    oracle=r"""
+# The RMS arithmetic is exact until the last two ops: samples are
+# integers, so sums of squares are integer-valued float64 (< 2^53) in
+# BOTH engines regardless of accumulation order; the final
+# sqrt(sum/count) then rounds identically. Window indices replicate
+# the float64 expression order of the vectorized kernel exactly
+# (trunc(start * max(n/dur, 1e-9))). Factored as a constant because the
+# VAD segmentation oracle below builds on the same chunk frame.
+_AUDIO_CHUNKS_SQL = r"""
     WITH aud AS (
         SELECT doc_id AS media_id, text,
                CAST(length(text) * 10 AS BIGINT) AS dur,
@@ -425,8 +424,10 @@ def multimodal_frame_samples_query(spark: SparkSession, sf_dir: str) -> DataFram
                )) / CAST(hi - lo AS DOUBLE)
            ), 4) AS rms
     FROM win
-    """,
-)
+    """
+
+
+@query("multimodal_audio_chunks", oracle=_AUDIO_CHUNKS_SQL)
 def multimodal_audio_chunks_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_audio(synthetic_media(spark, sf_dir))
 
@@ -882,3 +883,86 @@ def _register_resize_oracle() -> None:
 
 
 _register_resize_oracle()
+
+
+# ---------------------------------------------------------------------------
+# VAD-style activity segmentation over the chunk stream
+# ---------------------------------------------------------------------------
+
+
+def vad_segments(
+    chunks: DataFrame, rms_threshold: float = 45.0
+) -> DataFrame:
+    """Voice-activity-style segmentation: contiguous runs of chunks whose
+    RMS clears the threshold merge into (segment_start, segment_end)
+    spans — the step that turns a chunked audio stream into utterance
+    boundaries for transcription/captioning. Classic gaps-and-islands on
+    the chunk index (the sessionize pattern): a run starts where the
+    previous ACTIVE chunk isn't the immediate predecessor.
+
+    The activity decision uses the 4-dp-ROUNDED rms (the chunk
+    operator's published value), so threshold membership is engine- and
+    rerun-exact. Scale shape: the window partitions by media_id over
+    chunk-index rows (duration/hop per recording — bounded, tiny), never
+    the corpus; one filter + one lag + one hash-agg."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("media_id").orderBy("chunk_index")
+    active = chunks.filter(F.col("rms") >= rms_threshold)
+    runs = active.withColumn(
+        "_new",
+        F.when(
+            F.lag("chunk_index").over(w).isNull()
+            | (F.lag("chunk_index").over(w) != F.col("chunk_index") - 1),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "_run",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return runs.groupBy("media_id", F.col("_run").alias("segment_index")).agg(
+        F.min("start_ms").alias("segment_start_ms"),
+        F.max("end_ms").alias("segment_end_ms"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.max("rms").alias("peak_rms"),
+    )
+
+
+@query(
+    "multimodal_vad_segments",
+    oracle="WITH chunk_frame AS (" + _AUDIO_CHUNKS_SQL + """)
+    , active AS (
+        SELECT * FROM chunk_frame WHERE rms >= 45.0
+    ),
+    runs AS (
+        SELECT media_id, chunk_index, start_ms, end_ms, rms,
+               SUM(CASE WHEN prev IS NULL OR prev <> chunk_index - 1
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY media_id ORDER BY chunk_index
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS seg
+        FROM (
+            SELECT *,
+                   lag(chunk_index) OVER (
+                       PARTITION BY media_id ORDER BY chunk_index) AS prev
+            FROM active
+        )
+    )
+    SELECT media_id, CAST(seg AS BIGINT) AS segment_index,
+           MIN(start_ms) AS segment_start_ms,
+           MAX(end_ms) AS segment_end_ms,
+           COUNT(*) AS n_chunks,
+           MAX(rms) AS peak_rms
+    FROM runs
+    GROUP BY media_id, seg
+    """,
+)
+def multimodal_vad_segments_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity segments over the synthetic audio corpus at RMS >= 45
+    (picked to split the chunk population roughly in half, with no chunk
+    on the exact boundary): chunking, activity gating, and the
+    gaps-and-islands merge are all value-hashed cross-engine."""
+    chunks = chunk_audio(synthetic_media(spark, sf_dir))
+    return vad_segments(chunks, rms_threshold=45.0)

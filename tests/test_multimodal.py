@@ -262,3 +262,30 @@ def test_resize_thumbnails_only_images(spark):
     out = resize_thumbnails(df).collect()
     assert [r.media_id for r in out] == [1]
     assert out[0].thumb_w == 8 and out[0].thumb_h == 8
+
+
+def test_vad_segments_known_runs(spark):
+    """Hand-built chunk frame: runs of active chunks merge across
+    contiguous indices and split on gaps; boundaries and peaks exact."""
+    from data_engineering_nd_spark.operators.multimodal import vad_segments
+
+    rows = [
+        # media 1: active 0-1, gap, active 3
+        (1, 0, 0, 2000, 50.0),
+        (1, 1, 1000, 3000, 60.0),
+        (1, 2, 2000, 4000, 10.0),
+        (1, 3, 3000, 5000, 47.0),
+        # media 2: nothing active
+        (2, 0, 0, 2000, 44.9),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, chunk_index int, start_ms int, end_ms int, rms double"
+    )
+    got = sorted(
+        vad_segments(df, rms_threshold=45.0).collect(),
+        key=lambda r: (r.media_id, r.segment_index),
+    )
+    assert [
+        (r.media_id, r.segment_start_ms, r.segment_end_ms, r.n_chunks, r.peak_rms)
+        for r in got
+    ] == [(1, 0, 3000, 2, 60.0), (1, 3000, 5000, 1, 47.0)]
