@@ -2865,3 +2865,48 @@ def q72_argmax_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_customers"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q73 — UNPIVOT (wide -> long): the inverse of q32's pivot. Spark's native
+# DataFrame.unpivot (melt) keeps the reshape in the JVM as a single
+# Expand-style projection — no explode-of-structs workaround, no Python —
+# and the long form is what downstream per-metric operators (drift
+# monitors, expectation suites) consume. Mirrored by DuckDB's UNPIVOT.
+# --------------------------------------------------------------------------
+@query(
+    "q73_unpivot_metrics",
+    oracle="""
+    WITH wide AS (
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS sum_price,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+                   AS sum_disc,
+               CAST(COUNT(*) AS DOUBLE) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, metric, value
+    FROM wide
+    UNPIVOT (value FOR metric IN (sum_qty, sum_price, sum_disc, n_rows))
+    """,
+)
+def q73_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag metric summary reshaped wide -> long with native
+    unpivot: one row per (flag, metric), the form per-metric consumers
+    (drift monitors, dashboards) ingest. Decimal-accumulated sums cast to
+    DOUBLE before the reshape so the long values hash identically."""
+    li = load(spark, "lineitem", sf_dir)
+    wide = li.groupBy("l_returnflag").agg(
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        dsum(F.col("l_extendedprice")).alias("sum_price"),
+        dsum(F.col("l_discount")).alias("sum_disc"),
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc", "n_rows"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
