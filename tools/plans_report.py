@@ -70,6 +70,11 @@ HEADLINERS = [
     "dedup_lsh_recall",
     "multimodal_resize_thumbnails",
     "q43_rank_distribution",
+    "q69_countmin_heavy_hitters",
+    "q72_argmax_aggregates",
+    "q73_unpivot_metrics",
+    "multimodal_vad_segments",
+    "q70_jsonl_roundtrip",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"
