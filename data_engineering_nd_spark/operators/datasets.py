@@ -1748,9 +1748,10 @@ def temperature_mixture(
     )
 
 
-@query(
-    "ds_repeat_upsampling",
-    oracle=r"""
+#: shared by ds_repeat_upsampling and ds_mixture_materialize: per-source
+#: token totals -> integer sqrt-units -> global sums (the alpha=0.5
+#: temperature plan's exact-arithmetic core).
+_MIXTURE_CTES = r"""
     WITH t AS (
         SELECT source, COUNT(*) AS n_docs,
                CAST(SUM(len(string_split(
@@ -1769,6 +1770,10 @@ def temperature_mixture(
                CAST(SUM(sqrt_units) AS BIGINT) AS units_all
         FROM u
     )
+"""
+
+#: the repeat/upsampling PLAN report built on the shared CTEs
+_MIXTURE_ORACLE = _MIXTURE_CTES + """
     -- floor-based half-up rounding throughout: same IEEE arithmetic as the
     -- Spark side's functions.numeric helpers (round() midpoint hazard)
     SELECT source, n_docs, total_tokens,
@@ -1785,8 +1790,10 @@ def temperature_mixture(
                AS repeat_factor
     FROM u, s
     ORDER BY source
-    """,
-)
+    """
+
+
+@query("ds_repeat_upsampling", oracle=_MIXTURE_ORACLE)
 def ds_repeat_upsampling_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source repeat/upsampling plan for a 1M-token training epoch:
     alpha=0.5 temperature shares, the token budget each source receives,
@@ -2103,3 +2110,109 @@ def ds_dataset_card_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_exact_dups").cast("double").alias("value"),
     )
     return card.unionByName(dup_row)
+
+
+def materialize_mixture_report(
+    docs: DataFrame,
+    plan: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    token_col: str = "n_tokens",
+    salt: str = "mix",
+) -> DataFrame:
+    """Execute a temperature-mixture plan deterministically and report
+    the realized epoch per source. Each document replicates
+    floor(repeat_factor) times plus one stochastic-rounding extra copy
+    decided by its md5 bucket (u16 = md5(id:salt) mod 2^16 <
+    frac·2^16) — so the expected token mass per source equals the plan's
+    budget while every copy decision is a pure content function
+    (reruns, retries, and engines agree exactly; epochs re-salt).
+
+    The report needs no row explosion: rows/tokens materialized are
+    sums of n_copies (and n_copies·tokens) — one broadcast join of the
+    per-source plan onto the corpus projection plus one hash-agg. The
+    actual epoch write would explode by n_copies and feed
+    assign_epoch_shards; this query audits the arithmetic that write
+    would use."""
+    rf = F.col("repeat_factor")
+    u16 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    extra = (u16.cast("double") < (rf - F.floor(rf)) * F.lit(65536.0)).cast("long")
+    n_copies = F.floor(rf).cast("long") + extra
+    tagged = docs.select(id_col, source_col, token_col).join(
+        F.broadcast(plan.select(source_col, "repeat_factor", "budget_tokens")),
+        source_col,
+    )
+    return (
+        tagged.withColumn("_c", n_copies)
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_c").cast("bigint").alias("n_rows_materialized"),
+            F.sum(F.col("_c") * F.col(token_col)).cast("bigint").alias(
+                "tokens_materialized"
+            ),
+            F.first("budget_tokens").alias("budget_tokens"),
+        )
+    )
+
+
+@query(
+    "ds_mixture_materialize",
+    oracle=_MIXTURE_CTES + """
+    , plan AS (
+        SELECT source,
+               floor((1000000.0 * (CAST(sqrt_units AS DOUBLE)
+                                   / CAST(units_all AS DOUBLE))
+                      / CAST(total_tokens AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+                   AS repeat_factor,
+               CAST(floor(1000000.0 * (CAST(sqrt_units AS DOUBLE)
+                                       / CAST(units_all AS DOUBLE)) + 0.5)
+                    AS BIGINT) AS budget_tokens
+        FROM u, s
+    ),
+    perdoc AS (
+        SELECT d.source, d.doc_id,
+               len(string_split(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g'), ' '))
+                   AS n_tokens,
+               CAST(floor(p.repeat_factor) AS BIGINT)
+               + CASE WHEN CAST(CAST(concat('0x', substr(md5(
+                          CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 4))
+                          AS BIGINT) AS DOUBLE)
+                       < (p.repeat_factor - floor(p.repeat_factor)) * 65536.0
+                      THEN 1 ELSE 0 END AS n_copies,
+               p.budget_tokens
+        FROM documents d JOIN plan p ON d.source = p.source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_copies) AS BIGINT) AS n_rows_materialized,
+           CAST(SUM(n_copies * n_tokens) AS BIGINT) AS tokens_materialized,
+           CAST(MIN(budget_tokens) AS BIGINT) AS budget_tokens
+    FROM perdoc
+    GROUP BY source
+    """,
+)
+def ds_mixture_materialize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 1M-token temperature mixture EXECUTED: per source, the rows and
+    tokens a deterministic stochastic-rounding replication actually
+    produces next to the plan's budget — the audit between
+    ds_repeat_upsampling (the plan) and the epoch build (the write).
+    Every copy decision is md5-content-derived, so the realized epoch is
+    byte-reproducible."""
+    from data_engineering_nd_spark.functions.text import token_count
+
+    docs = load(spark, "documents", sf_dir).select(
+        "doc_id", "source", token_count("text").alias("n_tokens"),
+        )
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    plan = temperature_mixture(per_source, "total_tokens", budget=1_000_000)
+    return materialize_mixture_report(docs, plan)

@@ -460,3 +460,23 @@ def test_write_epoch_shards_materializes_training_order(spark, tmp_path):
         .collect()
     )
     assert [tuple(r) for r in back] == [tuple(r) for r in want]
+
+
+def test_mixture_materialize_tracks_budget(spark):
+    """Realized token mass per source lands near the plan's budget
+    (stochastic rounding is unbiased; tolerance = a few max-doc masses),
+    and copy decisions are deterministic across reruns."""
+    from data_engineering_nd_spark.operators.datasets import (
+        ds_mixture_materialize_query,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = {r["source"]: r for r in ds_mixture_materialize_query(spark, sf).collect()}
+    again = {r["source"]: r for r in ds_mixture_materialize_query(spark, sf).collect()}
+    assert {k: tuple(v) for k, v in rows.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
+    for src, r in rows.items():
+        assert r["n_rows_materialized"] >= r["n_docs"] // 2  # nothing vanishes wholesale
+        # realized mass within 20% of budget (small corpus -> coarse bound)
+        assert abs(r["tokens_materialized"] - r["budget_tokens"]) < 0.2 * r["budget_tokens"] + 2000, (src, dict(zip(r.__fields__, r)))
