@@ -476,7 +476,7 @@ def pack_sequences(
         SELECT doc_id,
                CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
                     AS INT) % 16 AS pack_group,
-               len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS n_tokens
+               CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) END AS n_tokens
         FROM documents
     ),
     packed AS (
@@ -1103,7 +1103,7 @@ def shard_manifest(
     oracle=r"""
     WITH perm AS (
         SELECT doc_id,
-               len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS n_tokens,
+               CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) END AS n_tokens,
                ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
                    AS training_pos
         FROM documents
@@ -1174,11 +1174,25 @@ def assign_epoch_shards(
         if epoch == 0
         else F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{epoch}")))
     )
+    # The bucket MUST be a monotone coarsening of the global sort key (the
+    # md5 hex string) or the fused single-window pass silently produces a
+    # different training order than ``epoch_permutation``.  A ``% n_buckets``
+    # of the first byte only has that property at n_buckets == 256, so the
+    # bucket is instead a RANGE over the first 16 bits of the key:
+    # floor(v * n / 65536) is monotone in v (hence in the hex prefix, hence
+    # in the full key) for any n_buckets, and equal prefixes always land in
+    # the same bucket.
+    if not 1 <= n_buckets <= 65536:
+        raise ValueError(f"n_buckets must be in [1, 65536], got {n_buckets}")
     keyed = df.select(
         F.col(id_col), F.col(token_col), key.alias("shuffle_key")
     ).withColumn(
         "_bucket",
-        F.conv(F.substring("shuffle_key", 1, 2), 16, 10).cast("int") % n_buckets,
+        (
+            F.conv(F.substring("shuffle_key", 1, 4), 16, 10).cast("bigint")
+            * n_buckets
+            / F.lit(65536)
+        ).cast("int"),
     )
     stats = sorted(
         keyed.groupBy("_bucket")
@@ -1279,7 +1293,7 @@ def write_epoch_shards(
     oracle=r"""
     WITH perm AS (
         SELECT doc_id,
-               len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS n_tokens,
+               CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) END AS n_tokens,
                ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
                    AS training_pos
         FROM documents
@@ -1402,7 +1416,7 @@ def ds_compaction_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     batch AS (
         SELECT doc_id, source, md5(text) AS h,
-               len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS n_tokens
+               CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) END AS n_tokens
         FROM documents WHERE doc_id % 7 = 0
     ),
     tagged AS (
@@ -1754,8 +1768,8 @@ def temperature_mixture(
 _MIXTURE_CTES = r"""
     WITH t AS (
         SELECT source, COUNT(*) AS n_docs,
-               CAST(SUM(len(string_split(
-                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')))
+               CAST(SUM(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split(
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) END)
                     AS BIGINT) AS total_tokens
         FROM documents GROUP BY source
     ),
@@ -1894,8 +1908,8 @@ def ds_bpe_merge_candidates_query(spark: SparkSession, sf_dir: str) -> DataFrame
         SELECT doc_id,
                CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
                     AS INT) % 16 AS pack_group,
-               CAST(len(string_split(
-                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+               CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split(
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) END
                     AS BIGINT) AS n_tokens
         FROM documents
     ),
@@ -2035,8 +2049,8 @@ _register_split_leakage_oracle()
         SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
                CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
-               CAST(SUM(len(string_split(
-                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')))
+               CAST(SUM(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split(
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) END)
                     AS BIGINT) AS total_tokens,
                CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_en
@@ -2178,7 +2192,7 @@ def materialize_mixture_report(
     ),
     perdoc AS (
         SELECT d.source, d.doc_id,
-               len(string_split(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g'), ' '))
+               CASE WHEN trim(d.text) = '' THEN 0 ELSE len(string_split(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g'), ' ')) END
                    AS n_tokens,
                CAST(floor(p.repeat_factor) AS BIGINT)
                + CASE WHEN CAST(CAST(concat('0x', substr(md5(

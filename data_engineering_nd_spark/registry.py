@@ -53,83 +53,31 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Local verification (tools/verify_oracle.py, bench.py) always runs all
 # queries and is order-insensitive.
 
-#: round-6 refresh (the established per-round protocol): for every name, the
-#: most recent committed CORRECTNESS_r0*.json that recorded it.  Round 5
-#: recorded 50 names, all green (q28's slot was no_oracle by design — that
-#: query is replaced by the SQL-mirrorable q28_approx_vs_exact this round,
-#: so the old name no longer exists).  q44_supplier_market_share is pinned
-#: to round 0 — VERDICT r05 flagged its bench entry as a noise-suspect
-#: 1.7× and asked for a clean driver re-recording FIRST; round 0 sorts it
-#: ahead of the whole recorded backlog.  The remaining r01-stale names
-#: (q35, q39, q41–q54) plus the oldest r03 names fill the rest of the r06
-#: window behind the round's fresh registrations.
+#: round-7 refresh (the established per-round protocol): for every name, the
+#: most recent committed CORRECTNESS_r0*.json that recorded it.  Round 6
+#: recorded 50 names, all green — the 22 fresh round-6 registrations, the
+#: q44 watch item (cleared), and the whole r01-stale backlog.  What remains
+#: oldest is the 32-name r03 block (i94 builds, dq core, text suite,
+#: ann/dedup prod kernels, q26/q37/q38); VERDICT r06 task #1 asks exactly
+#: for those to cycle through the r07 window behind the round's fresh
+#: registrations.
 LAST_RECORDED_ROUND: dict[str, int] = {
-    # -- bench watch item: re-record before everything else -----------------
-    "q44_supplier_market_share": 0,
-    # -- latest record: CORRECTNESS_r01.json (stale — re-verify first) ------
-    **dict.fromkeys([
-        "q35_udtf_expand", "q39_array_agg", "q41_cube_returnflag_linestatus",
-        "q42_deterministic_sample", "q43_rank_distribution",
-        "q45_gap_fill_hourly",
-        "q46_price_histogram", "q47_correlated_subqueries",
-        "q48_returned_item_revenue", "q49_late_shipment_priority",
-        "q50_promo_revenue_share", "q51_large_volume_orders",
-        "q52_small_quantity_revenue", "q53_top_supplier_revenue",
-        "q54_customer_order_distribution",
-    ], 1),
-    # -- latest record: CORRECTNESS_r03.json --------------------------------
-    # NOTE: ann_quantized_topk is deliberately ABSENT (treated as fresh):
-    # its r03 record was a rows-only check, but the query gained a full
-    # value-hash oracle in round 6 (the int8 pipeline is exact arithmetic),
-    # so the old record no longer describes its contract class.
+    # -- latest record: CORRECTNESS_r03.json (the 32-name stale tail; VERDICT
+    # r06 task #1 — these cycle through the r07 window first) ---------------
     **dict.fromkeys([
         "ann_brute_force_topk", "ann_ivf_kmeans_topk", "ann_ivf_topk",
-        "ann_lsh_topk",
-        "dedup_cluster_assignment", "dedup_embedding_cosine",
+        "ann_lsh_topk", "dedup_cluster_assignment", "dedup_embedding_cosine",
         "dedup_exact_groups", "dedup_jaccard_pairs", "dedup_minhash_lsh",
-        "dedup_simhash",
-        "dq_pk_uniqueness", "dq_reconcile_versions",
-        "dq_referential_integrity", "dq_rowcounts",
-        "i94_airports_build", "i94_cities_demographic_build",
-        "i94_dates_build", "i94_dictionary_build", "i94_flights_build",
+        "dedup_simhash", "dq_pk_uniqueness", "dq_reconcile_versions",
+        "dq_referential_integrity", "dq_rowcounts", "i94_airports_build",
+        "i94_cities_demographic_build", "i94_dates_build",
+        "i94_dictionary_build", "i94_flights_build",
         "i94_immigrations_build", "i94_states_demographic_build",
-        "i94_trips_build", "i94_visitors_build",
-        "q26_salted_skew_groupby", "q37_asof_join", "q38_range_join",
-        "q40_stratified_sample", "q55_dormant_rich_customers",
-        "q56_event_funnel", "q57_cohort_retention",
-        "q58_local_supplier_volume", "q59_volume_shipping",
-        "q60_product_type_profit", "q61_disjunctive_predicates",
-        "q62_waiting_orders", "q63_forecast_revenue_change",
-        "q64_shipping_priority", "q65_order_priority_check",
-        "text_fingerprint", "text_pii_scan", "text_repetition_metrics",
-        "text_stats", "text_tfidf_top_terms", "text_unigram_logprob",
+        "i94_trips_build", "i94_visitors_build", "q26_salted_skew_groupby",
+        "q37_asof_join", "q38_range_join", "text_fingerprint",
+        "text_pii_scan", "text_repetition_metrics", "text_stats",
+        "text_tfidf_top_terms", "text_unigram_logprob"
     ], 3),
-    # -- latest record: CORRECTNESS_r05.json (all green there) --------------
-    **dict.fromkeys([
-        "dq_volume_anomalies", "dq_distribution_drift",
-        "q66_interpolate_hourly", "q67_trailing_week_revenue",
-        "text_pretoken_stats", "text_entropy_metrics",
-        "dedup_ngram_coverage", "dedup_minhash_verified",
-        "dedup_simhash_verified",
-        "ann_cosine_range", "ann_knn_join", "ann_semantic_dedup",
-        "ann_lsh_verified",
-        "multimodal_image_features", "multimodal_frame_samples",
-        "multimodal_pair_manifest", "multimodal_scene_cuts",
-        "graph_triangle_count", "graph_label_propagation",
-        "graph_common_neighbors", "graph_kcore",
-        "stream_quality_filter", "stream_sliding_counts",
-        "stream_merge_upsert",
-        "ds_split_assignment", "ds_chunk_dedup", "ds_pack_sequences",
-        "ds_epoch_permutation", "ds_quality_gate", "ds_shard_manifest",
-        "ds_incremental_update", "ds_curriculum_stages",
-        "ds_token_budget_pack", "ds_repeat_upsampling",
-        "ds_bpe_merge_candidates", "ds_pack_boundaries", "ds_split_leakage",
-        "ds_dataset_card",
-        "q22_running_total", "q23_moving_average", "q24_order_gap_days",
-        "q25_rollup_revenue", "q27_price_percentiles",
-        "q29_json_extraction", "q30_time_rollup", "q31_set_operations",
-        "q32_pivot_priority", "q33_top_tokens", "q34_pandas_udf_score",
-    ], 5),
     # -- latest record: CORRECTNESS_r04.json (all green there) --------------
     **dict.fromkeys([
         "ann_pca_projection", "dedup_cluster_star", "ds_contamination_check",
@@ -137,24 +85,73 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "ds_keep_best_per_cluster", "ds_label_centroids",
         "ds_training_order", "graph_degree_distribution",
         "graph_pagerank_topk", "multimodal_audio_chunks",
-        "multimodal_metadata_stats",
-        "q01_pricing_summary", "q02_top_nations_by_revenue",
-        "q03_monthly_order_trend", "q04_distinct_projection",
-        "q05_null_audit", "q06_top_customers_per_nation",
-        "q07_date_dimension", "q08_sas_date_kernel",
-        "q09_flexible_date_kernel", "q10_avg_ship_delay",
-        "q11_union_by_name", "q12_string_kernels",
+        "multimodal_metadata_stats", "q01_pricing_summary",
+        "q02_top_nations_by_revenue", "q03_monthly_order_trend",
+        "q04_distinct_projection", "q05_null_audit",
+        "q06_top_customers_per_nation", "q07_date_dimension",
+        "q08_sas_date_kernel", "q09_flexible_date_kernel",
+        "q10_avg_ship_delay", "q11_union_by_name", "q12_string_kernels",
         "q13_dictionary_broadcast_join", "q14_filtered_distinct",
         "q15_props_extraction", "q16_sessionize", "q17_anti_join",
         "q18_semi_join", "q19_top_parts_by_revenue", "q20_column_profile",
-        "q21_sql_api_revenue_by_region",
-        "stream_dedup_exactly_once", "stream_enriched_counts",
-        "stream_session_windows", "stream_stream_join",
-        "stream_user_lifetime_stats", "stream_windowed_counts",
-        "text_bigram_logprob", "text_detect_language",
-        "text_filter_decision", "text_quality_scores", "text_redact_pii",
-        "text_tfidf_cosine_pairs", "text_token_count_by_source",
+        "q21_sql_api_revenue_by_region", "stream_dedup_exactly_once",
+        "stream_enriched_counts", "stream_session_windows",
+        "stream_stream_join", "stream_user_lifetime_stats",
+        "stream_windowed_counts", "text_bigram_logprob",
+        "text_detect_language", "text_filter_decision",
+        "text_quality_scores", "text_redact_pii", "text_tfidf_cosine_pairs",
+        "text_token_count_by_source"
     ], 4),
+    # -- latest record: CORRECTNESS_r05.json (all green there) --------------
+    **dict.fromkeys([
+        "ann_cosine_range", "ann_knn_join", "ann_lsh_verified",
+        "ann_semantic_dedup", "dedup_minhash_verified",
+        "dedup_ngram_coverage", "dedup_simhash_verified",
+        "dq_distribution_drift", "dq_volume_anomalies",
+        "ds_bpe_merge_candidates", "ds_chunk_dedup", "ds_curriculum_stages",
+        "ds_dataset_card", "ds_epoch_permutation", "ds_incremental_update",
+        "ds_pack_boundaries", "ds_pack_sequences", "ds_quality_gate",
+        "ds_repeat_upsampling", "ds_shard_manifest", "ds_split_assignment",
+        "ds_split_leakage", "ds_token_budget_pack", "graph_common_neighbors",
+        "graph_kcore", "graph_label_propagation", "graph_triangle_count",
+        "multimodal_frame_samples", "multimodal_image_features",
+        "multimodal_pair_manifest", "multimodal_scene_cuts",
+        "q22_running_total", "q23_moving_average", "q24_order_gap_days",
+        "q25_rollup_revenue", "q27_price_percentiles", "q29_json_extraction",
+        "q30_time_rollup", "q31_set_operations", "q32_pivot_priority",
+        "q33_top_tokens", "q34_pandas_udf_score", "q66_interpolate_hourly",
+        "q67_trailing_week_revenue", "stream_merge_upsert",
+        "stream_quality_filter", "stream_sliding_counts",
+        "text_entropy_metrics", "text_pretoken_stats"
+    ], 5),
+    # -- latest record: CORRECTNESS_r06.json (50/50 green; includes the
+    # re-verified r01 backlog q35/q39/q41-q65 and the cleared q44 watch
+    # item) -----------------------------------------------------------------
+    **dict.fromkeys([
+        "ann_ivf_kmeans_verified", "ann_pca_verified", "ann_quantized_topk",
+        "ann_recall_report", "dedup_lsh_recall", "dq_expectation_suite",
+        "ds_compaction_report", "ds_epoch_shards", "ds_mixture_materialize",
+        "multimodal_dhash_dedup", "multimodal_resize_thumbnails",
+        "multimodal_vad_segments", "q28_approx_vs_exact", "q35_udtf_expand",
+        "q39_array_agg", "q40_stratified_sample",
+        "q41_cube_returnflag_linestatus", "q42_deterministic_sample",
+        "q43_rank_distribution", "q44_supplier_market_share",
+        "q45_gap_fill_hourly", "q46_price_histogram",
+        "q47_correlated_subqueries", "q48_returned_item_revenue",
+        "q49_late_shipment_priority", "q50_promo_revenue_share",
+        "q51_large_volume_orders", "q52_small_quantity_revenue",
+        "q53_top_supplier_revenue", "q54_customer_order_distribution",
+        "q55_dormant_rich_customers", "q56_event_funnel",
+        "q57_cohort_retention", "q58_local_supplier_volume",
+        "q59_volume_shipping", "q60_product_type_profit",
+        "q61_disjunctive_predicates", "q62_waiting_orders",
+        "q63_forecast_revenue_change", "q64_shipping_priority",
+        "q65_order_priority_check", "q68_scd2_customer_dim",
+        "q69_countmin_heavy_hitters", "q70_jsonl_roundtrip",
+        "q71_orc_roundtrip", "q72_argmax_aggregates", "q73_unpivot_metrics",
+        "stream_late_data_metrics", "stream_stateful_sessions",
+        "text_vocab_encode"
+    ], 6),
 }
 
 #: Back-compat view used by older tests/docs: every name with a usable

@@ -151,16 +151,21 @@ def stream_windowed_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN lag(ts) OVER w IS NULL THEN 1
                 WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1
                 ELSE 0
-            END AS is_new_session
+            END AS is_new_session,
+            event_id
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     numbered AS (
+        -- event_id tie-break mirrors `flagged`: with duplicate (user_id,
+        -- ts) at a session boundary an ORDER BY ts alone makes the running
+        -- sum order-dependent in DuckDB, while Spark's sessionizer merges
+        -- ties deterministically (ADVICE r06 #2)
         SELECT
             user_id,
             ts,
             SUM(is_new_session) OVER (
-                PARTITION BY user_id ORDER BY ts
+                PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
             ) AS session_id
         FROM flagged
@@ -719,15 +724,19 @@ def stream_late_data_metrics_query(spark: SparkSession, sf_dir: str) -> DataFram
                 WHEN lag(ts) OVER w IS NULL THEN 1
                 WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1
                 ELSE 0
-            END AS is_new
+            END AS is_new,
+            event_id
         FROM events
         WHERE user_id % 3 = 0
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     numbered AS (
+        -- event_id tie-break mirrors `flagged` (ADVICE r06 #2): a
+        -- ts-only running sum is order-dependent under duplicate
+        -- (user_id, ts) at a session boundary
         SELECT user_id, ts,
                SUM(is_new) OVER (
-                   PARTITION BY user_id ORDER BY ts
+                   PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS sid
         FROM flagged

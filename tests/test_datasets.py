@@ -409,6 +409,35 @@ def test_epoch_shards_greedy_invariants(spark):
     assert rows[0]["min_pos"] == 1 and rows[-1]["max_pos"] == n_docs
 
 
+def test_assign_epoch_shards_bucket_count_invariant(spark):
+    """The fused bucket decomposition must reproduce the SAME global
+    permutation (training_pos and shard_id) for ANY n_buckets — the
+    bucket is a monotone range over the md5-key prefix, not a modulo
+    (ADVICE r06 #1: `% n` was a sort-key prefix only at n_buckets=256)."""
+    import pytest
+
+    from data_engineering_nd_spark.functions.text import token_count
+    from data_engineering_nd_spark.operators.datasets import assign_epoch_shards
+    from data_engineering_nd_spark.catalog import load
+
+    docs = load(spark, "documents", "/root/testdata/sf0.001")
+    toks = docs.select("doc_id", token_count("text").alias("n_tokens"))
+
+    def snap(n_buckets):
+        return sorted(
+            (r["doc_id"], r["training_pos"], r["shard_id"])
+            for r in assign_epoch_shards(
+                toks, budget=500, n_buckets=n_buckets
+            ).collect()
+        )
+
+    reference = snap(256)
+    for n in (1, 7, 100, 4096):
+        assert snap(n) == reference, f"n_buckets={n} changed the permutation"
+    with pytest.raises(ValueError, match="n_buckets"):
+        assign_epoch_shards(toks, budget=500, n_buckets=0)
+
+
 def test_write_epoch_shards_materializes_training_order(spark, tmp_path):
     """The written epoch round-trips: the returned manifest equals the
     planned one, every shard directory's rows are stored in training_pos

@@ -226,6 +226,31 @@ def test_image_dhash_exact_duplicates_collide(spark):
     assert [(r.media_id_a, r.media_id_b, r.hamming) for r in pairs] == [(1, 2, 0)]
 
 
+def test_dhash_seed_pairs_non_vacuous(spark):
+    """The registered dhash query seeds four engineered near-duplicates
+    (VERDICT r06 #2) so the gate verifies real pairs at every SF: the
+    expected seed pairs and hamming distances are pinned exactly."""
+    from data_engineering_nd_spark.operators.multimodal import (
+        _dhash_seed_media,
+        multimodal_dhash_dedup_query,
+    )
+
+    mids = [mid for mid, _ in _dhash_seed_media()]
+    got = {
+        (r.media_id_a, r.media_id_b): r.hamming
+        for r in multimodal_dhash_dedup_query(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        if r.media_id_a in mids and r.media_id_b in mids
+    }
+    assert got == {
+        (mids[0], mids[1]): 1,
+        (mids[0], mids[2]): 2,
+        (mids[0], mids[3]): 3,
+        (mids[1], mids[2]): 3,
+    }
+
+
 def test_fake_resize_known_grid(spark):
     """Hand-checkable resize: a payload whose derived grid is known —
     nearest-neighbor index arithmetic, checksum, and mean verified
