@@ -543,3 +543,248 @@ def i94_dictionary_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in tagged[1:]:
         out = out.unionByName(t)
     return out
+
+
+# ---------------------------------------------------------------------------
+# End-to-end pipeline run under the gate (VERDICT r06 #3): exercise the
+# actual extract -> transform -> load -> DQ runner (pipeline.run — the
+# reference's Airflow-driven path, i94_run_etl_dag.py:343-388 /
+# etl.py:754-821) against the parity fixtures written to disk in their real
+# formats, then checksum WHAT LANDED.  One row per table:
+# (table_name, row_count, content_checksum, dq_pass).
+# ---------------------------------------------------------------------------
+
+#: per-table checksum column recipes over the LANDED schema.
+#: kinds: s = string, i = integral, d = date/timestamp, f = double.
+#: i94_trips excludes trip_id (xxhash64 content key — no DuckDB mirror; its
+#: determinism/null-freeness is pinned in tests/test_transforms.py instead).
+_PIPELINE_CHECKSUM_COLS: dict[str, list[tuple[str, str]]] = {
+    "i94_immigrations": [
+        ("custom_client_id", "s"), ("i94_year", "i"), ("i94_month", "i"),
+        ("i94_port", "s"), ("mode_of_entry", "i"), ("visa_post", "s"),
+        ("arrival_flag", "s"), ("departure_flag", "s"), ("update_flag", "s"),
+        ("match_flag", "s"), ("i94_entry_date", "d"), ("i94_valid_till", "d"),
+    ],
+    "i94_trips": [
+        ("custom_client_id", "s"), ("admissions_number", "s"),
+        ("i94_year", "i"), ("i94_month", "i"), ("arrived_country_id", "s"),
+        ("resident_country_id", "s"), ("arrival_date", "d"),
+        ("departure_date", "d"), ("flight_id", "s"), ("visa_id", "s"),
+        ("visa_category", "s"), ("i94_port", "s"), ("state_code", "s"),
+        ("mode_of_entry", "i"),
+    ],
+    "i94_visitors": [
+        ("admissions_number", "s"), ("i94_year", "i"), ("i94_month", "i"),
+        ("occupation", "s"), ("resident_country_id", "s"),
+        ("birth_year", "i"), ("gender", "s"),
+    ],
+    "i94_flights": [("flight_id", "s"), ("airline", "s")],
+    "i94_dates": [
+        ("i94_year", "i"), ("i94_month", "i"), ("arrival_date", "d"),
+        ("year", "i"), ("month", "i"), ("day", "i"), ("dayofweek", "i"),
+        ("is_weekend", "s"),
+    ],
+    "i94_airports": [
+        ("airport_id", "s"), ("airport_type", "s"), ("airport_name", "s"),
+        ("elevation_ft", "s"), ("continent", "s"), ("iso_country", "s"),
+        ("iso_region", "s"), ("us_state", "s"), ("municipality", "s"),
+        ("gps_code", "s"), ("iata_code", "s"), ("local_code", "s"),
+        ("latitude", "f"), ("longitude", "f"),
+    ],
+    "i94_us_states_demographic": [
+        ("state", "s"), ("median_age", "f"), ("male_population", "i"),
+        ("female_population", "i"), ("num_veterans", "i"),
+        ("num_foreign_born", "i"), ("avg_household_size", "f"),
+        ("state_code", "s"),
+    ],
+    "i94_us_cities_demographic": [
+        ("city", "s"), ("race", "s"), ("population", "i"),
+    ],
+}
+
+#: maps a landed table to the registered builder-oracle that recomputes its
+#: expected content from the fixture arithmetic (single source of truth —
+#: the pipeline oracle embeds these registered SQL bodies as CTEs).
+_PIPELINE_TABLE_ORACLES: dict[str, str] = {
+    "i94_immigrations": "i94_immigrations_build",
+    "i94_trips": "i94_trips_build",
+    "i94_visitors": "i94_visitors_build",
+    "i94_flights": "i94_flights_build",
+    "i94_dates": "i94_dates_build",
+    "i94_airports": "i94_airports_build",
+    "i94_us_states_demographic": "i94_states_demographic_build",
+    "i94_us_cities_demographic": "i94_cities_demographic_build",
+}
+
+#: SQL-mirrorable slice of pipeline.DEFAULT_PK_CHECKS (trip_id is a
+#: never-null xxhash64 key; the Spark side's real null_audit covers it, the
+#: oracle asserts the mirrorable PK columns).
+_PIPELINE_DQ_COLS: dict[str, list[str]] = {
+    "i94_trips": ["custom_client_id"],
+    "i94_immigrations": ["custom_client_id"],
+    "i94_visitors": ["admissions_number"],
+    "i94_flights": ["flight_id"],
+}
+
+
+def _checksum_digest_spark(cols: list[tuple[str, str]]):
+    """48->40-bit md5-prefix digest of the rendered row; summed per table it
+    is an order-insensitive content checksum that stays inside BIGINT far
+    past sf1 (row_count * 2^40)."""
+    rendered = []
+    for name, kind in cols:
+        c = F.col(f"`{name}`")
+        if kind == "i":
+            c = c.cast("string")
+        elif kind == "d":
+            c = F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+        elif kind == "f":
+            c = c.cast("decimal(18,4)").cast("string")
+        rendered.append(F.coalesce(c, F.lit("~N~")))
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("|", *rendered)), 1, 10), 16, 10
+    ).cast("bigint")
+
+
+def _checksum_digest_sql(cols: list[tuple[str, str]]) -> str:
+    rendered = []
+    for name, kind in cols:
+        c = f'"{name}"'
+        if kind == "i":
+            c = f"CAST({c} AS VARCHAR)"
+        elif kind == "d":
+            c = f"strftime(CAST({c} AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')"
+        elif kind == "f":
+            c = f"CAST(CAST({c} AS DECIMAL(18,4)) AS VARCHAR)"
+        rendered.append(f"COALESCE({c}, '~N~')")
+    args = ",\n                ".join(rendered)
+    return (
+        "CAST(concat('0x', substr(md5(concat_ws('|',\n                "
+        + args
+        + ")), 1, 10)) AS BIGINT)"
+    )
+
+
+def _register_pipeline_oracle() -> None:
+    from data_engineering_nd_spark.registry import ORACLE_SQL
+
+    ctes, selects = [], []
+    for table, oracle_name in _PIPELINE_TABLE_ORACLES.items():
+        # the builder oracles read the full `orders` view; the pipeline
+        # fixture is the 1/3 slice, so the embedded bodies are rebased
+        # onto the slice CTE (a CTE cannot shadow its own base view)
+        body = (
+            ORACLE_SQL[oracle_name]
+            .strip()
+            .replace("FROM orders", "FROM orders_slice")
+        )
+        ctes.append(f"t_{table} AS (\n{body}\n)")
+        dq_cols = _PIPELINE_DQ_COLS.get(table)
+        dq = (
+            "(COUNT(*) FILTER (WHERE "
+            + " OR ".join(f'"{c}" IS NULL' for c in dq_cols)
+            + ") = 0)"
+            if dq_cols
+            else "TRUE"
+        )
+        digest = _checksum_digest_sql(_PIPELINE_CHECKSUM_COLS[table])
+        selects.append(
+            f"""SELECT '{table}' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS row_count,
+           CAST(SUM({digest}) AS BIGINT) AS content_checksum,
+           {dq} AS dq_pass
+    FROM t_{table}"""
+        )
+    # deterministic 1/3 orders slice, SHADOWING the base view so every
+    # embedded builder-oracle CTE sees the same fixture the Spark side
+    # feeds the runner (the slice commutes with the synthesis: cicid is
+    # o_orderkey). Keeps the E2E run SF-proportional but bench-bounded.
+    slice_cte = (
+        "orders_slice AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0)"
+    )
+    ORACLE_SQL["i94_pipeline_run"] = (
+        "WITH "
+        + ",\n    ".join([slice_cte, *ctes])
+        + "\n    "
+        + "\n    UNION ALL\n    ".join(selects)
+    )
+
+
+@query("i94_pipeline_run")  # oracle registered below (generated from the
+                            # builder oracles — single source of truth)
+def i94_pipeline_run_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline.run() under the value-hash gate: the fixtures are
+    WRITTEN TO DISK in the reference's real input formats (raw i94 parquet,
+    airport-codes comma CSV, demographics ';' CSV — etl.py:739-740,
+    799-807), the runner extracts/builds/loads all 8 tables into a scratch
+    warehouse with the production layout (partitioned facts), runs the PK
+    null audit on what landed, and the query checksums the LANDED files —
+    so the parquet/CSV round-trip, the partitioned write, and the DQ gate
+    are all inside the verified surface, not just the builders.
+
+    The 8-row result is localCheckpoint-ed (it is the audit artifact, not a
+    data path) so the scratch warehouse can be deleted eagerly."""
+    import os
+    import shutil
+    import tempfile
+    from functools import reduce
+
+    from data_engineering_nd_spark import io as engine_io
+    from data_engineering_nd_spark import pipeline
+
+    work = tempfile.mkdtemp(prefix="i94_pipeline_run_")
+    try:
+        raw_path = os.path.join(work, "i94_raw")
+        # deterministic 1/3 slice (cicid == o_orderkey, so this equals
+        # slicing orders before synthesis — the oracle shadows the orders
+        # view with the same predicate); keeps the heaviest registered
+        # query SF-proportional without losing any pipeline surface
+        synth_i94_raw(spark, sf_dir).filter(
+            F.col("cicid") % 3 == 0
+        ).write.mode("overwrite").parquet(raw_path)
+        ap_path = os.path.join(work, "airport_codes")
+        synth_airport_codes(spark, sf_dir).write.mode("overwrite").option(
+            "header", "true"
+        ).csv(ap_path)
+        demo_path = os.path.join(work, "demographics")
+        synth_demographics(spark, sf_dir).write.mode("overwrite").option(
+            "header", "true"
+        ).option("sep", ";").csv(demo_path)
+
+        out_dir = os.path.join(work, "warehouse")
+        res = pipeline.run(
+            spark,
+            [raw_path],
+            out_dir,
+            raw_fmt="parquet",
+            airport_codes_path=ap_path,
+            demographics_path=demo_path,
+            valid_years=_YEARS,
+        )
+
+        per_table = []
+        for table in sorted(_PIPELINE_CHECKSUM_COLS):
+            landed = engine_io.read(spark, res.tables[table].path)
+            digest = _checksum_digest_spark(_PIPELINE_CHECKSUM_COLS[table])
+            audit = res.quality.get(table)
+            per_table.append(
+                landed.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("row_count"),
+                    F.sum(digest).cast("bigint").alias("content_checksum"),
+                ).select(
+                    F.lit(table).alias("table_name"),
+                    "row_count",
+                    "content_checksum",
+                    F.lit(audit.ok if audit is not None else True).alias(
+                        "dq_pass"
+                    ),
+                )
+            )
+        return reduce(
+            lambda a, b: a.unionByName(b), per_table
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_register_pipeline_oracle()

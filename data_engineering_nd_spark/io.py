@@ -77,18 +77,38 @@ def write(
     fmt: str = "parquet",
     mode: str = "overwrite",
     partition_keys: tuple[str, ...] = (),
+    files_per_partition: int = 4,
     **options: str,
 ) -> WriteResult:
     """Partitioned/unpartitioned write, overwrite or append (S9/S10).
 
     The audit row count rides on the write job itself via ``observe`` —
     the reference instead runs count() before every write (etl.py:528),
-    a full extra scan per table."""
+    a full extra scan per table.
+
+    Partitioned writes are PARTITION-ALIGNED: without a pre-shuffle every
+    upstream task opens a writer for every partition value, so a
+    32-task × 12-month table lands as ~384 tiny files per write — the
+    small-files pattern that melts a 100 TB table's listing and scan
+    planning. Instead the rows are repartitioned on (partition_keys +
+    a deterministic content salt), bounding each partition directory to
+    at most ``files_per_partition`` files while keeping write parallelism
+    = n_partitions × files_per_partition (the salt is xxhash64 of the
+    whole row — no rand(), so retries and re-runs land identical
+    layouts)."""
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
     obs = Observation()
     observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+    if partition_keys and files_per_partition >= 1:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(f"`{c}`") for c in df.columns]),
+            F.lit(files_per_partition),
+        )
+        observed = observed.repartition(
+            *[F.col(f"`{k}`") for k in partition_keys], salt
+        )
     writer = observed.write.format(fmt).mode(mode).options(**options)
     if fmt == "csv":
         writer = writer.option("header", "true")
