@@ -883,6 +883,63 @@ def dedup_cluster_star_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def md5_shingle_base(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int = 3
+) -> DataFrame:
+    """(id, shingles) frame for the md5 LSH family, materialized once
+    (it feeds both the signature explode and the verification join)."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            word_shingles(text_col, k=shingle_k).alias("shingles"),
+        )
+        .filter(F.size("shingles") > 0)
+        .localCheckpoint()
+    )
+
+
+def md5_band_buckets(
+    base: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """(id, band, bucket) banded-LSH index rows from an (id, shingles)
+    frame — the PERSISTABLE unit of the md5 MinHash family (bucket is a
+    deterministic string of the band's signature slice, so index rows
+    written today join exactly against rows computed tomorrow). One
+    explode(x perms) + two hash-aggs; never O(n^2)."""
+    rows_per_band = num_hashes // bands
+    hashed = (
+        base.select("id", F.explode("shingles").alias("sh"))
+        .withColumn("p", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))))
+        .select(
+            "id",
+            "p",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("sh"), F.lit(":"), F.col("p").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("mh"),
+        )
+    )
+    sig = hashed.groupBy("id", "p").agg(F.min("mh").alias("mh"))
+    return sig.groupBy(
+        "id", (F.col("p") / F.lit(rows_per_band)).cast("int").alias("band")
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "mh"))),
+                lambda x: x["mh"].cast("string"),
+            ),
+            ",",
+        ).alias("bucket")
+    )
+
+
 def minhash_lsh_pairs_md5(
     df: DataFrame,
     id_col: str,
@@ -906,46 +963,8 @@ def minhash_lsh_pairs_md5(
     on (band, bucket key), verification only on collisions. Use THIS one
     when you need the audit trail, the xxhash64 one for raw throughput.
     """
-    rows_per_band = num_hashes // bands
-    base = (
-        df.select(
-            F.col(id_col).alias("id"),
-            word_shingles(text_col, k=shingle_k).alias("shingles"),
-        )
-        .filter(F.size("shingles") > 0)
-        .localCheckpoint()
-    )
-    hashed = (
-        base.select("id", F.explode("shingles").alias("sh"))
-        .withColumn("p", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))))
-        .select(
-            "id",
-            "p",
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.col("sh"), F.lit(":"), F.col("p").cast("string"))),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            )
-            .cast("long")
-            .alias("mh"),
-        )
-    )
-    sig = hashed.groupBy("id", "p").agg(F.min("mh").alias("mh"))
-    bands_df = sig.groupBy(
-        "id", (F.col("p") / F.lit(rows_per_band)).cast("int").alias("band")
-    ).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("p", "mh"))),
-                lambda x: x["mh"].cast("string"),
-            ),
-            ",",
-        ).alias("bucket")
-    )
+    base = md5_shingle_base(df, id_col, text_col, shingle_k=shingle_k)
+    bands_df = md5_band_buckets(base, num_hashes=num_hashes, bands=bands)
     a, b = bands_df.alias("a"), bands_df.alias("b")
     cand = (
         a.join(
@@ -957,12 +976,19 @@ def minhash_lsh_pairs_md5(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh = base
+    return jaccard_verified_pairs(cand, base, threshold)
+
+
+def jaccard_verified_pairs(
+    cand: DataFrame, sets: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of (id_a, id_b) candidates against an
+    (id, shingles) frame — only collisions pay the set intersection."""
     cand = cand.join(
-        sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"),
+        sets.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"),
         "id_a",
     ).join(
-        sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"),
+        sets.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"),
         "id_b",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -1347,3 +1373,199 @@ def dedup_lsh_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
     )
     return lsh_recall_report(docs, "doc_id", "text", threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a PERSISTED signature index (VERDICT r06 #4):
+# the shape a crawl pipeline actually runs daily — signatures for the
+# standing corpus are computed ONCE, persisted, and every new batch joins
+# against the index instead of re-fingerprinting the corpus.
+# ---------------------------------------------------------------------------
+
+
+def candidate_pairs_against_index(
+    index_bands: DataFrame, batch_bands: DataFrame
+) -> DataFrame:
+    """LSH candidate pairs of a new batch: cross pairs against the
+    persisted (id, band, bucket) index plus intra-batch pairs. The index
+    side is WHATEVER FRAME IS PASSED — for the incremental contract that
+    is a parquet scan of the persisted index, with zero signature
+    recomputation above it (plan-pinned in tests/test_plans.py). Ids are
+    canonicalized (least, greatest) so multi-band collisions dedup."""
+    i, b = index_bands.alias("i"), batch_bands.alias("b")
+    cross = i.join(
+        b,
+        (F.col("i.band") == F.col("b.band"))
+        & (F.col("i.bucket") == F.col("b.bucket"))
+        & (F.col("i.id") != F.col("b.id")),
+    ).select(
+        F.least(F.col("i.id"), F.col("b.id")).alias("id_a"),
+        F.greatest(F.col("i.id"), F.col("b.id")).alias("id_b"),
+    )
+    c = batch_bands.alias("c")
+    intra = b.join(
+        c,
+        (F.col("b.band") == F.col("c.band"))
+        & (F.col("b.bucket") == F.col("c.bucket"))
+        & (F.col("b.id") < F.col("c.id")),
+    ).select(F.col("b.id").alias("id_a"), F.col("c.id").alias("id_b"))
+    return cross.unionByName(intra).dropDuplicates(["id_a", "id_b"])
+
+
+def incremental_minhash_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    index_root: str,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Dedup a NEW batch against a standing corpus through a persisted
+    banded-signature index, then merge the batch into the index.
+
+    Flow (the daily-crawl shape at 100 TB):
+
+    1. bootstrap: if the ``VersionedTable`` at ``index_root`` is empty,
+       fingerprint the corpus once and commit its (id, band, bucket)
+       rows — the ONLY time corpus text is fully scanned for signatures;
+    2. fingerprint the batch only (one explode + two hash-aggs over the
+       new documents — work proportional to the BATCH, not the corpus);
+    3. candidates = batch bands vs index scan + intra-batch, exact
+       Jaccard verified; corpus text is read only for candidate ids
+       (semi-join pushdown), never re-fingerprinted;
+    4. merge: append the batch bands to the index (one commit), so
+       tomorrow's batch joins against corpus+today.
+
+    Returns verified pairs (id_a, id_b, jaccard). Caller contract:
+    corpus and batch ids are disjoint."""
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    spark = batch.sparkSession
+    table = VersionedTable(spark, index_root)
+    if table.latest_version() is None:
+        corpus_base = md5_shingle_base(corpus, id_col, text_col, shingle_k)
+        table.commit(
+            md5_band_buckets(corpus_base, num_hashes=num_hashes, bands=bands)
+        )
+    idx = table.snapshot()
+
+    batch_base = md5_shingle_base(batch, id_col, text_col, shingle_k)
+    # three consumers (cross join, intra join, merge commit) — compute once
+    batch_bands = md5_band_buckets(
+        batch_base, num_hashes=num_hashes, bands=bands
+    ).localCheckpoint()
+
+    # candidate ids are output-sized; materializing them severs the plan
+    # from the index files so callers may retire old index versions
+    cand = candidate_pairs_against_index(idx, batch_bands).localCheckpoint()
+
+    # verification shingles: batch side is already materialized; corpus
+    # side reads text ONLY for candidate ids (left-semi prune, broadcast
+    # at real scale) — a lookup, not a recompute
+    cand_ids = cand.select(F.col("id_a").alias("id")).unionByName(
+        cand.select(F.col("id_b").alias("id"))
+    ).distinct()
+    corpus_sets = (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            word_shingles(text_col, k=shingle_k).alias("shingles"),
+        )
+        .join(F.broadcast(cand_ids), "id", "left_semi")
+    )
+    sets = batch_base.unionByName(corpus_sets)
+
+    table.commit(batch_bands, mode="append")  # the index merge
+    return jaccard_verified_pairs(cand, sets, threshold)
+
+
+_INCREMENTAL_ORACLE = r"""
+    WITH toks AS (
+        SELECT doc_id AS id,
+               string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents
+        WHERE trim(text) <> ''
+    ),
+    sets AS (
+        SELECT id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(w) - 2, 1) + 1),
+                   i -> array_to_string(w[i:i+2], ' '))) AS shingles
+        FROM toks
+        WHERE len(list_distinct(list_transform(
+                   range(1, greatest(len(w) - 2, 1) + 1),
+                   i -> array_to_string(w[i:i+2], ' ')))) > 0
+    ),
+    hashed AS (
+        SELECT id, p,
+               MIN(CAST(concat('0x',
+                   substr(md5(s || ':' || CAST(p AS VARCHAR)), 1, 15))
+                   AS BIGINT)) AS mh
+        FROM (SELECT id, unnest(shingles) AS s FROM sets),
+             unnest(range(16)) AS t(p)
+        GROUP BY id, p
+    ),
+    bands AS (
+        SELECT id, CAST(p // 4 AS INT) AS band,
+               STRING_AGG(CAST(mh AS VARCHAR), ',' ORDER BY p) AS bucket
+        FROM hashed GROUP BY id, p // 4
+    ),
+    cand AS (
+        -- cross: persisted corpus index (id % 7 <> 0) vs the new batch
+        SELECT DISTINCT least(a.id, b.id) AS id_a,
+                        greatest(a.id, b.id) AS id_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+        WHERE a.id % 7 <> 0 AND b.id % 7 = 0
+        UNION
+        -- intra-batch
+        SELECT DISTINCT a.id, b.id
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                    AND a.id < b.id
+        WHERE a.id % 7 = 0 AND b.id % 7 = 0
+    )
+    SELECT id_a, id_b,
+           round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / CAST(len(sa.shingles) + len(sb.shingles)
+                        - len(list_intersect(sa.shingles, sb.shingles))
+                   AS DOUBLE), 6) AS jaccard
+    FROM cand
+    JOIN sets sa ON sa.id = cand.id_a
+    JOIN sets sb ON sb.id = cand.id_b
+    WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                / CAST(len(sa.shingles) + len(sb.shingles)
+                       - len(list_intersect(sa.shingles, sb.shingles))
+                  AS DOUBLE), 6) >= 0.5
+    """
+
+
+@query("dedup_incremental", oracle=_INCREMENTAL_ORACLE)
+def dedup_incremental_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-crawl incremental dedup under the value-hash gate: the
+    standing corpus (doc_id % 7 <> 0) is fingerprinted once into a
+    persisted VersionedTable signature index, the new batch (doc_id % 7
+    = 0) joins its signatures against the INDEX SCAN plus itself, exact
+    Jaccard verifies the collisions, and the batch merges into the index
+    (append commit). The oracle recomputes the same md5-family bands for
+    both roles — the index round-trip is exact, so the persisted path
+    and the recompute agree bit-for-bit."""
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.catalog import ensure_parallelism
+
+    docs = ensure_parallelism(load(spark, "documents", sf_dir))
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    batch = docs.filter(F.col("doc_id") % 7 == 0)
+    work = tempfile.mkdtemp(prefix="dedup_incremental_")
+    try:
+        return incremental_minhash_pairs(
+            corpus, batch, work, "doc_id", "text", threshold=0.5
+        )
+    finally:
+        # candidates are checkpointed inside the operator; the returned
+        # plan reads only the documents table and in-memory blocks
+        shutil.rmtree(work, ignore_errors=True)

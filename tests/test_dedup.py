@@ -279,3 +279,46 @@ def test_simhash_md5_variant_identical_and_disjoint(spark):
     )
     rows = simhash_pairs_md5(docs, "doc_id", "text", max_hamming=3).collect()
     assert [(r["id_a"], r["id_b"], r["hamming"]) for r in rows] == [(1, 2, 0)]
+
+
+def test_incremental_dedup_matches_one_shot_and_merges_index(spark, tmp_path):
+    """incremental_minhash_pairs against a persisted index finds EXACTLY
+    the one-shot md5-LSH pairs that involve at least one batch doc (same
+    hash family, same bands — the index round-trip loses nothing), and
+    the merge commit appends the batch signatures so the index serves
+    tomorrow's batch."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_nd_spark.catalog import load
+    from data_engineering_nd_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_lsh_pairs_md5,
+    )
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    docs = load(spark, "documents", "/root/testdata/sf0.001")
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    batch = docs.filter(F.col("doc_id") % 7 == 0)
+    root = str(tmp_path / "index")
+
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in incremental_minhash_pairs(
+            corpus, batch, root, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    expected = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs_md5(docs, "doc_id", "text", 0.5).collect()
+        if r.id_a in batch_ids or r.id_b in batch_ids
+    }
+    assert got == expected and got  # non-vacuous
+
+    table = VersionedTable(spark, root)
+    assert table.latest_version() == 1  # bootstrap commit + merge commit
+    # after the merge the index covers every doc (corpus AND batch), so
+    # tomorrow's batch joins against both
+    idx_ids = {r.id for r in table.snapshot().select("id").distinct().collect()}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert idx_ids == all_ids
