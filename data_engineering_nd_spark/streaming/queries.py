@@ -891,3 +891,98 @@ def stream_stateful_sessions_query(spark: SparkSession, sf_dir: str) -> DataFram
         F.timestamp_micros("end_us").cast("timestamp_ntz").alias("session_end"),
         "n_events",
     )
+
+
+@query(
+    "stream_restart_recovery",
+    # Batch oracle identical to stream_windowed_counts: exactly-once ACROSS
+    # A RESTART means the two-phase run converges to the plain batch
+    # aggregate — a re-read of phase-A input would double-count (hash
+    # mismatch), lost state would under-count (hash mismatch).
+    oracle="""
+    SELECT
+        time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) + INTERVAL '1 hour' AS window_end,
+        event_type,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_restart_recovery_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-recovery proof as a driver-verified query (VERDICT r06
+    #5): the events table arrives in two files. A first StreamingQuery
+    with an explicit checkpointLocation consumes ONLY file A
+    (availableNow) and terminates — its state store and source progress
+    land in the checkpoint. A SECOND StreamingQuery then starts from the
+    same checkpoint with file B present: the file-source log makes it
+    skip A (no re-read), and the recovered state store makes the
+    complete-mode aggregate still include A's contributions. The final
+    table therefore equals the one-shot batch aggregate — exactly-once
+    across restart, not merely within one run.
+
+    Scale notes: recovery cost is proportional to STATE (per-key windowed
+    aggregates), never to history — the checkpoint's source log replays
+    file offsets, not data; at production scale the same two-phase flow
+    is a deploy/restart of a long-running job against S3/HDFS checkpoint
+    dirs."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from data_engineering_nd_spark.catalog import load
+
+    ev = (
+        load(spark, "events", sf_dir)
+        .select("event_id", "event_type", F.col("ts").cast("timestamp"), "value")
+        .localCheckpoint()
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_restart_")
+    try:
+        stream_dir = os.path.join(tmp, "in")
+        os.makedirs(stream_dir)
+        ckpt = os.path.join(tmp, "ckpt")
+        now = _time.time()
+        _write_stream_file(ev.filter(F.col("event_id") % 2 == 1), tmp, "0_a", now - 120)
+        schema = spark.read.parquet(stream_dir).schema
+
+        def run_phase(sink_name: str) -> None:
+            src = spark.readStream.schema(schema).parquet(stream_dir)
+            counts = (
+                src.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.sum(F.col("value").cast("decimal(18,4)"))
+                    .cast("double")
+                    .alias("total_value"),
+                )
+                .select(
+                    F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+                    F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+                    "event_type",
+                    "n_events",
+                    "total_value",
+                )
+            )
+            with _few_state_partitions(spark):
+                q = (
+                    counts.writeStream.format("memory")
+                    .queryName(sink_name)
+                    .outputMode("complete")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+
+        run_phase("stream_restart_phase_a")  # consumes file A, checkpoints
+        _write_stream_file(ev.filter(F.col("event_id") % 2 == 0), tmp, "1_b", now - 60)
+        run_phase("stream_restart_recovery_sink")  # restarts: B only + state
+
+        # the memory table is rewritten per trigger; materialize before the
+        # scratch checkpoint dir goes away
+        return spark.table("stream_restart_recovery_sink").localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
