@@ -727,21 +727,27 @@ def multimodal_dhash_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     verbatim in the oracle's corpus CTE) so the verification is
     non-vacuous at EVERY scale factor — the gate proves real pairs, not
     the empty set (VERDICT r06 #2)."""
+    return image_dhash_pairs(_seeded_image_media(spark, sf_dir), max_hamming=3)
+
+
+def _seeded_image_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic media plus the engineered near-duplicate seeds — the
+    corpus both dhash queries (pairs + dedup decisions) sweep."""
     seeds = spark.createDataFrame(
         [(mid, "image", txt.encode("utf-8")) for mid, txt in _dhash_seed_media()],
         "media_id bigint, kind string, payload binary",
     )
-    media = (
+    return (
         synthetic_media(spark, sf_dir)
         .select("media_id", "kind", "payload")
         .unionByName(seeds)
     )
-    return image_dhash_pairs(media, max_hamming=3)
 
 
-def _register_dhash_oracle() -> None:
-    from data_engineering_nd_spark.registry import ORACLE_SQL
-
+def _dhash_pair_ctes() -> str:
+    """Shared SQL CTE block (img -> fps -> chunks -> pairs) mirroring the
+    seeded dHash near-dup sweep — used by the pair query's oracle and by
+    the cluster/decision composition built on top of it."""
     bits = _DHASH_BITS
     max_hamming = 3
     n_chunks = max_hamming + 1
@@ -760,8 +766,7 @@ def _register_dhash_oracle() -> None:
     seed_values = ",\n            ".join(
         f"({mid}, '{txt}')" for mid, txt in _dhash_seed_media()
     )
-    ORACLE_SQL["multimodal_dhash_dedup"] = f"""
-    WITH img AS (
+    return f"""img AS (
         SELECT doc_id AS media_id, text
         FROM documents
         WHERE doc_id % 5 <> 0 AND doc_id % 5 <> 3 AND length(text) >= 2
@@ -781,16 +786,117 @@ def _register_dhash_oracle() -> None:
         SELECT id, fp, c,
                CASE c {chunk_case} END AS key
         FROM fps, unnest(range({n_chunks})) AS t(c)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.id AS media_id_a, b.id AS media_id_b,
+               CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+        FROM chunks a
+        JOIN chunks b ON a.c = b.c AND a.key = b.key AND a.id < b.id
+        WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+    )"""
+
+
+def _register_dhash_oracle() -> None:
+    from data_engineering_nd_spark.registry import ORACLE_SQL
+
+    ORACLE_SQL["multimodal_dhash_dedup"] = (
+        "WITH "
+        + _dhash_pair_ctes()
+        + "\n    SELECT media_id_a, media_id_b, hamming FROM pairs"
     )
-    SELECT DISTINCT a.id AS media_id_a, b.id AS media_id_b,
-           CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
-    FROM chunks a
-    JOIN chunks b ON a.c = b.c AND a.key = b.key AND a.id < b.id
-    WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
-    """
 
 
 _register_dhash_oracle()
+
+
+@query("multimodal_dedup_decisions")  # oracle registered below (generated)
+def multimodal_dedup_decisions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAION-sweep OUTPUT artifact (VERDICT r06 #6): dHash near-dup
+    pairs -> connected components (large-star/small-star) -> keep-best
+    resolution. One row per clustered image: its cluster id (= minimum
+    member media_id), payload size, and the keep/drop decision — keep the
+    LARGEST payload (highest-resolution analog), media_id ascending
+    tie-break. Composes three already-verified operators the way a
+    production image-canonicalization pass runs them.
+
+    Scale shape: pairs/clusters are output-sized (near-dup pairs, not the
+    corpus), so the cluster frame BROADCASTS into the media join
+    (plan-pinned); the per-cluster window partitions by dup cluster,
+    never the corpus."""
+    from pyspark.sql.window import Window
+
+    from data_engineering_nd_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    media = _seeded_image_media(spark, sf_dir)
+    pairs = image_dhash_pairs(media, max_hamming=3)
+    clusters = connected_components_star(
+        pairs, src="media_id_a", dst="media_id_b"
+    )
+    sizes = media.select(
+        F.col("media_id"), F.length("payload").cast("bigint").alias("payload_bytes")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("payload_bytes"), "media_id"
+    )
+    return (
+        sizes.join(
+            F.broadcast(
+                clusters.select(
+                    F.col("id").alias("media_id"), F.col("comp").alias("cluster_id")
+                )
+            ),
+            "media_id",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "cluster_id",
+            "media_id",
+            "payload_bytes",
+            F.when(F.col("rn") == 1, F.lit("keep"))
+            .otherwise(F.lit("drop"))
+            .alias("decision"),
+        )
+    )
+
+
+def _register_dedup_decisions_oracle() -> None:
+    from data_engineering_nd_spark.registry import ORACLE_SQL
+
+    ORACLE_SQL["multimodal_dedup_decisions"] = (
+        "WITH RECURSIVE "
+        + _dhash_pair_ctes()
+        + """,
+    edges AS (
+        SELECT media_id_a AS src, media_id_b AS dst FROM pairs
+        UNION
+        SELECT media_id_b AS src, media_id_a AS dst FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+    ),
+    clusters AS (
+        SELECT id AS media_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    ),
+    ranked AS (
+        SELECT c.cluster_id, c.media_id,
+               CAST(strlen(i.text) AS BIGINT) AS payload_bytes,
+               row_number() OVER (
+                   PARTITION BY c.cluster_id
+                   ORDER BY CAST(strlen(i.text) AS BIGINT) DESC, c.media_id
+               ) AS rn
+        FROM clusters c JOIN img i ON i.media_id = c.media_id
+    )
+    SELECT cluster_id, media_id, payload_bytes,
+           CASE WHEN rn = 1 THEN 'keep' ELSE 'drop' END AS decision
+    FROM ranked"""
+    )
+
+
+_register_dedup_decisions_oracle()
 
 
 # ---------------------------------------------------------------------------

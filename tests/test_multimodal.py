@@ -314,3 +314,27 @@ def test_vad_segments_known_runs(spark):
         (r.media_id, r.segment_start_ms, r.segment_end_ms, r.n_chunks, r.peak_rms)
         for r in got
     ] == [(1, 0, 3000, 2, 60.0), (1, 3000, 5000, 1, 47.0)]
+
+
+def test_dedup_decisions_keep_best_per_cluster(spark):
+    """The four engineered seeds form one connected cluster (pairs
+    1-2, 1-3, 1-4, 2-3); payloads are equal-length so the ascending
+    media_id tie-break keeps the base seed and drops the variants."""
+    from data_engineering_nd_spark.operators.multimodal import (
+        _dhash_seed_media,
+        multimodal_dedup_decisions_query,
+    )
+
+    mids = [mid for mid, _ in _dhash_seed_media()]
+    rows = {
+        r.media_id: r
+        for r in multimodal_dedup_decisions_query(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        if r.media_id in mids
+    }
+    assert set(rows) == set(mids)
+    assert all(r.cluster_id == mids[0] for r in rows.values())
+    assert rows[mids[0]].decision == "keep"
+    assert all(rows[m].decision == "drop" for m in mids[1:])
+    assert all(r.payload_bytes == 61 for r in rows.values())

@@ -469,3 +469,16 @@ def test_incremental_dedup_index_side_is_scan_not_recompute(spark, tmp_path):
     assert "md5" not in plan, plan  # ...and nobody re-fingerprints
     # the documents table itself must not appear above the index scan
     assert "documents" not in plan, plan
+
+
+def test_dedup_decisions_cluster_side_broadcasts(spark):
+    """multimodal_dedup_decisions: the cluster frame is output-sized
+    (near-dup pairs, not the corpus), so it must BROADCAST into the media
+    join — the media side never shuffles for the decision tagging."""
+    from data_engineering_nd_spark.operators.multimodal import (
+        multimodal_dedup_decisions_query,
+    )
+
+    df = multimodal_dedup_decisions_query(spark, SF_DIR)
+    assert_broadcast_join(df)
+    assert_no_python_udf_in(df)
