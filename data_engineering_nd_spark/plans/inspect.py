@@ -90,3 +90,25 @@ def assert_no_python_udf_in(df: DataFrame) -> None:
     and are allowed — they're the designated vectorized escape hatch)."""
     plan = physical_plan(df)
     assert "BatchEvalPython" not in plan, f"row-wise Python UDF in plan:\n{plan}"
+
+
+def plan_fingerprint(df: DataFrame) -> dict[str, int]:
+    """Operator multiset of the physical plan — the drift-snapshot unit
+    (VERDICT r06 #7). Counts only the scale-relevant node classes, so the
+    fingerprint is stable across cosmetic plan changes (ids, orderings)
+    but moves whenever a shuffle, broadcast, scan, or Python stage
+    appears or disappears."""
+    plan = simple_plan(df)
+    return {
+        "exchanges": count_exchanges(df),
+        "broadcasts": plan.count("BroadcastExchange"),
+        "scans": plan.count("FileScan") + plan.count("Scan parquet"),
+        "broadcast_joins": plan.count("BroadcastHashJoin"),
+        "sort_merge_joins": plan.count("SortMergeJoin"),
+        "nested_loops": plan.count("BroadcastNestedLoopJoin")
+        + plan.count("CartesianProduct"),
+        "rowwise_python": plan.count("BatchEvalPython"),
+        "arrow_python": plan.count("ArrowEvalPython")
+        + plan.count("MapInPandas")
+        + plan.count("FlatMapGroupsInPandas"),
+    }

@@ -482,3 +482,59 @@ def test_dedup_decisions_cluster_side_broadcasts(spark):
     df = multimodal_dedup_decisions_query(spark, SF_DIR)
     assert_broadcast_join(df)
     assert_no_python_udf_in(df)
+
+
+def _headliner_names():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "plans_report",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "plans_report.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return list(mod.HEADLINERS)
+
+
+def _fingerprint_snapshot():
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "plan_fingerprints.json")
+    with open(path) as f:
+        return json.load(f)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize("name", _headliner_names())
+def test_plan_fingerprint_no_silent_drift(spark, name):
+    """Drift-snapshot guard over every PLANS.md headliner (VERDICT r06
+    #7): regenerate the operator multiset and fail on UN-ANNOTATED growth
+    in shuffle count, nested loops, row-wise Python, or scan count — the
+    silent plan regressions the bench's noise band hides. Deliberate plan
+    changes refresh the snapshot via tools/plan_fingerprints.py (with the
+    reason in the commit message)."""
+    from data_engineering_nd_spark.plans.inspect import plan_fingerprint
+    from data_engineering_nd_spark.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    snap = _fingerprint_snapshot()
+    if name not in snap:
+        pytest.skip(f"new headliner {name}: no committed fingerprint yet — "
+                    "run tools/plan_fingerprints.py")
+    fp = plan_fingerprint(QUERIES[name](spark, SF_DIR))
+    base = snap[name]
+    for k in ("exchanges", "nested_loops", "rowwise_python", "scans"):
+        assert fp[k] <= base[k], (
+            f"{name}: {k} grew {base[k]} -> {fp[k]} (un-annotated plan "
+            f"drift). Full fingerprint: {fp} vs committed {base}. If the "
+            "change is deliberate, refresh tests/plan_fingerprints.json."
+        )
+    # a broadcast degrading to sort-merge shows as +smj with -bhj
+    if fp["sort_merge_joins"] > base["sort_merge_joins"]:
+        assert fp["broadcast_joins"] >= base["broadcast_joins"], (
+            f"{name}: broadcast join degraded to sort-merge: {fp} vs {base}"
+        )
