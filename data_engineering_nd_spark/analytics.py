@@ -2910,3 +2910,144 @@ def q73_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+# --------------------------------------------------------------------------
+# q74 — HyperLogLog distinct-count sketch (Flajolet et al. 2007), built from
+# scratch on an md5-derived hash family so the ENTIRE sketch — register
+# values, their sum, and the estimate arithmetic — is SQL-mirrorable and
+# value-hash verified, the same verification strategy as the Count-Min
+# sketch (q69). Complements q69: CMS answers "how often", HLL answers "how
+# many distinct" in O(m) memory with map-side-combinable registers.
+# --------------------------------------------------------------------------
+
+_HLL_P = 4                      # 2^4 = 16 registers
+_HLL_M = 1 << _HLL_P
+_HLL_TAIL_BITS = 60 - _HLL_P    # md5 prefix is 60 bits; top p pick the register
+_HLL_ALPHA = 0.673              # alpha_16 (standard constant for m = 16)
+
+
+@query(
+    "q74_hll_distinct",
+    oracle=f"""
+    WITH h AS (
+        SELECT CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM orders
+    ),
+    slots AS (
+        SELECT h >> {_HLL_TAIL_BITS} AS idx,
+               h & {(1 << _HLL_TAIL_BITS) - 1} AS tail
+        FROM h
+    ),
+    regs AS (
+        SELECT idx,
+               MAX(CASE WHEN tail = 0 THEN {_HLL_TAIL_BITS + 1}
+                        ELSE {_HLL_TAIL_BITS + 1} - length(bin(tail)) END)
+                   AS m_j
+        FROM slots GROUP BY idx
+    ),
+    s AS (
+        SELECT CAST(SUM(CAST(power(2, {_HLL_TAIL_BITS + 1} - m_j) AS BIGINT))
+                    AS BIGINT) AS s_present,
+               COUNT(*) AS n_present
+        FROM regs
+    ),
+    x AS (
+        SELECT CAST(s_present + ({_HLL_M} - n_present)
+                    * {1 << (_HLL_TAIL_BITS + 1)} AS BIGINT) AS register_sum,
+               CAST({_HLL_M} - n_present AS BIGINT) AS n_zero_registers,
+               (({_HLL_ALPHA} * {_HLL_M * _HLL_M})
+                * {float(1 << (_HLL_TAIL_BITS + 1))})
+               / CAST(s_present + ({_HLL_M} - n_present)
+                      * {1 << (_HLL_TAIL_BITS + 1)} AS DOUBLE) AS e_raw,
+               (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS n_exact
+        FROM s
+    )
+    SELECT CAST({_HLL_M} AS INT) AS m,
+           n_exact,
+           register_sum,
+           n_zero_registers,
+           floor(e_raw * 10000.0 + 0.5) / 10000.0 AS hll_estimate,
+           CAST(floor(abs(e_raw - CAST(n_exact AS DOUBLE))
+                      / CAST(n_exact AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)
+               AS rel_error_e4
+    FROM x
+    """,
+)
+def q74_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL cardinality estimate of distinct customers over orders.
+
+    Sketch construction: h = 60-bit md5 prefix; register = top 4 bits,
+    rho = leading-zero count of the 56-bit tail + 1 (computed EXACTLY via
+    the length of the tail's binary string — no float log), register
+    value = max(rho). The estimator is the raw harmonic mean
+    alpha_m * m^2 / sum(2^-M_j), kept in exact BIGINT by scaling to
+    2^(57 - M_j) (empty registers contribute 2^57), so both engines
+    divide the same two exact integers. Raw regime only by design
+    (n >> 2.5m at every SF with m = 16); the small-range linear-counting
+    branch needs ln(), whose libm rounding is not cross-engine stable —
+    the zero-register count is emitted so a caller can apply it.
+
+    Scale shape: ONE hash-agg to 16 registers (map-side combinable — the
+    sketch merges across partitions/days by register max, like the CMS),
+    plus the exact COUNT(DISTINCT) the report compares against. Sketch
+    memory is O(m) regardless of corpus size."""
+    tail_bits = _HLL_TAIL_BITS
+    top = tail_bits + 1
+    o = load(spark, "orders", sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    slots = o.select(
+        F.shiftright(h, tail_bits).alias("idx"),
+        h.bitwiseAND(F.lit((1 << tail_bits) - 1)).alias("tail"),
+    )
+    rho = F.when(F.col("tail") == 0, F.lit(top)).otherwise(
+        F.lit(top) - F.length(F.conv(F.col("tail").cast("string"), 10, 2))
+    )
+    regs = slots.select("idx", rho.alias("rho")).groupBy("idx").agg(
+        F.max("rho").alias("m_j")
+    )
+    s = regs.agg(
+        F.sum(F.expr(f"CAST(pow(2, {top} - m_j) AS BIGINT)")).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    exact = o.agg(F.countDistinct("o_custkey").alias("n_exact"))
+    x = s.crossJoin(F.broadcast(exact)).select(
+        (
+            F.col("s_present")
+            + (F.lit(_HLL_M) - F.col("n_present")) * F.lit(1 << top)
+        )
+        .cast("bigint")
+        .alias("register_sum"),
+        (F.lit(_HLL_M) - F.col("n_present")).cast("bigint").alias(
+            "n_zero_registers"
+        ),
+        (
+            F.lit(_HLL_ALPHA * (_HLL_M * _HLL_M))
+            * F.lit(float(1 << top))
+            / (
+                F.col("s_present")
+                + (F.lit(_HLL_M) - F.col("n_present")) * F.lit(1 << top)
+            ).cast("double")
+        ).alias("e_raw"),
+        F.col("n_exact"),
+    )
+    from data_engineering_nd_spark.functions.numeric import (
+        round_half_up,
+        round_half_up_long,
+    )
+
+    return x.select(
+        F.lit(_HLL_M).cast("int").alias("m"),
+        "n_exact",
+        "register_sum",
+        "n_zero_registers",
+        round_half_up(F.col("e_raw"), 4).alias("hll_estimate"),
+        round_half_up_long(
+            F.abs(F.col("e_raw") - F.col("n_exact").cast("double"))
+            / F.col("n_exact").cast("double")
+            * F.lit(10000.0)
+        ).alias("rel_error_e4"),
+    )

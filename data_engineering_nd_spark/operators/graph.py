@@ -690,3 +690,105 @@ def _register_kcore_oracle() -> None:
 
 
 _register_kcore_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS: hop distance from a seed set, the remaining classic of
+# the iterative family (PageRank, CC, LPA, k-core, triangles are covered).
+# A pipeline uses this as "trust radius" / taint propagation: how many dup-
+# graph hops is a document from a known-good (or known-bad) seed set.
+# ---------------------------------------------------------------------------
+
+
+def bfs_layers(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Minimum hop distance (<= max_hops) from any seed, as (id, dist).
+
+    Frontier expansion: each round joins the CURRENT FRONTIER (not the
+    whole visited set) to the edges and anti-joins out already-visited
+    nodes, so round cost is frontier-sized — the standard distributed BFS.
+    localCheckpoint cuts lineage per round (constant-size plan); the loop
+    stops early when a frontier empties. Seeds not present in the edge
+    set still appear at dist 0.
+
+    Scale shape: hop-bounded joins on node id; pre-partition edges by src
+    (bucketing.py) to co-locate every round's join at cluster scale.
+    Distances are exact minima because expansion is level-synchronous: a
+    node first reached in round h cannot have a shorter path."""
+    dist = (
+        seeds.select(F.col(seeds.columns[0]).alias("id"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint()
+    )
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    frontier = dist
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["id"] == e["src"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(dist, "id", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return dist
+
+
+@query(
+    "graph_bfs_layers",
+    oracle=None,  # registered below (shares the pair CTEs)
+)
+def graph_bfs_layers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance (<= 4) from the doc_id % 10 == 0 seed nodes over the
+    jaccard-0.5 near-dup graph — the same edge set every other gated graph
+    query verifies against. The oracle is the recursive-SQL minimum-hop
+    closure, so layer assignment (not just reachability) is value-hashed."""
+    from data_engineering_nd_spark.operators.dedup import jaccard_pairs
+
+    docs = load(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    pairs = jaccard_pairs(docs, "doc_id", "text", "lang", threshold=0.5)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    seeds = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    return bfs_layers(edges, seeds, max_hops=4).select(
+        F.col("id").alias("doc_id"), F.col("dist").cast("int").alias("dist")
+    )
+
+
+def _register_bfs_oracle() -> None:
+    from data_engineering_nd_spark.operators.dedup import PAIR_EDGE_CTES
+    from data_engineering_nd_spark.registry import ORACLE_SQL
+
+    ORACLE_SQL["graph_bfs_layers"] = (
+        "\n    WITH RECURSIVE" + PAIR_EDGE_CTES + r""",
+    reach(id, d) AS (
+        SELECT DISTINCT src, 0 FROM edges WHERE src % 10 = 0
+        UNION
+        SELECT e.dst, r.d + 1
+        FROM edges e JOIN reach r ON e.src = r.id
+        WHERE r.d < 4
+    )
+    SELECT id AS doc_id, CAST(MIN(d) AS INT) AS dist
+    FROM reach GROUP BY id
+    """
+    )
+
+
+_register_bfs_oracle()

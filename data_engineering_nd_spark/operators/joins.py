@@ -40,13 +40,20 @@ def salted_join(
     on: str,
     n_salts: int = 16,
     how: str = "inner",
+    force_shuffle: bool = False,
 ) -> DataFrame:
     """Equi-join with the big side's hot keys spread across n_salts
     sub-partitions; the small side is replicated n_salts times (explode of
     a literal range — no shuffle of the big side beyond the join itself).
 
     Only big-side-preserving join types are allowed: replication makes
-    right/full outer joins emit unmatched small-side rows once per salt."""
+    right/full outer joins emit unmatched small-side rows once per salt.
+
+    ``force_shuffle`` pins the shuffle_hash strategy on the replicated
+    side. Salting only matters when the build side is beyond the
+    broadcast threshold; the flag keeps small-fixture demonstrations and
+    plan pins honest (AQE would otherwise broadcast a tiny test dim and
+    the salted path would never execute)."""
     allowed = {"inner", "left", "left_outer", "left_semi", "left_anti"}
     if how not in allowed:
         raise ValueError(f"salted_join supports {sorted(allowed)}, not {how!r}")
@@ -57,6 +64,8 @@ def salted_join(
     small_salted = small.withColumn(
         SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
+    if force_shuffle:
+        small_salted = small_salted.hint("shuffle_hash")
     return big_salted.join(small_salted, [on, SALT], how).drop(SALT)
 
 
@@ -257,4 +266,55 @@ def q38_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# The salted join under the gate: q26 covers the group-by half of the skew
+# toolkit; this puts the JOIN half (salted_join above) under a value-hash
+# oracle.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q75_salted_skew_join",
+    oracle="""
+    WITH dim AS (
+        SELECT DISTINCT event_type,
+               CAST(strlen(event_type) AS BIGINT) AS weight
+        FROM events
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value * d.weight AS DECIMAL(18,4))) AS DOUBLE)
+               AS weighted_value
+    FROM events e JOIN dim d USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def q75_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key join via salting: events.event_type has 5 values over
+    ~100k rows at sf0.1 — an unsalted shuffle join would put ~all rows of
+    a type on one reducer. The salted plan joins on (event_type, content
+    salt) against the 16x-replicated dim and must equal the plain
+    join+aggregate, which the oracle states directly (the salt routes
+    rows, it never changes the result). The 5-row test dim would of
+    course broadcast in production — force_shuffle pins the PATTERN
+    (deterministic salt, explode-replicated build, equi-join on the
+    salted key) for dims beyond the broadcast threshold, where this is
+    the only shape that survives a hot key at 100 TB."""
+    ev = load(spark, "events", sf_dir)
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("weight", F.length("event_type").cast("long"))
+    )
+    joined = salted_join(
+        ev, dim, "event_type", n_salts=16, force_shuffle=True
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("value") * F.col("weight")).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("weighted_value"),
     )

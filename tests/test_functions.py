@@ -195,3 +195,62 @@ def test_trailing_week_range_frame_respects_calendar_gaps(spark, tmp_path):
     assert got["1995-01-01"] == (100.0, 1)
     assert got["1995-01-03"] == (150.0, 2)  # day 1 still inside the window
     assert got["1995-01-13"] == (25.0, 1)   # both earlier days aged out
+
+
+def test_hll_registers_match_reference_loop(spark):
+    """The Spark HLL registers and estimate must match a direct Python
+    reimplementation of the same md5 construction on the same values —
+    pins the bit arithmetic (register index, rho via binary length,
+    exact-integer register sum) independently of the SQL oracle."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_nd_spark.analytics import (
+        _HLL_ALPHA,
+        _HLL_M,
+        _HLL_TAIL_BITS,
+    )
+
+    values = [str(v) for v in range(1, 400)]
+    regs: dict[int, int] = {}
+    for v in values:
+        h = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+        idx = h >> _HLL_TAIL_BITS
+        tail = h & ((1 << _HLL_TAIL_BITS) - 1)
+        rho = (
+            _HLL_TAIL_BITS + 1
+            if tail == 0
+            else _HLL_TAIL_BITS + 1 - tail.bit_length()
+        )
+        regs[idx] = max(regs.get(idx, 0), rho)
+    top = _HLL_TAIL_BITS + 1
+    s = sum(1 << (top - m) for m in regs.values()) + (
+        _HLL_M - len(regs)
+    ) * (1 << top)
+    expected_e = (_HLL_ALPHA * _HLL_M * _HLL_M) * float(1 << top) / s
+
+    # same construction through the Spark column expressions
+    df = spark.createDataFrame([(v,) for v in values], ["x"])
+    h = F.conv(F.substring(F.md5("x"), 1, 15), 16, 10).cast("long")
+    slots = df.select(
+        F.shiftright(h, _HLL_TAIL_BITS).alias("idx"),
+        h.bitwiseAND(F.lit((1 << _HLL_TAIL_BITS) - 1)).alias("tail"),
+    )
+    rho = F.when(F.col("tail") == 0, F.lit(top)).otherwise(
+        F.lit(top) - F.length(F.conv(F.col("tail").cast("string"), 10, 2))
+    )
+    got = {
+        r["idx"]: r["m_j"]
+        for r in slots.select("idx", rho.alias("rho"))
+        .groupBy("idx")
+        .agg(F.max("rho").alias("m_j"))
+        .collect()
+    }
+    assert got == regs
+    got_s = sum(1 << (top - m) for m in got.values()) + (_HLL_M - len(got)) * (
+        1 << top
+    )
+    assert got_s == s
+    # estimate lands within the m=16 error envelope of the true 399
+    assert abs(expected_e - 399) / 399 < 0.6

@@ -192,3 +192,32 @@ def test_kcore_empty_when_forest(spark):
 
     edges = spark.createDataFrame([(0, 1), (1, 2), (1, 3)], ["src", "dst"])
     assert kcore(edges, k=2).count() == 0
+
+
+def test_bfs_layers_hand_graph(spark):
+    """Distances on a hand-built graph: chain 0-1-2-3-4-5 plus a shortcut
+    0-3 and an unreachable island {8,9}; seed = {0}. Level-synchronous
+    expansion must take the SHORTER of chain vs shortcut and stop at
+    max_hops."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from data_engineering_nd_spark.operators.graph import bfs_layers
+
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (0, 3), (8, 9)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(0,)], ["id"])
+    got = {
+        r["id"]: r["dist"] for r in bfs_layers(edges, seeds, max_hops=3).collect()
+    }
+    assert got == {0: 0, 1: 1, 3: 1, 2: 2, 4: 2, 5: 3}  # island unreached
+
+
+def test_bfs_seed_without_edges_kept_at_zero(spark):
+    from data_engineering_nd_spark.operators.graph import bfs_layers
+
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    seeds = spark.createDataFrame([(7,)], ["id"])
+    got = {r["id"]: r["dist"] for r in bfs_layers(edges, seeds).collect()}
+    assert got == {7: 0}

@@ -80,3 +80,36 @@ def test_range_join_bucketed_boundaries(spark):
         for r in range_join_bucketed(ev, "t", iv, "s", "e", bucket_seconds=3600).collect()
     }
     assert got == {2, 3}
+
+
+def test_salted_join_force_shuffle_pins_the_salted_path(spark):
+    """force_shuffle=True must keep the replicated dim OUT of a broadcast
+    (AQE would otherwise broadcast a tiny test dim and the salted path
+    would never execute) while the result still equals the plain join."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_nd_spark.operators.joins import salted_join
+
+    fact = spark.range(0, 1000).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 < 9, F.lit("hot"))
+        .otherwise(F.concat(F.lit("cold"), (F.col("id") % 7).cast("string")))
+        .alias("k"),
+        (F.col("id") % 100).cast("double").alias("v"),
+    )
+    dim = fact.select("k").distinct().withColumn("w", F.length("k").cast("long"))
+
+    salted = salted_join(fact, dim, "k", n_salts=16, force_shuffle=True)
+    plain = fact.join(dim, "k")
+    agg = lambda df: {  # noqa: E731
+        r["k"]: (r["n"], r["s"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("v") * F.col("w")).alias("s"))
+        .collect()
+    }
+    assert agg(salted) == agg(plain)
+    assert salted.count() == 1000  # inner join keeps every fact row exactly once
+
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan  # the hint held: no broadcast
+    assert "__salt" in plan  # ...and the join key carries the salt
