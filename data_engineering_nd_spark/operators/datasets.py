@@ -2230,3 +2230,76 @@ def ds_mixture_materialize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     plan = temperature_mixture(per_source, "total_tokens", budget=1_000_000)
     return materialize_mixture_report(docs, plan)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (change feed): what changed between two table versions
+# ---------------------------------------------------------------------------
+
+@query(
+    "tbl_snapshot_diff",
+    # v0 = the standing corpus slice; the merge batch inserts the % 7 keys
+    # and rewrites the (% 5 and not % 7) keys with a modified payload hash.
+    # The oracle states the resulting change classes directly from the same
+    # modulus arithmetic — the versioned round-trip is exact, so the diff
+    # over real committed snapshots must reproduce it.
+    oracle="""
+    SELECT
+        CASE WHEN doc_id % 7 = 0 THEN 'added'
+             WHEN doc_id % 5 = 0 THEN 'changed'
+             ELSE 'unchanged' END AS change_type,
+        COUNT(*) AS n_rows,
+        CAST(SUM(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))
+                      AS BIGINT)) AS BIGINT) AS key_checksum
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def tbl_snapshot_diff_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style change feed over a real VersionedTable (the Delta CDF /
+    Iceberg changelog analog): commit the standing slice as v0, MERGE a
+    batch (inserts + payload rewrites) into v1, then diff the two
+    committed snapshots — per change class, the row count and an
+    order-insensitive key checksum. Downstream consumers read THIS
+    instead of re-scanning the table.
+
+    The diff itself (tables.snapshot_diff) is one full-outer join on the
+    key with a null-safe struct compare; at warehouse scale the manifest
+    log prunes it to the files that differ between versions before any
+    data is read."""
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.tables import VersionedTable, snapshot_diff
+
+    docs = load(spark, "documents", sf_dir).select(
+        "doc_id", "source", F.md5("text").alias("content_hash")
+    )
+    base = docs.filter(F.col("doc_id") % 7 != 0)
+    inserts = docs.filter(F.col("doc_id") % 7 == 0)
+    rewrites = docs.filter(
+        (F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 7 != 0)
+    ).withColumn("content_hash", F.md5(F.concat(F.col("content_hash"), F.lit(":v2"))))
+
+    work = tempfile.mkdtemp(prefix="tbl_snapshot_diff_")
+    try:
+        table = VersionedTable(spark, work)
+        table.commit(base)                                    # v0
+        table.merge(inserts.unionByName(rewrites), ["doc_id"])  # v1
+        diff = snapshot_diff(table, 0, 1, ["doc_id"])
+        out = diff.groupBy("change_type").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 10),
+                    16,
+                    10,
+                ).cast("long")
+            )
+            .cast("bigint")
+            .alias("key_checksum"),
+        )
+        # output-sized (3 rows); materialize so the scratch table can go
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

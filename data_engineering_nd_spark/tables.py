@@ -375,3 +375,34 @@ class VersionedTable:
                     os.path.join(self._log_dir(), f"{v:011d}.json")
                 )
         return removed
+
+
+def snapshot_diff(
+    table: VersionedTable,
+    v_old: int,
+    v_new: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """CDC-style diff of two committed snapshots: one row per key with
+    change_type in {added, removed, changed, unchanged} — the change-feed
+    a downstream consumer reads instead of re-scanning the table (Delta's
+    CDF / Iceberg's changelog analog, over the manifest log).
+
+    Shape: full-outer join of the two snapshots on the keys, payload
+    compared as one struct (null-safe). At warehouse scale the join
+    prunes to the files that DIFFER between the manifests first — both
+    file lists are in the log, so unchanged files (carried by reference
+    across commits) never need scanning; file-identical rows can only be
+    'unchanged'. That pruning is manifest arithmetic, not data work."""
+    old, new = table.snapshot(v_old), table.snapshot(v_new)
+    common = [c for c in old.columns if c in new.columns and c not in key_cols]
+    o = old.select(*key_cols, F.struct(*common).alias("__o"))
+    n = new.select(*key_cols, F.struct(*common).alias("__n"))
+    j = o.join(n, key_cols, "full_outer")
+    change = (
+        F.when(F.col("__o").isNull(), F.lit("added"))
+        .when(F.col("__n").isNull(), F.lit("removed"))
+        .when(F.col("__o").eqNullSafe(F.col("__n")), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(*key_cols, change.alias("change_type"))

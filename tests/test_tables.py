@@ -181,3 +181,33 @@ def test_append_evolves_schema_additively(spark, table):
                                 "k long, v string, score string")
     with pytest.raises(ValueError, match="schema conflict"):
         table.commit(bad, mode="append")
+
+
+def test_snapshot_diff_all_change_classes(spark, tmp_path):
+    """snapshot_diff classifies every key correctly, including 'removed'
+    (an overwrite commit can drop keys; the merge-based gated query never
+    produces that class)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from data_engineering_nd_spark.tables import VersionedTable, snapshot_diff
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "payload"]))
+    t.commit(spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], ["k", "payload"]))
+
+    got = {r["k"]: r["change_type"]
+           for r in snapshot_diff(t, 0, 1, ["k"]).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_snapshot_diff_null_payloads_are_null_safe(spark, tmp_path):
+    from data_engineering_nd_spark.tables import VersionedTable, snapshot_diff
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1, None), (2, None)], "k int, payload string"))
+    t.commit(spark.createDataFrame([(1, None), (2, "x")], "k int, payload string"))
+    got = {r["k"]: r["change_type"]
+           for r in snapshot_diff(t, 0, 1, ["k"]).collect()}
+    assert got == {1: "unchanged", 2: "changed"}
