@@ -62,3 +62,64 @@ def bucketed_join(
     (verified by tests/test_tables.py::test_bucketed_join_has_no_shuffle).
     """
     return spark.table(left_table).join(spark.table(right_table), on=on, how=how)
+
+
+# ---------------------------------------------------------------------------
+# The bucketed co-located join under the gate
+# ---------------------------------------------------------------------------
+
+from data_engineering_nd_spark.registry import query  # noqa: E402
+
+
+@query(
+    "q76_bucketed_join_revenue",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q76_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment order revenue through BUCKETED tables: orders and
+    customer land in the session catalog hash-bucketed (and bucket-
+    sorted) on the customer key, so the join reads both sides already
+    co-partitioned — the ONLY shuffle in the plan is the final
+    per-segment aggregate (pinned in tests/test_bucketing.py). Results
+    must equal the plain join, which the oracle states directly.
+
+    This is the write-once/join-many layout the i94 star schema (and any
+    daily fact-dim pipeline) wants at 100 TB: the fact-side shuffle is
+    paid once at write time instead of once per run."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_nd_spark.catalog import load
+
+    orders = load(spark, "orders", sf_dir).select("o_custkey", "o_totalprice")
+    cust = load(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("gate_orders_bucketed", "gate_customer_bucketed"):
+        # a managed table's location survives the session while the
+        # catalog entry does not — purge both so re-runs in a fresh
+        # session don't hit LOCATION_ALREADY_EXISTS
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    write_bucketed(orders, "gate_orders_bucketed", ["o_custkey"], 8)
+    write_bucketed(cust, "gate_customer_bucketed", ["o_custkey"], 8)
+    joined = bucketed_join(
+        spark, "gate_orders_bucketed", "gate_customer_bucketed", ["o_custkey"]
+    )
+    return joined.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_price"),
+    )

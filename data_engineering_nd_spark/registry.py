@@ -192,6 +192,7 @@ def gate_ordered(d: dict[str, object]) -> dict[str, object]:
 def load_all_modules() -> None:
     """Import every module that registers queries (idempotent)."""
     import data_engineering_nd_spark.analytics  # noqa: F401
+    import data_engineering_nd_spark.bucketing  # noqa: F401
     import data_engineering_nd_spark.i94_parity  # noqa: F401
     import data_engineering_nd_spark.operators.datasets  # noqa: F401
     import data_engineering_nd_spark.operators.dedup  # noqa: F401

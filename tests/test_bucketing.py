@@ -76,3 +76,15 @@ def test_bucketed_groupby_has_no_shuffle(spark, bucket_db):
     )
     assert count_exchanges(agg) == 0, physical_plan(agg)
     assert agg.count() == 10
+
+
+def test_gated_bucketed_join_query_single_exchange(spark):
+    """q76: the bucketed join contributes ZERO exchanges — the only
+    shuffle in the whole plan is the final per-segment aggregate (AQE may
+    pick broadcast or sort-merge for the join; neither may shuffle the
+    bucketed fact side)."""
+    from data_engineering_nd_spark.bucketing import q76_bucketed_join_revenue
+    from data_engineering_nd_spark.plans.inspect import count_exchanges
+
+    df = q76_bucketed_join_revenue(spark, "/root/testdata/sf0.001")
+    assert count_exchanges(df) <= 1
