@@ -3051,3 +3051,81 @@ def q74_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.lit(10000.0)
         ).alias("rel_error_e4"),
     )
+
+
+# --------------------------------------------------------------------------
+# q77 — explicit GROUPING SETS with a grouping id: the third member of the
+# multi-grain family (q25 ROLLUP, q41 CUBE). Unlike rollup/cube this picks
+# a NON-LATTICE set of grains — exactly (flag, status), (status), and the
+# grand total, skipping (flag) — which only GROUPING SETS can express in
+# one Expand from one shuffle. Runs through the SQL API over a temp view
+# (the reference's createOrReplaceTempView surface, S11).
+# --------------------------------------------------------------------------
+@query(
+    "q77_grouping_sets",
+    oracle="""
+    SELECT
+        COALESCE(l_returnflag, '<all>') AS returnflag,
+        COALESCE(l_linestatus, '<all>') AS linestatus,
+        GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS grain_id,
+        COUNT(*) AS n_rows,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+    """,
+)
+def q77_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    li.createOrReplaceTempView("q77_lineitem")
+    return spark.sql("""
+        SELECT
+            COALESCE(l_returnflag, '<all>') AS returnflag,
+            COALESCE(l_linestatus, '<all>') AS linestatus,
+            CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT)
+                AS grain_id,
+            COUNT(*) AS n_rows,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        FROM q77_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+    """)
+
+
+# --------------------------------------------------------------------------
+# q78 — deterministic quantile binning (feature bucketization): NTILE with a
+# total order. The per-group partitioning keeps every window bounded by the
+# group's row count — no global single-partition window.
+# --------------------------------------------------------------------------
+@query(
+    "q78_quantile_bins",
+    oracle="""
+    WITH binned AS (
+        SELECT event_type, value,
+               ntile(10) OVER (PARTITION BY event_type
+                               ORDER BY value, event_id) AS bin
+        FROM events
+    )
+    SELECT event_type, CAST(bin AS INT) AS bin,
+           COUNT(*) AS n_rows,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM binned
+    GROUP BY event_type, bin
+    """,
+)
+def q78_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile bins of event value per event type — the feature-binning
+    pass before bucketized histograms / monotonic feature encoding. NTILE
+    over a TOTAL order (value, event_id): ties broken by the unique id,
+    so bin assignment is engine- and rerun-exact; min/max per bin pass
+    through untouched doubles (no arithmetic, no rounding hazard)."""
+    ev = load(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("bin", F.ntile(10).over(w))
+        .groupBy("event_type", F.col("bin").cast("int").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )

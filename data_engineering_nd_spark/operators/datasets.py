@@ -2303,3 +2303,55 @@ def tbl_snapshot_diff_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Per-user event sequences: the behavior-sequence training input
+# ---------------------------------------------------------------------------
+
+@query(
+    "ds_event_sequences",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           substr(string_agg(substr(event_type, 1, 1), ''
+                             ORDER BY ts, event_id), 1, 24) AS seq_prefix,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def ds_event_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered per-user action sequences (the sequence-model training
+    input): each user's events sorted by (ts, event_id) and encoded as an
+    initial-letter string, truncated to a fixed context length. Built as
+    ONE hash-agg — collect_list of a sortable struct, array_sort, then a
+    pure string fold; the sort is per-user (bounded by user activity),
+    never a global window. At 100 TB this is the canonical sessionless
+    sequence-builder shape: shuffle keyed by user, payload one small
+    struct per event, map-side combinable collect."""
+    from data_engineering_nd_spark.catalog import load as _load
+
+    ev = _load(spark, "events", sf_dir)
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts"),
+                        F.col("event_id"),
+                        F.substring("event_type", 1, 1).alias("ini"),
+                    )
+                )
+            ),
+            lambda x: x["ini"],
+        ),
+        "",
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.substring(seq, 1, 24).alias("seq_prefix"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_value"),
+    )

@@ -698,3 +698,79 @@ def dq_expectation_suite_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return expectation_suite(o, "orders", orders_checks).unionByName(
         expectation_suite(li, "lineitem", lineitem_checks)
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew diagnosis: the report you run BEFORE choosing a join
+# strategy (broadcast / salt / AQE skew-join) at scale
+# ---------------------------------------------------------------------------
+
+
+def key_skew_report(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Per candidate key column: cardinality, hottest-key mass, and the
+    skew ratio (hottest count / mean count). ratio >> 1 on a join key
+    means one reducer eats the key — route it to salting (q75) or AQE
+    skew handling. One hash-agg per column over pruned scans; the report
+    itself is len(columns) rows."""
+    reports = []
+    for c in columns:
+        per_key = df.groupBy(c).agg(F.count(F.lit(1)).alias("__n"))
+        reports.append(
+            per_key.agg(
+                F.lit(c).alias("column_name"),
+                F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+                F.sum("__n").cast("bigint").alias("n_rows"),
+                F.max("__n").cast("bigint").alias("max_key_count"),
+            ).select(
+                "column_name",
+                "n_distinct",
+                "n_rows",
+                "max_key_count",
+                # hottest/mean = max * n_distinct / n_rows, computed as one
+                # exact-integer product divided once (deterministic IEEE)
+                F.floor(
+                    (F.col("max_key_count") * F.col("n_distinct")).cast("double")
+                    / F.col("n_rows").cast("double")
+                    * F.lit(10000.0)
+                    + F.lit(0.5)
+                ).cast("bigint").alias("skew_ratio_e4"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@query(
+    "dq_key_skew_report",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ),
+    per_type AS (
+        SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+    )
+    SELECT 'user_id' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(MAX(n) AS BIGINT) AS max_key_count,
+           CAST(floor(CAST(MAX(n) * COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+                      * 10000.0 + 0.5) AS BIGINT) AS skew_ratio_e4
+    FROM per_user
+    UNION ALL
+    SELECT 'event_type',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n) AS BIGINT),
+           CAST(MAX(n) AS BIGINT),
+           CAST(floor(CAST(MAX(n) * COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+                      * 10000.0 + 0.5) AS BIGINT)
+    FROM per_type
+    """,
+)
+def dq_key_skew_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnosis over the two natural events join keys: user_id
+    (high-cardinality, mild skew) and event_type (5 keys, extreme skew —
+    the q75 salting candidate). Both profiles value-hashed."""
+    ev = load(spark, "events", sf_dir)
+    return key_skew_report(ev, ["user_id", "event_type"])

@@ -538,3 +538,35 @@ def test_plan_fingerprint_no_silent_drift(spark, name):
         assert fp["broadcast_joins"] >= base["broadcast_joins"], (
             f"{name}: broadcast join degraded to sort-merge: {fp} vs {base}"
         )
+
+
+def test_grouping_sets_expand_from_single_exchange(spark):
+    """q77: like CUBE (q41), the three grouping-set grains must multiply
+    map-side through one Expand and ONE shuffle — not one scan per grain."""
+    from data_engineering_nd_spark.analytics import q77_grouping_sets
+    from data_engineering_nd_spark.plans.inspect import (
+        count_exchanges,
+        physical_plan,
+    )
+
+    df = q77_grouping_sets(spark, SF_DIR)
+    assert "Expand" in physical_plan(df)
+    assert count_exchanges(df) == 1
+
+
+def test_event_sequences_single_hash_agg_no_window(spark):
+    """ds_event_sequences builds the ordered per-user sequence inside ONE
+    hash-aggregate (collect + array_sort) — no Window operator, whose
+    per-user sort-in-shuffle would be a second exchange."""
+    from data_engineering_nd_spark.operators.datasets import (
+        ds_event_sequences_query,
+    )
+    from data_engineering_nd_spark.plans.inspect import (
+        count_exchanges,
+        physical_plan,
+    )
+
+    df = ds_event_sequences_query(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "Window" not in plan, plan
+    assert count_exchanges(df) == 1
