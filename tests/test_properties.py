@@ -304,3 +304,81 @@ def test_scd2_replay_is_idempotent(spark, updates):
     a = sorted(map(tuple, once.collect()), key=key)
     b = sorted(map(tuple, twice.collect()), key=key)
     assert a == b
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(1, 4),
+)
+def test_bfs_layers_match_reference_bfs(spark, edge_pairs, max_hops):
+    """Distributed level-synchronous BFS == textbook queue BFS for any
+    random undirected graph, any hop bound, seeds = ids % 3 == 0."""
+    from collections import deque
+
+    from data_engineering_nd_spark.operators.graph import bfs_layers
+
+    undirected = {(a, b) for a, b in edge_pairs if a != b}
+    if not undirected:
+        return
+    nodes = {n for e in undirected for n in e}
+    seeds = sorted(n for n in nodes if n % 3 == 0)
+    if not seeds:
+        return
+    adj: dict[int, set[int]] = {n: set() for n in nodes}
+    for a, b in undirected:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected = {s: 0 for s in seeds}
+    q = deque((s, 0) for s in seeds)
+    while q:
+        u, d = q.popleft()
+        if d == max_hops:
+            continue
+        for v in adj[u]:
+            if v not in expected:
+                expected[v] = d + 1
+                q.append((v, d + 1))
+
+    edges = spark.createDataFrame(
+        sorted(undirected | {(b, a) for a, b in undirected}), ["src", "dst"]
+    )
+    seeds_df = spark.createDataFrame([(s,) for s in seeds], ["id"])
+    got = {
+        r["id"]: r["dist"]
+        for r in bfs_layers(edges, seeds_df, max_hops=max_hops).collect()
+    }
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.dictionaries(st.integers(0, 20), st.integers(0, 3), min_size=1, max_size=15),
+    st.dictionaries(st.integers(0, 20), st.integers(0, 3), min_size=1, max_size=15),
+)
+def test_snapshot_diff_matches_dict_diff(spark, tmp_path_factory, old, new):
+    """snapshot_diff over real commits == the dict-level diff for any two
+    keyed payload maps."""
+    from data_engineering_nd_spark.tables import VersionedTable, snapshot_diff
+
+    root = str(tmp_path_factory.mktemp("vt") / "t")
+    t = VersionedTable(spark, root)
+    t.commit(spark.createDataFrame(sorted(old.items()), ["k", "v"]))
+    t.commit(spark.createDataFrame(sorted(new.items()), ["k", "v"]))
+
+    expected = {}
+    for k in old.keys() | new.keys():
+        if k not in old:
+            expected[k] = "added"
+        elif k not in new:
+            expected[k] = "removed"
+        elif old[k] != new[k]:
+            expected[k] = "changed"
+        else:
+            expected[k] = "unchanged"
+    got = {r["k"]: r["change_type"] for r in snapshot_diff(t, 0, 1, ["k"]).collect()}
+    assert got == expected

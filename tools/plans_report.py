@@ -75,6 +75,19 @@ HEADLINERS = [
     "q73_unpivot_metrics",
     "multimodal_vad_segments",
     "q70_jsonl_roundtrip",
+    # round 7 additions (i94_pipeline_run / tbl_snapshot_diff return
+    # localCheckpoint-ed audit rows — their plans are trivial by design,
+    # so their scale properties are pinned in tests, not here)
+    "dedup_incremental",
+    "multimodal_dedup_decisions",
+    "q74_hll_distinct",
+    "q75_salted_skew_join",
+    "q76_bucketed_join_revenue",
+    "q77_grouping_sets",
+    "q78_quantile_bins",
+    "graph_bfs_layers",
+    "dq_key_skew_report",
+    "ds_event_sequences",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -99,10 +112,13 @@ def _auto_extend_headliners() -> None:
             prev = json.load(f).get("queries", {})
     except Exception:
         return
+    # stream_* have no batch .explain; these two return localCheckpoint-ed
+    # audit rows, so their explained plan is trivially Scan ExistingRDD
+    skip = {"i94_pipeline_run", "tbl_snapshot_diff"}
     slow = sorted(prev, key=prev.get, reverse=True)
     for name in [n for n in slow[:10] if prev[n] >= 1.0]:
-        if name not in HEADLINERS and not name.startswith("stream_"):
-            HEADLINERS.append(name)  # stream_* excluded: no batch .explain
+        if name not in HEADLINERS and not name.startswith("stream_") and name not in skip:
+            HEADLINERS.append(name)
 
 
 _auto_extend_headliners()
@@ -172,6 +188,11 @@ EXPECTED_FLAGS = {
     "dq_volume_anomalies": (
         "the cross join broadcasts the 1-row integer-moment statistics "
         "onto the day-grain frame"
+    ),
+    "q74_hll_distinct": (
+        "the cross join combines the 1-row register-sum aggregate with "
+        "the 1-row exact-distinct aggregate into the report row — both "
+        "sides bounded at one row by construction"
     ),
     "dedup_lsh_recall": (
         "the cross join IS the exact all-pairs ground truth of the "
