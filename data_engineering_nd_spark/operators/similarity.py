@@ -1511,3 +1511,136 @@ def ann_recall_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-hashed cross-engine."""
     emb = load(spark, "embeddings", sf_dir)
     return ann_recall_report(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of a semantic (embedding cosine)
+# and a lexical (token Jaccard) retriever — the standard two-tower fusion a
+# RAG/retrieval pipeline runs when neither signal alone suffices.
+# ---------------------------------------------------------------------------
+
+
+def hybrid_rrf(
+    sem_ranks: DataFrame,
+    lex_ranks: DataFrame,
+    rrf_k: int = 60,
+    top: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009): rrf(d) = sum over
+    systems of 1/(rrf_k + rank_d). Inputs are (doc_id, rank_*) frames,
+    each already truncated to its system's top-K; a doc missing from one
+    system contributes 0 from it (COALESCE). Scores are sums of exact
+    reciprocals — deterministic IEEE both engines — and the fused order
+    breaks ties by doc_id. Scale shape: the inputs are top-K-sized, so
+    the fusion is a full-outer join of two tiny frames."""
+    fused = sem_ranks.join(lex_ranks, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_sem",
+        "rank_lex",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(rrf_k) + F.col("rank_sem")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(rrf_k) + F.col("rank_lex")), F.lit(0.0)
+            )
+        ).alias("raw"),
+    )
+    w = Window.orderBy(F.desc("raw"), "doc_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("fused_rank") <= top)
+        .select(
+            "doc_id",
+            "rank_sem",
+            "rank_lex",
+            F.round("raw", 6).alias("rrf_score"),
+            "fused_rank",
+        )
+    )
+
+
+@query(
+    "ann_hybrid_rrf",
+    oracle=r"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    q AS (SELECT emb AS q_emb FROM v WHERE vec_id = 7),
+    sem AS (
+        SELECT doc_id, CAST(rn AS INT) AS rank_sem FROM (
+            SELECT v.vec_id AS doc_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY list_dot_product(q.q_emb, v.emb)
+                                / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                                   * sqrt(list_dot_product(v.emb, v.emb)))
+                                DESC, v.vec_id) AS rn
+            FROM v, q WHERE v.vec_id <> 7
+        ) WHERE rn <= 20
+    ),
+    toks AS (
+        SELECT doc_id,
+               list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS t
+        FROM documents
+        WHERE trim(text) <> ''
+    ),
+    qt AS (SELECT t AS q_t FROM toks WHERE doc_id = 7),
+    lex AS (
+        SELECT doc_id, CAST(rn AS INT) AS rank_lex FROM (
+            SELECT toks.doc_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY CAST(len(list_intersect(toks.t, qt.q_t)) AS DOUBLE)
+                                / CAST(len(toks.t) + len(qt.q_t)
+                                       - len(list_intersect(toks.t, qt.q_t))
+                                  AS DOUBLE) DESC, toks.doc_id) AS rn
+            FROM toks, qt WHERE toks.doc_id <> 7
+        ) WHERE rn <= 20
+    ),
+    fused AS (
+        SELECT COALESCE(sem.doc_id, lex.doc_id) AS doc_id,
+               sem.rank_sem, lex.rank_lex,
+               COALESCE(1.0 / (60 + sem.rank_sem), 0.0)
+               + COALESCE(1.0 / (60 + lex.rank_lex), 0.0) AS raw
+        FROM sem FULL OUTER JOIN lex ON sem.doc_id = lex.doc_id
+    )
+    SELECT doc_id, rank_sem, rank_lex, round(raw, 6) AS rrf_score,
+           CAST(fr AS INT) AS fused_rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY raw DESC, doc_id) AS fr
+        FROM fused
+    ) WHERE fr <= 10
+    """,
+)
+def ann_hybrid_rrf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval for query doc 7: exact-cosine top-20 over the
+    embeddings (semantic tower) fused with token-Jaccard top-20 over the
+    text (lexical tower) via reciprocal-rank fusion, final top-10. Both
+    towers, the fusion arithmetic, and the fused ordering are value-
+    hashed — cosine via the sequential-fold dot product that matches
+    list_dot_product bit-for-bit, Jaccard as a ratio of exact integers,
+    RRF as a sum of two exact reciprocals."""
+    from data_engineering_nd_spark.functions.text import tokens as _tokens
+
+    emb = load(spark, "embeddings", sf_dir)
+    sem = brute_force_topk(emb, emb.filter(F.col("vec_id") == 7), k=20).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("rank_sem")
+    )
+
+    docs = load(spark, "documents", sf_dir).filter(F.trim("text") != "")
+    toks = docs.select(
+        "doc_id", F.array_distinct(_tokens("text")).alias("t")
+    )
+    qt = toks.filter(F.col("doc_id") == 7).select(F.col("t").alias("q_t"))
+    inter = F.size(F.array_intersect("t", "q_t"))
+    union = F.size("t") + F.size("q_t") - inter
+    jac = inter.cast("double") / union.cast("double")
+    w = Window.orderBy(F.desc("jac"), "doc_id")
+    lex = (
+        toks.filter(F.col("doc_id") != 7)
+        .crossJoin(F.broadcast(qt))
+        .select("doc_id", jac.alias("jac"))
+        .withColumn("rank_lex", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank_lex") <= 20)
+        .select("doc_id", "rank_lex")
+    )
+    return hybrid_rrf(sem, lex, rrf_k=60, top=10)

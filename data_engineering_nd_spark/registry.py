@@ -152,6 +152,17 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "stream_late_data_metrics", "stream_stateful_sessions",
         "text_vocab_encode"
     ], 6),
+    # -- DEFERRED fresh registrations (round 7 late additions) --------------
+    # The r07 window is exactly full: 13 fresh round-7 names + the whole
+    # 32-name r03-stale block (VERDICT r06 task #1) + 5 r04 names. These
+    # later additions are assigned the CURRENT round so they sort behind
+    # everything and do not evict a stale re-verification; they are fully
+    # verified by the local two-SF sweep this round and will rotate to the
+    # front of the r08 window (7 > 6 sorts last among recorded names, but
+    # still ahead of nothing — i.e. recorded LAST).
+    **dict.fromkeys([
+        "ann_hybrid_rrf",
+    ], 7),
 }
 
 #: Back-compat view used by older tests/docs: every name with a usable

@@ -383,3 +383,30 @@ def test_project_md5_is_linear(spark):
         w = _md5_const_vector(f"pc:{p}")
         expect_diff = sum((x - y) * wi for x, y, wi in zip(a, b, w))
         assert abs((got[1][f"pc_{p}"] - got[2][f"pc_{p}"]) - expect_diff) < 1e-3
+
+
+def test_hybrid_rrf_fusion_arithmetic(spark):
+    """RRF on hand-built rank lists: overlapping docs sum both
+    reciprocals, single-system docs get one, ordering breaks ties by
+    doc_id, and the cut keeps exactly `top`."""
+    from data_engineering_nd_spark.operators.similarity import hybrid_rrf
+
+    sem = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], ["doc_id", "rank_sem"]
+    )
+    lex = spark.createDataFrame(
+        [(2, 1), (4, 2), (5, 3)], ["doc_id", "rank_lex"]
+    )
+    rows = {
+        r.doc_id: r
+        for r in hybrid_rrf(sem, lex, rrf_k=60, top=4).collect()
+    }
+    # doc 2 appears in both systems -> highest fused score
+    assert rows[2].fused_rank == 1
+    assert abs(rows[2].rrf_score - round(1 / 62 + 1 / 61, 6)) < 1e-9
+    # doc 1: sem only; doc 4: lex only — same reciprocal (ranks 1 vs 2)
+    assert abs(rows[1].rrf_score - round(1 / 61, 6)) < 1e-9
+    assert rows[1].rank_lex is None and rows[4].rank_sem is None
+    # top=4 cut: docs 3 and 5 tie at 1/63, doc_id breaks it -> 5 dropped
+    assert len(rows) == 4
+    assert 3 in rows and 5 not in rows
