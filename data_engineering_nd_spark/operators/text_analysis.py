@@ -1116,3 +1116,139 @@ def text_vocab_encode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = ensure_parallelism(load(spark, "documents", sf_dir))
     return vocab_encode_summary(docs, "doc_id", "text", vocab_size=256)
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking: the production lexical retrieval scorer (tf saturation +
+# document-length normalization), completing the lexical family alongside
+# the raw TF-IDF weights above.
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query under Okapi BM25
+    (Robertson et al.): score(d, Q) = sum over t of
+    idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len_d / avg_len)),
+    idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1).
+
+    Determinism: tf/df/len/avg_len are exact integers (avg_len is kept as
+    the exact total/count division); per-term scores are rounded to 6 dp
+    and SUMMED AS e6-SCALED BIGINTs, so the document score is an exact
+    integer sum — no float-accumulation order hazard across terms — and
+    only the final display value returns to DOUBLE. Ranking is
+    (score DESC, doc_id) — total.
+
+    Scale: terms filter pushes into the (doc, term) explode before the tf
+    aggregate; df and the corpus stats are term-count-sized broadcasts;
+    the final top-k is TakeOrderedAndProject-eligible."""
+    words = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    lens = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("len_d"))
+    stats = lens.agg(
+        F.sum("len_d").cast("bigint").alias("total_len"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    qw = words.filter(F.col("term").isin(query_terms))
+    tf = qw.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = qw.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    avg_len = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
+    denom = F.col("tf").cast("double") + F.lit(_BM25_K1) * (
+        F.lit(1.0 - _BM25_B)
+        + F.lit(_BM25_B) * F.col("len_d").cast("double") / avg_len
+    )
+    term_score = idf * F.col("tf").cast("double") * F.lit(_BM25_K1 + 1.0) / denom
+    per_term = (
+        tf.join(F.broadcast(df_counts), "term")
+        .join(lens, id_col)
+        .join(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            F.floor(term_score * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("score_e6"),
+        )
+    )
+    scored = per_term.groupBy(id_col).agg(
+        F.sum("score_e6").cast("bigint").alias("e6"),
+        F.count(F.lit(1)).cast("bigint").alias("n_matched_terms"),
+    )
+    return (
+        scored.orderBy(F.desc("e6"), id_col)
+        .limit(k)
+        .select(
+            F.col(id_col),
+            "n_matched_terms",
+            (F.col("e6").cast("double") / F.lit(1e6)).alias("bm25_score"),
+        )
+    )
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    words AS (SELECT doc_id, term FROM w WHERE term <> ''),
+    lens AS (SELECT doc_id, COUNT(*) AS len_d FROM words GROUP BY 1),
+    stats AS (
+        SELECT CAST(SUM(len_d) AS BIGINT) AS total_len,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM lens
+    ),
+    qw AS (
+        SELECT doc_id, term FROM words
+        WHERE term IN ('scan', 'join', 'window', 'stream')
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM qw GROUP BY 1, 2),
+    dfc AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM qw GROUP BY 1),
+    per_term AS (
+        SELECT tf.doc_id,
+               CAST(floor(
+                   ln((CAST(n_docs AS DOUBLE) - df + 0.5)
+                      / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+                   * CAST(tf AS DOUBLE) * {_BM25_K1 + 1.0}
+                   / (CAST(tf AS DOUBLE) + {_BM25_K1}
+                      * ({1.0 - _BM25_B} + {_BM25_B} * CAST(len_d AS DOUBLE)
+                         / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+                   * 1000000.0 + 0.5) AS BIGINT) AS score_e6
+        FROM tf
+        JOIN dfc USING (term)
+        JOIN lens USING (doc_id)
+        CROSS JOIN stats
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(SUM(score_e6) AS BIGINT) AS e6,
+               CAST(COUNT(*) AS BIGINT) AS n_matched_terms
+        FROM per_term GROUP BY doc_id
+    )
+    SELECT doc_id, n_matched_terms,
+           CAST(e6 AS DOUBLE) / 1000000.0 AS bm25_score
+    FROM scored
+    ORDER BY e6 DESC, doc_id
+    LIMIT 10
+    """,
+)
+def text_bm25_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for the fixed query {scan, join, window, stream} over
+    the documents corpus — tf saturation, document-length normalization,
+    and the e6-integer score accumulation all value-hashed cross-engine."""
+    docs = load(spark, "documents", sf_dir)
+    return bm25_topk(docs, ["scan", "join", "window", "stream"], k=10)

@@ -162,6 +162,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
     # still ahead of nothing — i.e. recorded LAST).
     **dict.fromkeys([
         "ann_hybrid_rrf",
+        "text_bm25_topk",
     ], 7),
 }
 

@@ -317,3 +317,45 @@ def test_expectation_suite_reports_failures_as_rows(spark):
     assert not out["pk_dupes"]["passed"] and out["pk_dupes"]["observed"] == 1
     assert out["v_nulls"]["passed"] and out["v_nulls"]["observed"] == 1
     assert all(r["table_name"] == "t" for r in out.values())
+
+
+def test_bm25_reference_arithmetic(spark):
+    """BM25 on a hand-built 3-doc corpus vs a direct Python computation:
+    tf saturation, length normalization, idf, and the e6-integer
+    accumulation all pinned."""
+    import math
+
+    from data_engineering_nd_spark.operators.text_analysis import (
+        _BM25_B,
+        _BM25_K1,
+        bm25_topk,
+    )
+
+    corpus = {
+        1: "cat dog cat",          # len 3, tf(cat)=2
+        2: "cat fish",             # len 2, tf(cat)=1
+        3: "bird bird bird bird",  # len 4, no match
+    }
+    docs = spark.createDataFrame(
+        sorted(corpus.items()), ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: (r.n_matched_terms, r.bm25_score)
+        for r in bm25_topk(docs, ["cat"], k=10).collect()
+    }
+
+    n, total_len = 3, 9
+    avg = total_len / n
+    df = 2
+    idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+
+    def score(tf, len_d):
+        raw = idf * tf * (_BM25_K1 + 1) / (
+            tf + _BM25_K1 * (1 - _BM25_B + _BM25_B * len_d / avg)
+        )
+        return math.floor(raw * 1e6 + 0.5) / 1e6
+
+    assert set(got) == {1, 2}  # doc 3 never matches
+    assert got[1] == (1, score(2, 3))
+    assert got[2] == (1, score(1, 2))
+    assert got[1][1] > got[2][1]  # higher tf wins at similar length
