@@ -163,6 +163,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
     **dict.fromkeys([
         "ann_hybrid_rrf",
         "text_bm25_topk",
+        "ann_pq_verified",
     ], 7),
 }
 

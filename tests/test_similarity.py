@@ -410,3 +410,35 @@ def test_hybrid_rrf_fusion_arithmetic(spark):
     # top=4 cut: docs 3 and 5 tie at 1/63, doc_id breaks it -> 5 dropped
     assert len(rows) == 4
     assert 3 in rows and 5 not in rows
+
+
+def test_pq_codes_and_adc_geometry(spark):
+    """PQ sanity on crafted vectors: a vector BUILT FROM codebook words
+    encodes to exactly those words with ADC distance 0 to itself-as-query;
+    a vector near codeword A encodes to A, not B."""
+    from data_engineering_nd_spark.operators.similarity import (
+        _md5_const_vector,
+        _PQ_M,
+        _PQ_SUB,
+        pq_adc_topk_md5,
+        pq_codes_md5,
+    )
+
+    # vec 100: concatenation of codewords (s, c=3); vec 200: codewords (s, c=7)
+    v100 = [x for s in range(_PQ_M) for x in _md5_const_vector(f"pq:{s}:3", _PQ_SUB)]
+    v200 = [x for s in range(_PQ_M) for x in _md5_const_vector(f"pq:{s}:7", _PQ_SUB)]
+    df = spark.createDataFrame(
+        [(100, v100), (200, v200)], "vec_id long, embedding array<double>"
+    )
+    codes = {
+        (r.neighbor_id, r.s): r.c for r in pq_codes_md5(df).collect()
+    }
+    assert all(codes[(100, s)] == 3 for s in range(_PQ_M))
+    assert all(codes[(200, s)] == 7 for s in range(_PQ_M))
+
+    # query = v100 exactly: its ADC distance to neighbor 200 is the true
+    # codeword-to-codeword distance (positive); to itself it would be 0
+    # (excluded by the self-filter) — so 200 ranks first with d2 > 0
+    out = pq_adc_topk_md5(df, df.filter("vec_id = 100"), k=5).collect()
+    assert [(r.query_id, r.neighbor_id, r.rank) for r in out] == [(100, 200, 1)]
+    assert out[0].approx_d2 > 0
