@@ -88,6 +88,9 @@ HEADLINERS = [
     "graph_bfs_layers",
     "dq_key_skew_report",
     "ds_event_sequences",
+    "ann_hybrid_rrf",
+    "text_bm25_topk",
+    "ann_pq_verified",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -188,6 +191,14 @@ EXPECTED_FLAGS = {
     "dq_volume_anomalies": (
         "the cross join broadcasts the 1-row integer-moment statistics "
         "onto the day-grain frame"
+    ),
+    "ann_hybrid_rrf": (
+        "the cross join broadcasts the single query doc's token set onto "
+        "the lexical tower's candidate frame — one row by construction"
+    ),
+    "text_bm25_topk": (
+        "the cross join broadcasts the 1-row corpus statistics (total "
+        "length, N) onto the per-(doc, term) scoring frame"
     ),
     "q74_hll_distinct": (
         "the cross join combines the 1-row register-sum aggregate with "
