@@ -3117,7 +3117,14 @@ def q78_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass before bucketized histograms / monotonic feature encoding. NTILE
     over a TOTAL order (value, event_id): ties broken by the unique id,
     so bin assignment is engine- and rerun-exact; min/max per bin pass
-    through untouched doubles (no arithmetic, no rounding hazard)."""
+    through untouched doubles (no arithmetic, no rounding hazard).
+
+    Scale note: exact NTILE sorts each group in one partition — correct
+    here (the contract under verification) and fine while groups fit a
+    partition, but at 100 TB with few hot groups you bin against
+    percentile_approx boundaries instead (one agg + a broadcast range
+    join; approximate edges, no per-group sort). The exact form stays the
+    oracle for that rewrite."""
     ev = load(spark, "events", sf_dir)
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     return (

@@ -1634,13 +1634,19 @@ def ann_hybrid_rrf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("t", "q_t"))
     union = F.size("t") + F.size("q_t") - inter
     jac = inter.cast("double") / union.cast("double")
+    # top-20 via orderBy+limit (TakeOrderedAndProject: per-partition heap,
+    # driver merge) and only THEN a rank window — the window's single
+    # partition holds 20 rows, never the corpus (the ds_training_order
+    # pattern; a bare global row_number window would funnel every
+    # candidate through one reducer)
     w = Window.orderBy(F.desc("jac"), "doc_id")
     lex = (
         toks.filter(F.col("doc_id") != 7)
         .crossJoin(F.broadcast(qt))
         .select("doc_id", jac.alias("jac"))
+        .orderBy(F.desc("jac"), "doc_id")
+        .limit(20)
         .withColumn("rank_lex", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank_lex") <= 20)
         .select("doc_id", "rank_lex")
     )
     return hybrid_rrf(sem, lex, rrf_k=60, top=10)
