@@ -3099,9 +3099,14 @@ def q77_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q78_quantile_bins",
     oracle="""
     WITH binned AS (
+        -- explicit NULLS LAST: Spark sorts nulls first by default while
+        -- DuckDB defaults to NULLS LAST, so a nullable value column would
+        -- silently shift every bin (latent cross-engine hazard; the
+        -- current corpus has no null values, the contract should not
+        -- depend on that)
         SELECT event_type, value,
                ntile(10) OVER (PARTITION BY event_type
-                               ORDER BY value, event_id) AS bin
+                               ORDER BY value NULLS LAST, event_id) AS bin
         FROM events
     )
     SELECT event_type, CAST(bin AS INT) AS bin,
@@ -3126,7 +3131,9 @@ def q78_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     join; approximate edges, no per-group sort). The exact form stays the
     oracle for that rewrite."""
     ev = load(spark, "events", sf_dir)
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc_nulls_last("value"), "event_id"
+    )
     return (
         ev.withColumn("bin", F.ntile(10).over(w))
         .groupBy("event_type", F.col("bin").cast("int").alias("bin"))
