@@ -318,3 +318,96 @@ def q75_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("weighted_value"),
     )
+
+
+def asof_join_forward(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+    how: str = "left",
+) -> DataFrame:
+    """FORWARD as-of join: each probe row gets the build row with the
+    SMALLEST build.ts >= probe.ts for its key — the "next scheduled
+    change" enrichment (deadline lookup, next price revision), the mirror
+    of :func:`asof_join`'s latest-at-or-before.
+
+    Same union-plus-window shape (one shuffle on the key, no quadratic
+    candidate space): probe rows tag seq=0, build rows seq=1, and the
+    carried value is the FIRST non-null over [current row, unbounded
+    following] in (ts, seq) order — a build at the probe's exact ts sorts
+    after the probe, so ties match inclusively, like DuckDB's ASOF <=."""
+    carried = f"asof_next_{value_col}"
+    b = build.select(
+        F.col(key).alias("__k"),
+        F.col(ts).alias("__ts"),
+        F.lit(1).alias("__seq"),
+        F.col(value_col).alias(carried),
+        *[F.lit(None).cast(t).alias(c) for c, t in probe.dtypes],
+    )
+    p = probe.select(
+        F.col(key).alias("__k"),
+        F.col(ts).alias("__ts"),
+        F.lit(0).alias("__seq"),
+        F.lit(None).cast(dict(build.dtypes)[value_col]).alias(carried),
+        *[F.col(c) for c in probe.columns],
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__seq")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    joined = (
+        b.unionByName(p)
+        .withColumn(carried, F.first(carried, ignorenulls=True).over(w))
+        .filter(F.col("__seq") == 0)
+        .drop("__k", "__ts", "__seq")
+    )
+    if how == "inner":
+        joined = joined.filter(F.col(carried).isNotNull())
+    return joined
+
+
+@query(
+    "q79_forward_asof_join",
+    oracle="""
+    WITH build AS (
+        SELECT user_id, ts, value AS status_value,
+               row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+        FROM events
+        WHERE event_id % 10 = 0
+    ),
+    b AS (SELECT user_id, ts, status_value FROM build WHERE rn = 1)
+    SELECT
+        e.event_id,
+        e.user_id,
+        CAST(e.ts AS TIMESTAMP) AS ts,
+        round(b.status_value, 4) AS next_status
+    FROM events e
+    ASOF LEFT JOIN b ON e.user_id = b.user_id AND e.ts <= b.ts
+    """,
+)
+def q79_forward_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich every event with the NEXT status update (every 10th event)
+    at or after its timestamp — the forward mirror of q37, verified
+    against DuckDB's native ASOF <= join."""
+    ev = load(spark, "events", sf_dir)
+    build = (
+        ev.filter(F.col("event_id") % 10 == 0)
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts").orderBy("event_id")
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "ts", F.col("value").alias("status_value"))
+    )
+    probe = ev.select("event_id", "user_id", "ts")
+    return asof_join_forward(probe, build, "user_id", "ts", "status_value").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        F.round("asof_next_status_value", 4).alias("next_status"),
+    )

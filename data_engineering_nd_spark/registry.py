@@ -164,6 +164,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "ann_hybrid_rrf",
         "text_bm25_topk",
         "ann_pq_verified",
+        "q79_forward_asof_join",
     ], 7),
 }
 

@@ -113,3 +113,26 @@ def test_salted_join_force_shuffle_pins_the_salted_path(spark):
     plan = salted._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in plan, plan  # the hint held: no broadcast
     assert "__salt" in plan  # ...and the join key carries the salt
+
+
+def test_forward_asof_join_semantics(spark):
+    """Forward as-of on a crafted timeline: inclusive tie at the probe's
+    own ts, next-following otherwise, NULL when nothing follows."""
+    from data_engineering_nd_spark.operators.joins import asof_join_forward
+
+    build = spark.createDataFrame(
+        [("u", 10, 1.0), ("u", 20, 2.0), ("v", 5, 9.0)],
+        ["user_id", "ts", "val"],
+    )
+    probe = spark.createDataFrame(
+        [(1, "u", 9), (2, "u", 10), (3, "u", 11), (4, "u", 21), (5, "v", 1)],
+        ["event_id", "user_id", "ts"],
+    )
+    got = {
+        r.event_id: r.asof_next_val
+        for r in asof_join_forward(probe, build, "user_id", "ts", "val").collect()
+    }
+    assert got == {1: 1.0, 2: 1.0, 3: 2.0, 4: None, 5: 9.0}
+    # inner drops the unmatched probe
+    inner = asof_join_forward(probe, build, "user_id", "ts", "val", how="inner")
+    assert {r.event_id for r in inner.collect()} == {1, 2, 3, 5}
