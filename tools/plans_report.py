@@ -91,6 +91,7 @@ HEADLINERS = [
     "ann_hybrid_rrf",
     "text_bm25_topk",
     "ann_pq_verified",
+    "q79_forward_asof_join",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"
