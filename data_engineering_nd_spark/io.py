@@ -71,6 +71,28 @@ def read_many(
     )
 
 
+def _align_partitions(
+    df: DataFrame,
+    partition_keys: tuple[str, ...],
+    files_per_partition: int,
+) -> DataFrame:
+    """Pre-shuffle for a partitioned write: repartition on (partition_keys
+    + a deterministic content salt) so each output directory is bounded to
+    ``files_per_partition`` files (see :func:`write`'s docstring for why).
+    The salt is xxhash64 over the HASHABLE columns only — Spark rejects
+    MapType inputs to xxhash64, and the partition keys (always atomic
+    types) are guaranteed to remain, so map-bearing frames still align
+    instead of throwing."""
+    from pyspark.sql import functions as F
+
+    hashable = [c for c, t in df.dtypes if "map<" not in t]
+    salt = F.pmod(
+        F.xxhash64(*[F.col(f"`{c}`") for c in hashable]),
+        F.lit(files_per_partition),
+    )
+    return df.repartition(*[F.col(f"`{k}`") for k in partition_keys], salt)
+
+
 def write(
     df: DataFrame,
     path: str,
@@ -102,13 +124,7 @@ def write(
     obs = Observation()
     observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
     if partition_keys and files_per_partition >= 1:
-        salt = F.pmod(
-            F.xxhash64(*[F.col(f"`{c}`") for c in df.columns]),
-            F.lit(files_per_partition),
-        )
-        observed = observed.repartition(
-            *[F.col(f"`{k}`") for k in partition_keys], salt
-        )
+        observed = _align_partitions(observed, partition_keys, files_per_partition)
     writer = observed.write.format(fmt).mode(mode).options(**options)
     if fmt == "csv":
         writer = writer.option("header", "true")
@@ -358,7 +374,11 @@ def overwrite_partitions(
     if not partition_keys:
         raise ValueError("overwrite_partitions requires partition keys")
     obs = Observation()
-    observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+    # same partition alignment as write(): the daily-backfill path is the
+    # MOST exposed to small-file growth (one unaligned run per day)
+    observed = _align_partitions(
+        df.observe(obs, F.count(F.lit(1)).alias("rows")), partition_keys, 4
+    )
     with scoped_conf(
         df.sparkSession, "spark.sql.sources.partitionOverwriteMode", "dynamic"
     ):

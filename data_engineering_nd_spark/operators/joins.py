@@ -120,20 +120,28 @@ def asof_join(
     (a theta-join on ts <= ts would plan as a broadcast-nested-loop).
     Ties (build.ts == probe.ts) resolve build-first, matching DuckDB's
     ASOF >= semantics.
+
+    The carried payload is a (marker, value) STRUCT, not the bare value:
+    ``last(..., ignorenulls)`` must skip only PROBE rows — a build row
+    whose value_col is legitimately NULL is still the nearest match, and
+    carrying the bare value would skip past it to an older row (a
+    divergence from ASOF semantics that only shows once build values can
+    be NULL).
     """
     carried = f"asof_{value_col}"
+    vtype = dict(build.dtypes)[value_col]
     b = build.select(
         F.col(key).alias("__k"),
         F.col(ts).alias("__ts"),
         F.lit(0).alias("__seq"),
-        F.col(value_col).alias(carried),
+        F.struct(F.lit(1).alias("m"), F.col(value_col).alias("v")).alias("__cv"),
         *[F.lit(None).cast(t).alias(c) for c, t in probe.dtypes],
     )
     p = probe.select(
         F.col(key).alias("__k"),
         F.col(ts).alias("__ts"),
         F.lit(1).alias("__seq"),
-        F.lit(None).cast(dict(build.dtypes)[value_col]).alias(carried),
+        F.lit(None).cast(f"struct<m:int,v:{vtype}>").alias("__cv"),
         *[F.col(c) for c in probe.columns],
     )
     w = (
@@ -143,13 +151,13 @@ def asof_join(
     )
     joined = (
         b.unionByName(p)
-        .withColumn(carried, F.last(carried, ignorenulls=True).over(w))
+        .withColumn("__cv", F.last("__cv", ignorenulls=True).over(w))
         .filter(F.col("__seq") == 1)
-        .drop("__k", "__ts", "__seq")
+        .withColumn(carried, F.col("__cv.v"))
     )
     if how == "inner":
-        joined = joined.filter(F.col(carried).isNotNull())
-    return joined
+        joined = joined.filter(F.col("__cv").isNotNull())
+    return joined.drop("__k", "__ts", "__seq", "__cv")
 
 
 @query(
@@ -337,20 +345,25 @@ def asof_join_forward(
     candidate space): probe rows tag seq=0, build rows seq=1, and the
     carried value is the FIRST non-null over [current row, unbounded
     following] in (ts, seq) order — a build at the probe's exact ts sorts
-    after the probe, so ties match inclusively, like DuckDB's ASOF <=."""
+    after the probe, so ties match inclusively, like DuckDB's ASOF <=.
+
+    Payload carried as a (marker, value) struct for the same reason as
+    :func:`asof_join`: a NULL build value is still the nearest match and
+    must not be skipped for a farther-future row."""
     carried = f"asof_next_{value_col}"
+    vtype = dict(build.dtypes)[value_col]
     b = build.select(
         F.col(key).alias("__k"),
         F.col(ts).alias("__ts"),
         F.lit(1).alias("__seq"),
-        F.col(value_col).alias(carried),
+        F.struct(F.lit(1).alias("m"), F.col(value_col).alias("v")).alias("__cv"),
         *[F.lit(None).cast(t).alias(c) for c, t in probe.dtypes],
     )
     p = probe.select(
         F.col(key).alias("__k"),
         F.col(ts).alias("__ts"),
         F.lit(0).alias("__seq"),
-        F.lit(None).cast(dict(build.dtypes)[value_col]).alias(carried),
+        F.lit(None).cast(f"struct<m:int,v:{vtype}>").alias("__cv"),
         *[F.col(c) for c in probe.columns],
     )
     w = (
@@ -360,13 +373,13 @@ def asof_join_forward(
     )
     joined = (
         b.unionByName(p)
-        .withColumn(carried, F.first(carried, ignorenulls=True).over(w))
+        .withColumn("__cv", F.first("__cv", ignorenulls=True).over(w))
         .filter(F.col("__seq") == 0)
-        .drop("__k", "__ts", "__seq")
+        .withColumn(carried, F.col("__cv.v"))
     )
     if how == "inner":
-        joined = joined.filter(F.col(carried).isNotNull())
-    return joined
+        joined = joined.filter(F.col("__cv").isNotNull())
+    return joined.drop("__k", "__ts", "__seq", "__cv")
 
 
 @query(

@@ -102,7 +102,11 @@ def plan_fingerprint(df: DataFrame) -> dict[str, int]:
     return {
         "exchanges": count_exchanges(df),
         "broadcasts": plan.count("BroadcastExchange"),
-        "scans": plan.count("FileScan") + plan.count("Scan parquet"),
+        # 'FileScan parquet' contains BOTH 'FileScan' and 'Scan parquet' —
+        # counting each substring double-counted parquet scans (and
+        # weighted csv/orc scans differently); FileScan alone covers every
+        # v1 file source, BatchScan the DSv2 ones
+        "scans": plan.count("FileScan") + plan.count("BatchScan"),
         "broadcast_joins": plan.count("BroadcastHashJoin"),
         "sort_merge_joins": plan.count("SortMergeJoin"),
         "nested_loops": plan.count("BroadcastNestedLoopJoin")

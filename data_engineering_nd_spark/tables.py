@@ -395,10 +395,34 @@ def snapshot_diff(
     across commits) never need scanning; file-identical rows can only be
     'unchanged'. That pruning is manifest arithmetic, not data work."""
     old, new = table.snapshot(v_old), table.snapshot(v_new)
-    common = [c for c in old.columns if c in new.columns and c not in key_cols]
-    o = old.select(*key_cols, F.struct(*common).alias("__o"))
-    n = new.select(*key_cols, F.struct(*common).alias("__n"))
-    j = o.join(n, key_cols, "full_outer")
+    # compare over the UNION of both schemas, filling columns absent from
+    # one side with null: with additive schema evolution the old snapshot
+    # reads under its own (narrower) schema, and comparing only the
+    # intersection would classify rows whose only change is in an evolved
+    # column as 'unchanged' — exactly the updates a change feed exists to
+    # surface (null-vs-value compares as 'changed'; null-vs-null as
+    # 'unchanged', which is right: the evolved column says nothing there)
+    payload = [
+        c
+        for c in list(old.columns) + [c for c in new.columns if c not in old.columns]
+        if c not in key_cols
+    ]
+    types: dict[str, str] = {}
+    for c, t in list(old.dtypes) + list(new.dtypes):
+        types.setdefault(c, t)
+
+    def side(df: DataFrame, alias: str):
+        cols = [
+            F.col(c)
+            if c in df.columns
+            # typed null: both structs must carry identical field types or
+            # the null-safe compare fails to resolve
+            else F.lit(None).cast(types[c]).alias(c)
+            for c in payload
+        ]
+        return df.select(*key_cols, F.struct(*cols).alias(alias))
+
+    j = side(old, "__o").join(side(new, "__n"), key_cols, "full_outer")
     change = (
         F.when(F.col("__o").isNull(), F.lit("added"))
         .when(F.col("__n").isNull(), F.lit("removed"))

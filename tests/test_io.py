@@ -372,3 +372,20 @@ def test_pipeline_run_end_to_end(spark, tmp_path):
         == rows["i94_immigrations"]["row_count"]
         == rows["i94_visitors"]["row_count"]
     )
+
+
+def test_partitioned_write_tolerates_map_columns(spark, tmp_path):
+    """The alignment salt must hash only hashable columns: xxhash64
+    rejects MapType, and a map-bearing frame used to throw on any
+    partitioned write after the alignment change."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 100).select(
+        F.col("id"),
+        (F.col("id") % 4).alias("p"),
+        F.create_map(F.lit("k"), F.col("id").cast("string")).alias("props"),
+    )
+    out = str(tmp_path / "mapped")
+    res = io.write(df, out, partition_keys=("p",), files_per_partition=2)
+    assert res.rows == 100
+    assert io.read(spark, out).count() == 100

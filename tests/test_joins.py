@@ -136,3 +136,34 @@ def test_forward_asof_join_semantics(spark):
     # inner drops the unmatched probe
     inner = asof_join_forward(probe, build, "user_id", "ts", "val", how="inner")
     assert {r.event_id for r in inner.collect()} == {1, 2, 3, 5}
+
+
+def test_asof_joins_do_not_skip_null_build_values(spark):
+    """A build row whose value is legitimately NULL is still the nearest
+    match (DuckDB ASOF semantics) — the carried-struct fix; carrying the
+    bare value would skip past it to an older/newer row."""
+    from data_engineering_nd_spark.operators.joins import (
+        asof_join,
+        asof_join_forward,
+    )
+
+    build = spark.createDataFrame(
+        [("u", 10, 1.0), ("u", 20, None), ("u", 30, 3.0)],
+        "user_id string, ts long, val double",
+    )
+    probe = spark.createDataFrame(
+        [(1, "u", 25), (2, "u", 15)], ["event_id", "user_id", "ts"]
+    )
+    back = {
+        r.event_id: r.asof_val
+        for r in asof_join(probe, build, "user_id", "ts", "val").collect()
+    }
+    assert back == {1: None, 2: 1.0}  # ts=25 matches the NULL at ts=20
+    fwd = {
+        r.event_id: r.asof_next_val
+        for r in asof_join_forward(probe, build, "user_id", "ts", "val").collect()
+    }
+    assert fwd == {1: 3.0, 2: None}  # ts=15 matches the NULL at ts=20
+    # inner keeps rows whose nearest match EXISTS, even with a NULL value
+    inner = asof_join(probe, build, "user_id", "ts", "val", how="inner")
+    assert {r.event_id for r in inner.collect()} == {1, 2}

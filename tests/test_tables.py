@@ -211,3 +211,23 @@ def test_snapshot_diff_null_payloads_are_null_safe(spark, tmp_path):
     got = {r["k"]: r["change_type"]
            for r in snapshot_diff(t, 0, 1, ["k"]).collect()}
     assert got == {1: "unchanged", 2: "changed"}
+
+
+def test_snapshot_diff_sees_schema_evolved_columns(spark, tmp_path):
+    """A row whose ONLY change is in a column added by schema evolution
+    must classify as 'changed' — comparing just the schema intersection
+    silently reported it 'unchanged'."""
+    from data_engineering_nd_spark.tables import VersionedTable, snapshot_diff
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]))
+    # v1 carries the WIDER schema: key 1 gains a real score, key 2's
+    # evolved column stays null (null-vs-absent compares 'unchanged')
+    t.commit(
+        spark.createDataFrame(
+            [(1, "a", 9.5), (2, "b", None)], "k long, v string, score double"
+        )
+    )
+    got = {r["k"]: r["change_type"]
+           for r in snapshot_diff(t, 0, 1, ["k"]).collect()}
+    assert got == {1: "changed", 2: "unchanged"}
