@@ -2995,10 +2995,10 @@ def q74_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory is O(m) regardless of corpus size."""
     tail_bits = _HLL_TAIL_BITS
     top = tail_bits + 1
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+
     o = load(spark, "orders", sf_dir)
-    h = F.conv(
-        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    h = md5_prefix_long(F.col("o_custkey").cast("string"), 15)
     slots = o.select(
         F.shiftright(h, tail_bits).alias("idx"),
         h.bitwiseAND(F.lit((1 << tail_bits) - 1)).alias("tail"),

@@ -30,3 +30,21 @@ def bucket_of(col: Column | str, n_buckets: int) -> Column:
     """Uniform bucket id in [0, n_buckets) — e.g. for salting skewed keys."""
     c = F.col(col) if isinstance(col, str) else col
     return F.pmod(F.xxhash64(c), F.lit(n_buckets)).cast("int")
+
+
+def md5_prefix_long(col: Column | str, n_hex: int = 10) -> Column:
+    """First ``n_hex`` hex chars of md5 as a non-negative BIGINT — the
+    engine's standard SQL-MIRRORABLE digest (DuckDB twin:
+    ``CAST(concat('0x', substr(md5(x), 1, n)) AS BIGINT)``, emitted by
+    :func:`sql_md5_prefix_long`). Used wherever an order-insensitive
+    content checksum must sum without overflow: n_hex=10 (40 bits) keeps
+    SUM inside BIGINT past 10^8 rows. Keep the two emitters in lockstep —
+    every Spark call site has a hand-mirrored oracle string."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, n_hex), 16, 10).cast("long")
+
+
+def sql_md5_prefix_long(expr: str, n_hex: int = 10) -> str:
+    """DuckDB-side mirror of :func:`md5_prefix_long` for generated oracle
+    strings."""
+    return f"CAST(concat('0x', substr(md5({expr}), 1, {n_hex})) AS BIGINT)"

@@ -641,9 +641,9 @@ def _checksum_digest_spark(cols: list[tuple[str, str]]):
         elif kind == "f":
             c = c.cast("decimal(18,4)").cast("string")
         rendered.append(F.coalesce(c, F.lit("~N~")))
-    return F.conv(
-        F.substring(F.md5(F.concat_ws("|", *rendered)), 1, 10), 16, 10
-    ).cast("bigint")
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+
+    return md5_prefix_long(F.concat_ws("|", *rendered))
 
 
 def _checksum_digest_sql(cols: list[tuple[str, str]]) -> str:
@@ -657,12 +657,12 @@ def _checksum_digest_sql(cols: list[tuple[str, str]]) -> str:
         elif kind == "f":
             c = f"CAST(CAST({c} AS DECIMAL(18,4)) AS VARCHAR)"
         rendered.append(f"COALESCE({c}, '~N~')")
-    args = ",\n                ".join(rendered)
-    return (
-        "CAST(concat('0x', substr(md5(concat_ws('|',\n                "
-        + args
-        + ")), 1, 10)) AS BIGINT)"
+    from data_engineering_nd_spark.functions.hashing import (
+        sql_md5_prefix_long,
     )
+
+    args = ",\n                ".join(rendered)
+    return sql_md5_prefix_long("concat_ws('|',\n                " + args + ")")
 
 
 def _register_pipeline_oracle() -> None:

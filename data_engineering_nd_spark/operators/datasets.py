@@ -2270,6 +2270,7 @@ def tbl_snapshot_diff_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
     from data_engineering_nd_spark.tables import VersionedTable, snapshot_diff
 
     docs = load(spark, "documents", sf_dir).select(
@@ -2289,13 +2290,7 @@ def tbl_snapshot_diff_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         diff = snapshot_diff(table, 0, 1, ["doc_id"])
         out = diff.groupBy("change_type").agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum(
-                F.conv(
-                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 10),
-                    16,
-                    10,
-                ).cast("long")
-            )
+            F.sum(md5_prefix_long(F.col("doc_id").cast("string")))
             .cast("bigint")
             .alias("key_checksum"),
         )
