@@ -53,41 +53,42 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Local verification (tools/verify_oracle.py, bench.py) always runs all
 # queries and is order-insensitive.
 
-#: round-7 refresh (the established per-round protocol): for every name, the
-#: most recent committed CORRECTNESS_r0*.json that recorded it.  Round 6
-#: recorded 50 names, all green — the 22 fresh round-6 registrations, the
-#: q44 watch item (cleared), and the whole r01-stale backlog.  What remains
-#: oldest is the 32-name r03 block (i94 builds, dq core, text suite,
-#: ann/dedup prod kernels, q26/q37/q38); VERDICT r06 task #1 asks exactly
-#: for those to cycle through the r07 window behind the round's fresh
-#: registrations.
+#: round-8 refresh (the established per-round protocol): for every name, the
+#: most recent committed CORRECTNESS_r0*.json that recorded it.  Round 7
+#: recorded 50 names, all green (4 are the known rows-only xxhash64 kernels
+#: with green md5 siblings) — the 13 fresh round-7 registrations, the whole
+#: 32-name r03-stale block, and 5 r04 names (q01–q05).  What remains oldest
+#: is the 46-name r04 block; VERDICT r07 task #1 asks for exactly that block
+#: to cycle through the r08 window BEHIND the 4 deferred round-7 names
+#: (pinned to round 0 so they lead): 4 + 46 = exactly 50, zero waste.
 LAST_RECORDED_ROUND: dict[str, int] = {
-    # -- latest record: CORRECTNESS_r03.json (the 32-name stale tail; VERDICT
-    # r06 task #1 — these cycle through the r07 window first) ---------------
+    # -- DEFERRED round-7 late additions, never driver-recorded (absent from
+    # CORRECTNESS_r07.json); pinned to round 0 to force them to the FRONT of
+    # the r08 window (VERDICT r07 task #1; ADVICE r07 medium item) ----------
     **dict.fromkeys([
-        "ann_brute_force_topk", "ann_ivf_kmeans_topk", "ann_ivf_topk",
-        "ann_lsh_topk", "dedup_cluster_assignment", "dedup_embedding_cosine",
-        "dedup_exact_groups", "dedup_jaccard_pairs", "dedup_minhash_lsh",
-        "dedup_simhash", "dq_pk_uniqueness", "dq_reconcile_versions",
-        "dq_referential_integrity", "dq_rowcounts", "i94_airports_build",
-        "i94_cities_demographic_build", "i94_dates_build",
-        "i94_dictionary_build", "i94_flights_build",
-        "i94_immigrations_build", "i94_states_demographic_build",
-        "i94_trips_build", "i94_visitors_build", "q26_salted_skew_groupby",
-        "q37_asof_join", "q38_range_join", "text_fingerprint",
-        "text_pii_scan", "text_repetition_metrics", "text_stats",
-        "text_tfidf_top_terms", "text_unigram_logprob"
-    ], 3),
-    # -- latest record: CORRECTNESS_r04.json (all green there) --------------
+        "ann_hybrid_rrf",
+        "text_bm25_topk",
+        "ann_pq_verified",
+        "q79_forward_asof_join",
+    ], 0),
+    # -- ADVICE-r07-touched names whose committed records predate their fixes
+    # (VERDICT r07 task #7): pinned to round 0 for fresh post-fix records.
+    # The r08 window still has slack (4 deferred + 41 r04-stale = 45), so
+    # these three fit without evicting any stale re-verification.
+    **dict.fromkeys([
+        "stream_stateful_sessions",
+        "ds_epoch_shards",
+        "multimodal_resize_thumbnails",
+    ], 0),
+    # -- latest record: CORRECTNESS_r04.json (the 46-name stale tail after
+    # q01–q05 re-recorded in r07; these fill the rest of the r08 window) ----
     **dict.fromkeys([
         "ann_pca_projection", "dedup_cluster_star", "ds_contamination_check",
         "ds_corpus_build_report", "ds_domain_mix_sample",
         "ds_keep_best_per_cluster", "ds_label_centroids",
         "ds_training_order", "graph_degree_distribution",
         "graph_pagerank_topk", "multimodal_audio_chunks",
-        "multimodal_metadata_stats", "q01_pricing_summary",
-        "q02_top_nations_by_revenue", "q03_monthly_order_trend",
-        "q04_distinct_projection", "q05_null_audit",
+        "multimodal_metadata_stats",
         "q06_top_customers_per_nation", "q07_date_dimension",
         "q08_sas_date_kernel", "q09_flexible_date_kernel",
         "q10_avg_ship_delay", "q11_union_by_name", "q12_string_kernels",
@@ -126,12 +127,13 @@ LAST_RECORDED_ROUND: dict[str, int] = {
     ], 5),
     # -- latest record: CORRECTNESS_r06.json (50/50 green; includes the
     # re-verified r01 backlog q35/q39/q41-q65 and the cleared q44 watch
-    # item) -----------------------------------------------------------------
+    # item).  ds_epoch_shards / multimodal_resize_thumbnails /
+    # stream_stateful_sessions moved to the round-0 pin block above --------
     **dict.fromkeys([
         "ann_ivf_kmeans_verified", "ann_pca_verified", "ann_quantized_topk",
         "ann_recall_report", "dedup_lsh_recall", "dq_expectation_suite",
-        "ds_compaction_report", "ds_epoch_shards", "ds_mixture_materialize",
-        "multimodal_dhash_dedup", "multimodal_resize_thumbnails",
+        "ds_compaction_report", "ds_mixture_materialize",
+        "multimodal_dhash_dedup",
         "multimodal_vad_segments", "q28_approx_vs_exact", "q35_udtf_expand",
         "q39_array_agg", "q40_stratified_sample",
         "q41_cube_returnflag_linestatus", "q42_deterministic_sample",
@@ -149,22 +151,34 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "q65_order_priority_check", "q68_scd2_customer_dim",
         "q69_countmin_heavy_hitters", "q70_jsonl_roundtrip",
         "q71_orc_roundtrip", "q72_argmax_aggregates", "q73_unpivot_metrics",
-        "stream_late_data_metrics", "stream_stateful_sessions",
+        "stream_late_data_metrics",
         "text_vocab_encode"
     ], 6),
-    # -- DEFERRED fresh registrations (round 7 late additions) --------------
-    # The r07 window is exactly full: 13 fresh round-7 names + the whole
-    # 32-name r03-stale block (VERDICT r06 task #1) + 5 r04 names. These
-    # later additions are assigned the CURRENT round so they sort behind
-    # everything and do not evict a stale re-verification; they are fully
-    # verified by the local two-SF sweep this round and will rotate to the
-    # front of the r08 window (7 > 6 sorts last among recorded names, but
-    # still ahead of nothing — i.e. recorded LAST).
+    # -- latest record: CORRECTNESS_r07.json (50 names: the 13 fresh round-7
+    # registrations, the whole 32-name r03-stale block, and q01–q05 from the
+    # r04 block; all green — the 4 None-hash entries are the known rows-only
+    # xxhash64 kernels with green md5 siblings) -----------------------------
     **dict.fromkeys([
-        "ann_hybrid_rrf",
-        "text_bm25_topk",
-        "ann_pq_verified",
-        "q79_forward_asof_join",
+        "ann_brute_force_topk", "ann_ivf_kmeans_topk", "ann_ivf_topk",
+        "ann_lsh_topk", "dedup_cluster_assignment", "dedup_embedding_cosine",
+        "dedup_exact_groups", "dedup_incremental", "dedup_jaccard_pairs",
+        "dedup_minhash_lsh", "dedup_simhash", "dq_key_skew_report",
+        "dq_pk_uniqueness", "dq_reconcile_versions",
+        "dq_referential_integrity", "dq_rowcounts", "ds_event_sequences",
+        "graph_bfs_layers", "i94_airports_build",
+        "i94_cities_demographic_build", "i94_dates_build",
+        "i94_dictionary_build", "i94_flights_build",
+        "i94_immigrations_build", "i94_pipeline_run",
+        "i94_states_demographic_build", "i94_trips_build",
+        "i94_visitors_build", "multimodal_dedup_decisions",
+        "q01_pricing_summary", "q02_top_nations_by_revenue",
+        "q03_monthly_order_trend", "q04_distinct_projection",
+        "q05_null_audit", "q26_salted_skew_groupby", "q37_asof_join",
+        "q38_range_join", "q74_hll_distinct", "q75_salted_skew_join",
+        "q76_bucketed_join_revenue", "q77_grouping_sets",
+        "q78_quantile_bins", "stream_restart_recovery", "tbl_snapshot_diff",
+        "text_fingerprint", "text_pii_scan", "text_repetition_metrics",
+        "text_stats", "text_tfidf_top_terms", "text_unigram_logprob"
     ], 7),
 }
 
