@@ -50,6 +50,49 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def _session_token(spark: SparkSession) -> str:
+    """Identifier-safe token unique to this SparkSession (derived from the
+    applicationId, e.g. ``local-1755...``). Scratch catalog tables suffixed
+    with it cannot collide across concurrently-running sessions; within a
+    session the name is stable, so re-runs purge-and-replace their own."""
+    import re
+
+    return re.sub(r"\W+", "_", spark.sparkContext.applicationId)
+
+
+def purge_table(spark: SparkSession, table: str) -> None:
+    """Drop ``table`` AND remove its on-disk location.
+
+    A managed table's directory survives ``DROP TABLE`` in Spark's
+    in-memory catalog, so a later ``saveAsTable`` under the same name in a
+    fresh session fails with LOCATION_ALREADY_EXISTS. When the catalog
+    still has the entry, the real location is resolved via ``DESCRIBE
+    EXTENDED`` (warehouse conf and actual location can disagree); the
+    current-warehouse candidate path is removed as well, because after a
+    session restart the in-memory catalog entry is gone while the
+    directory — exactly where the NEXT create would land — remains."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    paths = set()
+    try:
+        if spark.catalog.tableExists(table):
+            for row in spark.sql(f"DESCRIBE EXTENDED {table}").collect():
+                if row.col_name == "Location":
+                    loc = urlparse(row.data_type)
+                    if loc.scheme in ("", "file"):
+                        paths.add(loc.path)
+    except Exception:
+        pass
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    if warehouse.scheme in ("", "file"):
+        paths.add(os.path.join(warehouse.path, table.split(".")[-1]))
+    for p in paths:
+        shutil.rmtree(p, ignore_errors=True)
+
+
 def bucketed_join(
     spark: SparkSession,
     left_table: str,
@@ -93,10 +136,6 @@ def q76_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the write-once/join-many layout the i94 star schema (and any
     daily fact-dim pipeline) wants at 100 TB: the fact-side shuffle is
     paid once at write time instead of once per run."""
-    import os
-    import shutil
-    from urllib.parse import urlparse
-
     from pyspark.sql import functions as F
 
     from data_engineering_nd_spark.catalog import load
@@ -105,18 +144,19 @@ def q76_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, "customer", sf_dir).select(
         F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
     )
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    for t in ("gate_orders_bucketed", "gate_customer_bucketed"):
-        # a managed table's location survives the session while the
-        # catalog entry does not — purge both so re-runs in a fresh
-        # session don't hit LOCATION_ALREADY_EXISTS
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
-        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
-    write_bucketed(orders, "gate_orders_bucketed", ["o_custkey"], 8)
-    write_bucketed(cust, "gate_customer_bucketed", ["o_custkey"], 8)
-    joined = bucketed_join(
-        spark, "gate_orders_bucketed", "gate_customer_bucketed", ["o_custkey"]
-    )
+    # Scratch names carry a per-session token (sanitized applicationId) so
+    # concurrent sessions never clobber each other's tables, and the purge
+    # resolves the table's REAL location from the catalog rather than
+    # guessing from spark.sql.warehouse.dir (ADVICE r07: the two can
+    # disagree for qualified tables / path-encoded characters).
+    tok = _session_token(spark)
+    t_orders = f"gate_orders_bucketed_{tok}"
+    t_cust = f"gate_customer_bucketed_{tok}"
+    for t in (t_orders, t_cust):
+        purge_table(spark, t)
+    write_bucketed(orders, t_orders, ["o_custkey"], 8)
+    write_bucketed(cust, t_cust, ["o_custkey"], 8)
+    joined = bucketed_join(spark, t_orders, t_cust, ["o_custkey"])
     return joined.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,4)"))

@@ -15,6 +15,8 @@ tests/test_transforms.py::test_trip_id_deterministic instead.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -665,6 +667,16 @@ def _checksum_digest_sql(cols: list[tuple[str, str]]) -> str:
     return sql_md5_prefix_long("concat_ws('|',\n                " + args + ")")
 
 
+def _rebase_onto_slice(sql: str) -> str:
+    """Rewrite table references ``FROM/JOIN orders`` → ``orders_slice``.
+
+    Word-boundary regex, not plain ``str.replace``: ``JOIN orders`` must
+    rebase too, and a hypothetical future ``orders_raw`` table must be
+    left alone (ADVICE r07 — the old textual surgery would have produced
+    ``orders_slice_raw`` and silently scanned the unsliced view)."""
+    return re.sub(r"\b(FROM|JOIN)(\s+)orders\b", r"\1\2orders_slice", sql)
+
+
 def _register_pipeline_oracle() -> None:
     from data_engineering_nd_spark.registry import ORACLE_SQL
 
@@ -673,11 +685,7 @@ def _register_pipeline_oracle() -> None:
         # the builder oracles read the full `orders` view; the pipeline
         # fixture is the 1/3 slice, so the embedded bodies are rebased
         # onto the slice CTE (a CTE cannot shadow its own base view)
-        body = (
-            ORACLE_SQL[oracle_name]
-            .strip()
-            .replace("FROM orders", "FROM orders_slice")
-        )
+        body = _rebase_onto_slice(ORACLE_SQL[oracle_name].strip())
         ctes.append(f"t_{table} AS (\n{body}\n)")
         dq_cols = _PIPELINE_DQ_COLS.get(table)
         dq = (

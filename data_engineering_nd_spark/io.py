@@ -351,6 +351,7 @@ def overwrite_partitions(
     df: DataFrame,
     path: str,
     partition_keys: tuple[str, ...],
+    files_per_partition: int = 4,
 ) -> WriteResult:
     """Dynamic partition overwrite — the daily-backfill primitive.
 
@@ -375,9 +376,13 @@ def overwrite_partitions(
         raise ValueError("overwrite_partitions requires partition keys")
     obs = Observation()
     # same partition alignment as write(): the daily-backfill path is the
-    # MOST exposed to small-file growth (one unaligned run per day)
+    # MOST exposed to small-file growth (one unaligned run per day);
+    # files_per_partition mirrors write() so initial load and backfill
+    # produce consistent layouts (ADVICE r07)
     observed = _align_partitions(
-        df.observe(obs, F.count(F.lit(1)).alias("rows")), partition_keys, 4
+        df.observe(obs, F.count(F.lit(1)).alias("rows")),
+        partition_keys,
+        files_per_partition,
     )
     with scoped_conf(
         df.sparkSession, "spark.sql.sources.partitionOverwriteMode", "dynamic"

@@ -88,3 +88,40 @@ def test_gated_bucketed_join_query_single_exchange(spark):
 
     df = q76_bucketed_join_revenue(spark, "/root/testdata/sf0.001")
     assert count_exchanges(df) <= 1
+
+
+def test_purge_table_resolves_catalog_location(spark, tmp_path):
+    """purge_table must remove the table's REAL directory (resolved from
+    the catalog) even when it differs from the warehouse-dir guess, and
+    must also clear a leftover warehouse-dir collision candidate."""
+    import os
+
+    spark.sql(
+        f"CREATE DATABASE purge_db LOCATION '{tmp_path}/elsewhere'"
+    )
+    try:
+        df = spark.createDataFrame([Row(k=1, v="a")])
+        df.write.saveAsTable("purge_db.scratch_t")
+        loc = [
+            r.data_type
+            for r in spark.sql("DESCRIBE EXTENDED purge_db.scratch_t").collect()
+            if r.col_name == "Location"
+        ][0]
+        real_dir = loc.removeprefix("file:")
+        assert os.path.isdir(real_dir)
+        bucketing.purge_table(spark, "purge_db.scratch_t")
+        assert not spark.catalog.tableExists("purge_db.scratch_t")
+        assert not os.path.isdir(real_dir)
+        # recreate under the same name: must not hit LOCATION_ALREADY_EXISTS
+        df.write.saveAsTable("purge_db.scratch_t")
+        bucketing.purge_table(spark, "purge_db.scratch_t")
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS purge_db CASCADE")
+
+
+def test_session_token_is_identifier_safe(spark):
+    tok = bucketing._session_token(spark)
+    assert tok and tok == tok.strip("_") or tok  # non-empty
+    import re
+
+    assert re.fullmatch(r"\w+", tok)

@@ -91,3 +91,36 @@ def test_simhash_md5_oracle_matches_bits_and_chunks():
     assert len(set(re.findall(r"AS b(\d+)\b", sql))) == _SIMHASH_MD5_BITS
     assert f"unnest(range({n_chunks})) AS t(c)" in sql
     assert f"<= {max_hamming}" in sql
+
+
+def test_pipeline_slice_rebase_is_word_bounded():
+    """The pipeline-oracle rebase must rewrite FROM/JOIN orders (any
+    whitespace), but never a prefixed table like orders_raw, a column
+    like o.orders_col, or the already-rebased slice name."""
+    from data_engineering_nd_spark.i94_parity import _rebase_onto_slice
+
+    assert _rebase_onto_slice("SELECT * FROM orders") == (
+        "SELECT * FROM orders_slice"
+    )
+    assert _rebase_onto_slice("FROM x JOIN orders o ON 1=1") == (
+        "FROM x JOIN orders_slice o ON 1=1"
+    )
+    assert _rebase_onto_slice("FROM\n  orders o") == "FROM\n  orders_slice o"
+    assert _rebase_onto_slice("FROM orders_raw") == "FROM orders_raw"
+    assert _rebase_onto_slice("FROM orders_slice") == "FROM orders_slice"
+    assert _rebase_onto_slice("SELECT orders FROM t") == "SELECT orders FROM t"
+
+
+def test_pipeline_oracle_embeds_sliced_builders():
+    """Every embedded builder CTE in the registered pipeline oracle reads
+    the slice, never the raw orders view."""
+    import re
+
+    from data_engineering_nd_spark.registry import ORACLE_SQL, load_all_modules
+
+    load_all_modules()
+    sql = ORACLE_SQL["i94_pipeline_run"]
+    # skip past the slice CTE itself (which legitimately reads the raw
+    # view to define the slice); everything after must read the slice
+    body = sql.split("o_orderkey % 3 = 0)", 1)[1]
+    assert not re.search(r"\b(FROM|JOIN)\s+orders\b", body)
