@@ -180,6 +180,15 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "text_fingerprint", "text_pii_scan", "text_repetition_metrics",
         "text_stats", "text_tfidf_top_terms", "text_unigram_logprob"
     ], 7),
+    # -- DEFERRED fresh registrations (round 8) -----------------------------
+    # The r08 window is full (7 round-0 pins + the 41-name r04-stale block
+    # + the 2 oldest r05 names); new round-8 registrations take the CURRENT
+    # round number so they sort last, are verified by the committed local
+    # two-SF sweep this round (SWEEP_r08.md), and rotate to the front of
+    # the r09 window.
+    **dict.fromkeys([
+        "q80_bloom_join_prune",
+    ], 8),
 }
 
 #: Back-compat view used by older tests/docs: every name with a usable
@@ -222,6 +231,7 @@ def load_all_modules() -> None:
     import data_engineering_nd_spark.analytics  # noqa: F401
     import data_engineering_nd_spark.bucketing  # noqa: F401
     import data_engineering_nd_spark.i94_parity  # noqa: F401
+    import data_engineering_nd_spark.operators.bloom  # noqa: F401
     import data_engineering_nd_spark.operators.datasets  # noqa: F401
     import data_engineering_nd_spark.operators.dedup  # noqa: F401
     import data_engineering_nd_spark.operators.dimensions  # noqa: F401

@@ -167,3 +167,81 @@ def test_asof_joins_do_not_skip_null_build_values(spark):
     # inner keeps rows whose nearest match EXISTS, even with a NULL value
     inner = asof_join(probe, build, "user_id", "ts", "val", how="inner")
     assert {r.event_id for r in inner.collect()} == {1, 2}
+
+
+def test_bloom_filter_has_no_false_negatives(spark):
+    """Every inserted key must pass its own filter (Bloom guarantee); a
+    disjoint key set at ~8 bits/key must be mostly pruned."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_nd_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe_expr,
+        size_m_bits,
+    )
+
+    keys = spark.range(0, 200).select(F.col("id").alias("k"))
+    m = size_m_bits(200)
+    words = bloom_build(keys, "k", m)
+    assert keys.filter(~bloom_probe_expr(F.col("k"), words, m)).count() == 0
+    others = spark.range(10_000, 20_000).select(F.col("id").alias("k"))
+    passed = others.filter(bloom_probe_expr(F.col("k"), words, m)).count()
+    # ~3% expected at 8 bits/key, k=3; generous bound against family luck
+    assert passed < 10_000 * 0.15
+
+
+def test_size_m_bits_is_word_aligned_and_capped():
+    from data_engineering_nd_spark.operators.bloom import (
+        M_CAP,
+        size_m_bits,
+    )
+
+    assert size_m_bits(0) == 32
+    assert size_m_bits(1) == 32
+    assert size_m_bits(20) == 160
+    assert size_m_bits(1000) == 8000
+    assert size_m_bits(10**9) == M_CAP
+    for n in (1, 3, 7, 20, 100, 12345):
+        assert size_m_bits(n) % 32 == 0
+
+
+def test_bloom_prune_filter_sits_below_the_exchange(spark):
+    """q80's plan pin (VERDICT r07 task #2): the bloom probe runs as a
+    Filter directly above the lineitem scan — BEFORE any Exchange — so at
+    scale the pruned rows are never shuffled. Also: the dim joins stay
+    broadcast and the probe stays out of Python."""
+    import re
+
+    from data_engineering_nd_spark.operators.bloom import q80_bloom_join_prune
+    from data_engineering_nd_spark.plans.inspect import (
+        assert_no_python_udf_in,
+        simple_plan,
+    )
+
+    df = q80_bloom_join_prune(spark, "/root/testdata/sf0.001")
+    assert_no_python_udf_in(df)
+    plan = simple_plan(df)
+    # find the lineitem branch that feeds the join (carries the probe
+    # filter): walk lines; the Filter containing element_at must appear
+    # between the last Exchange above it and the lineitem FileScan
+    lines = plan.splitlines()
+    scan_idx = [
+        i
+        for i, ln in enumerate(lines)
+        if "FileScan" in ln and "lineitem" in ln and "struct<l_suppkey" in ln
+    ]
+    assert scan_idx, plan
+    i = scan_idx[0]
+    between = []
+    for j in range(i - 1, -1, -1):
+        if "Exchange" in lines[j] or "FileScan" in lines[j]:
+            break
+        between.append(lines[j])
+    assert any(
+        "Filter" in ln and "element_at" in ln for ln in between
+    ), plan
+    # probed fact feeds a broadcast join (dim side moves, fact side
+    # doesn't): no shuffle between the filtered scan and the join
+    assert not any(
+        re.search(r"Exchange (hash|range|Round)", ln) for ln in between
+    ), plan

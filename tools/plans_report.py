@@ -92,6 +92,8 @@ HEADLINERS = [
     "text_bm25_topk",
     "ann_pq_verified",
     "q79_forward_asof_join",
+    # round 8 additions
+    "q80_bloom_join_prune",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -205,6 +207,11 @@ EXPECTED_FLAGS = {
         "the cross join combines the 1-row register-sum aggregate with "
         "the 1-row exact-distinct aggregate into the report row — both "
         "sides bounded at one row by construction"
+    ),
+    "q80_bloom_join_prune": (
+        "the cross join combines the 1-row fact-total aggregate with the "
+        "1-row pruning-stats aggregate into the report row; the probe "
+        "itself is a scan-side Filter feeding a broadcast hash join"
     ),
     "dedup_lsh_recall": (
         "the cross join IS the exact all-pairs ground truth of the "
