@@ -2301,6 +2301,133 @@ def tbl_snapshot_diff_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Data skipping: manifest min/max stats prune whole files from a scan
+# ---------------------------------------------------------------------------
+
+@query(
+    "tbl_skipping_report",
+    # the table is committed as 8 single-file range chunks of width
+    # ceil((max_key+1)/8), so file == chunk and the oracle can replay the
+    # stats pruning as chunk arithmetic over ACTUAL per-chunk min/max —
+    # if Spark's manifest pruning kept or dropped a file the stats don't
+    # justify, rows_scanned (metadata) or the checksums (data) diverge.
+    oracle="""
+    WITH params AS (
+        SELECT ((MAX(o_orderkey) + 8) // 8) AS width FROM orders
+    ),
+    bounds AS (
+        SELECT 2 * width AS lo, 4 * width + width // 2 AS hi FROM params
+    ),
+    chunks AS (
+        SELECT o.o_orderkey, o.o_totalprice,
+               o.o_orderkey // p.width AS cid
+        FROM orders o CROSS JOIN params p
+    ),
+    file_stats AS (
+        SELECT cid, MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx,
+               COUNT(*) AS nrows
+        FROM chunks GROUP BY cid
+    ),
+    marked AS (
+        SELECT fs.*, CASE WHEN fs.mx < b.lo OR fs.mn > b.hi
+                          THEN 0 ELSE 1 END AS kept
+        FROM file_stats fs CROSS JOIN bounds b
+    ),
+    matched AS (
+        SELECT c.o_orderkey, c.o_totalprice
+        FROM chunks c CROSS JOIN bounds b
+        WHERE c.o_orderkey BETWEEN b.lo AND b.hi
+    )
+    SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM marked) AS files_total,
+        (SELECT CAST(SUM(kept) AS BIGINT) FROM marked) AS files_kept,
+        (SELECT CAST(COUNT(*) - SUM(kept) AS BIGINT) FROM marked)
+            AS files_pruned,
+        (SELECT CAST(SUM(nrows) AS BIGINT) FROM marked) AS rows_total,
+        (SELECT CAST(SUM(nrows * kept) AS BIGINT) FROM marked)
+            AS rows_scanned,
+        CAST(COUNT(*) AS BIGINT) AS n_result,
+        CAST(SUM(CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                          1, 10)) AS BIGINT)) AS BIGINT)
+            AS result_checksum,
+        CAST(SUM(CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                          1, 10)) AS BIGINT)) AS BIGINT)
+            AS unpruned_checksum,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+            AS result_revenue
+    FROM matched
+    """,
+)
+def tbl_skipping_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data skipping over the VersionedTable manifest (VERDICT r07 task
+    #6 — the 100 TB READ-path half of round 7's partition-aligned
+    writes): orders is committed as 8 range-chunk files, each commit
+    records per-file min/max column stats from the parquet footers, and a
+    predicate scan prunes files by stats BEFORE reading any data. The
+    report row carries the pruning economics (files/rows, all manifest
+    metadata) plus result checksums from the pruned scan AND the unpruned
+    full scan — the oracle states both from the same arithmetic, so a
+    wrong prune (dropped a file with matches, kept one the stats exclude)
+    breaks the value hash.
+
+    Chunking is exact integer arithmetic (width = ceil((max+1)/8), chunk
+    = key // width) rather than repartitionByRange, whose sampled
+    boundaries are not oracle-reproducible; at production scale the
+    range-clustered write is ``io.write_zordered`` / repartitionByRange
+    and the stats come from the same footers."""
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    orders = load(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    max_key = int(orders.agg(F.max("o_orderkey")).collect()[0][0])
+    width = (max_key + 8) // 8  # ceil((max_key+1)/8): 8 chunks cover 0..max
+    lo, hi = 2 * width, 4 * width + width // 2  # spans chunks 2..4, 4 partial
+
+    work = tempfile.mkdtemp(prefix="tbl_skipping_")
+    try:
+        table = VersionedTable(spark, work)
+        for i in range(8):
+            chunk = orders.filter(
+                (F.col("o_orderkey") >= i * width)
+                & (F.col("o_orderkey") < (i + 1) * width)
+            ).repartition(1)
+            table.commit(chunk, mode="overwrite" if i == 0 else "append")
+
+        _, _, meta = table.prune_files("o_orderkey", lo, hi)
+        key_digest = md5_prefix_long(F.col("o_orderkey").cast("string"))
+        pruned_agg = table.scan("o_orderkey", lo, hi).agg(
+            F.count(F.lit(1)).alias("n_result"),
+            F.sum(key_digest).cast("bigint").alias("result_checksum"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("result_revenue"),
+        )
+        unpruned_agg = (
+            table.snapshot()
+            .filter(F.col("o_orderkey").between(lo, hi))
+            .agg(F.sum(key_digest).cast("bigint").alias("unpruned_checksum"))
+        )
+        out = pruned_agg.crossJoin(unpruned_agg).select(
+            F.lit(meta["files_total"]).cast("bigint").alias("files_total"),
+            F.lit(meta["files_kept"]).cast("bigint").alias("files_kept"),
+            F.lit(meta["files_pruned"]).cast("bigint").alias("files_pruned"),
+            F.lit(meta["rows_total"]).cast("bigint").alias("rows_total"),
+            F.lit(meta["rows_scanned"]).cast("bigint").alias("rows_scanned"),
+            "n_result",
+            "result_checksum",
+            "unpruned_checksum",
+            "result_revenue",
+        )
+        # output-sized (1 row); materialize so the scratch table can go
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # Per-user event sequences: the behavior-sequence training input
 # ---------------------------------------------------------------------------
 

@@ -188,6 +188,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
     # the r09 window.
     **dict.fromkeys([
         "q80_bloom_join_prune",
+        "tbl_skipping_report",
     ], 8),
 }
 

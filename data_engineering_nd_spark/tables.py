@@ -103,6 +103,7 @@ class VersionedTable:
         operation: str,
         schema_json: str,
         sizes: dict[str, int] | None = None,
+        stats: dict[str, dict] | None = None,
     ) -> dict:
         """Atomic commit point: temp-file + rename within _log/."""
         os.makedirs(self._log_dir(), exist_ok=True)
@@ -116,6 +117,11 @@ class VersionedTable:
             # manifest alone — at 100 TB a LIST/HEAD storm per maintenance
             # pass is exactly what a manifest log exists to avoid
             "sizes": sizes or {},
+            # per-file column min/max/null stats (from the parquet footers
+            # at commit time, Iceberg-style): lets scan() prune whole
+            # files by predicate from the manifest alone — the read-path
+            # half of the small-file story (VERDICT r07 task #6)
+            "stats": stats or {},
         }
         final = os.path.join(self._log_dir(), f"{version:011d}.json")
         tmp = final + f".{uuid.uuid4().hex}.tmp"
@@ -161,6 +167,57 @@ class VersionedTable:
             for f in files
         }
 
+    def _compute_stats(self, files: list[str]) -> dict[str, dict]:
+        """Per-file ``{num_rows, columns: {col: {min, max, null_count}}}``
+        from the parquet FOOTERS — a metadata read, no data scanned. Only
+        JSON-stable comparable types (int/float/str) are recorded; columns
+        whose footer stats are absent or of other types simply have no
+        entry and are never pruned on (conservative). Row-group stats are
+        folded to file granularity because the manifest prunes files."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict] = {}
+        for rel in files:
+            md = pq.ParquetFile(os.path.join(self.root, rel)).metadata
+            cols: dict[str, dict] = {}
+            for rg_i in range(md.num_row_groups):
+                rg = md.row_group(rg_i)
+                for ci in range(rg.num_columns):
+                    c = rg.column(ci)
+                    st = c.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    mn, mx = st.min, st.max
+                    if isinstance(mn, bool) or not isinstance(
+                        mn, (int, float, str)
+                    ):
+                        continue
+                    nulls = st.null_count if st.null_count is not None else 0
+                    cur = cols.get(c.path_in_schema)
+                    if cur is None:
+                        cols[c.path_in_schema] = {
+                            "min": mn, "max": mx, "null_count": nulls,
+                        }
+                    else:
+                        cur["min"] = min(cur["min"], mn)
+                        cur["max"] = max(cur["max"], mx)
+                        cur["null_count"] += nulls
+            out[rel] = {"num_rows": md.num_rows, "columns": cols}
+        return out
+
+    def _file_stats(
+        self, files: list[str], manifest: dict | None = None
+    ) -> dict[str, dict]:
+        """Stats per table-relative path: manifest-recorded where available
+        (the scale path — stats travel with the commit), footer fallback
+        for files committed before stats were recorded."""
+        recorded = (manifest or {}).get("stats", {})
+        missing = [f for f in files if f not in recorded]
+        out = {f: recorded[f] for f in files if f in recorded}
+        if missing:
+            out.update(self._compute_stats(missing))
+        return out
+
     def _read_files(self, files: list[str], schema_json: str) -> DataFrame:
         from pyspark.sql.types import StructType
 
@@ -189,6 +246,80 @@ class VersionedTable:
         m = self._manifest(version)
         return self._read_files(m["files"], m["schema"])
 
+    def prune_files(
+        self,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> tuple[list[str], list[str], dict]:
+        """Split a snapshot's files into (kept, pruned) for the predicate
+        ``col BETWEEN lo AND hi`` (either bound optional) using ONLY the
+        manifest stats — no file is opened. A file is pruned exactly when
+        its recorded [min, max] cannot intersect the bound; files with no
+        recorded stats for ``col`` are kept (conservative — correctness
+        never depends on stats existing).
+
+        Returns ``(kept, pruned, meta)`` where meta carries the
+        metadata-derived row counts: ``rows_total`` over all files and
+        ``rows_scanned`` over the kept ones — the read-amplification
+        numbers a 100 TB scan planner reports before touching data."""
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        m = self._manifest(version)
+        stats = m.get("stats", {})
+        kept, pruned = [], []
+        rows_total = rows_scanned = 0
+        for f in m["files"]:
+            fs = stats.get(f, {})
+            nrows = fs.get("num_rows", 0)
+            rows_total += nrows
+            cs = fs.get("columns", {}).get(col)
+            drop = cs is not None and (
+                (lo is not None and cs["max"] < lo)
+                or (hi is not None and cs["min"] > hi)
+            )
+            if drop:
+                pruned.append(f)
+            else:
+                kept.append(f)
+                rows_scanned += nrows
+        meta = {
+            "files_total": len(m["files"]),
+            "files_kept": len(kept),
+            "files_pruned": len(pruned),
+            "rows_total": rows_total,
+            "rows_scanned": rows_scanned,
+        }
+        return kept, pruned, meta
+
+    def scan(
+        self,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Predicate scan with manifest-stats file skipping: read only the
+        files :meth:`prune_files` keeps, then apply the row-level
+        predicate as a normal pushed-down filter. Result-identical to
+        ``snapshot().filter(...)`` by construction (stats bound the data,
+        the filter still runs) — the gated ``tbl_skipping_report`` query
+        value-hashes that equivalence."""
+        if version is None:
+            version = self.latest_version()
+        kept, _, _ = self.prune_files(col, lo, hi, version)
+        m = self._manifest(version)
+        df = self._read_files(kept, m["schema"])
+        c = F.col(col)
+        if lo is not None:
+            df = df.filter(c >= lo)
+        if hi is not None:
+            df = df.filter(c <= hi)
+        return df
+
     def commit(self, df: DataFrame, mode: str = "overwrite") -> dict:
         """Publish df as the next snapshot. 'overwrite' replaces the file
         set (and the schema); 'append' adds the new files to the previous
@@ -203,14 +334,16 @@ class VersionedTable:
         version = 0 if prev is None else prev + 1
         files = self._write_files(df, version)
         sizes = self._file_sizes(files)
+        stats = self._compute_stats(files)
         schema_json = df.schema.json()
         if mode == "append" and prev is not None:
             pm = self._manifest(prev)
             files += pm["files"]
             sizes.update(self._file_sizes(pm["files"], pm))
+            stats.update(self._file_stats(pm["files"], pm))
             schema_json = self._evolve_schema(pm["schema"], df.schema.json())
         return self._publish(
-            version, files, mode, schema_json, sizes
+            version, files, mode, schema_json, sizes, stats
         )
 
     @staticmethod
@@ -290,12 +423,15 @@ class VersionedTable:
         new_files = self._write_files(rewritten, version)
         sizes = self._file_sizes(new_files)
         sizes.update(self._file_sizes(untouched, m))
+        stats = self._compute_stats(new_files)
+        stats.update(self._file_stats(untouched, m))
         return self._publish(
             version,
             new_files + untouched,
             f"merge(rewrote={len(affected_rel)},kept={len(untouched)})",
             m["schema"],
             sizes,
+            stats,
         )
 
     def compact(self, target_partitions: int | None = None) -> dict:
@@ -340,12 +476,15 @@ class VersionedTable:
         new_files = self._write_files(rewritten, version)
         new_sizes = self._file_sizes(new_files)
         new_sizes.update({f: sizes[f] for f in keep})
+        new_stats = self._compute_stats(new_files)
+        new_stats.update(self._file_stats(keep, m))
         return self._publish(
             version,
             new_files + keep,
             f"optimize(rewrote={len(small)},into={len(new_files)},kept={len(keep)})",
             m["schema"],
             new_sizes,
+            new_stats,
         )
 
     def vacuum(self, retain_last: int = 1) -> list[str]:

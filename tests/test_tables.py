@@ -231,3 +231,80 @@ def test_snapshot_diff_sees_schema_evolved_columns(spark, tmp_path):
     got = {r["k"]: r["change_type"]
            for r in snapshot_diff(t, 0, 1, ["k"]).collect()}
     assert got == {1: "changed", 2: "unchanged"}
+
+
+def test_commit_records_footer_stats_in_manifest(spark, table):
+    df = spark.createDataFrame(
+        [Row(k=i, v=f"s{i:03d}") for i in range(10)]
+    ).repartition(1)
+    m = table.commit(df)
+    (f,) = m["files"]
+    st = m["stats"][f]
+    assert st["num_rows"] == 10
+    assert st["columns"]["k"] == {"min": 0, "max": 9, "null_count": 0}
+    assert st["columns"]["v"]["min"] == "s000"
+    assert st["columns"]["v"]["max"] == "s009"
+
+
+def test_scan_prunes_by_stats_and_matches_full_scan(spark, table):
+    # three single-file commits with disjoint key ranges
+    for lo in (0, 100, 200):
+        df = spark.createDataFrame(
+            [Row(k=lo + i, v=float(lo + i)) for i in range(50)]
+        ).repartition(1)
+        table.commit(df, mode="overwrite" if lo == 0 else "append")
+    kept, pruned, meta = table.prune_files("k", 120, 160)
+    assert meta == {
+        "files_total": 3,
+        "files_kept": 1,
+        "files_pruned": 2,
+        "rows_total": 150,
+        "rows_scanned": 50,
+    }
+    got = sorted(r.k for r in table.scan("k", 120, 160).collect())
+    want = sorted(
+        r.k
+        for r in table.snapshot().filter(F.col("k").between(120, 160)).collect()
+    )
+    assert got == want == list(range(120, 150))  # block holds 100..149
+    # open bounds
+    assert table.scan("k", lo=200).count() == 50
+    assert table.scan("k", hi=99).count() == 50
+
+
+def test_scan_keeps_files_without_stats(spark, table):
+    # a column with no recorded stats (all-null => footer has no min/max)
+    df = spark.createDataFrame(
+        [Row(k=i, w=None) for i in range(5)], "k int, w int"
+    ).repartition(1)
+    table.commit(df)
+    kept, pruned, meta = table.prune_files("w", 0, 10)
+    assert pruned == [] and meta["files_kept"] == 1
+    assert table.scan("w", 0, 10).count() == 0  # filter still applies
+    # unknown column: conservative too
+    kept2, pruned2, _ = table.prune_files("nope", 0, 1)
+    assert pruned2 == []
+
+
+def test_merge_and_optimize_carry_stats_for_untouched_files(spark, table):
+    for lo in (0, 100):
+        table.commit(
+            spark.createDataFrame(
+                [Row(k=lo + i, v=float(i)) for i in range(20)]
+            ).repartition(1),
+            mode="overwrite" if lo == 0 else "append",
+        )
+    m0 = table._manifest(table.latest_version())
+    # merge touches only the 100-block file
+    table.merge(
+        spark.createDataFrame([Row(k=105, v=9.9)]), ["k"]
+    )
+    m1 = table._manifest(table.latest_version())
+    untouched = [f for f in m1["files"] if f in set(m0["files"])]
+    assert untouched and all(f in m1["stats"] for f in untouched)
+    # every listed file has stats after the merge commit
+    assert set(m1["stats"]) == set(m1["files"])
+    # pruning still exact: the 0-block is untouched, the rewritten block
+    # still spans [100, 119]
+    _, pruned, _ = table.prune_files("k", 0, 50)
+    assert len(pruned) == len(m1["files"]) - 1
