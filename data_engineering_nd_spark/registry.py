@@ -189,6 +189,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
     **dict.fromkeys([
         "q80_bloom_join_prune",
         "tbl_skipping_report",
+        "graph_shortest_paths",
     ], 8),
 }
 

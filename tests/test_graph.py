@@ -221,3 +221,48 @@ def test_bfs_seed_without_edges_kept_at_zero(spark):
     seeds = spark.createDataFrame([(7,)], ["id"])
     got = {r["id"]: r["dist"] for r in bfs_layers(edges, seeds).collect()}
     assert got == {7: 0}
+
+
+def test_shortest_paths_prefers_cheap_multi_hop_route(spark):
+    """Weighted semantics: the cheapest path may use MORE hops than the
+    hop-minimal one (w=10 direct vs 1+1 detour) — exactly what separates
+    shortest_paths from bfs_layers."""
+    from data_engineering_nd_spark.operators.graph import shortest_paths
+
+    edges = spark.createDataFrame(
+        [("a", "b", 10), ("a", "c", 1), ("c", "b", 1)],
+        "src string, dst string, w long",
+    )
+    seeds = spark.createDataFrame([("a",)], ["id"])
+    got = {r.id: r.dist for r in shortest_paths(edges, seeds).collect()}
+    assert got == {"a": 0, "b": 2, "c": 1}
+
+
+def test_shortest_paths_is_hop_bounded_and_layer_exact(spark):
+    """After k rounds the distances are minima over <= k-edge paths: a
+    5-edge unit chain with a w=100 shortcut resolves to 100 at
+    max_hops=4 and to 5 once the bound admits the long path."""
+    from data_engineering_nd_spark.operators.graph import shortest_paths
+
+    chain = [(f"n{i}", f"n{i+1}", 1) for i in range(5)]
+    edges = spark.createDataFrame(
+        chain + [("n0", "n5", 100)], "src string, dst string, w long"
+    )
+    seeds = spark.createDataFrame([("n0",)], ["id"])
+    at4 = {r.id: r.dist for r in shortest_paths(edges, seeds, max_hops=4).collect()}
+    assert at4["n5"] == 100 and at4["n4"] == 4
+    at5 = {r.id: r.dist for r in shortest_paths(edges, seeds, max_hops=5).collect()}
+    assert at5["n5"] == 5
+
+
+def test_shortest_paths_multi_source_and_early_stop(spark):
+    from data_engineering_nd_spark.operators.graph import shortest_paths
+
+    edges = spark.createDataFrame(
+        [("a", "m", 3), ("b", "m", 1), ("m", "z", 1)],
+        "src string, dst string, w long",
+    )
+    seeds = spark.createDataFrame([("a",), ("b",)], ["id"])
+    # max_hops far beyond the diameter: early stop, still exact
+    got = {r.id: r.dist for r in shortest_paths(edges, seeds, max_hops=10).collect()}
+    assert got == {"a": 0, "b": 0, "m": 1, "z": 2}

@@ -94,6 +94,7 @@ HEADLINERS = [
     "q79_forward_asof_join",
     # round 8 additions
     "q80_bloom_join_prune",
+    "graph_shortest_paths",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"
