@@ -1252,3 +1252,403 @@ def text_bm25_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the e6-integer score accumulation all value-hashed cross-engine."""
     docs = load(spark, "documents", sf_dir)
     return bm25_topk(docs, ["scan", "join", "window", "stream"], k=10)
+
+
+# ---------------------------------------------------------------------------
+# BPE encode: apply a LEARNED merge list iteratively — the tokenizer inner
+# loop (ds_bpe_merge_candidates ranks merges; this APPLIES them).
+# ---------------------------------------------------------------------------
+
+#: fixed learned merge table for the gate (rank = priority, lower first).
+#: Deliberately includes rank-order traps over the corpus vocabulary:
+#: "agg" sees both (g,g)@8 and (a,g)@9 — min-rank must pick gg;
+#: "row" sees (r,o)@11 and (o,w)@12 — and chains ((t,h)->(th,e),
+#: (i,n)->(in,e)) that need multiple rounds.
+BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("e", "r"), ("o", "r"), ("a", "t"),
+    ("s", "t"), ("a", "n"), ("i", "n"), ("g", "g"), ("a", "g"),
+    ("in", "e"), ("r", "o"), ("o", "w"),
+]
+
+
+#: separator inside pair keys — pairs compare as (left, right) SYMBOL
+#: tuples, never concatenations: ("a","bc") and ("ab","c") must differ
+_BPE_SEP = "\x00"
+#: above this merge-table size the literal-expression strategy would bloat
+#: the plan; fall back to per-round broadcast joins
+_BPE_LITERAL_MAX = 256
+
+
+def _bpe_pair_keys(syms: Column) -> Column:
+    """Adjacent-pair keys of a symbol array (empty for 0/1-symbol words —
+    the guard also keeps sequence() from going descending)."""
+    return F.when(
+        F.size(syms) < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.concat(
+                F.element_at(syms, i), F.lit(_BPE_SEP), F.element_at(syms, i + 1)
+            ),
+        )
+    )
+
+
+def _bpe_merge_fold(
+    syms: Column, lft: Column, rgt: Column, merged: Column
+) -> Column:
+    """One left-to-right non-overlapping merge pass over ``syms`` as an
+    O(n) JVM fold (``F.aggregate`` with an (out, held) struct
+    accumulator): the held symbol merges with the next exactly when the
+    two equal the chosen (lft, rgt) pair, so a freshly merged token
+    cannot re-pair within the same pass — GPT-2 ``bpe()`` semantics."""
+    return F.aggregate(
+        syms,
+        F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(None).cast("string").alias("held"),
+        ),
+        lambda acc, s: F.when(
+            acc["held"].isNull(),
+            F.struct(acc["out"].alias("out"), s.alias("held")),
+        )
+        .when(
+            (acc["held"] == lft) & (s == rgt),
+            F.struct(
+                F.concat(acc["out"], F.array(merged)).alias("out"),
+                F.lit(None).cast("string").alias("held"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.concat(acc["out"], F.array(acc["held"])).alias("out"),
+                s.alias("held"),
+            )
+        ),
+        lambda acc: F.when(acc["held"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["held"]))
+        ),
+    )
+
+
+def bpe_encode(
+    words: DataFrame,
+    word_col: str,
+    merges: list[tuple[str, str]],
+    max_rounds: int = 6,
+    early_stop: bool = True,
+    strategy: str | None = None,
+) -> DataFrame:
+    """Apply a learned BPE merge list to every word (GPT-2 ``bpe()``
+    semantics, distributed): per round, each word merges ALL occurrences
+    of its lowest-ranked applicable pair (left-to-right, non-overlapping,
+    via :func:`_bpe_merge_fold`); rounds repeat until no pair applies or
+    ``max_rounds``.
+
+    Two rank-selection strategies:
+
+    - ``literal`` (default for <= 256 merges): the merge table rides into
+      the plan as a literal map (pair-key → rank) plus rank-indexed
+      literal arrays, so choosing the min-rank pair and merging are pure
+      NARROW projections — zero shuffles, zero joins, whatever the vocab
+      size. Each round is one map stage.
+    - ``join`` (production-size tables, e.g. a 50k-merge tokenizer):
+      per round, explode the current pairs, broadcast-join the merge
+      table, take the per-word min rank — one vocab-keyed shuffle per
+      round, merge table only ever broadcast.
+
+    Convergence: every applied round strictly shrinks some word, so
+    rounds needed <= min(max word length, len(merges)); with
+    ``early_stop`` the loop also stops after the first round in which no
+    word changed (one driver action per round). Either way, callers
+    verify completion via :func:`bpe_remaining_pairs` (value-hashed in
+    the gate) rather than trusting the bound. localCheckpoint per round
+    keeps the plan constant-size — without it the round expressions nest
+    multiplicatively.
+
+    Scale shape: run this on the WORD VOCABULARY (Zipf-bounded), then
+    join encodings back to the corpus by word — the corpus itself is
+    never re-scanned per round.
+
+    Returns ``words`` plus ``syms`` (final symbol array) and
+    ``rounds_applied``."""
+    if strategy is None:
+        strategy = "literal" if len(merges) <= _BPE_LITERAL_MAX else "join"
+    spark = words.sparkSession
+    w = F.col(word_col)
+    state = words.select(
+        "*",
+        F.transform(
+            F.sequence(F.lit(1), F.length(w)), lambda i: F.substr(w, i, F.lit(1))
+        ).alias("syms"),
+        F.lit(0).alias("rounds_applied"),
+    ).localCheckpoint()
+    carry = list(words.columns)
+
+    if strategy == "literal":
+        rank_map = F.create_map(
+            *[
+                c
+                for i, (l, r) in enumerate(merges)
+                for c in (F.lit(l + _BPE_SEP + r), F.lit(i))
+            ]
+        )
+        lfts = F.array(*[F.lit(l) for l, _ in merges])
+        rgts = F.array(*[F.lit(r) for _, r in merges])
+        mrgs = F.array(*[F.lit(l + r) for l, r in merges])
+        for _ in range(max_rounds):
+            ranks = F.filter(
+                F.transform(
+                    _bpe_pair_keys(F.col("syms")),
+                    lambda k: F.element_at(rank_map, k),
+                ),
+                lambda x: x.isNotNull(),
+            )
+            # stage the chosen rank/pair as NAMED columns before the fold:
+            # embedding these higher-order expressions directly inside the
+            # fold's lambda nests lambda scopes and mis-binds variables;
+            # as multi-use non-cheap aliases they also survive
+            # CollapseProject, so the staging is not re-inlined
+            staged = state.select(
+                *carry,
+                "syms",
+                "rounds_applied",
+                F.array_min(ranks).alias("__best"),  # null: no pair applies
+            ).select(
+                "*",
+                F.element_at(lfts, F.col("__best") + 1).alias("__lft"),
+                F.element_at(rgts, F.col("__best") + 1).alias("__rgt"),
+                F.element_at(mrgs, F.col("__best") + 1).alias("__mrg"),
+            )
+            state = staged.select(
+                *carry,
+                F.when(F.col("__best").isNull(), F.col("syms"))
+                .otherwise(
+                    _bpe_merge_fold(
+                        F.col("syms"),
+                        F.col("__lft"),
+                        F.col("__rgt"),
+                        F.col("__mrg"),
+                    )
+                )
+                .alias("syms"),
+                (
+                    F.col("rounds_applied")
+                    + F.when(F.col("__best").isNull(), 0).otherwise(1)
+                ).alias("rounds_applied"),
+                F.col("__best").isNotNull().alias("__changed"),
+            ).localCheckpoint()
+            if early_stop and state.filter("__changed").isEmpty():
+                break
+        return state.drop("__changed")
+
+    mt = spark.createDataFrame(
+        [(i, l, r, l + r) for i, (l, r) in enumerate(merges)],
+        "rank int, lft string, rgt string, merged string",
+    )
+    for _ in range(max_rounds):
+        pr = state.filter(F.size("syms") >= 2).select(
+            w.alias("__w"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("syms") - 1),
+                    lambda i: F.struct(
+                        F.element_at("syms", i).alias("lft"),
+                        F.element_at("syms", i + 1).alias("rgt"),
+                    ),
+                )
+            ).alias("p"),
+        ).select("__w", "p.lft", "p.rgt")
+        chosen = (
+            pr.join(F.broadcast(mt), ["lft", "rgt"])
+            .groupBy("__w")
+            .agg(F.min("rank").alias("rank"))
+            .join(F.broadcast(mt), "rank")
+            .select("__w", "lft", "rgt", "merged")
+        )
+        if early_stop and chosen.isEmpty():
+            break
+        st = state.join(chosen, state[word_col] == chosen["__w"], "left")
+        folded = _bpe_merge_fold(
+            F.col("syms"), F.col("lft"), F.col("rgt"), F.col("merged")
+        )
+        state = st.select(
+            *carry,
+            F.when(F.col("__w").isNull(), F.col("syms"))
+            .otherwise(folded)
+            .alias("syms"),
+            (
+                F.col("rounds_applied")
+                + F.when(F.col("__w").isNull(), 0).otherwise(1)
+            ).alias("rounds_applied"),
+        ).localCheckpoint()
+    return state
+
+
+def bpe_remaining_pairs(
+    encoded: DataFrame, word_col: str, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Per-word count of merge-table pairs still applicable to ``syms`` —
+    the convergence PROOF for :func:`bpe_encode` (0 everywhere when the
+    loop ran to fixpoint), value-hashed in the gate rather than assumed.
+    A narrow projection: the pair keys probe the same literal map the
+    literal strategy encodes with."""
+    rank_map = F.create_map(
+        *[
+            c
+            for i, (l, r) in enumerate(merges)
+            for c in (F.lit(l + _BPE_SEP + r), F.lit(i))
+        ]
+    )
+    n_rem = F.size(
+        F.filter(
+            F.transform(
+                _bpe_pair_keys(F.col("syms")),
+                lambda k: F.element_at(rank_map, k),
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    return encoded.select(
+        *encoded.columns, n_rem.cast("bigint").alias("n_remaining")
+    )
+
+
+@query(
+    "text_bpe_encode",
+    oracle=None,  # generated below (round-unrolled CTEs)
+)
+def text_bpe_encode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus word vocabulary through the fixed BPE merge
+    table: per word — corpus frequency, final symbol sequence, symbol
+    count, rounds applied, and the remaining-applicable-pairs count
+    (the convergence proof, 0 at fixpoint). The oracle replays every
+    round in SQL with a position-window formulation of the same
+    left-to-right non-overlapping merge scan, so rank order, chained
+    merges, and overlap resolution are all value-hashed."""
+    docs = load(spark, "documents", sf_dir)
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    # early_stop off: the 6-round bound covers this merge table and the
+    # per-round isEmpty actions cost more than the spare no-op rounds;
+    # convergence is still PROVEN by the value-hashed n_remaining column
+    enc = bpe_encode(vocab, "w", BPE_MERGES, max_rounds=6, early_stop=False)
+    out = bpe_remaining_pairs(enc, "w", BPE_MERGES)
+    return out.select(
+        "w",
+        "n",
+        F.array_join("syms", " ").alias("encoded"),
+        F.size("syms").cast("bigint").alias("n_symbols"),
+        F.col("rounds_applied").cast("int").alias("rounds_applied"),
+        "n_remaining",
+    )
+
+
+def _register_bpe_encode_oracle(max_rounds: int = 6) -> None:
+    """Round-unrolled DuckDB mirror. Each round: choose the min-rank
+    applicable pair per word, enumerate positions, resolve overlapping
+    candidate runs left-to-right ((pos - run_min) % 2 = 0 over maximal
+    consecutive-candidate runs — equivalent to the sequential scan), and
+    reassemble the symbol list. Words without an applicable pair carry
+    through unchanged. A deliberately DIFFERENT formulation from the
+    Spark-side fold, so a semantics bug in either cannot self-confirm."""
+    from data_engineering_nd_spark.registry import ORACLE_SQL
+
+    values = ", ".join(
+        f"({i}, '{l}', '{r}', '{l + r}')"
+        for i, (l, r) in enumerate(BPE_MERGES)
+    )
+    parts = [
+        f"""
+    WITH merges(rank, lft, rgt, merged) AS (VALUES {values}),
+    r0 AS MATERIALIZED (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n,
+               list_transform(range(1, length(w) + 1),
+                              i -> substr(w, CAST(i AS INT), 1)) AS toks,
+               0 AS rounds_applied
+        FROM (
+            SELECT unnest(string_split(
+                regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+            FROM documents
+        )
+        GROUP BY w
+    )"""
+    ]
+    for k in range(max_rounds):
+        parts.append(
+            f""",
+    cp{k} AS MATERIALIZED (
+        SELECT b.w, m2.lft, m2.rgt, m2.merged
+        FROM (
+            SELECT pr.w, MIN(m.rank) AS rk
+            FROM (
+                SELECT s.w, s.toks[CAST(u.i AS INT)] AS lft,
+                       s.toks[CAST(u.i AS INT) + 1] AS rgt
+                FROM r{k} s, UNNEST(range(1, len(s.toks))) u(i)
+            ) pr JOIN merges m ON m.lft = pr.lft AND m.rgt = pr.rgt
+            GROUP BY pr.w
+        ) b JOIN merges m2 ON m2.rank = b.rk
+    ),
+    pos{k} AS MATERIALIZED (
+        SELECT s.w, CAST(u.i AS INT) AS pos, s.toks[CAST(u.i AS INT)] AS tok,
+               c.merged,
+               CASE WHEN s.toks[CAST(u.i AS INT)] = c.lft
+                     AND s.toks[CAST(u.i AS INT) + 1] = c.rgt
+                    THEN 1 ELSE 0 END AS cand
+        FROM r{k} s JOIN cp{k} c USING (w),
+             UNNEST(range(1, len(s.toks) + 1)) u(i)
+    ),
+    real{k} AS MATERIALIZED (
+        SELECT w, pos FROM (
+            SELECT w, pos, MIN(pos) OVER (PARTITION BY w, run_key) AS run_min
+            FROM (
+                SELECT w, pos,
+                       pos - ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos)
+                           AS run_key
+                FROM pos{k} WHERE cand = 1
+            )
+        ) WHERE (pos - run_min) % 2 = 0
+    ),
+    nxt{k} AS MATERIALIZED (
+        SELECT p.w,
+               list(CASE WHEN rm.pos IS NOT NULL THEN p.merged ELSE p.tok END
+                    ORDER BY p.pos)
+                   FILTER (WHERE rs.pos IS NULL) AS toks
+        FROM pos{k} p
+        LEFT JOIN real{k} rm ON rm.w = p.w AND rm.pos = p.pos
+        LEFT JOIN real{k} rs ON rs.w = p.w AND rs.pos = p.pos - 1
+        GROUP BY p.w
+    ),
+    r{k + 1} AS MATERIALIZED (
+        SELECT s.w, s.n, COALESCE(x.toks, s.toks) AS toks,
+               s.rounds_applied
+                   + CASE WHEN x.w IS NULL THEN 0 ELSE 1 END AS rounds_applied
+        FROM r{k} s LEFT JOIN nxt{k} x USING (w)
+    )"""
+        )
+    last = f"r{max_rounds}"
+    parts.append(
+        f""",
+    rem AS MATERIALIZED (
+        SELECT w, COUNT(*) AS n_remaining
+        FROM (
+            SELECT s.w, s.toks[CAST(u.i AS INT)] AS lft,
+                   s.toks[CAST(u.i AS INT) + 1] AS rgt
+            FROM {last} s, UNNEST(range(1, len(s.toks))) u(i)
+        ) pr JOIN merges m ON m.lft = pr.lft AND m.rgt = pr.rgt
+        GROUP BY w
+    )
+    SELECT s.w, s.n, array_to_string(s.toks, ' ') AS encoded,
+           CAST(len(s.toks) AS BIGINT) AS n_symbols,
+           CAST(s.rounds_applied AS INT) AS rounds_applied,
+           CAST(COALESCE(r.n_remaining, 0) AS BIGINT) AS n_remaining
+    FROM {last} s LEFT JOIN rem r USING (w)
+    """
+    )
+    ORACLE_SQL["text_bpe_encode"] = "".join(parts)
+
+
+_register_bpe_encode_oracle()

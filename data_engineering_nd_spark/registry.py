@@ -190,6 +190,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "q80_bloom_join_prune",
         "tbl_skipping_report",
         "graph_shortest_paths",
+        "text_bpe_encode",
     ], 8),
 }
 

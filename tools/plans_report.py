@@ -95,6 +95,7 @@ HEADLINERS = [
     # round 8 additions
     "q80_bloom_join_prune",
     "graph_shortest_paths",
+    "text_bpe_encode",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"
