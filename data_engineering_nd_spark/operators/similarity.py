@@ -1830,3 +1830,238 @@ def ann_pq_verified_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     this exact encode/LUT/ADC dataflow."""
     emb = load(spark, "embeddings", sf_dir)
     return pq_adc_topk_md5(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+# ---------------------------------------------------------------------------
+# Incremental ANN: serve new query batches against a PERSISTED IVF index
+# (VERDICT r07 task #3 — the vector-side mirror of dedup_incremental).
+# ---------------------------------------------------------------------------
+
+
+def md5_cell_assignments(
+    df: DataFrame,
+    rn_max: int,
+    n_cells: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell) rows: each vector's ``rn_max`` best cells by argmax-dot
+    against the fixed md5 centroid table (same family as
+    :func:`ivf_topk_md5`; ties break on lowest cell id). rn_max=1 is the
+    index-build assignment, rn_max=nprobe the query fan-out."""
+    spark = df.sparkSession
+    cents = F.broadcast(
+        spark.createDataFrame(
+            [(c, _md5_const_vector(f"iv:{c}", dim)) for c in range(n_cells)],
+            "c int, w array<double>",
+        )
+    )
+    dp = (
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+        .crossJoin(cents)
+        .select(
+            id_col,
+            F.col("c").alias("cell"),
+            dot(F.col("__v"), F.col("w")).alias("dp"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("dp"), "cell")
+    return (
+        dp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= rn_max)
+        .select(id_col, "cell")
+    )
+
+
+def ivf_candidates_against_index(
+    index: DataFrame, query_cells: DataFrame
+) -> DataFrame:
+    """(query_id, neighbor_id) candidates of a query batch: equi-join the
+    queries' probed cells against the PERSISTED (vec_id, cell) index. The
+    index side is WHATEVER FRAME IS PASSED — for the incremental contract
+    that is a parquet scan of the persisted index with zero assignment
+    recomputation above it (plan-pinned in tests/test_similarity.py; the
+    shape mirrors dedup's ``candidate_pairs_against_index``). Each corpus
+    vector lives in exactly one cell and a query probes distinct cells,
+    so a pair appears at most once — no dedup needed."""
+    i = index.select(F.col("vec_id").alias("neighbor_id"), "cell")
+    q = query_cells.select(F.col("vec_id").alias("query_id"), "cell")
+    return i.join(F.broadcast(q), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select("query_id", "neighbor_id")
+
+
+def incremental_ivf_topk(
+    corpus: DataFrame,
+    batch: DataFrame,
+    index_root: str,
+    serve_ids: DataFrame | None = None,
+    lookup: DataFrame | None = None,
+    k: int = 3,
+    n_cells: int = 4,
+    nprobe: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """ANN search for a NEW vector batch through a persisted IVF index,
+    then merge the batch in — the daily shape of a growing embedding
+    store at 100 TB:
+
+    1. bootstrap: if the ``VersionedTable`` at ``index_root`` is empty,
+       assign the corpus to cells ONCE (the only full-corpus pass ever)
+       and commit the (vec_id, cell) rows;
+    2. assign the batch queries to their nprobe best cells — work
+       proportional to the BATCH, not the corpus;
+    3. candidates = query cells ⋈ index SCAN; corpus embeddings are read
+       only for candidate ids (semi-join pushdown at the rerank) — never
+       re-assigned, never re-scanned wholesale;
+    4. exact cosine rerank → top-k per query;
+    5. merge: append the batch's own cell assignments to the index (one
+       commit), so tomorrow's batch probes corpus+today.
+
+    ``serve_ids`` optionally restricts which batch vectors are SERVED
+    (ranked) while the whole batch still merges into the index.
+    ``lookup`` is the embedding source for the rerank's neighbor-id
+    lookups and must cover EVERY id the index may return (defaults to
+    ``corpus`` — right on bootstrap day; after merges, pass the full
+    vector store, or day-1 neighbors silently drop out of day-2 reranks).
+    Caller contract: corpus and batch ids are disjoint."""
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    spark = batch.sparkSession
+    table = VersionedTable(spark, index_root)
+    if table.latest_version() is None:
+        table.commit(md5_cell_assignments(corpus, 1, n_cells, dim))
+    idx = table.snapshot()
+
+    served = batch
+    if serve_ids is not None:
+        served = batch.join(F.broadcast(serve_ids), "vec_id", "left_semi")
+    q_cells = md5_cell_assignments(served, nprobe, n_cells, dim)
+    # candidate ids are output-sized; materializing them severs the plan
+    # from the index files so callers may retire old index versions
+    cand = ivf_candidates_against_index(idx, q_cells).localCheckpoint()
+
+    # merge the full batch in BEFORE serving completes — the commit is
+    # append-only and the served candidates came from the pre-merge
+    # snapshot, so results are unaffected
+    table.commit(md5_cell_assignments(batch, 1, n_cells, dim), mode="append")
+
+    def emb_side(src: DataFrame, idn: str) -> DataFrame:
+        e = F.col("embedding").cast("array<double>")
+        return src.select(
+            F.col("vec_id").alias(idn),
+            e.alias(f"{idn}_vec"),
+            l2_norm(e).alias(f"{idn}_norm"),
+        )
+
+    # rerank reads embeddings ONLY for ids present in cand (the join
+    # prunes; broadcast at real scale) — a lookup, not a recompute
+    sims = (
+        cand.join(
+            emb_side(lookup if lookup is not None else corpus, "neighbor_id"),
+            "neighbor_id",
+        )
+        .join(F.broadcast(emb_side(served, "query_id")), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("query_id_vec"), F.col("neighbor_id_vec"))
+                / (F.col("query_id_norm") * F.col("neighbor_id_norm"))
+            ).alias("sim_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("sim_raw", 4).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
+_ANN_INCREMENTAL_ORACLE = """
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT c,
+               list_transform(range(1, 65), d ->
+                   (CAST(concat('0x', substr(md5(
+                        'iv:' || CAST(c AS VARCHAR) || ':'
+                               || CAST(d - 1 AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 2001 - 1000) / 1000.0) AS w
+        FROM unnest(range(4)) AS t(c)
+    ),
+    ranked AS (
+        SELECT v.vec_id, cents.c AS cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY list_dot_product(v.emb, cents.w) DESC, cents.c
+               ) AS rn
+        FROM v, cents
+    ),
+    vc AS (
+        SELECT r.vec_id, r.cell, v.emb,
+               sqrt(list_dot_product(v.emb, v.emb)) AS nrm
+        FROM ranked r JOIN v ON v.vec_id = r.vec_id
+        WHERE r.rn = 1 AND r.vec_id % 7 <> 0
+    ),
+    qc AS (
+        SELECT r.vec_id, r.cell, v.emb,
+               sqrt(list_dot_product(v.emb, v.emb)) AS nrm
+        FROM ranked r JOIN v ON v.vec_id = r.vec_id
+        WHERE r.rn <= 2 AND r.vec_id % 7 = 0 AND r.vec_id < 70
+    ),
+    sim AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS sim_raw
+        FROM qc q
+        JOIN vc c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, round(sim_raw, 4) AS cosine_sim, rank
+    FROM (
+        SELECT *,
+            CAST(ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY sim_raw DESC, neighbor_id
+            ) AS INTEGER) AS rank
+        FROM sim
+    )
+    WHERE rank <= 3
+    """
+
+
+@query("ann_incremental", oracle=_ANN_INCREMENTAL_ORACLE)
+def ann_incremental_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN under the value-hash gate: the standing corpus
+    (vec_id % 7 <> 0) is cell-assigned once into a persisted
+    VersionedTable IVF index; the new batch (vec_id % 7 = 0) probes the
+    INDEX SCAN with nprobe=2, exact-cosine reranks the candidates
+    (corpus embeddings read only for candidate ids), and the batch
+    merges into the index (append commit). Served queries are the
+    vec_id < 70 slice of the batch; the whole batch still merges. The
+    oracle recomputes the same md5-centroid assignments for both roles —
+    the index round-trip is exact, so the persisted path and the
+    recompute agree bit-for-bit (same determinism argument as
+    ``dedup_incremental``)."""
+    import shutil
+    import tempfile
+
+    emb = load(spark, "embeddings", sf_dir)
+    corpus = emb.filter(F.col("vec_id") % 7 != 0)
+    batch = emb.filter(F.col("vec_id") % 7 == 0)
+    serve = batch.filter(F.col("vec_id") < 70).select("vec_id")
+    work = tempfile.mkdtemp(prefix="ann_incremental_")
+    try:
+        out = incremental_ivf_topk(corpus, batch, work, serve_ids=serve)
+        # candidates are checkpointed inside the operator; the returned
+        # plan reads only the embeddings table and in-memory blocks
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

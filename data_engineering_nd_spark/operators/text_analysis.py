@@ -1272,8 +1272,10 @@ BPE_MERGES: list[tuple[str, str]] = [
 
 
 #: separator inside pair keys — pairs compare as (left, right) SYMBOL
-#: tuples, never concatenations: ("a","bc") and ("ab","c") must differ
-_BPE_SEP = "\x00"
+#: tuples, never concatenations: ("a","bc") and ("ab","c") must differ.
+#: Tab is collision-safe (symbols come from whitespace-split tokens) and
+#: keeps plan dumps (PLANS.md) plain text, unlike a NUL byte
+_BPE_SEP = "\t"
 #: above this merge-table size the literal-expression strategy would bloat
 #: the plan; fall back to per-round broadcast joins
 _BPE_LITERAL_MAX = 256

@@ -191,6 +191,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "tbl_skipping_report",
         "graph_shortest_paths",
         "text_bpe_encode",
+        "ann_incremental",
     ], 8),
 }
 

@@ -570,3 +570,33 @@ def test_event_sequences_single_hash_agg_no_window(spark):
     plan = physical_plan(df)
     assert "Window" not in plan, plan
     assert count_exchanges(df) == 1
+
+
+def test_incremental_ann_index_side_is_scan_not_recompute(spark, tmp_path):
+    """The incremental-ANN contract (VERDICT r07 #3): the corpus side of
+    the candidate join is a parquet scan of the PERSISTED (vec_id, cell)
+    IVF index — the plan must contain the index file scan and ZERO cell
+    recomputation (no md5 centroids, no dot-product aggregate, no Window
+    above the index side: batch cells are materialized before the join)."""
+    from data_engineering_nd_spark.operators.similarity import (
+        ivf_candidates_against_index,
+        md5_cell_assignments,
+    )
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    emb = load(spark, "embeddings", SF_DIR)
+    corpus = emb.filter(F.col("vec_id") % 7 != 0)
+    batch = emb.filter(F.col("vec_id") % 7 == 0)
+
+    root = str(tmp_path / "ivf_index")
+    table = VersionedTable(spark, root)
+    table.commit(md5_cell_assignments(corpus, 1))
+    q_cells = md5_cell_assignments(batch, 2).localCheckpoint()
+
+    cand = ivf_candidates_against_index(table.snapshot(), q_cells)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet [vec_id#" in plan, plan
+    assert "md5" not in plan, plan  # ...and nobody re-derives centroids
+    assert "aggregate(" not in plan, plan  # no dot products either
+    assert "Window" not in plan, plan  # no re-ranking of cell assignments
+    assert "embeddings" not in plan, plan

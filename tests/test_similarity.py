@@ -442,3 +442,45 @@ def test_pq_codes_and_adc_geometry(spark):
     out = pq_adc_topk_md5(df, df.filter("vec_id = 100"), k=5).collect()
     assert [(r.query_id, r.neighbor_id, r.rank) for r in out] == [(100, 200, 1)]
     assert out[0].approx_d2 > 0
+
+
+def test_incremental_ivf_merges_batches_into_index(spark, tmp_path):
+    """Two-day incremental flow: day-1 batch is served against the
+    bootstrap corpus index and merged in; day-2 batch must then see
+    day-1's vectors as candidates THROUGH THE INDEX (no corpus
+    re-assignment), and its results must equal a from-scratch run whose
+    corpus is corpus+day1."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_nd_spark.catalog import load
+    from data_engineering_nd_spark.operators.similarity import (
+        incremental_ivf_topk,
+    )
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    emb = load(spark, "embeddings", "/root/testdata/sf0.001")
+    corpus = emb.filter(F.col("vec_id") % 7 > 1)
+    day1 = emb.filter(F.col("vec_id") % 7 == 0)
+    day2 = emb.filter(F.col("vec_id") % 7 == 1)
+
+    root = str(tmp_path / "ivf")
+    r1 = incremental_ivf_topk(corpus, day1, root).collect()
+    assert r1 and all(r.rank <= 3 for r in r1)
+    # index now holds corpus + day1
+    table = VersionedTable(spark, root)
+    assert table.latest_version() == 1
+
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in incremental_ivf_topk(corpus, day2, root, lookup=emb).collect()
+    }
+    want = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in incremental_ivf_topk(
+            corpus.unionByName(day1), day2, str(tmp_path / "scratch")
+        ).collect()
+    }
+    assert got == want
+    # day-1 vectors are reachable as neighbors through the merged index
+    day1_ids = {r.vec_id for r in day1.select("vec_id").collect()}
+    assert day1_ids & set(got.values())

@@ -96,6 +96,7 @@ HEADLINERS = [
     "q80_bloom_join_prune",
     "graph_shortest_paths",
     "text_bpe_encode",
+    "ann_incremental",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"
