@@ -389,3 +389,34 @@ def test_partitioned_write_tolerates_map_columns(spark, tmp_path):
     res = io.write(df, out, partition_keys=("p",), files_per_partition=2)
     assert res.rows == 100
     assert io.read(spark, out).count() == 100
+
+
+def test_overwrite_partitions_respects_files_per_partition(spark, tmp_path):
+    """The daily-backfill path exposes the same fan-out knob as write()
+    (ADVICE r07): a backfill with files_per_partition=1 lands exactly one
+    data file in the touched partition, regardless of input parallelism."""
+    import os
+
+    from data_engineering_nd_spark.io import overwrite_partitions, write
+
+    path = str(tmp_path / "days_fan")
+    base = spark.createDataFrame(
+        [(i, f"d{i % 2}") for i in range(200)], "v long, day string"
+    )
+    write(base, path, partition_keys=("day",))
+
+    fix = spark.createDataFrame(
+        [(1000 + i, "d1") for i in range(200)], "v long, day string"
+    ).repartition(16)
+    res = overwrite_partitions(fix, path, ("day",), files_per_partition=1)
+    assert res.rows == 200
+    files = [
+        f
+        for f in os.listdir(os.path.join(path, "day=d1"))
+        if f.endswith(".parquet")
+    ]
+    assert len(files) == 1, files
+    got = sorted(
+        r.v for r in spark.read.parquet(path).filter("day = 'd1'").collect()
+    )
+    assert got == list(range(1000, 1200))
