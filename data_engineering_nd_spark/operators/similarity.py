@@ -2065,3 +2065,262 @@ def ann_incremental_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# IVF+PQ (Jégou et al. 2011, §IV "IVFADC"; the FAISS IndexIVFPQ shape):
+# coarse quantizer partitions the corpus into cells, PQ encodes each
+# vector's RESIDUAL against its cell centroid, and a query ADC-scores
+# candidates from ONLY its nprobe probed cells with a per-(query, cell)
+# lookup table. This composes the two halves already verified separately
+# — IVF probing (ann_ivf_kmeans_verified) and PQ/ADC scoring
+# (ann_pq_verified) — into the index that actually serves billion-vector
+# corpora in production.
+# ---------------------------------------------------------------------------
+
+
+def _ivf_centroids(spark: SparkSession, n_cells: int = 4, dim: int = 64):
+    """The fixed md5 centroid table shared with :func:`md5_cell_assignments`
+    (same ``iv:{c}`` tag family)."""
+    return F.broadcast(
+        spark.createDataFrame(
+            [(c, _md5_const_vector(f"iv:{c}", dim)) for c in range(n_cells)],
+            "cell int, cw array<double>",
+        )
+    )
+
+
+def _residual_subspaces(
+    assigned: DataFrame, cents, idn: str
+) -> DataFrame:
+    """(id, cell, s, sub): the PQ subspaces of each vector's residual
+    against its assigned (or probed) cell centroid. Residual = elementwise
+    subtract, then slice — both exact double ops, identical either way."""
+    res = F.zip_with(
+        F.col("__v"), F.col("cw"), lambda x, y: x - y
+    )
+    return (
+        assigned.join(cents, "cell")
+        .select(
+            F.col(assigned.columns[0]).alias(idn),
+            "cell",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.slice(res, s * _PQ_SUB + 1, _PQ_SUB)
+                        for s in range(_PQ_M)
+                    ]
+                )
+            ).alias("s", "sub"),
+        )
+    )
+
+
+def ivf_pq_adc_topk_md5(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 4,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ search with residual encoding and ADC, md5-fixed coarse
+    centroids AND codebook so every stage is SQL-mirrorable.
+
+    Build side: one coarse assignment pass (argmax-dot vs the broadcast
+    ``n_cells``-row centroid table), residual vs the assigned centroid,
+    PQ argmin per subspace → the index is (id, cell, s, c): m 4-bit codes
+    plus a cell id per vector — the float corpus is never read at query
+    time.
+
+    Query side: each query probes its ``nprobe`` best cells and builds a
+    LUT PER PROBED CELL (exact subspace distances of the query's
+    *cell-specific residual* to every codeword — the residual trick is
+    why IVFADC needs per-cell LUTs). LUT entries are floor-half-up
+    e6-scaled BIGINTs; a candidate's distance is an EXACT integer sum of
+    its m entries, so aggregation order cannot perturb ranking.
+
+    Scale: the ADC join keys on (cell, s, c) — with the persisted index
+    partitioned by cell, only the probed cells' code partitions are
+    scanned (the same pruning `tbl_skipping_report` proves on stats); the
+    LUT side is |queries| x nprobe x m x k rows, broadcast. Candidates
+    meet a query at most once (one cell per corpus vector, distinct
+    probed cells per query), so no pre-rank dedup is needed."""
+    spark = vectors.sparkSession
+    cents = _ivf_centroids(spark, n_cells)
+    cb = _pq_codebook(spark)
+
+    def with_vec(df: DataFrame, idn: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(idn),
+            F.col("embedding").cast("array<double>").alias("__v"),
+        )
+
+    v = with_vec(vectors, "neighbor_id")
+    v_cells = v.join(
+        md5_cell_assignments(vectors, 1, n_cells, id_col=id_col).select(
+            F.col(id_col).alias("neighbor_id"), "cell"
+        ),
+        "neighbor_id",
+    ).select("neighbor_id", "__v", "cell")
+    codes = (
+        _residual_subspaces(v_cells, cents, "neighbor_id")
+        .join(cb, "s")
+        .select(
+            "neighbor_id",
+            "cell",
+            "s",
+            "c",
+            _sub_d2(F.col("sub"), F.col("w")).alias("d2"),
+        )
+    )
+    w_code = Window.partitionBy("neighbor_id", "s").orderBy("d2", "c")
+    index = (
+        codes.withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("neighbor_id", "cell", "s", "c")
+    )
+
+    q = with_vec(queries, "query_id")
+    q_cells = q.join(
+        md5_cell_assignments(queries, nprobe, n_cells, id_col=id_col).select(
+            F.col(id_col).alias("query_id"), "cell"
+        ),
+        "query_id",
+    ).select("query_id", "__v", "cell")
+    lut = (
+        _residual_subspaces(q_cells, cents, "query_id")
+        .join(cb, "s")
+        .select(
+            "query_id",
+            "cell",
+            "s",
+            "c",
+            F.floor(_sub_d2(F.col("sub"), F.col("w")) * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("lut_e6"),
+        )
+    )
+    approx = (
+        index.join(F.broadcast(lut), ["cell", "s", "c"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("lut_e6").cast("bigint").alias("e6"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy("e6", "neighbor_id")
+    return (
+        approx.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("e6").cast("double") / F.lit(1e6)).alias("approx_d2"),
+            "rank",
+        )
+    )
+
+
+def _ivf_pq_oracle() -> str:
+    sub = _PQ_SUB
+    return f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    cents AS (
+        SELECT cell,
+               list_transform(range(1, 65), d ->
+                   (CAST(concat('0x', substr(md5(
+                        'iv:' || CAST(cell AS VARCHAR) || ':'
+                               || CAST(d - 1 AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 2001 - 1000) / 1000.0) AS cw
+        FROM unnest(range(4)) AS t(cell)
+    ),
+    cb AS (
+        SELECT s, c,
+               list_transform(range(1, {sub + 1}), d ->
+                   (CAST(concat('0x', substr(md5(
+                        'pq:' || CAST(s AS VARCHAR) || ':' || CAST(c AS VARCHAR)
+                              || ':' || CAST(d - 1 AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 2001 - 1000) / 1000.0) AS w
+        FROM unnest(range({_PQ_M})) AS ts(s), unnest(range({_PQ_K})) AS tc(c)
+    ),
+    assigned AS (
+        SELECT vec_id, cell, rn FROM (
+            SELECT v.vec_id, cents.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_dot_product(v.emb, cents.cw) DESC,
+                                cents.cell) AS rn
+            FROM v, cents
+        )
+    ),
+    v_subs AS (
+        SELECT a.vec_id AS neighbor_id, a.cell, t.s,
+               list_transform(range(1, {sub + 1}), i ->
+                   v.emb[s * {sub} + i] - cents.cw[s * {sub} + i]) AS sub
+        FROM assigned a
+        JOIN v ON v.vec_id = a.vec_id
+        JOIN cents ON cents.cell = a.cell,
+        unnest(range({_PQ_M})) AS t(s)
+        WHERE a.rn = 1
+    ),
+    codes AS (
+        SELECT neighbor_id, cell, s, c FROM (
+            SELECT v_subs.neighbor_id, v_subs.cell, v_subs.s, cb.c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v_subs.neighbor_id, v_subs.s
+                       ORDER BY list_dot_product(
+                           list_transform(range(1, {sub + 1}), i -> sub[i] - w[i]),
+                           list_transform(range(1, {sub + 1}), i -> sub[i] - w[i])
+                       ), cb.c) AS rn
+            FROM v_subs JOIN cb USING (s)
+        ) WHERE rn = 1
+    ),
+    q_subs AS (
+        SELECT a.vec_id AS query_id, a.cell, t.s,
+               list_transform(range(1, {sub + 1}), i ->
+                   v.emb[s * {sub} + i] - cents.cw[s * {sub} + i]) AS sub
+        FROM assigned a
+        JOIN v ON v.vec_id = a.vec_id
+        JOIN cents ON cents.cell = a.cell,
+        unnest(range({_PQ_M})) AS t(s)
+        WHERE a.rn <= 2 AND a.vec_id < 10
+    ),
+    lut AS (
+        SELECT query_id, cell, s, c,
+               CAST(floor(list_dot_product(
+                   list_transform(range(1, {sub + 1}), i -> sub[i] - w[i]),
+                   list_transform(range(1, {sub + 1}), i -> sub[i] - w[i])
+               ) * 1000000.0 + 0.5) AS BIGINT) AS lut_e6
+        FROM q_subs JOIN cb USING (s)
+    ),
+    approx AS (
+        SELECT lut.query_id, codes.neighbor_id,
+               CAST(SUM(lut_e6) AS BIGINT) AS e6
+        FROM codes JOIN lut USING (cell, s, c)
+        WHERE lut.query_id <> codes.neighbor_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id,
+           CAST(e6 AS DOUBLE) / 1000000.0 AS approx_d2,
+           CAST(rn AS INT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY e6, neighbor_id) AS rn
+        FROM approx
+    ) WHERE rn <= 5
+    """
+
+
+@query("ann_ivf_pq_verified", oracle=_ivf_pq_oracle())
+def ann_ivf_pq_verified_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC under the value-hash contract: md5 coarse centroids (4
+    cells), residual PQ (4x16 sub-codes), per-(query, probed-cell) LUTs,
+    nprobe=2, exact e6-integer ADC, per-query top-5 for the 10 fixed
+    queries. A production deployment trains both quantizers with k-means
+    (`train_codebook` for the coarse, per-subspace for the PQ) and keeps
+    this exact assign/encode/LUT/ADC dataflow over a cell-partitioned
+    persisted index (`incremental_ivf_topk` holds the serve/merge
+    half)."""
+    emb = load(spark, "embeddings", sf_dir)
+    return ivf_pq_adc_topk_md5(emb, emb.filter(F.col("vec_id") < 10), k=5)

@@ -192,6 +192,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "graph_shortest_paths",
         "text_bpe_encode",
         "ann_incremental",
+        "ann_ivf_pq_verified",
     ], 8),
 }
 

@@ -484,3 +484,37 @@ def test_incremental_ivf_merges_batches_into_index(spark, tmp_path):
     # day-1 vectors are reachable as neighbors through the merged index
     day1_ids = {r.vec_id for r in day1.select("vec_id").collect()}
     assert day1_ids & set(got.values())
+
+
+def test_ivf_pq_residual_codes_and_adc(spark):
+    """IVFADC geometry on crafted vectors: v = (cell-2 centroid) +
+    (codeword concat) assigns to cell 2 and its RESIDUAL encodes to
+    exactly those codewords; ADC distance between two such vectors is the
+    true codeword-to-codeword distance, so ranking is exact."""
+    from data_engineering_nd_spark.operators.similarity import (
+        _md5_const_vector,
+        _PQ_M,
+        _PQ_SUB,
+        ivf_pq_adc_topk_md5,
+        md5_cell_assignments,
+    )
+
+    cw2 = _md5_const_vector("iv:2", 64)
+    words3 = [x for s in range(_PQ_M) for x in _md5_const_vector(f"pq:{s}:3", _PQ_SUB)]
+    words7 = [x for s in range(_PQ_M) for x in _md5_const_vector(f"pq:{s}:7", _PQ_SUB)]
+    va = [a + b for a, b in zip(cw2, words3)]
+    vb = [a + b for a, b in zip(cw2, words7)]
+    df = spark.createDataFrame(
+        [(100, va), (200, vb)], "vec_id long, embedding array<double>"
+    )
+    # both crafted vectors must coarse-assign to cell 2 (centroid energy
+    # dominates the codeword perturbation for the fixed md5 values)
+    cells = {r.vec_id: r.cell for r in md5_cell_assignments(df, 1).collect()}
+    assert cells == {100: 2, 200: 2}
+
+    out = ivf_pq_adc_topk_md5(df, df.filter("vec_id = 100"), k=5).collect()
+    assert [(r.query_id, r.neighbor_id, r.rank) for r in out] == [(100, 200, 1)]
+    # residual(va) == words3 exactly, residual(vb) == words7 exactly, so
+    # the ADC estimate equals the true codeword-to-codeword distance
+    true_d2 = sum((x - y) ** 2 for x, y in zip(words3, words7))
+    assert abs(out[0].approx_d2 - true_d2) < 1e-4

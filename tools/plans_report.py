@@ -216,6 +216,12 @@ EXPECTED_FLAGS = {
         "1-row pruning-stats aggregate into the report row; the probe "
         "itself is a scan-side Filter feeding a broadcast hash join"
     ),
+    "ann_ivf_pq_verified": (
+        "the cross joins' build sides are the 4-row centroid table and "
+        "the 64-row PQ codebook (broadcast) — bounded by codebook sizes, "
+        "never by data; the ADC probe joins codes against the broadcast "
+        "per-(query, probed-cell) LUT"
+    ),
     "dedup_lsh_recall": (
         "the cross join IS the exact all-pairs ground truth of the "
         "evaluation — run on the bounded doc_id<200 slice by design; the "
