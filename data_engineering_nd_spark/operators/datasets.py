@@ -2428,6 +2428,234 @@ def tbl_skipping_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Z-order clustering: multi-dimensional data skipping (Delta Z-ORDER /
+# Iceberg sort-order analog). tbl_skipping_report proved single-column
+# range pruning; this proves the MULTI-dimensional claim — a Morton
+# (bit-interleaved) layout prunes on EITHER dimension, where the linear
+# layout prunes on its sort key only.
+# ---------------------------------------------------------------------------
+
+_ZORDER_ORACLE = """
+    WITH params AS (
+        SELECT ((MAX(o_orderkey) + 16) // 16) AS wa,
+               ((MAX(o_custkey) + 16) // 16) AS wb
+        FROM orders
+    ),
+    keyed AS (
+        SELECT o.o_orderkey, o.o_custkey,
+               o.o_orderkey // p.wa AS ba,
+               o.o_custkey // p.wb AS bb
+        FROM orders o CROSS JOIN params p
+    ),
+    z AS (
+        SELECT *,
+               (((ba // 1) % 2) * 2   + ((bb // 1) % 2) * 1
+              + ((ba // 2) % 2) * 8   + ((bb // 2) % 2) * 4
+              + ((ba // 4) % 2) * 32  + ((bb // 4) % 2) * 16
+              + ((ba // 8) % 2) * 128 + ((bb // 8) % 2) * 64) // 16 AS zf
+        FROM keyed
+    ),
+    bounds AS (
+        SELECT 8 * wa AS alo, 9 * wa + wa // 2 AS ahi,
+               4 * wb AS blo, 5 * wb + wb // 2 AS bhi
+        FROM params
+    ),
+    zstats AS (
+        SELECT zf, MIN(o_orderkey) AS mna, MAX(o_orderkey) AS mxa,
+               MIN(o_custkey) AS mnb, MAX(o_custkey) AS mxb,
+               COUNT(*) AS nrows
+        FROM z GROUP BY zf
+    ),
+    linstats AS (
+        SELECT ba, MIN(o_orderkey) AS mna, MAX(o_orderkey) AS mxa,
+               MIN(o_custkey) AS mnb, MAX(o_custkey) AS mxb,
+               COUNT(*) AS nrows
+        FROM z GROUP BY ba
+    ),
+    zmark AS (
+        SELECT s.*,
+               CASE WHEN s.mxb < b.blo OR s.mnb > b.bhi THEN 0 ELSE 1 END
+                   AS kept_b,
+               CASE WHEN s.mxa < b.alo OR s.mna > b.ahi THEN 0 ELSE 1 END
+                   AS kept_a
+        FROM zstats s CROSS JOIN bounds b
+    ),
+    linmark AS (
+        SELECT s.*,
+               CASE WHEN s.mxb < b.blo OR s.mnb > b.bhi THEN 0 ELSE 1 END
+                   AS kept_b,
+               CASE WHEN s.mxa < b.alo OR s.mna > b.ahi THEN 0 ELSE 1 END
+                   AS kept_a
+        FROM linstats s CROSS JOIN bounds b
+    ),
+    matched AS (
+        SELECT k.o_orderkey
+        FROM keyed k CROSS JOIN bounds b
+        WHERE k.o_custkey BETWEEN b.blo AND b.bhi
+    )
+    SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM zmark) AS z_files_total,
+        (SELECT CAST(SUM(kept_b) AS BIGINT) FROM zmark)
+            AS z_files_kept_custkey,
+        (SELECT CAST(SUM(nrows * kept_b) AS BIGINT) FROM zmark)
+            AS z_rows_scanned_custkey,
+        (SELECT CAST(SUM(kept_a) AS BIGINT) FROM zmark)
+            AS z_files_kept_orderkey,
+        (SELECT CAST(SUM(nrows * kept_a) AS BIGINT) FROM zmark)
+            AS z_rows_scanned_orderkey,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM linmark) AS lin_files_total,
+        (SELECT CAST(SUM(kept_b) AS BIGINT) FROM linmark)
+            AS lin_files_kept_custkey,
+        (SELECT CAST(SUM(nrows * kept_b) AS BIGINT) FROM linmark)
+            AS lin_rows_scanned_custkey,
+        (SELECT CAST(SUM(kept_a) AS BIGINT) FROM linmark)
+            AS lin_files_kept_orderkey,
+        CAST(COUNT(*) AS BIGINT) AS n_result,
+        CAST(SUM(CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                          1, 10)) AS BIGINT)) AS BIGINT)
+            AS result_checksum,
+        CAST(SUM(CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                          1, 10)) AS BIGINT)) AS BIGINT)
+            AS unpruned_checksum
+    FROM matched
+"""
+
+
+@query("tbl_zorder_report", oracle=_ZORDER_ORACLE)
+def tbl_zorder_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs linear layout, both prunings REAL where it matters:
+    orders is bucketed 16x16 on (o_orderkey, o_custkey) with exact
+    integer arithmetic (width = ceil((max+1)/16) — sampled
+    repartitionByRange boundaries are not oracle-reproducible), Morton
+    keys interleave the bucket bits, and the table is committed as one
+    file per 16-z-value block — so every file holds a quarter x quarter
+    RECTANGLE of the 2D key domain. The report then prunes the SAME
+    committed table through the manifest stats for a custkey-range AND an
+    orderkey-range predicate (both ~4/16 files kept), states the linear
+    layout's numbers from the identical arithmetic (file = orderkey
+    bucket: perfect on orderkey, useless on custkey — every file kept),
+    and value-hashes the pruned custkey scan against the unpruned filter.
+
+    A wrong prune breaks the hash: the oracle recomputes per-file min/max
+    from the bucket arithmetic, so a file the stats exclude that Spark
+    kept (or vice versa) diverges in files_kept/rows_scanned, and a
+    dropped matching row diverges in result_checksum.
+
+    The production write path is ``io.write_zordered`` (scaled 12-bit
+    Morton keys, one range shuffle); this gate pins the pruning
+    semantics that layout buys. Cf. DuckDB/Delta OPTIMIZE ZORDER BY and
+    the Iceberg sort-order spec."""
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    orders = load(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    mx = orders.agg(
+        F.max("o_orderkey").alias("ma"), F.max("o_custkey").alias("mb")
+    ).collect()[0]
+    wa, wb = (int(mx.ma) + 16) // 16, (int(mx.mb) + 16) // 16
+    alo, ahi = 8 * wa, 9 * wa + wa // 2
+    blo, bhi = 4 * wb, 5 * wb + wb // 2
+
+    ba = F.expr(f"o_orderkey div {wa}")
+    bb = F.expr(f"o_custkey div {wb}")
+    zval = F.lit(0).cast("long")
+    for i in range(4):
+        zval = zval + (
+            F.shiftleft(F.shiftright(ba, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            + F.shiftleft(F.shiftright(bb, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    keyed = orders.withColumn("zval", zval).withColumn(
+        "zf", F.expr("zval div 16")
+    )
+
+    work = tempfile.mkdtemp(prefix="tbl_zorder_")
+    try:
+        table = VersionedTable(spark, work)
+        # one scan: the keyed frame feeds the zf inventory and all 16
+        # block writes (file boundaries ARE the semantics, so each block
+        # is its own append commit — Spark 4 collapses a
+        # union-of-repartition(1) into ONE partition even with AQE off,
+        # so a single-commit union cannot pin the layout; a production
+        # writer gets it from one range shuffle on the Morton key,
+        # io.write_zordered)
+        keyed = keyed.localCheckpoint()
+        zfs = sorted(
+            r.zf for r in keyed.select("zf").distinct().collect()
+        )
+        for n, f in enumerate(zfs):
+            chunk = keyed.filter(F.col("zf") == f).drop("zval", "zf").repartition(1)
+            table.commit(chunk, mode="overwrite" if n == 0 else "append")
+
+        _, _, mb_ = table.prune_files("o_custkey", blo, bhi)
+        _, _, ma_ = table.prune_files("o_orderkey", alo, ahi)
+
+        # linear layout (file = orderkey bucket) stated from the same
+        # arithmetic the oracle replays — its single-key half is already
+        # REAL-committed in tbl_skipping_report
+        lin = (
+            keyed.groupBy(ba.alias("lf"))
+            .agg(
+                F.min("o_orderkey").alias("mna"),
+                F.max("o_orderkey").alias("mxa"),
+                F.min("o_custkey").alias("mnb"),
+                F.max("o_custkey").alias("mxb"),
+                F.count(F.lit(1)).alias("nrows"),
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("lin_files_total"),
+                F.sum(
+                    F.when(
+                        (F.col("mxb") < blo) | (F.col("mnb") > bhi), 0
+                    ).otherwise(1)
+                ).cast("bigint").alias("lin_files_kept_custkey"),
+                F.sum(
+                    F.when(
+                        (F.col("mxb") < blo) | (F.col("mnb") > bhi), 0
+                    ).otherwise(F.col("nrows"))
+                ).cast("bigint").alias("lin_rows_scanned_custkey"),
+                F.sum(
+                    F.when(
+                        (F.col("mxa") < alo) | (F.col("mna") > ahi), 0
+                    ).otherwise(1)
+                ).cast("bigint").alias("lin_files_kept_orderkey"),
+            )
+        )
+        key_digest = md5_prefix_long(F.col("o_orderkey").cast("string"))
+        pruned_agg = table.scan("o_custkey", blo, bhi).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_result"),
+            F.sum(key_digest).cast("bigint").alias("result_checksum"),
+        )
+        unpruned_agg = (
+            table.snapshot()
+            .filter(F.col("o_custkey").between(blo, bhi))
+            .agg(F.sum(key_digest).cast("bigint").alias("unpruned_checksum"))
+        )
+        out = lin.crossJoin(pruned_agg).crossJoin(unpruned_agg).select(
+            F.lit(mb_["files_total"]).cast("bigint").alias("z_files_total"),
+            F.lit(mb_["files_kept"]).cast("bigint").alias("z_files_kept_custkey"),
+            F.lit(mb_["rows_scanned"]).cast("bigint")
+            .alias("z_rows_scanned_custkey"),
+            F.lit(ma_["files_kept"]).cast("bigint").alias("z_files_kept_orderkey"),
+            F.lit(ma_["rows_scanned"]).cast("bigint")
+            .alias("z_rows_scanned_orderkey"),
+            "lin_files_total",
+            "lin_files_kept_custkey",
+            "lin_rows_scanned_custkey",
+            "lin_files_kept_orderkey",
+            "n_result",
+            "result_checksum",
+            "unpruned_checksum",
+        )
+        # output-sized (1 row); materialize so the scratch table can go
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # Per-user event sequences: the behavior-sequence training input
 # ---------------------------------------------------------------------------
 

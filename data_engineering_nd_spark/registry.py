@@ -193,6 +193,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "text_bpe_encode",
         "ann_incremental",
         "ann_ivf_pq_verified",
+        "tbl_zorder_report",
     ], 8),
 }
 

@@ -308,3 +308,24 @@ def test_merge_and_optimize_carry_stats_for_untouched_files(spark, table):
     # still spans [100, 119]
     _, pruned, _ = table.prune_files("k", 0, 50)
     assert len(pruned) == len(m1["files"]) - 1
+
+
+def test_zorder_report_rectangles_prune_both_dims(spark):
+    """The gated z-order report at sf0.001: every committed file is a
+    quarter x quarter rectangle of the (orderkey, custkey) bucket domain,
+    so a single-dimension range predicate prunes files on EITHER
+    dimension, while the linear (orderkey-chunked) layout keeps every
+    file for the custkey predicate; the pruned scan is lossless."""
+    from data_engineering_nd_spark.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    r = QUERIES["tbl_zorder_report"](spark, "/root/testdata/sf0.001").collect()[0]
+    # z-layout prunes on both dimensions...
+    assert r.z_files_kept_custkey < r.z_files_total
+    assert r.z_files_kept_orderkey < r.z_files_total
+    # ...the linear layout only on its sort key
+    assert r.lin_files_kept_custkey == r.lin_files_total
+    assert r.lin_files_kept_orderkey < r.lin_files_total
+    # skipping never drops a matching row
+    assert r.result_checksum == r.unpruned_checksum
+    assert r.z_rows_scanned_custkey >= r.n_result
