@@ -3143,3 +3143,140 @@ def q78_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("max_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q81: grouped HLL + the register-merge law — the property that makes the
+# sketch a warehouse primitive: yesterday's registers max-merge with
+# today's, per group, with no re-scan of history.
+# --------------------------------------------------------------------------
+
+@query(
+    "q81_hll_grouped_merge",
+    oracle=f"""
+    WITH slots AS (
+        SELECT o_orderpriority AS grp,
+               o_orderkey % 2 AS half,
+               o_custkey,
+               CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+                    AS BIGINT) >> {_HLL_TAIL_BITS} AS idx,
+               CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+                    AS BIGINT) & {(1 << _HLL_TAIL_BITS) - 1} AS tail
+        FROM orders
+    ),
+    rho AS (
+        SELECT grp, half, idx,
+               CASE WHEN tail = 0 THEN {_HLL_TAIL_BITS + 1}
+                    ELSE {_HLL_TAIL_BITS + 1} - length(bin(tail)) END AS r
+        FROM slots
+    ),
+    half_regs AS (
+        SELECT grp, half, idx, MAX(r) AS m_j FROM rho GROUP BY 1, 2, 3
+    ),
+    merged AS (
+        SELECT grp, idx, MAX(m_j) AS m_j FROM half_regs GROUP BY 1, 2
+    ),
+    direct AS (
+        SELECT grp, idx, MAX(r) AS m_j FROM rho GROUP BY 1, 2
+    ),
+    msum AS (
+        SELECT grp,
+               CAST(SUM(CAST(power(2, {_HLL_TAIL_BITS + 1} - m_j) AS BIGINT))
+                    AS BIGINT) AS s_present,
+               COUNT(*) AS n_present
+        FROM merged GROUP BY grp
+    ),
+    dsum AS (
+        SELECT grp,
+               CAST(SUM(CAST(power(2, {_HLL_TAIL_BITS + 1} - m_j) AS BIGINT))
+                    AS BIGINT) AS s_present,
+               COUNT(*) AS n_present
+        FROM direct GROUP BY grp
+    ),
+    exact AS (
+        SELECT grp, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact
+        FROM slots GROUP BY grp
+    )
+    SELECT e.grp,
+           e.n_exact,
+           CAST(d.s_present + ({_HLL_M} - d.n_present)
+                * {1 << (_HLL_TAIL_BITS + 1)} AS BIGINT) AS register_sum,
+           CAST(m.s_present + ({_HLL_M} - m.n_present)
+                * {1 << (_HLL_TAIL_BITS + 1)} AS BIGINT) AS register_sum_merged,
+           floor((({_HLL_ALPHA} * {_HLL_M * _HLL_M})
+                  * {float(1 << (_HLL_TAIL_BITS + 1))})
+                 / CAST(m.s_present + ({_HLL_M} - m.n_present)
+                        * {1 << (_HLL_TAIL_BITS + 1)} AS DOUBLE)
+                 * 10000.0 + 0.5) / 10000.0 AS hll_estimate
+    FROM exact e
+    JOIN msum m USING (grp)
+    JOIN dsum d USING (grp)
+    ORDER BY grp
+    """,
+)
+def q81_hll_grouped_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority HLL distinct-customer estimates, built TWICE: directly
+    over each group, and by max-merging the registers of two disjoint
+    halves (o_orderkey parity — the daily-partition stand-in). The merge
+    law max(max(A), max(B)) = max(A ∪ B) makes both register sums
+    identical, and the value hash pins that equality per group — the
+    property that lets 365 daily sketches roll up to a yearly distinct
+    count without re-scanning a year of data.
+
+    Same exact-BIGINT estimator arithmetic as q74 (no ln(), raw regime by
+    design at every SF); sketch memory is O(groups x m). Both register
+    builds are map-side-combinable hash-aggs; the halves never co-shuffle
+    with the direct build."""
+    tail_bits = _HLL_TAIL_BITS
+    top = tail_bits + 1
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+    from data_engineering_nd_spark.functions.numeric import round_half_up
+
+    o = load(spark, "orders", sf_dir)
+    h = md5_prefix_long(F.col("o_custkey").cast("string"), 15)
+    rho = F.when(F.col("tail") == 0, F.lit(top)).otherwise(
+        F.lit(top) - F.length(F.conv(F.col("tail").cast("string"), 10, 2))
+    )
+    slots = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        (F.col("o_orderkey") % 2).alias("half"),
+        F.col("o_custkey"),
+        F.shiftright(h, tail_bits).alias("idx"),
+        h.bitwiseAND(F.lit((1 << tail_bits) - 1)).alias("tail"),
+    ).withColumn("r", rho)
+
+    def reg_sum(regs: DataFrame, alias: str) -> DataFrame:
+        return regs.groupBy("grp").agg(
+            (
+                F.sum(F.expr(f"CAST(pow(2, {top} - m_j) AS BIGINT)"))
+                + (F.lit(_HLL_M) - F.count(F.lit(1))) * F.lit(1 << top)
+            )
+            .cast("bigint")
+            .alias(alias)
+        )
+
+    half_regs = slots.groupBy("grp", "half", "idx").agg(F.max("r").alias("m_j"))
+    merged = half_regs.groupBy("grp", "idx").agg(F.max("m_j").alias("m_j"))
+    direct = slots.groupBy("grp", "idx").agg(F.max("r").alias("m_j"))
+    msum = reg_sum(merged, "register_sum_merged")
+    dsum = reg_sum(direct, "register_sum")
+    exact = slots.groupBy("grp").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_exact")
+    )
+    return (
+        exact.join(msum, "grp")
+        .join(dsum, "grp")
+        .select(
+            "grp",
+            "n_exact",
+            "register_sum",
+            "register_sum_merged",
+            round_half_up(
+                F.lit(_HLL_ALPHA * (_HLL_M * _HLL_M))
+                * F.lit(float(1 << top))
+                / F.col("register_sum_merged").cast("double"),
+                4,
+            ).alias("hll_estimate"),
+        )
+        .orderBy("grp")
+    )

@@ -194,6 +194,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "ann_incremental",
         "ann_ivf_pq_verified",
         "tbl_zorder_report",
+        "q81_hll_grouped_merge",
     ], 8),
 }
 

@@ -254,3 +254,32 @@ def test_hll_registers_match_reference_loop(spark):
     assert got_s == s
     # estimate lands within the m=16 error envelope of the true 399
     assert abs(expected_e - 399) / 399 < 0.6
+
+
+def test_hll_grouped_merge_law(spark, tmp_path):
+    """register_sum (direct) == register_sum_merged (max-merge of two
+    disjoint halves) for every group — the sketch-merge law q81 gates —
+    and the estimate lands within the published ~26%/sqrt(m)-class error
+    on a crafted frame with a KNOWN distinct count per group."""
+    import pandas as pd
+
+    from data_engineering_nd_spark.analytics import q81_hll_grouped_merge
+
+    rows = pd.DataFrame(
+        {
+            "o_orderkey": range(1, 801),
+            "o_custkey": [((k * 7) % 200) + 1 for k in range(1, 801)],
+            "o_orderpriority": [
+                f"{1 + (k % 2)}-P" for k in range(1, 801)
+            ],
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(rows).write.parquet(str(sf / "orders.parquet"))
+    out = q81_hll_grouped_merge(spark, str(sf)).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r.register_sum == r.register_sum_merged
+        assert r.n_exact == 100  # (k*7 % 200) splits evenly by parity of k
+        assert abs(r.hll_estimate - r.n_exact) / r.n_exact < 0.8

@@ -97,6 +97,8 @@ HEADLINERS = [
     "graph_shortest_paths",
     "text_bpe_encode",
     "ann_incremental",
+    "ann_ivf_pq_verified",
+    "q81_hll_grouped_merge",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"
