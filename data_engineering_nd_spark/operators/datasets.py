@@ -270,6 +270,90 @@ def ds_domain_mix_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def weighted_priority_sample(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    weight: Column,
+    k: int,
+) -> DataFrame:
+    """Priority sampling (Duffield, Lund & Thorup, JACM 2007): per domain,
+    keep the k rows with the largest priority q_i = w_i / u_i, where u_i
+    is a fixed uniform hash of the key. Unlike the uniform quota cap
+    (:func:`domain_weighted_sample`), inclusion probability scales with
+    the weight — the scheme behind weighted-represented corpus subsampling
+    with unbiased subset-sum estimators.
+
+    Determinism: u_i is the 60-bit md5 prefix of the key (+1, never
+    zero), and the priority is the EXACT integer floor((w << 40) / u) —
+    no float division to diverge across engines; ties break on the key.
+    Weights are capped at 2^23 - 1 so the scaled numerator always fits a
+    signed 64-bit (the cap only flattens priorities among rows that are
+    each ~million-fold overweighted — inclusion is unaffected).
+
+    Scale shape: one narrow projection computes priorities in codegen,
+    then one shuffle on the domain for the per-group top-k (rank window;
+    with few hot domains, pre-aggregate per partition with a
+    groupBy(domain, salt) top-k first — the q26 pattern)."""
+    from pyspark.sql.window import Window
+
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+
+    u = md5_prefix_long(F.col(key_col).cast("string"), 15) + F.lit(1)
+    keyed = df.select(
+        domain_col,
+        key_col,
+        F.least(weight.cast("long"), F.lit((1 << 23) - 1)).alias("weight"),
+        u.alias("__u"),
+    ).withColumn("priority", F.expr("(weight * 1099511627776) div __u"))
+    w = Window.partitionBy(domain_col).orderBy(
+        F.desc("priority"), F.col(key_col)
+    )
+    return (
+        keyed.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(domain_col, "rank", key_col, "weight", "priority")
+    )
+
+
+@query(
+    "ds_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+        SELECT source, doc_id,
+               LEAST(CAST(length(coalesce(text, '')) + 1 AS BIGINT),
+                     8388607) AS weight,
+               (LEAST(CAST(length(coalesce(text, '')) + 1 AS BIGINT),
+                      8388607)
+                * 1099511627776)
+               // (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 15)) AS BIGINT) + 1)
+                   AS priority
+        FROM documents
+    )
+    SELECT source, CAST(rank AS INT) AS rank, doc_id, weight, priority
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY source ORDER BY priority DESC, doc_id) AS rank
+        FROM keyed
+    ) WHERE rank <= 5
+    """,
+)
+def ds_weighted_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted priority sample: per source, the 5 documents with
+    the largest integer DLT priority (weight = chars + 1) — long
+    documents are proportionally likelier to be drawn, the canonical
+    token-weighted corpus subsample."""
+    docs = load(spark, "documents", sf_dir)
+    return weighted_priority_sample(
+        docs,
+        "source",
+        "doc_id",
+        F.length(F.coalesce(F.col("text"), F.lit(""))) + F.lit(1),
+        k=5,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus-wide duplicated-span removal (paragraph / chunk dedup)
 # ---------------------------------------------------------------------------

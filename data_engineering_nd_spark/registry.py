@@ -195,6 +195,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "ann_ivf_pq_verified",
         "tbl_zorder_report",
         "q81_hll_grouped_merge",
+        "ds_weighted_sample",
     ], 8),
 }
 

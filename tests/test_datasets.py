@@ -509,3 +509,29 @@ def test_mixture_materialize_tracks_budget(spark):
         assert r["n_rows_materialized"] >= r["n_docs"] // 2  # nothing vanishes wholesale
         # realized mass within 20% of budget (small corpus -> coarse bound)
         assert abs(r["tokens_materialized"] - r["budget_tokens"]) < 0.2 * r["budget_tokens"] + 2000, (src, dict(zip(r.__fields__, r)))
+
+
+def test_weighted_priority_sample_favors_heavy_rows(spark):
+    """DLT priority sampling: a row whose weight dominates the domain
+    total must always be drawn (its priority w/u is bounded below by
+    w >> 40 even at the worst-case hash), and the per-domain cut keeps
+    exactly k rows with ranks 1..k."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_nd_spark.operators.datasets import (
+        weighted_priority_sample,
+    )
+
+    rows = [("web", f"d{i}", 1) for i in range(50)] + [("web", "heavy", 10**8)]
+    df = spark.createDataFrame(rows, "source string, doc_id string, w int")
+    out = weighted_priority_sample(
+        df, "source", "doc_id", F.col("w"), k=3
+    ).collect()
+    assert len(out) == 3
+    assert [r.rank for r in out] == [1, 2, 3] or sorted(r.rank for r in out) == [1, 2, 3]
+    by_rank = {r.rank: r for r in out}
+    assert by_rank[1].doc_id == "heavy"
+    # the heavy row's integer priority is astronomically above the light
+    # rows' ceiling (w * 2^40 / 1 for the best-possible light hash is
+    # ~2^40; heavy's floor is ~w >> 20)
+    assert by_rank[1].priority > by_rank[2].priority

@@ -99,6 +99,7 @@ HEADLINERS = [
     "ann_incremental",
     "ann_ivf_pq_verified",
     "q81_hll_grouped_merge",
+    "ds_weighted_sample",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"
