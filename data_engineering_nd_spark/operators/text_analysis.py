@@ -1161,7 +1161,20 @@ def bm25_topk(
     qw = words.filter(F.col("term").isin(query_terms))
     tf = qw.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     df_counts = qw.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    return _bm25_rank(tf, df_counts, lens, stats, id_col, k)
 
+
+def _bm25_rank(
+    tf: DataFrame,
+    df_counts: DataFrame,
+    lens: DataFrame,
+    stats: DataFrame,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """The BM25 scoring tail shared by the from-text path (bm25_topk) and
+    the inverted-index path (incremental_bm25_topk): identical arithmetic
+    from (tf, df, len, corpus stats) components, whatever produced them."""
     idf = F.log(
         (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
         / (F.col("df").cast("double") + F.lit(0.5))
@@ -1199,9 +1212,11 @@ def bm25_topk(
     )
 
 
-@query(
-    "text_bm25_topk",
-    oracle=f"""
+#: full-corpus BM25 for the fixed query terms — the oracle of BOTH the
+#: from-text query (text_bm25_topk) and the incremental-index query
+#: (text_incremental_bm25): the served index path must reproduce the
+#: batch recompute exactly.
+_BM25_ORACLE = f"""
     WITH w AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
     ),
@@ -1244,8 +1259,10 @@ def bm25_topk(
     FROM scored
     ORDER BY e6 DESC, doc_id
     LIMIT 10
-    """,
-)
+    """
+
+
+@query("text_bm25_topk", oracle=_BM25_ORACLE)
 def text_bm25_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 for the fixed query {scan, join, window, stream} over
     the documents corpus — tf saturation, document-length normalization,
@@ -1654,3 +1671,116 @@ def _register_bpe_encode_oracle(max_rounds: int = 6) -> None:
 
 
 _register_bpe_encode_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Incremental lexical retrieval: a PERSISTED inverted index served and
+# merged per batch — the text-side member of the incremental trilogy
+# (dedup_incremental over signatures, ann_incremental over cells, this
+# over postings).
+# ---------------------------------------------------------------------------
+
+
+def build_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """One tokenization pass -> the two index relations: postings
+    (id, term, tf) and doc lengths (id, len_d). Both are exact integers,
+    so they round-trip through parquet bit-for-bit — the property that
+    makes the served path reproduce the recompute path exactly."""
+    words = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    postings = words.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    lens = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("len_d"))
+    return postings, lens
+
+
+def incremental_bm25_topk(
+    corpus: DataFrame,
+    batch: DataFrame,
+    index_root: str,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """BM25 top-k over corpus+batch THROUGH a persisted inverted index —
+    the daily shape of a growing retrieval corpus at 100 TB:
+
+    1. bootstrap: if the ``VersionedTable`` pair under ``index_root`` is
+       empty, tokenize the corpus ONCE (the only full-corpus text scan
+       ever) and commit postings + doc lengths;
+    2. tokenize the BATCH only — work proportional to the new documents;
+    3. serve: query-term postings come from the INDEX SCAN (the term
+       filter pushes into the parquet read; at production scale the
+       postings table is written clustered by term, so the scan touches
+       only the query terms' row ranges) unioned with the batch's own
+       postings; df/tf/len/avg_len then feed the exact same
+       ``_bm25_rank`` arithmetic as the from-text path;
+    4. merge: append the batch's postings and lengths (two commits), so
+       tomorrow's queries see corpus+today without any re-tokenization.
+
+    The corpus text column is NEVER read after bootstrap — the gated
+    ``text_incremental_bm25`` pins that (its oracle is the FULL-corpus
+    recompute, and tests/test_plans.py pins exactly one tokenize explode,
+    over the batch, in the served plan). Caller contract: corpus and
+    batch ids are disjoint."""
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    spark = batch.sparkSession
+    posts_t = VersionedTable(spark, index_root + "/postings")
+    lens_t = VersionedTable(spark, index_root + "/doclens")
+    if posts_t.latest_version() is None:
+        cp, cl = build_postings(corpus, id_col, text_col)
+        posts_t.commit(cp)
+        lens_t.commit(cl)
+
+    bp, bl = build_postings(batch, id_col, text_col)
+    # three consumers each (serve union + merge commit) — compute once
+    bp = bp.localCheckpoint()
+    bl = bl.localCheckpoint()
+
+    posts = posts_t.snapshot().unionByName(bp)
+    lens = lens_t.snapshot().unionByName(bl)
+
+    qp = posts.filter(F.col("term").isin(query_terms))
+    tf = qp.select(id_col, "term", "tf")
+    df_counts = qp.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    stats = lens.agg(
+        F.sum("len_d").cast("bigint").alias("total_len"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    out = _bm25_rank(tf, df_counts, lens, stats, id_col, k)
+    # sever the result from the pre-merge snapshot files before the
+    # index advances (same contract as ann_incremental's candidates)
+    out = out.localCheckpoint()
+
+    posts_t.commit(bp, mode="append")
+    lens_t.commit(bl, mode="append")
+    return out
+
+
+@query("text_incremental_bm25", oracle=_BM25_ORACLE)
+def text_incremental_bm25_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-index serve must reproduce the full-corpus BM25
+    recompute bit-for-bit: corpus (doc_id % 5 <> 0) is indexed once,
+    batch (doc_id % 5 = 0) is tokenized and unioned at serve time, and
+    the oracle is the SAME full-corpus SQL that gates text_bm25_topk —
+    integer postings round-trip exactly, so the persisted path cannot
+    drift from the recompute."""
+    import shutil
+    import tempfile
+
+    docs = load(spark, "documents", sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    work = tempfile.mkdtemp(prefix="text_inc_bm25_")
+    try:
+        return incremental_bm25_topk(
+            corpus, batch, work, ["scan", "join", "window", "stream"], k=10
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -196,6 +196,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "tbl_zorder_report",
         "q81_hll_grouped_merge",
         "ds_weighted_sample",
+        "text_incremental_bm25",
     ], 8),
 }
 

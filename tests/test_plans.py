@@ -600,3 +600,53 @@ def test_incremental_ann_index_side_is_scan_not_recompute(spark, tmp_path):
     assert "aggregate(" not in plan, plan  # no dot products either
     assert "Window" not in plan, plan  # no re-ranking of cell assignments
     assert "embeddings" not in plan, plan
+
+
+def test_incremental_bm25_corpus_text_never_retokenized(spark, tmp_path):
+    """The incremental-index contract for lexical retrieval: after
+    bootstrap, the served plan's corpus side is a parquet scan of the
+    persisted postings/doclens tables — the only tokenize explode in the
+    plan belongs to the BATCH, and the corpus documents' text column is
+    never read again."""
+    from data_engineering_nd_spark.operators.text_analysis import (
+        _bm25_rank,
+        build_postings,
+    )
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    docs = load(spark, "documents", SF_DIR)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+
+    root = str(tmp_path / "lex_index")
+    posts_t = VersionedTable(spark, root + "/postings")
+    lens_t = VersionedTable(spark, root + "/doclens")
+    cp, cl = build_postings(corpus)
+    posts_t.commit(cp)
+    lens_t.commit(cl)
+
+    bp, bl = build_postings(batch)
+    bp, bl = bp.localCheckpoint(), bl.localCheckpoint()
+    posts = posts_t.snapshot().unionByName(bp)
+    lens = lens_t.snapshot().unionByName(bl)
+    qp = posts.filter(F.col("term").isin(["scan", "join"]))
+    stats = lens.agg(
+        F.sum("len_d").cast("bigint").alias("total_len"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    out = _bm25_rank(
+        qp.select("doc_id", "term", "tf"),
+        qp.groupBy("term").agg(F.countDistinct("doc_id").alias("df")),
+        lens,
+        stats,
+        "doc_id",
+        10,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the index scans are real parquet reads of the persisted relations
+    assert "FileScan parquet [doc_id#" in plan, plan
+    # with the batch relations materialized (as the operator does), the
+    # served plan contains ZERO tokenization and never opens the
+    # documents table — the corpus side is purely the index scan
+    assert plan.count("explode(split(") == 0, plan
+    assert plan.count("documents.parquet") == 0, plan

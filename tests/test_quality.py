@@ -359,3 +359,34 @@ def test_bm25_reference_arithmetic(spark):
     assert got[1] == (1, score(2, 3))
     assert got[2] == (1, score(1, 2))
     assert got[1][1] > got[2][1]  # higher tf wins at similar length
+
+
+def test_incremental_bm25_two_day_flow_matches_recompute(spark, tmp_path):
+    """Day-2 serve through the merged index must equal a from-scratch
+    BM25 over corpus+day1+day2 — postings are exact integers, so the
+    persisted path reproduces the recompute bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_nd_spark.catalog import load
+    from data_engineering_nd_spark.operators.text_analysis import (
+        bm25_topk,
+        incremental_bm25_topk,
+    )
+
+    docs = load(spark, "documents", "/root/testdata/sf0.001")
+    corpus = docs.filter(F.col("doc_id") % 5 > 1)
+    day1 = docs.filter(F.col("doc_id") % 5 == 0)
+    day2 = docs.filter(F.col("doc_id") % 5 == 1)
+    terms = ["scan", "join", "window", "stream"]
+
+    root = str(tmp_path / "lex")
+    incremental_bm25_topk(corpus, day1, root, terms).collect()
+    got = [
+        (r.doc_id, r.n_matched_terms, r.bm25_score)
+        for r in incremental_bm25_topk(corpus, day2, root, terms).collect()
+    ]
+    want = [
+        (r.doc_id, r.n_matched_terms, r.bm25_score)
+        for r in bm25_topk(docs, terms).collect()
+    ]
+    assert got == want
