@@ -2657,21 +2657,19 @@ def tbl_zorder_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="tbl_zorder_")
     try:
-        table = VersionedTable(spark, work)
-        # one scan: the keyed frame feeds the zf inventory and all 16
-        # block writes (file boundaries ARE the semantics, so each block
-        # is its own append commit — Spark 4 collapses a
-        # union-of-repartition(1) into ONE partition even with AQE off,
-        # so a single-commit union cannot pin the layout; a production
-        # writer gets it from one range shuffle on the Morton key,
-        # io.write_zordered)
-        keyed = keyed.localCheckpoint()
-        zfs = sorted(
-            r.zf for r in keyed.select("zf").distinct().collect()
+        table = VersionedTable(spark, work + "/table")
+        # file boundaries ARE the semantics: ONE partitionBy("zf") write
+        # job lays down exactly one file per z-block (single task, one
+        # file per partition value), then add_files registers them in
+        # one metadata-only commit — boundary control without 16
+        # per-block commits. A production writer does the same with a
+        # range shuffle on the Morton key (io.write_zordered) instead of
+        # the repartition(1) funnel.
+        staging = work + "/staging"
+        keyed.drop("zval").repartition(1).write.partitionBy("zf").parquet(
+            staging
         )
-        for n, f in enumerate(zfs):
-            chunk = keyed.filter(F.col("zf") == f).drop("zval", "zf").repartition(1)
-            table.commit(chunk, mode="overwrite" if n == 0 else "append")
+        table.add_files(staging)
 
         _, _, mb_ = table.prune_files("o_custkey", blo, bhi)
         _, _, ma_ = table.prune_files("o_orderkey", alo, ahi)

@@ -346,6 +346,55 @@ class VersionedTable:
             version, files, mode, schema_json, sizes, stats
         )
 
+    def add_files(self, src_dir: str, mode: str = "overwrite") -> dict:
+        """Register parquet files ALREADY WRITTEN under ``src_dir`` as the
+        next snapshot — the Iceberg ``add_files`` / Delta ``CONVERT``
+        analog: a METADATA-ONLY ingestion (footer stats + manifest entry
+        per file; no data is rewritten or even scanned). The files are
+        moved into the table's data directory so the table owns their
+        lifecycle (vacuum); ``src_dir`` may be flat or hive-partitioned
+        (``k=v`` subdirectories are walked, but partition values are NOT
+        reconstructed as columns — register files whose columns are all
+        in the footer).
+
+        The 100 TB use: a writer lays out files with exactly the
+        boundaries it wants (one job, partitionBy/clustered), then this
+        registers them in one commit — boundary control without
+        per-file commit overhead (cf. tbl_zorder_report)."""
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+        src_files = sorted(
+            os.path.join(dp, fn)
+            for dp, _, fns in os.walk(src_dir)
+            for fn in fns
+            if fn.endswith(".parquet")
+        )
+        if not src_files:
+            raise FileNotFoundError(f"no parquet files under {src_dir}")
+        prev = self.latest_version()
+        version = 0 if prev is None else prev + 1
+        rel_dir = os.path.join(_DATA, f"v{version:011d}-{uuid.uuid4().hex[:8]}")
+        os.makedirs(os.path.join(self.root, rel_dir), exist_ok=True)
+        files = []
+        for i, src in enumerate(src_files):
+            rel = os.path.join(rel_dir, f"part-{i:05d}-{os.path.basename(src)}")
+            os.rename(src, os.path.join(self.root, rel))
+            files.append(rel)
+        sizes = self._file_sizes(files)
+        stats = self._compute_stats(files)
+        schema_json = self.spark.read.parquet(
+            os.path.join(self.root, rel_dir)
+        ).schema.json()
+        if mode == "append" and prev is not None:
+            pm = self._manifest(prev)
+            files += pm["files"]
+            sizes.update(self._file_sizes(pm["files"], pm))
+            stats.update(self._file_stats(pm["files"], pm))
+            schema_json = self._evolve_schema(pm["schema"], schema_json)
+        return self._publish(
+            version, files, "add_files", schema_json, sizes, stats
+        )
+
     @staticmethod
     def _evolve_schema(old_json: str, new_json: str) -> str:
         """Additive schema evolution: old columns keep their order and

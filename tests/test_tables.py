@@ -329,3 +329,38 @@ def test_zorder_report_rectangles_prune_both_dims(spark):
     # skipping never drops a matching row
     assert r.result_checksum == r.unpruned_checksum
     assert r.z_rows_scanned_custkey >= r.n_result
+
+
+def test_add_files_registers_prewritten_parquet(spark, tmp_path):
+    """add_files: a hive-partitioned directory written by a plain Spark
+    job registers as one metadata-only commit — snapshot content matches
+    the source rows, per-file footer stats land in the manifest, and
+    stats pruning works immediately."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.expr("id div 25").alias("p")
+    )
+    staging = str(tmp_path / "staging")
+    df.repartition(1).write.partitionBy("p").parquet(staging)
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    m = t.add_files(staging)
+    assert m["operation"] == "add_files"
+    assert m["num_files"] == 4  # one per partition value
+    assert sorted(r.k for r in t.snapshot().collect()) == list(range(100))
+    # stats recorded per file -> pruning is live without any rewrite
+    kept, pruned, meta = t.prune_files("k", 0, 3)
+    assert meta["files_kept"] < meta["files_total"]
+    got = sorted(r.k for r in t.scan("k", 0, 3).collect())
+    assert got == [0, 1, 2, 3]
+    # append mode stacks another registration on the same table
+    df2 = spark.range(100, 120).select(
+        F.col("id").alias("k"), F.lit(9).alias("p")
+    )
+    staging2 = str(tmp_path / "staging2")
+    df2.repartition(1).write.partitionBy("p").parquet(staging2)
+    t.add_files(staging2, mode="append")
+    assert t.snapshot().count() == 120
