@@ -197,6 +197,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "q81_hll_grouped_merge",
         "ds_weighted_sample",
         "text_incremental_bm25",
+        "stream_hll_users",
     ], 8),
 }
 

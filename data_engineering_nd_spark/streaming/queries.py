@@ -986,3 +986,111 @@ def stream_restart_recovery_query(spark: SparkSession, sf_dir: str) -> DataFrame
         return spark.table("stream_restart_recovery_sink").localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming HLL: windowed distinct-count estimation in bounded state —
+# the streaming answer to COUNT(DISTINCT user_id), which no watermarked
+# stream can hold exactly (state would grow with cardinality). Registers
+# are max-merged per micro-batch by the normal windowed agg, so state is
+# O(open windows x m) regardless of user volume; the estimate is read off
+# the materialized registers with the same exact-BIGINT arithmetic as
+# q74/q81 (raw regime, no ln()).
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_hll_users",
+    oracle="""
+    WITH slots AS (
+        SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+                   AS window_start,
+               CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) >> 56 AS idx,
+               CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) & 72057594037927935 AS tail
+        FROM events
+    ),
+    regs AS (
+        SELECT window_start, idx,
+               MAX(CASE WHEN tail = 0 THEN 57
+                        ELSE 57 - length(bin(tail)) END) AS m_j
+        FROM slots GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT window_start,
+               CAST(SUM(CAST(power(2, 57 - m_j) AS BIGINT)) AS BIGINT)
+                   AS s_present,
+               COUNT(*) AS n_present
+        FROM regs GROUP BY 1
+    )
+    SELECT window_start,
+           CAST(s_present + (16 - n_present)
+                * 144115188075855872 AS BIGINT) AS register_sum,
+           CAST(16 - n_present AS BIGINT) AS n_zero_registers,
+           floor((0.673 * 256 * 144115188075855872.0)
+                 / CAST(s_present + (16 - n_present)
+                        * 144115188075855872 AS DOUBLE)
+                 * 10000.0 + 0.5) / 10000.0 AS hll_estimate
+    FROM s
+    ORDER BY window_start
+    """,
+)
+def stream_hll_users_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly distinct-user estimates from a STREAM, in O(m) state per
+    window: the windowed agg max-merges the 16 HLL registers
+    incrementally across micro-batches (register max is associative and
+    commutative, so partial merges are exact regardless of arrival
+    order); the estimate is computed from the materialized registers
+    with q74's exact-BIGINT estimator. The same register rows could be
+    upserted into a VersionedTable and max-merged across DAYS — the
+    streaming half of q81's merge law."""
+    from data_engineering_nd_spark.analytics import (
+        _HLL_ALPHA,
+        _HLL_M,
+        _HLL_TAIL_BITS,
+    )
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+    from data_engineering_nd_spark.functions.numeric import round_half_up
+
+    top = _HLL_TAIL_BITS + 1
+    ev = with_watermark(read_events_stream(spark, sf_dir))
+    h = md5_prefix_long(F.col("user_id").cast("string"), 15)
+    rho = F.when(F.col("tail") == 0, F.lit(top)).otherwise(
+        F.lit(top) - F.length(F.conv(F.col("tail").cast("string"), 10, 2))
+    )
+    slots = ev.select(
+        "ts",
+        F.shiftright(h, _HLL_TAIL_BITS).alias("idx"),
+        h.bitwiseAND(F.lit((1 << _HLL_TAIL_BITS) - 1)).alias("tail"),
+    ).withColumn("r", rho)
+    regs = (
+        slots.groupBy(F.window("ts", "1 hour").alias("w"), F.col("idx"))
+        .agg(F.max("r").alias("m_j"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "idx",
+            "m_j",
+        )
+    )
+    sink = _run(regs, "stream_hll_users_sink", spark)
+    s = sink.groupBy("window_start").agg(
+        F.sum(F.expr(f"CAST(pow(2, {top} - m_j) AS BIGINT)")).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    reg_sum = (
+        F.col("s_present")
+        + (F.lit(_HLL_M) - F.col("n_present")) * F.lit(1 << top)
+    ).cast("bigint")
+    return s.select(
+        "window_start",
+        reg_sum.alias("register_sum"),
+        (F.lit(_HLL_M) - F.col("n_present")).cast("bigint").alias(
+            "n_zero_registers"
+        ),
+        round_half_up(
+            F.lit(_HLL_ALPHA * (_HLL_M * _HLL_M))
+            * F.lit(float(1 << top))
+            / reg_sum.cast("double"),
+            4,
+        ).alias("hll_estimate"),
+    ).orderBy("window_start")
