@@ -918,3 +918,198 @@ def _register_bfs_oracle() -> None:
 
 
 _register_bfs_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank: rank relative to a SOURCE SET — the random walk
+# restarts at the sources instead of uniformly, so high scores mean "close
+# to these nodes through many short paths". The recommendation / related-
+# items primitive (pins "customers like these" in the trading graph).
+# ---------------------------------------------------------------------------
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 10,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """PPR with restart to the uniform distribution over ``sources``
+    (a 1-column frame of node ids; rows outside the graph are ignored).
+    Ranks are probabilities (sum to 1): r' = d * (inflow + dangling_mass
+    * restart) + (1 - d) * restart.
+
+    Same loop skeleton as :func:`pagerank` (edges normalized and
+    checkpointed ONCE, co-partitioned join per round), plus a
+    frontier-style optimization global PageRank can't use: nodes the walk
+    has not reached yet hold rank exactly 0.0, and the per-round join
+    filters them out — early rounds touch only the sources'
+    neighborhood, not the graph (the same work-proportional-to-frontier
+    property as bfs_layers)."""
+    from pyspark.sql.window import Window
+
+    w_src = Window.partitionBy("src")
+    e_norm = (
+        edges.groupBy(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .repartition("src")
+        .select(
+            "src", "dst", (F.col("w") / F.sum("w").over(w_src)).alias("nw")
+        )
+        .localCheckpoint()
+    )
+    nodes = (
+        e_norm.select(F.col("src").alias("id"))
+        .union(e_norm.select(F.col("dst").alias("id")))
+        .distinct()
+        .repartition("id")
+        .localCheckpoint()
+    )
+    rs = nodes.join(
+        sources.select(F.col(sources.columns[0]).alias("id")).distinct(), "id"
+    ).localCheckpoint()
+    n_s = rs.count()
+    if n_s == 0:
+        raise ValueError("no source node is present in the graph")
+    restart_frame = rs.select("id", F.lit(1.0 / n_s).alias("restart"))
+
+    ranks = restart_frame.select(
+        "id", F.col("restart").alias("rank")
+    ).localCheckpoint()
+
+    for it in range(iterations):
+        contribs = (
+            ranks.filter(F.col("rank") != 0.0)
+            .join(e_norm, F.col("id") == F.col("src"))
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("rank") * F.col("nw")).alias("c"))
+            .localCheckpoint()
+        )
+        # every non-dangling unit of rank lands in contribs, so the
+        # dangling mass is 1 - sum(c) — no second pass over the ranks
+        dmass = contribs.agg(
+            (F.lit(1.0) - F.coalesce(F.sum("c"), F.lit(0.0))).alias("dm")
+        )
+        updated = (
+            nodes.join(contribs, "id", "left")
+            .join(F.broadcast(restart_frame), "id", "left")
+            .crossJoin(F.broadcast(dmass))
+        )
+        restart = F.coalesce(F.col("restart"), F.lit(0.0))
+        ranks = updated.select(
+            "id",
+            (
+                F.lit(damping)
+                * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") * restart)
+                + F.lit(1.0 - damping) * restart
+            ).alias("rank"),
+        )
+        if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
+@query("graph_personalized_pagerank")  # oracle registered below (unrolled)
+def graph_personalized_pagerank_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-15 nodes by PPR from the 5 lowest-id customer nodes of the
+    customer↔supplier trading graph — "who is close to these customers".
+    Same bipartite edges as graph_pagerank_topk; the oracle unrolls the
+    10 iterations into materialized CTEs with bit-identical float
+    arithmetic (drift ~1e-15 against 8-dp rounding)."""
+    li = load(spark, "lineitem", sf_dir)
+    orders = load(spark, "orders", sf_dir)
+    rel = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cust_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+        )
+        .distinct()
+    )
+    edges = rel.select(
+        F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
+    ).union(
+        rel.select(F.col("supp_node").alias("src"), F.col("cust_node").alias("dst"))
+    )
+    sources = (
+        rel.select(F.col("cust_node").alias("id"))
+        .distinct()
+        .orderBy("id")
+        .limit(5)
+    )
+    ranks = personalized_pagerank(edges, sources, iterations=10)
+    return (
+        ranks.select(
+            "id",
+            F.when(F.col("id") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("kind"),
+            F.round("rank", 8).alias("ppr"),
+        )
+        .orderBy(F.desc("ppr"), "id")
+        .limit(15)
+    )
+
+
+def _register_ppr_oracle() -> None:
+    """Unrolled-iteration SQL mirror of graph_personalized_pagerank —
+    the same MATERIALIZED-CTE construction as _register_pagerank_oracle,
+    with the restart vector over the 5 lowest-id customer nodes."""
+    from data_engineering_nd_spark.registry import ORACLE_SQL
+
+    sql = """
+    WITH rel AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey * 2 AS cust, l.l_suppkey * 2 + 1 AS supp
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS MATERIALIZED (
+        SELECT cust AS src, supp AS dst FROM rel
+        UNION ALL SELECT supp, cust FROM rel
+    ),
+    w AS (SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS wt FROM edges GROUP BY 1, 2),
+    outw AS (SELECT src, SUM(wt) AS ow FROM w GROUP BY 1),
+    enorm AS MATERIALIZED (SELECT w.src, w.dst, wt / ow AS nw FROM w JOIN outw USING (src)),
+    nodes AS MATERIALIZED (
+        SELECT DISTINCT src AS id FROM edges UNION SELECT DISTINCT dst AS id FROM edges
+    ),
+    srcset AS MATERIALIZED (
+        SELECT cust AS id FROM (SELECT DISTINCT cust FROM rel) ORDER BY cust LIMIT 5
+    ),
+    ns AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM srcset),
+    restart AS MATERIALIZED (
+        SELECT nodes.id,
+               CASE WHEN srcset.id IS NOT NULL THEN 1.0 / ns.k ELSE 0.0 END AS rs
+        FROM nodes LEFT JOIN srcset ON nodes.id = srcset.id, ns
+    ),
+    r0 AS (SELECT id, rs AS rank FROM restart)
+    """
+    for i in range(10):
+        sql += f""",
+    c{i} AS MATERIALIZED (
+        SELECT e.dst AS id, SUM(r.rank * e.nw) AS c
+        FROM r{i} r JOIN enorm e ON r.id = e.src AND r.rank <> 0.0
+        GROUP BY e.dst
+    ),
+    d{i} AS (SELECT 1.0 - COALESCE((SELECT SUM(c) FROM c{i}), 0.0) AS dm),
+    r{i + 1} AS MATERIALIZED (
+        SELECT restart.id,
+               0.85 * (COALESCE(c{i}.c, 0.0) + d{i}.dm * restart.rs)
+               + 0.15 * restart.rs AS rank
+        FROM restart LEFT JOIN c{i} ON restart.id = c{i}.id, d{i}
+    )
+    """
+    sql += """
+    SELECT id,
+           CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+           round(rank, 8) AS ppr
+    FROM r10 ORDER BY rank DESC, id LIMIT 15
+    """
+    ORACLE_SQL["graph_personalized_pagerank"] = sql
+
+
+_register_ppr_oracle()

@@ -198,6 +198,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "ds_weighted_sample",
         "text_incremental_bm25",
         "stream_hll_users",
+        "graph_personalized_pagerank",
     ], 8),
 }
 

@@ -266,3 +266,53 @@ def test_shortest_paths_multi_source_and_early_stop(spark):
     # max_hops far beyond the diameter: early stop, still exact
     got = {r.id: r.dist for r in shortest_paths(edges, seeds, max_hops=10).collect()}
     assert got == {"a": 0, "b": 0, "m": 1, "z": 2}
+
+
+def numpy_ppr(edges, n, sources, damping=0.85, iterations=10):
+    """Dense PPR reference: ranks are probabilities (sum to 1), restart
+    uniform over sources, dangling mass re-injected via the restart."""
+    W = np.zeros((n, n))
+    for s, d in edges:
+        W[s, d] += 1.0
+    out = W.sum(axis=1)
+    rs = np.zeros(n)
+    rs[list(sources)] = 1.0 / len(sources)
+    r = rs.copy()
+    for _ in range(iterations):
+        contrib = np.zeros(n)
+        for s in range(n):
+            if out[s] > 0:
+                contrib += r[s] * W[s] / out[s]
+        dangling = r[out == 0].sum()
+        r = damping * (contrib + dangling * rs) + (1 - damping) * rs
+    return r
+
+
+@pytest.mark.parametrize(
+    "edges,n,sources",
+    [
+        # chain+hub+dangling; restart at one end
+        ([(0, 1), (1, 2), (2, 0), (3, 0), (4, 0), (0, 5)], 6, [0]),
+        # two components; sources only in the first -> second stays at 0
+        ([(0, 1), (0, 1), (1, 0), (2, 3), (3, 2), (3, 4)], 5, [0, 1]),
+    ],
+)
+def test_personalized_pagerank_matches_numpy(spark, edges, n, sources):
+    from data_engineering_nd_spark.operators.graph import personalized_pagerank
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    src_df = spark.createDataFrame([(s,) for s in sources], ["id"])
+    got = {
+        r["id"]: r["rank"]
+        for r in personalized_pagerank(df, src_df, iterations=10).collect()
+    }
+    want = numpy_ppr(edges, n, sources)
+    for node, rank in got.items():
+        assert abs(rank - want[node]) < 1e-12, (node, rank, want[node])
+    # probability mass: total over present nodes == oracle total
+    assert abs(sum(got.values()) - want[list(got)].sum()) < 1e-12
+    # unreachable component carries exactly zero
+    reachable = want > 0
+    for node, rank in got.items():
+        if not reachable[node]:
+            assert rank == 0.0
