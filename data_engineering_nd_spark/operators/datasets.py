@@ -2787,3 +2787,103 @@ def ds_event_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Predicate DELETE: file-granular copy-on-write erasure (the GDPR shape)
+# ---------------------------------------------------------------------------
+
+_DELETE_ORACLE = """
+    WITH params AS (
+        SELECT ((MAX(o_orderkey) + 8) // 8) AS width FROM orders
+    ),
+    bounds AS (
+        SELECT 2 * width AS lo, 4 * width + width // 2 AS hi FROM params
+    ),
+    chunks AS (
+        SELECT o.o_orderkey, o.o_orderkey // p.width AS cid
+        FROM orders o CROSS JOIN params p
+    ),
+    file_stats AS (
+        SELECT cid, MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx,
+               COUNT(*) AS nrows
+        FROM chunks GROUP BY cid
+    ),
+    marked AS (
+        SELECT fs.*, CASE WHEN fs.mx < b.lo OR fs.mn > b.hi
+                          THEN 0 ELSE 1 END AS cand
+        FROM file_stats fs CROSS JOIN bounds b
+    ),
+    survivors AS (
+        SELECT c.o_orderkey
+        FROM chunks c CROSS JOIN bounds b
+        WHERE c.o_orderkey < b.lo OR c.o_orderkey > b.hi
+    )
+    SELECT
+        (SELECT CAST(COUNT(*) - SUM(cand) AS BIGINT) FROM marked)
+            AS files_untouched,
+        (SELECT CAST(SUM(cand) AS BIGINT) FROM marked) AS files_rewritten,
+        (SELECT CAST(SUM(nrows) AS BIGINT) FROM marked)
+            - (SELECT CAST(COUNT(*) AS BIGINT) FROM survivors)
+            AS rows_deleted,
+        (SELECT CAST(SUM(nrows * cand) AS BIGINT) FROM marked)
+            - ((SELECT CAST(SUM(nrows) AS BIGINT) FROM marked)
+               - (SELECT CAST(COUNT(*) AS BIGINT) FROM survivors))
+            AS rows_rewritten,
+        CAST(COUNT(*) AS BIGINT) AS n_after,
+        CAST(SUM(CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                          1, 10)) AS BIGINT)) AS BIGINT)
+            AS survivor_checksum
+    FROM survivors
+"""
+
+
+@query("tbl_delete_report", oracle=_DELETE_ORACLE)
+def tbl_delete_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE WHERE o_orderkey BETWEEN lo AND hi over a real
+    VersionedTable, file-granular copy-on-write: orders is laid out as 8
+    range-chunk files (one partitionBy job + add_files — the round-8
+    metadata-only registration path), then ``delete_where`` carries the
+    5 provably-unaffected files into the new version BY REFERENCE and
+    rewrites only the 3 candidates to their survivors. The report
+    value-hashes the blast radius (files untouched/rewritten, rows
+    deleted/rewritten — all decided from manifest stats) AND the
+    post-delete snapshot checksum, so both a wrong prune (a deleted row
+    surviving in an 'untouched' file) and a wrong rewrite diverge."""
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    orders = load(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    max_key = int(orders.agg(F.max("o_orderkey")).collect()[0][0])
+    width = (max_key + 8) // 8
+    lo, hi = 2 * width, 4 * width + width // 2
+
+    work = tempfile.mkdtemp(prefix="tbl_delete_")
+    try:
+        staging = work + "/staging"
+        orders.withColumn(
+            "cid", F.expr(f"o_orderkey div {width}")
+        ).repartition(1).write.partitionBy("cid").parquet(staging)
+        table = VersionedTable(spark, work + "/table")
+        table.add_files(staging)
+
+        m = table.delete_where("o_orderkey", lo, hi)
+        key_digest = md5_prefix_long(F.col("o_orderkey").cast("string"))
+        out = table.snapshot().agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_after"),
+            F.sum(key_digest).cast("bigint").alias("survivor_checksum"),
+        ).select(
+            F.lit(m["files_untouched"]).cast("bigint").alias("files_untouched"),
+            F.lit(m["files_rewritten"]).cast("bigint").alias("files_rewritten"),
+            F.lit(m["rows_deleted"]).cast("bigint").alias("rows_deleted"),
+            F.lit(m["rows_rewritten"]).cast("bigint").alias("rows_rewritten"),
+            "n_after",
+            "survivor_checksum",
+        )
+        # output-sized (1 row); materialize so the scratch table can go
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

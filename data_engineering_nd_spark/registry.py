@@ -199,6 +199,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "text_incremental_bm25",
         "stream_hll_users",
         "graph_personalized_pagerank",
+        "tbl_delete_report",
     ], 8),
 }
 

@@ -364,3 +364,35 @@ def test_add_files_registers_prewritten_parquet(spark, tmp_path):
     df2.repartition(1).write.partitionBy("p").parquet(staging2)
     t.add_files(staging2, mode="append")
     assert t.snapshot().count() == 120
+
+
+def test_delete_where_rewrites_only_candidate_files(spark, tmp_path):
+    """delete_where: files whose stats exclude the range carry into the
+    new version BY REFERENCE (same relative paths), candidates are
+    rewritten to survivors, and the snapshot equals a plain filter."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.expr("id div 25").alias("p")
+    )
+    staging = str(tmp_path / "staging")
+    df.repartition(1).write.partitionBy("p").parquet(staging)
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.add_files(staging)
+    before = set(t._manifest(0)["files"])
+
+    m = t.delete_where("k", 30, 60)  # touches chunks [25-49] and [50-74]
+    assert m["files_untouched"] == 2 and m["files_rewritten"] == 2
+    assert m["rows_deleted"] == 31 and m["rows_rewritten"] == 19
+    after = set(t._manifest(1)["files"])
+    # the two untouched files are the SAME paths, not copies
+    assert len(before & after) == 2
+    got = sorted(r.k for r in t.snapshot().collect())
+    assert got == [k for k in range(100) if not 30 <= k <= 60]
+
+    # a delete matching nothing still commits, rewriting zero rows
+    m2 = t.delete_where("k", 1000, 2000)
+    assert m2["rows_deleted"] == 0 and m2["files_untouched"] == len(after)
+    assert t.snapshot().count() == 69
