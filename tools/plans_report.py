@@ -128,7 +128,8 @@ def _auto_extend_headliners() -> None:
     # stream_* have no batch .explain; these return localCheckpoint-ed
     # audit rows, so their explained plan is trivially Scan ExistingRDD
     skip = {"i94_pipeline_run", "tbl_snapshot_diff", "tbl_skipping_report",
-            "tbl_zorder_report", "text_incremental_bm25"}
+            "tbl_zorder_report", "text_incremental_bm25",
+            "tbl_delete_report"}
     slow = sorted(prev, key=prev.get, reverse=True)
     for name in [n for n in slow[:10] if prev[n] >= 1.0]:
         if name not in HEADLINERS and not name.startswith("stream_") and name not in skip:
