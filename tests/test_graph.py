@@ -295,6 +295,9 @@ def numpy_ppr(edges, n, sources, damping=0.85, iterations=10):
         ([(0, 1), (1, 2), (2, 0), (3, 0), (4, 0), (0, 5)], 6, [0]),
         # two components; sources only in the first -> second stays at 0
         ([(0, 1), (0, 1), (1, 0), (2, 3), (3, 2), (3, 4)], 5, [0, 1]),
+        # NO dangling nodes -> exercises the mass-conserving fast branch
+        # (no per-round dmass aggregate; lazy-chained rounds)
+        ([(0, 1), (1, 2), (2, 0), (2, 1)], 3, [0]),
     ],
 )
 def test_personalized_pagerank_matches_numpy(spark, edges, n, sources):
