@@ -200,6 +200,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "stream_hll_users",
         "graph_personalized_pagerank",
         "tbl_delete_report",
+        "q82_point_in_time_join",
     ], 8),
 }
 

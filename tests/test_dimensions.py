@@ -66,3 +66,40 @@ def test_scd2_null_safe_no_churn(spark):
     upd = spark.createDataFrame([(1, None)], "k long, seg string")
     out = scd2_apply(dim, upd, "k", ["seg"], t1).collect()
     assert len(out) == 1 and out[0].is_current and out[0].effective_from == t0
+
+
+def test_point_in_time_join_attributes_to_version_at_fact_time(spark):
+    """A fact joins the dimension version valid AT its own timestamp —
+    one match per fact, old rows for old facts, new rows for new ones,
+    and facts outside every validity window drop out."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_nd_spark.operators.dimensions import (
+        point_in_time_join,
+    )
+
+    dim = spark.createDataFrame(
+        [
+            (1, "OLD", "2020-01-01 00:00:00", "2022-01-01 00:00:00"),
+            (1, "NEW", "2022-01-01 00:00:00", None),
+            (2, "ONLY", "2021-01-01 00:00:00", None),
+        ],
+        "k long, seg string, effective_from string, effective_to string",
+    ).select(
+        "k", "seg",
+        F.col("effective_from").cast("timestamp_ntz").alias("effective_from"),
+        F.col("effective_to").cast("timestamp_ntz").alias("effective_to"),
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, "2021-06-01 00:00:00"),  # inside OLD
+            (101, 1, "2022-01-01 00:00:00"),  # boundary: NEW (>= from, < to)
+            (102, 1, "2023-01-01 00:00:00"),  # NEW
+            (103, 2, "2020-06-01 00:00:00"),  # before ONLY -> no match
+        ],
+        "fid long, k long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+    out = point_in_time_join(facts, dim, "k", "k", F.col("f.ts"))
+    got = {(r.fid): r.seg for r in out.select("f.fid", "d.seg").collect()}
+    assert got == {100: "OLD", 101: "NEW", 102: "NEW"}

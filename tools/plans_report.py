@@ -101,6 +101,7 @@ HEADLINERS = [
     "q81_hll_grouped_merge",
     "ds_weighted_sample",
     "graph_personalized_pagerank",
+    "q82_point_in_time_join",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"
