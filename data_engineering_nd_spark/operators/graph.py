@@ -1035,36 +1035,35 @@ def personalized_pagerank(
             if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
                 ranks = ranks.localCheckpoint()
             continue
+        # dangling path: every non-dangling unit of rank lands in
+        # contribs, so the dangling mass is 1 - sum(c) — no second pass
+        # over ranks; contribs feeds both the mass aggregate and the
+        # update, so materialize it once
         contribs = (
             ranks.join(e_norm, F.col("id") == F.col("src"))
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("rank") * F.col("nw")).alias("c"))
+            .localCheckpoint()
         )
-        if n_dangling:
-            # every non-dangling unit of rank lands in contribs, so the
-            # dangling mass is 1 - sum(c) — no second pass over ranks;
-            # contribs feeds both the mass aggregate and the update, so
-            # materialize it once
-            contribs = contribs.localCheckpoint()
-            dmass = contribs.agg(
-                (F.lit(1.0) - F.coalesce(F.sum("c"), F.lit(0.0))).alias("dm")
+        dmass = contribs.agg(
+            (F.lit(1.0) - F.coalesce(F.sum("c"), F.lit(0.0))).alias("dm")
+        )
+        restart = F.coalesce(F.col("restart"), F.lit(0.0))
+        ranks = (
+            contribs.join(restart_frame, "id", "full")
+            .crossJoin(F.broadcast(dmass))
+            .select(
+                "id",
+                (
+                    F.lit(damping)
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.col("dm") * restart
+                    )
+                    + F.lit(1.0 - damping) * restart
+                ).alias("rank"),
             )
-            restart = F.coalesce(F.col("restart"), F.lit(0.0))
-            ranks = (
-                contribs.join(restart_frame, "id", "full")
-                .crossJoin(F.broadcast(dmass))
-                .select(
-                    "id",
-                    (
-                        F.lit(damping)
-                        * (
-                            F.coalesce(F.col("c"), F.lit(0.0))
-                            + F.col("dm") * restart
-                        )
-                        + F.lit(1.0 - damping) * restart
-                    ).alias("rank"),
-                )
-            )
+        )
         if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
             ranks = ranks.localCheckpoint()
     # densify once: unreached nodes surface with rank exactly 0.0
@@ -1172,7 +1171,7 @@ def _register_ppr_oracle() -> None:
     SELECT id,
            CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
            round(rank, 8) AS ppr
-    FROM r10 ORDER BY rank DESC, id LIMIT 15
+    FROM r10 ORDER BY ppr DESC, id LIMIT 15
     """
     ORACLE_SQL["graph_personalized_pagerank"] = sql
 

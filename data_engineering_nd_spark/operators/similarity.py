@@ -1850,20 +1850,14 @@ def md5_cell_assignments(
     against the fixed md5 centroid table (same family as
     :func:`ivf_topk_md5`; ties break on lowest cell id). rn_max=1 is the
     index-build assignment, rn_max=nprobe the query fan-out."""
-    spark = df.sparkSession
-    cents = F.broadcast(
-        spark.createDataFrame(
-            [(c, _md5_const_vector(f"iv:{c}", dim)) for c in range(n_cells)],
-            "c int, w array<double>",
-        )
-    )
+    cents = _ivf_centroids(df.sparkSession, n_cells, dim)
     dp = (
         df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
         .crossJoin(cents)
         .select(
             id_col,
-            F.col("c").alias("cell"),
-            dot(F.col("__v"), F.col("w")).alias("dp"),
+            "cell",
+            dot(F.col("__v"), F.col("cw")).alias("dp"),
         )
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("dp"), "cell")
@@ -2080,8 +2074,10 @@ def ann_incremental_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_centroids(spark: SparkSession, n_cells: int = 4, dim: int = 64):
-    """The fixed md5 centroid table shared with :func:`md5_cell_assignments`
-    (same ``iv:{c}`` tag family)."""
+    """The fixed md5 ``iv:{c}`` centroid table — the ONE construction the
+    coarse-assignment path (:func:`md5_cell_assignments`, hence the
+    incremental index and the IVF-PQ build AND probe sides) broadcasts;
+    a tag/dim change here cannot desynchronize them."""
     return F.broadcast(
         spark.createDataFrame(
             [(c, _md5_const_vector(f"iv:{c}", dim)) for c in range(n_cells)],

@@ -1733,10 +1733,29 @@ def incremental_bm25_topk(
     spark = batch.sparkSession
     posts_t = VersionedTable(spark, index_root + "/postings")
     lens_t = VersionedTable(spark, index_root + "/doclens")
-    if posts_t.latest_version() is None:
+    # the two relations commit separately, so guard their consistency:
+    # a crash between the bootstrap commits self-heals (the bootstrap is
+    # a pure function of the corpus — recommitting both is exact), and a
+    # version skew after appends fails LOUDLY instead of silently
+    # undercounting stats or dropping unfindable docs. (A production
+    # deployment makes the pair atomic outright: both relations in one
+    # table-format transaction.)
+    pv, lv = posts_t.latest_version(), lens_t.latest_version()
+    if pv is None or lv is None:
         cp, cl = build_postings(corpus, id_col, text_col)
-        posts_t.commit(cp)
-        lens_t.commit(cl)
+        # commit only what is missing: recommitting a surviving relation
+        # would advance its version past its sibling's and manufacture
+        # the very skew the guard below rejects
+        if pv is None:
+            posts_t.commit(cp)
+        if lv is None:
+            lens_t.commit(cl)
+    elif pv != lv:
+        raise RuntimeError(
+            f"inconsistent index at {index_root}: postings v{pv} vs "
+            f"doclens v{lv} — a merge crashed between commits; restore "
+            "both relations to a common version before serving"
+        )
 
     bp, bl = build_postings(batch, id_col, text_col)
     # three consumers each (serve union + merge commit) — compute once

@@ -371,23 +371,30 @@ class VersionedTable:
             pred = pred & (c >= lo)
         if hi is not None:
             pred = pred & (c <= hi)
+        # NULL keys never satisfy a BETWEEN predicate, so they SURVIVE
+        # (SQL DELETE semantics): the keep-filter must treat the NULL
+        # predicate result as keep, not drop
+        keep = ~F.coalesce(pred, F.lit(False))
         n_deleted = n_rewritten = 0
         new_files: list[str] = []
+        stats: dict[str, dict] = {}
         if candidates:
-            cand_df = self._read_files(candidates, m["schema"])
-            survivors = cand_df.filter(~pred)
-            counts = cand_df.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.count(F.when(pred, F.lit(1))).alias("d"),
-            ).collect()[0]
-            n_deleted = int(counts["d"])
-            n_rewritten = int(counts["n"]) - n_deleted
-            if n_rewritten:
-                new_files = self._write_files(survivors, version)
+            cand_stats = self._file_stats(candidates, m)
+            n_candidate_rows = sum(
+                cand_stats[f].get("num_rows", 0) for f in candidates
+            )
+            survivors = self._read_files(candidates, m["schema"]).filter(keep)
+            # one pass: the rewrite job is the only candidate-file read;
+            # both report counts come from manifest + new-file footers
+            written = self._write_files(survivors, version)
+            wstats = self._compute_stats(written)
+            new_files = [f for f in written if wstats[f]["num_rows"] > 0]
+            stats = {f: wstats[f] for f in new_files}
+            n_rewritten = sum(wstats[f]["num_rows"] for f in written)
+            n_deleted = n_candidate_rows - n_rewritten
         files = new_files + untouched
         sizes = self._file_sizes(new_files)
         sizes.update(self._file_sizes(untouched, m))
-        stats = self._compute_stats(new_files)
         stats.update(self._file_stats(untouched, m))
         manifest = self._publish(
             version, files, "delete", m["schema"], sizes, stats
@@ -427,18 +434,23 @@ class VersionedTable:
             raise FileNotFoundError(f"no parquet files under {src_dir}")
         prev = self.latest_version()
         version = 0 if prev is None else prev + 1
+        # resolve the schema BEFORE touching any file, so a schema-read
+        # failure leaves the staging directory fully intact
+        schema_json = self.spark.read.parquet(*src_files).schema.json()
         rel_dir = os.path.join(_DATA, f"v{version:011d}-{uuid.uuid4().hex[:8]}")
         os.makedirs(os.path.join(self.root, rel_dir), exist_ok=True)
         files = []
+        # shutil.move, not os.rename: staging on another mount (EXDEV)
+        # degrades to copy+unlink instead of failing mid-loop. A failure
+        # here still cannot corrupt the table — nothing is committed
+        # until _publish, and the salted rel_dir holds any partially
+        # moved files where vacuum() collects them as ordinary orphans.
         for i, src in enumerate(src_files):
             rel = os.path.join(rel_dir, f"part-{i:05d}-{os.path.basename(src)}")
-            os.rename(src, os.path.join(self.root, rel))
+            shutil.move(src, os.path.join(self.root, rel))
             files.append(rel)
         sizes = self._file_sizes(files)
         stats = self._compute_stats(files)
-        schema_json = self.spark.read.parquet(
-            os.path.join(self.root, rel_dir)
-        ).schema.json()
         if mode == "append" and prev is not None:
             pm = self._manifest(prev)
             files += pm["files"]

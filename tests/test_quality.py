@@ -390,3 +390,43 @@ def test_incremental_bm25_two_day_flow_matches_recompute(spark, tmp_path):
         for r in bm25_topk(docs, terms).collect()
     ]
     assert got == want
+
+
+def test_incremental_bm25_bootstrap_self_heals_and_skew_is_loud(spark, tmp_path):
+    """A crash between the two bootstrap commits self-heals on the next
+    call (only the missing relation is committed — versions stay in
+    lock-step); post-append version skew raises instead of serving
+    silently wrong stats."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_engineering_nd_spark.catalog import load
+    from data_engineering_nd_spark.operators.text_analysis import (
+        bm25_topk,
+        build_postings,
+        incremental_bm25_topk,
+    )
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    docs = load(spark, "documents", "/root/testdata/sf0.001")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    terms = ["scan", "join", "window", "stream"]
+    root = str(tmp_path / "lex")
+
+    # simulate the bootstrap crash window: postings committed, lens not
+    cp, _ = build_postings(corpus)
+    VersionedTable(spark, root + "/postings").commit(cp)
+    got = [
+        (r.doc_id, r.bm25_score)
+        for r in incremental_bm25_topk(corpus, batch, root, terms).collect()
+    ]
+    want = [(r.doc_id, r.bm25_score) for r in bm25_topk(docs, terms).collect()]
+    assert got == want
+    assert VersionedTable(spark, root + "/postings").latest_version() == 1
+    assert VersionedTable(spark, root + "/doclens").latest_version() == 1
+
+    # simulate a crashed merge: postings advanced, doclens did not
+    VersionedTable(spark, root + "/postings").commit(cp, mode="append")
+    with pytest.raises(RuntimeError, match="inconsistent index"):
+        incremental_bm25_topk(corpus, batch, root, terms)

@@ -396,3 +396,25 @@ def test_delete_where_rewrites_only_candidate_files(spark, tmp_path):
     m2 = t.delete_where("k", 1000, 2000)
     assert m2["rows_deleted"] == 0 and m2["files_untouched"] == len(after)
     assert t.snapshot().count() == 69
+
+
+def test_delete_where_keeps_null_keyed_rows(spark, tmp_path):
+    """SQL DELETE semantics: a NULL key never satisfies BETWEEN, so
+    NULL-keyed rows in candidate files SURVIVE the rewrite and the
+    report's deleted/rewritten split accounts for them."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    df = spark.createDataFrame(
+        [(1,), (5,), (None,), (9,)], "k long"
+    ).repartition(1)
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(df)
+    m = t.delete_where("k", 4, 6)
+    assert m["rows_deleted"] == 1          # only k=5
+    assert m["rows_rewritten"] == 3        # 1, NULL, 9 survive
+    got = sorted(
+        (r.k if r.k is not None else -1) for r in t.snapshot().collect()
+    )
+    assert got == [-1, 1, 9]
