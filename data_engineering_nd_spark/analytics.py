@@ -3280,3 +3280,466 @@ def q81_hll_grouped_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+# --------------------------------------------------------------------------
+# q83 — grouped linear regression (closed-form OLS): the per-segment trend
+# primitive (price-vs-quantity elasticity, tokens-vs-docs growth). One
+# hash-agg produces the five sufficient statistics; slope/intercept/r2 are
+# a fixed arithmetic tree over them, so a 100 TB fit costs exactly one
+# shuffle and the model math never sees a second pass over the data.
+# --------------------------------------------------------------------------
+
+# The sufficient-statistic sums accumulate in DECIMAL (exact, order-free)
+# and emit DOUBLE; every downstream op is the SAME IEEE expression tree on
+# both engines, so slope/intercept/r2 are bit-identical before rounding.
+_LINREG_STATS_SQL = """
+    s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS sy,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,4)))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,4)))
+                    AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                             AS DECIMAL(30,4))) AS DOUBLE) AS syy
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    t AS (
+        SELECT l_returnflag, n_rows, n, sx, sy,
+               (n * sxy - sx * sy) AS cov_n,
+               (n * sxx - sx * sx) AS varx_n,
+               (n * syy - sy * sy) AS vary_n
+        FROM s
+    )
+"""
+
+
+@query(
+    "q83_grouped_linreg",
+    oracle=f"""
+    WITH {_LINREG_STATS_SQL}
+    SELECT l_returnflag,
+           n_rows,
+           floor((cov_n / varx_n) * 1000000.0 + 0.5) / 1000000.0 AS slope,
+           floor(((sy - (cov_n / varx_n) * sx) / n) * 1000000.0 + 0.5)
+               / 1000000.0 AS intercept,
+           floor(((cov_n * cov_n) / (varx_n * vary_n)) * 1000000.0 + 0.5)
+               / 1000000.0 AS r2
+    FROM t
+    """,
+)
+def q83_grouped_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag OLS of extendedprice on quantity from the five
+    closed-form sufficient statistics (n, Sx, Sy, Sxx, Sxy, Syy):
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2), intercept from the means,
+    r2 = cov^2 / (varx * vary). Products of a <=2-decimal price with an
+    integral quantity have <=2 true decimals, so the DECIMAL(30,4) casts
+    land far from any rounding boundary; the sums are exact and the model
+    arithmetic is the identical IEEE tree in both engines (registry
+    determinism rules). floor-based half-up keeps the 6-dp display
+    rounding cross-engine exact (functions/numeric.py).
+
+    Scale shape: ONE map-side-combinable hash-agg over the fact table —
+    the regression itself is free. This is the segmented-trend shape
+    (Capstone/README.md:21-30's "monthly trends" questions) fitted
+    in-warehouse instead of in a notebook."""
+    li = load(spark, "lineitem", sf_dir)
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(F.col("l_quantity")).alias("sx"),
+        dsum(F.col("l_extendedprice")).alias("sy"),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(30,4)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(
+            (F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(30,4)")
+        )
+        .cast("double")
+        .alias("sxy"),
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_extendedprice")).cast(
+                "decimal(30,4)"
+            )
+        )
+        .cast("double")
+        .alias("syy"),
+    )
+    from data_engineering_nd_spark.functions.numeric import round_half_up
+
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx_n = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_n = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope_raw = cov_n / varx_n
+    return s.select(
+        "l_returnflag",
+        "n_rows",
+        round_half_up(slope_raw, 6).alias("slope"),
+        round_half_up(
+            (F.col("sy") - slope_raw * F.col("sx")) / F.col("n"), 6
+        ).alias("intercept"),
+        round_half_up((cov_n * cov_n) / (varx_n * vary_n), 6).alias("r2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q84 — KMV (k minimum values) distinct sketch with SET OPERATIONS: the
+# third sketch family next to CMS (q69, "how often") and HLL (q74, "how
+# many distinct"). KMV's extra power is estimating UNION / INTERSECTION /
+# Jaccard between sketches (Beyer et al., "On Synopses for Distinct-Value
+# Estimation Under Multiset Operations", SIGMOD 2007) — HLL registers
+# cannot intersect. Same md5-derived hash as the other sketches, so build
+# AND estimator arithmetic are SQL-mirrorable and value-hash verified.
+# --------------------------------------------------------------------------
+
+_KMV_K = 256
+_KMV_SPACE = float(1 << 60)  # md5 60-bit prefix space, exact as a double
+
+
+@query(
+    "q84_kmv_distinct",
+    oracle=f"""
+    WITH ha AS (
+        SELECT DISTINCT CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)),
+                                                 1, 15)) AS BIGINT) AS h
+        FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1996
+    ),
+    hb AS (
+        SELECT DISTINCT CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)),
+                                                 1, 15)) AS BIGINT) AS h
+        FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1997
+    ),
+    ak AS (SELECT h FROM ha ORDER BY h LIMIT {_KMV_K}),
+    bk AS (SELECT h FROM hb ORDER BY h LIMIT {_KMV_K}),
+    uk AS (
+        SELECT h FROM (SELECT h FROM ak UNION SELECT h FROM bk) u
+        ORDER BY h LIMIT {_KMV_K}
+    ),
+    sa AS (SELECT COUNT(*) AS cnt, MAX(h) AS kth FROM ak),
+    sb AS (SELECT COUNT(*) AS cnt, MAX(h) AS kth FROM bk),
+    su AS (SELECT COUNT(*) AS cnt, MAX(h) AS kth FROM uk),
+    ov AS (
+        SELECT COUNT(*) AS n FROM uk
+        WHERE h IN (SELECT h FROM ak) AND h IN (SELECT h FROM bk)
+    ),
+    ex AS (
+        SELECT (SELECT COUNT(*) FROM ha) AS a_exact,
+               (SELECT COUNT(*) FROM hb) AS b_exact,
+               (SELECT COUNT(*) FROM ha JOIN hb USING (h)) AS i_exact
+    ),
+    est AS (
+        SELECT
+            CASE WHEN sa.cnt < {_KMV_K} THEN CAST(sa.cnt AS DOUBLE)
+                 ELSE {_KMV_K - 1}.0 * {_KMV_SPACE:.1f} / CAST(sa.kth AS DOUBLE)
+            END AS a_raw,
+            CASE WHEN sb.cnt < {_KMV_K} THEN CAST(sb.cnt AS DOUBLE)
+                 ELSE {_KMV_K - 1}.0 * {_KMV_SPACE:.1f} / CAST(sb.kth AS DOUBLE)
+            END AS b_raw,
+            CASE WHEN su.cnt < {_KMV_K} THEN CAST(su.cnt AS DOUBLE)
+                 ELSE {_KMV_K - 1}.0 * {_KMV_SPACE:.1f} / CAST(su.kth AS DOUBLE)
+            END AS u_raw,
+            CAST(ov.n AS DOUBLE) / CAST(su.cnt AS DOUBLE) AS jacc_raw,
+            sa.kth AS a_kth, sb.kth AS b_kth, su.kth AS u_kth,
+            CAST(ov.n AS BIGINT) AS overlap_k
+        FROM sa, sb, su, ov
+    )
+    SELECT CAST({_KMV_K} AS INT) AS k,
+           CAST(ex.a_exact AS BIGINT) AS a_exact,
+           CAST(ex.b_exact AS BIGINT) AS b_exact,
+           CAST(ex.i_exact AS BIGINT) AS i_exact,
+           est.a_kth, est.b_kth, est.u_kth, est.overlap_k,
+           floor(est.a_raw * 10000.0 + 0.5) / 10000.0 AS a_est,
+           floor(est.b_raw * 10000.0 + 0.5) / 10000.0 AS b_est,
+           floor(est.u_raw * 10000.0 + 0.5) / 10000.0 AS union_est,
+           floor(est.jacc_raw * 1000000.0 + 0.5) / 1000000.0 AS jaccard_est,
+           floor(est.jacc_raw * est.u_raw * 10000.0 + 0.5) / 10000.0
+               AS intersect_est
+    FROM est, ex
+    """,
+)
+def q84_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketches of the distinct 1996- and 1997-customer sets, merged:
+    distinct estimate (k-1) * 2^60 / h_(k) per set, union sketch = k
+    smallest of the sketch union, Jaccard = |merged sketch elements in
+    BOTH sketches| / |merged sketch|, intersection = Jaccard x union —
+    the overlap arithmetic HLL registers cannot express. Exact counts
+    ride along so the report is self-grading. When a set has fewer than k
+    distinct hashes the sketch IS the set and the exact count is emitted
+    (both engines take the same CASE branch).
+
+    Determinism: hashes are exact md5-prefix BIGINTs; kth-min / overlap
+    counts are integers; estimates are one IEEE division of exact values,
+    identical tree both engines, floor-rounded for display.
+
+    Scale shape: per-set k-min is sorted-LIMIT — Spark plans
+    TakeOrderedAndProject (per-partition heap of k, merge of per-partition
+    heads), never a global sort; sketch-on-sketch ops touch <= 3k rows.
+    At 100 TB each day's sketch is k BIGINTs: union-merge is
+    re-sort + limit, no re-scan of history — same warehouse-rollup story
+    as the q81 HLL register merge, plus intersections."""
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+    from data_engineering_nd_spark.functions.numeric import round_half_up
+
+    o = load(spark, "orders", sf_dir)
+    h = md5_prefix_long(F.col("o_custkey").cast("string"), 15)
+
+    def year_set(y: int) -> DataFrame:
+        return (
+            o.filter(F.year(F.col("o_orderdate").cast("date")) == y)
+            .select(h.alias("h"))
+            .distinct()
+        )
+
+    ha, hb = year_set(1996), year_set(1997)
+    ak = ha.orderBy("h").limit(_KMV_K).localCheckpoint()
+    bk = hb.orderBy("h").limit(_KMV_K).localCheckpoint()
+    uk = (
+        ak.unionByName(bk).distinct().orderBy("h").limit(_KMV_K).localCheckpoint()
+    )
+
+    def sketch_stats(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias(f"{tag}_cnt"),
+            F.max("h").alias(f"{tag}_kth"),
+        )
+
+    sa = sketch_stats(ak, "a")
+    sb = sketch_stats(bk, "b")
+    su = sketch_stats(uk, "u")
+    ov = (
+        uk.join(ak, "h", "semi")
+        .join(bk, "h", "semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("overlap_k"))
+    )
+    ex = (
+        ha.join(hb, "h", "semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i_exact"))
+        .crossJoin(ha.agg(F.count(F.lit(1)).cast("bigint").alias("a_exact")))
+        .crossJoin(hb.agg(F.count(F.lit(1)).cast("bigint").alias("b_exact")))
+    )
+    row = (
+        sa.crossJoin(sb).crossJoin(su).crossJoin(ov).crossJoin(F.broadcast(ex))
+    )
+
+    def raw_est(tag: str) -> Column:
+        return F.when(
+            F.col(f"{tag}_cnt") < _KMV_K, F.col(f"{tag}_cnt").cast("double")
+        ).otherwise(
+            F.lit(float(_KMV_K - 1))
+            * F.lit(_KMV_SPACE)
+            / F.col(f"{tag}_kth").cast("double")
+        )
+
+    jacc_raw = F.col("overlap_k").cast("double") / F.col("u_cnt").cast("double")
+    return row.select(
+        F.lit(_KMV_K).cast("int").alias("k"),
+        "a_exact",
+        "b_exact",
+        "i_exact",
+        "a_kth",
+        "b_kth",
+        "u_kth",
+        "overlap_k",
+        round_half_up(raw_est("a"), 4).alias("a_est"),
+        round_half_up(raw_est("b"), 4).alias("b_est"),
+        round_half_up(raw_est("u"), 4).alias("union_est"),
+        round_half_up(jacc_raw, 6).alias("jaccard_est"),
+        round_half_up(jacc_raw * raw_est("u"), 4).alias("intersect_est"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q85 — time-decayed aggregates: recency-weighted revenue per priority with
+# a 180-day half-life. The decay weight is DYADIC — 2^-floor(age/180) via
+# an integer bit shift — so the weight itself is EXACT in both engines (a
+# power of two scales a double's exponent only), term rounding is the only
+# quantization, and the e6-scaled BIGINT accumulation makes the sum
+# order-free (registry determinism rules; same pattern as BM25/PQ scores).
+# --------------------------------------------------------------------------
+_DECAY_ANCHOR = "2001-09-01"    # first month after max(o_orderdate)
+_DECAY_HALF_LIFE_DAYS = 180
+
+
+@query(
+    "q85_decayed_revenue",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderpriority AS priority,
+               o_totalprice,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                              DATE '{_DECAY_ANCHOR}') AS BIGINT)
+                   // {_DECAY_HALF_LIFE_DAYS} AS k
+        FROM orders
+    ),
+    terms AS (
+        SELECT priority, o_totalprice,
+               CAST(floor(o_totalprice
+                          / CAST(CAST(1 AS BIGINT) << k AS DOUBLE)
+                          * 1000000.0 + 0.5) AS BIGINT) AS term_e6
+        FROM base
+    )
+    SELECT priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue_total,
+           CAST(SUM(term_e6) AS BIGINT) AS revenue_decayed_e6,
+           CAST(SUM(term_e6) AS DOUBLE) / 1000000.0 AS revenue_decayed,
+           floor((CAST(SUM(term_e6) AS DOUBLE) / 1000000.0)
+                 / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS retention_ratio
+    FROM terms GROUP BY priority
+    """,
+)
+def q85_decayed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted revenue per order priority: each order
+    contributes totalprice * 2^-floor(age_days / 180) — a half-life decay
+    whose weights halve every 180 days from the 2001-09-01 anchor. The
+    feature-engineering shape behind "recent activity" signals (decayed
+    engagement counters, freshness-weighted corpus mixes): a plain
+    hash-agg, no window, because the decay depends on the anchor, not on
+    neighboring rows.
+
+    Determinism: the weight divisor is an integer bit shift (exact), the
+    per-term product is one IEEE op, each TERM is floor-rounded to e6 and
+    accumulated as BIGINT, so neither engine's summation order matters.
+    retention_ratio = decayed / undecayed revenue (how "fresh" each
+    priority's revenue mix is).
+
+    Scale shape: one map-side-combinable hash-agg over orders; the decay
+    math is whole-stage-codegen arithmetic on the scan. Refreshing the
+    anchor daily re-scans nothing if revenue is stored e6-scaled per
+    (priority, age-bucket): rolling the anchor forward one bucket is a
+    BIGINT shift per bucket — the same merge-not-rescan story as the
+    sketch family."""
+    o = load(spark, "orders", sf_dir)
+    days = F.datediff(
+        F.lit(_DECAY_ANCHOR).cast("date"), F.col("o_orderdate").cast("date")
+    ).cast("bigint")
+    base = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_totalprice",
+        days.alias("days"),
+    ).withColumn("k", F.expr(f"days DIV {_DECAY_HALF_LIFE_DAYS}"))
+    terms = base.select(
+        "priority",
+        "o_totalprice",
+        F.floor(
+            F.col("o_totalprice")
+            / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(k AS INT)) AS DOUBLE)")
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("term_e6"),
+    )
+    sum_e6 = F.sum("term_e6").cast("bigint")
+    total = dsum(F.col("o_totalprice"))
+    from data_engineering_nd_spark.functions.numeric import round_half_up
+
+    return terms.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        total.alias("revenue_total"),
+        sum_e6.alias("revenue_decayed_e6"),
+        (sum_e6.cast("double") / F.lit(1000000.0)).alias("revenue_decayed"),
+        round_half_up(
+            (sum_e6.cast("double") / F.lit(1000000.0)) / total, 6
+        ).alias("retention_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q86 — last-touch attribution: each purchase is credited to the user's
+# most recent click/view in the preceding hour, else 'direct'. The batch
+# mirror of the streaming click->purchase join (streaming/queries.py:278)
+# — same business rule, replayable over history, and the shape marketing
+# warehouses run nightly at fact-table scale.
+# --------------------------------------------------------------------------
+@query(
+    "q86_last_touch_attribution",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS pid, user_id, ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+        SELECT event_id AS tid, user_id, ts, event_type
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    ranked AS (
+        SELECT p.pid, t.event_type,
+               row_number() OVER (PARTITION BY p.pid
+                                  ORDER BY t.ts DESC, t.tid DESC) AS rn
+        FROM p JOIN t
+          ON p.user_id = t.user_id
+         AND t.ts < p.ts
+         AND t.ts >= p.ts - INTERVAL 1 HOUR
+    ),
+    best AS (SELECT pid, event_type FROM ranked WHERE rn = 1)
+    SELECT COALESCE(b.event_type, 'direct') AS channel,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(p.value AS DECIMAL(18,4))) AS DOUBLE)
+               AS attributed_value
+    FROM p LEFT JOIN best b ON p.pid = b.pid
+    GROUP BY 1
+    """,
+)
+def q86_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase revenue attributed to the last qualifying touch (click or
+    view) by the same user within the preceding hour; purchases with no
+    touch in the window are 'direct'. The winning touch is the row_number
+    = 1 row under the TOTAL order (ts DESC, event_id DESC) — microsecond
+    timestamps compare exactly and the unique id breaks equal-timestamp
+    ties, so attribution is engine- and rerun-exact. Values accumulate in
+    DECIMAL (order-free) before the double emit.
+
+    Scale shape: the candidate join is an equi-join on user_id with the
+    hour range as a pushed residual — per-user event counts bound the
+    fan-out, and the per-purchase window partitions by purchase id, so no
+    global sort anywhere. At 100 TB you additionally bucket both sides by
+    user_id (bucketing.py) to co-locate the join, and the hour bound maps
+    to day-partition pruning on the touch scan (scan yesterday+today, not
+    history)."""
+    ev = load(spark, "events", sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    t = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("tid"),
+        F.col("user_id"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type"),
+    )
+    cand = p.join(
+        t,
+        (p["user_id"] == t["user_id"])
+        & (t["t_ts"] < p["p_ts"])
+        & (t["t_ts"] >= p["p_ts"] - F.expr("INTERVAL 1 HOUR")),
+    )
+    w = Window.partitionBy("pid").orderBy(
+        F.col("t_ts").desc(), F.col("tid").desc()
+    )
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("pid", "event_type")
+    )
+    return (
+        p.join(best, "pid", "left")
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("direct")).alias("channel"),
+            "value",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dsum(F.col("value")).alias("attributed_value"),
+        )
+    )

@@ -201,6 +201,10 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "graph_personalized_pagerank",
         "tbl_delete_report",
         "q82_point_in_time_join",
+        "q83_grouped_linreg",
+        "q84_kmv_distinct",
+        "q85_decayed_revenue",
+        "q86_last_touch_attribution",
     ], 8),
 }
 
