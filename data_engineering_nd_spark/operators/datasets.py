@@ -2887,3 +2887,194 @@ def tbl_delete_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix: behavioral sequence statistics from the event
+# log — P(next event type | current event type) per user journey. The
+# model behind next-action prediction features, funnel-drop diagnostics,
+# and synthetic-sequence generation for training data.
+# ---------------------------------------------------------------------------
+
+
+def markov_transitions(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order transition counts and probabilities over per-entity
+    event sequences: for each (from_state, to_state), how many times a
+    ``to_state`` event immediately follows a ``from_state`` event in the
+    same entity's timeline, and the row-normalized probability.
+
+    The sequence order is the TOTAL order (ts, tiebreak) — microsecond
+    timestamps compare exactly and the unique id breaks ties — so the
+    lag-1 pairing is engine- and rerun-exact. Probabilities are one IEEE
+    division of exact counts, floor-rounded for display.
+
+    Scale shape: one shuffle on the entity key for the lead() window
+    (per-entity partitions, no global sort), then one map-side-combinable
+    hash-agg to the S x S transition matrix (S = distinct states — tiny).
+    The matrix itself is mergeable across days by summing counts, so the
+    daily 100 TB refresh is count-merge, not re-scan."""
+    from pyspark.sql.window import Window
+
+    from data_engineering_nd_spark.functions.numeric import round_half_up
+
+    w = Window.partitionBy(entity_col).orderBy(ts_col, tiebreak_col)
+    trans = (
+        events.select(entity_col, ts_col, tiebreak_col, state_col)
+        .withColumn("to_state", F.lead(state_col).over(w))
+        .filter(F.col("to_state").isNotNull())
+        .groupBy(
+            F.col(state_col).alias("from_state"), F.col("to_state")
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    totals = trans.groupBy("from_state").agg(
+        F.sum("n_transitions").cast("bigint").alias("n_from")
+    )
+    return trans.join(F.broadcast(totals), "from_state").select(
+        "from_state",
+        "to_state",
+        F.col("n_transitions").cast("bigint").alias("n_transitions"),
+        "n_from",
+        round_half_up(
+            F.col("n_transitions").cast("double") / F.col("n_from").cast("double"),
+            6,
+        ).alias("p"),
+    )
+
+
+@query(
+    "ds_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS from_state,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_state
+        FROM events
+    ),
+    trans AS (
+        SELECT from_state, to_state, COUNT(*) AS n_transitions
+        FROM seq WHERE to_state IS NOT NULL
+        GROUP BY from_state, to_state
+    ),
+    totals AS (
+        SELECT from_state, CAST(SUM(n_transitions) AS BIGINT) AS n_from
+        FROM trans GROUP BY from_state
+    )
+    SELECT t.from_state, t.to_state,
+           CAST(t.n_transitions AS BIGINT) AS n_transitions,
+           tt.n_from,
+           floor(CAST(t.n_transitions AS DOUBLE) / CAST(tt.n_from AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS p
+    FROM trans t JOIN totals tt USING (from_state)
+    """,
+)
+def ds_markov_transitions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 5x5 event-type transition matrix over every user journey in the
+    event log, with exact counts and row-normalized probabilities."""
+    ev = load(spark, "events", sf_dir)
+    return markov_transitions(ev)
+
+
+# ---------------------------------------------------------------------------
+# Time travel: VERSION AS OF reads must reproduce EXACT historical states
+# even after later commits rewrote or deleted the data
+# ---------------------------------------------------------------------------
+
+@query(
+    "tbl_time_travel",
+    # v0 = the % 7 != 0 slice; v1 = MERGE (inserts the % 7 keys, rewrites
+    # the % 5 & !% 7 payloads); v2 = DELETE doc_id BETWEEN 0 AND 49. The
+    # oracle restates each version's full contents from the same modulus
+    # arithmetic; the versioned reads must reproduce every row set and
+    # payload EXACTLY — including v0/v1 rows that v2 deleted and v0
+    # payloads that v1 overwrote (copy-on-write, never in-place).
+    oracle="""
+    WITH v0 AS (
+        SELECT doc_id, md5(text) AS payload FROM documents WHERE doc_id % 7 <> 0
+    ),
+    v1 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 AND doc_id % 7 <> 0
+                    THEN md5(md5(text) || ':v2') ELSE md5(text) END AS payload
+        FROM documents
+    ),
+    v2 AS (
+        SELECT doc_id, payload FROM v1 WHERE doc_id NOT BETWEEN 0 AND 49
+    ),
+    audit AS (
+        SELECT 0 AS version, * FROM v0
+        UNION ALL SELECT 1, * FROM v1
+        UNION ALL SELECT 2, * FROM v2
+    )
+    SELECT CAST(version AS INT) AS version,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))
+                         AS BIGINT)) AS BIGINT) AS key_checksum,
+           CAST(SUM(CAST(concat('0x', substr(md5(payload), 1, 10))
+                         AS BIGINT)) AS BIGINT) AS payload_checksum
+    FROM audit
+    GROUP BY version
+    """,
+)
+def tbl_time_travel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over a 3-commit VersionedTable: commit the standing
+    slice (v0), MERGE a batch of inserts + payload rewrites (v1), DELETE
+    a key range (v2), then read ALL THREE versions back and emit one
+    audit row per version (row count, key checksum, payload checksum).
+    The oracle restates every version's contents from the fixture's
+    modulus arithmetic, so the value hash proves snapshot isolation: the
+    merge did not mutate v0's files, the delete did not mutate v1's —
+    copy-on-write all the way down, the Delta/Iceberg VERSION AS OF
+    contract.
+
+    Scale shape: each versioned read lists the manifest of that version
+    and scans only its files; the audit is one hash-agg per version.
+    History cost is bounded by vacuum(retain_last) — time travel reads
+    stay O(version's own files), never O(history)."""
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    docs = load(spark, "documents", sf_dir).select(
+        "doc_id", F.md5("text").alias("payload")
+    )
+    base = docs.filter(F.col("doc_id") % 7 != 0)
+    inserts = docs.filter(F.col("doc_id") % 7 == 0)
+    rewrites = docs.filter(
+        (F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 7 != 0)
+    ).withColumn("payload", F.md5(F.concat(F.col("payload"), F.lit(":v2"))))
+
+    work = tempfile.mkdtemp(prefix="tbl_time_travel_")
+    try:
+        table = VersionedTable(spark, work)
+        table.commit(base)                                      # v0
+        table.merge(inserts.unionByName(rewrites), ["doc_id"])  # v1
+        table.delete_where("doc_id", 0, 49)                     # v2
+        audits = []
+        for v in (0, 1, 2):
+            snap = table.snapshot(version=v)
+            audits.append(
+                snap.agg(
+                    F.lit(v).cast("int").alias("version"),
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum(md5_prefix_long(F.col("doc_id").cast("string")))
+                    .cast("bigint")
+                    .alias("key_checksum"),
+                    F.sum(md5_prefix_long(F.col("payload")))
+                    .cast("bigint")
+                    .alias("payload_checksum"),
+                ).select("version", "n_rows", "key_checksum", "payload_checksum")
+            )
+        out = audits[0].unionByName(audits[1]).unionByName(audits[2])
+        # output-sized (3 rows); materialize so the scratch table can go
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

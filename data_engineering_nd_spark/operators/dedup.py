@@ -1569,3 +1569,96 @@ def dedup_incremental_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # candidates are checkpointed inside the operator; the returned
         # plan reads only the documents table and in-memory blocks
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Containment (asymmetric near-dup): |A ∩ B| / |A| — catches SUBSET
+# duplicates Jaccard misses. A 40-token quote pasted inside a 4000-token
+# page has Jaccard ~0.01 but containment ~1.0; training-data pipelines
+# drop (or down-weight) the contained side. Broder's "containment" measure
+# from the same resemblance paper the MinHash kernel cites (Broder 1997).
+# ---------------------------------------------------------------------------
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Directed token-set containment over all pairs sharing ``block_col``:
+    (doc_id, contained_in, containment) where containment(A in B) =
+    |A ∩ B| / |A| >= threshold and doc_id != contained_in. Directed — a
+    near-equal pair qualifies in BOTH directions, a quote-in-page pair in
+    one.
+
+    The threshold test is INTEGER arithmetic (inter * 1/t >= |A| scaled),
+    so no float compare sits on the keep/drop boundary; the ratio is
+    rounded only for display. Same one-shuffle block-join shape as
+    :func:`jaccard_pairs` (quadratic per block by design — run inside LSH
+    buckets / source shards at corpus scale, like the verify step of
+    minhash_lsh_pairs)."""
+    # integer threshold: inter/|A| >= num/den  <=>  inter*den >= |A|*num
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(1000)
+    num, den = frac.numerator, frac.denominator
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("block"),
+        F.array_distinct(tokens(text_col)).alias("toks"),
+    )
+    a = sets.alias("a")
+    b = sets.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    size_a = F.size(F.col("a.toks"))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .filter(inter * F.lit(den) >= size_a * F.lit(num))
+        .select(
+            F.col("a.id").alias("doc_id"),
+            F.col("b.id").alias("contained_in"),
+            size_a.cast("int").alias("n_tokens"),
+            F.size(F.col("b.toks")).cast("int").alias("n_tokens_super"),
+            inter.cast("int").alias("n_common"),
+            F.round(inter.cast("double") / size_a.cast("double"), 6).alias(
+                "containment"
+            ),
+        )
+    )
+
+
+@query(
+    "dedup_containment",
+    oracle=r"""
+    WITH sets AS (
+        SELECT doc_id AS id,
+               lang AS block,
+               list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+        FROM documents
+        WHERE doc_id < 200
+    )
+    SELECT a.id AS doc_id,
+           b.id AS contained_in,
+           CAST(len(a.toks) AS INT) AS n_tokens,
+           CAST(len(b.toks) AS INT) AS n_tokens_super,
+           CAST(len(list_intersect(a.toks, b.toks)) AS INT) AS n_common,
+           round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / CAST(len(a.toks) AS DOUBLE), 6) AS containment
+    FROM sets a
+    JOIN sets b ON a.block = b.block AND a.id <> b.id
+    WHERE len(list_intersect(a.toks, b.toks)) * 5 >= len(a.toks) * 4
+    """,
+)
+def dedup_containment_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment >= 0.8 over the same blocked doc_id < 200
+    corpus slice as the Jaccard family — the subset-duplicate report
+    (which docs are mostly inside another doc). Same sets construction as
+    PAIR_EDGE_CTES, so the oracle shares its tokenization exactly."""
+    docs = load(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    return containment_pairs(docs, "doc_id", "text", "lang", threshold=0.8)

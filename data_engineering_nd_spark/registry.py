@@ -205,6 +205,9 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "q84_kmv_distinct",
         "q85_decayed_revenue",
         "q86_last_touch_attribution",
+        "dedup_containment",
+        "ds_markov_transitions",
+        "tbl_time_travel",
     ], 8),
 }
 

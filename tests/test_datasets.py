@@ -535,3 +535,42 @@ def test_weighted_priority_sample_favors_heavy_rows(spark):
     # rows' ceiling (w * 2^40 / 1 for the best-possible light hash is
     # ~2^40; heavy's floor is ~w >> 20)
     assert by_rank[1].priority > by_rank[2].priority
+
+
+def test_markov_transitions_counts_and_probs(spark):
+    """Known journeys -> exact transition counts; equal-ts ties resolve
+    by event_id; probabilities row-normalize."""
+    import datetime
+
+    from data_engineering_nd_spark.operators.datasets import markov_transitions
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    rows = [
+        # u1: view -> click -> purchase
+        (1, ts(0), 1, "view"),
+        (2, ts(1), 1, "click"),
+        (3, ts(2), 1, "purchase"),
+        # u2: view -> view (same ts: event_id orders 4 then 5) -> click
+        (4, ts(0), 2, "view"),
+        (5, ts(0), 2, "view"),
+        (6, ts(1), 2, "click"),
+        # u3: single event, no transition
+        (7, ts(0), 3, "click"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    out = {
+        (r.from_state, r.to_state): r for r in markov_transitions(df).collect()
+    }
+    assert out[("view", "click")].n_transitions == 2
+    assert out[("view", "view")].n_transitions == 1
+    assert out[("click", "purchase")].n_transitions == 1
+    assert ("click", "click") not in out  # u3 contributes nothing
+    # row normalization: from 'view' there are 3 transitions total
+    assert out[("view", "click")].n_from == 3
+    assert abs(out[("view", "click")].p - 2 / 3) < 1e-6
+    assert abs(out[("view", "view")].p - 1 / 3) < 1e-6
+    assert out[("click", "purchase")].p == 1.0

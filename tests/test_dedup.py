@@ -322,3 +322,32 @@ def test_incremental_dedup_matches_one_shot_and_merges_index(spark, tmp_path):
     idx_ids = {r.id for r in table.snapshot().select("id").distinct().collect()}
     all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
     assert idx_ids == all_ids
+
+
+def test_containment_detects_subset_duplicates(spark):
+    """A quote wholly inside a longer page: containment flags the
+    quote->page direction Jaccard misses; near-equal docs flag BOTH
+    directions; sub-threshold overlap flags neither."""
+    from data_engineering_nd_spark.operators.dedup import containment_pairs
+
+    page = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "alpha beta gamma delta epsilon", "en"),   # 5 toks, all in page
+        (2, page, "en"),                                # 10 toks
+        (3, page + " extra", "en"),                     # 11 toks, ~page
+        (4, "alpha omega psi chi phi", "en"),           # 1/5 overlap w/ page
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {
+        (r.doc_id, r.contained_in): r
+        for r in containment_pairs(df, "doc_id", "text", "lang", 0.8).collect()
+    }
+    # quote in page: one direction only
+    assert (1, 2) in out and (2, 1) not in out
+    assert out[(1, 2)].containment == 1.0
+    assert out[(1, 2)].n_tokens == 5 and out[(1, 2)].n_tokens_super == 10
+    # near-equal pages: both directions (10/10 and 10/11)
+    assert (2, 3) in out and (3, 2) in out
+    assert out[(3, 2)].containment == round(10 / 11, 6)
+    # low overlap: absent entirely
+    assert not any(4 in k for k in out)

@@ -418,3 +418,30 @@ def test_delete_where_keeps_null_keyed_rows(spark, tmp_path):
         (r.k if r.k is not None else -1) for r in t.snapshot().collect()
     )
     assert got == [-1, 1, 9]
+
+
+def test_time_travel_reads_exact_historical_states(spark, tmp_path):
+    """Each VERSION AS OF read reproduces that version's exact rows and
+    payloads, even after later merge/delete commits rewrote them."""
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "tt"))
+    v0 = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(10)], ["k", "payload"]
+    )
+    t.commit(v0)
+    t.merge(
+        spark.createDataFrame(
+            [(5, "p5-new"), (10, "p10")], ["k", "payload"]
+        ),
+        ["k"],
+    )
+    t.delete_where("k", 0, 4)
+
+    s0 = {r.k: r.payload for r in t.snapshot(version=0).collect()}
+    s1 = {r.k: r.payload for r in t.snapshot(version=1).collect()}
+    s2 = {r.k: r.payload for r in t.snapshot(version=2).collect()}
+    assert s0 == {i: f"p{i}" for i in range(10)}          # pre-merge payloads
+    assert s1[5] == "p5-new" and s1[10] == "p10" and len(s1) == 11
+    assert set(s2) == {5, 6, 7, 8, 9, 10}                 # 0-4 deleted
+    assert s2[5] == "p5-new"
