@@ -3707,19 +3707,19 @@ def q86_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, "events", sf_dir)
     p = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("pid"),
-        F.col("user_id"),
+        F.col("user_id").alias("p_user"),
         F.col("ts").alias("p_ts"),
         "value",
     )
     t = ev.filter(F.col("event_type").isin("click", "view")).select(
         F.col("event_id").alias("tid"),
-        F.col("user_id"),
+        F.col("user_id").alias("t_user"),
         F.col("ts").alias("t_ts"),
         F.col("event_type"),
     )
     cand = p.join(
         t,
-        (p["user_id"] == t["user_id"])
+        (p["p_user"] == t["t_user"])
         & (t["t_ts"] < p["p_ts"])
         & (t["t_ts"] >= p["p_ts"] - F.expr("INTERVAL 1 HOUR")),
     )

@@ -102,6 +102,12 @@ HEADLINERS = [
     "ds_weighted_sample",
     "graph_personalized_pagerank",
     "q82_point_in_time_join",
+    "q83_grouped_linreg",
+    "q84_kmv_distinct",
+    "q85_decayed_revenue",
+    "q86_last_touch_attribution",
+    "dedup_containment",
+    "ds_markov_transitions",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -130,7 +136,7 @@ def _auto_extend_headliners() -> None:
     # audit rows, so their explained plan is trivially Scan ExistingRDD
     skip = {"i94_pipeline_run", "tbl_snapshot_diff", "tbl_skipping_report",
             "tbl_zorder_report", "text_incremental_bm25",
-            "tbl_delete_report"}
+            "tbl_delete_report", "tbl_time_travel"}
     slow = sorted(prev, key=prev.get, reverse=True)
     for name in [n for n in slow[:10] if prev[n] >= 1.0]:
         if name not in HEADLINERS and not name.startswith("stream_") and name not in skip:
@@ -228,6 +234,12 @@ EXPECTED_FLAGS = {
         "the 64-row PQ codebook (broadcast) — bounded by codebook sizes, "
         "never by data; the ADC probe joins codes against the broadcast "
         "per-(query, probed-cell) LUT"
+    ),
+    "q84_kmv_distinct": (
+        "the cross joins combine the 1-row sketch-stat aggregates (k-th "
+        "min and count per sketch, overlap count, exact counts) into the "
+        "single report row — every side bounded at one row by "
+        "construction"
     ),
     "dedup_lsh_recall": (
         "the cross join IS the exact all-pairs ground truth of the "
