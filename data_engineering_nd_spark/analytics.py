@@ -3743,3 +3743,116 @@ def q86_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("value")).alias("attributed_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q87 — skyline (Pareto frontier): parts no other part beats on BOTH price
+# (lower better) and size (higher better). The textbook formulation is a
+# quadratic NOT-EXISTS anti-join; the scalable one is a PREFIX-MAX over
+# the price order — a point is dominated iff some strictly-cheaper point
+# has size >= its own, or a same-price point has size strictly greater.
+# Implemented as the DISTRIBUTED two-pass prefix-max (range-bucket the
+# price axis; per-bucket running max in parallel windows; carry bucket
+# boundary maxima through one tiny window), so no global single-partition
+# sort ever materializes. The oracle states the same frontier from the
+# single global-window formulation — equivalent by construction.
+# --------------------------------------------------------------------------
+
+_SKYLINE_BUCKETS = 32
+
+
+@query(
+    "q87_skyline_pareto",
+    oracle="""
+    WITH pts AS (
+        SELECT p_partkey,
+               CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS price_e2,
+               p_size, p_retailprice
+        FROM part
+    ),
+    w AS (
+        SELECT p_partkey, p_retailprice, p_size, price_e2,
+               max(p_size) OVER (ORDER BY price_e2
+                                 RANGE BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) AS cheaper_max,
+               max(p_size) OVER (PARTITION BY price_e2) AS same_price_max
+        FROM pts
+    )
+    SELECT p_partkey, p_retailprice, CAST(p_size AS INT) AS p_size
+    FROM w
+    WHERE (cheaper_max IS NULL OR p_size > cheaper_max)
+      AND p_size = same_price_max
+    """,
+)
+def q87_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-optimal parts (minimize retailprice, maximize size).
+
+    Dominance: x dominates y iff price_x <= price_y AND size_x >= size_y
+    with at least one strict. Keep y iff (a) no strictly-cheaper point
+    reaches its size — size_y > max(size) over price < price_y — and (b)
+    no same-price point strictly exceeds it — size_y = max(size) over its
+    exact price. Prices are compared at exact e2 BIGINTs (2-decimal money;
+    floor-half-up), so "strictly cheaper" is integer arithmetic.
+
+    Scale shape: the prefix-max is bucketed — price_e2 range-buckets by
+    INTEGER arithmetic from the global bounds (deterministic, unlike
+    sampled repartitionByRange), each bucket computes its running max in
+    a parallel window partition, and cross-bucket carry is a prefix-max
+    over the <= 32-row bucket-maxima frame (the only global window, data-
+    independent in size). Total cost: one bounds agg + one shuffle on the
+    bucket key + one broadcast join — survives any SF; the quadratic
+    NOT-EXISTS it replaces does not. Two dims only by design: for d >= 3
+    the frontier loses the 1-D sort structure and you block on a grid
+    instead (same bucket trick, d axes).
+    """
+    pt = load(spark, "part", sf_dir)
+    pts = pt.select(
+        "p_partkey",
+        "p_retailprice",
+        "p_size",
+        F.floor(F.col("p_retailprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_e2"),
+    )
+    bounds = pts.agg(
+        F.min("price_e2").alias("mn"), F.max("price_e2").alias("mx")
+    )
+    b = pts.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket",
+        F.expr(
+            f"CAST((price_e2 - mn) DIV ((mx - mn) DIV {_SKYLINE_BUCKETS} + 1)"
+            " AS INT)"
+        ),
+    )
+    in_bucket = (
+        Window.partitionBy("bucket")
+        .orderBy("price_e2")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    b = b.withColumn("in_bucket_max", F.max("p_size").over(in_bucket))
+    bmax = b.groupBy("bucket").agg(F.max("p_size").alias("bucket_max"))
+    carry_w = (
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = bmax.withColumn(
+        "prev_buckets_max", F.max("bucket_max").over(carry_w)
+    ).select("bucket", "prev_buckets_max")
+    same_w = Window.partitionBy("price_e2")
+    out = (
+        b.join(F.broadcast(carry), "bucket")
+        .withColumn(
+            "cheaper_max",
+            F.greatest(
+                F.coalesce(F.col("in_bucket_max"), F.lit(-1)),
+                F.coalesce(F.col("prev_buckets_max"), F.lit(-1)),
+            ),
+        )
+        .withColumn("same_price_max", F.max("p_size").over(same_w))
+        .filter(
+            (F.col("p_size") > F.col("cheaper_max"))
+            & (F.col("p_size") == F.col("same_price_max"))
+        )
+    )
+    return out.select(
+        "p_partkey", "p_retailprice", F.col("p_size").cast("int").alias("p_size")
+    )

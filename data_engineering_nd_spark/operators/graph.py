@@ -1177,3 +1177,117 @@ def _register_ppr_oracle() -> None:
 
 
 _register_ppr_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Resource-allocation link prediction: the common-neighbors refinement that
+# DISCOUNTS hub neighbors — RA(a,b) = sum over common neighbors w of
+# 1/deg(w) (Zhou, Lu, Zhang 2009). A shared 3-degree neighbor is strong
+# evidence two nodes belong together; a shared 10000-degree hub is noise.
+# Unlike Adamic-Adar (1/ln deg) the per-neighbor term is a RATIONAL, so
+# the score can be kept in exact integers end-to-end: no ln(), no float
+# accumulation — the same estimator-determinism discipline as HLL/KMV.
+# ---------------------------------------------------------------------------
+
+
+def resource_allocation_candidates(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int | None = 256,
+) -> DataFrame:
+    """RA-scored link prediction over non-adjacent pairs: each wedge
+    center w contributes floor(1e9 / deg(w)) — an exact BIGINT — to its
+    endpoint pair, so the per-pair score sum is order-free and
+    engine-exact; ra_score is the single e9 down-cast at the end.
+
+    Scale shape: identical to :func:`common_neighbor_candidates` (one
+    wedge self-join on the center + hash-agg + anti-join vs the edge
+    set), with the same ``max_degree`` hub cap bounding the wedge join at
+    n * max_degree. The RA term makes the cap principled as well as
+    cheap: the dropped hubs are exactly the centers whose contribution
+    1/deg is smallest."""
+    adj = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    ).localCheckpoint()
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    centers = adj.join(deg, "u")
+    if max_degree is not None:
+        centers = centers.filter(F.col("deg") <= max_degree)
+    centers = centers.withColumn(
+        "ra_term_e9", F.expr("CAST(1000000000 DIV deg AS BIGINT)")
+    )
+    w1 = centers.select("u", F.col("v").alias("a"), "ra_term_e9")
+    w2 = centers.select(F.col("u").alias("u2"), F.col("v").alias("b"))
+    wedges = (
+        w1.join(w2, w1["u"] == w2["u2"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.sum("ra_term_e9").cast("bigint").alias("ra_e9"),
+        )
+    )
+    non_adj = wedges.join(
+        adj.select(F.col("u").alias("a"), F.col("v").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    return non_adj.select(
+        F.col("a").alias("id_a"),
+        F.col("b").alias("id_b"),
+        "common_neighbors",
+        "ra_e9",
+        (F.col("ra_e9").cast("double") / F.lit(1000000000.0)).alias("ra_score"),
+    )
+
+
+@query(
+    "graph_resource_allocation",
+    oracle=None,  # registered below (shares the pair CTEs)
+)
+def graph_resource_allocation_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RA link prediction over the jaccard-0.5 near-dup graph — the
+    hub-discounted upgrade of graph_common_neighbors, same candidate set,
+    exact-integer scores. max_degree=None mirrors the oracle (no hub cap;
+    the doc_id < 200 gate bounds degree — see graph_common_neighbors)."""
+    from data_engineering_nd_spark.operators.dedup import jaccard_pairs
+
+    docs = load(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    pairs = jaccard_pairs(docs, "doc_id", "text", "lang", threshold=0.5)
+    return resource_allocation_candidates(
+        pairs, "id_a", "id_b", max_degree=None
+    ).orderBy(F.desc("ra_e9"), "id_a", "id_b")
+
+
+def _register_resource_allocation_oracle() -> None:
+    from data_engineering_nd_spark.operators.dedup import PAIR_EDGE_CTES
+    from data_engineering_nd_spark.registry import ORACLE_SQL
+
+    ORACLE_SQL["graph_resource_allocation"] = (
+        "\n    WITH" + PAIR_EDGE_CTES + r""",
+    degs AS (SELECT src AS u, COUNT(*) AS deg FROM edges GROUP BY src),
+    wedges AS (
+        SELECT e1.dst AS a, e2.dst AS b, e1.src AS w
+        FROM edges e1 JOIN edges e2
+          ON e1.src = e2.src AND e1.dst < e2.dst
+    ),
+    scored AS (
+        SELECT wg.a, wg.b,
+               COUNT(*) AS common_neighbors,
+               CAST(SUM(1000000000 // d.deg) AS BIGINT) AS ra_e9
+        FROM wedges wg JOIN degs d ON wg.w = d.u
+        GROUP BY wg.a, wg.b
+    )
+    SELECT s.a AS id_a, s.b AS id_b, s.common_neighbors, s.ra_e9,
+           CAST(s.ra_e9 AS DOUBLE) / 1000000000.0 AS ra_score
+    FROM scored s
+    LEFT JOIN edges e ON s.a = e.src AND s.b = e.dst
+    WHERE e.src IS NULL
+    """
+    )
+
+
+_register_resource_allocation_oracle()

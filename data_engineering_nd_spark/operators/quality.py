@@ -774,3 +774,113 @@ def dq_key_skew_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     the q75 salting candidate). Both profiles value-hashed."""
     ev = load(spark, "events", sf_dir)
     return key_skew_report(ev, ["user_id", "event_type"])
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit conformance: naturally-occurring monetary amounts
+# follow P(d) = log10(1 + 1/d); synthetic, capped, fabricated, or
+# unit-mangled feeds do not. A classic one-hash-agg data-forensics check
+# (Benford 1938; standard in fraud audit) for the DQ suite.
+# ---------------------------------------------------------------------------
+
+#: log10(1 + 1/d) rounded to 6 dp — shared literals on both engines, so no
+#: runtime log10() (libm rounding is not cross-engine stable).
+_BENFORD_P = {
+    1: 0.30103, 2: 0.176091, 3: 0.124939, 4: 0.09691, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+
+
+def benford_digit_check(
+    df: DataFrame, col: str
+) -> DataFrame:
+    """Per first-significant-digit observed share vs the Benford
+    expectation, with an e6-scaled chi-square-style deviation term per
+    digit. The first digit comes from the INTEGER part rendered as a
+    string (values here are >= 1; no float log10), the shares are one
+    IEEE division of exact counts, and the deviation terms are
+    floor-rounded to BIGINT — everything cross-engine exact.
+
+    Scale shape: one map-side-combinable hash-agg to <= 9 rows; the
+    window total runs over those 9 rows, not the data."""
+    from pyspark.sql.window import Window
+
+    from data_engineering_nd_spark.functions.numeric import (
+        round_half_up,
+        round_half_up_long,
+    )
+
+    p_expr = F.lit(None).cast("double")
+    for d, p in _BENFORD_P.items():
+        p_expr = F.when(F.col("digit") == d, F.lit(p)).otherwise(p_expr)
+    digits = df.select(
+        F.substring(F.floor(F.col(col)).cast("bigint").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    total = F.sum("n_obs").over(Window.partitionBy())
+    share = F.col("n_obs").cast("double") / F.col("n_total").cast("double")
+    return (
+        counts.withColumn("n_total", total)
+        .withColumn("p_benford", p_expr)
+        .select(
+            "digit",
+            F.col("n_obs").cast("bigint").alias("n_obs"),
+            F.col("n_total").cast("bigint").alias("n_total"),
+            round_half_up(share, 6).alias("obs_share"),
+            "p_benford",
+            round_half_up_long(
+                (share - F.col("p_benford"))
+                * (share - F.col("p_benford"))
+                / F.col("p_benford")
+                * F.lit(1000000.0)
+            ).alias("chi_term_e6"),
+        )
+    )
+
+
+def _benford_case_sql() -> str:
+    arms = " ".join(
+        f"WHEN digit = {d} THEN {p}" for d, p in _BENFORD_P.items()
+    )
+    return f"CASE {arms} ELSE NULL END"
+
+
+@query(
+    "dq_benford_digit_check",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                           1, 1) AS INT) AS digit
+        FROM orders
+    ),
+    counts AS (
+        SELECT digit, COUNT(*) AS n_obs FROM digits GROUP BY digit
+    ),
+    w AS (
+        SELECT digit, n_obs,
+               SUM(n_obs) OVER () AS n_total,
+               {_benford_case_sql()} AS p_benford
+        FROM counts
+    )
+    SELECT digit,
+           CAST(n_obs AS BIGINT) AS n_obs,
+           CAST(n_total AS BIGINT) AS n_total,
+           floor(CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS obs_share,
+           p_benford,
+           CAST(floor((CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE) - p_benford)
+                      * (CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE) - p_benford)
+                      / p_benford * 1000000.0 + 0.5) AS BIGINT) AS chi_term_e6
+    FROM w
+    """,
+)
+def dq_benford_digit_check_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford conformance of order totals: per-digit observed share vs
+    log10(1 + 1/d) with e6 deviation terms. TPC-H-ish totalprice is a sum
+    of many uniform-ish line amounts, so it deviates from Benford in a
+    STABLE way — the value-hash pins the whole profile, and a generator
+    change that shifts the money distribution shows up here first."""
+    o = load(spark, "orders", sf_dir)
+    return benford_digit_check(o, "o_totalprice")

@@ -208,6 +208,9 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "dedup_containment",
         "ds_markov_transitions",
         "tbl_time_travel",
+        "graph_resource_allocation",
+        "dq_benford_digit_check",
+        "q87_skyline_pareto",
     ], 8),
 }
 

@@ -176,3 +176,29 @@ def test_last_touch_attribution_rules(spark, tmp_path):
     # u2 (window expired) + u4 (strict inequality) both fall to direct
     assert out["direct"].n_purchases == 2
     assert out["direct"].attributed_value == 100.0
+
+
+def test_skyline_pareto_dominance_rules(spark, tmp_path):
+    """Frontier membership pinned: strictly-cheaper-and-bigger dominates,
+    same-price ties keep the max-size point(s), duplicates both survive."""
+    from data_engineering_nd_spark.analytics import q87_skyline_pareto
+
+    rows = [
+        # (partkey, price, size)
+        (1, 10.0, 5),   # frontier (cheapest)
+        (2, 20.0, 5),   # dominated by 1 (same size, pricier)
+        (3, 20.0, 8),   # frontier
+        (4, 20.0, 7),   # dominated by 3 (same price, smaller)
+        (5, 30.0, 9),   # frontier
+        (6, 30.0, 9),   # duplicate of 5: neither dominates -> both kept
+        (7, 40.0, 1),   # dominated by everything bigger & cheaper
+    ]
+    import pandas as pd
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["p_partkey", "p_retailprice", "p_size"])
+    ).write.parquet(str(sf / "part.parquet"))
+    keys = sorted(r.p_partkey for r in q87_skyline_pareto(spark, str(sf)).collect())
+    assert keys == [1, 3, 5, 6]

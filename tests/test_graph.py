@@ -319,3 +319,34 @@ def test_personalized_pagerank_matches_numpy(spark, edges, n, sources):
     for node, rank in got.items():
         if not reachable[node]:
             assert rank == 0.0
+
+
+def test_resource_allocation_scores_exact(spark):
+    """Path graph 1-2-3 plus hub 9 connected to 1 and 3: pair (1,3) gets
+    RA contributions from center 2 (deg 2) and center 9 (deg 2); the hub
+    cap drops high-degree centers from the wedge join."""
+    from data_engineering_nd_spark.operators.graph import (
+        resource_allocation_candidates,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 9), (3, 9)], ["src", "dst"]
+    )
+    out = {
+        (r.id_a, r.id_b): r
+        for r in resource_allocation_candidates(edges, max_degree=None).collect()
+    }
+    # only non-adjacent pair with common neighbors: (1,3) via 2 and 9
+    assert set(out) == {(1, 3), (2, 9)}
+    r13 = out[(1, 3)]
+    assert r13.common_neighbors == 2
+    assert r13.ra_e9 == 2 * (10**9 // 2)  # both centers have degree 2
+    assert r13.ra_score == 1.0
+    # (2,9) via centers 1 and 3 (deg 2 each) as well
+    assert out[(2, 9)].ra_e9 == 10**9
+
+    capped = {
+        (r.id_a, r.id_b): r
+        for r in resource_allocation_candidates(edges, max_degree=1).collect()
+    }
+    assert capped == {}  # every center has degree 2 > cap

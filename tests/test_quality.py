@@ -430,3 +430,27 @@ def test_incremental_bm25_bootstrap_self_heals_and_skew_is_loud(spark, tmp_path)
     VersionedTable(spark, root + "/postings").commit(cp, mode="append")
     with pytest.raises(RuntimeError, match="inconsistent index"):
         incremental_bm25_topk(corpus, batch, root, terms)
+
+
+def test_benford_digit_check_shares_and_terms(spark):
+    """Crafted amounts with known first digits: shares, totals and the
+    e6 chi terms all follow the closed form."""
+    from data_engineering_nd_spark.operators.quality import (
+        _BENFORD_P,
+        benford_digit_check,
+    )
+
+    vals = [1.5] * 30 + [25.0] * 18 + [900.0] * 2  # digits 1, 2, 9
+    df = spark.createDataFrame([(v,) for v in vals], ["amount"])
+    out = {r.digit: r for r in benford_digit_check(df, "amount").collect()}
+    assert set(out) == {1, 2, 9}
+    assert out[1].n_obs == 30 and out[1].n_total == 50
+    assert abs(out[1].obs_share - 0.6) < 1e-6
+    assert out[2].p_benford == _BENFORD_P[2]
+    import math
+
+    for d in out:
+        share = out[d].n_obs / 50
+        p = _BENFORD_P[d]
+        expected = math.floor((share - p) ** 2 / p * 1e6 + 0.5)
+        assert out[d].chi_term_e6 == expected

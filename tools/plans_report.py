@@ -108,6 +108,9 @@ HEADLINERS = [
     "q86_last_touch_attribution",
     "dedup_containment",
     "ds_markov_transitions",
+    "graph_resource_allocation",
+    "dq_benford_digit_check",
+    "q87_skyline_pareto",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -240,6 +243,12 @@ EXPECTED_FLAGS = {
         "min and count per sketch, overlap count, exact counts) into the "
         "single report row — every side bounded at one row by "
         "construction"
+    ),
+    "q87_skyline_pareto": (
+        "the cross join broadcasts the 1-row global price-bounds "
+        "aggregate onto the point set to derive the deterministic range "
+        "buckets — one row by construction, the alternative to sampled "
+        "repartitionByRange"
     ),
     "dedup_lsh_recall": (
         "the cross join IS the exact all-pairs ground truth of the "
