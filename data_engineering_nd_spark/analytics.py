@@ -3856,3 +3856,341 @@ def q87_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "p_partkey", "p_retailprice", F.col("p_size").cast("int").alias("p_size")
     )
+
+
+# --------------------------------------------------------------------------
+# q88 — bitmap-index distinct & retention: daily active users as bitmaps
+# (one BIGINT word per 32 user ids; bit j of word w set iff user w*32+j
+# was active), the Roaring-bitmap idea on native columns. DAU = popcount,
+# day-over-day retention = popcount(today AND yesterday) — set
+# intersection as ONE bitwise op per word, no re-shuffle of the raw
+# events. The warehouse primitive behind fast audience/retention overlap
+# queries; bit-exact in both engines (32-bit payload per word keeps every
+# shift below the BIGINT sign bit).
+# --------------------------------------------------------------------------
+@query(
+    "q88_bitmap_retention",
+    oracle="""
+    WITH words AS (
+        SELECT CAST(ts AS DATE) AS day,
+               user_id // 32 AS word,
+               bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS bits
+        FROM events
+        GROUP BY 1, 2
+    ),
+    joined AS (
+        SELECT t.day,
+               t.bits AS today_bits,
+               COALESCE(y.bits, 0) AS yday_bits
+        FROM words t
+        LEFT JOIN words y ON y.word = t.word AND y.day = t.day - 1
+    ),
+    per_day AS (
+        SELECT day,
+               CAST(SUM(bit_count(today_bits)) AS BIGINT) AS dau,
+               CAST(SUM(bit_count(today_bits & yday_bits)) AS BIGINT)
+                   AS retained
+        FROM joined GROUP BY day
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, dau, retained,
+           floor(CAST(retained AS DOUBLE) / CAST(dau AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS retention
+    FROM per_day
+    """,
+)
+def q88_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users and day-over-day retained users computed on
+    bitmap words: build (day, word, bits) once — one hash-agg with
+    bit_or, 32 users per BIGINT — then intersect consecutive days with a
+    word-aligned self-join and popcount. DAU and retained are exact
+    integers; retention is one IEEE division, floor-rounded.
+
+    Scale shape: the bitmap build is map-side-combinable (bit_or is
+    associative/commutative) and compresses n_users presence bits into
+    n_users/32 words; the retention join touches words, not events, and
+    is equi on (word, day) — at 100 TB the words table IS the audience
+    index, reused across every overlap query (weekly retention, cohort
+    intersections) with popcount arithmetic instead of re-scanning
+    events. Words use 32-bit payloads so no shift ever reaches the BIGINT
+    sign bit (two's-complement portability guard)."""
+    ev = load(spark, "events", sf_dir)
+    words = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            F.expr("user_id DIV 32").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("day", "word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+    t = words.alias("t")
+    y = words.select(
+        F.date_add("day", 1).alias("yday_plus"),
+        F.col("word").alias("y_word"),
+        F.col("bits").alias("y_bits"),
+    ).alias("y")
+    joined = t.join(
+        y,
+        (F.col("t.word") == F.col("y_word"))
+        & (F.col("t.day") == F.col("yday_plus")),
+        "left",
+    ).select(
+        F.col("t.day").alias("day"),
+        F.col("t.bits").alias("today_bits"),
+        F.coalesce(F.col("y_bits"), F.lit(0)).alias("yday_bits"),
+    )
+    from data_engineering_nd_spark.functions.numeric import round_half_up
+
+    per_day = joined.groupBy("day").agg(
+        F.sum(F.bit_count("today_bits")).cast("bigint").alias("dau"),
+        F.sum(F.bit_count(F.expr("today_bits & yday_bits")))
+        .cast("bigint")
+        .alias("retained"),
+    )
+    return per_day.select(
+        F.col("day").cast("timestamp_ntz").alias("day"),
+        "dau",
+        "retained",
+        round_half_up(
+            F.col("retained").cast("double") / F.col("dau").cast("double"), 6
+        ).alias("retention"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q89 — robust outlier detection: median absolute deviation (MAD) per
+# group, the estimator that survives the outliers it hunts (variance-based
+# z-scores are dragged by the very tails they flag). Two exact-percentile
+# passes + one closed-form rule; the 1.4826 normal-consistency constant is
+# a shared literal, never computed.
+# --------------------------------------------------------------------------
+
+_MAD_SIGMA_K = 1.4826   # 1 / Phi^-1(3/4): MAD -> sigma under normality
+_MAD_CUTOFF = 3.0
+
+
+@query(
+    "q89_mad_outliers",
+    oracle=f"""
+    WITH med AS (
+        SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS median_price
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    dev AS (
+        SELECT l.l_returnflag, l.l_extendedprice, m.median_price,
+               abs(l.l_extendedprice - m.median_price) AS adev
+        FROM lineitem l JOIN med m USING (l_returnflag)
+    ),
+    mad AS (
+        SELECT l_returnflag, quantile_cont(adev, 0.5) AS mad_raw
+        FROM dev GROUP BY l_returnflag
+    )
+    SELECT d.l_returnflag,
+           COUNT(*) AS n_rows,
+           floor(MIN(d.median_price) * 10000.0 + 0.5) / 10000.0 AS median_price,
+           floor(MIN(m.mad_raw) * 10000.0 + 0.5) / 10000.0 AS mad,
+           CAST(SUM(CASE WHEN d.adev > {_MAD_CUTOFF} * {_MAD_SIGMA_K} * m.mad_raw
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           floor(CAST(SUM(CASE WHEN d.adev > {_MAD_CUTOFF} * {_MAD_SIGMA_K} * m.mad_raw
+                              THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS outlier_share
+    FROM dev d JOIN mad m USING (l_returnflag)
+    GROUP BY d.l_returnflag
+    """,
+)
+def q89_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag robust outlier report: median price, MAD, and the
+    count of rows whose absolute deviation exceeds 3 * 1.4826 * MAD (the
+    "3 robust sigmas" rule). Exact interpolated percentiles on both
+    engines (Spark percentile == DuckDB quantile_cont: sort + linear
+    interpolation, identical IEEE arithmetic on identical values), so the
+    cut decisions agree row-for-row; the boundary compare uses the same
+    unrounded values in both engines.
+
+    Scale shape: two grouped exact percentiles (per-group sort, bounded
+    by group size) + one broadcast join of the 3-row medians frame + one
+    hash-agg. At 100 TB you swap the exact medians for
+    approx_percentile with a pinned accuracy and keep this as the
+    per-block oracle — the same exact-vs-approx split q28 gates."""
+    li = load(spark, "lineitem", sf_dir)
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("median_price")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        "median_price",
+        F.abs(F.col("l_extendedprice") - F.col("median_price")).alias("adev"),
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad_raw")
+    )
+    from data_engineering_nd_spark.functions.numeric import round_half_up
+
+    cut = F.lit(_MAD_CUTOFF) * F.lit(_MAD_SIGMA_K) * F.col("mad_raw")
+    flagged = F.sum(
+        F.when(F.col("adev") > cut, F.lit(1)).otherwise(F.lit(0))
+    )
+    return (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            round_half_up(F.min("median_price"), 4).alias("median_price"),
+            round_half_up(F.min("mad_raw"), 4).alias("mad"),
+            flagged.cast("bigint").alias("n_outliers"),
+            round_half_up(
+                flagged.cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("outlier_share"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q90 — ROLLING 7-day distinct users via windowed HLL register merge: the
+# sliding-window distinct problem ("7-day actives, daily"), which exact
+# COUNT(DISTINCT) solves by re-scanning 7 days of raw events PER DAY. The
+# sketch solution: build per-day registers ONCE (q74/q81 arithmetic),
+# then every day's 7-day estimate is a max-merge of 7 register sets —
+# O(days * m) work on the register table, zero re-reads of events. The
+# exact windowed count rides along (computed via the same explode so both
+# engines enumerate identical (window, user) pairs) to grade the sketch.
+# --------------------------------------------------------------------------
+
+_ROLL_WINDOW_DAYS = 7
+
+
+@query(
+    "q90_rolling_distinct",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(ts AS DATE) AS day,
+               user_id,
+               CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM events
+    ),
+    spine AS (SELECT DISTINCT day FROM base),
+    regs AS (
+        SELECT day,
+               h >> {_HLL_TAIL_BITS} AS idx,
+               MAX(CASE WHEN (h & {(1 << _HLL_TAIL_BITS) - 1}) = 0
+                        THEN {_HLL_TAIL_BITS + 1}
+                        ELSE {_HLL_TAIL_BITS + 1}
+                             - length(bin(h & {(1 << _HLL_TAIL_BITS) - 1}))
+                   END) AS m_j
+        FROM base GROUP BY 1, 2
+    ),
+    win_regs AS (
+        SELECT r.day + CAST(g.o AS INT) AS wday, r.idx, MAX(r.m_j) AS m_j
+        FROM regs r CROSS JOIN generate_series(0, {_ROLL_WINDOW_DAYS - 1}) g(o)
+        WHERE r.day + CAST(g.o AS INT) IN (SELECT day FROM spine)
+        GROUP BY 1, 2
+    ),
+    win_sum AS (
+        SELECT wday,
+               CAST(SUM(CAST(power(2, {_HLL_TAIL_BITS + 1} - m_j) AS BIGINT))
+                    AS BIGINT) AS s_present,
+               COUNT(*) AS n_present
+        FROM win_regs GROUP BY wday
+    ),
+    exact AS (
+        SELECT b.day + CAST(g.o AS INT) AS wday, COUNT(DISTINCT b.user_id) AS n_exact
+        FROM base b CROSS JOIN generate_series(0, {_ROLL_WINDOW_DAYS - 1}) g(o)
+        WHERE b.day + CAST(g.o AS INT) IN (SELECT day FROM spine)
+        GROUP BY 1
+    )
+    SELECT CAST(w.wday AS TIMESTAMP) AS window_day,
+           CAST(e.n_exact AS BIGINT) AS n_exact,
+           CAST(w.s_present + ({_HLL_M} - w.n_present)
+                * {1 << (_HLL_TAIL_BITS + 1)} AS BIGINT) AS register_sum,
+           floor((({_HLL_ALPHA} * {_HLL_M * _HLL_M})
+                  * {float(1 << (_HLL_TAIL_BITS + 1))})
+                 / CAST(w.s_present + ({_HLL_M} - w.n_present)
+                        * {1 << (_HLL_TAIL_BITS + 1)} AS DOUBLE)
+                 * 10000.0 + 0.5) / 10000.0 AS hll_estimate
+    FROM win_sum w JOIN exact e ON w.wday = e.wday
+    """,
+)
+def q90_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling distinct-user estimates per day, from per-day HLL
+    registers max-merged across each trailing window (windows keyed by
+    their END day; only days observed in the data emit a row). The merge
+    is expressed as an EXPLODE — each day's registers contribute to the
+    <= 7 window-ends they fall in — so the whole rolling computation is
+    one explode + one hash-agg on the m=16-register-per-day table, the
+    associative-merge shape that scales to years of history. Exact
+    windowed distincts ride along via the same explode. Same exact-BIGINT
+    estimator arithmetic as q74/q81 (no ln, raw regime by design).
+
+    Scale shape: events are touched ONCE (per-day register build, map-
+    side combinable); everything rolling happens on days x m rows. The
+    exact side re-enumerates (window, user) pairs — the cost the sketch
+    exists to avoid — and is retained here as the self-grading baseline,
+    exactly like q74's n_exact column."""
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+    from data_engineering_nd_spark.functions.numeric import round_half_up
+
+    tail_bits = _HLL_TAIL_BITS
+    top = tail_bits + 1
+    ev = load(spark, "events", sf_dir)
+    h = md5_prefix_long(F.col("user_id").cast("string"), 15)
+    base = ev.select(
+        F.to_date("ts").alias("day"),
+        "user_id",
+        h.alias("h"),
+    )
+    spine = base.select("day").distinct()
+    rho = F.when(F.col("tail") == 0, F.lit(top)).otherwise(
+        F.lit(top) - F.length(F.conv(F.col("tail").cast("string"), 10, 2))
+    )
+    regs = (
+        base.select(
+            "day",
+            F.shiftright(F.col("h"), tail_bits).alias("idx"),
+            F.col("h").bitwiseAND(F.lit((1 << tail_bits) - 1)).alias("tail"),
+        )
+        .withColumn("rho", rho)
+        .groupBy("day", "idx")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    offsets = F.explode(
+        F.array(*[F.lit(i) for i in range(_ROLL_WINDOW_DAYS)])
+    ).alias("o")
+    win_regs = (
+        regs.select("day", "idx", "m_j", offsets)
+        .withColumn("wday", F.date_add(F.col("day"), F.col("o")))
+        .join(spine.select(F.col("day").alias("wday")), "wday", "semi")
+        .groupBy("wday", "idx")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    win_sum = win_regs.groupBy("wday").agg(
+        F.sum(F.expr(f"CAST(pow(2, {top} - m_j) AS BIGINT)")).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    exact = (
+        base.select("day", "user_id", offsets)
+        .withColumn("wday", F.date_add(F.col("day"), F.col("o")))
+        .join(spine.select(F.col("day").alias("wday")), "wday", "semi")
+        .groupBy("wday")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_exact"))
+    )
+    reg_sum = (
+        F.col("s_present")
+        + (F.lit(_HLL_M) - F.col("n_present")) * F.lit(1 << top)
+    ).cast("bigint")
+    return (
+        win_sum.join(exact, "wday")
+        .select(
+            F.col("wday").cast("timestamp_ntz").alias("window_day"),
+            "n_exact",
+            reg_sum.alias("register_sum"),
+            round_half_up(
+                F.lit(_HLL_ALPHA * (_HLL_M * _HLL_M))
+                * F.lit(float(1 << top))
+                / reg_sum.cast("double"),
+                4,
+            ).alias("hll_estimate"),
+        )
+    )

@@ -211,6 +211,9 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "graph_resource_allocation",
         "dq_benford_digit_check",
         "q87_skyline_pareto",
+        "q88_bitmap_retention",
+        "q89_mad_outliers",
+        "q90_rolling_distinct",
     ], 8),
 }
 

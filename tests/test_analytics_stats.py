@@ -202,3 +202,94 @@ def test_skyline_pareto_dominance_rules(spark, tmp_path):
     ).write.parquet(str(sf / "part.parquet"))
     keys = sorted(r.p_partkey for r in q87_skyline_pareto(spark, str(sf)).collect())
     assert keys == [1, 3, 5, 6]
+
+
+def test_bitmap_retention_words_and_counts(spark, tmp_path):
+    """Known users across word boundaries: DAU popcounts, day-over-day
+    intersection, and the no-previous-day zero fallback."""
+    import datetime
+
+    from data_engineering_nd_spark.analytics import q88_bitmap_retention
+
+    d1 = datetime.datetime(2024, 1, 1, 10)
+    d2 = datetime.datetime(2024, 1, 2, 10)
+    # day1: users 0, 31, 32, 100; day2: users 31, 32, 200
+    rows = [
+        (1, d1, 0, "view", 0.0), (2, d1, 31, "view", 0.0),
+        (3, d1, 32, "view", 0.0), (4, d1, 100, "view", 0.0),
+        (5, d1, 31, "click", 0.0),  # duplicate user, same day
+        (6, d2, 31, "view", 0.0), (7, d2, 32, "view", 0.0),
+        (8, d2, 200, "view", 0.0),
+    ]
+    import pandas as pd
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    ).write.parquet(str(sf / "events.parquet"))
+    out = {r.day.date().isoformat(): r for r in q88_bitmap_retention(spark, str(sf)).collect()}
+    assert out["2024-01-01"].dau == 4
+    assert out["2024-01-01"].retained == 0      # no previous day
+    assert out["2024-01-02"].dau == 3
+    assert out["2024-01-02"].retained == 2      # users 31 and 32
+    assert abs(out["2024-01-02"].retention - 2 / 3) < 1e-6
+
+
+def test_mad_outliers_flags_the_planted_point(spark, tmp_path):
+    """Median/MAD ignore the planted outlier; the 3-robust-sigma rule
+    flags exactly it."""
+    import pandas as pd
+
+    from data_engineering_nd_spark.analytics import q89_mad_outliers
+
+    vals = [100.0, 101.0, 102.0, 103.0, 104.0, 1000.0]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        pd.DataFrame({"l_returnflag": ["A"] * 6, "l_extendedprice": vals})
+    ).write.parquet(str(sf / "lineitem.parquet"))
+    (r,) = q89_mad_outliers(spark, str(sf)).collect()
+    assert r.n_rows == 6
+    assert r.median_price == 102.5        # interpolated even-count median
+    # adevs: 2.5, 1.5, .5, .5, 1.5, 897.5 -> median 1.5
+    assert r.mad == 1.5
+    assert r.n_outliers == 1              # only the 1000.0 point
+    assert abs(r.outlier_share - 1 / 6) < 1e-6
+
+
+def test_rolling_distinct_window_membership(spark, tmp_path):
+    """Windows end on observed days and pool the trailing 7 days: exact
+    counts match set unions; the register merge stays in the envelope."""
+    import datetime
+
+    import pandas as pd
+
+    from data_engineering_nd_spark.analytics import q90_rolling_distinct
+
+    def d(day):
+        return datetime.datetime(2024, 1, day, 12)
+
+    rows = []
+    eid = 0
+    for day, users in [(1, [1, 2]), (2, [2, 3]), (10, [7])]:
+        for u in users:
+            eid += 1
+            rows.append((eid, d(day), u, "view", 0.0))
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    ).write.parquet(str(sf / "events.parquet"))
+    out = {r.window_day.date().day: r for r in q90_rolling_distinct(spark, str(sf)).collect()}
+    assert set(out) == {1, 2, 10}         # only observed days emit windows
+    assert out[1].n_exact == 2            # {1,2}
+    assert out[2].n_exact == 3            # {1,2,3} pooled
+    assert out[10].n_exact == 1           # day 2 is 8 days back -> excluded
+    # merge monotonicity: pooling day 1 into day 2's window can only
+    # LOWER the register sum (more users -> longer runs -> bigger 2^-M_j
+    # terms removed), so the estimate is monotone in the pooled set.
+    # (No accuracy envelope here: n << 2.5m is outside the raw-regime
+    # contract q74 documents — tiny-n estimates are known-high.)
+    assert out[2].register_sum <= min(out[1].register_sum, out[10].register_sum)
+    assert all(r.hll_estimate > 0 for r in out.values())

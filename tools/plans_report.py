@@ -111,6 +111,9 @@ HEADLINERS = [
     "graph_resource_allocation",
     "dq_benford_digit_check",
     "q87_skyline_pareto",
+    "q88_bitmap_retention",
+    "q89_mad_outliers",
+    "q90_rolling_distinct",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"
