@@ -4194,3 +4194,293 @@ def q90_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hll_estimate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q91 — fuzzy record linkage with blocking: the entity-resolution primitive
+# (match "blue bolt" ~ "blue rod") done the way it survives scale — collapse
+# to DISTINCT entity strings first (hash-agg), generate candidate pairs only
+# WITHIN a blocking key (first token), verify with exact edit distance.
+# Never all-pairs over rows: pairs are C(k,2) per block over distinct names,
+# not C(n,2) over the table. Levenshtein is an exact integer in both engines.
+# --------------------------------------------------------------------------
+
+_FUZZY_MAX_DIST = 3
+
+
+@query(
+    "q91_fuzzy_blocking_join",
+    oracle=f"""
+    WITH names AS (
+        SELECT p_name,
+               split_part(p_name, ' ', 1) AS adj,
+               CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM part GROUP BY 1, 2
+    )
+    SELECT a.p_name AS name_a,
+           b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist,
+           CASE WHEN levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
+                THEN 1 ELSE 0 END AS is_match,
+           a.n_parts AS n_parts_a,
+           b.n_parts AS n_parts_b
+    FROM names a JOIN names b ON a.adj = b.adj AND a.p_name < b.p_name
+    """,
+)
+def q91_fuzzy_blocking_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-linkage of part names: distinct-entity collapse -> first-token
+    blocking -> in-block candidate pairs (a < b) -> exact Levenshtein
+    verify, flagging pairs within edit distance 3. Row counts per name ride
+    along so matches can be weighted back to the base table.
+
+    Scale shape: the expensive string metric runs on C(k,2) pairs per
+    block over DISTINCT entities — the distinct collapse is one
+    map-side-combinable hash-agg, the pair generation is an equi-join on
+    the blocking key (never a cross join), and block sizes bound the
+    quadratic term exactly the way LSH bands bound dedup pairs. At 100 TB
+    you add a second blocking key (length band) to split hot blocks; the
+    plan shape — hash-agg, equi-join, filter — is unchanged. Levenshtein
+    is integer-exact in both engines, so the verify decision is
+    hash-stable."""
+    part = load(spark, "part", sf_dir)
+    names = part.groupBy("p_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts")
+    ).withColumn("adj", F.split(F.col("p_name"), " ").getItem(0))
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("adj").alias("adj_a"),
+        F.col("n_parts").alias("n_parts_a"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("adj").alias("adj_b"),
+        F.col("n_parts").alias("n_parts_b"),
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(
+            b,
+            (F.col("adj_a") == F.col("adj_b"))
+            & (F.col("name_a") < F.col("name_b")),
+        )
+        .select(
+            "name_a",
+            "name_b",
+            dist.cast("int").alias("edit_dist"),
+            F.when(dist <= _FUZZY_MAX_DIST, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_match"),
+            "n_parts_a",
+            "n_parts_b",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q92 — seasonal anomaly detection: daily revenue vs a day-of-week robust
+# baseline (median + MAD per DOW), the q89 rule applied to a seasonal
+# profile — weekday/weekend level shifts don't trip it, genuine outlier
+# days do. The workhorse "is today weird for a Tuesday" monitor.
+# --------------------------------------------------------------------------
+@query(
+    "q92_seasonal_anomaly",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS revenue
+        FROM orders GROUP BY 1, 2
+    ),
+    med AS (
+        SELECT dow, quantile_cont(revenue, 0.5) AS med_rev
+        FROM daily GROUP BY dow
+    ),
+    dev AS (
+        SELECT d.dow, d.revenue, m.med_rev,
+               abs(d.revenue - m.med_rev) AS adev
+        FROM daily d JOIN med m USING (dow)
+    ),
+    mad AS (
+        SELECT dow, quantile_cont(adev, 0.5) AS mad_raw FROM dev GROUP BY dow
+    )
+    SELECT d.dow,
+           COUNT(*) AS n_days,
+           floor(MIN(d.med_rev) * 10000.0 + 0.5) / 10000.0 AS median_revenue,
+           floor(MIN(m.mad_raw) * 10000.0 + 0.5) / 10000.0 AS mad,
+           CAST(SUM(CASE WHEN d.adev > {_MAD_CUTOFF} * {_MAD_SIGMA_K} * m.mad_raw
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM dev d JOIN mad m USING (dow)
+    GROUP BY d.dow
+    """,
+)
+def q92_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per day-of-week anomaly report over the daily order-revenue series:
+    median and MAD of the ~343 daily revenues landing on each DOW, and the
+    count of days exceeding the 3-robust-sigma band. DOW convention is
+    Spark's dayofweek (1=Sunday), mirrored as dayofweek()+1 in DuckDB.
+    Daily revenues come from exact decimal accumulation, so both engines
+    interpolate percentiles over bit-identical doubles.
+
+    Scale shape: one hash-agg events->days (map-side combinable; days is
+    tiny forever after), two grouped exact percentiles over <= 7 groups of
+    days, one broadcast of the 7-row medians/MADs. The raw fact table is
+    touched exactly once. At 100 TB the daily rollup IS the persisted
+    metrics table and this query never re-reads facts."""
+    from data_engineering_nd_spark.functions.numeric import round_half_up
+
+    o = load(spark, "orders", sf_dir)
+    daily = o.groupBy(
+        F.to_date("o_orderdate").alias("day"),
+        F.dayofweek(F.to_date("o_orderdate")).alias("dow"),
+    ).agg(dsum(F.col("o_totalprice")).alias("revenue"))
+    med = daily.groupBy("dow").agg(
+        F.expr("percentile(revenue, 0.5)").alias("med_rev")
+    )
+    dev = daily.join(F.broadcast(med), "dow").select(
+        "dow",
+        "revenue",
+        "med_rev",
+        F.abs(F.col("revenue") - F.col("med_rev")).alias("adev"),
+    )
+    mad = dev.groupBy("dow").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad_raw")
+    )
+    return (
+        dev.join(F.broadcast(mad), "dow")
+        .groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            round_half_up(F.min("med_rev"), 4).alias("median_revenue"),
+            round_half_up(F.min("mad_raw"), 4).alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("adev")
+                    > F.lit(_MAD_CUTOFF) * F.lit(_MAD_SIGMA_K) * F.col("mad_raw"),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_anomalies"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q93 — A/B test readout: two-proportion pooled z-test in closed form over
+# a deterministic hash split (user_id parity stands in for the assignment
+# column). Conversion = user ever fired a 'purchase'. The whole test is
+# counts + one sqrt — IEEE sqrt is correctly rounded in both engines, so
+# even the significance flag (|z| vs the 1.96 literal) is hash-stable.
+# --------------------------------------------------------------------------
+
+_Z_CRIT_95 = 1.959964   # Phi^-1(0.975) to 6 dp — shared literal, never computed
+
+
+@query(
+    "q93_ab_conversion_ztest",
+    oracle=f"""
+    WITH assign AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY 1, 2, 3
+    ),
+    v AS (
+        SELECT CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN variant = 'A' THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+               CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN variant = 'B' THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+        FROM assign
+    ),
+    z AS (
+        SELECT n_a, conv_a, n_b, conv_b,
+               CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+               CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+               CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS p_pool
+        FROM v
+    )
+    SELECT n_a, conv_a,
+           floor(p_a * 1000000.0 + 0.5) / 1000000.0 AS rate_a,
+           n_b, conv_b,
+           floor(p_b * 1000000.0 + 0.5) / 1000000.0 AS rate_b,
+           floor((p_a - p_b) / NULLIF(sqrt(p_pool * (1.0 - p_pool)
+                 * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 0.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS z_score,
+           CASE WHEN abs((p_a - p_b) / NULLIF(sqrt(p_pool * (1.0 - p_pool)
+                * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 0.0))
+                > {_Z_CRIT_95} THEN 1 ELSE 0 END AS significant
+    FROM z
+    """,
+)
+def q93_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between variants A (even user_id) and B (odd)
+    over user-DAYS: the unit is an active (user, day), converted iff that
+    user purchased that day — the session-conversion readout (user-level
+    "ever purchased" saturates at 1.0 here and its pooled variance is 0;
+    the NULLIF guard keeps that case a NULL z, not an ANSI error). Emits
+    per-variant exposures, conversions, rounded rates, the pooled z, and
+    the two-sided 95% flag. The flag compares the UNROUNDED |z| to a
+    shared 6-dp critical-value literal — identical IEEE arithmetic on
+    identical inputs in both engines, so the decision cannot straddle.
+
+    Scale shape: one (user, day) hash-agg (map-side combinable conversion
+    max), one global conditional-sum agg to a single row, closed-form
+    arithmetic on that row. No shuffle beyond the two aggs; at 100 TB the
+    user-day frame is the only wide state and it partitions on user_id."""
+    from data_engineering_nd_spark.functions.numeric import round_half_up
+
+    ev = load(spark, "events", sf_dir)
+    assign = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("converted")
+    ).withColumn(
+        "variant",
+        F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B")),
+    )
+    v = assign.agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == "A", F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("variant") == "B", F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    p_a = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    p_pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    z = (p_a - p_b) / F.nullif(
+        F.sqrt(
+            p_pool
+            * (F.lit(1.0) - p_pool)
+            * (
+                F.lit(1.0) / F.col("n_a").cast("double")
+                + F.lit(1.0) / F.col("n_b").cast("double")
+            )
+        ),
+        F.lit(0.0),
+    )
+    return v.select(
+        "n_a",
+        "conv_a",
+        round_half_up(p_a, 6).alias("rate_a"),
+        "n_b",
+        "conv_b",
+        round_half_up(p_b, 6).alias("rate_b"),
+        round_half_up(z, 6).alias("z_score"),
+        F.when(F.abs(z) > F.lit(_Z_CRIT_95), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("significant"),
+    )

@@ -214,6 +214,9 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "q88_bitmap_retention",
         "q89_mad_outliers",
         "q90_rolling_distinct",
+        "q91_fuzzy_blocking_join",
+        "q92_seasonal_anomaly",
+        "q93_ab_conversion_ztest",
     ], 8),
 }
 

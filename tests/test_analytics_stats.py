@@ -293,3 +293,107 @@ def test_rolling_distinct_window_membership(spark, tmp_path):
     # contract q74 documents — tiny-n estimates are known-high.)
     assert out[2].register_sum <= min(out[1].register_sum, out[10].register_sum)
     assert all(r.hll_estimate > 0 for r in out.values())
+
+
+def test_fuzzy_blocking_join_pairs_and_flags(spark, tmp_path):
+    """Known vocabulary: only same-block pairs emit, edit distances are
+    exact, the <=3 flag splits them, and n_parts weights count dup rows."""
+    import pandas as pd
+
+    from data_engineering_nd_spark.analytics import q91_fuzzy_blocking_join
+
+    names = ["blue bolt", "blue bolt", "blue boltz", "blue rod", "red bolt"]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(pd.DataFrame({"p_name": names})).write.parquet(
+        str(sf / "part.parquet")
+    )
+    rows = {
+        (r.name_a, r.name_b): r
+        for r in q91_fuzzy_blocking_join(spark, str(sf)).collect()
+    }
+    # red bolt is alone in its block; no cross-block pairs ever
+    assert set(rows) == {
+        ("blue bolt", "blue boltz"),
+        ("blue bolt", "blue rod"),
+        ("blue boltz", "blue rod"),
+    }
+    r1 = rows[("blue bolt", "blue boltz")]
+    assert (r1.edit_dist, r1.is_match, r1.n_parts_a, r1.n_parts_b) == (1, 1, 2, 1)
+    assert rows[("blue bolt", "blue rod")].edit_dist == 3      # bolt -> rod
+    assert rows[("blue bolt", "blue rod")].is_match == 1
+    assert rows[("blue boltz", "blue rod")].edit_dist == 4
+    assert rows[("blue boltz", "blue rod")].is_match == 0
+
+
+def test_seasonal_anomaly_flags_planted_day(spark, tmp_path):
+    """One DOW with a planted spike: median/MAD ignore it, the robust band
+    flags exactly that day; a clean DOW reports zero anomalies."""
+    import datetime
+
+    import pandas as pd
+
+    from data_engineering_nd_spark.analytics import q92_seasonal_anomaly
+
+    rows = []
+    oid = 0
+    # Mondays (2024-01-01 is a Monday; Spark dow=2): 100,101,102,103,1000
+    for i, price in enumerate([100.0, 101.0, 102.0, 103.0, 1000.0]):
+        oid += 1
+        rows.append((oid, datetime.datetime(2024, 1, 1) + datetime.timedelta(days=7 * i), price))
+    # Tuesdays (dow=3): flat 200s
+    for i in range(4):
+        oid += 1
+        rows.append((oid, datetime.datetime(2024, 1, 2) + datetime.timedelta(days=7 * i), 200.0))
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+    ).write.parquet(str(sf / "orders.parquet"))
+    out = {r.dow: r for r in q92_seasonal_anomaly(spark, str(sf)).collect()}
+    assert set(out) == {2, 3}
+    mon = out[2]
+    assert mon.n_days == 5
+    assert mon.median_revenue == 102.0
+    assert mon.mad == 1.0                      # adevs 2,1,0,1,898
+    assert mon.n_anomalies == 1                # only the 1000.0 Monday
+    tue = out[3]
+    assert (tue.n_days, tue.mad, tue.n_anomalies) == (4, 0.0, 0)
+
+
+def test_ab_ztest_closed_form(spark, tmp_path):
+    """Hand-built user-days reproduce the textbook pooled z: counts,
+    rates, z value and the significance decision."""
+    import datetime
+    import math
+
+    import pandas as pd
+
+    from data_engineering_nd_spark.analytics import q93_ab_conversion_ztest
+
+    rows = []
+    eid = 0
+    # variant A (even users): 4 user-days, 3 convert; B (odd): 4 user-days, 1 converts
+    plan = [
+        (2, 1, True), (2, 2, True), (4, 1, True), (4, 2, False),
+        (1, 1, True), (1, 2, False), (3, 1, False), (3, 2, False),
+    ]
+    for user, day, buys in plan:
+        eid += 1
+        ts = datetime.datetime(2024, 1, day, 9)
+        rows.append((eid, ts, user, "view", 0.0))
+        if buys:
+            eid += 1
+            rows.append((eid, ts, user, "purchase", 1.0))
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    ).write.parquet(str(sf / "events.parquet"))
+    (r,) = q93_ab_conversion_ztest(spark, str(sf)).collect()
+    assert (r.n_a, r.conv_a, r.n_b, r.conv_b) == (4, 3, 4, 1)
+    assert r.rate_a == 0.75 and r.rate_b == 0.25
+    p = 0.5
+    z = (0.75 - 0.25) / math.sqrt(p * (1 - p) * (1 / 4 + 1 / 4))
+    assert abs(r.z_score - round(z, 6)) < 2e-6
+    assert r.significant == 0                  # |z| ~= 1.414 < 1.96

@@ -114,6 +114,9 @@ HEADLINERS = [
     "q88_bitmap_retention",
     "q89_mad_outliers",
     "q90_rolling_distinct",
+    "q91_fuzzy_blocking_join",
+    "q92_seasonal_anomaly",
+    "q93_ab_conversion_ztest",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"
