@@ -3078,3 +3078,118 @@ def tbl_time_travel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized aggregate — the FOURTH incremental pillar, next
+# to dedup_incremental (signature index), ann_incremental (vector index)
+# and text_incremental_bm25 (inverted index): the most common warehouse
+# shape of all, a persisted aggregate refreshed by merging stored partials
+# with a delta batch instead of recomputing over all of history.
+# ---------------------------------------------------------------------------
+
+_MV_CUTOFF = "2001-06-01"   # delta = orders on/after this date (~last 2 months)
+
+
+@query(
+    "tbl_incremental_agg",
+    # The oracle states the refresh contract directly: the incrementally
+    # merged aggregate must equal the FULL recompute, bit for bit (exact
+    # DECIMAL partials make the merge associative), with the base/delta
+    # split sizes riding along to prove the delta contributed.
+    oracle=f"""
+    WITH full_agg AS (
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+        FROM orders GROUP BY 1
+    ),
+    split AS (
+        SELECT o_orderpriority,
+               CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '{_MV_CUTOFF}'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+               CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '{_MV_CUTOFF}'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_delta
+        FROM orders GROUP BY 1
+    )
+    SELECT f.o_orderpriority,
+           CAST(f.n_orders AS BIGINT) AS n_orders,
+           CAST(f.rev AS DOUBLE) AS revenue,
+           s.n_base, s.n_delta
+    FROM full_agg f JOIN split s USING (o_orderpriority)
+    """,
+)
+def tbl_incremental_agg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental refresh of a persisted revenue-by-priority aggregate:
+    the pre-cutoff history is aggregated ONCE into a VersionedTable of
+    partials (count + exact DECIMAL(18,4) revenue sum per priority), then
+    the refresh aggregates only the delta slice (o_orderdate >= cutoff)
+    and merges stored partials with delta partials by summation. Because
+    count and decimal-sum are associative partials, the merged result
+    equals the full recompute EXACTLY — which is what the oracle asserts
+    — and every priority key overlaps both sides, so the merge arithmetic
+    (not just a disjoint union) is under the hash.
+
+    Scale shape: the refresh touches the delta slice (pushed-down date
+    filter) plus the partials table, which has one row per group —
+    never the history. This is the daily-metrics shape at 100 TB: facts
+    are read once the day they land; every later refresh is
+    O(delta + groups). DOUBLE conversion happens only at serve time, so
+    repeated refreshes cannot accumulate float error (the stored partial
+    stays exact DECIMAL)."""
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    orders = load(spark, "orders", sf_dir)
+    cutoff = F.lit(_MV_CUTOFF).cast("timestamp")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev"),
+        )
+
+    work = tempfile.mkdtemp(prefix="tbl_incremental_agg_")
+    try:
+        mv = VersionedTable(spark, work)
+        mv.commit(
+            partials(orders.filter(F.col("o_orderdate") < cutoff)).withColumn(
+                "src", F.lit("base")
+            )
+        )
+        delta = partials(
+            orders.filter(F.col("o_orderdate") >= cutoff)
+        ).withColumn("src", F.lit("delta"))
+        # Refresh: stored partials + delta partials, merged by summation.
+        # The base side is a SCAN of the committed table, not a recompute
+        # (plan-pinned in tests/test_plans.py).
+        merged = (
+            mv.snapshot()
+            .unionByName(delta)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.sum("n_orders").cast("bigint").alias("n_orders"),
+                F.sum("rev").alias("rev"),
+                F.sum(F.when(F.col("src") == "base", F.col("n_orders")))
+                .cast("bigint")
+                .alias("n_base"),
+                F.sum(F.when(F.col("src") == "delta", F.col("n_orders")))
+                .cast("bigint")
+                .alias("n_delta"),
+            )
+        )
+        out = merged.select(
+            "o_orderpriority",
+            "n_orders",
+            # DECIMAL(18,4) widened by SUM keeps exactness; one final
+            # well-defined rounding to double at serve time.
+            F.col("rev").cast("decimal(18,4)").cast("double").alias("revenue"),
+            F.coalesce(F.col("n_base"), F.lit(0)).alias("n_base"),
+            F.coalesce(F.col("n_delta"), F.lit(0)).alias("n_delta"),
+        )
+        # group-count-sized (5 rows); materialize so the scratch dir can go
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

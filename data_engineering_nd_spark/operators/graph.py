@@ -1291,3 +1291,112 @@ def _register_resource_allocation_oracle() -> None:
 
 
 _register_resource_allocation_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient: per-node "how clique-like is my
+# neighborhood" — 2*triangles(v) / (deg(v)*(deg(v)-1)). The node-level
+# refinement of graph_triangle_count's global census, and the standard
+# community-structure / spam-farm feature. Exact integer triangle and
+# degree counts; one rounded division per node.
+# ---------------------------------------------------------------------------
+
+
+def clustering_coefficient(
+    edges: DataFrame, pairs: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node local clustering coefficient from an undirected edge list
+    (``edges`` holds both directions; ``pairs`` the canonical a<b form).
+
+    tri(v) counts neighbor pairs (u < w) that are themselves an edge: a
+    wedge self-join on the center (u < w kills the double count) closed
+    by a semi-join against the canonical pair list. deg(v) is one
+    hash-agg. Nodes with deg < 2 report 0 by convention.
+
+    Scale shape: the wedge join is deg^2 per center — at 100 TB cap or
+    sample hub neighborhoods exactly as triangle_stats does (hub cap
+    bounds the wedge fan-out; the census stays exact on the non-hub
+    mass). The closing semi-join is an equi-join on (u, w), partitioned
+    by the pair key, never a cross join."""
+    e1 = edges.select(F.col(src).alias("center"), F.col(dst).alias("u"))
+    e2 = edges.select(F.col(src).alias("center"), F.col(dst).alias("w"))
+    wedges = e1.join(e2, "center").filter(F.col("u") < F.col("w"))
+    closed = wedges.join(
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("w")),
+        ["u", "w"],
+        "semi",
+    )
+    tri = closed.groupBy("center").agg(F.count(F.lit(1)).alias("n_tri"))
+    deg = edges.groupBy(src).agg(F.countDistinct(dst).alias("degree"))
+    joined = deg.withColumnRenamed(src, "center").join(tri, "center", "left")
+    return joined.select(
+        F.col("center"),
+        F.col("degree").cast("bigint").alias("degree"),
+        F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint").alias("n_triangles"),
+        F.when(F.col("degree") >= 2, F.lit(2.0) * F.coalesce(F.col("n_tri"), F.lit(0))
+               / (F.col("degree").cast("double") * (F.col("degree").cast("double") - F.lit(1.0))))
+        .otherwise(F.lit(0.0))
+        .alias("coeff_raw"),
+    )
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle=None,  # registered below (shares the pair CTEs)
+)
+def graph_clustering_coefficient_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Local clustering coefficient over the jaccard-0.5 near-dup graph
+    (same gated edge set as BFS/shortest-paths/PPR). Near-dup clusters
+    are near-cliques, so coefficients land near 1 — and the value hash
+    pins the exact triangle/degree integers plus the rounded ratio."""
+    from data_engineering_nd_spark.functions.numeric import round_half_up
+    from data_engineering_nd_spark.operators.dedup import jaccard_pairs
+
+    docs = load(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    pairs = jaccard_pairs(docs, "doc_id", "text", "lang", threshold=0.5)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    out = clustering_coefficient(edges, pairs)
+    return out.select(
+        F.col("center").alias("doc_id"),
+        "degree",
+        "n_triangles",
+        round_half_up(F.col("coeff_raw"), 6).alias("clustering_coeff"),
+    )
+
+
+def _register_clustering_coefficient_oracle() -> None:
+    from data_engineering_nd_spark.operators.dedup import PAIR_EDGE_CTES
+    from data_engineering_nd_spark.registry import ORACLE_SQL
+
+    ORACLE_SQL["graph_clustering_coefficient"] = (
+        "\n    WITH RECURSIVE" + PAIR_EDGE_CTES + r""",
+    deg AS (
+        SELECT src AS id, COUNT(DISTINCT dst) AS degree FROM edges GROUP BY 1
+    ),
+    tri AS (
+        SELECT e1.src AS id, COUNT(*) AS n_tri
+        FROM edges e1
+        JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+        JOIN pairs p ON p.id_a = e1.dst AND p.id_b = e2.dst
+        GROUP BY 1
+    )
+    SELECT d.id AS doc_id,
+           CAST(d.degree AS BIGINT) AS degree,
+           CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.degree >= 2
+                THEN floor(2.0 * COALESCE(t.n_tri, 0)
+                           / (CAST(d.degree AS DOUBLE) * (CAST(d.degree AS DOUBLE) - 1.0))
+                           * 1000000.0 + 0.5) / 1000000.0
+                ELSE 0.0 END AS clustering_coeff
+    FROM deg d LEFT JOIN tri t ON t.id = d.id
+    """
+    )
+
+
+_register_clustering_coefficient_oracle()

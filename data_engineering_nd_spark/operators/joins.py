@@ -424,3 +424,132 @@ def q79_forward_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("timestamp_ntz").alias("ts"),
         F.round("asof_next_status_value", 4).alias("next_status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid hot/cold skew join — the third tool in the skew kit next to salting
+# (q75) and bucketing (q76): split the fact on data-derived hot keys,
+# broadcast-join the hot slice against the dim's hot slice (hot keys never
+# shuffle), and let the cold remainder take the ordinary partitioned join.
+# This is what AQE's skew-join does at runtime, made explicit and gated —
+# the shape you reach for when ONE key holds 10% of a 100 TB fact table.
+# ---------------------------------------------------------------------------
+
+_HOT_FACTOR = 1.5   # hot iff key count > factor * mean key count
+
+
+def hybrid_skew_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    hot_keys: DataFrame,
+    force_shuffle_cold: bool = False,
+) -> DataFrame:
+    """Join ``fact`` to ``dim`` on ``key`` with the hot/cold split: rows
+    whose key is in ``hot_keys`` go through a broadcast join against the
+    dim slice restricted to those keys (no shuffle of the hot mass), the
+    remainder through the regular equi-join. Returns the union with an
+    ``is_hot`` tag (1/0). Result rows equal the plain join's exactly —
+    the split routes work, it never changes the answer.
+
+    ``force_shuffle_cold`` pins the cold side to sort-merge (same
+    rationale as q75's force_shuffle: test dims sit under the broadcast
+    threshold, production dims don't — the gate should exercise the plan
+    that exists at scale)."""
+    hot = F.broadcast(hot_keys.select(key))
+    fact_hot = fact.join(hot, key, "semi")
+    fact_cold = fact.join(hot, key, "anti")
+    dim_hot = dim.join(F.broadcast(hot_keys.select(key)), key, "semi")
+    hot_joined = (
+        fact_hot.join(F.broadcast(dim_hot), key).withColumn("is_hot", F.lit(1))
+    )
+    dim_cold = dim.join(F.broadcast(hot_keys.select(key)), key, "anti")
+    if force_shuffle_cold:
+        dim_cold = dim_cold.hint("merge")
+    cold_joined = fact_cold.join(dim_cold, key).withColumn("is_hot", F.lit(0))
+    return hot_joined.unionByName(cold_joined)
+
+
+@query(
+    "q94_hybrid_skew_join",
+    oracle=f"""
+    WITH counts AS (
+        SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+    ),
+    stats AS (
+        SELECT CAST(SUM(cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_cnt
+        FROM counts
+    ),
+    flags AS (
+        SELECT c.l_partkey,
+               CASE WHEN CAST(c.cnt AS DOUBLE) > {_HOT_FACTOR} * s.avg_cnt
+                    THEN 1 ELSE 0 END AS is_hot
+        FROM counts c CROSS JOIN stats s
+    )
+    SELECT f.is_hot,
+           CAST(COUNT(DISTINCT l.l_partkey) AS BIGINT) AS n_keys,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT p.p_name) AS BIGINT) AS n_names,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN flags f ON f.l_partkey = l.l_partkey
+    GROUP BY 1
+    """,
+)
+def q94_hybrid_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by hot/cold key class through the split join: keys whose
+    lineitem count exceeds 1.5x the mean count are 'hot' (data-derived,
+    exact integer counts -> one double compare, identical both engines),
+    their rows broadcast-join the matching part slice, everything else
+    takes the pinned sort-merge path; the union aggregates per class.
+    The oracle is the PLAIN three-way join — stating directly that the
+    split changes the plan, never the result. n_names proves the dim
+    join is load-bearing on both paths.
+
+    Scale shape: the hot slice — the rows that would have melted one
+    reducer — never shuffles (semi/anti splits ride broadcast hash maps
+    of the hot-key list, which is small by definition: few keys ARE most
+    rows); the cold shuffle is skew-free by construction. The hot-key
+    list derives from one map-side-combinable count agg. This is AQE
+    skew-join made explicit, for engines/pipelines where the split must
+    be deterministic and auditable."""
+    li = load(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    part = load(spark, "part", sf_dir).select(
+        F.col("p_partkey").alias("l_partkey"), "p_name"
+    )
+    counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = counts.agg(
+        (
+            F.sum("cnt").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avg_cnt")
+    )
+    # The hot-key list feeds FOUR consumers (fact semi/anti, dim
+    # semi/anti); localCheckpoint materializes the tiny frame once so the
+    # counts agg + 1-row-stats cross join don't replay per consumer.
+    hot_keys = (
+        counts.crossJoin(F.broadcast(stats))
+        .filter(
+            F.col("cnt").cast("double") > F.lit(_HOT_FACTOR) * F.col("avg_cnt")
+        )
+        .select("l_partkey")
+        .localCheckpoint(eager=True)
+    )
+    joined = hybrid_skew_join(
+        li, part, "l_partkey", hot_keys, force_shuffle_cold=True
+    )
+    return joined.groupBy("is_hot").agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("n_keys"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("p_name").cast("bigint").alias("n_names"),
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+    )

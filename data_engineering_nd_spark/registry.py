@@ -217,6 +217,9 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "q91_fuzzy_blocking_join",
         "q92_seasonal_anomaly",
         "q93_ab_conversion_ztest",
+        "q94_hybrid_skew_join",
+        "tbl_incremental_agg",
+        "graph_clustering_coefficient",
     ], 8),
 }
 

@@ -350,3 +350,24 @@ def test_resource_allocation_scores_exact(spark):
         for r in resource_allocation_candidates(edges, max_degree=1).collect()
     }
     assert capped == {}  # every center has degree 2 > cap
+
+
+def test_clustering_coefficient_triangle_plus_pendant(spark):
+    """K3 with a pendant: interior coefficients hit the closed-form
+    values; the pendant and degree-1 nodes report 0."""
+    import pandas as pd
+
+    from data_engineering_nd_spark.operators.graph import clustering_coefficient
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 1, 2, 1], "id_b": [2, 3, 3, 4]})
+    )
+    edges = pairs.select(
+        pairs.id_a.alias("src"), pairs.id_b.alias("dst")
+    ).unionByName(pairs.select(pairs.id_b.alias("src"), pairs.id_a.alias("dst")))
+    out = {r.center: r for r in clustering_coefficient(edges, pairs).collect()}
+    assert (out[1].degree, out[1].n_triangles) == (3, 1)
+    assert abs(out[1].coeff_raw - 1 / 3) < 1e-9
+    assert (out[2].degree, out[2].n_triangles, out[2].coeff_raw) == (2, 1, 1.0)
+    assert (out[3].degree, out[3].n_triangles, out[3].coeff_raw) == (2, 1, 1.0)
+    assert (out[4].degree, out[4].n_triangles, out[4].coeff_raw) == (1, 0, 0.0)

@@ -245,3 +245,55 @@ def test_bloom_prune_filter_sits_below_the_exchange(spark):
     assert not any(
         re.search(r"Exchange (hash|range|Round)", ln) for ln in between
     ), plan
+
+
+def test_hybrid_skew_join_equals_plain_join(spark):
+    """Planted skew: the split join's rows equal the plain join's, the
+    hot tag isolates exactly the heavy key, and the plan carries both a
+    broadcast (hot) and a sort-merge (cold) path under one Union."""
+    import pandas as pd
+
+    from data_engineering_nd_spark.operators.joins import hybrid_skew_join
+
+    fact_rows = [("hot", i) for i in range(50)] + [
+        ("c1", 1), ("c1", 2), ("c2", 3)
+    ]
+    fact = spark.createDataFrame(pd.DataFrame(fact_rows, columns=["k", "v"]))
+    dim = spark.createDataFrame(
+        pd.DataFrame({"k": ["hot", "c1", "c2"], "w": [10, 20, 30]})
+    )
+    hot_keys = spark.createDataFrame(pd.DataFrame({"k": ["hot"]}))
+    out = hybrid_skew_join(fact, dim, "k", hot_keys, force_shuffle_cold=True)
+    plain = fact.join(dim, "k")
+    got = sorted((r.k, r.v, r.w, r.is_hot) for r in out.collect())
+    want = sorted(
+        (r.k, r.v, r.w, 1 if r.k == "hot" else 0) for r in plain.collect()
+    )
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan
+    assert "SortMergeJoin" in plan          # pinned cold path
+    assert "BroadcastHashJoin" in plan      # hot path + splits
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q94_hot_key_classification(spark, tmp_path):
+    """1.5x-mean threshold: the planted heavy key lands in the hot class,
+    uniform keys in the cold class, and revenues reconcile."""
+    import pandas as pd
+
+    from data_engineering_nd_spark.operators.joins import q94_hybrid_skew_join
+
+    rows = [(1, 100.0, 0.0)] * 20 + [(2, 10.0, 0.0)] * 2 + [(3, 10.0, 0.0)] * 2
+    li = pd.DataFrame(rows, columns=["l_partkey", "l_extendedprice", "l_discount"])
+    part = pd.DataFrame({"p_partkey": [1, 2, 3], "p_name": ["a", "b", "c"]})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(li).write.parquet(str(sf / "lineitem.parquet"))
+    spark.createDataFrame(part).write.parquet(str(sf / "part.parquet"))
+    out = {r.is_hot: r for r in q94_hybrid_skew_join(spark, str(sf)).collect()}
+    # mean count = 8; hot iff cnt > 12 -> only key 1
+    assert out[1].n_keys == 1 and out[1].n_rows == 20
+    assert out[0].n_keys == 2 and out[0].n_rows == 4
+    assert out[1].revenue == 2000.0 and out[0].revenue == 40.0
+    assert out[1].n_names == 1 and out[0].n_names == 2

@@ -445,3 +445,40 @@ def test_time_travel_reads_exact_historical_states(spark, tmp_path):
     assert s1[5] == "p5-new" and s1[10] == "p10" and len(s1) == 11
     assert set(s2) == {5, 6, 7, 8, 9, 10}                 # 0-4 deleted
     assert s2[5] == "p5-new"
+
+
+def test_incremental_agg_merges_partials_exactly(spark, tmp_path):
+    """Known base/delta split: merged counts and exact-decimal revenue
+    equal the full recompute; split counters expose both contributions."""
+    import datetime
+
+    import pandas as pd
+
+    from data_engineering_nd_spark.operators.datasets import (
+        tbl_incremental_agg_query,
+    )
+
+    rows = [
+        # pre-cutoff (base)
+        (1, "1-URGENT", datetime.datetime(2000, 1, 1), 10.5),
+        (2, "1-URGENT", datetime.datetime(2000, 2, 1), 20.25),
+        (3, "2-HIGH", datetime.datetime(2000, 3, 1), 5.0),
+        # post-cutoff (delta)
+        (4, "1-URGENT", datetime.datetime(2001, 7, 1), 1.25),
+        (5, "3-MEDIUM", datetime.datetime(2001, 7, 2), 7.75),
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=["o_orderkey", "o_orderpriority", "o_orderdate", "o_totalprice"],
+        )
+    ).write.parquet(str(sf / "orders.parquet"))
+    out = {r.o_orderpriority: r for r in tbl_incremental_agg_query(spark, str(sf)).collect()}
+    assert set(out) == {"1-URGENT", "2-HIGH", "3-MEDIUM"}
+    u = out["1-URGENT"]
+    assert (u.n_orders, u.n_base, u.n_delta) == (3, 2, 1)
+    assert u.revenue == 32.0                      # 10.5 + 20.25 + 1.25 exact
+    assert (out["2-HIGH"].n_base, out["2-HIGH"].n_delta) == (1, 0)
+    assert (out["3-MEDIUM"].n_base, out["3-MEDIUM"].n_delta) == (0, 1)

@@ -117,6 +117,10 @@ HEADLINERS = [
     "q91_fuzzy_blocking_join",
     "q92_seasonal_anomaly",
     "q93_ab_conversion_ztest",
+    "q94_hybrid_skew_join",
+    "graph_clustering_coefficient",
+    # tbl_incremental_agg returns localCheckpoint-ed audit rows (trivial
+    # plan; refresh shape pinned in tests) — kept out of the headliners.
 ]
 
 SF_DIR = "/root/testdata/sf0.001"
