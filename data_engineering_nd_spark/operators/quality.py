@@ -884,3 +884,117 @@ def dq_benford_digit_check_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     change that shifts the money distribution shows up here first."""
     o = load(spark, "orders", sf_dir)
     return benford_digit_check(o, "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency profiling: does column A determine column B?  The
+# schema-inference / normalization / DQ-contract primitive ("order id must
+# determine priority"; "zip must determine state").  Violations are exact:
+# a determinant value with more than one distinct dependent value.
+# ---------------------------------------------------------------------------
+
+
+def functional_dependency_report(
+    df: DataFrame, fds: list[tuple[str, str]]
+) -> DataFrame:
+    """One report row per candidate dependency det -> dep: determinant
+    cardinality, how many determinant values map to >1 distinct
+    dependent, the worst fan-out, the violation share (6 dp), and a holds
+    flag. All counts are exact integers.
+
+    Scale shape: each FD is one hash-agg on the determinant with a
+    distinct-count of the dependent (two-level partial agg, map-side
+    combinable) followed by a <= n_keys-row rollup — no joins, no
+    windows. Candidate FDs are independent; Spark runs the per-FD aggs
+    as separate stages off the same column-pruned scan."""
+    from data_engineering_nd_spark.functions.numeric import round_half_up
+
+    reports = []
+    for det, dep in fds:
+        per_key = df.groupBy(det).agg(
+            F.countDistinct(dep).alias("n_dep")
+        )
+        reports.append(
+            per_key.agg(
+                F.lit(f"{det}->{dep}").alias("fd"),
+                F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+                F.sum(F.when(F.col("n_dep") > 1, F.lit(1)).otherwise(F.lit(0)))
+                .cast("bigint")
+                .alias("n_violating"),
+                F.max("n_dep").cast("bigint").alias("max_fanout"),
+            ).select(
+                "fd",
+                "n_keys",
+                "n_violating",
+                "max_fanout",
+                round_half_up(
+                    F.col("n_violating").cast("double")
+                    / F.col("n_keys").cast("double"),
+                    6,
+                ).alias("violation_share"),
+                F.when(F.col("n_violating") == 0, F.lit(1))
+                .otherwise(F.lit(0))
+                .alias("holds"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+_FD_CANDIDATES = [
+    ("o_orderkey", "o_orderpriority"),   # PK determines everything: holds
+    ("o_custkey", "o_orderstatus"),      # repeat customers change status
+    ("o_orderpriority", "o_orderstatus"),   # 5 keys, 3 statuses: violated
+]
+
+
+@query(
+    "dq_functional_dependency",
+    oracle="""
+    WITH fd1 AS (
+        SELECT o_orderkey AS k, COUNT(DISTINCT o_orderpriority) AS n_dep
+        FROM orders GROUP BY 1
+    ),
+    fd2 AS (
+        SELECT o_custkey AS k, COUNT(DISTINCT o_orderstatus) AS n_dep
+        FROM orders GROUP BY 1
+    ),
+    fd3 AS (
+        SELECT o_orderpriority AS k, COUNT(DISTINCT o_orderstatus) AS n_dep
+        FROM orders GROUP BY 1
+    ),
+    rollup_all AS (
+        SELECT 'o_orderkey->o_orderpriority' AS fd,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+               CAST(MAX(n_dep) AS BIGINT) AS max_fanout
+        FROM fd1
+        UNION ALL
+        SELECT 'o_custkey->o_orderstatus',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(MAX(n_dep) AS BIGINT)
+        FROM fd2
+        UNION ALL
+        SELECT 'o_orderpriority->o_orderstatus',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(MAX(n_dep) AS BIGINT)
+        FROM fd3
+    )
+    SELECT fd, n_keys, n_violating, max_fanout,
+           floor(CAST(n_violating AS DOUBLE) / CAST(n_keys AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS violation_share,
+           CASE WHEN n_violating = 0 THEN 1 ELSE 0 END AS holds
+    FROM rollup_all
+    """,
+)
+def dq_functional_dependency_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three candidate dependencies over orders with mixed outcomes: the
+    PK trivially determines priority (holds), while repeat customers
+    break custkey->status and the 5 priorities fan out to multiple
+    statuses. Exact distinct counts; one agg per FD."""
+    orders = load(spark, "orders", sf_dir)
+    return functional_dependency_report(orders, _FD_CANDIDATES)

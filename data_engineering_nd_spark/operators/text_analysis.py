@@ -1803,3 +1803,109 @@ def text_incremental_bm25_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Boolean conjunctive retrieval with proximity: the AND-query primitive
+# under every filtered search ("docs containing ALL of these terms, close
+# together") — the unranked counterpart of BM25's scored top-k, and the
+# candidate generator a phrase/proximity reranker runs behind. Positions
+# come from the posting list (posexplode ordinals), so the proximity test
+# is exact integer arithmetic.
+# ---------------------------------------------------------------------------
+
+_BOOL_TERMS = ("spark", "stream", "vector")
+_BOOL_WINDOW = 8     # first-occurrence span threshold for the proximity flag
+
+
+def boolean_retrieval(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: tuple[str, ...],
+    window: int,
+) -> DataFrame:
+    """Docs containing ALL ``terms``, with total term frequency, the span
+    between the terms' first occurrences, and a proximity flag
+    (span <= window). One posexplode filtered to the query terms (the
+    posting-list slice), one hash-agg per doc with conditional-min first
+    positions — COUNT(DISTINCT term) == k is the AND.
+
+    Scale shape: the exploded frame holds only query-term hits (a few
+    rows per doc, not the corpus token stream); the agg is map-side
+    combinable and partitions on doc id. At 100 TB the same shape runs
+    against a PERSISTED posting index (text_incremental_bm25's table)
+    instead of tokenizing raw text — this operator is the query side."""
+    from data_engineering_nd_spark.functions.text import tokens
+
+    hits = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("ord", "tok")
+    ).filter(F.col("tok").isin(list(terms)))
+    first_pos = [
+        F.min(F.when(F.col("tok") == t, F.col("ord"))).alias(f"fp_{i}")
+        for i, t in enumerate(terms)
+    ]
+    agg = hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf_total"),
+        F.countDistinct("tok").alias("n_terms"),
+        *first_pos,
+    )
+    fps = [F.col(f"fp_{i}") for i in range(len(terms))]
+    span = (F.greatest(*fps) - F.least(*fps)).cast("int")
+    return (
+        agg.filter(F.col("n_terms") == len(terms))
+        .select(
+            F.col(id_col),
+            "tf_total",
+            span.alias("first_span"),
+            F.when(span <= window, F.lit(1)).otherwise(F.lit(0)).alias(
+                "proximity_ok"
+            ),
+        )
+    )
+
+
+@query(
+    "text_boolean_retrieval",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                            ' ') AS toks
+        FROM documents WHERE trim(text) <> ''
+    ),
+    seq AS (
+        SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord
+        FROM t
+    ),
+    hits AS (
+        SELECT doc_id, tok, ord FROM seq
+        WHERE tok IN ('{_BOOL_TERMS[0]}', '{_BOOL_TERMS[1]}', '{_BOOL_TERMS[2]}')
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS tf_total,
+               COUNT(DISTINCT tok) AS n_terms,
+               MIN(CASE WHEN tok = '{_BOOL_TERMS[0]}' THEN ord END) AS fp_0,
+               MIN(CASE WHEN tok = '{_BOOL_TERMS[1]}' THEN ord END) AS fp_1,
+               MIN(CASE WHEN tok = '{_BOOL_TERMS[2]}' THEN ord END) AS fp_2
+        FROM hits GROUP BY 1
+    )
+    SELECT doc_id, tf_total,
+           CAST(greatest(fp_0, fp_1, fp_2) - least(fp_0, fp_1, fp_2) AS INT)
+               AS first_span,
+           CASE WHEN greatest(fp_0, fp_1, fp_2) - least(fp_0, fp_1, fp_2)
+                     <= {_BOOL_WINDOW}
+                THEN 1 ELSE 0 END AS proximity_ok
+    FROM agg WHERE n_terms = 3
+    """,
+)
+def text_boolean_retrieval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND-retrieval of ('spark', 'stream', 'vector') over documents with
+    an 8-token first-occurrence proximity flag. Span arithmetic uses the
+    same ordinal base on both engines (the base cancels in the
+    difference); ties and duplicates are handled by MIN per term."""
+    docs = load(spark, "documents", sf_dir)
+    return boolean_retrieval(
+        docs, "doc_id", "text", _BOOL_TERMS, _BOOL_WINDOW
+    )

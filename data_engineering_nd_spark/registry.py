@@ -220,6 +220,8 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "q94_hybrid_skew_join",
         "tbl_incremental_agg",
         "graph_clustering_coefficient",
+        "text_boolean_retrieval",
+        "dq_functional_dependency",
     ], 8),
 }
 

@@ -283,3 +283,35 @@ def test_hll_grouped_merge_law(spark, tmp_path):
         assert r.register_sum == r.register_sum_merged
         assert r.n_exact == 100  # (k*7 % 200) splits evenly by parity of k
         assert abs(r.hll_estimate - r.n_exact) / r.n_exact < 0.8
+
+
+def test_boolean_retrieval_and_semantics_and_span(spark):
+    """AND semantics: docs missing a term drop out; the span is the
+    first-occurrence spread; the proximity flag honors the window."""
+    import pandas as pd
+
+    from data_engineering_nd_spark.operators.text_analysis import (
+        boolean_retrieval,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "spark stream vector tail tail",          # span 2, close
+                    "spark x x x x x x x x x stream vector",  # span 11, far
+                    "spark stream only",                      # missing vector
+                ],
+            }
+        )
+    )
+    out = {
+        r.doc_id: r
+        for r in boolean_retrieval(
+            docs, "doc_id", "text", ("spark", "stream", "vector"), 8
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    assert (out[1].tf_total, out[1].first_span, out[1].proximity_ok) == (3, 2, 1)
+    assert (out[2].tf_total, out[2].first_span, out[2].proximity_ok) == (3, 11, 0)

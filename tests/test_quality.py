@@ -454,3 +454,42 @@ def test_benford_digit_check_shares_and_terms(spark):
         p = _BENFORD_P[d]
         expected = math.floor((share - p) ** 2 / p * 1e6 + 0.5)
         assert out[d].chi_term_e6 == expected
+
+
+def test_functional_dependency_report_mixed_outcomes(spark, tmp_path):
+    """Planted violation: the PK dependency holds, the violated one is
+    counted with the right fan-out and share."""
+    import datetime
+
+    import pandas as pd
+
+    from data_engineering_nd_spark.operators.quality import (
+        dq_functional_dependency_query,
+    )
+
+    d = datetime.datetime(2000, 1, 1)
+    rows = [
+        (1, 10, "O", 1.0, d, "1-URGENT"),
+        (2, 10, "F", 1.0, d, "1-URGENT"),   # custkey 10 -> two statuses
+        (3, 20, "O", 1.0, d, "2-HIGH"),
+        (4, 30, "P", 1.0, d, "2-HIGH"),
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=[
+                "o_orderkey", "o_custkey", "o_orderstatus",
+                "o_totalprice", "o_orderdate", "o_orderpriority",
+            ],
+        )
+    ).write.parquet(str(sf / "orders.parquet"))
+    out = {r.fd: r for r in dq_functional_dependency_query(spark, str(sf)).collect()}
+    pk = out["o_orderkey->o_orderpriority"]
+    assert (pk.n_keys, pk.n_violating, pk.holds) == (4, 0, 1)
+    cust = out["o_custkey->o_orderstatus"]
+    assert (cust.n_keys, cust.n_violating, cust.max_fanout, cust.holds) == (3, 1, 2, 0)
+    assert abs(cust.violation_share - 1 / 3) < 1e-6
+    pri = out["o_orderpriority->o_orderstatus"]
+    assert (pri.n_keys, pri.n_violating, pri.max_fanout) == (2, 2, 2)

@@ -119,6 +119,8 @@ HEADLINERS = [
     "q93_ab_conversion_ztest",
     "q94_hybrid_skew_join",
     "graph_clustering_coefficient",
+    "text_boolean_retrieval",
+    "dq_functional_dependency",
     # tbl_incremental_agg returns localCheckpoint-ed audit rows (trivial
     # plan; refresh shape pinned in tests) — kept out of the headliners.
 ]
