@@ -1662,3 +1662,97 @@ def dedup_containment_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     PAIR_EDGE_CTES, so the oracle shares its tokenization exactly."""
     docs = load(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
     return containment_pairs(docs, "doc_id", "text", "lang", threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# Survivorship (golden record): the step AFTER matching in every entity-
+# resolution pipeline — fuzzy pairs (q91's blocking + edit-distance match)
+# become clusters (star-contraction CC), and each cluster elects one
+# canonical record by deterministic survivorship rules. This is the
+# MDM/customer-360 shape: match -> cluster -> survive.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_survivorship",
+    # Recursive-CTE closure over the SAME match graph q91 gates: rep =
+    # lexicographic min of the component; survivorship rules (longest
+    # name, then lexicographic max as tiebreak) are struct-max arithmetic
+    # in both engines. Singletons survive as their own golden record.
+    oracle="""
+    WITH RECURSIVE names AS (
+        SELECT p_name,
+               split_part(p_name, ' ', 1) AS adj,
+               CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM part GROUP BY 1, 2
+    ),
+    mpairs AS (
+        SELECT a.p_name AS na, b.p_name AS nb
+        FROM names a JOIN names b ON a.adj = b.adj AND a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ),
+    medges AS (
+        SELECT na AS src, nb AS dst FROM mpairs
+        UNION
+        SELECT nb, na FROM mpairs
+    ),
+    reach(n, r) AS (
+        SELECT p_name, p_name FROM names
+        UNION
+        SELECT e.dst, reach.r FROM medges e JOIN reach ON e.src = reach.n
+    ),
+    comp AS (SELECT n AS p_name, MIN(r) AS rep FROM reach GROUP BY 1)
+    SELECT c.rep AS rep_name,
+           CAST(COUNT(*) AS BIGINT) AS n_names,
+           CAST(SUM(m.n_parts) AS BIGINT) AS n_parts,
+           max({'l': length(m.p_name), 'nm': m.p_name}).nm AS longest_name
+    FROM names m JOIN comp c USING (p_name)
+    GROUP BY 1
+    """,
+)
+def dedup_survivorship_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden records over part names: q91's match graph (first-token
+    blocking, Levenshtein <= 3) clustered by star-contraction connected
+    components, then one survivor row per cluster — the lexicographic-min
+    representative, member/row tallies, and the longest member name (the
+    'most complete value wins' survivorship rule; ties broken
+    lexicographically via struct comparison, identical in both engines).
+
+    Scale shape: matching is q91's blocked pair join over DISTINCT
+    entities; clustering is star-contraction (O(log^2 n) rounds of
+    groupBy-min + equi-join — never diameter-bound); survivorship is one
+    hash-agg over members keyed by representative. Every stage partitions
+    on entity/cluster keys; nothing is driver-side."""
+    part = load(spark, "part", sf_dir)
+    names = (
+        part.groupBy("p_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+        .withColumn("adj", F.split(F.col("p_name"), " ").getItem(0))
+    )
+    a = names.select(
+        F.col("p_name").alias("na"), F.col("adj").alias("adj_a")
+    )
+    b = names.select(
+        F.col("p_name").alias("nb"), F.col("adj").alias("adj_b")
+    )
+    mpairs = a.join(
+        b,
+        (F.col("adj_a") == F.col("adj_b")) & (F.col("na") < F.col("nb")),
+    ).filter(F.levenshtein(F.col("na"), F.col("nb")) <= 3)
+    comp = connected_components_star(
+        mpairs.select(F.col("na").alias("src"), F.col("nb").alias("dst"))
+    )
+    members = names.join(
+        comp.select(F.col("id").alias("p_name"), F.col("comp").alias("rep0")),
+        "p_name",
+        "left",
+    ).withColumn("rep", F.coalesce(F.col("rep0"), F.col("p_name")))
+    return members.groupBy(F.col("rep").alias("rep_name")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_names"),
+        F.sum("n_parts").cast("bigint").alias("n_parts"),
+        F.max(
+            F.struct(
+                F.length("p_name").alias("l"), F.col("p_name").alias("nm")
+            )
+        )["nm"].alias("longest_name"),
+    )

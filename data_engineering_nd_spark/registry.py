@@ -222,6 +222,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "graph_clustering_coefficient",
         "text_boolean_retrieval",
         "dq_functional_dependency",
+        "dedup_survivorship",
     ], 8),
 }
 

@@ -351,3 +351,25 @@ def test_containment_detects_subset_duplicates(spark):
     assert out[(3, 2)].containment == round(10 / 11, 6)
     # low overlap: absent entirely
     assert not any(4 in k for k in out)
+
+def test_survivorship_clusters_and_rules(spark, tmp_path):
+    """Transitive match chain collapses to one golden record with the
+    lexicographic-min rep and longest-name survivor; non-matching names
+    stay singletons."""
+    import pandas as pd
+
+    from data_engineering_nd_spark.operators.dedup import dedup_survivorship_query
+
+    names = ["blue bolt", "blue bolt", "blue boltz", "blue rod", "red bolt"]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(pd.DataFrame({"p_name": names})).write.parquet(
+        str(sf / "part.parquet")
+    )
+    out = {r.rep_name: r for r in dedup_survivorship_query(spark, str(sf)).collect()}
+    # bolt~boltz (1) and bolt~rod (3) chain all three; boltz~rod (4) irrelevant
+    assert set(out) == {"blue bolt", "red bolt"}
+    g = out["blue bolt"]
+    assert (g.n_names, g.n_parts, g.longest_name) == (3, 4, "blue boltz")
+    s = out["red bolt"]
+    assert (s.n_names, s.n_parts, s.longest_name) == (1, 1, "red bolt")

@@ -121,6 +121,7 @@ HEADLINERS = [
     "graph_clustering_coefficient",
     "text_boolean_retrieval",
     "dq_functional_dependency",
+    "dedup_survivorship",
     # tbl_incremental_agg returns localCheckpoint-ed audit rows (trivial
     # plan; refresh shape pinned in tests) — kept out of the headliners.
 ]
