@@ -223,6 +223,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "text_boolean_retrieval",
         "dq_functional_dependency",
         "dedup_survivorship",
+        "stream_bitmap_dau",
     ], 8),
 }
 

@@ -1094,3 +1094,104 @@ def stream_hll_users_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("hll_estimate"),
     ).orderBy("window_start")
+
+
+# ---------------------------------------------------------------------------
+# Streaming bitmap DAU: q88's audience bitmap AS STREAMING STATE. bit_or
+# is associative and commutative, so the windowed agg merges each day's
+# presence words incrementally across micro-batches in O(days x
+# n_users/32) state — exact distincts (not a sketch) in bounded state,
+# because membership is a bit, not a row. The materialized words are the
+# SAME index q88 builds in batch: streaming ingest and batch analytics
+# meet on identical integers, the bitmap counterpart of stream_hll_users.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_bitmap_dau",
+    oracle="""
+    WITH words AS (
+        SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS day,
+               user_id // 32 AS word,
+               bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS bits
+        FROM events
+        GROUP BY 1, 2
+    ),
+    joined AS (
+        SELECT t.day,
+               t.bits AS today_bits,
+               COALESCE(y.bits, 0) AS yday_bits
+        FROM words t
+        LEFT JOIN words y
+          ON y.word = t.word AND y.day = t.day - INTERVAL 1 DAY
+    ),
+    per_day AS (
+        SELECT day,
+               CAST(SUM(bit_count(today_bits)) AS BIGINT) AS dau,
+               CAST(SUM(bit_count(today_bits & yday_bits)) AS BIGINT)
+                   AS retained
+        FROM joined GROUP BY day
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, dau, retained,
+           floor(CAST(retained AS DOUBLE) / CAST(dau AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS retention
+    FROM per_day
+    """,
+)
+def stream_bitmap_dau_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users + day-over-day retention from a STREAM: the
+    windowed agg bit_or-merges presence words (32 users per BIGINT)
+    across micro-batches — exact DAU in bounded state — and the
+    materialized word rows take q88's batch popcount/intersection pass.
+    The oracle replays the whole build over the batch table, so the
+    value hash proves streaming arrival order is irrelevant to the
+    merged bitmaps (bit_or associativity), not just to the counts."""
+    ev = with_watermark(read_events_stream(spark, sf_dir))
+    words = ev.select(
+        "ts",
+        F.expr("user_id DIV 32").alias("word"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))"
+        ).alias("bit"),
+    )
+    regs = (
+        words.groupBy(F.window("ts", "1 day").alias("w"), "word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("day"),
+            "word",
+            "bits",
+        )
+    )
+    sink = _run(regs, "stream_bitmap_dau_sink", spark)
+    from data_engineering_nd_spark.functions.numeric import round_half_up
+
+    t = sink.alias("t")
+    y = sink.select(
+        (F.col("day") + F.expr("INTERVAL 1 DAY")).alias("yday_plus"),
+        F.col("word").alias("y_word"),
+        F.col("bits").alias("y_bits"),
+    )
+    joined = t.join(
+        y,
+        (F.col("t.word") == F.col("y_word"))
+        & (F.col("t.day") == F.col("yday_plus")),
+        "left",
+    ).select(
+        F.col("t.day").alias("day"),
+        F.col("t.bits").alias("today_bits"),
+        F.coalesce(F.col("y_bits"), F.lit(0)).alias("yday_bits"),
+    )
+    per_day = joined.groupBy("day").agg(
+        F.sum(F.bit_count("today_bits")).cast("bigint").alias("dau"),
+        F.sum(F.bit_count(F.expr("today_bits & yday_bits")))
+        .cast("bigint")
+        .alias("retained"),
+    )
+    return per_day.select(
+        "day",
+        "dau",
+        "retained",
+        round_half_up(
+            F.col("retained").cast("double") / F.col("dau").cast("double"), 6
+        ).alias("retention"),
+    )

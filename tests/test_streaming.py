@@ -365,3 +365,34 @@ def test_stream_hll_registers_bounded_and_estimate_tracks_exact(spark):
     # claims: bounded state and exact window coverage)
     for r in out.values():
         assert r.hll_estimate > 0
+
+
+def test_stream_bitmap_dau_counts_and_retention(spark, tmp_path):
+    """Streamed word build equals the batch expectation: DAU popcounts,
+    word-boundary users, retained intersection, no-previous-day zero."""
+    import datetime
+
+    import pandas as pd
+
+    from data_engineering_nd_spark.streaming.queries import (
+        stream_bitmap_dau_query,
+    )
+
+    d1 = datetime.datetime(2024, 1, 1, 10)
+    d2 = datetime.datetime(2024, 1, 2, 10)
+    rows = [
+        (1, d1, 0, "view", 0.0), (2, d1, 31, "view", 0.0),
+        (3, d1, 32, "view", 0.0), (4, d1, 100, "view", 0.0),
+        (5, d1, 31, "click", 0.0),
+        (6, d2, 31, "view", 0.0), (7, d2, 32, "view", 0.0),
+        (8, d2, 200, "view", 0.0),
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    ).write.parquet(str(sf / "events.parquet"))
+    out = {r.day.day: r for r in stream_bitmap_dau_query(spark, str(sf)).collect()}
+    assert (out[1].dau, out[1].retained) == (4, 0)
+    assert (out[2].dau, out[2].retained) == (3, 2)
+    assert abs(out[2].retention - 2 / 3) < 1e-6
