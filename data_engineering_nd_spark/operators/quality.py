@@ -869,7 +869,7 @@ def _benford_case_sql() -> str:
            CAST(n_total AS BIGINT) AS n_total,
            floor(CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE)
                  * 1000000.0 + 0.5) / 1000000.0 AS obs_share,
-           p_benford,
+           CAST(p_benford AS DOUBLE) AS p_benford,
            CAST(floor((CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE) - p_benford)
                       * (CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE) - p_benford)
                       / p_benford * 1000000.0 + 0.5) AS BIGINT) AS chi_term_e6
