@@ -3193,3 +3193,286 @@ def tbl_incremental_agg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# MERGE blast radius: copy-on-write upsert with three-stage file narrowing
+# ---------------------------------------------------------------------------
+
+_MERGE_ORACLE = """
+    WITH params AS (
+        SELECT ((MAX(o_orderkey) + 8) // 8) AS width,
+               MAX(o_orderkey) AS mxk
+        FROM orders
+    ),
+    chunks AS (
+        SELECT o.o_orderkey, o.o_custkey,
+               o.o_orderkey // p.width AS cid
+        FROM orders o CROSS JOIN params p
+    ),
+    kp AS (
+        SELECT o_orderkey FROM (
+            SELECT o_orderkey,
+                   row_number() OVER (ORDER BY o_orderkey) AS rn,
+                   COUNT(*) OVER () AS cnt
+            FROM chunks WHERE cid = 3
+        ) WHERE rn = cnt // 2 + 1
+    ),
+    base AS (
+        SELECT o_orderkey, o_custkey, cid FROM chunks
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM kp)
+    ),
+    upd AS (
+        SELECT o_orderkey, o_custkey + 1000000 AS o_custkey
+        FROM base WHERE cid IN (2, 5) AND o_orderkey % 11 = 3
+    ),
+    ins AS (
+        SELECT p.mxk + t.i AS o_orderkey,
+               (p.mxk + t.i) % 1000 AS o_custkey
+        FROM params p CROSS JOIN range(1, 38) t(i)
+        UNION ALL
+        SELECT k.o_orderkey, k.o_orderkey % 1000 AS o_custkey FROM kp k
+    ),
+    src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+    fstats AS (
+        SELECT cid, MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx,
+               COUNT(*) AS nrows
+        FROM base GROUP BY cid
+    ),
+    cand AS (
+        SELECT f.cid,
+               EXISTS (SELECT 1 FROM src s
+                       WHERE s.o_orderkey BETWEEN f.mn AND f.mx) AS stat_hit,
+               EXISTS (SELECT 1 FROM src s JOIN base b
+                       ON b.o_orderkey = s.o_orderkey AND b.cid = f.cid)
+                   AS real_hit
+        FROM fstats f
+    ),
+    merged AS (
+        SELECT b.o_orderkey, b.o_custkey FROM base b
+        WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        UNION ALL SELECT * FROM src
+    )
+    SELECT
+        (SELECT CAST(COUNT(*) FILTER (WHERE NOT stat_hit) AS BIGINT)
+         FROM cand) AS files_pruned_by_stats,
+        (SELECT CAST(COUNT(*) FILTER (WHERE stat_hit AND NOT real_hit)
+                     AS BIGINT) FROM cand) AS files_refined_out,
+        (SELECT CAST(COUNT(*) FILTER (WHERE real_hit) AS BIGINT)
+         FROM cand) AS files_rewritten,
+        (SELECT CAST(COUNT(*) FILTER (WHERE NOT real_hit) AS BIGINT)
+         FROM cand) AS files_untouched,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM upd) AS rows_updated,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM src)
+            - (SELECT CAST(COUNT(*) AS BIGINT) FROM upd) AS rows_inserted,
+        CAST(COUNT(*) AS BIGINT) AS n_after,
+        CAST(SUM(CAST(concat('0x', substr(md5(concat(
+                 CAST(o_orderkey AS VARCHAR), ':',
+                 CAST(o_custkey AS VARCHAR))), 1, 10)) AS BIGINT))
+             AS BIGINT) AS merged_checksum
+    FROM merged
+"""
+
+
+@query("tbl_merge_report", oracle=_MERGE_ORACLE)
+def tbl_merge_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE (upsert) over a real VersionedTable with the full three-stage
+    blast-radius narrowing value-hashed:
+
+    orders is laid out as 8 range-chunk files (partitionBy + add_files,
+    the metadata-only registration path), with the MEDIAN key of chunk 3
+    withheld from the table. The source batch carries (a) updates to keys
+    in chunks 2 and 5, (b) 37 inserts beyond the table's key range, and
+    (c) the withheld key — a 'phantom' that sits strictly INSIDE chunk
+    3's stats interval but is absent from its file. So:
+
+    - chunks 0,1,4,6,7 are pruned by MANIFEST STATS alone (no source key
+      in their [min,max] — zero table reads);
+    - chunk 3 survives stats pruning (the phantom is in its interval) but
+      is REFINED OUT by the key-column semi-join (no actual match) —
+      proving the refinement stage does real work that stats cannot;
+    - chunks 2 and 5 alone are rewritten; the other 6 files carry into
+      the new version by reference.
+
+    The report row hashes the stage-by-stage file counts, the
+    update/insert split, and the post-merge snapshot checksum — a wrong
+    prune, a wrong refinement, a lost update, or a dropped insert all
+    diverge. Mirrors Delta/Iceberg MERGE file-pruning semantics
+    (reference writes whole tables with mode('overwrite'),
+    Capstone/scripts/etl.py:434-491 — no notion of touching 2 files out
+    of 8)."""
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    orders = load(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    max_key = int(orders.agg(F.max("o_orderkey")).collect()[0][0])
+    width = (max_key + 8) // 8
+    chunks = orders.withColumn("cid", F.expr(f"o_orderkey div {width}"))
+
+    c3 = chunks.filter(F.col("cid") == 3).select("o_orderkey")
+    cnt3 = c3.count()
+    kp = int(
+        c3.orderBy("o_orderkey").offset(cnt3 // 2).limit(1).collect()[0][0]
+    )
+    base = chunks.filter(F.col("o_orderkey") != kp)
+
+    upd = base.filter(
+        F.col("cid").isin(2, 5) & (F.col("o_orderkey") % 11 == 3)
+    ).select(
+        "o_orderkey", (F.col("o_custkey") + 1000000).alias("o_custkey")
+    )
+    ins_high = spark.range(1, 38).select(
+        (F.lit(max_key) + F.col("id")).alias("o_orderkey"),
+        ((F.lit(max_key) + F.col("id")) % 1000).alias("o_custkey"),
+    )
+    ins_kp = spark.createDataFrame(
+        [(kp, kp % 1000)], "o_orderkey long, o_custkey long"
+    )
+    source = upd.unionByName(ins_high).unionByName(ins_kp)
+
+    work = tempfile.mkdtemp(prefix="tbl_merge_")
+    try:
+        staging = work + "/staging"
+        base.repartition(1).write.partitionBy("cid").parquet(staging)
+        table = VersionedTable(spark, work + "/table")
+        table.add_files(staging)
+
+        m = table.merge(source, ["o_orderkey"])
+        digest = md5_prefix_long(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("o_custkey").cast("string"),
+            )
+        )
+        out = table.snapshot().agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_after"),
+            F.sum(digest).cast("bigint").alias("merged_checksum"),
+        ).select(
+            F.lit(m["files_pruned_by_stats"]).cast("bigint")
+            .alias("files_pruned_by_stats"),
+            F.lit(m["files_refined_out"]).cast("bigint")
+            .alias("files_refined_out"),
+            F.lit(m["files_rewritten"]).cast("bigint")
+            .alias("files_rewritten"),
+            F.lit(m["files_untouched"]).cast("bigint")
+            .alias("files_untouched"),
+            F.lit(m["rows_updated"]).cast("bigint").alias("rows_updated"),
+            F.lit(m["rows_inserted"]).cast("bigint").alias("rows_inserted"),
+            "n_after",
+            "merged_checksum",
+        )
+        # output-sized (1 row); materialize so the scratch table can go
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Additive schema evolution: old files read under the evolved schema with
+# NULL backfill; time travel still reads each version under ITS OWN schema
+# ---------------------------------------------------------------------------
+
+_EVOLUTION_ORACLE = """
+    WITH v0 AS (
+        SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    v1_new AS (
+        SELECT o_orderkey, o_custkey,
+               concat('b', CAST(o_orderkey % 7 AS VARCHAR)) AS o_bucket
+        FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    v1 AS (
+        SELECT o_orderkey, o_custkey, NULL AS o_bucket FROM v0
+        UNION ALL SELECT * FROM v1_new
+    )
+    SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM v0) AS n_v0,
+        CAST(2 AS BIGINT) AS cols_v0,
+        CAST(COUNT(*) AS BIGINT) AS n_v1,
+        CAST(3 AS BIGINT) AS cols_v1,
+        CAST(COUNT(*) FILTER (WHERE o_bucket IS NULL) AS BIGINT)
+            AS bucket_nulls,
+        CAST(COUNT(*) FILTER (WHERE o_bucket IS NOT NULL) AS BIGINT)
+            AS bucket_set,
+        CAST(SUM(CAST(concat('0x', substr(md5(concat(
+                 CAST(o_orderkey AS VARCHAR), ':',
+                 coalesce(o_bucket, '-'))), 1, 10)) AS BIGINT))
+             AS BIGINT) AS evolved_checksum
+    FROM v1
+"""
+
+
+@query("tbl_schema_evolution", oracle=_EVOLUTION_ORACLE)
+def tbl_schema_evolution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution on a VersionedTable, value-hashed:
+
+    v0 commits even-keyed orders under (o_orderkey, o_custkey); v1
+    APPENDS the odd-keyed rows carrying a brand-new ``o_bucket`` column.
+    The append evolves the table schema additively — v0's files are
+    carried BY REFERENCE (never rewritten), yet the v1 snapshot reads
+    them under the evolved 3-column schema with ``o_bucket`` backfilled
+    as NULL. Time travel to v0 still reads that version under ITS OWN
+    2-column schema (``cols_v0`` is MEASURED on the post-evolution
+    snapshot(0), so a leaky evolution that rewrote history diverges).
+
+    The hash pins: both row counts, both schema widths, the exact
+    NULL/SET split of the evolved column (every v0 row NULL, every v1
+    row set), and a checksum over (key, coalesced bucket) — a wrong
+    backfill, a dropped old file, or footer-schema resolution drift
+    (reading files under whichever footer Spark sees first instead of
+    the manifest schema) all change the hash.
+
+    The reference overwrites whole tables to change shape
+    (Capstone/scripts/etl.py:434-491); this is the Delta/Iceberg
+    mergeSchema contract at 100 TB — adding a column costs one manifest
+    write, zero data rewrites."""
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    orders = load(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    v0df = orders.filter(F.col("o_orderkey") % 2 == 0)
+    v1df = orders.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "o_bucket",
+        F.concat(F.lit("b"), (F.col("o_orderkey") % 7).cast("string")),
+    )
+
+    work = tempfile.mkdtemp(prefix="tbl_evolve_")
+    try:
+        table = VersionedTable(spark, work)
+        table.commit(v0df)                      # v0: 2 columns
+        table.commit(v1df, mode="append")       # v1: evolves to 3 columns
+        snap0, snap1 = table.snapshot(0), table.snapshot(1)
+        digest = md5_prefix_long(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit(":"),
+                F.coalesce(F.col("o_bucket"), F.lit("-")),
+            )
+        )
+        out = snap1.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_v1"),
+            F.sum(F.when(F.col("o_bucket").isNull(), 1).otherwise(0))
+            .cast("bigint").alias("bucket_nulls"),
+            F.sum(F.when(F.col("o_bucket").isNotNull(), 1).otherwise(0))
+            .cast("bigint").alias("bucket_set"),
+            F.sum(digest).cast("bigint").alias("evolved_checksum"),
+        ).select(
+            F.lit(snap0.count()).cast("bigint").alias("n_v0"),
+            F.lit(len(snap0.columns)).cast("bigint").alias("cols_v0"),
+            "n_v1",
+            F.lit(len(snap1.columns)).cast("bigint").alias("cols_v1"),
+            "bucket_nulls",
+            "bucket_set",
+            "evolved_checksum",
+        )
+        # output-sized (1 row); materialize so the scratch table can go
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

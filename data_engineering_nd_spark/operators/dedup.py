@@ -1756,3 +1756,135 @@ def dedup_survivorship_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )["nm"].alias("longest_name"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtering similarity join (AllPairs/PPJoin): EXACT Jaccard pairs
+# without blocking and without per-block quadratic work
+# ---------------------------------------------------------------------------
+
+
+def ppjoin_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact token-set Jaccard similarity join via prefix filtering
+    (Bayardo et al. 2007 "Scaling Up All Pairs Similarity Search";
+    Xiao et al. 2008 PPJoin) — the DETERMINISTIC scale path next to the
+    probabilistic MinHash/LSH family: same exact output as brute-force
+    all-pairs, no false negatives by construction, no RNG.
+
+    Mechanics: order every document's distinct tokens by GLOBAL ascending
+    document frequency (rare first, token text tie-break); a document of
+    size s keeps only its first ``s - ceil(t*s) + 1`` tokens as its
+    PREFIX. Any pair with Jaccard >= t provably shares the min-order
+    intersection token inside BOTH prefixes, so equi-joining prefixes on
+    the token generates a complete candidate set — but candidate volume
+    is driven by RARE tokens (stopword-sized posting lists never reach a
+    prefix at realistic thresholds, because frequent tokens sort last).
+    Candidates are size-filtered (t*max(sa,sb) <= min(sa,sb) is necessary
+    for J >= t) and then verified with the exact intersection count.
+
+    Scale shape: token explode (~doc length rows), one hash-agg for df,
+    a per-DOCUMENT window for prefix ranks (bounded partitions, never a
+    global sort), a prefix self-equi-join whose fan-out is sum of
+    prefix-posting-list^2 (small by the rare-first ordering), and a
+    verification join that touches candidate pairs only. Everything is
+    an equi-join or hash-agg — no crossJoin, no UDF."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+    ).localCheckpoint()  # feeds df-counts, prefixes, AND verification
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    w = Window.partitionBy("id").orderBy("df", "tok")
+    prefix = (
+        toks.join(dfreq, "tok")
+        .withColumn("rnk", F.row_number().over(w))
+        .join(sizes, "id")
+        .filter(
+            F.col("rnk")
+            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        )
+        .select("id", "tok", "sz")
+    )
+    pa, pb = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        # length filter: J(x,y) >= t forces t*max <= min
+        .filter(
+            F.lit(threshold) * F.greatest("sz_a", "sz_b")
+            <= F.least("sz_a", "sz_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ta = toks.select(F.col("id").alias("id_a"), "tok")
+    tb = toks.select(F.col("id").alias("id_b"), "tok")
+    verified = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    union = F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    jac = F.col("inter").cast("double") / union.cast("double")
+    return verified.filter(jac >= threshold).select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+@query(
+    "dedup_ppjoin",
+    oracle=r"""
+    WITH sets AS (
+        SELECT doc_id AS id,
+               CASE WHEN trim(text) = ''
+                    THEN CAST([] AS VARCHAR[])
+                    ELSE list_distinct(
+                        string_split_regex(lower(trim(text)), '\s+'))
+               END AS toks
+        FROM documents
+        WHERE doc_id < 600
+    )
+    SELECT a.id AS id_a,
+           b.id AS id_b,
+           round(
+               CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+               / CAST(len(a.toks) + len(b.toks)
+                      - len(list_intersect(a.toks, b.toks)) AS DOUBLE),
+               6
+           ) AS jaccard
+    FROM sets a
+    JOIN sets b ON a.id < b.id
+    WHERE len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) > 0
+      AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / CAST(len(a.toks) + len(b.toks)
+                 - len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          >= 0.9
+    """,
+)
+def dedup_ppjoin_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard join vs a BRUTE-FORCE oracle: DuckDB
+    computes ground truth as unblocked all-pairs over the same slice, so
+    the hash proves the prefix filter's completeness claim (no lost pair)
+    and the verification's exactness (no surviving false positive) — not
+    merely that two copies of the same algorithm agree. doc_id < 600
+    bounds the ORACLE's quadratic work; the Spark side is the unbounded
+    scale path (cf. dedup_jaccard_pairs, which needs a blocking key and
+    goes quadratic per block)."""
+    docs = load(spark, "documents", sf_dir).filter(F.col("doc_id") < 600)
+    return ppjoin_pairs(docs, "doc_id", "text", threshold=0.9)

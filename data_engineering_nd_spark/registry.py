@@ -224,6 +224,10 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "dq_functional_dependency",
         "dedup_survivorship",
         "stream_bitmap_dau",
+        "tbl_merge_report",
+        "tbl_schema_evolution",
+        "dedup_ppjoin",
+        "stream_heavy_hitters",
     ], 8),
 }
 

@@ -1195,3 +1195,152 @@ def stream_bitmap_dau_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("retained").cast("double") / F.col("dau").cast("double"), 6
         ).alias("retention"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Count-Min heavy hitters: q69's frequency sketch AS STREAMING
+# STATE. The CMS counter grid is a windowed SUM — associative and
+# commutative — so the per-day sketch merges incrementally across
+# micro-batches in O(days x d x w) state REGARDLESS of stream volume:
+# the bounded-memory answer to "who are today's heaviest users" when the
+# key space is too large to count exactly in state. The materialized
+# counters are the SAME grid q69 builds in batch (md5 hash family), so
+# probing is SQL-mirrorable and the value hash proves micro-batch count
+# merging is replay-order-invariant.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_heavy_hitters",
+    oracle="""
+    WITH buckets AS (
+        SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS day,
+               t.j,
+               CAST(concat('0x', substr(md5(CAST(t.j AS VARCHAR) || ':'
+                    || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 256 AS bucket
+        FROM events, unnest(range(4)) AS t(j)
+    ),
+    cms AS (
+        SELECT day, j, bucket, COUNT(*) AS c
+        FROM buckets GROUP BY day, j, bucket
+    ),
+    exact AS (
+        SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS day,
+               user_id, COUNT(*) AS exact_n
+        FROM events GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT day, user_id, exact_n FROM (
+            SELECT day, user_id, exact_n,
+                   row_number() OVER (PARTITION BY day
+                                      ORDER BY exact_n DESC, user_id) AS rn
+            FROM exact
+        ) WHERE rn <= 3
+    ),
+    probes AS (
+        SELECT t.day, t.user_id, t.exact_n, u.j,
+               CAST(concat('0x', substr(md5(CAST(u.j AS VARCHAR) || ':'
+                    || CAST(t.user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 256 AS bucket
+        FROM top t, unnest(range(4)) AS u(j)
+    )
+    SELECT CAST(p.day AS TIMESTAMP) AS day,
+           p.user_id,
+           CAST(p.exact_n AS BIGINT) AS exact_n,
+           CAST(MIN(c.c) AS BIGINT) AS cms_n,
+           MIN(c.c) >= p.exact_n AS never_underestimates
+    FROM probes p
+    JOIN cms c ON c.day = p.day AND c.j = p.j AND c.bucket = p.bucket
+    GROUP BY p.day, p.user_id, p.exact_n
+    """,
+)
+def stream_heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day heavy-hitter estimates from a STREAMING Count-Min Sketch:
+    the 4x256 counter grid accumulates as a windowed streaming SUM (CMS
+    counters are mergeable by addition, so micro-batch partials compose
+    exactly), then the day's 3 heaviest users (exact counts from the
+    batch table — the ground-truth side) probe the materialized grid
+    with the same md5 hash family. The hash pins estimate values AND the
+    never-underestimates guarantee per (day, user): a lost micro-batch,
+    a double-counted replay, or a hash-family drift between the
+    streaming build and the probe all diverge. Batch sibling: q69."""
+    d, w = 4, 256
+
+    def bucket(j, key):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            j.cast("string"), F.lit(":"), key.cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % w
+        )
+
+    ev = with_watermark(read_events_stream(spark, sf_dir))
+    grid = (
+        ev.select(
+            "ts",
+            F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("j"),
+            "user_id",
+        )
+        .select(
+            "ts", "j", bucket(F.col("j"), F.col("user_id")).alias("bucket")
+        )
+        .groupBy(F.window("ts", "1 day").alias("win"), "j", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("day"),
+            "j",
+            "bucket",
+            "c",
+        )
+    )
+    cms = _run(grid, "stream_heavy_hitters_sink", spark)
+
+    from data_engineering_nd_spark.catalog import load
+    from pyspark.sql.window import Window
+
+    exact = (
+        load(spark, "events", sf_dir)
+        .groupBy(
+            F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("day").orderBy(F.desc("exact_n"), "user_id")
+    )
+    top = exact.withColumn("rn", rn).filter(F.col("rn") <= 3).drop("rn")
+    probes = top.select(
+        "day",
+        "user_id",
+        "exact_n",
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("j"),
+    ).select(
+        "day", "user_id", "exact_n", "j",
+        bucket(F.col("j"), F.col("user_id")).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cms), ["day", "j", "bucket"])
+        .groupBy("day", "user_id", "exact_n")
+        .agg(
+            F.min("c").cast("bigint").alias("cms_n"),
+            (F.min("c") >= F.first("exact_n")).alias("never_underestimates"),
+        )
+        .select(
+            "day",
+            "user_id",
+            F.col("exact_n").cast("bigint").alias("exact_n"),
+            "cms_n",
+            "never_underestimates",
+        )
+    )

@@ -485,44 +485,135 @@ class VersionedTable:
                 )
         return StructType(fields).json()
 
+    def _merge_stat_candidates(
+        self, source: DataFrame, key: str, m: dict,
+        membership_cap: int = 256,
+    ) -> tuple[list[str], list[str]]:
+        """Stage-1 candidate selection for :meth:`merge` from manifest
+        stats alone — no table file is opened. Two escalating prunes:
+
+        1. RANGE overlap (pure metadata): collect the source key's
+           [min, max] (one agg over the small batch) and drop every file
+           whose stats interval cannot overlap it — Delta/Iceberg's
+           merge-condition pruning.
+        2. INTERVAL membership (exact, still no table reads): a file
+           survives only if at least one ACTUAL source key falls inside
+           its [min, max]. Implemented as source-keys ⋈ broadcast(file
+           boundaries) — cost |source| x |surviving files|, so it only
+           runs when stage 1 left ≤ ``membership_cap`` files (at 100 TB
+           stage 1 already cut the list to the overlap neighborhood;
+           nested-loop over an unbounded file list would not scale).
+
+        Files with no recorded stats for ``key`` are always candidates
+        (conservative — correctness never depends on stats existing).
+        Returns ``(candidates, pruned)``."""
+        stats = self._file_stats(m["files"], m)
+        bounds: list[tuple[str, object, object]] = []
+        no_stats: list[str] = []
+        for f in m["files"]:
+            cs = stats.get(f, {}).get("columns", {}).get(key)
+            if cs is None or cs.get("min") is None:
+                no_stats.append(f)
+            else:
+                bounds.append((f, cs["min"], cs["max"]))
+        if not bounds:
+            return list(m["files"]), []
+        row = source.agg(
+            F.min(key).alias("mn"), F.max(key).alias("mx")
+        ).collect()[0]
+        smin, smax = row["mn"], row["mx"]
+        if smin is None:  # all-null source keys: nothing can match
+            return no_stats, [f for f, _, _ in bounds]
+        overlap = [(f, mn, mx) for f, mn, mx in bounds
+                   if not (mx < smin or mn > smax)]
+        pruned = [f for f, mn, mx in bounds if mx < smin or mn > smax]
+        if overlap and len(overlap) <= membership_cap:
+            ktype = source.schema[key].dataType
+            bdf = self.spark.createDataFrame(
+                [(f, str(mn), str(mx)) for f, mn, mx in overlap],
+                "__mfile string, __mn string, __mx string",
+            ).select(
+                "__mfile",
+                F.col("__mn").cast(ktype).alias("__mn"),
+                F.col("__mx").cast(ktype).alias("__mx"),
+            )
+            hit = {
+                r["__mfile"]
+                for r in source.select(F.col(key).alias("__k"))
+                .dropna().dropDuplicates()
+                .join(
+                    F.broadcast(bdf),
+                    (F.col("__k") >= F.col("__mn"))
+                    & (F.col("__k") <= F.col("__mx")),
+                )
+                .select("__mfile").distinct().collect()
+            }
+            pruned += [f for f, _, _ in overlap if f not in hit]
+            overlap = [t for t in overlap if t[0] in hit]
+        return [f for f, _, _ in overlap] + no_stats, pruned
+
     def merge(self, source: DataFrame, key_cols: list[str]) -> dict:
         """Upsert (MERGE): rows in ``source`` replace snapshot rows with
         the same key; unmatched source rows insert. Copy-on-write at file
         granularity — only files containing a matched key are rewritten.
 
-        The affected-file discovery is a semi-join on key columns only
-        (column pruning keeps payload columns out of the scan), grouped to
-        the distinct file list; everything else carries over by reference.
-        """
+        Three-stage blast-radius narrowing, mirroring delete_where:
+
+        1. manifest-stats pruning (:meth:`_merge_stat_candidates`) —
+           metadata plus one pass over the SOURCE batch, zero table reads;
+        2. semi-join refinement: only stage-1 candidates have their key
+           columns scanned (column pruning keeps payloads out) to find
+           files that ACTUALLY contain a matched key — a stats interval
+           can cover a key that is absent from the file;
+        3. rewrite: refined files minus matched keys, plus the whole
+           source batch, written as the new version's files; everything
+           else carries over into the new manifest BY REFERENCE.
+
+        Returns the commit manifest extended with the merge report:
+        ``files_pruned_by_stats``, ``files_refined_out``,
+        ``files_rewritten``, ``files_untouched``, ``rows_updated``,
+        ``rows_inserted`` (update/insert split assumes the batch carries
+        each key once — the upsert contract). At 100 TB a merge touching
+        0.1% of the key space costs metadata + a key-column scan of ~0.1%
+        of files + a rewrite of the same — never a table scan."""
         prev = self.latest_version()
         if prev is None:
             return self.commit(source, mode="overwrite")
         m = self._manifest(prev)
         version = prev + 1
-        current = self._read_files(m["files"], m["schema"])
 
+        candidates, stat_pruned = self._merge_stat_candidates(
+            source, key_cols[0], m
+        )
         keys = source.select(*key_cols).dropDuplicates()
-        tagged = current.withColumn("__file", F.input_file_name())
         # input_file_name() returns a percent-encoded URI; decode it and
         # match on BASENAMES (Spark part-file names embed a per-job UUID,
         # so they are unique across the table) — string-comparing absolute
         # paths breaks as soon as the table root needs URI escaping.
         from urllib.parse import unquote, urlparse
 
-        affected_names = {
-            os.path.basename(unquote(urlparse(r["__file"]).path))
-            for r in tagged.select("__file", *key_cols)
-            .join(F.broadcast(keys), on=key_cols, how="left_semi")
-            .select("__file")
-            .distinct()
-            .collect()
-        }
+        affected_names = set()
+        if candidates:
+            tagged = self._read_files(candidates, m["schema"]).withColumn(
+                "__file", F.input_file_name()
+            )
+            affected_names = {
+                os.path.basename(unquote(urlparse(r["__file"]).path))
+                for r in tagged.select("__file", *key_cols)
+                .join(F.broadcast(keys), on=key_cols, how="left_semi")
+                .select("__file")
+                .distinct()
+                .collect()
+            }
         affected_rel = [
-            f for f in m["files"] if os.path.basename(f) in affected_names
+            f for f in candidates if os.path.basename(f) in affected_names
         ]
         untouched = [f for f in m["files"] if f not in set(affected_rel)]
 
         # rewrite only the affected files, minus matched keys, plus source
+        current_cols = [
+            f["name"] for f in json.loads(m["schema"])["fields"]
+        ] or source.columns
         survivors = (
             self._read_files(affected_rel, m["schema"]).join(
                 F.broadcast(keys), on=key_cols, how="left_anti"
@@ -530,7 +621,7 @@ class VersionedTable:
             if affected_rel
             else None
         )
-        incoming = source.select(*current.columns)  # align column order
+        incoming = source.select(*current_cols)  # align column order
         rewritten = (
             survivors.unionByName(incoming) if survivors is not None
             else incoming
@@ -540,7 +631,7 @@ class VersionedTable:
         sizes.update(self._file_sizes(untouched, m))
         stats = self._compute_stats(new_files)
         stats.update(self._file_stats(untouched, m))
-        return self._publish(
+        manifest = self._publish(
             version,
             new_files + untouched,
             f"merge(rewrote={len(affected_rel)},kept={len(untouched)})",
@@ -548,6 +639,25 @@ class VersionedTable:
             sizes,
             stats,
         )
+        # blast-radius report, all from metadata + one source count:
+        # survivors = rewritten_rows - |source|; updated = affected_rows
+        # - survivors (the matched rows the rewrite dropped)
+        old_stats = self._file_stats(m["files"], m)
+        affected_rows = sum(
+            old_stats[f].get("num_rows", 0) for f in affected_rel
+        )
+        n_source = source.count()
+        n_rewritten = sum(stats[f]["num_rows"] for f in new_files)
+        rows_updated = affected_rows - (n_rewritten - n_source)
+        manifest.update(
+            files_pruned_by_stats=len(stat_pruned),
+            files_refined_out=len(candidates) - len(affected_rel),
+            files_rewritten=len(affected_rel),
+            files_untouched=len(untouched),
+            rows_updated=rows_updated,
+            rows_inserted=n_source - rows_updated,
+        )
+        return manifest
 
     def compact(self, target_partitions: int | None = None) -> dict:
         """Rewrite the latest snapshot into ~target_partitions files as a

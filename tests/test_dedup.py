@@ -373,3 +373,47 @@ def test_survivorship_clusters_and_rules(spark, tmp_path):
     assert (g.n_names, g.n_parts, g.longest_name) == (3, 4, "blue boltz")
     s = out["red bolt"]
     assert (s.n_names, s.n_parts, s.longest_name) == (1, 1, "red bolt")
+
+
+def test_ppjoin_matches_brute_force_jaccard(spark):
+    """Prefix-filtered join == unblocked brute force on a corpus with
+    near-dup pairs, a disjoint doc, and an empty doc."""
+    from data_engineering_nd_spark.operators.dedup import (
+        jaccard_pairs,
+        ppjoin_pairs,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),   # ~0.8 vs 1
+        (3, "the quick brown fox jumps over the lazy dog"),   # == 1
+        (4, "entirely different tokens about spark engines"),
+        (5, ""),                                              # empty doc
+        (6, "quick brown fox jumps over lazy dog the extra"), # superset-ish
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.5, 0.8):
+        got = sorted(
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in ppjoin_pairs(docs, "doc_id", "text", t).collect()
+        )
+        want = sorted(
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in jaccard_pairs(
+                docs.selectExpr("doc_id", "text", "1 AS blk"),
+                "doc_id", "text", "blk", t
+            ).collect()
+        )
+        assert got == want and got, f"t={t}: {got} != {want}"
+
+
+def test_ppjoin_prefix_is_rare_first(spark):
+    """A token shared by every doc (stopword) must never be the only
+    candidate generator at high threshold: docs overlapping ONLY on the
+    universal token produce no pair."""
+    from data_engineering_nd_spark.operators.dedup import ppjoin_pairs
+
+    rows = [(i, f"common u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g u{i}h u{i}i")
+            for i in range(1, 30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert ppjoin_pairs(docs, "doc_id", "text", 0.9).count() == 0

@@ -396,3 +396,47 @@ def test_stream_bitmap_dau_counts_and_retention(spark, tmp_path):
     assert (out[1].dau, out[1].retained) == (4, 0)
     assert (out[2].dau, out[2].retained) == (3, 2)
     assert abs(out[2].retention - 2 / 3) < 1e-6
+
+
+def test_stream_heavy_hitters_state_bounded_and_never_underestimates(spark):
+    """Streaming CMS: the materialized grid stays within days x d x w
+    rows (bounded state), every probed estimate >= the exact count
+    (CMS guarantee survives micro-batch merging), and the day's true
+    heaviest user is covered for every day in the stream."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_nd_spark.catalog import load
+    from data_engineering_nd_spark.streaming.queries import (
+        stream_heavy_hitters_query,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = stream_heavy_hitters_query(spark, sf).collect()
+    assert rows
+    assert all(r.never_underestimates for r in rows)
+    assert all(r.cms_n >= r.exact_n for r in rows)
+
+    grid = spark.table("stream_heavy_hitters_sink")
+    n_days = grid.select("day").distinct().count()
+    assert grid.count() <= n_days * 4 * 256
+    # exact top-1 per day is present in the probe output
+    ev = load(spark, "events", sf)
+    days_out = {(r.day, r.user_id) for r in rows}
+    top1 = (
+        ev.groupBy(
+            F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("day")
+                .orderBy(F.desc("n"), "user_id")
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    )
+    assert top1 and all((r.day, r.user_id) in days_out for r in top1)

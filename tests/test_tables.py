@@ -482,3 +482,76 @@ def test_incremental_agg_merges_partials_exactly(spark, tmp_path):
     assert u.revenue == 32.0                      # 10.5 + 20.25 + 1.25 exact
     assert (out["2-HIGH"].n_base, out["2-HIGH"].n_delta) == (1, 0)
     assert (out["3-MEDIUM"].n_base, out["3-MEDIUM"].n_delta) == (0, 1)
+
+
+# -- merge blast-radius report (three-stage narrowing) ----------------------
+
+
+@pytest.fixture()
+def chunked_table(spark, tmp_path):
+    """4 range-chunk files: k in [0,9], [10,19], [20,29], [30,39] — one
+    file per chunk via partitionBy + add_files; key k, payload v."""
+    df = spark.createDataFrame(
+        [Row(k=i, v=f"v{i}", cid=i // 10) for i in range(40)]
+    )
+    staging = str(tmp_path / "staging")
+    df.repartition(1).write.partitionBy("cid").parquet(staging)
+    t = VersionedTable(spark, str(tmp_path / "chunked"))
+    t.add_files(staging)
+    assert t.history()[0]["num_files"] == 4
+    return t
+
+
+def test_merge_report_stats_prune_and_counts(spark, chunked_table):
+    t = chunked_table
+    v0_files = set(t.history()[0]["files"])
+    # 2 updates in chunk 1, 3 inserts beyond the key range
+    src = spark.createDataFrame(
+        [Row(k=12, v="U12"), Row(k=17, v="U17"),
+         Row(k=100, v="n100"), Row(k=101, v="n101"), Row(k=102, v="n102")]
+    )
+    m = t.merge(src, ["k"])
+    assert m["files_rewritten"] == 1
+    assert m["files_untouched"] == 3
+    # chunks 0 and 2 range-pruned (k<12), chunk 3 interval-pruned
+    # (no source key in [30,39])
+    assert m["files_pruned_by_stats"] == 3
+    assert m["files_refined_out"] == 0
+    assert m["rows_updated"] == 2
+    assert m["rows_inserted"] == 3
+    # untouched files carried by reference, not rewritten
+    assert len(v0_files & set(m["files"])) == 3
+    got = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    assert got[12] == "U12" and got[17] == "U17" and got[100] == "n100"
+    assert len(got) == 43
+
+
+def test_merge_report_phantom_refined_out(spark, chunked_table):
+    t = chunked_table
+    # k=25 sits inside chunk 2's [20,29] stats interval -- delete it
+    # first so the interval still covers it but the file lacks it
+    t.delete_where("k", 25, 25)
+    src = spark.createDataFrame([Row(k=25, v="back"), Row(k=33, v="U33")])
+    m = t.merge(src, ["k"])
+    # chunk 2 survives stats pruning but holds no actual match
+    assert m["files_refined_out"] == 1
+    assert m["files_rewritten"] == 1  # chunk 3 (k=33)
+    assert m["rows_updated"] == 1
+    assert m["rows_inserted"] == 1
+    got = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    assert got[25] == "back" and got[33] == "U33"
+
+
+def test_merge_all_null_source_keys_inserts_only(spark, chunked_table):
+    t = chunked_table
+    src = spark.createDataFrame(
+        [Row(k=None, v="n1"), Row(k=None, v="n2")],
+        schema="k bigint, v string",
+    )
+    m = t.merge(src, ["k"])
+    # NULL keys equi-match nothing: every file pruned, all rows insert
+    assert m["files_rewritten"] == 0
+    assert m["files_pruned_by_stats"] == 4
+    assert m["rows_updated"] == 0
+    assert m["rows_inserted"] == 2
+    assert t.snapshot().count() == 42

@@ -122,8 +122,10 @@ HEADLINERS = [
     "text_boolean_retrieval",
     "dq_functional_dependency",
     "dedup_survivorship",
-    # tbl_incremental_agg returns localCheckpoint-ed audit rows (trivial
-    # plan; refresh shape pinned in tests) — kept out of the headliners.
+    "dedup_ppjoin",
+    # tbl_incremental_agg / tbl_merge_report / tbl_schema_evolution return
+    # localCheckpoint-ed audit rows (trivial plans; COW/evolution shapes
+    # pinned in tests) — kept out of the headliners.
 ]
 
 SF_DIR = "/root/testdata/sf0.001"
