@@ -4484,3 +4484,144 @@ def q93_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("significant"),
     )
+
+
+# --------------------------------------------------------------------------
+# q95 — interval sweep line: how many lineitems are IN TRANSIT each day
+# (shipped but not yet received). The classic concurrent-intervals pattern:
+# explode each interval into a +1/-1 boundary event, aggregate to daily
+# nets FIRST (the 100 TB-sized fact collapses to ~one row per calendar
+# day before any ordering), then one running sum over the tiny day series
+# gives the concurrency curve. The global window runs over ~2.5k
+# aggregated rows, never over the fact table — the same agg-then-window
+# shape as q67. Peak in-transit inventory, capacity planning, and overlap
+# counting are all this one shape.
+# --------------------------------------------------------------------------
+@query(
+    "q95_intransit_inventory",
+    oracle="""
+    WITH iv AS (
+        SELECT CAST(CAST(l_shipdate AS TIMESTAMP) AS DATE) AS ship,
+               CAST(CAST(l_shipdate AS TIMESTAMP) AS DATE)
+                   + CAST(1 + (l_orderkey + l_linenumber) % 14 AS INT)
+                   AS receipt
+        FROM lineitem
+    ),
+    deltas AS (
+        SELECT ship AS d, 1 AS delta FROM iv
+        UNION ALL
+        SELECT receipt AS d, -1 AS delta FROM iv
+    ),
+    daily AS (
+        SELECT d,
+               SUM(delta) AS net,
+               SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS shipped,
+               SUM(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS received
+        FROM deltas GROUP BY d
+    )
+    SELECT CAST(d AS TIMESTAMP) AS day,
+           CAST(shipped AS BIGINT) AS shipped,
+           CAST(received AS BIGINT) AS received,
+           CAST(SUM(net) OVER (ORDER BY d) AS BIGINT) AS in_transit
+    FROM daily
+    """,
+)
+def q95_intransit_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily in-transit lineitem count via +1(ship)/-1(receipt) boundary
+    events: in_transit(d) = #(shipped <= d) - #(received <= d), i.e. the
+    running sum of daily nets. Ship day inclusive, receipt day exclusive.
+    The testdata lineitem carries no receipt date, so transit time is a
+    deterministic content-derived 1-14 days (mirrored in the oracle)."""
+    li = load(spark, "lineitem", sf_dir)
+    iv = li.select(
+        F.col("l_shipdate").cast("date").alias("ship"),
+        F.date_add(
+            F.col("l_shipdate").cast("date"),
+            (F.lit(1) + (F.col("l_orderkey") + F.col("l_linenumber")) % 14)
+            .cast("int"),
+        ).alias("receipt"),
+    )
+    deltas = iv.select(
+        F.col("ship").alias("d"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select(F.col("receipt").alias("d"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("d").agg(
+        F.sum("delta").alias("net"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias("shipped"),
+        F.sum(F.when(F.col("delta") == -1, 1).otherwise(0)).alias("received"),
+    )
+    # the running sum orders the AGGREGATED day series (~2.5k rows), not
+    # the fact table — a deliberate single-partition window over tiny data
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.col("d").cast("timestamp_ntz").alias("day"),
+        F.col("shipped").cast("bigint").alias("shipped"),
+        F.col("received").cast("bigint").alias("received"),
+        F.sum("net").over(w).cast("bigint").alias("in_transit"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q96 — gaps and islands: each user's LONGEST consecutive-active-day
+# streak. The classic trick: within a user, day minus row_number(day) is
+# constant exactly along a run of consecutive days, so grouping by that
+# anchor splits activity into islands with zero joins — one per-user
+# window (bounded partitions) and two hash-aggs. Retention/engagement
+# streaks, sensor uptime runs, and SLA windows are all this shape.
+# --------------------------------------------------------------------------
+@query(
+    "q96_activity_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        FROM events
+    ),
+    isl AS (
+        SELECT user_id, d,
+               d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                        AS INT) AS anchor
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, anchor, COUNT(*) AS len, MIN(d) AS start_day
+        FROM isl GROUP BY user_id, anchor
+    ),
+    best AS (
+        SELECT user_id, len, start_day,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY len DESC, start_day) AS rn
+        FROM streaks
+    )
+    SELECT user_id,
+           CAST(len AS BIGINT) AS streak_days,
+           CAST(start_day AS TIMESTAMP) AS streak_start
+    FROM best WHERE rn = 1
+    """,
+)
+def q96_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (ties broken to
+    the earliest streak), via the day-minus-rank island anchor."""
+    ev = load(spark, "events", sf_dir)
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    wd = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(wd))
+    )
+    streaks = isl.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len"), F.min("d").alias("start_day")
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.desc("len"), F.asc("start_day")
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("len").cast("bigint").alias("streak_days"),
+            F.col("start_day").cast("timestamp_ntz").alias("streak_start"),
+        )
+    )

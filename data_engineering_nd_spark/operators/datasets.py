@@ -3476,3 +3476,103 @@ def tbl_schema_evolution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Vacuum / retention GC: expired snapshots lose their files and manifests,
+# retained snapshots are byte-identical before and after
+# ---------------------------------------------------------------------------
+
+_VACUUM_ORACLE = """
+    WITH v1 AS (
+        SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 3 <= 1
+    ),
+    v2 AS (
+        SELECT o_orderkey, o_custkey FROM orders
+    )
+    SELECT CAST(2 AS BIGINT) AS files_removed,
+           CAST(3 AS BIGINT) AS versions_before,
+           CAST(2 AS BIGINT) AS versions_after,
+           TRUE AS expired_unreadable,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM v1) AS n_v1,
+           (SELECT CAST(SUM(CAST(concat('0x', substr(md5(concat(
+                CAST(o_orderkey AS VARCHAR), ':',
+                CAST(o_custkey AS VARCHAR))), 1, 10)) AS BIGINT)) AS BIGINT)
+            FROM v1) AS checksum_v1,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM v2) AS n_v2,
+           (SELECT CAST(SUM(CAST(concat('0x', substr(md5(concat(
+                CAST(o_orderkey AS VARCHAR), ':',
+                CAST(o_custkey AS VARCHAR))), 1, 10)) AS BIGINT)) AS BIGINT)
+            FROM v2) AS checksum_v2
+"""
+
+
+@query("tbl_vacuum_report", oracle=_VACUUM_ORACLE)
+def tbl_vacuum_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention GC on a VersionedTable, value-hashed: v0 commits a slice
+    as 2 files, v1 OVERWRITES it with a different slice as 3 files, v2
+    APPENDS the complement as 2 more files (carrying v1's 3 by
+    reference). ``vacuum(retain_last=2)`` must then delete exactly v0's
+    2 files — they are the only ones referenced by no retained manifest
+    — and expire v0's manifest, while both retained snapshots stay
+    bit-identical (their counts and checksums are MEASURED AFTER the
+    vacuum). ``expired_unreadable`` pins that time travel to v0 now
+    raises instead of returning partial data.
+
+    This is the Delta VACUUM / Iceberg expire_snapshots contract: GC is
+    manifest arithmetic (live-set difference), never a storage-listing
+    guess, so a reader of any retained snapshot can never lose a file.
+    At 100 TB the deletion list is exact and the data pass is zero."""
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    orders = load(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    v0df = orders.filter(F.col("o_orderkey") % 3 == 0)
+    v1df = orders.filter(F.col("o_orderkey") % 3 <= 1)
+    v2df = orders.filter(F.col("o_orderkey") % 3 == 2)
+
+    work = tempfile.mkdtemp(prefix="tbl_vacuum_")
+    try:
+        table = VersionedTable(spark, work)
+        table.commit(v0df.repartition(2))                  # v0: 2 files
+        table.commit(v1df.repartition(3))                  # v1: overwrite, 3 files
+        table.commit(v2df.repartition(2), mode="append")   # v2: +2 files
+        versions_before = len(table.versions())
+        removed = table.vacuum(retain_last=2)
+        versions_after = len(table.versions())
+        try:
+            table.snapshot(0).count()
+            expired_unreadable = False
+        except Exception:
+            expired_unreadable = True
+
+        digest = md5_prefix_long(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("o_custkey").cast("string"),
+            )
+        )
+
+        def _sig(df):
+            r = df.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(digest).cast("bigint").alias("ck"),
+            ).collect()[0]
+            return int(r["n"]), int(r["ck"])
+
+        n_v1, ck_v1 = _sig(table.snapshot(1))
+        n_v2, ck_v2 = _sig(table.snapshot(2))
+        out = spark.createDataFrame(
+            [(len(removed), versions_before, versions_after,
+              expired_unreadable, n_v1, ck_v1, n_v2, ck_v2)],
+            "files_removed long, versions_before long, versions_after long,"
+            " expired_unreadable boolean, n_v1 long, checksum_v1 long,"
+            " n_v2 long, checksum_v2 long",
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -1909,3 +1909,144 @@ def text_boolean_retrieval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boolean_retrieval(
         docs, "doc_id", "text", _BOOL_TERMS, _BOOL_WINDOW
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction: stopword-delimited candidate phrases scored by
+# word degree/frequency co-occurrence (Rose et al. 2010)
+# ---------------------------------------------------------------------------
+
+#: fixed stopword alternation — the phrase delimiters. Kept tiny and
+#: hard-coded so the Spark regex and the DuckDB oracle regex are the
+#: same literal (both Java regex and RE2 support \b word boundaries).
+_RAKE_STOPS = (
+    "the|a|an|and|or|of|to|in|on|for|with|is|are|was|were|be|as|at|by|"
+    "it|this|that|from|but|not"
+)
+
+
+def rake_keywords(
+    df: DataFrame, id_col: str, text_col: str, top_k: int = 15
+) -> DataFrame:
+    """Corpus-level RAKE: candidate phrases are maximal stopword-free
+    token runs; each word's score is degree/frequency where frequency
+    counts the word's phrase occurrences and degree sums the lengths of
+    the phrases it appears in (co-occurrence degree, including itself);
+    a phrase scores the sum of its words' scores. Top-k distinct phrases
+    by score.
+
+    Determinism: word scores are e6-scaled BIGINTs via pure integer
+    arithmetic (floor(deg*1e6/freq + 0.5) computed as
+    (2*deg*1e6 + freq) div (2*freq)), and phrase scores are BIGINT sums
+    of those — multi-term float accumulation never happens, so engine
+    summation order cannot perturb the ranking (the established e6
+    pattern from BM25/PQ).
+
+    Scale shape: one regexp pass per document (JVM codegen, no UDF), two
+    explodes (phrases, then words), two hash-aggs (word stats, phrase
+    stats), one broadcast-sized join of distinct-phrase words onto the
+    word-score table, and a TakeOrderedAndProject for the top-k — no
+    window over the corpus, no driver loop."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    sep = F.regexp_replace(norm, r"\b(" + _RAKE_STOPS + r")\b", "|")
+    phr = (
+        df.select(F.explode(F.split(sep, r"\|")).alias("rawp"))
+        .select(F.trim(F.col("rawp")).alias("phrase"))
+        .filter(F.col("phrase") != "")
+    )
+    # occurrence-level word rows feed freq/degree
+    occ_words = phr.select(
+        F.split("phrase", " ").alias("ws")
+    ).select(
+        F.size("ws").alias("plen"), F.explode("ws").alias("w")
+    ).filter(F.col("w") != "")
+    word_scores = occ_words.groupBy("w").agg(
+        F.expr(
+            "CAST((2 * CAST(SUM(plen) AS BIGINT) * 1000000 + COUNT(*)) "
+            "DIV (2 * COUNT(*)) AS BIGINT)"
+        ).alias("ws_e6"),
+    )
+    phrases_dist = phr.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
+    )
+    pwords = phrases_dist.select(
+        "phrase",
+        "n_occurrences",
+        F.explode(F.split("phrase", " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    scored = (
+        pwords.join(F.broadcast(word_scores), "w")
+        .groupBy("phrase", "n_occurrences")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("ws_e6").cast("bigint").alias("score_e6"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score_e6"), "phrase")
+        .limit(top_k)
+        .select(
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            (F.col("score_e6").cast("double") / 1000000.0).alias("score"),
+        )
+    )
+
+
+@query(
+    "text_rake_keywords",
+    oracle=r"""
+    WITH rep AS (
+        SELECT regexp_replace(
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                   '\b(the|a|an|and|or|of|to|in|on|for|with|is|are|was|were|be|as|at|by|it|this|that|from|but|not)\b',
+                   '|', 'g') AS t
+        FROM documents
+    ),
+    phr AS (
+        SELECT trim(p) AS phrase
+        FROM rep, unnest(string_split(t, '|')) AS u(p)
+        WHERE trim(p) <> ''
+    ),
+    occ_words AS (
+        SELECT len(list_filter(string_split(phrase, ' '), x -> x <> ''))
+                   AS plen,
+               w
+        FROM phr, unnest(string_split(phrase, ' ')) AS uw(w)
+        WHERE w <> ''
+    ),
+    word_scores AS (
+        SELECT w,
+               (2 * CAST(SUM(plen) AS BIGINT) * 1000000 + COUNT(*))
+                   // (2 * COUNT(*)) AS ws_e6
+        FROM occ_words GROUP BY w
+    ),
+    phrases_dist AS (
+        SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM phr GROUP BY phrase
+    ),
+    pwords AS (
+        SELECT p.phrase, p.n_occurrences, w
+        FROM phrases_dist p, unnest(string_split(p.phrase, ' ')) AS uw(w)
+        WHERE w <> ''
+    ),
+    scored AS (
+        SELECT pw.phrase, pw.n_occurrences,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(s.ws_e6) AS BIGINT) AS score_e6
+        FROM pwords pw JOIN word_scores s ON s.w = pw.w
+        GROUP BY pw.phrase, pw.n_occurrences
+    )
+    SELECT phrase, n_words, n_occurrences,
+           CAST(score_e6 AS DOUBLE) / 1000000.0 AS score
+    FROM scored
+    ORDER BY score_e6 DESC, phrase
+    LIMIT 15
+    """,
+)
+def text_rake_keywords_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 RAKE keyword phrases over the document corpus, scored by
+    exact integer degree/frequency arithmetic."""
+    docs = load(spark, "documents", sf_dir)
+    return rake_keywords(docs, "doc_id", "text", top_k=15)

@@ -228,6 +228,10 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "tbl_schema_evolution",
         "dedup_ppjoin",
         "stream_heavy_hitters",
+        "q95_intransit_inventory",
+        "q96_activity_streaks",
+        "tbl_vacuum_report",
+        "text_rake_keywords",
     ], 8),
 }
 

@@ -397,3 +397,93 @@ def test_ab_ztest_closed_form(spark, tmp_path):
     z = (0.75 - 0.25) / math.sqrt(p * (1 - p) * (1 / 4 + 1 / 4))
     assert abs(r.z_score - round(z, 6)) < 2e-6
     assert r.significant == 0                  # |z| ~= 1.414 < 1.96
+
+
+def test_intransit_sweep_line_counts(spark, tmp_path):
+    """Hand-checkable intervals: in_transit(d) = shipped<=d minus
+    received<=d with ship-inclusive / receipt-exclusive semantics."""
+    import datetime
+
+    import pandas as pd
+
+    from data_engineering_nd_spark.analytics import q95_intransit_inventory
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    day = lambda n: datetime.datetime(2024, 1, n)
+    # transit days = 1 + (orderkey + linenumber) % 14
+    rows = [
+        (1, 0, day(1)),   # ships d1, transit 2  -> receipt d3
+        (13, 0, day(1)),  # ships d1, transit 14 -> receipt d15
+        (1, 1, day(2)),   # ships d2, transit 3  -> receipt d5
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["l_orderkey", "l_linenumber", "l_shipdate"]
+    )
+    # micros, not pandas-default nanos: lineitem loads without the
+    # nanosAsLong conf (only the events table carries NANOS)
+    pdf["l_shipdate"] = pdf["l_shipdate"].astype("datetime64[us]")
+    pdf.to_parquet(str(sf / "lineitem.parquet"))
+    out = {
+        r.day.date().isoformat(): r
+        for r in q95_intransit_inventory(spark, str(sf)).collect()
+    }
+    assert out["2024-01-01"].shipped == 2
+    assert out["2024-01-01"].in_transit == 2
+    assert out["2024-01-02"].in_transit == 3
+    assert out["2024-01-03"].received == 1 and out["2024-01-03"].in_transit == 2
+    assert out["2024-01-05"].in_transit == 1
+    assert out["2024-01-15"].in_transit == 0
+
+
+def test_activity_streaks_islands(spark, tmp_path):
+    """Longest run wins; earliest streak breaks ties; singletons count."""
+    import datetime
+
+    import pandas as pd
+
+    from data_engineering_nd_spark.analytics import q96_activity_streaks
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    ts = lambda n, h=9: datetime.datetime(2024, 3, n, h)
+    rows = []
+    # user 1: days 1-3 (len 3) and days 10-11 (len 2) -> streak 3 @ d1
+    for n in (1, 2, 3, 10, 11):
+        rows.append((1000 + n, 1, ts(n), "click", 1.0))
+    # user 2: two len-2 streaks (d5-6, d8-9) -> tie broken to d5
+    for n in (5, 6, 8, 9):
+        rows.append((2000 + n, 2, ts(n), "click", 1.0))
+    # duplicate events on one day must not inflate the streak
+    rows.append((3001, 2, ts(5, 20), "view", 1.0))
+    pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts", "event_type", "value"]
+    ).to_parquet(str(sf / "events.parquet"))
+    out = {r.user_id: r for r in q96_activity_streaks(spark, str(sf)).collect()}
+    assert out[1].streak_days == 3
+    assert out[1].streak_start.date().isoformat() == "2024-03-01"
+    assert out[2].streak_days == 2
+    assert out[2].streak_start.date().isoformat() == "2024-03-05"
+
+
+def test_rake_scores_degree_over_frequency(spark):
+    """'deep learning' outranks a frequent singleton: degree rewards
+    words that co-occur in long phrases; exact e6 integer scoring."""
+    from data_engineering_nd_spark.operators.text_analysis import (
+        rake_keywords,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "deep learning of the deep learning and compilers"),
+            (2, "compilers and compilers and compilers"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.phrase: r for r in rake_keywords(docs, "doc_id", "text").collect()}
+    # freq(deep)=2 deg(deep)=4 -> 2.0; same for learning -> phrase 4.0
+    assert out["deep learning"].score == 4.0
+    assert out["deep learning"].n_occurrences == 2
+    # compilers: freq 4, deg 4 -> 1.0 despite being the most frequent word
+    assert out["compilers"].score == 1.0
+    assert out["deep learning"].score > out["compilers"].score

@@ -555,3 +555,12 @@ def test_merge_all_null_source_keys_inserts_only(spark, chunked_table):
     assert m["rows_updated"] == 0
     assert m["rows_inserted"] == 2
     assert t.snapshot().count() == 42
+
+
+def test_vacuum_expires_time_travel_to_dropped_versions(spark, table):
+    table.commit(spark.createDataFrame([Row(k=1, v="a")]))
+    table.commit(spark.createDataFrame([Row(k=2, v="b")]))
+    table.vacuum(retain_last=1)
+    with pytest.raises(FileNotFoundError):
+        table.snapshot(version=0)
+    assert _rows(table.snapshot()) == [(2, "b")]

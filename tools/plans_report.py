@@ -123,6 +123,9 @@ HEADLINERS = [
     "dq_functional_dependency",
     "dedup_survivorship",
     "dedup_ppjoin",
+    "q95_intransit_inventory",
+    "q96_activity_streaks",
+    "text_rake_keywords",
     # tbl_incremental_agg / tbl_merge_report / tbl_schema_evolution return
     # localCheckpoint-ed audit rows (trivial plans; COW/evolution shapes
     # pinned in tests) — kept out of the headliners.
