@@ -4625,3 +4625,125 @@ def q96_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("start_day").cast("timestamp_ntz").alias("streak_start"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q97 — time-bounded conversion funnel (ClickHouse windowFunnel shape):
+# signup -> view -> purchase where every later step must land within 72
+# hours of the user's FIRST signup (the anchor). Unlike q56's unbounded
+# funnel, the window bound is what product analytics actually asks ("did
+# they convert within N days of signing up"). Each step is one conditional
+# min-agg joined to the previous step's anchor — three hash-aggs and two
+# broadcast-sized joins, never a per-user sort or window over the fact.
+# Time-to-step stats accumulate exact epoch-microsecond BIGINTs; the only
+# float op is one final division per row.
+# --------------------------------------------------------------------------
+@query(
+    "q97_window_funnel",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1
+        FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    v AS (
+        SELECT e.user_id, s.t1, min(CAST(e.ts AS TIMESTAMP)) AS t2
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'view'
+          AND CAST(e.ts AS TIMESTAMP) > s.t1
+          AND CAST(e.ts AS TIMESTAMP) <= s.t1 + INTERVAL 72 HOUR
+        GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT e.user_id, v.t1, min(CAST(e.ts AS TIMESTAMP)) AS t3
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'purchase'
+          AND CAST(e.ts AS TIMESTAMP) > v.t2
+          AND CAST(e.ts AS TIMESTAMP) <= v.t1 + INTERVAL 72 HOUR
+        GROUP BY 1, 2
+    ),
+    lv AS (
+        SELECT 1 AS level, 'signup' AS step,
+               COUNT(*) AS n_users, CAST(0 AS BIGINT) AS sum_us FROM s
+        UNION ALL
+        SELECT 2, 'view_within_72h', COUNT(*),
+               CAST(SUM(epoch_us(t2) - epoch_us(t1)) AS BIGINT) FROM v
+        UNION ALL
+        SELECT 3, 'purchase_within_72h', COUNT(*),
+               CAST(SUM(epoch_us(t3) - epoch_us(t1)) AS BIGINT) FROM p
+    )
+    SELECT CAST(level AS INT) AS level, step,
+           CAST(n_users AS BIGINT) AS n_users,
+           floor(CAST(sum_us AS DOUBLE) / CAST(n_users AS DOUBLE)
+                 / 3600000000.0 * 1000000.0 + 0.5) / 1000000.0
+               AS avg_hours_from_anchor
+    FROM lv
+    """,
+)
+def q97_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-level reach counts and mean hours-from-anchor for the
+    72-hour-bounded signup->view->purchase funnel, anchored at each
+    user's first signup."""
+    from data_engineering_nd_spark.functions.numeric import round_half_up
+
+    ev = load(spark, "events", sf_dir)
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 72 HOURS"))
+        )
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 72 HOURS"))
+        )
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def _level(df, level, step, t_to):
+        # ntz -> ltz cast shifts both operands identically, so the
+        # microsecond DIFFERENCE is timezone-invariant and exact
+        diff = (
+            F.unix_micros(F.col(t_to).cast("timestamp"))
+            - F.unix_micros(F.col("t1").cast("timestamp"))
+            if t_to
+            else F.lit(0)
+        )
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum(diff).cast("bigint").alias("sum_us"),
+        ).select(
+            F.lit(level).cast("int").alias("level"),
+            F.lit(step).alias("step"),
+            "n_users",
+            "sum_us",
+        )
+
+    lv = (
+        _level(s, 1, "signup", None)
+        .unionByName(_level(v, 2, "view_within_72h", "t2"))
+        .unionByName(_level(p, 3, "purchase_within_72h", "t3"))
+    )
+    return lv.select(
+        "level",
+        "step",
+        "n_users",
+        round_half_up(
+            F.col("sum_us").cast("double")
+            / F.col("n_users").cast("double")
+            / 3600000000.0,
+            6,
+        ).alias("avg_hours_from_anchor"),
+    )

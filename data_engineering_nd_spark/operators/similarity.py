@@ -2320,3 +2320,261 @@ def ann_ivf_pq_verified_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     half)."""
     emb = load(spark, "embeddings", sf_dir)
     return ivf_pq_adc_topk_md5(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+# ---------------------------------------------------------------------------
+# NN-descent: graph-based ANN (the HNSW/NN-descent family) — iteratively
+# improve a cheap multi-blocking init kNN graph via neighbors-of-neighbors
+# ---------------------------------------------------------------------------
+
+#: md5 salts for the init bucketings. ONE random blocking strands the
+#: graph inside its blocks (a block's top-K all share the block, so
+#: two-hop expansion never crosses block lines — measured recall stays at
+#: the init's ~0.06); three independent blockings make the init graph
+#: connected across the corpus and three descent rounds then reach ~0.95
+#: recall@5 on the testdata. This connectivity-of-init requirement is the
+#: distributed analog of NN-descent's random-init assumption.
+_NND_SALTS = ("", ":s2", ":s3")
+_NND_BUCKETS = 8
+_NND_K = 12
+_NND_ROUNDS = 3
+
+
+def nndescent_topk(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    query_mod: int = 25,
+) -> DataFrame:
+    """NN-descent (Dong et al. 2011, "Efficient K-Nearest Neighbor Graph
+    Construction for Generic Similarity Measures") — the graph-ANN
+    family (NN-descent/HNSW) next to the space-partitioning family
+    (IVF/PQ/LSH) already in the suite:
+
+    1. INIT: md5-bucket the ids under ``_NND_SALTS`` independent
+       blockings; the init graph is the union of exact top-K within
+       each block (quadratic per block, linear overall), trimmed to K.
+    2. DESCEND x ``_NND_ROUNDS``: symmetrize the graph (reverse edges
+       are as informative as forward) and propose every two-hop
+       neighbor: if v is near u and w is near v, w is a candidate for
+       u. Exact cosine over candidates, keep top-K. Every round is two
+       equi-joins + one bounded per-node window — candidate volume is
+       O(n * (2K)^2) per round REGARDLESS of corpus size, which is why
+       NN-descent builds billion-row kNN graphs without an n^2 pass.
+
+    Fully deterministic: md5 blockings, sequential-fold cosines
+    (bit-identical to DuckDB's list_dot_product), (sim DESC, id)
+    tie-breaks. Output: refined top-``k`` for the ``id % query_mod``
+    sample, each neighbor flagged against the EXACT global top-k
+    (``in_exact_topk``), so the value hash pins init, symmetrization,
+    candidate expansion, every round's ranking, and the recall
+    accounting."""
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+
+    v = vectors.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("emb")
+    ).localCheckpoint()  # feeds every round's vector fetch
+
+    # -- init: union of per-blocking exact top-K ---------------------------
+    g = None
+    for salt in _NND_SALTS:
+        bkt = (
+            md5_prefix_long(
+                F.concat(F.col("vid").cast("string"), F.lit(salt)), 8
+            )
+            % _NND_BUCKETS
+        )
+        vb = v.withColumn("bkt", bkt)
+        a, b = vb.alias("a"), vb.alias("b")
+        sim0 = a.join(
+            b,
+            (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.vid") != F.col("b.vid")),
+        ).select(
+            F.col("a.vid").alias("u"),
+            F.col("b.vid").alias("nb"),
+            cosine(F.col("a.emb"), F.col("b.emb")).alias("s"),
+        )
+        w0 = Window.partitionBy("u").orderBy(F.desc("s"), "nb")
+        top = (
+            sim0.withColumn("rn", F.row_number().over(w0))
+            .filter(F.col("rn") <= _NND_K)
+            .select("u", "nb", "s")
+        )
+        g = top if g is None else g.unionByName(top)
+    wk = Window.partitionBy("u").orderBy(F.desc("s"), "nb")
+    g = (
+        g.dropDuplicates(["u", "nb"])
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= _NND_K)
+        .select("u", "nb", "s")
+        .localCheckpoint()
+    )
+
+    # -- descent rounds ----------------------------------------------------
+    vu = v.select(F.col("vid").alias("u"), F.col("emb").alias("ue"))
+    vn = v.select(F.col("vid").alias("nb"), F.col("emb").alias("ne"))
+    for _ in range(_NND_ROUNDS):
+        und = g.select("u", "nb").unionByName(
+            g.select(F.col("nb").alias("u"), F.col("u").alias("nb"))
+        ).distinct()
+        ua, ub = und.alias("ua"), und.alias("ub")
+        two_hop = (
+            ua.join(ub, F.col("ua.nb") == F.col("ub.u"))
+            .select(F.col("ua.u").alias("u"), F.col("ub.nb").alias("nb"))
+            .filter(F.col("u") != F.col("nb"))
+        )
+        cand = und.unionByName(two_hop).distinct()
+        sim = (
+            cand.join(vu, "u")
+            .join(vn, "nb")
+            .select("u", "nb", cosine(F.col("ue"), F.col("ne")).alias("s"))
+        )
+        # localCheckpoint per round: truncates the growing lineage, same
+        # as every other iterative operator here (pagerank/BFS/PPR)
+        g = (
+            sim.withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") <= _NND_K)
+            .select("u", "nb", "s")
+            .localCheckpoint()
+        )
+
+    # -- serve the sample queries + exact-recall flags ---------------------
+    g1 = (
+        g.filter(F.col("u") % query_mod == 0)
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+    )
+    qs = v.filter(F.col("vid") % query_mod == 0).select(
+        F.col("vid").alias("u"), F.col("emb").alias("ue")
+    )
+    ex_sim = (
+        v.crossJoin(F.broadcast(qs))
+        .filter(F.col("u") != F.col("vid"))
+        .select(
+            "u",
+            F.col("vid").alias("nb"),
+            cosine(F.col("ue"), F.col("emb")).alias("s"),
+        )
+    )
+    exact = (
+        ex_sim.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .select("u", "nb", F.lit(True).alias("in_exact_topk"))
+    )
+    return g1.join(exact, ["u", "nb"], "left").select(
+        F.col("u").alias("query_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("nb").alias("neighbor_id"),
+        F.round("s", 4).alias("cosine_sim"),
+        F.coalesce("in_exact_topk", F.lit(False)).alias("in_exact_topk"),
+    )
+
+
+def _register_nndescent_oracle() -> None:
+    """Unrolled-CTE mirror of nndescent_topk (the PPR-oracle pattern):
+    the generator emits one init CTE per blocking salt and one
+    (und/cand/sim/graph) CTE chain per descent round, so the SQL stays
+    in lockstep with _NND_SALTS/_NND_BUCKETS/_NND_K/_NND_ROUNDS."""
+    from data_engineering_nd_spark.registry import ORACLE_SQL
+
+    cos = (
+        "list_dot_product({a}.emb, {b}.emb)"
+        " / (sqrt(list_dot_product({a}.emb, {a}.emb))"
+        " * sqrt(list_dot_product({b}.emb, {b}.emb)))"
+    )
+    inits = []
+    for i, salt in enumerate(_NND_SALTS):
+        inits.append(f"""
+    b{i} AS (
+        SELECT vid, emb,
+               CAST(concat('0x', substr(md5(CAST(vid AS VARCHAR) || '{salt}'),
+                    1, 8)) AS BIGINT) % {_NND_BUCKETS} AS bkt
+        FROM v
+    ),
+    t{i} AS (
+        SELECT u, nb, s FROM (
+            SELECT a.vid AS u, b.vid AS nb, {cos.format(a='a', b='b')} AS s,
+                   row_number() OVER (
+                       PARTITION BY a.vid
+                       ORDER BY {cos.format(a='a', b='b')} DESC, b.vid) AS rn
+            FROM b{i} a JOIN b{i} b ON a.bkt = b.bkt AND a.vid <> b.vid
+        ) WHERE rn <= {_NND_K}
+    )""")
+    union_inits = "\n        UNION\n        ".join(
+        f"SELECT u, nb, s FROM t{i}" for i in range(len(_NND_SALTS))
+    )
+    rounds = []
+    prev = "g0"
+    for r in range(1, _NND_ROUNDS + 1):
+        rounds.append(f"""
+    und{r} AS (
+        SELECT u, nb FROM {prev} UNION SELECT nb AS u, u AS nb FROM {prev}
+    ),
+    cand{r} AS (
+        SELECT u, nb FROM und{r}
+        UNION
+        SELECT a.u, b.nb FROM und{r} a JOIN und{r} b ON a.nb = b.u
+        WHERE a.u <> b.nb
+    ),
+    g{r} AS (
+        SELECT u, nb, s FROM (
+            SELECT c.u, c.nb, {cos.format(a='a', b='b')} AS s,
+                   row_number() OVER (
+                       PARTITION BY c.u
+                       ORDER BY {cos.format(a='a', b='b')} DESC, c.nb) AS rn
+            FROM cand{r} c JOIN v a ON a.vid = c.u JOIN v b ON b.vid = c.nb
+        ) WHERE rn <= {_NND_K}
+    )""")
+        prev = f"g{r}"
+    ORACLE_SQL["ann_nndescent"] = f"""
+    WITH v AS (
+        SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings
+    ),{",".join(inits)},
+    g0 AS (
+        SELECT u, nb, s FROM (
+            SELECT u, nb, s,
+                   row_number() OVER (PARTITION BY u
+                                      ORDER BY s DESC, nb) AS rn
+            FROM ({union_inits})
+        ) WHERE rn <= {_NND_K}
+    ),{",".join(rounds)},
+    served AS (
+        SELECT u, nb, s, rank FROM (
+            SELECT u, nb, s,
+                   CAST(row_number() OVER (PARTITION BY u
+                                           ORDER BY s DESC, nb) AS INTEGER)
+                       AS rank
+            FROM {prev} WHERE u % 25 = 0
+        ) WHERE rank <= 5
+    ),
+    exact AS (
+        SELECT u, nb FROM (
+            SELECT q.vid AS u, t.vid AS nb,
+                   row_number() OVER (
+                       PARTITION BY q.vid
+                       ORDER BY {cos.format(a='q', b='t')} DESC, t.vid) AS rn
+            FROM v q JOIN v t ON q.vid <> t.vid
+            WHERE q.vid % 25 = 0
+        ) WHERE rn <= 5
+    )
+    SELECT s.u AS query_id, s.rank, s.nb AS neighbor_id,
+           round(s.s, 4) AS cosine_sim,
+           (e.nb IS NOT NULL) AS in_exact_topk
+    FROM served s LEFT JOIN exact e ON e.u = s.u AND e.nb = s.nb
+    """
+
+
+@query("ann_nndescent")
+def ann_nndescent_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refined kNN (3 NN-descent rounds over a 3-blocking md5 init,
+    internal K=12) for the vec_id % 25 == 0 sample, each neighbor
+    flagged against the exact global top-5 (~0.95 recall@5 on the
+    testdata; the flags make recall part of the hashed value)."""
+    emb = load(spark, "embeddings", sf_dir)
+    return nndescent_topk(emb, k=5, query_mod=25)
+
+
+_register_nndescent_oracle()

@@ -232,6 +232,8 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "q96_activity_streaks",
         "tbl_vacuum_report",
         "text_rake_keywords",
+        "q97_window_funnel",
+        "ann_nndescent",
     ], 8),
 }
 

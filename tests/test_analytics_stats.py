@@ -487,3 +487,44 @@ def test_rake_scores_degree_over_frequency(spark):
     # compilers: freq 4, deg 4 -> 1.0 despite being the most frequent word
     assert out["compilers"].score == 1.0
     assert out["deep learning"].score > out["compilers"].score
+
+
+def test_window_funnel_bound_and_order(spark, tmp_path):
+    """Conversions outside the 72h window or out of step order must not
+    count; in-window ordered conversions must."""
+    import datetime
+
+    import pandas as pd
+
+    from data_engineering_nd_spark.analytics import q97_window_funnel
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    t0 = datetime.datetime(2024, 1, 1, 0)
+    h = lambda n: t0 + datetime.timedelta(hours=n)
+    rows = [
+        # user 1: full funnel inside 72h
+        (1, 1, h(0), "signup", 1.0), (2, 1, h(10), "view", 1.0),
+        (3, 1, h(20), "purchase", 1.0),
+        # user 2: view inside, purchase at hour 80 -> level 2 only
+        (4, 2, h(0), "signup", 1.0), (5, 2, h(5), "view", 1.0),
+        (6, 2, h(80), "purchase", 1.0),
+        # user 3: purchase BEFORE view -> level 2 only
+        (7, 3, h(0), "signup", 1.0), (8, 3, h(30), "view", 1.0),
+        (9, 3, h(10), "purchase", 1.0),
+        # user 4: view at hour 100 -> level 1 only
+        (10, 4, h(0), "signup", 1.0), (11, 4, h(100), "view", 1.0),
+        # user 5: never signs up -> not in funnel at all
+        (12, 5, h(1), "view", 1.0), (13, 5, h(2), "purchase", 1.0),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    pdf.to_parquet(str(sf / "events.parquet"))
+    out = {r.level: r for r in q97_window_funnel(spark, str(sf)).collect()}
+    assert out[1].n_users == 4
+    assert out[2].n_users == 3
+    assert out[3].n_users == 1
+    assert out[3].avg_hours_from_anchor == 20.0
+    # level-2 mean: (10 + 5 + 30) / 3 = 15h
+    assert out[2].avg_hours_from_anchor == 15.0

@@ -518,3 +518,48 @@ def test_ivf_pq_residual_codes_and_adc(spark):
     # the ADC estimate equals the true codeword-to-codeword distance
     true_d2 = sum((x - y) ** 2 for x, y in zip(words3, words7))
     assert abs(out[0].approx_d2 - true_d2) < 1e-4
+
+
+def test_nndescent_recovers_planted_clusters(spark):
+    """Well-separated clusters: 3 descent rounds from blind md5 blocks
+    must recover every query's exact top-k (recall 1.0), and the
+    in_exact flags must say so."""
+    import math
+
+    from data_engineering_nd_spark.operators.similarity import (
+        nndescent_topk,
+    )
+
+    # 4 clusters of 10 along orthogonal axes + tiny deterministic jitter
+    rows = []
+    for i in range(40):
+        c = i % 4
+        vec = [0.0] * 8
+        vec[c * 2] = 1.0
+        vec[c * 2 + 1] = 0.01 * (i // 4)  # in-cluster spread
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = nndescent_topk(emb, k=3, query_mod=5)  # queries: 0,5,...,35
+    got = out.collect()
+    assert len(got) == 8 * 3
+    assert all(r.in_exact_topk for r in got), got
+    # neighbors must come from the query's own cluster
+    for r in got:
+        assert r.neighbor_id % 4 == r.query_id % 4
+
+
+def test_nndescent_two_hop_expansion_beats_init(spark):
+    """The descent rounds must add neighbors the blocked init cannot
+    see: with one query cluster spread across blocks, final cosine of
+    rank-1 neighbors is the true max (0.9999+) for every query."""
+    from data_engineering_nd_spark.operators.similarity import (
+        nndescent_topk,
+    )
+
+    rows = [(i, [1.0, 0.001 * i, 0.0, 0.0]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.query_id: r for r in nndescent_topk(emb, k=1, query_mod=10).collect()}
+    assert set(out) == {0, 10, 20}
+    for r in out.values():
+        assert r.cosine_sim > 0.999
+        assert r.in_exact_topk

@@ -126,6 +126,8 @@ HEADLINERS = [
     "q95_intransit_inventory",
     "q96_activity_streaks",
     "text_rake_keywords",
+    "q97_window_funnel",
+    "ann_nndescent",
     # tbl_incremental_agg / tbl_merge_report / tbl_schema_evolution return
     # localCheckpoint-ed audit rows (trivial plans; COW/evolution shapes
     # pinned in tests) — kept out of the headliners.
@@ -193,6 +195,12 @@ def props(plan: str) -> list[str]:
 #: queries whose "!!" flag is a deliberate, bounded construct — the note
 #: replaces the alarm so a reviewer sees the justification inline.
 EXPECTED_FLAGS = {
+    "ann_nndescent": (
+        "the cross join is the exact-recall GROUND TRUTH pass: the 20-row "
+        "query sample broadcasts against the corpus once to flag each "
+        "served neighbor — the descent itself is equi-joins + bounded "
+        "windows only"
+    ),
     "ann_ivf_kmeans_verified": (
         "the cross join's build side is the 4-row broadcast centroid "
         "table (IdentityBroadcastMode over n_cells rows) — bounded by "
