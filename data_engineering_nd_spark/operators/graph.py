@@ -1400,3 +1400,216 @@ def _register_clustering_coefficient_oracle() -> None:
 
 
 _register_clustering_coefficient_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Strongly connected components: Orzan coloring (forward max-color fixpoint,
+# backward root-marking, peel, repeat) with degree-trim acceleration
+# ---------------------------------------------------------------------------
+
+
+def scc(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_peels: int = 20,
+    max_inner: int = 50,
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED graph — (id, scc_id)
+    with scc_id = the MAX member id. The distributed coloring algorithm
+    (Orzan 2004; the Pregel/GraphX SCC shape), not Tarjan (inherently
+    sequential, driver-sided):
+
+    per peel round:
+    1. TRIM: nodes with no in-edges or no out-edges in the live subgraph
+       cannot sit on a cycle -> singleton SCCs, removed in a cheap
+       fixpoint (kills the long condensation tails that would otherwise
+       cost one full coloring round EACH).
+    2. COLOR forward to fixpoint: c(v) = max(c(v), c(u)) over live edges
+       u->v. Convergence witness: sum(c) strictly increases until fixed.
+       After the fixpoint c(u) = max id that reaches u, so an SCC's
+       members all share c = their own max member (a node m has
+       c(m) >= m, hence the shared color IS a member).
+    3. MARK backward from roots (c(r) = r) along SAME-COLOR edges: a
+       marked u both reaches r (the backward walk) and is reached by r
+       (its color), so marked(r) = exactly SCC(r). Extract, peel, repeat
+       on the remainder (whose colors are now stale -> recolored next
+       round).
+
+    Every step is an equi-join + hash-agg with a localCheckpoint per
+    iteration (constant plan size); inner fixpoints run <= the live
+    subgraph's diameter, outer peels <= the condensation depth that
+    survives trimming. Both loops carry convergence-or-raise guards —
+    never a silent wrong answer. Self-loops are fine (singleton with a
+    cycle still gets scc_id = its own id)."""
+    e_all = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    live_nodes = (
+        e_all.select(F.col("src").alias("id"))
+        .union(e_all.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    live_edges = e_all
+    out = None
+
+    def _acc(res, part):
+        return part if res is None else res.unionByName(part).localCheckpoint()
+
+    for _ in range(max_peels):
+        if live_nodes.isEmpty():
+            return out
+        # -- 1. trim fixpoint ---------------------------------------------
+        for _t in range(max_inner):
+            has_out = live_edges.select(F.col("src").alias("id")).distinct()
+            has_in = live_edges.select(F.col("dst").alias("id")).distinct()
+            keep = live_nodes.join(has_out, "id", "left_semi").join(
+                has_in, "id", "left_semi"
+            ).localCheckpoint()
+            trimmed = live_nodes.join(keep, "id", "left_anti")
+            if trimmed.isEmpty():
+                break
+            out = _acc(out, trimmed.select("id", F.col("id").alias("scc_id")))
+            live_nodes = keep
+            live_edges = (
+                live_edges.join(
+                    live_nodes.select(F.col("id").alias("src")), "src"
+                )
+                .join(live_nodes.select(F.col("id").alias("dst")), "dst")
+                .select("src", "dst")
+                .localCheckpoint()
+            )
+        else:
+            raise RuntimeError("scc: trim fixpoint exceeded max_inner")
+        if live_nodes.isEmpty():
+            return out
+        # -- 2. forward max-color fixpoint --------------------------------
+        colors = live_nodes.select("id", F.col("id").alias("c")).localCheckpoint()
+        prev = colors.agg(F.sum("c")).collect()[0][0]
+        for _i in range(max_inner):
+            incoming = live_edges.join(
+                colors.select(F.col("id").alias("src"), F.col("c")), "src"
+            ).select(F.col("dst").alias("id"), "c")
+            colors = (
+                colors.unionByName(incoming)
+                .groupBy("id")
+                .agg(F.max("c").alias("c"))
+                .localCheckpoint()
+            )
+            cur = colors.agg(F.sum("c")).collect()[0][0]
+            if cur == prev:
+                break
+            prev = cur
+        else:
+            raise RuntimeError("scc: coloring fixpoint exceeded max_inner")
+        # -- 3. backward marking from roots along same-color edges --------
+        same_color = (
+            live_edges.join(
+                colors.select(F.col("id").alias("src"), F.col("c").alias("cs")),
+                "src",
+            )
+            .join(
+                colors.select(F.col("id").alias("dst"), F.col("c").alias("cd")),
+                "dst",
+            )
+            .filter(F.col("cs") == F.col("cd"))
+            .select("src", "dst", F.col("cs").alias("c"))
+            .localCheckpoint()
+        )
+        marked = colors.filter(F.col("c") == F.col("id")).localCheckpoint()
+        prev_n = marked.count()
+        for _i in range(max_inner):
+            new = same_color.join(
+                marked.select(F.col("id").alias("dst"), F.col("c")),
+                ["dst", "c"],
+            ).select(F.col("src").alias("id"), "c")
+            marked = marked.unionByName(new).distinct().localCheckpoint()
+            cur_n = marked.count()
+            if cur_n == prev_n:
+                break
+            prev_n = cur_n
+        else:
+            raise RuntimeError("scc: marking fixpoint exceeded max_inner")
+        out = _acc(out, marked.select("id", F.col("c").alias("scc_id")))
+        live_nodes = live_nodes.join(marked, "id", "left_anti").localCheckpoint()
+        live_edges = (
+            live_edges.join(live_nodes.select(F.col("id").alias("src")), "src")
+            .join(live_nodes.select(F.col("id").alias("dst")), "dst")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    raise RuntimeError(
+        f"scc: {max_peels} peel rounds did not exhaust the graph — "
+        "condensation depth exceeds the budget; raise max_peels"
+    )
+
+
+@query(
+    "graph_scc",
+    oracle="""
+    WITH RECURSIVE rel AS (
+        SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s,
+               o.o_custkey % 3 AS tc, l.l_suppkey % 3 AS ts
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_custkey % 13 = 0 AND l.l_suppkey % 2 = 0
+    ),
+    edges AS (
+        SELECT c AS src, s AS dst FROM rel WHERE tc <= ts
+        UNION
+        SELECT s AS src, c AS dst FROM rel WHERE tc = ts
+    ),
+    nodes AS (
+        SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges
+    ),
+    reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+    ),
+    mutual AS (
+        SELECT r1.src AS u, r1.dst AS v
+        FROM reach r1 JOIN reach r2
+          ON r2.src = r1.dst AND r2.dst = r1.src
+    )
+    SELECT n.id,
+           CAST(GREATEST(n.id, COALESCE(MAX(m.v), n.id)) AS BIGINT)
+               AS scc_id
+    FROM nodes n LEFT JOIN mutual m ON m.u = n.id
+    GROUP BY n.id
+    """,
+)
+def graph_scc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCCs of the DIRECTED tiered trading graph: nodes sit in tier
+    key%3; within a tier both edge directions exist (cycles), across
+    tiers only low->high (a DAG between tiers). Ground truth therefore
+    has exactly one non-trivial SCC per tier plus a singleton tail —
+    structure that exercises every stage of the coloring algorithm:
+    multi-peel extraction (foreign colors flow across the tier DAG),
+    backward marking inside each tier, and degree-trim on the tail. The
+    oracle computes membership from the recursive transitive closure
+    (mutual reachability), so the value hash proves membership AND the
+    max-member scc_id convention, node by node."""
+    li = load(spark, "lineitem", sf_dir)
+    orders = load(spark, "orders", sf_dir)
+    rel = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter((F.col("o_custkey") % 13 == 0) & (F.col("l_suppkey") % 2 == 0))
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+            (F.col("o_custkey") % 3).alias("tc"),
+            (F.col("l_suppkey") % 3).alias("ts"),
+        )
+        .distinct()
+    )
+    edges = rel.filter(F.col("tc") <= F.col("ts")).select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(
+        rel.filter(F.col("tc") == F.col("ts")).select(
+            F.col("s").alias("src"), F.col("c").alias("dst")
+        )
+    )
+    return scc(edges).select("id", F.col("scc_id").cast("bigint").alias("scc_id"))

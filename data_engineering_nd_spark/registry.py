@@ -234,6 +234,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "text_rake_keywords",
         "q97_window_funnel",
         "ann_nndescent",
+        "graph_scc",
     ], 8),
 }
 

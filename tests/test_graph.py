@@ -371,3 +371,32 @@ def test_clustering_coefficient_triangle_plus_pendant(spark):
     assert (out[2].degree, out[2].n_triangles, out[2].coeff_raw) == (2, 1, 1.0)
     assert (out[3].degree, out[3].n_triangles, out[3].coeff_raw) == (2, 1, 1.0)
     assert (out[4].degree, out[4].n_triangles, out[4].coeff_raw) == (1, 0, 0.0)
+
+
+def test_scc_known_components_and_trim(spark):
+    """Two cycles joined by a one-way bridge, a self-loop, and a sink:
+    membership and the max-member scc_id convention are exact."""
+    from data_engineering_nd_spark.operators.graph import scc
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 1),        # SCC {1,2,3} -> 3
+            (3, 5),                        # one-way bridge
+            (5, 6), (6, 5),                # SCC {5,6} -> 6
+            (1, 9),                        # 9 is a sink -> singleton
+            (7, 7), (6, 7),                # self-loop singleton -> 7
+        ],
+        "src long, dst long",
+    )
+    got = {r.id: r.scc_id for r in scc(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 5: 6, 6: 6, 9: 9, 7: 7}
+
+
+def test_scc_pure_dag_is_all_singletons(spark):
+    from data_engineering_nd_spark.operators.graph import scc
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    got = {r.id: r.scc_id for r in scc(edges).collect()}
+    assert got == {1: 1, 2: 2, 3: 3, 4: 4}

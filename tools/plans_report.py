@@ -128,6 +128,7 @@ HEADLINERS = [
     "text_rake_keywords",
     "q97_window_funnel",
     "ann_nndescent",
+    "graph_scc",
     # tbl_incremental_agg / tbl_merge_report / tbl_schema_evolution return
     # localCheckpoint-ed audit rows (trivial plans; COW/evolution shapes
     # pinned in tests) — kept out of the headliners.
