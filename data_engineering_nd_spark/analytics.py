@@ -4747,3 +4747,98 @@ def q97_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_hours_from_anchor"),
     )
+
+
+# --------------------------------------------------------------------------
+# q98 — dynamic partition pruning: the star-schema scan killer. The fact
+# is laid out partitioned by month; the quarter predicate lives on a
+# SEPARATE dimension table, so no static pushdown can reach the fact —
+# at plan time Spark injects a dynamicpruning subquery that broadcasts
+# the dim's surviving join keys and prunes fact PARTITIONS at runtime
+# (PartitionFilters: dynamicpruning#N in the scan). At 100 TB this is
+# the difference between scanning 3 months and scanning 7 years when
+# the filter arrives through a join instead of on the fact itself.
+# tests/test_plans.py pins the dynamicpruning subquery in the live plan.
+# --------------------------------------------------------------------------
+
+def _dpp_frames(spark: SparkSession, sf_dir: str, work: str):
+    """Partitioned fact + standalone dim for the DPP fixture; returns
+    (fact_df, filtered_dim_df) reading from ``work``."""
+    orders = load(spark, "orders", sf_dir)
+    fact_src = orders.withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    ).select("o_orderkey", "o_totalprice", "o_month")
+    fact_src.repartition(4).write.partitionBy("o_month").parquet(
+        work + "/fact"
+    )
+    dim_src = (
+        fact_src.select("o_month")
+        .distinct()
+        .withColumn(
+            "quarter",
+            F.concat(
+                F.substring("o_month", 1, 4),
+                F.lit("Q"),
+                (((F.substring("o_month", 6, 2).cast("int") - 1) / 3) + 1)
+                .cast("int")
+                .cast("string"),
+            ),
+        )
+    )
+    dim_src.repartition(1).write.parquet(work + "/dim")
+    fact = spark.read.parquet(work + "/fact")
+    dim = spark.read.parquet(work + "/dim").filter(
+        F.col("quarter") == "1995Q1"
+    )
+    return fact, dim
+
+
+def dpp_quarter_revenue(fact: DataFrame, dim: DataFrame) -> DataFrame:
+    """The DPP-shaped join: fact partitioned on the join key, predicate
+    on the dim only."""
+    return (
+        fact.join(F.broadcast(dim), "o_month")
+        .groupBy("o_month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q98_dynamic_partition_pruning",
+    oracle="""
+    WITH m AS (
+        SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS o_month,
+               o_totalprice
+        FROM orders
+    )
+    SELECT o_month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue
+    FROM m
+    WHERE substr(o_month, 1, 4) = '1995'
+      AND CAST(substr(o_month, 6, 2) AS INT) BETWEEN 1 AND 3
+    GROUP BY o_month
+    """,
+)
+def q98_dynamic_partition_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """1995Q1 revenue by month through a dim-side quarter filter over a
+    month-partitioned fact — correct results ARE the gate; the runtime
+    partition-pruning plan shape is pinned in tests/test_plans.py."""
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="q98_dpp_")
+    try:
+        fact, dim = _dpp_frames(spark, sf_dir, work)
+        # output-sized (3 rows); materialize so the scratch dirs can go
+        return dpp_quarter_revenue(fact, dim).localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

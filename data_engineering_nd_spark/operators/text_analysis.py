@@ -2050,3 +2050,129 @@ def text_rake_keywords_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer degree/frequency arithmetic."""
     docs = load(spark, "documents", sf_dir)
     return rake_keywords(docs, "doc_id", "text", top_k=15)
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations: pointwise mutual information over adjacent bigrams —
+# the classic collocation detector (Church & Hanks 1990)
+# ---------------------------------------------------------------------------
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_pair: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k adjacent-bigram collocations by PMI = ln(p(a,b)/(p(a)p(b)))
+    with p(a,b) over the bigram stream and p(w) over the token stream.
+
+    Determinism: the PMI argument is assembled as ONE division of two
+    exact BIGINT products — c12 * N_uni^2 over N_bi * c1 * c2 — so the
+    ranking key is a single IEEE op on integers (bit-identical across
+    engines); ln() is applied only to the already-ranked value and
+    rounded for display (the established ln-at-the-edge pattern).
+    ``min_pair`` floors the pair count — raw PMI famously promotes
+    hapax pairs, and the floor also bounds the candidate set.
+
+    Scale shape: same kernel as bigram_logprob_score (JVM transform over
+    an index sequence, no window over the corpus), two hash-aggs for the
+    models, two 1-row total aggregates broadcast onto the pair table,
+    and a TakeOrderedAndProject for the top-k."""
+    from data_engineering_nd_spark.functions.text import _bind
+
+    def pairs_of(toks: Column) -> Column:
+        return F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("w1"),
+                    F.element_at(toks, i + 1).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    toks = docs.select(
+        F.explode(tokens(text_col)).alias("tok")
+    )
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n_uni = toks.agg(F.count(F.lit(1)).cast("bigint").alias("n_uni"))
+    bg = docs.select(
+        F.explode(_bind(tokens(text_col), pairs_of)).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c12 = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pair")
+    ).filter(F.col("n_pair") >= min_pair)
+    n_bi = bg.agg(F.count(F.lit(1)).cast("bigint").alias("n_bi"))
+    scored = (
+        c12.join(uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            (
+                (F.col("n_pair") * F.col("n_uni") * F.col("n_uni"))
+                .cast("double")
+                / (F.col("n_bi") * F.col("c1") * F.col("c2")).cast("double")
+            ).alias("ratio"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("ratio"), "w1", "w2")
+        .limit(top_k)
+        .select(
+            "w1", "w2", "n_pair", F.round(F.log("ratio"), 6).alias("pmi")
+        )
+    )
+
+
+@query(
+    "text_pmi_collocations",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                            ' ') AS toks
+        FROM documents WHERE trim(text) <> ''
+    ),
+    seq AS (
+        SELECT doc_id, unnest(toks) AS tok,
+               generate_subscripts(toks, 1) AS ord
+        FROM t
+    ),
+    uni AS (SELECT tok, COUNT(*) AS c FROM seq GROUP BY tok),
+    nuni AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_uni FROM seq),
+    bg AS (
+        SELECT tok AS w1,
+               lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+        FROM seq QUALIFY w2 IS NOT NULL
+    ),
+    c12 AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+        FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    ),
+    nbi AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bi FROM bg),
+    scored AS (
+        SELECT c12.w1, c12.w2, c12.n_pair,
+               CAST(c12.n_pair * nuni.n_uni * nuni.n_uni AS DOUBLE)
+                   / CAST(nbi.n_bi * u1.c * u2.c AS DOUBLE) AS ratio
+        FROM c12
+        JOIN uni u1 ON u1.tok = c12.w1
+        JOIN uni u2 ON u2.tok = c12.w2
+        CROSS JOIN nuni CROSS JOIN nbi
+    )
+    SELECT w1, w2, n_pair, round(ln(ratio), 6) AS pmi
+    FROM scored
+    ORDER BY ratio DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def text_pmi_collocations_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations of the corpus by PMI (pair count floor 5)."""
+    docs = load(spark, "documents", sf_dir)
+    return pmi_collocations(docs)

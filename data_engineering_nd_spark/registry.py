@@ -235,6 +235,8 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "q97_window_funnel",
         "ann_nndescent",
         "graph_scc",
+        "q98_dynamic_partition_pruning",
+        "text_pmi_collocations",
     ], 8),
 }
 

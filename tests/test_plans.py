@@ -650,3 +650,21 @@ def test_incremental_bm25_corpus_text_never_retokenized(spark, tmp_path):
     # documents table — the corpus side is purely the index scan
     assert plan.count("explode(split(") == 0, plan
     assert plan.count("documents.parquet") == 0, plan
+
+
+def test_dynamic_partition_pruning_subquery_in_fact_scan(spark, tmp_path):
+    """q98's fixture: the quarter predicate lives ONLY on the standalone
+    dim, so the month-partitioned fact scan must carry a dynamicpruning
+    subquery in its PartitionFilters — runtime pruning, since no static
+    pushdown can cross the join."""
+    from data_engineering_nd_spark.analytics import (
+        _dpp_frames,
+        dpp_quarter_revenue,
+    )
+
+    fact, dim = _dpp_frames(spark, SF_DIR, str(tmp_path))
+    plan = dpp_quarter_revenue(fact, dim)._jdf.queryExecution().toString()
+    assert "dynamicpruning" in plan, plan
+    # and the value side still answers correctly
+    months = {r.o_month for r in dpp_quarter_revenue(fact, dim).collect()}
+    assert months == {"1995-01", "1995-02", "1995-03"}

@@ -493,3 +493,29 @@ def test_functional_dependency_report_mixed_outcomes(spark, tmp_path):
     assert abs(cust.violation_share - 1 / 3) < 1e-6
     pri = out["o_orderpriority->o_orderstatus"]
     assert (pri.n_keys, pri.n_violating, pri.max_fanout) == (2, 2, 2)
+
+
+def test_pmi_promotes_exclusive_pairs_and_floors_hapax(spark):
+    """A pair that always co-occurs scores the max PMI; a pair seen
+    fewer than min_pair times never appears."""
+    from data_engineering_nd_spark.operators.text_analysis import (
+        pmi_collocations,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta common common common rare" + str(i)) for i in range(6)]
+        + [(10 + i, "common gamma") for i in range(6)],
+        "doc_id long, text string",
+    )
+    out = {(r.w1, r.w2): r for r in pmi_collocations(docs, min_pair=5).collect()}
+    # 'alpha beta' co-occurs exclusively (6 times) -> top PMI pair
+    assert ("alpha", "beta") in out
+    ab = out[("alpha", "beta")]
+    assert ab.n_pair == 6
+    # every retained pair respects the floor
+    assert all(r.n_pair >= 5 for r in out.values())
+    # 'rareN' bigrams appear once each -> floored out
+    assert not any(w1.startswith("rare") or w2.startswith("rare")
+                   for (w1, w2) in out)
+    # exclusivity ranks above the frequent-word pair
+    assert ab.pmi >= out.get(("common", "common"), ab).pmi

@@ -129,6 +129,10 @@ HEADLINERS = [
     "q97_window_funnel",
     "ann_nndescent",
     "graph_scc",
+    "text_pmi_collocations",
+    # q98_dynamic_partition_pruning returns a localCheckpoint-ed result
+    # (its scratch fixture is removed before serve); the dynamicpruning
+    # plan shape is pinned live in tests/test_plans.py instead.
     # tbl_incremental_agg / tbl_merge_report / tbl_schema_evolution return
     # localCheckpoint-ed audit rows (trivial plans; COW/evolution shapes
     # pinned in tests) — kept out of the headliners.
@@ -196,6 +200,10 @@ def props(plan: str) -> list[str]:
 #: queries whose "!!" flag is a deliberate, bounded construct — the note
 #: replaces the alarm so a reviewer sees the justification inline.
 EXPECTED_FLAGS = {
+    "text_pmi_collocations": (
+        "the cross joins broadcast the two 1-row corpus totals (N_uni, "
+        "N_bi) onto the pair table — the tfidf corpus-size pattern"
+    ),
     "ann_nndescent": (
         "the cross join is the exact-recall GROUND TRUTH pass: the 20-row "
         "query sample broadcasts against the corpus once to flag each "
