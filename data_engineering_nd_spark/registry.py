@@ -237,6 +237,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "graph_scc",
         "q98_dynamic_partition_pruning",
         "text_pmi_collocations",
+        "src_csv_malformed_report",
     ], 8),
 }
 

@@ -131,3 +131,122 @@ def q71_orc_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "o_orderstatus string, n_orders bigint, total_price double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Malformed-record handling: PERMISSIVE CSV with a corrupt-record column —
+# the ingestion contract for dirty feeds
+# ---------------------------------------------------------------------------
+
+
+def read_csv_with_corrupt_column(
+    spark: SparkSession, path: str, data_schema: str
+) -> DataFrame:
+    """PERMISSIVE CSV read that quarantines unparseable lines into
+    ``_corrupt_record`` instead of dropping (DROPMALFORMED) or aborting
+    (FAILFAST) — the audit-friendly mode for dirty upstream feeds: every
+    input line lands in exactly one of {parsed, quarantined}, so counts
+    reconcile and the bad lines are replayable verbatim.
+
+    The returned frame is localCheckpoint-ed: Spark refuses queries that
+    reference ONLY the internal corrupt column on a raw CSV scan
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN — the column
+    exists only when some parsed field is also materialized), and
+    checkpointing the parse once is also what you want at scale: one
+    pass over the feed feeds both the good-path pipeline and the
+    quarantine audit."""
+    schema = data_schema + ", _corrupt_record string"
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        .localCheckpoint()
+    )
+
+
+@query(
+    "src_csv_malformed_report",
+    oracle="""
+    WITH good AS (
+        SELECT CAST(i AS INT) AS k, 'n' || CAST(i AS VARCHAR) AS name,
+               CAST(i * 10 AS INT) AS v
+        FROM range(20) t(i)
+        UNION ALL
+        SELECT NULL, NULL, NULL  -- the all-empty-fields line: valid CSV
+    )
+    SELECT CAST(24 AS BIGINT) AS n_total,
+           CAST(21 AS BIGINT) AS n_good,
+           CAST(3 AS BIGINT) AS n_corrupt,
+           CAST(SUM(CAST(concat('0x', substr(md5(concat(
+                coalesce(CAST(k AS VARCHAR), '-'), ':',
+                coalesce(name, '-'), ':',
+                coalesce(CAST(v AS VARCHAR), '-'))), 1, 10)) AS BIGINT))
+                AS BIGINT) AS good_checksum
+    FROM good
+    """,
+)
+def src_csv_malformed_report_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dirty-feed ingestion contract, value-hashed: a fixture CSV of 20
+    well-formed rows plus four hazards — surplus columns, a non-numeric
+    value in an INT field, an unclosed quote, and an all-empty line —
+    read PERMISSIVE with a corrupt-record column. The hash pins Spark's
+    quarantine semantics exactly: surplus-columns / bad-int / unclosed-
+    quote lines are quarantined (3 corrupt), the all-empty line is VALID
+    CSV (three empty fields -> a NULL row, counted good — the case naive
+    'drop weird lines' cleaners get wrong), and the good-row checksum
+    proves quarantining never mutates parsed values. The reference reads
+    its dimension CSVs with no malformed-row story at all
+    (Capstone/scripts/etl.py:333-358); at 100 TB a feed WILL contain
+    garbage and the split must reconcile: n_good + n_corrupt == n_total.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+
+    work = tempfile.mkdtemp(prefix="csv_malformed_")
+    try:
+        lines = ["k,name,v"]
+        lines += [f"{i},n{i},{i * 10}" for i in range(20)]
+        lines += [
+            "99,extra,5,surplus",   # too many columns
+            "abc,badint,7",         # non-numeric INT field
+            '7,"unclosed,3',        # unclosed quote
+            ",,",                   # all-empty fields: VALID
+        ]
+        path = os.path.join(work, "feed.csv")
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        df = read_csv_with_corrupt_column(
+            spark, path, "k int, name string, v int"
+        )
+        good = df.filter(F.col("_corrupt_record").isNull())
+        digest = md5_prefix_long(
+            F.concat(
+                F.coalesce(F.col("k").cast("string"), F.lit("-")),
+                F.lit(":"),
+                F.coalesce(F.col("name"), F.lit("-")),
+                F.lit(":"),
+                F.coalesce(F.col("v").cast("string"), F.lit("-")),
+            )
+        )
+        out = df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_good"),
+            F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_corrupt"),
+        ).crossJoin(
+            good.agg(F.sum(digest).cast("bigint").alias("good_checksum"))
+        )
+        # output-sized (1 row); materialize so the scratch file can go
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

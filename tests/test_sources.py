@@ -26,3 +26,22 @@ def test_empty_frame_is_schema_declared(spark):
     # unlike the reference's zero-column sentinel, it unions cleanly
     other = spark.createDataFrame([(1, "a")], schema)
     assert df.unionByName(other).count() == 1
+
+
+def test_csv_corrupt_column_quarantine_reconciles(spark, tmp_path):
+    """Every line lands in exactly one of {good, quarantined}; the
+    quarantined line is preserved verbatim for replay."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_nd_spark.sources.formats import (
+        read_csv_with_corrupt_column,
+    )
+
+    p = tmp_path / "feed.csv"
+    p.write_text("a,b\n1,x\nnope,y\n2,z\n")
+    df = read_csv_with_corrupt_column(spark, str(p), "a int, b string")
+    assert df.count() == 3
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).collect()
+    assert len(bad) == 1 and bad[0]["_corrupt_record"] == "nope,y"
+    good = {r.a: r.b for r in df.filter(F.col("_corrupt_record").isNull()).collect()}
+    assert good == {1: "x", 2: "z"}
