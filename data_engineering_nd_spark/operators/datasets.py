@@ -3576,3 +3576,99 @@ def tbl_vacuum_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Commit-time constraints: a violating batch is rejected BEFORE any file
+# is written — readers can never observe it
+# ---------------------------------------------------------------------------
+
+_CONSTRAINTS_ORACLE = """
+    WITH v0 AS (
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_orderkey % 2 = 0
+    ),
+    bad AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 97 = 0 THEN -o_totalprice
+                    ELSE o_totalprice END AS p
+        FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT
+        CAST(0 AS BIGINT) AS committed_version,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM v0) AS n_rows_v0,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM bad WHERE p <= 0)
+            AS violations_caught,
+        CAST(1 AS BIGINT) AS versions_after_reject,
+        (SELECT CAST(SUM(CAST(concat('0x', substr(md5(CAST(o_orderkey
+             AS VARCHAR)), 1, 10)) AS BIGINT)) AS BIGINT) FROM v0)
+            AS v0_checksum
+"""
+
+
+@query("tbl_constraints_report", oracle=_CONSTRAINTS_ORACLE)
+def tbl_constraints_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-time CHECK + unique constraints, value-hashed: v0 commits
+    the even-keyed orders under (pk NOT NULL, price > 0, unique pk) and
+    publishes; a second batch carrying negated prices on the %97 keys
+    must be REJECTED atomically — ConstraintViolation raises before any
+    file is written, the violation count in the exception equals the
+    arithmetic ground truth, the version count stays 1 and v0's checksum
+    is unchanged (measured AFTER the rejected commit). The Delta CHECK-
+    constraint contract: a dirty batch can never become readable state;
+    validation is ONE map-side-combinable aggregate per batch regardless
+    of constraint count. The reference has no write-side validation at
+    all — its DQ checks run after load (i94_data_quality_check.py)."""
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+    from data_engineering_nd_spark.tables import (
+        ConstraintViolation,
+        VersionedTable,
+    )
+
+    orders = load(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    v0df = orders.filter(F.col("o_orderkey") % 2 == 0)
+    bad = orders.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, -F.col("o_totalprice")
+        ).otherwise(F.col("o_totalprice")),
+    )
+    cons = dict(
+        checks=[
+            ("pk_not_null", "o_orderkey IS NOT NULL"),
+            ("positive_price", "o_totalprice > 0"),
+        ],
+        unique=[["o_orderkey"]],
+    )
+
+    work = tempfile.mkdtemp(prefix="tbl_constraints_")
+    try:
+        table = VersionedTable(spark, work)
+        m0 = table.commit(v0df, **cons)
+        try:
+            table.commit(bad, mode="append", **cons)
+            violations = -1  # must be unreachable
+        except ConstraintViolation as e:
+            violations = e.report.get("positive_price", 0)
+        out = table.snapshot().agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows_v0"),
+            F.sum(md5_prefix_long(F.col("o_orderkey").cast("string")))
+            .cast("bigint")
+            .alias("v0_checksum"),
+        ).select(
+            F.lit(m0["version"]).cast("bigint").alias("committed_version"),
+            "n_rows_v0",
+            F.lit(violations).cast("bigint").alias("violations_caught"),
+            F.lit(len(table.versions())).cast("bigint")
+            .alias("versions_after_reject"),
+            "v0_checksum",
+        )
+        # output-sized (1 row); materialize so the scratch table can go
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -238,6 +238,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "q98_dynamic_partition_pruning",
         "text_pmi_collocations",
         "src_csv_malformed_report",
+        "tbl_constraints_report",
     ], 8),
 }
 

@@ -57,6 +57,55 @@ class CommitConflict(RuntimeError):
     loser). Re-read the table and retry the transaction."""
 
 
+class ConstraintViolation(ValueError):
+    """A commit batch failed its declared constraints; nothing was
+    published. ``.report`` maps constraint name -> violating-row count
+    (or duplicate-key count for unique constraints)."""
+
+    def __init__(self, report: dict[str, int]):
+        self.report = report
+        super().__init__(f"constraint violations: {report}")
+
+
+def validate_constraints(
+    df: DataFrame,
+    checks: list[tuple[str, str]] | None = None,
+    unique: list[list[str]] | None = None,
+) -> dict[str, int]:
+    """Validate row-level CHECK predicates and key uniqueness in ONE
+    aggregate pass over the batch (the Delta `ALTER TABLE ADD CONSTRAINT`
+    surface): ``checks`` is (name, sql_predicate) pairs that must hold on
+    every row (NULL predicate results count as violations — a CHECK that
+    cannot evaluate is not satisfied); ``unique`` is key-column lists
+    whose duplicate-row counts must be zero. Returns name -> violation
+    count; the caller decides whether to publish. Cost: one map-side
+    combinable agg regardless of how many constraints — never a pass per
+    constraint."""
+    aggs = []
+    for name, pred in checks or []:
+        aggs.append(
+            F.sum(
+                F.when(~F.coalesce(F.expr(pred), F.lit(False)), 1).otherwise(0)
+            ).cast("bigint").alias(f"chk_{name}")
+        )
+    for i, cols in enumerate(unique or []):
+        aggs.append(
+            (
+                F.count(F.lit(1))
+                - F.count_distinct(*[F.col(c) for c in cols])
+            ).cast("bigint").alias(f"uni_{i}")
+        )
+    if not aggs:
+        return {}
+    row = df.agg(*aggs).collect()[0]
+    out: dict[str, int] = {}
+    for name, _ in checks or []:
+        out[name] = int(row[f"chk_{name}"])
+    for i, cols in enumerate(unique or []):
+        out[f"unique({','.join(cols)})"] = int(row[f"uni_{i}"])
+    return out
+
+
 class VersionedTable:
     """A parquet table whose snapshots are defined by a JSON manifest log.
 
@@ -320,16 +369,33 @@ class VersionedTable:
             df = df.filter(c <= hi)
         return df
 
-    def commit(self, df: DataFrame, mode: str = "overwrite") -> dict:
+    def commit(
+        self,
+        df: DataFrame,
+        mode: str = "overwrite",
+        checks: list[tuple[str, str]] | None = None,
+        unique: list[list[str]] | None = None,
+    ) -> dict:
         """Publish df as the next snapshot. 'overwrite' replaces the file
         set (and the schema); 'append' adds the new files to the previous
         snapshot's set (old files carried over BY REFERENCE — nothing is
         rewritten) and EVOLVES the schema additively: new columns in df
         are appended to the table schema, old files read them as null;
         same-name columns must keep their type. Time travel to an older
-        version still reads under that version's own schema."""
+        version still reads under that version's own schema.
+
+        ``checks``/``unique`` declare commit-time constraints
+        (:func:`validate_constraints`); any violation raises
+        :class:`ConstraintViolation` BEFORE a single data file is
+        written — the table is untouched, readers never see the bad
+        batch (Delta's CHECK-constraint contract)."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+        if checks or unique:
+            report = validate_constraints(df, checks, unique)
+            bad = {k: v for k, v in report.items() if v > 0}
+            if bad:
+                raise ConstraintViolation(bad)
         prev = self.latest_version()
         version = 0 if prev is None else prev + 1
         files = self._write_files(df, version)

@@ -564,3 +564,31 @@ def test_vacuum_expires_time_travel_to_dropped_versions(spark, table):
     with pytest.raises(FileNotFoundError):
         table.snapshot(version=0)
     assert _rows(table.snapshot()) == [(2, "b")]
+
+
+def test_commit_constraints_reject_atomically(spark, table):
+    from data_engineering_nd_spark.tables import (
+        ConstraintViolation,
+        validate_constraints,
+    )
+
+    good = spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")])
+    table.commit(good, checks=[("k_pos", "k > 0")], unique=[["k"]])
+    bad = spark.createDataFrame(
+        [Row(k=3, v="c"), Row(k=3, v="dup"), Row(k=-1, v="neg"),
+         Row(k=None, v="nul")],
+        schema="k bigint, v string",
+    )
+    with pytest.raises(ConstraintViolation) as ei:
+        table.commit(bad, mode="append",
+                     checks=[("k_pos", "k > 0")], unique=[["k"]])
+    # NULL predicate result counts as a violation; null key counts
+    # toward the unique violation too (count - countDistinct(non-null))
+    assert ei.value.report["k_pos"] == 2
+    assert ei.value.report["unique(k)"] == 2
+    # nothing was published and no orphan files beyond v0's
+    assert table.versions() == [0]
+    assert _rows(table.snapshot()) == [(1, "a"), (2, "b")]
+    # validate_constraints alone reports without raising
+    rep = validate_constraints(bad, checks=[("k_pos", "k > 0")])
+    assert rep == {"k_pos": 2}
