@@ -2336,8 +2336,15 @@ def ann_ivf_pq_verified_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: distributed analog of NN-descent's random-init assumption.
 _NND_SALTS = ("", ":s2", ":s3")
 _NND_BUCKETS = 8
-_NND_K = 12
-_NND_ROUNDS = 3
+_NND_K = 20
+_NND_ROUNDS = 4
+#: degree cap applied to the SYMMETRIZED graph before two-hop expansion —
+#: the deterministic analog of NN-descent's reverse-neighbor sampling
+#: (rho). Without it a hub node (everyone's nearest neighbor) has
+#: unbounded in-degree and the two-hop join goes quadratic through it:
+#: at 2000 vectors the uncapped oracle spilled >100 GB; capped, candidate
+#: volume is <= n * cap^2 per round at ANY corpus size.
+_NND_CAP = 2 * _NND_K
 
 
 def nndescent_topk(
@@ -2415,10 +2422,23 @@ def nndescent_topk(
     # -- descent rounds ----------------------------------------------------
     vu = v.select(F.col("vid").alias("u"), F.col("emb").alias("ue"))
     vn = v.select(F.col("vid").alias("nb"), F.col("emb").alias("ne"))
+    wcap = Window.partitionBy("u").orderBy(F.desc("s"), "nb")
     for _ in range(_NND_ROUNDS):
-        und = g.select("u", "nb").unionByName(
-            g.select(F.col("nb").alias("u"), F.col("u").alias("nb"))
-        ).distinct()
+        # symmetrize, then CAP each node's degree (rho-sampling): both
+        # directions of a pair carry the identical cosine, so the
+        # (u, nb) dedup is value-unambiguous
+        und = (
+            g.select("u", "nb", "s")
+            .unionByName(
+                g.select(
+                    F.col("nb").alias("u"), F.col("u").alias("nb"), "s"
+                )
+            )
+            .dropDuplicates(["u", "nb"])
+            .withColumn("rn", F.row_number().over(wcap))
+            .filter(F.col("rn") <= _NND_CAP)
+            .select("u", "nb")
+        )
         ua, ub = und.alias("ua"), und.alias("ub")
         two_hop = (
             ua.join(ub, F.col("ua.nb") == F.col("ub.u"))
@@ -2509,16 +2529,26 @@ def _register_nndescent_oracle() -> None:
     prev = "g0"
     for r in range(1, _NND_ROUNDS + 1):
         rounds.append(f"""
-    und{r} AS (
-        SELECT u, nb FROM {prev} UNION SELECT nb AS u, u AS nb FROM {prev}
+    undA{r} AS MATERIALIZED (
+        SELECT u, nb, s FROM {prev}
+        UNION
+        SELECT nb AS u, u AS nb, s FROM {prev}
     ),
-    cand{r} AS (
+    und{r} AS MATERIALIZED (
+        SELECT u, nb FROM (
+            SELECT u, nb,
+                   row_number() OVER (PARTITION BY u
+                                      ORDER BY s DESC, nb) AS rn
+            FROM undA{r}
+        ) WHERE rn <= {_NND_CAP}
+    ),
+    cand{r} AS MATERIALIZED (
         SELECT u, nb FROM und{r}
         UNION
         SELECT a.u, b.nb FROM und{r} a JOIN und{r} b ON a.nb = b.u
         WHERE a.u <> b.nb
     ),
-    g{r} AS (
+    g{r} AS MATERIALIZED (
         SELECT u, nb, s FROM (
             SELECT c.u, c.nb, {cos.format(a='a', b='b')} AS s,
                    row_number() OVER (
@@ -2529,11 +2559,11 @@ def _register_nndescent_oracle() -> None:
     )""")
         prev = f"g{r}"
     ORACLE_SQL["ann_nndescent"] = f"""
-    WITH v AS (
+    WITH v AS MATERIALIZED (
         SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS emb
         FROM embeddings
     ),{",".join(inits)},
-    g0 AS (
+    g0 AS MATERIALIZED (
         SELECT u, nb, s FROM (
             SELECT u, nb, s,
                    row_number() OVER (PARTITION BY u
@@ -2569,10 +2599,11 @@ def _register_nndescent_oracle() -> None:
 
 @query("ann_nndescent")
 def ann_nndescent_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Refined kNN (3 NN-descent rounds over a 3-blocking md5 init,
-    internal K=12) for the vec_id % 25 == 0 sample, each neighbor
-    flagged against the exact global top-5 (~0.95 recall@5 on the
-    testdata; the flags make recall part of the hashed value)."""
+    """Refined kNN (4 NN-descent rounds over a 3-blocking md5 init,
+    internal K=20, symmetrized degree capped at 40) for the
+    vec_id % 25 == 0 sample, each neighbor flagged against the exact
+    global top-5 (~0.95 recall@5 at sf0.1's 2000 vectors; the flags
+    make recall part of the hashed value)."""
     emb = load(spark, "embeddings", sf_dir)
     return nndescent_topk(emb, k=5, query_mod=25)
 
