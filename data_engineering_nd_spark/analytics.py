@@ -4842,3 +4842,48 @@ def q98_dynamic_partition_pruning(
         return dpp_quarter_revenue(fact, dim).localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# q99 — relational division: the "FOR ALL" quantifier SQL has no keyword
+# for ("customers who ordered under EVERY priority class"). The classic
+# set-cover formulation: per-customer distinct-class count equals the
+# global class count. Two hash-aggs + one 1-row broadcast — never the
+# double-NOT-EXISTS correlated form (which Catalyst would decorrelate
+# into the same shape anyway, minus readability) and never a cross join
+# against the class list. At 100 TB: one shuffle on the customer key.
+# --------------------------------------------------------------------------
+@query(
+    "q99_relational_division",
+    oracle="""
+    WITH classes AS (
+        SELECT CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_classes
+        FROM orders
+    ),
+    per_cust AS (
+        SELECT o_custkey,
+               CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prio,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT p.o_custkey, p.n_orders, c.n_classes
+    FROM per_cust p CROSS JOIN classes c
+    WHERE p.n_prio = c.n_classes
+    """,
+)
+def q99_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers whose orders cover EVERY priority class, with their
+    order counts and the class count they had to cover."""
+    orders = load(spark, "orders", sf_dir)
+    classes = orders.agg(
+        F.count_distinct("o_orderpriority").cast("bigint").alias("n_classes")
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count_distinct("o_orderpriority").cast("bigint").alias("n_prio"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    return (
+        per_cust.crossJoin(F.broadcast(classes))
+        .filter(F.col("n_prio") == F.col("n_classes"))
+        .select("o_custkey", "n_orders", "n_classes")
+    )

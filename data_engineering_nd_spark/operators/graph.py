@@ -1613,3 +1613,170 @@ def graph_scc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scc(edges).select("id", F.col("scc_id").cast("bigint").alias("scc_id"))
+
+
+# ---------------------------------------------------------------------------
+# HITS (hubs & authorities): the directed link-analysis dual of PageRank —
+# mutually recursive scores over a directed graph (Kleinberg 1999)
+# ---------------------------------------------------------------------------
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 8,
+) -> DataFrame:
+    """Hub and authority scores by alternating power iteration:
+    a(v) = sum of h(u) over in-edges, h(u) = sum of a(v) over out-edges,
+    each side sum-normalized per round (the L1 variant — one aggregate
+    instead of a sqrt). Returns (id, hub, authority) with 0.0 for the
+    side a node does not participate in.
+
+    Scale shape per round: two equi-joins + two hash-aggs + two 1-row
+    normalization broadcasts, with a localCheckpoint per round (constant
+    plan size — the iterative-lineage rule every loop here follows).
+    On the bipartite trading graph hubs are customers and authorities
+    suppliers, so the two score vectors never mix; on a general digraph
+    both sides exist for every node."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = e.distinct().localCheckpoint()
+    hub = e.select("src").distinct().select(
+        F.col("src").alias("id"), F.lit(1.0).alias("h")
+    ).localCheckpoint()
+    auth = None
+    for _ in range(iterations):
+        a_raw = (
+            e.join(hub.select(F.col("id").alias("src"), "h"), "src")
+            .groupBy("dst")
+            .agg(F.sum("h").alias("raw"))
+        )
+        a_tot = a_raw.agg(F.sum("raw").alias("tot"))
+        auth = (
+            a_raw.crossJoin(F.broadcast(a_tot))
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("raw") / F.col("tot")).alias("a"),
+            )
+            .localCheckpoint()
+        )
+        h_raw = (
+            e.join(auth.select(F.col("id").alias("dst"), "a"), "dst")
+            .groupBy("src")
+            .agg(F.sum("a").alias("raw"))
+        )
+        h_tot = h_raw.agg(F.sum("raw").alias("tot"))
+        hub = (
+            h_raw.crossJoin(F.broadcast(h_tot))
+            .select(
+                F.col("src").alias("id"),
+                (F.col("raw") / F.col("tot")).alias("h"),
+            )
+            .localCheckpoint()
+        )
+    return hub.join(auth, "id", "full_outer").select(
+        "id",
+        F.coalesce("h", F.lit(0.0)).alias("hub"),
+        F.coalesce("a", F.lit(0.0)).alias("authority"),
+    )
+
+
+def _register_hits_oracle() -> None:
+    """Unrolled 8-round mirror (the pagerank-oracle pattern): every round
+    CTE is MATERIALIZED so DuckDB computes it once instead of inlining
+    the chain exponentially. Cross-engine float drift after 8 rounds is
+    ~1e-14 while scores round to 6 dp."""
+    from data_engineering_nd_spark.registry import ORACLE_SQL
+
+    sql = """
+    WITH rel AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    h0 AS (SELECT DISTINCT src AS id, 1.0 AS h FROM rel)
+    """
+    for i in range(8):
+        sql += f""",
+    ar{i} AS MATERIALIZED (
+        SELECT e.dst, SUM(h.h) AS raw
+        FROM rel e JOIN h{i} h ON h.id = e.src GROUP BY e.dst
+    ),
+    a{i} AS MATERIALIZED (
+        SELECT dst AS id, raw / (SELECT SUM(raw) FROM ar{i}) AS a FROM ar{i}
+    ),
+    hr{i} AS MATERIALIZED (
+        SELECT e.src, SUM(a.a) AS raw
+        FROM rel e JOIN a{i} a ON a.id = e.dst GROUP BY e.src
+    ),
+    h{i + 1} AS MATERIALIZED (
+        SELECT src AS id, raw / (SELECT SUM(raw) FROM hr{i}) AS h FROM hr{i}
+    )
+    """
+    sql += """
+    , final AS (
+        SELECT COALESCE(h.id, a.id) AS id,
+               COALESCE(h.h, 0.0) AS hub,
+               COALESCE(a.a, 0.0) AS authority
+        FROM h8 h FULL OUTER JOIN a7 a ON a.id = h.id
+    ),
+    ranked AS (
+        SELECT CASE WHEN id % 2 = 0 THEN 'hub' ELSE 'authority' END AS kind,
+               id,
+               CASE WHEN id % 2 = 0 THEN hub ELSE authority END AS score,
+               row_number() OVER (
+                   PARTITION BY id % 2
+                   ORDER BY round(CASE WHEN id % 2 = 0 THEN hub
+                                       ELSE authority END, 6) DESC, id)
+                   AS rnk
+        FROM final
+    )
+    SELECT kind, id, round(score, 6) AS score, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 10
+    """
+    ORACLE_SQL["graph_hits"] = sql
+
+
+@query("graph_hits")
+def graph_hits_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 hubs (customers) and top-10 authorities (suppliers) of the
+    directed trading graph after 8 HITS rounds — a high-authority
+    supplier is one bought from by high-hub customers, and vice versa,
+    which is exactly the mutual-reinforcement signal degree counting
+    misses. Oracle: the unrolled 8-round SQL mirror (pagerank pattern),
+    so the iteration itself — joins, normalizations, and the final
+    ranking — is value-hashed, not just row-counted."""
+    from pyspark.sql.window import Window
+
+    li = load(spark, "lineitem", sf_dir)
+    orders = load(spark, "orders", sf_dir)
+    rel = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    scores = hits(rel, iterations=8)
+    kind = F.when(F.col("id") % 2 == 0, F.lit("hub")).otherwise(
+        F.lit("authority")
+    )
+    score = F.when(F.col("id") % 2 == 0, F.col("hub")).otherwise(
+        F.col("authority")
+    )
+    # rank on the ROUNDED score: the trading graph produces mass ties
+    # (customers with identical edge profiles get identical scores up to
+    # summation order), and raw-ulp ordering diverges across engines
+    w = Window.partitionBy(F.col("id") % 2).orderBy(
+        F.desc(F.round("score", 6)), "id"
+    )
+    return (
+        scores.select(kind.alias("kind"), "id", score.alias("score"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("kind", "id", F.round("score", 6).alias("score"),
+                F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+_register_hits_oracle()

@@ -239,6 +239,8 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "text_pmi_collocations",
         "src_csv_malformed_report",
         "tbl_constraints_report",
+        "q99_relational_division",
+        "graph_hits",
     ], 8),
 }
 

@@ -400,3 +400,41 @@ def test_scc_pure_dag_is_all_singletons(spark):
     )
     got = {r.id: r.scc_id for r in scc(edges).collect()}
     assert got == {1: 1, 2: 2, 3: 3, 4: 4}
+
+
+def test_hits_mutual_reinforcement(spark):
+    """The authority pointed to by both hubs outranks the single-hub
+    one; the hub covering both authorities outranks the single-edge
+    hub; scores sum-normalize to 1 per side."""
+    from data_engineering_nd_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 4), (3, 2)], "src long, dst long"
+    )
+    out = {r.id: r for r in hits(edges, iterations=8).collect()}
+    assert out[2].authority > out[4].authority
+    assert out[1].hub > out[3].hub
+    assert abs(sum(r.authority for r in out.values()) - 1.0) < 1e-9
+    assert abs(sum(r.hub for r in out.values()) - 1.0) < 1e-9
+    # pure hubs have zero authority and vice versa in a bipartite graph
+    assert out[1].authority == 0.0 and out[2].hub == 0.0
+
+
+def test_relational_division_requires_full_cover(spark, tmp_path):
+    import pandas as pd
+
+    from data_engineering_nd_spark.analytics import q99_relational_division
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    rows = [
+        (1, 10, "A"), (2, 10, "B"),            # cust 10 covers both -> in
+        (3, 20, "A"),                          # cust 20 misses B -> out
+        (4, 30, "B"), (5, 30, "B"), (6, 30, "A"),  # cust 30 in, 3 orders
+    ]
+    pd.DataFrame(
+        rows, columns=["o_orderkey", "o_custkey", "o_orderpriority"]
+    ).to_parquet(str(sf / "orders.parquet"))
+    out = {r.o_custkey: r for r in q99_relational_division(spark, str(sf)).collect()}
+    assert set(out) == {10, 30}
+    assert out[30].n_orders == 3 and out[30].n_classes == 2

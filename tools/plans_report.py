@@ -130,6 +130,8 @@ HEADLINERS = [
     "ann_nndescent",
     "graph_scc",
     "text_pmi_collocations",
+    "q99_relational_division",
+    "graph_hits",
     # q98_dynamic_partition_pruning returns a localCheckpoint-ed result
     # (its scratch fixture is removed before serve); the dynamicpruning
     # plan shape is pinned live in tests/test_plans.py instead.
