@@ -241,6 +241,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "tbl_constraints_report",
         "q99_relational_division",
         "graph_hits",
+        "src_parquet_merge_schema",
     ], 8),
 }
 

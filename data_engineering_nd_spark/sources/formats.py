@@ -250,3 +250,92 @@ def src_csv_malformed_report_query(
         return out.localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Schema drift on RAW parquet directories: mergeSchema reads across files
+# written under different schemas — the non-lakehouse sibling of
+# tbl_schema_evolution (no manifest to impose a schema, so the reader
+# must reconcile footers)
+# ---------------------------------------------------------------------------
+
+_MERGE_SCHEMA_ORACLE = """
+    WITH old_batch AS (
+        SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    new_batch AS (
+        SELECT o_orderkey, o_custkey,
+               concat('s', CAST(o_orderkey % 3 AS VARCHAR)) AS o_segment
+        FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    unioned AS (
+        SELECT o_orderkey, o_custkey, NULL AS o_segment FROM old_batch
+        UNION ALL SELECT * FROM new_batch
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(3 AS BIGINT) AS n_cols,
+           CAST(COUNT(*) FILTER (WHERE o_segment IS NULL) AS BIGINT)
+               AS segment_nulls,
+           CAST(SUM(CAST(concat('0x', substr(md5(concat(
+                CAST(o_orderkey AS VARCHAR), ':',
+                coalesce(o_segment, '-'))), 1, 10)) AS BIGINT)) AS BIGINT)
+               AS merged_checksum
+    FROM unioned
+"""
+
+
+@query("src_parquet_merge_schema", oracle=_MERGE_SCHEMA_ORACLE)
+def src_parquet_merge_schema_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Schema drift on a plain parquet DIRECTORY (no table format): an
+    old batch written under (key, custkey) and a new batch under (key,
+    custkey, segment) land in the same directory; the read must pass
+    ``mergeSchema=true`` to reconcile the footers — the default read
+    resolves against ONE footer and silently drops or fails the drifted
+    column depending on which file wins, the classic raw-data-lake trap
+    the VersionedTable manifest schema makes structurally impossible
+    (tbl_schema_evolution). The hash pins the union row count, the
+    merged width, the exact NULL backfill of the drifted column, and a
+    (key, segment) checksum. Reference anchor: the reference appends
+    parquet batches with mode('append') and no schema control
+    (Capstone/scripts/etl.py:434-491)."""
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+
+    orders = load(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    old_b = orders.filter(F.col("o_orderkey") % 2 == 0)
+    new_b = orders.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "o_segment",
+        F.concat(F.lit("s"), (F.col("o_orderkey") % 3).cast("string")),
+    )
+    work = tempfile.mkdtemp(prefix="merge_schema_")
+    try:
+        old_b.write.parquet(work, mode="append")
+        new_b.write.parquet(work, mode="append")
+        merged = spark.read.option("mergeSchema", "true").parquet(work)
+        digest = md5_prefix_long(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit(":"),
+                F.coalesce(F.col("o_segment"), F.lit("-")),
+            )
+        )
+        out = merged.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("o_segment").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("segment_nulls"),
+            F.sum(digest).cast("bigint").alias("merged_checksum"),
+        ).select(
+            "n_rows",
+            F.lit(len(merged.columns)).cast("bigint").alias("n_cols"),
+            "segment_nulls",
+            "merged_checksum",
+        )
+        # output-sized (1 row); materialize so the scratch dir can go
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -45,3 +45,18 @@ def test_csv_corrupt_column_quarantine_reconciles(spark, tmp_path):
     assert len(bad) == 1 and bad[0]["_corrupt_record"] == "nope,y"
     good = {r.a: r.b for r in df.filter(F.col("_corrupt_record").isNull()).collect()}
     assert good == {1: "x", 2: "z"}
+
+
+def test_merge_schema_read_backfills_drifted_column(spark, tmp_path):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "drift")
+    spark.createDataFrame([Row(k=1, v="a")]).write.parquet(p, mode="append")
+    spark.createDataFrame([Row(k=2, v="b", extra=9)]).write.parquet(
+        p, mode="append"
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"k", "v", "extra"}
+    got = {r.k: r.extra for r in merged.collect()}
+    assert got == {1: None, 2: 9}
