@@ -4887,3 +4887,105 @@ def q99_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_prio") == F.col("n_classes"))
         .select("o_custkey", "n_orders", "n_classes")
     )
+
+
+# --------------------------------------------------------------------------
+# q100 — market-basket association rules (support / confidence / lift):
+# the co-occurrence classic. Baskets are orders, items the distinct part
+# brands in each; pair generation is a WITHIN-BASKET self-join (bounded
+# by basket size, ~4 items — never an item-catalog cross join), and the
+# three rule metrics come from exact counts: lift's ranking key is one
+# division of BIGINT products (c_ab * n_baskets / c_a * c_b — the PMI
+# pattern), so cross-engine ordering is bit-stable and ln/doubles never
+# enter the sort. At 100 TB: one shuffle to baskets, one self-join keyed
+# on the basket id, two broadcast-sized item-count joins.
+# --------------------------------------------------------------------------
+@query(
+    "q100_market_basket_lift",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT l.l_orderkey AS bid, p.p_brand AS item
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    nb AS (SELECT CAST(COUNT(DISTINCT bid) AS BIGINT) AS n FROM baskets),
+    items AS (
+        SELECT item, CAST(COUNT(*) AS BIGINT) AS c FROM baskets GROUP BY item
+    ),
+    pairs AS (
+        SELECT a.item AS item_a, b.item AS item_b,
+               CAST(COUNT(*) AS BIGINT) AS c_ab
+        FROM baskets a JOIN baskets b
+          ON a.bid = b.bid AND a.item < b.item
+        GROUP BY 1, 2 HAVING COUNT(*) >= 10
+    )
+    SELECT item_a, item_b, c_ab,
+           floor(CAST(c_ab AS DOUBLE) / CAST(nb.n AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS support,
+           floor(CAST(c_ab AS DOUBLE) / CAST(ia.c AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS confidence,
+           floor(CAST(c_ab * nb.n AS DOUBLE) / CAST(ia.c * ib.c AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS lift
+    FROM pairs
+    JOIN items ia ON ia.item = item_a
+    JOIN items ib ON ib.item = item_b
+    CROSS JOIN nb
+    ORDER BY CAST(c_ab * nb.n AS DOUBLE) / CAST(ia.c * ib.c AS DOUBLE)
+             DESC, item_a, item_b
+    LIMIT 20
+    """,
+)
+def q100_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 brand pairs by lift (support floor 10 baskets), with
+    support and confidence(a->b); the association-rules readout."""
+    from data_engineering_nd_spark.functions.numeric import round_half_up
+
+    li = load(spark, "lineitem", sf_dir)
+    part = load(spark, "part", sf_dir)
+    baskets = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("bid"),
+                F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    nb = baskets.agg(
+        F.count_distinct("bid").cast("bigint").alias("n")
+    )
+    items = baskets.groupBy("item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.bid") == F.col("b.bid"))
+               & (F.col("a.item") < F.col("b.item")))
+        .groupBy(F.col("a.item").alias("item_a"),
+                 F.col("b.item").alias("item_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+        .filter(F.col("c_ab") >= 10)
+    )
+    ia = items.select(F.col("item").alias("item_a"), F.col("c").alias("ca"))
+    ib = items.select(F.col("item").alias("item_b"), F.col("c").alias("cb"))
+    scored = (
+        pairs.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .crossJoin(F.broadcast(nb))
+        .withColumn(
+            "lift_key",
+            (F.col("c_ab") * F.col("n")).cast("double")
+            / (F.col("ca") * F.col("cb")).cast("double"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("lift_key"), "item_a", "item_b")
+        .limit(20)
+        .select(
+            "item_a", "item_b", "c_ab",
+            round_half_up(
+                F.col("c_ab").cast("double") / F.col("n").cast("double"), 6
+            ).alias("support"),
+            round_half_up(
+                F.col("c_ab").cast("double") / F.col("ca").cast("double"), 6
+            ).alias("confidence"),
+            round_half_up(F.col("lift_key"), 6).alias("lift"),
+        )
+    )

@@ -242,6 +242,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "q99_relational_division",
         "graph_hits",
         "src_parquet_merge_schema",
+        "q100_market_basket_lift",
     ], 8),
 }
 

@@ -528,3 +528,43 @@ def test_window_funnel_bound_and_order(spark, tmp_path):
     assert out[3].avg_hours_from_anchor == 20.0
     # level-2 mean: (10 + 5 + 30) / 3 = 15h
     assert out[2].avg_hours_from_anchor == 15.0
+
+
+def test_market_basket_lift_arithmetic(spark, tmp_path):
+    """Hand-checkable baskets: a pair that always co-occurs gets
+    lift = n_baskets / (c_a * c_b) exactly; support floor drops rare
+    pairs; duplicate lineitems of a brand count the basket once."""
+    import pandas as pd
+
+    from data_engineering_nd_spark.analytics import q100_market_basket_lift
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    li, pk = [], []
+    # parts: brand X=1, Y=2, Z=3
+    for pid, brand in ((1, "X"), (2, "Y"), (3, "Z")):
+        pk.append((pid, f"Brand#{brand}"))
+    # 12 baskets with X and Y together (plus a dup X line), 8 with only Z
+    ln = 0
+    for b in range(12):
+        for pid in (1, 1, 2):
+            ln += 1
+            li.append((100 + b, pid, ln))
+    for b in range(8):
+        ln += 1
+        li.append((500 + b, 3, ln))
+    pd.DataFrame(li, columns=["l_orderkey", "l_partkey", "l_linenumber"]).to_parquet(
+        str(sf / "lineitem.parquet")
+    )
+    pd.DataFrame(pk, columns=["p_partkey", "p_brand"]).to_parquet(
+        str(sf / "part.parquet")
+    )
+    out = q100_market_basket_lift(spark, str(sf)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.item_a, r.item_b) == ("Brand#X", "Brand#Y")
+    assert r.c_ab == 12
+    # support = 12/20, confidence = 12/12, lift = 12*20/(12*12)
+    assert r.support == 0.6
+    assert r.confidence == 1.0
+    assert abs(r.lift - round(20 / 12, 6)) < 1e-9

@@ -132,6 +132,7 @@ HEADLINERS = [
     "text_pmi_collocations",
     "q99_relational_division",
     "graph_hits",
+    "q100_market_basket_lift",
     # q98_dynamic_partition_pruning returns a localCheckpoint-ed result
     # (its scratch fixture is removed before serve); the dynamicpruning
     # plan shape is pinned live in tests/test_plans.py instead.
@@ -202,6 +203,11 @@ def props(plan: str) -> list[str]:
 #: queries whose "!!" flag is a deliberate, bounded construct — the note
 #: replaces the alarm so a reviewer sees the justification inline.
 EXPECTED_FLAGS = {
+    "q100_market_basket_lift": (
+        "the cross join broadcasts the 1-row basket-count aggregate onto "
+        "the pair table — the tfidf corpus-size pattern; pair generation "
+        "itself is the basket-id equi-join"
+    ),
     "text_pmi_collocations": (
         "the cross joins broadcast the two 1-row corpus totals (N_uni, "
         "N_bi) onto the pair table — the tfidf corpus-size pattern"
