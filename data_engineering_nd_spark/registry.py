@@ -53,57 +53,45 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Local verification (tools/verify_oracle.py, bench.py) always runs all
 # queries and is order-insensitive.
 
-#: round-8 refresh (the established per-round protocol): for every name, the
-#: most recent committed CORRECTNESS_r0*.json that recorded it.  Round 7
-#: recorded 50 names, all green (4 are the known rows-only xxhash64 kernels
-#: with green md5 siblings) — the 13 fresh round-7 registrations, the whole
-#: 32-name r03-stale block, and 5 r04 names (q01–q05).  What remains oldest
-#: is the 46-name r04 block; VERDICT r07 task #1 asks for exactly that block
-#: to cycle through the r08 window BEHIND the 4 deferred round-7 names
-#: (pinned to round 0 so they lead): 4 + 46 = exactly 50, zero waste.
+#: round-9 refresh (the established per-round protocol): for every name, the
+#: most recent committed CORRECTNESS_r0*.json that recorded it.  Round 8
+#: recorded 50 names, all green (the 1 non-green is ann_pca_projection's
+#: by-design no_oracle rows-only marker, green ann_pca_verified sibling) —
+#: the 7 round-0 pins, the whole 41-name r04-stale block, and 2 r05 names
+#: (q22/q23).  56 round-8 registrations were DEFERRED (more than one
+#: window); VERDICT r08 task #1: pin the OLDEST 50 (registration order) to
+#: round 0 so they fill the r09 window front; the remaining 6 + the
+#: oldest-stale r05 block roll to r10.
 LAST_RECORDED_ROUND: dict[str, int] = {
-    # -- DEFERRED round-7 late additions, never driver-recorded (absent from
-    # CORRECTNESS_r07.json); pinned to round 0 to force them to the FRONT of
-    # the r08 window (VERDICT r07 task #1; ADVICE r07 medium item) ----------
+    # -- DEFERRED round-8 registrations, never driver-recorded (absent from
+    # CORRECTNESS_r08.json); the oldest 50 of the 56, pinned to round 0 to
+    # fill the r09 window (VERDICT r08 task #1).  All carry committed local
+    # two-SF sweep evidence (SWEEP_r08.md) --------------------------------
     **dict.fromkeys([
-        "ann_hybrid_rrf",
-        "text_bm25_topk",
-        "ann_pq_verified",
-        "q79_forward_asof_join",
+        "q80_bloom_join_prune", "tbl_skipping_report",
+        "graph_shortest_paths", "text_bpe_encode", "ann_incremental",
+        "ann_ivf_pq_verified", "tbl_zorder_report", "q81_hll_grouped_merge",
+        "ds_weighted_sample", "text_incremental_bm25", "stream_hll_users",
+        "graph_personalized_pagerank", "tbl_delete_report",
+        "q82_point_in_time_join", "q83_grouped_linreg", "q84_kmv_distinct",
+        "q85_decayed_revenue", "q86_last_touch_attribution",
+        "dedup_containment", "ds_markov_transitions", "tbl_time_travel",
+        "graph_resource_allocation", "dq_benford_digit_check",
+        "q87_skyline_pareto", "q88_bitmap_retention", "q89_mad_outliers",
+        "q90_rolling_distinct", "q91_fuzzy_blocking_join",
+        "q92_seasonal_anomaly", "q93_ab_conversion_ztest",
+        "q94_hybrid_skew_join", "tbl_incremental_agg",
+        "graph_clustering_coefficient", "text_boolean_retrieval",
+        "dq_functional_dependency", "dedup_survivorship",
+        "stream_bitmap_dau", "tbl_merge_report", "tbl_schema_evolution",
+        "dedup_ppjoin", "stream_heavy_hitters", "q95_intransit_inventory",
+        "q96_activity_streaks", "tbl_vacuum_report", "text_rake_keywords",
+        "q97_window_funnel", "ann_nndescent", "graph_scc",
+        "q98_dynamic_partition_pruning", "text_pmi_collocations",
     ], 0),
-    # -- ADVICE-r07-touched names whose committed records predate their fixes
-    # (VERDICT r07 task #7): pinned to round 0 for fresh post-fix records.
-    # The r08 window still has slack (4 deferred + 41 r04-stale = 45), so
-    # these three fit without evicting any stale re-verification.
-    **dict.fromkeys([
-        "stream_stateful_sessions",
-        "ds_epoch_shards",
-        "multimodal_resize_thumbnails",
-    ], 0),
-    # -- latest record: CORRECTNESS_r04.json (the 46-name stale tail after
-    # q01–q05 re-recorded in r07; these fill the rest of the r08 window) ----
-    **dict.fromkeys([
-        "ann_pca_projection", "dedup_cluster_star", "ds_contamination_check",
-        "ds_corpus_build_report", "ds_domain_mix_sample",
-        "ds_keep_best_per_cluster", "ds_label_centroids",
-        "ds_training_order", "graph_degree_distribution",
-        "graph_pagerank_topk", "multimodal_audio_chunks",
-        "multimodal_metadata_stats",
-        "q06_top_customers_per_nation", "q07_date_dimension",
-        "q08_sas_date_kernel", "q09_flexible_date_kernel",
-        "q10_avg_ship_delay", "q11_union_by_name", "q12_string_kernels",
-        "q13_dictionary_broadcast_join", "q14_filtered_distinct",
-        "q15_props_extraction", "q16_sessionize", "q17_anti_join",
-        "q18_semi_join", "q19_top_parts_by_revenue", "q20_column_profile",
-        "q21_sql_api_revenue_by_region", "stream_dedup_exactly_once",
-        "stream_enriched_counts", "stream_session_windows",
-        "stream_stream_join", "stream_user_lifetime_stats",
-        "stream_windowed_counts", "text_bigram_logprob",
-        "text_detect_language", "text_filter_decision",
-        "text_quality_scores", "text_redact_pii", "text_tfidf_cosine_pairs",
-        "text_token_count_by_source"
-    ], 4),
-    # -- latest record: CORRECTNESS_r05.json (all green there) --------------
+    # -- latest record: CORRECTNESS_r05.json (the 47-name stale tail after
+    # q22/q23 re-recorded in r08; oldest-stale — rolls through the r10
+    # window behind the 6 leftover r08-deferred names) ---------------------
     **dict.fromkeys([
         "ann_cosine_range", "ann_knn_join", "ann_lsh_verified",
         "ann_semantic_dedup", "dedup_minhash_verified",
@@ -117,7 +105,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "graph_kcore", "graph_label_propagation", "graph_triangle_count",
         "multimodal_frame_samples", "multimodal_image_features",
         "multimodal_pair_manifest", "multimodal_scene_cuts",
-        "q22_running_total", "q23_moving_average", "q24_order_gap_days",
+        "q24_order_gap_days",
         "q25_rollup_revenue", "q27_price_percentiles", "q29_json_extraction",
         "q30_time_rollup", "q31_set_operations", "q32_pivot_priority",
         "q33_top_tokens", "q34_pandas_udf_score", "q66_interpolate_hourly",
@@ -180,63 +168,40 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "text_fingerprint", "text_pii_scan", "text_repetition_metrics",
         "text_stats", "text_tfidf_top_terms", "text_unigram_logprob"
     ], 7),
-    # -- DEFERRED fresh registrations (round 8) -----------------------------
-    # The r08 window is full (7 round-0 pins + the 41-name r04-stale block
-    # + the 2 oldest r05 names); new round-8 registrations take the CURRENT
-    # round number so they sort last, are verified by the committed local
-    # two-SF sweep this round (SWEEP_r08.md), and rotate to the front of
-    # the r09 window.
+    # -- latest record: CORRECTNESS_r08.json (50 names, all green: the 7
+    # round-0 pins from r08 — the 4 deferred r07 names + the 3
+    # ADVICE-r07-touched re-pins — the whole 41-name r04-stale block, and
+    # q22/q23 from the r05 block; the 1 non-green is ann_pca_projection's
+    # by-design no_oracle rows-only marker, green ann_pca_verified sibling) -
     **dict.fromkeys([
-        "q80_bloom_join_prune",
-        "tbl_skipping_report",
-        "graph_shortest_paths",
-        "text_bpe_encode",
-        "ann_incremental",
-        "ann_ivf_pq_verified",
-        "tbl_zorder_report",
-        "q81_hll_grouped_merge",
-        "ds_weighted_sample",
-        "text_incremental_bm25",
-        "stream_hll_users",
-        "graph_personalized_pagerank",
-        "tbl_delete_report",
-        "q82_point_in_time_join",
-        "q83_grouped_linreg",
-        "q84_kmv_distinct",
-        "q85_decayed_revenue",
-        "q86_last_touch_attribution",
-        "dedup_containment",
-        "ds_markov_transitions",
-        "tbl_time_travel",
-        "graph_resource_allocation",
-        "dq_benford_digit_check",
-        "q87_skyline_pareto",
-        "q88_bitmap_retention",
-        "q89_mad_outliers",
-        "q90_rolling_distinct",
-        "q91_fuzzy_blocking_join",
-        "q92_seasonal_anomaly",
-        "q93_ab_conversion_ztest",
-        "q94_hybrid_skew_join",
-        "tbl_incremental_agg",
-        "graph_clustering_coefficient",
-        "text_boolean_retrieval",
-        "dq_functional_dependency",
-        "dedup_survivorship",
-        "stream_bitmap_dau",
-        "tbl_merge_report",
-        "tbl_schema_evolution",
-        "dedup_ppjoin",
-        "stream_heavy_hitters",
-        "q95_intransit_inventory",
-        "q96_activity_streaks",
-        "tbl_vacuum_report",
-        "text_rake_keywords",
-        "q97_window_funnel",
-        "ann_nndescent",
-        "graph_scc",
-        "q98_dynamic_partition_pruning",
-        "text_pmi_collocations",
+        "ann_hybrid_rrf", "text_bm25_topk", "ann_pq_verified",
+        "q79_forward_asof_join", "stream_stateful_sessions",
+        "ds_epoch_shards", "multimodal_resize_thumbnails",
+        "ann_pca_projection", "dedup_cluster_star", "ds_contamination_check",
+        "ds_corpus_build_report", "ds_domain_mix_sample",
+        "ds_keep_best_per_cluster", "ds_label_centroids",
+        "ds_training_order", "graph_degree_distribution",
+        "graph_pagerank_topk", "multimodal_audio_chunks",
+        "multimodal_metadata_stats",
+        "q06_top_customers_per_nation", "q07_date_dimension",
+        "q08_sas_date_kernel", "q09_flexible_date_kernel",
+        "q10_avg_ship_delay", "q11_union_by_name", "q12_string_kernels",
+        "q13_dictionary_broadcast_join", "q14_filtered_distinct",
+        "q15_props_extraction", "q16_sessionize", "q17_anti_join",
+        "q18_semi_join", "q19_top_parts_by_revenue", "q20_column_profile",
+        "q21_sql_api_revenue_by_region", "stream_dedup_exactly_once",
+        "stream_enriched_counts", "stream_session_windows",
+        "stream_stream_join", "stream_user_lifetime_stats",
+        "stream_windowed_counts", "text_bigram_logprob",
+        "text_detect_language", "text_filter_decision",
+        "text_quality_scores", "text_redact_pii", "text_tfidf_cosine_pairs",
+        "text_token_count_by_source",
+        "q22_running_total", "q23_moving_average",
+    ], 8),
+    # -- DEFERRED round-8 leftovers (the 6 newest of the 56 that did not fit
+    # the r09 window; two-SF-sweep-verified in SWEEP_r08.md).  They lead the
+    # r10 window (pin to round 0 next refresh) ahead of the r05-stale block.
+    **dict.fromkeys([
         "src_csv_malformed_report",
         "tbl_constraints_report",
         "q99_relational_division",
@@ -244,6 +209,12 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "src_parquet_merge_schema",
         "q100_market_basket_lift",
     ], 8),
+    # -- DEFERRED fresh registrations (round 9) -----------------------------
+    # The r09 window is exactly the 50 round-0 pins; new round-9
+    # registrations take the CURRENT round number so they sort last, are
+    # verified by the local two-SF sweep this round, and rotate forward.
+    **dict.fromkeys([
+    ], 9),
 }
 
 #: Back-compat view used by older tests/docs: every name with a usable
