@@ -1454,10 +1454,15 @@ def scc(
         .localCheckpoint()
     )
     live_edges = e_all
-    out = None
+    # Start from an EMPTY (id, scc_id) frame rather than None so an empty
+    # edge set returns an empty DataFrame, not None (ADVICE r08) — callers
+    # .select on the result unconditionally.
+    out = live_nodes.filter(F.lit(False)).select(
+        "id", F.col("id").alias("scc_id")
+    )
 
     def _acc(res, part):
-        return part if res is None else res.unionByName(part).localCheckpoint()
+        return res.unionByName(part).localCheckpoint()
 
     for _ in range(max_peels):
         if live_nodes.isEmpty():

@@ -77,22 +77,37 @@ def validate_constraints(
     surface): ``checks`` is (name, sql_predicate) pairs that must hold on
     every row (NULL predicate results count as violations — a CHECK that
     cannot evaluate is not satisfied); ``unique`` is key-column lists
-    whose duplicate-row counts must be zero. Returns name -> violation
-    count; the caller decides whether to publish. Cost: one map-side
-    combinable agg regardless of how many constraints — never a pass per
-    constraint."""
+    whose duplicate-row counts must be zero (SQL-UNIQUE semantics: rows
+    with a NULL in any key column are exempt — NULL keys are distinct from
+    everything, including each other). Returns name -> violation count;
+    the caller decides whether to publish. Cost: one map-side combinable
+    agg regardless of how many constraints — never a pass per constraint.
+    An EMPTY batch trivially satisfies every constraint (zero rows, zero
+    violations) — the aggregates coalesce their zero-row NULLs to 0."""
     aggs = []
     for name, pred in checks or []:
         aggs.append(
-            F.sum(
-                F.when(~F.coalesce(F.expr(pred), F.lit(False)), 1).otherwise(0)
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        ~F.coalesce(F.expr(pred), F.lit(False)), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
             ).cast("bigint").alias(f"chk_{name}")
         )
     for i, cols in enumerate(unique or []):
+        # count_distinct skips rows with any NULL key column, so the row
+        # count it is compared against must skip the same rows — otherwise
+        # every NULL-keyed row is miscounted as a duplicate.
+        all_non_null = F.lit(True)
+        for c in cols:
+            all_non_null = all_non_null & F.col(c).isNotNull()
         aggs.append(
-            (
-                F.count(F.lit(1))
-                - F.count_distinct(*[F.col(c) for c in cols])
+            F.coalesce(
+                F.count(F.when(all_non_null, F.lit(1)))
+                - F.count_distinct(*[F.col(c) for c in cols]),
+                F.lit(0),
             ).cast("bigint").alias(f"uni_{i}")
         )
     if not aggs:
@@ -303,11 +318,14 @@ class VersionedTable:
         version: int | None = None,
     ) -> tuple[list[str], list[str], dict]:
         """Split a snapshot's files into (kept, pruned) for the predicate
-        ``col BETWEEN lo AND hi`` (either bound optional) using ONLY the
-        manifest stats — no file is opened. A file is pruned exactly when
-        its recorded [min, max] cannot intersect the bound; files with no
-        recorded stats for ``col`` are kept (conservative — correctness
-        never depends on stats existing).
+        ``col BETWEEN lo AND hi`` (either bound optional) using the
+        manifest stats, with a parquet-FOOTER fallback for files committed
+        before stats were recorded (footer reads are metadata-only — no
+        data pages; on a current table every file has manifest stats and
+        nothing is opened). A file is pruned exactly when its recorded
+        [min, max] cannot intersect the bound; files with no stats for
+        ``col`` are kept (conservative — correctness never depends on
+        stats existing).
 
         Returns ``(kept, pruned, meta)`` where meta carries the
         metadata-derived row counts: ``rows_total`` over all files and
@@ -318,7 +336,11 @@ class VersionedTable:
         if version is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
         m = self._manifest(version)
-        stats = m.get("stats", {})
+        # Footer-fallback stats (ADVICE r08): snapshots can list files
+        # committed before stats were recorded; counting those as 0 rows
+        # silently under-reports the read-amplification numbers even though
+        # pruning itself stays conservative-correct.
+        stats = self._file_stats(m["files"], m)
         kept, pruned = [], []
         rows_total = rows_scanned = 0
         for f in m["files"]:

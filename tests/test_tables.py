@@ -582,13 +582,72 @@ def test_commit_constraints_reject_atomically(spark, table):
     with pytest.raises(ConstraintViolation) as ei:
         table.commit(bad, mode="append",
                      checks=[("k_pos", "k > 0")], unique=[["k"]])
-    # NULL predicate result counts as a violation; null key counts
-    # toward the unique violation too (count - countDistinct(non-null))
+    # NULL predicate result counts as a violation; NULL keys are EXEMPT
+    # from unique (SQL-UNIQUE: NULL is distinct from everything) — the
+    # one duplicate is the repeated k=3
     assert ei.value.report["k_pos"] == 2
-    assert ei.value.report["unique(k)"] == 2
+    assert ei.value.report["unique(k)"] == 1
     # nothing was published and no orphan files beyond v0's
     assert table.versions() == [0]
     assert _rows(table.snapshot()) == [(1, "a"), (2, "b")]
     # validate_constraints alone reports without raising
     rep = validate_constraints(bad, checks=[("k_pos", "k > 0")])
     assert rep == {"k_pos": 2}
+
+
+def test_constraints_empty_batch_and_null_only_keys(spark, table):
+    """ADVICE r08: an empty batch satisfies every constraint (zero rows →
+    zero violations, not a TypeError on a NULL aggregate), and a batch
+    whose only keys are NULL has no unique violations."""
+    from data_engineering_nd_spark.tables import validate_constraints
+
+    empty = spark.createDataFrame([], schema="k bigint, v string")
+    assert validate_constraints(
+        empty, checks=[("k_pos", "k > 0")], unique=[["k"]]
+    ) == {"k_pos": 0, "unique(k)": 0}
+    # commit of an empty batch with declared constraints publishes fine
+    table.commit(empty, checks=[("k_pos", "k > 0")], unique=[["k"]])
+    assert table.snapshot().count() == 0
+
+    null_keys = spark.createDataFrame(
+        [Row(k=None, v="x"), Row(k=None, v="y")],
+        schema="k bigint, v string",
+    )
+    assert validate_constraints(null_keys, unique=[["k"]]) == {"unique(k)": 0}
+    # multi-column keys: a NULL in ANY key column exempts the row
+    pairs = spark.createDataFrame(
+        [Row(a=1, b=None), Row(a=1, b=None), Row(a=2, b=2), Row(a=2, b=2)],
+        schema="a bigint, b bigint",
+    )
+    assert validate_constraints(pairs, unique=[["a", "b"]]) == {
+        "unique(a,b)": 1
+    }
+
+
+def test_scc_empty_edges_returns_empty_frame(spark):
+    """ADVICE r08: scc() on an empty edge set returns an empty (id, scc_id)
+    DataFrame, not None."""
+    from data_engineering_nd_spark.operators.graph import scc
+
+    edges = spark.createDataFrame([], schema="src bigint, dst bigint")
+    out = scc(edges)
+    assert out is not None
+    assert out.columns == ["id", "scc_id"]
+    assert out.count() == 0
+
+
+def test_prune_files_row_counts_footer_fallback(spark, table):
+    """ADVICE r08: rows_total/rows_scanned fall back to parquet footers for
+    files whose manifest entries lack recorded stats."""
+    import json as _json
+    import os as _os
+
+    table.commit(spark.createDataFrame([Row(k=i, v="x") for i in range(10)]))
+    # simulate a pre-stats commit: blank out the recorded stats
+    log = _os.path.join(table.root, "_log", f"{0:011d}.json")
+    m = _json.load(open(log))
+    m["stats"] = {}
+    _json.dump(m, open(log, "w"))
+    kept, pruned, meta = table.prune_files("k", lo=0, hi=100)
+    assert meta["rows_total"] == 10
+    assert meta["rows_scanned"] == 10
