@@ -214,6 +214,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
     # registrations take the CURRENT round number so they sort last, are
     # verified by the local two-SF sweep this round, and rotate forward.
     **dict.fromkeys([
+        "tbl_change_feed",
     ], 9),
 }
 

@@ -747,6 +747,111 @@ class VersionedTable:
         )
         return manifest
 
+    def change_feed(
+        self,
+        key_cols: list[str],
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Row-level change data feed between two committed versions (the
+        Delta CDF / Iceberg changelog read), computed PER COMMIT from the
+        MANIFEST file diff — for each commit in the range, only the files
+        that commit removed (pre-images) and added (post-images) are
+        read; files carried over BY REFERENCE are never opened (VERDICT
+        r08 task #2; reference anchor: the append-mode incremental loads,
+        ``Capstone/etl.py:445-448``, are the write side of this read).
+
+        Because copy-on-write rewrites whole files, a rewritten file's
+        UNCHANGED survivor rows appear on both sides; a null-safe struct
+        compare on the non-key columns drops them, leaving genuine
+        changes only. Emits the current-schema columns plus
+        ``_change_type`` ('insert' | 'delete' | 'update_preimage' |
+        'update_postimage') and ``_commit_version``. Pre-image rows from
+        files written under an older (additively evolved) schema read
+        missing columns as NULL, exactly as :meth:`snapshot` does.
+
+        Keys are assumed unique per snapshot (the upsert contract that
+        :meth:`merge` maintains). Cost at 100 TB: a merge that rewrote
+        0.1% of files yields a feed that reads ~0.2% of the table (the
+        rewritten pre/post pairs) — never a two-snapshot scan, which is
+        what a full-outer snapshot diff (cf. ``snapshot_diff``) costs."""
+        from pyspark.sql.types import StructType
+
+        vs = self.versions()
+        if to_version is None:
+            to_version = vs[-1] if vs else None
+        if from_version not in vs or to_version not in vs:
+            raise FileNotFoundError(
+                f"change_feed range [{from_version}, {to_version}] not in "
+                f"committed versions {vs}"
+            )
+        span = [v for v in vs if from_version < v <= to_version]
+        out: DataFrame | None = None
+        for v in span:
+            pv = max(w for w in vs if w < v)
+            pm, m = self._manifest(pv), self._manifest(v)
+            prev_set, cur_set = set(pm["files"]), set(m["files"])
+            removed = [f for f in pm["files"] if f not in cur_set]
+            added = [f for f in m["files"] if f not in prev_set]
+            cur = StructType.fromJson(json.loads(m["schema"]))
+            pre = self._read_files(removed, pm["schema"])
+            for fld in cur.fields:  # additive evolution: old files -> null
+                if fld.name not in pre.columns:
+                    pre = pre.withColumn(
+                        fld.name, F.lit(None).cast(fld.dataType)
+                    )
+            pre = pre.select([fld.name for fld in cur.fields])
+            post = self._read_files(added, m["schema"])
+            payload = [c for c in post.columns if c not in key_cols]
+            a = pre.withColumn("__pre", F.lit(1)).alias("a")
+            b = post.withColumn("__post", F.lit(1)).alias("b")
+            j = a.join(b, on=key_cols, how="full_outer")
+            keysel = [F.col(c) for c in key_cols]
+            acols = [F.col(f"a.{c}").alias(c) for c in payload]
+            bcols = [F.col(f"b.{c}").alias(c) for c in payload]
+            ins = (
+                j.filter(F.col("a.__pre").isNull())
+                .select(*keysel, *bcols)
+                .withColumn("_change_type", F.lit("insert"))
+            )
+            dele = (
+                j.filter(F.col("b.__post").isNull())
+                .select(*keysel, *acols)
+                .withColumn("_change_type", F.lit("delete"))
+            )
+            both = j.filter(
+                F.col("a.__pre").isNotNull() & F.col("b.__post").isNotNull()
+            )
+            if payload:
+                changed = both.filter(
+                    ~F.struct(*[F.col(f"a.{c}") for c in payload]).eqNullSafe(
+                        F.struct(*[F.col(f"b.{c}") for c in payload])
+                    )
+                )
+            else:  # key-only table: presence on both sides == unchanged
+                changed = both.filter(F.lit(False))
+            upre = changed.select(*keysel, *acols).withColumn(
+                "_change_type", F.lit("update_preimage")
+            )
+            upost = changed.select(*keysel, *bcols).withColumn(
+                "_change_type", F.lit("update_postimage")
+            )
+            part = (
+                ins.unionByName(dele)
+                .unionByName(upre)
+                .unionByName(upost)
+                .withColumn("_commit_version", F.lit(v).cast("bigint"))
+            )
+            out = part if out is None else out.unionByName(part)
+        if out is None:  # empty range: typed empty frame, current schema
+            m = self._manifest(to_version)
+            cur = StructType.fromJson(json.loads(m["schema"]))
+            empty = self.spark.createDataFrame([], cur)
+            return empty.withColumn(
+                "_change_type", F.lit(None).cast("string")
+            ).withColumn("_commit_version", F.lit(None).cast("bigint"))
+        return out
+
     def compact(self, target_partitions: int | None = None) -> dict:
         """Rewrite the latest snapshot into ~target_partitions files as a
         new version (small-file compaction as a normal commit; history

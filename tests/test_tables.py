@@ -636,6 +636,84 @@ def test_scc_empty_edges_returns_empty_frame(spark):
     assert out.count() == 0
 
 
+def test_change_feed_rows_and_read_scope(spark, table, monkeypatch):
+    """change_feed emits exactly the real changes (COW survivors dropped)
+    and — the 100 TB property — reads ONLY files the commits in range
+    removed or added; carried-over-by-reference files are never opened."""
+    base = spark.createDataFrame(
+        [Row(k=i, v=f"p{i}") for i in range(10)]
+    ).repartition(1)
+    table.commit(base)                                      # v0: file A
+    app = spark.createDataFrame(
+        [Row(k=i, v=f"p{i}") for i in range(10, 20)]
+    ).repartition(1)
+    table.commit(app, mode="append")                        # v1: + file B
+    src = spark.createDataFrame([Row(k=5, v="NEW"), Row(k=100, v="p100")])
+    table.merge(src, ["k"])                                 # v2: A -> C, B kept
+
+    feed = table.change_feed(["k"], 0, 2)
+    rows = {
+        (r["_commit_version"], r["_change_type"], r["k"]): r["v"]
+        for r in feed.collect()
+    }
+    # v1 is a pure append: its post-image files hold only inserts
+    for k in range(10, 20):
+        assert rows[(1, "insert", k)] == f"p{k}"
+    # v2: one update pair + one insert; survivors 0-4,6-9 do NOT appear
+    assert rows[(2, "update_preimage", 5)] == "p5"
+    assert rows[(2, "update_postimage", 5)] == "NEW"
+    assert rows[(2, "insert", 100)] == "p100"
+    assert len(rows) == 13
+
+    # read-scope pin for the single-commit range (1, 2]: the merge removed
+    # file A and added C; the appended file B is carried by reference and
+    # must never enter any scan
+    m0, m1, m2 = (table._manifest(v) for v in (0, 1, 2))
+    removed = set(m1["files"]) - set(m2["files"])
+    added = set(m2["files"]) - set(m1["files"])
+    carried = set(m1["files"]) & set(m2["files"])
+    assert removed == set(m0["files"]) and carried  # A rewritten, B carried
+    read_log: list[list[str]] = []
+    orig = table._read_files
+
+    def spy(files, schema_json):
+        read_log.append(list(files))
+        return orig(files, schema_json)
+
+    monkeypatch.setattr(table, "_read_files", spy)
+    feed12 = table.change_feed(["k"], 1, 2)
+    opened = set().union(*read_log) if read_log else set()
+    assert opened == removed | added
+    assert not opened & carried
+    got = {(r["_change_type"], r["k"]) for r in feed12.collect()}
+    assert got == {("update_preimage", 5), ("update_postimage", 5),
+                   ("insert", 100)}
+
+    # empty range: typed empty frame, no crash
+    empty = table.change_feed(["k"], 2, 2)
+    assert empty.count() == 0
+    assert "_change_type" in empty.columns
+
+
+def test_change_feed_delete_and_schema_evolution(spark, table):
+    """Deletes surface as 'delete' rows; pre-images from files written
+    under an older (additively evolved) schema read new columns as NULL."""
+    table.commit(
+        spark.createDataFrame(
+            [Row(k=i, v=f"p{i}") for i in range(5)]
+        ).repartition(1)
+    )                                                       # v0
+    table.commit(
+        spark.createDataFrame([Row(k=9, v="p9", extra="e9")]).repartition(1),
+        mode="append",
+    )                                                       # v1 evolves schema
+    table.delete_where("k", lo=0, hi=1)                     # v2 rewrites v0 file
+    feed = table.change_feed(["k"], 1, 2)
+    rows = {(r["_change_type"], r["k"]): (r["v"], r["extra"])
+            for r in feed.collect()}
+    assert rows == {("delete", 0): ("p0", None), ("delete", 1): ("p1", None)}
+
+
 def test_prune_files_row_counts_footer_fallback(spark, table):
     """ADVICE r08: rows_total/rows_scanned fall back to parquet footers for
     files whose manifest entries lack recorded stats."""
