@@ -2532,6 +2532,136 @@ def tbl_change_feed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@query(
+    "tbl_partition_evolution",
+    # v0 commits the even-key orders slice partitioned by YEAR (one file
+    # per year); v1 appends the odd-key slice under an EVOLVED spec
+    # (YEAR, MONTH) — one file per live (year, month).  The oracle replays
+    # the whole layout from the parity/date arithmetic: per-spec file
+    # totals are distinct-value counts, the (p_year=1995, p_month=6) prune
+    # keeps exactly one file per spec (the old-spec 1995 file has no
+    # p_month and must be KEPT — pruning it would drop the even-key rows),
+    # rows_scanned is metadata, and the pruned-scan checksum must equal
+    # the full-scan checksum for the same row predicate.
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, o_totalprice,
+               year(o_orderdate) AS y, month(o_orderdate) AS mo
+        FROM orders
+    ),
+    s1 AS (SELECT * FROM o WHERE o_orderkey % 2 = 0),
+    s2 AS (SELECT * FROM o WHERE o_orderkey % 2 = 1),
+    meta AS (
+        SELECT
+            CAST((SELECT COUNT(DISTINCT y) FROM s1) AS BIGINT)
+                AS files_old_total,
+            CAST(1 AS BIGINT) AS files_old_kept,
+            CAST((SELECT COUNT(DISTINCT y * 100 + mo) FROM s2) AS BIGINT)
+                AS files_new_total,
+            CAST(1 AS BIGINT) AS files_new_kept,
+            CAST((SELECT COUNT(DISTINCT y) FROM s1) AS BIGINT)
+                AS files_carried,
+            CAST((SELECT COUNT(*) FROM o) AS BIGINT) AS rows_total,
+            CAST((SELECT COUNT(*) FROM s1 WHERE y = 1995)
+                 + (SELECT COUNT(*) FROM s2 WHERE y = 1995 AND mo = 6)
+                 AS BIGINT) AS rows_scanned
+    ),
+    res AS (SELECT * FROM o WHERE y = 1995 AND mo = 6)
+    SELECT m.files_old_total, m.files_old_kept, m.files_new_total,
+           m.files_new_kept, m.files_carried, m.rows_total, m.rows_scanned,
+           CAST(COUNT(*) AS BIGINT) AS n_result,
+           CAST(SUM(CAST(concat('0x', substr(md5(CAST(r.o_orderkey
+                AS VARCHAR)), 1, 10)) AS BIGINT)) AS BIGINT) AS key_checksum,
+           CAST(SUM(CAST(r.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS result_revenue,
+           CAST(SUM(CAST(concat('0x', substr(md5(CAST(r.o_orderkey
+                AS VARCHAR)), 1, 10)) AS BIGINT)) AS BIGINT)
+               AS full_scan_checksum
+    FROM res r CROSS JOIN meta m
+    GROUP BY m.files_old_total, m.files_old_kept, m.files_new_total,
+             m.files_new_kept, m.files_carried, m.rows_total, m.rows_scanned
+    """,
+)
+def tbl_partition_evolution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition evolution on VersionedTable (VERDICT r08 task #3;
+    reference anchor: the hive ``partitionBy('i94_year','i94_month')``
+    layout, ``Capstone/etl.py:440,447``): v0 commits one slice
+    partitioned by year, v1 APPENDS a second slice under an evolved
+    (year, month) spec — old files carry over by reference with their
+    own recorded partition values (never rewritten), and the
+    (p_year=1995, p_month=6) scan prunes EACH FILE BY ITS OWN SPEC: the
+    old-spec 1995 file is kept (its spec has no month — all 1995 months
+    of the even slice live there), every other old file and every other
+    (year, month) file is pruned, and the row-level filter finishes the
+    job. The report's checksum-equality columns prove the pruned scan
+    loses nothing vs the full snapshot scan."""
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    orders = load(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    s1 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    s2 = orders.filter(F.col("o_orderkey") % 2 == 1)
+    work = tempfile.mkdtemp(prefix="tbl_partition_evolution_")
+    try:
+        table = VersionedTable(spark, work)
+        table.commit_partitioned(
+            s1, [("p_year", "year(o_orderdate)")]
+        )  # v0: one file per year
+        table.commit_partitioned(
+            s2,
+            [("p_year", "year(o_orderdate)"), ("p_month", "month(o_orderdate)")],
+            mode="append",
+        )  # v1: one file per (year, month); v0 files carried by reference
+        m0, m1 = table._manifest(0), table._manifest(1)
+        files_carried = len(set(m0["files"]) & set(m1["files"]))
+        _, _, meta = table.prune_partitions({"p_year": 1995, "p_month": 6})
+        old = meta["by_spec"]["p_year"]
+        new = meta["by_spec"]["p_month,p_year"]
+        row_pred = (F.year("o_orderdate") == 1995) & (
+            F.month("o_orderdate") == 6
+        )
+        key_digest = md5_prefix_long(F.col("o_orderkey").cast("string"))
+        pruned_agg = (
+            table.scan_partitions({"p_year": 1995, "p_month": 6})
+            .filter(row_pred)
+            .agg(
+                F.count(F.lit(1)).alias("n_result"),
+                F.sum(key_digest).cast("bigint").alias("key_checksum"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("result_revenue"),
+            )
+        )
+        full_agg = (
+            table.snapshot()
+            .filter(row_pred)
+            .agg(F.sum(key_digest).cast("bigint").alias("full_scan_checksum"))
+        )
+        out = (
+            pruned_agg.crossJoin(full_agg)
+            .withColumn("files_old_total", F.lit(old["files"]).cast("bigint"))
+            .withColumn("files_old_kept", F.lit(old["kept"]).cast("bigint"))
+            .withColumn("files_new_total", F.lit(new["files"]).cast("bigint"))
+            .withColumn("files_new_kept", F.lit(new["kept"]).cast("bigint"))
+            .withColumn("files_carried", F.lit(files_carried).cast("bigint"))
+            .withColumn(
+                "rows_total", F.lit(meta["rows_total"]).cast("bigint")
+            )
+            .withColumn(
+                "rows_scanned", F.lit(meta["rows_scanned"]).cast("bigint")
+            )
+        )
+        # output-sized (1 row); materialize so the scratch table can go
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Data skipping: manifest min/max stats prune whole files from a scan
 # ---------------------------------------------------------------------------

@@ -215,6 +215,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
     # verified by the local two-SF sweep this round, and rotate forward.
     **dict.fromkeys([
         "tbl_change_feed",
+        "tbl_partition_evolution",
     ], 9),
 }
 

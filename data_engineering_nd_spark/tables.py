@@ -168,6 +168,7 @@ class VersionedTable:
         schema_json: str,
         sizes: dict[str, int] | None = None,
         stats: dict[str, dict] | None = None,
+        partitions: dict[str, dict] | None = None,
     ) -> dict:
         """Atomic commit point: temp-file + rename within _log/."""
         os.makedirs(self._log_dir(), exist_ok=True)
@@ -186,6 +187,13 @@ class VersionedTable:
             # files by predicate from the manifest alone — the read-path
             # half of the small-file story (VERDICT r07 task #6)
             "stats": stats or {},
+            # per-file partition values (hidden partitioning, Iceberg
+            # style): file -> {partition_name: string_value} as derived by
+            # the TRANSFORM EXPRS of whichever spec the file was written
+            # under.  Partition EVOLUTION falls out of per-file values: a
+            # layout change applies to new files only, and scan planning
+            # prunes each file by its own spec (VERDICT r08 task #3)
+            "partitions": partitions or {},
         }
         final = os.path.join(self._log_dir(), f"{version:011d}.json")
         tmp = final + f".{uuid.uuid4().hex}.tmp"
@@ -433,6 +441,162 @@ class VersionedTable:
         return self._publish(
             version, files, mode, schema_json, sizes, stats
         )
+
+    def commit_partitioned(
+        self,
+        df: DataFrame,
+        spec: list[tuple[str, str]],
+        mode: str = "overwrite",
+    ) -> dict:
+        """Publish df under a PARTITION SPEC (Iceberg-style hidden
+        partitioning): ``spec`` is ``(partition_name, sql_expr)`` pairs
+        derived from df's columns, e.g. ``[("p_year",
+        "year(o_orderdate)")]``. The derived columns drive a hive-layout
+        write and are recorded PER FILE in the manifest as metadata; the
+        DATA files keep the source columns untouched (no derived column
+        is stored or added to the table schema), so readers are
+        unaffected and :meth:`snapshot` works transparently.
+
+        Partition EVOLUTION (VERDICT r08 task #3; reference anchor: the
+        hive ``partitionBy('i94_year','i94_month')`` layout,
+        ``Capstone/etl.py:440,447``): each commit may carry a DIFFERENT
+        spec. In append mode, previous files carry over by reference
+        with their own recorded partition values — a layout change never
+        rewrites old data, and :meth:`prune_partitions` prunes every
+        file by the spec it was actually written under.
+
+        The write clusters by the derived partition columns first
+        (repartition on them), yielding one file per live partition
+        value — the layout a 100 TB writer wants for partition-pruned
+        reads; size-bounded splitting within a partition is the
+        ``files_per_partition`` story in ``io.py``."""
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+        pcols = [name for name, _ in spec]
+        clash = set(pcols) & set(df.columns)
+        if clash:
+            raise ValueError(
+                f"partition names {sorted(clash)} collide with data columns"
+            )
+        staged = df
+        for name, expr in spec:
+            staged = staged.withColumn(name, F.expr(expr))
+        prev = self.latest_version()
+        version = 0 if prev is None else prev + 1
+        rel_dir = os.path.join(
+            _DATA, f"v{version:011d}-{uuid.uuid4().hex[:8]}"
+        )
+        out = os.path.join(self.root, rel_dir)
+        staged.repartition(*[F.col(c) for c in pcols]).write.mode(
+            "overwrite"
+        ).partitionBy(*pcols).parquet(out)
+        files: list[str] = []
+        partitions: dict[str, dict] = {}
+        for dp, _, fns in os.walk(out):
+            for fn in fns:
+                if not fn.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(os.path.join(dp, fn), self.root)
+                files.append(rel)
+                vals: dict[str, str] = {}
+                for comp in os.path.relpath(dp, out).split(os.sep):
+                    if "=" in comp:
+                        k, v = comp.split("=", 1)
+                        vals[k] = v
+                partitions[rel] = vals
+        sizes = self._file_sizes(files)
+        stats = self._compute_stats(files)
+        schema_json = df.schema.json()  # source columns only
+        if mode == "append" and prev is not None:
+            pm = self._manifest(prev)
+            files += pm["files"]
+            sizes.update(self._file_sizes(pm["files"], pm))
+            stats.update(self._file_stats(pm["files"], pm))
+            partitions.update(pm.get("partitions", {}))
+            schema_json = self._evolve_schema(pm["schema"], schema_json)
+        return self._publish(
+            version,
+            files,
+            f"{mode}_partitioned({','.join(pcols)})",
+            schema_json,
+            sizes,
+            stats,
+            partitions,
+        )
+
+    def prune_partitions(
+        self, filters: dict[str, object], version: int | None = None
+    ) -> tuple[list[str], list[str], dict]:
+        """Split a snapshot's files into (kept, pruned) for equality
+        ``filters`` on PARTITION names, pruning each file by the spec it
+        was written under — the partition-evolution read path: a file is
+        pruned iff its OWN recorded partition values contain a filtered
+        name with a different value; a file whose spec lacks that name
+        (older/newer layout, or unpartitioned commit) is KEPT
+        (conservative — correctness never depends on which spec a file
+        has). Pure manifest metadata; no file is opened for the decision
+        (row counts ride on :meth:`_file_stats`).
+
+        Returns ``(kept, pruned, meta)``; meta carries files/rows totals
+        plus a ``by_spec`` breakdown keyed by the comma-joined sorted
+        partition names of each file's spec."""
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        m = self._manifest(version)
+        parts = m.get("partitions", {})
+        stats = self._file_stats(m["files"], m)
+        want = {k: str(v) for k, v in filters.items()}
+        kept, pruned = [], []
+        rows_total = rows_scanned = 0
+        by_spec: dict[str, dict] = {}
+        for f in m["files"]:
+            vals = parts.get(f, {})
+            spec_key = ",".join(sorted(vals)) if vals else "(unpartitioned)"
+            nrows = stats.get(f, {}).get("num_rows", 0)
+            rows_total += nrows
+            sb = by_spec.setdefault(
+                spec_key, {"files": 0, "kept": 0, "rows_scanned": 0}
+            )
+            sb["files"] += 1
+            drop = any(
+                name in vals and vals[name] != val
+                for name, val in want.items()
+            )
+            if drop:
+                pruned.append(f)
+            else:
+                kept.append(f)
+                rows_scanned += nrows
+                sb["kept"] += 1
+                sb["rows_scanned"] += nrows
+        meta = {
+            "files_total": len(m["files"]),
+            "files_kept": len(kept),
+            "files_pruned": len(pruned),
+            "rows_total": rows_total,
+            "rows_scanned": rows_scanned,
+            "by_spec": by_spec,
+        }
+        return kept, pruned, meta
+
+    def scan_partitions(
+        self, filters: dict[str, object], version: int | None = None
+    ) -> DataFrame:
+        """Read only the files :meth:`prune_partitions` keeps for the
+        partition ``filters``. Because partition values are metadata
+        derived by transforms (hidden partitioning), the caller still
+        applies the ROW-level predicate on the source columns — pruning
+        only bounds which files are scanned, exactly like :meth:`scan`
+        with column stats. Result-identical to ``snapshot().filter(...)``
+        for any row predicate at least as strict as the partition
+        filter."""
+        if version is None:
+            version = self.latest_version()
+        kept, _, _ = self.prune_partitions(filters, version)
+        m = self._manifest(version)
+        return self._read_files(kept, m["schema"])
 
     def delete_where(self, col, lo=None, hi=None) -> dict:
         """Predicate DELETE (``col BETWEEN lo AND hi``) as file-granular

@@ -714,6 +714,60 @@ def test_change_feed_delete_and_schema_evolution(spark, table):
     assert rows == {("delete", 0): ("p0", None), ("delete", 1): ("p1", None)}
 
 
+def test_partition_evolution_old_files_kept_and_not_mispruned(spark, table):
+    """Evolving the partition spec applies to NEW files only: old files
+    are carried by reference (same paths, never rewritten), and pruning
+    judges each file by its OWN spec — an old-spec file is never pruned
+    on a partition name it does not have."""
+    df1 = spark.createDataFrame(
+        [Row(k=i, g=i % 2, h=i % 3) for i in range(12)]
+    )
+    table.commit_partitioned(df1, [("p_g", "g")])            # v0: 2 files
+    m0 = table._manifest(0)
+    assert len(m0["files"]) == 2
+    df2 = spark.createDataFrame(
+        [Row(k=i, g=i % 2, h=i % 3) for i in range(100, 112)]
+    )
+    table.commit_partitioned(
+        df2, [("p_g", "g"), ("p_h", "h")], mode="append"
+    )                                                        # v1: + 6 files
+    m1 = table._manifest(1)
+    # old files carried by reference, byte-identical paths, not rewritten
+    assert set(m0["files"]) <= set(m1["files"])
+    assert len(m1["files"]) == 2 + 6
+    # data columns stay in the files (hidden partitioning): full snapshot
+    assert table.snapshot().count() == 24
+    assert set(table.snapshot().columns) == {"k", "g", "h"}
+
+    kept, pruned, meta = table.prune_partitions({"p_g": 1, "p_h": 2})
+    # old spec has no p_h: its p_g=1 file is KEPT (conservative), its
+    # p_g=0 file pruned; new spec keeps exactly (g=1, h=2)
+    assert meta["by_spec"]["p_g"] == {
+        "files": 2, "kept": 1, "rows_scanned": 6,
+    }
+    assert meta["by_spec"]["p_g,p_h"]["files"] == 6
+    assert meta["by_spec"]["p_g,p_h"]["kept"] == 1
+    # pruned scan + row predicate == full scan + row predicate
+    pred = (F.col("g") == 1) & (F.col("h") == 2)
+    got = sorted(
+        r["k"] for r in table.scan_partitions({"p_g": 1, "p_h": 2})
+        .filter(pred).collect()
+    )
+    want = sorted(r["k"] for r in table.snapshot().filter(pred).collect())
+    assert got == want and len(got) > 0
+    # unpartitioned append: its files carry no values and are always kept
+    table.commit(
+        spark.createDataFrame([Row(k=999, g=0, h=0)]), mode="append"
+    )
+    kept2, _, meta2 = table.prune_partitions({"p_g": 1, "p_h": 2})
+    unp = meta2["by_spec"]["(unpartitioned)"]
+    assert unp["kept"] == unp["files"] > 0
+    assert 999 not in {
+        r["k"] for r in table.scan_partitions({"p_g": 1, "p_h": 2})
+        .filter(pred).collect()
+    }
+
+
 def test_prune_files_row_counts_footer_fallback(spark, table):
     """ADVICE r08: rows_total/rows_scanned fall back to parquet footers for
     files whose manifest entries lack recorded stats."""
