@@ -216,6 +216,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
     **dict.fromkeys([
         "tbl_change_feed",
         "tbl_partition_evolution",
+        "ds_exact_substring_spans",
     ], 9),
 }
 

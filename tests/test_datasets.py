@@ -574,3 +574,42 @@ def test_markov_transitions_counts_and_probs(spark):
     assert abs(out[("view", "click")].p - 2 / 3) < 1e-6
     assert abs(out[("view", "view")].p - 1 / 3) < 1e-6
     assert out[("click", "purchase")].p == 1.0
+
+
+def test_exact_substring_spans_merging_and_cross_doc_only(spark):
+    """Span semantics pins: (a) only CROSS-doc repeated n-grams count —
+    a phrase repeated twice inside one doc alone yields nothing; (b)
+    adjacent duplicated gram positions merge into one maximal span; (c)
+    duplicated regions separated by more than the gap stay separate
+    spans; (d) docs shorter than n are ignored."""
+    from data_engineering_nd_spark.operators.datasets import (
+        exact_substring_spans,
+    )
+
+    shared = "a b c d e f g h i j"          # 10 tokens: 3 8-grams
+    rows = [
+        # docs 1 and 2 share `shared` at different offsets
+        (1, shared + " x1 y1 z1"),
+        (2, "q2 r2 " + shared),
+        # doc 3: two copies of a phrase WITHIN one doc, nowhere else
+        (3, "p q r s t u v w zz p q r s t u v w"),
+        # doc 4: shares `shared` twice, far apart (> gap) -> two spans
+        (4, shared + " m1 m2 m3 m4 m5 m6 m7 m8 m9 m10 " + shared),
+        # doc 5: too short
+        (5, "a b c"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = {
+        (r.doc_id, r.span_start, r.span_end): r.span_tokens
+        for r in exact_substring_spans(docs, n=8, min_docs=2).collect()
+    }
+    # doc 1: grams at pos 1..3 merge -> span tokens 1..10
+    assert spans[(1, 1, 10)] == 10
+    # doc 2: same span shifted by its 2-token prefix
+    assert spans[(2, 3, 12)] == 10
+    # doc 4: two separate spans (21 tokens between starts > gap 8)
+    assert spans[(4, 1, 10)] == 10
+    assert spans[(4, 21, 30)] == 10
+    # doc 3 (within-doc only) and doc 5 (short) produce nothing
+    assert not any(d == 3 or d == 5 for d, _, _ in spans)
+    assert len(spans) == 4
