@@ -4989,3 +4989,286 @@ def q100_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_up(F.col("lift_key"), 6).alias("lift"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q101 — mergeable grouped quantile sketch (VERDICT r08 task #5): the
+# GK/KLL-style family member that stays fully deterministic and
+# SQL-mirrorable.  Fixed compaction schedule, two mergeable stages:
+#
+#   stage 1 (per group x stratum, strata = a fixed md5 bucket of the row
+#     key): sort by (value, key) and STRIDE-COMPACT — keep every T-th rank
+#     (T = ceil(n_s / c), kept count <= c), each survivor carrying the
+#     weight of the run it represents.  This is KLL's "keep every other
+#     item, double the weight" compaction collapsed to one deterministic
+#     stride (no random coin — the fixed schedule IS rank 1 mod T), with
+#     rank error <= T_s - 1 per stratum.
+#   stage 2 (merge, per group): union the weighted survivors from all
+#     strata, cumulative-weight them in (value, key) order, and re-stride
+#     at S = ceil(W / c) (keep an item iff its weight interval contains a
+#     multiple of S, plus the max).  Adds <= S - 1 rank error.
+#
+# Quantile q is answered as the first kept value whose cumulative weight
+# reaches the INTEGER target rank ceil(q * W) — targets are computed with
+# integer arithmetic ((9W + 9) // 10, never float q*W) so both engines
+# agree to the last row.  Total rank error <= sum_strata(T_s - 1) + S - 1
+# ~ 2n/c; the report carries the exact ranks of each estimate (brute
+# force at gate SF) and a within_bound flag, the CMS/HLL verification
+# pattern.  At 100 TB: strata bound the sort width (raise _QSK_STRATA
+# with the cluster — error is ~independent of strata count since
+# sum(T_s) ~ n/c + strata), survivors are <= c per stratum, and the merge
+# operates on (strata * c)-sized sketches, never raw rows.
+# --------------------------------------------------------------------------
+
+_QSK_C = 256       # sketch capacity per stratum and after merge
+_QSK_STRATA = 32   # fixed stratum fan-out (scale knob, not a result knob)
+
+
+@query(
+    "q101_grouped_quantiles_sketch",
+    oracle=f"""
+    WITH base AS (
+        SELECT l_returnflag, l_linestatus, l_extendedprice AS v,
+               l_orderkey * 8 + l_linenumber AS k,
+               CAST(concat('0x', substr(md5(CAST(l_orderkey * 8 +
+                    l_linenumber AS VARCHAR)), 1, 2)) AS INT) % {_QSK_STRATA}
+                   AS stratum
+        FROM lineitem
+    ),
+    s1 AS (
+        SELECT l_returnflag, l_linestatus, stratum, v, k,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus,
+                                  stratum ORDER BY v, k) AS r,
+               COUNT(*) OVER (PARTITION BY l_returnflag, l_linestatus,
+                              stratum) AS n_s
+        FROM base
+    ),
+    kept1 AS (
+        SELECT l_returnflag, l_linestatus, stratum, v, k, t,
+               LEAST(t, n_s - r + 1) AS wgt
+        FROM (SELECT *, (n_s + {_QSK_C - 1}) // {_QSK_C} AS t FROM s1) z
+        WHERE (r - 1) % t = 0
+    ),
+    m AS (
+        SELECT l_returnflag, l_linestatus, v, k, wgt,
+               SUM(wgt) OVER (PARTITION BY l_returnflag, l_linestatus
+                              ORDER BY v, k ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(wgt) OVER (PARTITION BY l_returnflag, l_linestatus)
+                   AS n_group
+        FROM kept1
+    ),
+    m2 AS (
+        SELECT *, (n_group + {_QSK_C - 1}) // {_QSK_C} AS s FROM m
+    ),
+    kept2 AS (
+        SELECT * FROM m2
+        WHERE (cw // s) > ((cw - wgt) // s) OR cw = n_group
+    ),
+    bounds AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(t - 1) AS BIGINT) AS b1
+        FROM (SELECT DISTINCT l_returnflag, l_linestatus, stratum, t
+              FROM kept1) z
+        GROUP BY l_returnflag, l_linestatus
+    ),
+    targets AS (
+        SELECT g.l_returnflag, g.l_linestatus, g.n_group, g.s, lbl.q_label,
+               CASE lbl.q_label
+                    WHEN 'p50' THEN (g.n_group + 1) // 2
+                    WHEN 'p90' THEN (9 * g.n_group + 9) // 10
+                    ELSE (99 * g.n_group + 99) // 100 END AS rank_target
+        FROM (SELECT DISTINCT l_returnflag, l_linestatus, n_group, s
+              FROM m2) g
+        CROSS JOIN (VALUES ('p50'), ('p90'), ('p99')) lbl(q_label)
+    ),
+    est AS (
+        SELECT t.l_returnflag, t.l_linestatus, t.q_label, t.rank_target,
+               t.n_group, t.s, MIN(k2.v) AS est_value
+        FROM targets t
+        JOIN kept2 k2
+          ON k2.l_returnflag = t.l_returnflag
+         AND k2.l_linestatus = t.l_linestatus
+         AND k2.cw >= t.rank_target
+        GROUP BY t.l_returnflag, t.l_linestatus, t.q_label, t.rank_target,
+                 t.n_group, t.s
+    ),
+    ranks AS (
+        SELECT e.l_returnflag, e.l_linestatus, e.q_label,
+               CAST(SUM(CASE WHEN b.v < e.est_value THEN 1 ELSE 0 END)
+                    AS BIGINT) AS rank_lt,
+               CAST(SUM(CASE WHEN b.v <= e.est_value THEN 1 ELSE 0 END)
+                    AS BIGINT) AS rank_le
+        FROM est e
+        JOIN base b ON b.l_returnflag = e.l_returnflag
+                   AND b.l_linestatus = e.l_linestatus
+        GROUP BY e.l_returnflag, e.l_linestatus, e.q_label
+    )
+    SELECT e.l_returnflag, e.l_linestatus, e.q_label,
+           CAST(e.n_group AS BIGINT) AS n_group,
+           CAST(e.est_value AS DOUBLE) AS est_value,
+           CAST(e.rank_target AS BIGINT) AS rank_target,
+           r.rank_lt, r.rank_le,
+           CAST(bo.b1 + e.s - 1 AS BIGINT) AS rank_error_bound,
+           CAST(CASE WHEN r.rank_lt <= e.rank_target - 1 + bo.b1 + e.s - 1
+                      AND r.rank_le >= e.rank_target - (bo.b1 + e.s - 1)
+                     THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+    FROM est e
+    JOIN ranks r ON r.l_returnflag = e.l_returnflag
+                AND r.l_linestatus = e.l_linestatus
+                AND r.q_label = e.q_label
+    JOIN bounds bo ON bo.l_returnflag = e.l_returnflag
+                  AND bo.l_linestatus = e.l_linestatus
+    """,
+)
+def q101_grouped_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group p50/p90/p99 of l_extendedprice from the deterministic
+    stratified stride sketch (see block comment), with the exact rank of
+    every estimate and the within_bound acceptance flag value-hashed."""
+    from pyspark.sql.window import Window
+
+    li = load(spark, "lineitem", sf_dir).select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_extendedprice").alias("v"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("k"),
+    )
+    base = li.withColumn(
+        "stratum",
+        (
+            F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 2), 16, 10)
+            .cast("int")
+            % _QSK_STRATA
+        ),
+    )
+    grp = ["l_returnflag", "l_linestatus"]
+    w1 = Window.partitionBy(*grp, "stratum").orderBy("v", "k")
+    w1n = Window.partitionBy(*grp, "stratum")
+    s1 = base.select(
+        *grp,
+        "stratum",
+        "v",
+        "k",
+        F.row_number().over(w1).alias("r"),
+        F.count(F.lit(1)).over(w1n).alias("n_s"),
+    ).withColumn("t", F.expr(f"(n_s + {_QSK_C - 1}) div {_QSK_C}"))
+    kept1 = s1.filter((F.col("r") - 1) % F.col("t") == 0).select(
+        *grp,
+        "stratum",
+        "v",
+        "k",
+        "t",
+        F.least(F.col("t"), F.col("n_s") - F.col("r") + 1).alias("wgt"),
+    )
+    # survivors are <= c per stratum: checkpoint the sketch so the merge
+    # plans over the compacted size, not the raw-row lineage
+    kept1 = kept1.localCheckpoint()
+    w2 = (
+        Window.partitionBy(*grp)
+        .orderBy("v", "k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w2n = Window.partitionBy(*grp)
+    m2 = kept1.select(
+        *grp,
+        "v",
+        "k",
+        "wgt",
+        F.sum("wgt").over(w2).alias("cw"),
+        F.sum("wgt").over(w2n).alias("n_group"),
+    ).withColumn("s", F.expr(f"(n_group + {_QSK_C - 1}) div {_QSK_C}"))
+    kept2 = m2.filter(
+        (F.expr("cw div s") > F.expr("(cw - wgt) div s"))
+        | (F.col("cw") == F.col("n_group"))
+    )
+    bounds = (
+        kept1.select(*grp, "stratum", "t")
+        .distinct()
+        .groupBy(*grp)
+        .agg(F.sum(F.col("t") - 1).cast("bigint").alias("b1"))
+    )
+    targets = (
+        m2.select(*grp, "n_group", "s")
+        .distinct()
+        .select(
+            *grp,
+            "n_group",
+            "s",
+            F.explode(
+                F.array(F.lit("p50"), F.lit("p90"), F.lit("p99"))
+            ).alias("q_label"),
+        )
+        .withColumn(
+            "rank_target",
+            F.when(
+                F.col("q_label") == "p50", F.expr("(n_group + 1) div 2")
+            )
+            .when(
+                F.col("q_label") == "p90",
+                F.expr("(9 * n_group + 9) div 10"),
+            )
+            .otherwise(F.expr("(99 * n_group + 99) div 100")),
+        )
+    )
+    est = (
+        targets.alias("t")
+        .join(
+            kept2.select(*grp, "v", "cw").alias("s2"),
+            [
+                F.col(f"t.{c}") == F.col(f"s2.{c}")
+                for c in grp
+            ]
+            + [F.col("s2.cw") >= F.col("t.rank_target")],
+        )
+        .groupBy(
+            *[F.col(f"t.{c}").alias(c) for c in grp],
+            F.col("t.q_label").alias("q_label"),
+            F.col("t.rank_target").alias("rank_target"),
+            F.col("t.n_group").alias("n_group"),
+            F.col("t.s").alias("s"),
+        )
+        .agg(F.min("s2.v").alias("est_value"))
+    )
+    # exact ranks of each estimate (12 rows broadcast onto the fact scan)
+    ranks = (
+        li.alias("b")
+        .join(
+            F.broadcast(est.select(*grp, "q_label", "est_value")).alias("e"),
+            grp,
+        )
+        .groupBy(*grp, "q_label")
+        .agg(
+            F.sum(
+                F.when(F.col("b.v") < F.col("e.est_value"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("rank_lt"),
+            F.sum(
+                F.when(F.col("b.v") <= F.col("e.est_value"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("rank_le"),
+        )
+    )
+    bound_expr = F.col("b1") + F.col("s") - 1
+    return (
+        est.join(ranks, grp + ["q_label"])
+        .join(bounds, grp)
+        .select(
+            *grp,
+            "q_label",
+            F.col("n_group").cast("bigint").alias("n_group"),
+            F.col("est_value").cast("double").alias("est_value"),
+            F.col("rank_target").cast("bigint").alias("rank_target"),
+            "rank_lt",
+            "rank_le",
+            bound_expr.cast("bigint").alias("rank_error_bound"),
+            F.when(
+                (F.col("rank_lt") <= F.col("rank_target") - 1 + bound_expr)
+                & (F.col("rank_le") >= F.col("rank_target") - bound_expr),
+                1,
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("within_bound"),
+        )
+    )

@@ -217,6 +217,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "tbl_change_feed",
         "tbl_partition_evolution",
         "ds_exact_substring_spans",
+        "q101_grouped_quantiles_sketch",
     ], 9),
 }
 

@@ -568,3 +568,72 @@ def test_market_basket_lift_arithmetic(spark, tmp_path):
     assert r.support == 0.6
     assert r.confidence == 1.0
     assert abs(r.lift - round(20 / 12, 6)) < 1e-9
+
+
+def test_quantile_sketch_exact_below_capacity(spark, tmp_path):
+    """A group smaller than the per-stratum capacity never compacts
+    (every stride T_s = 1, merge stride S = 1): the sketch holds every
+    row and the estimates are EXACT order statistics at the integer
+    target ranks, with rank_error_bound = 0."""
+    from data_engineering_nd_spark.analytics import (
+        q101_grouped_quantiles_sketch,
+    )
+
+    n = 200  # < _QSK_C = 256
+    rows = pd.DataFrame(
+        {
+            "l_returnflag": ["A"] * n,
+            "l_linestatus": ["F"] * n,
+            "l_extendedprice": [float(i) for i in range(1, n + 1)],
+            "l_orderkey": list(range(1, n + 1)),
+            "l_linenumber": [1] * n,
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write(spark, sf, "lineitem", rows)
+    out = {
+        r.q_label: r
+        for r in q101_grouped_quantiles_sketch(spark, str(sf)).collect()
+    }
+    assert set(out) == {"p50", "p90", "p99"}
+    for r in out.values():
+        assert r.n_group == n
+        assert r.rank_error_bound == 0
+        assert r.within_bound == 1
+        # value AT the integer target rank of the 1..n identity data
+        assert r.est_value == float(r.rank_target)
+    assert out["p50"].rank_target == 100  # (200+1)//2
+    assert out["p90"].rank_target == 180
+    assert out["p99"].rank_target == 198
+
+
+def test_quantile_sketch_bound_holds_above_capacity(spark, tmp_path):
+    """A group far above capacity compacts in both stages; the exact
+    rank of every estimate stays inside the published deterministic
+    bound sum(T_s - 1) + S - 1 (asserted, not just flagged)."""
+    from data_engineering_nd_spark.analytics import (
+        q101_grouped_quantiles_sketch,
+    )
+
+    n = 20000
+    rows = pd.DataFrame(
+        {
+            "l_returnflag": ["R"] * n,
+            "l_linestatus": ["O"] * n,
+            # non-uniform value distribution: squares
+            "l_extendedprice": [float(i * i % 99991) for i in range(n)],
+            "l_orderkey": list(range(1, n + 1)),
+            "l_linenumber": [1] * n,
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write(spark, sf, "lineitem", rows)
+    for r in q101_grouped_quantiles_sketch(spark, str(sf)).collect():
+        assert r.n_group == n
+        assert r.within_bound == 1
+        assert r.rank_lt <= r.rank_target - 1 + r.rank_error_bound
+        assert r.rank_le >= r.rank_target - r.rank_error_bound
+        # the bound itself is ~2n/c, not degenerate
+        assert 0 < r.rank_error_bound < n // 40
