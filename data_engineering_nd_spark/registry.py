@@ -218,6 +218,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "tbl_partition_evolution",
         "ds_exact_substring_spans",
         "q101_grouped_quantiles_sketch",
+        "graph_louvain",
     ], 9),
 }
 

@@ -438,3 +438,24 @@ def test_relational_division_requires_full_cover(spark, tmp_path):
     out = {r.o_custkey: r for r in q99_relational_division(spark, str(sf)).collect()}
     assert set(out) == {10, 30}
     assert out[30].n_orders == 3 and out[30].n_classes == 2
+
+
+def test_modularity_communities_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: the deterministic
+    modularity-gain moves put each clique in one community, and the
+    trajectory is reproducible (same labels on a second run)."""
+    from data_engineering_nd_spark.operators.graph import (
+        modularity_communities,
+    )
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a != b]
+
+    pairs = clique([1, 2, 3, 4]) + clique([11, 12, 13, 14]) + [(4, 11), (11, 4)]
+    und = spark.createDataFrame(pairs, ["src", "dst"])
+    lab = {r.id: r.c for r in modularity_communities(und, rounds=4).collect()}
+    assert len({lab[i] for i in [1, 2, 3, 4]}) == 1
+    assert len({lab[i] for i in [11, 12, 13, 14]}) == 1
+    assert lab[1] != lab[11]
+    lab2 = {r.id: r.c for r in modularity_communities(und, rounds=4).collect()}
+    assert lab == lab2
