@@ -1,0 +1,63 @@
+"""Shuffle-perturbation determinism (VERDICT r08 task #7): every PLANS.md
+headliner must produce an IDENTICAL value hash when executed under
+different ``spark.sql.shuffle.partitions`` — the standing-test form of the
+engine's "no partition-count-dependent results" determinism rule
+(SURVEY.md §7.4: content-derived keys only, decimal accumulation, rounded
+display edges).  A query whose output depends on how many shuffle
+partitions the cluster happens to run is not re-runnable at 100 TB:
+retries, AQE re-plans, and cluster resizes would all silently change the
+answer."""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+
+from tests.conftest import SF_DIR
+
+_ROOT = pathlib.Path(__file__).resolve().parents[1]
+
+
+def _headliners() -> list[str]:
+    sys.path.insert(0, str(_ROOT / "tools"))
+    from plans_report import HEADLINERS
+
+    return list(HEADLINERS)
+
+
+def _value_hash(pdf) -> str:
+    sys.path.insert(0, str(_ROOT / "tools"))
+    from verify_oracle import value_hash
+
+    return value_hash(pdf)
+
+
+def test_headliners_invariant_under_shuffle_partition_count(spark):
+    """Run the full PLANS.md headliner list twice in one session — once at
+    32 shuffle partitions, once at 7 (coprime, so every hash-partitioned
+    shuffle lands rows differently) — and assert bit-identical value
+    hashes.  One looped test rather than a parametrization: the second
+    pass reuses the session and the failure report names every divergent
+    query at once."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    names = _headliners()
+    assert len(names) >= 100  # the PLANS.md list, not a stub
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    hashes: dict[str, dict[str, str]] = {}
+    try:
+        for n_shuffle in ("32", "7"):
+            spark.conf.set("spark.sql.shuffle.partitions", n_shuffle)
+            for name in names:
+                pdf = qs[name](spark, SF_DIR).toPandas()
+                hashes.setdefault(name, {})[n_shuffle] = _value_hash(pdf)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    divergent = {
+        name: h for name, h in hashes.items() if h["32"] != h["7"]
+    }
+    assert not divergent, (
+        "shuffle-partition-count-dependent results: "
+        + ", ".join(sorted(divergent))
+    )
