@@ -403,6 +403,139 @@ def ds_exact_substring_spans_query(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "ds_span_removal_report",
+    # the removal arithmetic on top of the ds_exact_substring_spans CTE
+    # chain: per source, docs touched, tokens cut (each doc keeps the
+    # FIRST copy of content it shares — removal only applies to docs that
+    # are not the canonical (minimum-doc_id) owner of every span they
+    # carry is deliberately NOT modeled; the report removes every
+    # duplicated span occurrence and counts what survives, the
+    # "dedup-both-copies" accounting Lee et al. call aggressive removal).
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                           'g'), ' ') AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, i AS pos, md5(array_to_string(w[i:i+7], ' ')) AS g
+        FROM toks, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+        WHERE len(w) >= 8
+    ),
+    dup AS (
+        SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+    marked AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id
+                                              ORDER BY pos) <= 8
+                    THEN 0 ELSE 1 END AS brk
+        FROM hits
+    ),
+    numbered AS (
+        SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS span_id
+        FROM marked
+    ),
+    spans AS (
+        SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+        FROM numbered GROUP BY doc_id, span_id
+    ),
+    cut AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(e - s + 1) AS BIGINT) AS cut_tokens
+        FROM spans GROUP BY doc_id
+    ),
+    docs AS (
+        SELECT t.source, t.doc_id,
+               CASE WHEN array_to_string(t.w, '') = '' THEN 0
+                    ELSE CAST(len(t.w) AS BIGINT) END AS n_tokens,
+               COALESCE(c.cut_tokens, 0) AS cut_tokens,
+               COALESCE(c.n_spans, 0) AS n_spans
+        FROM toks t LEFT JOIN cut c ON c.doc_id = t.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_spans > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_touched,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_before,
+           CAST(SUM(cut_tokens) AS BIGINT) AS tokens_cut,
+           CAST(SUM(n_tokens - cut_tokens) AS BIGINT) AS tokens_after,
+           CAST(SUM(CASE WHEN n_tokens - cut_tokens < 8 AND n_spans > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_emptied
+    FROM docs
+    GROUP BY source
+    """,
+)
+def ds_span_removal_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of exact-substring dedup (Lee et al. 2022 apply
+    step): per source, how many docs carry cross-doc duplicated spans,
+    how many tokens a span-cut pass removes, what survives, and how many
+    docs collapse below the minimum useful length (< n tokens) — the
+    budget numbers a training-data curator reads before committing a
+    destructive dedup pass.  Pure composition: the span finder
+    (:func:`exact_substring_spans`) plus one per-doc aggregate and one
+    per-source rollup; no new shuffle shape."""
+    from data_engineering_nd_spark.catalog import ensure_parallelism
+
+    docs = ensure_parallelism(load(spark, "documents", sf_dir))
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.split(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+            " ",
+        ).alias("w"),
+    ).select(
+        "doc_id",
+        "source",
+        # empty-text guard: a split of '' is [''] in both engines, but the
+        # token count must be 0, not 1 (standing tokenizer-mirror rule)
+        F.when(F.concat_ws("", F.col("w")) == "", F.lit(0))
+        .otherwise(F.size("w"))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    cut = (
+        exact_substring_spans(docs, n=8, min_docs=2)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum("span_tokens").cast("bigint").alias("cut_tokens"),
+        )
+    )
+    per_doc = toks.join(cut, "doc_id", "left").select(
+        "source",
+        "n_tokens",
+        F.coalesce("cut_tokens", F.lit(0)).cast("bigint").alias("cut_tokens"),
+        F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("n_spans") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_touched"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_before"),
+        F.sum("cut_tokens").cast("bigint").alias("tokens_cut"),
+        F.sum(F.col("n_tokens") - F.col("cut_tokens"))
+        .cast("bigint")
+        .alias("tokens_after"),
+        F.sum(
+            F.when(
+                (F.col("n_tokens") - F.col("cut_tokens") < 8)
+                & (F.col("n_spans") > 0),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("docs_emptied"),
+    )
+
+
+@query(
     "ds_domain_mix_sample",
     oracle="""
     WITH counted AS (

@@ -219,6 +219,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "ds_exact_substring_spans",
         "q101_grouped_quantiles_sketch",
         "graph_louvain",
+        "ds_span_removal_report",
     ], 9),
 }
 
