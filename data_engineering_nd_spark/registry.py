@@ -220,6 +220,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "q101_grouped_quantiles_sketch",
         "graph_louvain",
         "ds_span_removal_report",
+        "src_jsonl_malformed_report",
     ], 9),
 }
 

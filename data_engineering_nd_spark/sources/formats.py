@@ -252,6 +252,124 @@ def src_csv_malformed_report_query(
         shutil.rmtree(work, ignore_errors=True)
 
 
+def read_jsonl_with_corrupt_column(
+    spark: SparkSession, path: str, data_schema: str
+) -> DataFrame:
+    """PERMISSIVE JSONL read with a corrupt-record quarantine column —
+    the JSON sibling of :func:`read_csv_with_corrupt_column`, with
+    JSON-specific semantics the report query pins: blank lines are
+    DROPPED (never counted), a syntactically valid record with a
+    wrong-typed field is quarantined but keeps its parseable fields
+    (partial parse), unknown fields are ignored (good), and missing
+    fields read as NULL (good)."""
+    schema = data_schema + ", _corrupt_record string"
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .localCheckpoint()
+    )
+
+
+@query(
+    "src_jsonl_malformed_report",
+    oracle="""
+    WITH good AS (
+        SELECT CAST(i AS INT) AS k, 'n' || CAST(i AS VARCHAR) AS name,
+               CAST(i * 10 AS INT) AS v
+        FROM range(20) t(i)
+        UNION ALL SELECT 103, 'ex', 1030  -- unknown extra field: ignored
+        UNION ALL SELECT 104, 'mi', NULL  -- missing field: NULL, still good
+    )
+    SELECT CAST(25 AS BIGINT) AS n_total,
+           CAST(22 AS BIGINT) AS n_good,
+           CAST(3 AS BIGINT) AS n_corrupt,
+           CAST(1 AS BIGINT) AS n_partial_quarantine,
+           CAST(SUM(CAST(concat('0x', substr(md5(concat(
+                coalesce(CAST(k AS VARCHAR), '-'), ':',
+                coalesce(name, '-'), ':',
+                coalesce(CAST(v AS VARCHAR), '-'))), 1, 10)) AS BIGINT))
+                AS BIGINT) AS good_checksum
+    FROM good
+    """,
+)
+def src_jsonl_malformed_report_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dirty JSONL-feed ingestion contract, value-hashed (the JSON
+    sibling of src_csv_malformed_report): 20 well-formed records plus
+    six hazards — an unknown extra field (VALID: ignored), a missing
+    field (VALID: null), a wrong-typed field (quarantined WITH its
+    parseable fields retained — JSON PERMISSIVE's partial-parse
+    behavior, pinned by n_partial_quarantine), invalid JSON syntax and
+    a non-object top-level value (both fully quarantined), and a blank
+    line (DROPPED by the reader — n_total is 25, not 26). The good-row
+    checksum proves quarantining never mutates parsed values; counts
+    reconcile as n_good + n_corrupt == n_total."""
+    import os
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+
+    work = tempfile.mkdtemp(prefix="jsonl_malformed_")
+    try:
+        lines = [
+            f'{{"k": {i}, "name": "n{i}", "v": {i * 10}}}' for i in range(20)
+        ]
+        lines += [
+            '{"k": 103, "name": "ex", "v": 1030, "extra": 9}',  # unknown field
+            '{"k": 104, "name": "mi"}',                          # missing field
+            '{"k": "abc", "name": "bad", "v": 7}',   # wrong type: partial
+            '{k: 5, "name": "syntax"}',              # invalid syntax
+            "[1, 2, 3]",                             # non-object top level
+            "",                                      # blank: dropped
+        ]
+        path = os.path.join(work, "feed.jsonl")
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        df = read_jsonl_with_corrupt_column(
+            spark, path, "k int, name string, v int"
+        )
+        good = df.filter(F.col("_corrupt_record").isNull())
+        digest = md5_prefix_long(
+            F.concat(
+                F.coalesce(F.col("k").cast("string"), F.lit("-")),
+                F.lit(":"),
+                F.coalesce(F.col("name"), F.lit("-")),
+                F.lit(":"),
+                F.coalesce(F.col("v").cast("string"), F.lit("-")),
+            )
+        )
+        partial = (
+            F.col("_corrupt_record").isNotNull()
+            & (
+                F.col("k").isNotNull()
+                | F.col("name").isNotNull()
+                | F.col("v").isNotNull()
+            )
+        )
+        out = df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_good"),
+            F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_corrupt"),
+            F.sum(F.when(partial, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_partial_quarantine"),
+        ).crossJoin(
+            good.agg(F.sum(digest).cast("bigint").alias("good_checksum"))
+        )
+        # output-sized (1 row); materialize so the scratch file can go
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Schema drift on RAW parquet directories: mergeSchema reads across files
 # written under different schemas — the non-lakehouse sibling of
