@@ -2959,6 +2959,129 @@ def tbl_partition_evolution_query(spark: SparkSession, sf_dir: str) -> DataFrame
         shutil.rmtree(work, ignore_errors=True)
 
 
+@query(
+    "tbl_wap_publish",
+    # pure modulus replay: base = %3 != 0 keys, the audited-good batch =
+    # %3 = 0 keys (published), the poisoned batch = %5 = 0 keys with
+    # negated prices (audit MUST refuse).  Every count/checksum including
+    # the final table state derives from that arithmetic, so a publish
+    # that leaked staged data early, published the poisoned batch, or
+    # lost rows in the metadata fast-forward breaks the hash.
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    good AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    bad AS (
+        SELECT o_orderkey FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    fin AS (
+        SELECT * FROM base UNION ALL SELECT * FROM good
+    )
+    SELECT CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS n_base,
+           CAST((SELECT COUNT(*) FROM good) AS BIGINT) AS n_staged_good,
+           CAST(1 AS BIGINT) AS staged_invisible,
+           CAST(1 AS BIGINT) AS final_version,
+           CAST(COUNT(*) AS BIGINT) AS final_rows,
+           CAST(SUM(CAST(concat('0x', substr(md5(CAST(o_orderkey
+                AS VARCHAR)), 1, 10)) AS BIGINT)) AS BIGINT)
+               AS final_checksum,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS final_revenue,
+           CAST((SELECT COUNT(*) FROM bad) AS BIGINT) AS bad_violations,
+           CAST(1 AS BIGINT) AS publish_refused,
+           CAST(1 AS BIGINT) AS abandoned_clean
+    FROM fin
+    """,
+)
+def tbl_wap_publish_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish on VersionedTable (the Iceberg WAP pattern —
+    the lakehouse answer to 'how does a risky daily load land at 100 TB
+    without readers ever seeing a bad batch'): the good batch is staged
+    on a branch (invisible to snapshot(), asserted in-row), audited, and
+    fast-forwarded as a METADATA-ONLY commit; the poisoned batch is
+    staged, REFUSED by the commit-time audit gate (negative prices vs a
+    CHECK), left readable on its branch for debugging, then abandoned.
+    Reference anchor: the unaudited direct writes of
+    ``Capstone/etl.py:440-448`` are exactly what WAP replaces."""
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+    from data_engineering_nd_spark.tables import (
+        ConstraintViolation,
+        VersionedTable,
+    )
+
+    orders = load(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    base = orders.filter(F.col("o_orderkey") % 3 != 0)
+    good = orders.filter(F.col("o_orderkey") % 3 == 0)
+    bad = orders.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+        "o_totalprice", -F.col("o_totalprice")
+    )
+    work = tempfile.mkdtemp(prefix="tbl_wap_")
+    try:
+        table = VersionedTable(spark, work)
+        table.commit(base)                                   # v0
+        n_base = table.snapshot().count()
+        table.stage(good, "daily")
+        staged_invisible = int(table.snapshot().count() == n_base)
+        n_staged_good = table.read_staged("daily").count()
+        table.publish_staged(
+            "daily", mode="append", checks=[("price_pos", "o_totalprice > 0")]
+        )                                                    # v1, metadata-only
+        table.stage(bad, "risky")
+        publish_refused = 0
+        bad_violations = 0
+        try:
+            table.publish_staged(
+                "risky", mode="append",
+                checks=[("price_pos", "o_totalprice > 0")],
+            )
+        except ConstraintViolation as ex:
+            publish_refused = 1
+            bad_violations = ex.report.get("price_pos", 0)
+        # refusal left main untouched at v1 and the branch readable
+        still_v1 = table.latest_version() == 1
+        branch_readable = table.read_staged("risky").count() > 0
+        removed = table.abandon_staged("risky")
+        gone = True
+        try:
+            table.read_staged("risky")
+            gone = False
+        except FileNotFoundError:
+            pass
+        abandoned_clean = int(
+            still_v1 and branch_readable and gone and len(removed) > 0
+        )
+        out = table.snapshot().agg(
+            F.count(F.lit(1)).cast("bigint").alias("final_rows"),
+            F.sum(md5_prefix_long(F.col("o_orderkey").cast("string")))
+            .cast("bigint")
+            .alias("final_checksum"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("final_revenue"),
+        ).select(
+            F.lit(n_base).cast("bigint").alias("n_base"),
+            F.lit(n_staged_good).cast("bigint").alias("n_staged_good"),
+            F.lit(staged_invisible).cast("bigint").alias("staged_invisible"),
+            F.lit(table.latest_version()).cast("bigint").alias("final_version"),
+            "final_rows",
+            "final_checksum",
+            "final_revenue",
+            F.lit(bad_violations).cast("bigint").alias("bad_violations"),
+            F.lit(publish_refused).cast("bigint").alias("publish_refused"),
+            F.lit(abandoned_clean).cast("bigint").alias("abandoned_clean"),
+        )
+        # output-sized (1 row); materialize so the scratch table can go
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Data skipping: manifest min/max stats prune whole files from a scan
 # ---------------------------------------------------------------------------

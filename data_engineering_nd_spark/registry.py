@@ -221,6 +221,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "graph_louvain",
         "ds_span_removal_report",
         "src_jsonl_malformed_report",
+        "tbl_wap_publish",
     ], 9),
 }
 

@@ -1069,13 +1069,135 @@ class VersionedTable:
             new_stats,
         )
 
+    # -- write-audit-publish (staging branches) ---------------------------
+
+    def _staged_dir(self) -> str:
+        return os.path.join(self._log_dir(), "staged")
+
+    def _staged_path(self, branch: str) -> str:
+        if not branch or any(ch in branch for ch in "/\\."):
+            raise ValueError(f"invalid branch name {branch!r}")
+        return os.path.join(self._staged_dir(), f"{branch}.json")
+
+    def stage(self, df: DataFrame, branch: str) -> dict:
+        """Write-Audit-Publish step 1 (the Iceberg WAP / Delta shallow-
+        branch pattern): write df's data files and record them in a
+        STAGED manifest at ``_log/staged/<branch>.json`` — outside the
+        main version sequence, so :meth:`snapshot` readers never see the
+        batch.  Re-staging a branch replaces its manifest (the old
+        staged files become orphans; vacuum keeps files referenced by
+        CURRENT staged manifests).  At 100 TB this is how a risky daily
+        load lands: full write cost up front, audit queries against the
+        staged read, and a METADATA-ONLY publish if the audit passes."""
+        prev = self.latest_version()
+        version = 0 if prev is None else prev + 1
+        files = self._write_files(df, version)
+        manifest = {
+            "branch": branch,
+            "operation": "stage",
+            "files": sorted(files),
+            "schema": df.schema.json(),
+            "sizes": self._file_sizes(files),
+            "stats": self._compute_stats(files),
+        }
+        os.makedirs(self._staged_dir(), exist_ok=True)
+        final = self._staged_path(branch)
+        tmp = final + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, final)
+        return manifest
+
+    def _staged_manifest(self, branch: str) -> dict:
+        path = self._staged_path(branch)
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"no staged branch {branch!r}")
+        with open(path) as f:
+            return json.load(f)
+
+    def read_staged(self, branch: str) -> DataFrame:
+        """Audit-side read of a staged branch — exactly the staged files,
+        nothing from the published table."""
+        m = self._staged_manifest(branch)
+        return self._read_files(m["files"], m["schema"])
+
+    def publish_staged(
+        self,
+        branch: str,
+        mode: str = "append",
+        checks: list[tuple[str, str]] | None = None,
+        unique: list[list[str]] | None = None,
+    ) -> dict:
+        """Write-Audit-Publish step 3: run the audit gate
+        (:func:`validate_constraints` over the STAGED read — only staged
+        files are scanned) and, if clean, fast-forward the staged file
+        set into the main version sequence as a METADATA-ONLY commit (no
+        data file is rewritten or moved; append mode carries the
+        previous snapshot's files by reference).  On violation raises
+        :class:`ConstraintViolation` and leaves BOTH the published table
+        and the staged branch untouched — the quarantined batch stays
+        readable via :meth:`read_staged` for debugging."""
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+        m = self._staged_manifest(branch)
+        if checks or unique:
+            report = validate_constraints(
+                self.read_staged(branch), checks, unique
+            )
+            bad = {k: v for k, v in report.items() if v > 0}
+            if bad:
+                raise ConstraintViolation(bad)
+        prev = self.latest_version()
+        version = 0 if prev is None else prev + 1
+        files = list(m["files"])
+        sizes = dict(m["sizes"])
+        stats = dict(m["stats"])
+        schema_json = m["schema"]
+        if mode == "append" and prev is not None:
+            pm = self._manifest(prev)
+            files += pm["files"]
+            sizes.update(self._file_sizes(pm["files"], pm))
+            stats.update(self._file_stats(pm["files"], pm))
+            schema_json = self._evolve_schema(pm["schema"], schema_json)
+        out = self._publish(
+            version,
+            files,
+            f"wap_publish({branch})",
+            schema_json,
+            sizes,
+            stats,
+        )
+        os.remove(self._staged_path(branch))
+        return out
+
+    def abandon_staged(self, branch: str) -> list[str]:
+        """Drop a staged branch: remove its manifest and delete its data
+        files (they are referenced nowhere else — staging always writes
+        fresh files)."""
+        m = self._staged_manifest(branch)
+        os.remove(self._staged_path(branch))
+        removed = []
+        for rel in m["files"]:
+            p = os.path.join(self.root, rel)
+            if os.path.exists(p):
+                os.remove(p)
+                removed.append(rel)
+        return removed
+
     def vacuum(self, retain_last: int = 1) -> list[str]:
         """Delete data files referenced by none of the last ``retain_last``
-        manifests. Time travel to expired versions stops working; the
-        retained snapshots are untouched."""
+        manifests (files referenced by a CURRENT staged branch are kept).
+        Time travel to expired versions stops working; the retained
+        snapshots are untouched."""
         vs = self.versions()
         keep_vs = vs[-retain_last:] if retain_last > 0 else []
         live = {f for v in keep_vs for f in self._manifest(v)["files"]}
+        if os.path.isdir(self._staged_dir()):
+            for fn in os.listdir(self._staged_dir()):
+                if fn.endswith(".json"):
+                    live |= set(
+                        self._staged_manifest(fn[: -len(".json")])["files"]
+                    )
         removed: list[str] = []
         data_root = os.path.join(self.root, _DATA)
         if not os.path.isdir(data_root):

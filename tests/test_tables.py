@@ -783,3 +783,41 @@ def test_prune_files_row_counts_footer_fallback(spark, table):
     kept, pruned, meta = table.prune_files("k", lo=0, hi=100)
     assert meta["rows_total"] == 10
     assert meta["rows_scanned"] == 10
+
+
+def test_wap_stage_publish_abandon(spark, table):
+    """WAP lifecycle pins: staged branches are invisible to snapshot();
+    publish is metadata-only (the staged files' paths appear verbatim in
+    the published manifest); a failed audit leaves table AND branch
+    untouched; vacuum never collects currently-staged files; abandon
+    removes them."""
+    from data_engineering_nd_spark.tables import ConstraintViolation
+
+    table.commit(spark.createDataFrame([Row(k=1, v=10), Row(k=2, v=20)]))
+    staged = table.stage(
+        spark.createDataFrame([Row(k=3, v=30), Row(k=4, v=40)]), "b1"
+    )
+    assert table.snapshot().count() == 2          # invisible
+    assert table.read_staged("b1").count() == 2
+    # vacuum with the branch staged: staged files survive
+    table.vacuum(retain_last=1)
+    assert table.read_staged("b1").count() == 2
+    m = table.publish_staged("b1", mode="append")
+    assert set(staged["files"]) <= set(m["files"])  # metadata-only publish
+    assert table.snapshot().count() == 4
+    with pytest.raises(FileNotFoundError):
+        table.read_staged("b1")
+    # failed audit: table and branch untouched
+    table.stage(spark.createDataFrame([Row(k=5, v=-1)]), "b2")
+    with pytest.raises(ConstraintViolation):
+        table.publish_staged("b2", checks=[("v_pos", "v > 0")])
+    assert table.latest_version() == 1
+    assert table.read_staged("b2").count() == 1
+    removed = table.abandon_staged("b2")
+    assert removed
+    with pytest.raises(FileNotFoundError):
+        table.read_staged("b2")
+    # restaging a branch replaces it
+    table.stage(spark.createDataFrame([Row(k=6, v=60)]), "b3")
+    table.stage(spark.createDataFrame([Row(k=7, v=70)]), "b3")
+    assert [r.k for r in table.read_staged("b3").collect()] == [7]
