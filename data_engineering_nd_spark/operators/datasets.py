@@ -3082,6 +3082,140 @@ def tbl_wap_publish_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@query(
+    "tbl_cdc_apply_roundtrip",
+    # modulus replay of the CDC consumer contract: base = even keys; the
+    # merge updates %10 keys' payloads and inserts odd %3 keys; the delete
+    # removes keys <= mx//10.  The final state (base with updates applied,
+    # plus inserts, minus deletes) is stated directly; Spark derives it by
+    # REPLAYING ITS OWN change feed onto the old snapshot, and separately
+    # checks the replay equals the direct snapshot read (match flag).
+    oracle="""
+    WITH p AS (SELECT MAX(o_orderkey) AS mx FROM orders),
+    base AS (
+        SELECT o_orderkey AS k, md5(CAST(o_orderkey AS VARCHAR)) AS payload
+        FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    upd AS (
+        SELECT o_orderkey AS k,
+               md5(CAST(o_orderkey AS VARCHAR) || ':v2') AS payload
+        FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 = 0
+    ),
+    ins AS (
+        SELECT o_orderkey AS k, md5(CAST(o_orderkey AS VARCHAR)) AS payload
+        FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 0
+    ),
+    merged AS (
+        SELECT b.k, COALESCE(u.payload, b.payload) AS payload
+        FROM base b LEFT JOIN upd u ON u.k = b.k
+        UNION ALL
+        SELECT k, payload FROM ins
+    ),
+    final AS (
+        SELECT m.k, m.payload FROM merged m CROSS JOIN p
+        WHERE m.k > p.mx // 10
+    ),
+    feed_n AS (
+        SELECT (SELECT COUNT(*) FROM ins)
+             + 2 * (SELECT COUNT(*) FROM upd)
+             + (SELECT COUNT(*) FROM merged m CROSS JOIN p
+                WHERE m.k <= p.mx // 10) AS n_feed_rows
+    )
+    SELECT CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS n_base,
+           CAST(f.n_feed_rows AS BIGINT) AS n_feed_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_final,
+           CAST(SUM(CAST(concat('0x', substr(md5(CAST(k AS VARCHAR)), 1,
+                10)) AS BIGINT)) AS BIGINT) AS final_key_checksum,
+           CAST(SUM(CAST(concat('0x', substr(md5(payload), 1, 10))
+                AS BIGINT)) AS BIGINT) AS final_payload_checksum,
+           CAST(1 AS BIGINT) AS roundtrip_match
+    FROM final CROSS JOIN feed_n f
+    GROUP BY f.n_feed_rows
+    """,
+)
+def tbl_cdc_apply_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC consumer roundtrip (the downstream half of tbl_change_feed):
+    replay the table's own change feed (v0 -> v2, a merge then a delete)
+    onto the v0 snapshot with :func:`apply_change_feed` and prove the
+    result IS the v2 snapshot — equality is checked in-query (match
+    flag) AND the replayed state's checksums are value-hashed against
+    the oracle's direct arithmetic.  This is the mirror-table sync
+    pattern: feed-sized work per sync instead of re-copying the
+    table."""
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+    from data_engineering_nd_spark.tables import (
+        VersionedTable,
+        apply_change_feed,
+    )
+
+    orders = load(spark, "orders", sf_dir).select("o_orderkey")
+    mx = int(orders.agg(F.max("o_orderkey")).collect()[0][0])
+    base = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.md5(F.col("o_orderkey").cast("string")).alias("payload"),
+    )
+    upd = (
+        orders.filter(
+            (F.col("o_orderkey") % 2 == 0) & (F.col("o_orderkey") % 10 == 0)
+        )
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.md5(
+                F.concat(F.col("o_orderkey").cast("string"), F.lit(":v2"))
+            ).alias("payload"),
+        )
+    )
+    ins = orders.filter(
+        (F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") % 3 == 0)
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.md5(F.col("o_orderkey").cast("string")).alias("payload"),
+    )
+    work = tempfile.mkdtemp(prefix="tbl_cdc_apply_")
+    try:
+        table = VersionedTable(spark, work)
+        table.commit(base)                                    # v0
+        table.merge(upd.unionByName(ins), ["k"])              # v1
+        table.delete_where("k", lo=0, hi=mx // 10)            # v2
+        feed = table.change_feed(["k"], from_version=0, to_version=2)
+        n_feed = feed.count()
+        applied = apply_change_feed(table.snapshot(version=0), feed, ["k"])
+        key_digest = md5_prefix_long(F.col("k").cast("string"))
+        pay_digest = md5_prefix_long(F.col("payload"))
+
+        def _sig(df):
+            return df.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(key_digest).cast("bigint").alias("kc"),
+                F.sum(pay_digest).cast("bigint").alias("pc"),
+            ).collect()[0]
+
+        got = _sig(applied)
+        want = _sig(table.snapshot())
+        match = int(tuple(got) == tuple(want))
+        out = spark.createDataFrame(
+            [
+                (
+                    base.count(),
+                    n_feed,
+                    got["n"],
+                    got["kc"],
+                    got["pc"],
+                    match,
+                )
+            ],
+            "n_base bigint, n_feed_rows bigint, n_final bigint, "
+            "final_key_checksum bigint, final_payload_checksum bigint, "
+            "roundtrip_match bigint",
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Data skipping: manifest min/max stats prune whole files from a scan
 # ---------------------------------------------------------------------------

@@ -222,6 +222,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "ds_span_removal_report",
         "src_jsonl_malformed_report",
         "tbl_wap_publish",
+        "tbl_cdc_apply_roundtrip",
     ], 9),
 }
 

@@ -1220,6 +1220,49 @@ class VersionedTable:
         return removed
 
 
+def apply_change_feed(
+    base: DataFrame, feed: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Replay a :meth:`VersionedTable.change_feed` onto a base snapshot —
+    the CDC-consumer side: the result equals the snapshot the feed leads
+    to (``apply(snapshot(a), feed(a, b)) == snapshot(b)``, pinned by the
+    ``tbl_cdc_apply_roundtrip`` gate).  One pass, no per-commit loop: a
+    key's FINAL state is decided by its last change (latest
+    ``_commit_version``; within an update pair the postimage wins), so a
+    single per-key window picks it and one full-outer join with the base
+    applies it — deletes drop the key, inserts/postimages supply the
+    row, untouched keys keep their base values.  At 100 TB this is how a
+    downstream mirror follows a table: feed-sized work per sync, never a
+    two-snapshot scan."""
+    from pyspark.sql.window import Window
+
+    prec = F.when(F.col("_change_type") == "update_preimage", 1).otherwise(2)
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc("_commit_version"), F.desc(prec)
+    )
+    last = (
+        feed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    payload = [c for c in base.columns if c not in key_cols]
+    b = base.withColumn("__b", F.lit(1)).alias("b")
+    c = last.withColumn("__c", F.lit(1)).alias("c")
+    j = b.join(c, key_cols, "full_outer")
+    keep = j.filter(
+        F.col("c.__c").isNull() | (F.col("c._change_type") != "delete")
+    )
+    return keep.select(
+        *[F.col(k) for k in key_cols],
+        *[
+            F.when(F.col("c.__c").isNotNull(), F.col(f"c.{p}"))
+            .otherwise(F.col(f"b.{p}"))
+            .alias(p)
+            for p in payload
+        ],
+    )
+
+
 def snapshot_diff(
     table: VersionedTable,
     v_old: int,

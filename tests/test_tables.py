@@ -821,3 +821,23 @@ def test_wap_stage_publish_abandon(spark, table):
     table.stage(spark.createDataFrame([Row(k=6, v=60)]), "b3")
     table.stage(spark.createDataFrame([Row(k=7, v=70)]), "b3")
     assert [r.k for r in table.read_staged("b3").collect()] == [7]
+
+
+def test_apply_change_feed_reconstructs_snapshot(spark, table):
+    """apply(snapshot(a), feed(a,b)) == snapshot(b) across a multi-commit
+    range with all four change types, including a key updated in one
+    commit and deleted in a later one (last change wins)."""
+    from data_engineering_nd_spark.tables import apply_change_feed
+
+    table.commit(spark.createDataFrame(
+        [Row(k=i, v=f"p{i}") for i in range(6)]).repartition(1))   # v0
+    table.merge(spark.createDataFrame(
+        [Row(k=2, v="UPD"), Row(k=10, v="NEW")]), ["k"])           # v1
+    table.delete_where("k", lo=2, hi=3)                            # v2: drops
+    # k=2 (updated then deleted) and k=3
+    feed = table.change_feed(["k"], 0, 2)
+    applied = apply_change_feed(table.snapshot(version=0), feed, ["k"])
+    got = sorted((r.k, r.v) for r in applied.collect())
+    want = sorted((r.k, r.v) for r in table.snapshot().collect())
+    assert got == want
+    assert got == [(0, "p0"), (1, "p1"), (4, "p4"), (5, "p5"), (10, "NEW")]
