@@ -5272,3 +5272,73 @@ def q101_grouped_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("within_bound"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q102 — OHLC time-series downsampling: the classic financial/metrics bar
+# aggregation (open/high/low/close + totals per bucket).  Open/close are
+# SELECTED raw values (argmin/argmax by (ts, event_id) — deterministic
+# tie-break on the unique id, realized as two row_number windows that
+# both engines replay exactly); high/low/count are plain aggregates; the
+# value total goes through DECIMAL accumulation.  One shuffle on
+# (event_type, bucket), windows ride the same partitioning.
+# --------------------------------------------------------------------------
+@query(
+    "q102_ohlc_bars",
+    oracle="""
+    WITH ev AS (
+        SELECT event_type,
+               time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+                   AS bucket,
+               ts, event_id, value
+        FROM events
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                                  ORDER BY ts, event_id) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM ev
+    )
+    SELECT event_type, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM ranked
+    GROUP BY event_type, bucket
+    """,
+)
+def q102_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type over the events stream table —
+    the downsampling read a metrics/market pipeline materializes before
+    charting or joining at coarser grain."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, "events", sf_dir).select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bucket"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w_a = Window.partitionBy("event_type", "bucket").orderBy("ts", "event_id")
+    w_d = Window.partitionBy("event_type", "bucket").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn_a", F.row_number().over(w_a))
+        .withColumn("rn_d", F.row_number().over(w_d))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+    )

@@ -223,6 +223,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "src_jsonl_malformed_report",
         "tbl_wap_publish",
         "tbl_cdc_apply_roundtrip",
+        "q102_ohlc_bars",
     ], 9),
 }
 
