@@ -133,12 +133,21 @@ HEADLINERS = [
     "q99_relational_division",
     "graph_hits",
     "q100_market_basket_lift",
+    "ds_exact_substring_spans",
+    "ds_span_removal_report",
+    "q101_grouped_quantiles_sketch",
+    "graph_louvain",
+    "q102_ohlc_bars",
     # q98_dynamic_partition_pruning returns a localCheckpoint-ed result
     # (its scratch fixture is removed before serve); the dynamicpruning
     # plan shape is pinned live in tests/test_plans.py instead.
     # tbl_incremental_agg / tbl_merge_report / tbl_schema_evolution return
     # localCheckpoint-ed audit rows (trivial plans; COW/evolution shapes
-    # pinned in tests) — kept out of the headliners.
+    # pinned in tests) — kept out of the headliners; ditto the round-9
+    # tbl_change_feed / tbl_partition_evolution / tbl_wap_publish /
+    # tbl_cdc_apply_roundtrip / src_jsonl_malformed_report (manifest-diff
+    # read scope and WAP/CDC lifecycle properties pinned in
+    # tests/test_tables.py).
 ]
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -203,6 +212,12 @@ def props(plan: str) -> list[str]:
 #: queries whose "!!" flag is a deliberate, bounded construct — the note
 #: replaces the alarm so a reviewer sees the justification inline.
 EXPECTED_FLAGS = {
+    "graph_louvain": (
+        "the cross join broadcasts the 1-row global-modularity aggregate "
+        "onto the <=15-row community report — the tfidf corpus-size "
+        "pattern; every per-round move is equi-joins + hash-aggs + a "
+        "per-node window"
+    ),
     "q100_market_basket_lift": (
         "the cross join broadcasts the 1-row basket-count aggregate onto "
         "the pair table — the tfidf corpus-size pattern; pair generation "
