@@ -3722,6 +3722,154 @@ def tbl_delete_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Predicate DELETE as MERGE-ON-READ deletion vectors: the write-cheap
+# sibling of tbl_delete_report's copy-on-write
+# ---------------------------------------------------------------------------
+
+_DV_ORACLE = """
+    WITH params AS (
+        SELECT ((MAX(o_orderkey) + 8) // 8) AS width FROM orders
+    ),
+    bounds AS (
+        SELECT 2 * width AS lo1, 3 * width + width // 2 AS hi1,
+               3 * width AS lo2, 5 * width - 1 AS hi2
+        FROM params
+    ),
+    chunks AS (
+        SELECT o.o_orderkey, o.o_orderkey // p.width AS cid
+        FROM orders o CROSS JOIN params p
+    ),
+    file_stats AS (
+        SELECT cid, MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx
+        FROM chunks GROUP BY cid
+    ),
+    cand AS (
+        SELECT
+            CAST(COUNT(*) AS BIGINT) AS nf,
+            CAST(SUM(CASE WHEN NOT (mx < b.lo1 OR mn > b.hi1)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+            CAST(SUM(CASE WHEN NOT (mx < b.lo2 OR mn > b.hi2)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM file_stats CROSS JOIN bounds b
+    ),
+    dels AS (
+        SELECT
+            CAST(COUNT(*) AS BIGINT) AS n0,
+            CAST(SUM(CASE WHEN o_orderkey BETWEEN b.lo1 AND b.hi1
+                          THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+            CAST(SUM(CASE WHEN o_orderkey BETWEEN b.lo2 AND b.hi2
+                           AND NOT (o_orderkey BETWEEN b.lo1 AND b.hi1)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS d2
+        FROM orders CROSS JOIN bounds b
+    ),
+    surv AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_after,
+               CAST(SUM(CAST(concat('0x',
+                    substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 10))
+                    AS BIGINT)) AS BIGINT) AS chk
+        FROM orders CROSS JOIN bounds b
+        WHERE NOT (o_orderkey BETWEEN b.lo1 AND b.hi1)
+          AND NOT (o_orderkey BETWEEN b.lo2 AND b.hi2)
+    )
+    SELECT c.nf AS files_total,
+           c.c1 AS files_cand_1,
+           c.c2 AS files_cand_2,
+           CAST(0 AS BIGINT) AS files_rewritten_total,
+           d.d1 AS rows_del_1,
+           d.d2 AS rows_del_2,
+           d.n0 AS n_v0,
+           s.n_after AS n_after,
+           s.chk AS survivor_checksum,
+           s.n_after AS n_after_compact,
+           s.chk AS checksum_after_compact,
+           CAST(0 AS BIGINT) AS dv_files_after_compact
+    FROM cand c, dels d, surv s
+"""
+
+
+@query("tbl_deletion_vectors", oracle=_DV_ORACLE)
+def tbl_deletion_vectors_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two STACKED merge-on-read deletes over a real VersionedTable
+    (``delete_where_dv`` — the Delta deletion-vector / Iceberg
+    position-delete shape), then a compaction that materializes them:
+
+    orders is laid out as 8 range-chunk files; delete #1 removes
+    ``[2w, 3.5w]`` and delete #2 the OVERLAPPING ``[3w, 5w)`` — neither
+    rewrites a data file (``files_rewritten_total`` is pinned 0; the
+    manifest file set is carried by reference both times), each writes
+    only a position vector sized by its NEW matches (the overlap region
+    is anti-joined against the first vector, so ``rows_del_2`` counts
+    ``[3.5w, 5w)`` alone). Candidate-file counts come from the same
+    manifest min/max stats COW pruning uses. The report then value-hashes
+    the merge-on-read SNAPSHOT (count + md5 checksum) and re-hashes it
+    AFTER ``compact()`` — equal checksums with ``dv_files_after_compact
+    = 0`` prove the vectors dropped exactly the predicate rows and that
+    compaction materialized them away losslessly.
+
+    The 100 TB trade this query pins: COW pays a candidate-file rewrite
+    per delete; DV pays bytes ~ match count at write time plus one
+    broadcast anti-join per read, amortized away on the next maintenance
+    compaction — the standard choice for frequent small erasures
+    (GDPR deletes against petabyte tables)."""
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    orders = load(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    max_key = int(orders.agg(F.max("o_orderkey")).collect()[0][0])
+    width = (max_key + 8) // 8
+    lo1, hi1 = 2 * width, 3 * width + width // 2
+    lo2, hi2 = 3 * width, 5 * width - 1
+
+    work = tempfile.mkdtemp(prefix="tbl_dv_")
+    try:
+        staging = work + "/staging"
+        orders.withColumn(
+            "cid", F.expr(f"o_orderkey div {width}")
+        ).repartition(1).write.partitionBy("cid").parquet(staging)
+        table = VersionedTable(spark, work + "/table")
+        m0 = table.add_files(staging)
+
+        m1 = table.delete_where_dv("o_orderkey", lo1, hi1)
+        m2 = table.delete_where_dv("o_orderkey", lo2, hi2)
+        key_digest = md5_prefix_long(F.col("o_orderkey").cast("string"))
+        snap = table.snapshot().agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_after"),
+            F.sum(key_digest).cast("bigint").alias("survivor_checksum"),
+        )
+        n_v0 = table.snapshot(0).count()
+        mc = table.compact(2)
+        after = table.snapshot().agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_after_compact"),
+            F.sum(key_digest).cast("bigint").alias("checksum_after_compact"),
+        )
+        out = snap.crossJoin(after).select(
+            F.lit(m0["num_files"]).cast("bigint").alias("files_total"),
+            F.lit(m1["files_candidates"]).cast("bigint").alias("files_cand_1"),
+            F.lit(m2["files_candidates"]).cast("bigint").alias("files_cand_2"),
+            F.lit(
+                m1["files_rewritten"] + m2["files_rewritten"]
+            ).cast("bigint").alias("files_rewritten_total"),
+            F.lit(m1["rows_deleted"]).cast("bigint").alias("rows_del_1"),
+            F.lit(m2["rows_deleted"]).cast("bigint").alias("rows_del_2"),
+            F.lit(n_v0).cast("bigint").alias("n_v0"),
+            "n_after",
+            "survivor_checksum",
+            "n_after_compact",
+            "checksum_after_compact",
+            F.lit(len(mc["dv"])).cast("bigint").alias(
+                "dv_files_after_compact"
+            ),
+        )
+        # output-sized (1 row); materialize so the scratch table can go
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # Markov transition matrix: behavioral sequence statistics from the event
 # log — P(next event type | current event type) per user journey. The
 # model behind next-action prediction features, funnel-drop diagnostics,

@@ -224,6 +224,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "tbl_wap_publish",
         "tbl_cdc_apply_roundtrip",
         "q102_ohlc_bars",
+        "tbl_deletion_vectors",
     ], 9),
 }
 

@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 
 _LOG = "_log"
 _DATA = "data"
+_DV = "_dv"
 
 
 class CommitConflict(RuntimeError):
@@ -169,6 +170,7 @@ class VersionedTable:
         sizes: dict[str, int] | None = None,
         stats: dict[str, dict] | None = None,
         partitions: dict[str, dict] | None = None,
+        dv: list[str] | None = None,
     ) -> dict:
         """Atomic commit point: temp-file + rename within _log/."""
         os.makedirs(self._log_dir(), exist_ok=True)
@@ -194,6 +196,15 @@ class VersionedTable:
             # layout change applies to new files only, and scan planning
             # prunes each file by its own spec (VERDICT r08 task #3)
             "partitions": partitions or {},
+            # deletion vectors (merge-on-read DELETE, the Delta DV /
+            # Iceberg position-delete shape): table-relative parquet
+            # files of (file, pos) rows naming data-file positions that
+            # every read of THIS version must drop.  A DV commit changes
+            # no data file — files carry over by reference and the
+            # delete is a metadata write sized by the match count, not
+            # by the files touched.  compact()/overwrite materialize and
+            # reset the list.
+            "dv": sorted(dv or []),
         }
         final = os.path.join(self._log_dir(), f"{version:011d}.json")
         tmp = final + f".{uuid.uuid4().hex}.tmp"
@@ -290,7 +301,12 @@ class VersionedTable:
             out.update(self._compute_stats(missing))
         return out
 
-    def _read_files(self, files: list[str], schema_json: str) -> DataFrame:
+    def _read_files(
+        self,
+        files: list[str],
+        schema_json: str,
+        dv_files: list[str] | None = None,
+    ) -> DataFrame:
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(json.loads(schema_json))
@@ -301,8 +317,50 @@ class VersionedTable:
         # files written under older schemas — the explicit schema makes
         # Spark fill their missing columns with null instead of resolving
         # against whichever footer it reads first.
-        return self.spark.read.schema(schema).parquet(
+        df = self.spark.read.schema(schema).parquet(
             *[os.path.join(self.root, f) for f in files]
+        )
+        if dv_files:
+            df = self._apply_dv(df, dv_files)
+        return df
+
+    @staticmethod
+    def _pos_key():
+        """(table-relative file, row position) expressions over a parquet
+        scan's ``_metadata`` column — the identity a deletion vector
+        addresses. The relative path is recovered as everything after the
+        LAST '/data/' path component: every table-owned file lives
+        directly under ``<root>/data/`` (``_write_files`` /
+        ``add_files`` both place it there) and no deeper component can
+        re-match (hive subdirs are ``name=value``, part files are
+        basenames), so the key is stable if the table root moves."""
+        file_key = F.concat(
+            F.lit(_DATA + "/"),
+            F.substring_index(
+                F.col("_metadata.file_path"), "/" + _DATA + "/", -1
+            ),
+        )
+        return file_key, F.col("_metadata.row_index")
+
+    def _dv_read(self, dv_files: list[str]) -> DataFrame:
+        return self.spark.read.parquet(
+            *[os.path.join(self.root, f) for f in dv_files]
+        ).select("file", "pos")
+
+    def _apply_dv(self, df: DataFrame, dv_files: list[str]) -> DataFrame:
+        """Merge-on-read: drop the (file, pos) rows named by the deletion
+        vectors. One broadcast anti-join against the DV rows — a DV is
+        sized by deletes since the last compaction, so it broadcasts at
+        any realistic cadence; entries naming files not in this read
+        (stale after a later rewrite) simply match nothing."""
+        fk, pk = self._pos_key()
+        keyed = df.withColumn("__dv_file", fk).withColumn("__dv_pos", pk)
+        dv = self._dv_read(dv_files)
+        cond = (keyed["__dv_file"] == dv["file"]) & (
+            keyed["__dv_pos"] == dv["pos"]
+        )
+        return keyed.join(F.broadcast(dv), cond, "left_anti").drop(
+            "__dv_file", "__dv_pos"
         )
 
     # -- public surface ---------------------------------------------------
@@ -316,7 +374,7 @@ class VersionedTable:
         if version is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
         m = self._manifest(version)
-        return self._read_files(m["files"], m["schema"])
+        return self._read_files(m["files"], m["schema"], m.get("dv"))
 
     def prune_files(
         self,
@@ -391,7 +449,7 @@ class VersionedTable:
             version = self.latest_version()
         kept, _, _ = self.prune_files(col, lo, hi, version)
         m = self._manifest(version)
-        df = self._read_files(kept, m["schema"])
+        df = self._read_files(kept, m["schema"], m.get("dv"))
         c = F.col(col)
         if lo is not None:
             df = df.filter(c >= lo)
@@ -432,14 +490,18 @@ class VersionedTable:
         sizes = self._file_sizes(files)
         stats = self._compute_stats(files)
         schema_json = df.schema.json()
+        dv: list[str] = []
         if mode == "append" and prev is not None:
             pm = self._manifest(prev)
             files += pm["files"]
             sizes.update(self._file_sizes(pm["files"], pm))
             stats.update(self._file_stats(pm["files"], pm))
             schema_json = self._evolve_schema(pm["schema"], df.schema.json())
+            # carried-over files keep their deletion vectors; an append
+            # must never resurrect rows a DV delete removed
+            dv = pm.get("dv") or []
         return self._publish(
-            version, files, mode, schema_json, sizes, stats
+            version, files, mode, schema_json, sizes, stats, dv=dv
         )
 
     def commit_partitioned(
@@ -507,6 +569,7 @@ class VersionedTable:
         sizes = self._file_sizes(files)
         stats = self._compute_stats(files)
         schema_json = df.schema.json()  # source columns only
+        dv: list[str] = []
         if mode == "append" and prev is not None:
             pm = self._manifest(prev)
             files += pm["files"]
@@ -514,6 +577,7 @@ class VersionedTable:
             stats.update(self._file_stats(pm["files"], pm))
             partitions.update(pm.get("partitions", {}))
             schema_json = self._evolve_schema(pm["schema"], schema_json)
+            dv = pm.get("dv") or []
         return self._publish(
             version,
             files,
@@ -522,6 +586,7 @@ class VersionedTable:
             sizes,
             stats,
             partitions,
+            dv=dv,
         )
 
     def prune_partitions(
@@ -596,7 +661,7 @@ class VersionedTable:
             version = self.latest_version()
         kept, _, _ = self.prune_partitions(filters, version)
         m = self._manifest(version)
-        return self._read_files(kept, m["schema"])
+        return self._read_files(kept, m["schema"], m.get("dv"))
 
     def delete_where(self, col, lo=None, hi=None) -> dict:
         """Predicate DELETE (``col BETWEEN lo AND hi``) as file-granular
@@ -630,12 +695,22 @@ class VersionedTable:
         n_deleted = n_rewritten = 0
         new_files: list[str] = []
         stats: dict[str, dict] = {}
+        prev_dv = m.get("dv") or []
         if candidates:
-            cand_stats = self._file_stats(candidates, m)
-            n_candidate_rows = sum(
-                cand_stats[f].get("num_rows", 0) for f in candidates
-            )
-            survivors = self._read_files(candidates, m["schema"]).filter(keep)
+            if prev_dv:
+                # footer counts include rows a DV already removed — count
+                # the LIVE candidate rows so the delete report stays exact
+                n_candidate_rows = self._read_files(
+                    candidates, m["schema"], prev_dv
+                ).count()
+            else:
+                cand_stats = self._file_stats(candidates, m)
+                n_candidate_rows = sum(
+                    cand_stats[f].get("num_rows", 0) for f in candidates
+                )
+            survivors = self._read_files(
+                candidates, m["schema"], prev_dv
+            ).filter(keep)
             # one pass: the rewrite job is the only candidate-file read;
             # both report counts come from manifest + new-file footers
             written = self._write_files(survivors, version)
@@ -648,14 +723,116 @@ class VersionedTable:
         sizes = self._file_sizes(new_files)
         sizes.update(self._file_sizes(untouched, m))
         stats.update(self._file_stats(untouched, m))
+        # untouched files keep their deletion vectors (entries naming the
+        # rewritten candidates go stale and match nothing)
         manifest = self._publish(
-            version, files, "delete", m["schema"], sizes, stats
+            version, files, "delete", m["schema"], sizes, stats, dv=prev_dv
         )
         manifest.update(
             files_untouched=len(untouched),
             files_rewritten=len(candidates),
             rows_deleted=n_deleted,
             rows_rewritten=n_rewritten,
+        )
+        return manifest
+
+    def delete_where_dv(self, col, lo=None, hi=None) -> dict:
+        """Predicate DELETE (``col BETWEEN lo AND hi``) as MERGE-ON-READ
+        deletion vectors — the Delta DV / Iceberg position-delete shape,
+        the write-cheap sibling of :meth:`delete_where` (copy-on-write):
+        no data file is touched. Manifest stats pick the candidate files
+        exactly as COW does, but instead of rewriting survivors the
+        matching rows' (file, position) pairs are written as a small
+        parquet deletion vector under ``_dv/`` and the commit carries the
+        SAME file set forward by reference. Every read of the new version
+        (:meth:`snapshot` / :meth:`scan` / :meth:`merge` / feeds) drops
+        the vectored positions via one broadcast anti-join;
+        :meth:`compact` / overwrite commits materialize and reset them.
+
+        The 100 TB trade: COW pays a rewrite of every candidate file per
+        delete (hours for a wide erasure); DV pays bytes proportional to
+        the MATCH COUNT at write time and a broadcast anti-join at read
+        time — the standard answer when deletes are frequent and small
+        relative to the files they touch, with compaction amortizing the
+        read tax on a maintenance schedule.
+
+        Positions already deleted by a previous vector are anti-joined
+        out before writing, so vectors never overlap and ``rows_deleted``
+        is exact under stacked deletes. NULL keys never match a BETWEEN
+        predicate and survive (SQL DELETE semantics).
+
+        Returns the commit manifest extended with ``files_candidates``,
+        ``files_rewritten`` (always 0), ``rows_deleted`` and
+        ``dv_files_total``."""
+        prev = self.latest_version()
+        if prev is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        candidates, _, _ = self.prune_files(col, lo, hi, prev)
+        m = self._manifest(prev)
+        version = prev + 1
+        prev_dv = m.get("dv") or []
+        c = F.col(col)
+        pred = F.lit(True)
+        if lo is not None:
+            pred = pred & (c >= lo)
+        if hi is not None:
+            pred = pred & (c <= hi)
+        n_deleted = 0
+        new_dv: list[str] = []
+        if candidates:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            fk, pk = self._pos_key()
+            keyed = (
+                self.spark.read.schema(schema)
+                .parquet(*[os.path.join(self.root, f) for f in candidates])
+                .select(
+                    F.coalesce(pred, F.lit(False)).alias("__hit"),
+                    fk.alias("file"),
+                    pk.alias("pos"),
+                )
+            )
+            matches = keyed.filter(F.col("__hit")).select("file", "pos")
+            if prev_dv:
+                matches = matches.join(
+                    F.broadcast(self._dv_read(prev_dv)),
+                    ["file", "pos"],
+                    "left_anti",
+                )
+            rel_dir = os.path.join(
+                _DV, f"v{version:011d}-{uuid.uuid4().hex[:8]}"
+            )
+            out = os.path.join(self.root, rel_dir)
+            # one DV blob per commit: position lists are tiny next to the
+            # data files they annotate, and a single file keeps the
+            # read-side broadcast a one-file scan
+            matches.repartition(1).write.mode("overwrite").parquet(out)
+            written = [
+                os.path.join(rel_dir, f)
+                for f in os.listdir(out)
+                if f.endswith(".parquet")
+            ]
+            wstats = self._compute_stats(written)
+            new_dv = [f for f in written if wstats[f]["num_rows"] > 0]
+            n_deleted = sum(wstats[f]["num_rows"] for f in written)
+            if not new_dv:
+                shutil.rmtree(out, ignore_errors=True)
+        manifest = self._publish(
+            version,
+            m["files"],
+            "delete-dv",
+            m["schema"],
+            self._file_sizes(m["files"], m),
+            self._file_stats(m["files"], m),
+            m.get("partitions"),
+            dv=prev_dv + new_dv,
+        )
+        manifest.update(
+            files_candidates=len(candidates),
+            files_rewritten=0,
+            rows_deleted=n_deleted,
+            dv_files_total=len(prev_dv) + len(new_dv),
         )
         return manifest
 
@@ -703,14 +880,16 @@ class VersionedTable:
             files.append(rel)
         sizes = self._file_sizes(files)
         stats = self._compute_stats(files)
+        dv: list[str] = []
         if mode == "append" and prev is not None:
             pm = self._manifest(prev)
             files += pm["files"]
             sizes.update(self._file_sizes(pm["files"], pm))
             stats.update(self._file_stats(pm["files"], pm))
             schema_json = self._evolve_schema(pm["schema"], schema_json)
+            dv = pm.get("dv") or []
         return self._publish(
-            version, files, "add_files", schema_json, sizes, stats
+            version, files, "add_files", schema_json, sizes, stats, dv=dv
         )
 
     @staticmethod
@@ -844,11 +1023,23 @@ class VersionedTable:
         # paths breaks as soon as the table root needs URI escaping.
         from urllib.parse import unquote, urlparse
 
+        prev_dv = m.get("dv") or []
         affected_names = set()
         if candidates:
-            tagged = self._read_files(candidates, m["schema"]).withColumn(
-                "__file", F.input_file_name()
+            from pyspark.sql.types import StructType
+
+            # tag with _metadata.file_path BEFORE the DV anti-join:
+            # input_file_name() refuses plans with more than one file
+            # source, and the DV read is a second one
+            tagged = (
+                self.spark.read.schema(
+                    StructType.fromJson(json.loads(m["schema"]))
+                )
+                .parquet(*[os.path.join(self.root, f) for f in candidates])
+                .withColumn("__file", F.col("_metadata.file_path"))
             )
+            if prev_dv:
+                tagged = self._apply_dv(tagged, prev_dv)
             affected_names = {
                 os.path.basename(unquote(urlparse(r["__file"]).path))
                 for r in tagged.select("__file", *key_cols)
@@ -867,7 +1058,7 @@ class VersionedTable:
             f["name"] for f in json.loads(m["schema"])["fields"]
         ] or source.columns
         survivors = (
-            self._read_files(affected_rel, m["schema"]).join(
+            self._read_files(affected_rel, m["schema"], prev_dv).join(
                 F.broadcast(keys), on=key_cols, how="left_anti"
             )
             if affected_rel
@@ -890,14 +1081,21 @@ class VersionedTable:
             m["schema"],
             sizes,
             stats,
+            dv=prev_dv,
         )
         # blast-radius report, all from metadata + one source count:
         # survivors = rewritten_rows - |source|; updated = affected_rows
         # - survivors (the matched rows the rewrite dropped)
-        old_stats = self._file_stats(m["files"], m)
-        affected_rows = sum(
-            old_stats[f].get("num_rows", 0) for f in affected_rel
-        )
+        if prev_dv and affected_rel:
+            # footer counts include DV-deleted rows; count live rows
+            affected_rows = self._read_files(
+                affected_rel, m["schema"], prev_dv
+            ).count()
+        else:
+            old_stats = self._file_stats(m["files"], m)
+            affected_rows = sum(
+                old_stats[f].get("num_rows", 0) for f in affected_rel
+            )
         n_source = source.count()
         n_rewritten = sum(stats[f]["num_rows"] for f in new_files)
         rows_updated = affected_rows - (n_rewritten - n_source)
@@ -958,14 +1156,18 @@ class VersionedTable:
             removed = [f for f in pm["files"] if f not in cur_set]
             added = [f for f in m["files"] if f not in prev_set]
             cur = StructType.fromJson(json.loads(m["schema"]))
-            pre = self._read_files(removed, pm["schema"])
-            for fld in cur.fields:  # additive evolution: old files -> null
-                if fld.name not in pre.columns:
-                    pre = pre.withColumn(
-                        fld.name, F.lit(None).cast(fld.dataType)
-                    )
-            pre = pre.select([fld.name for fld in cur.fields])
-            post = self._read_files(added, m["schema"])
+
+            def _align(df: DataFrame) -> DataFrame:
+                # additive evolution: old files -> null
+                for fld in cur.fields:
+                    if fld.name not in df.columns:
+                        df = df.withColumn(
+                            fld.name, F.lit(None).cast(fld.dataType)
+                        )
+                return df.select([fld.name for fld in cur.fields])
+
+            pre = _align(self._read_files(removed, pm["schema"], pm.get("dv")))
+            post = self._read_files(added, m["schema"], m.get("dv"))
             payload = [c for c in post.columns if c not in key_cols]
             a = pre.withColumn("__pre", F.lit(1)).alias("a")
             b = post.withColumn("__post", F.lit(1)).alias("b")
@@ -1006,6 +1208,46 @@ class VersionedTable:
                 .unionByName(upost)
                 .withColumn("_commit_version", F.lit(v).cast("bigint"))
             )
+            # DV commits change no data file, so the file diff is empty —
+            # the deleted rows are named by the NEW deletion-vector files
+            # this commit added. Read only the data files those vectors
+            # reference and semi-join the positions: still never a
+            # two-snapshot scan. (delete_where_dv anti-joins prior DVs
+            # when it writes a vector, so delta positions are disjoint
+            # from rows already deleted.)
+            dv_added = [
+                f
+                for f in (m.get("dv") or [])
+                if f not in set(pm.get("dv") or [])
+            ]
+            if dv_added:
+                delta = self._dv_read(dv_added)
+                src_files = sorted(
+                    r["file"]
+                    for r in delta.select("file").distinct().collect()
+                )
+                if src_files:
+                    fk, pk = self._pos_key()
+                    raw = (
+                        self._read_files(src_files, pm["schema"])
+                        .withColumn("__dv_file", fk)
+                        .withColumn("__dv_pos", pk)
+                    )
+                    cond = (raw["__dv_file"] == delta["file"]) & (
+                        raw["__dv_pos"] == delta["pos"]
+                    )
+                    dv_rows = _align(
+                        raw.join(F.broadcast(delta), cond, "left_semi").drop(
+                            "__dv_file", "__dv_pos"
+                        )
+                    )
+                    part = part.unionByName(
+                        dv_rows.withColumn(
+                            "_change_type", F.lit("delete")
+                        ).withColumn(
+                            "_commit_version", F.lit(v).cast("bigint")
+                        )
+                    )
             out = part if out is None else out.unionByName(part)
         if out is None:  # empty range: typed empty frame, current schema
             m = self._manifest(to_version)
@@ -1054,7 +1296,11 @@ class VersionedTable:
         small_bytes = sum(sizes[f] for f in small)
         n_out = max(1, -(-small_bytes // target_file_bytes))  # ceil
         version = prev + 1
-        rewritten = self._read_files(small, m["schema"]).repartition(n_out)
+        # the rewrite read applies deletion vectors (materializing them
+        # for the small files); kept files retain their DV entries
+        rewritten = self._read_files(
+            small, m["schema"], m.get("dv")
+        ).repartition(n_out)
         new_files = self._write_files(rewritten, version)
         new_sizes = self._file_sizes(new_files)
         new_sizes.update({f: sizes[f] for f in keep})
@@ -1067,6 +1313,7 @@ class VersionedTable:
             m["schema"],
             new_sizes,
             new_stats,
+            dv=m.get("dv"),
         )
 
     # -- write-audit-publish (staging branches) ---------------------------
@@ -1153,12 +1400,14 @@ class VersionedTable:
         sizes = dict(m["sizes"])
         stats = dict(m["stats"])
         schema_json = m["schema"]
+        dv: list[str] = []
         if mode == "append" and prev is not None:
             pm = self._manifest(prev)
             files += pm["files"]
             sizes.update(self._file_sizes(pm["files"], pm))
             stats.update(self._file_stats(pm["files"], pm))
             schema_json = self._evolve_schema(pm["schema"], schema_json)
+            dv = pm.get("dv") or []
         out = self._publish(
             version,
             files,
@@ -1166,6 +1415,7 @@ class VersionedTable:
             schema_json,
             sizes,
             stats,
+            dv=dv,
         )
         os.remove(self._staged_path(branch))
         return out
@@ -1211,6 +1461,24 @@ class VersionedTable:
                     removed.append(rel)
             if not os.listdir(subdir):
                 shutil.rmtree(subdir)
+        # deletion vectors referenced by no retained manifest expire with
+        # the snapshots that needed them (compaction/overwrite resets the
+        # dv list, so vectors age out on the same schedule as data files)
+        live_dv = {
+            f for v in keep_vs for f in self._manifest(v).get("dv") or []
+        }
+        dv_root = os.path.join(self.root, _DV)
+        if os.path.isdir(dv_root):
+            for sub in sorted(os.listdir(dv_root)):
+                subdir = os.path.join(dv_root, sub)
+                for f in sorted(os.listdir(subdir)):
+                    rel = os.path.join(_DV, sub, f)
+                    if rel not in live_dv:
+                        os.remove(os.path.join(subdir, f))
+                        if f.endswith(".parquet"):
+                            removed.append(rel)
+                if not os.listdir(subdir):
+                    shutil.rmtree(subdir)
         # drop expired manifests so history() reflects what is readable
         for v in vs:
             if v not in keep_vs:

@@ -676,9 +676,9 @@ def test_change_feed_rows_and_read_scope(spark, table, monkeypatch):
     read_log: list[list[str]] = []
     orig = table._read_files
 
-    def spy(files, schema_json):
+    def spy(files, schema_json, dv_files=None):
         read_log.append(list(files))
-        return orig(files, schema_json)
+        return orig(files, schema_json, dv_files)
 
     monkeypatch.setattr(table, "_read_files", spy)
     feed12 = table.change_feed(["k"], 1, 2)
@@ -841,3 +841,98 @@ def test_apply_change_feed_reconstructs_snapshot(spark, table):
     want = sorted((r.k, r.v) for r in table.snapshot().collect())
     assert got == want
     assert got == [(0, "p0"), (1, "p1"), (4, "p4"), (5, "p5"), (10, "NEW")]
+
+
+# -- deletion vectors (merge-on-read DELETE) -------------------------------
+
+
+def test_dv_delete_is_metadata_only_and_time_travels(spark, chunked_table):
+    t = chunked_table
+    before = t._manifest(0)
+    m = t.delete_where_dv("k", 5, 24)
+    assert m["operation"] == "delete-dv"
+    assert m["files"] == before["files"]          # no data file touched
+    assert m["files_rewritten"] == 0
+    assert m["files_candidates"] == 3             # chunks 0,1,2 intersect
+    assert m["rows_deleted"] == 20
+    assert len(m["dv"]) == 1
+    assert t.snapshot().count() == 20
+    assert sorted(r.k for r in t.snapshot().collect()) == (
+        list(range(0, 5)) + list(range(25, 40))
+    )
+    assert t.snapshot(0).count() == 40            # time travel unaffected
+
+
+def test_dv_stacked_deletes_are_disjoint_and_exact(spark, chunked_table):
+    t = chunked_table
+    t.delete_where_dv("k", 5, 24)
+    m2 = t.delete_where_dv("k", 20, 31)           # overlaps [20,24]
+    assert m2["rows_deleted"] == 7                # 25..31 only
+    assert len(m2["dv"]) == 2
+    assert t.snapshot().count() == 13
+    assert t.scan("k", 0, 39).count() == 13       # stats scan agrees
+
+
+def test_dv_append_and_merge_do_not_resurrect(spark, chunked_table):
+    t = chunked_table
+    t.delete_where_dv("k", 10, 19)                # chunk 1 fully deleted
+    t.commit(
+        spark.createDataFrame([Row(k=100, v="new", cid=10)]), mode="append"
+    )
+    assert t.snapshot().count() == 31             # 30 survivors + 1
+    mm = t.merge(spark.createDataFrame(
+        [Row(k=25, v="UPD", cid=2)]), ["k"])      # rewrites chunk 2
+    assert mm["files_rewritten"] == 1
+    assert mm["rows_updated"] == 1 and mm["rows_inserted"] == 0
+    snap = t.snapshot()
+    assert snap.count() == 31
+    assert snap.filter("k between 10 and 19").count() == 0
+    assert snap.filter("k = 25").collect()[0].v == "UPD"
+
+
+def test_dv_cow_delete_after_dv_is_exact(spark, chunked_table):
+    t = chunked_table
+    t.delete_where_dv("k", 10, 19)
+    m = t.delete_where("k", 15, 24)               # candidates incl. dv'd file
+    assert m["rows_deleted"] == 5                 # 20..24 only (10..19 gone)
+    assert t.snapshot().count() == 25
+
+
+def test_dv_change_feed_emits_vectored_rows_as_deletes(spark, chunked_table):
+    t = chunked_table
+    t.delete_where_dv("k", 5, 8)                  # v1: dv commit, no file diff
+    feed = t.change_feed(["k"], 0, 1)
+    rows = sorted((r.k, r._change_type, r._commit_version)
+                  for r in feed.collect())
+    assert rows == [(5, "delete", 1), (6, "delete", 1),
+                    (7, "delete", 1), (8, "delete", 1)]
+    # and apply_change_feed roundtrips across the dv commit
+    from data_engineering_nd_spark.tables import apply_change_feed
+
+    applied = apply_change_feed(t.snapshot(version=0), feed, ["k"])
+    assert sorted(r.k for r in applied.collect()) == sorted(
+        r.k for r in t.snapshot().collect()
+    )
+
+
+def test_dv_compact_materializes_and_vacuum_expires_vectors(
+    spark, chunked_table
+):
+    t = chunked_table
+    t.delete_where_dv("k", 0, 9)
+    mc = t.compact(1)
+    assert mc["dv"] == []                         # vectors materialized away
+    assert t.snapshot().count() == 30
+    t.vacuum(retain_last=1)
+    dv_dir = os.path.join(t.root, "_dv")
+    left = [f for dp, _, fns in os.walk(dv_dir) for f in fns
+            if f.endswith(".parquet")]
+    assert left == []                             # expired vectors removed
+    assert t.snapshot().count() == 30
+
+
+def test_dv_vacuum_keeps_live_vectors(spark, chunked_table):
+    t = chunked_table
+    t.delete_where_dv("k", 0, 9)                  # v1 (latest, retained)
+    t.vacuum(retain_last=1)
+    assert t.snapshot().count() == 30             # vector still readable
