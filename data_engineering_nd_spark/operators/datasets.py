@@ -3870,6 +3870,142 @@ def tbl_deletion_vectors_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Zero-copy shallow clone: a writable fork for the cost of one JSON write
+# ---------------------------------------------------------------------------
+
+_CLONE_ORACLE = """
+    WITH params AS (
+        SELECT ((MAX(o_orderkey) + 8) // 8) AS width FROM orders
+    ),
+    bounds AS (
+        SELECT 2 * width AS lo, 4 * width + width // 2 AS hi FROM params
+    ),
+    chunks AS (
+        SELECT o.o_orderkey, o.o_orderkey // p.width AS cid
+        FROM orders o CROSS JOIN params p
+    ),
+    file_stats AS (
+        SELECT cid, MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx
+        FROM chunks GROUP BY cid
+    ),
+    cand AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nf,
+               CAST(SUM(CASE WHEN NOT (mx < b.lo OR mn > b.hi)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c
+        FROM file_stats CROSS JOIN bounds b
+    ),
+    src AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(concat('0x',
+                    substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 10))
+                    AS BIGINT)) AS BIGINT) AS chk
+        FROM orders
+    ),
+    fork AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(concat('0x',
+                    substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 10))
+                    AS BIGINT)) AS BIGINT) AS chk
+        FROM orders CROSS JOIN bounds b
+        WHERE NOT (o_orderkey BETWEEN b.lo AND b.hi)
+    )
+    SELECT c.nf AS src_files,
+           CAST(0 AS BIGINT) AS clone_local_data_files,
+           c.c AS clone_cand_files,
+           s.n - f.n AS clone_rows_deleted,
+           s.n AS n_src,
+           s.chk AS src_checksum,
+           f.n AS n_clone,
+           f.chk AS clone_checksum
+    FROM cand c, src s, fork f
+"""
+
+
+@query("tbl_shallow_clone", oracle=_CLONE_ORACLE)
+def tbl_shallow_clone_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy SHALLOW CLONE of a VersionedTable (``clone_from`` — the
+    Delta ``CLONE`` shape), then a merge-on-read DELETE on the FORK:
+    orders is laid out as 8 range-chunk files, cloned for the cost of
+    one manifest write (``clone_local_data_files`` pins that not a
+    single data file exists under the clone's directory even AFTER the
+    delete — clone and DV-delete are both metadata commits), and the
+    fork drops ``o_orderkey BETWEEN lo AND hi`` while the source keeps
+    serving every row. The report value-hashes BOTH sides: the source
+    snapshot must checksum to the full table (isolation — the fork's
+    delete never leaks back) and the clone to the survivors (the fork
+    reads source files in place, minus its own deletion vector).
+
+    The 100 TB use: what-if reprocessing and dev forks of a production
+    table start in milliseconds instead of with a multi-hour copy, and
+    erasure experiments on the fork are themselves metadata-sized."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    orders = load(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    max_key = int(orders.agg(F.max("o_orderkey")).collect()[0][0])
+    width = (max_key + 8) // 8
+    lo, hi = 2 * width, 4 * width + width // 2
+
+    work = tempfile.mkdtemp(prefix="tbl_clone_")
+    try:
+        staging = work + "/staging"
+        orders.withColumn(
+            "cid", F.expr(f"o_orderkey div {width}")
+        ).repartition(1).write.partitionBy("cid").parquet(staging)
+        src = VersionedTable(spark, work + "/src")
+        m0 = src.add_files(staging)
+
+        fork = VersionedTable(spark, work + "/fork")
+        fork.clone_from(src)
+        md = fork.delete_where_dv("o_orderkey", lo, hi)
+
+        clone_data = _os.path.join(fork.root, "data")
+        n_local = (
+            sum(len(fns) for _, _, fns in _os.walk(clone_data))
+            if _os.path.isdir(clone_data)
+            else 0
+        )
+        key_digest = md5_prefix_long(F.col("o_orderkey").cast("string"))
+
+        def _summary(df, n_alias, chk_alias):
+            return df.agg(
+                F.count(F.lit(1)).cast("bigint").alias(n_alias),
+                F.sum(key_digest).cast("bigint").alias(chk_alias),
+            )
+
+        out = (
+            _summary(src.snapshot(), "n_src", "src_checksum")
+            .crossJoin(
+                _summary(fork.snapshot(), "n_clone", "clone_checksum")
+            )
+            .select(
+                F.lit(m0["num_files"]).cast("bigint").alias("src_files"),
+                F.lit(n_local).cast("bigint").alias(
+                    "clone_local_data_files"
+                ),
+                F.lit(md["files_candidates"]).cast("bigint").alias(
+                    "clone_cand_files"
+                ),
+                F.lit(md["rows_deleted"]).cast("bigint").alias(
+                    "clone_rows_deleted"
+                ),
+                "n_src",
+                "src_checksum",
+                "n_clone",
+                "clone_checksum",
+            )
+        )
+        # output-sized (1 row); materialize so the scratch table can go
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # Markov transition matrix: behavioral sequence statistics from the event
 # log — P(next event type | current event type) per user journey. The
 # model behind next-action prediction features, funnel-drop diagnostics,

@@ -225,6 +225,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "tbl_cdc_apply_roundtrip",
         "q102_ohlc_bars",
         "tbl_deletion_vectors",
+        "tbl_shallow_clone",
     ], 9),
 }
 

@@ -836,6 +836,56 @@ class VersionedTable:
         )
         return manifest
 
+    def clone_from(
+        self, src: "VersionedTable", version: int | None = None
+    ) -> dict:
+        """Zero-copy SHALLOW CLONE (the Delta ``CLONE`` / Iceberg
+        snapshot-ref shape): publish this (empty) table's v0 as a
+        manifest that references the SOURCE snapshot's data files —
+        recorded by absolute path — plus its sizes/stats/partition
+        values and deletion vectors. No data byte moves; the clone costs
+        one small JSON write regardless of table size.
+
+        The clone then evolves independently: its own commits, merges
+        and (DV or COW) deletes write into ITS data directory, while
+        untouched source files stay referenced in place; the source
+        never observes any of it. Cloning a historical ``version`` gives
+        a writable fork of a time-travel snapshot.
+
+        Lifecycle contract (same as Delta shallow clones): the clone's
+        :meth:`vacuum` walks only its OWN data directory, so it can
+        never delete source files — but a vacuum on the SOURCE that
+        expires the cloned snapshot breaks the clone. Clone onto a
+        retained snapshot, or compact the clone (materializing it into
+        its own files) before aging out the source.
+
+        The 100 TB use: dev/test forks and what-if reprocessing against
+        a production table for the cost of a metadata write — the
+        experiment that would otherwise start with a multi-hour copy."""
+        if self.versions():
+            raise ValueError(
+                f"clone target {self.root} already has commits"
+            )
+        if version is None:
+            version = src.latest_version()
+        if version is None:
+            raise FileNotFoundError(f"no committed version at {src.root}")
+        m = src._manifest(version)
+
+        def _abs(f: str) -> str:
+            return os.path.abspath(os.path.join(src.root, f))
+
+        return self._publish(
+            0,
+            [_abs(f) for f in m["files"]],
+            f"clone({os.path.abspath(src.root)}@v{version})",
+            m["schema"],
+            {_abs(f): v for f, v in (m.get("sizes") or {}).items()},
+            {_abs(f): v for f, v in (m.get("stats") or {}).items()},
+            {_abs(f): v for f, v in (m.get("partitions") or {}).items()},
+            dv=[_abs(f) for f in m.get("dv") or []],
+        )
+
     def add_files(self, src_dir: str, mode: str = "overwrite") -> dict:
         """Register parquet files ALREADY WRITTEN under ``src_dir`` as the
         next snapshot — the Iceberg ``add_files`` / Delta ``CONVERT``

@@ -936,3 +936,57 @@ def test_dv_vacuum_keeps_live_vectors(spark, chunked_table):
     t.delete_where_dv("k", 0, 9)                  # v1 (latest, retained)
     t.vacuum(retain_last=1)
     assert t.snapshot().count() == 30             # vector still readable
+
+
+# -- shallow clone (zero-copy fork) ----------------------------------------
+
+
+def test_clone_is_zero_copy_and_reads_equal(spark, chunked_table, tmp_path):
+    src = chunked_table
+    src.delete_where_dv("k", 36, 39)              # source DV at clone time
+    clone = VersionedTable(spark, str(tmp_path / "fork"))
+    m = clone.clone_from(src)
+    assert m["version"] == 0 and m["operation"].startswith("clone(")
+    assert clone.snapshot().count() == 36         # source DV carried
+    data_dir = os.path.join(clone.root, "data")
+    assert not os.path.isdir(data_dir)            # not one data byte copied
+    assert sorted(r.k for r in clone.snapshot().collect()) == sorted(
+        r.k for r in src.snapshot().collect()
+    )
+
+
+def test_clone_evolves_independently_of_source(spark, chunked_table, tmp_path):
+    src = chunked_table
+    clone = VersionedTable(spark, str(tmp_path / "fork"))
+    clone.clone_from(src)
+    clone.delete_where_dv("k", 0, 9)
+    clone.merge(spark.createDataFrame([Row(k=15, v="UPD", cid=1)]), ["k"])
+    assert clone.snapshot().count() == 30
+    assert clone.snapshot().filter("v = 'UPD'").count() == 1
+    assert src.snapshot().count() == 40           # source never observes it
+    assert src.snapshot().filter("v = 'UPD'").count() == 0
+    src.commit(spark.createDataFrame(
+        [Row(k=99, v="new", cid=9)]), mode="append")
+    assert clone.snapshot().count() == 30         # clone pinned at clone point
+
+
+def test_clone_vacuum_never_touches_source_files(spark, chunked_table, tmp_path):
+    src = chunked_table
+    clone = VersionedTable(spark, str(tmp_path / "fork"))
+    clone.clone_from(src)
+    clone.delete_where("k", 0, 9)                 # COW: local rewrite commit
+    clone.vacuum(retain_last=1)                   # expires clone v0
+    assert src.snapshot().count() == 40           # source fully intact
+    assert clone.snapshot().count() == 30
+
+
+def test_clone_of_historical_version_and_nonempty_target_rejected(
+    spark, chunked_table, tmp_path
+):
+    src = chunked_table
+    src.delete_where_dv("k", 0, 19)               # v1
+    clone = VersionedTable(spark, str(tmp_path / "fork"))
+    clone.clone_from(src, version=0)
+    assert clone.snapshot().count() == 40         # pre-delete state
+    with pytest.raises(ValueError):
+        clone.clone_from(src)                     # non-empty target
