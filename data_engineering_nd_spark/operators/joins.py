@@ -277,6 +277,139 @@ def q38_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    bucket_width: int,
+) -> DataFrame:
+    """INTERVAL-OVERLAP join (both sides are intervals; inclusive bounds):
+    emit every (a, b) pair with ``a_start <= b_end AND b_start <= a_end``
+    — the temporal/genomic overlap-join primitive that q38's
+    containment join (point in interval) cannot express.
+
+    Scale shape: the theta formulation is a nested loop, quadratic at
+    scale. Instead each interval explodes into the fixed-width buckets
+    it spans and the join is hash-partitioned EQUI on the bucket id with
+    the exact overlap predicate as a residual. Duplicate elimination is
+    FREE — no distinct shuffle: a qualifying pair is emitted only from
+    the bucket containing the OVERLAP START ``max(a_start, b_start)``
+    (that point lies in both intervals, so exactly one common bucket
+    satisfies the anchor condition). Work is O(sum of interval spans /
+    bucket_width) exploded rows plus the per-bucket join; pick
+    ``bucket_width`` near the typical interval length so the explosion
+    factor stays ~2 and no bucket collects more than a time-slice of
+    intervals.
+
+    Start/end columns must be integer-valued (epoch days/seconds);
+    column names must not collide across ``a`` and ``b`` (pre-alias)."""
+    ab = a.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"{a_start} div {bucket_width}"),
+                F.expr(f"{a_end} div {bucket_width}"),
+            )
+        ),
+    )
+    bb = b.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"{b_start} div {bucket_width}"),
+                F.expr(f"{b_end} div {bucket_width}"),
+            )
+        ),
+    )
+    anchor = F.expr(
+        f"greatest({a_start}, {b_start}) div {bucket_width}"
+    )
+    return (
+        ab.join(bb, "__bucket")
+        .filter(
+            (F.col(a_start) <= F.col(b_end))
+            & (F.col(b_start) <= F.col(a_end))
+            & (F.col("__bucket") == anchor)
+        )
+        .drop("__bucket")
+    )
+
+
+@query(
+    "q103_interval_overlap_join",
+    oracle="""
+    WITH iv AS (
+        SELECT o_orderkey AS k, o_orderpriority AS p,
+               datediff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE)) AS s,
+               datediff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE))
+                   + o_orderkey % 14 + 1 AS e
+        FROM orders
+        WHERE year(CAST(o_orderdate AS DATE)) = 1995
+    )
+    SELECT a.p AS a_priority, b.p AS b_priority,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(LEAST(a.e, b.e) - GREATEST(a.s, b.s) + 1) AS BIGINT)
+               AS overlap_days,
+           CAST(SUM(a.k + b.k) AS BIGINT) AS key_checksum
+    FROM iv a
+    JOIN iv b
+      ON a.k < b.k AND a.s <= b.e AND b.s <= a.e
+    GROUP BY a.p, b.p
+    """,
+)
+def q103_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-order analysis via the interval-OVERLAP join: each 1995
+    order holds a processing window [orderdate, orderdate + 1..14 days]
+    (length keyed off the orderkey, deterministic); every overlapping
+    pair of DISTINCT orders (a < b on key) is found with the bucketed
+    anchor join — never a nested loop, never a distinct — and rolled up
+    per priority pair with the exact total overlap days and a key-sum
+    checksum (any lost or duplicated pair shifts it).
+
+    The oracle states the same join as the naive inequality theta-join —
+    identical result, quadratic cost class — which is exactly the
+    equivalence that makes the bucketed rewrite safe at 100 TB."""
+    o = load(spark, "orders", sf_dir).filter(
+        F.year(F.col("o_orderdate").cast("date")) == 1995
+    )
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    iv = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("p"),
+        day.alias("s"),
+        (day + F.col("o_orderkey") % 14 + 1).alias("e"),
+    )
+    a = iv.select(
+        F.col("k").alias("a_k"), F.col("p").alias("a_p"),
+        F.col("s").alias("a_s"), F.col("e").alias("a_e"),
+    )
+    b = iv.select(
+        F.col("k").alias("b_k"), F.col("p").alias("b_p"),
+        F.col("s").alias("b_s"), F.col("e").alias("b_e"),
+    )
+    pairs = interval_overlap_join(
+        a, b, "a_s", "a_e", "b_s", "b_e", bucket_width=16
+    ).filter(F.col("a_k") < F.col("b_k"))
+    return pairs.groupBy(
+        F.col("a_p").alias("a_priority"), F.col("b_p").alias("b_priority")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(
+            F.least("a_e", "b_e") - F.greatest("a_s", "b_s") + F.lit(1)
+        ).cast("bigint").alias("overlap_days"),
+        F.sum(F.col("a_k") + F.col("b_k")).cast("bigint").alias(
+            "key_checksum"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # The salted join under the gate: q26 covers the group-by half of the skew
 # toolkit; this puts the JOIN half (salted_join above) under a value-hash

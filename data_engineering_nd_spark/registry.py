@@ -226,6 +226,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "q102_ohlc_bars",
         "tbl_deletion_vectors",
         "tbl_shallow_clone",
+        "q103_interval_overlap_join",
     ], 9),
 }
 

@@ -297,3 +297,44 @@ def test_q94_hot_key_classification(spark, tmp_path):
     assert out[0].n_keys == 2 and out[0].n_rows == 4
     assert out[1].revenue == 2000.0 and out[0].revenue == 40.0
     assert out[1].n_names == 1 and out[0].n_names == 2
+
+
+def test_interval_overlap_join_matches_brute_force(spark):
+    """Bucketed anchor join == naive cross-join overlap filter, across
+    intervals that span 1, 2 and 3+ buckets, touch at endpoints, nest,
+    and are disjoint — and each qualifying pair is emitted exactly once
+    (the anchor condition is the dedup)."""
+    from data_engineering_nd_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    rows = [
+        (1, 0, 5), (2, 5, 9),      # touch at endpoint 5 (inclusive)
+        (3, 10, 40), (4, 12, 14),  # nested, b inside a, spans buckets
+        (5, 41, 41),               # point interval, disjoint from 3
+        (6, 7, 25),                # spans 3 buckets of width 8
+        (7, 100, 110),             # far away
+    ]
+    a = spark.createDataFrame(
+        [(k, s, e) for k, s, e in rows], "a_k long, a_s long, a_e long"
+    )
+    b = spark.createDataFrame(
+        [(k, s, e) for k, s, e in rows], "b_k long, b_s long, b_e long"
+    )
+    got = sorted(
+        (r.a_k, r.b_k)
+        for r in interval_overlap_join(
+            a, b, "a_s", "a_e", "b_s", "b_e", bucket_width=8
+        )
+        .filter("a_k < b_k")
+        .collect()
+    )
+    want = sorted(
+        (ak, bk)
+        for ak, as_, ae in rows
+        for bk, bs, be in rows
+        if ak < bk and as_ <= be and bs <= ae
+    )
+    assert got == want
+    assert (1, 2) in got and (3, 4) in got and (3, 6) in got
+    assert (3, 5) not in got

@@ -138,6 +138,7 @@ HEADLINERS = [
     "q101_grouped_quantiles_sketch",
     "graph_louvain",
     "q102_ohlc_bars",
+    "q103_interval_overlap_join",
     # q98_dynamic_partition_pruning returns a localCheckpoint-ed result
     # (its scratch fixture is removed before serve); the dynamicpruning
     # plan shape is pinned live in tests/test_plans.py instead.
