@@ -81,6 +81,17 @@ def _sql_position(key_expr: str, i: int) -> str:
     )
 
 
+def py_position(value: str, i: int, m_bits: int) -> int:
+    """Driver-side (pure Python) twin of :func:`_position` — used by the
+    VersionedTable per-file Bloom index to probe a point-lookup key
+    against collected index words without launching a job. Keep all
+    three emitters (Spark / SQL / Python) in lockstep."""
+    import hashlib
+
+    digest = hashlib.md5(f"{i}:{value}".encode()).hexdigest()
+    return int(digest[:10], 16) % m_bits
+
+
 def bloom_build(
     keys: DataFrame, key_col: str, m_bits: int, k: int = K_HASHES
 ) -> list[int]:

@@ -4006,6 +4006,205 @@ def tbl_shallow_clone_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Per-file Bloom index: point-lookup file skipping on an unclustered column
+# ---------------------------------------------------------------------------
+
+_BLOOM_IDX_ORACLE = """
+    WITH params AS (
+        SELECT ((MAX(o_orderkey) + 8) // 8) AS width FROM orders
+    ),
+    file_keys AS (
+        SELECT DISTINCT o.o_orderkey // p.width AS cid,
+               CAST(o_custkey AS VARCHAR) AS k
+        FROM orders o CROSS JOIN params p
+    ),
+    file_m AS (
+        SELECT cid,
+               LEAST(GREATEST(32 * ((8 * COUNT(*) + 31) // 32), 32),
+                     1048576) AS m
+        FROM file_keys GROUP BY cid
+    ),
+    positions AS (
+        SELECT DISTINCT fk.cid,
+               CAST(concat('0x', substr(md5(concat('0:', fk.k)), 1, 10))
+                    AS BIGINT) % fm.m AS pos
+        FROM file_keys fk JOIN file_m fm USING (cid)
+        UNION
+        SELECT DISTINCT fk.cid,
+               CAST(concat('0x', substr(md5(concat('1:', fk.k)), 1, 10))
+                    AS BIGINT) % fm.m
+        FROM file_keys fk JOIN file_m fm USING (cid)
+        UNION
+        SELECT DISTINCT fk.cid,
+               CAST(concat('0x', substr(md5(concat('2:', fk.k)), 1, 10))
+                    AS BIGINT) % fm.m
+        FROM file_keys fk JOIN file_m fm USING (cid)
+    ),
+    probes AS (
+        SELECT DISTINCT o_custkey AS c FROM orders
+        WHERE o_custkey % 211 = 3
+    ),
+    probe_pos AS (
+        SELECT p.c, fm.cid, i.i,
+               CAST(concat('0x', substr(md5(concat(CAST(i.i AS VARCHAR),
+                    ':', CAST(p.c AS VARCHAR))), 1, 10))
+                    AS BIGINT) % fm.m AS pos
+        FROM probes p
+        CROSS JOIN file_m fm
+        CROSS JOIN (VALUES (0), (1), (2)) i(i)
+    ),
+    kept AS (
+        SELECT pp.c, pp.cid
+        FROM probe_pos pp
+        JOIN positions po ON po.cid = pp.cid AND po.pos = pp.pos
+        GROUP BY pp.c, pp.cid
+        HAVING COUNT(DISTINCT pp.i) = 3
+    ),
+    exact AS (
+        SELECT DISTINCT o.o_custkey AS c, o.o_orderkey // p.width AS cid
+        FROM orders o CROSS JOIN params p
+        WHERE o.o_custkey % 211 = 3
+    ),
+    fn AS (
+        SELECT COUNT(*) AS n_missed
+        FROM exact e LEFT JOIN kept k ON k.c = e.c AND k.cid = e.cid
+        WHERE k.c IS NULL
+    ),
+    found AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS chk
+        FROM orders WHERE o_custkey % 211 = 3
+    )
+    SELECT CAST((SELECT COUNT(*) FROM probes) AS BIGINT) AS n_probes,
+           CAST((SELECT COUNT(*) FROM file_m) AS BIGINT) AS files_total,
+           CAST((SELECT COUNT(*) FROM exact) AS BIGINT)
+               AS files_exact_total,
+           CAST((SELECT COUNT(*) FROM kept) AS BIGINT)
+               AS files_kept_total,
+           f.n AS rows_found_total,
+           f.chk AS orderkey_checksum,
+           CAST(CASE WHEN (SELECT n_missed FROM fn) = 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS no_false_negative
+    FROM found f
+"""
+
+
+@query("tbl_bloom_index_report", oracle=_BLOOM_IDX_ORACLE)
+def tbl_bloom_index_report_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Point-lookup file skipping on a column the LAYOUT cannot prune:
+    orders is laid out as 8 o_orderkey range chunks, so the manifest
+    min/max stats are useless for a ``o_custkey = ?`` probe — every
+    file's custkey interval covers every key (cf. ``tbl_skipping_report``
+    which prunes the clustered column). ``build_bloom_index`` writes a
+    per-file Bloom sidecar (~1 byte/distinct key, k=3 md5 hashes —
+    the Delta bloom-filter-index shape) and every probe becomes a
+    DRIVER-SIDE metadata decision.
+
+    The report probes every custkey ≡ 3 (mod 211) and value-hashes the
+    whole contract: the exact per-(probe, file) membership count, the
+    Bloom keep count (DETERMINISTIC — the oracle replays build and probe
+    from the same md5 family, per-file sizing included, as an EXISTS
+    query that never materializes word arrays), a no-false-negative flag
+    over every pair, and the rows + checksum actually served by reading
+    only kept files. A missed file diverges three ways (flag, counts,
+    checksum); a wrong keep set diverges on files_kept_total.
+
+    At 100 TB: stats answer range scans on clustered columns; this
+    answers the needle-probe on the UNCLUSTERED one (user-id, order-id)
+    from megabytes of sidecar instead of a full scan — the difference
+    between opening ~f_p x files and opening all of them."""
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    orders = load(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    max_key = int(orders.agg(F.max("o_orderkey")).collect()[0][0])
+    width = (max_key + 8) // 8
+
+    work = tempfile.mkdtemp(prefix="tbl_bloomidx_")
+    try:
+        staging = work + "/staging"
+        orders.withColumn(
+            "cid", F.expr(f"o_orderkey div {width}")
+        ).repartition(1).write.partitionBy("cid").parquet(staging)
+        table = VersionedTable(spark, work + "/table")
+        m0 = table.add_files(staging)
+
+        table.build_bloom_index("o_custkey")
+        idx = table.load_bloom_index("o_custkey")
+        probes = sorted(
+            int(r["c"])
+            for r in orders.select(F.col("o_custkey").alias("c"))
+            .where(F.col("o_custkey") % 211 == 3)
+            .distinct()
+            .collect()
+        )
+        kept_map: dict[int, set] = {}
+        all_kept: set = set()
+        for c in probes:
+            kept, _, _ = table.prune_files_bloom("o_custkey", c, index=idx)
+            kept_map[c] = set(kept)
+            all_kept |= set(kept)
+        files_kept_total = sum(len(v) for v in kept_map.values())
+
+        # exact per-(probe, file) membership, one job
+        fk, _ = table._pos_key()
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(
+            _json.loads(table._manifest(0)["schema"])
+        )
+        tagged = (
+            spark.read.schema(schema)
+            .parquet(*[table.root + "/" + f for f in m0["files"]])
+            .select(fk.alias("f"), "o_custkey")
+            .where(F.col("o_custkey").isin(probes))
+            .select("o_custkey", "f")
+            .distinct()
+            .collect()
+        )
+        exact_pairs = {(int(r["o_custkey"]), r["f"]) for r in tagged}
+        nfn = all(f in kept_map[c] for c, f in exact_pairs)
+
+        # serve the probes from kept files only; checksum proves nothing
+        # was missed
+        served = (
+            table._read_files(sorted(all_kept), m0["schema"])
+            .where(F.col("o_custkey").isin(probes))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("rows_found_total"),
+                F.sum("o_orderkey").cast("bigint").alias(
+                    "orderkey_checksum"
+                ),
+            )
+        )
+        out = served.select(
+            F.lit(len(probes)).cast("bigint").alias("n_probes"),
+            F.lit(m0["num_files"]).cast("bigint").alias("files_total"),
+            F.lit(len(exact_pairs)).cast("bigint").alias(
+                "files_exact_total"
+            ),
+            F.lit(files_kept_total).cast("bigint").alias(
+                "files_kept_total"
+            ),
+            "rows_found_total",
+            "orderkey_checksum",
+            F.lit(1 if nfn else 0).cast("bigint").alias(
+                "no_false_negative"
+            ),
+        )
+        # output-sized (1 row); materialize so the scratch table can go
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # Markov transition matrix: behavioral sequence statistics from the event
 # log — P(next event type | current event type) per user journey. The
 # model behind next-action prediction features, funnel-drop diagnostics,

@@ -227,6 +227,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "tbl_deletion_vectors",
         "tbl_shallow_clone",
         "q103_interval_overlap_join",
+        "tbl_bloom_index_report",
     ], 9),
 }
 

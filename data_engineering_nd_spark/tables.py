@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 _LOG = "_log"
 _DATA = "data"
 _DV = "_dv"
+_INDEX = "_index"
 
 
 class CommitConflict(RuntimeError):
@@ -886,6 +887,209 @@ class VersionedTable:
             dv=[_abs(f) for f in m.get("dv") or []],
         )
 
+    # -- per-file Bloom index (point-lookup file skipping) -----------------
+
+    def _index_meta_path(self, col: str, version: int) -> str:
+        return os.path.join(
+            self.root, _INDEX, f"{version:011d}-{col}.json"
+        )
+
+    def build_bloom_index(self, col: str, version: int | None = None) -> dict:
+        """Build a PER-FILE Bloom index over ``col`` for a snapshot — the
+        Delta bloom-filter-index / Iceberg puffin shape, the point-lookup
+        sibling of the manifest min/max stats: stats prune by RANGE and
+        only bite when the column is clustered; the Bloom index prunes
+        EQUALITY lookups on a column uncorrelated with the layout (the
+        needle-in-100-TB user-id probe).
+
+        Sized and hashed exactly like ``operators.bloom`` (~8 bits per
+        distinct key, k=3 md5-derived hashes — SQL-mirrorable), built in
+        one distributed pass: per-file DISTINCT keys -> k positions ->
+        32-bit words via a SUM of distinct single-bit values (positions
+        are distinct within a word, so SUM == OR and stays a plain
+        map-side-combinable hash-agg). The words land in a parquet
+        sidecar under ``_index/`` (rows ``file, m_bits, widx, word``) —
+        metadata-scale: ~1 byte per distinct key per file.
+
+        The index is version-pinned (snapshot files are immutable; a new
+        commit needs a new index) and CONSERVATIVE on its consumers:
+        files absent from the sidecar (e.g. all-NULL ``col``) are always
+        kept by :meth:`prune_files_bloom`. Rows deleted by a deletion
+        vector may keep their bits set — false positives only, never a
+        miss."""
+        from pyspark.sql.types import StructType
+
+        from data_engineering_nd_spark.operators.bloom import (
+            K_HASHES,
+            M_CAP,
+            _position,
+        )
+
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        m = self._manifest(version)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        fk, _ = self._pos_key()
+        keys = (
+            self.spark.read.schema(schema)
+            .parquet(*[os.path.join(self.root, f) for f in m["files"]])
+            .select(fk.alias("file"), F.col(col).cast("string").alias("k"))
+            .where(F.col("k").isNotNull())
+            .distinct()
+        )
+        sized = keys.join(
+            keys.groupBy("file").agg(F.count(F.lit(1)).alias("nd")),
+            "file",
+        ).withColumn(
+            "m_bits",
+            F.least(
+                F.greatest(
+                    F.expr("32 * ((8 * nd + 31) div 32)"), F.lit(32)
+                ),
+                F.lit(M_CAP),
+            ).cast("long"),
+        )
+        pos = (
+            sized.select(
+                "file",
+                "m_bits",
+                F.explode(
+                    F.array(
+                        *[
+                            _position(F.col("k"), i, F.col("m_bits"))
+                            for i in range(K_HASHES)
+                        ]
+                    )
+                ).alias("pos"),
+            )
+            .distinct()
+        )
+        words = (
+            pos.select(
+                "file",
+                "m_bits",
+                F.expr("pos div 32").alias("widx"),
+                F.expr(
+                    "cast(shiftleft(1, cast(pos % 32 as int)) as long)"
+                ).alias("bit"),
+            )
+            .groupBy("file", "m_bits", "widx")
+            .agg(F.sum("bit").alias("word"))
+        )
+        rel_dir = os.path.join(
+            _INDEX, f"v{version:011d}-{col}-{uuid.uuid4().hex[:8]}"
+        )
+        out = os.path.join(self.root, rel_dir)
+        words.repartition(1).write.mode("overwrite").parquet(out)
+        meta = {
+            "col": col,
+            "version": version,
+            "k": K_HASHES,
+            "data": rel_dir,
+            "files_indexed": words.select("file").distinct().count(),
+        }
+        meta_path = self._index_meta_path(col, version)
+        os.makedirs(os.path.dirname(meta_path), exist_ok=True)
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+        return meta
+
+    def load_bloom_index(
+        self, col: str, version: int | None = None
+    ) -> dict | None:
+        """Collect a built index into driver memory (metadata-scale):
+        ``{file: (m_bits, {widx: word})}``, or None if no index exists
+        for (col, version). One read amortized over any number of
+        :meth:`prune_files_bloom` probes — exactly what a scan planner
+        holds."""
+        if version is None:
+            version = self.latest_version()
+        meta_path = self._index_meta_path(col, version)
+        if not os.path.exists(meta_path):
+            return None
+        with open(meta_path) as f:
+            meta = json.load(f)
+        rows = self.spark.read.parquet(
+            os.path.join(self.root, meta["data"])
+        ).collect()
+        index: dict[str, tuple[int, dict[int, int]]] = {}
+        for r in rows:
+            ent = index.setdefault(r["file"], (int(r["m_bits"]), {}))
+            ent[1][int(r["widx"])] = int(r["word"])
+        return {"meta": meta, "files": index}
+
+    def prune_files_bloom(
+        self,
+        col: str,
+        value,
+        version: int | None = None,
+        index: dict | None = None,
+    ) -> tuple[list[str], list[str], dict]:
+        """Split a snapshot's files into (kept, pruned) for the POINT
+        lookup ``col = value`` using the per-file Bloom index — a pure
+        driver-side metadata decision (k md5 probes per file, no job).
+        Files without index entries are kept (conservative); a missing
+        index keeps everything. No false negatives by construction:
+        every file that contains the value has all k bits set."""
+        from data_engineering_nd_spark.operators.bloom import py_position
+
+        if version is None:
+            version = self.latest_version()
+        m = self._manifest(version)
+        if index is None:
+            index = self.load_bloom_index(col, version)
+        if index is None:
+            meta = {
+                "files_total": len(m["files"]),
+                "files_kept": len(m["files"]),
+                "files_pruned": 0,
+                "indexed": False,
+            }
+            return list(m["files"]), [], meta
+        k = index["meta"]["k"]
+        sval = str(value)
+        kept, pruned = [], []
+        for f in m["files"]:
+            ent = index["files"].get(f)
+            if ent is None:
+                kept.append(f)  # conservative: unindexed file
+                continue
+            m_bits, words = ent
+            hit = all(
+                words.get(
+                    (p := py_position(sval, i, m_bits)) // 32, 0
+                )
+                & (1 << (p % 32))
+                for i in range(k)
+            )
+            (kept if hit else pruned).append(f)
+        meta = {
+            "files_total": len(m["files"]),
+            "files_kept": len(kept),
+            "files_pruned": len(pruned),
+            "indexed": True,
+        }
+        return kept, pruned, meta
+
+    def lookup(
+        self,
+        col: str,
+        value,
+        version: int | None = None,
+        index: dict | None = None,
+    ) -> DataFrame:
+        """Point lookup ``col = value`` reading only the files the Bloom
+        index keeps (plus the row-level filter for the false positives).
+        Result-identical to ``snapshot().filter(col == value)``."""
+        if version is None:
+            version = self.latest_version()
+        kept, _, _ = self.prune_files_bloom(col, value, version, index)
+        m = self._manifest(version)
+        df = self._read_files(kept, m["schema"], m.get("dv"))
+        return df.filter(F.col(col) == F.lit(value))
+
     def add_files(self, src_dir: str, mode: str = "overwrite") -> dict:
         """Register parquet files ALREADY WRITTEN under ``src_dir`` as the
         next snapshot — the Iceberg ``add_files`` / Delta ``CONVERT``
@@ -1529,6 +1733,23 @@ class VersionedTable:
                             removed.append(rel)
                 if not os.listdir(subdir):
                     shutil.rmtree(subdir)
+        # Bloom-index sidecars are version-pinned: expire them with their
+        # snapshots (meta json names the version; its data dir goes too)
+        idx_root = os.path.join(self.root, _INDEX)
+        if os.path.isdir(idx_root):
+            for fn in sorted(os.listdir(idx_root)):
+                if not fn.endswith(".json"):
+                    continue
+                v = int(fn.split("-", 1)[0])
+                if v in keep_vs:
+                    continue
+                with open(os.path.join(idx_root, fn)) as f:
+                    meta = json.load(f)
+                shutil.rmtree(
+                    os.path.join(self.root, meta["data"]),
+                    ignore_errors=True,
+                )
+                os.remove(os.path.join(idx_root, fn))
         # drop expired manifests so history() reflects what is readable
         for v in vs:
             if v not in keep_vs:

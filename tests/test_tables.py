@@ -990,3 +990,54 @@ def test_clone_of_historical_version_and_nonempty_target_rejected(
     assert clone.snapshot().count() == 40         # pre-delete state
     with pytest.raises(ValueError):
         clone.clone_from(src)                     # non-empty target
+
+
+# -- per-file Bloom index (point-lookup file skipping) ----------------------
+
+
+def test_bloom_index_no_false_negatives_and_lookup_exact(
+    spark, chunked_table
+):
+    """Every value present in a file keeps that file; lookup() through
+    the index returns exactly snapshot().filter() for every probe."""
+    t = chunked_table
+    t.build_bloom_index("v")                      # v = 'v0'..'v39', unclustered
+    idx = t.load_bloom_index("v")
+    assert idx is not None and len(idx["files"]) == 4
+    for probe in ["v0", "v15", "v39", "absent"]:
+        got = sorted(r.k for r in t.lookup("v", probe, index=idx).collect())
+        want = sorted(
+            r.k for r in t.snapshot().filter(F.col("v") == probe).collect()
+        )
+        assert got == want
+
+
+def test_bloom_index_prunes_unclustered_point_lookups(spark, chunked_table):
+    """A value living in exactly one chunk prunes most files (allowing
+    bloom false positives, never more than the file count)."""
+    t = chunked_table
+    t.build_bloom_index("v")
+    idx = t.load_bloom_index("v")
+    kept, pruned, meta = t.prune_files_bloom("v", "v7", index=idx)
+    assert meta["indexed"] is True
+    assert meta["files_kept"] >= 1                # the true home file
+    assert meta["files_kept"] + meta["files_pruned"] == 4
+    assert meta["files_kept"] <= 2                # 3% FP: ~never 3+ of 4
+
+
+def test_bloom_index_missing_is_conservative(spark, chunked_table):
+    t = chunked_table
+    kept, pruned, meta = t.prune_files_bloom("v", "v7")   # never built
+    assert meta["indexed"] is False
+    assert len(kept) == 4 and pruned == []
+
+
+def test_bloom_index_vacuum_expires_with_snapshot(spark, chunked_table):
+    t = chunked_table
+    t.build_bloom_index("v")
+    t.compact(1)                                  # v1
+    t.vacuum(retain_last=1)
+    assert t.load_bloom_index("v", version=0) is None
+    left = [f for dp, _, fns in os.walk(os.path.join(t.root, "_index"))
+            for f in fns]
+    assert left == []
