@@ -4205,6 +4205,83 @@ def tbl_bloom_index_report_query(
 
 
 # ---------------------------------------------------------------------------
+# Idempotent transactional commits: the exactly-once sink contract
+# ---------------------------------------------------------------------------
+
+_TXN_ORACLE = """
+    SELECT CAST(4 AS BIGINT) AS n_commits_attempted,
+           CAST(1 AS BIGINT) AS n_skipped,
+           CAST(3 AS BIGINT) AS n_versions,
+           CAST(2 AS BIGINT) AS last_txn_version,
+           CAST(COUNT(*) AS BIGINT) AS rows_total,
+           CAST(SUM(CAST(concat('0x',
+                substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 10))
+                AS BIGINT)) AS BIGINT) AS orderkey_checksum
+    FROM orders
+"""
+
+
+@query("tbl_idempotent_commits", oracle=_TXN_ORACLE)
+def tbl_idempotent_commits_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Crash-replay simulation against the idempotent-commit contract
+    (``txn=(app_id, version)`` — the Delta txnAppId/txnVersion shape):
+    orders is split into three batches by ``o_orderkey % 3`` and
+    committed as batches 0, 1, 1, 2 — batch 1 TWICE, exactly what a
+    restarted streaming writer replays from its checkpoint. The table
+    must absorb the duplicate: the report value-hashes the skip count,
+    the published version count (3, not 4), the recorded per-app
+    high-water mark, and the snapshot row count + checksum — a
+    double-applied batch diverges on ALL of them (rows_total doubles the
+    batch; the oracle states the exactly-once result straight from the
+    source).
+
+    At 100 TB this is what makes `foreachBatch` sinks exactly-once
+    (:func:`idempotent_batch_sink`): sources replay at-least-once;
+    the sink's txn watermark turns that into exactly-once without a
+    dedup scan of the table."""
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    orders = load(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    work = tempfile.mkdtemp(prefix="tbl_txn_")
+    try:
+        table = VersionedTable(spark, work + "/table")
+        batches = [
+            orders.filter(F.col("o_orderkey") % 3 == i) for i in range(3)
+        ]
+        replay = [(0, batches[0]), (1, batches[1]), (1, batches[1]),
+                  (2, batches[2])]
+        n_skipped = 0
+        for bid, df in replay:
+            m = table.commit(df, mode="append", txn=("loader", bid))
+            if m.get("idempotent_skip"):
+                n_skipped += 1
+        key_digest = md5_prefix_long(F.col("o_orderkey").cast("string"))
+        out = table.snapshot().agg(
+            F.count(F.lit(1)).cast("bigint").alias("rows_total"),
+            F.sum(key_digest).cast("bigint").alias("orderkey_checksum"),
+        ).select(
+            F.lit(len(replay)).cast("bigint").alias("n_commits_attempted"),
+            F.lit(n_skipped).cast("bigint").alias("n_skipped"),
+            F.lit(len(table.versions())).cast("bigint").alias("n_versions"),
+            F.lit(table.last_txn_version("loader")).cast("bigint").alias(
+                "last_txn_version"
+            ),
+            "rows_total",
+            "orderkey_checksum",
+        )
+        # output-sized (1 row); materialize so the scratch table can go
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # Markov transition matrix: behavioral sequence statistics from the event
 # log — P(next event type | current event type) per user journey. The
 # model behind next-action prediction features, funnel-drop diagnostics,

@@ -228,6 +228,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "tbl_shallow_clone",
         "q103_interval_overlap_join",
         "tbl_bloom_index_report",
+        "tbl_idempotent_commits",
     ], 9),
 }
 

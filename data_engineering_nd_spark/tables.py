@@ -172,9 +172,21 @@ class VersionedTable:
         stats: dict[str, dict] | None = None,
         partitions: dict[str, dict] | None = None,
         dv: list[str] | None = None,
+        txn_update: dict[str, int] | None = None,
     ) -> dict:
         """Atomic commit point: temp-file + rename within _log/."""
         os.makedirs(self._log_dir(), exist_ok=True)
+        # transaction watermarks (Delta txnAppId/txnVersion): carried
+        # TABLE-LEVEL across every commit kind so an idempotent writer's
+        # high-water mark survives unrelated maintenance commits
+        txn: dict[str, int] = {}
+        if version > 0:
+            try:
+                txn = dict(self._manifest(version - 1).get("txn") or {})
+            except OSError:
+                pass
+        if txn_update:
+            txn.update(txn_update)
         manifest = {
             "version": version,
             "operation": operation,
@@ -206,6 +218,7 @@ class VersionedTable:
             # by the files touched.  compact()/overwrite materialize and
             # reset the list.
             "dv": sorted(dv or []),
+            "txn": txn,
         }
         final = os.path.join(self._log_dir(), f"{version:011d}.json")
         tmp = final + f".{uuid.uuid4().hex}.tmp"
@@ -464,6 +477,7 @@ class VersionedTable:
         mode: str = "overwrite",
         checks: list[tuple[str, str]] | None = None,
         unique: list[list[str]] | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> dict:
         """Publish df as the next snapshot. 'overwrite' replaces the file
         set (and the schema); 'append' adds the new files to the previous
@@ -477,9 +491,25 @@ class VersionedTable:
         (:func:`validate_constraints`); any violation raises
         :class:`ConstraintViolation` BEFORE a single data file is
         written — the table is untouched, readers never see the bad
-        batch (Delta's CHECK-constraint contract)."""
+        batch (Delta's CHECK-constraint contract).
+
+        ``txn=(app_id, version)`` makes the commit IDEMPOTENT (the Delta
+        ``txnAppId``/``txnVersion`` contract): the manifest carries a
+        per-app high-water mark, and a commit whose txn version is at or
+        below it is SKIPPED — no file written, no version published; the
+        current manifest is returned with ``idempotent_skip=True``. This
+        is the exactly-once story for restartable writers: a streaming
+        ``foreachBatch`` sink passing ``(query_id, batch_id)`` can replay
+        any batch after a crash and the table absorbs the duplicate (see
+        :func:`idempotent_batch_sink`)."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+        if txn is not None:
+            last = self.last_txn_version(txn[0])
+            if last is not None and int(txn[1]) <= last:
+                out = dict(self._manifest(self.latest_version()))
+                out["idempotent_skip"] = True
+                return out
         if checks or unique:
             report = validate_constraints(df, checks, unique)
             bad = {k: v for k, v in report.items() if v > 0}
@@ -502,8 +532,24 @@ class VersionedTable:
             # must never resurrect rows a DV delete removed
             dv = pm.get("dv") or []
         return self._publish(
-            version, files, mode, schema_json, sizes, stats, dv=dv
+            version,
+            files,
+            mode,
+            schema_json,
+            sizes,
+            stats,
+            dv=dv,
+            txn_update={txn[0]: int(txn[1])} if txn else None,
         )
+
+    def last_txn_version(self, app_id: str) -> int | None:
+        """The recorded high-water ``txnVersion`` for ``app_id``, or None
+        if the app never committed (or the table is empty)."""
+        prev = self.latest_version()
+        if prev is None:
+            return None
+        last = (self._manifest(prev).get("txn") or {}).get(app_id)
+        return None if last is None else int(last)
 
     def commit_partitioned(
         self,
@@ -1757,6 +1803,28 @@ class VersionedTable:
                     os.path.join(self._log_dir(), f"{v:011d}.json")
                 )
         return removed
+
+
+def idempotent_batch_sink(table: VersionedTable, app_id: str):
+    """A ``foreachBatch`` function giving a Structured Streaming query
+    EXACTLY-ONCE appends into a :class:`VersionedTable`: each micro-batch
+    commits with ``txn=(app_id, batch_id)``, so when the stream restarts
+    from its checkpoint and replays the last batch, the table skips the
+    duplicate instead of double-appending — the at-least-once replay of
+    the source composes with the idempotent sink into exactly-once (the
+    Delta streaming-sink contract).
+
+    Usage::
+
+        q = (df.writeStream.foreachBatch(
+                 idempotent_batch_sink(table, query_name))
+             .option("checkpointLocation", ckpt).start())
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        table.commit(batch_df, mode="append", txn=(app_id, int(batch_id)))
+
+    return _sink
 
 
 def apply_change_feed(

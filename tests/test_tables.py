@@ -1041,3 +1041,50 @@ def test_bloom_index_vacuum_expires_with_snapshot(spark, chunked_table):
     left = [f for dp, _, fns in os.walk(os.path.join(t.root, "_index"))
             for f in fns]
     assert left == []
+
+
+# -- idempotent transactional commits ---------------------------------------
+
+
+def test_txn_replay_is_skipped_and_watermark_carries(spark, table):
+    b0 = spark.createDataFrame([Row(k=1, v="a")])
+    b1 = spark.createDataFrame([Row(k=2, v="b")])
+    m = table.commit(b0, mode="append", txn=("app", 0))
+    assert not m.get("idempotent_skip")
+    m = table.commit(b1, mode="append", txn=("app", 1))
+    assert not m.get("idempotent_skip")
+    m = table.commit(b1, mode="append", txn=("app", 1))   # replay
+    assert m.get("idempotent_skip") is True
+    assert table.snapshot().count() == 2                  # not 3
+    assert len(table.versions()) == 2
+    assert table.last_txn_version("app") == 1
+    # an unrelated maintenance commit carries the watermark forward
+    table.compact(1)
+    assert table.last_txn_version("app") == 1
+    m = table.commit(b1, mode="append", txn=("app", 1))   # still a replay
+    assert m.get("idempotent_skip") is True
+
+
+def test_txn_apps_are_independent(spark, table):
+    b = spark.createDataFrame([Row(k=1, v="a")])
+    table.commit(b, mode="append", txn=("app1", 5))
+    m = table.commit(b, mode="append", txn=("app2", 5))   # other app: applies
+    assert not m.get("idempotent_skip")
+    assert table.snapshot().count() == 2
+    assert table.last_txn_version("app1") == 5
+    assert table.last_txn_version("app2") == 5
+    assert table.last_txn_version("nope") is None
+
+
+def test_idempotent_batch_sink_exactly_once_under_replay(spark, table):
+    from data_engineering_nd_spark.tables import idempotent_batch_sink
+
+    sink = idempotent_batch_sink(table, "stream-q")
+    b0 = spark.createDataFrame([Row(k=1, v="a")])
+    b1 = spark.createDataFrame([Row(k=2, v="b")])
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b1, 1)                                           # checkpoint replay
+    assert sorted((r.k, r.v) for r in table.snapshot().collect()) == [
+        (1, "a"), (2, "b"),
+    ]

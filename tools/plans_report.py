@@ -147,9 +147,10 @@ HEADLINERS = [
     # pinned in tests) — kept out of the headliners; ditto the round-9
     # tbl_change_feed / tbl_partition_evolution / tbl_wap_publish /
     # tbl_cdc_apply_roundtrip / tbl_deletion_vectors / tbl_shallow_clone /
-    # tbl_bloom_index_report / src_jsonl_malformed_report (manifest-diff
-    # read scope and WAP/CDC/DV/clone/index lifecycle properties pinned
-    # in tests/test_tables.py).
+    # tbl_bloom_index_report / tbl_idempotent_commits /
+    # src_jsonl_malformed_report (manifest-diff read scope and
+    # WAP/CDC/DV/clone/index/txn lifecycle properties pinned in
+    # tests/test_tables.py).
 ]
 
 SF_DIR = "/root/testdata/sf0.001"
