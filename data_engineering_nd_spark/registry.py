@@ -229,6 +229,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "q103_interval_overlap_join",
         "tbl_bloom_index_report",
         "tbl_idempotent_commits",
+        "stream_lakehouse_sink",
     ], 9),
 }
 

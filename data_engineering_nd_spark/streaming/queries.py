@@ -1344,3 +1344,120 @@ def stream_heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             "never_underestimates",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming -> lakehouse: exactly-once foreachBatch appends into a
+# VersionedTable via the idempotent-commit watermark
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_lakehouse_sink",
+    # Batch oracle straight off the source table: exactly-once means the
+    # landed VersionedTable aggregates to the plain batch answer even
+    # though the last micro-batch was DELIVERED TWICE — a double-append
+    # doubles that batch's contribution and diverges count, total and
+    # checksum alike.
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+           CAST(SUM(CAST(concat('0x',
+                substr(md5(CAST(event_id AS VARCHAR)), 1, 10))
+                AS BIGINT)) AS BIGINT) AS id_checksum
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_lakehouse_sink_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming half of the exactly-once sink contract
+    (``tbl_idempotent_commits`` is the batch half): events arrive as
+    three files consumed one per micro-batch (maxFilesPerTrigger=1), and
+    a ``foreachBatch`` writer lands each batch into a VersionedTable
+    through :func:`idempotent_batch_sink` — commit ``txn=(app,
+    batch_id)``. foreachBatch is an AT-LEAST-ONCE surface: after the
+    stream drains, the last micro-batch is re-delivered exactly as a
+    recovering driver would re-run it, and the table must absorb the
+    duplicate via its txn watermark. The landed table then aggregates
+    per event type against the plain batch oracle over the source —
+    count, decimal-exact value total and an md5 id-checksum all match
+    only if every batch applied exactly once.
+
+    At 100 TB this is THE standard ingestion topology (Kafka/file stream
+    -> foreachBatch -> table commit): sources replay, checkpoints
+    restart, and the sink's per-app high-water mark is what turns
+    at-least-once delivery into an exactly-once table."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from data_engineering_nd_spark.catalog import load
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+    from data_engineering_nd_spark.tables import (
+        VersionedTable,
+        idempotent_batch_sink,
+    )
+
+    ev = (
+        load(spark, "events", sf_dir)
+        .select("event_id", "event_type", "value")
+        .localCheckpoint()
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_lakehouse_")
+    try:
+        os.makedirs(os.path.join(tmp, "in"))
+        now = _time.time()
+        for i in range(3):
+            _write_stream_file(
+                ev.filter(F.col("event_id") % 3 == i), tmp, f"{i}_slice",
+                now - 120 + 30 * i,
+            )
+        stream_dir = os.path.join(tmp, "in")
+        schema = spark.read.parquet(stream_dir).schema
+        table = VersionedTable(spark, os.path.join(tmp, "table"))
+        sink = idempotent_batch_sink(table, "lakehouse-sink")
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        q = (
+            src.writeStream.foreachBatch(sink)
+            .option(
+                "checkpointLocation", os.path.join(tmp, "ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        # at-least-once re-delivery of the final micro-batch (what a
+        # recovering driver does when the checkpoint says the batch
+        # started but the sink's success is unknown)
+        last = table.last_txn_version("lakehouse-sink")
+        versions_before = len(table.versions())
+        replay = spark.read.schema(schema).parquet(
+            os.path.join(stream_dir, "2_slice.parquet")
+        )
+        sink(replay, last)
+        assert len(table.versions()) == versions_before  # absorbed
+
+        out = (
+            table.snapshot()
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("total_value"),
+                F.sum(md5_prefix_long(F.col("event_id").cast("string")))
+                .cast("bigint")
+                .alias("id_checksum"),
+            )
+        )
+        # output-sized; materialize before the scratch table goes away
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
