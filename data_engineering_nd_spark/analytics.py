@@ -5342,3 +5342,280 @@ def q102_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("value")).alias("total_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q104 — frequent triples (Apriori/SON second pass): the 3-itemset level
+# above q100's pair rules. The naive 3-way basket self-join explodes
+# combinatorially at scale; the Apriori property (every subset of a
+# frequent set is frequent) turns the frequent-PAIR table into a
+# broadcast prune that bounds candidate generation — the SON/Apriori
+# "local candidates, global count" shape every distributed FIM system
+# uses. The oracle states the UNPRUNED 3-way join — identical result,
+# the cost class the prune exists to avoid.
+# --------------------------------------------------------------------------
+
+_TRIPLE_MIN_SUPPORT = 10
+
+
+@query(
+    "q104_frequent_triples",
+    oracle=f"""
+    WITH baskets AS (
+        SELECT DISTINCT l.l_orderkey AS bid, p.p_brand AS item
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    nb AS (SELECT CAST(COUNT(DISTINCT bid) AS BIGINT) AS n FROM baskets),
+    items AS (
+        SELECT item, CAST(COUNT(*) AS BIGINT) AS c FROM baskets GROUP BY item
+    ),
+    triples AS (
+        SELECT a.item AS item_a, b.item AS item_b, c.item AS item_c,
+               CAST(COUNT(*) AS BIGINT) AS c_abc
+        FROM baskets a
+        JOIN baskets b ON b.bid = a.bid AND a.item < b.item
+        JOIN baskets c ON c.bid = a.bid AND b.item < c.item
+        GROUP BY 1, 2, 3 HAVING COUNT(*) >= {_TRIPLE_MIN_SUPPORT}
+    )
+    SELECT t.item_a, t.item_b, t.item_c, t.c_abc,
+           floor(CAST(t.c_abc AS DOUBLE) / CAST(nb.n AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS support,
+           floor(CAST(t.c_abc AS DOUBLE) * CAST(nb.n AS DOUBLE)
+                 * CAST(nb.n AS DOUBLE)
+                 / CAST(ia.c AS DOUBLE) / CAST(ib.c AS DOUBLE)
+                 / CAST(ic.c AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS lift3
+    FROM triples t
+    JOIN items ia ON ia.item = t.item_a
+    JOIN items ib ON ib.item = t.item_b
+    JOIN items ic ON ic.item = t.item_c
+    CROSS JOIN nb
+    """,
+)
+def q104_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent brand TRIPLES (support >= 10 baskets) with support and
+    3-way lift, mined Apriori-style: frequent pairs are computed first
+    and broadcast, and the triple join extends only (a, b) pairs that
+    are themselves frequent with items c whose (a, c) and (b, c) pairs
+    are also frequent — candidate triples are generated from surviving
+    pairs, never from the raw basket cross product. Lift3 =
+    P(abc) / (P(a) P(b) P(c)) as one IEEE expression over exact BIGINT
+    counts, floor-rounded for display.
+
+    At 100 TB: the basket self-join is shuffle-keyed on the basket id
+    (bounded per-basket fanout); the Apriori prune is a broadcast
+    semi-join (frequent pairs are tiny by construction — that is the
+    point of a support floor), so candidate volume scales with the
+    SURVIVING pair count, not items^3."""
+    li = load(spark, "lineitem", sf_dir)
+    part = load(spark, "part", sf_dir)
+    baskets = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li.l_partkey == part.p_partkey,
+        )
+        .select(F.col("l_orderkey").alias("bid"), F.col("p_brand").alias("item"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_baskets = baskets.select("bid").distinct().count()
+    items = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    a = baskets.select(F.col("bid"), F.col("item").alias("item_a"))
+    b = baskets.select(F.col("bid"), F.col("item").alias("item_b"))
+    c = baskets.select(F.col("bid"), F.col("item").alias("item_c"))
+    pairs = (
+        a.join(b, "bid")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= _TRIPLE_MIN_SUPPORT)
+        .select("item_a", "item_b")
+        .localCheckpoint()  # the Apriori prune set: tiny, broadcast below
+    )
+    cand = (
+        a.join(b, "bid")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .join(F.broadcast(pairs), ["item_a", "item_b"], "left_semi")
+        .join(c, "bid")
+        .filter(F.col("item_b") < F.col("item_c"))
+        .join(
+            F.broadcast(
+                pairs.select(
+                    F.col("item_a"), F.col("item_b").alias("item_c")
+                )
+            ),
+            ["item_a", "item_c"],
+            "left_semi",
+        )
+        .join(
+            F.broadcast(
+                pairs.select(
+                    F.col("item_a").alias("item_b"),
+                    F.col("item_b").alias("item_c"),
+                )
+            ),
+            ["item_b", "item_c"],
+            "left_semi",
+        )
+    )
+    triples = (
+        cand.groupBy("item_a", "item_b", "item_c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_abc"))
+        .filter(F.col("c_abc") >= _TRIPLE_MIN_SUPPORT)
+    )
+    from data_engineering_nd_spark.functions.numeric import round_half_up
+
+    n = F.lit(float(n_baskets))
+    out = (
+        triples.join(
+            F.broadcast(items.select(F.col("item").alias("item_a"),
+                                     F.col("c").alias("c_a"))), "item_a"
+        )
+        .join(
+            F.broadcast(items.select(F.col("item").alias("item_b"),
+                                     F.col("c").alias("c_b"))), "item_b"
+        )
+        .join(
+            F.broadcast(items.select(F.col("item").alias("item_c"),
+                                     F.col("c").alias("c_c"))), "item_c"
+        )
+        .select(
+            "item_a", "item_b", "item_c", "c_abc",
+            round_half_up(F.col("c_abc") / n, 6).alias("support"),
+            round_half_up(
+                F.col("c_abc") * n * n
+                / F.col("c_a") / F.col("c_b") / F.col("c_c"),
+                6,
+            ).alias("lift3"),
+        )
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# q105 — interval coalescing (gaps-and-islands over RANGES): merge each
+# customer's overlapping order-processing intervals into maximal islands.
+# The unit-gap sibling is q96 (consecutive-day streaks); this is the
+# general form — islands break where the next START clears the running
+# MAX of all previous ENDS (not just the previous row's end, which is
+# wrong for nested intervals).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q105_interval_coalesce",
+    oracle="""
+    WITH iv AS (
+        SELECT o_custkey AS ck,
+               datediff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE)) AS s,
+               datediff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE))
+                   + o_orderkey % 14 + 1 AS e,
+               o_orderkey AS k
+        FROM orders
+        WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996)
+    ),
+    flagged AS (
+        SELECT ck, s, e, k,
+               CASE WHEN MAX(e) OVER (
+                        PARTITION BY ck ORDER BY s, e, k
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                 OR s > MAX(e) OVER (
+                        PARTITION BY ck ORDER BY s, e, k
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    )
+               THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ),
+    islands AS (
+        SELECT ck, s, e, k,
+               SUM(new_island) OVER (
+                   PARTITION BY ck ORDER BY s, e, k
+                   ROWS UNBOUNDED PRECEDING
+               ) AS island_id
+        FROM flagged
+    ),
+    merged AS (
+        SELECT ck, island_id,
+               MIN(s) AS island_s, MAX(e) AS island_e,
+               CAST(COUNT(*) AS BIGINT) AS n_intervals
+        FROM islands GROUP BY ck, island_id
+    )
+    SELECT ck AS custkey,
+           CAST(SUM(n_intervals) AS BIGINT) AS n_intervals,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(island_e - island_s + 1) AS BIGINT) AS covered_days,
+           CAST(MAX(island_e - island_s + 1) AS BIGINT)
+               AS longest_island_days
+    FROM merged GROUP BY ck
+    """,
+)
+def q105_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer coalescing of overlapping order-processing intervals
+    [orderdate, orderdate + 1..14 days] over 1995-96 into maximal
+    islands, reporting interval count, island count, exact covered days
+    (no double counting inside overlaps) and the longest island.
+
+    The island break condition uses the RUNNING MAX of previous ends —
+    lag(e) alone misclassifies nested intervals (a short interval inside
+    a long one would open a phantom island). Total order (s, e,
+    orderkey) makes the running max and the island ids engine-exact.
+
+    Scale shape: ONE shuffle on the customer key; both windows and the
+    two aggregations run inside each customer partition (bounded by that
+    customer's order count) — no global sort, no island-to-island
+    shuffle. The canonical use at 100 TB is sessionizing validity
+    ranges: SCD row merging, uptime/coverage accounting, contiguous
+    availability spans."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, "orders", sf_dir).filter(
+        F.year(F.col("o_orderdate").cast("date")).isin(1995, 1996)
+    )
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    iv = o.select(
+        F.col("o_custkey").alias("ck"),
+        day.alias("s"),
+        (day + F.col("o_orderkey") % 14 + 1).alias("e"),
+        F.col("o_orderkey").alias("k"),
+    )
+    w = (
+        Window.partitionBy("ck")
+        .orderBy("s", "e", "k")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(
+            F.max("e").over(w).isNull()
+            | (F.col("s") > F.max("e").over(w)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    w2 = (
+        Window.partitionBy("ck")
+        .orderBy("s", "e", "k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.withColumn(
+        "island_id", F.sum("new_island").over(w2)
+    )
+    merged = islands.groupBy("ck", "island_id").agg(
+        F.min("s").alias("island_s"),
+        F.max("e").alias("island_e"),
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+    )
+    return merged.groupBy(F.col("ck").alias("custkey")).agg(
+        F.sum("n_intervals").cast("bigint").alias("n_intervals"),
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum(F.col("island_e") - F.col("island_s") + 1)
+        .cast("bigint")
+        .alias("covered_days"),
+        F.max(F.col("island_e") - F.col("island_s") + 1)
+        .cast("bigint")
+        .alias("longest_island_days"),
+    )

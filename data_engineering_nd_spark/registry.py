@@ -230,6 +230,8 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "tbl_bloom_index_report",
         "tbl_idempotent_commits",
         "stream_lakehouse_sink",
+        "q104_frequent_triples",
+        "q105_interval_coalesce",
     ], 9),
 }
 

@@ -139,6 +139,8 @@ HEADLINERS = [
     "graph_louvain",
     "q102_ohlc_bars",
     "q103_interval_overlap_join",
+    "q104_frequent_triples",
+    "q105_interval_coalesce",
     # q98_dynamic_partition_pruning returns a localCheckpoint-ed result
     # (its scratch fixture is removed before serve); the dynamicpruning
     # plan shape is pinned live in tests/test_plans.py instead.
