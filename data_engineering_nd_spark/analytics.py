@@ -5619,3 +5619,108 @@ def q105_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("longest_island_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# q106 — time-weighted average (TWAP) over irregular samples: the
+# IoT/finance aggregation a plain AVG gets wrong — samples that persist
+# longer must weigh more. Weight = microseconds until the NEXT sample of
+# the same series (lead over the (ts, event_id) total order); the last
+# sample of a series carries no weight (no known validity span).
+# Accumulation is exact: values e4-scale to BIGINT, value x duration
+# products sum as DECIMAL(38,0) (span-bounded: the weighted sum is
+# ~avg_value x series span regardless of row count), and the TWAP is
+# read out with one fixed-shape division chain at the display edge.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q106_time_weighted_average",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               CAST(ts AS TIMESTAMP) AS t,
+               CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4,
+               LEAD(CAST(ts AS TIMESTAMP)) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+               ) AS nt
+        FROM events
+    ),
+    d AS (
+        SELECT event_type, v4,
+               epoch_us(nt) - epoch_us(t) AS dur_us
+        FROM s WHERE nt IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(dur_us) AS BIGINT) AS total_dur_us,
+           CAST(MAX(dur_us) AS BIGINT) AS max_gap_us,
+           floor(CAST(SUM(CAST(v4 * dur_us AS DECIMAL(38,0))) AS DOUBLE)
+                 / CAST(SUM(dur_us) AS DOUBLE) / 10000.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS twap,
+           floor(CAST(SUM(v4) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) / 10000.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS simple_mean
+    FROM d GROUP BY event_type
+    """,
+)
+def q106_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type TWAP vs naive mean over the events stream, with the
+    sample count, covered span and largest gap. Each sample's weight is
+    its validity duration (µs to the series' next sample); densely
+    sampled bursts therefore stop dominating the average — the exact
+    failure of simple AVG on irregular telemetry.
+
+    Determinism: values e4-scale to BIGINT via floor(x*1e4 + 0.5),
+    durations are exact epoch-µs differences (NTZ cast to timestamp on
+    BOTH sides so the zone shift cancels), the weighted sum accumulates
+    as DECIMAL(38,0) — bounded by avg_value x series SPAN, not row count
+    — and the readout division chain has the same shape in both engines.
+
+    Scale shape: one shuffle on the series key for the lead() window
+    (per-series partitions, no global sort), then one map-side-
+    combinable hash-agg to a row per series. At 100 TB TWAP rolls up
+    the same way OHLC does: per-day partial (sum_wv, sum_dur) pairs are
+    mergeable state."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, "events", sf_dir).select(
+        "event_type", "ts", "event_id",
+        F.floor(F.col("value") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("v4"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    nt = F.unix_micros(F.lead("ts").over(w).cast("timestamp"))
+    d = (
+        ev.withColumn("dur_us", nt - t)
+        .where(F.col("dur_us").isNotNull())
+    )
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+        F.sum("dur_us").cast("bigint").alias("total_dur_us"),
+        F.max("dur_us").cast("bigint").alias("max_gap_us"),
+        F.floor(
+            F.sum((F.col("v4") * F.col("dur_us")).cast("decimal(38,0)"))
+            .cast("double")
+            / F.sum("dur_us").cast("double")
+            / F.lit(10000.0)
+            * 1000000.0
+            + F.lit(0.5)
+        ).cast("double").alias("__twap_raw"),
+        F.floor(
+            F.sum("v4").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(10000.0)
+            * 1000000.0
+            + F.lit(0.5)
+        ).cast("double").alias("__mean_raw"),
+    ).select(
+        "event_type",
+        "n_samples",
+        "total_dur_us",
+        "max_gap_us",
+        (F.col("__twap_raw") / 1000000.0).alias("twap"),
+        (F.col("__mean_raw") / 1000000.0).alias("simple_mean"),
+    )

@@ -232,6 +232,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "stream_lakehouse_sink",
         "q104_frequent_triples",
         "q105_interval_coalesce",
+        "q106_time_weighted_average",
     ], 9),
 }
 
