@@ -187,9 +187,16 @@ class VersionedTable:
                 pass
         if txn_update:
             txn.update(txn_update)
+        import time as _time
+
         manifest = {
             "version": version,
             "operation": operation,
+            # wall-clock commit instant (epoch seconds): drives
+            # timestamp-based time travel (snapshot_as_of) and retention
+            # decisions; ordering correctness never depends on it — the
+            # version number is the commit order
+            "committed_at": _time.time(),
             "files": sorted(files),
             "num_files": len(files),
             "schema": schema_json,
@@ -389,6 +396,26 @@ class VersionedTable:
             raise FileNotFoundError(f"no committed version at {self.root}")
         m = self._manifest(version)
         return self._read_files(m["files"], m["schema"], m.get("dv"))
+
+    def version_as_of(self, ts: float) -> int:
+        """The latest version committed at or before epoch-seconds ``ts``
+        (Delta ``timestampAsOf``). Versions from before commit instants
+        were recorded sort as instant 0 (always eligible). Raises if the
+        table has no commit at or before ``ts``."""
+        best = None
+        for v in self.versions():
+            if float(self._manifest(v).get("committed_at") or 0) <= ts:
+                best = v
+        if best is None:
+            raise FileNotFoundError(
+                f"no version committed at or before {ts} in {self.root}"
+            )
+        return best
+
+    def snapshot_as_of(self, ts: float) -> DataFrame:
+        """Timestamp-based time travel: the snapshot as of epoch-seconds
+        ``ts`` — sugar over :meth:`version_as_of` + :meth:`snapshot`."""
+        return self.snapshot(self.version_as_of(ts))
 
     def prune_files(
         self,

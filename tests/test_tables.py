@@ -1088,3 +1088,21 @@ def test_idempotent_batch_sink_exactly_once_under_replay(spark, table):
     assert sorted((r.k, r.v) for r in table.snapshot().collect()) == [
         (1, "a"), (2, "b"),
     ]
+
+
+# -- timestamp-based time travel ---------------------------------------------
+
+
+def test_snapshot_as_of_timestamp(spark, table):
+    table.commit(spark.createDataFrame([Row(k=1, v="a")]))            # v0
+    t0 = table._manifest(0)["committed_at"]
+    table.commit(spark.createDataFrame([Row(k=2, v="b")]), mode="append")
+    t1 = table._manifest(1)["committed_at"]
+    assert table.version_as_of(t0) == 0
+    assert table.version_as_of((t0 + t1) / 2) == 0
+    assert table.version_as_of(t1) == 1
+    assert table.version_as_of(t1 + 3600) == 1
+    assert _rows(table.snapshot_as_of(t0)) == [(1, "a")]
+    assert _rows(table.snapshot_as_of(t1 + 1)) == [(1, "a"), (2, "b")]
+    with pytest.raises(FileNotFoundError):
+        table.version_as_of(t0 - 3600)
