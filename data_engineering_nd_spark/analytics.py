@@ -5724,3 +5724,133 @@ def q106_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("__twap_raw") / 1000000.0).alias("twap"),
         (F.col("__mean_raw") / 1000000.0).alias("simple_mean"),
     )
+
+
+# --------------------------------------------------------------------------
+# q107 — rolling volatility / Bollinger bands: fixed-width ROWS-window
+# mean and population stddev per series, bands at +-2 sigma, and a
+# breakout flag. The determinism trap is accumulating variance in
+# floating point (rolling float sums diverge across partitionings and
+# engines); instead both engines keep exact e4-scaled BIGINT rolling
+# sums of x and x^2 and form variance as ONE fixed-shape expression
+# (n*Sxx - Sx^2) / n^2 at the display edge — sqrt is IEEE
+# correctly-rounded, so the readout is bit-stable.
+# --------------------------------------------------------------------------
+
+_VOL_WINDOW = 24  # samples per rolling window (ROWS, not time)
+
+
+@query(
+    "q107_rolling_volatility",
+    oracle=f"""
+    WITH s AS (
+        SELECT event_type, ts, event_id,
+               CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, rn, v4,
+               SUM(v4) OVER w AS sx,
+               SUM(v4 * v4) OVER w AS sxx,
+               COUNT(*) OVER w AS n
+        FROM s
+        WINDOW w AS (PARTITION BY event_type ORDER BY rn
+                     ROWS BETWEEN {_VOL_WINDOW - 1} PRECEDING AND CURRENT ROW)
+    ),
+    full_w AS (SELECT * FROM r WHERE n = {_VOL_WINDOW}),
+    m AS (
+        SELECT event_type, rn, v4, sx, sxx, n,
+               CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0 AS mean,
+               sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                   / CAST(n AS DOUBLE) / 10000.0 AS vol
+        FROM full_w
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           floor(CAST(SUM(CAST(floor(vol * 1000000.0 + 0.5) AS BIGINT))
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) + 0.5)
+               / 1000000.0 AS mean_vol,
+           floor(MAX(vol) * 1000000.0 + 0.5) / 1000000.0 AS max_vol,
+           CAST(SUM(CASE WHEN CAST(v4 AS DOUBLE) / 10000.0
+                              > mean + 2 * vol
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_upper_breakouts,
+           CAST(SUM(CASE WHEN CAST(v4 AS DOUBLE) / 10000.0
+                              < mean - 2 * vol
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_lower_breakouts
+    FROM m GROUP BY event_type
+    """,
+)
+def q107_rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type rolling 24-sample mean/volatility (population
+    stddev) with Bollinger +-2-sigma breakout counts, summarized per
+    series: window count, mean and max volatility, breakouts above and
+    below the band. Only FULL windows report (the warm-up prefix is
+    excluded in both engines).
+
+    mean_vol follows the exact-accumulation rule: each per-window vol
+    is an IEEE-identical readout, ROUNDED to an e6 BIGINT before the
+    cross-window SUM (a multi-term float sum is order-dependent and
+    engine-divergent; an integer sum is not), with one division at the
+    display edge. max is order-independent and stays a double.
+
+    Scale shape: one shuffle on the series key; the rolling frame is
+    per-series ROWS-bounded (constant state per row, streaming-
+    friendly); final rollup is a map-side-combinable hash-agg."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, "events", sf_dir).select(
+        "event_type", "ts", "event_id",
+        F.floor(F.col("value") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("v4"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    s = ev.withColumn("rn", F.row_number().over(wo))
+    wr = (
+        Window.partitionBy("event_type")
+        .orderBy("rn")
+        .rowsBetween(-(_VOL_WINDOW - 1), 0)
+    )
+    r = (
+        s.withColumn("sx", F.sum("v4").over(wr))
+        .withColumn("sxx", F.sum(F.col("v4") * F.col("v4")).over(wr))
+        .withColumn("n", F.count(F.lit(1)).over(wr))
+        .where(F.col("n") == _VOL_WINDOW)
+    )
+    mean = F.col("sx").cast("double") / F.col("n").cast("double") / 10000.0
+    vol = (
+        F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+               .cast("double"))
+        / F.col("n").cast("double")
+        / 10000.0
+    )
+    m = r.withColumn("mean", mean).withColumn("vol", vol)
+    x = F.col("v4").cast("double") / 10000.0
+    return m.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        F.floor(
+            F.sum(F.floor(F.col("vol") * 1000000.0 + F.lit(0.5))
+                  .cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            + F.lit(0.5)
+        ).cast("double").alias("__mv"),
+        F.floor(F.max("vol") * 1000000.0 + F.lit(0.5))
+        .cast("double")
+        .alias("__xv"),
+        F.sum(
+            F.when(x > F.col("mean") + 2 * F.col("vol"), 1).otherwise(0)
+        ).cast("bigint").alias("n_upper_breakouts"),
+        F.sum(
+            F.when(x < F.col("mean") - 2 * F.col("vol"), 1).otherwise(0)
+        ).cast("bigint").alias("n_lower_breakouts"),
+    ).select(
+        "event_type",
+        "n_windows",
+        (F.col("__mv") / 1000000.0).alias("mean_vol"),
+        (F.col("__xv") / 1000000.0).alias("max_vol"),
+        "n_upper_breakouts",
+        "n_lower_breakouts",
+    )

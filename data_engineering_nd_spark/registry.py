@@ -233,6 +233,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "q104_frequent_triples",
         "q105_interval_coalesce",
         "q106_time_weighted_average",
+        "q107_rolling_volatility",
     ], 9),
 }
 

@@ -142,6 +142,7 @@ HEADLINERS = [
     "q104_frequent_triples",
     "q105_interval_coalesce",
     "q106_time_weighted_average",
+    "q107_rolling_volatility",
     # q98_dynamic_partition_pruning returns a localCheckpoint-ed result
     # (its scratch fixture is removed before serve); the dynamicpruning
     # plan shape is pinned live in tests/test_plans.py instead.
