@@ -382,3 +382,126 @@ def test_snapshot_diff_matches_dict_diff(spark, tmp_path_factory, old, new):
             expected[k] = "unchanged"
     got = {r["k"]: r["change_type"] for r in snapshot_diff(t, 0, 1, ["k"]).collect()}
     assert got == expected
+
+
+# -- round-9 lakehouse/join kernels ------------------------------------------
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 199), st.integers(0, 60)),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_dv_stacked_deletes_equal_filter(spark, ranges):
+    """Any stack of (possibly overlapping, possibly empty-matching)
+    merge-on-read deletes equals the set filter, never rewrites a data
+    file, and never double-counts a row across vectors."""
+    import tempfile, shutil
+    from pyspark.sql import functions as F
+
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    work = tempfile.mkdtemp(prefix="dv_prop_")
+    try:
+        df = spark.range(0, 200).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        )
+        df.withColumn("cid", F.expr("k div 50")).repartition(1).write \
+            .partitionBy("cid").parquet(work + "/staging")
+        t = VersionedTable(spark, work + "/table")
+        t.add_files(work + "/staging")
+        base_files = t._manifest(0)["files"]
+
+        alive = set(range(200))
+        total_deleted = 0
+        for lo, width in ranges:
+            hi = lo + width
+            m = t.delete_where_dv("k", lo, hi)
+            assert m["files"] == base_files          # never a rewrite
+            newly = {k for k in alive if lo <= k <= hi}
+            assert m["rows_deleted"] == len(newly)   # exact, no recount
+            alive -= newly
+            total_deleted += len(newly)
+
+        got = sorted(r.k for r in t.snapshot().collect())
+        assert got == sorted(alive)
+        assert t.snapshot(0).count() == 200          # time travel intact
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 80), st.integers(0, 25)),
+        min_size=2,
+        max_size=10,
+        unique=True,
+    ),
+    st.integers(2, 40),
+)
+def test_interval_overlap_join_equals_brute_force(spark, spans, width):
+    """Bucketed anchor join == quadratic overlap filter for arbitrary
+    interval sets and ANY bucket width, each pair exactly once."""
+    from data_engineering_nd_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    rows = [(i, s, s + w) for i, (s, w) in enumerate(spans)]
+    a = spark.createDataFrame(rows, "a_k long, a_s long, a_e long")
+    b = spark.createDataFrame(rows, "b_k long, b_s long, b_e long")
+    got = sorted(
+        (r.a_k, r.b_k)
+        for r in interval_overlap_join(
+            a, b, "a_s", "a_e", "b_s", "b_e", bucket_width=width
+        )
+        .filter("a_k < b_k")
+        .collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, s1, e1 in rows
+        for j, s2, e2 in rows
+        if i < j and s1 <= e2 and s2 <= e1
+    )
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.integers(0, 400), min_size=5, max_size=40, unique=True),
+)
+def test_bloom_index_never_false_negative(spark, probes):
+    """For any probe set, every file containing the probed value is kept
+    (false positives allowed; misses never)."""
+    import tempfile, shutil
+    from pyspark.sql import functions as F
+
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    work = tempfile.mkdtemp(prefix="bloom_prop_")
+    try:
+        df = spark.range(0, 300).select(
+            F.col("id").alias("k"), ((F.col("id") * 131) % 401).alias("u")
+        )
+        df.withColumn("cid", F.expr("k div 75")).repartition(1).write \
+            .partitionBy("cid").parquet(work + "/staging")
+        t = VersionedTable(spark, work + "/table")
+        t.add_files(work + "/staging")
+        t.build_bloom_index("u")
+        idx = t.load_bloom_index("u")
+        # exact membership from the generator
+        member_files = {}
+        for k in range(300):
+            member_files.setdefault((k * 131) % 401, set()).add(k // 75)
+        for u in probes:
+            kept, _, meta = t.prune_files_bloom("u", u, index=idx)
+            n = t.lookup("u", u, index=idx).count()
+            want = len([k for k in range(300) if (k * 131) % 401 == u])
+            assert n == want                       # lookup == truth
+            assert meta["files_kept"] >= len(member_files.get(u, ()))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
