@@ -44,6 +44,7 @@ import json
 import os
 import shutil
 import uuid
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -363,6 +364,17 @@ class VersionedTable:
         )
         return file_key, F.col("_metadata.row_index")
 
+    @staticmethod
+    def _dv_key(path: str) -> str:
+        """Python twin of :meth:`_pos_key`'s file expression: the
+        ``data/...`` key a manifest path maps to — identity for the
+        usual table-relative entries, suffix-after-the-last-``/data/``
+        for a shallow clone's absolute source references."""
+        marker = "/" + _DATA + "/"
+        if marker in path:
+            return _DATA + "/" + path.rsplit(marker, 1)[1]
+        return path
+
     def _dv_read(self, dv_files: list[str]) -> DataFrame:
         return self.spark.read.parquet(
             *[os.path.join(self.root, f) for f in dv_files]
@@ -549,15 +561,18 @@ class VersionedTable:
         stats = self._compute_stats(files)
         schema_json = df.schema.json()
         dv: list[str] = []
+        partitions: dict[str, dict] = {}
         if mode == "append" and prev is not None:
             pm = self._manifest(prev)
             files += pm["files"]
             sizes.update(self._file_sizes(pm["files"], pm))
             stats.update(self._file_stats(pm["files"], pm))
             schema_json = self._evolve_schema(pm["schema"], df.schema.json())
-            # carried-over files keep their deletion vectors; an append
-            # must never resurrect rows a DV delete removed
+            # carried-over files keep their deletion vectors and
+            # partition values; an append must never resurrect DV-deleted
+            # rows or erase partition-pruning metadata
             dv = pm.get("dv") or []
+            partitions = dict(pm.get("partitions") or {})
         return self._publish(
             version,
             files,
@@ -565,6 +580,7 @@ class VersionedTable:
             schema_json,
             sizes,
             stats,
+            partitions,
             dv=dv,
             txn_update={txn[0]: int(txn[1])} if txn else None,
         )
@@ -638,7 +654,11 @@ class VersionedTable:
                 for comp in os.path.relpath(dp, out).split(os.sep):
                     if "=" in comp:
                         k, v = comp.split("=", 1)
-                        vals[k] = v
+                        # hive path encoding percent-escapes reserved
+                        # characters (':' -> '%3A' etc.); record the
+                        # LOGICAL value or prune_partitions would compare
+                        # escaped-vs-raw and wrongly prune matching files
+                        vals[k] = unquote(v)
                 partitions[rel] = vals
         sizes = self._file_sizes(files)
         stats = self._compute_stats(files)
@@ -771,16 +791,22 @@ class VersionedTable:
         stats: dict[str, dict] = {}
         prev_dv = m.get("dv") or []
         if candidates:
+            cand_stats = self._file_stats(candidates, m)
+            n_candidate_rows = sum(
+                cand_stats[f].get("num_rows", 0) for f in candidates
+            )
             if prev_dv:
-                # footer counts include rows a DV already removed — count
-                # the LIVE candidate rows so the delete report stays exact
-                n_candidate_rows = self._read_files(
-                    candidates, m["schema"], prev_dv
-                ).count()
-            else:
-                cand_stats = self._file_stats(candidates, m)
-                n_candidate_rows = sum(
-                    cand_stats[f].get("num_rows", 0) for f in candidates
+                # footer counts include rows a DV already removed;
+                # subtract the candidates' DV entries (a metadata-sized
+                # sidecar read — stacked vectors are disjoint, so each
+                # dead row is counted once) instead of re-scanning the
+                # candidate data, keeping the rewrite the only
+                # candidate-file read
+                cand_keys = [self._dv_key(f) for f in candidates]
+                n_candidate_rows -= (
+                    self._dv_read(prev_dv)
+                    .filter(F.col("file").isin(cand_keys))
+                    .count()
                 )
             survivors = self._read_files(
                 candidates, m["schema"], prev_dv
@@ -798,9 +824,18 @@ class VersionedTable:
         sizes.update(self._file_sizes(untouched, m))
         stats.update(self._file_stats(untouched, m))
         # untouched files keep their deletion vectors (entries naming the
-        # rewritten candidates go stale and match nothing)
+        # rewritten candidates go stale and match nothing) and their
+        # partition values
+        pold = m.get("partitions") or {}
         manifest = self._publish(
-            version, files, "delete", m["schema"], sizes, stats, dv=prev_dv
+            version,
+            files,
+            "delete",
+            m["schema"],
+            sizes,
+            stats,
+            {f: pold[f] for f in untouched if f in pold},
+            dv=prev_dv,
         )
         manifest.update(
             files_untouched=len(untouched),
@@ -1061,13 +1096,36 @@ class VersionedTable:
             "version": version,
             "k": K_HASHES,
             "data": rel_dir,
-            "files_indexed": words.select("file").distinct().count(),
+            # count off the JUST-WRITTEN sidecar (metadata-scale read) —
+            # counting the `words` frame would re-execute the whole
+            # distributed build a second time
+            "files_indexed": self.spark.read.parquet(out)
+            .select("file")
+            .distinct()
+            .count(),
         }
         meta_path = self._index_meta_path(col, version)
         os.makedirs(os.path.dirname(meta_path), exist_ok=True)
         with open(meta_path, "w") as f:
             json.dump(meta, f)
         return meta
+
+    def _spark_string(self, value) -> str:
+        """The exact string Spark's ``CAST(value AS STRING)`` produces —
+        the representation :meth:`build_bloom_index` hashed. int/str/bool
+        are formatted directly; anything else (float, Decimal, date) is
+        round-tripped through one local Spark cast, because Python's
+        str() and Java's rendering disagree (str(1e10) vs '1.0E10') and
+        a mismatch would be a Bloom FALSE NEGATIVE, not a false
+        positive."""
+        if isinstance(value, bool):
+            return "true" if value else "false"
+        if isinstance(value, (int, str)):
+            return str(value)
+        row = self.spark.sql(
+            "SELECT CAST(? AS STRING) AS s", args=[value]
+        ).collect()
+        return row[0]["s"]
 
     def load_bloom_index(
         self, col: str, version: int | None = None
@@ -1079,6 +1137,8 @@ class VersionedTable:
         holds."""
         if version is None:
             version = self.latest_version()
+        if version is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
         meta_path = self._index_meta_path(col, version)
         if not os.path.exists(meta_path):
             return None
@@ -1110,6 +1170,8 @@ class VersionedTable:
 
         if version is None:
             version = self.latest_version()
+        if version is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
         m = self._manifest(version)
         if index is None:
             index = self.load_bloom_index(col, version)
@@ -1122,7 +1184,7 @@ class VersionedTable:
             }
             return list(m["files"]), [], meta
         k = index["meta"]["k"]
-        sval = str(value)
+        sval = self._spark_string(value)
         kept, pruned = [], []
         for f in m["files"]:
             ent = index["files"].get(f)
@@ -1208,6 +1270,7 @@ class VersionedTable:
         sizes = self._file_sizes(files)
         stats = self._compute_stats(files)
         dv: list[str] = []
+        partitions: dict[str, dict] = {}
         if mode == "append" and prev is not None:
             pm = self._manifest(prev)
             files += pm["files"]
@@ -1215,8 +1278,16 @@ class VersionedTable:
             stats.update(self._file_stats(pm["files"], pm))
             schema_json = self._evolve_schema(pm["schema"], schema_json)
             dv = pm.get("dv") or []
+            partitions = dict(pm.get("partitions") or {})
         return self._publish(
-            version, files, "add_files", schema_json, sizes, stats, dv=dv
+            version,
+            files,
+            "add_files",
+            schema_json,
+            sizes,
+            stats,
+            partitions,
+            dv=dv,
         )
 
     @staticmethod
@@ -1401,6 +1472,7 @@ class VersionedTable:
         sizes.update(self._file_sizes(untouched, m))
         stats = self._compute_stats(new_files)
         stats.update(self._file_stats(untouched, m))
+        pold = m.get("partitions") or {}
         manifest = self._publish(
             version,
             new_files + untouched,
@@ -1408,20 +1480,25 @@ class VersionedTable:
             m["schema"],
             sizes,
             stats,
+            {f: pold[f] for f in untouched if f in pold},
             dv=prev_dv,
         )
         # blast-radius report, all from metadata + one source count:
         # survivors = rewritten_rows - |source|; updated = affected_rows
         # - survivors (the matched rows the rewrite dropped)
+        old_stats = self._file_stats(m["files"], m)
+        affected_rows = sum(
+            old_stats[f].get("num_rows", 0) for f in affected_rel
+        )
         if prev_dv and affected_rel:
-            # footer counts include DV-deleted rows; count live rows
-            affected_rows = self._read_files(
-                affected_rel, m["schema"], prev_dv
-            ).count()
-        else:
-            old_stats = self._file_stats(m["files"], m)
-            affected_rows = sum(
-                old_stats[f].get("num_rows", 0) for f in affected_rel
+            # footer counts include DV-deleted rows; subtract the
+            # affected files' DV entries (metadata-sized sidecar read,
+            # disjoint vectors) instead of re-scanning data
+            keys = [self._dv_key(f) for f in affected_rel]
+            affected_rows -= (
+                self._dv_read(prev_dv)
+                .filter(F.col("file").isin(keys))
+                .count()
             )
         n_source = source.count()
         n_rewritten = sum(stats[f]["num_rows"] for f in new_files)
@@ -1549,9 +1626,18 @@ class VersionedTable:
             ]
             if dv_added:
                 delta = self._dv_read(dv_added)
+                # DV rows key files by their data/-relative identity;
+                # resolve back to the MANIFEST entries (identity for
+                # normal tables, absolute source paths for shallow
+                # clones) before reading
+                by_key = {self._dv_key(f): f for f in pm["files"]}
                 src_files = sorted(
-                    r["file"]
-                    for r in delta.select("file").distinct().collect()
+                    by_key[k]
+                    for k in {
+                        r["file"]
+                        for r in delta.select("file").distinct().collect()
+                    }
+                    if k in by_key
                 )
                 if src_files:
                     fk, pk = self._pos_key()
@@ -1633,6 +1719,7 @@ class VersionedTable:
         new_sizes.update({f: sizes[f] for f in keep})
         new_stats = self._compute_stats(new_files)
         new_stats.update(self._file_stats(keep, m))
+        pold = m.get("partitions") or {}
         return self._publish(
             version,
             new_files + keep,
@@ -1640,6 +1727,7 @@ class VersionedTable:
             m["schema"],
             new_sizes,
             new_stats,
+            {f: pold[f] for f in keep if f in pold},
             dv=m.get("dv"),
         )
 
@@ -1728,6 +1816,7 @@ class VersionedTable:
         stats = dict(m["stats"])
         schema_json = m["schema"]
         dv: list[str] = []
+        partitions: dict[str, dict] = {}
         if mode == "append" and prev is not None:
             pm = self._manifest(prev)
             files += pm["files"]
@@ -1735,6 +1824,7 @@ class VersionedTable:
             stats.update(self._file_stats(pm["files"], pm))
             schema_json = self._evolve_schema(pm["schema"], schema_json)
             dv = pm.get("dv") or []
+            partitions = dict(pm.get("partitions") or {})
         out = self._publish(
             version,
             files,
@@ -1742,6 +1832,7 @@ class VersionedTable:
             schema_json,
             sizes,
             stats,
+            partitions,
             dv=dv,
         )
         os.remove(self._staged_path(branch))
@@ -1879,8 +1970,24 @@ def apply_change_feed(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    payload = [c for c in base.columns if c not in key_cols]
-    b = base.withColumn("__b", F.lit(1)).alias("b")
+    # the FEED carries the destination schema: columns added by additive
+    # evolution inside the range exist on feed rows but not on the base —
+    # taking base.columns would silently drop them and break the
+    # apply == snapshot(b) contract. Base rows read missing columns as
+    # NULL, exactly as the table's own manifest-schema read does.
+    feed_payload = [
+        c
+        for c in feed.columns
+        if c not in key_cols
+        and c not in ("_change_type", "_commit_version")
+    ]
+    base_aligned = base
+    for p in feed_payload:
+        if p not in base.columns:
+            base_aligned = base_aligned.withColumn(
+                p, F.lit(None).cast(feed.schema[p].dataType)
+            )
+    b = base_aligned.withColumn("__b", F.lit(1)).alias("b")
     c = last.withColumn("__c", F.lit(1)).alias("c")
     j = b.join(c, key_cols, "full_outer")
     keep = j.filter(
@@ -1892,7 +1999,7 @@ def apply_change_feed(
             F.when(F.col("c.__c").isNotNull(), F.col(f"c.{p}"))
             .otherwise(F.col(f"b.{p}"))
             .alias(p)
-            for p in payload
+            for p in feed_payload
         ],
     )
 

@@ -1106,3 +1106,91 @@ def test_snapshot_as_of_timestamp(spark, table):
     assert _rows(table.snapshot_as_of(t1 + 1)) == [(1, "a"), (2, "b")]
     with pytest.raises(FileNotFoundError):
         table.version_as_of(t0 - 3600)
+
+
+# -- round-9 review fixes (regression pins) ----------------------------------
+
+
+def test_partition_values_with_escaped_chars_prune_correctly(spark, table):
+    """Hive path encoding escapes ':' etc.; recorded partition values
+    must be the LOGICAL value or matching files get wrongly pruned."""
+    df = spark.createDataFrame(
+        [Row(k=1, ts="2020-01-01 00:00:00"), Row(k=2, ts="2020-01-02 00:00:00")]
+    )
+    table.commit_partitioned(df, [("p_ts", "ts")])
+    kept, pruned, meta = table.prune_partitions(
+        {"p_ts": "2020-01-01 00:00:00"}
+    )
+    assert meta["files_kept"] == 1 and meta["files_pruned"] == 1
+    got = [r.k for r in table.scan_partitions(
+        {"p_ts": "2020-01-01 00:00:00"}
+    ).filter(F.col("ts") == "2020-01-01 00:00:00").collect()]
+    assert got == [1]
+
+
+def test_bloom_probe_matches_spark_cast_for_nonint_types(spark, table):
+    """A double column indexed under Spark's string rendering must be
+    probe-able with a Python int/float — representation mismatches would
+    be FALSE NEGATIVES."""
+    df = spark.createDataFrame(
+        [Row(k=i, price=float(i)) for i in range(8)]
+    ).repartition(2)
+    table.commit(df)
+    table.build_bloom_index("price")
+    idx = table.load_bloom_index("price")
+    got = sorted(r.k for r in table.lookup("price", 5.0, index=idx).collect())
+    assert got == [5]
+    # bool-typed probes render as Spark's 'true'/'false'
+    assert table._spark_string(True) == "true"
+    assert table._spark_string(5) == "5"
+
+
+def test_bloom_on_empty_table_raises_clearly(spark, table):
+    with pytest.raises(FileNotFoundError):
+        table.prune_files_bloom("k", 5)
+    with pytest.raises(FileNotFoundError):
+        table.load_bloom_index("k")
+
+
+def test_dv_change_feed_works_on_shallow_clone(spark, chunked_table, tmp_path):
+    """A DV delete on a clone references SOURCE files by absolute path;
+    the feed must resolve the vector's relative keys back to them."""
+    src = chunked_table
+    fork = VersionedTable(spark, str(tmp_path / "fork"))
+    fork.clone_from(src)
+    fork.delete_where_dv("k", 5, 8)
+    feed = fork.change_feed(["k"], 0, 1)
+    rows = sorted((r.k, r._change_type) for r in feed.collect())
+    assert rows == [(5, "delete"), (6, "delete"), (7, "delete"),
+                    (8, "delete")]
+
+
+def test_partition_metadata_survives_other_commit_kinds(spark, table):
+    """append/merge/delete must not erase per-file partition values."""
+    df = spark.createDataFrame([Row(k=i, g=i % 2) for i in range(10)])
+    table.commit_partitioned(df, [("p_g", "g")])
+    table.commit(spark.createDataFrame([Row(k=100, g=5)]), mode="append")
+    table.merge(spark.createDataFrame([Row(k=100, g=6)]), ["k"])
+    m = table._manifest(table.latest_version())
+    assert any(v == {"p_g": "0"} for v in m["partitions"].values())
+    kept, pruned, meta = table.prune_partitions({"p_g": "0"})
+    assert meta["files_pruned"] >= 1           # p_g=1 file still prunable
+
+
+def test_apply_change_feed_carries_evolved_columns(spark, table):
+    """Schema evolution inside the feed range: replay must produce the
+    DESTINATION schema (new columns included), not the base's."""
+    from data_engineering_nd_spark.tables import apply_change_feed
+
+    table.commit(spark.createDataFrame([(1, "a")], "k long, v string"))
+    table.commit(
+        spark.createDataFrame([(2, "b", 9.5)],
+                              "k long, v string, score double"),
+        mode="append",
+    )
+    feed = table.change_feed(["k"], 0, 1)
+    applied = apply_change_feed(table.snapshot(version=0), feed, ["k"])
+    assert set(applied.columns) == {"k", "v", "score"}
+    rows = {r.k: (r.v, r.score) for r in applied.collect()}
+    want = {r.k: (r.v, r.score) for r in table.snapshot().collect()}
+    assert rows == want == {1: ("a", None), 2: ("b", 9.5)}
