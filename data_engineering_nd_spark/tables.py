@@ -945,6 +945,27 @@ class VersionedTable:
         )
         return manifest
 
+    def restore(self, version: int) -> dict:
+        """Roll the table back to ``version`` as a NEW commit (the Delta
+        ``RESTORE`` verb): the target manifest's file set, schema, stats,
+        partition values and deletion vectors are re-published under the
+        next version number — metadata-only, nothing rewritten, and the
+        botched intermediate versions stay time-travelable until vacuum.
+        The txn watermark map is NOT rolled back (restore must not make
+        an idempotent writer replay batches it already applied)."""
+        m = self._manifest(version)  # raises if expired/unknown
+        prev = self.latest_version()
+        return self._publish(
+            prev + 1,
+            m["files"],
+            f"restore(v{version})",
+            m["schema"],
+            self._file_sizes(m["files"], m),
+            self._file_stats(m["files"], m),
+            m.get("partitions"),
+            dv=m.get("dv"),
+        )
+
     def clone_from(
         self, src: "VersionedTable", version: int | None = None
     ) -> dict:

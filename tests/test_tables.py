@@ -1194,3 +1194,34 @@ def test_apply_change_feed_carries_evolved_columns(spark, table):
     rows = {r.k: (r.v, r.score) for r in applied.collect()}
     want = {r.k: (r.v, r.score) for r in table.snapshot().collect()}
     assert rows == want == {1: ("a", None), 2: ("b", 9.5)}
+
+
+# -- RESTORE (rollback as a new commit) ---------------------------------------
+
+
+def test_restore_rolls_back_metadata_only(spark, chunked_table):
+    t = chunked_table
+    base_files = t._manifest(0)["files"]
+    t.delete_where_dv("k", 0, 19)                  # v1: bad delete
+    t.commit(spark.createDataFrame([Row(k=99, v="x", cid=9)]),
+             mode="append")                        # v2: bad append
+    m = t.restore(0)                               # v3 == v0 state
+    assert m["operation"] == "restore(v0)"
+    assert m["files"] == base_files                # by reference
+    assert t.snapshot().count() == 40
+    assert t.snapshot(2).count() == 21             # history intact
+    assert sorted(r.k for r in t.snapshot().collect()) == list(range(40))
+
+
+def test_restore_preserves_dv_and_txn_watermarks(spark, chunked_table):
+    t = chunked_table
+    t.delete_where_dv("k", 0, 9)                   # v1 (the state we want)
+    t.commit(spark.createDataFrame([Row(k=77, v="x", cid=7)]),
+             mode="append", txn=("app", 3))        # v2
+    t.restore(1)                                   # v3: drops the append
+    assert t.snapshot().count() == 30              # v1's DV still applies
+    # watermark survives the rollback: replaying batch 3 is still a skip
+    m = t.commit(spark.createDataFrame([Row(k=78, v="y", cid=7)]),
+                 mode="append", txn=("app", 3))
+    assert m.get("idempotent_skip") is True
+    assert t.last_txn_version("app") == 3
