@@ -234,6 +234,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "q105_interval_coalesce",
         "q106_time_weighted_average",
         "q107_rolling_volatility",
+        "src_avro_roundtrip",
     ], 9),
 }
 

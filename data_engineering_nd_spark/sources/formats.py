@@ -133,6 +133,65 @@ def q71_orc_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "src_avro_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_price,
+           CAST(SUM(CAST(concat('0x',
+                substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 10))
+                AS BIGINT)) AS BIGINT) AS key_checksum
+    FROM orders
+    WHERE o_orderkey % 13 = 0
+    GROUP BY o_orderpriority
+    """,
+)
+def src_avro_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 13th order written as AVRO and read back, aggregated with a
+    decimal-exact price total and an md5 key checksum hash-verified
+    against the base table — proving the row-oriented interchange path
+    preserves rows, types and values.
+
+    This distribution bundles the avro CLASSES without the short-name
+    ``DataSourceRegister`` mapping (``format("avro")`` throws the
+    "external module" hint); ``sources.avro`` resolves whichever
+    spelling the session supports, so this query exercises the real
+    reader/writer, not a stub. Completes the format family next to
+    q70 (JSONL) and q71 (ORC)."""
+    import shutil
+
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+    from data_engineering_nd_spark.sources.avro import read_avro, write_avro
+
+    o = (
+        load(spark, "orders", sf_dir)
+        .filter(F.col("o_orderkey") % 13 == 0)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+    path = _roundtrip_dir("avro_roundtrip_")
+    try:
+        write_avro(o, path)
+        out = read_avro(spark, path).groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_price"),
+            F.sum(md5_prefix_long(F.col("o_orderkey").cast("string")))
+            .cast("bigint")
+            .alias("key_checksum"),
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "o_orderpriority string, n_orders bigint, total_price double, "
+        "key_checksum bigint",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Malformed-record handling: PERMISSIVE CSV with a corrupt-record column —
 # the ingestion contract for dirty feeds

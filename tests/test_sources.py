@@ -60,3 +60,26 @@ def test_merge_schema_read_backfills_drifted_column(spark, tmp_path):
     assert set(merged.columns) == {"k", "v", "extra"}
     got = {r.k: r.extra for r in merged.collect()}
     assert got == {1: None, 2: 9}
+
+
+def test_avro_roundtrips_via_resolved_format(spark, tmp_path):
+    """This distribution bundles the avro CLASSES without the short-name
+    register mapping; the resolver must still give working I/O (and a
+    clean remediation error only when neither spelling exists)."""
+    from pyspark.sql import Row
+
+    from data_engineering_nd_spark.sources.avro import (
+        avro_available,
+        read_avro,
+        write_avro,
+    )
+
+    assert avro_available(spark) is True
+    df = spark.createDataFrame(
+        [Row(k=1, v="a", x=1.5), Row(k=2, v=None, x=-2.0)]
+    )
+    write_avro(df, str(tmp_path / "out"))
+    back = read_avro(spark, str(tmp_path / "out"))
+    assert sorted((r.k, r.v, r.x) for r in back.collect()) == [
+        (1, "a", 1.5), (2, None, -2.0),
+    ]
