@@ -235,6 +235,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "q106_time_weighted_average",
         "q107_rolling_volatility",
         "src_avro_roundtrip",
+        "src_xml_roundtrip",
     ], 9),
 }
 

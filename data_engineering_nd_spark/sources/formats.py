@@ -192,6 +192,74 @@ def src_avro_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "src_xml_roundtrip",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_acctbal,
+           CAST(SUM(CAST(concat('0x',
+                substr(md5(CAST(s_suppkey AS VARCHAR)), 1, 10))
+                AS BIGINT)) AS BIGINT) AS key_checksum
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n_name
+    """,
+)
+def src_xml_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers written as XML (Spark 4's NATIVE xml source — the
+    spark-xml merge) and read back schema-explicit, then joined to
+    nation and aggregated with a decimal-exact balance total and an md5
+    key checksum hash-verified against the base tables. Completes the
+    format family: parquet, CSV (2 dialects + quarantine), JSONL (+
+    quarantine), ORC, Avro, XML, SAS (jar-gated).
+
+    Schema-explicit read: XML inference is a second pass over the data
+    and can widen types; production feeds declare the schema (same rule
+    as the JSONL path). rowTag elements are independently splittable
+    units, so large documents parallelize."""
+    import shutil
+
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+
+    s = load(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    n = load(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    path = _roundtrip_dir("xml_roundtrip_")
+    try:
+        s.write.format("xml").option("rootTag", "suppliers").option(
+            "rowTag", "supplier"
+        ).mode("overwrite").save(path)
+        back = (
+            spark.read.format("xml")
+            .option("rowTag", "supplier")
+            .schema("s_suppkey long, s_nationkey long, s_acctbal double")
+            .load(path)
+        )
+        out = (
+            back.join(F.broadcast(n), back.s_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+                F.sum(F.col("s_acctbal").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("total_acctbal"),
+                F.sum(md5_prefix_long(F.col("s_suppkey").cast("string")))
+                .cast("bigint")
+                .alias("key_checksum"),
+            )
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "n_name string, n_suppliers bigint, total_acctbal double, "
+        "key_checksum bigint",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Malformed-record handling: PERMISSIVE CSV with a corrupt-record column —
 # the ingestion contract for dirty feeds
