@@ -25,11 +25,32 @@ def entry(spark: SparkSession) -> DataFrame:
     return q02_top_nations_by_revenue(spark, "/root/testdata/sf0.001")
 
 
+def _with_worker_imports(
+    fn: Callable[[SparkSession, str], DataFrame],
+) -> Callable[[SparkSession, str], DataFrame]:
+    """Ship the package to Python workers before the first job — the
+    mapInPandas / pandas-UDF queries pickle references to it, and a
+    driver running from a foreign cwd would otherwise hit
+    ModuleNotFoundError at task time (idempotent, ~no-op when the cwd
+    already suffices)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        registry.ensure_worker_imports(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ the
     training-data-pipeline operators)."""
     registry.load_all_modules()
-    return registry.gate_ordered(registry.QUERIES)
+    return {
+        name: _with_worker_imports(fn)
+        for name, fn in registry.gate_ordered(registry.QUERIES).items()
+    }
 
 
 def oracle_sql() -> dict[str, str]:

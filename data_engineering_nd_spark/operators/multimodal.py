@@ -1131,3 +1131,99 @@ def multimodal_vad_segments_query(spark: SparkSession, sf_dir: str) -> DataFrame
     gaps-and-islands merge are all value-hashed cross-engine."""
     chunks = chunk_audio(synthetic_media(spark, sf_dir))
     return vad_segments(chunks, rms_threshold=45.0)
+
+
+# ---------------------------------------------------------------------------
+# Binary-file ingestion: the object-store scan path for opaque media blobs
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_binary_ingest",
+    # same ASCII-corpus argument as multimodal_image_features: file bytes
+    # == utf-8 text bytes, so the Horner fold is SQL-mirrorable; the
+    # per-checksum values are < 1e9+7 and the subset is SF-bounded, so
+    # the SUM stays far inside BIGINT
+    oracle="""
+    WITH sub AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 37 = 0
+    ),
+    c AS (
+        SELECT doc_id,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               list_reduce(
+                   list_prepend(
+                       CAST(0 AS BIGINT),
+                       list_transform(string_split(text, ''),
+                                      x -> CAST(ascii(x) AS BIGINT))
+                   ),
+                   (acc, x) -> (acc * 131 + x) % 1000000007
+               ) AS checksum
+        FROM sub
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(MAX(n_bytes) AS BIGINT) AS max_bytes,
+           CAST(SUM(checksum) AS BIGINT) AS checksum_sum,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM c
+    """,
+)
+def multimodal_binary_ingest_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The INGESTION half the other multimodal queries assume: every 37th
+    document's bytes land as an individual ``<doc_id>.bin`` blob file,
+    Spark's built-in ``binaryFile`` source scans the directory (path +
+    content per file — the object-store pattern for opaque media), the
+    media id is recovered from the file name, and the standard
+    mapInPandas featurizer (``image_features``) checksums every payload.
+    The report hash-pins file count, byte totals, the Horner-checksum
+    sum and an id sum against the source corpus — a dropped, truncated
+    or mis-attributed file diverges.
+
+    At 100 TB this is how image/audio corpora actually arrive: millions
+    of blobs under a prefix, scanned by binaryFile with
+    ``pathGlobFilter``/``modifiedAfter`` pushdown, bytes staying
+    executor-local through the Arrow featurizer — never a driver
+    collect. (The driver-side file WRITING here is only the test
+    fixture.)"""
+    import os
+    import shutil
+    import tempfile
+
+    docs = (
+        load(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") % 37 == 0)
+        .select("doc_id", "text")
+        .collect()
+    )
+    work = tempfile.mkdtemp(prefix="binary_ingest_")
+    try:
+        for r in docs:
+            with open(os.path.join(work, f"{r['doc_id']}.bin"), "wb") as f:
+                f.write((r["text"] or "").encode("utf-8"))
+        blobs = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.bin")
+            .load(work)
+            .select(
+                F.regexp_extract(
+                    F.col("path"), r"(\d+)\.bin$", 1
+                ).cast("bigint").alias("media_id"),
+                F.lit("image").alias("kind"),
+                F.col("content").alias("payload"),
+            )
+        )
+        feats = image_features(blobs)
+        out = feats.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.max("n_bytes").cast("bigint").alias("max_bytes"),
+            F.sum("checksum").cast("bigint").alias("checksum_sum"),
+            F.sum("media_id").cast("bigint").alias("id_checksum"),
+        )
+        # output-sized (1 row); materialize before the blob dir goes away
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

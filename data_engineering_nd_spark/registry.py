@@ -28,6 +28,40 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLE_SQL: dict[str, str] = {}
 
 
+def ensure_worker_imports(spark) -> None:
+    """Make ``data_engineering_nd_spark`` importable on Python WORKERS
+    regardless of the driver's working directory: mapInPandas / pandas-UDF
+    closures pickle references to this package, and in local mode workers
+    inherit the driver JVM's cwd — a driver launched from elsewhere (with
+    only a driver-side sys.path patch) would hit ModuleNotFoundError at
+    task time. Zips the package once per process and ships it via
+    ``sc.addPyFile`` (idempotent per SparkContext); a no-op overhead when
+    the cwd already suffices."""
+    import os
+    import tempfile
+    import zipfile
+
+    sc = spark.sparkContext
+    if getattr(sc, "_dend_pyfiles_added", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"dend_spark_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for dp, _, fns in os.walk(pkg_dir):
+                if "__pycache__" in dp:
+                    continue
+                for fn in fns:
+                    if fn.endswith(".py"):
+                        full = os.path.join(dp, fn)
+                        z.write(full, os.path.relpath(full, root))
+    sc.addPyFile(zpath)
+    sc._dend_pyfiles_added = True
+
+
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a query; ``oracle=None`` marks a non-SQL-expressible operator
     (driver falls back to a rows-only check)."""
@@ -236,6 +270,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "q107_rolling_volatility",
         "src_avro_roundtrip",
         "src_xml_roundtrip",
+        "multimodal_binary_ingest",
     ], 9),
 }
 
