@@ -5753,8 +5753,8 @@ _VOL_WINDOW = 24  # samples per rolling window (ROWS, not time)
     ),
     r AS (
         SELECT event_type, rn, v4,
-               SUM(v4) OVER w AS sx,
-               SUM(v4 * v4) OVER w AS sxx,
+               SUM(CAST(v4 AS HUGEINT)) OVER w AS sx,
+               SUM(CAST(v4 AS HUGEINT) * CAST(v4 AS HUGEINT)) OVER w AS sxx,
                COUNT(*) OVER w AS n
         FROM s
         WINDOW w AS (PARTITION BY event_type ORDER BY rn
@@ -5764,7 +5764,7 @@ _VOL_WINDOW = 24  # samples per rolling window (ROWS, not time)
     m AS (
         SELECT event_type, rn, v4, sx, sxx, n,
                CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0 AS mean,
-               sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+               sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE))
                    / CAST(n AS DOUBLE) / 10000.0 AS vol
         FROM full_w
     )
@@ -5796,6 +5796,14 @@ def q107_rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-divergent; an integer sum is not), with one division at the
     display edge. max is order-independent and stays a double.
 
+    Overflow guard (ADVICE r09): sx/sxx and the variance discriminant
+    n*sxx - sx^2 accumulate in WIDE exact integers — DECIMAL(38,0) on
+    the Spark side, HUGEINT (int128) in the oracle. Both are exact, so
+    the double readout stays bit-identical; BIGINT would wrap silently
+    in Spark (non-ANSI) but error in DuckDB for |value| above ~3e5.
+    Exactness holds for |value| <= ~1e13 (n*sxx < 1e38), far beyond the
+    events domain.
+
     Scale shape: one shuffle on the series key; the rolling frame is
     per-series ROWS-bounded (constant state per row, streaming-
     friendly); final rollup is a map-side-combinable hash-agg."""
@@ -5814,16 +5822,21 @@ def q107_rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rn")
         .rowsBetween(-(_VOL_WINDOW - 1), 0)
     )
+    v4d = F.col("v4").cast("decimal(19,0)")
     r = (
-        s.withColumn("sx", F.sum("v4").over(wr))
-        .withColumn("sxx", F.sum(F.col("v4") * F.col("v4")).over(wr))
+        s.withColumn("sx", F.sum(v4d).over(wr))
+        .withColumn("sxx", F.sum(v4d * v4d).over(wr))
         .withColumn("n", F.count(F.lit(1)).over(wr))
         .where(F.col("n") == _VOL_WINDOW)
     )
     mean = F.col("sx").cast("double") / F.col("n").cast("double") / 10000.0
     vol = (
-        F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-               .cast("double"))
+        F.sqrt(
+            (
+                F.col("n").cast("decimal(38,0)") * F.col("sxx")
+                - F.col("sx") * F.col("sx")
+            ).cast("double")
+        )
         / F.col("n").cast("double")
         / 10000.0
     )

@@ -87,20 +87,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Local verification (tools/verify_oracle.py, bench.py) always runs all
 # queries and is order-insensitive.
 
-#: round-9 refresh (the established per-round protocol): for every name, the
-#: most recent committed CORRECTNESS_r0*.json that recorded it.  Round 8
-#: recorded 50 names, all green (the 1 non-green is ann_pca_projection's
-#: by-design no_oracle rows-only marker, green ann_pca_verified sibling) —
-#: the 7 round-0 pins, the whole 41-name r04-stale block, and 2 r05 names
-#: (q22/q23).  56 round-8 registrations were DEFERRED (more than one
-#: window); VERDICT r08 task #1: pin the OLDEST 50 (registration order) to
-#: round 0 so they fill the r09 window front; the remaining 6 + the
-#: oldest-stale r05 block roll to r10.
+#: round-10 refresh (the established per-round protocol): for every name, the
+#: most recent committed CORRECTNESS_r0*.json that recorded it.  Round 9
+#: recorded exactly the 50 round-0 pins — ALL green, the first zero-exception
+#: window (CORRECTNESS_r09.json) — so they refresh to round 9.  The 29
+#: never-recorded names (6 r08 leftovers + 23 r09 DEFERRED registrations)
+#: pin to round 0 and lead the r10 window (VERDICT r09 task #1); the
+#: remaining 21 slots take the oldest r05-stale names; the other 26 r05
+#: names roll to r11.
 LAST_RECORDED_ROUND: dict[str, int] = {
-    # -- DEFERRED round-8 registrations, never driver-recorded (absent from
-    # CORRECTNESS_r08.json); the oldest 50 of the 56, pinned to round 0 to
-    # fill the r09 window (VERDICT r08 task #1).  All carry committed local
-    # two-SF sweep evidence (SWEEP_r08.md) --------------------------------
+    # -- latest record: CORRECTNESS_r09.json (50/50 green, zero exceptions;
+    # the entire r09 round-0 pin block) -----------------------------------
     **dict.fromkeys([
         "q80_bloom_join_prune", "tbl_skipping_report",
         "graph_shortest_paths", "text_bpe_encode", "ann_incremental",
@@ -122,7 +119,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "q96_activity_streaks", "tbl_vacuum_report", "text_rake_keywords",
         "q97_window_funnel", "ann_nndescent", "graph_scc",
         "q98_dynamic_partition_pruning", "text_pmi_collocations",
-    ], 0),
+    ], 9),
     # -- latest record: CORRECTNESS_r05.json (the 47-name stale tail after
     # q22/q23 re-recorded in r08; oldest-stale — rolls through the r10
     # window behind the 6 leftover r08-deferred names) ---------------------
@@ -232,9 +229,11 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "text_token_count_by_source",
         "q22_running_total", "q23_moving_average",
     ], 8),
-    # -- DEFERRED round-8 leftovers (the 6 newest of the 56 that did not fit
-    # the r09 window; two-SF-sweep-verified in SWEEP_r08.md).  They lead the
-    # r10 window (pin to round 0 next refresh) ahead of the r05-stale block.
+    # -- never driver-recorded (absent from every CORRECTNESS_r*.json):
+    # the 6 r08 leftovers + the 23 DEFERRED round-9 registrations, pinned to
+    # round 0 so they lead the r10 window (VERDICT r09 task #1).  All carry
+    # committed two-SF sweep evidence (SWEEP_r08.md / SWEEP_r09.md) and were
+    # independently re-verified by the r09 judge. --------------------------
     **dict.fromkeys([
         "src_csv_malformed_report",
         "tbl_constraints_report",
@@ -242,12 +241,6 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "graph_hits",
         "src_parquet_merge_schema",
         "q100_market_basket_lift",
-    ], 8),
-    # -- DEFERRED fresh registrations (round 9) -----------------------------
-    # The r09 window is exactly the 50 round-0 pins; new round-9
-    # registrations take the CURRENT round number so they sort last, are
-    # verified by the local two-SF sweep this round, and rotate forward.
-    **dict.fromkeys([
         "tbl_change_feed",
         "tbl_partition_evolution",
         "ds_exact_substring_spans",
@@ -271,7 +264,13 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "src_avro_roundtrip",
         "src_xml_roundtrip",
         "multimodal_binary_ingest",
-    ], 9),
+    ], 0),
+    # -- DEFERRED fresh registrations (round 10) ----------------------------
+    # The r10 window is the 29 round-0 pins + the 21 oldest r05-stale names;
+    # new round-10 registrations take the CURRENT round number so they sort
+    # last, are verified by the local two-SF sweep this round, and rotate
+    # into the r11 window front.
+    # (added as they are built — see the bottom of this dict)
 }
 
 #: Back-compat view used by older tests/docs: every name with a usable

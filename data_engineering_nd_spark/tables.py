@@ -706,7 +706,19 @@ class VersionedTable:
         m = self._manifest(version)
         parts = m.get("partitions", {})
         stats = self._file_stats(m["files"], m)
-        want = {k: str(v) for k, v in filters.items()}
+        # Recorded partition values are the unescaped hive directory
+        # strings; Python str() disagrees with that rendering for bool
+        # ('True' vs 'true'), exponent-form floats and NULL — normalize
+        # through the same Spark-cast rendering the Bloom probe uses, or
+        # a matching file would be wrongly pruned (silent row loss).
+        want = {
+            k: (
+                "__HIVE_DEFAULT_PARTITION__"
+                if v is None
+                else self._spark_string(v)
+            )
+            for k, v in filters.items()
+        }
         kept, pruned = [], []
         rows_total = rows_scanned = 0
         by_spec: dict[str, dict] = {}
@@ -1127,8 +1139,12 @@ class VersionedTable:
         }
         meta_path = self._index_meta_path(col, version)
         os.makedirs(os.path.dirname(meta_path), exist_ok=True)
-        with open(meta_path, "w") as f:
+        # atomic publish (tmp + rename), same as every manifest write: a
+        # crash mid-write must not leave a truncated JSON behind
+        tmp = meta_path + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
             json.dump(meta, f)
+        os.replace(tmp, meta_path)
         return meta
 
     def _spark_string(self, value) -> str:
@@ -1163,8 +1179,13 @@ class VersionedTable:
         meta_path = self._index_meta_path(col, version)
         if not os.path.exists(meta_path):
             return None
-        with open(meta_path) as f:
-            meta = json.load(f)
+        try:
+            with open(meta_path) as f:
+                meta = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            # a torn/unreadable sidecar meta degrades to "no index"
+            # (keep-everything), never an exception on the read path
+            return None
         rows = self.spark.read.parquet(
             os.path.join(self.root, meta["data"])
         ).collect()

@@ -637,3 +637,40 @@ def test_quantile_sketch_bound_holds_above_capacity(spark, tmp_path):
         assert r.rank_le >= r.rank_target - r.rank_error_bound
         # the bound itself is ~2n/c, not degenerate
         assert 0 < r.rank_error_bound < n // 40
+
+
+def test_rolling_volatility_large_magnitudes_no_overflow(spark, tmp_path):
+    """|value| ~ 1e7 makes SUM(v4*v4) and sx*sx exceed BIGINT; the wide
+    exact accumulation (DECIMAL(38,0)) must keep the volatility finite,
+    non-negative and equal to the numpy population stddev."""
+    import numpy as np
+
+    from data_engineering_nd_spark.analytics import q107_rolling_volatility
+
+    n = 30
+    vals = [1.0e7 + 1.0e6 * ((i * 37) % 11) for i in range(n)]
+    rows = pd.DataFrame(
+        {
+            "event_type": ["big"] * n,
+            "ts": [
+                datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=i)
+                for i in range(n)
+            ],
+            "event_id": list(range(n)),
+            "value": vals,
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write(spark, sf, "events", rows)
+    out = q107_rolling_volatility(spark, str(sf)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_windows == n - 23
+    v4 = np.array([np.floor(v * 10000 + 0.5) for v in vals])
+    vols = [np.std(v4[i - 23 : i + 1]) / 10000.0 for i in range(23, n)]
+    assert r.max_vol > 0 and np.isfinite(r.max_vol)
+    assert abs(r.max_vol - max(vols)) < 1e-4
+    assert abs(r.mean_vol - np.mean(
+        [np.floor(v * 1e6 + 0.5) / 1e6 for v in vols]
+    )) < 1e-4

@@ -1225,3 +1225,43 @@ def test_restore_preserves_dv_and_txn_watermarks(spark, chunked_table):
                  mode="append", txn=("app", 3))
     assert m.get("idempotent_skip") is True
     assert t.last_txn_version("app") == 3
+
+
+# -- round-10 ADVICE fixes (regression pins) ---------------------------------
+
+
+def test_prune_partitions_bool_and_null_filter_values(spark, table):
+    """Python str() renders True/None differently from the hive directory
+    strings ('true' / '__HIVE_DEFAULT_PARTITION__'); the filter value must
+    be normalized through the Spark rendering or MATCHING files get
+    wrongly pruned (silent row loss in scan_partitions)."""
+    df = spark.createDataFrame(
+        [Row(k=1, flag=True, g="a"), Row(k=2, flag=False, g="b"),
+         Row(k=3, flag=None, g=None)]
+    )
+    table.commit_partitioned(df, [("p_flag", "flag"), ("p_g", "g")])
+    # bool: str(True)='True' but hive writes 'true' -> previously pruned
+    kept, pruned, meta = table.prune_partitions({"p_flag": True})
+    assert meta["files_kept"] == 1 and meta["files_pruned"] == 2
+    got = [r.k for r in table.scan_partitions({"p_flag": True})
+           .filter(F.col("flag") == True).collect()]  # noqa: E712
+    assert got == [1]
+    # NULL partition value: hive sentinel directory
+    kept, pruned, meta = table.prune_partitions({"p_g": None})
+    assert meta["files_kept"] == 1
+    assert [r.k for r in table.scan_partitions({"p_g": None})
+            .filter(F.col("g").isNull()).collect()] == [3]
+
+
+def test_bloom_index_torn_meta_degrades_to_no_index(spark, table):
+    """A truncated/corrupt _index meta JSON must read as 'no index'
+    (keep everything), never raise on the read path."""
+    df = spark.createDataFrame([Row(k=i, v=str(i)) for i in range(6)])
+    table.commit(df)
+    table.build_bloom_index("k")
+    meta_path = table._index_meta_path("k", 0)
+    with open(meta_path, "w") as f:
+        f.write('{"col": "k", "ver')  # torn mid-write
+    assert table.load_bloom_index("k") is None
+    kept, pruned, meta = table.prune_files_bloom("k", 3)
+    assert meta["indexed"] is False and pruned == []
