@@ -5064,3 +5064,113 @@ def tbl_constraints_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Optimistic concurrency: multi-writer commits without an orchestrator
+# ---------------------------------------------------------------------------
+
+_OCC_ORACLE = """
+    WITH surviving AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderkey NOT BETWEEN 1 AND 200
+        UNION ALL
+        SELECT o_orderkey + 10000000 FROM orders
+    )
+    SELECT CAST(5 AS BIGINT) AS n_versions,
+           CAST(2 AS BIGINT) AS writer_b_version,
+           CAST(1 AS BIGINT) AS conflicts_raised,
+           CAST(COUNT(*) AS BIGINT) AS rows_total,
+           CAST(SUM(CAST(concat('0x',
+                substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 10))
+                AS BIGINT)) AS BIGINT) AS key_checksum
+    FROM surviving
+"""
+
+
+@query("tbl_concurrent_commits", oracle=_OCC_ORACLE)
+def tbl_concurrent_commits_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-writer optimistic concurrency (VERDICT r09 task #2): three
+    writers race on one table without any orchestration, and
+    validate-at-publish decides who lands.
+
+    Script: v0 seeds orders partitioned by ``p_bucket = o_orderkey % 3``.
+    Writer A appends its slice based on v0 and lands v1. Writer B — still
+    believing the table is at v0 (a STALE basis, exactly the state a
+    second racing loader is in) — appends its slice: validate-at-publish
+    sees A's commit is a pure append, rebases B metadata-only, and B
+    lands at v2 with A's files carried by reference (no lost update).
+    v3 is a concurrent DELETE; writer C then tries to append on basis v2
+    and must get ``ConcurrentModification`` (the delete's footprint
+    covers C's partitions), after which C retries on the current basis
+    and lands v4. The report value-hashes the version trajectory, the
+    conflict count, and the final snapshot row count + key checksum —
+    a lost update, silent clobber, or phantom rebase diverges on all of
+    them; the oracle states the serial-equivalent result straight from
+    the source table.
+
+    This is the primitive the reference's Airflow DAG substitutes with
+    orchestration (loads serialized one-after-another,
+    ``Capstone/i94_run_etl_dag.py:466-468``); a lakehouse engine at
+    100 TB has independent writers per partition/domain and needs
+    disjoint writers to land WITHOUT coordination — validation cost is
+    manifest-metadata-sized, the rebase rewrites zero data files."""
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+    from data_engineering_nd_spark.tables import (
+        ConcurrentModification,
+        VersionedTable,
+    )
+
+    orders = load(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    work = tempfile.mkdtemp(prefix="tbl_occ_")
+    try:
+        table = VersionedTable(spark, work + "/table")
+        spec = [("p_bucket", "o_orderkey % 3")]
+        table.commit_partitioned(orders, spec)  # v0
+        slices = [
+            orders.filter(F.col("o_orderkey") % 3 == i).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                "o_custkey",
+            )
+            for i in range(3)
+        ]
+        # A lands on the shared basis v0
+        ma = table.commit_partitioned(
+            slices[0], spec, mode="append", read_version=0
+        )
+        # B is STALE (basis v0, table at v1): pure-append rebase -> v2
+        mb = table.commit_partitioned(
+            slices[1], spec, mode="append", read_version=0
+        )
+        # a concurrent DELETE mutates seed files across all buckets (v3)
+        table.delete_where("o_orderkey", 1, 200)
+        conflicts = 0
+        try:
+            table.commit_partitioned(
+                slices[2], spec, mode="append", read_version=2
+            )
+        except ConcurrentModification:
+            conflicts += 1
+        # C re-reads the table and retries on the current basis -> v4
+        mc = table.commit_partitioned(slices[2], spec, mode="append")
+        assert ma["version"] == 1 and mc["version"] == 4
+        key_digest = md5_prefix_long(F.col("o_orderkey").cast("string"))
+        out = table.snapshot().agg(
+            F.count(F.lit(1)).cast("bigint").alias("rows_total"),
+            F.sum(key_digest).cast("bigint").alias("key_checksum"),
+        ).select(
+            F.lit(len(table.versions())).cast("bigint").alias("n_versions"),
+            F.lit(mb["version"]).cast("bigint").alias("writer_b_version"),
+            F.lit(conflicts).cast("bigint").alias("conflicts_raised"),
+            "rows_total",
+            "key_checksum",
+        )
+        # output-sized (1 row); materialize so the scratch table can go
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -270,7 +270,9 @@ LAST_RECORDED_ROUND: dict[str, int] = {
     # new round-10 registrations take the CURRENT round number so they sort
     # last, are verified by the local two-SF sweep this round, and rotate
     # into the r11 window front.
-    # (added as they are built — see the bottom of this dict)
+    **dict.fromkeys([
+        "tbl_concurrent_commits",
+    ], 10),
 }
 
 #: Back-compat view used by older tests/docs: every name with a usable

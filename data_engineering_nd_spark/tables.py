@@ -60,6 +60,16 @@ class CommitConflict(RuntimeError):
     loser). Re-read the table and retry the transaction."""
 
 
+class ConcurrentModification(CommitConflict):
+    """A concurrent commit SEMANTICALLY conflicts with this write (it
+    removed files or added deletion vectors in partitions this write
+    touches, or either side's footprint is unknown). Unlike the bare
+    :class:`CommitConflict` — which the commit paths absorb by rebasing —
+    this is unresolvable by retry: the caller must re-read the table and
+    re-derive the write. The Delta ``ConcurrentDeleteReadException`` /
+    ``ProtocolChangedException`` analog."""
+
+
 class ConstraintViolation(ValueError):
     """A commit batch failed its declared constraints; nothing was
     published. ``.report`` maps constraint name -> violating-row count
@@ -162,6 +172,127 @@ class VersionedTable:
 
     def history(self) -> list[dict]:
         return [self._manifest(v) for v in self.versions()]
+
+    # -- optimistic concurrency (validate-at-publish) ----------------------
+
+    def _commit_changes(self, version: int) -> dict:
+        """What commit ``version`` CHANGED relative to its base snapshot:
+        added/removed file sets, new deletion vectors, and the partition
+        values of every touched file (``parts_unknown`` marks files with
+        no recorded partition metadata — conservative). Manifest-only;
+        no data file is opened."""
+        cm = self._manifest(version)
+        base_files: set[str] = set()
+        base_dv: set[str] = set()
+        base_parts: dict[str, dict] = {}
+        if version > 0:
+            bm = self._manifest(version - 1)
+            base_files = set(bm["files"])
+            base_dv = set(bm.get("dv") or [])
+            base_parts = bm.get("partitions") or {}
+        added = set(cm["files"]) - base_files
+        removed = base_files - set(cm["files"])
+        dv_added = set(cm.get("dv") or []) - base_dv
+        parts = cm.get("partitions") or {}
+        touched: list[dict] = []
+        unknown = False
+        # delete/compact/optimize REWRITE surviving rows of the removed
+        # files into new files: their row footprint is covered by the
+        # removed files' partition values, so an un-attributed added file
+        # does not widen the footprint. Any other operation (append,
+        # merge — whose inserts come from arbitrary source rows) keeps
+        # the conservative unknown.
+        rewrite_only = cm["operation"].split("(")[0] in (
+            "delete", "delete-dv", "compact", "optimize"
+        )
+        for f in added:
+            pv = parts.get(f)
+            if pv:
+                touched.append(pv)
+            elif not rewrite_only:
+                unknown = True
+        for f in removed:
+            pv = base_parts.get(f)
+            if pv:
+                touched.append(pv)
+            else:
+                unknown = True
+        if dv_added:
+            # which data files the new vectors reference is not manifest
+            # metadata; treat a DV delete as touching unknown partitions
+            unknown = True
+        return {
+            "operation": cm["operation"],
+            "added": added,
+            "removed": removed,
+            "dv_added": dv_added,
+            "parts": touched,
+            "parts_unknown": unknown,
+        }
+
+    @staticmethod
+    def _parts_disjoint(a: dict, b: dict) -> bool:
+        """Two partition-value dicts are PROVABLY disjoint iff they share
+        a partition name with differing values; no shared name (different
+        specs after evolution) means we cannot prove disjointness."""
+        return any(k in b and b[k] != v for k, v in a.items())
+
+    def _validate_concurrent(
+        self,
+        read_version: int | None,
+        current: int | None,
+        my_op: str,
+        my_parts: list[dict] | None,
+    ) -> int:
+        """Validate-at-publish (the Delta/Iceberg OCC step): examine every
+        commit that landed AFTER the basis snapshot ``read_version`` (None
+        = empty table) up to ``current``; return the number of concurrent
+        commits this write can safely rebase onto, or raise
+        :class:`ConcurrentModification` when one of them conflicts.
+
+        Rules (per concurrent commit C):
+
+        - my ``replace`` (overwrite) conflicts with ANY C — the result
+          would depend on publish order;
+        - my ``append`` never conflicts with a PURE-ADDITIVE C (removed
+          nothing, added no deletion vectors): appends write disjoint new
+          files by construction, so both land — the caller rebases with a
+          metadata-only retry;
+        - my ``append`` vs a MUTATING C (removed files or added DVs):
+          conflicts unless both footprints carry full partition metadata
+          and every (mine, theirs) pair is provably partition-disjoint —
+          disjoint-partition writers both land, overlapping ones raise.
+        """
+        if current is None:
+            return 0
+        start = -1 if read_version is None else read_version
+        n = 0
+        for v in range(start + 1, current + 1):
+            info = self._commit_changes(v)
+            n += 1
+            if my_op != "append":
+                raise ConcurrentModification(
+                    f"version {v} ({info['operation']!r}) committed after "
+                    f"basis v{read_version}; a replace cannot rebase"
+                )
+            if not info["removed"] and not info["dv_added"]:
+                continue  # pure append: compatible
+            if (
+                my_parts is None
+                or info["parts_unknown"]
+                or not all(
+                    self._parts_disjoint(mine, theirs)
+                    for mine in my_parts
+                    for theirs in info["parts"]
+                )
+            ):
+                raise ConcurrentModification(
+                    f"version {v} ({info['operation']!r}) removed "
+                    f"{len(info['removed'])} file(s) / added "
+                    f"{len(info['dv_added'])} deletion vector(s) in "
+                    f"partitions this append touches (basis v{read_version})"
+                )
+        return n
 
     def _publish(
         self,
@@ -517,6 +648,8 @@ class VersionedTable:
         checks: list[tuple[str, str]] | None = None,
         unique: list[list[str]] | None = None,
         txn: tuple[str, int] | None = None,
+        read_version: int | None = None,
+        max_retries: int = 10,
     ) -> dict:
         """Publish df as the next snapshot. 'overwrite' replaces the file
         set (and the schema); 'append' adds the new files to the previous
@@ -540,7 +673,23 @@ class VersionedTable:
         is the exactly-once story for restartable writers: a streaming
         ``foreachBatch`` sink passing ``(query_id, batch_id)`` can replay
         any batch after a crash and the table absorbs the duplicate (see
-        :func:`idempotent_batch_sink`)."""
+        :func:`idempotent_batch_sink`).
+
+        OPTIMISTIC CONCURRENCY (validate-at-publish, VERDICT r09 task #2):
+        ``read_version`` declares the basis snapshot this write was
+        derived from (None = whatever is latest at entry — a blind
+        write). Before publishing — and again after losing the atomic
+        os.link race to another writer — every commit that landed after
+        the basis is validated by :meth:`_validate_concurrent`: pure
+        appends rebase onto each other with a METADATA-ONLY retry (the
+        data files are written exactly once, the manifest is recomputed
+        over the new latest snapshot), while a concurrent mutation that
+        cannot be proven partition-disjoint raises
+        :class:`ConcurrentModification`. Two racing appends therefore
+        BOTH land with no lost update; the reference serialized its
+        writers by orchestration instead (the Airflow DAG chains loads
+        one-after-another, ``Capstone/i94_run_etl_dag.py:466-468``) — a
+        multi-writer engine cannot."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
         if txn is not None:
@@ -554,36 +703,74 @@ class VersionedTable:
             bad = {k: v for k, v in report.items() if v > 0}
             if bad:
                 raise ConstraintViolation(bad)
-        prev = self.latest_version()
-        version = 0 if prev is None else prev + 1
-        files = self._write_files(df, version)
-        sizes = self._file_sizes(files)
-        stats = self._compute_stats(files)
-        schema_json = df.schema.json()
-        dv: list[str] = []
-        partitions: dict[str, dict] = {}
-        if mode == "append" and prev is not None:
-            pm = self._manifest(prev)
-            files += pm["files"]
-            sizes.update(self._file_sizes(pm["files"], pm))
-            stats.update(self._file_stats(pm["files"], pm))
-            schema_json = self._evolve_schema(pm["schema"], df.schema.json())
-            # carried-over files keep their deletion vectors and
-            # partition values; an append must never resurrect DV-deleted
-            # rows or erase partition-pruning metadata
-            dv = pm.get("dv") or []
-            partitions = dict(pm.get("partitions") or {})
-        return self._publish(
-            version,
-            files,
-            mode,
-            schema_json,
-            sizes,
-            stats,
-            partitions,
-            dv=dv,
-            txn_update={txn[0]: int(txn[1])} if txn else None,
+        if read_version is None:
+            read_version = self.latest_version()
+        my_op = "append" if mode == "append" else "replace"
+        # data files are written ONCE, before the publish loop: every
+        # retry below is metadata-only (the optimistic-concurrency
+        # "rebase", never a data rewrite)
+        first_guess = (
+            0 if read_version is None else read_version + 1
         )
+        new_files = self._write_files(df, first_guess)
+        new_sizes = self._file_sizes(new_files)
+        new_stats = self._compute_stats(new_files)
+        attempts = 0
+        while True:
+            prev = self.latest_version()
+            # validate-at-publish: commits that landed after the basis
+            self._validate_concurrent(read_version, prev, my_op, None)
+            version = 0 if prev is None else prev + 1
+            files = list(new_files)
+            sizes = dict(new_sizes)
+            stats = dict(new_stats)
+            schema_json = df.schema.json()
+            dv: list[str] = []
+            partitions: dict[str, dict] = {}
+            if mode == "append" and prev is not None:
+                pm = self._manifest(prev)
+                files += pm["files"]
+                sizes.update(self._file_sizes(pm["files"], pm))
+                stats.update(self._file_stats(pm["files"], pm))
+                schema_json = self._evolve_schema(
+                    pm["schema"], df.schema.json()
+                )
+                # carried-over files keep their deletion vectors and
+                # partition values; an append must never resurrect
+                # DV-deleted rows or erase partition-pruning metadata
+                dv = pm.get("dv") or []
+                partitions = dict(pm.get("partitions") or {})
+            try:
+                return self._publish(
+                    version,
+                    files,
+                    mode,
+                    schema_json,
+                    sizes,
+                    stats,
+                    partitions,
+                    dv=dv,
+                    txn_update={txn[0]: int(txn[1])} if txn else None,
+                )
+            except ConcurrentModification:
+                raise
+            except CommitConflict:
+                attempts += 1
+                if attempts > max_retries:
+                    raise
+                # another writer won the link race; the next loop pass
+                # validates its commit(s) against the ORIGINAL basis
+                # (read_version is deliberately NOT advanced) and rebases
+                # the manifest onto the new latest — metadata-only.
+                # Absorb idempotent replays that landed concurrently:
+                if txn is not None:
+                    last = self.last_txn_version(txn[0])
+                    if last is not None and int(txn[1]) <= last:
+                        out = dict(
+                            self._manifest(self.latest_version())
+                        )
+                        out["idempotent_skip"] = True
+                        return out
 
     def last_txn_version(self, app_id: str) -> int | None:
         """The recorded high-water ``txnVersion`` for ``app_id``, or None
@@ -599,6 +786,8 @@ class VersionedTable:
         df: DataFrame,
         spec: list[tuple[str, str]],
         mode: str = "overwrite",
+        read_version: int | None = None,
+        max_retries: int = 10,
     ) -> dict:
         """Publish df under a PARTITION SPEC (Iceberg-style hidden
         partitioning): ``spec`` is ``(partition_name, sql_expr)`` pairs
@@ -621,7 +810,14 @@ class VersionedTable:
         (repartition on them), yielding one file per live partition
         value — the layout a 100 TB writer wants for partition-pruned
         reads; size-bounded splitting within a partition is the
-        ``files_per_partition`` story in ``io.py``."""
+        ``files_per_partition`` story in ``io.py``.
+
+        Optimistic concurrency mirrors :meth:`commit`, with the partition
+        values of the staged files as the write's declared FOOTPRINT:
+        against a concurrent mutation that also carries full partition
+        metadata, provably DISJOINT-partition writers both land via the
+        metadata-only rebase; overlapping (or unprovable) ones raise
+        :class:`ConcurrentModification`."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
         pcols = [name for name, _ in spec]
@@ -633,23 +829,25 @@ class VersionedTable:
         staged = df
         for name, expr in spec:
             staged = staged.withColumn(name, F.expr(expr))
-        prev = self.latest_version()
-        version = 0 if prev is None else prev + 1
+        if read_version is None:
+            read_version = self.latest_version()
+        my_op = "append" if mode == "append" else "replace"
+        first_guess = 0 if read_version is None else read_version + 1
         rel_dir = os.path.join(
-            _DATA, f"v{version:011d}-{uuid.uuid4().hex[:8]}"
+            _DATA, f"v{first_guess:011d}-{uuid.uuid4().hex[:8]}"
         )
         out = os.path.join(self.root, rel_dir)
         staged.repartition(*[F.col(c) for c in pcols]).write.mode(
             "overwrite"
         ).partitionBy(*pcols).parquet(out)
-        files: list[str] = []
-        partitions: dict[str, dict] = {}
+        new_files: list[str] = []
+        new_partitions: dict[str, dict] = {}
         for dp, _, fns in os.walk(out):
             for fn in fns:
                 if not fn.endswith(".parquet"):
                     continue
                 rel = os.path.relpath(os.path.join(dp, fn), self.root)
-                files.append(rel)
+                new_files.append(rel)
                 vals: dict[str, str] = {}
                 for comp in os.path.relpath(dp, out).split(os.sep):
                     if "=" in comp:
@@ -659,29 +857,48 @@ class VersionedTable:
                         # LOGICAL value or prune_partitions would compare
                         # escaped-vs-raw and wrongly prune matching files
                         vals[k] = unquote(v)
-                partitions[rel] = vals
-        sizes = self._file_sizes(files)
-        stats = self._compute_stats(files)
-        schema_json = df.schema.json()  # source columns only
-        dv: list[str] = []
-        if mode == "append" and prev is not None:
-            pm = self._manifest(prev)
-            files += pm["files"]
-            sizes.update(self._file_sizes(pm["files"], pm))
-            stats.update(self._file_stats(pm["files"], pm))
-            partitions.update(pm.get("partitions", {}))
-            schema_json = self._evolve_schema(pm["schema"], schema_json)
-            dv = pm.get("dv") or []
-        return self._publish(
-            version,
-            files,
-            f"{mode}_partitioned({','.join(pcols)})",
-            schema_json,
-            sizes,
-            stats,
-            partitions,
-            dv=dv,
-        )
+                new_partitions[rel] = vals
+        new_sizes = self._file_sizes(new_files)
+        new_stats = self._compute_stats(new_files)
+        my_parts = list(new_partitions.values())
+        attempts = 0
+        while True:
+            prev = self.latest_version()
+            self._validate_concurrent(read_version, prev, my_op, my_parts)
+            version = 0 if prev is None else prev + 1
+            files = list(new_files)
+            sizes = dict(new_sizes)
+            stats = dict(new_stats)
+            partitions = dict(new_partitions)
+            schema_json = df.schema.json()  # source columns only
+            dv: list[str] = []
+            if mode == "append" and prev is not None:
+                pm = self._manifest(prev)
+                files += pm["files"]
+                sizes.update(self._file_sizes(pm["files"], pm))
+                stats.update(self._file_stats(pm["files"], pm))
+                partitions.update(pm.get("partitions", {}))
+                schema_json = self._evolve_schema(pm["schema"], schema_json)
+                dv = pm.get("dv") or []
+            try:
+                return self._publish(
+                    version,
+                    files,
+                    f"{mode}_partitioned({','.join(pcols)})",
+                    schema_json,
+                    sizes,
+                    stats,
+                    partitions,
+                    dv=dv,
+                )
+            except ConcurrentModification:
+                raise
+            except CommitConflict:
+                attempts += 1
+                if attempts > max_retries:
+                    raise
+                # lost the link race; re-validate against the ORIGINAL
+                # basis next pass and rebase metadata-only
 
     def prune_partitions(
         self, filters: dict[str, object], version: int | None = None

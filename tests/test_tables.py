@@ -1265,3 +1265,110 @@ def test_bloom_index_torn_meta_degrades_to_no_index(spark, table):
     assert table.load_bloom_index("k") is None
     kept, pruned, meta = table.prune_files_bloom("k", 3)
     assert meta["indexed"] is False and pruned == []
+
+
+# -- round-10: optimistic concurrency (validate-at-publish) -------------------
+
+
+def test_occ_stale_append_rebases_no_lost_update(spark, table):
+    """Two appends derived from the same basis snapshot must BOTH land:
+    the loser rebases with a metadata-only retry (its data files are
+    written once), never clobbers, never drops the winner's rows."""
+    table.commit(spark.createDataFrame([Row(k=0, v="seed")]))
+    a = spark.createDataFrame([Row(k=1, v="a")])
+    b = spark.createDataFrame([Row(k=2, v="b")])
+    ma = table.commit(a, mode="append", read_version=0)
+    assert ma["version"] == 1
+    # B still believes the table is at v0 — validate-at-publish sees A's
+    # pure append, rebases, lands at v2
+    mb = table.commit(b, mode="append", read_version=0)
+    assert mb["version"] == 2
+    assert _rows(table.snapshot()) == [(0, "seed"), (1, "a"), (2, "b")]
+    # A's files carried into B's manifest by reference
+    assert set(ma["files"]) < set(mb["files"])
+
+
+def test_occ_stale_overwrite_raises(spark, table):
+    from data_engineering_nd_spark.tables import ConcurrentModification
+
+    table.commit(spark.createDataFrame([Row(k=0, v="seed")]))
+    table.commit(spark.createDataFrame([Row(k=1, v="a")]), mode="append")
+    with pytest.raises(ConcurrentModification):
+        table.commit(
+            spark.createDataFrame([Row(k=9, v="z")]),
+            mode="overwrite",
+            read_version=0,
+        )
+
+
+def test_occ_append_vs_concurrent_delete_conflicts(spark, table):
+    """An unpartitioned append cannot prove disjointness from a
+    concurrent DELETE -> ConcurrentModification, not a silent rebase."""
+    from data_engineering_nd_spark.tables import ConcurrentModification
+
+    table.commit(spark.createDataFrame([Row(k=i, v=str(i)) for i in range(10)]))
+    table.delete_where("k", 0, 4)  # v1: mutates existing files
+    with pytest.raises(ConcurrentModification):
+        table.commit(
+            spark.createDataFrame([Row(k=99, v="x")]),
+            mode="append",
+            read_version=0,
+        )
+    # a CURRENT-basis append is fine
+    m = table.commit(
+        spark.createDataFrame([Row(k=99, v="x")]), mode="append"
+    )
+    assert m["version"] == 2
+
+
+def test_occ_partitioned_disjoint_writers_both_land(spark, table):
+    """Disjoint-PARTITION append vs delete both land via metadata-only
+    rebase; overlapping-partition append raises."""
+    from data_engineering_nd_spark.tables import ConcurrentModification
+
+    df = spark.createDataFrame([Row(k=i, g=i % 2, v=str(i)) for i in range(10)])
+    table.commit_partitioned(df, [("p_g", "g")])  # v0: p_g in {0,1}
+    # concurrent writer deletes everything in p_g=0 via partition-scoped
+    # overwrite of those files: simulate with delete_where on k range that
+    # lives in p_g=0 only -> removed files are all p_g=0
+    # (delete_where rewrites affected files; removed files carry p_g=0)
+    table.delete_where("k", 0, 0)  # v1: touches only file(s) with k=0 (p_g=0)
+    add1 = spark.createDataFrame([Row(k=101, g=1, v="y")])
+    m = table.commit_partitioned(
+        add1, [("p_g", "g")], mode="append", read_version=0
+    )  # disjoint partition (p_g=1) -> rebases
+    assert m["version"] == 2
+    got = sorted(r.k for r in table.snapshot().collect())
+    assert got == [1, 2, 3, 4, 5, 6, 7, 8, 9, 101]
+    add0 = spark.createDataFrame([Row(k=100, g=0, v="x")])
+    with pytest.raises(ConcurrentModification):
+        table.commit_partitioned(
+            add0, [("p_g", "g")], mode="append", read_version=0
+        )  # p_g=0 overlaps v1's delete footprint
+
+
+def test_occ_two_threads_interleaved_appends_no_lost_update(spark, table):
+    """Property: two writers firing K appends each against one table,
+    racing at the atomic link point, lose nothing — final snapshot holds
+    all 2K batches, versions are dense, every batch's rows survive."""
+    import threading
+
+    table.commit(spark.createDataFrame([Row(k=-1, v="seed")]))
+    K = 4
+    errs = []
+
+    def writer(base: int):
+        try:
+            for i in range(K):
+                df = spark.createDataFrame([Row(k=base + i, v=f"w{base}")])
+                table.commit(df, mode="append")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t1 = threading.Thread(target=writer, args=(100,))
+    t2 = threading.Thread(target=writer, args=(200,))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    assert table.versions() == list(range(2 * K + 1))
+    got = sorted(r.k for r in table.snapshot().collect())
+    assert got == [-1] + [100 + i for i in range(K)] + [200 + i for i in range(K)]
