@@ -5174,3 +5174,109 @@ def tbl_concurrent_commits_query(
         return out.localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Manifest log checkpointing: O(1)+tail table open at any commit count
+# ---------------------------------------------------------------------------
+
+_CKPT_ORACLE = """
+    SELECT CAST(13 AS BIGINT) AS n_commits,
+           CAST(9 AS BIGINT) AS ckpt_version,
+           CAST(3 AS BIGINT) AS manifests_read_with,
+           CAST(13 AS BIGINT) AS manifests_read_without,
+           CAST(1 AS BIGINT) AS checkpoint_reads_with,
+           CAST(1 AS BIGINT) AS snapshots_match,
+           CAST(COUNT(*) AS BIGINT) AS rows_total,
+           CAST(SUM(CAST(concat('0x',
+                substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 10))
+                AS BIGINT)) AS BIGINT) AS key_checksum
+    FROM orders
+"""
+
+
+@query("tbl_log_checkpoint_report", oracle=_CKPT_ORACLE)
+def tbl_log_checkpoint_report_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Manifest-log checkpointing (VERDICT r09 task #3, the Delta
+    checkpoint shape): 13 commits land with ``checkpoint_interval=5``,
+    rolling the log up at v4 and v9. A COLD open that replays history
+    through the checkpoint reads 1 checkpoint file + the 3-manifest tail
+    (10..12) — versus 13 per-version manifest reads without it — and
+    resolves the IDENTICAL state: the report value-hashes both read
+    counts, a full-history equality check between the two read paths,
+    and the final snapshot row count + key checksum straight from the
+    instrumented ``io_counts``.
+
+    At 10^5 commits this is the difference between ~10^5 driver-side
+    file reads per table open and O(interval): the checkpoint is built
+    INCREMENTALLY (previous checkpoint + tail), per-version manifests
+    stay canonical so time travel / restore / change_feed resolve any
+    version, and a torn checkpoint degrades to the listdir path
+    (pinned in tests)."""
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    orders = load(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    work = tempfile.mkdtemp(prefix="tbl_ckpt_")
+    try:
+        table = VersionedTable(
+            spark, work + "/table", checkpoint_interval=5
+        )
+        n_commits = 13
+        for i in range(n_commits):
+            table.commit(
+                orders.filter(F.col("o_orderkey") % n_commits == i),
+                mode="append" if i else "overwrite",
+            )
+        with_ck = VersionedTable(spark, work + "/table")
+        no_ck = VersionedTable(
+            spark, work + "/table", use_checkpoints=False
+        )
+        h_with, h_without = with_ck.history(), no_ck.history()
+        # capture the log-I/O cost of the cold history replay itself
+        # (the snapshot summaries below re-open the tip manifest and
+        # would inflate the counters)
+        reads_with = with_ck.io_counts["manifest_reads"]
+        reads_without = no_ck.io_counts["manifest_reads"]
+        ckpt_reads = with_ck.io_counts["checkpoint_reads"]
+        key_digest = md5_prefix_long(F.col("o_orderkey").cast("string"))
+
+        def _summary(t):
+            return t.snapshot().agg(
+                F.count(F.lit(1)).cast("bigint").alias("rows_total"),
+                F.sum(key_digest).cast("bigint").alias("key_checksum"),
+            ).collect()[0]
+
+        s_with, s_without = _summary(with_ck), _summary(no_ck)
+        match = int(
+            h_with == h_without
+            and s_with["rows_total"] == s_without["rows_total"]
+            and s_with["key_checksum"] == s_without["key_checksum"]
+        )
+        out = spark.createDataFrame(
+            [
+                (
+                    n_commits,
+                    9,
+                    reads_with,
+                    reads_without,
+                    ckpt_reads,
+                    match,
+                    int(s_with["rows_total"]),
+                    int(s_with["key_checksum"]),
+                )
+            ],
+            "n_commits bigint, ckpt_version bigint, manifests_read_with "
+            "bigint, manifests_read_without bigint, checkpoint_reads_with "
+            "bigint, snapshots_match bigint, rows_total bigint, "
+            "key_checksum bigint",
+        )
+        # output-sized (1 row); materialize so the scratch table can go
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -272,6 +272,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
     # into the r11 window front.
     **dict.fromkeys([
         "tbl_concurrent_commits",
+        "tbl_log_checkpoint_report",
     ], 10),
 }
 

@@ -143,23 +143,151 @@ class VersionedTable:
         <root>/data/v00000000000-<salt>/*.parquet   immutable files per commit
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        checkpoint_interval: int = 10,
+        use_checkpoints: bool = True,
+    ):
         self.spark = spark
         self.root = root
+        #: write a rolled-up log checkpoint every N commits (0 disables
+        #: writing); reading still uses whatever checkpoints exist
+        self.checkpoint_interval = checkpoint_interval
+        #: read-path switch: False ignores checkpoints entirely (every
+        #: manifest is read from its own per-version JSON) — the
+        #: comparison arm of ``tbl_log_checkpoint_report``
+        self.use_checkpoints = use_checkpoints
+        #: log-I/O instrumentation: how many per-version manifest files,
+        #: checkpoint files, full directory listings and existence probes
+        #: the read path performed on THIS instance — the numbers the
+        #: checkpoint exists to shrink (O(1)+tail instead of O(commits))
+        self.io_counts = {
+            "manifest_reads": 0,
+            "checkpoint_reads": 0,
+            "list_scans": 0,
+            "exists_probes": 0,
+        }
+        self._ckpt_cache: tuple[int, dict] | None = None
 
     # -- log plumbing -----------------------------------------------------
 
     def _log_dir(self) -> str:
         return os.path.join(self.root, _LOG)
 
+    # -- manifest log checkpointing (VERDICT r09 task #3) -------------------
+    #
+    # Delta-style: every N commits the per-version JSON manifest chain is
+    # rolled up into ONE checkpoint file, and `_last_checkpoint` points at
+    # it.  Opening the table then costs O(1) file reads plus the commit
+    # tail since the checkpoint, instead of O(commits) — at 10^5 commits
+    # that is the difference between one read and 10^5.  The per-version
+    # JSONs are still always written and never deleted, so time travel,
+    # restore and change_feed resolve ANY version with or without a
+    # checkpoint; manifests are immutable once published, so checkpoint
+    # content can be cached forever and concurrent checkpoint writers
+    # racing on the same version write identical bytes.
+
+    def _last_checkpoint_path(self) -> str:
+        return os.path.join(self._log_dir(), "_last_checkpoint")
+
+    def _checkpoint_path(self, version: int) -> str:
+        return os.path.join(
+            self._log_dir(), f"{version:011d}.checkpoint.json"
+        )
+
+    def _last_checkpoint_version(self) -> int | None:
+        """The version `_last_checkpoint` points at, or None (absent,
+        torn, or checkpoints disabled on the read path) — degrading to
+        the listdir path, never raising."""
+        if not self.use_checkpoints:
+            return None
+        try:
+            with open(self._last_checkpoint_path()) as f:
+                return int(json.load(f)["version"])
+        except (OSError, ValueError, KeyError, json.JSONDecodeError):
+            return None
+
+    def _read_checkpoint(self, version: int) -> dict | None:
+        """Load (and cache — checkpoints are immutable) the rolled-up
+        manifest map at ``version``; None degrades to per-version reads."""
+        if self._ckpt_cache is not None and self._ckpt_cache[0] == version:
+            return self._ckpt_cache[1]
+        try:
+            with open(self._checkpoint_path(version)) as f:
+                ck = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return None
+        self.io_counts["checkpoint_reads"] += 1
+        self._ckpt_cache = (version, ck)
+        return ck
+
+    def _write_checkpoint(self, version: int) -> None:
+        """Roll manifests 0..version into one checkpoint file and advance
+        `_last_checkpoint` (monotonically — a lagging writer never moves
+        it backwards). Built INCREMENTALLY from the previous checkpoint
+        plus the tail, so checkpointing itself is O(interval) reads, not
+        O(commits). Failure is swallowed: a checkpoint is an optimization,
+        never a commit-correctness dependency."""
+        try:
+            manifests: dict[str, dict] = {}
+            prev_ckv = self._last_checkpoint_version()
+            if prev_ckv is not None and prev_ckv <= version:
+                prev = self._read_checkpoint(prev_ckv)
+                if prev:
+                    manifests.update(prev["manifests"])
+            for v in range(version + 1):
+                if str(v) not in manifests:
+                    manifests[str(v)] = self._manifest(v)
+            ck = {"version": version, "manifests": manifests}
+            path = self._checkpoint_path(version)
+            tmp = path + f".{uuid.uuid4().hex}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(ck, f)
+            os.replace(tmp, path)
+            if prev_ckv is None or prev_ckv < version:
+                lp = self._last_checkpoint_path()
+                tmp2 = lp + f".{uuid.uuid4().hex}.tmp"
+                with open(tmp2, "w") as f:
+                    json.dump({"version": version}, f)
+                os.replace(tmp2, lp)
+            self._ckpt_cache = (version, ck)
+        except OSError:
+            pass
+
+    def checkpoint(self) -> int | None:
+        """Force a log checkpoint at the current latest version; returns
+        the checkpointed version (None on an empty table)."""
+        latest = self.latest_version()
+        if latest is not None:
+            self._write_checkpoint(latest)
+        return latest
+
     def versions(self) -> list[int]:
+        ckv = self._last_checkpoint_version()
+        if ckv is not None:
+            # versions are dense 0..latest by construction; probe the
+            # tail past the checkpoint instead of listing the whole log
+            out = list(range(ckv + 1))
+            v = ckv + 1
+            while True:
+                self.io_counts["exists_probes"] += 1
+                if not os.path.exists(
+                    os.path.join(self._log_dir(), f"{v:011d}.json")
+                ):
+                    return out
+                out.append(v)
+                v += 1
         d = self._log_dir()
         if not os.path.isdir(d):
             return []
+        self.io_counts["list_scans"] += 1
         return sorted(
             int(f[: -len(".json")])
             for f in os.listdir(d)
             if f.endswith(".json")
+            and not f.endswith(".checkpoint.json")
         )
 
     def latest_version(self) -> int | None:
@@ -167,6 +295,19 @@ class VersionedTable:
         return vs[-1] if vs else None
 
     def _manifest(self, version: int) -> dict:
+        ck = self._ckpt_cache
+        if ck is None or version > ck[0]:
+            ckv = self._last_checkpoint_version()
+            if ckv is not None and version <= ckv:
+                ckd = self._read_checkpoint(ckv)
+                ck = (ckv, ckd) if ckd is not None else None
+            else:
+                ck = None
+        if ck is not None and version <= ck[0]:
+            m = ck[1].get("manifests", {}).get(str(version))
+            if m is not None:
+                return m
+        self.io_counts["manifest_reads"] += 1
         with open(os.path.join(self._log_dir(), f"{version:011d}.json")) as f:
             return json.load(f)
 
@@ -374,6 +515,14 @@ class VersionedTable:
             raise CommitConflict(f"version {version} already committed")
         finally:
             os.remove(tmp)
+        # roll up the log every N commits so table open stays O(1)+tail
+        # at any commit count (failure is swallowed inside — the
+        # checkpoint is an optimization, never a commit dependency)
+        if (
+            self.checkpoint_interval
+            and (version + 1) % self.checkpoint_interval == 0
+        ):
+            self._write_checkpoint(version)
         return manifest
 
     # -- data-file plumbing ----------------------------------------------

@@ -1372,3 +1372,66 @@ def test_occ_two_threads_interleaved_appends_no_lost_update(spark, table):
     assert table.versions() == list(range(2 * K + 1))
     got = sorted(r.k for r in table.snapshot().collect())
     assert got == [-1] + [100 + i for i in range(K)] + [200 + i for i in range(K)]
+
+
+# -- round-10: manifest log checkpointing -------------------------------------
+
+
+def test_log_checkpoint_reduces_reads_same_state(spark, tmp_path):
+    """After N commits, a cold open via the checkpoint reads O(1)+tail
+    log files instead of O(commits), and resolves the IDENTICAL state."""
+    root = str(tmp_path / "ckpt_tbl")
+    t = VersionedTable(spark, root, checkpoint_interval=3)
+    t.commit(spark.createDataFrame([Row(k=0, v="0")]))
+    for i in range(1, 8):
+        t.commit(spark.createDataFrame([Row(k=i, v=str(i))]), mode="append")
+    # interval 3 -> checkpoints at v2 and v5
+    import os as _os
+    assert _os.path.exists(t._checkpoint_path(5))
+    with_ck = VersionedTable(spark, root)                      # cold
+    no_ck = VersionedTable(spark, root, use_checkpoints=False)  # cold
+    h1, h2 = with_ck.history(), no_ck.history()
+    assert h1 == h2 and len(h1) == 8
+    assert with_ck.io_counts["manifest_reads"] == 2   # v6, v7 tail only
+    assert with_ck.io_counts["checkpoint_reads"] == 1
+    assert with_ck.io_counts["list_scans"] == 0
+    assert no_ck.io_counts["manifest_reads"] == 8
+    assert with_ck.versions() == no_ck.versions() == list(range(8))
+    assert _rows(with_ck.snapshot()) == _rows(no_ck.snapshot())
+
+
+def test_checkpointed_table_roundtrips_restore_clone_dv(
+    spark, tmp_path
+):
+    """Time travel, restore, DV reads and shallow clones must resolve any
+    version with a checkpointed log (per-version JSONs stay canonical)."""
+    root = str(tmp_path / "ckpt_life")
+    t = VersionedTable(spark, root, checkpoint_interval=2)
+    t.commit(spark.createDataFrame([Row(k=i, v=str(i)) for i in range(10)]))
+    t.commit(spark.createDataFrame([Row(k=i, v=str(i)) for i in range(10, 20)]),
+             mode="append")                                    # v1 (ckpt)
+    t.delete_where_dv("k", 0, 4)                               # v2
+    t.commit(spark.createDataFrame([Row(k=99, v="x")]), mode="append")  # v3
+    cold = VersionedTable(spark, root)
+    assert cold.snapshot(version=0).count() == 10   # time travel pre-ckpt
+    assert cold.snapshot().count() == 16            # DV applied (15 + 1)
+    m = cold.restore(1)                             # v4
+    assert m["version"] == 4 and cold.snapshot().count() == 20
+    fork = VersionedTable(spark, str(tmp_path / "ckpt_fork"))
+    fork.clone_from(cold)
+    assert fork.snapshot().count() == 20
+    feed = cold.change_feed(["k"], 1, 2)  # from_version exclusive
+    assert feed.filter(F.col("_change_type") == "delete").count() == 5
+
+
+def test_log_checkpoint_torn_last_pointer_degrades(spark, tmp_path):
+    root = str(tmp_path / "ckpt_torn")
+    t = VersionedTable(spark, root, checkpoint_interval=2)
+    t.commit(spark.createDataFrame([Row(k=1, v="a")]))
+    t.commit(spark.createDataFrame([Row(k=2, v="b")]), mode="append")
+    with open(t._last_checkpoint_path(), "w") as f:
+        f.write('{"vers')  # torn mid-write
+    cold = VersionedTable(spark, root)
+    assert cold.versions() == [0, 1]
+    assert cold.io_counts["list_scans"] == 1  # degraded to listdir
+    assert _rows(cold.snapshot()) == [(1, "a"), (2, "b")]
