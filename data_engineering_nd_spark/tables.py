@@ -1489,19 +1489,37 @@ class VersionedTable:
             _INDEX, f"v{version:011d}-{col}-{uuid.uuid4().hex[:8]}"
         )
         out = os.path.join(self.root, rel_dir)
-        words.repartition(1).write.mode("overwrite").parquet(out)
+        # PARTITIONED sidecar write (VERDICT r09 task #4a): range-cluster
+        # and sort by widx so every writer task lands its own part file
+        # (no single-task repartition(1) funnel — at millions of files ×
+        # keys the index build itself must parallelize) and so the
+        # scoped probe's widx membership filter prunes parquet row
+        # groups via tight min/max stats.
+        words.repartitionByRange(
+            F.col("widx"), F.col("file")
+        ).sortWithinPartitions("widx", "file").write.mode(
+            "overwrite"
+        ).parquet(out)
+        # size the index off the JUST-WRITTEN sidecar (metadata-scale
+        # read) — counting the `words` frame would re-execute the whole
+        # distributed build a second time
+        sizing = (
+            self.spark.read.parquet(out)
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.count_distinct("file").alias("nfiles"),
+            )
+            .collect()[0]
+        )
         meta = {
             "col": col,
             "version": version,
             "k": K_HASHES,
             "data": rel_dir,
-            # count off the JUST-WRITTEN sidecar (metadata-scale read) —
-            # counting the `words` frame would re-execute the whole
-            # distributed build a second time
-            "files_indexed": self.spark.read.parquet(out)
-            .select("file")
-            .distinct()
-            .count(),
+            "files_indexed": int(sizing["nfiles"]),
+            # word-row count: drives the probe-path choice (driver dict
+            # below the threshold, distributed scoped scan above it)
+            "rows": int(sizing["rows"]),
         }
         meta_path = self._index_meta_path(col, version)
         os.makedirs(os.path.dirname(meta_path), exist_ok=True)
@@ -1530,6 +1548,19 @@ class VersionedTable:
         ).collect()
         return row[0]["s"]
 
+    def _read_index_meta(self, col: str, version: int) -> dict | None:
+        """The index sidecar's meta JSON, or None when absent or torn —
+        a corrupt meta degrades to the conservative no-index path, never
+        an exception on the read path."""
+        meta_path = self._index_meta_path(col, version)
+        if not os.path.exists(meta_path):
+            return None
+        try:
+            with open(meta_path) as f:
+                return json.load(f)
+        except (json.JSONDecodeError, OSError):
+            return None
+
     def load_bloom_index(
         self, col: str, version: int | None = None
     ) -> dict | None:
@@ -1542,15 +1573,8 @@ class VersionedTable:
             version = self.latest_version()
         if version is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
-        meta_path = self._index_meta_path(col, version)
-        if not os.path.exists(meta_path):
-            return None
-        try:
-            with open(meta_path) as f:
-                meta = json.load(f)
-        except (json.JSONDecodeError, OSError):
-            # a torn/unreadable sidecar meta degrades to "no index"
-            # (keep-everything), never an exception on the read path
+        meta = self._read_index_meta(col, version)
+        if meta is None:
             return None
         rows = self.spark.read.parquet(
             os.path.join(self.root, meta["data"])
@@ -1561,19 +1585,94 @@ class VersionedTable:
             ent[1][int(r["widx"])] = int(r["word"])
         return {"meta": meta, "files": index}
 
+    #: word-row count above which a probe stops collecting the whole
+    #: index into driver memory and runs the distributed scoped scan
+    BLOOM_SCAN_THRESHOLD_ROWS = 1_000_000
+
+    def _prune_files_bloom_scan(
+        self, imeta: dict, m: dict, value
+    ) -> tuple[list[str], list[str], dict]:
+        """Distributed SCOPED probe (VERDICT r09 task #4b) for indexes
+        too large to collect: only the probe's own word rows leave the
+        sidecar. The driver materializes k positions PER FILE (the same
+        metadata scale as the manifest's file list — 3 small ints per
+        file, never the word table), broadcasts them, and one job joins
+        them against the sidecar with a pushed ``widx`` membership
+        filter; because the sidecar is written widx-sorted, parquet
+        row-group stats prune everything outside the probe's O(k ×
+        distinct m_bits) word indexes. Collected result: at most one
+        row per indexed file. Decision semantics are IDENTICAL to the
+        driver-dict path (no false negatives)."""
+        from data_engineering_nd_spark.operators.bloom import py_position
+
+        k = int(imeta["k"])
+        sidecar = self.spark.read.parquet(
+            os.path.join(self.root, imeta["data"])
+        )
+        fm = sidecar.select("file", "m_bits").distinct().collect()
+        sval = self._spark_string(value)
+        probe_rows = []
+        for r in fm:
+            mb = int(r["m_bits"])
+            for i in range(k):
+                p = py_position(sval, i, mb)
+                probe_rows.append((r["file"], p // 32, 1 << (p % 32), i))
+        probe = self.spark.createDataFrame(
+            probe_rows, "file string, widx long, bit long, pos_id int"
+        )
+        widxes = sorted({int(r[1]) for r in probe_rows})
+        scan = sidecar
+        if len(widxes) <= 10_000:
+            # widx values repeat across files with equal m_bits, so the
+            # membership set is O(k × distinct m_bits), not O(k × files)
+            scan = scan.where(F.col("widx").isin(widxes))
+        hit_files = {
+            r["file"]
+            for r in scan.join(F.broadcast(probe), ["file", "widx"])
+            .where(F.col("word").bitwiseAND(F.col("bit")) != 0)
+            .groupBy("file")
+            .agg(F.count_distinct("pos_id").alias("nhit"))
+            .where(F.col("nhit") == k)
+            .select("file")
+            .collect()
+        }
+        indexed = {r["file"] for r in fm}
+        kept, pruned = [], []
+        for f in m["files"]:
+            if f not in indexed or f in hit_files:
+                kept.append(f)
+            else:
+                pruned.append(f)
+        meta = {
+            "files_total": len(m["files"]),
+            "files_kept": len(kept),
+            "files_pruned": len(pruned),
+            "indexed": True,
+            "probe_mode": "scan",
+        }
+        return kept, pruned, meta
+
     def prune_files_bloom(
         self,
         col: str,
         value,
         version: int | None = None,
         index: dict | None = None,
+        scan_threshold_rows: int | None = None,
     ) -> tuple[list[str], list[str], dict]:
         """Split a snapshot's files into (kept, pruned) for the POINT
-        lookup ``col = value`` using the per-file Bloom index — a pure
-        driver-side metadata decision (k md5 probes per file, no job).
+        lookup ``col = value`` using the per-file Bloom index.
         Files without index entries are kept (conservative); a missing
         index keeps everything. No false negatives by construction:
-        every file that contains the value has all k bits set."""
+        every file that contains the value has all k bits set.
+
+        Probe-path choice: a preloaded ``index`` dict (or an index whose
+        word-row count is at or below ``scan_threshold_rows``, default
+        :data:`BLOOM_SCAN_THRESHOLD_ROWS`) probes DRIVER-SIDE — k md5
+        hashes per file, no job, one load amortized over any number of
+        probes. A larger index never reaches driver memory: the probe
+        routes to :meth:`_prune_files_bloom_scan`, which reads only the
+        probe's own word positions."""
         from data_engineering_nd_spark.operators.bloom import py_position
 
         if version is None:
@@ -1582,6 +1681,14 @@ class VersionedTable:
             raise FileNotFoundError(f"no committed version at {self.root}")
         m = self._manifest(version)
         if index is None:
+            imeta = self._read_index_meta(col, version)
+            threshold = (
+                self.BLOOM_SCAN_THRESHOLD_ROWS
+                if scan_threshold_rows is None
+                else scan_threshold_rows
+            )
+            if imeta is not None and int(imeta.get("rows", 0)) > threshold:
+                return self._prune_files_bloom_scan(imeta, m, value)
             index = self.load_bloom_index(col, version)
         if index is None:
             meta = {
@@ -1613,6 +1720,7 @@ class VersionedTable:
             "files_kept": len(kept),
             "files_pruned": len(pruned),
             "indexed": True,
+            "probe_mode": "driver",
         }
         return kept, pruned, meta
 
