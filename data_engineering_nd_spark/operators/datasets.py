@@ -5280,3 +5280,141 @@ def tbl_log_checkpoint_report_query(
         return out.localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read UPSERT: deletion-vector MERGE with zero data-file rewrites
+# ---------------------------------------------------------------------------
+
+_MERGE_DV_ORACLE = """
+    WITH upd AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 3 THEN o_custkey + 1000000
+                    ELSE o_custkey END AS o_custkey
+        FROM orders
+    ),
+    ins AS (
+        SELECT o_orderkey + 50000000 AS o_orderkey, o_custkey
+        FROM orders WHERE o_orderkey % 7 = 3
+    ),
+    final AS (
+        SELECT * FROM upd UNION ALL SELECT * FROM ins
+    )
+    SELECT CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 = 3)
+               AS BIGINT) AS rows_updated,
+           CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 = 3)
+               AS BIGINT) AS rows_inserted,
+           CAST(0 AS BIGINT) AS files_rewritten,
+           CAST(1 AS BIGINT) AS feeds_match,
+           CAST(1 AS BIGINT) AS snapshots_match,
+           CAST(COUNT(*) AS BIGINT) AS rows_total,
+           CAST(SUM(CAST(concat('0x', substr(md5(
+                concat(CAST(o_orderkey AS VARCHAR), ':',
+                       CAST(o_custkey AS VARCHAR))), 1, 10))
+                AS BIGINT)) AS BIGINT) AS row_checksum
+    FROM final
+"""
+
+
+@query("tbl_merge_dv", oracle=_MERGE_DV_ORACLE)
+def tbl_merge_dv_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPSERT vs copy-on-write MERGE, same input (VERDICT
+    r09 task #5): two tables seed identically from orders; one absorbs
+    an upsert batch (every ``o_orderkey % 7 == 3`` key re-priced, plus
+    as many brand-new keys) through the COW :meth:`merge`, the other
+    through :meth:`merge_dv` — matched pre-images marked in a deletion
+    vector, the batch appended, ``files_rewritten`` pinned 0.
+
+    The report value-hashes the update/insert split, the rewrite count,
+    a CHANGE-FEED equivalence bit (both commits' feeds produce the
+    identical (change_type, key, payload) multiset — merge-on-read must
+    emit the same update_preimage/update_postimage pairs as COW), a
+    snapshot equivalence bit, and the final row count + content
+    checksum; the oracle states the upsert result straight from the
+    source table. At 100 TB merge-on-read turns per-batch file rewrites
+    into match-count-sized vector writes, with compact() amortizing the
+    read tax — the upsert shape behind the reference's append-mode
+    incremental loads (``Capstone/etl.py:445-448``)."""
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    orders = load(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    matched = F.col("o_orderkey") % 7 == 3
+    batch = (
+        orders.filter(matched)
+        .select(
+            "o_orderkey",
+            (F.col("o_custkey") + 1000000).alias("o_custkey"),
+        )
+        .unionByName(
+            orders.filter(matched).select(
+                (F.col("o_orderkey") + 50000000).alias("o_orderkey"),
+                "o_custkey",
+            )
+        )
+    )
+    work = tempfile.mkdtemp(prefix="tbl_mdv_")
+    try:
+        cow = VersionedTable(spark, work + "/cow")
+        mor = VersionedTable(spark, work + "/mor")
+        for t in (cow, mor):
+            t.commit(orders.repartition(8))
+        mc = cow.merge(batch, ["o_orderkey"])
+        md = mor.merge_dv(batch, ["o_orderkey"])
+        row_digest = md5_prefix_long(
+            F.concat_ws(
+                ":",
+                F.col("o_orderkey").cast("string"),
+                F.col("o_custkey").cast("string"),
+            )
+        )
+
+        def _feed_sum(t):
+            return t.change_feed(["o_orderkey"], 0, 1).agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(
+                    md5_prefix_long(
+                        F.concat_ws(
+                            ":",
+                            F.col("_change_type"),
+                            F.col("o_orderkey").cast("string"),
+                            F.col("o_custkey").cast("string"),
+                        )
+                    )
+                ).cast("bigint").alias("h"),
+            ).collect()[0]
+
+        def _snap_sum(t):
+            return t.snapshot().agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(row_digest).cast("bigint").alias("h"),
+            ).collect()[0]
+
+        fc, fd = _feed_sum(cow), _feed_sum(mor)
+        sc_, sd = _snap_sum(cow), _snap_sum(mor)
+        feeds_match = int(fc["n"] == fd["n"] and fc["h"] == fd["h"])
+        snaps_match = int(sc_["n"] == sd["n"] and sc_["h"] == sd["h"])
+        assert mc["rows_updated"] == md["rows_updated"]
+        out = spark.createDataFrame(
+            [
+                (
+                    int(md["rows_updated"]),
+                    int(md["rows_inserted"]),
+                    int(md["files_rewritten"]),
+                    feeds_match,
+                    snaps_match,
+                    int(sd["n"]),
+                    int(sd["h"]),
+                )
+            ],
+            "rows_updated bigint, rows_inserted bigint, files_rewritten "
+            "bigint, feeds_match bigint, snapshots_match bigint, "
+            "rows_total bigint, row_checksum bigint",
+        )
+        # output-sized (1 row); materialize so the scratch tables can go
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

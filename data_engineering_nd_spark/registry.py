@@ -273,6 +273,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
     **dict.fromkeys([
         "tbl_concurrent_commits",
         "tbl_log_checkpoint_report",
+        "tbl_merge_dv",
     ], 10),
 }
 

@@ -2029,6 +2029,115 @@ class VersionedTable:
         )
         return manifest
 
+    def merge_dv(self, source: DataFrame, key_cols: list[str]) -> dict:
+        """Merge-on-read UPSERT (VERDICT r09 task #5): compose
+        :meth:`merge` semantics with deletion vectors — matched
+        pre-image rows are MARKED in a position vector, post-image rows
+        (the whole source batch) are APPENDED as new files, and ZERO
+        data files are rewritten. Result-identical to the COW
+        :meth:`merge` on the same input (pinned in tests), including the
+        change feed: a merge_dv commit emits the same
+        update_preimage/update_postimage/insert rows as the COW path,
+        because :meth:`change_feed` folds DV-delta rows into the same
+        pre/post classification.
+
+        Blast radius: manifest-stats pruning narrows candidate files
+        exactly like COW stage 1; only candidates have their key columns
+        scanned to locate matched (file, position) pairs (column pruning
+        keeps payloads out); the write is one DV blob sized by the MATCH
+        COUNT plus the appended batch. At 100 TB this is the upsert
+        shape for frequent small batches — the reference's append-mode
+        incremental loads (``Capstone/etl.py:445-448``) are upserts in
+        disguise; COW pays a file rewrite per matched file per batch,
+        merge-on-read defers that cost to :meth:`compact` on a
+        maintenance schedule.
+
+        Returns the commit manifest extended with
+        ``files_candidates``, ``files_rewritten`` (always 0),
+        ``rows_updated`` (matched pre-images vectored),
+        ``rows_inserted`` and ``dv_files_total``."""
+        prev = self.latest_version()
+        if prev is None:
+            return self.commit(source, mode="overwrite")
+        from pyspark.sql.types import StructType
+
+        m = self._manifest(prev)
+        version = prev + 1
+        prev_dv = m.get("dv") or []
+        candidates, _ = self._merge_stat_candidates(
+            source, key_cols[0], m
+        )
+        keys = source.select(*key_cols).dropDuplicates()
+        n_matched = 0
+        new_dv: list[str] = []
+        if candidates:
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            fk, pk = self._pos_key()
+            # key columns + position identity only — payload columns are
+            # pruned out of the scan
+            tagged = (
+                self.spark.read.schema(schema)
+                .parquet(*[os.path.join(self.root, f) for f in candidates])
+                .select(*key_cols, fk.alias("file"), pk.alias("pos"))
+            )
+            matches = tagged.join(
+                F.broadcast(keys), on=key_cols, how="left_semi"
+            ).select("file", "pos")
+            if prev_dv:
+                # rows a previous vector already deleted must not
+                # re-match (their post-images were already appended)
+                matches = matches.join(
+                    F.broadcast(self._dv_read(prev_dv)),
+                    ["file", "pos"],
+                    "left_anti",
+                )
+            rel_dir = os.path.join(
+                _DV, f"v{version:011d}-{uuid.uuid4().hex[:8]}"
+            )
+            out = os.path.join(self.root, rel_dir)
+            matches.repartition(1).write.mode("overwrite").parquet(out)
+            written = [
+                os.path.join(rel_dir, f)
+                for f in os.listdir(out)
+                if f.endswith(".parquet")
+            ]
+            wstats = self._compute_stats(written)
+            new_dv = [f for f in written if wstats[f]["num_rows"] > 0]
+            n_matched = sum(wstats[f]["num_rows"] for f in written)
+            if not new_dv:
+                shutil.rmtree(out, ignore_errors=True)
+        current_cols = [
+            f["name"] for f in json.loads(m["schema"])["fields"]
+        ] or source.columns
+        new_files = self._write_files(
+            source.select(*current_cols), version
+        )
+        sizes = self._file_sizes(new_files)
+        sizes.update(self._file_sizes(m["files"], m))
+        stats = self._compute_stats(new_files)
+        stats.update(self._file_stats(m["files"], m))
+        n_source = sum(stats[f]["num_rows"] for f in new_files)
+        manifest = self._publish(
+            version,
+            m["files"] + new_files,
+            f"merge-dv(matched={n_matched})",
+            m["schema"],
+            sizes,
+            stats,
+            # every previous file carries over with its partition values;
+            # the appended batch has none
+            m.get("partitions"),
+            dv=prev_dv + new_dv,
+        )
+        manifest.update(
+            files_candidates=len(candidates),
+            files_rewritten=0,
+            rows_updated=n_matched,
+            rows_inserted=n_source - n_matched,
+            dv_files_total=len(prev_dv) + len(new_dv),
+        )
+        return manifest
+
     def change_feed(
         self,
         key_cols: list[str],
@@ -2087,6 +2196,51 @@ class VersionedTable:
                 return df.select([fld.name for fld in cur.fields])
 
             pre = _align(self._read_files(removed, pm["schema"], pm.get("dv")))
+            # Merge-on-read deltas: rows newly deleted by the vectors
+            # THIS commit added are pre-images too, folded into the same
+            # full-outer classification below — so a DV delete feeds as
+            # 'delete' and a merge_dv upsert feeds as the SAME
+            # update_preimage/update_postimage pairs the COW merge path
+            # emits. Read only the data files the new vectors reference
+            # (broadcast position semi-join): still never a two-snapshot
+            # scan. (DV writers anti-join prior vectors, so delta
+            # positions are disjoint from rows already deleted.)
+            dv_added = [
+                f
+                for f in (m.get("dv") or [])
+                if f not in set(pm.get("dv") or [])
+            ]
+            if dv_added:
+                delta = self._dv_read(dv_added)
+                # DV rows key files by their data/-relative identity;
+                # resolve back to the MANIFEST entries (identity for
+                # normal tables, absolute source paths for shallow
+                # clones) before reading
+                by_key = {self._dv_key(f): f for f in pm["files"]}
+                src_files = sorted(
+                    by_key[k]
+                    for k in {
+                        r["file"]
+                        for r in delta.select("file").distinct().collect()
+                    }
+                    if k in by_key
+                )
+                if src_files:
+                    fk, pk = self._pos_key()
+                    raw = (
+                        self._read_files(src_files, pm["schema"])
+                        .withColumn("__dv_file", fk)
+                        .withColumn("__dv_pos", pk)
+                    )
+                    cond = (raw["__dv_file"] == delta["file"]) & (
+                        raw["__dv_pos"] == delta["pos"]
+                    )
+                    dv_rows = _align(
+                        raw.join(
+                            F.broadcast(delta), cond, "left_semi"
+                        ).drop("__dv_file", "__dv_pos")
+                    )
+                    pre = pre.unionByName(dv_rows)
             post = self._read_files(added, m["schema"], m.get("dv"))
             payload = [c for c in post.columns if c not in key_cols]
             a = pre.withColumn("__pre", F.lit(1)).alias("a")
@@ -2128,55 +2282,6 @@ class VersionedTable:
                 .unionByName(upost)
                 .withColumn("_commit_version", F.lit(v).cast("bigint"))
             )
-            # DV commits change no data file, so the file diff is empty —
-            # the deleted rows are named by the NEW deletion-vector files
-            # this commit added. Read only the data files those vectors
-            # reference and semi-join the positions: still never a
-            # two-snapshot scan. (delete_where_dv anti-joins prior DVs
-            # when it writes a vector, so delta positions are disjoint
-            # from rows already deleted.)
-            dv_added = [
-                f
-                for f in (m.get("dv") or [])
-                if f not in set(pm.get("dv") or [])
-            ]
-            if dv_added:
-                delta = self._dv_read(dv_added)
-                # DV rows key files by their data/-relative identity;
-                # resolve back to the MANIFEST entries (identity for
-                # normal tables, absolute source paths for shallow
-                # clones) before reading
-                by_key = {self._dv_key(f): f for f in pm["files"]}
-                src_files = sorted(
-                    by_key[k]
-                    for k in {
-                        r["file"]
-                        for r in delta.select("file").distinct().collect()
-                    }
-                    if k in by_key
-                )
-                if src_files:
-                    fk, pk = self._pos_key()
-                    raw = (
-                        self._read_files(src_files, pm["schema"])
-                        .withColumn("__dv_file", fk)
-                        .withColumn("__dv_pos", pk)
-                    )
-                    cond = (raw["__dv_file"] == delta["file"]) & (
-                        raw["__dv_pos"] == delta["pos"]
-                    )
-                    dv_rows = _align(
-                        raw.join(F.broadcast(delta), cond, "left_semi").drop(
-                            "__dv_file", "__dv_pos"
-                        )
-                    )
-                    part = part.unionByName(
-                        dv_rows.withColumn(
-                            "_change_type", F.lit("delete")
-                        ).withColumn(
-                            "_commit_version", F.lit(v).cast("bigint")
-                        )
-                    )
             out = part if out is None else out.unionByName(part)
         if out is None:  # empty range: typed empty frame, current schema
             m = self._manifest(to_version)

@@ -1486,3 +1486,65 @@ def test_bloom_sidecar_write_is_partitioned_not_funneled(spark, table):
     # and the index still has no false negatives through lookup()
     got = sorted(r.k for r in table.lookup("k", 1234).collect())
     assert got == [1234]
+
+
+# -- round-10: merge-on-read UPDATE via deletion vectors ----------------------
+
+
+def _seed_pair(spark, tmp_path, name):
+    rows = [Row(k=i, v=f"v{i}", grp=i % 3) for i in range(30)]
+    cow = VersionedTable(spark, str(tmp_path / f"{name}_cow"))
+    mor = VersionedTable(spark, str(tmp_path / f"{name}_mor"))
+    for t in (cow, mor):
+        t.commit(spark.createDataFrame(rows).repartition(4))
+    return cow, mor
+
+
+def test_merge_dv_zero_rewrites_matches_cow_result(spark, tmp_path):
+    cow, mor = _seed_pair(spark, tmp_path, "a")
+    batch = spark.createDataFrame(
+        [Row(k=k, v=f"NEW{k}", grp=9) for k in (3, 7, 11)]
+        + [Row(k=k, v=f"ins{k}", grp=9) for k in (100, 101)]
+    )
+    mc = cow.merge(batch, ["k"])
+    md = mor.merge_dv(batch, ["k"])
+    assert md["files_rewritten"] == 0
+    # every pre-existing file carried by reference
+    assert set(mor._manifest(0)["files"]) < set(md["files"])
+    assert md["rows_updated"] == mc["rows_updated"] == 3
+    assert md["rows_inserted"] == mc["rows_inserted"] == 2
+    a = sorted((r.k, r.v, r.grp) for r in cow.snapshot().collect())
+    b = sorted((r.k, r.v, r.grp) for r in mor.snapshot().collect())
+    assert a == b and len(a) == 32
+
+
+def test_merge_dv_change_feed_matches_cow_feed(spark, tmp_path):
+    cow, mor = _seed_pair(spark, tmp_path, "b")
+    batch = spark.createDataFrame(
+        [Row(k=5, v="CHANGED", grp=5), Row(k=200, v="fresh", grp=5)]
+    )
+    cow.merge(batch, ["k"])
+    mor.merge_dv(batch, ["k"])
+    def _feed(t):
+        return sorted(
+            (r._change_type, r.k, r.v, r.grp)
+            for r in t.change_feed(["k"], 0, 1).collect()
+        )
+    fa, fb = _feed(cow), _feed(mor)
+    assert fa == fb
+    types = sorted(x[0] for x in fa)
+    assert types == ["insert", "update_postimage", "update_preimage"]
+
+
+def test_merge_dv_stacked_then_compact(spark, tmp_path):
+    _, mor = _seed_pair(spark, tmp_path, "c")
+    mor.merge_dv(spark.createDataFrame([Row(k=5, v="x1", grp=0)]), ["k"])
+    m2 = mor.merge_dv(spark.createDataFrame([Row(k=5, v="x2", grp=0)]), ["k"])
+    # second upsert vectors the v1 post-image, not the already-deleted row
+    assert m2["rows_updated"] == 1
+    got = [r.v for r in mor.snapshot().filter(F.col("k") == 5).collect()]
+    assert got == ["x2"]
+    mc = mor.compact(target_partitions=2)
+    assert mc["dv"] == []
+    assert [r.v for r in mor.snapshot().filter(F.col("k") == 5).collect()] == ["x2"]
+    assert mor.snapshot().count() == 30
