@@ -274,6 +274,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "tbl_concurrent_commits",
         "tbl_log_checkpoint_report",
         "tbl_merge_dv",
+        "stream_change_feed",
     ], 10),
 }
 

@@ -440,3 +440,42 @@ def test_stream_heavy_hitters_state_bounded_and_never_underestimates(spark):
         .collect()
     )
     assert top1 and all((r.day, r.user_id) in days_out for r in top1)
+
+
+# -- round-10: incremental change-feed pump (streaming CDF source) ------------
+
+
+def test_pump_change_feed_exactly_once_and_offset_from_sink(spark, tmp_path):
+    """The pump's offset is the DESTINATION's txn watermark: replays and
+    idle pumps are absorbed, a fresh pump object (a 'restarted driver')
+    resumes from the landed state, and row-level changes arrive once."""
+    from pyspark.sql import Row
+
+    from data_engineering_nd_spark.streaming.sink import pump_change_feed
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    dst = VersionedTable(spark, str(tmp_path / "dst"))
+    src.commit(spark.createDataFrame(
+        [Row(k=i, v=str(i)) for i in range(10)]))
+    r1 = pump_change_feed(src, dst, ["k"], "p")
+    assert not r1["skipped"] and r1["rows"] == 10
+    src.commit(spark.createDataFrame([Row(k=99, v="new")]), mode="append")
+    src.delete_where_dv("k", 0, 2)
+    r2 = pump_change_feed(src, dst, ["k"], "p")
+    assert not r2["skipped"] and (r2["from_version"], r2["to_version"]) == (0, 2)
+    assert r2["rows"] == 4  # 1 insert + 3 deletes
+    nv = len(dst.versions())
+    # idle pump: nothing new
+    r3 = pump_change_feed(src, dst, ["k"], "p")
+    assert r3["skipped"] and len(dst.versions()) == nv
+    # 'restarted driver': same table handles re-created, offset re-derived
+    src2 = VersionedTable(spark, str(tmp_path / "src"))
+    dst2 = VersionedTable(spark, str(tmp_path / "dst"))
+    r4 = pump_change_feed(src2, dst2, ["k"], "p")
+    assert r4["skipped"] and len(dst2.versions()) == nv
+    types = sorted(
+        (r._change_type, r.k) for r in dst.snapshot().collect()
+    )
+    assert [t for t, _ in types].count("delete") == 3
+    assert [t for t, _ in types].count("insert") == 11
