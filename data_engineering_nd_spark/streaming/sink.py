@@ -95,6 +95,10 @@ def pump_change_feed(
             .withColumn("_change_type", F.lit("insert"))
             .withColumn("_commit_version", F.lit(0).cast("bigint"))
         )
+        prev_files: set = set()
+        pv = dst.latest_version()
+        if pv is not None:
+            prev_files = set(dst._manifest(pv)["files"])
         m = dst.commit(base, mode="append", txn=(app_id, 0))
         if m.get("idempotent_skip"):
             return {
@@ -104,7 +108,7 @@ def pump_change_feed(
         rows = sum(
             m["stats"][f]["num_rows"]
             for f in m["files"]
-            if f in m["stats"]
+            if f not in prev_files and f in m["stats"]
         )
         return {
             "from_version": 0, "to_version": 0,

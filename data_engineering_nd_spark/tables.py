@@ -253,6 +253,18 @@ class VersionedTable:
                     json.dump({"version": version}, f)
                 os.replace(tmp2, lp)
             self._ckpt_cache = (version, ck)
+            # retention: keep the current + previous checkpoint only —
+            # each rollup holds the whole chain, so without cleanup the
+            # log grows quadratically. Deleting older ones is safe: a
+            # reader holding a stale pointer degrades to per-version
+            # manifest reads (never an error), and the per-version JSONs
+            # are the canonical record.
+            for fn in os.listdir(self._log_dir()):
+                if not fn.endswith(".checkpoint.json"):
+                    continue
+                v = int(fn.split(".")[0])
+                if v != version and (prev_ckv is None or v != prev_ckv):
+                    os.remove(os.path.join(self._log_dir(), fn))
         except OSError:
             pass
 

@@ -1548,3 +1548,22 @@ def test_merge_dv_stacked_then_compact(spark, tmp_path):
     assert mc["dv"] == []
     assert [r.v for r in mor.snapshot().filter(F.col("k") == 5).collect()] == ["x2"]
     assert mor.snapshot().count() == 30
+
+
+def test_log_checkpoint_retention_keeps_last_two(spark, tmp_path):
+    """Rollups hold the whole chain; retention bounds log storage to the
+    current + previous checkpoint, and a stale pointer to a removed one
+    degrades to per-version reads."""
+    root = str(tmp_path / "ckpt_ret")
+    t = VersionedTable(spark, root, checkpoint_interval=2)
+    t.commit(spark.createDataFrame([Row(k=0, v="0")]))
+    for i in range(1, 9):
+        t.commit(spark.createDataFrame([Row(k=i, v=str(i))]), mode="append")
+    # checkpoints fired at v1,v3,v5,v7 -> only v5,v7 survive
+    cks = sorted(
+        f for f in os.listdir(t._log_dir()) if f.endswith(".checkpoint.json")
+    )
+    assert cks == ["00000000005.checkpoint.json", "00000000007.checkpoint.json"]
+    cold = VersionedTable(spark, root)
+    assert cold.versions() == list(range(9))
+    assert len(_rows(cold.snapshot())) == 9
