@@ -5867,3 +5867,71 @@ def q107_rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_upper_breakouts",
         "n_lower_breakouts",
     )
+
+
+# ---------------------------------------------------------------------------
+# q108 — weighted median: exact order statistic under a weight column
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q108_weighted_median",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag, l_extendedprice AS p,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+                   PARTITION BY l_returnflag ORDER BY l_extendedprice
+               ) AS cum,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+                   PARTITION BY l_returnflag
+               ) AS tot
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(MIN(p) AS DOUBLE) AS weighted_median,
+           CAST(MAX(tot) AS DOUBLE) AS total_weight
+    FROM c WHERE 2 * cum >= tot
+    GROUP BY l_returnflag
+    """,
+)
+def q108_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag WEIGHTED median of extended price under quantity
+    weights: the smallest price whose cumulative weight reaches half the
+    group total — the exact order statistic behind weighted-percentile
+    reporting (median price per unit sold, not per line).
+
+    Determinism: weights accumulate as DECIMAL(18,2) (exact), the
+    half-total comparison is exact integer-scaled arithmetic, and the
+    default RANGE window frame makes tied prices share one cumulative
+    value in both engines — so the crossing row is engine-identical; the
+    only doubles are the display casts.
+
+    Scale shape: one shuffle on the group key, a per-group sort for the
+    cumulative window (bounded by group size), one hash-agg. This is the
+    EXACT path; for heavy-group corpora the mergeable-sketch path is
+    ``q101_grouped_quantiles_sketch`` — weighted medians at 100 TB pick
+    one by group cardinality."""
+    from pyspark.sql.window import Window
+
+    li = load(spark, "lineitem", sf_dir).select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("p"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("w"),
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("p")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    c = li.withColumn("cum", F.sum("w").over(wcum)).withColumn(
+        "tot", F.sum("w").over(wtot)
+    )
+    return (
+        c.where(F.col("cum") * 2 >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("p").cast("double").alias("weighted_median"),
+            F.max("tot").cast("double").alias("total_weight"),
+        )
+    )

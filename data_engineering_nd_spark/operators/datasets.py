@@ -5418,3 +5418,87 @@ def tbl_merge_dv_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Metadata tables: the manifest AS queryable DataFrames (files/history/
+# partitions)
+# ---------------------------------------------------------------------------
+
+_META_TBL_ORACLE = """
+    WITH base AS (
+        SELECT o_orderkey % 4 AS b, COUNT(*) AS n FROM orders GROUP BY 1
+    )
+    SELECT CAST(b AS VARCHAR) AS p_bucket,
+           CAST(CASE WHEN b IN (0, 1) THEN 2 ELSE 1 END AS BIGINT)
+               AS n_files,
+           CAST(n * CASE WHEN b IN (0, 1) THEN 2 ELSE 1 END AS BIGINT)
+               AS n_rows,
+           CAST(2 AS BIGINT) AS n_versions,
+           CAST(1 AS BIGINT) AS rollup_consistent
+    FROM base
+"""
+
+
+@query("tbl_metadata_tables", oracle=_META_TBL_ORACLE)
+def tbl_metadata_tables_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata tables (the Iceberg ``.files`` / ``.history`` /
+    ``.partitions`` inspection surface): orders seeds a bucket-
+    partitioned table (``p_bucket = o_orderkey % 4``), an append lands a
+    slice into buckets 0 and 1 only, and the report reads ONLY the
+    metadata tables — per-bucket file and row counts, commit count, and
+    a consistency bit proving ``partitions_metadata`` equals the
+    groupBy-rollup of ``files_metadata``. The oracle states the same
+    numbers straight from the source table; any drift between manifest
+    metadata and data (a miscounted footer, a dropped partition value, a
+    phantom file) diverges a count.
+
+    Operational queries at 100 TB — file-size skew, partition row
+    balance, commit audit — must be answerable from manifests alone;
+    opening data files to answer "how many rows per partition" is
+    exactly what the manifest exists to avoid. Zero data files are
+    opened here (the counts ride on commit-time footer stats)."""
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    orders = load(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    work = tempfile.mkdtemp(prefix="tbl_meta_")
+    try:
+        table = VersionedTable(spark, work + "/table")
+        spec = [("p_bucket", "o_orderkey % 4")]
+        table.commit_partitioned(orders, spec)
+        # slice lands in buckets 0/1 only (offset preserves key % 4)
+        table.commit_partitioned(
+            orders.filter(F.col("o_orderkey") % 4 <= 1).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                "o_custkey",
+            ),
+            spec,
+            mode="append",
+        )
+        parts = table.partitions_metadata()
+        files = table.files_metadata()
+        rollup = files.groupBy("partition_key").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("num_rows").cast("bigint").alias("n_rows"),
+        )
+        consistent = int(
+            parts.exceptAll(rollup).isEmpty()
+            and rollup.exceptAll(parts).isEmpty()
+        )
+        n_versions = table.history_metadata().count()
+        out = parts.select(
+            F.regexp_replace("partition_key", "^p_bucket=", "").alias(
+                "p_bucket"
+            ),
+            "n_files",
+            "n_rows",
+            F.lit(n_versions).cast("bigint").alias("n_versions"),
+            F.lit(consistent).cast("bigint").alias("rollup_consistent"),
+        )
+        # output-sized (4 rows); materialize so the scratch table can go
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

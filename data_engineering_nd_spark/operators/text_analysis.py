@@ -2176,3 +2176,133 @@ def text_pmi_collocations_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 collocations of the corpus by PMI (pair count floor 5)."""
     docs = load(spark, "documents", sf_dir)
     return pmi_collocations(docs)
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance near-duplicate pairs: length/prefix-blocked Levenshtein join
+# ---------------------------------------------------------------------------
+
+_LEV_PREFIX = 12   # block key: first chars (identical under dist<=D edits
+                   # whenever the difference lies past the prefix)
+_LEV_SNIP = 80     # distance is computed over this snippet
+_LEV_D = 20        # pair threshold
+_LEV_CAP = 64      # hot-block cap: blocks larger than this are skipped
+
+
+def levenshtein_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Character-level near-duplicate pairs by Levenshtein distance over
+    a fixed snippet, found with PREFIX BLOCKING: only documents sharing
+    (group, first ``_LEV_PREFIX`` chars) are compared — the classic
+    edit-distance-join blocking (any pair differing inside the prefix is
+    out of scope by construction), with a hot-block cap so a degenerate
+    shared prefix can never go quadratic. Complements the token-set
+    dedup family (``operators/dedup.py``): MinHash/Jaccard see BAGS OF
+    SHINGLES and miss small character-level edits that reorder nothing;
+    an edit-distance pass catches typo-level near-dups.
+
+    Scale shape: one hash shuffle on the (group, prefix) block key, a
+    within-block self-join bounded by the cap (≤ cap²/2 comparisons per
+    block), Levenshtein evaluated JVM-side with Spark's early-exit
+    threshold form — never an all-pairs product. Deterministic: blocks,
+    cap and distance are pure functions of content.
+
+    Returns per-group pair counts, total distance and an md5 pair
+    checksum."""
+    from pyspark.sql.window import Window
+
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+
+    d = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.col(group_col).alias("grp"),
+            F.substring(F.col(text_col), 1, _LEV_PREFIX).alias("blk"),
+            F.substring(F.col(text_col), 1, _LEV_SNIP).alias("snip"),
+        )
+        .where(
+            F.col(text_col).isNotNull()
+            & (F.length(text_col) >= _LEV_PREFIX)
+        )
+    )
+    sized = d.withColumn(
+        "bn", F.count(F.lit(1)).over(Window.partitionBy("grp", "blk"))
+    ).where(F.col("bn") <= _LEV_CAP)
+    a, b = sized.alias("a"), sized.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.grp") == F.col("b.grp"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.grp").alias("grp"),
+            F.col("a.id").alias("da"),
+            F.col("b.id").alias("db"),
+            # threshold form short-circuits the DP once the bound is
+            # exceeded (returns -1): O(D*n) per pair instead of O(n^2)
+            F.levenshtein(F.col("a.snip"), F.col("b.snip"), _LEV_D).alias(
+                "dist"
+            ),
+        )
+        .where((F.col("dist") >= 0) & (F.col("dist") <= _LEV_D))
+    )
+    return (
+        pairs.groupBy(F.col("grp").alias("lang"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("dist").cast("bigint").alias("dist_total"),
+            F.sum(
+                md5_prefix_long(
+                    F.concat_ws(
+                        ":",
+                        F.col("da").cast("string"),
+                        F.col("db").cast("string"),
+                    )
+                )
+            ).cast("bigint").alias("pair_checksum"),
+        )
+    )
+
+
+@query(
+    "text_levenshtein_pairs",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang,
+               substr(text, 1, {_LEV_PREFIX}) AS blk,
+               substr(text, 1, {_LEV_SNIP}) AS snip
+        FROM documents
+        WHERE text IS NOT NULL AND length(text) >= {_LEV_PREFIX}
+    ),
+    sized AS (
+        SELECT *, COUNT(*) OVER (PARTITION BY lang, blk) AS bn FROM d
+    ),
+    cand AS (SELECT * FROM sized WHERE bn <= {_LEV_CAP}),
+    pairs AS (
+        SELECT a.lang AS lang, a.doc_id AS da, b.doc_id AS db,
+               levenshtein(a.snip, b.snip) AS dist
+        FROM cand a JOIN cand b
+          ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(dist) AS BIGINT) AS dist_total,
+           CAST(SUM(CAST(concat('0x', substr(md5(
+                concat(CAST(da AS VARCHAR), ':', CAST(db AS VARCHAR))),
+                1, 10)) AS BIGINT)) AS BIGINT) AS pair_checksum
+    FROM pairs WHERE dist <= {_LEV_D}
+    GROUP BY lang
+    """,
+)
+def text_levenshtein_pairs_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-language typo-level near-duplicate pairs on documents."""
+    docs = load(spark, "documents", sf_dir)
+    return levenshtein_pairs(docs)

@@ -275,6 +275,9 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "tbl_log_checkpoint_report",
         "tbl_merge_dv",
         "stream_change_feed",
+        "text_levenshtein_pairs",
+        "tbl_metadata_tables",
+        "q108_weighted_median",
     ], 10),
 }
 

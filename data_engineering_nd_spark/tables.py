@@ -701,6 +701,73 @@ class VersionedTable:
         m = self._manifest(version)
         return self._read_files(m["files"], m["schema"], m.get("dv"))
 
+    # -- metadata tables (the Iceberg `db.tbl.files` / `.history` /
+    # `.partitions` inspection surface): manifest content AS DataFrames,
+    # so operational queries (file sizing, skew, commit audit) are plain
+    # SQL over metadata — zero data files opened. ---------------------------
+
+    def files_metadata(self, version: int | None = None) -> DataFrame:
+        """One row per data file of a snapshot: path, byte size, row
+        count, and the file's recorded partition values as a map. Built
+        from the manifest alone — the Iceberg ``.files`` metadata table."""
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        m = self._manifest(version)
+        sizes = m.get("sizes", {})
+        stats = self._file_stats(m["files"], m)
+        parts = m.get("partitions") or {}
+        rows = [
+            (
+                f,
+                int(sizes.get(f, 0)),
+                int(stats.get(f, {}).get("num_rows", 0)),
+                {str(k): str(v) for k, v in (parts.get(f) or {}).items()},
+                "/".join(
+                    f"{k}={v}"
+                    for k, v in sorted((parts.get(f) or {}).items())
+                ),
+            )
+            for f in m["files"]
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "file string, size_bytes bigint, num_rows bigint, "
+            "partition map<string,string>, partition_key string",
+        )
+
+    def history_metadata(self) -> DataFrame:
+        """One row per commit: version, operation, file/DV counts and the
+        commit instant — the Delta ``DESCRIBE HISTORY`` / Iceberg
+        ``.history`` surface, manifest-only."""
+        rows = [
+            (
+                int(m["version"]),
+                str(m["operation"]),
+                int(m["num_files"]),
+                len(m.get("dv") or []),
+                float(m.get("committed_at") or 0.0),
+            )
+            for m in self.history()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "version bigint, operation string, num_files bigint, "
+            "dv_files bigint, committed_at double",
+        )
+
+    def partitions_metadata(self, version: int | None = None) -> DataFrame:
+        """Per live partition value-set: file count and row count — the
+        Iceberg ``.partitions`` rollup of :meth:`files_metadata`, keyed
+        by the canonical sorted ``k=v/...`` partition string (map columns
+        are not groupable). Unpartitioned files group under ''."""
+        fm = self.files_metadata(version)
+        return fm.groupBy("partition_key").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("num_rows").cast("bigint").alias("n_rows"),
+        )
+
     def version_as_of(self, ts: float) -> int:
         """The latest version committed at or before epoch-seconds ``ts``
         (Delta ``timestampAsOf``). Versions from before commit instants

@@ -417,3 +417,30 @@ def test_ppjoin_prefix_is_rare_first(spark):
             for i in range(1, 30)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     assert ppjoin_pairs(docs, "doc_id", "text", 0.9).count() == 0
+
+
+def test_levenshtein_pairs_blocking_and_threshold(spark):
+    """Prefix-blocked edit-distance pairs: same-prefix near-dups found,
+    different-prefix pairs never compared, threshold respected."""
+    from pyspark.sql import Row
+
+    from data_engineering_nd_spark.operators.text_analysis import (
+        levenshtein_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, lang="en", text=base),
+            Row(doc_id=2, lang="en", text=base.replace("lazy", "hazy")),
+            Row(doc_id=3, lang="en", text="completely different opening text here"),
+            Row(doc_id=4, lang="de", text=base),  # other group: never paired
+            Row(doc_id=5, lang="en", text=base[:30] + " entirely divergent tail padding xxxxxxxxxxxxxxxxxxxxxx"),
+        ]
+    )
+    out = {r.lang: r for r in levenshtein_pairs(docs).collect()}
+    assert set(out) == {"en"}
+    # pairs among {1,2,5} sharing the prefix, within threshold: (1,2) dist 1;
+    # (1,5)/(2,5) have big tail distance -> included only if <= 20 (they are
+    # not: >30 chars differ)
+    assert out["en"].n_pairs == 1 and out["en"].dist_total == 1

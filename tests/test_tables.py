@@ -1567,3 +1567,25 @@ def test_log_checkpoint_retention_keeps_last_two(spark, tmp_path):
     cold = VersionedTable(spark, root)
     assert cold.versions() == list(range(9))
     assert len(_rows(cold.snapshot())) == 9
+
+
+# -- round-10: metadata tables -------------------------------------------------
+
+
+def test_metadata_tables_match_manifest(spark, table):
+    df = spark.createDataFrame([Row(k=i, g=i % 2, v=str(i)) for i in range(10)])
+    table.commit_partitioned(df, [("p_g", "g")])
+    table.commit(spark.createDataFrame([Row(k=99, g=9, v="x")]), mode="append")
+    fm = table.files_metadata()
+    assert fm.count() == len(table._manifest(1)["files"])
+    assert fm.agg(F.sum("num_rows")).collect()[0][0] == 11
+    # partition rollup: two g-buckets of 5 rows + one unpartitioned file
+    pm = {r.partition_key: (r.n_files, r.n_rows)
+          for r in table.partitions_metadata().collect()}
+    assert pm["p_g=0"] == (1, 5) and pm["p_g=1"] == (1, 5)
+    assert pm[""][1] == 1  # unpartitioned append rows (file count free)
+    hist = table.history_metadata().collect()
+    assert [r.version for r in hist] == [0, 1]
+    assert hist[0].num_files == 2  # one file per partition value
+    assert hist[1].num_files == fm.count()
+    assert hist[1].operation == "append"
