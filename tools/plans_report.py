@@ -143,6 +143,13 @@ HEADLINERS = [
     "q105_interval_coalesce",
     "q106_time_weighted_average",
     "q107_rolling_volatility",
+    "q108_weighted_median",
+    "text_levenshtein_pairs",
+    # round-10 tbl_concurrent_commits / tbl_log_checkpoint_report /
+    # tbl_merge_dv / tbl_metadata_tables / stream_change_feed return
+    # localCheckpoint-ed audit rows (OCC/checkpoint/merge-on-read/CDC-pump
+    # lifecycle properties pinned in tests) — kept out per the standing
+    # rule below.
     # q98_dynamic_partition_pruning returns a localCheckpoint-ed result
     # (its scratch fixture is removed before serve); the dynamicpruning
     # plan shape is pinned live in tests/test_plans.py instead.
