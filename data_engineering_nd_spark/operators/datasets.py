@@ -5502,3 +5502,121 @@ def tbl_metadata_tables_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# RAG chunking: OVERLAPPING token windows (stride < width) per document
+# ---------------------------------------------------------------------------
+
+_RAG_W = 64   # window width (tokens)
+_RAG_S = 48   # stride — 16-token overlap between consecutive chunks
+
+
+@query(
+    "ds_rag_chunks",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                   'g'), ' ') AS toks
+        FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    n AS (SELECT doc_id, source, toks, len(toks) AS n FROM d),
+    c AS (
+        SELECT *, 1 + (greatest(n - {_RAG_W}, 0) + {_RAG_S - 1})
+                      // {_RAG_S} AS nc
+        FROM n
+    ),
+    e AS (
+        SELECT doc_id, source, toks, n,
+               unnest(generate_series(0, nc - 1)) AS i
+        FROM c
+    ),
+    ch AS (
+        SELECT doc_id, source, i,
+               least({_RAG_W}, n - i * {_RAG_S}) AS clen,
+               toks[i * {_RAG_S} + 1] AS first_tok,
+               toks[i * {_RAG_S}
+                    + least({_RAG_W}, n - i * {_RAG_S})] AS last_tok
+        FROM e
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(clen) AS BIGINT) AS chunk_tokens,
+           CAST(SUM(CAST(concat('0x', substr(md5(concat(
+                CAST(doc_id AS VARCHAR), ':', CAST(i AS VARCHAR), ':',
+                CAST(clen AS VARCHAR), ':', first_tok, ':', last_tok)),
+                1, 10)) AS BIGINT)) AS BIGINT) AS boundary_checksum
+    FROM ch GROUP BY source
+    """,
+)
+def ds_rag_chunks_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OVERLAPPING retrieval chunks (width {W}, stride {S} — consecutive
+    chunks share {W-S} tokens): the RAG ingestion unit where context at
+    chunk boundaries must not be lost to a hard cut, complementing the
+    NON-overlapping chunker behind ds_chunk_dedup. Windows start every
+    stride tokens; the last window is the residue (>=1 token), so every
+    token is covered and interior tokens appear in up to ceil(W/S)
+    chunks. The report value-hashes per-source chunk counts, total
+    chunk-token volume (the embedding-cost number overlap inflates), and
+    a boundary checksum binding each chunk's (doc, index, length, first
+    token, last token) — a mis-strided or truncated window diverges it.
+
+    Pure array expressions (split → sequence → explode → element_at), no
+    Python, one shuffle for the final rollup: at 100 TB chunking is a
+    map-only pass whose output feeds the embedding stage directly."""
+    docs = load(spark, "documents", sf_dir)
+    W, S = _RAG_W, _RAG_S
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    d = (
+        docs.where(
+            F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+        )
+        .select("doc_id", "source", toks.alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .withColumn(
+            "nc",
+            F.lit(1) + F.expr(f"(greatest(n - {W}, 0) + {S - 1}) div {S}"),
+        )
+    )
+    e = d.select(
+        "doc_id",
+        "source",
+        "toks",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("i"),
+    )
+    clen = F.least(F.lit(W), F.col("n") - F.col("i") * S)
+    ch = e.select(
+        "doc_id",
+        "source",
+        "i",
+        clen.alias("clen"),
+        F.expr(f"element_at(toks, cast(i * {S} + 1 as int))").alias(
+            "first_tok"
+        ),
+        F.expr(
+            f"element_at(toks, cast(i * {S} "
+            f"+ least({W}, n - i * {S}) as int))"
+        ).alias("last_tok"),
+    )
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+
+    return ch.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum("clen").cast("bigint").alias("chunk_tokens"),
+        F.sum(
+            md5_prefix_long(
+                F.concat_ws(
+                    ":",
+                    F.col("doc_id").cast("string"),
+                    F.col("i").cast("string"),
+                    F.col("clen").cast("string"),
+                    "first_tok",
+                    "last_tok",
+                )
+            )
+        ).cast("bigint").alias("boundary_checksum"),
+    )

@@ -278,6 +278,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "text_levenshtein_pairs",
         "tbl_metadata_tables",
         "q108_weighted_median",
+        "ds_rag_chunks",
     ], 10),
 }
 

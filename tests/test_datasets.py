@@ -613,3 +613,38 @@ def test_exact_substring_spans_merging_and_cross_doc_only(spark):
     # doc 3 (within-doc only) and doc 5 (short) produce nothing
     assert not any(d == 3 or d == 5 for d, _, _ in spans)
     assert len(spans) == 4
+
+
+def test_rag_chunks_overlap_geometry(spark, tmp_path):
+    """Known geometry (W=64, S=48): 100 tokens -> starts 0/48, lengths
+    64/52 (coverage complete, no redundant tail window); 160 tokens ->
+    starts 0/48/96, three full windows; a short doc -> one whole-doc
+    chunk."""
+    import pandas as pd
+
+    from data_engineering_nd_spark.operators.datasets import (
+        ds_rag_chunks_query,
+    )
+
+    t100 = " ".join(f"t{i}" for i in range(100))
+    t160 = " ".join(f"t{i}" for i in range(160))
+    short_text = "a b c"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [t100, short_text, t160],
+            "lang": ["en", "en", "en"],
+            "source": ["s_100", "s_short", "s_160"],
+            "n_chars": [len(t100), len(short_text), len(t160)],
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(pdf).write.parquet(str(sf / "documents.parquet"))
+    out = {r.source: r for r in ds_rag_chunks_query(spark, str(sf)).collect()}
+    assert out["s_100"].n_chunks == 2
+    assert out["s_100"].chunk_tokens == 64 + 52
+    assert out["s_160"].n_chunks == 3
+    assert out["s_160"].chunk_tokens == 3 * 64
+    assert out["s_short"].n_chunks == 1
+    assert out["s_short"].chunk_tokens == 3
