@@ -5935,3 +5935,75 @@ def q108_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("tot").cast("double").alias("total_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q109 — event path mining: top 3-step behavioral paths across user journeys
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q109_event_path_trigrams",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    p AS (
+        SELECT concat(event_type, '>', e2, '>', e3) AS path,
+               COUNT(*) AS n
+        FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        GROUP BY 1
+    ),
+    r AS (
+        SELECT path, n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, path) AS rnk
+        FROM p
+    )
+    SELECT path, CAST(n AS BIGINT) AS n_paths, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 10
+    """,
+)
+def q109_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step behavioral paths (event-type trigrams) across
+    all user journeys — the order-2 sequence-mining sibling of
+    ``ds_markov_transitions`` (order-1): which CHAINS of actions recur,
+    the feature behind funnel design and next-action models.
+
+    Order is the total (ts, event_id) per user, so the lag pairing is
+    engine- and rerun-exact; counts are exact integers; the top-10 rank
+    breaks count ties on the path string (deterministic total order).
+
+    Scale shape: ONE shuffle on user_id for both lead() windows
+    (per-user partitions, no global sort), a map-side-combinable
+    hash-agg to the path-vocabulary aggregate (|event_types|^3 rows at
+    most — tiny), and the rank window runs over that aggregate, never
+    the event log."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (
+        ev.withColumn("e2", F.lead("event_type", 1).over(w))
+        .withColumn("e3", F.lead("event_type", 2).over(w))
+        .where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    )
+    p = s.groupBy(
+        F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    r = p.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.orderBy(F.col("n").desc(), F.col("path"))
+        ),
+    ).where(F.col("rnk") <= 10)
+    return r.select(
+        "path",
+        F.col("n").cast("bigint").alias("n_paths"),
+        F.col("rnk").cast("bigint").alias("rnk"),
+    )

@@ -279,6 +279,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "tbl_metadata_tables",
         "q108_weighted_median",
         "ds_rag_chunks",
+        "q109_event_path_trigrams",
     ], 10),
 }
 
