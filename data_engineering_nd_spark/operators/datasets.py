@@ -5620,3 +5620,86 @@ def ds_rag_chunks_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("bigint").alias("boundary_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-file NDV sketches: mergeable distinct-count stats for plan decisions
+# ---------------------------------------------------------------------------
+
+_NDV_ORACLE = """
+    WITH h AS (
+        SELECT DISTINCT CAST(concat('0x',
+            substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM orders WHERE o_custkey IS NOT NULL
+    ),
+    kk AS (SELECT h FROM h ORDER BY h LIMIT 256),
+    s AS (SELECT COUNT(*) AS cnt, MAX(h) AS kth FROM kk),
+    ex AS (SELECT COUNT(*) AS n FROM h)
+    SELECT CAST(256 AS BIGINT) AS k,
+           CAST(8 AS BIGINT) AS n_files,
+           CAST(ex.n AS BIGINT) AS ndv_exact,
+           CAST(s.kth AS BIGINT) AS kth_min,
+           floor(CASE WHEN s.cnt < 256 THEN CAST(s.cnt AS DOUBLE)
+                      ELSE 255.0 * 1152921504606846976.0
+                           / CAST(s.kth AS DOUBLE) END
+                 * 10000.0 + 0.5) / 10000.0 AS ndv_est
+    FROM s, ex
+"""
+
+
+@query("tbl_ndv_sketch_report", oracle=_NDV_ORACLE)
+def tbl_ndv_sketch_report_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-file NDV sketch lifecycle (the Iceberg puffin theta-sketch
+    analog): orders lands as 8 files, ``build_ndv_sketch`` persists each
+    file's 256 smallest distinct column hashes in a sidecar, and
+    ``estimate_ndv`` merges them METADATA-ONLY into a distinct-count
+    estimate. The KMV merge theorem makes the per-file merge equal the
+    global k-minimum computation — which is exactly what the DuckDB
+    oracle states over the raw table — so the k-th hash and the estimate
+    value-hash bit-for-bit: the sketch's merge correctness is the thing
+    being gated, not a tolerance band.
+
+    At 100 TB: join planning and aggregate-strategy choices need NDV per
+    column per file-subset; persisted mergeable sketches answer from
+    ≤ k×files metadata rows instead of a distinct-scan per plan."""
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    orders = load(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    work = tempfile.mkdtemp(prefix="tbl_ndv_")
+    try:
+        table = VersionedTable(spark, work + "/table")
+        table.commit(orders.repartition(8))
+        meta = table.build_ndv_sketch("o_custkey")
+        est = table.estimate_ndv("o_custkey")
+        ndv_exact = (
+            table.snapshot()
+            .where(F.col("o_custkey").isNotNull())
+            .select("o_custkey")
+            .distinct()
+            .count()
+        )
+        import math
+
+        out = spark.createDataFrame(
+            [
+                (
+                    est["k"],
+                    meta["files_indexed"],
+                    ndv_exact,
+                    est["kth_min"],
+                    math.floor(est["ndv_estimate"] * 10000.0 + 0.5)
+                    / 10000.0,
+                )
+            ],
+            "k bigint, n_files bigint, ndv_exact bigint, kth_min bigint, "
+            "ndv_est double",
+        )
+        # output-sized (1 row); materialize so the scratch table can go
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -280,6 +280,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "q108_weighted_median",
         "ds_rag_chunks",
         "q109_event_path_trigrams",
+        "tbl_ndv_sketch_report",
     ], 10),
 }
 

@@ -1610,6 +1610,135 @@ class VersionedTable:
         os.replace(tmp, meta_path)
         return meta
 
+    # -- per-file NDV sketches (the Iceberg puffin theta-sketch analog) -----
+
+    def _ndv_meta_path(self, col: str, version: int) -> str:
+        return os.path.join(
+            self.root, _INDEX, f"v{version:011d}-{col}.ndv.json"
+        )
+
+    def build_ndv_sketch(
+        self, col: str, version: int | None = None, k: int = 256
+    ) -> dict:
+        """Build a PER-FILE K-minimum-values NDV sketch over ``col`` for a
+        snapshot — the Iceberg puffin theta-sketch shape: each file
+        contributes its k smallest distinct 60-bit md5 hashes of the
+        column (≤ k rows per file in an ``_index/`` parquet sidecar), and
+        any SUBSET of files merges to an NDV estimate by taking the k
+        smallest of the union (the KMV merge theorem: a union's k-min
+        values are each within their own file's k-mins). The planner use
+        at 100 TB: join-order and aggregate-strategy decisions need NDV
+        per column per partition/file-subset, and re-scanning data to
+        count distincts per plan is exactly what a persisted mergeable
+        sketch avoids — estimates come off metadata (≤ k×files rows).
+
+        One distributed pass: distinct (file, hash) → per-file rank →
+        keep ≤ k. Deterministic (md5 hashes, no RNG); the sketch is
+        version-pinned like the Bloom index."""
+        from pyspark.sql.types import StructType
+        from pyspark.sql.window import Window
+
+        from data_engineering_nd_spark.functions.hashing import (
+            md5_prefix_long,
+        )
+
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        m = self._manifest(version)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        fk, _ = self._pos_key()
+        vals = (
+            self.spark.read.schema(schema)
+            .parquet(*[os.path.join(self.root, f) for f in m["files"]])
+            .select(
+                fk.alias("file"),
+                md5_prefix_long(F.col(col).cast("string"), 15).alias("h"),
+            )
+            .where(F.col(col).isNotNull())
+            .dropDuplicates(["file", "h"])
+        )
+        kmin = (
+            vals.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("file").orderBy("h")
+                ),
+            )
+            .where(F.col("rn") <= k)
+            .select("file", "h")
+        )
+        rel_dir = os.path.join(
+            _INDEX, f"v{version:011d}-{col}-ndv-{uuid.uuid4().hex[:8]}"
+        )
+        out = os.path.join(self.root, rel_dir)
+        kmin.write.mode("overwrite").parquet(out)
+        sizing = (
+            self.spark.read.parquet(out)
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.count_distinct("file").alias("nfiles"),
+            )
+            .collect()[0]
+        )
+        meta = {
+            "col": col,
+            "version": version,
+            "k": k,
+            "data": rel_dir,
+            "files_indexed": int(sizing["nfiles"]),
+            "rows": int(sizing["rows"]),
+        }
+        meta_path = self._ndv_meta_path(col, version)
+        os.makedirs(os.path.dirname(meta_path), exist_ok=True)
+        tmp = meta_path + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, meta_path)
+        return meta
+
+    def estimate_ndv(
+        self, col: str, version: int | None = None
+    ) -> dict | None:
+        """Merged NDV estimate from the per-file sketch (None if no
+        sketch exists for the version): k smallest distinct hashes of the
+        sidecar union → ``(k-1) * SPACE / kth`` (exact count when fewer
+        than k hashes survive). One job over ≤ k×files sidecar rows; no
+        data file is opened."""
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        meta_path = self._ndv_meta_path(col, version)
+        try:
+            with open(meta_path) as f:
+                meta = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return None
+        k = int(meta["k"])
+        merged = (
+            self.spark.read.parquet(os.path.join(self.root, meta["data"]))
+            .select("h")
+            .distinct()
+            .orderBy("h")
+            .limit(k)
+            .agg(F.count(F.lit(1)).alias("cnt"), F.max("h").alias("kth"))
+            .collect()[0]
+        )
+        cnt, kth = int(merged["cnt"]), merged["kth"]
+        space = float(1 << 60)
+        est = float(cnt) if cnt < k else (k - 1) * space / float(kth)
+        return {
+            "col": col,
+            "version": version,
+            "k": k,
+            "n_hashes": cnt,
+            "kth_min": None if kth is None else int(kth),
+            "ndv_estimate": est,
+            "files_indexed": int(meta["files_indexed"]),
+        }
+
     def _spark_string(self, value) -> str:
         """The exact string Spark's ``CAST(value AS STRING)`` produces —
         the representation :meth:`build_bloom_index` hashed. int/str/bool

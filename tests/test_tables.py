@@ -1589,3 +1589,26 @@ def test_metadata_tables_match_manifest(spark, table):
     assert hist[0].num_files == 2  # one file per partition value
     assert hist[1].num_files == fm.count()
     assert hist[1].operation == "append"
+
+
+# -- round-10: per-file NDV sketches ------------------------------------------
+
+
+def test_ndv_sketch_exact_below_k_and_estimate_above(spark, table):
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+
+    df = spark.createDataFrame(
+        [Row(k=i, v=i % 50) for i in range(2000)]
+    ).repartition(4)
+    table.commit(df)
+    table.build_ndv_sketch("v", k=256)
+    est = table.estimate_ndv("v")
+    # 50 distinct < k -> the sketch is EXACT
+    assert est["n_hashes"] == 50 and est["ndv_estimate"] == 50.0
+    # high-cardinality column: estimate within the k=256 error envelope
+    table.build_ndv_sketch("k", k=256)
+    est2 = table.estimate_ndv("k")
+    assert est2["n_hashes"] == 256
+    assert abs(est2["ndv_estimate"] - 2000) / 2000 < 0.25  # ~4/sqrt(256)
+    # no sketch -> None
+    assert table.estimate_ndv("nope") is None
