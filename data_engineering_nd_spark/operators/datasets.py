@@ -5703,3 +5703,126 @@ def tbl_ndv_sketch_report_query(
         return out.localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Materialized-view incremental refresh from the change feed
+# ---------------------------------------------------------------------------
+
+_MV_ORACLE = """
+    WITH upd AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 11 = 7 AND o_orderkey > 150
+                    THEN o_custkey + 7 ELSE o_custkey END AS val
+        FROM orders WHERE NOT (o_orderkey BETWEEN 1 AND 150)
+    ),
+    ins AS (
+        SELECT o_orderkey + 60000000 AS k, o_custkey AS val
+        FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    final AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+    SELECT CAST(k % 10 AS BIGINT) AS grp,
+           CAST(SUM(val) AS BIGINT) AS sum_value,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(1 AS BIGINT) AS equals_recompute,
+           CAST(1 AS BIGINT) AS replay_absorbed
+    FROM final GROUP BY 1
+"""
+
+
+@query("tbl_mv_incremental_refresh", oracle=_MV_ORACLE)
+def tbl_mv_incremental_refresh_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Materialized-view maintenance from the change feed: a grouped
+    SUM/COUNT view over orders is full-computed once, then the source
+    takes an append, a deletion-vector DELETE and a merge-on-read
+    re-pricing — and the view refreshes from the COMMIT-RANGE FEED ONLY
+    (:func:`refresh_aggregate_from_feed`): signed deltas, idempotent
+    source-version commits, a replayed refresh absorbed. The report
+    value-hashes the refreshed per-group state, an equality bit against
+    a from-scratch recompute of the final snapshot, and the
+    replay-absorption bit; the oracle states the final aggregate
+    straight from the source SQL.
+
+    This is the downstream half the CDF exists for at 100 TB: the
+    recompute path re-scans the fact table per refresh, the feed path
+    reads churn-sized deltas plus group-cardinality state — and the
+    update_preimage/update_postimage pairs are exactly what makes SUM
+    self-maintainable under in-place re-pricing."""
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.streaming.sink import (
+        refresh_aggregate_from_feed,
+    )
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    orders = load(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    work = tempfile.mkdtemp(prefix="tbl_mv_")
+    try:
+        src = VersionedTable(spark, work + "/src")
+        mv = VersionedTable(spark, work + "/mv")
+        app = "mv-refresh"
+        grp = (F.col("o_orderkey") % 10).alias("grp")
+        src.commit(
+            orders.select("o_orderkey", "o_custkey", grp).repartition(4)
+        )                                                            # v0
+        args = (src, mv, ["o_orderkey"], "grp", "o_custkey", app)
+        r1 = refresh_aggregate_from_feed(*args)                      # full
+        src.commit(                                                  # v1
+            orders.filter(F.col("o_orderkey") % 5 == 0).select(
+                (F.col("o_orderkey") + 60000000).alias("o_orderkey"),
+                "o_custkey",
+                grp,  # 60000000 % 10 == 0 -> group preserved
+            ),
+            mode="append",
+        )
+        src.delete_where_dv("o_orderkey", 1, 150)                    # v2
+        src.merge_dv(                                                # v3
+            src.snapshot()
+            .where(
+                (F.col("o_orderkey") % 11 == 7)
+                & (F.col("o_orderkey") > 150)
+                & (F.col("o_orderkey") < 60000000)
+            )
+            .select(
+                "o_orderkey",
+                (F.col("o_custkey") + 7).alias("o_custkey"),
+                "grp",
+            ),
+            ["o_orderkey"],
+        )
+        r2 = refresh_aggregate_from_feed(*args)                      # incr
+        n_mv_versions = len(mv.versions())
+        r3 = refresh_aggregate_from_feed(*args)                      # replay
+        replay_absorbed = int(
+            r3["skipped"]
+            and len(mv.versions()) == n_mv_versions
+            and r1["mode"] == "full"
+            and not r2["skipped"]
+        )
+        recompute = (
+            src.snapshot()
+            .groupBy("grp")
+            .agg(
+                F.sum("o_custkey").cast("bigint").alias("sum_value"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            )
+        )
+        state = mv.snapshot()
+        equals = int(
+            state.exceptAll(recompute).isEmpty()
+            and recompute.exceptAll(state).isEmpty()
+        )
+        out = state.select(
+            F.col("grp").cast("bigint").alias("grp"),
+            "sum_value",
+            "n_rows",
+            F.lit(equals).cast("bigint").alias("equals_recompute"),
+            F.lit(replay_absorbed).cast("bigint").alias("replay_absorbed"),
+        )
+        # output-sized (10 rows); materialize so the scratch tables can go
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

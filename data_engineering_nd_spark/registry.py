@@ -281,6 +281,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "ds_rag_chunks",
         "q109_event_path_trigrams",
         "tbl_ndv_sketch_report",
+        "tbl_mv_incremental_refresh",
     ], 10),
 }
 

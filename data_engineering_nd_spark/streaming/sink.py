@@ -139,3 +139,78 @@ def pump_change_feed(
         "from_version": last, "to_version": latest,
         "rows": rows, "skipped": False,
     }
+
+
+def refresh_aggregate_from_feed(
+    src: VersionedTable,
+    mv: VersionedTable,
+    key_cols: list[str],
+    group_col: str,
+    value_col: str,
+    app_id: str,
+) -> dict:
+    """Incrementally maintain a grouped SUM/COUNT materialized view from
+    the source table's CHANGE FEED — the downstream-compute half of the
+    CDF story (:func:`pump_change_feed` is the replication half): the
+    first refresh full-computes the base snapshot's aggregate; every
+    later refresh reads ONLY the commit-range feed and applies signed
+    deltas (+1 for insert/update_postimage, −1 for
+    delete/update_preimage) onto the current view state, then publishes
+    the new state in one idempotent commit keyed by the source version —
+    replays absorb, groups whose count reaches zero drop out.
+
+    Cost model at 100 TB: the recompute path scans the whole fact table
+    per refresh; this path reads the manifest-diff feed (sized by the
+    commits' churn) plus the group-cardinality view state. SUM/COUNT are
+    self-inverse under signed deltas, so no re-scan is ever needed (AVG
+    derives; MIN/MAX would need the recompute fallback on deletes).
+
+    Returns ``{from_version, to_version, mode, skipped}``."""
+    from pyspark.sql import functions as F
+
+    latest = src.latest_version()
+    if latest is None:
+        return {"from_version": None, "to_version": None,
+                "mode": "noop", "skipped": True}
+    last = mv.last_txn_version(app_id)
+    if last is None:
+        state = (
+            src.snapshot(0)
+            .groupBy(group_col)
+            .agg(
+                F.sum(F.col(value_col)).cast("bigint").alias("sum_value"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            )
+        )
+        mv.commit(state, mode="overwrite", txn=(app_id, 0))
+        return {"from_version": 0, "to_version": 0,
+                "mode": "full", "skipped": False}
+    if latest <= last:
+        return {"from_version": last, "to_version": last,
+                "mode": "incremental", "skipped": True}
+    feed = src.change_feed(key_cols, last, latest)
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = feed.groupBy(group_col).agg(
+        F.sum(sign * F.col(value_col)).cast("bigint").alias("sum_value"),
+        F.sum(sign).cast("bigint").alias("n_rows"),
+    )
+    new_state = (
+        mv.snapshot()
+        .unionByName(delta)
+        .groupBy(group_col)
+        .agg(
+            F.sum("sum_value").cast("bigint").alias("sum_value"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+        )
+        .where(F.col("n_rows") > 0)
+    )
+    # state must be materialized before the overwrite commit replaces
+    # the snapshot it was derived from
+    m = mv.commit(
+        new_state.localCheckpoint(), mode="overwrite", txn=(app_id, latest)
+    )
+    skipped = bool(m.get("idempotent_skip"))
+    return {"from_version": last, "to_version": latest,
+            "mode": "incremental", "skipped": skipped}

@@ -479,3 +479,28 @@ def test_pump_change_feed_exactly_once_and_offset_from_sink(spark, tmp_path):
     )
     assert [t for t, _ in types].count("delete") == 3
     assert [t for t, _ in types].count("insert") == 11
+
+
+def test_refresh_aggregate_from_feed_zero_groups_drop(spark, tmp_path):
+    """A group whose count reaches zero via deletes must DROP from the
+    view, and update pre/post pairs must net to the re-priced sum."""
+    from pyspark.sql import Row
+
+    from data_engineering_nd_spark.streaming.sink import (
+        refresh_aggregate_from_feed,
+    )
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    mv = VersionedTable(spark, str(tmp_path / "mv"))
+    src.commit(spark.createDataFrame(
+        [Row(k=1, g="a", v=10), Row(k=2, g="a", v=20),
+         Row(k=3, g="b", v=5)]))
+    args = (src, mv, ["k"], "g", "v", "app")
+    assert refresh_aggregate_from_feed(*args)["mode"] == "full"
+    src.delete_where_dv("k", 3, 3)          # b drops to zero rows
+    src.merge_dv(spark.createDataFrame([Row(k=1, g="a", v=100)]), ["k"])
+    r = refresh_aggregate_from_feed(*args)
+    assert r["mode"] == "incremental" and not r["skipped"]
+    state = {r.g: (r.sum_value, r.n_rows) for r in mv.snapshot().collect()}
+    assert state == {"a": (120, 2)}
