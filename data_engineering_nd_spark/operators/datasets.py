@@ -5826,3 +5826,72 @@ def tbl_mv_incremental_refresh_query(
         return out.localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Type widening on append: lossless promotions, zero files rewritten
+# ---------------------------------------------------------------------------
+
+_WIDEN_ORACLE = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS rows_total,
+           CAST(SUM(o_custkey) AS BIGINT) AS custkey_sum,
+           'bigint' AS custkey_type,
+           CAST(1 AS BIGINT) AS old_files_carried
+    FROM orders
+"""
+
+
+@query("tbl_type_widening", oracle=_WIDEN_ORACLE)
+def tbl_type_widening_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema TYPE WIDENING on append (the Delta 3.x feature): v0 lands
+    half of orders with ``o_custkey`` as INT; the other half appends it
+    as BIGINT. The manifest schema widens int→long, v0's files carry BY
+    REFERENCE (zero rewrites — Spark 4's parquet reader upcasts int32
+    pages to long at scan time), and the snapshot aggregates the two
+    eras as one long column: the report value-hashes the row count, the
+    exact key sum across both file generations, the widened manifest
+    type and the carry bit. At 100 TB a measure outgrowing its integer
+    type is routine; rewriting history for it is exactly what read-time
+    widening avoids."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    orders = load(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    work = tempfile.mkdtemp(prefix="tbl_widen_")
+    try:
+        table = VersionedTable(spark, work + "/table")
+        m0 = table.commit(
+            orders.filter(F.col("o_orderkey") % 2 == 0).select(
+                "o_orderkey", F.col("o_custkey").cast("int").alias("o_custkey")
+            )
+        )
+        m1 = table.commit(
+            orders.filter(F.col("o_orderkey") % 2 == 1).select(
+                "o_orderkey",
+                F.col("o_custkey").cast("bigint").alias("o_custkey"),
+            ),
+            mode="append",
+        )
+        from pyspark.sql.types import StructType
+
+        carried = int(set(m0["files"]) < set(m1["files"]))
+        widened_type = (
+            StructType.fromJson(_json.loads(m1["schema"]))["o_custkey"]
+            .dataType.simpleString()
+        )
+        out = table.snapshot().agg(
+            F.count(F.lit(1)).cast("bigint").alias("rows_total"),
+            F.sum("o_custkey").cast("bigint").alias("custkey_sum"),
+        ).select(
+            "rows_total",
+            "custkey_sum",
+            F.lit(str(widened_type)).alias("custkey_type"),
+            F.lit(carried).cast("bigint").alias("old_files_carried"),
+        )
+        # output-sized (1 row); materialize so the scratch table can go
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -282,6 +282,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "q109_event_path_trigrams",
         "tbl_ndv_sketch_report",
         "tbl_mv_incremental_refresh",
+        "tbl_type_widening",
     ], 10),
 }
 

@@ -584,7 +584,15 @@ class VersionedTable:
                     st = c.statistics
                     if st is None or not st.has_min_max:
                         continue
-                    mn, mx = st.min, st.max
+                    try:
+                        mn, mx = st.min, st.max
+                    except Exception:
+                        # pyarrow cannot CAST footer statistics for some
+                        # logical types (e.g. certain decimals) — skip
+                        # the column: no stats recorded means the file
+                        # is never pruned on it (conservative), never a
+                        # commit failure
+                        continue
                     if isinstance(mn, bool) or not isinstance(
                         mn, (int, float, str)
                     ):
@@ -2015,27 +2023,73 @@ class VersionedTable:
         )
 
     @staticmethod
-    def _evolve_schema(old_json: str, new_json: str) -> str:
-        """Additive schema evolution: old columns keep their order and
-        types, brand-new columns append. A same-name column with a
-        different type is a conflict (a silent cast would corrupt either
-        the old files or the new ones) and raises."""
-        from pyspark.sql.types import StructType
+    @staticmethod
+    def _widened(a, b):
+        """The LOSSLESSLY widened type covering both ``a`` and ``b``
+        (the Delta 3.x type-widening lattice, restricted to promotions
+        Spark 4's parquet reader performs at scan time: byte→short→
+        int→long, float→double, and decimal precision growth at equal
+        scale), or None when the pair is not widenable."""
+        from pyspark.sql.types import (
+            ByteType,
+            DecimalType,
+            DoubleType,
+            FloatType,
+            IntegerType,
+            LongType,
+            ShortType,
+        )
+
+        ints = [ByteType(), ShortType(), IntegerType(), LongType()]
+        if a in ints and b in ints:
+            return max(a, b, key=ints.index)
+        floats = [FloatType(), DoubleType()]
+        if a in floats and b in floats:
+            return max(a, b, key=floats.index)
+        if (
+            isinstance(a, DecimalType)
+            and isinstance(b, DecimalType)
+            and a.scale == b.scale
+            and max(a.precision, b.precision) <= 38
+        ):
+            return DecimalType(max(a.precision, b.precision), a.scale)
+        return None
+
+    @classmethod
+    def _evolve_schema(cls, old_json: str, new_json: str) -> str:
+        """Additive schema evolution with TYPE WIDENING: old columns keep
+        their order, brand-new columns append, and a same-name column
+        whose types sit on the lossless widening lattice
+        (:meth:`_widened`) takes the wider type — old files upcast at
+        scan time (Spark 4's parquet reader promotes int→long,
+        float→double and decimal precision natively, so NO file is
+        rewritten). Any other same-name type change is a conflict (a
+        silent cast would corrupt either the old files or the new ones)
+        and raises."""
+        from pyspark.sql.types import StructField, StructType
 
         old = StructType.fromJson(json.loads(old_json))
         new = StructType.fromJson(json.loads(new_json))
         by_name = {f.name: f for f in old.fields}
-        fields = list(old.fields)
+        widened: dict[str, object] = {}
         for f in new.fields:
             have = by_name.get(f.name)
-            if have is None:
+            if have is not None and have.dataType != f.dataType:
+                w = cls._widened(have.dataType, f.dataType)
+                if w is None:
+                    raise ValueError(
+                        f"schema conflict on column {f.name!r}: "
+                        f"{have.dataType.simpleString()} vs "
+                        f"{f.dataType.simpleString()}"
+                    )
+                widened[f.name] = w
+        fields = [
+            StructField(f.name, widened.get(f.name, f.dataType), f.nullable)
+            for f in old.fields
+        ]
+        for f in new.fields:
+            if f.name not in by_name:
                 fields.append(f)
-            elif have.dataType != f.dataType:
-                raise ValueError(
-                    f"schema conflict on column {f.name!r}: "
-                    f"{have.dataType.simpleString()} vs "
-                    f"{f.dataType.simpleString()}"
-                )
         return StructType(fields).json()
 
     def _merge_stat_candidates(

@@ -1612,3 +1612,40 @@ def test_ndv_sketch_exact_below_k_and_estimate_above(spark, table):
     assert abs(est2["ndv_estimate"] - 2000) / 2000 < 0.25  # ~4/sqrt(256)
     # no sketch -> None
     assert table.estimate_ndv("nope") is None
+
+
+# -- round-10: type widening on append ----------------------------------------
+
+
+def test_type_widening_int_float_decimal(spark, table):
+    from decimal import Decimal
+
+    df0 = spark.createDataFrame([Row(k=1)]).selectExpr(
+        "cast(k as int) k", "cast(1.5 as float) f",
+        "cast(2.25 as decimal(5,2)) d")
+    table.commit(df0)
+    df1 = spark.createDataFrame([Row(k=2)]).selectExpr(
+        "cast(k as bigint) k", "cast(3.5 as double) f",
+        "cast(4.25 as decimal(12,2)) d")
+    m = table.commit(df1, mode="append")
+    types = dict(table.snapshot().dtypes)
+    assert types == {"k": "bigint", "f": "double", "d": "decimal(12,2)"}
+    got = sorted((r.k, r.f, r.d) for r in table.snapshot().collect())
+    assert got == [(1, 1.5, Decimal("2.25")), (2, 3.5, Decimal("4.25"))]
+    # narrowing the other way also widens (old long + new int -> long)
+    table.commit(spark.createDataFrame([Row(k=3)]).selectExpr(
+        "cast(k as int) k", "cast(9.5 as float) f",
+        "cast(1.00 as decimal(5,2)) d"), mode="append")
+    assert dict(table.snapshot().dtypes)["k"] == "bigint"
+    assert table.snapshot().count() == 3
+    # non-widenable conflict still raises
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="schema conflict"):
+        table.commit(spark.createDataFrame([Row(k="x")]).selectExpr(
+            "k", "cast(1.0 as double) f", "cast(1.00 as decimal(12,2)) d"),
+            mode="append")
+    # decimal scale change is NOT widenable
+    with _pytest.raises(ValueError, match="schema conflict"):
+        table.commit(spark.createDataFrame([Row(k=4)]).selectExpr(
+            "cast(k as int) k", "cast(1.0 as double) f",
+            "cast(1.000 as decimal(12,3)) d"), mode="append")
