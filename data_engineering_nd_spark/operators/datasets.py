@@ -5895,3 +5895,127 @@ def tbl_type_widening_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Conditional MERGE: the full WHEN-clause surface
+# ---------------------------------------------------------------------------
+
+_MERGE_WHEN_ORACLE = """
+    WITH survivors AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 14 = 3
+                    THEN o_custkey + 1000000 ELSE o_custkey END AS c
+        FROM orders WHERE NOT (o_orderkey % 21 = 3)
+    ),
+    ins AS (
+        SELECT o_orderkey + 80000000 AS k, o_custkey AS c
+        FROM orders WHERE o_orderkey % 5 = 0 AND o_custkey % 2 = 0
+    ),
+    final AS (SELECT * FROM survivors UNION ALL SELECT * FROM ins),
+    n AS (
+        SELECT
+          (SELECT COUNT(*) FROM orders
+           WHERE o_orderkey % 14 = 3 AND NOT (o_orderkey % 21 = 3))
+              AS n_upd,
+          (SELECT COUNT(*) FROM orders WHERE o_orderkey % 21 = 3) AS n_del,
+          (SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 = 3) AS n_match,
+          (SELECT COUNT(*) FROM orders
+           WHERE o_orderkey % 5 = 0 AND o_custkey % 2 = 0) AS n_ins,
+          (SELECT COUNT(*) FROM orders WHERE o_orderkey % 5 = 0) AS n_src_ins
+    )
+    SELECT CAST(n.n_upd AS BIGINT) AS rows_updated,
+           CAST(n.n_match - n.n_upd - n.n_del AS BIGINT)
+               AS rows_update_skipped,
+           CAST(n.n_del AS BIGINT) AS rows_deleted,
+           CAST(n.n_ins AS BIGINT) AS rows_inserted,
+           CAST(n.n_src_ins - n.n_ins AS BIGINT) AS rows_insert_skipped,
+           CAST(COUNT(*) AS BIGINT) AS rows_total,
+           CAST(SUM(CAST(concat('0x', substr(md5(
+                concat(CAST(k AS VARCHAR), ':', CAST(c AS VARCHAR))),
+                1, 10)) AS BIGINT)) AS BIGINT) AS row_checksum
+    FROM final, n
+    GROUP BY n.n_upd, n.n_del, n.n_match, n.n_ins, n.n_src_ins
+"""
+
+
+@query("tbl_merge_when_report", oracle=_MERGE_WHEN_ORACLE)
+def tbl_merge_when_report_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conditional MERGE — the full Delta WHEN-clause surface in one
+    commit: matched rows DELETE when the source flags them, UPDATE only
+    when the source value is actually higher (lower-valued source rows
+    are skipped, clause order delete-before-update), and unmatched
+    source rows INSERT only when their own predicate holds. The report
+    value-hashes every clause-hit count plus the final row count and
+    content checksum; the oracle states the clause algebra straight
+    from the source table, so a mis-ordered clause, a skipped-update row
+    that leaked through, or a conditional insert miscount diverges.
+
+    Blast radius stays file-granular exactly like the unconditional
+    MERGE (stats-pruned candidates -> matched-key refinement -> rewrite;
+    unmatched files carried by reference); only the
+    not-matched-by-source clause — exercised in tests — widens to a full
+    rewrite, as it must (every target row is examined, the Delta
+    whenNotMatchedBySource contract)."""
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    orders = load(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    k = F.col("o_orderkey")
+    matched_src = orders.filter(k % 7 == 3).select(
+        "o_orderkey",
+        (
+            F.col("o_custkey")
+            + F.when(k % 14 == 3, 1000000).otherwise(-1)
+        ).alias("o_custkey"),
+        F.when(k % 21 == 3, "D").otherwise("O").alias("o_orderstatus"),
+    )
+    insert_src = orders.filter(k % 5 == 0).select(
+        (k + 80000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+    )
+    work = tempfile.mkdtemp(prefix="tbl_mw_")
+    try:
+        table = VersionedTable(spark, work + "/table")
+        table.commit(orders.repartition(8))
+        m = table.merge_when(
+            matched_src.unionByName(insert_src),
+            ["o_orderkey"],
+            update_when="src_o_custkey > o_custkey",
+            delete_when="src_o_orderstatus = 'D'",
+            insert_when="src_o_custkey % 2 = 0",
+        )
+        out = table.snapshot().agg(
+            F.count(F.lit(1)).cast("bigint").alias("rows_total"),
+            F.sum(
+                md5_prefix_long(
+                    F.concat_ws(
+                        ":",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("o_custkey").cast("string"),
+                    )
+                )
+            ).cast("bigint").alias("row_checksum"),
+        ).select(
+            F.lit(m["rows_updated"]).cast("bigint").alias("rows_updated"),
+            F.lit(m["rows_update_skipped"]).cast("bigint")
+            .alias("rows_update_skipped"),
+            F.lit(m["rows_deleted"]).cast("bigint").alias("rows_deleted"),
+            F.lit(m["rows_inserted"]).cast("bigint").alias("rows_inserted"),
+            F.lit(m["rows_insert_skipped"]).cast("bigint")
+            .alias("rows_insert_skipped"),
+            "rows_total",
+            "row_checksum",
+        )
+        # output-sized (1 row); materialize so the scratch table can go
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

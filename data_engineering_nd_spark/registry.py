@@ -283,6 +283,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "tbl_ndv_sketch_report",
         "tbl_mv_incremental_refresh",
         "tbl_type_widening",
+        "tbl_merge_when_report",
     ], 10),
 }
 

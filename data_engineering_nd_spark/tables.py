@@ -2291,6 +2291,182 @@ class VersionedTable:
         )
         return manifest
 
+    def merge_when(
+        self,
+        source: DataFrame,
+        key_cols: list[str],
+        update_when: str | None = "true",
+        delete_when: str | None = None,
+        insert_when: str | None = "true",
+        delete_not_matched_by_source_when: str | None = None,
+    ) -> dict:
+        """The FULL conditional MERGE surface (Delta's WHEN clauses):
+
+        - ``update_when`` — matched rows take the source values only
+          when this SQL predicate holds (target columns by name, source
+          columns as ``src_<name>``); otherwise the target row survives
+          unchanged. None disables updates entirely.
+        - ``delete_when`` — matched rows satisfying it are DELETED
+          (evaluated before update_when, Delta clause order).
+        - ``insert_when`` — source rows with no match insert only when
+          it holds (``src_<name>`` columns). None disables inserts.
+        - ``delete_not_matched_by_source_when`` — target rows with NO
+          source match satisfying it are deleted: the sync/replication
+          clause. Setting it widens the rewrite to EVERY file (the
+          clause must examine all target rows — Delta's
+          whenNotMatchedBySource scans the whole target too); without
+          it, blast radius stays file-granular exactly like
+          :meth:`merge` (stats-pruned candidates, matched-key
+          refinement, untouched files carried by reference).
+
+        One classification pass over (affected files ⟗ source) decides
+        every row; the clause-hit counts ride back in the manifest
+        report (``rows_updated``, ``rows_update_skipped``,
+        ``rows_deleted``, ``rows_inserted``, ``rows_insert_skipped``,
+        ``rows_deleted_by_source``, ``files_rewritten``,
+        ``files_untouched``). Keys are assumed unique per side (the
+        upsert contract)."""
+        prev = self.latest_version()
+        if prev is None:
+            src0 = source
+            if insert_when is not None:
+                pref = source
+                for c in source.columns:
+                    pref = pref.withColumnRenamed(c, f"src_{c}")
+                src0 = pref.where(F.expr(insert_when)).select(
+                    *[F.col(f"src_{c}").alias(c) for c in source.columns]
+                )
+            return self.commit(src0, mode="overwrite")
+        from pyspark.sql.types import StructType
+
+        m = self._manifest(prev)
+        version = prev + 1
+        prev_dv = m.get("dv") or []
+        current_cols = [
+            f["name"] for f in json.loads(m["schema"])["fields"]
+        ] or source.columns
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        keys = source.select(*key_cols).dropDuplicates()
+
+        if delete_not_matched_by_source_when is not None:
+            affected_rel = list(m["files"])
+        else:
+            candidates, _ = self._merge_stat_candidates(
+                source, key_cols[0], m
+            )
+            from urllib.parse import unquote as _unq
+            from urllib.parse import urlparse as _urlp
+
+            affected_names = set()
+            if candidates:
+                tagged = (
+                    self.spark.read.schema(schema)
+                    .parquet(
+                        *[os.path.join(self.root, f) for f in candidates]
+                    )
+                    .withColumn("__file", F.col("_metadata.file_path"))
+                )
+                if prev_dv:
+                    tagged = self._apply_dv(tagged, prev_dv)
+                affected_names = {
+                    os.path.basename(_unq(_urlp(r["__file"]).path))
+                    for r in tagged.select("__file", *key_cols)
+                    .join(F.broadcast(keys), on=key_cols, how="left_semi")
+                    .select("__file")
+                    .distinct()
+                    .collect()
+                }
+            affected_rel = [
+                f
+                for f in m["files"]
+                if os.path.basename(f) in affected_names
+            ]
+        untouched = [f for f in m["files"] if f not in set(affected_rel)]
+
+        payload = [c for c in current_cols if c not in key_cols]
+        tgt = self._read_files(
+            affected_rel, m["schema"], prev_dv
+        ).withColumn("__t", F.lit(1))
+        src = source.select(*current_cols)
+        for c in current_cols:
+            src = src.withColumnRenamed(c, f"src_{c}")
+        src = src.withColumn("__s", F.lit(1))
+        cond = None
+        for k in key_cols:
+            c = F.col(k).eqNullSafe(F.col(f"src_{k}"))
+            cond = c if cond is None else (cond & c)
+        j = tgt.join(src, cond, "full_outer")
+        matched = F.col("__t").isNotNull() & F.col("__s").isNotNull()
+        t_only = F.col("__t").isNotNull() & F.col("__s").isNull()
+        s_only = F.col("__t").isNull() & F.col("__s").isNotNull()
+        del_m = F.expr(delete_when) if delete_when is not None else F.lit(False)
+        upd_m = F.expr(update_when) if update_when is not None else F.lit(False)
+        ins_m = F.expr(insert_when) if insert_when is not None else F.lit(False)
+        bys_m = (
+            F.expr(delete_not_matched_by_source_when)
+            if delete_not_matched_by_source_when is not None
+            else F.lit(False)
+        )
+        action = (
+            F.when(matched & F.coalesce(del_m, F.lit(False)), "delete")
+            .when(matched & F.coalesce(upd_m, F.lit(False)), "update")
+            .when(matched, "keep_matched")
+            .when(t_only & F.coalesce(bys_m, F.lit(False)), "delete_by_source")
+            .when(t_only, "keep")
+            .when(s_only & F.coalesce(ins_m, F.lit(False)), "insert")
+            .otherwise("skip_insert")
+        )
+        classified = j.withColumn("__action", action).localCheckpoint()
+        counts = {
+            r["__action"]: r["n"]
+            for r in classified.groupBy("__action")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        out_cols = []
+        for c in current_cols:
+            if c in key_cols:
+                out_cols.append(
+                    F.coalesce(F.col(c), F.col(f"src_{c}")).alias(c)
+                )
+            else:
+                out_cols.append(
+                    F.when(
+                        F.col("__action").isin("update", "insert"),
+                        F.col(f"src_{c}"),
+                    ).otherwise(F.col(c)).alias(c)
+                )
+        rewritten = classified.where(
+            F.col("__action").isin("update", "keep_matched", "keep", "insert")
+        ).select(*out_cols)
+        new_files = self._write_files(rewritten, version)
+        sizes = self._file_sizes(new_files)
+        sizes.update(self._file_sizes(untouched, m))
+        stats = self._compute_stats(new_files)
+        stats.update(self._file_stats(untouched, m))
+        pold = m.get("partitions") or {}
+        manifest = self._publish(
+            version,
+            new_files + untouched,
+            f"merge-when(rewrote={len(affected_rel)},kept={len(untouched)})",
+            m["schema"],
+            sizes,
+            stats,
+            {f: pold[f] for f in untouched if f in pold},
+            dv=prev_dv,
+        )
+        manifest.update(
+            files_rewritten=len(affected_rel),
+            files_untouched=len(untouched),
+            rows_updated=counts.get("update", 0),
+            rows_update_skipped=counts.get("keep_matched", 0),
+            rows_deleted=counts.get("delete", 0),
+            rows_inserted=counts.get("insert", 0),
+            rows_insert_skipped=counts.get("skip_insert", 0),
+            rows_deleted_by_source=counts.get("delete_by_source", 0),
+        )
+        return manifest
+
     def merge_dv(self, source: DataFrame, key_cols: list[str]) -> dict:
         """Merge-on-read UPSERT (VERDICT r09 task #5): compose
         :meth:`merge` semantics with deletion vectors — matched

@@ -1649,3 +1649,48 @@ def test_type_widening_int_float_decimal(spark, table):
         table.commit(spark.createDataFrame([Row(k=4)]).selectExpr(
             "cast(k as int) k", "cast(1.0 as double) f",
             "cast(1.000 as decimal(12,3)) d"), mode="append")
+
+
+# -- round-10: conditional MERGE (WHEN clauses) --------------------------------
+
+
+def test_merge_when_clauses_full_surface(spark, table):
+    table.commit(spark.createDataFrame(
+        [Row(k=1, v=10, s="live"), Row(k=2, v=20, s="live"),
+         Row(k=3, v=30, s="stale"), Row(k=4, v=40, s="live")]))
+    src = spark.createDataFrame(
+        [Row(k=1, v=5, s="live"),     # matched, src LOWER -> update skipped
+         Row(k=2, v=99, s="live"),    # matched, src higher -> updated
+         Row(k=3, v=0, s="del"),      # matched + delete condition -> deleted
+         Row(k=5, v=50, s="live"),    # unmatched -> inserted
+         Row(k=6, v=-1, s="live")])   # unmatched, insert_when false -> skipped
+    m = table.merge_when(
+        src, ["k"],
+        update_when="src_v > v",
+        delete_when="src_s = 'del'",
+        insert_when="src_v >= 0",
+        delete_not_matched_by_source_when="s = 'stale'",
+    )
+    got = sorted((r.k, r.v, r.s) for r in table.snapshot().collect())
+    # k=1 kept (update skipped), k=2 updated, k=3 deleted by clause,
+    # k=4 kept (not matched by source but s='live'), k=5 inserted
+    assert got == [(1, 10, "live"), (2, 99, "live"), (4, 40, "live"),
+                   (5, 50, "live")]
+    assert m["rows_updated"] == 1 and m["rows_update_skipped"] == 1
+    assert m["rows_deleted"] == 1 and m["rows_inserted"] == 1
+    assert m["rows_insert_skipped"] == 1
+    assert m["rows_deleted_by_source"] == 0  # k=3 matched; k=4 live
+    # by-source delete fires on unmatched rows meeting the condition:
+    # k=2 updates to stale; a second sync then deletes it (unmatched)
+    table.merge_when(
+        spark.createDataFrame([Row(k=2, v=100, s="stale")]), ["k"],
+        update_when="src_v > v",
+    )
+    m2 = table.merge_when(
+        spark.createDataFrame([Row(k=5, v=51, s="live")]), ["k"],
+        update_when="src_v > v",
+        delete_not_matched_by_source_when="s = 'stale'",
+    )
+    assert m2["rows_deleted_by_source"] == 1
+    got2 = sorted((r.k, r.v, r.s) for r in table.snapshot().collect())
+    assert got2 == [(1, 10, "live"), (4, 40, "live"), (5, 51, "live")]
