@@ -998,3 +998,78 @@ def dq_functional_dependency_query(spark: SparkSession, sf_dir: str) -> DataFram
     statuses. Exact distinct counts; one agg per FD."""
     orders = load(spark, "orders", sf_dir)
     return functional_dependency_report(orders, _FD_CANDIDATES)
+
+
+# ---------------------------------------------------------------------------
+# Candidate-key discovery: which columns uniquely identify a row
+# ---------------------------------------------------------------------------
+
+_KEY_COLS = (
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_orderdate", "o_orderpriority",
+)
+
+
+@query(
+    "dq_candidate_keys",
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT '{c}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls,
+           CAST(CASE WHEN COUNT(DISTINCT {c}) = COUNT(*)
+                      AND SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) = 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_key
+    FROM orders
+    """
+        for c in _KEY_COLS
+    ),
+)
+def dq_candidate_keys_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery over orders: per column, row count,
+    exact distinct count, null count and the is-key verdict (distinct ==
+    rows, zero nulls) — the schema-profiling step that finds which
+    columns can serve as a merge/dedup key, joining the
+    functional-dependency and PK-uniqueness checks in the DQ family.
+
+    ONE aggregate pass computes every column's profile (map-side
+    combinable; no pass-per-column), then the single profile row
+    unpivots to long format — at 100 TB key discovery costs one scan
+    regardless of how many candidate columns are checked."""
+    from data_engineering_nd_spark.catalog import load
+
+    orders = load(spark, "orders", sf_dir)
+    aggs = []
+    for c in _KEY_COLS:
+        aggs += [
+            F.count(F.lit(1)).cast("bigint").alias(f"rows_{c}"),
+            F.count_distinct(F.col(c)).cast("bigint").alias(f"nd_{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"nn_{c}"),
+        ]
+    row = orders.agg(*aggs)
+    parts = []
+    for c in _KEY_COLS:
+        parts.append(
+            row.select(
+                F.lit(c).alias("column_name"),
+                F.col(f"rows_{c}").alias("n_rows"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"nn_{c}").alias("n_nulls"),
+                F.when(
+                    (F.col(f"nd_{c}") == F.col(f"rows_{c}"))
+                    & (F.col(f"nn_{c}") == 0),
+                    1,
+                )
+                .otherwise(0)
+                .cast("bigint")
+                .alias("is_key"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

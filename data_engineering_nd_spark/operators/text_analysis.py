@@ -2306,3 +2306,87 @@ def text_levenshtein_pairs_query(
     """Per-language typo-level near-duplicate pairs on documents."""
     docs = load(spark, "documents", sf_dir)
     return levenshtein_pairs(docs)
+
+
+# ---------------------------------------------------------------------------
+# Language-ID evaluation: confusion matrix of predicted vs recorded language
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_langid_confusion",
+    oracle=r"""
+    WITH t AS (
+        SELECT
+            doc_id,
+            string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        FROM documents
+    ), s AS (
+        SELECT
+            doc_id,
+            round(CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE CAST(len(list_filter(toks, x -> list_contains(
+                        ['the','and','of','to','in','is','that','for','with','on'], x))) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE) END, 6) AS s_en,
+            round(CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE CAST(len(list_filter(toks, x -> list_contains(
+                        ['el','la','de','que','y','en','un','una','los','las'], x))) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE) END, 6) AS s_es,
+            round(CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE CAST(len(list_filter(toks, x -> list_contains(
+                        ['le','la','de','et','les','des','un','une','est','dans'], x))) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE) END, 6) AS s_fr,
+            round(CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE CAST(len(list_filter(toks, x -> list_contains(
+                        ['der','die','das','und','ist','von','mit','den','ein','eine'], x))) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE) END, 6) AS s_de
+        FROM t
+    ), pred AS (
+        SELECT
+            doc_id,
+            CASE WHEN greatest(s_en, s_es, s_fr, s_de) >= 0.05 THEN
+                CASE WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+                     WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+                     WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+                     ELSE 'fr' END
+            ELSE 'unknown' END AS predicted_lang
+        FROM s
+    )
+    SELECT d.lang,
+           p.predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(concat('0x',
+                substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 10))
+                AS BIGINT)) AS BIGINT) AS doc_checksum
+    FROM pred p JOIN documents d USING (doc_id)
+    GROUP BY d.lang, p.predicted_lang
+    """,
+)
+def text_langid_confusion_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Language-ID EVALUATION: the confusion matrix of the n-gram
+    heuristic's predictions (:func:`detect_language`) against the
+    corpus's recorded ``lang`` labels — cell counts plus a per-cell doc
+    checksum. The quality-measurement half every classifier-style
+    pipeline operator needs: text_detect_language gates the PREDICTIONS
+    row-by-row; this gates the aggregate ERROR STRUCTURE (which
+    languages leak into which), the report a data-quality dashboard
+    actually shows. One projection pass + one vocabulary-sized hash-agg;
+    no shuffle beyond the group key."""
+    docs = load(spark, "documents", sf_dir)
+    pred = detect_language(docs, "doc_id", "text").select(
+        "doc_id", "predicted_lang"
+    )
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+
+    return (
+        pred.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "predicted_lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(md5_prefix_long(F.col("doc_id").cast("string")))
+            .cast("bigint")
+            .alias("doc_checksum"),
+        )
+    )

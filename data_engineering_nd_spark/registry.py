@@ -284,6 +284,8 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "tbl_mv_incremental_refresh",
         "tbl_type_widening",
         "tbl_merge_when_report",
+        "text_langid_confusion",
+        "dq_candidate_keys",
     ], 10),
 }
 
