@@ -6007,3 +6007,58 @@ def q109_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_paths"),
         F.col("rnk").cast("bigint").alias("rnk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q110 — new vs returning: daily engagement split on first-seen dates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q110_new_vs_returning",
+    oracle="""
+    WITH f AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY user_id
+    ),
+    d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+    SELECT CAST(d.day AS TIMESTAMP) AS day,
+           CAST(SUM(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN d.day > f.first_day THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_returning
+    FROM d JOIN f USING (user_id)
+    GROUP BY d.day
+    """,
+)
+def q110_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split into NEW (first-ever activity that day)
+    vs RETURNING — the top-line engagement decomposition every product
+    dashboard leads with, built on per-user first-seen dates.
+
+    Scale shape: one hash-agg to user first-seen (map-side combinable),
+    one distinct over (user, day), one shuffle join on the user key, one
+    day-cardinality hash-agg. No windows, no global sorts; the join's
+    build side is user-cardinality (the aggregate), not the event log."""
+    ev = load(spark, "events", sf_dir).select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    f = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    d = ev.distinct()
+    return (
+        d.join(f, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new"),
+            F.sum(F.when(F.col("day") > F.col("first_day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_returning"),
+        )
+        .select(
+            F.col("day").cast("timestamp_ntz").alias("day"),
+            "n_new",
+            "n_returning",
+        )
+    )

@@ -286,6 +286,8 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "tbl_merge_when_report",
         "text_langid_confusion",
         "dq_candidate_keys",
+        "q110_new_vs_returning",
+        "stream_constraint_quarantine",
     ], 10),
 }
 

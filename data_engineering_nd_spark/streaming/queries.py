@@ -1598,3 +1598,142 @@ def stream_change_feed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming DLQ: constraint quarantine with exactly-once on both sides
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_constraint_quarantine",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_good,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_quarantined,
+           CAST(SUM(CAST(concat('0x',
+                substr(md5(CAST(event_id AS VARCHAR)), 1, 10))
+                AS BIGINT)) AS BIGINT) AS id_checksum,
+           CAST(1 AS BIGINT) AS conserved,
+           CAST(1 AS BIGINT) AS replay_absorbed
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_constraint_quarantine_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming dead-letter queue: events arrive in three micro-batches
+    through :func:`quarantine_batch_sink` — rows failing the CHECK
+    predicate (``event_type <> 'error'``) land VERBATIM in a quarantine
+    table, passing rows in the serving table, both commits idempotent on
+    (app, batch_id). After the stream drains, the final batch is
+    RE-DELIVERED and absorbed on BOTH tables. The report value-hashes
+    per-type good/quarantined counts and id checksums, a CONSERVATION
+    bit (good + quarantined == source, row-exact by checksum), and the
+    replay-absorption bit; the oracle states the split straight off the
+    source.
+
+    The streaming counterpart of the batch corrupt-record quarantines:
+    at-least-once delivery + per-side txn watermarks = exactly-once on
+    the serving AND the dead-letter table, with bad rows preserved for
+    re-drive instead of dropped or poisoning the serve path."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from data_engineering_nd_spark.catalog import load
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+    from data_engineering_nd_spark.streaming.sink import (
+        quarantine_batch_sink,
+    )
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    ev = (
+        load(spark, "events", sf_dir)
+        .select("event_id", "event_type", "value")
+        .localCheckpoint()
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_dlq_")
+    try:
+        os.makedirs(os.path.join(tmp, "in"))
+        now = _time.time()
+        for i in range(3):
+            _write_stream_file(
+                ev.filter(F.col("event_id") % 3 == i), tmp, f"{i}_slice",
+                now - 120 + 30 * i,
+            )
+        stream_dir = os.path.join(tmp, "in")
+        schema = spark.read.parquet(stream_dir).schema
+        good = VersionedTable(spark, os.path.join(tmp, "good"))
+        dlq = VersionedTable(spark, os.path.join(tmp, "dlq"))
+        sink = quarantine_batch_sink(
+            good, dlq, "dlq-sink", "event_type <> 'error'"
+        )
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # at-least-once: re-deliver the final micro-batch on both sides
+        nv_good, nv_dlq = len(good.versions()), len(dlq.versions())
+        last = good.last_txn_version("dlq-sink")
+        replay = spark.read.schema(schema).parquet(
+            os.path.join(stream_dir, "2_slice.parquet")
+        )
+        sink(replay, last)
+        replay_absorbed = int(
+            len(good.versions()) == nv_good
+            and len(dlq.versions()) == nv_dlq
+        )
+        digest = md5_prefix_long(F.col("event_id").cast("string"))
+
+        def _sum(t, label):
+            return (
+                t.snapshot()
+                .groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias(f"n_{label}"),
+                    F.sum(digest).cast("bigint").alias(f"h_{label}"),
+                )
+            )
+        g, b = _sum(good, "good"), _sum(dlq, "bad")
+        merged = g.join(b, "event_type", "full_outer").select(
+            "event_type",
+            F.coalesce("n_good", F.lit(0)).cast("bigint").alias("n_good"),
+            F.coalesce("n_bad", F.lit(0)).cast("bigint")
+            .alias("n_quarantined"),
+            (F.coalesce("h_good", F.lit(0)) + F.coalesce("h_bad", F.lit(0)))
+            .cast("bigint").alias("id_checksum"),
+        )
+        src = ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_src"),
+            F.sum(digest).cast("bigint").alias("h_src"),
+        )
+        chk = merged.join(src, "event_type").select(
+            F.min(
+                F.when(
+                    (F.col("n_good") + F.col("n_quarantined")
+                     == F.col("n_src"))
+                    & (F.col("id_checksum") == F.col("h_src")),
+                    1,
+                ).otherwise(0)
+            ).alias("ok")
+        ).collect()[0]["ok"]
+        out = merged.withColumn(
+            "conserved", F.lit(int(chk)).cast("bigint")
+        ).withColumn(
+            "replay_absorbed", F.lit(replay_absorbed).cast("bigint")
+        )
+        # output-sized (5 rows); materialize so the scratch tables can go
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -52,6 +52,35 @@ def upsert_stream(
     return writer.start()
 
 
+def quarantine_batch_sink(
+    good: VersionedTable,
+    dlq: VersionedTable,
+    app_id: str,
+    predicate: str,
+):
+    """foreachBatch sink with a DEAD-LETTER QUEUE: every micro-batch
+    splits on a CHECK predicate — passing rows commit to the main
+    table, failing (or NULL-evaluating — a CHECK that cannot evaluate
+    is not satisfied) rows commit VERBATIM to the quarantine table for
+    replay — and BOTH commits are idempotent on (app_id, batch_id), so
+    an at-least-once replay of a batch is absorbed on both sides. The
+    streaming counterpart of the batch corrupt-record quarantines
+    (src_csv/jsonl_malformed_report): at 100 TB you never drop bad rows
+    on the floor and never let them poison the serving table — you land
+    them where a fixed parser can re-drive them."""
+    from pyspark.sql import functions as F
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        ok = batch_df.where(F.coalesce(F.expr(predicate), F.lit(False)))
+        bad = batch_df.where(
+            ~F.coalesce(F.expr(predicate), F.lit(False))
+        )
+        good.commit(ok, mode="append", txn=(app_id, int(batch_id)))
+        dlq.commit(bad, mode="append", txn=(f"{app_id}-dlq", int(batch_id)))
+
+    return _sink
+
+
 def pump_change_feed(
     src: VersionedTable,
     dst: VersionedTable,
