@@ -146,6 +146,7 @@ HEADLINERS = [
     "q108_weighted_median",
     "text_levenshtein_pairs",
     "q109_event_path_trigrams",
+    "q110_new_vs_returning",
     # round-10 tbl_concurrent_commits / tbl_log_checkpoint_report /
     # tbl_merge_dv / tbl_metadata_tables / stream_change_feed return
     # localCheckpoint-ed audit rows (OCC/checkpoint/merge-on-read/CDC-pump
