@@ -674,3 +674,54 @@ def test_rolling_volatility_large_magnitudes_no_overflow(spark, tmp_path):
     assert abs(r.mean_vol - np.mean(
         [np.floor(v * 1e6 + 0.5) / 1e6 for v in vols]
     )) < 1e-4
+
+
+def test_new_vs_returning_known_timeline(spark, tmp_path):
+    from data_engineering_nd_spark.analytics import q110_new_vs_returning
+
+    rows = pd.DataFrame(
+        {
+            "event_id": range(6),
+            "user_id": [1, 1, 2, 1, 2, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00", "2024-01-01 11:00",  # u1 new d1 (once)
+                 "2024-01-02 10:00",                       # u2 new d2
+                 "2024-01-02 12:00",                       # u1 returning d2
+                 "2024-01-03 10:00",                       # u2 returning d3
+                 "2024-01-03 11:00"]                       # u3 new d3
+            ),
+            "event_type": ["view"] * 6,
+            "value": [1.0] * 6,
+            "props": ["{}"] * 6,
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write(spark, sf, "events", rows)
+    out = {str(r.day)[:10]: (r.n_new, r.n_returning)
+           for r in q110_new_vs_returning(spark, str(sf)).collect()}
+    assert out == {"2024-01-01": (1, 0), "2024-01-02": (1, 1),
+                   "2024-01-03": (1, 1)}
+
+
+def test_event_path_trigrams_known_sequence(spark, tmp_path):
+    from data_engineering_nd_spark.analytics import q109_event_path_trigrams
+
+    rows = pd.DataFrame(
+        {
+            "event_id": range(5),
+            "user_id": [1] * 5,
+            "ts": pd.to_datetime(
+                [f"2024-01-01 10:0{i}" for i in range(5)]
+            ),
+            "event_type": ["a", "b", "a", "b", "a"],
+            "value": [1.0] * 5,
+            "props": ["{}"] * 5,
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write(spark, sf, "events", rows)
+    out = {r.path: (r.n_paths, r.rnk)
+           for r in q109_event_path_trigrams(spark, str(sf)).collect()}
+    assert out == {"a>b>a": (2, 1), "b>a>b": (1, 2)}

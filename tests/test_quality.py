@@ -519,3 +519,34 @@ def test_pmi_promotes_exclusive_pairs_and_floors_hapax(spark):
                    for (w1, w2) in out)
     # exclusivity ranks above the frequent-word pair
     assert ab.pmi >= out.get(("common", "common"), ab).pmi
+
+
+def test_candidate_keys_profile(spark, tmp_path):
+    """o_orderkey is the only key (distinct == rows, no nulls); a column
+    with nulls or duplicates is not."""
+    import pandas as pd
+
+    from data_engineering_nd_spark.operators.quality import (
+        dq_candidate_keys_query,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3, 4],
+            "o_custkey": [10, 10, 30, 40],          # dup
+            "o_orderstatus": ["O", "F", None, "O"],  # null + dup
+            "o_orderdate": pd.to_datetime(
+                ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]
+            ),
+            "o_orderpriority": ["1", "2", "3", "4"],
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(pdf).write.parquet(str(sf / "orders.parquet"))
+    out = {r.column_name: r for r in dq_candidate_keys_query(spark, str(sf)).collect()}
+    assert out["o_orderkey"].is_key == 1
+    assert out["o_custkey"].is_key == 0 and out["o_custkey"].n_distinct == 3
+    assert out["o_orderstatus"].is_key == 0 and out["o_orderstatus"].n_nulls == 1
+    assert out["o_orderpriority"].is_key == 1
+    assert all(r.n_rows == 4 for r in out.values())

@@ -504,3 +504,25 @@ def test_refresh_aggregate_from_feed_zero_groups_drop(spark, tmp_path):
     assert r["mode"] == "incremental" and not r["skipped"]
     state = {r.g: (r.sum_value, r.n_rows) for r in mv.snapshot().collect()}
     assert state == {"a": (120, 2)}
+
+
+def test_quarantine_batch_sink_splits_and_absorbs(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from data_engineering_nd_spark.streaming.sink import (
+        quarantine_batch_sink,
+    )
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    good = VersionedTable(spark, str(tmp_path / "good"))
+    dlq = VersionedTable(spark, str(tmp_path / "dlq"))
+    sink = quarantine_batch_sink(good, dlq, "app", "v >= 0")
+    b0 = spark.createDataFrame(
+        [Row(k=1, v=5), Row(k=2, v=-1), Row(k=3, v=None)])
+    sink(b0, 0)
+    # NULL predicate result is NOT satisfied -> quarantined
+    assert sorted(r.k for r in good.snapshot().collect()) == [1]
+    assert sorted(r.k for r in dlq.snapshot().collect()) == [2, 3]
+    nv = (len(good.versions()), len(dlq.versions()))
+    sink(b0, 0)  # replay: absorbed on both sides
+    assert (len(good.versions()), len(dlq.versions())) == nv
