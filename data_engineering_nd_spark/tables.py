@@ -2023,7 +2023,6 @@ class VersionedTable:
         )
 
     @staticmethod
-    @staticmethod
     def _widened(a, b):
         """The LOSSLESSLY widened type covering both ``a`` and ``b``
         (the Delta 3.x type-widening lattice, restricted to promotions
