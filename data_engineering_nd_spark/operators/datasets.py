@@ -6019,3 +6019,102 @@ def tbl_merge_when_report_query(
         return out.localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Corpus length histogram: token-count distribution over fixed bucket edges
+# ---------------------------------------------------------------------------
+
+_LEN_EDGES = (16, 32, 64, 128, 256, 512, 1024)
+
+
+def _len_bucket_sql(expr: str) -> str:
+    cases = " ".join(
+        f"WHEN {expr} < {e} THEN '{p:04d}_lt{e}'"
+        for p, e in enumerate(_LEN_EDGES)
+    )
+    return (
+        f"CASE {cases} ELSE '{len(_LEN_EDGES):04d}_ge{_LEN_EDGES[-1]}' END"
+    )
+
+
+@query(
+    "ds_length_histogram",
+    oracle=f"""
+    WITH d AS (
+        SELECT CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split(regexp_replace(lower(trim(text)),
+                        '\\s+', ' ', 'g'), ' ')) END AS n_tokens
+        FROM documents WHERE text IS NOT NULL
+    ),
+    b AS (
+        SELECT {_len_bucket_sql("n_tokens")} AS bucket,
+               COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens
+        FROM d GROUP BY 1
+    ),
+    t AS (SELECT SUM(n_docs) AS td, SUM(n_tokens) AS tt FROM b)
+    SELECT bucket,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor(n_docs * 1000000.0 / t.td + 0.5) AS BIGINT)
+               AS doc_share_e6,
+           CAST(floor(n_tokens * 1000000.0 / t.tt + 0.5) AS BIGINT)
+               AS token_share_e6,
+           CAST(SUM(n_docs) OVER (ORDER BY bucket) AS BIGINT)
+               AS cum_docs
+    FROM b, t
+    """,
+)
+def ds_length_histogram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-length distribution over FIXED bucket edges (<16,
+    <32, ... >=1024 tokens): doc and token counts per bucket, e6-exact
+    shares, and the cumulative doc count — the first profile every
+    training-data pipeline publishes (it decides context length, packing
+    width, and the short-doc filter threshold; ``ds_rag_chunks``'s
+    window/stride and ``ds_pack_sequences``'s budget are tuned off
+    exactly this report).
+
+    Fixed edges (not log2-of-count) keep bucketing pure integer
+    comparisons — engine-exact, no float boundary can flip a doc across
+    buckets. Shares are one floor-rounded division of exact BIGINTs.
+    Scale shape: one projection pass, one 8-row hash-agg; the cumulative
+    window runs over the 8-row aggregate, never the corpus."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, "documents", sf_dir)
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    n_tokens = F.when(F.trim(F.col("text")) == "", 0).otherwise(
+        F.size(toks)
+    )
+    d = docs.where(F.col("text").isNotNull()).select(
+        n_tokens.alias("n_tokens")
+    )
+    b = (
+        d.select(
+            F.expr(_len_bucket_sql("n_tokens")).alias("bucket"), "n_tokens"
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+    wt = Window.partitionBy()
+    wc = Window.orderBy("bucket").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return b.select(
+        "bucket",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.floor(
+            F.col("n_docs") * 1000000.0 / F.sum("n_docs").over(wt) + 0.5
+        ).cast("bigint").alias("doc_share_e6"),
+        F.floor(
+            F.col("n_tokens") * 1000000.0 / F.sum("n_tokens").over(wt)
+            + 0.5
+        ).cast("bigint").alias("token_share_e6"),
+        F.sum("n_docs").over(wc).cast("bigint").alias("cum_docs"),
+    )

@@ -288,6 +288,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "dq_candidate_keys",
         "q110_new_vs_returning",
         "stream_constraint_quarantine",
+        "ds_length_histogram",
     ], 10),
 }
 
