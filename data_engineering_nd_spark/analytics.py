@@ -6062,3 +6062,54 @@ def q110_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_returning",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q111 — equi-width 2D histogram: joint density profile of two measures
+# ---------------------------------------------------------------------------
+
+_H2D_QW = 10       # quantity bin width
+_H2D_PW = 10000.0  # price bin width
+
+
+@query(
+    "q111_histogram2d",
+    oracle=f"""
+    SELECT CAST(floor((l_quantity - 1) / {_H2D_QW}) AS BIGINT) AS q_bin,
+           CAST(floor(l_extendedprice / {_H2D_PW}) AS BIGINT) AS p_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS price_total
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def q111_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 2D histogram over (quantity, extended price): the
+    joint-density profile behind heatmap dashboards, outlier triage and
+    CBO selectivity checks for conjunctive predicates (a 1D histogram
+    per column cannot see correlation — exactly why engines keep
+    multi-column stats).
+
+    Bin ids are pure integer/float-floor arithmetic on the raw values
+    (engine-exact: one floor of one division); per-cell price totals
+    accumulate as DECIMAL. ONE map-side-combinable hash-agg to a
+    bounded cell grid (5 × ~11 cells here) — at 100 TB the profile
+    costs a single scan regardless of grid size."""
+    li = load(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy(
+            F.floor((F.col("l_quantity") - 1) / _H2D_QW)
+            .cast("bigint")
+            .alias("q_bin"),
+            F.floor(F.col("l_extendedprice") / _H2D_PW)
+            .cast("bigint")
+            .alias("p_bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("price_total"),
+        )
+    )

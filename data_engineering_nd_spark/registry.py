@@ -289,6 +289,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "q110_new_vs_returning",
         "stream_constraint_quarantine",
         "ds_length_histogram",
+        "q111_histogram2d",
     ], 10),
 }
 
