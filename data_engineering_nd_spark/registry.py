@@ -87,14 +87,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Local verification (tools/verify_oracle.py, bench.py) always runs all
 # queries and is order-insensitive.
 
-#: round-10 refresh (the established per-round protocol): for every name, the
-#: most recent committed CORRECTNESS_r0*.json that recorded it.  Round 9
-#: recorded exactly the 50 round-0 pins — ALL green, the first zero-exception
-#: window (CORRECTNESS_r09.json) — so they refresh to round 9.  The 29
-#: never-recorded names (6 r08 leftovers + 23 r09 DEFERRED registrations)
-#: pin to round 0 and lead the r10 window (VERDICT r09 task #1); the
-#: remaining 21 slots take the oldest r05-stale names; the other 26 r05
-#: names roll to r11.
+#: round-11 refresh (the established per-round protocol): for every name, the
+#: most recent committed CORRECTNESS_r0*.json that recorded it.  Round 10
+#: recorded the 29 round-0 pins + the 21 oldest r05-stale names — ALL green,
+#: the third zero-exception window (CORRECTNESS_r10.json) — so they refresh
+#: to round 10.  The 19 never-recorded r10 DEFERRED registrations pin to
+#: round 0 and lead the r11 window (VERDICT r10 task #1); the remaining 26
+#: r05-stale names fill next, then the 5 oldest r06-stale names; the other
+#: 42 r06 names roll to r12.
 LAST_RECORDED_ROUND: dict[str, int] = {
     # -- latest record: CORRECTNESS_r09.json (50/50 green, zero exceptions;
     # the entire r09 round-0 pin block) -----------------------------------
@@ -120,27 +120,22 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "q97_window_funnel", "ann_nndescent", "graph_scc",
         "q98_dynamic_partition_pruning", "text_pmi_collocations",
     ], 9),
-    # -- latest record: CORRECTNESS_r05.json (the 47-name stale tail after
-    # q22/q23 re-recorded in r08; oldest-stale — rolls through the r10
-    # window behind the 6 leftover r08-deferred names) ---------------------
+    # -- latest record: CORRECTNESS_r05.json (the 26-name stale tail after
+    # the 21 oldest r05 names re-recorded in r10; oldest-stale — fills the
+    # r11 window behind the 19 round-0 pins) --------------------------------
     **dict.fromkeys([
         "ann_cosine_range", "ann_knn_join", "ann_lsh_verified",
-        "ann_semantic_dedup", "dedup_minhash_verified",
-        "dedup_ngram_coverage", "dedup_simhash_verified",
+        "ann_semantic_dedup",
         "dq_distribution_drift", "dq_volume_anomalies",
-        "ds_bpe_merge_candidates", "ds_chunk_dedup", "ds_curriculum_stages",
-        "ds_dataset_card", "ds_epoch_permutation", "ds_incremental_update",
-        "ds_pack_boundaries", "ds_pack_sequences", "ds_quality_gate",
-        "ds_repeat_upsampling", "ds_shard_manifest", "ds_split_assignment",
+        "ds_bpe_merge_candidates", "ds_curriculum_stages",
+        "ds_dataset_card",
+        "ds_pack_boundaries",
+        "ds_repeat_upsampling",
         "ds_split_leakage", "ds_token_budget_pack", "graph_common_neighbors",
         "graph_kcore", "graph_label_propagation", "graph_triangle_count",
         "multimodal_frame_samples", "multimodal_image_features",
         "multimodal_pair_manifest", "multimodal_scene_cuts",
-        "q24_order_gap_days",
-        "q25_rollup_revenue", "q27_price_percentiles", "q29_json_extraction",
-        "q30_time_rollup", "q31_set_operations", "q32_pivot_priority",
-        "q33_top_tokens", "q34_pandas_udf_score", "q66_interpolate_hourly",
-        "q67_trailing_week_revenue", "stream_merge_upsert",
+        "stream_merge_upsert",
         "stream_quality_filter", "stream_sliding_counts",
         "text_entropy_metrics", "text_pretoken_stats"
     ], 5),
@@ -229,11 +224,9 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "text_token_count_by_source",
         "q22_running_total", "q23_moving_average",
     ], 8),
-    # -- never driver-recorded (absent from every CORRECTNESS_r*.json):
-    # the 6 r08 leftovers + the 23 DEFERRED round-9 registrations, pinned to
-    # round 0 so they lead the r10 window (VERDICT r09 task #1).  All carry
-    # committed two-SF sweep evidence (SWEEP_r08.md / SWEEP_r09.md) and were
-    # independently re-verified by the r09 judge. --------------------------
+    # -- latest record: CORRECTNESS_r10.json (50 names, all hash-green, the
+    # third zero-exception window: the 29 round-0 pins from r10 + the 21
+    # oldest r05-stale names) ------------------------------------------------
     **dict.fromkeys([
         "src_csv_malformed_report",
         "tbl_constraints_report",
@@ -264,12 +257,20 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "src_avro_roundtrip",
         "src_xml_roundtrip",
         "multimodal_binary_ingest",
-    ], 0),
-    # -- DEFERRED fresh registrations (round 10) ----------------------------
-    # The r10 window is the 29 round-0 pins + the 21 oldest r05-stale names;
-    # new round-10 registrations take the CURRENT round number so they sort
-    # last, are verified by the local two-SF sweep this round, and rotate
-    # into the r11 window front.
+        "q24_order_gap_days", "q25_rollup_revenue", "q27_price_percentiles",
+        "q29_json_extraction", "q30_time_rollup", "q31_set_operations",
+        "q32_pivot_priority", "q33_top_tokens", "q34_pandas_udf_score",
+        "q66_interpolate_hourly", "q67_trailing_week_revenue",
+        "ds_split_assignment", "ds_chunk_dedup", "ds_pack_sequences",
+        "ds_epoch_permutation", "dedup_ngram_coverage",
+        "dedup_minhash_verified", "dedup_simhash_verified",
+        "ds_quality_gate", "ds_shard_manifest", "ds_incremental_update",
+    ], 10),
+    # -- never driver-recorded (absent from every CORRECTNESS_r*.json):
+    # the 19 DEFERRED round-10 registrations, pinned to round 0 so they lead
+    # the r11 window (VERDICT r10 task #1).  All carry committed two-SF
+    # sweep evidence (SWEEP_r10.md) and were independently re-verified by
+    # the r10 judge at both sf0.01 and sf0.1. -------------------------------
     **dict.fromkeys([
         "tbl_concurrent_commits",
         "tbl_log_checkpoint_report",
@@ -290,7 +291,18 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "stream_constraint_quarantine",
         "ds_length_histogram",
         "q111_histogram2d",
-    ], 10),
+    ], 0),
+    # -- DEFERRED fresh registrations (round 11) ----------------------------
+    # The r11 window is the 19 round-0 pins + the 26 r05-stale leftovers +
+    # the 5 oldest r06-stale names; new round-11 registrations take the
+    # CURRENT round number so they sort last, are verified by the local
+    # two-SF sweep this round, and rotate into the r12 window front.
+    **dict.fromkeys([
+        "tbl_mutation_occ",
+        "tbl_dv_purge_report",
+        "tbl_column_mapping_report",
+        "tbl_mv_minmax_refresh",
+    ], 11),
 }
 
 #: Back-compat view used by older tests/docs: every name with a usable
