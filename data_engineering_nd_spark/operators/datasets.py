@@ -3870,6 +3870,117 @@ def tbl_deletion_vectors_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Targeted DV materialization: purge heavy files, keep healthy ones by ref
+# ---------------------------------------------------------------------------
+
+_DV_PURGE_ORACLE = """
+    WITH params AS (
+        SELECT ((MAX(o_orderkey) + 8) // 8) AS w FROM orders
+    ),
+    heavy AS (
+        SELECT COUNT(*) AS n FROM orders CROSS JOIN params
+        WHERE o_orderkey BETWEEN 2 * w AND 2 * w + (9 * w) // 10
+    ),
+    light AS (
+        SELECT COUNT(*) AS n FROM orders CROSS JOIN params
+        WHERE o_orderkey BETWEEN 5 * w AND 5 * w + w // 10
+    ),
+    surviving AS (
+        SELECT o_orderkey FROM orders CROSS JOIN params
+        WHERE NOT (o_orderkey BETWEEN 2 * w AND 2 * w + (9 * w) // 10)
+          AND NOT (o_orderkey BETWEEN 5 * w AND 5 * w + w // 10)
+    )
+    SELECT CAST(1 AS BIGINT) AS files_purged,
+           (SELECT CAST(n AS BIGINT) FROM heavy) AS rows_purged,
+           (SELECT CAST(n + (SELECT n FROM light) AS BIGINT) FROM heavy)
+               AS dv_entries_before,
+           (SELECT CAST(n AS BIGINT) FROM light) AS dv_entries_after,
+           CAST(0 AS BIGINT) AS feed_changes_purge,
+           CAST(1 AS BIGINT) AS snapshots_equal,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM surviving) AS n_after,
+           (SELECT CAST(SUM(CAST(concat('0x',
+                substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 10))
+                AS BIGINT)) AS BIGINT) FROM surviving) AS survivor_checksum
+"""
+
+
+@query("tbl_dv_purge_report", oracle=_DV_PURGE_ORACLE)
+def tbl_dv_purge_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted deletion-vector purge (VERDICT r10 task #3; the Delta
+    ``REORG ... APPLY (PURGE)`` shape): after merge-on-read traffic, the
+    maintenance half — rewrite ONLY the data files whose DV-deleted
+    ratio exceeds a threshold, drop their vector entries, carry healthy
+    files by reference.
+
+    Script on an 8-chunk orders table: one DV delete vectors ~90% of
+    chunk 2 (heavy), another ~10% of chunk 5 (light). ``purge_dv(0.5)``
+    must flag EXACTLY the heavy file: ``files_purged = 1``, the purged
+    row count equals the heavy vector's entries, the consolidated
+    vector keeps exactly the light entries, the purge commit feeds
+    ZERO row changes through ``change_feed`` (pure reorganization),
+    and the snapshot checksum is bit-identical before/after.
+
+    The 100 TB story this completes: sustained ``merge_dv`` /
+    ``delete_where_dv`` traffic accumulates vectors that previously
+    only a FULL-snapshot ``compact()`` could drain — a table-sized
+    write. Purge is sized by the heavily-deleted files alone; the
+    flagging decision is metadata-only (one aggregate over the
+    vectors + manifest footer stats, zero data files opened to
+    decide)."""
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    orders = load(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    max_key = int(orders.agg(F.max("o_orderkey")).collect()[0][0])
+    w = (max_key + 8) // 8
+
+    work = tempfile.mkdtemp(prefix="tbl_dv_purge_")
+    try:
+        staging = work + "/staging"
+        orders.withColumn(
+            "cid", F.expr(f"o_orderkey div {w}")
+        ).repartition(1).write.partitionBy("cid").parquet(staging)
+        table = VersionedTable(spark, work + "/table")
+        table.add_files(staging)  # v0: one file per key chunk
+
+        table.delete_where_dv("o_orderkey", 2 * w, 2 * w + (9 * w) // 10)
+        table.delete_where_dv("o_orderkey", 5 * w, 5 * w + w // 10)
+        key_digest = md5_prefix_long(F.col("o_orderkey").cast("string"))
+        pre = table.snapshot().agg(
+            F.count(F.lit(1)).alias("n"), F.sum(key_digest).alias("h")
+        ).collect()[0]
+        mp = table.purge_dv(max_deleted_ratio=0.5)
+        feed_n = table.change_feed(
+            ["o_orderkey"], mp["version"] - 1, mp["version"]
+        ).count()
+        out = table.snapshot().agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_after"),
+            F.sum(key_digest).cast("bigint").alias("survivor_checksum"),
+        ).select(
+            F.lit(mp["files_purged"]).cast("bigint").alias("files_purged"),
+            F.lit(mp["rows_purged"]).cast("bigint").alias("rows_purged"),
+            F.lit(mp["dv_entries_before"]).cast("bigint")
+            .alias("dv_entries_before"),
+            F.lit(mp["dv_entries_after"]).cast("bigint")
+            .alias("dv_entries_after"),
+            F.lit(feed_n).cast("bigint").alias("feed_changes_purge"),
+            (
+                (F.col("n_after") == F.lit(int(pre["n"])))
+                & (F.col("survivor_checksum") == F.lit(int(pre["h"])))
+            ).cast("bigint").alias("snapshots_equal"),
+            "n_after",
+            "survivor_checksum",
+        )
+        # output-sized (1 row); materialize so the scratch table can go
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # Zero-copy shallow clone: a writable fork for the cost of one JSON write
 # ---------------------------------------------------------------------------
 
@@ -5169,6 +5280,188 @@ def tbl_concurrent_commits_query(
             F.lit(conflicts).cast("bigint").alias("conflicts_raised"),
             "rows_total",
             "key_checksum",
+        )
+        # output-sized (1 row); materialize so the scratch table can go
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Mutation-path optimistic concurrency: merge/delete/optimize rebase or raise
+# ---------------------------------------------------------------------------
+
+_MUTATION_OCC_ORACLE = """
+    WITH params AS (
+        SELECT ((MAX(o_orderkey) + 8) // 8) AS w FROM orders
+    ),
+    merged AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey BETWEEN 2 * w AND 2 * w + w // 4
+                    THEN 999999 ELSE o_custkey END AS c
+        FROM orders CROSS JOIN params
+    ),
+    afterdel AS (
+        SELECT k, c FROM merged CROSS JOIN params
+        WHERE NOT (k BETWEEN 0 AND w // 2)
+    ),
+    afterdv AS (
+        SELECT k,
+               CASE WHEN k BETWEEN 3 * w AND 3 * w + w // 4
+                    THEN 777777 ELSE c END AS c
+        FROM afterdel CROSS JOIN params
+    ),
+    final AS (
+        SELECT k, c FROM afterdv
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey FROM orders
+        UNION ALL
+        SELECT o_orderkey + 20000000, o_custkey FROM orders
+        WHERE o_orderkey % 1000 = 0
+    )
+    SELECT CAST(7 AS BIGINT) AS n_versions,
+           CAST(1 AS BIGINT) AS merge_rebased_over,
+           CAST(1 AS BIGINT) AS delete_rebased_over,
+           CAST(1 AS BIGINT) AS optimize_rebased_over,
+           CAST(1 AS BIGINT) AS conflicts_raised,
+           CAST(COUNT(*) AS BIGINT) AS rows_total,
+           CAST(SUM(CAST(concat('0x', substr(md5(
+                CAST(k AS VARCHAR) || ':' || CAST(c AS VARCHAR)
+           ), 1, 10)) AS BIGINT)) AS BIGINT) AS state_checksum
+    FROM final
+"""
+
+
+@query("tbl_mutation_occ", oracle=_MUTATION_OCC_ORACLE)
+def tbl_mutation_occ_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validate-at-publish on the MUTATION paths (VERDICT r10 task #2):
+    merge / delete / merge-on-read / optimize go through the same
+    conflict-classification loop as appends — concurrent commits
+    provably DISJOINT from a mutation's read set (manifest file sets +
+    ``dv_refs`` vector attribution) rebase metadata-only; overlapping
+    ones raise ``ConcurrentModification`` instead of losing an update.
+
+    Script on an 8-chunk orders table (one file per key range):
+    v1 is a concurrent ingest append; a MERGE on the stale basis v0
+    (payload update in chunk 2) rebases over it and lands v2 carrying
+    the appended file by reference. A DELETE of half of chunk 0 on the
+    stale basis v1 rebases over the merge (different chunk) and lands
+    v3. A merge-on-read upsert aimed at the just-deleted chunk with
+    basis v2 must RAISE (its candidate file was rewritten by the
+    delete — publishing the vector would lose the delete); the same
+    upsert against surviving chunk-3 keys rebases and lands v4. After
+    one more ingest append (v5), OPTIMIZE on the stale basis v4
+    rebases over it (maintenance never aborts ingest) and lands v6.
+    The report value-hashes the version count, each path's
+    ``rebased_over``, the conflict count, and the final snapshot's
+    row count + (key,payload) checksum — a lost update on ANY path
+    diverges from the oracle's serial-equivalent state.
+
+    At 100 TB this is what lets independent merge / GDPR-delete /
+    compaction / ingest jobs run WITHOUT an orchestrator serializing
+    them (the reference's Airflow DAG chains its loads,
+    ``Capstone/i94_run_etl_dag.py:466-468``): validation cost is
+    manifest-metadata-sized per concurrent commit, every rebase
+    rewrites zero data files, and the only aborts are true
+    read-write overlaps."""
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+    from data_engineering_nd_spark.tables import (
+        ConcurrentModification,
+        VersionedTable,
+    )
+
+    orders = load(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    max_key = int(orders.agg(F.max("o_orderkey")).collect()[0][0])
+    w = (max_key + 8) // 8
+
+    work = tempfile.mkdtemp(prefix="tbl_mutation_occ_")
+    try:
+        staging = work + "/staging"
+        orders.withColumn(
+            "cid", F.expr(f"o_orderkey div {w}")
+        ).repartition(1).write.partitionBy("cid").parquet(staging)
+        table = VersionedTable(spark, work + "/table")
+        table.add_files(staging)  # v0: one file per key chunk
+
+        # v1: concurrent ingest lands first
+        table.commit(
+            orders.select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                "o_custkey",
+            ),
+            mode="append",
+        )
+        # MERGE on the stale basis v0: chunk-2 payload update -> v2
+        m_merge = table.merge(
+            orders.filter(
+                F.col("o_orderkey").between(2 * w, 2 * w + w // 4)
+            ).select(
+                "o_orderkey", F.lit(999999).cast("bigint").alias("o_custkey")
+            ),
+            ["o_orderkey"],
+            read_version=0,
+        )
+        # DELETE half of chunk 0 on the stale basis v1 -> v3 (disjoint
+        # from the merge's rewritten chunk-2 file)
+        m_del = table.delete_where("o_orderkey", 0, w // 2, read_version=1)
+        # merge-on-read at the DELETED chunk with basis v2: conflict
+        conflicts = 0
+        try:
+            table.merge_dv(
+                orders.filter(F.col("o_orderkey").between(0, w // 4))
+                .select(
+                    "o_orderkey",
+                    F.lit(555).cast("bigint").alias("o_custkey"),
+                ),
+                ["o_orderkey"],
+                read_version=2,
+            )
+        except ConcurrentModification:
+            conflicts += 1
+        # the same upsert against SURVIVING chunk-3 keys lands -> v4
+        table.merge_dv(
+            orders.filter(
+                F.col("o_orderkey").between(3 * w, 3 * w + w // 4)
+            ).select(
+                "o_orderkey", F.lit(777777).cast("bigint").alias("o_custkey")
+            ),
+            ["o_orderkey"],
+        )
+        # v5: one more ingest append; OPTIMIZE on stale basis v4 -> v6
+        table.commit(
+            orders.filter(F.col("o_orderkey") % 1000 == 0).select(
+                (F.col("o_orderkey") + 20000000).alias("o_orderkey"),
+                "o_custkey",
+            ),
+            mode="append",
+        )
+        m_opt = table.optimize(
+            min_file_bytes=10**12, target_file_bytes=10**12, read_version=4
+        )
+        state_digest = md5_prefix_long(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("o_custkey").cast("string"),
+            )
+        )
+        out = table.snapshot().agg(
+            F.count(F.lit(1)).cast("bigint").alias("rows_total"),
+            F.sum(state_digest).cast("bigint").alias("state_checksum"),
+        ).select(
+            F.lit(len(table.versions())).cast("bigint").alias("n_versions"),
+            F.lit(m_merge["rebased_over"]).cast("bigint")
+            .alias("merge_rebased_over"),
+            F.lit(m_del["rebased_over"]).cast("bigint")
+            .alias("delete_rebased_over"),
+            F.lit(m_opt["rebased_over"]).cast("bigint")
+            .alias("optimize_rebased_over"),
+            F.lit(conflicts).cast("bigint").alias("conflicts_raised"),
+            "rows_total",
+            "state_checksum",
         )
         # output-sized (1 row); materialize so the scratch table can go
         return out.localCheckpoint()

@@ -370,15 +370,33 @@ class VersionedTable:
                 touched.append(pv)
             else:
                 unknown = True
+        dv_targets: set[str] | None = set()
         if dv_added:
-            # which data files the new vectors reference is not manifest
-            # metadata; treat a DV delete as touching unknown partitions
-            unknown = True
+            refs = cm.get("dv_refs") or {}
+            for d in dv_added:
+                r = refs.get(d)
+                if r is None:
+                    # pre-attribution vector: which data files it
+                    # references is unknown — validate conservatively
+                    dv_targets = None
+                    unknown = True
+                    break
+                dv_targets.update(r)
+            if dv_targets is not None:
+                # attribute the vectored files' partition values (dv-keys
+                # equal the table-relative path for table-owned files)
+                for f in dv_targets:
+                    pv = base_parts.get(f)
+                    if pv:
+                        touched.append(pv)
+                    else:
+                        unknown = True
         return {
             "operation": cm["operation"],
             "added": added,
             "removed": removed,
             "dv_added": dv_added,
+            "dv_targets": dv_targets,
             "parts": touched,
             "parts_unknown": unknown,
         }
@@ -447,6 +465,161 @@ class VersionedTable:
                 )
         return n
 
+    def _validate_mutation(
+        self,
+        read_version: int | None,
+        current: int | None,
+        read_keys: set[str],
+        my_op: str,
+    ) -> int:
+        """Validate-at-publish for FILE-GRANULAR mutations (merge /
+        delete / optimize / compact / purge — VERDICT r10 task #2):
+        classify every commit that landed after the basis snapshot
+        ``read_version`` against this mutation's READ SET — the dv-keys
+        of the files whose BYTES flow into its output (rewritten files,
+        DV-scanned candidates). Returns the number of concurrent commits
+        this mutation can rebase onto; raises
+        :class:`ConcurrentModification` when one of them conflicts.
+
+        Rules (per concurrent commit C), the Delta WriteSerializable
+        conflict matrix re-expressed on manifest file sets:
+
+        - C REMOVED a file in my read set: conflict — my rewrite/vector
+          was computed from bytes that are no longer current (a retry
+          from the new basis is the caller's move; rebasing would lose
+          C's update or resurrect its deleted rows);
+        - C added DELETION VECTORS referencing my read set (attribution
+          via manifest ``dv_refs``; unknown refs validate conservatively
+          when I have a read set): conflict — my output would resurrect
+          C's vectored rows or double-mark positions;
+        - anything else — pure appends, and removals/vectors provably
+          DISJOINT from my read set — rebases metadata-only: my final
+          manifest is built over the latest snapshot, carrying C's files
+          by reference. Blind appends racing a merge serialize AFTER it
+          (the WriteSerializable allowance; under strict Serializable
+          they would conflict).
+        """
+        if current is None:
+            return 0
+        start = -1 if read_version is None else read_version
+        n = 0
+        for v in range(start + 1, current + 1):
+            info = self._commit_changes(v)
+            n += 1
+            hit = {self._dv_key(f) for f in info["removed"]} & read_keys
+            if hit:
+                raise ConcurrentModification(
+                    f"version {v} ({info['operation']!r}) removed "
+                    f"{len(hit)} file(s) this {my_op} read "
+                    f"(basis v{read_version})"
+                )
+            if info["dv_added"]:
+                targets = info["dv_targets"]
+                if targets is None:
+                    if read_keys:
+                        raise ConcurrentModification(
+                            f"version {v} ({info['operation']!r}) added "
+                            f"unattributed deletion vector(s); cannot "
+                            f"prove disjointness from this {my_op}'s "
+                            f"read set (basis v{read_version})"
+                        )
+                elif targets & read_keys:
+                    raise ConcurrentModification(
+                        f"version {v} ({info['operation']!r}) added "
+                        f"deletion vector(s) on "
+                        f"{len(targets & read_keys)} file(s) this "
+                        f"{my_op} read (basis v{read_version})"
+                    )
+        return n
+
+    def _publish_mutation(
+        self,
+        read_version: int | None,
+        operation: str,
+        *,
+        added_files: list[str],
+        added_sizes: dict[str, int],
+        added_stats: dict[str, dict],
+        removed: set[str],
+        read_files: list[str] | None = None,
+        dv_added: list[str] | None = None,
+        dv_removed: set[str] | None = None,
+        dv_refs_new: dict[str, list[str]] | None = None,
+        added_partitions: dict[str, dict] | None = None,
+        schema_json: str | None = None,
+        max_retries: int = 10,
+    ) -> dict:
+        """Shared commit loop for file-granular mutations: data files /
+        vectors are written ONCE by the caller; every pass validates the
+        commits that landed after the basis (:meth:`_validate_mutation`)
+        and REBASES the manifest onto the current latest snapshot —
+        carried files, vectors, partition values, sizes and stats come
+        from the latest manifest minus this mutation's removals, plus
+        its additions. Losing the ``os.link`` race costs one
+        metadata-only retry, never a data rewrite."""
+        read_keys = {self._dv_key(f) for f in removed}
+        read_keys.update(self._dv_key(f) for f in (read_files or ()))
+        dv_removed = dv_removed or set()
+        attempts = 0
+        while True:
+            prev = self.latest_version()
+            self._validate_mutation(
+                read_version, prev, read_keys, operation.split("(")[0]
+            )
+            version = 0 if prev is None else prev + 1
+            pm = self._manifest(prev) if prev is not None else None
+            carried = (
+                [f for f in pm["files"] if f not in removed] if pm else []
+            )
+            files = added_files + carried
+            sizes = dict(added_sizes)
+            stats = dict(added_stats)
+            partitions = dict(added_partitions or {})
+            dv = list(dv_added or [])
+            schema = schema_json
+            if pm is not None:
+                sizes.update(self._file_sizes(carried, pm))
+                stats.update(self._file_stats(carried, pm))
+                pold = pm.get("partitions") or {}
+                partitions.update(
+                    {f: pold[f] for f in carried if f in pold}
+                )
+                dv = [
+                    d for d in (pm.get("dv") or []) if d not in dv_removed
+                ] + dv
+                schema = (
+                    self._evolve_schema(pm["schema"], schema_json)
+                    if schema_json is not None
+                    else pm["schema"]
+                )
+            try:
+                manifest = self._publish(
+                    version,
+                    files,
+                    operation,
+                    schema,
+                    sizes,
+                    stats,
+                    partitions,
+                    dv=dv,
+                    dv_refs=dv_refs_new,
+                )
+                manifest["rebased_over"] = (
+                    0
+                    if read_version is None
+                    else version - 1 - read_version
+                )
+                return manifest
+            except ConcurrentModification:
+                raise
+            except CommitConflict:
+                attempts += 1
+                if attempts > max_retries:
+                    raise
+                # lost the link race; next pass re-validates against the
+                # ORIGINAL basis and rebases onto the new latest —
+                # metadata-only, the data files/vectors stand as written
+
     def _publish(
         self,
         version: int,
@@ -458,6 +631,7 @@ class VersionedTable:
         partitions: dict[str, dict] | None = None,
         dv: list[str] | None = None,
         txn_update: dict[str, int] | None = None,
+        dv_refs: dict[str, list[str]] | None = None,
     ) -> dict:
         """Atomic commit point: temp-file + rename within _log/."""
         os.makedirs(self._log_dir(), exist_ok=True)
@@ -465,13 +639,26 @@ class VersionedTable:
         # TABLE-LEVEL across every commit kind so an idempotent writer's
         # high-water mark survives unrelated maintenance commits
         txn: dict[str, int] = {}
+        prev_refs: dict[str, list[str]] = {}
         if version > 0:
             try:
-                txn = dict(self._manifest(version - 1).get("txn") or {})
+                pm = self._manifest(version - 1)
+                txn = dict(pm.get("txn") or {})
+                prev_refs = dict(pm.get("dv_refs") or {})
             except OSError:
                 pass
         if txn_update:
             txn.update(txn_update)
+        # deletion-vector attribution (which data-file keys each DV
+        # references, recorded as the CANDIDATE superset at DV-commit
+        # time): carried forward for still-live vectors like txn, so
+        # concurrent-mutation validation stays metadata-only at any
+        # commit depth.  A vector with no recorded refs (pre-attribution
+        # manifests) validates conservatively as touching-unknown.
+        live_refs = {**prev_refs, **(dv_refs or {})}
+        live_refs = {
+            d: sorted(live_refs[d]) for d in (dv or []) if d in live_refs
+        }
         import time as _time
 
         manifest = {
@@ -510,6 +697,7 @@ class VersionedTable:
             # by the files touched.  compact()/overwrite materialize and
             # reset the list.
             "dv": sorted(dv or []),
+            "dv_refs": live_refs,
             "txn": txn,
         }
         final = os.path.join(self._log_dir(), f"{version:011d}.json")
@@ -1222,7 +1410,10 @@ class VersionedTable:
         m = self._manifest(version)
         return self._read_files(kept, m["schema"], m.get("dv"))
 
-    def delete_where(self, col, lo=None, hi=None) -> dict:
+    def delete_where(
+        self, col, lo=None, hi=None, read_version: int | None = None,
+        max_retries: int = 10,
+    ) -> dict:
         """Predicate DELETE (``col BETWEEN lo AND hi``) as file-granular
         copy-on-write — the GDPR/right-to-erasure shape: manifest stats
         split the snapshot into files that CANNOT contain matches
@@ -1232,10 +1423,18 @@ class VersionedTable:
         ~0.1% of the table; the stats make the blast radius a metadata
         decision, not a scan.
 
+        Optimistic concurrency (VERDICT r10 task #2): ``read_version``
+        declares the basis snapshot (None = latest at entry); the commit
+        goes through :meth:`_publish_mutation` — concurrent commits
+        disjoint from the rewritten candidates rebase metadata-only,
+        overlapping ones raise :class:`ConcurrentModification`.
+
         Returns the commit manifest extended with the delete report:
         ``files_untouched``, ``files_rewritten``, ``rows_deleted``,
         ``rows_rewritten``."""
-        prev = self.latest_version()
+        if read_version is None:
+            read_version = self.latest_version()
+        prev = read_version
         if prev is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
         candidates, untouched, _ = self.prune_files(col, lo, hi, prev)
@@ -1284,33 +1483,31 @@ class VersionedTable:
             stats = {f: wstats[f] for f in new_files}
             n_rewritten = sum(wstats[f]["num_rows"] for f in written)
             n_deleted = n_candidate_rows - n_rewritten
-        files = new_files + untouched
-        sizes = self._file_sizes(new_files)
-        sizes.update(self._file_sizes(untouched, m))
-        stats.update(self._file_stats(untouched, m))
         # untouched files keep their deletion vectors (entries naming the
         # rewritten candidates go stale and match nothing) and their
-        # partition values
-        pold = m.get("partitions") or {}
-        manifest = self._publish(
-            version,
-            files,
+        # partition values — both carried from the LATEST manifest by the
+        # rebase loop
+        manifest = self._publish_mutation(
+            read_version,
             "delete",
-            m["schema"],
-            sizes,
-            stats,
-            {f: pold[f] for f in untouched if f in pold},
-            dv=prev_dv,
+            added_files=new_files,
+            added_sizes=self._file_sizes(new_files),
+            added_stats=stats,
+            removed=set(candidates),
+            max_retries=max_retries,
         )
         manifest.update(
-            files_untouched=len(untouched),
+            files_untouched=len(manifest["files"]) - len(new_files),
             files_rewritten=len(candidates),
             rows_deleted=n_deleted,
             rows_rewritten=n_rewritten,
         )
         return manifest
 
-    def delete_where_dv(self, col, lo=None, hi=None) -> dict:
+    def delete_where_dv(
+        self, col, lo=None, hi=None, read_version: int | None = None,
+        max_retries: int = 10,
+    ) -> dict:
         """Predicate DELETE (``col BETWEEN lo AND hi``) as MERGE-ON-READ
         deletion vectors — the Delta DV / Iceberg position-delete shape,
         the write-cheap sibling of :meth:`delete_where` (copy-on-write):
@@ -1335,10 +1532,19 @@ class VersionedTable:
         is exact under stacked deletes. NULL keys never match a BETWEEN
         predicate and survive (SQL DELETE semantics).
 
+        Optimistic concurrency (VERDICT r10 task #2): the commit goes
+        through :meth:`_publish_mutation` with the candidate files as
+        the read set and the new vector's ``dv_refs`` attribution —
+        concurrent commits disjoint from the candidates rebase
+        metadata-only; one that rewrites or re-vectors them raises
+        :class:`ConcurrentModification`.
+
         Returns the commit manifest extended with ``files_candidates``,
         ``files_rewritten`` (always 0), ``rows_deleted`` and
         ``dv_files_total``."""
-        prev = self.latest_version()
+        if read_version is None:
+            read_version = self.latest_version()
+        prev = read_version
         if prev is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
         candidates, _, _ = self.prune_files(col, lo, hi, prev)
@@ -1392,21 +1598,170 @@ class VersionedTable:
             n_deleted = sum(wstats[f]["num_rows"] for f in written)
             if not new_dv:
                 shutil.rmtree(out, ignore_errors=True)
-        manifest = self._publish(
-            version,
-            m["files"],
+        cand_keys = sorted(self._dv_key(f) for f in candidates)
+        manifest = self._publish_mutation(
+            read_version,
             "delete-dv",
-            m["schema"],
-            self._file_sizes(m["files"], m),
-            self._file_stats(m["files"], m),
-            m.get("partitions"),
-            dv=prev_dv + new_dv,
+            added_files=[],
+            added_sizes={},
+            added_stats={},
+            removed=set(),
+            read_files=candidates,
+            dv_added=new_dv,
+            dv_refs_new={d: cand_keys for d in new_dv},
+            max_retries=max_retries,
         )
         manifest.update(
             files_candidates=len(candidates),
             files_rewritten=0,
             rows_deleted=n_deleted,
-            dv_files_total=len(prev_dv) + len(new_dv),
+            dv_files_total=len(manifest["dv"]),
+        )
+        return manifest
+
+    def purge_dv(
+        self,
+        max_deleted_ratio: float = 0.3,
+        read_version: int | None = None,
+        max_retries: int = 10,
+    ) -> dict:
+        """Targeted deletion-vector materialization (VERDICT r10 task
+        #3; the Delta ``REORG ... APPLY (PURGE)`` / Iceberg
+        ``rewrite_position_deletes`` shape): rewrite ONLY the data files
+        whose DV-deleted row ratio exceeds ``max_deleted_ratio`` into
+        clean files, drop their vector entries, and carry every healthy
+        file BY REFERENCE. The surviving entries are consolidated into
+        one fresh blob (vector compaction rides along), so sustained
+        merge-on-read traffic no longer needs a FULL-snapshot
+        :meth:`compact` to drain its vectors — at 100 TB that full
+        compaction is a table-sized write; purge is sized by the
+        heavily-deleted files alone.
+
+        Flagging is metadata-sized: per-file dead-row counts come from
+        one aggregate over the vectors (bytes ~ deletes since the last
+        maintenance), live totals from the manifest's footer stats —
+        no data file is opened to DECIDE, only flagged files are read
+        to REWRITE. A purge commit is pure reorganization:
+        :meth:`change_feed` emits ZERO row changes for it (pinned in
+        tests — the consolidated blob's entries are not net-new, and
+        the rewrite drops exactly the already-dead rows).
+
+        Returns the commit manifest extended with ``files_purged``
+        (= ``files_rewritten``), ``rows_purged`` (dead rows
+        materialized away), ``dv_files_before/after`` and
+        ``dv_entries_before/after``. No-op (no vectors, or no file over
+        the threshold) returns the current manifest with a zero report
+        and publishes nothing."""
+        if read_version is None:
+            read_version = self.latest_version()
+        prev = read_version
+        if prev is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        m = self._manifest(prev)
+        dv = m.get("dv") or []
+
+        def _noop() -> dict:
+            out = dict(m)
+            out.update(
+                files_purged=0,
+                files_rewritten=0,
+                rows_purged=0,
+                dv_files_before=len(dv),
+                dv_files_after=len(dv),
+                dv_entries_before=0,
+                dv_entries_after=0,
+            )
+            return out
+
+        if not dv:
+            return _noop()
+        # per-file dead-row counts: one aggregate over the vectors
+        counts = {
+            r["file"]: r["n"]
+            for r in self._dv_read(dv)
+            .groupBy("file")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        entries_before = sum(counts.values())
+        stats = self._file_stats(m["files"], m)
+        flagged: list[str] = []
+        for f in m["files"]:
+            dead = counts.get(self._dv_key(f), 0)
+            total = stats.get(f, {}).get("num_rows") or 0
+            if dead and total and dead / total > max_deleted_ratio:
+                flagged.append(f)
+        if not flagged:
+            out = _noop()
+            out.update(
+                dv_entries_before=entries_before,
+                dv_entries_after=entries_before,
+            )
+            return out
+        version = prev + 1
+        flagged_keys = [self._dv_key(f) for f in flagged]
+        rows_purged = sum(counts.get(k, 0) for k in flagged_keys)
+        # rewrite = read flagged files with the vectors applied (their
+        # survivors only); zero-row outputs dropped
+        survivors = self._read_files(flagged, m["schema"], dv)
+        written = self._write_files(survivors, version)
+        wstats = self._compute_stats(written)
+        new_files = [f for f in written if wstats[f]["num_rows"] > 0]
+        # consolidate the surviving entries (those naming healthy files)
+        # into one fresh blob; vectors whose entries all pointed at
+        # flagged files vanish with it
+        live = self._dv_read(dv).filter(~F.col("file").isin(flagged_keys))
+        new_dv: list[str] = []
+        entries_after = 0
+        rel_dir = os.path.join(_DV, f"v{version:011d}-{uuid.uuid4().hex[:8]}")
+        out_dir = os.path.join(self.root, rel_dir)
+        live.repartition(1).write.mode("overwrite").parquet(out_dir)
+        dv_written = [
+            os.path.join(rel_dir, fn)
+            for fn in os.listdir(out_dir)
+            if fn.endswith(".parquet")
+        ]
+        dvstats = self._compute_stats(dv_written)
+        new_dv = [f for f in dv_written if dvstats[f]["num_rows"] > 0]
+        entries_after = sum(dvstats[f]["num_rows"] for f in dv_written)
+        if not new_dv:
+            shutil.rmtree(out_dir, ignore_errors=True)
+        # conflict attribution for the consolidated blob: union of the
+        # old vectors' recorded refs minus the purged files; a missing
+        # ref record degrades to the conservative all-healthy-files set
+        refs: set[str] = set()
+        old_refs = m.get("dv_refs") or {}
+        for d in dv:
+            r = old_refs.get(d)
+            if r is None:
+                refs = {
+                    self._dv_key(f)
+                    for f in m["files"]
+                    if f not in set(flagged)
+                }
+                break
+            refs.update(r)
+        refs -= set(flagged_keys)
+        manifest = self._publish_mutation(
+            read_version,
+            f"purge-dv(rewrote={len(flagged)},dropped={rows_purged})",
+            added_files=new_files,
+            added_sizes=self._file_sizes(new_files),
+            added_stats={f: wstats[f] for f in new_files},
+            removed=set(flagged),
+            dv_added=new_dv,
+            dv_removed=set(dv),
+            dv_refs_new={d: sorted(refs) for d in new_dv},
+            max_retries=max_retries,
+        )
+        manifest.update(
+            files_purged=len(flagged),
+            files_rewritten=len(flagged),
+            rows_purged=rows_purged,
+            dv_files_before=len(dv),
+            dv_files_after=len(new_dv),
+            dv_entries_before=entries_before,
+            dv_entries_after=entries_after,
         )
         return manifest
 
@@ -2158,7 +2513,10 @@ class VersionedTable:
             overlap = [t for t in overlap if t[0] in hit]
         return [f for f, _, _ in overlap] + no_stats, pruned
 
-    def merge(self, source: DataFrame, key_cols: list[str]) -> dict:
+    def merge(
+        self, source: DataFrame, key_cols: list[str],
+        read_version: int | None = None, max_retries: int = 10,
+    ) -> dict:
         """Upsert (MERGE): rows in ``source`` replace snapshot rows with
         the same key; unmatched source rows insert. Copy-on-write at file
         granularity — only files containing a matched key are rewritten.
@@ -2181,8 +2539,18 @@ class VersionedTable:
         ``rows_inserted`` (update/insert split assumes the batch carries
         each key once — the upsert contract). At 100 TB a merge touching
         0.1% of the key space costs metadata + a key-column scan of ~0.1%
-        of files + a rewrite of the same — never a table scan."""
-        prev = self.latest_version()
+        of files + a rewrite of the same — never a table scan.
+
+        Optimistic concurrency (VERDICT r10 task #2): ``read_version``
+        declares the basis snapshot; the commit goes through
+        :meth:`_publish_mutation` — a concurrent append or a mutation
+        disjoint from the rewritten files rebases metadata-only (blind
+        appends serialize AFTER the merge, the WriteSerializable
+        allowance), one that touched the rewritten files raises
+        :class:`ConcurrentModification`."""
+        if read_version is None:
+            read_version = self.latest_version()
+        prev = read_version
         if prev is None:
             return self.commit(source, mode="overwrite")
         m = self._manifest(prev)
@@ -2245,20 +2613,15 @@ class VersionedTable:
             else incoming
         )
         new_files = self._write_files(rewritten, version)
-        sizes = self._file_sizes(new_files)
-        sizes.update(self._file_sizes(untouched, m))
         stats = self._compute_stats(new_files)
-        stats.update(self._file_stats(untouched, m))
-        pold = m.get("partitions") or {}
-        manifest = self._publish(
-            version,
-            new_files + untouched,
+        manifest = self._publish_mutation(
+            read_version,
             f"merge(rewrote={len(affected_rel)},kept={len(untouched)})",
-            m["schema"],
-            sizes,
-            stats,
-            {f: pold[f] for f in untouched if f in pold},
-            dv=prev_dv,
+            added_files=new_files,
+            added_sizes=self._file_sizes(new_files),
+            added_stats=dict(stats),
+            removed=set(affected_rel),
+            max_retries=max_retries,
         )
         # blast-radius report, all from metadata + one source count:
         # survivors = rewritten_rows - |source|; updated = affected_rows
@@ -2284,7 +2647,7 @@ class VersionedTable:
             files_pruned_by_stats=len(stat_pruned),
             files_refined_out=len(candidates) - len(affected_rel),
             files_rewritten=len(affected_rel),
-            files_untouched=len(untouched),
+            files_untouched=len(manifest["files"]) - len(new_files),
             rows_updated=rows_updated,
             rows_inserted=n_source - rows_updated,
         )
@@ -2298,6 +2661,8 @@ class VersionedTable:
         delete_when: str | None = None,
         insert_when: str | None = "true",
         delete_not_matched_by_source_when: str | None = None,
+        read_version: int | None = None,
+        max_retries: int = 10,
     ) -> dict:
         """The FULL conditional MERGE surface (Delta's WHEN clauses):
 
@@ -2324,8 +2689,14 @@ class VersionedTable:
         ``rows_deleted``, ``rows_inserted``, ``rows_insert_skipped``,
         ``rows_deleted_by_source``, ``files_rewritten``,
         ``files_untouched``). Keys are assumed unique per side (the
-        upsert contract)."""
-        prev = self.latest_version()
+        upsert contract). Optimistic concurrency mirrors :meth:`merge`
+        (VERDICT r10 task #2): concurrent commits disjoint from the
+        rewritten files rebase metadata-only via
+        :meth:`_publish_mutation`; overlapping ones raise
+        :class:`ConcurrentModification`."""
+        if read_version is None:
+            read_version = self.latest_version()
+        prev = read_version
         if prev is None:
             src0 = source
             if insert_when is not None:
@@ -2439,24 +2810,18 @@ class VersionedTable:
             F.col("__action").isin("update", "keep_matched", "keep", "insert")
         ).select(*out_cols)
         new_files = self._write_files(rewritten, version)
-        sizes = self._file_sizes(new_files)
-        sizes.update(self._file_sizes(untouched, m))
-        stats = self._compute_stats(new_files)
-        stats.update(self._file_stats(untouched, m))
-        pold = m.get("partitions") or {}
-        manifest = self._publish(
-            version,
-            new_files + untouched,
+        manifest = self._publish_mutation(
+            read_version,
             f"merge-when(rewrote={len(affected_rel)},kept={len(untouched)})",
-            m["schema"],
-            sizes,
-            stats,
-            {f: pold[f] for f in untouched if f in pold},
-            dv=prev_dv,
+            added_files=new_files,
+            added_sizes=self._file_sizes(new_files),
+            added_stats=self._compute_stats(new_files),
+            removed=set(affected_rel),
+            max_retries=max_retries,
         )
         manifest.update(
             files_rewritten=len(affected_rel),
-            files_untouched=len(untouched),
+            files_untouched=len(manifest["files"]) - len(new_files),
             rows_updated=counts.get("update", 0),
             rows_update_skipped=counts.get("keep_matched", 0),
             rows_deleted=counts.get("delete", 0),
@@ -2466,7 +2831,10 @@ class VersionedTable:
         )
         return manifest
 
-    def merge_dv(self, source: DataFrame, key_cols: list[str]) -> dict:
+    def merge_dv(
+        self, source: DataFrame, key_cols: list[str],
+        read_version: int | None = None, max_retries: int = 10,
+    ) -> dict:
         """Merge-on-read UPSERT (VERDICT r09 task #5): compose
         :meth:`merge` semantics with deletion vectors — matched
         pre-image rows are MARKED in a position vector, post-image rows
@@ -2492,8 +2860,13 @@ class VersionedTable:
         Returns the commit manifest extended with
         ``files_candidates``, ``files_rewritten`` (always 0),
         ``rows_updated`` (matched pre-images vectored),
-        ``rows_inserted`` and ``dv_files_total``."""
-        prev = self.latest_version()
+        ``rows_inserted`` and ``dv_files_total``. Optimistic concurrency
+        mirrors :meth:`merge` (VERDICT r10 task #2) with the candidate
+        files as the read set and the new vector attributed via
+        ``dv_refs``."""
+        if read_version is None:
+            read_version = self.latest_version()
+        prev = read_version
         if prev is None:
             return self.commit(source, mode="overwrite")
         from pyspark.sql.types import StructType
@@ -2549,29 +2922,29 @@ class VersionedTable:
         new_files = self._write_files(
             source.select(*current_cols), version
         )
-        sizes = self._file_sizes(new_files)
-        sizes.update(self._file_sizes(m["files"], m))
         stats = self._compute_stats(new_files)
-        stats.update(self._file_stats(m["files"], m))
         n_source = sum(stats[f]["num_rows"] for f in new_files)
-        manifest = self._publish(
-            version,
-            m["files"] + new_files,
+        cand_keys = sorted(self._dv_key(f) for f in candidates)
+        # previous files carry over with their partition values via the
+        # rebase loop; the appended batch has none
+        manifest = self._publish_mutation(
+            read_version,
             f"merge-dv(matched={n_matched})",
-            m["schema"],
-            sizes,
-            stats,
-            # every previous file carries over with its partition values;
-            # the appended batch has none
-            m.get("partitions"),
-            dv=prev_dv + new_dv,
+            added_files=new_files,
+            added_sizes=self._file_sizes(new_files),
+            added_stats=stats,
+            removed=set(),
+            read_files=candidates,
+            dv_added=new_dv,
+            dv_refs_new={d: cand_keys for d in new_dv},
+            max_retries=max_retries,
         )
         manifest.update(
             files_candidates=len(candidates),
             files_rewritten=0,
             rows_updated=n_matched,
             rows_inserted=n_source - n_matched,
-            dv_files_total=len(prev_dv) + len(new_dv),
+            dv_files_total=len(manifest["dv"]),
         )
         return manifest
 
@@ -2647,8 +3020,24 @@ class VersionedTable:
                 for f in (m.get("dv") or [])
                 if f not in set(pm.get("dv") or [])
             ]
+            dv_dropped = [
+                f
+                for f in (pm.get("dv") or [])
+                if f not in set(m.get("dv") or [])
+            ]
             if dv_added:
                 delta = self._dv_read(dv_added)
+                if dv_dropped:
+                    # a vector REWRITE (purge_dv consolidation): only
+                    # positions that are net-new relative to the previous
+                    # version's vectors are deletes — a purge commit's
+                    # consolidated blob carries existing entries and must
+                    # feed ZERO changes
+                    delta = delta.join(
+                        F.broadcast(self._dv_read(pm["dv"])),
+                        ["file", "pos"],
+                        "left_anti",
+                    )
                 # DV rows key files by their data/-relative identity;
                 # resolve back to the MANIFEST entries (identity for
                 # normal tables, absolute source paths for shallow
@@ -2729,18 +3118,45 @@ class VersionedTable:
             ).withColumn("_commit_version", F.lit(None).cast("bigint"))
         return out
 
-    def compact(self, target_partitions: int | None = None) -> dict:
+    def compact(
+        self, target_partitions: int | None = None,
+        read_version: int | None = None, max_retries: int = 10,
+    ) -> dict:
         """Rewrite the latest snapshot into ~target_partitions files as a
         new version (small-file compaction as a normal commit; history
-        keeps the granular files until vacuum)."""
-        df = self.snapshot()
+        keeps the granular files until vacuum). Deletion vectors are
+        MATERIALIZED (applied during the read) and reset.
+
+        Optimistic concurrency (VERDICT r10 task #2): the whole basis
+        file set is the read set, so any concurrent mutation of it
+        raises :class:`ConcurrentModification` — but a concurrent PURE
+        APPEND rebases metadata-only: its files carry into the compacted
+        manifest by reference (maintenance never aborts ingest)."""
+        if read_version is None:
+            read_version = self.latest_version()
+        if read_version is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        m = self._manifest(read_version)
+        df = self._read_files(m["files"], m["schema"], m.get("dv"))
         n = target_partitions or self.spark.sparkContext.defaultParallelism
-        return self.commit(df.repartition(n), mode="overwrite")
+        new_files = self._write_files(df.repartition(n), read_version + 1)
+        return self._publish_mutation(
+            read_version,
+            f"compact(rewrote={len(m['files'])},into={len(new_files)})",
+            added_files=new_files,
+            added_sizes=self._file_sizes(new_files),
+            added_stats=self._compute_stats(new_files),
+            removed=set(m["files"]),
+            dv_removed=set(m.get("dv") or []),
+            max_retries=max_retries,
+        )
 
     def optimize(
         self,
         min_file_bytes: int = 8 * 1024 * 1024,
         target_file_bytes: int = 128 * 1024 * 1024,
+        read_version: int | None = None,
+        max_retries: int = 10,
     ) -> dict:
         """OPTIMIZE-shaped selective compaction: rewrite ONLY the data
         files below ``min_file_bytes`` into ~``target_file_bytes`` output
@@ -2754,8 +3170,17 @@ class VersionedTable:
         cycles therefore converge to a file count bounded by
         table_bytes/target + merges_since_optimize, instead of growing
         without bound. A no-op (0 or 1 small file) publishes nothing and
-        returns the current manifest unchanged."""
-        prev = self.latest_version()
+        returns the current manifest unchanged.
+
+        Optimistic concurrency (VERDICT r10 task #2): only the
+        sub-threshold files are the read set, so a concurrent append —
+        or a mutation confined to the LARGE files — rebases
+        metadata-only; a concurrent rewrite/vector on the small files
+        raises :class:`ConcurrentModification` (maintenance loses to
+        data-changing writers, the Delta OPTIMIZE contract)."""
+        if read_version is None:
+            read_version = self.latest_version()
+        prev = read_version
         if prev is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
         m = self._manifest(prev)
@@ -2773,20 +3198,14 @@ class VersionedTable:
             small, m["schema"], m.get("dv")
         ).repartition(n_out)
         new_files = self._write_files(rewritten, version)
-        new_sizes = self._file_sizes(new_files)
-        new_sizes.update({f: sizes[f] for f in keep})
-        new_stats = self._compute_stats(new_files)
-        new_stats.update(self._file_stats(keep, m))
-        pold = m.get("partitions") or {}
-        return self._publish(
-            version,
-            new_files + keep,
+        return self._publish_mutation(
+            read_version,
             f"optimize(rewrote={len(small)},into={len(new_files)},kept={len(keep)})",
-            m["schema"],
-            new_sizes,
-            new_stats,
-            {f: pold[f] for f in keep if f in pold},
-            dv=m.get("dv"),
+            added_files=new_files,
+            added_sizes=self._file_sizes(new_files),
+            added_stats=self._compute_stats(new_files),
+            removed=set(small),
+            max_retries=max_retries,
         )
 
     # -- write-audit-publish (staging branches) ---------------------------

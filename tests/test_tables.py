@@ -1694,3 +1694,279 @@ def test_merge_when_clauses_full_surface(spark, table):
     assert m2["rows_deleted_by_source"] == 1
     got2 = sorted((r.k, r.v, r.s) for r in table.snapshot().collect())
     assert got2 == [(1, 10, "live"), (4, 40, "live"), (5, 51, "live")]
+
+
+# -- mutation-path optimistic concurrency (validate-at-publish on merge /
+# delete / optimize / compact — the r10 task-#2 surface) --------------------
+
+
+def test_mutation_occ_merge_rebases_over_concurrent_append(spark, chunked_table):
+    """A merge whose basis went stale because of a concurrent PURE APPEND
+    must land via the metadata-only rebase (WriteSerializable: the blind
+    append serializes after the merge), carrying the appended file by
+    reference — no lost update on either side."""
+    t = chunked_table
+    ma = t.commit(
+        spark.createDataFrame([Row(k=100, v="appended")]), mode="append"
+    )  # v1, lands after the merge's basis
+    m = t.merge(
+        spark.createDataFrame([Row(k=12, v="U12")]), ["k"], read_version=0
+    )
+    assert m["version"] == 2 and m["rebased_over"] == 1
+    assert m["files_rewritten"] == 1
+    # the concurrent append's file carried by reference
+    new_in_v1 = set(ma["files"]) - set(t.history()[0]["files"])
+    assert new_in_v1 < set(m["files"])
+    got = {(r.k, r.v) for r in t.snapshot().collect()}
+    assert (12, "U12") in got and (100, "appended") in got
+    assert len(got) == 41
+
+
+def test_mutation_occ_merge_conflicts_with_concurrent_rewrite(spark, chunked_table):
+    """Two writers mutating the SAME chunk file: the loser's rewrite was
+    computed from bytes that are no longer current -> raises, never a
+    silent lost update."""
+    from data_engineering_nd_spark.tables import ConcurrentModification
+
+    t = chunked_table
+    t.delete_where("k", 10, 12)  # v1 rewrites chunk [10,19]
+    with pytest.raises(ConcurrentModification):
+        t.merge(
+            spark.createDataFrame([Row(k=15, v="U15")]), ["k"],
+            read_version=0,
+        )
+    # retry on the current basis succeeds
+    m = t.merge(spark.createDataFrame([Row(k=15, v="U15")]), ["k"])
+    assert m["version"] == 2
+    got = {(r.k, r.v) for r in t.snapshot().collect()}
+    assert (15, "U15") in got and len(got) == 37
+
+
+def test_mutation_occ_disjoint_delete_and_merge_both_land(spark, chunked_table):
+    """The VERDICT scenario: two mutations confined to DIFFERENT chunk
+    files rebase over each other — a delete in chunk [0,9] and a merge
+    in chunk [30,39] from the same stale basis both land."""
+    t = chunked_table
+    t.merge(
+        spark.createDataFrame([Row(k=35, v="U35")]), ["k"], read_version=0
+    )  # v1 rewrites chunk [30,39]
+    md = t.delete_where("k", 0, 4, read_version=0)  # stale basis
+    assert md["version"] == 2 and md["rebased_over"] == 1
+    got = {(r.k, r.v) for r in t.snapshot().collect()}
+    assert (35, "U35") in got
+    assert not any(k <= 4 for k, _ in got)
+    assert len(got) == 35
+
+
+def test_mutation_occ_optimize_rebases_over_disjoint_merge(spark, table):
+    """Maintenance never aborts data writers it doesn't overlap: optimize
+    rewriting only the SMALL files rebases over a concurrent merge that
+    rewrote a large one."""
+    big = spark.range(0, 20000).select(
+        F.col("id").alias("k"), F.sha2(F.col("id").cast("string"), 256).alias("v")
+    )
+    table.commit(big.repartition(1))  # v0: one large file
+    table.commit(
+        spark.createDataFrame([Row(k=100001, v="tiny1")]), mode="append"
+    )
+    table.commit(
+        spark.createDataFrame([Row(k=100002, v="tiny2")]), mode="append"
+    )  # v2: two tiny files alongside the big one
+    sizes = table._file_sizes(table._manifest(2)["files"], table._manifest(2))
+    floor = sorted(sizes.values())[-1]  # only the big file is >= floor
+    # concurrent merge rewrites the BIG file (k=5 lives there) -> v3
+    table.merge(spark.createDataFrame([Row(k=5, v="U5")]), ["k"])
+    m = table.optimize(min_file_bytes=floor, read_version=2)
+    assert m["version"] == 4 and m["rebased_over"] == 1
+    got = {(r.k, r.v) for r in table.snapshot().collect()}
+    assert (5, "U5") in got and (100001, "tiny1") in got
+    assert len(got) == 20002
+
+
+def test_mutation_occ_optimize_conflicts_when_small_files_rewritten(
+    spark, table
+):
+    from data_engineering_nd_spark.tables import ConcurrentModification
+
+    table.commit(spark.createDataFrame([Row(k=1, v="a")]))
+    table.commit(spark.createDataFrame([Row(k=2, v="b")]), mode="append")
+    table.delete_where("k", 1, 1)  # v2 rewrites a small file
+    with pytest.raises(ConcurrentModification):
+        table.optimize(min_file_bytes=10**12, read_version=1)
+
+
+def test_mutation_occ_compact_rebases_over_append(spark, table):
+    table.commit(spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")]))
+    table.commit(spark.createDataFrame([Row(k=3, v="c")]), mode="append")
+    m = table.compact(1, read_version=0)  # stale basis: rebases over v1
+    assert m["version"] == 2 and m["rebased_over"] == 1
+    assert _rows(table.snapshot()) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_mutation_occ_dv_writer_conflicts_with_rewrite(spark, chunked_table):
+    """A DV delete whose candidate file was concurrently REWRITTEN must
+    raise: publishing the vector would lose the delete (its positions
+    name a file no longer in the manifest)."""
+    from data_engineering_nd_spark.tables import ConcurrentModification
+
+    t = chunked_table
+    t.merge(spark.createDataFrame([Row(k=12, v="U12")]), ["k"])  # v1
+    with pytest.raises(ConcurrentModification):
+        t.delete_where_dv("k", 10, 14, read_version=0)
+    # disjoint chunk rebases fine
+    m = t.delete_where_dv("k", 30, 31, read_version=0)
+    assert m["version"] == 2 and m["rows_deleted"] == 2
+    got = {(r.k, r.v) for r in t.snapshot().collect()}
+    assert (12, "U12") in got and not {k for k, _ in got} & {30, 31}
+
+
+def test_mutation_occ_rewrite_conflicts_with_concurrent_dv(spark, chunked_table):
+    """The mirror image: a COW mutation whose read set was concurrently
+    VECTORED must raise (rewriting those files would resurrect the
+    vectored rows), attribution via the manifest dv_refs."""
+    from data_engineering_nd_spark.tables import ConcurrentModification
+
+    t = chunked_table
+    t.delete_where_dv("k", 12, 13)  # v1 vectors chunk [10,19]
+    with pytest.raises(ConcurrentModification):
+        t.merge(
+            spark.createDataFrame([Row(k=15, v="U15")]), ["k"],
+            read_version=0,
+        )
+    # a merge in an UNvectored chunk rebases over the DV commit
+    m = t.merge(
+        spark.createDataFrame([Row(k=35, v="U35")]), ["k"], read_version=0
+    )
+    assert m["version"] == 2 and m["rebased_over"] == 1
+    got = {(r.k, r.v) for r in t.snapshot().collect()}
+    assert (35, "U35") in got and not {k for k, _ in got} & {12, 13}
+
+
+def test_mutation_occ_two_threads_merge_and_append_no_lost_update(
+    spark, chunked_table
+):
+    """Race an actual merge thread against an append thread: whoever
+    loses the link race rebases (or raises and retries) — the final
+    snapshot must contain BOTH effects."""
+    import threading
+
+    from data_engineering_nd_spark.tables import ConcurrentModification
+
+    t = chunked_table
+    errs = []
+
+    def do_merge():
+        try:
+            basis = t.latest_version()
+            try:
+                t.merge(
+                    spark.createDataFrame([Row(k=22, v="U22")]), ["k"],
+                    read_version=basis,
+                )
+            except ConcurrentModification:
+                t.merge(spark.createDataFrame([Row(k=22, v="U22")]), ["k"])
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append(e)
+
+    def do_append():
+        try:
+            t.commit(
+                spark.createDataFrame([Row(k=200, v="appended")]),
+                mode="append",
+            )
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append(e)
+
+    th = [threading.Thread(target=do_merge), threading.Thread(target=do_append)]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert not errs
+    got = {(r.k, r.v) for r in t.snapshot().collect()}
+    assert (22, "U22") in got and (200, "appended") in got
+    assert len(got) == 41
+
+
+# -- purge_dv: targeted DV materialization (Delta REORG ... PURGE shape) ----
+
+
+def _dv_fixture(spark, t):
+    """Vector 8/10 rows of chunk [10,19] (ratio .8) and 2/10 of chunk
+    [30,39] (ratio .2) on the chunked table."""
+    t.delete_where_dv("k", 10, 17)
+    t.delete_where_dv("k", 30, 31)
+    return t
+
+
+def test_purge_dv_rewrites_only_heavy_files(spark, chunked_table):
+    t = _dv_fixture(spark, chunked_table)
+    before = {(r.k, r.v) for r in t.snapshot().collect()}
+    v0_files = set(t.history()[0]["files"])
+    m = t.purge_dv(max_deleted_ratio=0.5)
+    assert m["files_purged"] == 1 and m["rows_purged"] == 8
+    assert m["dv_files_before"] == 2 and m["dv_files_after"] == 1
+    assert m["dv_entries_before"] == 10 and m["dv_entries_after"] == 2
+    # snapshot identical before/after: purge is pure reorganization
+    assert {(r.k, r.v) for r in t.snapshot().collect()} == before
+    # healthy chunk files carried by reference (3 of the 4 originals)
+    assert len(v0_files & set(m["files"])) == 3
+    # time travel still applies the old vectors
+    assert {r.k for r in t.snapshot(2).collect()} == {r.k for r in t.snapshot().collect()}
+
+
+def test_purge_dv_change_feed_is_neutral(spark, chunked_table):
+    t = _dv_fixture(spark, chunked_table)
+    m = t.purge_dv(max_deleted_ratio=0.5)
+    v = m["version"]
+    feed = t.change_feed(["k"], v - 1, v)
+    assert feed.count() == 0
+
+
+def test_purge_dv_noop_paths(spark, chunked_table):
+    t = chunked_table
+    # no vectors at all
+    m = t.purge_dv()
+    assert m["files_purged"] == 0 and len(t.versions()) == 1
+    # vectors exist but none over threshold
+    t.delete_where_dv("k", 10, 11)
+    m = t.purge_dv(max_deleted_ratio=0.5)
+    assert m["files_purged"] == 0 and m["dv_entries_before"] == 2
+    assert len(t.versions()) == 2  # nothing published
+
+
+def test_purge_dv_occ_rebases_over_append_conflicts_with_rewrite(
+    spark, chunked_table
+):
+    from data_engineering_nd_spark.tables import ConcurrentModification
+
+    t = _dv_fixture(spark, chunked_table)
+    basis = t.latest_version()
+    t.commit(spark.createDataFrame([Row(k=500, v="ingest")]), mode="append")
+    m = t.purge_dv(max_deleted_ratio=0.5, read_version=basis)
+    assert m["rebased_over"] == 1 and m["files_purged"] == 1
+    got = {(r.k, r.v) for r in t.snapshot().collect()}
+    assert (500, "ingest") in got and len(got) == 31
+    # concurrent rewrite of a newly-flagged file -> conflict
+    t.delete_where_dv("k", 20, 27)
+    basis = t.latest_version()
+    t.delete_where("k", 20, 29)  # COW-rewrites chunk [20,29]
+    with pytest.raises(ConcurrentModification):
+        t.purge_dv(max_deleted_ratio=0.5, read_version=basis)
+
+
+def test_purge_dv_after_merge_dv_traffic_converges(spark, chunked_table):
+    """Sustained merge-on-read upserts followed by purge: vectors drain
+    for the heavily-hit files without a full-snapshot compact."""
+    t = chunked_table
+    for i in range(3):
+        t.merge_dv(
+            spark.createDataFrame(
+                [Row(k=10 + i * 3 + j, v=f"u{i}-{j}") for j in range(3)]
+            ),
+            ["k"],
+        )
+    before = {(r.k, r.v) for r in t.snapshot().collect()}
+    m = t.purge_dv(max_deleted_ratio=0.5)
+    assert m["files_purged"] >= 1 and m["dv_entries_after"] < m["dv_entries_before"]
+    assert {(r.k, r.v) for r in t.snapshot().collect()} == before
