@@ -3870,6 +3870,131 @@ def tbl_deletion_vectors_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Column mapping: metadata-only RENAME / DROP COLUMN via stable field ids
+# ---------------------------------------------------------------------------
+
+_COLMAP_ORACLE = """
+    WITH merged AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 7 = 0 THEN CAST(111.0 AS DOUBLE)
+                    ELSE o_totalprice END AS price,
+               CAST(NULL AS BIGINT) AS ck
+        FROM orders
+    ),
+    appended AS (
+        SELECT o_orderkey + 10000000 AS k, o_totalprice AS price,
+               o_custkey AS ck
+        FROM orders
+    ),
+    final AS (
+        SELECT * FROM merged UNION ALL SELECT * FROM appended
+    )
+    SELECT CAST(0 AS BIGINT) AS schema_edit_files_rewritten,
+           CAST(0 AS BIGINT) AS feed_changes_schema_edits,
+           CAST(3 AS BIGINT) AS v0_ncols,
+           CAST(COUNT(*) AS BIGINT) AS rows_total,
+           CAST(SUM(CASE WHEN ck IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_custkey_rows,
+           CAST(SUM(CAST(concat('0x',
+                substr(md5(CAST(k AS VARCHAR)), 1, 10))
+                AS BIGINT)) AS BIGINT) AS key_checksum,
+           CAST(SUM(CAST(price AS DECIMAL(18, 2))) AS DOUBLE) AS price_total
+    FROM final
+"""
+
+
+@query("tbl_column_mapping_report", oracle=_COLMAP_ORACLE)
+def tbl_column_mapping_report_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ID-based column mapping (VERDICT r10 task #4; the Delta
+    column-mapping / Iceberg field-id shape): RENAME and DROP COLUMN as
+    pure manifest edits — every field carries a stable ``field_id`` and
+    a frozen ``physical_name``; data files always store physical names,
+    so a rename changes only the logical name and a drop removes only
+    the logical field. ZERO files rewritten for either.
+
+    Script: v0 commits orders (o_orderkey, o_custkey, o_totalprice);
+    v1 RENAMES o_totalprice -> price; v2 DROPS o_custkey — the report
+    pins both commits to the identical file list and to a zero-row
+    change feed. v3 appends a batch that RE-ADDS the dropped name
+    o_custkey: the new logical column gets a FRESH collision-proof
+    physical name (``col-<id>``, id above the monotonic high-water
+    mark), so the dropped column's bytes in old files stay dead —
+    every pre-append row reads the re-added column as NULL (asserted
+    via null_custkey_rows = |orders|). v4 MERGES price updates on the
+    mapped table (writers resolve logical -> physical per commit;
+    stats pruning translates the renamed key). Time travel still reads
+    v0 under its ORIGINAL names (v0_ncols pins it).
+
+    At 100 TB this is the difference between ALTER TABLE RENAME/DROP
+    as an O(bytes) table rewrite and an O(1) metadata operation —
+    the missing half of the schema-evolution surface next to additive
+    evolution and read-time type widening."""
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    orders = load(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="tbl_colmap_")
+    try:
+        table = VersionedTable(spark, work + "/table")
+        m0 = table.commit(orders.repartition(4))
+        m1 = table.rename_column("o_totalprice", "price")
+        m2 = table.drop_column("o_custkey")
+        edits_rewrote = 0 if (
+            m0["files"] == m1["files"] == m2["files"]
+        ) else -1
+        feed_n = table.change_feed(["o_orderkey"], 0, 2).count()
+        v0_ncols = len(table.snapshot(0).columns)
+        # v3: append a batch that re-adds the dropped logical name
+        table.commit(
+            orders.select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                F.col("o_totalprice").alias("price"),
+                "o_custkey",
+            ),
+            mode="append",
+        )
+        # v4: merge price updates through the mapped write path
+        table.merge(
+            orders.filter(F.col("o_orderkey") % 7 == 0).select(
+                "o_orderkey",
+                F.lit(111.0).cast("double").alias("price"),
+                F.lit(None).cast("bigint").alias("o_custkey"),
+            ),
+            ["o_orderkey"],
+        )
+        key_digest = md5_prefix_long(F.col("o_orderkey").cast("string"))
+        out = table.snapshot().agg(
+            F.count(F.lit(1)).cast("bigint").alias("rows_total"),
+            F.sum(
+                F.when(F.col("o_custkey").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("null_custkey_rows"),
+            F.sum(key_digest).cast("bigint").alias("key_checksum"),
+            F.sum(F.col("price").cast("decimal(18,2)"))
+            .cast("double").alias("price_total"),
+        ).select(
+            F.lit(edits_rewrote).cast("bigint")
+            .alias("schema_edit_files_rewritten"),
+            F.lit(feed_n).cast("bigint").alias("feed_changes_schema_edits"),
+            F.lit(v0_ncols).cast("bigint").alias("v0_ncols"),
+            "rows_total",
+            "null_custkey_rows",
+            "key_checksum",
+            "price_total",
+        )
+        # output-sized (1 row); materialize so the scratch table can go
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # Targeted DV materialization: purge heavy files, keep healthy ones by ref
 # ---------------------------------------------------------------------------
 
@@ -6112,6 +6237,132 @@ def tbl_mv_incremental_refresh_query(
             F.col("grp").cast("bigint").alias("grp"),
             "sum_value",
             "n_rows",
+            F.lit(equals).cast("bigint").alias("equals_recompute"),
+            F.lit(replay_absorbed).cast("bigint").alias("replay_absorbed"),
+        )
+        # output-sized (10 rows); materialize so the scratch tables can go
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# MIN/MAX materialized view: incremental adds, delete-triggered recompute
+# ---------------------------------------------------------------------------
+
+_MV_MINMAX_ORACLE = """
+    WITH survivors AS (
+        SELECT o_orderkey AS k FROM orders
+        WHERE NOT (o_orderkey BETWEEN 1 AND 150)
+        UNION ALL
+        SELECT o_orderkey + 60000000 FROM orders WHERE o_orderkey % 5 = 0
+        UNION ALL
+        SELECT o_orderkey + 70000000 FROM orders WHERE o_orderkey % 7 = 0
+    )
+    SELECT CAST(k % 10 AS BIGINT) AS grp,
+           CAST(MIN(k) AS BIGINT) AS min_value,
+           CAST(MAX(k) AS BIGINT) AS max_value,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(1 AS BIGINT) AS recompute_path_taken,
+           CAST(1 AS BIGINT) AS incremental_path_taken,
+           CAST(1 AS BIGINT) AS equals_recompute,
+           CAST(1 AS BIGINT) AS replay_absorbed
+    FROM survivors GROUP BY 1
+"""
+
+
+@query("tbl_mv_minmax_refresh", oracle=_MV_MINMAX_ORACLE)
+def tbl_mv_minmax_refresh_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MIN/MAX materialized-view maintenance (VERDICT r10 task #5): the
+    non-self-inverse aggregates. A grouped MIN/MAX/COUNT view over
+    orders (group = key % 10, value = the key itself, so extrema are
+    exactly predictable) full-computes once; then the source takes an
+    append of high keys (new maxima — fold-in with greatest, no table
+    read), a deletion-vector DELETE of the low keys (every group's
+    MINIMUM dies — the delete-triggered path: scoped recompute of just
+    the affected groups, fact table semi-joined to the churn-sized
+    group list), and a second append (pure incremental again). The
+    report pins BOTH paths taken (``recompute_path_taken`` from the
+    delete refresh, ``incremental_path_taken`` from the append-only
+    refresh with zero recomputes), equality against a from-scratch
+    recompute, replay absorption, and value-hashes the final per-group
+    state against the oracle's serial SQL.
+
+    The 100 TB cost asymmetry this encodes: SUM/COUNT never re-scan;
+    MIN/MAX re-scan only the groups whose extremum was deleted — the
+    standard view-maintenance result (self-maintainable except under
+    deletes of extrema)."""
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.streaming.sink import (
+        refresh_minmax_from_feed,
+    )
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    orders = load(spark, "orders", sf_dir).select("o_orderkey")
+    work = tempfile.mkdtemp(prefix="tbl_mv_minmax_")
+    try:
+        src = VersionedTable(spark, work + "/src")
+        mv = VersionedTable(spark, work + "/mv")
+        app = "mv-minmax"
+        grp = (F.col("o_orderkey") % 10).alias("grp")
+        src.commit(orders.select("o_orderkey", grp).repartition(4))  # v0
+        args = (src, mv, ["o_orderkey"], "grp", "o_orderkey", app)
+        r1 = refresh_minmax_from_feed(*args)                    # full
+        src.commit(                                             # v1: maxima
+            orders.filter(F.col("o_orderkey") % 5 == 0).select(
+                (F.col("o_orderkey") + 60000000).alias("o_orderkey"),
+                grp,  # +60M preserves key % 10
+            ),
+            mode="append",
+        )
+        src.delete_where_dv("o_orderkey", 1, 150)               # v2: minima
+        r2 = refresh_minmax_from_feed(*args)                    # recompute
+        src.commit(                                             # v3: maxima
+            orders.filter(F.col("o_orderkey") % 7 == 0).select(
+                (F.col("o_orderkey") + 70000000).alias("o_orderkey"),
+                grp,
+            ),
+            mode="append",
+        )
+        r3 = refresh_minmax_from_feed(*args)                    # fold-in
+        n_mv_versions = len(mv.versions())
+        r4 = refresh_minmax_from_feed(*args)                    # replay
+        replay_absorbed = int(
+            r4["skipped"]
+            and len(mv.versions()) == n_mv_versions
+            and r1["mode"] == "full"
+        )
+        recompute = (
+            src.snapshot()
+            .groupBy("grp")
+            .agg(
+                F.min("o_orderkey").cast("bigint").alias("min_value"),
+                F.max("o_orderkey").cast("bigint").alias("max_value"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            )
+        )
+        state = mv.snapshot()
+        equals = int(
+            state.exceptAll(recompute).isEmpty()
+            and recompute.exceptAll(state).isEmpty()
+        )
+        out = state.select(
+            F.col("grp").cast("bigint").alias("grp"),
+            "min_value",
+            "max_value",
+            "n_rows",
+            F.lit(int(r2["groups_recomputed"] > 0)).cast("bigint")
+            .alias("recompute_path_taken"),
+            F.lit(
+                int(
+                    r3["groups_incremental"] > 0
+                    and r3["groups_recomputed"] == 0
+                )
+            ).cast("bigint").alias("incremental_path_taken"),
             F.lit(equals).cast("bigint").alias("equals_recompute"),
             F.lit(replay_absorbed).cast("bigint").alias("replay_absorbed"),
         )

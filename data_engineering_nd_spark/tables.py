@@ -632,6 +632,7 @@ class VersionedTable:
         dv: list[str] | None = None,
         txn_update: dict[str, int] | None = None,
         dv_refs: dict[str, list[str]] | None = None,
+        max_field_id: int | None = None,
     ) -> dict:
         """Atomic commit point: temp-file + rename within _log/."""
         os.makedirs(self._log_dir(), exist_ok=True)
@@ -640,11 +641,13 @@ class VersionedTable:
         # high-water mark survives unrelated maintenance commits
         txn: dict[str, int] = {}
         prev_refs: dict[str, list[str]] = {}
+        prev_mfi = 0
         if version > 0:
             try:
                 pm = self._manifest(version - 1)
                 txn = dict(pm.get("txn") or {})
                 prev_refs = dict(pm.get("dv_refs") or {})
+                prev_mfi = int(pm.get("max_field_id") or 0)
             except OSError:
                 pass
         if txn_update:
@@ -699,6 +702,9 @@ class VersionedTable:
             "dv": sorted(dv or []),
             "dv_refs": live_refs,
             "txn": txn,
+            # monotonic column-mapping id high-water mark: dropped field
+            # ids are never reused (reuse could resurrect dropped bytes)
+            "max_field_id": max(prev_mfi, max_field_id or 0),
         }
         final = os.path.join(self._log_dir(), f"{version:011d}.json")
         tmp = final + f".{uuid.uuid4().hex}.tmp"
@@ -727,12 +733,25 @@ class VersionedTable:
 
     # -- data-file plumbing ----------------------------------------------
 
-    def _write_files(self, df: DataFrame, version: int) -> list[str]:
+    def _write_files(
+        self, df: DataFrame, version: int, schema_json: str | None = None
+    ) -> list[str]:
         """Write df as immutable parquet files under data/v{N}-{salt}/ and
         return their table-relative paths. The per-commit salt means two
         writers racing toward the same version number write into DISJOINT
         directories — the optimistic-concurrency loser can never corrupt
-        the winner's part files, it just leaves orphans for vacuum()."""
+        the winner's part files, it just leaves orphans for vacuum().
+
+        When ``schema_json`` names a column-mapped target schema, df's
+        LOGICAL columns are renamed to their PHYSICAL names before the
+        write — data files always store physical names, which is what
+        keeps rename/drop metadata-only."""
+        if schema_json is not None:
+            mapping = self._mapping(schema_json)
+            if mapping:
+                df = df.select(
+                    *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+                )
         rel_dir = os.path.join(_DATA, f"v{version:011d}-{uuid.uuid4().hex[:8]}")
         out = os.path.join(self.root, rel_dir)
         df.write.mode("overwrite").parquet(out)
@@ -811,26 +830,74 @@ class VersionedTable:
             out.update(self._compute_stats(missing))
         return out
 
+    @staticmethod
+    def _mapping(schema_json: str) -> dict[str, str] | None:
+        """Logical -> PHYSICAL column names when column mapping is
+        enabled on this schema (any field carries ``physical_name``
+        metadata — the Delta column-mapping / Iceberg field-id shape),
+        or None for unmapped tables (physical == logical). Physical
+        names are assigned once and NEVER change: rename edits only the
+        logical name, drop removes only the logical field — which is
+        what makes both metadata-only."""
+        fields = json.loads(schema_json)["fields"]
+        if not any(
+            (f.get("metadata") or {}).get("physical_name") for f in fields
+        ):
+            return None
+        return {
+            f["name"]: (f.get("metadata") or {}).get(
+                "physical_name", f["name"]
+            )
+            for f in fields
+        }
+
+    def _scan_raw(self, files: list[str], schema_json: str) -> DataFrame:
+        """Read table files under the manifest schema WITHOUT deletion
+        vectors, column-mapping-aware: data files store PHYSICAL column
+        names; the returned frame carries LOGICAL ones. ``_metadata``
+        stays resolvable through the rename projection (position/file
+        tagging by callers keeps working)."""
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType.fromJson(json.loads(schema_json))
+        plain = StructType(
+            [
+                StructField(f.name, f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+        if not files:
+            return self.spark.createDataFrame([], plain)
+        mapping = self._mapping(schema_json)
+        paths = [os.path.join(self.root, f) for f in files]
+        # Always read with the MANIFEST schema, not footer inference: a
+        # snapshot whose schema evolved (append with added columns) lists
+        # files written under older schemas — the explicit schema makes
+        # Spark fill their missing columns with null instead of resolving
+        # against whichever footer it reads first.
+        if mapping is None:
+            return self.spark.read.schema(plain).parquet(*paths)
+        phys = StructType(
+            [
+                StructField(mapping[f.name], f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+        return self.spark.read.schema(phys).parquet(*paths).select(
+            *[
+                F.col(mapping[f.name]).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+
     def _read_files(
         self,
         files: list[str],
         schema_json: str,
         dv_files: list[str] | None = None,
     ) -> DataFrame:
-        from pyspark.sql.types import StructType
-
-        schema = StructType.fromJson(json.loads(schema_json))
-        if not files:
-            return self.spark.createDataFrame([], schema)
-        # Always read with the MANIFEST schema, not footer inference: a
-        # snapshot whose schema evolved (append with added columns) lists
-        # files written under older schemas — the explicit schema makes
-        # Spark fill their missing columns with null instead of resolving
-        # against whichever footer it reads first.
-        df = self.spark.read.schema(schema).parquet(
-            *[os.path.join(self.root, f) for f in files]
-        )
-        if dv_files:
+        df = self._scan_raw(files, schema_json)
+        if dv_files and files:
             df = self._apply_dv(df, dv_files)
         return df
 
@@ -1015,13 +1082,16 @@ class VersionedTable:
         # silently under-reports the read-amplification numbers even though
         # pruning itself stays conservative-correct.
         stats = self._file_stats(m["files"], m)
+        # stats are keyed by PHYSICAL column names (footer identity);
+        # translate when column mapping renamed the logical column
+        pcol = (self._mapping(m["schema"]) or {}).get(col, col)
         kept, pruned = [], []
         rows_total = rows_scanned = 0
         for f in m["files"]:
             fs = stats.get(f, {})
             nrows = fs.get("num_rows", 0)
             rows_total += nrows
-            cs = fs.get("columns", {}).get(col)
+            cs = fs.get("columns", {}).get(pcol)
             drop = cs is not None and (
                 (lo is not None and cs["max"] < lo)
                 or (hi is not None and cs["min"] > hi)
@@ -1130,13 +1200,34 @@ class VersionedTable:
         if read_version is None:
             read_version = self.latest_version()
         my_op = "append" if mode == "append" else "replace"
+        # column mapping: derive the TARGET schema (with field ids /
+        # physical names) from the basis manifest BEFORE writing, so the
+        # data files carry physical column names; brand-new columns get
+        # fresh ids above the basis high-water mark
+        base_m = (
+            self._manifest(read_version) if read_version is not None else None
+        )
+        target_json = df.schema.json()
+        mfi_new: int | None = None
+        if base_m is not None and self._mapping(base_m["schema"]) is not None:
+            if mode == "append":
+                target_json = self._evolve_schema(
+                    base_m["schema"], target_json
+                )
+            else:
+                target_json = self._preserve_mapping(
+                    base_m["schema"], target_json
+                )
+            target_json, mfi_new = self._assign_field_ids(
+                target_json, int(base_m.get("max_field_id") or 0)
+            )
         # data files are written ONCE, before the publish loop: every
         # retry below is metadata-only (the optimistic-concurrency
         # "rebase", never a data rewrite)
         first_guess = (
             0 if read_version is None else read_version + 1
         )
-        new_files = self._write_files(df, first_guess)
+        new_files = self._write_files(df, first_guess, target_json)
         new_sizes = self._file_sizes(new_files)
         new_stats = self._compute_stats(new_files)
         attempts = 0
@@ -1148,16 +1239,29 @@ class VersionedTable:
             files = list(new_files)
             sizes = dict(new_sizes)
             stats = dict(new_stats)
-            schema_json = df.schema.json()
+            schema_json = target_json
             dv: list[str] = []
             partitions: dict[str, dict] = {}
             if mode == "append" and prev is not None:
                 pm = self._manifest(prev)
+                # a rebase onto a CONCURRENT schema change on a mapped
+                # table is unsafe (my files were written under the basis
+                # physical mapping); Delta raises MetadataChanged here too
+                if (
+                    prev != read_version
+                    and base_m is not None
+                    and self._mapping(base_m["schema"]) is not None
+                    and pm["schema"] != base_m["schema"]
+                ):
+                    raise ConcurrentModification(
+                        "concurrent schema change on a column-mapped "
+                        f"table (basis v{read_version}, latest v{prev})"
+                    )
                 files += pm["files"]
                 sizes.update(self._file_sizes(pm["files"], pm))
                 stats.update(self._file_stats(pm["files"], pm))
                 schema_json = self._evolve_schema(
-                    pm["schema"], df.schema.json()
+                    pm["schema"], target_json
                 )
                 # carried-over files keep their deletion vectors and
                 # partition values; an append must never resurrect
@@ -1175,6 +1279,7 @@ class VersionedTable:
                     partitions,
                     dv=dv,
                     txn_update={txn[0]: int(txn[1])} if txn else None,
+                    max_field_id=mfi_new,
                 )
             except ConcurrentModification:
                 raise
@@ -1244,6 +1349,14 @@ class VersionedTable:
         :class:`ConcurrentModification`."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+        lv = self.latest_version()
+        if lv is not None and self._mapping(
+            self._manifest(lv)["schema"]
+        ):
+            raise ValueError(
+                "partitioned commit on a column-mapped table is not "
+                "supported"
+            )
         pcols = [name for name, _ in spec]
         clash = set(pcols) & set(df.columns)
         if clash:
@@ -1477,7 +1590,9 @@ class VersionedTable:
             ).filter(keep)
             # one pass: the rewrite job is the only candidate-file read;
             # both report counts come from manifest + new-file footers
-            written = self._write_files(survivors, version)
+            written = self._write_files(
+                survivors, version, m["schema"]
+            )
             wstats = self._compute_stats(written)
             new_files = [f for f in written if wstats[f]["num_rows"] > 0]
             stats = {f: wstats[f] for f in new_files}
@@ -1560,18 +1675,11 @@ class VersionedTable:
         n_deleted = 0
         new_dv: list[str] = []
         if candidates:
-            from pyspark.sql.types import StructType
-
-            schema = StructType.fromJson(json.loads(m["schema"]))
             fk, pk = self._pos_key()
-            keyed = (
-                self.spark.read.schema(schema)
-                .parquet(*[os.path.join(self.root, f) for f in candidates])
-                .select(
-                    F.coalesce(pred, F.lit(False)).alias("__hit"),
-                    fk.alias("file"),
-                    pk.alias("pos"),
-                )
+            keyed = self._scan_raw(candidates, m["schema"]).select(
+                F.coalesce(pred, F.lit(False)).alias("__hit"),
+                fk.alias("file"),
+                pk.alias("pos"),
             )
             matches = keyed.filter(F.col("__hit")).select("file", "pos")
             if prev_dv:
@@ -1704,7 +1812,7 @@ class VersionedTable:
         # rewrite = read flagged files with the vectors applied (their
         # survivors only); zero-row outputs dropped
         survivors = self._read_files(flagged, m["schema"], dv)
-        written = self._write_files(survivors, version)
+        written = self._write_files(survivors, version, m["schema"])
         wstats = self._compute_stats(written)
         new_files = [f for f in written if wstats[f]["num_rows"] > 0]
         # consolidate the surviving entries (those naming healthy files)
@@ -1764,6 +1872,148 @@ class VersionedTable:
             dv_entries_after=entries_after,
         )
         return manifest
+
+# -- column mapping: metadata-only RENAME / DROP COLUMN -----------------
+
+    def _mapped_schema(self, m: dict) -> tuple[str, int]:
+        """The manifest schema with column-mapping metadata on every
+        field, enabling the mapping on first use: existing fields keep
+        their CURRENT name as the physical name (so enablement itself
+        is pure metadata — no file stores a different name yet), ids
+        are ordinal. Returns ``(schema_json, max_field_id)``."""
+        from pyspark.sql.types import StructField, StructType
+
+        js = m["schema"]
+        if self._mapping(js) is not None:
+            mfi = int(m.get("max_field_id") or 0)
+            if not mfi:  # pre-high-water-mark manifest: derive
+                mfi = max(
+                    (f.get("metadata") or {}).get("field_id", 0)
+                    for f in json.loads(js)["fields"]
+                )
+            return js, mfi
+        schema = StructType.fromJson(json.loads(js))
+        fields = [
+            StructField(
+                f.name,
+                f.dataType,
+                f.nullable,
+                {
+                    **(f.metadata or {}),
+                    "field_id": i + 1,
+                    "physical_name": f.name,
+                },
+            )
+            for i, f in enumerate(schema.fields)
+        ]
+        return StructType(fields).json(), len(fields)
+
+    def _commit_schema_edit(
+        self, edit, operation: str, max_retries: int = 10
+    ) -> dict:
+        """Metadata-only schema commit (rename/drop/enable-mapping):
+        the SAME files, sizes, stats, partition values and vectors are
+        re-published under an edited schema — zero data files touched.
+        Losing the link race re-derives the edit from the new latest
+        manifest (so two racing schema edits compose instead of one
+        silently clobbering the other)."""
+        attempts = 0
+        while True:
+            prev = self.latest_version()
+            if prev is None:
+                raise FileNotFoundError(
+                    f"no committed version at {self.root}"
+                )
+            m = self._manifest(prev)
+            new_json, mfi = edit(m)
+            try:
+                return self._publish(
+                    prev + 1,
+                    m["files"],
+                    operation,
+                    new_json,
+                    self._file_sizes(m["files"], m),
+                    self._file_stats(m["files"], m),
+                    m.get("partitions"),
+                    dv=m.get("dv"),
+                    max_field_id=mfi,
+                )
+            except CommitConflict:
+                attempts += 1
+                if attempts > max_retries:
+                    raise
+
+    def enable_column_mapping(self) -> dict:
+        """Turn on ID-based column mapping (the Delta column-mapping /
+        Iceberg field-id shape) as a metadata-only commit: every field
+        gets a stable ``field_id`` and a ``physical_name`` frozen to
+        its current name. From here on, RENAME and DROP COLUMN are
+        manifest edits (zero files rewritten); new columns take
+        collision-proof ``col-<id>`` physical names. Idempotent."""
+        def edit(m):
+            return self._mapped_schema(m)
+
+        return self._commit_schema_edit(edit, "column-mapping-enable")
+
+    def rename_column(self, old: str, new: str) -> dict:
+        """METADATA-ONLY column rename (VERDICT r10 task #4): edits the
+        logical name in the manifest schema; the physical name in every
+        data file is untouched, so ZERO files are rewritten and every
+        old snapshot still reads under its own names via time travel.
+        Enables column mapping on first use. Composes with type
+        widening and the merge/delete surface — writers resolve
+        logical -> physical per commit."""
+        from pyspark.sql.types import StructField, StructType
+
+        def edit(m):
+            js, mfi = self._mapped_schema(m)
+            schema = StructType.fromJson(json.loads(js))
+            names = [f.name for f in schema.fields]
+            if old not in names:
+                raise ValueError(f"no such column {old!r} (have {names})")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            fields = [
+                StructField(
+                    new if f.name == old else f.name,
+                    f.dataType,
+                    f.nullable,
+                    f.metadata,
+                )
+                for f in schema.fields
+            ]
+            return StructType(fields).json(), mfi
+
+        return self._commit_schema_edit(
+            edit, f"rename-column({old}->{new})"
+        )
+
+    def drop_column(self, name: str) -> dict:
+        """METADATA-ONLY column drop (VERDICT r10 task #4): removes the
+        field from the manifest schema; the physical column stays in
+        the data files but is never read again (column pruning keeps it
+        out of every scan), so ZERO files are rewritten. Its field id
+        is never reused — re-adding the same logical name later creates
+        a FRESH physical column, old bytes stay dead. Enables column
+        mapping on first use."""
+        from pyspark.sql.types import StructType
+
+        def edit(m):
+            js, mfi = self._mapped_schema(m)
+            schema = StructType.fromJson(json.loads(js))
+            names = [f.name for f in schema.fields]
+            if name not in names:
+                raise ValueError(f"no such column {name!r} (have {names})")
+            if len(names) == 1:
+                raise ValueError("cannot drop the last column")
+            return (
+                StructType(
+                    [f for f in schema.fields if f.name != name]
+                ).json(),
+                mfi,
+            )
+
+        return self._commit_schema_edit(edit, f"drop-column({name})")
 
     def restore(self, version: int) -> dict:
         """Roll the table back to ``version`` as a NEW commit (the Delta
@@ -1879,11 +2129,9 @@ class VersionedTable:
         if version is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
         m = self._manifest(version)
-        schema = StructType.fromJson(json.loads(m["schema"]))
         fk, _ = self._pos_key()
         keys = (
-            self.spark.read.schema(schema)
-            .parquet(*[os.path.join(self.root, f) for f in m["files"]])
+            self._scan_raw(m["files"], m["schema"])
             .select(fk.alias("file"), F.col(col).cast("string").alias("k"))
             .where(F.col("k").isNotNull())
             .distinct()
@@ -2010,11 +2258,9 @@ class VersionedTable:
         if version is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
         m = self._manifest(version)
-        schema = StructType.fromJson(json.loads(m["schema"]))
         fk, _ = self._pos_key()
         vals = (
-            self.spark.read.schema(schema)
-            .parquet(*[os.path.join(self.root, f) for f in m["files"]])
+            self._scan_raw(m["files"], m["schema"])
             .select(
                 fk.alias("file"),
                 md5_prefix_long(F.col(col).cast("string"), 15).alias("h"),
@@ -2329,6 +2575,14 @@ class VersionedTable:
         per-file commit overhead (cf. tbl_zorder_report)."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+        lv = self.latest_version()
+        if lv is not None and self._mapping(
+            self._manifest(lv)["schema"]
+        ):
+            raise ValueError(
+                "add_files on a column-mapped table is not supported "
+                "(external files carry logical, not physical, names)"
+            )
         src_files = sorted(
             os.path.join(dp, fn)
             for dp, _, fns in os.walk(src_dir)
@@ -2437,13 +2691,68 @@ class VersionedTable:
                         f"{f.dataType.simpleString()}"
                     )
                 widened[f.name] = w
+        # old fields keep their METADATA (column-mapping field ids /
+        # physical names ride through every evolution)
         fields = [
-            StructField(f.name, widened.get(f.name, f.dataType), f.nullable)
+            StructField(
+                f.name, widened.get(f.name, f.dataType), f.nullable,
+                f.metadata,
+            )
             for f in old.fields
         ]
         for f in new.fields:
             if f.name not in by_name:
                 fields.append(f)
+        return StructType(fields).json()
+
+    @classmethod
+    def _assign_field_ids(
+        cls, schema_json: str, max_field_id: int
+    ) -> tuple[str, int]:
+        """Give every field that lacks column-mapping metadata a fresh
+        ``field_id`` and a collision-proof physical name (``col-<id>`` —
+        NEVER the logical name, so re-adding a previously dropped column
+        name cannot resurrect the dropped column's bytes from old
+        files). Ids are drawn above the manifest's monotonic
+        ``max_field_id`` high-water mark, so a dropped field's id is
+        never reused. Returns ``(schema_json, new_max_field_id)``."""
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType.fromJson(json.loads(schema_json))
+        fields = []
+        for f in schema.fields:
+            md = dict(f.metadata or {})
+            if "physical_name" not in md:
+                max_field_id += 1
+                md["field_id"] = max_field_id
+                md["physical_name"] = f"col-{max_field_id}"
+            fields.append(
+                StructField(f.name, f.dataType, f.nullable, md)
+            )
+        return StructType(fields).json(), max_field_id
+
+    @classmethod
+    def _preserve_mapping(cls, old_json: str, new_json: str) -> str:
+        """For an OVERWRITE of a column-mapped table: the replacement
+        schema keeps its own fields/types/order, but same-name fields
+        inherit the previous mapping metadata (id + physical name), so
+        the table's identity survives a replace."""
+        from pyspark.sql.types import StructField, StructType
+
+        old_md = {
+            f["name"]: f.get("metadata")
+            for f in json.loads(old_json)["fields"]
+        }
+        schema = StructType.fromJson(json.loads(new_json))
+        fields = [
+            StructField(
+                f.name,
+                f.dataType,
+                f.nullable,
+                old_md.get(f.name) or f.metadata,
+            )
+            for f in schema.fields
+        ]
         return StructType(fields).json()
 
     def _merge_stat_candidates(
@@ -2469,10 +2778,12 @@ class VersionedTable:
         (conservative — correctness never depends on stats existing).
         Returns ``(candidates, pruned)``."""
         stats = self._file_stats(m["files"], m)
+        # stats are keyed by PHYSICAL column names; translate under mapping
+        pkey = (self._mapping(m["schema"]) or {}).get(key, key)
         bounds: list[tuple[str, object, object]] = []
         no_stats: list[str] = []
         for f in m["files"]:
-            cs = stats.get(f, {}).get("columns", {}).get(key)
+            cs = stats.get(f, {}).get("columns", {}).get(pkey)
             if cs is None or cs.get("min") is None:
                 no_stats.append(f)
             else:
@@ -2569,17 +2880,11 @@ class VersionedTable:
         prev_dv = m.get("dv") or []
         affected_names = set()
         if candidates:
-            from pyspark.sql.types import StructType
-
             # tag with _metadata.file_path BEFORE the DV anti-join:
             # input_file_name() refuses plans with more than one file
             # source, and the DV read is a second one
-            tagged = (
-                self.spark.read.schema(
-                    StructType.fromJson(json.loads(m["schema"]))
-                )
-                .parquet(*[os.path.join(self.root, f) for f in candidates])
-                .withColumn("__file", F.col("_metadata.file_path"))
+            tagged = self._scan_raw(candidates, m["schema"]).withColumn(
+                "__file", F.col("_metadata.file_path")
             )
             if prev_dv:
                 tagged = self._apply_dv(tagged, prev_dv)
@@ -2612,7 +2917,7 @@ class VersionedTable:
             survivors.unionByName(incoming) if survivors is not None
             else incoming
         )
-        new_files = self._write_files(rewritten, version)
+        new_files = self._write_files(rewritten, version, m["schema"])
         stats = self._compute_stats(new_files)
         manifest = self._publish_mutation(
             read_version,
@@ -2707,15 +3012,12 @@ class VersionedTable:
                     *[F.col(f"src_{c}").alias(c) for c in source.columns]
                 )
             return self.commit(src0, mode="overwrite")
-        from pyspark.sql.types import StructType
-
         m = self._manifest(prev)
         version = prev + 1
         prev_dv = m.get("dv") or []
         current_cols = [
             f["name"] for f in json.loads(m["schema"])["fields"]
         ] or source.columns
-        schema = StructType.fromJson(json.loads(m["schema"]))
         keys = source.select(*key_cols).dropDuplicates()
 
         if delete_not_matched_by_source_when is not None:
@@ -2729,13 +3031,9 @@ class VersionedTable:
 
             affected_names = set()
             if candidates:
-                tagged = (
-                    self.spark.read.schema(schema)
-                    .parquet(
-                        *[os.path.join(self.root, f) for f in candidates]
-                    )
-                    .withColumn("__file", F.col("_metadata.file_path"))
-                )
+                tagged = self._scan_raw(
+                    candidates, m["schema"]
+                ).withColumn("__file", F.col("_metadata.file_path"))
                 if prev_dv:
                     tagged = self._apply_dv(tagged, prev_dv)
                 affected_names = {
@@ -2809,7 +3107,7 @@ class VersionedTable:
         rewritten = classified.where(
             F.col("__action").isin("update", "keep_matched", "keep", "insert")
         ).select(*out_cols)
-        new_files = self._write_files(rewritten, version)
+        new_files = self._write_files(rewritten, version, m["schema"])
         manifest = self._publish_mutation(
             read_version,
             f"merge-when(rewrote={len(affected_rel)},kept={len(untouched)})",
@@ -2869,8 +3167,6 @@ class VersionedTable:
         prev = read_version
         if prev is None:
             return self.commit(source, mode="overwrite")
-        from pyspark.sql.types import StructType
-
         m = self._manifest(prev)
         version = prev + 1
         prev_dv = m.get("dv") or []
@@ -2881,14 +3177,11 @@ class VersionedTable:
         n_matched = 0
         new_dv: list[str] = []
         if candidates:
-            schema = StructType.fromJson(json.loads(m["schema"]))
             fk, pk = self._pos_key()
             # key columns + position identity only — payload columns are
             # pruned out of the scan
-            tagged = (
-                self.spark.read.schema(schema)
-                .parquet(*[os.path.join(self.root, f) for f in candidates])
-                .select(*key_cols, fk.alias("file"), pk.alias("pos"))
+            tagged = self._scan_raw(candidates, m["schema"]).select(
+                *key_cols, fk.alias("file"), pk.alias("pos")
             )
             matches = tagged.join(
                 F.broadcast(keys), on=key_cols, how="left_semi"
@@ -2920,7 +3213,7 @@ class VersionedTable:
             f["name"] for f in json.loads(m["schema"])["fields"]
         ] or source.columns
         new_files = self._write_files(
-            source.select(*current_cols), version
+            source.select(*current_cols), version, m["schema"]
         )
         stats = self._compute_stats(new_files)
         n_source = sum(stats[f]["num_rows"] for f in new_files)
@@ -3108,7 +3401,14 @@ class VersionedTable:
                 .unionByName(upost)
                 .withColumn("_commit_version", F.lit(v).cast("bigint"))
             )
-            out = part if out is None else out.unionByName(part)
+            # commits in the range may carry different schema SHAPES
+            # (rename/drop edits): align by name, null-filling columns a
+            # commit's schema lacks — pre-edit changes keep their values
+            out = (
+                part
+                if out is None
+                else out.unionByName(part, allowMissingColumns=True)
+            )
         if out is None:  # empty range: typed empty frame, current schema
             m = self._manifest(to_version)
             cur = StructType.fromJson(json.loads(m["schema"]))
@@ -3139,7 +3439,9 @@ class VersionedTable:
         m = self._manifest(read_version)
         df = self._read_files(m["files"], m["schema"], m.get("dv"))
         n = target_partitions or self.spark.sparkContext.defaultParallelism
-        new_files = self._write_files(df.repartition(n), read_version + 1)
+        new_files = self._write_files(
+            df.repartition(n), read_version + 1, m["schema"]
+        )
         return self._publish_mutation(
             read_version,
             f"compact(rewrote={len(m['files'])},into={len(new_files)})",
@@ -3197,7 +3499,7 @@ class VersionedTable:
         rewritten = self._read_files(
             small, m["schema"], m.get("dv")
         ).repartition(n_out)
-        new_files = self._write_files(rewritten, version)
+        new_files = self._write_files(rewritten, version, m["schema"])
         return self._publish_mutation(
             read_version,
             f"optimize(rewrote={len(small)},into={len(new_files)},kept={len(keep)})",
@@ -3287,6 +3589,13 @@ class VersionedTable:
             if bad:
                 raise ConstraintViolation(bad)
         prev = self.latest_version()
+        if prev is not None and self._mapping(
+            self._manifest(prev)["schema"]
+        ):
+            raise ValueError(
+                "publish_staged onto a column-mapped table is not "
+                "supported (staged files carry logical column names)"
+            )
         version = 0 if prev is None else prev + 1
         files = list(m["files"])
         sizes = dict(m["sizes"])

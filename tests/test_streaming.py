@@ -526,3 +526,69 @@ def test_quarantine_batch_sink_splits_and_absorbs(spark, tmp_path):
     nv = (len(good.versions()), len(dlq.versions()))
     sink(b0, 0)  # replay: absorbed on both sides
     assert (len(good.versions()), len(dlq.versions())) == nv
+
+
+def test_refresh_minmax_incremental_adds_no_table_read(spark, tmp_path):
+    """Append-only churn folds into MIN/MAX with least/greatest — zero
+    groups recomputed."""
+    from pyspark.sql import Row
+
+    from data_engineering_nd_spark.streaming.sink import (
+        refresh_minmax_from_feed,
+    )
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    mv = VersionedTable(spark, str(tmp_path / "mv"))
+    src.commit(spark.createDataFrame(
+        [Row(k=1, g="a", v=10), Row(k=2, g="a", v=20),
+         Row(k=3, g="b", v=5)]))
+    args = (src, mv, ["k"], "g", "v", "app")
+    assert refresh_minmax_from_feed(*args)["mode"] == "full"
+    src.commit(spark.createDataFrame(
+        [Row(k=4, g="a", v=99), Row(k=5, g="c", v=1)]), mode="append")
+    r = refresh_minmax_from_feed(*args)
+    assert r["groups_recomputed"] == 0 and r["groups_incremental"] == 2
+    state = {
+        r.g: (r.min_value, r.max_value, r.n_rows)
+        for r in mv.snapshot().collect()
+    }
+    assert state == {"a": (10, 99, 3), "b": (5, 5, 1), "c": (1, 1, 1)}
+
+
+def test_refresh_minmax_delete_of_extremum_triggers_scoped_recompute(
+    spark, tmp_path
+):
+    """Deleting a group's MAX forces a recompute of THAT group only; a
+    delete strictly inside another group's range stays incremental; a
+    group emptied by deletes drops out; replays absorb."""
+    from pyspark.sql import Row
+
+    from data_engineering_nd_spark.streaming.sink import (
+        refresh_minmax_from_feed,
+    )
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    mv = VersionedTable(spark, str(tmp_path / "mv"))
+    src.commit(spark.createDataFrame(
+        [Row(k=1, g="a", v=10), Row(k=2, g="a", v=20), Row(k=3, g="a", v=30),
+         Row(k=4, g="b", v=1), Row(k=5, g="b", v=2), Row(k=6, g="b", v=3),
+         Row(k=7, g="c", v=7)]))
+    args = (src, mv, ["k"], "g", "v", "app")
+    refresh_minmax_from_feed(*args)
+    src.delete_where_dv("k", 3, 3)   # a loses its max (30) -> recompute
+    src.delete_where_dv("k", 5, 5)   # b loses interior 2 -> incremental
+    src.delete_where_dv("k", 7, 7)   # c empties -> drops out
+    r = refresh_minmax_from_feed(*args)
+    assert r["groups_recomputed"] == 2  # a (max died) + c (min AND max died)
+    assert r["groups_incremental"] == 1  # b
+    state = {
+        r.g: (r.min_value, r.max_value, r.n_rows)
+        for r in mv.snapshot().collect()
+    }
+    assert state == {"a": (10, 20, 2), "b": (1, 3, 2)}
+    # replay absorbs: same source version -> skipped, no new mv commit
+    n = len(mv.versions())
+    r2 = refresh_minmax_from_feed(*args)
+    assert r2["skipped"] and len(mv.versions()) == n
