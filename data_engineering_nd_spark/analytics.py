@@ -6113,3 +6113,333 @@ def q111_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("price_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q112: KMV sketch set operations — mergeable distinct-count algebra
+# ---------------------------------------------------------------------------
+
+_KMV_K = 256
+_KMV_DOMAIN = float(1 << 60)
+
+
+def kmv_bottom_k(df: DataFrame, k: int = _KMV_K) -> DataFrame:
+    """The k smallest values of column ``h`` as a two-stage tournament:
+    parallel per-salt top-k windows (64-way hash partition, pushed into
+    partial/final WindowGroupLimit), then a top-k over the BOUNDED
+    64·k candidate pool — which Catalyst collapses to a distributed
+    TakeOrderedAndProject, so NO single-partition exchange appears
+    anywhere (pinned in tests/test_plans.py)."""
+    w1 = Window.partitionBy("salt").orderBy("h")
+    stage1 = (
+        df.withColumn("salt", F.pmod(F.col("h"), F.lit(64)))
+        .withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= k)
+        .select("h")
+    )
+    w2 = Window.orderBy("h")
+    return (
+        stage1.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= k)
+        .select("h")
+    )
+
+
+@query(
+    "q112_kmv_set_operations",
+    oracle=f"""
+    WITH a AS (
+        SELECT DISTINCT o_custkey AS c FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+    ),
+    b AS (
+        SELECT DISTINCT o_custkey AS c FROM orders
+        WHERE o_orderpriority = '2-HIGH'
+    ),
+    ha AS (
+        SELECT CAST(concat('0x', substr(md5(CAST(c AS VARCHAR)), 1, 15))
+               AS BIGINT) AS h FROM a
+    ),
+    hb AS (
+        SELECT CAST(concat('0x', substr(md5(CAST(c AS VARCHAR)), 1, 15))
+               AS BIGINT) AS h FROM b
+    ),
+    hu AS (SELECT h FROM ha UNION SELECT h FROM hb),
+    ska AS (SELECT h FROM ha ORDER BY h LIMIT {_KMV_K}),
+    skb AS (SELECT h FROM hb ORDER BY h LIMIT {_KMV_K}),
+    sku AS (SELECT h FROM hu ORDER BY h LIMIT {_KMV_K}),
+    est AS (
+        SELECT
+            (SELECT COUNT(*) FROM ha) AS na,
+            (SELECT COUNT(*) FROM hb) AS nb,
+            (SELECT COUNT(*) FROM hu) AS nu,
+            (SELECT MAX(h) FROM ska) AS hka,
+            (SELECT MAX(h) FROM skb) AS hkb,
+            (SELECT MAX(h) FROM sku) AS hku,
+            (SELECT COUNT(*) FROM sku
+             WHERE h IN (SELECT h FROM ska)
+               AND h IN (SELECT h FROM skb)) AS n_overlap
+    ),
+    e2 AS (
+        SELECT
+            CASE WHEN na <= {_KMV_K} THEN na
+                 ELSE CAST(floor({_KMV_K - 1}.0 *
+                      ({_KMV_DOMAIN!r} / CAST(hka AS DOUBLE))) AS BIGINT)
+            END AS est_a,
+            CASE WHEN nb <= {_KMV_K} THEN nb
+                 ELSE CAST(floor({_KMV_K - 1}.0 *
+                      ({_KMV_DOMAIN!r} / CAST(hkb AS DOUBLE))) AS BIGINT)
+            END AS est_b,
+            CASE WHEN nu <= {_KMV_K} THEN nu
+                 ELSE CAST(floor({_KMV_K - 1}.0 *
+                      ({_KMV_DOMAIN!r} / CAST(hku AS DOUBLE))) AS BIGINT)
+            END AS est_union,
+            na, nb, nu, n_overlap
+        FROM est
+    )
+    SELECT CAST(est_a AS BIGINT) AS est_a,
+           CAST(na AS BIGINT) AS exact_a,
+           CAST(est_b AS BIGINT) AS est_b,
+           CAST(nb AS BIGINT) AS exact_b,
+           CAST(est_union AS BIGINT) AS est_union,
+           CAST(nu AS BIGINT) AS exact_union,
+           CAST((n_overlap * est_union) // {_KMV_K} AS BIGINT)
+               AS est_intersection,
+           CAST(na + nb - nu AS BIGINT) AS exact_intersection
+    FROM e2
+    """,
+)
+def q112_kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count SET ALGEBRA on KMV (k-minimum-values) sketches
+    (Beyer et al., SIGMOD'07 — the mergeable bottom-k sketch behind
+    Iceberg/Trino theta NDV): the customer sets behind URGENT and HIGH
+    orders are sketched as their k=256 smallest 60-bit md5 hash values;
+    |A| and |B| come from each sketch's kth value ((k-1)·D/h_k), the
+    UNION estimate from the merged sketch (bottom-k of the combined
+    stream — the merge is a k-way min, which is what makes the sketch
+    shardable), and the INTERSECTION from the Jaccard fraction of the
+    union sketch present in both input sketches — inclusion-exclusion
+    without a pairwise join. Exact counterparts ride alongside.
+
+    Deterministic by construction: the hash is md5 (engine-mirrorable),
+    so Spark and the SQL oracle compute BIT-IDENTICAL sketches and
+    estimates — the gate checks the estimator itself, not a tolerance.
+
+    Scale shape: the k-min runs as a two-stage tournament — per-salt
+    top-k windows in parallel, then one window over the bounded
+    64·k candidate pool (never a global sort of the NDV stream); at
+    100 TB each executor contributes k candidates and the driver-side
+    state is 3·k hashes."""
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+
+    orders = load(spark, "orders", sf_dir)
+
+    def hashes(priority: str) -> DataFrame:
+        return (
+            orders.where(F.col("o_orderpriority") == priority)
+            .select("o_custkey")
+            .distinct()
+            .select(
+                md5_prefix_long(
+                    F.col("o_custkey").cast("string"), 15
+                ).alias("h")
+            )
+        )
+
+    ha = hashes("1-URGENT").localCheckpoint()
+    hb = hashes("2-HIGH").localCheckpoint()
+    hu = ha.union(hb).distinct()
+
+    ska = kmv_bottom_k(ha).localCheckpoint()
+    skb = kmv_bottom_k(hb).localCheckpoint()
+    sku = kmv_bottom_k(hu).localCheckpoint()
+
+    def est(hashes_df: DataFrame, sketch: DataFrame):
+        n = hashes_df.count()
+        if n <= _KMV_K:
+            return n
+        hk = sketch.agg(F.max("h")).collect()[0][0]
+        import math
+
+        return int(math.floor((_KMV_K - 1) * (_KMV_DOMAIN / float(hk))))
+
+    na, nb, nu = ha.count(), hb.count(), hu.count()
+    est_a, est_b = est(ha, ska), est(hb, skb)
+    est_u = est(hu, sku)
+    n_overlap = (
+        sku.join(ska, "h", "left_semi").join(skb, "h", "left_semi").count()
+    )
+    est_i = (n_overlap * est_u) // _KMV_K
+    row = [
+        (
+            est_a, na, est_b, nb, est_u, nu, est_i,
+            na + nb - nu,
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "est_a bigint, exact_a bigint, est_b bigint, exact_b bigint, "
+        "est_union bigint, exact_union bigint, est_intersection bigint, "
+        "exact_intersection bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q113: Gini concentration of customer spend per nation — exact rank formula
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q113_gini_by_nation",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey AS c,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                    AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT c_nationkey AS nk, x,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c_nationkey ORDER BY x, c
+               ) AS i
+        FROM spend JOIN customer ON c = c_custkey
+    ),
+    g AS (
+        SELECT nk, COUNT(*) AS n, SUM(x) AS s0, SUM(i * x) AS s1
+        FROM ranked GROUP BY 1
+    )
+    SELECT n_name AS nation,
+           CAST(n AS BIGINT) AS n_customers,
+           CAST(s0 AS BIGINT) AS spend_cents,
+           CAST(floor(
+               CAST(2 * s1 - (n + 1) * s0 AS DOUBLE) * 1000000.0
+               / CAST(n * s0 AS DOUBLE) + 0.5
+           ) AS BIGINT) AS gini_e6
+    FROM g JOIN nation ON nk = n_nationkey
+    """,
+)
+def q113_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration index of customer spend per nation — the
+    inequality profile behind revenue-concentration dashboards and
+    long-tail curation decisions, via the exact sorted-rank identity
+    G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) with x ascending and a
+    deterministic (spend, custkey) tie-break.
+
+    Exactness discipline: spend accumulates as DECIMAL cents, the rank
+    moments Σx and Σ i·x as DECIMAL(38,0) (Spark's BIGINT sum would
+    wrap silently at scale), and the single final division runs on
+    integers exactly representable as doubles in the SAME operation
+    order both engines — the e6 result is bit-stable.
+
+    Scale shape: one hash-agg to per-customer spend, one shuffle to
+    nation partitions for the rank window (each nation sorts its own
+    customers — no global sort), one 25-row agg, broadcast nation-name
+    join. At 100 TB the window is the cost, and it parallelizes per
+    nation."""
+    orders = load(spark, "orders", sf_dir)
+    customer = load(spark, "customer", sf_dir)
+    nation = load(spark, "nation", sf_dir)
+    spend = orders.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("x")
+    )
+    ranked = (
+        spend.join(customer, spend["c"] == customer["c_custkey"])
+        .select(F.col("c_nationkey").alias("nk"), "x", "c")
+        .withColumn(
+            "i",
+            F.row_number().over(
+                Window.partitionBy("nk").orderBy("x", "c")
+            ),
+        )
+    )
+    g = ranked.groupBy("nk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).cast("bigint").alias("s0"),
+        F.sum((F.col("i") * F.col("x")).cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("s1"),
+    )
+    return g.join(
+        F.broadcast(nation), g["nk"] == nation["n_nationkey"]
+    ).select(
+        F.col("n_name").alias("nation"),
+        F.col("n").alias("n_customers"),
+        F.col("s0").alias("spend_cents"),
+        F.floor(
+            (2 * F.col("s1") - (F.col("n") + 1) * F.col("s0"))
+            .cast("double")
+            * 1000000.0
+            / (F.col("n") * F.col("s0")).cast("double")
+            + 0.5
+        ).cast("bigint").alias("gini_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q114: running-peak drawdown per year — the risk window kernel
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q114_max_drawdown_by_year",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                    AS BIGINT) AS rev
+        FROM orders GROUP BY 1
+    ),
+    w AS (
+        SELECT year(day) AS yr, rev,
+               MAX(rev) OVER (
+                   PARTITION BY year(day) ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS peak
+        FROM d
+    )
+    SELECT CAST(yr AS BIGINT) AS yr,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MAX(rev) AS BIGINT) AS max_daily_rev_cents,
+           CAST(MAX(peak - rev) AS BIGINT) AS max_drawdown_cents
+    FROM w GROUP BY yr
+    """,
+)
+def q114_max_drawdown_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the daily-revenue series per year (running
+    peak minus current, maximized) — the risk kernel behind burn-rate
+    monitors and anomaly dashboards, and the canonical prefix-max
+    window shape.
+
+    Exactness: daily revenue accumulates as DECIMAL cents before any
+    window touches it; peak/drawdown are BIGINT comparisons — no
+    floating point anywhere. Scale shape: one map-side-combinable
+    hash-agg collapses the fact table to ~2.4k (day, cents) rows, the
+    prefix-max window then runs PARTITIONED BY YEAR over day-sized
+    frames (never a global sort of raw rows), and the final agg is
+    7 rows."""
+    orders = load(spark, "orders", sf_dir)
+    d = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("rev")
+    )
+    w = Window.partitionBy(F.year("day")).orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    peaks = d.select(
+        F.year("day").alias("yr"),
+        "rev",
+        F.max("rev").over(w).alias("peak"),
+    )
+    return peaks.groupBy("yr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.max("rev").cast("bigint").alias("max_daily_rev_cents"),
+        F.max(F.col("peak") - F.col("rev")).cast("bigint")
+        .alias("max_drawdown_cents"),
+    ).select(F.col("yr").cast("bigint").alias("yr"), "n_days",
+             "max_daily_rev_cents", "max_drawdown_cents")

@@ -6662,3 +6662,155 @@ def ds_length_histogram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("token_share_e6"),
         F.sum("n_docs").over(wc).cast("bigint").alias("cum_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture weights: the multilingual up-sampling knob
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ds_mixture_temperature",
+    oracle="""
+    WITH s AS (
+        SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1
+    ),
+    w AS (
+        SELECT lang, n,
+               CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS wt
+        FROM s
+    ),
+    t AS (SELECT SUM(n) AS tn, SUM(wt) AS tw FROM w)
+    SELECT lang,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST((n * 1000000) // tn AS BIGINT) AS raw_share_e6,
+           CAST((wt * 1000000) // tw AS BIGINT) AS temp_share_e6,
+           CAST((wt * 100000) // tw AS BIGINT) AS docs_at_100k,
+           CAST(((wt * 1000000) // tw) * 1000
+                // GREATEST((n * 1000000) // tn, 1) AS BIGINT)
+               AS upsample_e3
+    FROM w, t
+    """,
+)
+def ds_mixture_temperature_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-scaled sampling weights per language (the
+    multilingual mixture knob from mBERT/XLM-R: p_i ∝ n_i^(1/T) with
+    T = 2, flattening the head so low-resource languages up-sample):
+    raw corpus shares, temperature shares, the per-language document
+    budget at a 100k-doc epoch, and the implied up-sampling factor.
+    This is the report that decides the ``ds_domain_mix_sample`` /
+    ``ds_mixture_materialize`` ratios.
+
+    Exactness discipline: n^(1/2) is taken as the INTEGER sqrt
+    (floor(sqrt(n)) — exact for n ≪ 2^52, both engines' IEEE sqrt
+    agree), so every share is a pure BIGINT floor-division — no
+    floating sum whose association order could flip a rounded share.
+
+    Scale shape: one map-side-combinable count per language, then
+    arithmetic on a languages-sized frame — the corpus is read
+    once."""
+    docs = load(spark, "documents", sf_dir)
+    s = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = s.withColumn(
+        "wt",
+        F.floor(F.sqrt(F.col("n").cast("double"))).cast("bigint"),
+    )
+    t = w.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("wt").cast("bigint").alias("tw"),
+    )
+    return w.crossJoin(F.broadcast(t)).select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        F.expr("(n * 1000000) div tn").cast("bigint")
+        .alias("raw_share_e6"),
+        F.expr("(wt * 1000000) div tw").cast("bigint")
+        .alias("temp_share_e6"),
+        F.expr("(wt * 100000) div tw").cast("bigint")
+        .alias("docs_at_100k"),
+        F.expr(
+            "((wt * 1000000) div tw) * 1000 "
+            "div greatest((n * 1000000) div tn, 1L)"
+        ).cast("bigint").alias("upsample_e3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partition stats metadata table: the .partitions rollup, zero data reads
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tbl_partition_stats_report",
+    oracle="""
+    WITH m AS (
+        SELECT month(o_orderdate) AS mo, COUNT(*) AS n
+        FROM orders GROUP BY 1
+    )
+    SELECT 'p_month=' || CAST(mo AS VARCHAR) AS partition_key,
+           CAST(1 AS BIGINT) AS n_files,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(1 AS BIGINT) AS probe_files_kept,
+           (SELECT CAST(n AS BIGINT) FROM m WHERE mo = 7)
+               AS probe_rows_scanned,
+           (SELECT CAST(n AS BIGINT) FROM m WHERE mo = 7) AS probe_rows
+    FROM m
+    """,
+)
+def tbl_partition_stats_report_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ``.partitions`` metadata table under hidden partitioning:
+    orders commit under ``p_month = month(o_orderdate)`` (the derived
+    column is manifest metadata, never stored), and the report reads
+    the PER-PARTITION file/row rollup straight from the manifest —
+    zero data files opened — then cross-checks one partition PROBE:
+    ``prune_partitions({p_month: 7})`` must keep exactly ONE file
+    whose metadata row count equals the month's true cardinality, and
+    the pruned ``scan_partitions`` read must return exactly those
+    rows.
+
+    The oracle recomputes every number from the source SQL, so this
+    gate pins the whole hidden-partitioning metadata chain: transform
+    evaluation at write, per-file value recording, rollup arithmetic,
+    and value-based pruning. At 100 TB this rollup is how operators
+    audit partition skew and size without a LIST or a scan — the
+    clustered write gives one file per live month, so the probe reads
+    1/12th of the table by manifest decision alone."""
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    orders = load(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate"
+    )
+    work = tempfile.mkdtemp(prefix="tbl_pstats_")
+    try:
+        table = VersionedTable(spark, work + "/table")
+        table.commit_partitioned(
+            orders, [("p_month", "month(o_orderdate)")]
+        )
+        kept, _, meta = table.prune_partitions({"p_month": 7})
+        probe_rows = (
+            table.scan_partitions({"p_month": 7})
+            .where(F.month("o_orderdate") == 7)
+            .count()
+        )
+        out = table.partitions_metadata().select(
+            "partition_key",
+            "n_files",
+            "n_rows",
+            F.lit(len(kept)).cast("bigint").alias("probe_files_kept"),
+            F.lit(meta["rows_scanned"]).cast("bigint")
+            .alias("probe_rows_scanned"),
+            F.lit(probe_rows).cast("bigint").alias("probe_rows"),
+        )
+        # output-sized (12 rows); materialize so the scratch table can go
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

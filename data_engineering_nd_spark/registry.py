@@ -302,6 +302,11 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "tbl_dv_purge_report",
         "tbl_column_mapping_report",
         "tbl_mv_minmax_refresh",
+        "q112_kmv_set_operations",
+        "q113_gini_by_nation",
+        "ds_mixture_temperature",
+        "tbl_partition_stats_report",
+        "q114_max_drawdown_by_year",
     ], 11),
 }
 

@@ -668,3 +668,48 @@ def test_dynamic_partition_pruning_subquery_in_fact_scan(spark, tmp_path):
     # and the value side still answers correctly
     months = {r.o_month for r in dpp_quarter_revenue(fact, dim).collect()}
     assert months == {"1995-01", "1995-02", "1995-03"}
+
+
+def test_kmv_bottom_k_is_two_stage_tournament(spark):
+    """The KMV bottom-k must never globally sort the input stream: the
+    only single-partition exchange runs over the BOUNDED 64·k candidate
+    pool after the parallel per-salt stage-1 windows."""
+    from data_engineering_nd_spark.analytics import kmv_bottom_k
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+    from data_engineering_nd_spark.plans.inspect import physical_plan
+
+    orders = load(spark, "orders", SF_DIR)
+    h = orders.select(
+        md5_prefix_long(F.col("o_custkey").cast("string"), 15).alias("h")
+    )
+    plan = physical_plan(kmv_bottom_k(h))
+    assert "hashpartitioning(salt" in plan, plan   # stage 1 parallel
+    # stage 1 pushes the limit into partial/final WindowGroupLimit and
+    # stage 2 collapses to a distributed top-k — NO single-partition
+    # exchange anywhere
+    assert "WindowGroupLimit" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_gini_window_partitions_by_nation_and_broadcasts_names(spark):
+    """The rank window must run per nation (no global sort of the
+    customer stream); the 25-row nation-name join rides a broadcast."""
+    from data_engineering_nd_spark.analytics import q113_gini_by_nation
+    from data_engineering_nd_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(q113_gini_by_nation(spark, SF_DIR))
+    assert "SinglePartition" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_drawdown_window_partitions_by_year_over_daily_agg(spark):
+    """The prefix-max window must run per year over the day-level
+    aggregate — a HashAggregate collapses the fact table BEFORE any
+    window, and no single-partition exchange appears."""
+    from data_engineering_nd_spark.analytics import q114_max_drawdown_by_year
+    from data_engineering_nd_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(q114_max_drawdown_by_year(spark, SF_DIR))
+    assert "SinglePartition" not in plan, plan
+    assert "HashAggregate" in plan, plan

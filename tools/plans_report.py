@@ -147,6 +147,16 @@ HEADLINERS = [
     "text_levenshtein_pairs",
     "q109_event_path_trigrams",
     "q110_new_vs_returning",
+    "q113_gini_by_nation",
+    "q114_max_drawdown_by_year",
+    "ds_mixture_temperature",
+    # round-11 tbl_mutation_occ / tbl_dv_purge_report /
+    # tbl_column_mapping_report / tbl_mv_minmax_refresh /
+    # tbl_partition_stats_report return localCheckpoint-ed audit rows
+    # (OCC/purge/mapping/MV lifecycle properties pinned in tests) and
+    # q112_kmv_set_operations returns a driver-assembled single row
+    # (its two-stage k-min tournament shape is pinned in
+    # tests/test_plans.py) — kept out per the standing rule below.
     # round-10 tbl_concurrent_commits / tbl_log_checkpoint_report /
     # tbl_merge_dv / tbl_metadata_tables / stream_change_feed return
     # localCheckpoint-ed audit rows (OCC/checkpoint/merge-on-read/CDC-pump
