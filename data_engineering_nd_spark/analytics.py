@@ -6254,8 +6254,7 @@ def q112_kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     skb = kmv_bottom_k(hb).localCheckpoint()
     sku = kmv_bottom_k(hu).localCheckpoint()
 
-    def est(hashes_df: DataFrame, sketch: DataFrame):
-        n = hashes_df.count()
+    def est(n: int, sketch: DataFrame) -> int:
         if n <= _KMV_K:
             return n
         hk = sketch.agg(F.max("h")).collect()[0][0]
@@ -6264,8 +6263,8 @@ def q112_kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
         return int(math.floor((_KMV_K - 1) * (_KMV_DOMAIN / float(hk))))
 
     na, nb, nu = ha.count(), hb.count(), hu.count()
-    est_a, est_b = est(ha, ska), est(hb, skb)
-    est_u = est(hu, sku)
+    est_a, est_b = est(na, ska), est(nb, skb)
+    est_u = est(nu, sku)
     n_overlap = (
         sku.join(ska, "h", "left_semi").join(skb, "h", "left_semi").count()
     )
@@ -6357,17 +6356,19 @@ def q113_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = ranked.groupBy("nk").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.col("x").cast("decimal(38,0)")).cast("bigint").alias("s0"),
-        F.sum((F.col("i") * F.col("x")).cast("decimal(38,0)"))
-        .cast("bigint")
-        .alias("s1"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("s0"),
+        F.sum((F.col("i") * F.col("x")).cast("decimal(38,0)")).alias("s1"),
     )
+    # the rank moments STAY DECIMAL(38,0) through the arithmetic (a
+    # BIGINT 2*s1 would wrap silently at large SF while the oracle's
+    # HUGEINT keeps going); only the final exact integers cross to
+    # DOUBLE for the one division
     return g.join(
         F.broadcast(nation), g["nk"] == nation["n_nationkey"]
     ).select(
         F.col("n_name").alias("nation"),
         F.col("n").alias("n_customers"),
-        F.col("s0").alias("spend_cents"),
+        F.col("s0").cast("bigint").alias("spend_cents"),
         F.floor(
             (2 * F.col("s1") - (F.col("n") + 1) * F.col("s0"))
             .cast("double")

@@ -325,11 +325,17 @@ def refresh_minmax_from_feed(
     )
     # a deleted value that ties-or-beats the stored extremum may have
     # BEEN the extremum (ties matter: another row may share the value,
-    # but proving that needs data — recompute, scoped to the group)
+    # but proving that needs data — recompute, scoped to the group).
+    # A group ABSENT from the view (born inside this refresh window)
+    # with deletes has no stored extrema to compare against — its
+    # deleted rows may well have been its extrema, so it recomputes too
+    # (folding add_min/add_max in blindly would resurrect a deleted
+    # value as the extremum).
     needs = F.coalesce(
         F.col("del_n").isNotNull()
         & (
-            (F.col("del_min") <= F.col("min_value"))
+            F.col("min_value").isNull()
+            | (F.col("del_min") <= F.col("min_value"))
             | (F.col("del_max") >= F.col("max_value"))
         ),
         F.lit(False),

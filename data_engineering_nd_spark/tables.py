@@ -3281,24 +3281,59 @@ class VersionedTable:
             )
         span = [v for v in vs if from_version < v <= to_version]
         out: DataFrame | None = None
+        # every per-commit part aligns to the RANGE-END schema, resolving
+        # renamed columns across the range by column-mapping FIELD ID —
+        # a feed spanning a rename keeps the renamed column's values
+        # under its final name instead of null-filling (and a renamed
+        # key column keeps joining)
+        fcur = StructType.fromJson(
+            json.loads(self._manifest(to_version)["schema"])
+        )
+
+        def _align(df: DataFrame, src_json: str) -> DataFrame:
+            src = StructType.fromJson(json.loads(src_json))
+            by_id = {
+                (f.metadata or {}).get("field_id"): f.name
+                for f in src.fields
+                if (f.metadata or {}).get("field_id") is not None
+            }
+            names = {f.name for f in src.fields}
+            cols = []
+            for fld in fcur.fields:
+                fid = (fld.metadata or {}).get("field_id")
+                phys = (fld.metadata or {}).get("physical_name")
+                if fid is not None and fid in by_id:
+                    cols.append(
+                        F.col(by_id[fid]).cast(fld.dataType).alias(fld.name)
+                    )
+                elif phys is not None and phys in names:
+                    # pre-mapping commits carry no field ids, but a
+                    # field's frozen physical name IS its original
+                    # logical name there — bridge through it
+                    cols.append(
+                        F.col(phys).cast(fld.dataType).alias(fld.name)
+                    )
+                elif fld.name in names:
+                    # same-name resolution; the cast also upcasts
+                    # pre-widening commits to the final (wider) type
+                    cols.append(
+                        F.col(fld.name).cast(fld.dataType).alias(fld.name)
+                    )
+                else:  # additive evolution: old commits -> null
+                    cols.append(F.lit(None).cast(fld.dataType).alias(fld.name))
+            return df.select(cols)
+
         for v in span:
             pv = max(w for w in vs if w < v)
             pm, m = self._manifest(pv), self._manifest(v)
             prev_set, cur_set = set(pm["files"]), set(m["files"])
             removed = [f for f in pm["files"] if f not in cur_set]
             added = [f for f in m["files"] if f not in prev_set]
-            cur = StructType.fromJson(json.loads(m["schema"]))
 
-            def _align(df: DataFrame) -> DataFrame:
-                # additive evolution: old files -> null
-                for fld in cur.fields:
-                    if fld.name not in df.columns:
-                        df = df.withColumn(
-                            fld.name, F.lit(None).cast(fld.dataType)
-                        )
-                return df.select([fld.name for fld in cur.fields])
-
-            pre = _align(self._read_files(removed, pm["schema"], pm.get("dv")))
+            pre = _align(
+                self._read_files(removed, pm["schema"], pm.get("dv")),
+                pm["schema"],
+            )
             # Merge-on-read deltas: rows newly deleted by the vectors
             # THIS commit added are pre-images too, folded into the same
             # full-outer classification below — so a DV delete feeds as
@@ -3357,10 +3392,14 @@ class VersionedTable:
                     dv_rows = _align(
                         raw.join(
                             F.broadcast(delta), cond, "left_semi"
-                        ).drop("__dv_file", "__dv_pos")
+                        ).drop("__dv_file", "__dv_pos"),
+                        pm["schema"],
                     )
                     pre = pre.unionByName(dv_rows)
-            post = self._read_files(added, m["schema"], m.get("dv"))
+            post = _align(
+                self._read_files(added, m["schema"], m.get("dv")),
+                m["schema"],
+            )
             payload = [c for c in post.columns if c not in key_cols]
             a = pre.withColumn("__pre", F.lit(1)).alias("a")
             b = post.withColumn("__post", F.lit(1)).alias("b")

@@ -592,3 +592,34 @@ def test_refresh_minmax_delete_of_extremum_triggers_scoped_recompute(
     n = len(mv.versions())
     r2 = refresh_minmax_from_feed(*args)
     assert r2["skipped"] and len(mv.versions()) == n
+
+
+def test_refresh_minmax_new_group_with_adds_and_deletes_recomputes(
+    spark, tmp_path
+):
+    """A group BORN inside the refresh window whose rows are partly
+    deleted in the same window has no stored extrema to validate
+    against — it must take the scoped recompute, not fold the deleted
+    value in as a phantom extremum (r11 self-review finding #1)."""
+    from pyspark.sql import Row
+
+    from data_engineering_nd_spark.streaming.sink import (
+        refresh_minmax_from_feed,
+    )
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    mv = VersionedTable(spark, str(tmp_path / "mv"))
+    src.commit(spark.createDataFrame([Row(k=1, g="a", v=10)]))
+    args = (src, mv, ["k"], "g", "v", "app")
+    refresh_minmax_from_feed(*args)          # view has only group a
+    src.commit(spark.createDataFrame(
+        [Row(k=2, g="b", v=1), Row(k=3, g="b", v=5)]), mode="append")
+    src.delete_where_dv("k", 2, 2)           # b's minimum dies pre-refresh
+    r = refresh_minmax_from_feed(*args)
+    assert r["groups_recomputed"] == 1
+    state = {
+        r.g: (r.min_value, r.max_value, r.n_rows)
+        for r in mv.snapshot().collect()
+    }
+    assert state == {"a": (10, 10, 1), "b": (5, 5, 1)}

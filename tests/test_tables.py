@@ -2132,3 +2132,25 @@ def test_column_mapping_append_conflicts_with_concurrent_schema_change(
     assert sorted((r.k, r.w) for r in table.snapshot().collect()) == [
         (1, "a"), (2, "b")
     ]
+
+
+def test_change_feed_across_rename_resolves_by_field_id(spark, table):
+    """A feed range spanning a rename must surface pre-rename changes
+    under the FINAL column names (field-id resolution), including a
+    renamed KEY column (r11 self-review finding #2)."""
+    table.commit(spark.createDataFrame([Row(k=1, v="a")]))
+    table.commit(spark.createDataFrame([Row(k=2, v="b")]), mode="append")
+    table.rename_column("v", "val")    # v2
+    table.rename_column("k", "kid")    # v3
+    table.commit(spark.createDataFrame([Row(kid=3, val="c")]), mode="append")
+    feed = table.change_feed(["kid"], 0, 4)
+    got = sorted(
+        (r.kid, r.val, r._change_type, r._commit_version)
+        for r in feed.collect()
+    )
+    # pre-rename appends carry their values under the final names;
+    # the two rename commits themselves feed nothing
+    assert got == [
+        (2, "b", "insert", 1),
+        (3, "c", "insert", 4),
+    ]
