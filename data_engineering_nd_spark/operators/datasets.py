@@ -3870,6 +3870,139 @@ def tbl_deletion_vectors_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Persistent CHECK constraints: table properties enforced on every write
+# ---------------------------------------------------------------------------
+
+_PERSISTENT_CONS_ORACLE = """
+    WITH evens AS (
+        SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    odds AS (
+        SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    final AS (
+        SELECT k FROM evens
+        UNION ALL SELECT k FROM odds
+        UNION ALL SELECT -1
+    )
+    SELECT CAST(5 AS BIGINT) AS n_versions,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM odds
+            WHERE k % 97 = 0) AS append_violations,
+           CAST(1 AS BIGINT) AS merge_blocked,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE NOT o_orderkey < 100) AS precheck_violations,
+           CAST(0 AS BIGINT) AS checks_after_drop,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM final) AS rows_total,
+           (SELECT CAST(SUM(CAST(concat('0x',
+                substr(md5(CAST(k AS VARCHAR)), 1, 10))
+                AS BIGINT)) AS BIGINT) FROM final) AS key_checksum
+"""
+
+
+@query("tbl_persistent_constraints", oracle=_PERSISTENT_CONS_ORACLE)
+def tbl_persistent_constraints_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Persistent table-level CHECK constraints (the Delta ``ALTER
+    TABLE ADD CONSTRAINT`` verb as TABLE PROPERTIES): once
+    ``positive_price`` lands as a metadata-only commit, EVERY
+    subsequent write path validates its batch automatically — the
+    dirty append (odd keys with %97 prices negated) is rejected with
+    the arithmetic ground-truth violation count and ZERO files
+    written, a dirty merge source is rejected the same way, and a
+    clean append lands. Adding a constraint the EXISTING data violates
+    (``o_orderkey < 100``) is itself rejected after a one-aggregate
+    snapshot scan — a constraint can never be born broken. Dropping
+    the constraint (metadata-only) restores writability, pinned by a
+    sentinel row that then lands.
+
+    The report value-hashes the version trajectory, all three
+    rejection counts, and the final snapshot row count + key checksum;
+    the oracle recomputes every number from the source SQL. Constraint
+    validation is ONE map-side-combinable aggregate per batch
+    regardless of constraint count; the constraint set rides the
+    manifest like txn watermarks, surviving unrelated maintenance
+    commits. The reference validates AFTER load
+    (``Capstone/i94_data_quality_check.py``) — by which time the bad
+    batch is already readable state."""
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+    from data_engineering_nd_spark.tables import (
+        ConstraintViolation,
+        VersionedTable,
+    )
+
+    orders = load(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_totalprice"
+    )
+    evens = orders.filter(F.col("o_orderkey") % 2 == 0)
+    odds = orders.filter(F.col("o_orderkey") % 2 == 1)
+    dirty = odds.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, -F.col("o_totalprice")
+        ).otherwise(F.col("o_totalprice")),
+    )
+    work = tempfile.mkdtemp(prefix="tbl_pcons_")
+    try:
+        table = VersionedTable(spark, work + "/table")
+        table.commit(evens)  # v0
+        table.add_check_constraint(
+            "positive_price", "o_totalprice > 0"
+        )  # v1, validates v0 first
+        append_violations = -1
+        try:
+            table.commit(dirty, mode="append")
+        except ConstraintViolation as e:
+            append_violations = e.report.get("positive_price", 0)
+        merge_blocked = 0
+        try:
+            table.merge(
+                evens.limit(1).withColumn(
+                    "o_totalprice", F.lit(-1.0)
+                ),
+                ["o_orderkey"],
+            )
+        except ConstraintViolation:
+            merge_blocked = 1
+        table.commit(odds, mode="append")  # v2: clean batch lands
+        precheck_violations = -1
+        try:
+            table.add_check_constraint("key_small", "o_orderkey < 100")
+        except ConstraintViolation as e:
+            precheck_violations = e.report.get("key_small", 0)
+        table.drop_check_constraint("positive_price")  # v3
+        table.commit(  # v4: sentinel lands once the check is gone
+            spark.createDataFrame(
+                [(-1, -1.0)], "o_orderkey bigint, o_totalprice double"
+            ),
+            mode="append",
+        )
+        checks_after = len(table.table_checks())
+        key_digest = md5_prefix_long(F.col("o_orderkey").cast("string"))
+        out = table.snapshot().agg(
+            F.count(F.lit(1)).cast("bigint").alias("rows_total"),
+            F.sum(key_digest).cast("bigint").alias("key_checksum"),
+        ).select(
+            F.lit(len(table.versions())).cast("bigint").alias("n_versions"),
+            F.lit(append_violations).cast("bigint")
+            .alias("append_violations"),
+            F.lit(merge_blocked).cast("bigint").alias("merge_blocked"),
+            F.lit(precheck_violations).cast("bigint")
+            .alias("precheck_violations"),
+            F.lit(checks_after).cast("bigint").alias("checks_after_drop"),
+            "rows_total",
+            "key_checksum",
+        )
+        # output-sized (1 row); materialize so the scratch table can go
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # Column mapping: metadata-only RENAME / DROP COLUMN via stable field ids
 # ---------------------------------------------------------------------------
 

@@ -307,6 +307,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "ds_mixture_temperature",
         "tbl_partition_stats_report",
         "q114_max_drawdown_by_year",
+        "tbl_persistent_constraints",
     ], 11),
 }
 

@@ -633,6 +633,7 @@ class VersionedTable:
         txn_update: dict[str, int] | None = None,
         dv_refs: dict[str, list[str]] | None = None,
         max_field_id: int | None = None,
+        constraints_update: dict | None = None,
     ) -> dict:
         """Atomic commit point: temp-file + rename within _log/."""
         os.makedirs(self._log_dir(), exist_ok=True)
@@ -642,14 +643,18 @@ class VersionedTable:
         txn: dict[str, int] = {}
         prev_refs: dict[str, list[str]] = {}
         prev_mfi = 0
+        constraints: dict = {}
         if version > 0:
             try:
                 pm = self._manifest(version - 1)
                 txn = dict(pm.get("txn") or {})
                 prev_refs = dict(pm.get("dv_refs") or {})
                 prev_mfi = int(pm.get("max_field_id") or 0)
+                constraints = dict(pm.get("constraints") or {})
             except OSError:
                 pass
+        if constraints_update is not None:
+            constraints = constraints_update
         if txn_update:
             txn.update(txn_update)
         # deletion-vector attribution (which data-file keys each DV
@@ -705,6 +710,11 @@ class VersionedTable:
             # monotonic column-mapping id high-water mark: dropped field
             # ids are never reused (reuse could resurrect dropped bytes)
             "max_field_id": max(prev_mfi, max_field_id or 0),
+            # persistent CHECK constraints (table properties): carried
+            # across every commit kind, enforced by the write paths
+            "constraints": {
+                k: [list(c) for c in v] for k, v in constraints.items()
+            },
         }
         final = os.path.join(self._log_dir(), f"{version:011d}.json")
         tmp = final + f".{uuid.uuid4().hex}.tmp"
@@ -1199,6 +1209,9 @@ class VersionedTable:
                 raise ConstraintViolation(bad)
         if read_version is None:
             read_version = self.latest_version()
+        # persistent CHECK constraints recorded on the table validate
+        # every incoming batch (one aggregate pass, before any write)
+        self._enforce_table_checks(df, read_version)
         my_op = "append" if mode == "append" else "replace"
         # column mapping: derive the TARGET schema (with field ids /
         # physical names) from the basis manifest BEFORE writing, so the
@@ -1368,6 +1381,7 @@ class VersionedTable:
             staged = staged.withColumn(name, F.expr(expr))
         if read_version is None:
             read_version = self.latest_version()
+        self._enforce_table_checks(df, read_version)
         my_op = "append" if mode == "append" else "replace"
         first_guess = 0 if read_version is None else read_version + 1
         rel_dir = os.path.join(
@@ -1937,6 +1951,116 @@ class VersionedTable:
                     m.get("partitions"),
                     dv=m.get("dv"),
                     max_field_id=mfi,
+                )
+            except CommitConflict:
+                attempts += 1
+                if attempts > max_retries:
+                    raise
+
+    # -- persistent CHECK constraints (table properties) -------------------
+
+    def table_checks(self, version: int | None = None) -> list[tuple[str, str]]:
+        """The persistent CHECK constraints recorded on a snapshot
+        (``(name, sql_predicate)`` pairs), enforced automatically on
+        every subsequent data-writing commit."""
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            return []
+        cons = self._manifest(version).get("constraints") or {}
+        return [tuple(c) for c in cons.get("checks", [])]
+
+    def _enforce_table_checks(
+        self, df: DataFrame, basis: int | None
+    ) -> None:
+        """Raise :class:`ConstraintViolation` if ``df`` breaks any
+        persistent CHECK recorded at ``basis`` — one aggregate pass over
+        the batch regardless of constraint count, BEFORE any file is
+        written."""
+        checks = self.table_checks(basis)
+        if not checks:
+            return
+        report = validate_constraints(df, checks)
+        bad = {k: v for k, v in report.items() if v > 0}
+        if bad:
+            raise ConstraintViolation(bad)
+
+    def add_check_constraint(self, name: str, predicate: str) -> dict:
+        """Persist a table-level CHECK constraint (the Delta ``ALTER
+        TABLE ADD CONSTRAINT`` verb): the CURRENT snapshot is validated
+        first (one aggregate scan — a constraint existing data violates
+        is rejected with :class:`ConstraintViolation` and nothing is
+        committed), then the constraint lands as a METADATA-ONLY commit
+        and every later ``commit`` / ``commit_partitioned`` / ``merge``
+        / ``merge_when`` / ``merge_dv`` / ``publish_staged`` batch is
+        validated against it automatically — the write-side contract
+        the reference's after-load DQ checks
+        (``Capstone/i94_data_quality_check.py``) cannot give: a dirty
+        batch can never become readable state."""
+        prev = self.latest_version()
+        if prev is not None:
+            report = validate_constraints(
+                self.snapshot(prev), [(name, predicate)]
+            )
+            bad = {k: v for k, v in report.items() if v > 0}
+            if bad:
+                raise ConstraintViolation(bad)
+
+        def edit(m):
+            cons = dict(m.get("constraints") or {})
+            checks = [
+                tuple(c) for c in cons.get("checks", [])
+                if c[0] != name
+            ]
+            checks.append((name, predicate))
+            cons["checks"] = sorted(checks)
+            return cons
+
+        return self._commit_constraints_edit(
+            edit, f"add-constraint({name})"
+        )
+
+    def drop_check_constraint(self, name: str) -> dict:
+        """Remove a persistent CHECK constraint (metadata-only)."""
+
+        def edit(m):
+            cons = dict(m.get("constraints") or {})
+            before = cons.get("checks", [])
+            after = [tuple(c) for c in before if c[0] != name]
+            if len(after) == len(before):
+                raise ValueError(f"no such constraint {name!r}")
+            cons["checks"] = after
+            return cons
+
+        return self._commit_constraints_edit(
+            edit, f"drop-constraint({name})"
+        )
+
+    def _commit_constraints_edit(
+        self, edit, operation: str, max_retries: int = 10
+    ) -> dict:
+        """Metadata-only constraints commit: same files/stats/vectors,
+        edited ``constraints``; the link-race loser re-derives the edit
+        from the new latest manifest."""
+        attempts = 0
+        while True:
+            prev = self.latest_version()
+            if prev is None:
+                raise FileNotFoundError(
+                    f"no committed version at {self.root}"
+                )
+            m = self._manifest(prev)
+            try:
+                return self._publish(
+                    prev + 1,
+                    m["files"],
+                    operation,
+                    m["schema"],
+                    self._file_sizes(m["files"], m),
+                    self._file_stats(m["files"], m),
+                    m.get("partitions"),
+                    dv=m.get("dv"),
+                    constraints_update=edit(m),
                 )
             except CommitConflict:
                 attempts += 1
@@ -2866,6 +2990,7 @@ class VersionedTable:
             return self.commit(source, mode="overwrite")
         m = self._manifest(prev)
         version = prev + 1
+        self._enforce_table_checks(source, prev)
 
         candidates, stat_pruned = self._merge_stat_candidates(
             source, key_cols[0], m
@@ -3107,6 +3232,9 @@ class VersionedTable:
         rewritten = classified.where(
             F.col("__action").isin("update", "keep_matched", "keep", "insert")
         ).select(*out_cols)
+        # persistent checks validate the rows actually WRITTEN (clause
+        # filters may drop violating source rows — those are fine)
+        self._enforce_table_checks(rewritten, prev)
         new_files = self._write_files(rewritten, version, m["schema"])
         manifest = self._publish_mutation(
             read_version,
@@ -3170,6 +3298,7 @@ class VersionedTable:
         m = self._manifest(prev)
         version = prev + 1
         prev_dv = m.get("dv") or []
+        self._enforce_table_checks(source, prev)
         candidates, _ = self._merge_stat_candidates(
             source, key_cols[0], m
         )
@@ -3620,6 +3749,7 @@ class VersionedTable:
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
         m = self._staged_manifest(branch)
+        checks = list(checks or []) + self.table_checks()
         if checks or unique:
             report = validate_constraints(
                 self.read_staged(branch), checks, unique

@@ -2154,3 +2154,83 @@ def test_change_feed_across_rename_resolves_by_field_id(spark, table):
         (2, "b", "insert", 1),
         (3, "c", "insert", 4),
     ]
+
+
+# -- persistent CHECK constraints (table properties) -------------------------
+
+
+def test_persistent_check_enforced_on_all_write_paths(spark, table):
+    from data_engineering_nd_spark.tables import ConstraintViolation
+
+    table.commit(spark.createDataFrame([Row(k=1, v=10), Row(k=2, v=20)]))
+    m = table.add_check_constraint("v_positive", "v > 0")
+    assert m["operation"] == "add-constraint(v_positive)"
+    # plain append of a dirty batch: rejected before any file lands
+    files_before = set(m["files"])
+    with pytest.raises(ConstraintViolation):
+        table.commit(spark.createDataFrame([Row(k=3, v=-1)]), mode="append")
+    assert set(table._manifest(table.latest_version())["files"]) == files_before
+    # merge with a dirty source: rejected
+    with pytest.raises(ConstraintViolation):
+        table.merge(spark.createDataFrame([Row(k=1, v=-5)]), ["k"])
+    with pytest.raises(ConstraintViolation):
+        table.merge_dv(spark.createDataFrame([Row(k=1, v=-5)]), ["k"])
+    # clean writes land
+    table.commit(spark.createDataFrame([Row(k=3, v=30)]), mode="append")
+    assert sorted((r.k, r.v) for r in table.snapshot().collect()) == [
+        (1, 10), (2, 20), (3, 30)
+    ]
+
+
+def test_add_constraint_validates_existing_data(spark, table):
+    from data_engineering_nd_spark.tables import ConstraintViolation
+
+    table.commit(spark.createDataFrame([Row(k=1, v=-1)]))
+    with pytest.raises(ConstraintViolation):
+        table.add_check_constraint("v_positive", "v > 0")
+    assert len(table.versions()) == 1  # nothing committed
+
+
+def test_drop_constraint_restores_writability(spark, table):
+    from data_engineering_nd_spark.tables import ConstraintViolation
+
+    table.commit(spark.createDataFrame([Row(k=1, v=10)]))
+    table.add_check_constraint("v_positive", "v > 0")
+    with pytest.raises(ConstraintViolation):
+        table.commit(spark.createDataFrame([Row(k=2, v=-2)]), mode="append")
+    table.drop_check_constraint("v_positive")
+    table.commit(spark.createDataFrame([Row(k=2, v=-2)]), mode="append")
+    assert table.snapshot().count() == 2
+    with pytest.raises(ValueError, match="no such constraint"):
+        table.drop_check_constraint("zzz")
+
+
+def test_merge_when_checks_written_rows_not_filtered_source(spark, table):
+    """A violating source row that the insert_when clause FILTERS OUT
+    must not trip the constraint — only rows actually written count."""
+    from data_engineering_nd_spark.tables import ConstraintViolation
+
+    table.commit(spark.createDataFrame([Row(k=1, v=10)]))
+    table.add_check_constraint("v_positive", "v > 0")
+    m = table.merge_when(
+        spark.createDataFrame([Row(k=2, v=-2), Row(k=3, v=30)]),
+        ["k"],
+        insert_when="src_v > 0",
+    )
+    assert m["rows_inserted"] == 1 and m["rows_insert_skipped"] == 1
+    with pytest.raises(ConstraintViolation):
+        table.merge_when(
+            spark.createDataFrame([Row(k=4, v=-4)]), ["k"],
+        )
+
+
+def test_constraints_carry_across_unrelated_commits(spark, chunked_table):
+    from data_engineering_nd_spark.tables import ConstraintViolation
+
+    t = chunked_table
+    t.add_check_constraint("k_nonneg", "k >= 0")
+    t.delete_where("k", 10, 14)
+    t.optimize(min_file_bytes=10**12)
+    assert t.table_checks() == [("k_nonneg", "k >= 0")]
+    with pytest.raises(ConstraintViolation):
+        t.commit(spark.createDataFrame([Row(k=-1, v="bad")]), mode="append")

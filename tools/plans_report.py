@@ -152,7 +152,8 @@ HEADLINERS = [
     "ds_mixture_temperature",
     # round-11 tbl_mutation_occ / tbl_dv_purge_report /
     # tbl_column_mapping_report / tbl_mv_minmax_refresh /
-    # tbl_partition_stats_report return localCheckpoint-ed audit rows
+    # tbl_partition_stats_report / tbl_persistent_constraints
+    # return localCheckpoint-ed audit rows
     # (OCC/purge/mapping/MV lifecycle properties pinned in tests) and
     # q112_kmv_set_operations returns a driver-assembled single row
     # (its two-stage k-min tournament shape is pinned in
