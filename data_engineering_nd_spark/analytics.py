@@ -6444,3 +6444,79 @@ def q114_max_drawdown_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("max_drawdown_cents"),
     ).select(F.col("yr").cast("bigint").alias("yr"), "n_days",
              "max_daily_rev_cents", "max_drawdown_cents")
+
+
+# ---------------------------------------------------------------------------
+# q115: top-decile revenue concentration — distributed top-k, no global sort
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q115_top_decile_revenue_share",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey AS c,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                    AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    n AS (SELECT COUNT(*) AS n FROM spend),
+    top AS (
+        SELECT x FROM spend ORDER BY x DESC, c
+        LIMIT (SELECT (n + 9) // 10 FROM n)
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM n) AS n_customers,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM top) AS top_decile_n,
+           (SELECT CAST(SUM(x) AS BIGINT) FROM top) AS top_cents,
+           (SELECT CAST(SUM(x) AS BIGINT) FROM spend) AS total_cents,
+           CAST((SELECT SUM(x) FROM top) * 1000000
+                // (SELECT SUM(x) FROM spend) AS BIGINT) AS top_share_e6
+    """,
+)
+def q115_top_decile_revenue_share(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Revenue concentration in the top spend decile — the 80/20
+    dashboard number. The top ceil(n/10) customers by exact DECIMAL-cent
+    spend (deterministic (spend DESC, custkey) tie-break) are selected
+    with a DISTRIBUTED top-k: per-salt ranked windows feed a bounded
+    candidate pool that Catalyst executes as TakeOrderedAndProject —
+    no global sort of the customer stream, the same tournament shape as
+    :func:`kmv_bottom_k`. All shares are BIGINT floor divisions.
+
+    At 100 TB: the fact table collapses to per-customer spend in one
+    hash-agg; the top-k moves k·64 candidate rows, not n."""
+    orders = load(spark, "orders", sf_dir)
+    spend = orders.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("x")
+    ).localCheckpoint()
+    n = spend.count()
+    k = (n + 9) // 10
+    w1 = Window.partitionBy("salt").orderBy(F.col("x").desc(), "c")
+    stage1 = (
+        spend.withColumn("salt", F.pmod(F.col("c"), F.lit(64)))
+        .withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= k)
+        .select("x", "c")
+    )
+    w2 = Window.orderBy(F.col("x").desc(), "c")
+    top = (
+        stage1.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= k)
+    )
+    agg = top.agg(
+        F.count(F.lit(1)).cast("bigint").alias("top_decile_n"),
+        F.sum("x").cast("bigint").alias("top_cents"),
+    ).crossJoin(
+        spend.agg(F.sum("x").cast("bigint").alias("total_cents"))
+    )
+    return agg.select(
+        F.lit(n).cast("bigint").alias("n_customers"),
+        "top_decile_n",
+        "top_cents",
+        "total_cents",
+        F.expr("(top_cents * 1000000) div total_cents").cast("bigint")
+        .alias("top_share_e6"),
+    )

@@ -6947,3 +6947,88 @@ def tbl_partition_stats_report_query(
         return out.localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Tags: named version pins with vacuum exemption (Iceberg refs)
+# ---------------------------------------------------------------------------
+
+_TAGS_ORACLE = """
+    WITH evens AS (
+        SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    odds AS (
+        SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM evens) AS tag_rows,
+        (SELECT CAST(SUM(CAST(concat('0x',
+             substr(md5(CAST(k AS VARCHAR)), 1, 10)) AS BIGINT))
+             AS BIGINT) FROM evens) AS tag_checksum,
+        CAST(0 AS BIGINT) AS files_removed_while_tagged,
+        CAST(2 AS BIGINT) AS files_removed_after_untag,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM odds) AS head_rows,
+        (SELECT CAST(SUM(CAST(concat('0x',
+             substr(md5(CAST(k AS VARCHAR)), 1, 10)) AS BIGINT))
+             AS BIGINT) FROM odds) AS head_checksum
+"""
+
+
+@query("tbl_tags_report", oracle=_TAGS_ORACLE)
+def tbl_tags_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named version pins (the Iceberg TAG ref): v0 (even-keyed orders)
+    is tagged ``audit-2024`` and then OVERWRITTEN by the odd keys.
+    ``vacuum(retain_last=1)`` — which without the tag would expire v0's
+    files — removes NOTHING (the tag is a retention pin), and the tag
+    read returns v0 bit-exactly (count + key checksum). Deleting the
+    tag and vacuuming again removes exactly v0's two data files while
+    the head snapshot stays intact.
+
+    This is how a reproducibility/audit snapshot (the frozen eval set,
+    the quarter-close state) survives routine maintenance at 100 TB
+    without copying a byte: the tag is one JSON ref, created with an
+    exclusive link so racing writers cannot silently re-point it, and
+    vacuum's keep-set is (retained ∪ staged ∪ tagged)."""
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    orders = load(spark, "orders", sf_dir).select("o_orderkey")
+    evens = orders.filter(F.col("o_orderkey") % 2 == 0)
+    odds = orders.filter(F.col("o_orderkey") % 2 == 1)
+    work = tempfile.mkdtemp(prefix="tbl_tags_")
+    try:
+        table = VersionedTable(spark, work + "/table")
+        table.commit(evens.repartition(2))  # v0: exactly 2 files
+        table.create_tag("audit-2024")
+        table.commit(odds)  # v1: overwrite
+        removed_tagged = len(table.vacuum(retain_last=1))
+        key_digest = md5_prefix_long(F.col("o_orderkey").cast("string"))
+        # materialize the tag read BEFORE the untag+vacuum expires v0
+        tag_state = table.snapshot_by_tag("audit-2024").agg(
+            F.count(F.lit(1)).cast("bigint").alias("tag_rows"),
+            F.sum(key_digest).cast("bigint").alias("tag_checksum"),
+        ).localCheckpoint()
+        table.delete_tag("audit-2024")
+        removed_after = len(table.vacuum(retain_last=1))
+        out = tag_state.crossJoin(
+            table.snapshot().agg(
+                F.count(F.lit(1)).cast("bigint").alias("head_rows"),
+                F.sum(key_digest).cast("bigint").alias("head_checksum"),
+            )
+        ).select(
+            "tag_rows",
+            "tag_checksum",
+            F.lit(removed_tagged).cast("bigint")
+            .alias("files_removed_while_tagged"),
+            F.lit(removed_after).cast("bigint")
+            .alias("files_removed_after_untag"),
+            "head_rows",
+            "head_checksum",
+        )
+        # output-sized (1 row); materialize so the scratch table can go
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -1073,3 +1073,65 @@ def dq_candidate_keys_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Per-partition completeness profile: the DQ rollup partition owners read
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_completeness_by_partition",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS BIGINT)
+               AS user_nulls,
+           CAST(COUNT(CASE WHEN value IS NULL OR isnan(value) THEN 1 END)
+               AS BIGINT) AS value_bad,
+           CAST(COUNT(CASE WHEN props IS NULL THEN 1 END) AS BIGINT)
+               AS props_nulls,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST((COUNT(*) - COUNT(CASE WHEN user_id IS NULL THEN 1 END))
+                * 1000000 // COUNT(*) AS BIGINT) AS user_complete_e6
+    FROM events GROUP BY 1
+    """,
+)
+def dq_completeness_by_partition_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-day completeness profile of the events stream — the rollup a
+    partition owner reads before promoting a day's data: row volume,
+    per-column null/NaN counts, distinct users, and an e6-exact
+    completeness ratio per ingestion day. The global
+    :func:`q05_null_audit` says WHETHER the table has holes; this says
+    WHICH partition regressed — the view that turns a DQ alert into a
+    reprocess-one-day action instead of a table-wide investigation.
+
+    One map-side-combinable hash-agg keyed by day (the natural
+    partition key, so at 100 TB the agg aligns with the layout and
+    shuffles day-local partials); the ratio is a BIGINT floor
+    division."""
+    ev = load(spark, "events", sf_dir)
+    day = F.to_date("ts").alias("day")
+    return ev.groupBy(day).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count(F.when(F.col("user_id").isNull(), 1)).cast("bigint")
+        .alias("user_nulls"),
+        F.count(
+            F.when(F.col("value").isNull() | F.isnan("value"), 1)
+        ).cast("bigint").alias("value_bad"),
+        F.count(F.when(F.col("props").isNull(), 1)).cast("bigint")
+        .alias("props_nulls"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    ).select(
+        F.col("day").cast("timestamp_ntz").alias("day"),
+        "n_rows",
+        "user_nulls",
+        "value_bad",
+        "props_nulls",
+        "n_users",
+        F.expr(
+            "((n_rows - user_nulls) * 1000000) div n_rows"
+        ).cast("bigint").alias("user_complete_e6"),
+    )

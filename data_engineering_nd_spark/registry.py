@@ -308,6 +308,9 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "tbl_partition_stats_report",
         "q114_max_drawdown_by_year",
         "tbl_persistent_constraints",
+        "tbl_tags_report",
+        "q115_top_decile_revenue_share",
+        "dq_completeness_by_partition",
     ], 11),
 }
 

@@ -3807,13 +3807,75 @@ class VersionedTable:
                 removed.append(rel)
         return removed
 
+# -- tags: named version pins (Iceberg tag refs) -----------------------
+
+    def _tags_dir(self) -> str:
+        return os.path.join(self._log_dir(), "tags")
+
+    def _tag_path(self, name: str) -> str:
+        if not name or any(ch in name for ch in "/\\."):
+            raise ValueError(f"invalid tag name {name!r}")
+        return os.path.join(self._tags_dir(), f"{name}.json")
+
+    def create_tag(self, name: str, version: int | None = None) -> dict:
+        """Pin a NAME to a committed version (the Iceberg tag ref): a
+        metadata file, no data touched. Tagged snapshots are exempt
+        from :meth:`vacuum` retention — the ref is how an audit /
+        reproducibility snapshot survives maintenance. Creation is
+        exclusive (``os.link``): racing writers cannot silently
+        re-point an existing tag."""
+        if version is None:
+            version = self.latest_version()
+        if version is None or version not in self.versions():
+            raise FileNotFoundError(f"no committed version {version}")
+        os.makedirs(self._tags_dir(), exist_ok=True)
+        final = self._tag_path(name)
+        tmp = final + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"name": name, "version": version}, f)
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise CommitConflict(f"tag {name!r} already exists")
+        finally:
+            os.remove(tmp)
+        return {"name": name, "version": version}
+
+    def delete_tag(self, name: str) -> None:
+        path = self._tag_path(name)
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"no such tag {name!r}")
+        os.remove(path)
+
+    def tags(self) -> dict[str, int]:
+        """All tags as ``name -> version``."""
+        out: dict[str, int] = {}
+        if os.path.isdir(self._tags_dir()):
+            for fn in sorted(os.listdir(self._tags_dir())):
+                if fn.endswith(".json"):
+                    with open(os.path.join(self._tags_dir(), fn)) as f:
+                        t = json.load(f)
+                    out[t["name"]] = int(t["version"])
+        return out
+
+    def snapshot_by_tag(self, name: str) -> DataFrame:
+        """Read the snapshot a tag pins — time travel by name."""
+        tags = self.tags()
+        if name not in tags:
+            raise FileNotFoundError(f"no such tag {name!r}")
+        return self.snapshot(tags[name])
+
     def vacuum(self, retain_last: int = 1) -> list[str]:
         """Delete data files referenced by none of the last ``retain_last``
-        manifests (files referenced by a CURRENT staged branch are kept).
-        Time travel to expired versions stops working; the retained
-        snapshots are untouched."""
+        manifests (files referenced by a CURRENT staged branch or by a
+        TAGGED snapshot are kept — a tag is a retention pin, the
+        Iceberg ref contract). Time travel to expired versions stops
+        working; the retained snapshots are untouched."""
         vs = self.versions()
         keep_vs = vs[-retain_last:] if retain_last > 0 else []
+        keep_vs = sorted(
+            set(keep_vs) | {v for v in self.tags().values() if v in vs}
+        )
         live = {f for v in keep_vs for f in self._manifest(v)["files"]}
         if os.path.isdir(self._staged_dir()):
             for fn in os.listdir(self._staged_dir()):

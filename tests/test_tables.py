@@ -2234,3 +2234,35 @@ def test_constraints_carry_across_unrelated_commits(spark, chunked_table):
     assert t.table_checks() == [("k_nonneg", "k >= 0")]
     with pytest.raises(ConstraintViolation):
         t.commit(spark.createDataFrame([Row(k=-1, v="bad")]), mode="append")
+
+
+# -- tags: named version pins ------------------------------------------------
+
+
+def test_tags_pin_versions_and_survive_vacuum(spark, table):
+    from data_engineering_nd_spark.tables import CommitConflict
+
+    table.commit(spark.createDataFrame([Row(k=1, v="a")]).repartition(1))
+    table.create_tag("baseline")
+    table.commit(spark.createDataFrame([Row(k=9, v="z")]))  # overwrite
+    assert table.tags() == {"baseline": 0}
+    removed = table.vacuum(retain_last=1)
+    assert removed == []  # v0's files pinned by the tag
+    assert _rows(table.snapshot_by_tag("baseline")) == [(1, "a")]
+    # re-pointing an existing tag must not silently clobber
+    with pytest.raises(CommitConflict):
+        table.create_tag("baseline", 1)
+    table.delete_tag("baseline")
+    removed = table.vacuum(retain_last=1)
+    assert len(removed) >= 1  # v0's files now expire
+    assert _rows(table.snapshot()) == [(9, "z")]
+    with pytest.raises(FileNotFoundError):
+        table.snapshot_by_tag("baseline")
+
+
+def test_tag_of_unknown_version_rejected(spark, table):
+    table.commit(spark.createDataFrame([Row(k=1, v="a")]))
+    with pytest.raises(FileNotFoundError):
+        table.create_tag("t", 7)
+    with pytest.raises(ValueError):
+        table.create_tag("bad/name")

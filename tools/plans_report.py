@@ -150,10 +150,12 @@ HEADLINERS = [
     "q113_gini_by_nation",
     "q114_max_drawdown_by_year",
     "ds_mixture_temperature",
+    "q115_top_decile_revenue_share",
+    "dq_completeness_by_partition",
     # round-11 tbl_mutation_occ / tbl_dv_purge_report /
     # tbl_column_mapping_report / tbl_mv_minmax_refresh /
-    # tbl_partition_stats_report / tbl_persistent_constraints
-    # return localCheckpoint-ed audit rows
+    # tbl_partition_stats_report / tbl_persistent_constraints /
+    # tbl_tags_report return localCheckpoint-ed audit rows
     # (OCC/purge/mapping/MV lifecycle properties pinned in tests) and
     # q112_kmv_set_operations returns a driver-assembled single row
     # (its two-stage k-min tournament shape is pinned in
