@@ -1922,6 +1922,22 @@ class VersionedTable:
         ]
         return StructType(fields).json(), len(fields)
 
+    @staticmethod
+    def _checks_referencing(m: dict, column: str) -> list[str]:
+        """Names of persistent CHECK constraints whose predicate mentions
+        ``column`` as an identifier (word-boundary match — conservative:
+        a false positive blocks an edit, never corrupts one)."""
+        import re
+
+        pat = re.compile(
+            r"(?<![A-Za-z0-9_`])" + re.escape(column) + r"(?![A-Za-z0-9_])"
+        )
+        return [
+            name
+            for name, pred in (m.get("constraints") or {}).get("checks", [])
+            if pat.search(pred)
+        ]
+
     def _commit_schema_edit(
         self, edit, operation: str, max_retries: int = 10
     ) -> dict:
@@ -1980,6 +1996,21 @@ class VersionedTable:
         checks = self.table_checks(basis)
         if not checks:
             return
+        # align the batch to the table schema first: an evolving append
+        # that omits a checked column validates it as NULL — which the
+        # CHECK counts as a violation (fail-closed), instead of blowing
+        # up in analysis
+        if basis is not None:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(
+                json.loads(self._manifest(basis)["schema"])
+            )
+            for f in schema.fields:
+                if f.name not in df.columns:
+                    df = df.withColumn(
+                        f.name, F.lit(None).cast(f.dataType)
+                    )
         report = validate_constraints(df, checks)
         bad = {k: v for k, v in report.items() if v > 0}
         if bad:
@@ -2097,6 +2128,13 @@ class VersionedTable:
                 raise ValueError(f"no such column {old!r} (have {names})")
             if new in names:
                 raise ValueError(f"column {new!r} already exists")
+            refs = self._checks_referencing(m, old)
+            if refs:
+                raise ValueError(
+                    f"column {old!r} is referenced by CHECK constraint(s) "
+                    f"{refs}; drop them first (their predicates name the "
+                    f"old identifier and would break every later write)"
+                )
             fields = [
                 StructField(
                     new if f.name == old else f.name,
@@ -2130,6 +2168,12 @@ class VersionedTable:
                 raise ValueError(f"no such column {name!r} (have {names})")
             if len(names) == 1:
                 raise ValueError("cannot drop the last column")
+            refs = self._checks_referencing(m, name)
+            if refs:
+                raise ValueError(
+                    f"column {name!r} is referenced by CHECK constraint(s) "
+                    f"{refs}; drop them first"
+                )
             return (
                 StructType(
                     [f for f in schema.fields if f.name != name]

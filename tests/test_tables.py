@@ -2266,3 +2266,31 @@ def test_tag_of_unknown_version_rejected(spark, table):
         table.create_tag("t", 7)
     with pytest.raises(ValueError):
         table.create_tag("bad/name")
+
+
+def test_schema_edits_blocked_while_check_references_column(spark, table):
+    """Renaming/dropping a column a persistent CHECK references would
+    break every later write — the edit is rejected until the constraint
+    is dropped (the Delta dependency rule)."""
+    table.commit(spark.createDataFrame([Row(k=1, v=10)]))
+    table.add_check_constraint("v_positive", "v > 0")
+    with pytest.raises(ValueError, match="referenced by CHECK"):
+        table.rename_column("v", "val")
+    with pytest.raises(ValueError, match="referenced by CHECK"):
+        table.drop_column("v")
+    # an UNreferenced column still edits fine
+    table.rename_column("k", "kid")
+    table.drop_check_constraint("v_positive")
+    table.rename_column("v", "val")
+    assert table.snapshot().columns == ["kid", "val"]
+
+
+def test_append_missing_checked_column_fails_closed(spark, table):
+    """An evolving append that OMITS a checked column validates it as
+    NULL -> ConstraintViolation, never an AnalysisException."""
+    from data_engineering_nd_spark.tables import ConstraintViolation
+
+    table.commit(spark.createDataFrame([Row(k=1, v=10)]))
+    table.add_check_constraint("v_positive", "v > 0")
+    with pytest.raises(ConstraintViolation):
+        table.commit(spark.createDataFrame([Row(k=2)]), mode="append")
