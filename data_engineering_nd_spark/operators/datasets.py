@@ -7032,3 +7032,64 @@ def tbl_tags_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer compression ratio by language: the multilingual token-budget fact
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ds_tokenizer_compression_ratio",
+    oracle=r"""
+    WITH d AS (
+        SELECT lang,
+               len(text) AS n_chars,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split(regexp_replace(lower(trim(text)),
+                         '\s+', ' ', 'g'), ' ')) END AS n_tokens
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) * 1000 // SUM(n_tokens) AS BIGINT)
+               AS chars_per_token_e3
+    FROM d GROUP BY lang
+    """,
+)
+def ds_tokenizer_compression_ratio_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Characters-per-token by language — the tokenizer-efficiency fact
+    every multilingual budget decision rests on (a language at 6
+    chars/token costs half the context of one at 3: epoch token
+    budgets, ``ds_mixture_temperature`` weights and packing widths all
+    re-price by exactly this table). Uses the engine's standard
+    whitespace tokenization so the ratio is comparable across the
+    text suite; the ratio is a BIGINT floor division in e3 units.
+
+    Scale shape: one projection pass over the corpus, one
+    languages-sized hash-agg — map-side combinable, no shuffle of
+    document text."""
+    from data_engineering_nd_spark.functions.text import token_count
+
+    docs = load(spark, "documents", sf_dir)
+    d = docs.where(F.col("text").isNotNull()).select(
+        "lang",
+        F.length("text").cast("bigint").alias("n_chars"),
+        token_count("text").alias("n_tokens"),
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    ).select(
+        "lang",
+        "n_docs",
+        "total_chars",
+        "total_tokens",
+        F.expr("(total_chars * 1000) div total_tokens").cast("bigint")
+        .alias("chars_per_token_e3"),
+    )

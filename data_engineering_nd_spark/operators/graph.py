@@ -2059,3 +2059,88 @@ def graph_louvain_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_louvain_oracle()
+
+
+@query(
+    "graph_assortativity",
+    oracle="""
+    WITH rel AS (
+        SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    degc AS (SELECT cust, COUNT(*) AS dx FROM rel GROUP BY cust),
+    degs AS (SELECT supp, COUNT(*) AS dy FROM rel GROUP BY supp),
+    e AS (
+        SELECT dx, dy FROM rel
+        JOIN degc USING (cust) JOIN degs USING (supp)
+    ),
+    m AS (
+        SELECT COUNT(*) AS n, SUM(dx) AS sx, SUM(dy) AS sy,
+               SUM(dx * dy) AS sxy, SUM(dx * dx) AS sxx,
+               SUM(dy * dy) AS syy
+        FROM e
+    )
+    SELECT CAST(n AS BIGINT) AS n_edges,
+           CAST(sx AS BIGINT) AS sum_cust_degree,
+           CAST(sy AS BIGINT) AS sum_supp_degree,
+           CAST(floor(
+               CAST(n * sxy - sx * sy AS DOUBLE) * 1000000.0
+               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE))
+               + 0.5
+           ) AS BIGINT) AS assortativity_e6
+    FROM m
+    """,
+)
+def graph_assortativity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the customer-supplier trading graph —
+    the Pearson correlation of endpoint degrees over edges (Newman's
+    mixing coefficient): negative means hubs trade with leaves
+    (disassortative, the typical commerce shape), positive means hubs
+    cluster. THE one-number structure probe run before choosing a
+    partitioning/skew strategy for iterative algorithms, alongside the
+    degree distribution.
+
+    Exactness: all five moments accumulate as exact integers (DECIMAL
+    sums); the single closed-form division crosses to DOUBLE once in
+    the SAME operation order both engines. Scale shape: two degree
+    hash-aggs, two hash joins back onto the edge list, one 1-row agg —
+    no iteration, no windows."""
+    li = load(spark, "lineitem", sf_dir)
+    orders = load(spark, "orders", sf_dir)
+    rel = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_suppkey").alias("supp"),
+        )
+        .distinct()
+    )
+    degc = rel.groupBy("cust").agg(F.count(F.lit(1)).alias("dx"))
+    degs = rel.groupBy("supp").agg(F.count(F.lit(1)).alias("dy"))
+    e = rel.join(degc, "cust").join(degs, "supp")
+    m = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("dx").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("dy").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("dx") * F.col("dy")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("dx") * F.col("dx")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("dy") * F.col("dy")).cast("decimal(38,0)")).alias("syy"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_edges"),
+        F.col("sx").cast("bigint").alias("sum_cust_degree"),
+        F.col("sy").cast("bigint").alias("sum_supp_degree"),
+        F.floor(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double")
+            * 1000000.0
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                .cast("double")
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                .cast("double")
+            )
+            + 0.5
+        ).cast("bigint").alias("assortativity_e6"),
+    )

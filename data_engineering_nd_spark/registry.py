@@ -311,6 +311,8 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "tbl_tags_report",
         "q115_top_decile_revenue_share",
         "dq_completeness_by_partition",
+        "graph_assortativity",
+        "ds_tokenizer_compression_ratio",
     ], 11),
 }
 

@@ -152,6 +152,8 @@ HEADLINERS = [
     "ds_mixture_temperature",
     "q115_top_decile_revenue_share",
     "dq_completeness_by_partition",
+    "graph_assortativity",
+    "ds_tokenizer_compression_ratio",
     # round-11 tbl_mutation_occ / tbl_dv_purge_report /
     # tbl_column_mapping_report / tbl_mv_minmax_refresh /
     # tbl_partition_stats_report / tbl_persistent_constraints /
