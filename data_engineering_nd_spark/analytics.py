@@ -6123,26 +6123,40 @@ _KMV_K = 256
 _KMV_DOMAIN = float(1 << 60)
 
 
-def kmv_bottom_k(df: DataFrame, k: int = _KMV_K) -> DataFrame:
-    """The k smallest values of column ``h`` as a two-stage tournament:
-    parallel per-salt top-k windows (64-way hash partition, pushed into
-    partial/final WindowGroupLimit), then a top-k over the BOUNDED
-    64·k candidate pool — which Catalyst collapses to a distributed
-    TakeOrderedAndProject, so NO single-partition exchange appears
-    anywhere (pinned in tests/test_plans.py)."""
-    w1 = Window.partitionBy("salt").orderBy("h")
+def top_k_tournament(
+    df: DataFrame,
+    k: int,
+    order_cols: list,
+    salt_col: str,
+    out_cols: list[str],
+) -> DataFrame:
+    """The top-k rows under ``order_cols`` as a two-stage tournament:
+    parallel per-salt top-k windows (64-way hash partition on
+    ``salt_col``, pushed into partial/final WindowGroupLimit), then a
+    top-k over the BOUNDED 64·k candidate pool — which Catalyst
+    collapses to a distributed TakeOrderedAndProject, so NO
+    single-partition exchange appears anywhere (pinned in
+    tests/test_plans.py). The one tournament serves both the KMV
+    bottom-k and the top-decile spend cut."""
+    w1 = Window.partitionBy("salt").orderBy(*order_cols)
     stage1 = (
-        df.withColumn("salt", F.pmod(F.col("h"), F.lit(64)))
+        df.withColumn("salt", F.pmod(F.col(salt_col), F.lit(64)))
         .withColumn("rn", F.row_number().over(w1))
         .where(F.col("rn") <= k)
-        .select("h")
+        .select(*out_cols)
     )
-    w2 = Window.orderBy("h")
+    w2 = Window.orderBy(*order_cols)
     return (
         stage1.withColumn("rn", F.row_number().over(w2))
         .where(F.col("rn") <= k)
-        .select("h")
+        .select(*out_cols)
     )
+
+
+def kmv_bottom_k(df: DataFrame, k: int = _KMV_K) -> DataFrame:
+    """The k smallest values of column ``h`` — see
+    :func:`top_k_tournament` for the plan shape."""
+    return top_k_tournament(df, k, [F.col("h")], "h", ["h"])
 
 
 @query(
@@ -6494,17 +6508,8 @@ def q115_top_decile_revenue_share(
     ).localCheckpoint()
     n = spend.count()
     k = (n + 9) // 10
-    w1 = Window.partitionBy("salt").orderBy(F.col("x").desc(), "c")
-    stage1 = (
-        spend.withColumn("salt", F.pmod(F.col("c"), F.lit(64)))
-        .withColumn("rn", F.row_number().over(w1))
-        .where(F.col("rn") <= k)
-        .select("x", "c")
-    )
-    w2 = Window.orderBy(F.col("x").desc(), "c")
-    top = (
-        stage1.withColumn("rn", F.row_number().over(w2))
-        .where(F.col("rn") <= k)
+    top = top_k_tournament(
+        spend, k, [F.col("x").desc(), F.col("c")], "c", ["x", "c"]
     )
     agg = top.agg(
         F.count(F.lit(1)).cast("bigint").alias("top_decile_n"),
@@ -6517,6 +6522,11 @@ def q115_top_decile_revenue_share(
         "top_decile_n",
         "top_cents",
         "total_cents",
-        F.expr("(top_cents * 1000000) div total_cents").cast("bigint")
-        .alias("top_share_e6"),
+        # DECIMAL intermediates: top_cents * 1e6 exceeds BIGINT around
+        # SF1 while the oracle's HUGEINT keeps going — the share math
+        # must not be the first thing to wrap
+        F.expr(
+            "(cast(top_cents as decimal(38,0)) * 1000000) "
+            "div cast(total_cents as decimal(38,0))"
+        ).cast("bigint").alias("top_share_e6"),
     )

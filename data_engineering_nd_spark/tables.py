@@ -391,6 +391,9 @@ class VersionedTable:
                         touched.append(pv)
                     else:
                         unknown = True
+        prev_cons = {}
+        if version > 0:
+            prev_cons = bm.get("constraints") or {}
         return {
             "operation": cm["operation"],
             "added": added,
@@ -399,6 +402,9 @@ class VersionedTable:
             "dv_targets": dv_targets,
             "parts": touched,
             "parts_unknown": unknown,
+            "constraints_changed": (
+                (cm.get("constraints") or {}) != prev_cons
+            ),
         }
 
     @staticmethod
@@ -441,6 +447,16 @@ class VersionedTable:
         for v in range(start + 1, current + 1):
             info = self._commit_changes(v)
             n += 1
+            if info["constraints_changed"]:
+                # my batch was validated against the BASIS constraint
+                # set; rebasing past a constraint change could land a
+                # batch the new constraints reject (Delta's
+                # MetadataChanged conflict) — the caller retries from
+                # the new basis and re-validates
+                raise ConcurrentModification(
+                    f"version {v} changed the table constraints after "
+                    f"basis v{read_version}; re-validate and retry"
+                )
             if my_op != "append":
                 raise ConcurrentModification(
                     f"version {v} ({info['operation']!r}) committed after "
@@ -506,6 +522,11 @@ class VersionedTable:
         for v in range(start + 1, current + 1):
             info = self._commit_changes(v)
             n += 1
+            if info["constraints_changed"]:
+                raise ConcurrentModification(
+                    f"version {v} changed the table constraints after "
+                    f"basis v{read_version}; re-validate and retry"
+                )
             hit = {self._dv_key(f) for f in info["removed"]} & read_keys
             if hit:
                 raise ConcurrentModification(
@@ -1929,8 +1950,12 @@ class VersionedTable:
         a false positive blocks an edit, never corrupts one)."""
         import re
 
+        # backticks are NOT identifier characters: `v` must match a
+        # check on v (excluding them from the boundary classes would let
+        # a quoted identifier slip past the guard and leave the table
+        # unwritable)
         pat = re.compile(
-            r"(?<![A-Za-z0-9_`])" + re.escape(column) + r"(?![A-Za-z0-9_])"
+            r"(?<![A-Za-z0-9_])" + re.escape(column) + r"(?![A-Za-z0-9_])"
         )
         return [
             name
@@ -2028,8 +2053,7 @@ class VersionedTable:
         the reference's after-load DQ checks
         (``Capstone/i94_data_quality_check.py``) cannot give: a dirty
         batch can never become readable state."""
-        prev = self.latest_version()
-        if prev is not None:
+        def revalidate(prev: int) -> None:
             report = validate_constraints(
                 self.snapshot(prev), [(name, predicate)]
             )
@@ -2048,7 +2072,7 @@ class VersionedTable:
             return cons
 
         return self._commit_constraints_edit(
-            edit, f"add-constraint({name})"
+            edit, f"add-constraint({name})", revalidate=revalidate
         )
 
     def drop_check_constraint(self, name: str) -> dict:
@@ -2068,11 +2092,16 @@ class VersionedTable:
         )
 
     def _commit_constraints_edit(
-        self, edit, operation: str, max_retries: int = 10
+        self, edit, operation: str, max_retries: int = 10,
+        revalidate=None,
     ) -> dict:
         """Metadata-only constraints commit: same files/stats/vectors,
         edited ``constraints``; the link-race loser re-derives the edit
-        from the new latest manifest."""
+        from the new latest manifest. ``revalidate(prev)`` runs EVERY
+        pass (add-constraint's snapshot scan), so a concurrent append
+        that landed between passes can never slip violating rows under
+        a constraint being born — it re-validates the data actually at
+        the publish basis."""
         attempts = 0
         while True:
             prev = self.latest_version()
@@ -2080,6 +2109,8 @@ class VersionedTable:
                 raise FileNotFoundError(
                     f"no committed version at {self.root}"
                 )
+            if revalidate is not None:
+                revalidate(prev)
             m = self._manifest(prev)
             try:
                 return self._publish(
@@ -2190,7 +2221,13 @@ class VersionedTable:
         next version number — metadata-only, nothing rewritten, and the
         botched intermediate versions stay time-travelable until vacuum.
         The txn watermark map is NOT rolled back (restore must not make
-        an idempotent writer replay batches it already applied)."""
+        an idempotent writer replay batches it already applied).
+        Persistent CHECK constraints are likewise carried, NOT
+        re-validated against the restored data (the Delta RESTORE
+        behavior): rollback is an emergency verb and must not be
+        blockable by a constraint added after the target version —
+        the operator can re-validate with ``validate_constraints``
+        over the snapshot if needed."""
         m = self._manifest(version)  # raises if expired/unknown
         prev = self.latest_version()
         return self._publish(
@@ -2764,6 +2801,15 @@ class VersionedTable:
         # resolve the schema BEFORE touching any file, so a schema-read
         # failure leaves the staging directory fully intact
         schema_json = self.spark.read.parquet(*src_files).schema.json()
+        # persistent CHECK constraints apply to registered files too —
+        # "metadata-only" stops being metadata-only exactly when the
+        # table carries constraints (one validation scan, files still
+        # never rewritten); a violating directory is rejected with the
+        # staging area fully intact
+        if self.table_checks(prev):
+            self._enforce_table_checks(
+                self.spark.read.parquet(*src_files), prev
+            )
         rel_dir = os.path.join(_DATA, f"v{version:011d}-{uuid.uuid4().hex[:8]}")
         os.makedirs(os.path.join(self.root, rel_dir), exist_ok=True)
         files = []
@@ -3793,7 +3839,6 @@ class VersionedTable:
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
         m = self._staged_manifest(branch)
-        checks = list(checks or []) + self.table_checks()
         if checks or unique:
             report = validate_constraints(
                 self.read_staged(branch), checks, unique
@@ -3801,6 +3846,14 @@ class VersionedTable:
             bad = {k: v for k, v in report.items() if v > 0}
             if bad:
                 raise ConstraintViolation(bad)
+        # persistent table checks validate in their OWN pass: folding
+        # them into the caller's list would let a same-named user check
+        # shadow the table constraint's aggregate alias, and the
+        # dedicated path also null-aligns columns the staged schema
+        # omits (fail-closed instead of an analysis error)
+        self._enforce_table_checks(
+            self.read_staged(branch), self.latest_version()
+        )
         prev = self.latest_version()
         if prev is not None and self._mapping(
             self._manifest(prev)["schema"]

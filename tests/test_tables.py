@@ -2294,3 +2294,70 @@ def test_append_missing_checked_column_fails_closed(spark, table):
     table.add_check_constraint("v_positive", "v > 0")
     with pytest.raises(ConstraintViolation):
         table.commit(spark.createDataFrame([Row(k=2)]), mode="append")
+
+
+def test_add_files_enforces_persistent_checks(spark, table, tmp_path):
+    """Registered files are data too: a violating staging directory is
+    rejected (staging intact), a clean one lands (r11 review #1)."""
+    from data_engineering_nd_spark.tables import ConstraintViolation
+
+    table.commit(spark.createDataFrame([Row(k=1, v=10)]))
+    table.add_check_constraint("v_positive", "v > 0")
+    bad_dir = str(tmp_path / "bad")
+    spark.createDataFrame([Row(k=2, v=-2)]).write.parquet(bad_dir)
+    with pytest.raises(ConstraintViolation):
+        table.add_files(bad_dir, mode="append")
+    assert len(os.listdir(bad_dir)) > 0  # staging untouched
+    good_dir = str(tmp_path / "good")
+    spark.createDataFrame([Row(k=3, v=30)]).write.parquet(good_dir)
+    table.add_files(good_dir, mode="append")
+    assert table.snapshot().count() == 2
+
+
+def test_checks_referencing_matches_backticked_identifiers(spark, table):
+    """A backtick-quoted identifier in a CHECK must still block the
+    rename (r11 review #2 — false negative left the table unwritable)."""
+    table.commit(spark.createDataFrame([Row(k=1, v=10)]))
+    table.add_check_constraint("v_positive", "`v` > 0")
+    with pytest.raises(ValueError, match="referenced by CHECK"):
+        table.rename_column("v", "val")
+
+
+def test_occ_append_conflicts_with_concurrent_constraint_add(spark, table):
+    """A stale-basis append must NOT rebase past a concurrent
+    add-constraint: its batch was validated against the old constraint
+    set (r11 review #3)."""
+    from data_engineering_nd_spark.tables import ConcurrentModification
+
+    table.commit(spark.createDataFrame([Row(k=1, v=10)]))
+    table.add_check_constraint("v_positive", "v > 0")  # v1
+    with pytest.raises(ConcurrentModification):
+        table.commit(
+            spark.createDataFrame([Row(k=2, v=-2)]),
+            mode="append",
+            read_version=0,
+        )
+    # the retry from the current basis validates (and rejects) properly
+    from data_engineering_nd_spark.tables import ConstraintViolation
+
+    with pytest.raises(ConstraintViolation):
+        table.commit(spark.createDataFrame([Row(k=2, v=-2)]), mode="append")
+
+
+def test_publish_staged_table_check_not_shadowed_by_user_check(spark, table):
+    """A caller check NAMED like a table constraint must not shadow it
+    (r11 review #6); a staged schema omitting the checked column fails
+    closed (#7)."""
+    from data_engineering_nd_spark.tables import ConstraintViolation
+
+    table.commit(spark.createDataFrame([Row(k=1, v=10)]))
+    table.add_check_constraint("v_positive", "v > 0")
+    table.stage(spark.createDataFrame([Row(k=2, v=-2)]), "b1")
+    with pytest.raises(ConstraintViolation):
+        table.publish_staged(
+            "b1", checks=[("v_positive", "v IS NOT NULL")]
+        )
+    table.abandon_staged("b1")
+    table.stage(spark.createDataFrame([Row(k=3)]), "b2")  # omits v
+    with pytest.raises(ConstraintViolation):
+        table.publish_staged("b2")
