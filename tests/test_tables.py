@@ -2361,3 +2361,70 @@ def test_publish_staged_table_check_not_shadowed_by_user_check(spark, table):
     table.stage(spark.createDataFrame([Row(k=3)]), "b2")  # omits v
     with pytest.raises(ConstraintViolation):
         table.publish_staged("b2")
+
+
+# -- round-11 feature COMPOSITION tests (mapping × purge × tags × checks) ---
+
+
+def test_purge_dv_on_column_mapped_table(spark, chunked_table):
+    """DV purge must survive a rename: flagging reads translated stats,
+    the rewrite writes PHYSICAL names, and the snapshot is identical
+    before/after under the new logical schema."""
+    t = chunked_table
+    t.rename_column("v", "payload")
+    t.delete_where_dv("k", 10, 17)   # 8/10 of chunk 1
+    before = {(r.k, r.payload) for r in t.snapshot().collect()}
+    m = t.purge_dv(max_deleted_ratio=0.5)
+    assert m["files_purged"] == 1 and m["rows_purged"] == 8
+    assert {(r.k, r.payload) for r in t.snapshot().collect()} == before
+    assert t.change_feed(["k"], m["version"] - 1, m["version"]).count() == 0
+
+
+def test_restore_to_tagged_version_keeps_tag_valid(spark, table):
+    table.commit(spark.createDataFrame([Row(k=1, v="a")]))
+    table.create_tag("base")
+    table.commit(spark.createDataFrame([Row(k=9, v="z")]))
+    table.restore(0)  # v2 re-publishes v0's files
+    assert _rows(table.snapshot()) == [(1, "a")]
+    assert _rows(table.snapshot_by_tag("base")) == [(1, "a")]
+    # vacuum keeps both the tagged v0 manifest AND the restored head
+    table.vacuum(retain_last=1)
+    assert _rows(table.snapshot_by_tag("base")) == [(1, "a")]
+
+
+def test_constraints_and_mapping_compose_on_merge_dv(spark, table):
+    """Persistent checks keep enforcing through a rename + merge-on-read:
+    the check references the NEW logical name after being re-added."""
+    from data_engineering_nd_spark.tables import ConstraintViolation
+
+    table.commit(spark.createDataFrame([Row(k=1, v=10), Row(k=2, v=20)]))
+    table.add_check_constraint("v_positive", "v > 0")
+    table.drop_check_constraint("v_positive")
+    table.rename_column("v", "amount")
+    table.add_check_constraint("amount_positive", "amount > 0")
+    with pytest.raises(ConstraintViolation):
+        table.merge_dv(
+            spark.createDataFrame([Row(k=1, amount=-5)]), ["k"]
+        )
+    m = table.merge_dv(
+        spark.createDataFrame([Row(k=1, amount=99)]), ["k"]
+    )
+    assert m["rows_updated"] == 1
+    assert sorted((r.k, r.amount) for r in table.snapshot().collect()) == [
+        (1, 99), (2, 20)
+    ]
+
+
+def test_change_feed_spans_purge_and_rename_together(spark, chunked_table):
+    """A feed range covering a DV delete, a purge AND a rename emits
+    exactly the delete's rows (under the final names) — the purge and
+    the rename both feed nothing."""
+    t = chunked_table
+    t.delete_where_dv("k", 10, 17)            # v1: 8 deletes
+    t.purge_dv(max_deleted_ratio=0.5)         # v2: neutral
+    t.rename_column("v", "payload")           # v3: neutral
+    feed = t.change_feed(["k"], 0, 3)
+    rows = [(r.k, r.payload, r._change_type) for r in feed.collect()]
+    assert sorted(r[0] for r in rows) == list(range(10, 18))
+    assert {r[2] for r in rows} == {"delete"}
+    assert all(r[1] is not None for r in rows)  # values under final name
