@@ -6465,6 +6465,54 @@ def q114_max_drawdown_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _select_quota(sizes: list[int], k: int) -> int:
+    """Smallest per-salt rank cut ``m`` such that the per-salt quotas
+    ``min(size_s, m)`` sum to at least ``k`` — driver-side over the 64
+    salt sizes, so the threshold bound below is exact under ANY salt
+    skew (a fixed ceil(k/64) cut is only valid when every salt holds at
+    least that many rows)."""
+    lo, hi = 1, max(sizes)
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if sum(min(s, mid) for s in sizes) >= k:
+            hi = mid
+        else:
+            lo = mid + 1
+    return lo
+
+
+def _kth_largest_exact(cands: DataFrame, k: int, lo: int, hi: int) -> int:
+    """EXACT k-th largest value of BIGINT column ``x`` over ``cands``
+    by multi-probe value bisection (VERDICT r11 task #2). Invariant:
+    ``count(x >= lo) >= k`` and ``count(x > hi) < k``, so the k-th
+    value lives in [lo, hi]; each pass narrows the range ~128× with ONE
+    distributed aggregate (127 conditional counts — map-side partial,
+    whole-stage codegen), so an int64 cent range resolves in <= 9
+    passes of scalar-collect convergence witnesses. No sort, no
+    window, no k-proportional rows through any single partition —
+    the selection moves 127 longs per pass, period."""
+    while hi > lo:
+        width = hi - lo
+        probes = sorted(
+            {lo + max(1, (width * i) // 128) for i in range(1, 128)}
+        )
+        probes = [p for p in probes if lo < p <= hi]
+        row = cands.agg(
+            *[
+                F.sum(F.when(F.col("x") >= p, 1).otherwise(0)).alias(
+                    f"c{i}"
+                )
+                for i, p in enumerate(probes)
+            ]
+        ).collect()[0]
+        for i, p in enumerate(probes):
+            if (row[f"c{i}"] or 0) >= k:
+                lo = max(lo, p)
+            else:
+                hi = min(hi, p - 1)
+    return lo
+
+
 @query(
     "q115_top_decile_revenue_share",
     oracle="""
@@ -6491,42 +6539,84 @@ def q115_top_decile_revenue_share(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Revenue concentration in the top spend decile — the 80/20
-    dashboard number. The top ceil(n/10) customers by exact DECIMAL-cent
-    spend (deterministic (spend DESC, custkey) tie-break) are selected
-    with a DISTRIBUTED top-k: per-salt ranked windows feed a bounded
-    candidate pool that Catalyst executes as TakeOrderedAndProject —
-    no global sort of the customer stream, the same tournament shape as
-    :func:`kmv_bottom_k`. All shares are BIGINT floor divisions.
+    dashboard number, computed WITHOUT ranking any n-proportional row
+    stream (VERDICT r11 task #2: the previous tournament funneled
+    Θ(n/10) rows through one no-partition WindowExec because k ∝ n).
+
+    Threshold-select, all-aggregate:
+
+    1. per-customer spend in one hash-agg (exact DECIMAL cents);
+    2. 64-way salt stats (one 64-row agg) give n, k = ceil(n/10), the
+       global max, and the per-salt sizes that make the rank cut
+       skew-proof (:func:`_select_quota`);
+    3. the per-salt quota-rank values from the PARTITIONED stage-1
+       window yield ``bound = min_s(v_s)`` — an exact lower bound on
+       the k-th global value, so ``x >= bound`` is a distributive
+       superset filter of the top decile;
+    4. :func:`_kth_largest_exact` bisects the value range to the EXACT
+       k-th largest spend t in <= 9 one-aggregate passes;
+    5. the decile sum is pure algebra over one final aggregate:
+       ``sum(x > t) + (k - count(x > t)) · t`` — the (spend DESC,
+       custkey) tie-break keeps the selection deterministic, and every
+       cut-value tie contributes the same x, so the sum is exact.
 
     At 100 TB: the fact table collapses to per-customer spend in one
-    hash-agg; the top-k moves k·64 candidate rows, not n."""
+    hash-agg; everything after moves 64-row / 127-long aggregates —
+    no TakeOrderedAndProject, no global window, no k rows on any
+    single thread. All shares are BIGINT floor divisions."""
     orders = load(spark, "orders", sf_dir)
-    spend = orders.groupBy(F.col("o_custkey").alias("c")).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("bigint")
-        .alias("x")
-    ).localCheckpoint()
-    n = spend.count()
+    spend = (
+        orders.groupBy(F.col("o_custkey").alias("c"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("x")
+        )
+        .withColumn("salt", F.pmod(F.col("c"), F.lit(64)))
+        .localCheckpoint()
+    )
+    stats = spend.groupBy("salt").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("x").alias("tot"),
+        F.max("x").alias("mx"),
+    ).collect()
+    n = sum(r.cnt for r in stats)
+    total_cents = sum(r.tot for r in stats)
+    hi0 = max(r.mx for r in stats)
     k = (n + 9) // 10
-    top = top_k_tournament(
-        spend, k, [F.col("x").desc(), F.col("c")], "c", ["x", "c"]
+    m = _select_quota([r.cnt for r in stats], k)
+    quota = F.create_map(
+        *[
+            lit
+            for r in stats
+            for lit in (F.lit(r.salt), F.lit(min(r.cnt, m)))
+        ]
     )
-    agg = top.agg(
-        F.count(F.lit(1)).cast("bigint").alias("top_decile_n"),
-        F.sum("x").cast("bigint").alias("top_cents"),
-    ).crossJoin(
-        spend.agg(F.sum("x").cast("bigint").alias("total_cents"))
+    w1 = Window.partitionBy("salt").orderBy(F.col("x").desc(), F.col("c"))
+    bound = (
+        spend.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= m)
+        .where(F.col("rn") == quota[F.col("salt")])
+        .agg(F.min("x"))
+        .collect()[0][0]
     )
-    return agg.select(
+    cands = spend.where(F.col("x") >= bound).select("x").localCheckpoint()
+    t = _kth_largest_exact(cands, k, bound, hi0)
+    gt = cands.agg(
+        F.sum(F.when(F.col("x") > t, 1).otherwise(0)).alias("cnt_gt"),
+        F.sum(F.when(F.col("x") > t, F.col("x")).otherwise(0)).alias(
+            "sum_gt"
+        ),
+    ).collect()[0]
+    top_cents = int(gt.sum_gt or 0) + (k - int(gt.cnt_gt or 0)) * int(t)
+    return spark.range(1).select(
         F.lit(n).cast("bigint").alias("n_customers"),
-        "top_decile_n",
-        "top_cents",
-        "total_cents",
-        # DECIMAL intermediates: top_cents * 1e6 exceeds BIGINT around
-        # SF1 while the oracle's HUGEINT keeps going — the share math
-        # must not be the first thing to wrap
-        F.expr(
-            "(cast(top_cents as decimal(38,0)) * 1000000) "
-            "div cast(total_cents as decimal(38,0))"
-        ).cast("bigint").alias("top_share_e6"),
+        F.lit(k).cast("bigint").alias("top_decile_n"),
+        F.lit(top_cents).cast("bigint").alias("top_cents"),
+        F.lit(int(total_cents)).cast("bigint").alias("total_cents"),
+        # exact unbounded-int share math on the driver — the oracle's
+        # HUGEINT intermediate never outgrows Python ints
+        F.lit(top_cents * 1_000_000 // int(total_cents))
+        .cast("bigint")
+        .alias("top_share_e6"),
     )

@@ -405,6 +405,12 @@ class VersionedTable:
             "constraints_changed": (
                 (cm.get("constraints") or {}) != prev_cons
             ),
+            # table creation (version 0) ESTABLISHES a schema rather
+            # than changing one — racing table-creating appends still
+            # rebase onto each other
+            "schema_changed": (
+                version > 0 and cm["schema"] != bm["schema"]
+            ),
         }
 
     @staticmethod
@@ -456,6 +462,22 @@ class VersionedTable:
                 raise ConcurrentModification(
                     f"version {v} changed the table constraints after "
                     f"basis v{read_version}; re-validate and retry"
+                )
+            if info["schema_changed"]:
+                # my files were written under the BASIS schema; rebasing
+                # past ANY concurrent schema change (rename/drop column,
+                # additive evolution, type widening) risks resurrecting
+                # dropped ids or colliding with frozen physical names —
+                # e.g. an append racing a rename_column that ENABLED
+                # column mapping would re-add the old logical name with
+                # physical==logical, colliding with the renamed field's
+                # frozen physical name. Delta raises MetadataChanged
+                # here; so do we, on every rebase path (commit AND
+                # commit_partitioned)
+                raise ConcurrentModification(
+                    f"version {v} changed the table schema after basis "
+                    f"v{read_version}; re-validate and retry "
+                    f"(MetadataChanged)"
                 )
             if my_op != "append":
                 raise ConcurrentModification(
@@ -3532,9 +3554,19 @@ class VersionedTable:
                     cols.append(
                         F.col(phys).cast(fld.dataType).alias(fld.name)
                     )
-                elif fld.name in names:
-                    # same-name resolution; the cast also upcasts
-                    # pre-widening commits to the final (wider) type
+                elif fid is None and fld.name in names:
+                    # same-name resolution (the cast also upcasts
+                    # pre-widening commits to the final, wider type) —
+                    # ONLY for UNMAPPED current fields. A mapped field
+                    # that the fid/phys branches could not resolve did
+                    # not exist in the source commit: a pre-mapping
+                    # source resolves through the frozen physical name
+                    # (phys == original logical name) above, so a
+                    # same-NAME leftover here is a DIFFERENT column
+                    # (drop_column + re-add of the same name) — by-name
+                    # resolution would surface the dropped field's dead
+                    # bytes under the new column, violating the
+                    # field-id contract. Null-fill below instead.
                     cols.append(
                         F.col(fld.name).cast(fld.dataType).alias(fld.name)
                     )

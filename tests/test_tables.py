@@ -2428,3 +2428,125 @@ def test_change_feed_spans_purge_and_rename_together(spark, chunked_table):
     assert sorted(r[0] for r in rows) == list(range(10, 18))
     assert {r[2] for r in rows} == {"delete"}
     assert all(r[1] is not None for r in rows)  # values under final name
+
+
+def test_append_rebase_conflicts_with_concurrent_rename_unmapped(
+    spark, table
+):
+    """ADVICE r11 (high): an append with a stale basis racing a
+    rename_column that ENABLED column mapping must raise
+    ConcurrentModification (MetadataChanged), not rebase — the old
+    logical name would otherwise be re-added with physical==logical,
+    colliding with the renamed field's frozen physical name and
+    breaking every later snapshot()."""
+    from data_engineering_nd_spark.tables import ConcurrentModification
+
+    table.commit(spark.createDataFrame([Row(k=1, v="a")]))  # v0, UNMAPPED
+    table.rename_column("v", "w")  # v1: enables mapping concurrently
+    with pytest.raises(ConcurrentModification, match="schema"):
+        table.commit(
+            spark.createDataFrame([Row(k=2, v="b")]),
+            mode="append",
+            read_version=0,
+        )
+    # the table stays healthy and a retry from the current basis lands
+    m = table.commit(
+        spark.createDataFrame([Row(k=2, w="b")]), mode="append"
+    )
+    assert m["version"] == 2
+    assert sorted((r.k, r.w) for r in table.snapshot().collect()) == [
+        (1, "a"), (2, "b")
+    ]
+
+
+def test_append_rebase_conflicts_with_concurrent_drop_unmapped(
+    spark, table
+):
+    """ADVICE r11 (high), drop variant: rebasing an append carrying the
+    dropped column past a concurrent drop_column must conflict — a
+    silent rebase would resurrect the dropped column's bytes."""
+    from data_engineering_nd_spark.tables import ConcurrentModification
+
+    table.commit(spark.createDataFrame([Row(k=1, v="a")]))  # v0, UNMAPPED
+    table.drop_column("v")  # v1: enables mapping, drops v
+    with pytest.raises(ConcurrentModification, match="schema"):
+        table.commit(
+            spark.createDataFrame([Row(k=2, v="resurrected")]),
+            mode="append",
+            read_version=0,
+        )
+    snap = table.snapshot()
+    assert snap.columns == ["k"]
+    assert sorted(r.k for r in snap.collect()) == [1]
+
+
+def test_partitioned_append_conflicts_with_concurrent_schema_change(
+    spark, table
+):
+    """ADVICE r11 (high): commit_partitioned's rebase loop must apply
+    the same MetadataChanged rule (its mapped-table check previously
+    ran only at entry)."""
+    from data_engineering_nd_spark.tables import ConcurrentModification
+
+    table.commit_partitioned(
+        spark.createDataFrame([Row(k=1, v="a")]), [("p", "k % 2")]
+    )  # v0, UNMAPPED — passes the entry-time mapped-table check
+    real_stats = table._compute_stats
+    fired = []
+
+    def stats_then_rename(*a, **kw):
+        out = real_stats(*a, **kw)
+        if not fired:  # the rename lands AFTER entry, BEFORE publish
+            fired.append(True)
+            table.rename_column("v", "w")  # v1: enables mapping
+        return out
+
+    table._compute_stats = stats_then_rename
+    try:
+        with pytest.raises(ConcurrentModification, match="schema"):
+            table.commit_partitioned(
+                spark.createDataFrame([Row(k=2, v="b")]),
+                [("p", "k % 2")],
+                mode="append",
+                read_version=0,
+            )
+    finally:
+        table._compute_stats = real_stats
+    assert fired  # the simulated concurrent rename actually landed
+
+
+def test_concurrent_table_creation_appends_still_rebase(spark, table):
+    """Version 0 ESTABLISHES the schema — two blind appends racing to
+    create the table must both land (the pre-fix rebase behavior)."""
+    table.commit(spark.createDataFrame([Row(k=1, v="a")]), mode="append")
+    # simulates the loser of the link race re-validating with basis=None
+    m = table.commit(
+        spark.createDataFrame([Row(k=2, v="b")]),
+        mode="append",
+        read_version=None,
+    )
+    assert m["version"] == 1
+    assert table.snapshot().count() == 2
+
+
+def test_change_feed_drop_then_readd_null_fills(spark, table):
+    """ADVICE r11 (low): a feed spanning drop_column + re-add of the
+    SAME name must null-fill pre-drop commits' values for the re-added
+    column (different field id = different column), never surface the
+    dropped field's dead bytes."""
+    table.commit(spark.createDataFrame([Row(k=1, v="old")]))   # v0
+    table.commit(
+        spark.createDataFrame([Row(k=2, v="old2")]), mode="append"
+    )                                                           # v1
+    table.drop_column("v")                                      # v2
+    # re-add the same logical name: append with schema evolution
+    table.commit(
+        spark.createDataFrame([Row(k=3, v="new")]), mode="append"
+    )                                                           # v3
+    feed = table.change_feed(["k"], 0, 3)
+    got = {r.k: (r.v, r._change_type, r._commit_version)
+           for r in feed.collect()}
+    # v1's insert of k=2 predates the drop: its "v" is the OLD field —
+    # must surface as NULL under the re-added column
+    assert got[2][0] is None and got[2][1] == "insert"
+    assert got[3] == ("new", "insert", 3)
