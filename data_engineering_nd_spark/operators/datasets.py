@@ -3570,6 +3570,190 @@ def tbl_zorder_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# tbl_optimize_zorder: clustered OPTIMIZE in the commit protocol
+# ---------------------------------------------------------------------------
+
+_OPTZ_ORACLE = """
+    WITH src AS (
+        SELECT o_orderkey AS a, o_custkey AS b FROM orders
+    ),
+    w AS (
+        SELECT MIN(a) AS mna, MAX(a) AS mxa, MIN(b) AS mnb, MAX(b) AS mxb,
+               (MAX(a) - MIN(a) + 1 + 3) // 4 AS wa,
+               (MAX(b) - MIN(b) + 1 + 3) // 4 AS wb
+        FROM src
+    ),
+    q AS (
+        SELECT mna + wa AS alo, mna + 2 * wa + wa // 2 AS ahi,
+               mnb + wb AS blo, mnb + 2 * wb + wb // 2 AS bhi
+        FROM w
+    ),
+    z AS (
+        SELECT a, b,
+               LEAST((a - mna) // wa, 3) AS ba,
+               LEAST((b - mnb) // wb, 3) AS bb
+        FROM src CROSS JOIN w
+    ),
+    zz AS (
+        SELECT a, b, ba,
+               (ba % 2) + ((ba // 2) % 2) * 4
+               + (bb % 2) * 2 + ((bb // 2) % 2) * 8 AS zf
+        FROM z
+    ),
+    linstats AS (
+        SELECT ba, MIN(b) AS mnb, MAX(b) AS mxb, COUNT(*) AS nrows
+        FROM zz GROUP BY ba
+    ),
+    zstats AS (
+        SELECT zf, MIN(a) AS mna, MAX(a) AS mxa,
+               MIN(b) AS mnb, MAX(b) AS mxb, COUNT(*) AS nrows
+        FROM zz GROUP BY zf
+    ),
+    linmark AS (
+        SELECT s.*, CASE WHEN s.mxb < q.blo OR s.mnb > q.bhi
+                         THEN 0 ELSE 1 END AS kept
+        FROM linstats s CROSS JOIN q
+    ),
+    zmark AS (
+        SELECT s.*,
+               CASE WHEN s.mxb < q.blo OR s.mnb > q.bhi
+                    THEN 0 ELSE 1 END AS kept_b,
+               CASE WHEN s.mxa < q.alo OR s.mna > q.ahi
+                    THEN 0 ELSE 1 END AS kept_a
+        FROM zstats s CROSS JOIN q
+    ),
+    matched AS (
+        SELECT zz.a FROM zz CROSS JOIN q WHERE zz.b BETWEEN q.blo AND q.bhi
+    )
+    SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM linmark) AS files_before,
+        (SELECT CAST(SUM(kept) AS BIGINT) FROM linmark)
+            AS lin_files_kept_custkey,
+        (SELECT CAST(SUM(nrows * kept) AS BIGINT) FROM linmark)
+            AS lin_rows_scanned_custkey,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM zmark) AS files_after,
+        (SELECT CAST(SUM(kept_b) AS BIGINT) FROM zmark)
+            AS z_files_kept_custkey,
+        (SELECT CAST(SUM(nrows * kept_b) AS BIGINT) FROM zmark)
+            AS z_rows_scanned_custkey,
+        (SELECT CAST(SUM(kept_a) AS BIGINT) FROM zmark)
+            AS z_files_kept_orderkey,
+        (SELECT CAST(SUM(nrows * kept_a) AS BIGINT) FROM zmark)
+            AS z_rows_scanned_orderkey,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM src) AS rows_total,
+        CAST(COUNT(*) AS BIGINT) AS n_result,
+        CAST(SUM(CAST(concat('0x', substr(md5(CAST(a AS VARCHAR)), 1, 10))
+                      AS BIGINT)) AS BIGINT) AS result_checksum
+    FROM matched
+"""
+
+
+@query("tbl_optimize_zorder", oracle=_OPTZ_ORACLE)
+def tbl_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered OPTIMIZE inside the commit protocol (VERDICT r11 task
+    #4): orders lands as 4 files range-clustered on o_orderkey (the
+    linear layout — perfect orderkey pruning, useless custkey pruning),
+    then ``optimize(zorder_by=[o_orderkey, o_custkey])`` rewrites them
+    re-clustered on the exact-arithmetic Morton key (2 bits/dim, one
+    file per occupied z-cell). BOTH prunings are REAL manifest-stats
+    prunings of committed snapshots: the custkey range scans every
+    linear file before maintenance and ~half the z-files after, while
+    orderkey pruning survives the re-cluster; the pruned scan's
+    checksum pins that no row was lost or duplicated.
+
+    The oracle replays the identical integer bucket arithmetic
+    (``width = ceil(span/4)``, bit interleave) from first principles —
+    a wrong z-assignment, a lost row, or a mispruned file all diverge.
+
+    At 100 TB: bounds come from manifest footer stats (no extra data
+    pass), the rewrite is ONE hash shuffle on the z-file id over just
+    the selected files, and the commit is the same OCC
+    :meth:`_publish_mutation` loop every mutation uses — concurrent
+    appends rebase metadata-only (pinned in tests/test_tables.py)."""
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    orders = load(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    r = orders.agg(
+        F.min("o_orderkey").alias("mna"), F.max("o_orderkey").alias("mxa"),
+        F.min("o_custkey").alias("mnb"), F.max("o_custkey").alias("mxb"),
+    ).collect()[0]
+    mna, mxa, mnb, mxb = int(r.mna), int(r.mxa), int(r.mnb), int(r.mxb)
+    wa = (mxa - mna + 1 + 3) // 4
+    wb = (mxb - mnb + 1 + 3) // 4
+    alo, ahi = mna + wa, mna + 2 * wa + wa // 2
+    blo, bhi = mnb + wb, mnb + 2 * wb + wb // 2
+
+    work = tempfile.mkdtemp(prefix="tbl_optz_")
+    try:
+        table = VersionedTable(spark, work + "/table")
+        # the linear layout: one file per orderkey quartile (fixture
+        # funnel; a production writer range-shuffles — the boundaries,
+        # not the job shape, are what the oracle replays)
+        staging = work + "/staging"
+        lf = F.least(
+            F.floor((F.col("o_orderkey") - F.lit(mna)) / F.lit(wa))
+            .cast("long"),
+            F.lit(3),
+        )
+        orders.withColumn("lf", lf).repartition(1).write.partitionBy(
+            "lf"
+        ).parquet(staging)
+        table.add_files(staging)
+
+        _, _, lin_b = table.prune_files("o_custkey", blo, bhi)
+        m = table.optimize(
+            zorder_by=["o_orderkey", "o_custkey"],
+            min_file_bytes=1 << 40,
+            target_files=16,
+            zorder_bits=2,
+        )
+        _, _, z_b = table.prune_files("o_custkey", blo, bhi)
+        _, _, z_a = table.prune_files("o_orderkey", alo, ahi)
+
+        digest = md5_prefix_long(F.col("o_orderkey").cast("string"))
+        out = (
+            table.scan("o_custkey", blo, bhi)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_result"),
+                F.sum(digest).cast("bigint").alias("result_checksum"),
+            )
+            .select(
+                F.lit(lin_b["files_total"]).cast("bigint")
+                .alias("files_before"),
+                F.lit(lin_b["files_kept"]).cast("bigint")
+                .alias("lin_files_kept_custkey"),
+                F.lit(lin_b["rows_scanned"]).cast("bigint")
+                .alias("lin_rows_scanned_custkey"),
+                F.lit(z_b["files_total"]).cast("bigint")
+                .alias("files_after"),
+                F.lit(z_b["files_kept"]).cast("bigint")
+                .alias("z_files_kept_custkey"),
+                F.lit(z_b["rows_scanned"]).cast("bigint")
+                .alias("z_rows_scanned_custkey"),
+                F.lit(z_a["files_kept"]).cast("bigint")
+                .alias("z_files_kept_orderkey"),
+                F.lit(z_a["rows_scanned"]).cast("bigint")
+                .alias("z_rows_scanned_orderkey"),
+                F.lit(sum(
+                    s.get("num_rows", 0)
+                    for s in table._file_stats(
+                        m["files"], m
+                    ).values()
+                )).cast("bigint").alias("rows_total"),
+                "n_result",
+                "result_checksum",
+            )
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # Per-user event sequences: the behavior-sequence training input
 # ---------------------------------------------------------------------------
 

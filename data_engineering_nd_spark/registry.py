@@ -268,6 +268,11 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "stream_sliding_counts", "stream_merge_upsert",
         "stream_change_feed", "stream_constraint_quarantine",
     ], 11),
+    # -- NEW round-12 registrations: DEFERRED (sort last; swept locally
+    # at sf0.01 AND sf0.1 this round, lead the r13 window) ------------
+    **dict.fromkeys([
+        "tbl_optimize_zorder",
+    ], 12),
 }
 
 #: Back-compat view used by older tests/docs: every name with a usable

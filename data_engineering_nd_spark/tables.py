@@ -3749,6 +3749,9 @@ class VersionedTable:
         target_file_bytes: int = 128 * 1024 * 1024,
         read_version: int | None = None,
         max_retries: int = 10,
+        zorder_by: list[str] | None = None,
+        zorder_bits: int = 6,
+        target_files: int | None = None,
     ) -> dict:
         """OPTIMIZE-shaped selective compaction: rewrite ONLY the data
         files below ``min_file_bytes`` into ~``target_file_bytes`` output
@@ -3769,7 +3772,22 @@ class VersionedTable:
         or a mutation confined to the LARGE files — rebases
         metadata-only; a concurrent rewrite/vector on the small files
         raises :class:`ConcurrentModification` (maintenance loses to
-        data-changing writers, the Delta OPTIMIZE contract)."""
+        data-changing writers, the Delta OPTIMIZE contract).
+
+        CLUSTERED maintenance (VERDICT r11 task #4, the Delta
+        ``OPTIMIZE ZORDER BY`` / Iceberg sort-order verb): with
+        ``zorder_by=[cols]`` the selected files are rewritten
+        RE-CLUSTERED on the interleaved-bit Morton key of the given
+        numeric columns, so box predicates on any subset of them prune
+        most of the rewritten files through the manifest footer stats.
+        The key uses EXACT integer bucket arithmetic over bounds taken
+        from the manifest stats (a metadata read — no extra data pass,
+        and bit-reproducible by the DuckDB oracle): ``2^zorder_bits``
+        buckets per dimension, one output file per occupied z-block via
+        a hash repartition + partitioned write — never a sampled range
+        shuffle, whose boundaries an oracle cannot replay. OCC
+        semantics are UNCHANGED: same small-file read set, same
+        metadata-only rebase vs concurrent appends."""
         if read_version is None:
             read_version = self.latest_version()
         prev = read_version
@@ -3782,23 +3800,158 @@ class VersionedTable:
             return m
         keep = [f for f in m["files"] if f not in set(small)]
         small_bytes = sum(sizes[f] for f in small)
-        n_out = max(1, -(-small_bytes // target_file_bytes))  # ceil
+        n_out = target_files or max(
+            1, -(-small_bytes // target_file_bytes)
+        )  # ceil
         version = prev + 1
         # the rewrite read applies deletion vectors (materializing them
         # for the small files); kept files retain their DV entries
-        rewritten = self._read_files(
-            small, m["schema"], m.get("dv")
-        ).repartition(n_out)
-        new_files = self._write_files(rewritten, version, m["schema"])
+        rewritten = self._read_files(small, m["schema"], m.get("dv"))
+        if zorder_by:
+            new_files = self._write_files_zordered(
+                rewritten, version, m["schema"], zorder_by,
+                self._zorder_bounds(m, small, zorder_by, rewritten),
+                n_out, zorder_bits,
+            )
+            op = (
+                f"optimize(zorder={','.join(zorder_by)},"
+                f"rewrote={len(small)},into={len(new_files)},"
+                f"kept={len(keep)})"
+            )
+        else:
+            new_files = self._write_files(
+                rewritten.repartition(n_out), version, m["schema"]
+            )
+            op = (
+                f"optimize(rewrote={len(small)},into={len(new_files)},"
+                f"kept={len(keep)})"
+            )
         return self._publish_mutation(
             read_version,
-            f"optimize(rewrote={len(small)},into={len(new_files)},kept={len(keep)})",
+            op,
             added_files=new_files,
             added_sizes=self._file_sizes(new_files),
             added_stats=self._compute_stats(new_files),
             removed=set(small),
             max_retries=max_retries,
         )
+
+    def _zorder_bounds(
+        self,
+        m: dict,
+        files: list[str],
+        cols: list[str],
+        rows: DataFrame,
+    ) -> dict[str, tuple]:
+        """(min, max) per z-order column over ``files`` — from the
+        manifest footer stats when every file carries them (metadata
+        only), else one aggregate over the rows being rewritten."""
+        stats = self._file_stats(files, m)
+        out: dict[str, tuple] = {}
+        missing = []
+        for c in cols:
+            per = [
+                (stats[f].get("columns") or {}).get(c) for f in files
+            ]
+            if all(p is not None for p in per):
+                out[c] = (
+                    min(p["min"] for p in per),
+                    max(p["max"] for p in per),
+                )
+            else:
+                missing.append(c)
+        if missing:
+            row = rows.agg(
+                *[
+                    g
+                    for c in missing
+                    for g in (
+                        F.min(c).alias(f"mn_{c}"),
+                        F.max(c).alias(f"mx_{c}"),
+                    )
+                ]
+            ).collect()[0]
+            for c in missing:
+                out[c] = (row[f"mn_{c}"], row[f"mx_{c}"])
+        return out
+
+    def _write_files_zordered(
+        self,
+        df: DataFrame,
+        version: int,
+        schema_json: str,
+        zorder_by: list[str],
+        bounds: dict[str, tuple],
+        n_out: int,
+        bits: int,
+    ) -> list[str]:
+        """Morton-clustered variant of :meth:`_write_files`: exact
+        integer bucket per dimension (``(col - lo) div width`` with
+        ``width = ceil(span / 2^bits)``), interleave the bucket bits,
+        assign ``z div ceil(cells / n_out)`` as the output file id, and
+        write ONE file per occupied id (hash repartition on the id +
+        partitionBy — a collision just means one task writes two files,
+        file contents stay deterministic). Non-integer dimensions fall
+        back to the same arithmetic on scaled doubles."""
+        nd = len(zorder_by)
+        buckets = []
+        for c in zorder_by:
+            lo, hi = bounds[c]
+            if isinstance(lo, int) and isinstance(hi, int):
+                width = max(1, -(-(hi - lo + 1) // (1 << bits)))
+                b = (F.col(c).cast("long") - F.lit(lo)) / F.lit(width)
+                b = F.floor(b).cast("long")
+            else:
+                lo_f, hi_f = float(lo), float(hi)
+                span = (hi_f - lo_f) or 1.0
+                b = F.floor(
+                    (F.col(c).cast("double") - F.lit(lo_f))
+                    / F.lit(span)
+                    * F.lit(float(1 << bits))
+                ).cast("long")
+            buckets.append(
+                F.greatest(
+                    F.least(b, F.lit((1 << bits) - 1)), F.lit(0)
+                )
+            )
+        z = F.lit(0).cast("long")
+        for i in range(bits):
+            for d, b in enumerate(buckets):
+                z = z.bitwiseOR(
+                    F.shiftleft(
+                        F.shiftright(b, i).bitwiseAND(F.lit(1)),
+                        i * nd + d,
+                    )
+                )
+        cells = 1 << (bits * nd)
+        block = max(1, -(-cells // n_out))  # ceil
+        keyed = df.withColumn(
+            "__zfile", (z / F.lit(block)).cast("long")
+        )
+        mapping = self._mapping(schema_json)
+        if mapping:
+            keyed = keyed.select(
+                *[
+                    F.col(c).alias(mapping.get(c, c))
+                    for c in df.columns
+                ],
+                "__zfile",
+            )
+        rel_dir = os.path.join(
+            _DATA, f"v{version:011d}-{uuid.uuid4().hex[:8]}"
+        )
+        out = os.path.join(self.root, rel_dir)
+        keyed.repartition(n_out, F.col("__zfile")).write.mode(
+            "overwrite"
+        ).partitionBy("__zfile").parquet(out)
+        files = []
+        for dp, _, fns in os.walk(out):
+            for fn in fns:
+                if fn.endswith(".parquet"):
+                    files.append(
+                        os.path.relpath(os.path.join(dp, fn), self.root)
+                    )
+        return sorted(files)
 
     # -- write-audit-publish (staging branches) ---------------------------
 
