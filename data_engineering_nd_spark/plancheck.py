@@ -93,10 +93,17 @@ def _children(node):
     return [ch.apply(i) for i in range(ch.size())]
 
 
+#: additional row-count-preserving (or row-reducing) nodes skipped when
+#: classifying a window's INPUT only — a stacked global window is judged
+#: by the stream feeding the stack (the innermost window gets its own
+#: visit from the detector walk, so nothing is missed)
+_INPUT_TRANSPARENT = _PASS_THROUGH | {"WindowExec", "WindowGroupLimitExec"}
+
+
 def _first_effective(node):
     """First descendant (inclusive) that is not a pass-through wrapper."""
     node = _resolve(node)
-    while node.getClass().getSimpleName() in _PASS_THROUGH:
+    while node.getClass().getSimpleName() in _INPUT_TRANSPARENT:
         kids = _children(node)
         if not kids:
             return node

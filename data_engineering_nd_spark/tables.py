@@ -687,6 +687,8 @@ class VersionedTable:
         prev_refs: dict[str, list[str]] = {}
         prev_mfi = 0
         constraints: dict = {}
+        prev_bases: dict[str, int] = {}
+        prev_hwm = 0
         if version > 0:
             try:
                 pm = self._manifest(version - 1)
@@ -694,8 +696,30 @@ class VersionedTable:
                 prev_refs = dict(pm.get("dv_refs") or {})
                 prev_mfi = int(pm.get("max_field_id") or 0)
                 constraints = dict(pm.get("constraints") or {})
+                prev_bases = dict(pm.get("base_row_ids") or {})
+                prev_hwm = int(pm.get("row_id_hwm") or 0)
             except OSError:
                 pass
+        # row tracking (VERDICT r11 task #5, the Delta row-id shape):
+        # every data file gets a BASE row id; a row's stable id is
+        # base + row_index, unless the file carries a materialized
+        # __row_id column (written by the COW rewrite paths to preserve
+        # ids across rewrites). Bases are drawn above the monotonic
+        # high-water mark and never reused, so ids are unique for the
+        # table's lifetime; carried files keep their base. Metadata
+        # only — num_rows comes from the stats every write path already
+        # computes (footer fallback otherwise).
+        bases: dict[str, int] = {}
+        hwm = prev_hwm
+        for f in sorted(files):
+            if f in prev_bases:
+                bases[f] = prev_bases[f]
+            else:
+                nr = ((stats or {}).get(f) or {}).get("num_rows")
+                if nr is None:
+                    nr = self._compute_stats([f])[f].get("num_rows", 0)
+                bases[f] = hwm
+                hwm += int(nr)
         if constraints_update is not None:
             constraints = constraints_update
         if txn_update:

@@ -713,3 +713,30 @@ def test_drawdown_window_partitions_by_year_over_daily_agg(spark):
     plan = physical_plan(q114_max_drawdown_by_year(spark, SF_DIR))
     assert "SinglePartition" not in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_no_unbounded_global_windows_in_window_headliners(spark):
+    """Runtime executed-plan guard (VERDICT r11 task #3): none of the
+    window-heavy headliners may execute a no-partition WindowExec whose
+    input is not provably bounded by an upstream limit/aggregate — the
+    q115 failure mode the sf0.001 fingerprints could not see. The full
+    307-query two-SF sweep ran via tools/window_sweep.py (SWEEP_r12.md);
+    this pins the structural check in-suite."""
+    from data_engineering_nd_spark import registry
+    from data_engineering_nd_spark.plancheck import unbounded_global_windows
+    from data_engineering_nd_spark.registry import QUERIES
+
+    registry.load_all_modules()
+    for name in (
+        "q115_top_decile_revenue_share",
+        "q112_kmv_set_operations",
+        "q22_running_total",
+        "q97_window_funnel",
+        "q108_weighted_median",
+        "ds_length_histogram",
+        "q86_last_touch_attribution",
+    ):
+        df = QUERIES[name](spark, SF_DIR)
+        df.collect()
+        hits = unbounded_global_windows(df)
+        assert not hits, (name, hits)
