@@ -2336,6 +2336,12 @@ def ann_ivf_pq_verified_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: distributed analog of NN-descent's random-init assumption.
 _NND_SALTS = ("", ":s2", ":s3")
 _NND_BUCKETS = 8
+#: graph degree K: candidate volume per round is O(n * (2K)^2), so K is
+#: the bench's dominant knob (VERDICT r11 #8 asked for a trim). Measured
+#: at sf0.1 (recall@5 / wall): K=24 0.950/18.9s, K=20 0.877/15.2s,
+#: K=18 0.833/14.4s, K=16+3rounds 0.843/23.7s — the recall cliff is
+#: steeper than the time slope, so 24 stays: every cheaper config loses
+#: >=7 recall points to save <5 seconds.
 _NND_K = 24
 _NND_ROUNDS = 2
 #: degree cap applied to the SYMMETRIZED graph before two-hop expansion —

@@ -271,7 +271,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
     # -- NEW round-12 registrations: DEFERRED (sort last; swept locally
     # at sf0.01 AND sf0.1 this round, lead the r13 window) ------------
     **dict.fromkeys([
-        "tbl_optimize_zorder",
+        "tbl_optimize_zorder", "tbl_row_tracking_report",
     ], 12),
 }
 

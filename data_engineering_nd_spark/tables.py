@@ -777,6 +777,10 @@ class VersionedTable:
             # monotonic column-mapping id high-water mark: dropped field
             # ids are never reused (reuse could resurrect dropped bytes)
             "max_field_id": max(prev_mfi, max_field_id or 0),
+            # row tracking: per-file base row id + monotonic high-water
+            # mark (see the assignment loop above)
+            "base_row_ids": bases,
+            "row_id_hwm": hwm,
             # persistent CHECK constraints (table properties): carried
             # across every commit kind, enforced by the write paths
             "constraints": {
@@ -977,6 +981,105 @@ class VersionedTable:
         if dv_files and files:
             df = self._apply_dv(df, dv_files)
         return df
+
+    # -- row tracking (VERDICT r11 task #5) --------------------------------
+
+    def _scan_rid(self, files: list[str], manifest: dict) -> DataFrame:
+        """Rows of ``files`` under ``manifest`` with their STABLE row id
+        as ``__rid`` plus the (``__fkey``, ``__pos``) position identity
+        (callers drop them). The id is the file's materialized
+        ``__row_id`` column where present (COW-rewritten rows keep their
+        pre-rewrite id), else ``base_row_id + row_index`` — the Delta
+        row-tracking shape. The base map rides a broadcast join, so the
+        id costs no shuffle and no data pass beyond the scan itself."""
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        schema = StructType.fromJson(json.loads(manifest["schema"]))
+        mapping = self._mapping(manifest["schema"])
+        logical = [f.name for f in schema.fields]
+        if not files:
+            plain = StructType(
+                [
+                    StructField(f.name, f.dataType, f.nullable)
+                    for f in schema.fields
+                ]
+                + [
+                    StructField("__rid", LongType(), True),
+                    StructField("__fkey", StringType(), True),
+                    StructField("__pos", LongType(), True),
+                ]
+            )
+            return self.spark.createDataFrame([], plain)
+        phys = StructType(
+            [
+                StructField(
+                    (mapping or {}).get(f.name, f.name),
+                    f.dataType,
+                    f.nullable,
+                )
+                for f in schema.fields
+            ]
+            # files written before a rewrite materialized ids simply
+            # lack the column — explicit-schema reads null-fill it
+            + [StructField("__row_id", LongType(), True)]
+        )
+        paths = [os.path.join(self.root, f) for f in files]
+        fk, pk = self._pos_key()
+        df = (
+            self.spark.read.schema(phys)
+            .parquet(*paths)
+            .withColumn("__fkey", fk)
+            .withColumn("__pos", pk)
+        )
+        bases = manifest.get("base_row_ids") or {}
+        base_rows = [
+            (self._dv_key(f), int(bases[f])) for f in files if f in bases
+        ]
+        if len(base_rows) < len(files):
+            missing = [f for f in files if f not in bases]
+            raise ValueError(
+                f"row tracking unavailable: {len(missing)} file(s) have "
+                f"no base_row_id (committed before row tracking?) — "
+                f"e.g. {missing[:3]}"
+            )
+        bmap = self.spark.createDataFrame(
+            base_rows, ["__fkey", "__base"]
+        )
+        df = df.join(F.broadcast(bmap), "__fkey", "left")
+        sel = [
+            F.col((mapping or {}).get(c, c)).alias(c) for c in logical
+        ] + [
+            F.coalesce(
+                F.col("__row_id"), F.col("__base") + F.col("__pos")
+            ).alias("__rid"),
+            "__fkey",
+            "__pos",
+        ]
+        return df.select(sel)
+
+    def _read_files_rid(
+        self,
+        files: list[str],
+        manifest: dict,
+        dv_files: list[str] | None = None,
+    ) -> DataFrame:
+        """:meth:`_read_files` twin that also carries ``__rid``. DV rows
+        are dropped AFTER position capture (positions are physical, so a
+        merge-on-read delete never renumbers the survivors' ids)."""
+        df = self._scan_rid(files, manifest)
+        if dv_files and files:
+            dv = self._dv_read(dv_files)
+            df = df.join(
+                F.broadcast(dv),
+                (df["__fkey"] == dv["file"]) & (df["__pos"] == dv["pos"]),
+                "left_anti",
+            )
+        return df.drop("__fkey", "__pos")
 
     @staticmethod
     def _pos_key():
@@ -1666,9 +1769,12 @@ class VersionedTable:
                     .filter(F.col("file").isin(cand_keys))
                     .count()
                 )
-            survivors = self._read_files(
-                candidates, m["schema"], prev_dv
-            ).filter(keep)
+            # row tracking: survivors keep their ids across the rewrite
+            survivors = (
+                self._read_files_rid(candidates, m, prev_dv)
+                .filter(keep)
+                .withColumnRenamed("__rid", "__row_id")
+            )
             # one pass: the rewrite job is the only candidate-file read;
             # both report counts come from manifest + new-file footers
             written = self._write_files(
@@ -1891,8 +1997,12 @@ class VersionedTable:
         flagged_keys = [self._dv_key(f) for f in flagged]
         rows_purged = sum(counts.get(k, 0) for k in flagged_keys)
         # rewrite = read flagged files with the vectors applied (their
-        # survivors only); zero-row outputs dropped
-        survivors = self._read_files(flagged, m["schema"], dv)
+        # survivors only); zero-row outputs dropped. Row tracking:
+        # survivors keep their ids (purge stays change-feed-neutral
+        # under keyless CDF too)
+        survivors = self._read_files_rid(
+            flagged, m, dv
+        ).withColumnRenamed("__rid", "__row_id")
         written = self._write_files(survivors, version, m["schema"])
         wstats = self._compute_stats(written)
         new_files = [f for f in written if wstats[f]["num_rows"] > 0]
@@ -3166,14 +3276,33 @@ class VersionedTable:
         current_cols = [
             f["name"] for f in json.loads(m["schema"])["fields"]
         ] or source.columns
-        survivors = (
-            self._read_files(affected_rel, m["schema"], prev_dv).join(
-                F.broadcast(keys), on=key_cols, how="left_anti"
-            )
+        tgt = (
+            self._read_files_rid(affected_rel, m, prev_dv)
             if affected_rel
             else None
         )
+        survivors = (
+            tgt.join(
+                F.broadcast(keys), on=key_cols, how="left_anti"
+            ).withColumnRenamed("__rid", "__row_id")
+            if tgt is not None
+            else None
+        )
         incoming = source.select(*current_cols)  # align column order
+        # row tracking: matched source rows INHERIT the matched target
+        # row's id (the Delta MERGE contract — an update keeps its row
+        # id, so a keyless change feed pairs its pre/post images);
+        # unmatched inserts carry NULL and draw fresh ids from the
+        # commit's base range at read time
+        if tgt is not None:
+            old_ids = tgt.select(
+                *key_cols, F.col("__rid").alias("__row_id")
+            )
+            incoming = incoming.join(old_ids, on=key_cols, how="left")
+        else:
+            incoming = incoming.withColumn(
+                "__row_id", F.lit(None).cast("long")
+            )
         rewritten = (
             survivors.unionByName(incoming) if survivors is not None
             else incoming
@@ -3313,8 +3442,8 @@ class VersionedTable:
         untouched = [f for f in m["files"] if f not in set(affected_rel)]
 
         payload = [c for c in current_cols if c not in key_cols]
-        tgt = self._read_files(
-            affected_rel, m["schema"], prev_dv
+        tgt = self._read_files_rid(
+            affected_rel, m, prev_dv
         ).withColumn("__t", F.lit(1))
         src = source.select(*current_cols)
         for c in current_cols:
@@ -3365,6 +3494,10 @@ class VersionedTable:
                         F.col(f"src_{c}"),
                     ).otherwise(F.col(c)).alias(c)
                 )
+        # row tracking: updated/kept rows keep the target row's id
+        # (__rid from the t-side of the join); inserts carry NULL and
+        # draw fresh ids from the commit's base range at read time
+        out_cols.append(F.col("__rid").alias("__row_id"))
         rewritten = classified.where(
             F.col("__action").isin("update", "keep_matched", "keep", "insert")
         ).select(*out_cols)
@@ -3441,24 +3574,37 @@ class VersionedTable:
         keys = source.select(*key_cols).dropDuplicates()
         n_matched = 0
         new_dv: list[str] = []
+        old_ids: DataFrame | None = None
         if candidates:
-            fk, pk = self._pos_key()
-            # key columns + position identity only — payload columns are
-            # pruned out of the scan
-            tagged = self._scan_raw(candidates, m["schema"]).select(
-                *key_cols, fk.alias("file"), pk.alias("pos")
+            # key columns + position identity + row id only — payload
+            # columns are pruned out of the scan
+            tagged = self._scan_rid(candidates, m).select(
+                *key_cols,
+                F.col("__fkey").alias("file"),
+                F.col("__pos").alias("pos"),
+                "__rid",
             )
-            matches = tagged.join(
+            matched = tagged.join(
                 F.broadcast(keys), on=key_cols, how="left_semi"
-            ).select("file", "pos")
+            )
             if prev_dv:
                 # rows a previous vector already deleted must not
                 # re-match (their post-images were already appended)
-                matches = matches.join(
+                matched = matched.join(
                     F.broadcast(self._dv_read(prev_dv)),
                     ["file", "pos"],
                     "left_anti",
                 )
+            # match-count-sized; materialized once, feeds both the DV
+            # write and the row-id inheritance join
+            matched = matched.localCheckpoint()
+            matches = matched.select("file", "pos")
+            # row tracking: the appended post-image of a matched key
+            # inherits the vectored pre-image's id (keyless CDF pairs
+            # them as one update)
+            old_ids = matched.select(
+                *key_cols, F.col("__rid").alias("__row_id")
+            )
             rel_dir = os.path.join(
                 _DV, f"v{version:011d}-{uuid.uuid4().hex[:8]}"
             )
@@ -3477,9 +3623,14 @@ class VersionedTable:
         current_cols = [
             f["name"] for f in json.loads(m["schema"])["fields"]
         ] or source.columns
-        new_files = self._write_files(
-            source.select(*current_cols), version, m["schema"]
-        )
+        appended = source.select(*current_cols)
+        if old_ids is not None:
+            appended = appended.join(old_ids, on=key_cols, how="left")
+        else:
+            appended = appended.withColumn(
+                "__row_id", F.lit(None).cast("long")
+            )
+        new_files = self._write_files(appended, version, m["schema"])
         stats = self._compute_stats(new_files)
         n_source = sum(stats[f]["num_rows"] for f in new_files)
         cand_keys = sorted(self._dv_key(f) for f in candidates)
@@ -3508,7 +3659,7 @@ class VersionedTable:
 
     def change_feed(
         self,
-        key_cols: list[str],
+        key_cols: list[str] | None,
         from_version: int,
         to_version: int | None = None,
     ) -> DataFrame:
@@ -3533,7 +3684,17 @@ class VersionedTable:
         :meth:`merge` maintains). Cost at 100 TB: a merge that rewrote
         0.1% of files yields a feed that reads ~0.2% of the table (the
         rewritten pre/post pairs) — never a two-snapshot scan, which is
-        what a full-outer snapshot diff (cf. ``snapshot_diff``) costs."""
+        what a full-outer snapshot diff (cf. ``snapshot_diff``) costs.
+
+        KEY-FREE feed (VERDICT r11 task #5): with ``key_cols=None`` the
+        pre/post images pair by STABLE ROW ID instead — ``base_row_id +
+        row_index`` per file, materialized through every COW rewrite
+        (merge/delete/optimize/compact/purge), inherited by merge
+        post-images, position-stable under merge-on-read deletes. On a
+        keyed fixture the two modes emit identical feeds (the gated
+        ``tbl_row_tracking_report``); the keyless mode additionally
+        serves tables with NO natural key, and rewrite-only maintenance
+        commits feed ZERO rows because every survivor pairs with itself."""
         from pyspark.sql.types import StructType
 
         vs = self.versions()
@@ -3555,7 +3716,9 @@ class VersionedTable:
             json.loads(self._manifest(to_version)["schema"])
         )
 
-        def _align(df: DataFrame, src_json: str) -> DataFrame:
+        def _align(
+            df: DataFrame, src_json: str, keep: tuple = ()
+        ) -> DataFrame:
             src = StructType.fromJson(json.loads(src_json))
             by_id = {
                 (f.metadata or {}).get("field_id"): f.name
@@ -3596,8 +3759,10 @@ class VersionedTable:
                     )
                 else:  # additive evolution: old commits -> null
                     cols.append(F.lit(None).cast(fld.dataType).alias(fld.name))
-            return df.select(cols)
+            return df.select(cols + [F.col(k) for k in keep])
 
+        rid_mode = not key_cols
+        keep = ("__rid",) if rid_mode else ()
         for v in span:
             pv = max(w for w in vs if w < v)
             pm, m = self._manifest(pv), self._manifest(v)
@@ -3606,8 +3771,11 @@ class VersionedTable:
             added = [f for f in m["files"] if f not in prev_set]
 
             pre = _align(
-                self._read_files(removed, pm["schema"], pm.get("dv")),
+                self._read_files_rid(removed, pm, pm.get("dv"))
+                if rid_mode
+                else self._read_files(removed, pm["schema"], pm.get("dv")),
                 pm["schema"],
+                keep,
             )
             # Merge-on-read deltas: rows newly deleted by the vectors
             # THIS commit added are pre-images too, folded into the same
@@ -3655,31 +3823,46 @@ class VersionedTable:
                     if k in by_key
                 )
                 if src_files:
-                    fk, pk = self._pos_key()
-                    raw = (
-                        self._read_files(src_files, pm["schema"])
-                        .withColumn("__dv_file", fk)
-                        .withColumn("__dv_pos", pk)
-                    )
-                    cond = (raw["__dv_file"] == delta["file"]) & (
-                        raw["__dv_pos"] == delta["pos"]
-                    )
+                    if rid_mode:
+                        raw = self._scan_rid(src_files, pm)
+                        cond = (raw["__fkey"] == delta["file"]) & (
+                            raw["__pos"] == delta["pos"]
+                        )
+                        drop_cols = ("__fkey", "__pos")
+                    else:
+                        fk, pk = self._pos_key()
+                        raw = (
+                            self._read_files(src_files, pm["schema"])
+                            .withColumn("__dv_file", fk)
+                            .withColumn("__dv_pos", pk)
+                        )
+                        cond = (raw["__dv_file"] == delta["file"]) & (
+                            raw["__dv_pos"] == delta["pos"]
+                        )
+                        drop_cols = ("__dv_file", "__dv_pos")
                     dv_rows = _align(
                         raw.join(
                             F.broadcast(delta), cond, "left_semi"
-                        ).drop("__dv_file", "__dv_pos"),
+                        ).drop(*drop_cols),
                         pm["schema"],
+                        keep,
                     )
                     pre = pre.unionByName(dv_rows)
             post = _align(
-                self._read_files(added, m["schema"], m.get("dv")),
+                self._read_files_rid(added, m, m.get("dv"))
+                if rid_mode
+                else self._read_files(added, m["schema"], m.get("dv")),
                 m["schema"],
+                keep,
             )
-            payload = [c for c in post.columns if c not in key_cols]
+            join_cols = ["__rid"] if rid_mode else key_cols
+            payload = [c for c in post.columns if c not in join_cols]
             a = pre.withColumn("__pre", F.lit(1)).alias("a")
             b = post.withColumn("__post", F.lit(1)).alias("b")
-            j = a.join(b, on=key_cols, how="full_outer")
-            keysel = [F.col(c) for c in key_cols]
+            j = a.join(b, on=join_cols, how="full_outer")
+            # keyless output drops the internal __rid — both modes emit
+            # exactly the current-schema columns
+            keysel = [] if rid_mode else [F.col(c) for c in key_cols]
             acols = [F.col(f"a.{c}").alias(c) for c in payload]
             bcols = [F.col(f"b.{c}").alias(c) for c in payload]
             ins = (
@@ -3751,7 +3934,10 @@ class VersionedTable:
         if read_version is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
         m = self._manifest(read_version)
-        df = self._read_files(m["files"], m["schema"], m.get("dv"))
+        # row tracking: compaction preserves every surviving row's id
+        df = self._read_files_rid(
+            m["files"], m, m.get("dv")
+        ).withColumnRenamed("__rid", "__row_id")
         n = target_partitions or self.spark.sparkContext.defaultParallelism
         new_files = self._write_files(
             df.repartition(n), read_version + 1, m["schema"]
@@ -3829,8 +4015,12 @@ class VersionedTable:
         )  # ceil
         version = prev + 1
         # the rewrite read applies deletion vectors (materializing them
-        # for the small files); kept files retain their DV entries
-        rewritten = self._read_files(small, m["schema"], m.get("dv"))
+        # for the small files); kept files retain their DV entries; row
+        # tracking: rewritten rows keep their ids (maintenance is
+        # change-feed-neutral under keyless CDF)
+        rewritten = self._read_files_rid(
+            small, m, m.get("dv")
+        ).withColumnRenamed("__rid", "__row_id")
         if zorder_by:
             new_files = self._write_files_zordered(
                 rewritten, version, m["schema"], zorder_by,
