@@ -133,9 +133,19 @@ def unbounded_global_windows(df: DataFrame) -> list[WindowHit]:
     hits: list[WindowHit] = []
     seen: set[int] = set()
 
+    def _plan_key(node) -> int:
+        # JVM-stable identity: SparkPlan.id (unique per plan node).
+        # Python id() on transient py4j proxies both misses duplicates
+        # (every children().apply() makes a fresh proxy) and can alias
+        # UNVISITED nodes after GC address reuse.
+        try:
+            return int(node.id())
+        except Exception:
+            return int(node.hashCode())
+
     def walk(node):
         node = _resolve(node)
-        key = id(node)
+        key = _plan_key(node)
         if key in seen:  # reused exchanges can alias subtrees
             return
         seen.add(key)

@@ -677,8 +677,14 @@ class VersionedTable:
         dv_refs: dict[str, list[str]] | None = None,
         max_field_id: int | None = None,
         constraints_update: dict | None = None,
+        row_id_carry: dict[str, int] | None = None,
     ) -> dict:
-        """Atomic commit point: temp-file + rename within _log/."""
+        """Atomic commit point: temp-file + rename within _log/.
+
+        ``row_id_carry`` supplies base row ids for files NOT in the
+        previous manifest (restore re-publishing an old snapshot's
+        files) so their rows keep their lifetime-stable ids; the
+        previous manifest still wins for live files."""
         os.makedirs(self._log_dir(), exist_ok=True)
         # transaction watermarks (Delta txnAppId/txnVersion): carried
         # TABLE-LEVEL across every commit kind so an idempotent writer's
@@ -709,6 +715,8 @@ class VersionedTable:
         # table's lifetime; carried files keep their base. Metadata
         # only — num_rows comes from the stats every write path already
         # computes (footer fallback otherwise).
+        if row_id_carry:
+            prev_bases = {**row_id_carry, **prev_bases}
         bases: dict[str, int] = {}
         hwm = prev_hwm
         for f in sorted(files):
@@ -984,7 +992,9 @@ class VersionedTable:
 
     # -- row tracking (VERDICT r11 task #5) --------------------------------
 
-    def _scan_rid(self, files: list[str], manifest: dict) -> DataFrame:
+    def _scan_rid(
+        self, files: list[str], manifest: dict, strict: bool = True
+    ) -> DataFrame:
         """Rows of ``files`` under ``manifest`` with their STABLE row id
         as ``__rid`` plus the (``__fkey``, ``__pos``) position identity
         (callers drop them). The id is the file's materialized
@@ -1042,11 +1052,18 @@ class VersionedTable:
         ]
         if len(base_rows) < len(files):
             missing = [f for f in files if f not in bases]
-            raise ValueError(
-                f"row tracking unavailable: {len(missing)} file(s) have "
-                f"no base_row_id (committed before row tracking?) — "
-                f"e.g. {missing[:3]}"
-            )
+            if strict:
+                raise ValueError(
+                    f"row tracking unavailable: {len(missing)} file(s) "
+                    f"have no base_row_id (committed before row "
+                    f"tracking?) — e.g. {missing[:3]}"
+                )
+            # non-strict (the rewrite paths): pre-tracking files yield
+            # NULL ids — their rewritten rows draw fresh ids from the
+            # next commit's base range, a lazy backfill that keeps old
+            # tables fully mutable
+        if not base_rows:
+            base_rows = [("", 0)]  # createDataFrame needs a schema seed
         bmap = self.spark.createDataFrame(
             base_rows, ["__fkey", "__base"]
         )
@@ -1067,11 +1084,12 @@ class VersionedTable:
         files: list[str],
         manifest: dict,
         dv_files: list[str] | None = None,
+        strict: bool = True,
     ) -> DataFrame:
         """:meth:`_read_files` twin that also carries ``__rid``. DV rows
         are dropped AFTER position capture (positions are physical, so a
         merge-on-read delete never renumbers the survivors' ids)."""
-        df = self._scan_rid(files, manifest)
+        df = self._scan_rid(files, manifest, strict=strict)
         if dv_files and files:
             dv = self._dv_read(dv_files)
             df = df.join(
@@ -1532,14 +1550,6 @@ class VersionedTable:
         :class:`ConcurrentModification`."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
-        lv = self.latest_version()
-        if lv is not None and self._mapping(
-            self._manifest(lv)["schema"]
-        ):
-            raise ValueError(
-                "partitioned commit on a column-mapped table is not "
-                "supported"
-            )
         pcols = [name for name, _ in spec]
         clash = set(pcols) & set(df.columns)
         if clash:
@@ -1553,6 +1563,45 @@ class VersionedTable:
             read_version = self.latest_version()
         self._enforce_table_checks(df, read_version)
         my_op = "append" if mode == "append" else "replace"
+        # column mapping (r12: the previous build REFUSED partitioned
+        # commits on mapped tables): derive the target schema exactly as
+        # :meth:`commit` does, then rename the DATA columns to their
+        # physical names before the hive-layout write — partition
+        # directories keep their spec names (they are manifest metadata,
+        # never table columns), so pruning is unaffected
+        base_m = (
+            self._manifest(read_version)
+            if read_version is not None
+            else None
+        )
+        target_json = df.schema.json()
+        mfi_new: int | None = None
+        if base_m is not None and self._mapping(base_m["schema"]) is not None:
+            if mode == "append":
+                target_json = self._evolve_schema(
+                    base_m["schema"], target_json
+                )
+            else:
+                target_json = self._preserve_mapping(
+                    base_m["schema"], target_json
+                )
+            target_json, mfi_new = self._assign_field_ids(
+                target_json, int(base_m.get("max_field_id") or 0)
+            )
+            mapping = self._mapping(target_json) or {}
+            pclash = set(pcols) & set(mapping.values())
+            if pclash:
+                raise ValueError(
+                    f"partition names {sorted(pclash)} collide with "
+                    f"physical column names"
+                )
+            staged = staged.select(
+                *[
+                    F.col(c).alias(mapping.get(c, c))
+                    for c in df.columns
+                ],
+                *pcols,
+            )
         first_guess = 0 if read_version is None else read_version + 1
         rel_dir = os.path.join(
             _DATA, f"v{first_guess:011d}-{uuid.uuid4().hex[:8]}"
@@ -1591,7 +1640,7 @@ class VersionedTable:
             sizes = dict(new_sizes)
             stats = dict(new_stats)
             partitions = dict(new_partitions)
-            schema_json = df.schema.json()  # source columns only
+            schema_json = target_json  # source columns only (+ mapping)
             dv: list[str] = []
             if mode == "append" and prev is not None:
                 pm = self._manifest(prev)
@@ -1611,6 +1660,7 @@ class VersionedTable:
                     stats,
                     partitions,
                     dv=dv,
+                    max_field_id=mfi_new,
                 )
             except ConcurrentModification:
                 raise
@@ -1771,7 +1821,7 @@ class VersionedTable:
                 )
             # row tracking: survivors keep their ids across the rewrite
             survivors = (
-                self._read_files_rid(candidates, m, prev_dv)
+                self._read_files_rid(candidates, m, prev_dv, strict=False)
                 .filter(keep)
                 .withColumnRenamed("__rid", "__row_id")
             )
@@ -2001,7 +2051,7 @@ class VersionedTable:
         # survivors keep their ids (purge stays change-feed-neutral
         # under keyless CDF too)
         survivors = self._read_files_rid(
-            flagged, m, dv
+            flagged, m, dv, strict=False
         ).withColumnRenamed("__rid", "__row_id")
         written = self._write_files(survivors, version, m["schema"])
         wstats = self._compute_stats(written)
@@ -2395,6 +2445,10 @@ class VersionedTable:
             self._file_stats(m["files"], m),
             m.get("partitions"),
             dv=m.get("dv"),
+            # re-published files keep their original base row ids, so
+            # the keyless change feed across a restore pairs rows with
+            # their pre-restore selves instead of reporting churn
+            row_id_carry=m.get("base_row_ids"),
         )
 
     def clone_from(
@@ -3277,7 +3331,7 @@ class VersionedTable:
             f["name"] for f in json.loads(m["schema"])["fields"]
         ] or source.columns
         tgt = (
-            self._read_files_rid(affected_rel, m, prev_dv)
+            self._read_files_rid(affected_rel, m, prev_dv, strict=False)
             if affected_rel
             else None
         )
@@ -3295,8 +3349,13 @@ class VersionedTable:
         # unmatched inserts carry NULL and draw fresh ids from the
         # commit's base range at read time
         if tgt is not None:
-            old_ids = tgt.select(
-                *key_cols, F.col("__rid").alias("__row_id")
+            # one id per key: duplicate target keys (no uniqueness
+            # constraint exists) must not MULTIPLY the joined source
+            # rows — the pre-row-tracking merge collapsed dup-key
+            # pre-images into one post-image, and that contract stands
+            # (the post-image inherits the smallest matched id)
+            old_ids = tgt.groupBy(*key_cols).agg(
+                F.min("__rid").alias("__row_id")
             )
             incoming = incoming.join(old_ids, on=key_cols, how="left")
         else:
@@ -3443,7 +3502,7 @@ class VersionedTable:
 
         payload = [c for c in current_cols if c not in key_cols]
         tgt = self._read_files_rid(
-            affected_rel, m, prev_dv
+            affected_rel, m, prev_dv, strict=False
         ).withColumn("__t", F.lit(1))
         src = source.select(*current_cols)
         for c in current_cols:
@@ -3578,7 +3637,7 @@ class VersionedTable:
         if candidates:
             # key columns + position identity + row id only — payload
             # columns are pruned out of the scan
-            tagged = self._scan_rid(candidates, m).select(
+            tagged = self._scan_rid(candidates, m, strict=False).select(
                 *key_cols,
                 F.col("__fkey").alias("file"),
                 F.col("__pos").alias("pos"),
@@ -3601,9 +3660,10 @@ class VersionedTable:
             matches = matched.select("file", "pos")
             # row tracking: the appended post-image of a matched key
             # inherits the vectored pre-image's id (keyless CDF pairs
-            # them as one update)
-            old_ids = matched.select(
-                *key_cols, F.col("__rid").alias("__row_id")
+            # them as one update); min() per key so duplicate target
+            # keys cannot multiply the appended batch
+            old_ids = matched.groupBy(*key_cols).agg(
+                F.min("__rid").alias("__row_id")
             )
             rel_dir = os.path.join(
                 _DV, f"v{version:011d}-{uuid.uuid4().hex[:8]}"
@@ -3936,7 +3996,7 @@ class VersionedTable:
         m = self._manifest(read_version)
         # row tracking: compaction preserves every surviving row's id
         df = self._read_files_rid(
-            m["files"], m, m.get("dv")
+            m["files"], m, m.get("dv"), strict=False
         ).withColumnRenamed("__rid", "__row_id")
         n = target_partitions or self.spark.sparkContext.defaultParallelism
         new_files = self._write_files(
@@ -4019,7 +4079,7 @@ class VersionedTable:
         # tracking: rewritten rows keep their ids (maintenance is
         # change-feed-neutral under keyless CDF)
         rewritten = self._read_files_rid(
-            small, m, m.get("dv")
+            small, m, m.get("dv"), strict=False
         ).withColumnRenamed("__rid", "__row_id")
         if zorder_by:
             new_files = self._write_files_zordered(
@@ -4108,14 +4168,23 @@ class VersionedTable:
         file contents stay deterministic). Non-integer dimensions fall
         back to the same arithmetic on scaled doubles."""
         nd = len(zorder_by)
+        work = df
         buckets = []
-        for c in zorder_by:
+        for i, c in enumerate(zorder_by):
             lo, hi = bounds[c]
             if isinstance(lo, int) and isinstance(hi, int):
+                # EXACT integral division (SQL `div`, never a double
+                # round-trip: floor(x/y) on doubles drifts above 2^53 —
+                # hash-derived/snowflake keys — while the oracle's `//`
+                # stays exact)
                 width = max(1, -(-(hi - lo + 1) // (1 << bits)))
-                b = (F.col(c).cast("long") - F.lit(lo)) / F.lit(width)
-                b = F.floor(b).cast("long")
+                work = work.withColumn(
+                    f"__zd_{i}", F.col(c).cast("long") - F.lit(lo)
+                )
+                b = F.expr(f"__zd_{i} div {width}")
             else:
+                # non-integral dimensions: scaled-double bucketing
+                # (approximate by nature; documented, not oracle-exact)
                 lo_f, hi_f = float(lo), float(hi)
                 span = (hi_f - lo_f) or 1.0
                 b = F.floor(
@@ -4139,8 +4208,11 @@ class VersionedTable:
                 )
         cells = 1 << (bits * nd)
         block = max(1, -(-cells // n_out))  # ceil
-        keyed = df.withColumn(
-            "__zfile", (z / F.lit(block)).cast("long")
+        temps = [f"__zd_{i}" for i in range(nd)]
+        keyed = (
+            work.withColumn("__zval", z)
+            .withColumn("__zfile", F.expr(f"__zval div {block}"))
+            .drop("__zval", *temps)
         )
         mapping = self._mapping(schema_json)
         if mapping:

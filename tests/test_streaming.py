@@ -623,3 +623,35 @@ def test_refresh_minmax_new_group_with_adds_and_deletes_recomputes(
         for r in mv.snapshot().collect()
     }
     assert state == {"a": (10, 10, 1), "b": (5, 5, 1)}
+
+
+def test_pump_change_feed_keyless(spark, tmp_path):
+    """r12: the CDF pump works KEY-FREE (key_cols=None pairs by stable
+    row id) and lands the same change rows the keyed pump lands on a
+    keyed source — including across a merge upsert and a DV delete."""
+    from pyspark.sql import Row
+
+    from data_engineering_nd_spark.streaming.sink import pump_change_feed
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    dk = VersionedTable(spark, str(tmp_path / "dk"))
+    dn = VersionedTable(spark, str(tmp_path / "dn"))
+    src.commit(spark.createDataFrame(
+        [Row(k=i, v=str(i)) for i in range(10)]))
+    pump_change_feed(src, dk, ["k"], "p")
+    pump_change_feed(src, dn, None, "p")
+    src.merge(spark.createDataFrame([Row(k=3, v="U"), Row(k=50, v="I")]),
+              ["k"])
+    src.delete_where_dv("k", 0, 1)
+    rk = pump_change_feed(src, dk, ["k"], "p")
+    rn = pump_change_feed(src, dn, None, "p")
+    assert rk["rows"] == rn["rows"]
+
+    def norm(t):
+        return sorted(
+            (r.k, r.v, r._change_type, r._commit_version)
+            for r in t.snapshot().collect()
+        )
+
+    assert norm(dk) == norm(dn)

@@ -2087,14 +2087,37 @@ def test_column_mapping_guards_unsupported_surfaces(spark, table):
     table.commit(spark.createDataFrame([Row(k=1, v="a")]))
     table.rename_column("v", "w")
     with pytest.raises(ValueError, match="column-mapped"):
-        table.commit_partitioned(
-            spark.createDataFrame([Row(k=2, w="b")]), [("p", "k % 2")]
-        )
-    with pytest.raises(ValueError, match="column-mapped"):
         table.add_files("/nonexistent")
     table.stage(spark.createDataFrame([Row(k=2, w="b")]), "audit")
     with pytest.raises(ValueError, match="column-mapped"):
         table.publish_staged("audit")
+
+
+def test_column_mapping_partitioned_commit(spark, table):
+    """r12: partitioned commits WORK on column-mapped tables — data
+    columns land under physical names, partition directories keep their
+    spec names, pruning and snapshot() are mapping-transparent."""
+    table.commit(spark.createDataFrame([Row(k=1, v="a")]))
+    table.rename_column("v", "w")  # enables mapping
+    m = table.commit_partitioned(
+        spark.createDataFrame([Row(k=2, w="b"), Row(k=3, w="c")]),
+        [("p", "k % 2")],
+        mode="append",
+    )
+    assert m["operation"].startswith("append_partitioned")
+    got = sorted((r.k, r.w) for r in table.snapshot().collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    kept, pruned, meta = table.prune_partitions({"p": "0"})
+    assert meta["files_kept"] >= 1
+    # rows in pruned-out files never have p == 0
+    rows = table._read_files(
+        kept, table._manifest(table.latest_version())["schema"]
+    ).collect()
+    assert any(r.k == 2 for r in rows)
+    # a further rename still works and reads back
+    table.rename_column("w", "x")
+    got = sorted((r.k, r.x) for r in table.snapshot().collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
 
 
 def test_column_mapping_schema_edit_validation(spark, table):
@@ -2577,9 +2600,8 @@ def test_optimize_zorder_clusters_and_prunes(spark, table):
         target_files=16, zorder_bits=2,
     )
     assert m["operation"].startswith("optimize(zorder=a,b")
-    assert len(m["files"]) == 16 < len(before["files"]) or (
-        len(m["files"]) == 16
-    )
+    assert len(m["files"]) == 16
+    assert not set(before["files"]) & set(m["files"])  # all replaced
     _, _, pa = table.prune_files("a", 300, 500)
     _, _, pb = table.prune_files("b", 300, 500)
     assert pa["files_kept"] < pa["files_total"]
@@ -2703,7 +2725,63 @@ def test_keyless_feed_on_keyless_table(spark, table):
         spark.createDataFrame([Row(a="x"), Row(a="x"), Row(a="y")])
     )
     table.commit(spark.createDataFrame([Row(a="x")]), mode="append")
-    table.delete_where_dv_expr = None  # (no-op guard: attribute unused)
     feed = table.change_feed(None, 0, 1)
     rows = [(r.a, r._change_type) for r in feed.collect()]
     assert sorted(rows) == [("x", "insert")]
+
+
+def test_merge_with_duplicate_target_keys_does_not_multiply(spark, table):
+    """r12 self-review #1: duplicate target keys (no uniqueness
+    constraint) must not multiply the merge source — dup-key pre-images
+    collapse into ONE post-image, the pre-row-tracking contract."""
+    table.commit(
+        spark.createDataFrame([Row(k=1, v=10), Row(k=1, v=11),
+                               Row(k=2, v=20)])
+    )
+    m = table.merge(spark.createDataFrame([Row(k=1, v=99)]), ["k"])
+    got = sorted((r.k, r.v) for r in table.snapshot().collect())
+    assert got == [(1, 99), (2, 20)]
+    # merge_dv variant: appended batch must hold ONE post-image
+    table.commit(
+        spark.createDataFrame([Row(k=5, v=50), Row(k=5, v=51)]),
+        mode="append",
+    )
+    m = table.merge_dv(spark.createDataFrame([Row(k=5, v=77)]), ["k"])
+    got = sorted((r.k, r.v) for r in table.snapshot().collect())
+    assert got == [(1, 99), (2, 20), (5, 77)]
+
+
+def test_restore_preserves_row_ids(spark, table):
+    """r12 self-review #3: restore() re-publishes old files WITH their
+    original base row ids — keyless CDF across a restore-of-identical-
+    data reports zero churn, agreeing with the keyed feed."""
+    table.commit(spark.createDataFrame([Row(k=i, v=i) for i in range(8)]))
+    table.optimize(min_file_bytes=1 << 40, target_files=1)  # v1
+    table.restore(0)                                        # v2
+    keyed = table.change_feed(["k"], 1, 2).count()
+    keyless = table.change_feed(None, 1, 2).count()
+    assert keyed == 0 and keyless == 0
+
+
+def test_pre_tracking_table_stays_mutable(spark, table):
+    """r12 self-review #5: a manifest without base_row_ids (committed by
+    an older build) must still accept every mutation verb — missing ids
+    degrade to fresh-id backfill, never an error."""
+    import json as _json
+    import os as _os
+
+    table.commit(spark.createDataFrame([Row(k=i, v=i) for i in range(10)]))
+    # simulate a pre-row-tracking manifest on disk
+    p = _os.path.join(table.root, "_log", f"{0:011d}.json")
+    with open(p) as f:
+        m = _json.load(f)
+    m.pop("base_row_ids", None)
+    m.pop("row_id_hwm", None)
+    with open(p, "w") as f:
+        _json.dump(m, f)
+    table._manifest_cache.clear() if hasattr(table, "_manifest_cache") else None
+    table.delete_where("k", 8, 9)
+    table.optimize(min_file_bytes=1 << 40, target_files=1)
+    table.merge(spark.createDataFrame([Row(k=0, v=100)]), ["k"])
+    got = sorted((r.k, r.v) for r in table.snapshot().collect())
+    assert got == [(0, 100)] + [(i, i) for i in range(1, 8)]

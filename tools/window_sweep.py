@@ -25,10 +25,7 @@ SF_B = "/root/testdata/sf0.01"
 
 def main() -> None:
     from data_engineering_nd_spark import registry
-    from data_engineering_nd_spark.plancheck import (
-        install_collect_hook,
-        unbounded_global_windows,
-    )
+    from data_engineering_nd_spark.plancheck import install_collect_hook
     from data_engineering_nd_spark.session import get_spark
 
     registry.load_all_modules()
@@ -50,13 +47,12 @@ def main() -> None:
                 continue
             finally:
                 uninstall()
-            hits = [
+            # the collect hook already scanned the result plan on
+            # df.collect() above — no second scan, or every result-plan
+            # window would be double-counted
+            per_sf[sf] = [
                 [m, h.input_node, h.input_rows] for m, h in sink
-            ] + [
-                ["result", h.input_node, h.input_rows]
-                for h in unbounded_global_windows(df)
             ]
-            per_sf[sf] = hits
         a, b = per_sf[SF_A], per_sf[SF_B]
         if a or b:
             rows_a = max((h[2] for h in a), default=0)
