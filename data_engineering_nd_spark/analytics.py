@@ -6513,6 +6513,59 @@ def _kth_largest_exact(cands: DataFrame, k: int, lo: int, hi: int) -> int:
     return lo
 
 
+def _kth_largest_multi(
+    cands: DataFrame, wanted: dict[str, tuple[list[int], int, int]]
+) -> dict[str, list[int]]:
+    """EXACT k-th largest values for SEVERAL (column, rank) pairs at
+    once — :func:`_kth_largest_exact`'s bisection with ONE shared
+    aggregate per pass across every unresolved (column, rank): finding
+    9 cut points over 3 metrics costs the same ~handful of passes as
+    finding one. ``wanted`` maps column -> (ranks, lo, hi); each
+    (column, rank) keeps its own [lo, hi] invariant; a pass's
+    conditional counts are the union of every open pair's probe grid,
+    capped at ~127 per column."""
+    state = {
+        (c, k): [lo, hi]
+        for c, (ks, lo, hi) in wanted.items()
+        for k in ks
+    }
+    while any(h > l for l, h in state.values()):
+        open_pairs = [p for p, (l, h) in state.items() if h > l]
+        per = max(1, 127 // max(1, len(open_pairs)))
+        probes: dict[str, set[int]] = {}
+        for c, k in open_pairs:
+            l, h = state[(c, k)]
+            width = h - l
+            probes.setdefault(c, set()).update(
+                l + max(1, (width * i) // (per + 1))
+                for i in range(1, per + 1)
+            )
+        cols = {c: sorted(ps)[:127] for c, ps in probes.items()}
+        row = cands.agg(
+            *[
+                F.sum(
+                    F.when(F.col(c) >= p, 1).otherwise(0)
+                ).alias(f"c_{c}_{i}")
+                for c, ps in cols.items()
+                for i, p in enumerate(ps)
+            ]
+        ).collect()[0]
+        for c, k in open_pairs:
+            l, h = state[(c, k)]
+            for i, p in enumerate(cols.get(c, ())):
+                if not (l < p <= h):
+                    continue
+                if (row[f"c_{c}_{i}"] or 0) >= k:
+                    l = max(l, p)
+                else:
+                    h = min(h, p - 1)
+            state[(c, k)] = [l, h]
+    return {
+        c: [state[(c, k)][0] for k in ks]
+        for c, (ks, _, _) in wanted.items()
+    }
+
+
 @query(
     "q115_top_decile_revenue_share",
     oracle="""
@@ -6620,3 +6673,207 @@ def q115_top_decile_revenue_share(
         .cast("bigint")
         .alias("top_share_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q116: RFM segmentation with EXACT quintile cuts — no global window
+# ---------------------------------------------------------------------------
+
+_RFM_RANK_SQL = """
+        SELECT {col} AS t FROM cust ORDER BY {col} DESC, c
+        LIMIT 1 OFFSET (SELECT (n * {i} + 4) // 5 - 1 FROM nn)
+"""
+
+
+def _rfm_threshold_cte(col: str) -> str:
+    return ", ".join(
+        f"t_{col}_{i} AS ({_RFM_RANK_SQL.format(col=col, i=i)})"
+        for i in (1, 2, 3)
+    )
+
+
+def _rfm_score_sql(col: str) -> str:
+    return (
+        "1 + "
+        + " + ".join(
+            f"(CASE WHEN {col} > (SELECT t FROM t_{col}_{i}) "
+            f"THEN 1 ELSE 0 END)"
+            for i in (1, 2, 3)
+        )
+    )
+
+
+@query(
+    "q116_rfm_segments",
+    oracle=f"""
+    WITH cust AS (
+        SELECT o_custkey AS c,
+               DATE_DIFF('day', DATE '1970-01-01',
+                         CAST(MAX(o_orderdate) AS DATE)) AS r,
+               CAST(COUNT(*) AS BIGINT) AS f,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                    AS BIGINT) AS m
+        FROM orders GROUP BY 1
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM cust),
+    {_rfm_threshold_cte("r")},
+    {_rfm_threshold_cte("f")},
+    {_rfm_threshold_cte("m")},
+    scored AS (
+        SELECT ({_rfm_score_sql("r")}) AS r_score,
+               ({_rfm_score_sql("f")}) AS f_score,
+               ({_rfm_score_sql("m")}) AS m_score,
+               m
+        FROM cust
+    )
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(m) AS BIGINT) AS segment_cents
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def q116_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary) with EXACT
+    rank cuts: per-customer R (days-since-epoch of last order),
+    F (order count), M (cent spend) collapse in one hash-agg, then the
+    three cut points per metric (ranks ceil(i*n/5), i = 1..3,
+    larger-is-better) come from :func:`_kth_largest_multi` — the
+    multi-rank exact selector: a handful of shared one-aggregate
+    bisection passes, NO ntile window, no global sort, nothing
+    n-proportional on one thread. Scores are ``1 + #{cuts strictly
+    below the value}`` so ties score identically in both engines;
+    output is the 4^3-bounded segment grid with customer counts and
+    exact cent totals.
+
+    At 100 TB: the selector moves 127 longs per pass over the
+    checkpointed per-customer frame; the segment agg is map-side
+    combinable into <=64 groups."""
+    orders = load(spark, "orders", sf_dir)
+    cust = (
+        orders.groupBy(F.col("o_custkey").alias("c"))
+        .agg(
+            F.datediff(
+                F.max("o_orderdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).cast("long").alias("r"),
+            F.count(F.lit(1)).cast("long").alias("f"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("m"),
+        )
+        .localCheckpoint()
+    )
+    stats = cust.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            g
+            for c in ("r", "f", "m")
+            for g in (
+                F.min(c).alias(f"mn_{c}"),
+                F.max(c).alias(f"mx_{c}"),
+            )
+        ],
+    ).collect()[0]
+    n = int(stats.n)
+    ranks = [(n * i + 4) // 5 for i in (1, 2, 3)]
+    cuts = _kth_largest_multi(
+        cust,
+        {
+            c: (ranks, int(stats[f"mn_{c}"]), int(stats[f"mx_{c}"]))
+            for c in ("r", "f", "m")
+        },
+    )
+
+    def score(c: str):
+        s = F.lit(1)
+        for t in cuts[c]:
+            s = s + F.when(F.col(c) > t, 1).otherwise(0)
+        return s.cast("bigint")
+
+    return (
+        cust.select(
+            score("r").alias("r_score"),
+            score("f").alias("f_score"),
+            score("m").alias("m_score"),
+            "m",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("m").cast("bigint").alias("segment_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q117: inter-order gap survival — the churn curve
+# ---------------------------------------------------------------------------
+
+_SURV_GRID = (7, 14, 30, 60, 90, 180)
+
+
+@query(
+    "q117_order_gap_survival",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT DATE_DIFF('day',
+                   CAST(LAG(o_orderdate) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS DATE),
+                   CAST(o_orderdate AS DATE)) AS gap
+        FROM orders
+    ),
+    g AS (SELECT gap FROM gaps WHERE gap IS NOT NULL),
+    grid(d) AS (VALUES {", ".join(f"({d})" for d in _SURV_GRID)})
+    SELECT CAST(d AS BIGINT) AS gap_days,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS n_gaps,
+           CAST(SUM(CASE WHEN gap > d THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exceeding,
+           CAST(SUM(CASE WHEN gap > d THEN 1 ELSE 0 END) * 1000000
+                // (SELECT COUNT(*) FROM g) AS BIGINT) AS survival_e6
+    FROM g CROSS JOIN grid GROUP BY d
+    """,
+)
+def q117_order_gap_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap survival curve — the churn-analysis primitive:
+    consecutive order gaps per customer (LAG window PARTITIONED BY
+    customer — never global), then the share of gaps exceeding each
+    grid day as an exact e6 floor division. A gap distribution's tail
+    is what a retention team reads to set win-back windows.
+
+    At 100 TB: one shuffle to (customer)-partitioned windows, then a
+    6-row aggregate; the grid expansion is a literal 6-value cross
+    join, map-side combinable."""
+    orders = load(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.select(
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lag(F.col("o_orderdate")).over(w).cast("date"),
+            ).alias("gap")
+        )
+        .where(F.col("gap").isNotNull())
+    )
+    agg = gaps.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.when(F.col("gap") > d, 1).otherwise(0)).alias(f"e_{d}")
+            for d in _SURV_GRID
+        ],
+    )
+    grid = None
+    for d in _SURV_GRID:
+        part = agg.select(
+            F.lit(d).cast("bigint").alias("gap_days"),
+            F.col("n").cast("bigint").alias("n_gaps"),
+            F.col(f"e_{d}").cast("bigint").alias("n_exceeding"),
+            F.expr(
+                f"cast(e_{d} as decimal(38,0)) * 1000000 "
+                f"div cast(n as decimal(38,0))"
+            ).cast("bigint").alias("survival_e6"),
+        )
+        grid = part if grid is None else grid.unionAll(part)
+    return grid

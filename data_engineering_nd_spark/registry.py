@@ -272,6 +272,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
     # at sf0.01 AND sf0.1 this round, lead the r13 window) ------------
     **dict.fromkeys([
         "tbl_optimize_zorder", "tbl_row_tracking_report",
+        "q116_rfm_segments", "q117_order_gap_survival",
     ], 12),
 }
 
