@@ -6864,16 +6864,24 @@ def q117_order_gap_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d in _SURV_GRID
         ],
     )
-    grid = None
-    for d in _SURV_GRID:
-        part = agg.select(
-            F.lit(d).cast("bigint").alias("gap_days"),
-            F.col("n").cast("bigint").alias("n_gaps"),
-            F.col(f"e_{d}").cast("bigint").alias("n_exceeding"),
-            F.expr(
-                f"cast(e_{d} as decimal(38,0)) * 1000000 "
-                f"div cast(n as decimal(38,0))"
-            ).cast("bigint").alias("survival_e6"),
-        )
-        grid = part if grid is None else grid.unionAll(part)
-    return grid
+    # ONE scan + window + aggregate, exploded to the 6 grid rows — a
+    # unionAll of per-day selects would re-plan the whole input per day
+    return agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("bigint").alias("gap_days"),
+                        F.col("n").cast("bigint").alias("n_gaps"),
+                        F.col(f"e_{d}").cast("bigint")
+                        .alias("n_exceeding"),
+                        F.expr(
+                            f"cast(e_{d} as decimal(38,0)) * 1000000 "
+                            f"div cast(n as decimal(38,0))"
+                        ).cast("bigint").alias("survival_e6"),
+                    )
+                    for d in _SURV_GRID
+                ]
+            )
+        ).alias("g")
+    ).select("g.*")

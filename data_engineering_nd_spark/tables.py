@@ -4455,15 +4455,18 @@ class VersionedTable:
         data_root = os.path.join(self.root, _DATA)
         if not os.path.isdir(data_root):
             return removed
-        for sub in sorted(os.listdir(data_root)):
-            subdir = os.path.join(data_root, sub)
-            for f in sorted(os.listdir(subdir)):
-                rel = os.path.join(_DATA, sub, f)
+        # bottom-up recursive walk: partitioned and z-ordered commits
+        # write hive subdirectories (data/vNNN-salt/p=0/part.parquet) —
+        # a one-level listing would leak their orphans forever
+        for dp, _, fns in os.walk(data_root, topdown=False):
+            for f in sorted(fns):
+                full = os.path.join(dp, f)
+                rel = os.path.relpath(full, self.root)
                 if f.endswith(".parquet") and rel not in live:
-                    os.remove(os.path.join(subdir, f))
+                    os.remove(full)
                     removed.append(rel)
-            if not os.listdir(subdir):
-                shutil.rmtree(subdir)
+            if dp != data_root and not os.listdir(dp):
+                os.rmdir(dp)
         # deletion vectors referenced by no retained manifest expire with
         # the snapshots that needed them (compaction/overwrite resets the
         # dv list, so vectors age out on the same schedule as data files)

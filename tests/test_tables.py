@@ -2785,3 +2785,35 @@ def test_pre_tracking_table_stays_mutable(spark, table):
     table.merge(spark.createDataFrame([Row(k=0, v=100)]), ["k"])
     got = sorted((r.k, r.v) for r in table.snapshot().collect())
     assert got == [(0, 100)] + [(i, i) for i in range(1, 8)]
+
+
+def test_vacuum_collects_hive_subdir_orphans(spark, table):
+    """r12: vacuum must walk hive subdirectories — partitioned and
+    z-ordered commits write data/vNNN/<p=v>/part.parquet, and a
+    one-level listing leaked their orphans forever."""
+    import os as _os
+
+    table.commit_partitioned(
+        spark.createDataFrame([Row(k=i, v=i) for i in range(8)]),
+        [("p", "k % 2")],
+    )  # v0: hive layout
+    table.optimize(
+        zorder_by=["k", "v"], min_file_bytes=1 << 40,
+        target_files=4, zorder_bits=2,
+    )  # v1: zorder layout (also hive-shaped)
+    table.compact(target_partitions=1)  # v2: flat
+    removed = table.vacuum(retain_last=1)
+    # every orphaned file from v0 (hive) and v1 (zorder) is collected
+    assert any("p=" in f for f in removed)
+    assert any("__zfile=" in f for f in removed)
+    # live data intact, empty dirs pruned
+    assert table.snapshot().count() == 8
+    data_root = _os.path.join(table.root, "data")
+    leftover = [
+        _os.path.join(dp, f)
+        for dp, _, fns in _os.walk(data_root)
+        for f in fns
+        if f.endswith(".parquet")
+    ]
+    m = table._manifest(table.latest_version())
+    assert len(leftover) == len(m["files"])

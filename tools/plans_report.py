@@ -154,6 +154,8 @@ HEADLINERS = [
     "dq_completeness_by_partition",
     "graph_assortativity",
     "ds_tokenizer_compression_ratio",
+    "q116_rfm_segments",
+    "q117_order_gap_survival",
     # round-11 tbl_mutation_occ / tbl_dv_purge_report /
     # tbl_column_mapping_report / tbl_mv_minmax_refresh /
     # tbl_partition_stats_report / tbl_persistent_constraints /
