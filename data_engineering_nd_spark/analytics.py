@@ -6777,6 +6777,12 @@ def q116_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     ).collect()[0]
     n = int(stats.n)
+    if n == 0:  # empty input: the selector has no bounds to bisect
+        return spark.createDataFrame(
+            [],
+            "r_score bigint, f_score bigint, m_score bigint, "
+            "n_customers bigint, segment_cents bigint",
+        )
     ranks = [(n * i + 4) // 5 for i in (1, 2, 3)]
     cuts = _kth_largest_multi(
         cust,
@@ -6884,4 +6890,8 @@ def q117_order_gap_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("g")
-    ).select("g.*")
+    ).select("g.*").where(
+        # empty input: the global agg still emits one NULL-filled row,
+        # while the oracle's CROSS JOIN over zero gaps emits none
+        F.col("n_gaps") > 0
+    )

@@ -1408,20 +1408,9 @@ class VersionedTable:
         base_m = (
             self._manifest(read_version) if read_version is not None else None
         )
-        target_json = df.schema.json()
-        mfi_new: int | None = None
-        if base_m is not None and self._mapping(base_m["schema"]) is not None:
-            if mode == "append":
-                target_json = self._evolve_schema(
-                    base_m["schema"], target_json
-                )
-            else:
-                target_json = self._preserve_mapping(
-                    base_m["schema"], target_json
-                )
-            target_json, mfi_new = self._assign_field_ids(
-                target_json, int(base_m.get("max_field_id") or 0)
-            )
+        target_json, mfi_new = self._derive_target_schema(
+            base_m, df.schema.json(), mode
+        )
         # data files are written ONCE, before the publish loop: every
         # retry below is metadata-only (the optimistic-concurrency
         # "rebase", never a data rewrite)
@@ -1574,20 +1563,10 @@ class VersionedTable:
             if read_version is not None
             else None
         )
-        target_json = df.schema.json()
-        mfi_new: int | None = None
-        if base_m is not None and self._mapping(base_m["schema"]) is not None:
-            if mode == "append":
-                target_json = self._evolve_schema(
-                    base_m["schema"], target_json
-                )
-            else:
-                target_json = self._preserve_mapping(
-                    base_m["schema"], target_json
-                )
-            target_json, mfi_new = self._assign_field_ids(
-                target_json, int(base_m.get("max_field_id") or 0)
-            )
+        target_json, mfi_new = self._derive_target_schema(
+            base_m, df.schema.json(), mode
+        )
+        if mfi_new is not None:
             mapping = self._mapping(target_json) or {}
             pclash = set(pcols) & set(mapping.values())
             if pclash:
@@ -3087,6 +3066,26 @@ class VersionedTable:
             return DecimalType(max(a.precision, b.precision), a.scale)
         return None
 
+    def _derive_target_schema(
+        self, base_m: dict | None, new_json: str, mode: str
+    ) -> tuple[str, int | None]:
+        """Target schema (+ new max_field_id, None for unmapped tables)
+        for a write against basis manifest ``base_m`` — the ONE place
+        the column-mapping write rules live (shared by :meth:`commit`
+        and :meth:`commit_partitioned`, r12 self-review #4): appends
+        evolve the basis schema, overwrites preserve same-name mapping
+        metadata, and brand-new fields get fresh ids above the basis
+        high-water mark."""
+        if base_m is None or self._mapping(base_m["schema"]) is None:
+            return new_json, None
+        if mode == "append":
+            new_json = self._evolve_schema(base_m["schema"], new_json)
+        else:
+            new_json = self._preserve_mapping(base_m["schema"], new_json)
+        return self._assign_field_ids(
+            new_json, int(base_m.get("max_field_id") or 0)
+        )
+
     @classmethod
     def _evolve_schema(cls, old_json: str, new_json: str) -> str:
         """Additive schema evolution with TYPE WIDENING: old columns keep
@@ -3388,22 +3387,36 @@ class VersionedTable:
             # footer counts include DV-deleted rows; subtract the
             # affected files' DV entries (metadata-sized sidecar read,
             # disjoint vectors) instead of re-scanning data
-            keys = [self._dv_key(f) for f in affected_rel]
+            dv_keys = [self._dv_key(f) for f in affected_rel]
             affected_rows -= (
                 self._dv_read(prev_dv)
-                .filter(F.col("file").isin(keys))
+                .filter(F.col("file").isin(dv_keys))
                 .count()
             )
         n_source = source.count()
         n_rewritten = sum(stats[f]["num_rows"] for f in new_files)
-        rows_updated = affected_rows - (n_rewritten - n_source)
+        # matched pre-images (rows the rewrite dropped) can EXCEED the
+        # matched keys when the target held duplicates — the dup-key
+        # collapse writes one post-image per key, so rows_updated must
+        # count KEYS or rows_inserted goes negative (r12 self-review #2).
+        # old_ids is one row per affected-file key; the semi-join keeps
+        # the matched ones (a column-pruned, affected-files-sized job)
+        n_matched_keys = (
+            old_ids.join(
+                F.broadcast(keys), on=key_cols, how="left_semi"
+            ).count()
+            if tgt is not None
+            else 0
+        )
         manifest.update(
             files_pruned_by_stats=len(stat_pruned),
             files_refined_out=len(candidates) - len(affected_rel),
             files_rewritten=len(affected_rel),
             files_untouched=len(manifest["files"]) - len(new_files),
-            rows_updated=rows_updated,
-            rows_inserted=n_source - rows_updated,
+            rows_updated=n_matched_keys,
+            rows_matched_preimages=affected_rows
+            - (n_rewritten - n_source),
+            rows_inserted=n_source - n_matched_keys,
         )
         return manifest
 
@@ -3708,11 +3721,17 @@ class VersionedTable:
             dv_refs_new={d: cand_keys for d in new_dv},
             max_retries=max_retries,
         )
+        # rows_updated counts matched KEYS (old_ids is one row per
+        # matched key): duplicate target keys vector MORE positions than
+        # keys, and n_source - positions would go negative (r12
+        # self-review #2); the position count stays as rows_vectored
+        n_matched_keys = old_ids.count() if old_ids is not None else 0
         manifest.update(
             files_candidates=len(candidates),
             files_rewritten=0,
-            rows_updated=n_matched,
-            rows_inserted=n_source - n_matched,
+            rows_updated=n_matched_keys,
+            rows_vectored=n_matched,
+            rows_inserted=n_source - n_matched_keys,
             dv_files_total=len(manifest["dv"]),
         )
         return manifest

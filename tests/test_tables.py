@@ -2779,7 +2779,6 @@ def test_pre_tracking_table_stays_mutable(spark, table):
     m.pop("row_id_hwm", None)
     with open(p, "w") as f:
         _json.dump(m, f)
-    table._manifest_cache.clear() if hasattr(table, "_manifest_cache") else None
     table.delete_where("k", 8, 9)
     table.optimize(min_file_bytes=1 << 40, target_files=1)
     table.merge(spark.createDataFrame([Row(k=0, v=100)]), ["k"])
