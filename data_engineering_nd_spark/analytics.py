@@ -6909,3 +6909,111 @@ def q117_order_gap_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         # while the oracle's CROSS JOIN over zero gaps emits none
         F.col("n_gaps") > 0
     )
+
+
+# ---------------------------------------------------------------------------
+# q118: supplier revenue concentration (HHI) per nation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q118_supplier_hhi_by_nation",
+    oracle="""
+    WITH rev AS (
+        SELECT s_nationkey AS nk, l_suppkey AS sk,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS r
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT nk, SUM(r) AS t, COUNT(*) AS ns FROM rev GROUP BY 1),
+    sh AS (
+        SELECT rev.nk,
+               CAST(CAST(rev.r AS HUGEINT) * 1000000 // tot.t
+                    AS BIGINT) AS share_e6
+        FROM rev JOIN tot ON rev.nk = tot.nk
+    )
+    SELECT n_name AS nation,
+           CAST(tot.ns AS BIGINT) AS n_suppliers,
+           CAST(tot.t AS BIGINT) AS revenue_micro,
+           CAST((SELECT SUM(share_e6 * share_e6) FROM sh
+                 WHERE sh.nk = tot.nk) // 1000000 AS BIGINT) AS hhi_e6,
+           CAST((SELECT MAX(share_e6) FROM sh WHERE sh.nk = tot.nk)
+                AS BIGINT) AS top_share_e6
+    FROM tot JOIN nation ON tot.nk = n_nationkey
+    """,
+)
+def q118_supplier_hhi_by_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration of supplier revenue within
+    each nation — the antitrust dashboard number next to q113's Gini:
+    HHI = sum of squared e6 market shares (floor-exact BIGINT algebra;
+    10,000-scale HHI readers divide by 100). Revenue is the
+    repo-standard exact money path: per-row double product cast to
+    DECIMAL(18,6), exact decimal sum, lifted to BIGINT micro-units —
+    both engines aggregate identical ints, and the share division runs
+    on DECIMAL(38)/HUGEINT intermediates.
+
+    At 100 TB: lineitem collapses to (nation, supplier) revenue in one
+    hash-agg behind a broadcast supplier join; shares and HHI are a
+    25-group second agg — nothing wider than the supplier count ever
+    shuffles."""
+    li = load(spark, "lineitem", sf_dir)
+    sup = load(spark, "supplier", sf_dir)
+    nat = load(spark, "nation", sf_dir)
+    rev = (
+        li.join(
+            F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+            li["l_suppkey"] == sup["s_suppkey"],
+        )
+        .groupBy(
+            F.col("s_nationkey").alias("nk"),
+            F.col("l_suppkey").alias("sk"),
+        )
+        .agg(
+            # the repo's standard money path (registry docstring):
+            # per-row double product -> DECIMAL(18,6) -> exact sum; x1e6
+            # lifts to exact BIGINT micro-units for the share algebra
+            (
+                F.sum(
+                    (
+                        F.col("l_extendedprice")
+                        * (F.lit(1) - F.col("l_discount"))
+                    ).cast("decimal(18,6)")
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("r")
+        )
+    )
+    w = Window.partitionBy("nk")
+    sh = rev.select(
+        "nk",
+        F.count(F.lit(1)).over(w).alias("ns"),
+        F.sum("r").over(w).alias("t"),
+        F.expr(
+            "cast(cast(r as decimal(38,0)) * 1000000 "
+            "div sum(cast(r as decimal(38,0))) "
+            "over (partition by nk) as bigint)"
+        ).alias("share_e6"),
+    )
+    out = sh.groupBy("nk").agg(
+        F.max("ns").cast("bigint").alias("n_suppliers"),
+        F.max("t").cast("bigint").alias("revenue_micro"),
+        F.expr("sum(share_e6 * share_e6) div 1000000")
+        .cast("bigint")
+        .alias("hhi_e6"),
+        F.max("share_e6").cast("bigint").alias("top_share_e6"),
+    )
+    return out.join(
+        F.broadcast(nat.select("n_nationkey", "n_name")),
+        out["nk"] == F.col("n_nationkey"),
+    ).select(
+        F.col("n_name").alias("nation"),
+        "n_suppliers",
+        "revenue_micro",
+        "hhi_e6",
+        "top_share_e6",
+    )

@@ -273,6 +273,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
     **dict.fromkeys([
         "tbl_optimize_zorder", "tbl_row_tracking_report",
         "q116_rfm_segments", "q117_order_gap_survival",
+        "q118_supplier_hhi_by_nation",
     ], 12),
 }
 

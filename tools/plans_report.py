@@ -156,6 +156,7 @@ HEADLINERS = [
     "ds_tokenizer_compression_ratio",
     "q116_rfm_segments",
     "q117_order_gap_survival",
+    "q118_supplier_hhi_by_nation",
     # round-11 tbl_mutation_occ / tbl_dv_purge_report /
     # tbl_column_mapping_report / tbl_mv_minmax_refresh /
     # tbl_partition_stats_report / tbl_persistent_constraints /
