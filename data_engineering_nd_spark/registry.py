@@ -87,195 +87,177 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Local verification (tools/verify_oracle.py, bench.py) always runs all
 # queries and is order-insensitive.
 
-#: round-12 refresh (the established per-round protocol): for every name, the
-#: most recent committed CORRECTNESS_r0*.json that recorded it.  Round 11
-#: recorded the 19 round-0 pins + 26 r05-stale + the 5 oldest r06-stale
-#: names — ALL green, the fourth zero-exception window
-#: (CORRECTNESS_r11.json) — so they refresh to round 11.  The 15
-#: never-recorded r11 DEFERRED registrations pin to round 0 and lead the
-#: r12 window (VERDICT r11 task #1); the 35 oldest r06-stale names fill
-#: the remainder; the other 7 r06 names roll to r13.  NEW r12
-#: registrations pin to round 12 (DEFERRED; swept locally at two SFs).
+#: round-13 refresh (the established per-round protocol): for every name, the
+#: most recent committed CORRECTNESS_r0*.json that recorded it.  Round 12
+#: recorded the 15 round-0 pins + 35 stale names — ALL green, the fifth
+#: zero-exception window (CORRECTNESS_r12.json) — so they refresh to
+#: round 12.  The 5 never-recorded r12 DEFERRED registrations pin to
+#: round 0 and lead the r13 window (VERDICT r12 task #1) together with
+#: the 7 rolled r06 names; the 38 oldest r07-stale names fill the
+#: remainder, 12 r07 names roll to r14.  NEW r13 registrations pin to
+#: round 13 (DEFERRED; swept locally at two SFs).
 LAST_RECORDED_ROUND: dict[str, int] = {
-    # -- never driver-recorded: the 15 round-11 registrations; pinned to
-    # round 0 so they LEAD the r12 window (VERDICT r11 task #1) -
+    # -- never driver-recorded: the 5 round-12 registrations; pinned to
+    # round 0 so they LEAD the r13 window (VERDICT r12 task #1) --------
     **dict.fromkeys([
-        "q112_kmv_set_operations", "q113_gini_by_nation",
-        "q114_max_drawdown_by_year", "q115_top_decile_revenue_share",
-        "tbl_persistent_constraints", "tbl_column_mapping_report",
-        "tbl_dv_purge_report", "tbl_mutation_occ",
-        "tbl_mv_minmax_refresh", "ds_mixture_temperature",
-        "tbl_partition_stats_report", "tbl_tags_report",
-        "ds_tokenizer_compression_ratio", "graph_assortativity",
-        "dq_completeness_by_partition",
+        "tbl_optimize_zorder", "tbl_row_tracking_report", "q116_rfm_segments",
+        "q117_order_gap_survival", "q118_supplier_hhi_by_nation",
     ], 0),
-    # -- latest record: CORRECTNESS_r06.json (42 stale names; the 35 oldest
-    # fill the r12 window behind the 15 round-0 pins, 7 roll to r13) -
+    # -- latest record: CORRECTNESS_r06.json (7 names rolled from the
+    # r12 window; they follow the round-0 pins in the r13 window) -----
     **dict.fromkeys([
-        "q42_deterministic_sample", "q43_rank_distribution",
-        "q44_supplier_market_share", "q45_gap_fill_hourly",
-        "q46_price_histogram", "q47_correlated_subqueries",
-        "q48_returned_item_revenue", "q49_late_shipment_priority",
-        "q50_promo_revenue_share", "q51_large_volume_orders",
-        "q52_small_quantity_revenue", "q53_top_supplier_revenue",
-        "q54_customer_order_distribution",
-        "q55_dormant_rich_customers", "q56_event_funnel",
-        "q57_cohort_retention", "q58_local_supplier_volume",
-        "q59_volume_shipping", "q60_product_type_profit",
-        "q61_disjunctive_predicates", "q62_waiting_orders",
-        "q63_forecast_revenue_change", "q64_shipping_priority",
-        "q65_order_priority_check", "q69_countmin_heavy_hitters",
-        "q72_argmax_aggregates", "q73_unpivot_metrics",
-        "dedup_lsh_recall", "ds_compaction_report",
-        "ds_mixture_materialize", "q68_scd2_customer_dim",
-        "multimodal_dhash_dedup", "multimodal_vad_segments",
-        "dq_expectation_suite", "ann_quantized_topk",
-        "ann_ivf_kmeans_verified", "ann_pca_verified",
-        "ann_recall_report", "text_vocab_encode",
-        "q70_jsonl_roundtrip", "q71_orc_roundtrip",
+        "ann_ivf_kmeans_verified", "ann_pca_verified", "ann_recall_report",
+        "text_vocab_encode", "q70_jsonl_roundtrip", "q71_orc_roundtrip",
         "stream_late_data_metrics",
     ], 6),
-    # -- latest record: CORRECTNESS_r07.json -
+    # -- latest record: CORRECTNESS_r07.json (38 oldest fill the r13 window, 12 roll to r14)
     **dict.fromkeys([
         "q01_pricing_summary", "q02_top_nations_by_revenue",
         "q03_monthly_order_trend", "q04_distinct_projection",
         "q05_null_audit", "q74_hll_distinct", "q77_grouping_sets",
-        "q78_quantile_bins", "q76_bucketed_join_revenue",
-        "i94_trips_build", "i94_immigrations_build",
-        "i94_visitors_build", "i94_flights_build", "i94_dates_build",
-        "i94_airports_build", "i94_states_demographic_build",
-        "i94_cities_demographic_build", "i94_dictionary_build",
-        "i94_pipeline_run", "dedup_exact_groups",
+        "q78_quantile_bins", "q76_bucketed_join_revenue", "i94_trips_build",
+        "i94_immigrations_build", "i94_visitors_build", "i94_flights_build",
+        "i94_dates_build", "i94_airports_build",
+        "i94_states_demographic_build", "i94_cities_demographic_build",
+        "i94_dictionary_build", "i94_pipeline_run", "dedup_exact_groups",
         "dedup_jaccard_pairs", "dedup_minhash_lsh", "dedup_simhash",
         "dedup_embedding_cosine", "dedup_cluster_assignment",
-        "dedup_incremental", "tbl_snapshot_diff",
-        "ds_event_sequences", "graph_bfs_layers",
-        "q26_salted_skew_groupby", "q37_asof_join", "q38_range_join",
-        "q75_salted_skew_join", "multimodal_dedup_decisions",
-        "dq_rowcounts", "dq_pk_uniqueness", "dq_reconcile_versions",
-        "dq_referential_integrity", "dq_key_skew_report",
-        "ann_brute_force_topk", "ann_ivf_topk", "ann_ivf_kmeans_topk",
-        "ann_lsh_topk", "text_stats", "text_fingerprint",
-        "text_repetition_metrics", "text_pii_scan",
+        "dedup_incremental", "tbl_snapshot_diff", "ds_event_sequences",
+        "graph_bfs_layers", "q26_salted_skew_groupby", "q37_asof_join",
+        "q38_range_join", "q75_salted_skew_join",
+        "multimodal_dedup_decisions", "dq_rowcounts", "dq_pk_uniqueness",
+        "dq_reconcile_versions", "dq_referential_integrity",
+        "dq_key_skew_report", "ann_brute_force_topk", "ann_ivf_topk",
+        "ann_ivf_kmeans_topk", "ann_lsh_topk", "text_stats",
+        "text_fingerprint", "text_repetition_metrics", "text_pii_scan",
         "text_tfidf_top_terms", "text_unigram_logprob",
         "stream_restart_recovery",
     ], 7),
-    # -- latest record: CORRECTNESS_r08.json -
+    # -- latest record: CORRECTNESS_r08.json ---------------------------
     **dict.fromkeys([
         "q06_top_customers_per_nation", "q07_date_dimension",
         "q08_sas_date_kernel", "q09_flexible_date_kernel",
-        "q10_avg_ship_delay", "q11_union_by_name",
-        "q12_string_kernels", "q13_dictionary_broadcast_join",
-        "q14_filtered_distinct", "q15_props_extraction",
-        "q16_sessionize", "q17_anti_join", "q18_semi_join",
-        "q19_top_parts_by_revenue", "q20_column_profile",
+        "q10_avg_ship_delay", "q11_union_by_name", "q12_string_kernels",
+        "q13_dictionary_broadcast_join", "q14_filtered_distinct",
+        "q15_props_extraction", "q16_sessionize", "q17_anti_join",
+        "q18_semi_join", "q19_top_parts_by_revenue", "q20_column_profile",
         "q21_sql_api_revenue_by_region", "q22_running_total",
         "q23_moving_average", "ds_contamination_check",
-        "ds_domain_mix_sample", "ds_label_centroids",
-        "ds_training_order", "ds_keep_best_per_cluster",
-        "dedup_cluster_star", "ds_corpus_build_report",
-        "ds_epoch_shards", "graph_pagerank_topk",
+        "ds_domain_mix_sample", "ds_label_centroids", "ds_training_order",
+        "ds_keep_best_per_cluster", "dedup_cluster_star",
+        "ds_corpus_build_report", "ds_epoch_shards", "graph_pagerank_topk",
         "graph_degree_distribution", "q79_forward_asof_join",
         "multimodal_audio_chunks", "multimodal_metadata_stats",
         "multimodal_resize_thumbnails", "ann_pca_projection",
         "ann_hybrid_rrf", "ann_pq_verified", "text_quality_scores",
         "text_token_count_by_source", "text_detect_language",
-        "text_filter_decision", "text_bigram_logprob",
-        "text_redact_pii", "text_tfidf_cosine_pairs",
-        "text_bm25_topk", "stream_windowed_counts",
+        "text_filter_decision", "text_bigram_logprob", "text_redact_pii",
+        "text_tfidf_cosine_pairs", "text_bm25_topk", "stream_windowed_counts",
         "stream_session_windows", "stream_enriched_counts",
         "stream_user_lifetime_stats", "stream_stream_join",
         "stream_dedup_exactly_once", "stream_stateful_sessions",
     ], 8),
-    # -- latest record: CORRECTNESS_r09.json -
+    # -- latest record: CORRECTNESS_r09.json ---------------------------
     **dict.fromkeys([
-        "q81_hll_grouped_merge", "q83_grouped_linreg",
-        "q84_kmv_distinct", "q85_decayed_revenue",
-        "q86_last_touch_attribution", "q87_skyline_pareto",
-        "q88_bitmap_retention", "q89_mad_outliers",
+        "q81_hll_grouped_merge", "q83_grouped_linreg", "q84_kmv_distinct",
+        "q85_decayed_revenue", "q86_last_touch_attribution",
+        "q87_skyline_pareto", "q88_bitmap_retention", "q89_mad_outliers",
         "q90_rolling_distinct", "q91_fuzzy_blocking_join",
         "q92_seasonal_anomaly", "q93_ab_conversion_ztest",
         "q95_intransit_inventory", "q96_activity_streaks",
         "q97_window_funnel", "q98_dynamic_partition_pruning",
-        "q80_bloom_join_prune", "ds_weighted_sample",
-        "dedup_containment", "dedup_survivorship", "dedup_ppjoin",
-        "tbl_skipping_report", "tbl_zorder_report",
-        "tbl_delete_report", "ds_markov_transitions",
+        "q80_bloom_join_prune", "ds_weighted_sample", "dedup_containment",
+        "dedup_survivorship", "dedup_ppjoin", "tbl_skipping_report",
+        "tbl_zorder_report", "tbl_delete_report", "ds_markov_transitions",
         "tbl_time_travel", "tbl_incremental_agg", "tbl_merge_report",
-        "tbl_schema_evolution", "tbl_vacuum_report",
-        "q82_point_in_time_join", "graph_shortest_paths",
-        "graph_personalized_pagerank", "graph_resource_allocation",
-        "graph_clustering_coefficient", "graph_scc",
-        "q94_hybrid_skew_join", "dq_benford_digit_check",
-        "dq_functional_dependency", "ann_incremental",
-        "ann_ivf_pq_verified", "ann_nndescent", "text_bpe_encode",
-        "text_incremental_bm25", "text_boolean_retrieval",
-        "text_rake_keywords", "text_pmi_collocations",
-        "stream_hll_users", "stream_bitmap_dau",
+        "tbl_schema_evolution", "tbl_vacuum_report", "q82_point_in_time_join",
+        "graph_shortest_paths", "graph_personalized_pagerank",
+        "graph_resource_allocation", "graph_clustering_coefficient",
+        "graph_scc", "q94_hybrid_skew_join", "dq_benford_digit_check",
+        "dq_functional_dependency", "ann_incremental", "ann_ivf_pq_verified",
+        "ann_nndescent", "text_bpe_encode", "text_incremental_bm25",
+        "text_boolean_retrieval", "text_rake_keywords",
+        "text_pmi_collocations", "stream_hll_users", "stream_bitmap_dau",
         "stream_heavy_hitters",
     ], 9),
-    # -- latest record: CORRECTNESS_r10.json -
+    # -- latest record: CORRECTNESS_r10.json --------------------------
     **dict.fromkeys([
-        "q24_order_gap_days", "q25_rollup_revenue",
-        "q27_price_percentiles", "q29_json_extraction",
-        "q30_time_rollup", "q31_set_operations", "q32_pivot_priority",
-        "q33_top_tokens", "q34_pandas_udf_score",
+        "q24_order_gap_days", "q25_rollup_revenue", "q27_price_percentiles",
+        "q29_json_extraction", "q30_time_rollup", "q31_set_operations",
+        "q32_pivot_priority", "q33_top_tokens", "q34_pandas_udf_score",
         "q66_interpolate_hourly", "q67_trailing_week_revenue",
         "q99_relational_division", "q100_market_basket_lift",
         "q101_grouped_quantiles_sketch", "q102_ohlc_bars",
         "q104_frequent_triples", "q105_interval_coalesce",
         "q106_time_weighted_average", "q107_rolling_volatility",
         "ds_split_assignment", "ds_exact_substring_spans",
-        "ds_span_removal_report", "ds_chunk_dedup",
-        "ds_pack_sequences", "ds_epoch_permutation",
-        "dedup_ngram_coverage", "dedup_minhash_verified",
-        "dedup_simhash_verified", "ds_quality_gate",
-        "ds_shard_manifest", "ds_incremental_update",
-        "tbl_change_feed", "tbl_partition_evolution",
-        "tbl_wap_publish", "tbl_cdc_apply_roundtrip",
-        "tbl_deletion_vectors", "tbl_shallow_clone",
-        "tbl_bloom_index_report", "tbl_idempotent_commits",
-        "tbl_constraints_report", "graph_hits", "graph_louvain",
-        "q103_interval_overlap_join", "multimodal_binary_ingest",
-        "src_avro_roundtrip", "src_xml_roundtrip",
+        "ds_span_removal_report", "ds_chunk_dedup", "ds_pack_sequences",
+        "ds_epoch_permutation", "dedup_ngram_coverage",
+        "dedup_minhash_verified", "dedup_simhash_verified", "ds_quality_gate",
+        "ds_shard_manifest", "ds_incremental_update", "tbl_change_feed",
+        "tbl_partition_evolution", "tbl_wap_publish",
+        "tbl_cdc_apply_roundtrip", "tbl_deletion_vectors",
+        "tbl_shallow_clone", "tbl_bloom_index_report",
+        "tbl_idempotent_commits", "tbl_constraints_report", "graph_hits",
+        "graph_louvain", "q103_interval_overlap_join",
+        "multimodal_binary_ingest", "src_avro_roundtrip", "src_xml_roundtrip",
         "src_csv_malformed_report", "src_jsonl_malformed_report",
         "src_parquet_merge_schema", "stream_lakehouse_sink",
     ], 10),
-    # -- latest record: CORRECTNESS_r11.json (50/50 green, zero exceptions:
-    # the 19 r10-deferred round-0 pins + 26 r05-stale + 5 oldest r06-stale) -
+    # -- latest record: CORRECTNESS_r11.json --------------------------
     **dict.fromkeys([
         "q28_approx_vs_exact", "q35_udtf_expand", "q39_array_agg",
         "q40_stratified_sample", "q41_cube_returnflag_linestatus",
         "q108_weighted_median", "q109_event_path_trigrams",
-        "q110_new_vs_returning", "q111_histogram2d",
-        "ds_curriculum_stages", "ds_token_budget_pack",
-        "ds_repeat_upsampling", "ds_bpe_merge_candidates",
-        "ds_pack_boundaries", "ds_split_leakage", "ds_dataset_card",
-        "tbl_concurrent_commits", "tbl_log_checkpoint_report",
-        "tbl_merge_dv", "tbl_metadata_tables", "ds_rag_chunks",
-        "tbl_ndv_sketch_report", "tbl_mv_incremental_refresh",
-        "tbl_type_widening", "tbl_merge_when_report",
-        "ds_length_histogram", "graph_triangle_count",
-        "graph_label_propagation", "graph_common_neighbors",
-        "graph_kcore", "multimodal_image_features",
+        "q110_new_vs_returning", "q111_histogram2d", "ds_curriculum_stages",
+        "ds_token_budget_pack", "ds_repeat_upsampling",
+        "ds_bpe_merge_candidates", "ds_pack_boundaries", "ds_split_leakage",
+        "ds_dataset_card", "tbl_concurrent_commits",
+        "tbl_log_checkpoint_report", "tbl_merge_dv", "tbl_metadata_tables",
+        "ds_rag_chunks", "tbl_ndv_sketch_report",
+        "tbl_mv_incremental_refresh", "tbl_type_widening",
+        "tbl_merge_when_report", "ds_length_histogram",
+        "graph_triangle_count", "graph_label_propagation",
+        "graph_common_neighbors", "graph_kcore", "multimodal_image_features",
         "multimodal_frame_samples", "multimodal_pair_manifest",
         "multimodal_scene_cuts", "dq_volume_anomalies",
-        "dq_distribution_drift", "dq_candidate_keys",
-        "ann_cosine_range", "ann_knn_join", "ann_semantic_dedup",
-        "ann_lsh_verified", "text_pretoken_stats",
-        "text_entropy_metrics", "text_levenshtein_pairs",
-        "text_langid_confusion", "stream_quality_filter",
-        "stream_sliding_counts", "stream_merge_upsert",
-        "stream_change_feed", "stream_constraint_quarantine",
+        "dq_distribution_drift", "dq_candidate_keys", "ann_cosine_range",
+        "ann_knn_join", "ann_semantic_dedup", "ann_lsh_verified",
+        "text_pretoken_stats", "text_entropy_metrics",
+        "text_levenshtein_pairs", "text_langid_confusion",
+        "stream_quality_filter", "stream_sliding_counts",
+        "stream_merge_upsert", "stream_change_feed",
+        "stream_constraint_quarantine",
     ], 11),
-    # -- NEW round-12 registrations: DEFERRED (sort last; swept locally
-    # at sf0.01 AND sf0.1 this round, lead the r13 window) ------------
+    # -- latest record: CORRECTNESS_r12.json (the 50 just-recorded) ---
     **dict.fromkeys([
-        "tbl_optimize_zorder", "tbl_row_tracking_report",
-        "q116_rfm_segments", "q117_order_gap_survival",
-        "q118_supplier_hhi_by_nation",
+        "q112_kmv_set_operations", "q113_gini_by_nation",
+        "q114_max_drawdown_by_year", "q115_top_decile_revenue_share",
+        "tbl_persistent_constraints", "tbl_column_mapping_report",
+        "tbl_dv_purge_report", "tbl_mutation_occ", "tbl_mv_minmax_refresh",
+        "ds_mixture_temperature", "tbl_partition_stats_report",
+        "tbl_tags_report", "ds_tokenizer_compression_ratio",
+        "graph_assortativity", "dq_completeness_by_partition",
+        "q42_deterministic_sample", "q43_rank_distribution",
+        "q44_supplier_market_share", "q45_gap_fill_hourly",
+        "q46_price_histogram", "q47_correlated_subqueries",
+        "q48_returned_item_revenue", "q49_late_shipment_priority",
+        "q50_promo_revenue_share", "q51_large_volume_orders",
+        "q52_small_quantity_revenue", "q53_top_supplier_revenue",
+        "q54_customer_order_distribution", "q55_dormant_rich_customers",
+        "q56_event_funnel", "q57_cohort_retention",
+        "q58_local_supplier_volume", "q59_volume_shipping",
+        "q60_product_type_profit", "q61_disjunctive_predicates",
+        "q62_waiting_orders", "q63_forecast_revenue_change",
+        "q64_shipping_priority", "q65_order_priority_check",
+        "q69_countmin_heavy_hitters", "q72_argmax_aggregates",
+        "q73_unpivot_metrics", "dedup_lsh_recall", "ds_compaction_report",
+        "ds_mixture_materialize", "q68_scd2_customer_dim",
+        "multimodal_dhash_dedup", "multimodal_vad_segments",
+        "dq_expectation_suite", "ann_quantized_topk",
     ], 12),
 }
+
 
 #: Back-compat view used by older tests/docs: every name with a usable
 #: committed record.
