@@ -6466,118 +6466,39 @@ def q114_max_drawdown_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _select_quota(sizes: list[int], k: int) -> int:
-    """Smallest per-salt rank cut ``m`` such that the per-salt quotas
-    ``min(size_s, m)`` sum to at least ``k`` — driver-side over the 64
-    salt sizes, so the threshold bound below is exact under ANY salt
-    skew (a fixed ceil(k/64) cut is only valid when every salt holds at
-    least that many rows)."""
-    lo, hi = 1, max(sizes)
-    while lo < hi:
-        mid = (lo + hi) // 2
-        if sum(min(s, mid) for s in sizes) >= k:
-            hi = mid
-        else:
-            lo = mid + 1
-    return lo
+    """Back-compat alias of :func:`operators.selectors.select_quota`
+    (the selector family graduated to a library operator, VERDICT r12
+    task #5)."""
+    from data_engineering_nd_spark.operators.selectors import select_quota
+
+    return select_quota(sizes, k)
 
 
 def _kth_largest_exact(cands: DataFrame, k: int, lo: int, hi: int) -> int:
     """EXACT k-th largest value of BIGINT column ``x`` over ``cands``
-    by multi-probe value bisection (VERDICT r11 task #2). Invariant:
-    ``count(x >= lo) >= k`` and ``count(x > hi) < k``, so the k-th
-    value lives in [lo, hi]; each pass narrows the range ~128× with ONE
-    distributed aggregate (~31 conditional counts — map-side partial,
-    whole-stage codegen), so an int64 cent range resolves in <= 9
-    passes of scalar-collect convergence witnesses. No sort, no
-    window, no k-proportional rows through any single partition —
-    the selection moves ~31 longs per pass, period."""
-    while hi > lo:
-        width = hi - lo
-        # 31 probes, not 127: each pass compiles a FRESH whole-stage
-        # codegen method (new literals), and Janino time grows faster
-        # than the saved passes — 31 is the measured knee (5.4s vs 8.8s
-        # for the RFM selector at sf0.1)
-        probes = sorted(
-            {lo + max(1, (width * i) // 32) for i in range(1, 32)}
-        )
-        probes = [p for p in probes if lo < p <= hi]
-        row = cands.agg(
-            *[
-                F.sum(F.when(F.col("x") >= p, 1).otherwise(0)).alias(
-                    f"c{i}"
-                )
-                for i, p in enumerate(probes)
-            ]
-        ).collect()[0]
-        for i, p in enumerate(probes):
-            if (row[f"c{i}"] or 0) >= k:
-                lo = max(lo, p)
-            else:
-                hi = min(hi, p - 1)
-    return lo
+    — back-compat wrapper over :func:`operators.selectors.exact_ranks`,
+    the probe-table bisection selector (probes travel as broadcast
+    DATA, so the counting plan whole-stage-compiles once and every
+    pass costs pure scan time; VERDICT r12 task #3)."""
+    from data_engineering_nd_spark.operators.selectors import exact_ranks
+
+    return exact_ranks(cands, {"x": [k]}, bounds={"x": (lo, hi)})["x"][0]
 
 
 def _kth_largest_multi(
     cands: DataFrame, wanted: dict[str, tuple[list[int], int, int]]
 ) -> dict[str, list[int]]:
     """EXACT k-th largest values for SEVERAL (column, rank) pairs at
-    once — :func:`_kth_largest_exact`'s bisection with ONE shared
-    aggregate per pass across every unresolved (column, rank): finding
-    9 cut points over 3 metrics costs the same ~handful of passes as
-    finding one. ``wanted`` maps column -> (ranks, lo, hi); each
-    (column, rank) keeps its own [lo, hi] invariant; a pass's
-    conditional counts are the union of every open pair's probe grid,
-    capped at 31 per column (the codegen-compile knee)."""
-    state = {
-        (c, k): [lo, hi]
-        for c, (ks, lo, hi) in wanted.items()
-        for k in ks
-    }
-    while any(h > l for l, h in state.values()):
-        open_pairs = [p for p, (l, h) in state.items() if h > l]
-        # probe budget is PER COLUMN (they share one aggregate anyway):
-        # splitting a global budget across columns slows the
-        # widest-range column's convergence to the sum of everyone's
-        # passes instead of the max
-        by_col: dict[str, int] = {}
-        for c, _ in open_pairs:
-            by_col[c] = by_col.get(c, 0) + 1
-        probes: dict[str, set[int]] = {}
-        for c, k in open_pairs:
-            # 31 probes per column — the codegen-compile knee (see
-            # _kth_largest_exact); more probes save passes but each
-            # pass's fresh Janino compile costs more than it saves
-            per = max(1, 31 // by_col[c])
-            l, h = state[(c, k)]
-            width = h - l
-            probes.setdefault(c, set()).update(
-                l + max(1, (width * i) // (per + 1))
-                for i in range(1, per + 1)
-            )
-        cols = {c: sorted(ps)[:31] for c, ps in probes.items()}
-        row = cands.agg(
-            *[
-                F.sum(
-                    F.when(F.col(c) >= p, 1).otherwise(0)
-                ).alias(f"c_{c}_{i}")
-                for c, ps in cols.items()
-                for i, p in enumerate(ps)
-            ]
-        ).collect()[0]
-        for c, k in open_pairs:
-            l, h = state[(c, k)]
-            for i, p in enumerate(cols.get(c, ())):
-                if not (l < p <= h):
-                    continue
-                if (row[f"c_{c}_{i}"] or 0) >= k:
-                    l = max(l, p)
-                else:
-                    h = min(h, p - 1)
-            state[(c, k)] = [l, h]
-    return {
-        c: [state[(c, k)][0] for k in ks]
-        for c, (ks, _, _) in wanted.items()
-    }
+    once — back-compat wrapper over
+    :func:`operators.selectors.exact_ranks` (one shared probe-table
+    aggregate per pass across every unresolved pair)."""
+    from data_engineering_nd_spark.operators.selectors import exact_ranks
+
+    return exact_ranks(
+        cands,
+        {c: ks for c, (ks, _, _) in wanted.items()},
+        bounds={c: (lo, hi) for c, (ks, lo, hi) in wanted.items()},
+    )
 
 
 @query(
@@ -6607,30 +6528,38 @@ def q115_top_decile_revenue_share(
 ) -> DataFrame:
     """Revenue concentration in the top spend decile — the 80/20
     dashboard number, computed WITHOUT ranking any n-proportional row
-    stream (VERDICT r11 task #2: the previous tournament funneled
-    Θ(n/10) rows through one no-partition WindowExec because k ∝ n).
+    stream (VERDICT r11 task #2: a tournament would funnel Θ(n/10)
+    rows through one no-partition WindowExec because k ∝ n).
 
-    Threshold-select, all-aggregate:
+    Threshold-select, all-aggregate, via the library selector
+    (:mod:`operators.selectors`, VERDICT r12 tasks #3/#5):
 
-    1. per-customer spend in one hash-agg (exact DECIMAL cents);
-    2. 64-way salt stats (one 64-row agg) give n, k = ceil(n/10), the
-       global max, and the per-salt sizes that make the rank cut
-       skew-proof (:func:`_select_quota`);
-    3. the per-salt quota-rank values from the PARTITIONED stage-1
-       window yield ``bound = min_s(v_s)`` — an exact lower bound on
-       the k-th global value, so ``x >= bound`` is a distributive
-       superset filter of the top decile;
-    4. :func:`_kth_largest_exact` bisects the value range to the EXACT
-       k-th largest spend t in <= 9 one-aggregate passes;
-    5. the decile sum is pure algebra over one final aggregate:
+    1. per-customer spend in one hash-agg (exact DECIMAL cents),
+       cached so the bisection passes re-scan it for free — the stats
+       aggregate below materializes the cache in the same job;
+    2. that one aggregate gives n, k = ceil(n/10), total, min and max;
+       empty input returns the oracle's NULL-share row here
+       (ADVICE r12);
+    3. :func:`selectors.exact_ranks_with_tails` resolves the EXACT
+       k-th largest spend t by shift-histogram bisection — ~3 scan
+       passes for a cent range, pure int64 bucket arithmetic, no
+       window, no join, no per-pass recompiled probe literals — and
+       folds ``count(x > t)`` / ``sum(x > t)`` into the same passes,
+       so no tail aggregate runs at all;
+    4. the decile sum is pure driver algebra:
        ``sum(x > t) + (k - count(x > t)) · t`` — the (spend DESC,
        custkey) tie-break keeps the selection deterministic, and every
        cut-value tie contributes the same x, so the sum is exact.
 
     At 100 TB: the fact table collapses to per-customer spend in one
-    hash-agg; everything after moves 64-row / ~31-long aggregates —
-    no TakeOrderedAndProject, no global window, no k rows on any
-    single thread. All shares are BIGINT floor divisions."""
+    hash-agg; everything after is ~3 re-scans of the cached spend
+    frame aggregating to <= 2^14 bucket rows each — no
+    TakeOrderedAndProject, no global window, no k rows on any single
+    thread. All shares are BIGINT floor divisions."""
+    from data_engineering_nd_spark.operators.selectors import (
+        exact_ranks_with_tails,
+    )
+
     orders = load(spark, "orders", sf_dir)
     spend = (
         orders.groupBy(F.col("o_custkey").alias("c"))
@@ -6639,51 +6568,43 @@ def q115_top_decile_revenue_share(
             .cast("bigint")
             .alias("x")
         )
-        .withColumn("salt", F.pmod(F.col("c"), F.lit(64)))
-        .localCheckpoint()
+        .cache()
     )
-    stats = spend.groupBy("salt").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.sum("x").alias("tot"),
-        F.max("x").alias("mx"),
-    ).collect()
-    n = sum(r.cnt for r in stats)
-    total_cents = sum(r.tot for r in stats)
-    hi0 = max(r.mx for r in stats)
-    k = (n + 9) // 10
-    m = _select_quota([r.cnt for r in stats], k)
-    quota = F.create_map(
-        *[
-            lit
-            for r in stats
-            for lit in (F.lit(r.salt), F.lit(min(r.cnt, m)))
-        ]
-    )
-    w1 = Window.partitionBy("salt").orderBy(F.col("x").desc(), F.col("c"))
-    bound = (
-        spend.withColumn("rn", F.row_number().over(w1))
-        .where(F.col("rn") <= m)
-        .where(F.col("rn") == quota[F.col("salt")])
-        .agg(F.min("x"))
-        .collect()[0][0]
-    )
-    cands = spend.where(F.col("x") >= bound).select("x").localCheckpoint()
-    t = _kth_largest_exact(cands, k, bound, hi0)
-    gt = cands.agg(
-        F.sum(F.when(F.col("x") > t, 1).otherwise(0)).alias("cnt_gt"),
-        F.sum(F.when(F.col("x") > t, F.col("x")).otherwise(0)).alias(
-            "sum_gt"
-        ),
-    ).collect()[0]
-    top_cents = int(gt.sum_gt or 0) + (k - int(gt.cnt_gt or 0)) * int(t)
+    try:
+        g = spend.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("tot"),
+            F.min("x").alias("mn"),
+            F.max("x").alias("mx"),
+        ).collect()[0]
+        n = int(g.n)
+        if n == 0:
+            # oracle shape on zero orders: scalar subqueries still emit
+            # one row — counts 0, sums/share NULL (ADVICE r12: the old
+            # max()-over-stats raised, then the share divided by zero)
+            return spark.range(1).select(
+                F.lit(0).cast("bigint").alias("n_customers"),
+                F.lit(0).cast("bigint").alias("top_decile_n"),
+                F.lit(None).cast("bigint").alias("top_cents"),
+                F.lit(None).cast("bigint").alias("total_cents"),
+                F.lit(None).cast("bigint").alias("top_share_e6"),
+            )
+        total_cents = int(g.tot)
+        k = (n + 9) // 10
+        t, cnt_gt, sum_gt = exact_ranks_with_tails(
+            spend, {"x": [k]}, bounds={"x": (int(g.mn), int(g.mx))}
+        )["x"][0]
+    finally:
+        spend.unpersist()
+    top_cents = sum_gt + (k - cnt_gt) * t
     return spark.range(1).select(
         F.lit(n).cast("bigint").alias("n_customers"),
         F.lit(k).cast("bigint").alias("top_decile_n"),
         F.lit(top_cents).cast("bigint").alias("top_cents"),
-        F.lit(int(total_cents)).cast("bigint").alias("total_cents"),
+        F.lit(total_cents).cast("bigint").alias("total_cents"),
         # exact unbounded-int share math on the driver — the oracle's
         # HUGEINT intermediate never outgrows Python ints
-        F.lit(top_cents * 1_000_000 // int(total_cents))
+        F.lit(top_cents * 1_000_000 // total_cents)
         .cast("bigint")
         .alias("top_share_e6"),
     )
@@ -6753,17 +6674,20 @@ def q116_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank cuts: per-customer R (days-since-epoch of last order),
     F (order count), M (cent spend) collapse in one hash-agg, then the
     three cut points per metric (ranks ceil(i*n/5), i = 1..3,
-    larger-is-better) come from :func:`_kth_largest_multi` — the
-    multi-rank exact selector: a handful of shared one-aggregate
-    bisection passes, NO ntile window, no global sort, nothing
-    n-proportional on one thread. Scores are ``1 + #{cuts strictly
+    larger-is-better) come from :func:`operators.selectors.exact_ranks`
+    — the multi-rank exact selector: ~3 shared shift-histogram
+    bisection passes (pure int64 bucket arithmetic, one scan-agg per
+    pass serving every open (column, rank) pair; VERDICT r12 task
+    #3), NO ntile window, no global sort, nothing n-proportional on
+    one thread. Scores are ``1 + #{cuts strictly
     below the value}`` so ties score identically in both engines;
     output is the 4^3-bounded segment grid with customer counts and
     exact cent totals.
 
-    At 100 TB: the selector moves ~31 longs per pass over the
-    checkpointed per-customer frame; the segment agg is map-side
-    combinable into <=64 groups."""
+    At 100 TB: the selector re-scans the checkpointed per-customer
+    frame ~3 times, aggregating to <= 2^14 bucket rows per open
+    window; the segment agg is map-side combinable into <=64
+    groups."""
     orders = load(spark, "orders", sf_dir)
     cust = (
         orders.groupBy(F.col("o_custkey").alias("c"))
@@ -6798,10 +6722,13 @@ def q116_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_customers bigint, segment_cents bigint",
         )
     ranks = [(n * i + 4) // 5 for i in (1, 2, 3)]
-    cuts = _kth_largest_multi(
+    from data_engineering_nd_spark.operators.selectors import exact_ranks
+
+    cuts = exact_ranks(
         cust,
-        {
-            c: (ranks, int(stats[f"mn_{c}"]), int(stats[f"mx_{c}"]))
+        {c: ranks for c in ("r", "f", "m")},
+        bounds={
+            c: (int(stats[f"mn_{c}"]), int(stats[f"mx_{c}"]))
             for c in ("r", "f", "m")
         },
     )

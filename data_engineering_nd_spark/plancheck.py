@@ -50,14 +50,23 @@ _PASS_THROUGH = {
 }
 
 #: operators that PROVABLY bound their output row count regardless of
-#: input size (upstream limit / global aggregate — the VERDICT r11
-#: adjudication rule; a grouped aggregate bounds output to group
-#: cardinality, which every use in this repo keeps sub-linear)
-_BOUNDING = {
+#: input size — limits and GLOBAL (no grouping expressions) aggregates
+#: only.  A GROUPED aggregate bounds output to group cardinality, which
+#: can itself be n-proportional (a per-customer groupBy feeding a
+#: no-partition window is exactly the q115 failure class), so grouped
+#: aggregates are no longer classified as bounding (ADVICE r12):
+#: they produce a ``WindowHit`` tagged ``[grouped]`` with measured
+#: rows, and the two-SF growth criterion adjudicates them.
+_LIMIT_BOUNDING = {
     "TakeOrderedAndProjectExec",
     "GlobalLimitExec",
     "LocalLimitExec",
     "CollectLimitExec",
+}
+
+#: aggregate nodes — bounding iff their grouping-expression list is
+#: empty (a global aggregate emits exactly one row per grouping set)
+_AGG_NODES = {
     "HashAggregateExec",
     "ObjectHashAggregateExec",
     "SortAggregateExec",
@@ -153,7 +162,17 @@ def unbounded_global_windows(df: DataFrame) -> list[WindowHit]:
         if name == "WindowExec" and node.partitionSpec().isEmpty():
             child = _first_effective(node.children().apply(0))
             cname = child.getClass().getSimpleName()
-            if cname not in _BOUNDING:
+            if cname in _AGG_NODES:
+                try:
+                    if child.groupingExpressions().isEmpty():
+                        cname = None  # global aggregate: bounded
+                    else:
+                        cname = f"{cname}[grouped]"
+                except Exception:
+                    cname = f"{cname}[grouped?]"
+            elif cname in _LIMIT_BOUNDING:
+                cname = None
+            if cname is not None:
                 hits.append(
                     WindowHit(
                         window=node.simpleString(120),

@@ -718,10 +718,14 @@ def test_drawdown_window_partitions_by_year_over_daily_agg(spark):
 def test_no_unbounded_global_windows_in_window_headliners(spark):
     """Runtime executed-plan guard (VERDICT r11 task #3): none of the
     window-heavy headliners may execute a no-partition WindowExec whose
-    input is not provably bounded by an upstream limit/aggregate — the
-    q115 failure mode the sf0.001 fingerprints could not see. The full
-    307-query two-SF sweep ran via tools/window_sweep.py (SWEEP_r12.md);
-    this pins the structural check in-suite."""
+    input is not provably bounded by an upstream limit or GLOBAL
+    aggregate — the q115 failure mode the sf0.001 fingerprints could
+    not see.  A GROUPED aggregate no longer counts as bounding
+    (ADVICE r12 — group cardinality can be n-proportional): such
+    windows surface as ``[grouped]``-tagged hits, and this test runs
+    each headliner at TWO scale factors asserting the measured window
+    input does not grow with the data (the tools/window_sweep.py
+    criterion, pinned in-suite)."""
     from data_engineering_nd_spark import registry
     from data_engineering_nd_spark.plancheck import unbounded_global_windows
     from data_engineering_nd_spark.registry import QUERIES
@@ -736,7 +740,13 @@ def test_no_unbounded_global_windows_in_window_headliners(spark):
         "ds_length_histogram",
         "q86_last_touch_attribution",
     ):
-        df = QUERIES[name](spark, SF_DIR)
-        df.collect()
-        hits = unbounded_global_windows(df)
-        assert not hits, (name, hits)
+        rows_by_sf = []
+        for sf_dir in (SF_DIR, "/root/testdata/sf0.01"):
+            df = QUERIES[name](spark, sf_dir)
+            df.collect()
+            hits = unbounded_global_windows(df)
+            hard = [h for h in hits if "[grouped" not in h.input_node]
+            assert not hard, (name, sf_dir, hard)
+            rows_by_sf.append(max((h.input_rows for h in hits), default=0))
+        a, b = rows_by_sf
+        assert b <= max(3 * a, a + 64), (name, "window input grows", a, b)

@@ -1,0 +1,134 @@
+"""Property tests for the exact-selector library operator
+(operators/selectors.py, VERDICT r12 task #5): shift-histogram rank
+selection vs sorted ground truth at adversarial distributions, tail
+count/sum exactness, the salted rank lower bound, and the quota cut."""
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from data_engineering_nd_spark.operators.selectors import (
+    exact_ranks,
+    exact_ranks_with_tails,
+    rank_lower_bound,
+    salt_count_for,
+    select_quota,
+)
+
+
+def _truth(vals: list[int], k: int) -> tuple[int, int, int]:
+    """(k-th largest, count > it, sum > it) from a plain sort."""
+    s = sorted(vals, reverse=True)
+    t = s[k - 1]
+    gt = [v for v in vals if v > t]
+    return t, len(gt), sum(gt)
+
+
+DISTRIBUTIONS = {
+    # every value identical: one bucket, resolved in a single pass,
+    # tails all zero
+    "all_equal": [42] * 100,
+    # two-point mass: ranks on both sides of the step and on it
+    "two_point": [-7] * 60 + [10**9] * 40,
+    # heavy tail: a few enormous values over a dense low cluster
+    "heavy_tail": list(range(200)) + [10**12, 10**15, 10**18 - 1],
+    # adversarial gaps + duplicates + negatives (the cf3f5bb fixture)
+    "gaps_dups": (
+        [5] * 40 + [7] * 3 + list(range(100, 200, 7))
+        + [10**12, 10**12 - 1, -(10**9)] + [0] * 5
+    ),
+    # dense consecutive: every bucket boundary exercised at sbits=0
+    "dense": list(range(-50, 50)),
+}
+
+
+@pytest.mark.parametrize("dist", sorted(DISTRIBUTIONS))
+def test_exact_ranks_match_sorted_truth(spark, dist):
+    vals = DISTRIBUTIONS[dist]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    n = len(vals)
+    ks = sorted({1, 2, n // 3, n // 2, n - 1, n})
+    got = exact_ranks_with_tails(df, {"x": ks})
+    for k, tail in zip(ks, got["x"]):
+        t, cnt, sm = _truth(vals, k)
+        assert tail.value == t, (dist, k)
+        assert tail.cnt_gt == cnt, (dist, k)
+        assert tail.sum_gt == sm, (dist, k)
+
+
+def test_exact_ranks_multi_column_shared_passes(spark):
+    vals = DISTRIBUTIONS["gaps_dups"]
+    df = spark.createDataFrame([(v,) for v in vals], "x long").withColumn(
+        "y", F.col("x") * -1
+    )
+    truth_x = sorted(vals, reverse=True)
+    truth_y = sorted([-v for v in vals], reverse=True)
+    got = exact_ranks(df, {"x": [5, 44], "y": [2, 10, len(vals)]})
+    assert got["x"] == [truth_x[4], truth_x[43]]
+    assert got["y"] == [truth_y[1], truth_y[9], truth_y[-1]]
+
+
+def test_exact_ranks_duplicate_and_unsorted_ranks(spark):
+    vals = DISTRIBUTIONS["two_point"]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    s = sorted(vals, reverse=True)
+    got = exact_ranks(df, {"x": [40, 1, 40, 41]})
+    assert got["x"] == [s[39], s[0], s[39], s[40]]
+
+
+def test_exact_ranks_ignores_nulls(spark):
+    df = spark.createDataFrame(
+        [(v,) for v in [None, 10, None, 5, 1]], "x long"
+    )
+    # ranks are over the 3 non-null values
+    assert exact_ranks(df, {"x": [1, 3]})["x"] == [10, 1]
+    with pytest.raises(ValueError, match="exceeds the non-null"):
+        exact_ranks(df, {"x": [4]})
+
+
+def test_exact_ranks_empty_input_raises(spark):
+    df = spark.createDataFrame([], "x long")
+    with pytest.raises(ValueError, match="empty input"):
+        exact_ranks(df, {"x": [1]})
+
+
+def test_exact_ranks_narrow_bits_terminate(spark):
+    """A 1-bit-per-pass budget still terminates and stays exact —
+    the structural guarantee that replaced the probe-starvation
+    hazard (ADVICE r12)."""
+    vals = DISTRIBUTIONS["heavy_tail"]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = exact_ranks(df, {"x": [3]}, bits_per_pass=1)
+    assert got["x"] == [sorted(vals, reverse=True)[2]]
+
+
+def test_select_quota_skewed_sizes():
+    # 3 salts of 1 row + 1 salt of 97: a fixed ceil(k/4) cut of 3
+    # yields only 3+3=6 < 10 rows; the quota cut must grow to 7
+    sizes = [1, 1, 1, 97]
+    m = select_quota(sizes, 10)
+    assert sum(min(s, m) for s in sizes) >= 10
+    assert sum(min(s, m - 1) for s in sizes) < 10
+
+
+def test_salt_count_for_scales_and_clamps():
+    assert salt_count_for(0) == 64
+    assert salt_count_for(100_000) == 64
+    assert salt_count_for(10_000_000) == 256
+    assert salt_count_for(10**12) == 4096
+    for n in (1, 10**6, 10**9):
+        s = salt_count_for(n)
+        assert s & (s - 1) == 0  # power of two
+
+
+def test_rank_lower_bound_is_exact_lower_bound(spark):
+    vals = DISTRIBUTIONS["gaps_dups"]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "c long, x long"
+    )
+    s = sorted(vals, reverse=True)
+    for k in (1, 5, 40, len(vals)):
+        b = rank_lower_bound(df, "x", "c", k, len(vals))
+        assert b <= s[k - 1], k
+        # the bound admits at least k candidates (superset filter)
+        assert sum(1 for v in vals if v >= b) >= k, k
