@@ -3754,6 +3754,227 @@ def tbl_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# tbl_zorder_string_report: clustered OPTIMIZE over a STRING dimension
+# ---------------------------------------------------------------------------
+
+
+def _pfx_fold_sql(x: str) -> str:
+    """DuckDB replay of tables._string_prefix_col: base-256 fold of the
+    7 post-lcp characters (positions come from the ``lcp`` CTE's L).
+    DuckDB's unicode('') is -1 where Spark's ascii('') is 0, hence the
+    LENGTH guard; the engine's >255 saturation never fires on ASCII
+    data, so the replay omits it (documented in the engine docstring)."""
+    e = None
+    for j in range(1, 8):
+        t = (
+            f"CASE WHEN LENGTH({x}) >= L + {j} THEN "
+            f"LEAST(unicode(substr({x}, CAST(L + {j} AS INT), 1)), 255) "
+            f"ELSE 0 END"
+        )
+        e = t if e is None else f"(({e}) * 256 + ({t}))"
+    return f"CAST({e} AS BIGINT)"
+
+
+_OPTZS_ORACLE = f"""
+    WITH src AS (
+        SELECT c_custkey AS k, c_name AS s, CAST(c_nationkey AS BIGINT) AS nk
+        FROM customer
+    ),
+    sw AS (
+        SELECT MIN(s) AS mns_s, MAX(s) AS mxs_s,
+               MIN(nk) AS mnn, MAX(nk) AS mxn,
+               GREATEST((MAX(nk) - MIN(nk) + 1 + 3) // 4, 1) AS wn
+        FROM src
+    ),
+    lcp AS (
+        -- positions capped at 64, matching the engine's _lcp_len cap
+        -- (range() cannot take a subquery bound in DuckDB)
+        SELECT COALESCE(MAX(i), 0) AS L FROM (
+            SELECT CAST(r.range AS INT) AS i
+            FROM range(1, 65) r CROSS JOIN sw
+            WHERE CAST(r.range AS INT)
+                      <= LEAST(LENGTH(sw.mns_s), LENGTH(sw.mxs_s))
+              AND substr(sw.mns_s, 1, CAST(r.range AS INT))
+                = substr(sw.mxs_s, 1, CAST(r.range AS INT))
+        )
+    ),
+    pb AS (
+        SELECT {_pfx_fold_sql("sw.mns_s")} AS pmn,
+               {_pfx_fold_sql("sw.mxs_s")} AS pmx
+        FROM sw CROSS JOIN lcp
+    ),
+    pw AS (
+        SELECT pmn, GREATEST((pmx - pmn + 1 + 3) // 4, 1) AS ws FROM pb
+    ),
+    q AS (
+        SELECT mnn + wn AS nlo, mnn + 2 * wn + wn // 2 AS nhi FROM sw
+    ),
+    z AS (
+        SELECT k, s, nk,
+               LEAST(({_pfx_fold_sql("src.s")} - pmn) // ws, 3) AS ba,
+               LEAST((nk - mnn) // wn, 3) AS bb
+        FROM src CROSS JOIN sw CROSS JOIN lcp CROSS JOIN pw
+    ),
+    zz AS (
+        SELECT k, s, nk,
+               (ba % 2) + ((ba // 2) % 2) * 4
+               + (bb % 2) * 2 + ((bb // 2) % 2) * 8 AS zf
+        FROM z
+    ),
+    linstats AS (
+        SELECT nk // 7 AS lf, MIN(s) AS mns, MAX(s) AS mxs, COUNT(*) AS nrows
+        FROM src GROUP BY 1
+    ),
+    zstats AS (
+        SELECT zf, MIN(s) AS mns, MAX(s) AS mxs,
+               MIN(nk) AS mnn, MAX(nk) AS mxn, COUNT(*) AS nrows
+        FROM zz GROUP BY zf
+    ),
+    linmark AS (
+        SELECT t.*, CASE WHEN t.mxs < 'Customer#000000300'
+                           OR t.mns > 'Customer#000000450'
+                         THEN 0 ELSE 1 END AS kept
+        FROM linstats t
+    ),
+    zmark AS (
+        SELECT t.*,
+               CASE WHEN t.mxs < 'Customer#000000300'
+                      OR t.mns > 'Customer#000000450'
+                    THEN 0 ELSE 1 END AS kept_s,
+               CASE WHEN t.mxn < q.nlo OR t.mnn > q.nhi
+                    THEN 0 ELSE 1 END AS kept_n
+        FROM zstats t CROSS JOIN q
+    ),
+    matched AS (
+        SELECT k FROM src
+        WHERE s BETWEEN 'Customer#000000300' AND 'Customer#000000450'
+    )
+    SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM linmark) AS files_before,
+        (SELECT CAST(SUM(kept) AS BIGINT) FROM linmark)
+            AS lin_files_kept_name,
+        (SELECT CAST(SUM(nrows * kept) AS BIGINT) FROM linmark)
+            AS lin_rows_scanned_name,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM zmark) AS files_after,
+        (SELECT CAST(SUM(kept_s) AS BIGINT) FROM zmark)
+            AS z_files_kept_name,
+        (SELECT CAST(SUM(nrows * kept_s) AS BIGINT) FROM zmark)
+            AS z_rows_scanned_name,
+        (SELECT CAST(SUM(kept_n) AS BIGINT) FROM zmark)
+            AS z_files_kept_nation,
+        (SELECT CAST(SUM(nrows * kept_n) AS BIGINT) FROM zmark)
+            AS z_rows_scanned_nation,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM src) AS rows_total,
+        CAST(COUNT(*) AS BIGINT) AS n_result,
+        CAST(SUM(CAST(concat('0x', substr(md5(CAST(k AS VARCHAR)), 1, 10))
+                      AS BIGINT)) AS BIGINT) AS result_checksum
+    FROM matched
+"""
+
+
+@query("tbl_zorder_string_report", oracle=_OPTZS_ORACLE)
+def tbl_zorder_string_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered OPTIMIZE over a STRING + numeric dimension pair
+    (VERDICT r12 task #4 — the former float() bound fallback threw on
+    string min/max, so clustered maintenance was numeric-only):
+    customer lands as 4 files linear on c_nationkey (name pruning
+    useless — every file spans the whole name range), then
+    ``optimize(zorder_by=[c_name, c_nationkey])`` re-clusters on the
+    Morton key whose string dimension buckets by the lcp-skipped
+    truncated-prefix surrogate (``tables._string_prefix_col``: skip
+    the min/max common prefix 'Customer#00000…', fold the next 7
+    characters base-256 — exact integer arithmetic from manifest
+    footer stats, no data pass for bounds). Both prunings are REAL
+    manifest-stats prunings of committed snapshots; the pruned scan's
+    checksum pins that no row was lost or duplicated.
+
+    The oracle replays the identical arithmetic from first principles
+    — lcp via a positional scan, the character fold via
+    unicode(substr(...)) with DuckDB's unicode('') = -1 guarded to
+    Spark's ascii('') = 0, bucket widths, the 2-bit interleave, and
+    the per-cell string min/max pruning decisions.
+
+    At 100 TB: same shape as ``tbl_optimize_zorder`` — bounds from
+    footer stats, ONE hash shuffle on the z-file id, OCC commit
+    unchanged. String clustering is what makes high-cardinality text keys
+    (ports, clerks, URLs) pruneable without a numeric surrogate
+    column."""
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    cust = load(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("s"),
+        F.col("c_nationkey").cast("long").alias("nk"),
+    )
+    r = cust.agg(
+        F.min("nk").alias("mnn"), F.max("nk").alias("mxn")
+    ).collect()[0]
+    mnn, mxn = int(r.mnn), int(r.mxn)
+    wn = max(1, (mxn - mnn + 1 + 3) // 4)
+    nlo, nhi = mnn + wn, mnn + 2 * wn + wn // 2
+    slo, shi = "Customer#000000300", "Customer#000000450"
+
+    work = tempfile.mkdtemp(prefix="tbl_optzs_")
+    try:
+        table = VersionedTable(spark, work + "/table")
+        staging = work + "/staging"
+        cust.withColumn(
+            "lf", F.expr("nk div 7")
+        ).repartition(1).write.partitionBy("lf").parquet(staging)
+        table.add_files(staging)
+
+        _, _, lin_s = table.prune_files("s", slo, shi)
+        m = table.optimize(
+            zorder_by=["s", "nk"],
+            min_file_bytes=1 << 40,
+            target_files=16,
+            zorder_bits=2,
+        )
+        _, _, z_s = table.prune_files("s", slo, shi)
+        _, _, z_n = table.prune_files("nk", nlo, nhi)
+
+        digest = md5_prefix_long(F.col("k").cast("string"))
+        out = (
+            table.scan("s", slo, shi)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_result"),
+                F.sum(digest).cast("bigint").alias("result_checksum"),
+            )
+            .select(
+                F.lit(lin_s["files_total"]).cast("bigint")
+                .alias("files_before"),
+                F.lit(lin_s["files_kept"]).cast("bigint")
+                .alias("lin_files_kept_name"),
+                F.lit(lin_s["rows_scanned"]).cast("bigint")
+                .alias("lin_rows_scanned_name"),
+                F.lit(z_s["files_total"]).cast("bigint")
+                .alias("files_after"),
+                F.lit(z_s["files_kept"]).cast("bigint")
+                .alias("z_files_kept_name"),
+                F.lit(z_s["rows_scanned"]).cast("bigint")
+                .alias("z_rows_scanned_name"),
+                F.lit(z_n["files_kept"]).cast("bigint")
+                .alias("z_files_kept_nation"),
+                F.lit(z_n["rows_scanned"]).cast("bigint")
+                .alias("z_rows_scanned_nation"),
+                F.lit(sum(
+                    st.get("num_rows", 0)
+                    for st in table._file_stats(m["files"], m).values()
+                )).cast("bigint").alias("rows_total"),
+                "n_result",
+                "result_checksum",
+            )
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # tbl_row_tracking_report: key-free change feed via stable row ids
 # ---------------------------------------------------------------------------
 

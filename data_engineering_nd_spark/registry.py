@@ -229,6 +229,11 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "stream_merge_upsert", "stream_change_feed",
         "stream_constraint_quarantine",
     ], 11),
+    # -- NEW round-13 registrations: DEFERRED (sort last; swept locally
+    # at sf0.01 AND sf0.1 this round, lead the r14 window) ------------
+    **dict.fromkeys([
+        "tbl_zorder_string_report",
+    ], 13),
     # -- latest record: CORRECTNESS_r12.json (the 50 just-recorded) ---
     **dict.fromkeys([
         "q112_kmv_set_operations", "q113_gini_by_nation",

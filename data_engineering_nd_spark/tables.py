@@ -134,6 +134,143 @@ def validate_constraints(
     return out
 
 
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _micros_timestamps(spark: SparkSession):
+    """Write parquet timestamps as INT64 TIMESTAMP_MICROS for the scope.
+    Spark's default INT96 encoding carries NO footer min/max statistics
+    — every timestamp column would be invisible to stats-based pruning
+    (ours and any other engine reading the files).  MICROS is what
+    Delta/Iceberg writers emit; INT96 is a legacy-compat default only."""
+    key = "spark.sql.parquet.outputTimestampType"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+# -- z-order dimension surrogates (VERDICT r12 task #4) ---------------------
+#: characters of discriminating string prefix folded into the surrogate
+#: (7 chars x 8 bits = 56 bits, safely inside a positive int64)
+_ZPREFIX_CHARS = 7
+
+
+def _lcp_len(lo: str, hi: str) -> int:
+    """Length of the longest common prefix of the column's min/max,
+    capped at 64 (a SQL oracle replays the scan over a fixed position
+    grid). Every value v with min <= v <= max shares that prefix, so
+    skipping it before truncation is order-preserving and spends the
+    surrogate's 7 chars on the bytes that actually discriminate (e.g.
+    the digits of 'Customer#000000123', not the shared 'Custome')."""
+    n = min(len(lo), len(hi), 64)
+    i = 0
+    while i < n and lo[i] == hi[i]:
+        i += 1
+    return i
+
+
+def _string_prefix_long(s: str, skip: int) -> int:
+    """Driver-side mirror of :func:`_string_prefix_col`: big-endian
+    base-256 SATURATING fold of the 7 post-prefix characters —
+    codepoints clamp to 255, and once any position clamps, every later
+    position saturates to 255 too.  A plain per-character clamp is NOT
+    monotone ('\u0101b' folds above '\u4e2d' though it sorts below:
+    the clamp ties the first chars and the unclamped suffixes decide
+    wrongly); saturation turns every clamped value into the same
+    ceiling so order follows string order, with ties only among
+    strings the 56-bit prefix genuinely cannot distinguish.  Past-end
+    positions contribute 0, matching Spark's ascii('') == 0."""
+    v = 0
+    saturated = False
+    for j in range(_ZPREFIX_CHARS):
+        p = skip + j
+        cp = ord(s[p]) if p < len(s) else 0
+        v = v * 256 + (255 if saturated else min(cp, 255))
+        saturated = saturated or cp > 255
+    return v
+
+
+def _string_prefix_col(c: str, skip: int):
+    """Spark twin of :func:`_string_prefix_long` — ascii(substr) keeps
+    the fold inside whole-stage codegen, and the DuckDB oracle replays
+    it with CASE over unicode(substr(...)) (Spark's ascii('') is 0
+    where DuckDB's unicode('') is -1; test data is ASCII so only the
+    empty-string branch needs mirroring)."""
+    expr = None
+    sat = F.lit(False)
+    for j in range(_ZPREFIX_CHARS):
+        cp = F.ascii(F.substring(F.col(c), skip + 1 + j, 1))
+        # accumulate in BIGINT from the first term: 255 * 256^3 already
+        # overflows a 32-bit int under ANSI arithmetic
+        v = (
+            F.when(sat, 255).otherwise(F.least(cp, F.lit(255)))
+        ).cast("long")
+        expr = v if expr is None else expr * F.lit(256).cast("long") + v
+        sat = sat | (cp > 255)
+    # ascii() of a NULL string is NULL and when/least propagate it,
+    # but be explicit: NULL in = NULL out, matching numeric dimensions
+    return F.when(F.col(c).isNotNull(), expr.cast("long"))
+
+
+def _epoch_micros(dt) -> int:
+    """Exact integer microseconds since the epoch (no float round-trip)."""
+    import datetime as _dt
+
+    delta = dt - _dt.datetime(1970, 1, 1, tzinfo=dt.tzinfo)
+    return (
+        delta.days * 86_400 + delta.seconds
+    ) * 1_000_000 + delta.microseconds
+
+
+def _zdim_surrogate(col_name: str, lo, hi):
+    """Map one z-order dimension to an EXACT int64 surrogate column
+    plus integer bounds, by the bound values' type: integers pass
+    through, strings become lcp-skipped truncated prefixes, dates
+    day-epoch ints, timestamps microsecond-epoch ints (VERDICT r12
+    task #4 — the former float() fallback threw on string bounds, so
+    clustered maintenance was numeric-only).  Returns None for types
+    with no exact surrogate (floats keep the scaled-double fallback).
+    Every surrogate is monotone in the column's natural order, which
+    is all min/max pruning needs."""
+    import datetime as _dt
+
+    if isinstance(lo, bool) or isinstance(hi, bool):
+        return None
+    if isinstance(lo, int) and isinstance(hi, int):
+        return F.col(col_name).cast("long"), lo, hi
+    if isinstance(lo, str) and isinstance(hi, str):
+        skip = _lcp_len(lo, hi)
+        return (
+            _string_prefix_col(col_name, skip),
+            _string_prefix_long(lo, skip),
+            _string_prefix_long(hi, skip),
+        )
+    if isinstance(lo, _dt.datetime) and isinstance(hi, _dt.datetime):
+        return (
+            F.unix_micros(F.col(col_name)),
+            _epoch_micros(lo),
+            _epoch_micros(hi),
+        )
+    if isinstance(lo, _dt.date) and isinstance(hi, _dt.date):
+        epoch = _dt.date(1970, 1, 1)
+        return (
+            F.datediff(
+                F.col(col_name), F.lit("1970-01-01").cast("date")
+            ).cast("long"),
+            (lo - epoch).days,
+            (hi - epoch).days,
+        )
+    return None
+
 class VersionedTable:
     """A parquet table whose snapshots are defined by a JSON manifest log.
 
@@ -843,7 +980,8 @@ class VersionedTable:
                 )
         rel_dir = os.path.join(_DATA, f"v{version:011d}-{uuid.uuid4().hex[:8]}")
         out = os.path.join(self.root, rel_dir)
-        df.write.mode("overwrite").parquet(out)
+        with _micros_timestamps(df.sparkSession):
+            df.write.mode("overwrite").parquet(out)
         return [
             os.path.join(rel_dir, f)
             for f in os.listdir(out)
@@ -3247,6 +3385,38 @@ class VersionedTable:
             overlap = [t for t in overlap if t[0] in hit]
         return [f for f, _, _ in overlap] + no_stats, pruned
 
+    @staticmethod
+    def _dedupe_inherited_ids(
+        df: DataFrame, id_col: str, order_cols: list[str]
+    ) -> DataFrame:
+        """Keep each inherited row id on exactly ONE output row.
+        Duplicate SOURCE keys multiply the post-images of one matched
+        pre-image, and every copy would inherit the same id — breaking
+        row-id lifetime uniqueness and making a later rewrite-only
+        optimize emit phantom keyless change-feed updates (ADVICE r12).
+        The deterministic winner (smallest full-row hash, so reruns
+        pick the same post-image) keeps the id; the extras are set to
+        NULL and draw fresh ids from the commit's base range at read
+        time, i.e. they become plain inserts in the keyless feed.
+        NULL-id rows bypass the window — a NULL partition would funnel
+        every plain insert through one task; the windowed side is
+        match-count-sized with ~1-row partitions."""
+        from pyspark.sql.window import Window
+
+        with_id = df.where(F.col(id_col).isNotNull())
+        without = df.where(F.col(id_col).isNull())
+        w = Window.partitionBy(id_col).orderBy(
+            F.xxhash64(F.to_json(F.struct(*order_cols)))
+        )
+        deduped = (
+            with_id.withColumn("__id_rn", F.row_number().over(w))
+            .withColumn(
+                id_col, F.when(F.col("__id_rn") == 1, F.col(id_col))
+            )
+            .drop("__id_rn")
+        )
+        return deduped.unionByName(without)
+
     def merge(
         self, source: DataFrame, key_cols: list[str],
         read_version: int | None = None, max_retries: int = 10,
@@ -3356,7 +3526,11 @@ class VersionedTable:
             old_ids = tgt.groupBy(*key_cols).agg(
                 F.min("__rid").alias("__row_id")
             )
-            incoming = incoming.join(old_ids, on=key_cols, how="left")
+            incoming = self._dedupe_inherited_ids(
+                incoming.join(old_ids, on=key_cols, how="left"),
+                "__row_id",
+                current_cols,
+            )
         else:
             incoming = incoming.withColumn(
                 "__row_id", F.lit(None).cast("long")
@@ -3570,9 +3744,15 @@ class VersionedTable:
         # (__rid from the t-side of the join); inserts carry NULL and
         # draw fresh ids from the commit's base range at read time
         out_cols.append(F.col("__rid").alias("__row_id"))
-        rewritten = classified.where(
-            F.col("__action").isin("update", "keep_matched", "keep", "insert")
-        ).select(*out_cols)
+        rewritten = self._dedupe_inherited_ids(
+            classified.where(
+                F.col("__action").isin(
+                    "update", "keep_matched", "keep", "insert"
+                )
+            ).select(*out_cols),
+            "__row_id",
+            current_cols,
+        )
         # persistent checks validate the rows actually WRITTEN (clause
         # filters may drop violating source rows — those are fine)
         self._enforce_table_checks(rewritten, prev)
@@ -3698,7 +3878,11 @@ class VersionedTable:
         ] or source.columns
         appended = source.select(*current_cols)
         if old_ids is not None:
-            appended = appended.join(old_ids, on=key_cols, how="left")
+            appended = self._dedupe_inherited_ids(
+                appended.join(old_ids, on=key_cols, how="left"),
+                "__row_id",
+                current_cols,
+            )
         else:
             appended = appended.withColumn(
                 "__row_id", F.lit(None).cast("long")
@@ -4067,8 +4251,10 @@ class VersionedTable:
         ``OPTIMIZE ZORDER BY`` / Iceberg sort-order verb): with
         ``zorder_by=[cols]`` the selected files are rewritten
         RE-CLUSTERED on the interleaved-bit Morton key of the given
-        numeric columns, so box predicates on any subset of them prune
-        most of the rewritten files through the manifest footer stats.
+        columns — integer, string (lcp-skipped truncated-prefix
+        surrogate), date (day-epoch) or timestamp (microsecond-epoch)
+        — so box predicates on any subset of them prune most of the
+        rewritten files through the manifest footer stats.
         The key uses EXACT integer bucket arithmetic over bounds taken
         from the manifest stats (a metadata read — no extra data pass,
         and bit-reproducible by the DuckDB oracle): ``2^zorder_bits``
@@ -4184,25 +4370,30 @@ class VersionedTable:
         assign ``z div ceil(cells / n_out)`` as the output file id, and
         write ONE file per occupied id (hash repartition on the id +
         partitionBy — a collision just means one task writes two files,
-        file contents stay deterministic). Non-integer dimensions fall
-        back to the same arithmetic on scaled doubles."""
+        file contents stay deterministic). Integer, string, date and
+        timestamp dimensions all bucket through EXACT int64 surrogates
+        (:func:`_zdim_surrogate`); only float dimensions fall back to
+        scaled doubles."""
         nd = len(zorder_by)
         work = df
         buckets = []
         for i, c in enumerate(zorder_by):
             lo, hi = bounds[c]
-            if isinstance(lo, int) and isinstance(hi, int):
-                # EXACT integral division (SQL `div`, never a double
-                # round-trip: floor(x/y) on doubles drifts above 2^53 —
-                # hash-derived/snowflake keys — while the oracle's `//`
-                # stays exact)
-                width = max(1, -(-(hi - lo + 1) // (1 << bits)))
-                work = work.withColumn(
-                    f"__zd_{i}", F.col(c).cast("long") - F.lit(lo)
-                )
+            sur = _zdim_surrogate(c, lo, hi)
+            if sur is not None:
+                # EXACT integral division over the typed int64 surrogate
+                # (SQL `div`, never a double round-trip: floor(x/y) on
+                # doubles drifts above 2^53 — hash-derived/snowflake
+                # keys — while the oracle's `//` stays exact). Strings
+                # bucket by lcp-skipped truncated prefix, dates by
+                # day-epoch, timestamps by microsecond-epoch (VERDICT
+                # r12 task #4).
+                scol, lo_i, hi_i = sur
+                width = max(1, -(-(hi_i - lo_i + 1) // (1 << bits)))
+                work = work.withColumn(f"__zd_{i}", scol - F.lit(lo_i))
                 b = F.expr(f"__zd_{i} div {width}")
             else:
-                # non-integral dimensions: scaled-double bucketing
+                # float dimensions: scaled-double bucketing
                 # (approximate by nature; documented, not oracle-exact)
                 lo_f, hi_f = float(lo), float(hi)
                 span = (hi_f - lo_f) or 1.0
@@ -4246,9 +4437,10 @@ class VersionedTable:
             _DATA, f"v{version:011d}-{uuid.uuid4().hex[:8]}"
         )
         out = os.path.join(self.root, rel_dir)
-        keyed.repartition(n_out, F.col("__zfile")).write.mode(
-            "overwrite"
-        ).partitionBy("__zfile").parquet(out)
+        with _micros_timestamps(keyed.sparkSession):
+            keyed.repartition(n_out, F.col("__zfile")).write.mode(
+                "overwrite"
+            ).partitionBy("__zfile").parquet(out)
         files = []
         for dp, _, fns in os.walk(out):
             for fn in fns:

@@ -2816,3 +2816,185 @@ def test_vacuum_collects_hive_subdir_orphans(spark, table):
     ]
     m = table._manifest(table.latest_version())
     assert len(leftover) == len(m["files"])
+
+
+def test_merge_with_duplicate_source_keys_keeps_ids_unique(spark, table):
+    """ADVICE r12 (medium): duplicate SOURCE keys in merge/merge_dv all
+    inherited the same min(__rid) — multiple live rows with one stable
+    row id. Maintenance must stay change-feed-neutral afterwards: a
+    rewrite-only optimize across the dup-key merge emits ZERO keyless
+    rows, and exactly one post-image per key carries the inherited id
+    (the extras are fresh inserts)."""
+    table.commit(
+        spark.createDataFrame([Row(k=1, v=10), Row(k=2, v=20),
+                               Row(k=3, v=30)])
+    )
+    # source holds k=1 TWICE with different payloads
+    table.merge(
+        spark.createDataFrame([Row(k=1, v=91), Row(k=1, v=92),
+                               Row(k=4, v=40)]), ["k"]
+    )  # v1
+    ids = [r.rid for r in table._read_files_rid(
+        table._manifest(1)["files"], table._manifest(1), []
+    ).select(F.col("__rid").alias("rid")).collect()]
+    assert len(ids) == len(set(ids)), "row ids must be unique for life"
+    table.optimize(min_file_bytes=1 << 40, target_files=1)  # v2: rewrite-only
+    # the KEYLESS feed is the contract surface here: the table now
+    # legitimately holds k=1 twice, and keyed pairing assumes unique
+    # keys (change_feed docstring) — id pairing must stay neutral
+    assert table.change_feed(None, 1, 2).count() == 0
+
+    # merge_dv variant: dup source keys, DV commit then compact
+    table.merge_dv(
+        spark.createDataFrame([Row(k=2, v=81), Row(k=2, v=82)]), ["k"]
+    )  # v3
+    m = table._manifest(3)
+    ids = [r.rid for r in table._read_files_rid(
+        m["files"], m, m.get("dv") or []
+    ).select(F.col("__rid").alias("rid")).collect()]
+    assert len(ids) == len(set(ids))
+    table.compact()  # v4: rewrite-only maintenance
+    assert table.change_feed(None, 3, 4).count() == 0
+
+    # merge_when variant: one matched key, two source rows both updating
+    table.merge_when(
+        spark.createDataFrame([Row(k=3, v=71), Row(k=3, v=72)]), ["k"]
+    )  # v5
+    m = table._manifest(5)
+    ids = [r.rid for r in table._read_files_rid(
+        m["files"], m, m.get("dv") or []
+    ).select(F.col("__rid").alias("rid")).collect()]
+    assert len(ids) == len(set(ids))
+    table.optimize(min_file_bytes=1 << 40, target_files=1)  # v6
+    assert table.change_feed(None, 5, 6).count() == 0
+
+
+def test_zorder_surrogates_string_date_timestamp():
+    """Driver-side surrogate properties (VERDICT r12 task #4): the
+    string prefix fold is monotone in string order, skips the min/max
+    common prefix, clamps >255 codepoints monotonically, and matches
+    the documented big-endian base-256 definition."""
+    import datetime as dt
+
+    from data_engineering_nd_spark.tables import (
+        _epoch_micros,
+        _lcp_len,
+        _string_prefix_long,
+    )
+
+    assert _lcp_len("Customer#000000001", "Customer#000000199") == 15
+    assert _lcp_len("abc", "xyz") == 0
+    assert _lcp_len("same", "same") == 4
+    vals = ["", "a", "aa", "ab", "b", "ba", "zz", "\u0101b", "\u4e2d"]
+    surr = [_string_prefix_long(v, 0) for v in sorted(vals)]
+    assert surr == sorted(surr)  # monotone
+    assert _string_prefix_long("a", 0) == ord("a") * 256 ** 6
+    assert _string_prefix_long("abc", 1) == (
+        (ord("b") * 256 + ord("c")) * 256 ** 5
+    )
+    assert _epoch_micros(dt.datetime(1970, 1, 1)) == 0
+    assert _epoch_micros(
+        dt.datetime(1970, 1, 2, 0, 0, 1, 5)
+    ) == 86_401_000_005
+
+
+def test_optimize_zorder_string_dimension_prunes(spark, table):
+    """Clustered OPTIMIZE on a (string, numeric) pair: the string
+    dimension buckets by exact truncated-prefix arithmetic (the former
+    float() fallback raised on string bounds), pruning on the string
+    range improves after the re-cluster, and no row is lost, duplicated
+    or re-fed (keyless CDF neutral)."""
+    import random
+
+    rng = random.Random(7)
+    words = ["apple", "brisk", "cedar", "dough", "ember", "frost",
+             "gravel", "harbor", "ivory", "jetty", "kiosk", "lumen",
+             "murmur", "nectar", "opal", "pluto", "quartz", "russet",
+             "sierra", "tundra", "umber", "velvet", "willow", "xenon",
+             "yarrow", "zephyr"]
+    rows = [Row(k=i, s=rng.choice(words) + f"-{i:04d}")
+            for i in range(400)]
+    # linear layout on k: 4 files, string pruning useless
+    df = spark.createDataFrame(rows).withColumn(
+        "lf", (F.col("k") / 100).cast("long")
+    )
+    import tempfile
+
+    staging = tempfile.mkdtemp(prefix="zstr_")
+    df.repartition(1).write.mode("overwrite").partitionBy("lf").parquet(
+        staging
+    )
+    table.add_files(staging)
+    before = table.prune_files("s", "g", "m")
+    m = table.optimize(
+        zorder_by=["s", "k"], min_file_bytes=1 << 40,
+        target_files=16, zorder_bits=2,
+    )
+    after = table.prune_files("s", "g", "m")
+    assert after[2]["files_total"] > 1
+    # the linear layout scans everything on the string range; the
+    # z-layout prunes real files
+    assert before[2]["rows_scanned"] == 400
+    assert after[2]["rows_scanned"] < 400
+    assert after[2]["files_kept"] < after[2]["files_total"]
+    # contents preserved exactly
+    got = sorted((r.k, r.s) for r in table.snapshot().collect())
+    assert got == sorted((r.k, r.s) for r in rows)
+    # maintenance stays change-feed-neutral under keyless CDF
+    assert table.change_feed(None, 0, 1).count() == 0
+
+
+def test_optimize_zorder_timestamp_dimension(spark, table):
+    """Timestamp z-dimensions bucket by exact microsecond-epoch ints
+    (footer stats exclude timestamps, so bounds come from the row
+    aggregate); pruning on the time range works after the re-cluster."""
+    import datetime as dt
+    import tempfile
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(k=i, ts=base + dt.timedelta(hours=i % 97))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows).withColumn(
+        "lf", (F.col("k") / 100).cast("long")
+    )
+    staging = tempfile.mkdtemp(prefix="zts_")
+    df.repartition(1).write.mode("overwrite").partitionBy("lf").parquet(
+        staging
+    )
+    table.add_files(staging)
+    table.optimize(
+        zorder_by=["ts", "k"], min_file_bytes=1 << 40,
+        target_files=16, zorder_bits=2,
+    )
+    got = sorted(r.k for r in table.snapshot().collect())
+    assert got == list(range(400))
+    # timestamp footer stats are excluded from the manifest by design,
+    # so assert the CLUSTERING itself: files partition the time range
+    # into narrow, low-overlap slabs via a direct footer read
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    mm = table._manifest(1)
+    spans = []
+    for f in mm["files"]:
+        md = pq.ParquetFile(_os.path.join(table.root, f)).metadata
+        mn = mx = None
+        for rg_i in range(md.num_row_groups):
+            rg = md.row_group(rg_i)
+            for ci in range(rg.num_columns):
+                col = rg.column(ci)
+                if col.path_in_schema != "ts":
+                    continue
+                st = col.statistics
+                assert st is not None and st.has_min_max, f
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+        assert mn is not None, f
+        spans.append((mn, mx))
+    spans.sort()
+    total = max(b for _, b in spans) - min(a for a, _ in spans)
+    assert len(spans) >= 4
+    assert all((b - a) <= total / 2 for a, b in spans)
