@@ -6465,42 +6465,6 @@ def q114_max_drawdown_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _select_quota(sizes: list[int], k: int) -> int:
-    """Back-compat alias of :func:`operators.selectors.select_quota`
-    (the selector family graduated to a library operator, VERDICT r12
-    task #5)."""
-    from data_engineering_nd_spark.operators.selectors import select_quota
-
-    return select_quota(sizes, k)
-
-
-def _kth_largest_exact(cands: DataFrame, k: int, lo: int, hi: int) -> int:
-    """EXACT k-th largest value of BIGINT column ``x`` over ``cands``
-    — back-compat wrapper over :func:`operators.selectors.exact_ranks`,
-    the probe-table bisection selector (probes travel as broadcast
-    DATA, so the counting plan whole-stage-compiles once and every
-    pass costs pure scan time; VERDICT r12 task #3)."""
-    from data_engineering_nd_spark.operators.selectors import exact_ranks
-
-    return exact_ranks(cands, {"x": [k]}, bounds={"x": (lo, hi)})["x"][0]
-
-
-def _kth_largest_multi(
-    cands: DataFrame, wanted: dict[str, tuple[list[int], int, int]]
-) -> dict[str, list[int]]:
-    """EXACT k-th largest values for SEVERAL (column, rank) pairs at
-    once — back-compat wrapper over
-    :func:`operators.selectors.exact_ranks` (one shared probe-table
-    aggregate per pass across every unresolved pair)."""
-    from data_engineering_nd_spark.operators.selectors import exact_ranks
-
-    return exact_ranks(
-        cands,
-        {c: ks for c, (ks, _, _) in wanted.items()},
-        bounds={c: (lo, hi) for c, (ks, lo, hi) in wanted.items()},
-    )
-
-
 @query(
     "q115_top_decile_revenue_share",
     oracle="""

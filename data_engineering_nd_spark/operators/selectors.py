@@ -9,8 +9,11 @@ q115/q116 pioneered (VERDICT r12 task #5):
 - :func:`exact_ranks` / :func:`exact_ranks_with_tails` — EXACT k-th
   largest values for several (column, rank) pairs at once by
   SHIFT-HISTOGRAM bisection: each pass buckets every in-window value
-  with ``(x - lo) >> sbits`` — pure int64 arithmetic, exact at any
-  magnitude (no float division), fused by whole-stage codegen — and
+  with ``(x >> sbits) - (lo >> sbits)`` — pure int64 arithmetic,
+  exact at any magnitude and overflow-free even when the column spans
+  the whole int64 domain (``x - lo`` would wrap on xxhash64-like
+  keys; the shifted difference is bounded by the bucket count), fused
+  by whole-stage codegen — and
   one shared ``groupBy(window, bucket)`` aggregate per pass serves
   every open (column, rank) pair.  A pass narrows every window by
   ``2^bits_per_pass`` (vs ~32x for the former literal-probe design,
@@ -35,11 +38,15 @@ q115/q116 pioneered (VERDICT r12 task #5):
 - :func:`select_quota` — the driver-side quota cut shared by the
   bound stage.
 
-Invariant maintained for each open (column, rank) pair with window
-``[lo, hi]`` and tail counters ``(above_cnt, above_sum)``:
-``above_cnt == count(x > hi)``, ``above_sum == sum(x > hi)``, and
-``count(x >= lo) >= k`` — i.e. the k-th largest value lies in
-``[lo, hi]``.  Each pass picks the bucket where the cumulative
+Caller-supplied ``bounds`` are HINTS, not requirements: the first
+pass folds every row above a window's hi into a tail bucket, so any
+``[lo, hi]`` with ``count(x > hi) < k <= count(x >= lo)`` resolves
+the same value a full-range start would (the q115-style prefilter
+contract).  Invariant maintained for each open (column, rank) pair
+with window ``[lo, hi]`` and tail counters ``(above_cnt,
+above_sum)``: ``above_cnt == count(x > hi)``, ``above_sum ==
+sum(x > hi)``, and ``count(x >= lo) >= k`` — i.e. the k-th largest
+value lies in ``[lo, hi]``.  Each pass picks the bucket where the cumulative
 from-the-top count crosses ``k`` and re-establishes the invariant;
 window width shrinks at least 2^(bits_per_pass-1)-fold per pass (and
 a width < 2^bits_per_pass window resolves exactly, buckets being
@@ -161,7 +168,9 @@ def exact_ranks_with_tails(
 
     One job per pass: every open window (distinct ``(col, lo, hi)`` —
     ranks sharing a window share its histogram) contributes a struct
-    ``(window_id, (x - lo) >> sbits, x)`` per in-window row; the
+    ``(window_id, (x >> sbits) - (lo >> sbits), x)`` per in-window
+    row (plus, on the first pass, a tail bucket for rows above hi —
+    caller bounds are hints, see the module docstring); the
     exploded stream hash-aggregates to at most
     ``n_windows * 2^bits_per_pass`` (bucket count, bucket sum) rows.
     All bucket math is int64 shifts — exact at any magnitude — and
@@ -201,6 +210,7 @@ def exact_ranks_with_tails(
     # a one-bucket-wide start (all values equal) still needs one pass
     # to learn its tail counts, so "open" means not yet marked done
     done: set[tuple[str, int]] = set()
+    first_pass = True
     while len(done) < len(state):
         windows: dict[tuple[str, int, int], int] = {}
         for key, (l, h, _, _) in state.items():
@@ -214,13 +224,30 @@ def exact_ranks_with_tails(
         for (c, l, h), wid in windows.items():
             x = F.col(c).cast("long")
             in_window = (x >= F.lit(l)) & (x <= F.lit(h))
+            # ABSOLUTE-shift bucket (x >> s) - (l >> s): computed only
+            # on in-window rows (CaseWhen branches are lazy), where the
+            # difference is <= 2^bits_per_pass — never the raw x - l,
+            # which overflows int64 when the column spans more than
+            # half the domain (xxhash64-derived keys).  l >> s is
+            # Python arbitrary-precision floor-shift, exact for any l.
+            b = F.shiftright(x, sbits[wid]) - F.lit(l >> sbits[wid])
+            if first_pass:
+                # bounds are caller-supplied HINTS: rows above hi fold
+                # into bucket -1 once, initializing the tail counters
+                # (the documented invariant needs only count(x > hi)
+                # < k, not hi == max)
+                bcol = F.when(x > F.lit(h), F.lit(-1).cast("long")).when(
+                    in_window, b
+                )
+                vcol = F.when(x > F.lit(h), x).when(in_window, x)
+            else:
+                bcol = F.when(in_window, b)
+                vcol = F.when(in_window, x)
             structs.append(
                 F.struct(
                     F.lit(wid).alias("wid"),
-                    F.when(
-                        in_window, F.shiftright(x - F.lit(l), sbits[wid])
-                    ).alias("b"),
-                    F.when(in_window, x).alias("v"),
+                    bcol.alias("b"),
+                    vcol.alias("v"),
                 )
             )
         hists: dict[int, dict[int, tuple[int, int]]] = {}
@@ -248,9 +275,14 @@ def exact_ranks_with_tails(
             wid = windows[(c, l, h)]
             sb = sbits[wid]
             hist = hists.get(wid, {})
+            if first_pass and -1 in hist:
+                above_cnt += hist[-1][0]
+                above_sum += hist[-1][1]
             cum_c = cum_s = 0
             bstar = None
             for b in sorted(hist, reverse=True):
+                if b == -1:
+                    continue
                 cnt, sm = hist[b]
                 if above_cnt + cum_c + cnt >= k:
                     bstar = b
@@ -260,19 +292,21 @@ def exact_ranks_with_tails(
             if bstar is None:
                 raise ValueError(
                     f"exact_ranks: rank {k} exceeds the non-null row "
-                    f"count of column {c!r}"
+                    f"count of column {c!r} within the given bounds"
                 )
-            new_l = l + (bstar << sb)
-            new_h = min(h, l + ((bstar + 1) << sb) - 1)
+            lbase = l >> sb
+            new_l = max(l, (lbase + bstar) << sb)
+            new_h = min(h, ((lbase + bstar + 1) << sb) - 1)
             st[2] = above_cnt + cum_c
             st[3] = above_sum + cum_s
-            if sb == 0:
-                # buckets are single values: resolved exactly, and the
+            if new_l == new_h:
+                # window resolved exactly (single value), and the
                 # accumulated tail is count/sum of x > value
                 st[0] = st[1] = new_l
                 done.add((c, i))
             else:
                 st[0], st[1] = new_l, new_h
+        first_pass = False
     return {
         c: [
             RankTail(st[0], st[2], st[3])

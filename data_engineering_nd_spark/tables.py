@@ -255,8 +255,13 @@ def _zdim_surrogate(col_name: str, lo, hi):
             _string_prefix_long(hi, skip),
         )
     if isinstance(lo, _dt.datetime) and isinstance(hi, _dt.datetime):
+        # cast first: unix_micros rejects TIMESTAMP_NTZ, which the
+        # session's inferTimestampNTZ=true produces for add_files'd
+        # unadjusted-micros parquet; under the engine's fixed UTC
+        # session timezone the NTZ->LTZ cast is the identity wall-time
+        # mapping _epoch_micros assumes
         return (
-            F.unix_micros(F.col(col_name)),
+            F.unix_micros(F.col(col_name).cast("timestamp")),
             _epoch_micros(lo),
             _epoch_micros(hi),
         )
@@ -1724,9 +1729,10 @@ class VersionedTable:
             _DATA, f"v{first_guess:011d}-{uuid.uuid4().hex[:8]}"
         )
         out = os.path.join(self.root, rel_dir)
-        staged.repartition(*[F.col(c) for c in pcols]).write.mode(
-            "overwrite"
-        ).partitionBy(*pcols).parquet(out)
+        with _micros_timestamps(staged.sparkSession):
+            staged.repartition(*[F.col(c) for c in pcols]).write.mode(
+                "overwrite"
+            ).partitionBy(*pcols).parquet(out)
         new_files: list[str] = []
         new_partitions: dict[str, dict] = {}
         for dp, _, fns in os.walk(out):
@@ -3398,24 +3404,35 @@ class VersionedTable:
         pick the same post-image) keeps the id; the extras are set to
         NULL and draw fresh ids from the commit's base range at read
         time, i.e. they become plain inserts in the keyless feed.
-        NULL-id rows bypass the window — a NULL partition would funnel
-        every plain insert through one task; the windowed side is
-        match-count-sized with ~1-row partitions."""
+
+        Only rows whose id is ACTUALLY duplicated enter the window —
+        the usual unique-key batch broadcasts an empty duplicate set
+        and passes through with no window shuffle and no per-row JSON
+        hashing; the windowed side is bounded by the source batch's
+        duplicate multiplicity (and NULL-id plain inserts never enter:
+        a NULL partition would funnel them through one task)."""
         from pyspark.sql.window import Window
 
-        with_id = df.where(F.col(id_col).isNotNull())
-        without = df.where(F.col(id_col).isNull())
+        dup_ids = (
+            df.where(F.col(id_col).isNotNull())
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .select(id_col)
+        )
+        clean = df.join(F.broadcast(dup_ids), on=id_col, how="left_anti")
+        flagged = df.join(F.broadcast(dup_ids), on=id_col, how="left_semi")
         w = Window.partitionBy(id_col).orderBy(
             F.xxhash64(F.to_json(F.struct(*order_cols)))
         )
         deduped = (
-            with_id.withColumn("__id_rn", F.row_number().over(w))
+            flagged.withColumn("__id_rn", F.row_number().over(w))
             .withColumn(
                 id_col, F.when(F.col("__id_rn") == 1, F.col(id_col))
             )
             .drop("__id_rn")
         )
-        return deduped.unionByName(without)
+        return clean.unionByName(deduped.select(*clean.columns))
 
     def merge(
         self, source: DataFrame, key_cols: list[str],

@@ -725,36 +725,3 @@ def test_event_path_trigrams_known_sequence(spark, tmp_path):
     out = {r.path: (r.n_paths, r.rnk)
            for r in q109_event_path_trigrams(spark, str(sf)).collect()}
     assert out == {"a>b>a": (2, 1), "b>a>b": (1, 2)}
-
-
-def test_exact_selectors_match_sorted_truth(spark):
-    """The q115/q116 bisection selectors return the EXACT k-th largest
-    values — including duplicate-heavy and adversarial-gap inputs —
-    for single- and multi-rank queries."""
-    import pyspark.sql.functions as F
-
-    from data_engineering_nd_spark.analytics import (
-        _kth_largest_exact,
-        _kth_largest_multi,
-    )
-
-    vals = (
-        [5] * 40 + [7] * 3 + list(range(100, 200, 7))
-        + [10**12, 10**12 - 1, -(10**9)] + [0] * 5
-    )
-    df = spark.createDataFrame([(v,) for v in vals], "x long")
-    truth = sorted(vals, reverse=True)
-    lo, hi = min(vals), max(vals)
-    for k in (1, 2, 5, 40, 44, len(vals)):
-        assert _kth_largest_exact(df, k, lo, hi) == truth[k - 1], k
-    ks = [1, 3, 17, 44, len(vals)]
-    got = _kth_largest_multi(df, {"x": (ks, lo, hi)})
-    assert got["x"] == [truth[k - 1] for k in ks]
-    # multi-column: shared passes, independent resolutions
-    df2 = df.withColumn("y", F.col("x") * -1)
-    truth_y = sorted([-v for v in vals], reverse=True)
-    got2 = _kth_largest_multi(
-        df2, {"x": ([5, 44], lo, hi), "y": ([2, 10], -hi, -lo)}
-    )
-    assert got2["x"] == [truth[4], truth[43]]
-    assert got2["y"] == [truth_y[1], truth_y[9]]

@@ -18,6 +18,8 @@ from data_engineering_nd_spark.plans import (
 )
 
 SF_DIR = "/root/testdata/sf0.001"
+#: second scale factor for two-SF growth checks (tools/window_sweep.py SF_B)
+SF_DIR_B = "/root/testdata/sf0.01"
 
 
 def test_small_dims_broadcast_in_star_join(spark):
@@ -741,7 +743,7 @@ def test_no_unbounded_global_windows_in_window_headliners(spark):
         "q86_last_touch_attribution",
     ):
         rows_by_sf = []
-        for sf_dir in (SF_DIR, "/root/testdata/sf0.01"):
+        for sf_dir in (SF_DIR, SF_DIR_B):
             df = QUERIES[name](spark, sf_dir)
             df.collect()
             hits = unbounded_global_windows(df)

@@ -132,3 +132,40 @@ def test_rank_lower_bound_is_exact_lower_bound(spark):
         assert b <= s[k - 1], k
         # the bound admits at least k candidates (superset filter)
         assert sum(1 for v in vals if v >= b) >= k, k
+
+
+def test_exact_ranks_full_int64_span(spark):
+    """xxhash64-like values spanning more than half the int64 domain:
+    the absolute-shift bucketing must not overflow (a raw x - lo
+    wraps), and results stay exact."""
+    vals = [-(2**62) - 7, -(2**61), -12345, 0, 99, 2**61 + 3,
+            2**62 + 11, 2**62 + 11, 2**63 - 1, -(2**63)]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    s = sorted(vals, reverse=True)
+    got = exact_ranks_with_tails(df, {"x": [1, 3, 5, len(vals)]})
+    for k, tail in zip([1, 3, 5, len(vals)], got["x"]):
+        t = s[k - 1]
+        assert tail.value == t, k
+        assert tail.cnt_gt == sum(1 for v in vals if v > t), k
+        assert tail.sum_gt == sum(v for v in vals if v > t), k
+
+
+def test_exact_ranks_bounds_are_hints(spark):
+    """Caller bounds need only satisfy count(x > hi) < k <=
+    count(x >= lo) — the documented prefilter contract: rows above hi
+    fold into the first pass's tail bucket, so a narrowed window
+    resolves the same value and tails as a full-range start."""
+    vals = [10, 8, 5, 3]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    # k=2 with hi=8 < max=10: count(x > 8) = 1 < 2 — legal hint
+    t = exact_ranks_with_tails(df, {"x": [2]}, bounds={"x": (3, 8)})
+    assert t["x"][0] == (8, 1, 10)
+    # degenerate single-value window with rows above it
+    t = exact_ranks_with_tails(df, {"x": [2]}, bounds={"x": (8, 8)})
+    assert t["x"][0] == (8, 1, 10)
+    # k=4 with a window that excludes the two largest
+    t = exact_ranks_with_tails(df, {"x": [4]}, bounds={"x": (3, 5)})
+    assert t["x"][0] == (3, 3, 23)
+    # a rank NOT satisfiable within the bounds raises
+    with pytest.raises(ValueError, match="exceeds the non-null"):
+        exact_ranks(df, {"x": [5]}, bounds={"x": (3, 8)})
