@@ -3975,6 +3975,200 @@ def tbl_zorder_string_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# tbl_lifecycle_composition: partitioned x column-mapped x row-tracked
+# ---------------------------------------------------------------------------
+
+_LIFECYCLE_ORACLE = """
+    WITH base AS (
+        SELECT o_orderkey AS k, o_custkey AS ck, o_totalprice AS price
+        FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    mx AS (SELECT MAX(k) AS mk FROM base),
+    ins AS (
+        SELECT k + mk + 1 AS k, ck, CAST(222.0 AS DOUBLE) AS price
+        FROM base CROSS JOIN mx WHERE k % 13 = 0
+    ),
+    after_merge AS (
+        SELECT k, ck,
+               CASE WHEN k % 7 = 0 THEN CAST(111.0 AS DOUBLE)
+                    ELSE price END AS price
+        FROM base
+        UNION ALL SELECT * FROM ins
+    ),
+    dr AS (SELECT mk // 3 AS dlo, mk // 3 + mk // 10 AS dhi FROM mx),
+    final AS (
+        SELECT k, ck, price FROM after_merge CROSS JOIN dr
+        WHERE NOT (k BETWEEN dlo AND dhi)
+    ),
+    feed AS (
+        SELECT k, 'update_preimage' AS ct, 2 AS cv
+        FROM base WHERE k % 7 = 0
+        UNION ALL SELECT k, 'update_postimage', 2 FROM base WHERE k % 7 = 0
+        UNION ALL SELECT k, 'insert', 2 FROM ins
+        UNION ALL
+        SELECT k, 'delete', 5 FROM after_merge CROSS JOIN dr
+        WHERE k BETWEEN dlo AND dhi
+    )
+    SELECT CAST(6 AS BIGINT) AS n_versions,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM base WHERE k % 4 = 1)
+               AS part_rows_scanned,
+           (SELECT CAST(2 * SUM(CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END)
+                        + (SELECT COUNT(*) FROM ins) AS BIGINT)
+            FROM base) AS merge_feed_rows,
+           CAST(0 AS BIGINT) AS rename_feed_rows,
+           CAST(0 AS BIGINT) AS optimize_feed_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM after_merge CROSS JOIN dr
+            WHERE k BETWEEN dlo AND dhi) AS delete_feed_rows,
+           (SELECT CAST(SUM(CAST(concat('0x', substr(md5(
+                 concat(CAST(k AS VARCHAR), '|', ct, '|',
+                        CAST(cv AS VARCHAR))), 1, 10))
+                 AS BIGINT)) AS BIGINT) FROM feed) AS feed_checksum,
+           CAST(1 AS BIGINT) AS z_pruned_any,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM final) AS rows_total,
+           (SELECT CAST(SUM(CAST(concat('0x',
+                 substr(md5(CAST(k AS VARCHAR)), 1, 10))
+                 AS BIGINT)) AS BIGINT) FROM final) AS key_checksum,
+           (SELECT CAST(SUM(CAST(price AS DECIMAL(18, 2))) AS DOUBLE)
+            FROM final) AS price_total
+"""
+
+
+@query("tbl_lifecycle_composition", oracle=_LIFECYCLE_ORACLE)
+def tbl_lifecycle_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSITION of the three newest table features (VERDICT r12 task
+    #8): one PARTITIONED, COLUMN-MAPPED, row-tracked table driven
+    through merge -> rename -> zorder-optimize -> delete, with the
+    KEYLESS change feed verified at every step — each feature has its
+    own lifecycle tests, but this report pins their SEAMS: merge
+    post-images inherit ids on a mapped+partitioned table, the rename
+    is feed-neutral and the feed range SPANS it (field-id alignment),
+    the clustered rewrite carries row ids so maintenance feeds zero
+    rows, and the whole-range feed's exact row-level content is pinned
+    by a replayable (key, change_type, version) checksum (keyed-vs-
+    keyless agreement itself is tbl_row_tracking_report's job).
+
+    Versions: v0 commit_partitioned(spec=[(p_mod, pmod(k,4))]) — exact
+    partition pruning asserted via prune_partitions(p_mod=1); v1
+    enable_column_mapping (metadata-only); v2 merge (price updates on
+    k%%7, inserts above the key ceiling); v3 RENAME o_totalprice ->
+    price; v4 optimize(zorder_by=[o_orderkey, o_custkey]) over the
+    MAPPED schema (logical->physical bounds translation + id-carrying
+    rewrite); v5 delete_where on a key band. The oracle replays the
+    full content (count, key checksum, exact DECIMAL price total) and
+    every feed cardinality from first principles.
+
+    At 100 TB: every step is the same metadata-bounded machinery the
+    individual reports grade — this query exists to prove the
+    composition doesn't regress (reference anchor: the hive-partitioned
+    warehouse layout ``Capstone/etl.py:440,447`` is the reference's
+    only lifecycle story; it recomputes the world on every run)."""
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    orders = (
+        load(spark, "orders", sf_dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        # a third of the table: the fixture proves seams, not volume
+        .filter(F.col("o_orderkey") % 3 == 0)
+    )
+    mk = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    dlo, dhi = mk // 3, mk // 3 + mk // 10
+    work = tempfile.mkdtemp(prefix="tbl_lifec_")
+    try:
+        table = VersionedTable(spark, work + "/table")
+        table.commit_partitioned(  # v0
+            orders, spec=[("p_mod", "pmod(o_orderkey, 4)")]
+        )
+        table.enable_column_mapping()  # v1 (metadata-only)
+        _, _, part = table.prune_partitions({"p_mod": 1}, version=1)
+        src = (
+            orders.filter(F.col("o_orderkey") % 7 == 0)
+            .withColumn("o_totalprice", F.lit(111.0).cast("double"))
+            .unionByName(
+                orders.filter(F.col("o_orderkey") % 13 == 0).select(
+                    (F.col("o_orderkey") + mk + 1).alias("o_orderkey"),
+                    "o_custkey",
+                    F.lit(222.0).cast("double").alias("o_totalprice"),
+                )
+            )
+        )
+        table.merge(src, ["o_orderkey"])  # v2
+        table.rename_column("o_totalprice", "price")  # v3
+        table.optimize(  # v4: clustered rewrite on the MAPPED schema
+            zorder_by=["o_orderkey", "o_custkey"],
+            min_file_bytes=1 << 40,
+            target_files=16,
+            zorder_bits=2,
+        )
+        _, _, zp = table.prune_files("o_orderkey", 0, mk // 4)
+        table.delete_where("o_orderkey", dlo, dhi)  # v5
+        end = table.latest_version()
+        # ONE whole-range KEYLESS feed: per-step cardinalities come
+        # from _commit_version, and its exact row-level content is
+        # pinned by a replayable (key, change_type, version) checksum
+        # — stronger than four per-pair feed plans, one materialization
+        # (keyed-vs-keyless agreement itself is tbl_row_tracking_report's
+        # job; this report pins the keyless feed's CONTENT through the
+        # mapped+partitioned lifecycle)
+        feed = table.change_feed(None, 0, end)
+        feed_digest = md5_prefix_long(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit("|"),
+                F.col("_change_type"),
+                F.lit("|"),
+                F.col("_commit_version").cast("string"),
+            )
+        )
+        frow = feed.agg(
+            *[
+                F.sum(
+                    F.when(F.col("_commit_version") == v, 1).otherwise(0)
+                ).alias(f"n_{v}")
+                for v in (2, 3, 4, 5)
+            ],
+            F.sum(feed_digest).alias("fsum"),
+        ).collect()[0]
+        merge_feed = int(frow["n_2"] or 0)
+        rename_feed = int(frow["n_3"] or 0)
+        optimize_feed = int(frow["n_4"] or 0)
+        delete_feed = int(frow["n_5"] or 0)
+        feed_checksum = int(frow["fsum"] or 0)
+        key_digest = md5_prefix_long(F.col("o_orderkey").cast("string"))
+        out = table.snapshot().agg(
+            F.count(F.lit(1)).cast("bigint").alias("rows_total"),
+            F.sum(key_digest).cast("bigint").alias("key_checksum"),
+            F.sum(F.col("price").cast("decimal(18,2)"))
+            .cast("double").alias("price_total"),
+        ).select(
+            F.lit(len(table.versions())).cast("bigint")
+            .alias("n_versions"),
+            F.lit(part["rows_scanned"]).cast("bigint")
+            .alias("part_rows_scanned"),
+            F.lit(merge_feed).cast("bigint").alias("merge_feed_rows"),
+            F.lit(rename_feed).cast("bigint").alias("rename_feed_rows"),
+            F.lit(optimize_feed).cast("bigint")
+            .alias("optimize_feed_rows"),
+            F.lit(delete_feed).cast("bigint").alias("delete_feed_rows"),
+            F.lit(feed_checksum).cast("bigint").alias("feed_checksum"),
+            F.lit(
+                1 if zp["files_kept"] < zp["files_total"] else 0
+            ).cast("bigint").alias("z_pruned_any"),
+            "rows_total",
+            "key_checksum",
+            "price_total",
+        )
+        # output-sized (1 row); materialize so the scratch table can go
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # tbl_row_tracking_report: key-free change feed via stable row ids
 # ---------------------------------------------------------------------------
 

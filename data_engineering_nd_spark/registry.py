@@ -232,7 +232,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
     # -- NEW round-13 registrations: DEFERRED (sort last; swept locally
     # at sf0.01 AND sf0.1 this round, lead the r14 window) ------------
     **dict.fromkeys([
-        "tbl_zorder_string_report",
+        "tbl_zorder_string_report", "tbl_lifecycle_composition",
     ], 13),
     # -- latest record: CORRECTNESS_r12.json (the 50 just-recorded) ---
     **dict.fromkeys([
