@@ -6908,3 +6908,204 @@ def q118_supplier_hhi_by_nation(
         "hhi_e6",
         "top_share_e6",
     )
+
+
+# ---------------------------------------------------------------------------
+# q119: exact order-value percentiles — multi-rank selector, no sort
+# ---------------------------------------------------------------------------
+
+_PCTL_PERMILLE = (500, 900, 990, 999)
+
+
+@query(
+    "q119_exact_percentiles",
+    oracle=f"""
+    WITH spend AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS x
+        FROM orders
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM spend),
+    ranked AS (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY x DESC) AS rn FROM spend
+    ),
+    grid(pm) AS (VALUES {", ".join(f"({p})" for p in _PCTL_PERMILLE)}),
+    ranks AS (
+        SELECT pm,
+               GREATEST((n * (1000 - pm) + 999) // 1000, 1) AS k, n
+        FROM grid CROSS JOIN nn
+    )
+    SELECT CAST(pm AS BIGINT) AS permille,
+           CAST(k AS BIGINT) AS rank_desc,
+           (SELECT x FROM ranked WHERE rn = ranks.k) AS value_cents,
+           CAST(n AS BIGINT) AS n_orders
+    FROM ranks
+    """,
+)
+def q119_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p90/p99/p99.9 of order value in cents — the latency-
+    style percentile table, with NO sort and NO approx_percentile: the
+    p-th percentile is the k-th LARGEST value at k = ceil((1-p)·n)
+    (clamped to 1), and all four ranks resolve in ONE
+    :func:`operators.selectors.exact_ranks` call — the shared
+    shift-histogram passes cost the same ~3 column-pruned scans as a
+    single rank.  approx_percentile trades error bounds for one pass;
+    this is exact in the same number of passes.
+
+    At 100 TB: each pass scans one cached BIGINT column and aggregates
+    to <= 2^14 bucket rows; nothing n-proportional on one thread, no
+    TakeOrderedAndProject, no global window."""
+    from data_engineering_nd_spark.operators.selectors import (
+        exact_ranks,
+    )
+
+    orders = load(spark, "orders", sf_dir)
+    spend = orders.select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("x")
+    ).cache()
+    try:
+        g = spend.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("mn"),
+            F.max("x").alias("mx"),
+        ).collect()[0]
+        n = int(g.n)
+        if n == 0:
+            return spark.createDataFrame(
+                [],
+                "permille bigint, rank_desc bigint, value_cents bigint, "
+                "n_orders bigint",
+            )
+        ks = [
+            max((n * (1000 - pm) + 999) // 1000, 1)
+            for pm in _PCTL_PERMILLE
+        ]
+        vals = exact_ranks(
+            spend, {"x": ks}, bounds={"x": (int(g.mn), int(g.mx))}
+        )["x"]
+    finally:
+        spend.unpersist()
+    return spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(pm).cast("bigint").alias("permille"),
+                        F.lit(k).cast("bigint").alias("rank_desc"),
+                        F.lit(v).cast("bigint").alias("value_cents"),
+                        F.lit(n).cast("bigint").alias("n_orders"),
+                    )
+                    for pm, k, v in zip(_PCTL_PERMILLE, ks, vals)
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+
+
+# ---------------------------------------------------------------------------
+# q120: exact Lorenz decile table — multi-rank selector WITH tails
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q120_lorenz_decile_table",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey AS c,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                    AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    nn AS (SELECT COUNT(*) AS n, SUM(x) AS tot FROM spend),
+    ranked AS (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY x DESC, c) AS rn
+        FROM spend
+    ),
+    grid(i) AS (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)),
+    cuts AS (
+        SELECT i, (n * i + 9) // 10 AS k, n, tot
+        FROM grid CROSS JOIN nn
+    )
+    SELECT CAST(i AS BIGINT) AS decile,
+           CAST(k AS BIGINT) AS rank_desc,
+           (SELECT x FROM ranked WHERE rn = cuts.k) AS cut_cents,
+           (SELECT CAST(SUM(x) AS BIGINT) FROM ranked
+            WHERE rn <= cuts.k) AS top_cents,
+           CAST((SELECT SUM(x) FROM ranked WHERE rn <= cuts.k)
+                * 1000000 // tot AS BIGINT) AS cum_share_e6
+    FROM cuts
+    """,
+)
+def q120_lorenz_decile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Lorenz curve over customer spend: all nine decile cut
+    points plus the cumulative top-decile revenue shares — the
+    inequality table behind Gini dashboards — from ONE
+    :func:`operators.selectors.exact_ranks_with_tails` call.  The
+    tails make every cumulative sum pure driver algebra (q115's
+    identity, per cut): ``sum(top k) = sum(x > v_k) + (k - count(x >
+    v_k)) · v_k`` — exact under any tie distribution, because every
+    tied row contributes the same x.  Nine ranks share the same ~3
+    histogram passes; NO ntile, no global window, no per-cut
+    aggregates.
+
+    At 100 TB: one hash-agg collapse to per-customer spend, ~3 scans
+    of the cached frame aggregating to <= 2^14 rows per open window,
+    then a literal 9-row result.  Shares are BIGINT floor divisions
+    (HUGEINT-safe on the driver)."""
+    from data_engineering_nd_spark.operators.selectors import (
+        exact_ranks_with_tails,
+    )
+
+    orders = load(spark, "orders", sf_dir)
+    spend = (
+        orders.groupBy(F.col("o_custkey").alias("c"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("x")
+        )
+        .cache()
+    )
+    try:
+        g = spend.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("tot"),
+            F.min("x").alias("mn"),
+            F.max("x").alias("mx"),
+        ).collect()[0]
+        n = int(g.n)
+        if n == 0:
+            return spark.createDataFrame(
+                [],
+                "decile bigint, rank_desc bigint, cut_cents bigint, "
+                "top_cents bigint, cum_share_e6 bigint",
+            )
+        tot = int(g.tot)
+        ks = [(n * i + 9) // 10 for i in range(1, 10)]
+        tails = exact_ranks_with_tails(
+            spend, {"x": ks}, bounds={"x": (int(g.mn), int(g.mx))}
+        )["x"]
+    finally:
+        spend.unpersist()
+    rows = []
+    for i, (k, t) in enumerate(zip(ks, tails), start=1):
+        top = t.sum_gt + (k - t.cnt_gt) * t.value
+        rows.append((i, k, t.value, top, top * 1_000_000 // tot))
+    return spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("bigint").alias("decile"),
+                        F.lit(k).cast("bigint").alias("rank_desc"),
+                        F.lit(v).cast("bigint").alias("cut_cents"),
+                        F.lit(top).cast("bigint").alias("top_cents"),
+                        F.lit(sh).cast("bigint").alias("cum_share_e6"),
+                    )
+                    for i, k, v, top, sh in rows
+                ]
+            )
+        ).alias("d")
+    ).select("d.*")

@@ -233,6 +233,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
     # at sf0.01 AND sf0.1 this round, lead the r14 window) ------------
     **dict.fromkeys([
         "tbl_zorder_string_report", "tbl_lifecycle_composition",
+        "q119_exact_percentiles", "q120_lorenz_decile_table",
     ], 13),
     # -- latest record: CORRECTNESS_r12.json (the 50 just-recorded) ---
     **dict.fromkeys([
