@@ -7109,3 +7109,111 @@ def q120_lorenz_decile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("d")
     ).select("d.*")
+
+
+# ---------------------------------------------------------------------------
+# q121: exact per-group median — the selector's bounded-pivot pattern
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q121_median_acctbal_by_nation",
+    oracle="""
+    WITH bal AS (
+        SELECT c_custkey AS c, c_nationkey AS nk,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS x
+        FROM customer
+    ),
+    cnts AS (SELECT nk, COUNT(*) AS n FROM bal GROUP BY nk),
+    ranked AS (
+        SELECT nk, x,
+               ROW_NUMBER() OVER (PARTITION BY nk ORDER BY x DESC, c)
+                   AS rn
+        FROM bal
+    )
+    SELECT n_name AS nation,
+           CAST(cnts.n AS BIGINT) AS n_customers,
+           (SELECT x FROM ranked
+            WHERE ranked.nk = cnts.nk AND rn = (cnts.n + 1) // 2)
+               AS median_cents
+    FROM cnts JOIN nation ON nk = n_nationkey
+    """,
+)
+def q121_median_acctbal_by_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT upper median of customer account balance (cents) PER
+    NATION — grouped rank selection with NO per-group window and no
+    sort: all <= 25 medians resolve in one
+    :func:`operators.selectors.exact_ranks_grouped` call, whose ~2-3
+    shared histogram passes serve every group at once (per-group
+    window parameters ride broadcast map literals, so 25 nations cost
+    the same per-row work as one).  The pattern is for BOUNDED group
+    cardinality (dimension-keyed groups): per-group state is a driver
+    dict.
+
+    At 100 TB: one cached narrow frame, ~2-3 scans aggregating to <=
+    groups * 2^14 bucket rows, a 25-row broadcast for nation names.
+    The oracle replays via PARTITION BY windows — affordable at
+    oracle scale, the exact shape this query avoids at data scale."""
+    from data_engineering_nd_spark.operators.selectors import (
+        exact_ranks_grouped,
+    )
+
+    cust = load(spark, "customer", sf_dir)
+    nat = load(spark, "nation", sf_dir)
+    bal = cust.select(
+        F.col("c_nationkey").cast("int").alias("nk"),
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("x"),
+    ).cache()
+    try:
+        stats = {
+            int(r["nk"]): (int(r["n"]), int(r["mn"]), int(r["mx"]))
+            for r in bal.groupBy("nk")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("x").alias("mn"),
+                F.max("x").alias("mx"),
+            )
+            .collect()
+        }
+        if not stats:
+            return spark.createDataFrame(
+                [],
+                "nation string, n_customers bigint, median_cents bigint",
+            )
+        nks = sorted(stats)
+        meds = exact_ranks_grouped(
+            bal,
+            "nk",
+            "x",
+            {nk: [(stats[nk][0] + 1) // 2] for nk in nks},
+            bounds={nk: (stats[nk][1], stats[nk][2]) for nk in nks},
+        )
+    finally:
+        bal.unpersist()
+    rows = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(nk).cast("int").alias("nk"),
+                        F.lit(stats[nk][0]).cast("bigint")
+                        .alias("n_customers"),
+                        F.lit(meds[nk][0].value).cast("bigint")
+                        .alias("median_cents"),
+                    )
+                    for nk in nks
+                ]
+            )
+        ).alias("m")
+    ).select("m.*")
+    return rows.join(
+        F.broadcast(nat),
+        rows["nk"] == F.col("n_nationkey"),
+    ).select(
+        F.col("n_name").alias("nation"), "n_customers", "median_cents"
+    )

@@ -327,3 +327,190 @@ def exact_ranks(
     once — :func:`exact_ranks_with_tails` projected to the values."""
     tails = exact_ranks_with_tails(df, wanted, bounds, bits_per_pass)
     return {c: [t.value for t in ts] for c, ts in tails.items()}
+
+
+def exact_ranks_grouped(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    wanted: dict,
+    bounds: dict | None = None,
+    bits_per_pass: int = DEFAULT_BITS_PER_PASS,
+) -> dict:
+    """EXACT k-th largest values — with strict-tail count/sum — PER
+    GROUP, for bounded group cardinality (dimension-keyed groups: the
+    per-group windows ride broadcast map literals and per-group state
+    is a driver dict).  ``wanted`` maps a group key (int or str) to its
+    1-based descending ranks over that group's ``val_col`` values;
+    ``bounds`` optionally supplies (min, max) per group.  Returns
+    group -> list[:class:`RankTail`].
+
+    The grouped shape a PARTITION-BY window would otherwise own: each
+    pass emits ONE struct per open rank slot per row (not one per
+    group — the group's window parameters are looked up from
+    ``element_at(map, group)``, so 25 nations cost the same per-row
+    work as one), bucketing with the same overflow-free absolute-shift
+    arithmetic as :func:`exact_ranks_with_tails` and aggregating to at
+    most ``slots * groups * 2^bits_per_pass`` rows.  Rows whose group
+    has no open window in a slot get a NULL lookup and drop before the
+    aggregate.  Caller bounds are hints exactly as in the ungrouped
+    selector (first pass folds the above-hi tail).
+
+    Raises ``ValueError`` when a rank exceeds its group's row count
+    within the given bounds; groups absent from ``wanted`` are
+    ignored.  ``shiftright`` here takes its shift amount from a map
+    column — the SQL form accepts expressions where the Python
+    wrapper takes only literals."""
+    spark = df.sparkSession
+    groups = list(wanted)
+    if not groups:
+        return {}
+    if bounds is None:
+        rows = (
+            df.where(
+                F.col(group_col).isin(list(groups))
+                & F.col(val_col).isNotNull()
+            )
+            .groupBy(group_col)
+            .agg(
+                F.min(val_col).alias("mn"), F.max(val_col).alias("mx")
+            )
+            .collect()
+        )
+        bounds = {
+            r[group_col]: (int(r["mn"]), int(r["mx"])) for r in rows
+        }
+        missing = [g for g in groups if g not in bounds]
+        if missing:
+            raise ValueError(
+                f"exact_ranks_grouped: no non-null rows for groups "
+                f"{missing!r}"
+            )
+    state: dict = {
+        (g, i): [bounds[g][0], bounds[g][1], 0, 0]
+        for g in groups
+        for i in range(len(wanted[g]))
+    }
+    done: set = set()
+    first_pass = True
+    n_slots = max(len(wanted[g]) for g in groups)
+    x = F.col(val_col).cast("long")
+    gc = F.col(group_col)
+    while len(done) < len(state):
+        slot_maps = []
+        for r in range(n_slots):
+            open_g = {
+                g: state[(g, r)]
+                for g in groups
+                if len(wanted[g]) > r and (g, r) not in done
+            }
+            if not open_g:
+                slot_maps.append(None)
+                continue
+            sb = {
+                g: max(0, (st[1] - st[0]).bit_length() - bits_per_pass)
+                for g, st in open_g.items()
+            }
+            mk = lambda vals: F.create_map(
+                *[
+                    lit
+                    for g, v in vals.items()
+                    for lit in (F.lit(g), F.lit(v))
+                ]
+            )
+            slot_maps.append(
+                (
+                    mk({g: st[0] for g, st in open_g.items()}),  # l
+                    mk({g: st[1] for g, st in open_g.items()}),  # h
+                    mk(sb),  # sbits
+                    mk({g: st[0] >> sb[g] for g, st in open_g.items()}),
+                    sb,
+                )
+            )
+        structs = []
+        for r, sm in enumerate(slot_maps):
+            if sm is None:
+                continue
+            l_m, h_m, s_m, base_m, _ = sm
+            l = F.element_at(l_m, gc)
+            h = F.element_at(h_m, gc)
+            s = F.element_at(s_m, gc)
+            base = F.element_at(base_m, gc)
+            in_w = (x >= l) & (x <= h)
+            b_in = F.call_function("shiftright", x, s) - base
+            if first_pass:
+                bcol = F.when(x > h, F.lit(-1).cast("long")).when(
+                    in_w, b_in
+                )
+                vcol = F.when(x > h, x).when(in_w, x)
+            else:
+                bcol = F.when(in_w, b_in)
+                vcol = F.when(in_w, x)
+            structs.append(
+                F.struct(
+                    F.lit(r).alias("slot"),
+                    gc.alias("g"),
+                    bcol.alias("b"),
+                    vcol.alias("v"),
+                )
+            )
+        hists: dict = {}
+        for row in (
+            df.select(F.explode(F.array(*structs)).alias("s"))
+            .select("s.slot", "s.g", "s.b", "s.v")
+            .where(F.col("b").isNotNull())
+            .groupBy("slot", "g", "b")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col("v").cast("decimal(38,0)")).alias("sm"),
+            )
+            .collect()
+        ):
+            hists.setdefault((int(row["slot"]), row["g"]), {})[
+                int(row["b"])
+            ] = (int(row["cnt"]), int(row["sm"]))
+        for (g, i), st in state.items():
+            if (g, i) in done:
+                continue
+            l, h, above_cnt, above_sum = st
+            k = wanted[g][i]
+            sb = slot_maps[i][4][g]
+            hist = hists.get((i, g), {})
+            if first_pass and -1 in hist:
+                above_cnt += hist[-1][0]
+                above_sum += hist[-1][1]
+            cum_c = cum_s = 0
+            bstar = None
+            for b in sorted(hist, reverse=True):
+                if b == -1:
+                    continue
+                cnt, sm = hist[b]
+                if above_cnt + cum_c + cnt >= k:
+                    bstar = b
+                    break
+                cum_c += cnt
+                cum_s += sm
+            if bstar is None:
+                raise ValueError(
+                    f"exact_ranks_grouped: rank {k} exceeds group "
+                    f"{g!r}'s row count within the given bounds"
+                )
+            lbase = l >> sb
+            new_l = max(l, (lbase + bstar) << sb)
+            new_h = min(h, ((lbase + bstar + 1) << sb) - 1)
+            st[2] = above_cnt + cum_c
+            st[3] = above_sum + cum_s
+            if new_l == new_h:
+                st[0] = st[1] = new_l
+                done.add((g, i))
+            else:
+                st[0], st[1] = new_l, new_h
+        first_pass = False
+    return {
+        g: [
+            RankTail(st[0], st[2], st[3])
+            for i in range(len(wanted[g]))
+            for st in (state[(g, i)],)
+        ]
+        for g in groups
+    }

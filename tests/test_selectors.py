@@ -8,6 +8,7 @@ import pytest
 import pyspark.sql.functions as F
 
 from data_engineering_nd_spark.operators.selectors import (
+    exact_ranks_grouped,
     exact_ranks,
     exact_ranks_with_tails,
     rank_lower_bound,
@@ -169,3 +170,51 @@ def test_exact_ranks_bounds_are_hints(spark):
     # a rank NOT satisfiable within the bounds raises
     with pytest.raises(ValueError, match="exceeds the non-null"):
         exact_ranks(df, {"x": [5]}, bounds={"x": (3, 8)})
+
+
+def test_exact_ranks_grouped_match_sorted_truth(spark):
+    """Per-group rank selection vs per-group sorted ground truth,
+    including multi-rank groups, uneven group sizes and negatives."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    data = {}
+    for g in range(6):
+        vals = [rng.randint(-10**9, 10**12) for _ in range(30 + g * 17)]
+        if g == 2:
+            vals = [7] * 40  # all-equal group
+        data[g] = vals
+        rows.extend((g, v) for v in vals)
+    df = spark.createDataFrame(rows, "g int, x long")
+    wanted = {g: [1, len(data[g]) // 2, len(data[g])] for g in data}
+    got = exact_ranks_grouped(df, "g", "x", wanted)
+    for g, ks in wanted.items():
+        s = sorted(data[g], reverse=True)
+        for k, tail in zip(ks, got[g]):
+            t = s[k - 1]
+            assert tail.value == t, (g, k)
+            assert tail.cnt_gt == sum(1 for v in data[g] if v > t)
+            assert tail.sum_gt == sum(v for v in data[g] if v > t)
+
+
+def test_exact_ranks_grouped_subset_and_nulls(spark):
+    """Groups absent from wanted are ignored; NULL values never enter
+    a histogram; string group keys work (map-literal lookup)."""
+    rows = [("a", 10), ("a", None), ("a", 5), ("b", 99), ("c", 1)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    got = exact_ranks_grouped(df, "g", "x", {"a": [1, 2], "b": [1]})
+    assert [t.value for t in got["a"]] == [10, 5]
+    assert got["b"][0] == (99, 0, 0)
+    assert "c" not in got
+    with pytest.raises(ValueError, match="exceeds group"):
+        exact_ranks_grouped(df, "g", "x", {"a": [3]})
+
+
+def test_exact_ranks_grouped_bounds_are_hints(spark):
+    rows = [(1, v) for v in [10, 8, 5, 3]]
+    df = spark.createDataFrame(rows, "g int, x long")
+    got = exact_ranks_grouped(
+        df, "g", "x", {1: [2]}, bounds={1: (3, 8)}
+    )
+    assert got[1][0] == (8, 1, 10)
