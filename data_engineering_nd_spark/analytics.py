@@ -6967,14 +6967,16 @@ def q119_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
     try:
         g = spend.agg(
-            F.count(F.lit(1)).alias("n"),
+            F.count("x").alias("n"),
             F.min("x").alias("mn"),
             F.max("x").alias("mx"),
         ).collect()[0]
         n = int(g.n)
         if n == 0:
+            # oracle shape on empty input: the grid CROSS JOIN still
+            # emits one row per permille — rank clamps to 1, value NULL
             return spark.createDataFrame(
-                [],
+                [(pm, 1, None, 0) for pm in _PCTL_PERMILLE],
                 "permille bigint, rank_desc bigint, value_cents bigint, "
                 "n_orders bigint",
             )
@@ -7070,15 +7072,17 @@ def q120_lorenz_decile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         g = spend.agg(
-            F.count(F.lit(1)).alias("n"),
+            F.count("x").alias("n"),
             F.sum("x").alias("tot"),
             F.min("x").alias("mn"),
             F.max("x").alias("mx"),
         ).collect()[0]
         n = int(g.n)
         if n == 0:
+            # oracle shape on empty input: nine grid rows, rank 0 and
+            # every value column NULL (scalar subqueries over nothing)
             return spark.createDataFrame(
-                [],
+                [(i, 0, None, None, None) for i in range(1, 10)],
                 "decile bigint, rank_desc bigint, cut_cents bigint, "
                 "top_cents bigint, cum_share_e6 bigint",
             )
@@ -7174,12 +7178,16 @@ def q121_median_acctbal_by_nation(
             int(r["nk"]): (int(r["n"]), int(r["mn"]), int(r["mx"]))
             for r in bal.groupBy("nk")
             .agg(
-                F.count(F.lit(1)).alias("n"),
+                # count NON-NULL balances: the selector ranks only
+                # non-null values, so count(*) would overshoot the
+                # rank on a NULL-heavy group and raise
+                F.count("x").alias("n"),
                 F.min("x").alias("mn"),
                 F.max("x").alias("mx"),
             )
             .collect()
         }
+        stats = {nk: s for nk, s in stats.items() if s[0] > 0}
         if not stats:
             return spark.createDataFrame(
                 [],

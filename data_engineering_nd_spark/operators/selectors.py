@@ -361,7 +361,6 @@ def exact_ranks_grouped(
     ignored.  ``shiftright`` here takes its shift amount from a map
     column — the SQL form accepts expressions where the Python
     wrapper takes only literals."""
-    spark = df.sparkSession
     groups = list(wanted)
     if not groups:
         return {}

@@ -3420,8 +3420,12 @@ class VersionedTable:
             .where(F.col("__n") > 1)
             .select(id_col)
         )
-        clean = df.join(F.broadcast(dup_ids), on=id_col, how="left_anti")
-        flagged = df.join(F.broadcast(dup_ids), on=id_col, how="left_semi")
+        # no broadcast HINT: the duplicate set is usually empty but is
+        # bounded only by the source batch's duplicate-key count — let
+        # AQE pick broadcast when it is small and degrade to a shuffle
+        # join when a pathological batch makes it large
+        clean = df.join(dup_ids, on=id_col, how="left_anti")
+        flagged = df.join(dup_ids, on=id_col, how="left_semi")
         w = Window.partitionBy(id_col).orderBy(
             F.xxhash64(F.to_json(F.struct(*order_cols)))
         )
