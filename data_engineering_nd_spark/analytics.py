@@ -5900,41 +5900,85 @@ def q108_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     group total — the exact order statistic behind weighted-percentile
     reporting (median price per unit sold, not per line).
 
-    Determinism: weights accumulate as DECIMAL(18,2) (exact), the
-    half-total comparison is exact integer-scaled arithmetic, and the
-    default RANGE window frame makes tied prices share one cumulative
-    value in both engines — so the crossing row is engine-identical; the
-    only doubles are the display casts.
+    Computed by the WEIGHTED grouped selector
+    (:func:`operators.selectors.exact_ranks_grouped` with
+    ``weight_col``): prices and quantities scale exactly to integer
+    cents/hundredths, each group's weight threshold is
+    ``tot // 2 + 1`` (the smallest v with ``2 * weight(x > v) <=
+    tot``, identical to the oracle's ``2 * cum >= tot`` crossing), and
+    ~3 shared histogram passes resolve every group at once.  The
+    previous formulation sorted each returnflag group through ONE
+    window partition — per-partition rows grew as n/3, the same class
+    of scale ceiling as the q115 tournament; the selector's passes are
+    group-size-independent.  Exactness: ties share one cumulative
+    value in both engines by construction (mass crossing is a function
+    of the value, not row order), and the 2-decimal doubles round-trip
+    the cents scaling losslessly.
 
-    Scale shape: one shuffle on the group key, a per-group sort for the
-    cumulative window (bounded by group size), one hash-agg. This is the
-    EXACT path; for heavy-group corpora the mergeable-sketch path is
-    ``q101_grouped_quantiles_sketch`` — weighted medians at 100 TB pick
-    one by group cardinality."""
-    from pyspark.sql.window import Window
+    At 100 TB: one cached 3-column frame, ~3 scans aggregating to <=
+    groups * 2^14 bucket rows, a literal 3-row result.  The mergeable-
+    sketch path for heavy-cardinality group keys remains
+    ``q101_grouped_quantiles_sketch``."""
+    from data_engineering_nd_spark.operators.selectors import (
+        exact_ranks_grouped,
+    )
 
     li = load(spark, "lineitem", sf_dir).select(
         "l_returnflag",
-        F.col("l_extendedprice").alias("p"),
-        F.col("l_quantity").cast("decimal(18,2)").alias("w"),
-    )
-    wcum = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("p")
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wtot = Window.partitionBy("l_returnflag")
-    c = li.withColumn("cum", F.sum("w").over(wcum)).withColumn(
-        "tot", F.sum("w").over(wtot)
-    )
-    return (
-        c.where(F.col("cum") * 2 >= F.col("tot"))
-        .groupBy("l_returnflag")
-        .agg(
-            F.min("p").cast("double").alias("weighted_median"),
-            F.max("tot").cast("double").alias("total_weight"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("p"),
+        (F.col("l_quantity").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("w"),
+    ).cache()
+    try:
+        stats = {
+            r["l_returnflag"]: (
+                int(r["tot"]), int(r["mn"]), int(r["mx"])
+            )
+            for r in li.groupBy("l_returnflag")
+            .agg(
+                F.sum(F.col("w").cast("decimal(38,0)")).alias("tot"),
+                F.min("p").alias("mn"),
+                F.max("p").alias("mx"),
+            )
+            .collect()
+        }
+        if not stats:
+            return spark.createDataFrame(
+                [],
+                "l_returnflag string, weighted_median double, "
+                "total_weight double",
+            )
+        meds = exact_ranks_grouped(
+            li,
+            "l_returnflag",
+            "p",
+            {g: [stats[g][0] // 2 + 1] for g in stats},
+            bounds={g: (stats[g][1], stats[g][2]) for g in stats},
+            weight_col="w",
         )
-    )
+    finally:
+        li.unpersist()
+    return spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(g).alias("l_returnflag"),
+                        F.lit(meds[g][0].value / 100)
+                        .cast("double")
+                        .alias("weighted_median"),
+                        F.lit(stats[g][0] / 100)
+                        .cast("double")
+                        .alias("total_weight"),
+                    )
+                    for g in sorted(stats)
+                ]
+            )
+        ).alias("m")
+    ).select("m.*")
 
 
 # ---------------------------------------------------------------------------

@@ -336,6 +336,7 @@ def exact_ranks_grouped(
     wanted: dict,
     bounds: dict | None = None,
     bits_per_pass: int = DEFAULT_BITS_PER_PASS,
+    weight_col: str | None = None,
 ) -> dict:
     """EXACT k-th largest values — with strict-tail count/sum — PER
     GROUP, for bounded group cardinality (dimension-keyed groups: the
@@ -356,11 +357,22 @@ def exact_ranks_grouped(
     aggregate.  Caller bounds are hints exactly as in the ungrouped
     selector (first pass folds the above-hi tail).
 
-    Raises ``ValueError`` when a rank exceeds its group's row count
-    within the given bounds; groups absent from ``wanted`` are
-    ignored.  ``shiftright`` here takes its shift amount from a map
-    column — the SQL form accepts expressions where the Python
-    wrapper takes only literals."""
+    WEIGHTED selection (``weight_col``): bucket mass becomes the sum
+    of the (positive, integer-scaled) weights instead of the row
+    count, so a "rank" k is a cumulative-WEIGHT threshold counted from
+    the top — e.g. the weighted median of a group with total weight
+    ``tot`` is the resolved value at k = tot // 2 + 1 (the smallest v
+    with ``2 * weight(x > v) <= tot``).  RankTail.cnt_gt is then the
+    exact weight strictly above the value and sum_gt the exact
+    weighted sum ``sum(x * w, x > value)``.  This replaces the
+    per-group cumulative-sum window whose partitions grow with group
+    size — the q108 shape — with group-size-independent scan passes.
+
+    Raises ``ValueError`` when a rank (or weight threshold) exceeds
+    its group's total mass within the given bounds; groups absent from
+    ``wanted`` are ignored.  ``shiftright`` here takes its shift
+    amount from a map column — the SQL form accepts expressions where
+    the Python wrapper takes only literals."""
     groups = list(wanted)
     if not groups:
         return {}
@@ -395,6 +407,12 @@ def exact_ranks_grouped(
     n_slots = max(len(wanted[g]) for g in groups)
     x = F.col(val_col).cast("long")
     gc = F.col(group_col)
+    mass = (
+        F.lit(1).cast("decimal(38,0)")
+        if weight_col is None
+        else F.col(weight_col).cast("decimal(38,0)")
+    )
+    wsum = x.cast("decimal(38,0)") * mass
     while len(done) < len(state):
         slot_maps = []
         for r in range(n_slots):
@@ -441,27 +459,30 @@ def exact_ranks_grouped(
                 bcol = F.when(x > h, F.lit(-1).cast("long")).when(
                     in_w, b_in
                 )
-                vcol = F.when(x > h, x).when(in_w, x)
+                mcol = F.when(x > h, mass).when(in_w, mass)
+                vcol = F.when(x > h, wsum).when(in_w, wsum)
             else:
                 bcol = F.when(in_w, b_in)
-                vcol = F.when(in_w, x)
+                mcol = F.when(in_w, mass)
+                vcol = F.when(in_w, wsum)
             structs.append(
                 F.struct(
                     F.lit(r).alias("slot"),
                     gc.alias("g"),
                     bcol.alias("b"),
+                    mcol.alias("m"),
                     vcol.alias("v"),
                 )
             )
         hists: dict = {}
         for row in (
             df.select(F.explode(F.array(*structs)).alias("s"))
-            .select("s.slot", "s.g", "s.b", "s.v")
+            .select("s.slot", "s.g", "s.b", "s.m", "s.v")
             .where(F.col("b").isNotNull())
             .groupBy("slot", "g", "b")
             .agg(
-                F.count(F.lit(1)).alias("cnt"),
-                F.sum(F.col("v").cast("decimal(38,0)")).alias("sm"),
+                F.sum("m").alias("cnt"),
+                F.sum("v").alias("sm"),
             )
             .collect()
         ):
@@ -492,7 +513,7 @@ def exact_ranks_grouped(
             if bstar is None:
                 raise ValueError(
                     f"exact_ranks_grouped: rank {k} exceeds group "
-                    f"{g!r}'s row count within the given bounds"
+                    f"{g!r}'s total mass within the given bounds"
                 )
             lbase = l >> sb
             new_l = max(l, (lbase + bstar) << sb)

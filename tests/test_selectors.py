@@ -218,3 +218,36 @@ def test_exact_ranks_grouped_bounds_are_hints(spark):
         df, "g", "x", {1: [2]}, bounds={1: (3, 8)}
     )
     assert got[1][0] == (8, 1, 10)
+
+
+def test_exact_ranks_grouped_weighted_median(spark):
+    """Weighted selection: rank thresholds are cumulative-WEIGHT mass
+    from the top; the weighted median (k = tot // 2 + 1) matches the
+    brute-force smallest v with 2 * weight(x > v) <= tot, including
+    tie-heavy and skew-weighted groups."""
+    import random
+
+    rng = random.Random(5)
+    data = {
+        0: [(v, rng.randint(1, 50)) for v in
+            [10, 10, 10, 20, 30, 30, 40]],
+        1: [(7, 1000), (8, 1), (9, 1)],          # one dominant mass
+        2: [(v, 1) for v in range(100)],          # uniform weights
+    }
+    rows = [(g, v, w) for g, vw in data.items() for v, w in vw]
+    df = spark.createDataFrame(rows, "g int, x long, w long")
+    tots = {g: sum(w for _, w in vw) for g, vw in data.items()}
+    got = exact_ranks_grouped(
+        df, "g", "x", {g: [tots[g] // 2 + 1] for g in data},
+        weight_col="w",
+    )
+    for g, vw in data.items():
+        tot = tots[g]
+        med = min(
+            v for v, _ in vw
+            if 2 * sum(w2 for v2, w2 in vw if v2 > v) <= tot
+        )
+        tail = got[g][0]
+        assert tail.value == med, g
+        assert tail.cnt_gt == sum(w for v, w in vw if v > med), g
+        assert tail.sum_gt == sum(v * w for v, w in vw if v > med), g
