@@ -5958,6 +5958,7 @@ def q108_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             {g: [stats[g][0] // 2 + 1] for g in stats},
             bounds={g: (stats[g][1], stats[g][2]) for g in stats},
             weight_col="w",
+            need_sums=False,
         )
     finally:
         li.unpersist()
@@ -7244,6 +7245,7 @@ def q121_median_acctbal_by_nation(
             "x",
             {nk: [(stats[nk][0] + 1) // 2] for nk in nks},
             bounds={nk: (stats[nk][1], stats[nk][2]) for nk in nks},
+            need_sums=False,
         )
     finally:
         bal.unpersist()
@@ -7269,3 +7271,117 @@ def q121_median_acctbal_by_nation(
     ).select(
         F.col("n_name").alias("nation"), "n_customers", "median_cents"
     )
+
+
+# ---------------------------------------------------------------------------
+# q122: weighted quartiles per group — multi-threshold weighted selection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q122_weighted_price_quartiles",
+    oracle="""
+    WITH c AS (
+        SELECT concat(l_returnflag, '/', l_linestatus) AS grp,
+               l_extendedprice AS p,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+                   PARTITION BY l_returnflag, l_linestatus
+                   ORDER BY l_extendedprice
+               ) AS cum,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+                   PARTITION BY l_returnflag, l_linestatus
+               ) AS tot
+        FROM lineitem
+    ),
+    qs(q) AS (VALUES (1), (2), (3))
+    SELECT grp,
+           CAST(q AS BIGINT) AS quartile,
+           CAST(MIN(p) AS DOUBLE) AS weighted_value,
+           CAST(MAX(tot) AS DOUBLE) AS total_weight
+    FROM c CROSS JOIN qs
+    WHERE 4 * cum >= q * tot
+    GROUP BY grp, q
+    """,
+)
+def q122_weighted_price_quartiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantity-WEIGHTED price quartiles (p25/p50/p75) per
+    (returnflag, linestatus) — the full weighted-quantile table from
+    ONE :func:`operators.selectors.exact_ranks_grouped` call with
+    ``weight_col``: each group's three cut masses are
+    ``k_q = ((4 - q) * tot) // 4 + 1`` (the smallest v with
+    ``4 * weight(x <= v) >= q * tot``, matching the oracle's crossing
+    exactly in integer arithmetic), and all 12 (group, quartile) pairs
+    share the same ~3 histogram passes.  No per-group cumulative
+    window — the q108 scale note applies: window partitions here grow
+    as n/4, the selector's passes are group-size independent.
+
+    At 100 TB: one cached 3-column frame, ~3 scans aggregating to <=
+    groups * slots * 2^14 bucket rows, a literal 12-row result."""
+    from data_engineering_nd_spark.operators.selectors import (
+        exact_ranks_grouped,
+    )
+
+    li = load(spark, "lineitem", sf_dir).select(
+        F.concat(
+            F.col("l_returnflag"), F.lit("/"), F.col("l_linestatus")
+        ).alias("grp"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("p"),
+        (F.col("l_quantity").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("w"),
+    ).cache()
+    try:
+        stats = {
+            r["grp"]: (int(r["tot"]), int(r["mn"]), int(r["mx"]))
+            for r in li.groupBy("grp")
+            .agg(
+                F.sum(F.col("w").cast("decimal(38,0)")).alias("tot"),
+                F.min("p").alias("mn"),
+                F.max("p").alias("mx"),
+            )
+            .collect()
+        }
+        if not stats:
+            return spark.createDataFrame(
+                [],
+                "grp string, quartile bigint, weighted_value double, "
+                "total_weight double",
+            )
+        cuts = exact_ranks_grouped(
+            li,
+            "grp",
+            "p",
+            {
+                g: [((4 - q) * stats[g][0]) // 4 + 1 for q in (1, 2, 3)]
+                for g in stats
+            },
+            bounds={g: (stats[g][1], stats[g][2]) for g in stats},
+            weight_col="w",
+            need_sums=False,
+        )
+    finally:
+        li.unpersist()
+    return spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(g).alias("grp"),
+                        F.lit(q).cast("bigint").alias("quartile"),
+                        F.lit(cuts[g][q - 1].value / 100)
+                        .cast("double")
+                        .alias("weighted_value"),
+                        F.lit(stats[g][0] / 100)
+                        .cast("double")
+                        .alias("total_weight"),
+                    )
+                    for g in sorted(stats)
+                    for q in (1, 2, 3)
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")

@@ -337,6 +337,7 @@ def exact_ranks_grouped(
     bounds: dict | None = None,
     bits_per_pass: int = DEFAULT_BITS_PER_PASS,
     weight_col: str | None = None,
+    need_sums: bool = True,
 ) -> dict:
     """EXACT k-th largest values — with strict-tail count/sum — PER
     GROUP, for bounded group cardinality (dimension-keyed groups: the
@@ -347,13 +348,13 @@ def exact_ranks_grouped(
     group -> list[:class:`RankTail`].
 
     The grouped shape a PARTITION-BY window would otherwise own: each
-    pass emits ONE struct per open rank slot per row (not one per
-    group — the group's window parameters are looked up from
+    pass emits one struct per DISTINCT open window per row — ranks of
+    a group that share a window (always true on the first pass) share
+    one histogram, and a group's window parameters are looked up from
     ``element_at(map, group)``, so 25 nations cost the same per-row
-    work as one), bucketing with the same overflow-free absolute-shift
-    arithmetic as :func:`exact_ranks_with_tails` and aggregating to at
-    most ``slots * groups * 2^bits_per_pass`` rows.  Rows whose group
-    has no open window in a slot get a NULL lookup and drop before the
+    work as one.  Bucketing uses the same overflow-free absolute-shift
+    arithmetic as :func:`exact_ranks_with_tails`; rows whose group has
+    no open window in a slot get a NULL lookup and drop before the
     aggregate.  Caller bounds are hints exactly as in the ungrouped
     selector (first pass folds the above-hi tail).
 
@@ -363,10 +364,16 @@ def exact_ranks_grouped(
     the top — e.g. the weighted median of a group with total weight
     ``tot`` is the resolved value at k = tot // 2 + 1 (the smallest v
     with ``2 * weight(x > v) <= tot``).  RankTail.cnt_gt is then the
-    exact weight strictly above the value and sum_gt the exact
-    weighted sum ``sum(x * w, x > value)``.  This replaces the
+    exact weight strictly above the value.  This replaces the
     per-group cumulative-sum window whose partitions grow with group
     size — the q108 shape — with group-size-independent scan passes.
+
+    ``need_sums=False`` skips the per-row ``x * w`` column and its
+    DECIMAL accumulation entirely (measurably cheaper on wide scans);
+    every returned ``RankTail.sum_gt`` is then 0 and must not be read.
+    With sums on, the per-row product accumulates in DECIMAL(38,0) —
+    under weights the per-row long product must itself fit int64
+    (ANSI arithmetic raises loudly if not).
 
     Raises ``ValueError`` when a rank (or weight threshold) exceeds
     its group's total mass within the given bounds; groups absent from
@@ -404,29 +411,45 @@ def exact_ranks_grouped(
     }
     done: set = set()
     first_pass = True
-    n_slots = max(len(wanted[g]) for g in groups)
     x = F.col(val_col).cast("long")
     gc = F.col(group_col)
     mass = (
-        F.lit(1).cast("decimal(38,0)")
+        F.lit(1).cast("long")
         if weight_col is None
-        else F.col(weight_col).cast("decimal(38,0)")
+        else F.col(weight_col).cast("long")
     )
-    wsum = x.cast("decimal(38,0)") * mass
+    wsum = None
+    if need_sums:
+        wsum = (
+            x
+            if weight_col is None
+            else x.cast("decimal(38,0)")
+            * F.col(weight_col).cast("decimal(38,0)")
+        )
     while len(done) < len(state):
-        slot_maps = []
+        # distinct open windows per group, deduped across rank slots:
+        # ranks sharing (lo, hi) — always true on pass 1 — share one
+        # histogram; slot r carries the r-th distinct window of each
+        # group, so slot count tracks DIVERGENCE, not rank count
+        win_slot: dict = {}  # (g, l, h) -> slot index within group
+        per_group_seen: dict = {}
+        for (g, i), (l, h, _, _) in state.items():
+            if (g, i) in done or (g, l, h) in win_slot:
+                continue
+            r = per_group_seen.get(g, 0)
+            per_group_seen[g] = r + 1
+            win_slot[(g, l, h)] = r
+        n_slots = max(per_group_seen.values())
+        slot_maps: list = []
         for r in range(n_slots):
             open_g = {
-                g: state[(g, r)]
-                for g in groups
-                if len(wanted[g]) > r and (g, r) not in done
+                g: (l, h)
+                for (g, l, h), rr in win_slot.items()
+                if rr == r
             }
-            if not open_g:
-                slot_maps.append(None)
-                continue
             sb = {
-                g: max(0, (st[1] - st[0]).bit_length() - bits_per_pass)
-                for g, st in open_g.items()
+                g: max(0, (h - l).bit_length() - bits_per_pass)
+                for g, (l, h) in open_g.items()
             }
             mk = lambda vals: F.create_map(
                 *[
@@ -437,18 +460,20 @@ def exact_ranks_grouped(
             )
             slot_maps.append(
                 (
-                    mk({g: st[0] for g, st in open_g.items()}),  # l
-                    mk({g: st[1] for g, st in open_g.items()}),  # h
-                    mk(sb),  # sbits
-                    mk({g: st[0] >> sb[g] for g, st in open_g.items()}),
+                    mk({g: lh[0] for g, lh in open_g.items()}),
+                    mk({g: lh[1] for g, lh in open_g.items()}),
+                    mk(sb),
+                    mk(
+                        {
+                            g: lh[0] >> sb[g]
+                            for g, lh in open_g.items()
+                        }
+                    ),
                     sb,
                 )
             )
         structs = []
-        for r, sm in enumerate(slot_maps):
-            if sm is None:
-                continue
-            l_m, h_m, s_m, base_m, _ = sm
+        for r, (l_m, h_m, s_m, base_m, _) in enumerate(slot_maps):
             l = F.element_at(l_m, gc)
             h = F.element_at(h_m, gc)
             s = F.element_at(s_m, gc)
@@ -459,43 +484,47 @@ def exact_ranks_grouped(
                 bcol = F.when(x > h, F.lit(-1).cast("long")).when(
                     in_w, b_in
                 )
-                mcol = F.when(x > h, mass).when(in_w, mass)
-                vcol = F.when(x > h, wsum).when(in_w, wsum)
+                keep = in_w | (x > h)
             else:
                 bcol = F.when(in_w, b_in)
-                mcol = F.when(in_w, mass)
-                vcol = F.when(in_w, wsum)
-            structs.append(
-                F.struct(
-                    F.lit(r).alias("slot"),
-                    gc.alias("g"),
-                    bcol.alias("b"),
-                    mcol.alias("m"),
-                    vcol.alias("v"),
-                )
-            )
+                keep = in_w
+            fields = [
+                F.lit(r).alias("slot"),
+                gc.alias("g"),
+                bcol.alias("b"),
+                F.when(keep, mass).alias("m"),
+            ]
+            if need_sums:
+                fields.append(F.when(keep, wsum).alias("v"))
+            structs.append(F.struct(*fields))
+        aggs = [F.sum(F.col("m").cast("decimal(38,0)")).alias("cnt")]
+        sel = ["s.slot", "s.g", "s.b", "s.m"]
+        if need_sums:
+            aggs.append(F.sum(F.col("v").cast("decimal(38,0)")).alias("sm"))
+            sel.append("s.v")
         hists: dict = {}
         for row in (
             df.select(F.explode(F.array(*structs)).alias("s"))
-            .select("s.slot", "s.g", "s.b", "s.m", "s.v")
+            .select(*sel)
             .where(F.col("b").isNotNull())
             .groupBy("slot", "g", "b")
-            .agg(
-                F.sum("m").alias("cnt"),
-                F.sum("v").alias("sm"),
-            )
+            .agg(*aggs)
             .collect()
         ):
             hists.setdefault((int(row["slot"]), row["g"]), {})[
                 int(row["b"])
-            ] = (int(row["cnt"]), int(row["sm"]))
+            ] = (
+                int(row["cnt"]),
+                int(row["sm"]) if need_sums else 0,
+            )
         for (g, i), st in state.items():
             if (g, i) in done:
                 continue
             l, h, above_cnt, above_sum = st
             k = wanted[g][i]
-            sb = slot_maps[i][4][g]
-            hist = hists.get((i, g), {})
+            r = win_slot[(g, l, h)]
+            sb = slot_maps[r][4][g]
+            hist = hists.get((r, g), {})
             if first_pass and -1 in hist:
                 above_cnt += hist[-1][0]
                 above_sum += hist[-1][1]

@@ -234,7 +234,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
     **dict.fromkeys([
         "tbl_zorder_string_report", "tbl_lifecycle_composition",
         "q119_exact_percentiles", "q120_lorenz_decile_table",
-        "q121_median_acctbal_by_nation",
+        "q121_median_acctbal_by_nation", "q122_weighted_price_quartiles",
     ], 13),
     # -- latest record: CORRECTNESS_r12.json (the 50 just-recorded) ---
     **dict.fromkeys([
