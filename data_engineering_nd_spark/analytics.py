@@ -5962,24 +5962,14 @@ def q108_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         li.unpersist()
-    return spark.range(1).select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(g).alias("l_returnflag"),
-                        F.lit(meds[g][0].value / 100)
-                        .cast("double")
-                        .alias("weighted_median"),
-                        F.lit(stats[g][0] / 100)
-                        .cast("double")
-                        .alias("total_weight"),
-                    )
-                    for g in sorted(stats)
-                ]
-            )
-        ).alias("m")
-    ).select("m.*")
+    return spark.createDataFrame(
+        [
+            (g, meds[g][0].value / 100, stats[g][0] / 100)
+            for g in sorted(stats)
+        ],
+        "l_returnflag string, weighted_median double, "
+        "total_weight double",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -7034,21 +7024,11 @@ def q119_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )["x"]
     finally:
         spend.unpersist()
-    return spark.range(1).select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(pm).cast("bigint").alias("permille"),
-                        F.lit(k).cast("bigint").alias("rank_desc"),
-                        F.lit(v).cast("bigint").alias("value_cents"),
-                        F.lit(n).cast("bigint").alias("n_orders"),
-                    )
-                    for pm, k, v in zip(_PCTL_PERMILLE, ks, vals)
-                ]
-            )
-        ).alias("p")
-    ).select("p.*")
+    return spark.createDataFrame(
+        [(pm, k, v, n) for pm, k, v in zip(_PCTL_PERMILLE, ks, vals)],
+        "permille bigint, rank_desc bigint, value_cents bigint, "
+        "n_orders bigint",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -7142,22 +7122,11 @@ def q120_lorenz_decile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, (k, t) in enumerate(zip(ks, tails), start=1):
         top = t.sum_gt + (k - t.cnt_gt) * t.value
         rows.append((i, k, t.value, top, top * 1_000_000 // tot))
-    return spark.range(1).select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).cast("bigint").alias("decile"),
-                        F.lit(k).cast("bigint").alias("rank_desc"),
-                        F.lit(v).cast("bigint").alias("cut_cents"),
-                        F.lit(top).cast("bigint").alias("top_cents"),
-                        F.lit(sh).cast("bigint").alias("cum_share_e6"),
-                    )
-                    for i, k, v, top, sh in rows
-                ]
-            )
-        ).alias("d")
-    ).select("d.*")
+    return spark.createDataFrame(
+        rows,
+        "decile bigint, rank_desc bigint, cut_cents bigint, "
+        "top_cents bigint, cum_share_e6 bigint",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -7219,52 +7188,61 @@ def q121_median_acctbal_by_nation(
         .alias("x"),
     ).cache()
     try:
+        # n_all = COUNT(*) (the oracle's denominator), n_nn = non-null
+        # balances (the selector's domain). The median rank is over ALL
+        # rows with NULLs sorting last (the oracle's ROW_NUMBER order),
+        # so a rank landing past the non-null region IS a NULL median —
+        # never a selector call that would overshoot and raise.
         stats = {
-            int(r["nk"]): (int(r["n"]), int(r["mn"]), int(r["mx"]))
+            int(r["nk"]): (
+                int(r["n_all"]),
+                int(r["n_nn"]),
+                int(r["mn"]) if r["mn"] is not None else None,
+                int(r["mx"]) if r["mx"] is not None else None,
+            )
             for r in bal.groupBy("nk")
             .agg(
-                # count NON-NULL balances: the selector ranks only
-                # non-null values, so count(*) would overshoot the
-                # rank on a NULL-heavy group and raise
-                F.count("x").alias("n"),
+                F.count(F.lit(1)).alias("n_all"),
+                F.count("x").alias("n_nn"),
                 F.min("x").alias("mn"),
                 F.max("x").alias("mx"),
             )
             .collect()
         }
-        stats = {nk: s for nk, s in stats.items() if s[0] > 0}
         if not stats:
             return spark.createDataFrame(
                 [],
                 "nation string, n_customers bigint, median_cents bigint",
             )
-        nks = sorted(stats)
+        ranks = {
+            nk: (n_all + 1) // 2 for nk, (n_all, _, _, _) in stats.items()
+        }
+        askable = sorted(
+            nk
+            for nk, (_, n_nn, _, _) in stats.items()
+            if 0 < ranks[nk] <= n_nn
+        )
         meds = exact_ranks_grouped(
             bal,
             "nk",
             "x",
-            {nk: [(stats[nk][0] + 1) // 2] for nk in nks},
-            bounds={nk: (stats[nk][1], stats[nk][2]) for nk in nks},
+            {nk: [ranks[nk]] for nk in askable},
+            bounds={nk: (stats[nk][2], stats[nk][3]) for nk in askable},
             need_sums=False,
-        )
+        ) if askable else {}
     finally:
         bal.unpersist()
-    rows = spark.range(1).select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(nk).cast("int").alias("nk"),
-                        F.lit(stats[nk][0]).cast("bigint")
-                        .alias("n_customers"),
-                        F.lit(meds[nk][0].value).cast("bigint")
-                        .alias("median_cents"),
-                    )
-                    for nk in nks
-                ]
+    rows = spark.createDataFrame(
+        [
+            (
+                nk,
+                stats[nk][0],
+                meds[nk][0].value if nk in meds else None,
             )
-        ).alias("m")
-    ).select("m.*")
+            for nk in sorted(stats)
+        ],
+        "nk int, n_customers bigint, median_cents bigint",
+    )
     return rows.join(
         F.broadcast(nat),
         rows["nk"] == F.col("n_nationkey"),
@@ -7365,23 +7343,12 @@ def q122_weighted_price_quartiles(
         )
     finally:
         li.unpersist()
-    return spark.range(1).select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(g).alias("grp"),
-                        F.lit(q).cast("bigint").alias("quartile"),
-                        F.lit(cuts[g][q - 1].value / 100)
-                        .cast("double")
-                        .alias("weighted_value"),
-                        F.lit(stats[g][0] / 100)
-                        .cast("double")
-                        .alias("total_weight"),
-                    )
-                    for g in sorted(stats)
-                    for q in (1, 2, 3)
-                ]
-            )
-        ).alias("r")
-    ).select("r.*")
+    return spark.createDataFrame(
+        [
+            (g, q, cuts[g][q - 1].value / 100, stats[g][0] / 100)
+            for g in sorted(stats)
+            for q in (1, 2, 3)
+        ],
+        "grp string, quartile bigint, weighted_value double, "
+        "total_weight double",
+    )

@@ -371,9 +371,10 @@ def exact_ranks_grouped(
     ``need_sums=False`` skips the per-row ``x * w`` column and its
     DECIMAL accumulation entirely (measurably cheaper on wide scans);
     every returned ``RankTail.sum_gt`` is then 0 and must not be read.
-    With sums on, the per-row product accumulates in DECIMAL(38,0) —
-    under weights the per-row long product must itself fit int64
-    (ANSI arithmetic raises loudly if not).
+    With sums on, the per-row product and its accumulation both run in
+    DECIMAL(38,0), so no int64 constraint applies to ``x * w``.
+    Rows with a NULL weight are excluded exactly like rows with a NULL
+    value.
 
     Raises ``ValueError`` when a rank (or weight threshold) exceeds
     its group's total mass within the given bounds; groups absent from
@@ -479,12 +480,20 @@ def exact_ranks_grouped(
             s = F.element_at(s_m, gc)
             base = F.element_at(base_m, gc)
             in_w = (x >= l) & (x <= h)
+            if weight_col is not None:
+                # NULL weights are excluded like NULL values — without
+                # this, an all-NULL-weight bucket sums to a NULL mass
+                # and a mixed bucket silently drops mass
+                in_w = in_w & mass.isNotNull()
             b_in = F.call_function("shiftright", x, s) - base
             if first_pass:
-                bcol = F.when(x > h, F.lit(-1).cast("long")).when(
+                above = x > h
+                if weight_col is not None:
+                    above = above & mass.isNotNull()
+                bcol = F.when(above, F.lit(-1).cast("long")).when(
                     in_w, b_in
                 )
-                keep = in_w | (x > h)
+                keep = in_w | above
             else:
                 bcol = F.when(in_w, b_in)
                 keep = in_w

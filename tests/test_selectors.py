@@ -251,3 +251,18 @@ def test_exact_ranks_grouped_weighted_median(spark):
         assert tail.value == med, g
         assert tail.cnt_gt == sum(w for v, w in vw if v > med), g
         assert tail.sum_gt == sum(v * w for v, w in vw if v > med), g
+
+
+def test_exact_ranks_grouped_null_weights_excluded(spark):
+    """NULL weights are excluded exactly like NULL values: an
+    all-NULL-weight bucket contributes no rows (not a NULL mass that
+    would crash the driver fold), a mixed bucket drops only the
+    NULL-weight rows, and ranks run over the remaining mass."""
+    rows = [(1, 5, None), (1, 7, 2), (1, 9, 1)]
+    df = spark.createDataFrame(rows, "g int, x long, w long")
+    got = exact_ranks_grouped(df, "g", "x", {1: [2]}, weight_col="w")
+    # mass from the top: 9 (w=1), 7 (w=2) -> threshold 2 lands on 7
+    assert got[1][0].value == 7
+    assert got[1][0].cnt_gt == 1
+    with pytest.raises(ValueError, match="exceeds group"):
+        exact_ranks_grouped(df, "g", "x", {1: [4]}, weight_col="w")
