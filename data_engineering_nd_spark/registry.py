@@ -87,46 +87,26 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Local verification (tools/verify_oracle.py, bench.py) always runs all
 # queries and is order-insensitive.
 
-#: round-13 refresh (the established per-round protocol): for every name, the
-#: most recent committed CORRECTNESS_r0*.json that recorded it.  Round 12
-#: recorded the 15 round-0 pins + 35 stale names — ALL green, the fifth
-#: zero-exception window (CORRECTNESS_r12.json) — so they refresh to
-#: round 12.  The 5 never-recorded r12 DEFERRED registrations pin to
-#: round 0 and lead the r13 window (VERDICT r12 task #1) together with
-#: the 7 rolled r06 names; the 38 oldest r07-stale names fill the
-#: remainder, 12 r07 names roll to r14.  NEW r13 registrations pin to
-#: round 13 (DEFERRED; swept locally at two SFs).
+#: round-14 refresh (the established per-round protocol): for every name, the
+#: most recent committed CORRECTNESS_r0*.json that recorded it.  Round 13
+#: recorded the 5 round-0 pins + 7 r06 names + 38 r07 names — ALL green,
+#: the sixth zero-exception window (CORRECTNESS_r13.json) — so they
+#: refresh to round 13.  The 6 never-recorded r13 DEFERRED registrations
+#: pin to round 0 and lead the r14 window (VERDICT r13 task #1) together
+#: with the 12 rolled r07 names; the 32 oldest r08-stale names fill the
+#: remainder, 17 r08 names roll to r15.  NEW r14 registrations pin to
+#: round 14 (DEFERRED; swept locally at two SFs).
 LAST_RECORDED_ROUND: dict[str, int] = {
-    # -- never driver-recorded: the 5 round-12 registrations; pinned to
-    # round 0 so they LEAD the r13 window (VERDICT r12 task #1) --------
+    # -- never driver-recorded: the 6 round-13 registrations; pinned to
+    # round 0 so they LEAD the r14 window (VERDICT r13 task #1) --------
     **dict.fromkeys([
-        "tbl_optimize_zorder", "tbl_row_tracking_report", "q116_rfm_segments",
-        "q117_order_gap_survival", "q118_supplier_hhi_by_nation",
+        "tbl_zorder_string_report", "tbl_lifecycle_composition",
+        "q119_exact_percentiles", "q120_lorenz_decile_table",
+        "q121_median_acctbal_by_nation", "q122_weighted_price_quartiles",
     ], 0),
-    # -- latest record: CORRECTNESS_r06.json (7 names rolled from the
-    # r12 window; they follow the round-0 pins in the r13 window) -----
+    # -- latest record: CORRECTNESS_r07.json (12 names rolled from the
+    # r13 window; they follow the round-0 pins in the r14 window) -----
     **dict.fromkeys([
-        "ann_ivf_kmeans_verified", "ann_pca_verified", "ann_recall_report",
-        "text_vocab_encode", "q70_jsonl_roundtrip", "q71_orc_roundtrip",
-        "stream_late_data_metrics",
-    ], 6),
-    # -- latest record: CORRECTNESS_r07.json (38 oldest fill the r13 window, 12 roll to r14)
-    **dict.fromkeys([
-        "q01_pricing_summary", "q02_top_nations_by_revenue",
-        "q03_monthly_order_trend", "q04_distinct_projection",
-        "q05_null_audit", "q74_hll_distinct", "q77_grouping_sets",
-        "q78_quantile_bins", "q76_bucketed_join_revenue", "i94_trips_build",
-        "i94_immigrations_build", "i94_visitors_build", "i94_flights_build",
-        "i94_dates_build", "i94_airports_build",
-        "i94_states_demographic_build", "i94_cities_demographic_build",
-        "i94_dictionary_build", "i94_pipeline_run", "dedup_exact_groups",
-        "dedup_jaccard_pairs", "dedup_minhash_lsh", "dedup_simhash",
-        "dedup_embedding_cosine", "dedup_cluster_assignment",
-        "dedup_incremental", "tbl_snapshot_diff", "ds_event_sequences",
-        "graph_bfs_layers", "q26_salted_skew_groupby", "q37_asof_join",
-        "q38_range_join", "q75_salted_skew_join",
-        "multimodal_dedup_decisions", "dq_rowcounts", "dq_pk_uniqueness",
-        "dq_reconcile_versions", "dq_referential_integrity",
         "dq_key_skew_report", "ann_brute_force_topk", "ann_ivf_topk",
         "ann_ivf_kmeans_topk", "ann_lsh_topk", "text_stats",
         "text_fingerprint", "text_repetition_metrics", "text_pii_scan",
@@ -229,12 +209,29 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "stream_merge_upsert", "stream_change_feed",
         "stream_constraint_quarantine",
     ], 11),
-    # -- NEW round-13 registrations: DEFERRED (sort last; swept locally
-    # at sf0.01 AND sf0.1 this round, lead the r14 window) ------------
+    # -- latest record: CORRECTNESS_r13.json (the 50 just-recorded) ---
     **dict.fromkeys([
-        "tbl_zorder_string_report", "tbl_lifecycle_composition",
-        "q119_exact_percentiles", "q120_lorenz_decile_table",
-        "q121_median_acctbal_by_nation", "q122_weighted_price_quartiles",
+        "q116_rfm_segments", "q117_order_gap_survival",
+        "q118_supplier_hhi_by_nation", "tbl_optimize_zorder",
+        "tbl_row_tracking_report", "ann_ivf_kmeans_verified",
+        "ann_pca_verified", "ann_recall_report", "text_vocab_encode",
+        "q70_jsonl_roundtrip", "q71_orc_roundtrip",
+        "stream_late_data_metrics", "q01_pricing_summary",
+        "q02_top_nations_by_revenue", "q03_monthly_order_trend",
+        "q04_distinct_projection", "q05_null_audit", "q74_hll_distinct",
+        "q77_grouping_sets", "q78_quantile_bins",
+        "q76_bucketed_join_revenue", "i94_trips_build",
+        "i94_immigrations_build", "i94_visitors_build", "i94_flights_build",
+        "i94_dates_build", "i94_airports_build",
+        "i94_states_demographic_build", "i94_cities_demographic_build",
+        "i94_dictionary_build", "i94_pipeline_run", "dedup_exact_groups",
+        "dedup_jaccard_pairs", "dedup_minhash_lsh", "dedup_simhash",
+        "dedup_embedding_cosine", "dedup_cluster_assignment",
+        "dedup_incremental", "tbl_snapshot_diff", "ds_event_sequences",
+        "graph_bfs_layers", "q26_salted_skew_groupby", "q37_asof_join",
+        "q38_range_join", "q75_salted_skew_join",
+        "multimodal_dedup_decisions", "dq_rowcounts", "dq_pk_uniqueness",
+        "dq_reconcile_versions", "dq_referential_integrity",
     ], 13),
     # -- latest record: CORRECTNESS_r12.json (the 50 just-recorded) ---
     **dict.fromkeys([
