@@ -13,73 +13,131 @@ q115/q116 pioneered (VERDICT r12 task #5):
   exact at any magnitude and overflow-free even when the column spans
   the whole int64 domain (``x - lo`` would wrap on xxhash64-like
   keys; the shifted difference is bounded by the bucket count), fused
-  by whole-stage codegen — and
-  one shared ``groupBy(window, bucket)`` aggregate per pass serves
-  every open (column, rank) pair.  A pass narrows every window by
-  ``2^bits_per_pass`` (vs ~32x for the former literal-probe design,
-  and with none of its per-pass Janino recompile of a 31-sum
-  aggregate: VERDICT r12 task #3 — we evaluated the suggested
-  broadcast probe-table join, but its per-pass broadcast + join
-  machinery measured ~0.6 s flat vs ~0.25 s for a plain scan-agg, so
-  probes-as-bucket-arithmetic won), resolving an int64 range in
-  <= ceil(64/bits_per_pass) scans of the input.  The ``_with_tails``
-  variant folds per-bucket count+sum into the same aggregate, so
-  callers like q115 get ``count(x > t)`` / ``sum(x > t)`` for free —
-  no separate tail aggregate.
+  by whole-stage codegen — and one shared aggregate per pass serves
+  every open (column, rank) pair.  Weighted selection
+  (``weight_col``) turns bucket mass into integer weight sums, so a
+  "rank" k is a cumulative-WEIGHT threshold from the top (ungrouped
+  twin of the grouped weighted mode, VERDICT r13 task #3).
+- :func:`exact_ranks_from_totals` /
+  :func:`exact_ranks_grouped_from_totals` — the same selection with
+  the rank thresholds DERIVED FROM the first pass itself (VERDICT r13
+  task #4): quantile-style callers need total mass/count to compute k
+  (median = tot // 2 + 1), and the first full-range histogram pass
+  already aggregates exactly that, so the separate stats job every
+  caller used to run is folded away.  Totals (and, grouped, the
+  excluded-row count) come back with the resolved ranks.
+- :func:`exact_ranks_grouped` — per-group selection for bounded group
+  cardinality; per-group windows ride broadcast map literals.
 - :func:`rank_lower_bound` — an exact lower bound on the k-th largest
   value via per-salt quota ranks: the skew-proof one-shuffle
   prefilter.  Prefer it over extra bisection passes when the input
-  CANNOT be cheaply re-scanned (not checkpointable, expensive
-  upstream): it pays one shuffle to shrink the candidate set ~k/n,
-  where the histogram pays one full scan per pass.  Salt count is
-  derived from input cardinality (:func:`salt_count_for`) instead of
-  the former constant 64, so the bound stage's parallelism scales
-  with the data (VERDICT r12 task #5).
+  CANNOT be cheaply re-scanned; salt count derives from input
+  cardinality (:func:`salt_count_for`).
 - :func:`select_quota` — the driver-side quota cut shared by the
   bound stage.
 
+Two structural facts the r14 redesign leans on:
+
+1. **Open windows of one column (or one group) are pairwise
+   disjoint.**  Ranks that share a window share a slot; ranks that
+   diverged were cut into DIFFERENT buckets of a common ancestor
+   window, and every later window is a subset of its ancestor — so
+   distinct open windows never overlap.  A row therefore maps to at
+   most one (window, bucket) pair per column, and the per-pass frame
+   is a plain CASE chain — no ``explode``: the Generate node the
+   former struct-array design paid broke whole-stage codegen on
+   every pass (measured ~0.7 s/pass vs ~0.3 s without it at sf0.1).
+   Only multi-COLUMN ungrouped passes still widen rows, one struct
+   per column.
+2. **Per-bucket min/max make windows tighten to the DATA, not the
+   bucket.**  Each histogram row carries ``min(x)``/``max(x)``; the
+   chosen bucket's next window is its actual value extent, so a
+   bucket holding one distinct value resolves immediately (no
+   sbits=0 finishing pass for single-value buckets) and a full-range
+   first pass learns exact per-window bounds as a side effect —
+   which is what lets ``*_from_totals`` start unbounded without
+   paying extra passes: the coarse pass does the former stats job's
+   narrowing AND yields the totals.
+
+Invariant per open (column-or-group, rank) pair with window
+``[lo, hi]`` and tail counters ``(above_cnt, above_sum)``:
+``above_cnt == mass(x > hi)``, ``above_sum == sum-term(x > hi)``,
+and ``mass(x >= lo) >= k``.  Each pass picks the bucket where the
+cumulative from-the-top mass crosses ``k`` and re-establishes the
+invariant with the bucket's actual extent.  Termination: bucket
+width ``2^sbits <= 2^(bitlen(hi-lo)-1) <= hi-lo`` is strictly
+smaller than the window, so the window always spans >= 2 buckets and
+the chosen bucket's extent is strictly narrower (or single-valued —
+resolved); no probe-starvation path exists (ADVICE r12).
+
 Caller-supplied ``bounds`` are HINTS, not requirements: the first
 pass folds every row above a window's hi into a tail bucket, so any
-``[lo, hi]`` with ``count(x > hi) < k <= count(x >= lo)`` resolves
-the same value a full-range start would (the q115-style prefilter
-contract).  Invariant maintained for each open (column, rank) pair
-with window ``[lo, hi]`` and tail counters ``(above_cnt,
-above_sum)``: ``above_cnt == count(x > hi)``, ``above_sum ==
-sum(x > hi)``, and ``count(x >= lo) >= k`` — i.e. the k-th largest
-value lies in ``[lo, hi]``.  Each pass picks the bucket where the cumulative
-from-the-top count crosses ``k`` and re-establishes the invariant;
-window width shrinks at least 2^(bits_per_pass-1)-fold per pass (and
-a width < 2^bits_per_pass window resolves exactly, buckets being
-single values), so the loop always terminates — no probe-starvation
-path exists (ADVICE r12: the former per-column probe truncation
-could starve a pair and spin forever).
+``[lo, hi]`` with ``mass(x > hi) < k <= mass(x >= lo)`` resolves the
+same value a full-range start would (the q115-style prefilter
+contract).
 
 Callers should ``localCheckpoint()`` or ``cache()`` the input frame
-first — each pass re-scans it.  NULLs never enter a histogram; ranks
-are defined over the non-null values of each column.
+first — each pass re-scans it.  NULL values never enter a histogram,
+and in weighted mode NULL-weight rows are excluded exactly like NULL
+values; ranks are defined over the remaining mass.  Values and
+weights must be integral (pre-scale decimals to cents/hundredths);
+weighted bucket masses and all sum terms accumulate in
+DECIMAL(38,0), so neither the total weight of 100 TB nor any
+``x * w`` product is constrained to int64.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import Callable, NamedTuple
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Histogram granularity per pass: 2^14 buckets collects at most ~16k
-#: (count, sum) rows per open window to the driver while resolving a
+#: histogram rows per open window to the driver while resolving a
 #: 40-bit cent range in 3 scans and a full int64 range in 5.
 DEFAULT_BITS_PER_PASS = 14
+
+#: Full signed-int64 domain — the window every ``*_from_totals`` (and
+#: every ``bounds=None``) resolution starts from.  The first coarse
+#: pass narrows it to the chosen bucket's actual data extent, so the
+#: unbounded start costs no extra pass vs a caller-supplied min/max.
+_I64 = (-(2**63), 2**63 - 1)
 
 
 class RankTail(NamedTuple):
     """An exact rank resolution: the k-th largest ``value`` plus the
-    strict-tail aggregates ``cnt_gt = count(x > value)`` and
-    ``sum_gt = sum(x > value)`` (both over non-null x)."""
+    strict-tail aggregates ``cnt_gt = mass(x > value)`` (row count,
+    or total weight under ``weight_col``) and ``sum_gt`` (sum of
+    ``x`` — or of ``x * w`` when weighted — strictly above)."""
 
     value: int
     cnt_gt: int
     sum_gt: int
+
+
+class ColumnSelection(NamedTuple):
+    """A deferred-rank resolution for one column:
+    ``total_mass`` (non-null row count, or total weight),
+    ``total_sum`` (sum of x, or of x * w; 0 when ``need_sums=False``)
+    and the resolved ``tails`` in rank order."""
+
+    total_mass: int
+    total_sum: int
+    tails: list[RankTail]
+
+
+class GroupSelection(NamedTuple):
+    """A deferred-rank resolution for one group: ``total_mass`` /
+    ``total_sum`` as in :class:`ColumnSelection`, plus ``null_rows``
+    — the plain count of rows excluded for a NULL value (or NULL
+    weight), which callers like a NULLS-LAST median need for their
+    rank denominator."""
+
+    total_mass: int
+    null_rows: int
+    total_sum: int
+    tails: list[RankTail]
 
 
 def salt_count_for(n: int) -> int:
@@ -99,7 +157,11 @@ def select_quota(sizes: list[int], k: int) -> int:
     ``min(size_s, m)`` sum to at least ``k`` — driver-side bisection
     over the collected salt sizes, so the rank bound is exact under
     ANY salt skew (a fixed ceil(k/n_salts) cut is only valid when
-    every salt holds at least that many rows)."""
+    every salt holds at least that many rows).  Raises ``ValueError``
+    on empty input (no salt sizes), mirroring :func:`exact_ranks`'s
+    empty-input contract (ADVICE r13)."""
+    if not sizes:
+        raise ValueError("select_quota: empty input (no salt sizes)")
     lo, hi = 1, max(sizes)
     while lo < hi:
         mid = (lo + hi) // 2
@@ -122,7 +184,9 @@ def rank_lower_bound(
     below and ``val >= bound`` is a superset filter of the top k.
     The window is PARTITIONED by salt — never global — and each salt's
     partition sees only ~n/n_salts rows.  One shuffle of the input;
-    use it to shrink a non-rescannable input before bisecting."""
+    use it to shrink a non-rescannable input before bisecting.
+    Raises ``ValueError`` on an empty input frame (ADVICE r13: the
+    former bare ``max()`` crash)."""
     n_salts = salt_count_for(n)
     salted = df.withColumn(
         "__salt", F.pmod(F.xxhash64(key_col), F.lit(n_salts))
@@ -133,6 +197,8 @@ def rank_lower_bound(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
     }
+    if not sizes:
+        raise ValueError("rank_lower_bound: empty input frame")
     m = select_quota(list(sizes.values()), k)
     quota = F.create_map(
         *[
@@ -153,168 +219,281 @@ def rank_lower_bound(
     )
 
 
+def _when_chain(cases: list[tuple[Column, Column]]) -> Column:
+    """``CASE WHEN c1 THEN v1 WHEN c2 THEN v2 ... END`` (else NULL).
+    A NULL condition falls through like FALSE, which is what lets map
+    lookups for groups with no open window drop their rows."""
+    expr = None
+    for cond, val in cases:
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    return expr
+
+
+def _cut(
+    st: list[int],
+    k: int,
+    hist: dict[int, tuple],
+    first_pass: bool,
+    err: str,
+) -> bool:
+    """One driver-side bisection step for one (pair) state
+    ``[lo, hi, above_cnt, above_sum]`` against its collected histogram
+    ``bucket -> (cnt, sm, mn, mx)``.  Picks the bucket where the
+    cumulative from-the-top mass crosses ``k``, folds the first pass's
+    above-hi tail (bucket -1), re-establishes the invariant with the
+    bucket's ACTUAL extent [mn, mx], and returns True when resolved
+    (single distinct value).  Raises ``ValueError(err)`` when ``k``
+    exceeds the available mass."""
+    above_cnt, above_sum = st[2], st[3]
+    if first_pass and -1 in hist:
+        above_cnt += hist[-1][0]
+        above_sum += hist[-1][1]
+    cum_c = cum_s = 0
+    bstar = None
+    for b in sorted(hist, reverse=True):
+        if b == -1:
+            continue
+        cnt, sm, _, _ = hist[b]
+        if above_cnt + cum_c + cnt >= k:
+            bstar = b
+            break
+        cum_c += cnt
+        cum_s += sm
+    if bstar is None:
+        raise ValueError(err)
+    _, _, mn, mx = hist[bstar]
+    st[2] = above_cnt + cum_c
+    st[3] = above_sum + cum_s
+    st[0], st[1] = mn, mx
+    return mn == mx
+
+
+def _sbits(lo: int, hi: int, bits_per_pass: int) -> int:
+    return max(0, (hi - lo).bit_length() - bits_per_pass)
+
+
+def _mass_exprs(
+    x: Column, weight_col: str | None, need_sums: bool
+) -> tuple[Column, Column | None, list]:
+    """(validity predicate extension, sum-term column, agg list).
+    Weighted mass sums and all sum terms run in DECIMAL(38,0) — no
+    int64 constraint on the total weight of 100 TB or on ``x * w``."""
+    if weight_col is None:
+        aggs = [F.count(F.lit(1)).alias("cnt")]
+        wsum = x if need_sums else None
+    else:
+        w = F.col(weight_col).cast("long")
+        aggs = [F.sum(F.col("m").cast("decimal(38,0)")).alias("cnt")]
+        wsum = (
+            x.cast("decimal(38,0)") * w.cast("decimal(38,0)")
+            if need_sums
+            else None
+        )
+    if need_sums:
+        aggs.append(F.sum(F.col("v").cast("decimal(38,0)")).alias("sm"))
+    aggs += [F.min("x").alias("mn"), F.max("x").alias("mx")]
+    return (F.col(weight_col).cast("long") if weight_col else None), wsum, aggs
+
+
+def _exact_ranks_impl(
+    df: DataFrame,
+    wanted: dict,
+    bounds: dict | None,
+    bits_per_pass: int,
+    weight_col: str | None,
+    need_sums: bool,
+    rank_fns: dict | None,
+) -> tuple[dict, dict]:
+    """Shared ungrouped engine.  ``wanted`` maps column -> rank list;
+    with ``rank_fns`` set (column -> callable(total_mass) ->
+    rank list) the ranks are derived from the first pass's totals.
+    Returns (column -> (total_mass, total_sum), column ->
+    list[RankTail]).  Totals are exact only when every column started
+    full-range (bounds omitted) — bounded windows see only in-window
+    + above mass."""
+    cols = list(wanted) if rank_fns is None else list(rank_fns)
+    bounds = dict(bounds or {})
+    for c in cols:
+        bounds.setdefault(c, _I64)
+    # state per (col, rank index): [lo, hi, above_cnt, above_sum]
+    state: dict[tuple[str, int], list[int]] = {}
+    ranks: dict[tuple[str, int], int] = {}
+    if rank_fns is None:
+        for c in cols:
+            for i, k in enumerate(wanted[c]):
+                state[(c, i)] = [bounds[c][0], bounds[c][1], 0, 0]
+                ranks[(c, i)] = k
+    done: set[tuple[str, int]] = set()
+    totals: dict[str, tuple[int, int]] = {}
+    first_pass = True
+    pending = {c: None for c in cols} if rank_fns is not None else {}
+    while first_pass or len(done) < len(state):
+        # distinct open windows; ranks sharing (col, lo, hi) share one
+        # histogram.  On the first pass every column has exactly one.
+        windows: dict[tuple[str, int, int], int] = {}
+        if first_pass and rank_fns is not None:
+            for c in cols:
+                windows[(c, bounds[c][0], bounds[c][1])] = len(windows)
+        for key, (l, h, _, _) in state.items():
+            if key not in done:
+                windows.setdefault((key[0], l, h), len(windows))
+        sbits = {
+            wid: _sbits(l, h, bits_per_pass)
+            for (c, l, h), wid in windows.items()
+        }
+        mass, _, aggs = _mass_exprs(
+            F.lit(0).cast("long"), weight_col, need_sums
+        )
+        by_col: dict[str, list[tuple[int, int, int]]] = {}
+        for (c, l, h), wid in windows.items():
+            by_col.setdefault(c, []).append((l, h, wid))
+        parts = []
+        for c, wins in by_col.items():
+            x = F.col(c).cast("long")
+            _, wsum, _ = _mass_exprs(x, weight_col, need_sums)
+            valid = x.isNotNull()
+            if mass is not None:
+                valid = valid & mass.isNotNull()
+            wid_cases, b_cases = [], []
+            if first_pass and wins[0][1] < _I64[1]:
+                # bounds are caller HINTS: rows above hi fold into
+                # bucket -1 once, initializing the tail counters (the
+                # invariant needs only mass(x > hi) < k, not hi == max)
+                l0, h0, wid0 = wins[0]
+                above = valid & (x > F.lit(h0))
+                wid_cases.append((above, F.lit(wid0)))
+                b_cases.append((above, F.lit(-1).cast("long")))
+            for l, h, wid in wins:
+                in_w = valid & (x >= F.lit(l)) & (x <= F.lit(h))
+                s = sbits[wid]
+                b = F.shiftright(x, s) - F.lit(l >> s)
+                wid_cases.append((in_w, F.lit(wid)))
+                b_cases.append((in_w, b))
+            fields = [
+                _when_chain(wid_cases).alias("wid"),
+                _when_chain(b_cases).alias("b"),
+                x.alias("x"),
+            ]
+            if mass is not None:
+                fields.append(mass.alias("m"))
+            if need_sums:
+                fields.append(wsum.alias("v"))
+            parts.append(fields)
+        if len(parts) == 1:
+            # single column: plain project — full whole-stage codegen,
+            # no Generate (structural fact #1 in the module docstring)
+            frame = df.select(*parts[0])
+        else:
+            frame = df.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                *[f.alias(n) for f, n in zip(
+                                    flds,
+                                    ["wid", "b", "x"]
+                                    + (["m"] if mass is not None else [])
+                                    + (["v"] if need_sums else []),
+                                )]
+                            )
+                            for flds in parts
+                        ]
+                    )
+                ).alias("s")
+            ).select("s.*")
+        hists: dict[int, dict[int, tuple]] = {}
+        for r in (
+            frame.where(F.col("b").isNotNull())
+            .groupBy("wid", "b")
+            .agg(*aggs)
+            .collect()
+        ):
+            hists.setdefault(int(r["wid"]), {})[int(r["b"])] = (
+                int(r["cnt"]),
+                int(r["sm"]) if need_sums else 0,
+                int(r["mn"]),
+                int(r["mx"]),
+            )
+        if first_pass and rank_fns is not None:
+            # full-range first pass: per-column totals are the whole
+            # histogram's mass/sum — the folded-away stats job
+            for c in cols:
+                wid = windows[(c, bounds[c][0], bounds[c][1])]
+                hist = hists.get(wid, {})
+                tot_c = sum(cnt for cnt, _, _, _ in hist.values())
+                tot_s = sum(sm for _, sm, _, _ in hist.values())
+                totals[c] = (tot_c, tot_s)
+                ks = list(rank_fns[c](tot_c))
+                pending[c] = ks
+                for i, k in enumerate(ks):
+                    state[(c, i)] = [bounds[c][0], bounds[c][1], 0, 0]
+                    ranks[(c, i)] = k
+        for (c, i), st in state.items():
+            if (c, i) in done:
+                continue
+            l, h = st[0], st[1]
+            wid = windows[(c, l, h)]
+            hist = hists.get(wid, {})
+            if not hist and first_pass and bounds[c] == _I64:
+                raise ValueError(
+                    f"exact_ranks: empty input for column {c!r} and "
+                    "no bounds supplied"
+                )
+            if _cut(
+                st,
+                ranks[(c, i)],
+                hist,
+                first_pass,
+                f"exact_ranks: rank {ranks[(c, i)]} exceeds the "
+                f"non-null row count of column {c!r} within the "
+                "given bounds",
+            ):
+                done.add((c, i))
+        first_pass = False
+    results = {
+        c: [
+            RankTail(st[0], st[2], st[3])
+            for i in range(
+                len(wanted[c]) if rank_fns is None else len(pending[c])
+            )
+            for st in (state[(c, i)],)
+        ]
+        for c in cols
+    }
+    return totals, results
+
+
 def exact_ranks_with_tails(
     df: DataFrame,
     wanted: dict[str, list[int]],
     bounds: dict[str, tuple[int, int]] | None = None,
     bits_per_pass: int = DEFAULT_BITS_PER_PASS,
+    weight_col: str | None = None,
+    need_sums: bool = True,
 ) -> dict[str, list[RankTail]]:
-    """EXACT k-th largest values — with strict-tail count/sum — for
+    """EXACT k-th largest values — with strict-tail mass/sum — for
     several (column, rank) pairs at once by shift-histogram bisection.
     ``wanted`` maps an integral column name to its 1-based descending
-    ranks; ``bounds`` optionally supplies known (min, max) per column
-    (one extra aggregate computes them otherwise).  Returns
-    column -> :class:`RankTail` per rank, in the order given.
+    ranks; ``bounds`` optionally supplies known (min, max) hints per
+    column (a full-range first pass discovers them otherwise — same
+    pass count for any data whose span fits the first pass's bucket,
+    see module docstring).  With ``weight_col`` (VERDICT r13 task #3)
+    a rank k is a cumulative-WEIGHT threshold from the top: the
+    result value for k is the largest v with ``weight(x > v) < k``,
+    e.g. the weighted median at ``k = tot // 2 + 1``; NULL-weight
+    rows are excluded like NULL values.  ``need_sums=False`` skips
+    the sum-term column and its DECIMAL accumulation (every returned
+    ``sum_gt`` is then 0 and must not be read).
 
-    One job per pass: every open window (distinct ``(col, lo, hi)`` —
-    ranks sharing a window share its histogram) contributes a struct
-    ``(window_id, (x >> sbits) - (lo >> sbits), x)`` per in-window
-    row (plus, on the first pass, a tail bucket for rows above hi —
-    caller bounds are hints, see the module docstring); the
-    exploded stream hash-aggregates to at most
-    ``n_windows * 2^bits_per_pass`` (bucket count, bucket sum) rows.
-    All bucket math is int64 shifts — exact at any magnitude — and
-    bucket sums accumulate in DECIMAL(38,0) so no tail sum can
-    overflow.  Nothing n-proportional moves through a single
+    One job per pass; nothing n-proportional moves through a single
     partition at any point; the driver sees only bucket aggregates.
-
-    Raises ``ValueError`` on an empty input when ``bounds`` is not
-    supplied, and on a rank exceeding a column's non-null row count —
-    callers own the empty-frame semantics."""
-    cols = list(wanted)
-    if bounds is None:
-        row = df.agg(
-            *[
-                g
-                for c in cols
-                for g in (
-                    F.min(c).alias(f"mn_{c}"),
-                    F.max(c).alias(f"mx_{c}"),
-                )
-            ]
-        ).collect()[0]
-        if any(row[f"mn_{c}"] is None for c in cols):
-            raise ValueError(
-                "exact_ranks: empty input and no bounds supplied"
-            )
-        bounds = {
-            c: (int(row[f"mn_{c}"]), int(row[f"mx_{c}"])) for c in cols
-        }
-    # state per (col, rank index): [lo, hi, above_cnt, above_sum];
-    # resolved when lo == hi (then above_* are the strict-tail stats)
-    state: dict[tuple[str, int], list[int]] = {
-        (c, i): [bounds[c][0], bounds[c][1], 0, 0]
-        for c in cols
-        for i in range(len(wanted[c]))
-    }
-    # a one-bucket-wide start (all values equal) still needs one pass
-    # to learn its tail counts, so "open" means not yet marked done
-    done: set[tuple[str, int]] = set()
-    first_pass = True
-    while len(done) < len(state):
-        windows: dict[tuple[str, int, int], int] = {}
-        for key, (l, h, _, _) in state.items():
-            if key not in done:
-                windows.setdefault((key[0], l, h), len(windows))
-        sbits = {
-            wid: max(0, (h - l).bit_length() - bits_per_pass)
-            for (c, l, h), wid in windows.items()
-        }
-        structs = []
-        for (c, l, h), wid in windows.items():
-            x = F.col(c).cast("long")
-            in_window = (x >= F.lit(l)) & (x <= F.lit(h))
-            # ABSOLUTE-shift bucket (x >> s) - (l >> s): computed only
-            # on in-window rows (CaseWhen branches are lazy), where the
-            # difference is <= 2^bits_per_pass — never the raw x - l,
-            # which overflows int64 when the column spans more than
-            # half the domain (xxhash64-derived keys).  l >> s is
-            # Python arbitrary-precision floor-shift, exact for any l.
-            b = F.shiftright(x, sbits[wid]) - F.lit(l >> sbits[wid])
-            if first_pass:
-                # bounds are caller-supplied HINTS: rows above hi fold
-                # into bucket -1 once, initializing the tail counters
-                # (the documented invariant needs only count(x > hi)
-                # < k, not hi == max)
-                bcol = F.when(x > F.lit(h), F.lit(-1).cast("long")).when(
-                    in_window, b
-                )
-                vcol = F.when(x > F.lit(h), x).when(in_window, x)
-            else:
-                bcol = F.when(in_window, b)
-                vcol = F.when(in_window, x)
-            structs.append(
-                F.struct(
-                    F.lit(wid).alias("wid"),
-                    bcol.alias("b"),
-                    vcol.alias("v"),
-                )
-            )
-        hists: dict[int, dict[int, tuple[int, int]]] = {}
-        rows = (
-            df.select(F.explode(F.array(*structs)).alias("s"))
-            .select("s.wid", "s.b", "s.v")
-            .where(F.col("b").isNotNull())
-            .groupBy("wid", "b")
-            .agg(
-                F.count(F.lit(1)).alias("cnt"),
-                F.sum(F.col("v").cast("decimal(38,0)")).alias("sm"),
-            )
-            .collect()
-        )
-        for r in rows:
-            hists.setdefault(int(r["wid"]), {})[int(r["b"])] = (
-                int(r["cnt"]),
-                int(r["sm"]),
-            )
-        for (c, i), st in state.items():
-            if (c, i) in done:
-                continue
-            l, h, above_cnt, above_sum = st
-            k = wanted[c][i]
-            wid = windows[(c, l, h)]
-            sb = sbits[wid]
-            hist = hists.get(wid, {})
-            if first_pass and -1 in hist:
-                above_cnt += hist[-1][0]
-                above_sum += hist[-1][1]
-            cum_c = cum_s = 0
-            bstar = None
-            for b in sorted(hist, reverse=True):
-                if b == -1:
-                    continue
-                cnt, sm = hist[b]
-                if above_cnt + cum_c + cnt >= k:
-                    bstar = b
-                    break
-                cum_c += cnt
-                cum_s += sm
-            if bstar is None:
-                raise ValueError(
-                    f"exact_ranks: rank {k} exceeds the non-null row "
-                    f"count of column {c!r} within the given bounds"
-                )
-            lbase = l >> sb
-            new_l = max(l, (lbase + bstar) << sb)
-            new_h = min(h, ((lbase + bstar + 1) << sb) - 1)
-            st[2] = above_cnt + cum_c
-            st[3] = above_sum + cum_s
-            if new_l == new_h:
-                # window resolved exactly (single value), and the
-                # accumulated tail is count/sum of x > value
-                st[0] = st[1] = new_l
-                done.add((c, i))
-            else:
-                st[0], st[1] = new_l, new_h
-        first_pass = False
-    return {
-        c: [
-            RankTail(st[0], st[2], st[3])
-            for i in range(len(wanted[c]))
-            for st in (state[(c, i)],)
-        ]
-        for c in cols
-    }
+    Raises ``ValueError`` on an empty (or all-null) column when
+    ``bounds`` is not supplied, and on a rank exceeding a column's
+    total mass — callers own the empty-frame semantics."""
+    _, results = _exact_ranks_impl(
+        df, wanted, bounds, bits_per_pass, weight_col, need_sums, None
+    )
+    return results
 
 
 def exact_ranks(
@@ -322,117 +501,218 @@ def exact_ranks(
     wanted: dict[str, list[int]],
     bounds: dict[str, tuple[int, int]] | None = None,
     bits_per_pass: int = DEFAULT_BITS_PER_PASS,
+    weight_col: str | None = None,
 ) -> dict[str, list[int]]:
     """EXACT k-th largest values for several (column, rank) pairs at
     once — :func:`exact_ranks_with_tails` projected to the values."""
-    tails = exact_ranks_with_tails(df, wanted, bounds, bits_per_pass)
+    tails = exact_ranks_with_tails(
+        df, wanted, bounds, bits_per_pass, weight_col, need_sums=False
+    )
     return {c: [t.value for t in ts] for c, ts in tails.items()}
 
 
-def exact_ranks_grouped(
+def exact_ranks_from_totals(
+    df: DataFrame,
+    wanted: dict[str, Callable[[int], list[int]]],
+    bits_per_pass: int = DEFAULT_BITS_PER_PASS,
+    weight_col: str | None = None,
+    need_sums: bool = True,
+) -> dict[str, ColumnSelection]:
+    """Deferred-rank selection (VERDICT r13 task #4): ``wanted`` maps
+    each column to a callable ``total_mass -> rank list`` evaluated
+    AFTER the first full-range pass, whose histogram yields the total
+    mass (and, with sums, the total sum) as a side effect — so
+    quantile callers (median = ``tot // 2 + 1``) no longer pay a
+    separate stats job before bisection.  A callable may return
+    ``[]`` to skip bisection for its column (totals still returned).
+    Raises ``ValueError`` on an empty/all-null column."""
+    totals, results = _exact_ranks_impl(
+        df, {}, None, bits_per_pass, weight_col, need_sums, wanted
+    )
+    return {
+        c: ColumnSelection(totals[c][0], totals[c][1], results[c])
+        for c in wanted
+    }
+
+
+def _grouped_pass_frame(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    slot_maps: list,
+    first_pass_above: bool,
+    weight_col: str | None,
+    need_sums: bool,
+) -> DataFrame:
+    """Build the one-job histogram frame for a maps-driven grouped
+    pass: per-group window parameters ride broadcast map literals
+    (``element_at(map, group)``), and because a group's open windows
+    are pairwise DISJOINT (module docstring fact #1) the slot and
+    bucket are CASE chains — one project, no Generate.  Rows whose
+    group has no open window in any slot get all-NULL lookups and
+    drop before the aggregate."""
+    x = F.col(val_col).cast("long")
+    gc = F.col(group_col)
+    mass, wsum, _ = _mass_exprs(x, weight_col, need_sums)
+    valid = x.isNotNull()
+    if mass is not None:
+        valid = valid & mass.isNotNull()
+    slot_cases, b_cases = [], []
+    if first_pass_above:
+        # one slot on a bounded first pass: fold above-hi into b = -1
+        h0 = F.element_at(slot_maps[0][1], gc)
+        above = valid & (x > h0)
+        slot_cases.append((above, F.lit(0)))
+        b_cases.append((above, F.lit(-1).cast("long")))
+    for r, (l_m, h_m, s_m, base_m, _) in enumerate(slot_maps):
+        l = F.element_at(l_m, gc)
+        h = F.element_at(h_m, gc)
+        in_w = valid & (x >= l) & (x <= h)
+        b = F.call_function(
+            "shiftright", x, F.element_at(s_m, gc)
+        ) - F.element_at(base_m, gc)
+        slot_cases.append((in_w, F.lit(r)))
+        b_cases.append((in_w, b))
+    fields = [
+        _when_chain(slot_cases).alias("slot"),
+        gc.alias("g"),
+        _when_chain(b_cases).alias("b"),
+        x.alias("x"),
+    ]
+    if mass is not None:
+        fields.append(mass.alias("m"))
+    if need_sums:
+        fields.append(wsum.alias("v"))
+    return df.select(*fields).where(F.col("b").isNotNull())
+
+
+def _exact_ranks_grouped_impl(
     df: DataFrame,
     group_col: str,
     val_col: str,
     wanted: dict,
-    bounds: dict | None = None,
-    bits_per_pass: int = DEFAULT_BITS_PER_PASS,
-    weight_col: str | None = None,
-    need_sums: bool = True,
-) -> dict:
-    """EXACT k-th largest values — with strict-tail count/sum — PER
-    GROUP, for bounded group cardinality (dimension-keyed groups: the
-    per-group windows ride broadcast map literals and per-group state
-    is a driver dict).  ``wanted`` maps a group key (int or str) to its
-    1-based descending ranks over that group's ``val_col`` values;
-    ``bounds`` optionally supplies (min, max) per group.  Returns
-    group -> list[:class:`RankTail`].
-
-    The grouped shape a PARTITION-BY window would otherwise own: each
-    pass emits one struct per DISTINCT open window per row — ranks of
-    a group that share a window (always true on the first pass) share
-    one histogram, and a group's window parameters are looked up from
-    ``element_at(map, group)``, so 25 nations cost the same per-row
-    work as one.  Bucketing uses the same overflow-free absolute-shift
-    arithmetic as :func:`exact_ranks_with_tails`; rows whose group has
-    no open window in a slot get a NULL lookup and drop before the
-    aggregate.  Caller bounds are hints exactly as in the ungrouped
-    selector (first pass folds the above-hi tail).
-
-    WEIGHTED selection (``weight_col``): bucket mass becomes the sum
-    of the (positive, integer-scaled) weights instead of the row
-    count, so a "rank" k is a cumulative-WEIGHT threshold counted from
-    the top — e.g. the weighted median of a group with total weight
-    ``tot`` is the resolved value at k = tot // 2 + 1 (the smallest v
-    with ``2 * weight(x > v) <= tot``).  RankTail.cnt_gt is then the
-    exact weight strictly above the value.  This replaces the
-    per-group cumulative-sum window whose partitions grow with group
-    size — the q108 shape — with group-size-independent scan passes.
-
-    ``need_sums=False`` skips the per-row ``x * w`` column and its
-    DECIMAL accumulation entirely (measurably cheaper on wide scans);
-    every returned ``RankTail.sum_gt`` is then 0 and must not be read.
-    With sums on, the per-row product and its accumulation both run in
-    DECIMAL(38,0), so no int64 constraint applies to ``x * w``.
-    Rows with a NULL weight are excluded exactly like rows with a NULL
-    value.
-
-    Raises ``ValueError`` when a rank (or weight threshold) exceeds
-    its group's total mass within the given bounds; groups absent from
-    ``wanted`` are ignored.  ``shiftright`` here takes its shift
-    amount from a map column — the SQL form accepts expressions where
-    the Python wrapper takes only literals."""
-    groups = list(wanted)
-    if not groups:
-        return {}
-    if bounds is None:
-        rows = (
-            df.where(
-                F.col(group_col).isin(list(groups))
-                & F.col(val_col).isNotNull()
-            )
-            .groupBy(group_col)
-            .agg(
-                F.min(val_col).alias("mn"), F.max(val_col).alias("mx")
-            )
-            .collect()
-        )
-        bounds = {
-            r[group_col]: (int(r["mn"]), int(r["mx"])) for r in rows
-        }
-        missing = [g for g in groups if g not in bounds]
-        if missing:
-            raise ValueError(
-                f"exact_ranks_grouped: no non-null rows for groups "
-                f"{missing!r}"
-            )
-    state: dict = {
-        (g, i): [bounds[g][0], bounds[g][1], 0, 0]
-        for g in groups
-        for i in range(len(wanted[g]))
-    }
-    done: set = set()
-    first_pass = True
+    bounds: dict | None,
+    bits_per_pass: int,
+    weight_col: str | None,
+    need_sums: bool,
+    rank_fn: Callable | None,
+    groups: list | None,
+) -> tuple[dict, dict]:
+    """Shared grouped engine.  In list mode (``wanted``: group ->
+    ranks) an explicit ``bounds`` dict starts bounded maps-driven
+    passes; without it a full-range DISCOVERY pass — a plain
+    ``groupBy(group, bucket)`` with no maps at all — finds each
+    group's extent, total mass and (deferred mode) excluded-row
+    count in one job.  With ``rank_fn`` (group, total_mass,
+    null_rows) -> ranks, the rank thresholds are derived from that
+    discovery pass (VERDICT r13 task #4).  Returns (group ->
+    (total_mass, null_rows, total_sum), group -> list[RankTail])."""
+    deferred = rank_fn is not None
+    if not deferred and not wanted:
+        return {}, {}
     x = F.col(val_col).cast("long")
     gc = F.col(group_col)
-    mass = (
-        F.lit(1).cast("long")
-        if weight_col is None
-        else F.col(weight_col).cast("long")
-    )
-    wsum = None
-    if need_sums:
-        wsum = (
-            x
-            if weight_col is None
-            else x.cast("decimal(38,0)")
-            * F.col(weight_col).cast("decimal(38,0)")
-        )
+    state: dict = {}
+    ranks: dict = {}
+    totals: dict = {}
+    rank_lists: dict = {}
+    if not deferred:
+        rank_lists = {g: list(ks) for g, ks in wanted.items()}
+    if bounds is not None:
+        for g, ks in wanted.items():
+            for i, k in enumerate(ks):
+                state[(g, i)] = [bounds[g][0], bounds[g][1], 0, 0]
+                ranks[(g, i)] = k
+    else:
+        # DISCOVERY pass: every group shares the full-range window, so
+        # bucketing needs no per-group maps — scan, project, hash-agg,
+        # all inside one whole-stage-codegen span.  Keeping the NULL
+        # bucket (b IS NULL) costs one histogram row per group and
+        # yields the excluded-row count deferred callers need.
+        s0 = _sbits(*_I64, bits_per_pass)
+        base0 = _I64[0] >> s0
+        mass, wsum, aggs = _mass_exprs(x, weight_col, need_sums)
+        valid = x.isNotNull()
+        if mass is not None:
+            valid = valid & mass.isNotNull()
+        scan = df
+        want_groups = groups if deferred else list(wanted)
+        if want_groups is not None:
+            scan = scan.where(gc.isin(list(want_groups)))
+        fields = [
+            gc.alias("g"),
+            F.when(valid, F.shiftright(x, s0) - F.lit(base0)).alias("b"),
+            F.when(valid, x).alias("x"),
+        ]
+        if mass is not None:
+            fields.append(F.when(valid, mass).alias("m"))
+        if need_sums:
+            fields.append(F.when(valid, wsum).alias("v"))
+        hists: dict = {}
+        null_rows: dict = {}
+        for r in (
+            scan.select(*fields)
+            .groupBy("g", "b")
+            .agg(F.count(F.lit(1)).alias("nrows"), *aggs)
+            .collect()
+        ):
+            g = r["g"]
+            if r["b"] is None:
+                null_rows[g] = int(r["nrows"])
+                continue
+            hists.setdefault(g, {})[int(r["b"])] = (
+                int(r["cnt"]),
+                int(r["sm"]) if need_sums else 0,
+                int(r["mn"]),
+                int(r["mx"]),
+            )
+        for g, hist in hists.items():
+            totals[g] = (
+                sum(cnt for cnt, _, _, _ in hist.values()),
+                null_rows.get(g, 0),
+                sum(sm for _, sm, _, _ in hist.values()),
+            )
+        for g in null_rows:
+            totals.setdefault(g, (0, null_rows[g], 0))
+        if deferred:
+            rank_lists = {
+                g: list(rank_fn(g, tm, nr))
+                for g, (tm, nr, _) in totals.items()
+            }
+        else:
+            missing = [g for g in wanted if g not in hists]
+            if missing:
+                raise ValueError(
+                    f"exact_ranks_grouped: no non-null rows for groups "
+                    f"{missing!r}"
+                )
+        for g, ks in rank_lists.items():
+            hist = hists.get(g, {})
+            for i, k in enumerate(ks):
+                st = [0, 0, 0, 0]
+                # a single-distinct-value bucket resolves straight
+                # from the discovery histogram (module fact #2)
+                _cut(
+                    st,
+                    k,
+                    hist,
+                    False,
+                    f"exact_ranks_grouped: rank {k} exceeds group "
+                    f"{g!r}'s total mass within the given bounds",
+                )
+                state[(g, i)] = st
+                ranks[(g, i)] = k
+        done = {
+            key for key, st in state.items() if st[0] == st[1]
+        }
+    if bounds is not None:
+        done = set()
+    first_bounded = bounds is not None
     while len(done) < len(state):
         # distinct open windows per group, deduped across rank slots:
-        # ranks sharing (lo, hi) — always true on pass 1 — share one
-        # histogram; slot r carries the r-th distinct window of each
-        # group, so slot count tracks DIVERGENCE, not rank count
-        win_slot: dict = {}  # (g, l, h) -> slot index within group
+        # slot r carries the r-th distinct window of each group, so
+        # slot count tracks DIVERGENCE, not rank count
+        win_slot: dict = {}
         per_group_seen: dict = {}
         for (g, i), (l, h, _, _) in state.items():
             if (g, i) in done or (g, l, h) in win_slot:
@@ -449,7 +729,7 @@ def exact_ranks_grouped(
                 if rr == r
             }
             sb = {
-                g: max(0, (h - l).bit_length() - bits_per_pass)
+                g: _sbits(l, h, bits_per_pass)
                 for g, (l, h) in open_g.items()
             }
             mk = lambda vals: F.create_map(
@@ -464,111 +744,142 @@ def exact_ranks_grouped(
                     mk({g: lh[0] for g, lh in open_g.items()}),
                     mk({g: lh[1] for g, lh in open_g.items()}),
                     mk(sb),
-                    mk(
-                        {
-                            g: lh[0] >> sb[g]
-                            for g, lh in open_g.items()
-                        }
-                    ),
+                    mk({g: lh[0] >> sb[g] for g, lh in open_g.items()}),
                     sb,
                 )
             )
-        structs = []
-        for r, (l_m, h_m, s_m, base_m, _) in enumerate(slot_maps):
-            l = F.element_at(l_m, gc)
-            h = F.element_at(h_m, gc)
-            s = F.element_at(s_m, gc)
-            base = F.element_at(base_m, gc)
-            in_w = (x >= l) & (x <= h)
-            if weight_col is not None:
-                # NULL weights are excluded like NULL values — without
-                # this, an all-NULL-weight bucket sums to a NULL mass
-                # and a mixed bucket silently drops mass
-                in_w = in_w & mass.isNotNull()
-            b_in = F.call_function("shiftright", x, s) - base
-            if first_pass:
-                above = x > h
-                if weight_col is not None:
-                    above = above & mass.isNotNull()
-                bcol = F.when(above, F.lit(-1).cast("long")).when(
-                    in_w, b_in
-                )
-                keep = in_w | above
-            else:
-                bcol = F.when(in_w, b_in)
-                keep = in_w
-            fields = [
-                F.lit(r).alias("slot"),
-                gc.alias("g"),
-                bcol.alias("b"),
-                F.when(keep, mass).alias("m"),
-            ]
-            if need_sums:
-                fields.append(F.when(keep, wsum).alias("v"))
-            structs.append(F.struct(*fields))
-        aggs = [F.sum(F.col("m").cast("decimal(38,0)")).alias("cnt")]
-        sel = ["s.slot", "s.g", "s.b", "s.m"]
-        if need_sums:
-            aggs.append(F.sum(F.col("v").cast("decimal(38,0)")).alias("sm"))
-            sel.append("s.v")
-        hists: dict = {}
-        for row in (
-            df.select(F.explode(F.array(*structs)).alias("s"))
-            .select(*sel)
-            .where(F.col("b").isNotNull())
-            .groupBy("slot", "g", "b")
-            .agg(*aggs)
-            .collect()
-        ):
-            hists.setdefault((int(row["slot"]), row["g"]), {})[
+        _, _, aggs = _mass_exprs(x, weight_col, need_sums)
+        frame = _grouped_pass_frame(
+            df,
+            group_col,
+            val_col,
+            slot_maps,
+            first_bounded,
+            weight_col,
+            need_sums,
+        )
+        hists2: dict = {}
+        for row in frame.groupBy("slot", "g", "b").agg(*aggs).collect():
+            hists2.setdefault((int(row["slot"]), row["g"]), {})[
                 int(row["b"])
             ] = (
                 int(row["cnt"]),
                 int(row["sm"]) if need_sums else 0,
+                int(row["mn"]),
+                int(row["mx"]),
             )
         for (g, i), st in state.items():
             if (g, i) in done:
                 continue
-            l, h, above_cnt, above_sum = st
-            k = wanted[g][i]
+            l, h = st[0], st[1]
             r = win_slot[(g, l, h)]
-            sb = slot_maps[r][4][g]
-            hist = hists.get((r, g), {})
-            if first_pass and -1 in hist:
-                above_cnt += hist[-1][0]
-                above_sum += hist[-1][1]
-            cum_c = cum_s = 0
-            bstar = None
-            for b in sorted(hist, reverse=True):
-                if b == -1:
-                    continue
-                cnt, sm = hist[b]
-                if above_cnt + cum_c + cnt >= k:
-                    bstar = b
-                    break
-                cum_c += cnt
-                cum_s += sm
-            if bstar is None:
-                raise ValueError(
-                    f"exact_ranks_grouped: rank {k} exceeds group "
-                    f"{g!r}'s total mass within the given bounds"
-                )
-            lbase = l >> sb
-            new_l = max(l, (lbase + bstar) << sb)
-            new_h = min(h, ((lbase + bstar + 1) << sb) - 1)
-            st[2] = above_cnt + cum_c
-            st[3] = above_sum + cum_s
-            if new_l == new_h:
-                st[0] = st[1] = new_l
+            hist = hists2.get((r, g), {})
+            if _cut(
+                st,
+                ranks[(g, i)],
+                hist,
+                first_bounded,
+                f"exact_ranks_grouped: rank {ranks[(g, i)]} exceeds "
+                f"group {g!r}'s total mass within the given bounds",
+            ):
                 done.add((g, i))
-            else:
-                st[0], st[1] = new_l, new_h
-        first_pass = False
-    return {
+        first_bounded = False
+    results = {
         g: [
             RankTail(st[0], st[2], st[3])
-            for i in range(len(wanted[g]))
+            for i in range(len(ks))
             for st in (state[(g, i)],)
         ]
-        for g in groups
+        for g, ks in rank_lists.items()
+    }
+    return totals, results
+
+
+def exact_ranks_grouped(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    wanted: dict,
+    bounds: dict | None = None,
+    bits_per_pass: int = DEFAULT_BITS_PER_PASS,
+    weight_col: str | None = None,
+    need_sums: bool = True,
+) -> dict:
+    """EXACT k-th largest values — with strict-tail mass/sum — PER
+    GROUP, for bounded group cardinality (dimension-keyed groups: the
+    per-group windows ride broadcast map literals and per-group state
+    is a driver dict).  ``wanted`` maps a group key (int or str) to
+    its 1-based descending ranks over that group's ``val_col`` values;
+    ``bounds`` optionally supplies (min, max) hints per group — a
+    full-range discovery pass finds them otherwise.  Returns
+    group -> list[:class:`RankTail`].
+
+    The grouped shape a PARTITION-BY window would otherwise own: the
+    passes are group-size-independent, 25 nations cost the same
+    per-row work as one, and no Generate/explode appears in any plan
+    (open windows of a group are disjoint — module docstring fact
+    #1).  WEIGHTED selection (``weight_col``): bucket mass becomes
+    the sum of the (positive, integer-scaled) weights, so a "rank" k
+    is a cumulative-WEIGHT threshold from the top — the weighted
+    median of a group with total weight ``tot`` is the resolved value
+    at ``k = tot // 2 + 1``; NULL-weight rows are excluded exactly
+    like NULL values.  ``need_sums=False`` skips the sum-term column
+    and its DECIMAL accumulation (returned ``sum_gt`` are 0).
+
+    Raises ``ValueError`` when a rank (or weight threshold) exceeds
+    its group's total mass, and — without ``bounds`` — when a wanted
+    group has no non-null rows; groups absent from ``wanted`` are
+    ignored."""
+    _, results = _exact_ranks_grouped_impl(
+        df,
+        group_col,
+        val_col,
+        wanted,
+        bounds,
+        bits_per_pass,
+        weight_col,
+        need_sums,
+        None,
+        None,
+    )
+    return results
+
+
+def exact_ranks_grouped_from_totals(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    rank_fn: Callable[..., list[int]],
+    groups: list | None = None,
+    bits_per_pass: int = DEFAULT_BITS_PER_PASS,
+    weight_col: str | None = None,
+    need_sums: bool = True,
+) -> dict:
+    """Deferred-rank GROUPED selection (VERDICT r13 task #4):
+    ``rank_fn(group, total_mass, null_rows) -> rank list`` is
+    evaluated per group AFTER the full-range discovery pass, whose
+    ``groupBy(group, bucket)`` histogram yields each group's total
+    mass, excluded-row count and value extent in ONE job — the
+    per-group stats aggregate every weighted-quantile caller used to
+    run before bisection is folded away.  ``groups`` optionally
+    restricts the scan to known group keys; otherwise groups are
+    discovered from the data.  A callable may return ``[]`` to skip a
+    group (its totals are still returned — e.g. a NULLS-LAST median
+    whose rank lands past the non-null region).  Returns group ->
+    :class:`GroupSelection`."""
+    totals, results = _exact_ranks_grouped_impl(
+        df,
+        group_col,
+        val_col,
+        {},
+        None,
+        bits_per_pass,
+        weight_col,
+        need_sums,
+        rank_fn,
+        groups,
+    )
+    return {
+        g: GroupSelection(tm, nr, ts, results.get(g, []))
+        for g, (tm, nr, ts) in totals.items()
     }

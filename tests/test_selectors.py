@@ -266,3 +266,152 @@ def test_exact_ranks_grouped_null_weights_excluded(spark):
     assert got[1][0].cnt_gt == 1
     with pytest.raises(ValueError, match="exceeds group"):
         exact_ranks_grouped(df, "g", "x", {1: [4]}, weight_col="w")
+
+
+def test_exact_ranks_weighted_ungrouped(spark):
+    """Ungrouped weighted selection (VERDICT r13 task #3) vs brute
+    force: rank k is a cumulative-weight threshold from the top,
+    cnt_gt is the exact weight strictly above, sum_gt the exact
+    sum of x * w strictly above."""
+    import random
+
+    rng = random.Random(3)
+    vw = [(v, rng.randint(1, 40)) for v in
+          [10, 10, 20, 20, 20, 35, -5, 0, 7]]
+    df = spark.createDataFrame(vw, "x long, w long")
+    tot = sum(w for _, w in vw)
+    for k in (1, tot // 3, tot // 2 + 1, tot):
+        got = exact_ranks_with_tails(
+            df, {"x": [k]}, weight_col="w"
+        )["x"][0]
+        med = min(
+            v for v, _ in vw
+            if sum(w2 for v2, w2 in vw if v2 > v) < k
+        )
+        assert got.value == med, k
+        assert got.cnt_gt == sum(w for v, w in vw if v > med), k
+        assert got.sum_gt == sum(v * w for v, w in vw if v > med), k
+
+
+def test_exact_ranks_weighted_null_weights_excluded(spark):
+    df = spark.createDataFrame(
+        [(5, None), (7, 2), (9, 1)], "x long, w long"
+    )
+    got = exact_ranks_with_tails(df, {"x": [2]}, weight_col="w")
+    assert got["x"][0].value == 7
+    with pytest.raises(ValueError, match="exceeds the non-null"):
+        exact_ranks_with_tails(df, {"x": [4]}, weight_col="w")
+
+
+def test_exact_ranks_from_totals_median(spark):
+    """Deferred ranks (VERDICT r13 task #4): the rank threshold is a
+    function of the total mass discovered by the first pass — no
+    separate stats job; totals come back exact."""
+    from data_engineering_nd_spark.operators.selectors import (
+        exact_ranks_from_totals,
+    )
+
+    vals = DISTRIBUTIONS["gaps_dups"]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    sel = exact_ranks_from_totals(
+        df, {"x": lambda tot: [(tot + 1) // 2, 1, tot]}
+    )["x"]
+    n = len(vals)
+    assert sel.total_mass == n
+    assert sel.total_sum == sum(vals)
+    s = sorted(vals, reverse=True)
+    assert [t.value for t in sel.tails] == [
+        s[(n + 1) // 2 - 1], s[0], s[-1]
+    ]
+
+
+def test_exact_ranks_from_totals_weighted(spark):
+    from data_engineering_nd_spark.operators.selectors import (
+        exact_ranks_from_totals,
+    )
+
+    vw = [(7, 1000), (8, 1), (9, 1)]
+    df = spark.createDataFrame(vw, "x long, w long")
+    sel = exact_ranks_from_totals(
+        df, {"x": lambda tot: [tot // 2 + 1]}, weight_col="w"
+    )["x"]
+    assert sel.total_mass == 1002
+    assert sel.total_sum == 7 * 1000 + 8 + 9
+    assert sel.tails[0].value == 7
+    assert sel.tails[0].cnt_gt == 2
+
+
+def test_exact_ranks_from_totals_empty_ranks_skip(spark):
+    from data_engineering_nd_spark.operators.selectors import (
+        exact_ranks_from_totals,
+    )
+
+    df = spark.createDataFrame([(1,), (2,)], "x long")
+    sel = exact_ranks_from_totals(df, {"x": lambda tot: []})["x"]
+    assert sel.total_mass == 2 and sel.tails == []
+
+
+def test_exact_ranks_grouped_from_totals(spark):
+    """Grouped deferred ranks: discovery finds groups, totals, null
+    counts; per-group medians match brute force; a [] callable skips
+    bisection but still reports totals (the q121 NULLS-LAST shape)."""
+    from data_engineering_nd_spark.operators.selectors import (
+        exact_ranks_grouped_from_totals,
+    )
+
+    rows = (
+        [(1, v) for v in [10, 3, 7, None, 5]]
+        + [(2, v) for v in [100, 200]]
+        + [(3, None), (3, None)]
+    )
+    df = spark.createDataFrame(rows, "g int, x long")
+    got = exact_ranks_grouped_from_totals(
+        df,
+        "g",
+        "x",
+        lambda g, nn, nl: (
+            [( nn + nl + 1) // 2] if (nn + nl + 1) // 2 <= nn else []
+        ),
+    )
+    assert set(got) == {1, 2, 3}
+    assert got[1].total_mass == 4 and got[1].null_rows == 1
+    # upper-median rank over 5 rows NULLS LAST = rank 3 of [10,7,5,3]
+    assert got[1].tails[0].value == 5
+    assert got[2].total_mass == 2 and got[2].tails[0].value == 200
+    assert got[3].total_mass == 0 and got[3].null_rows == 2
+    assert got[3].tails == []
+
+
+def test_exact_ranks_grouped_from_totals_weighted(spark):
+    from data_engineering_nd_spark.operators.selectors import (
+        exact_ranks_grouped_from_totals,
+    )
+
+    data = {
+        0: [(10, 3), (20, 2), (30, 1)],
+        1: [(7, 1000), (8, 1), (9, 1)],
+    }
+    rows = [(g, v, w) for g, vw in data.items() for v, w in vw]
+    df = spark.createDataFrame(rows, "g int, x long, w long")
+    got = exact_ranks_grouped_from_totals(
+        df, "g", "x", lambda g, tot, _: [tot // 2 + 1],
+        weight_col="w",
+    )
+    for g, vw in data.items():
+        tot = sum(w for _, w in vw)
+        assert got[g].total_mass == tot
+        med = min(
+            v for v, _ in vw
+            if 2 * sum(w2 for v2, w2 in vw if v2 > v) <= tot
+        )
+        assert got[g].tails[0].value == med, g
+
+
+def test_rank_lower_bound_empty_raises(spark):
+    """ADVICE r13: empty input raises a documented ValueError, not a
+    bare max()-arg crash."""
+    df = spark.createDataFrame([], "c long, x long")
+    with pytest.raises(ValueError, match="empty input"):
+        rank_lower_bound(df, "x", "c", 1, 0)
+    with pytest.raises(ValueError, match="empty input"):
+        select_quota([], 1)
