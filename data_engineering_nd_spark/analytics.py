@@ -5900,27 +5900,29 @@ def q108_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     group total — the exact order statistic behind weighted-percentile
     reporting (median price per unit sold, not per line).
 
-    Computed by the WEIGHTED grouped selector
-    (:func:`operators.selectors.exact_ranks_grouped` with
-    ``weight_col``): prices and quantities scale exactly to integer
-    cents/hundredths, each group's weight threshold is
+    Computed by the WEIGHTED grouped selector in DEFERRED-rank mode
+    (:func:`operators.selectors.exact_ranks_grouped_from_totals`,
+    VERDICT r13 task #4): prices and quantities scale exactly to
+    integer cents/hundredths, each group's weight threshold
     ``tot // 2 + 1`` (the smallest v with ``2 * weight(x > v) <=
-    tot``, identical to the oracle's ``2 * cum >= tot`` crossing), and
-    ~3 shared histogram passes resolve every group at once.  The
-    previous formulation sorted each returnflag group through ONE
-    window partition — per-partition rows grew as n/3, the same class
-    of scale ceiling as the q115 tournament; the selector's passes are
+    tot``, identical to the oracle's ``2 * cum >= tot`` crossing) is
+    derived from the discovery pass's own totals — the separate
+    per-group stats aggregate the r13 formulation ran before
+    bisection is folded into the first histogram pass.  The r12
+    formulation sorted each returnflag group through ONE window
+    partition — per-partition rows grew as n/3, the same class of
+    scale ceiling as the q115 tournament; the selector's passes are
     group-size-independent.  Exactness: ties share one cumulative
-    value in both engines by construction (mass crossing is a function
-    of the value, not row order), and the 2-decimal doubles round-trip
-    the cents scaling losslessly.
+    value in both engines by construction (mass crossing is a
+    function of the value, not row order), and the 2-decimal doubles
+    round-trip the cents scaling losslessly.
 
     At 100 TB: one cached 3-column frame, ~3 scans aggregating to <=
     groups * 2^14 bucket rows, a literal 3-row result.  The mergeable-
     sketch path for heavy-cardinality group keys remains
     ``q101_grouped_quantiles_sketch``."""
     from data_engineering_nd_spark.operators.selectors import (
-        exact_ranks_grouped,
+        exact_ranks_grouped_from_totals,
     )
 
     li = load(spark, "lineitem", sf_dir).select(
@@ -5931,41 +5933,20 @@ def q108_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_quantity").cast("decimal(18,2)") * 100)
         .cast("bigint")
         .alias("w"),
-    ).cache()
-    try:
-        stats = {
-            r["l_returnflag"]: (
-                int(r["tot"]), int(r["mn"]), int(r["mx"])
-            )
-            for r in li.groupBy("l_returnflag")
-            .agg(
-                F.sum(F.col("w").cast("decimal(38,0)")).alias("tot"),
-                F.min("p").alias("mn"),
-                F.max("p").alias("mx"),
-            )
-            .collect()
-        }
-        if not stats:
-            return spark.createDataFrame(
-                [],
-                "l_returnflag string, weighted_median double, "
-                "total_weight double",
-            )
-        meds = exact_ranks_grouped(
-            li,
-            "l_returnflag",
-            "p",
-            {g: [stats[g][0] // 2 + 1] for g in stats},
-            bounds={g: (stats[g][1], stats[g][2]) for g in stats},
-            weight_col="w",
-            need_sums=False,
-        )
-    finally:
-        li.unpersist()
+    ).localCheckpoint()
+    meds = exact_ranks_grouped_from_totals(
+        li,
+        "l_returnflag",
+        "p",
+        lambda g, tot, _nulls: [tot // 2 + 1] if tot else [],
+        weight_col="w",
+        need_sums=False,
+    )
     return spark.createDataFrame(
         [
-            (g, meds[g][0].value / 100, stats[g][0] / 100)
-            for g in sorted(stats)
+            (g, s.tails[0].value / 100, s.total_mass / 100)
+            for g, s in sorted(meds.items())
+            if s.tails
         ],
         "l_returnflag string, weighted_median double, "
         "total_weight double",
@@ -6534,17 +6515,20 @@ def q115_top_decile_revenue_share(
     (:mod:`operators.selectors`, VERDICT r12 tasks #3/#5):
 
     1. per-customer spend in one hash-agg (exact DECIMAL cents),
-       cached so the bisection passes re-scan it for free — the stats
-       aggregate below materializes the cache in the same job;
-    2. that one aggregate gives n, k = ceil(n/10), total, min and max;
-       empty input returns the oracle's NULL-share row here
+       cached so the bisection passes re-scan it for free — the
+       discovery pass materializes the cache in the same job;
+    2. :func:`selectors.exact_ranks_from_totals` (VERDICT r13 task
+       #4) derives ``k = ceil(n / 10)`` from the discovery pass's own
+       count — the r13 formulation's separate stats aggregate is
+       folded into the first histogram pass, which also yields the
+       exact total and per-bucket extents (the former min/max) as
+       side effects; empty input returns the oracle's NULL-share row
        (ADVICE r12);
-    3. :func:`selectors.exact_ranks_with_tails` resolves the EXACT
-       k-th largest spend t by shift-histogram bisection — ~3 scan
-       passes for a cent range, pure int64 bucket arithmetic, no
-       window, no join, no per-pass recompiled probe literals — and
-       folds ``count(x > t)`` / ``sum(x > t)`` into the same passes,
-       so no tail aggregate runs at all;
+    3. the passes resolve the EXACT k-th largest spend t by
+       shift-histogram bisection — ~2-3 scan passes for a cent range,
+       pure int64 bucket arithmetic, no window, no join — and fold
+       ``count(x > t)`` / ``sum(x > t)`` into the same aggregates, so
+       no tail aggregate runs at all;
     4. the decile sum is pure driver algebra:
        ``sum(x > t) + (k - count(x > t)) · t`` — the (spend DESC,
        custkey) tie-break keeps the selection deterministic, and every
@@ -6556,7 +6540,7 @@ def q115_top_decile_revenue_share(
     TakeOrderedAndProject, no global window, no k rows on any single
     thread. All shares are BIGINT floor divisions."""
     from data_engineering_nd_spark.operators.selectors import (
-        exact_ranks_with_tails,
+        exact_ranks_from_totals,
     )
 
     orders = load(spark, "orders", sf_dir)
@@ -6567,34 +6551,26 @@ def q115_top_decile_revenue_share(
             .cast("bigint")
             .alias("x")
         )
-        .cache()
+        .localCheckpoint()
     )
-    try:
-        g = spend.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("x").alias("tot"),
-            F.min("x").alias("mn"),
-            F.max("x").alias("mx"),
-        ).collect()[0]
-        n = int(g.n)
-        if n == 0:
-            # oracle shape on zero orders: scalar subqueries still emit
-            # one row — counts 0, sums/share NULL (ADVICE r12: the old
-            # max()-over-stats raised, then the share divided by zero)
-            return spark.range(1).select(
-                F.lit(0).cast("bigint").alias("n_customers"),
-                F.lit(0).cast("bigint").alias("top_decile_n"),
-                F.lit(None).cast("bigint").alias("top_cents"),
-                F.lit(None).cast("bigint").alias("total_cents"),
-                F.lit(None).cast("bigint").alias("top_share_e6"),
-            )
-        total_cents = int(g.tot)
-        k = (n + 9) // 10
-        t, cnt_gt, sum_gt = exact_ranks_with_tails(
-            spend, {"x": [k]}, bounds={"x": (int(g.mn), int(g.mx))}
-        )["x"][0]
-    finally:
-        spend.unpersist()
+    sel = exact_ranks_from_totals(
+        spend, {"x": lambda n: [(n + 9) // 10] if n else []}
+    )["x"]
+    n = sel.total_mass
+    if n == 0:
+        # oracle shape on zero orders: scalar subqueries still emit
+        # one row — counts 0, sums/share NULL (ADVICE r12: the old
+        # max()-over-stats raised, then the share divided by zero)
+        return spark.range(1).select(
+            F.lit(0).cast("bigint").alias("n_customers"),
+            F.lit(0).cast("bigint").alias("top_decile_n"),
+            F.lit(None).cast("bigint").alias("top_cents"),
+            F.lit(None).cast("bigint").alias("total_cents"),
+            F.lit(None).cast("bigint").alias("top_share_e6"),
+        )
+    total_cents = sel.total_sum
+    k = (n + 9) // 10
+    t, cnt_gt, sum_gt = sel.tails[0]
     top_cents = sum_gt + (k - cnt_gt) * t
     return spark.range(1).select(
         F.lit(n).cast("bigint").alias("n_customers"),
@@ -6982,7 +6958,9 @@ def q119_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     style percentile table, with NO sort and NO approx_percentile: the
     p-th percentile is the k-th LARGEST value at k = ceil((1-p)·n)
     (clamped to 1), and all four ranks resolve in ONE
-    :func:`operators.selectors.exact_ranks` call — the shared
+    :func:`operators.selectors.exact_ranks_from_totals` call — the
+    ranks are derived from the discovery pass's own count (VERDICT
+    r13 task #4: no separate count/min/max job), and the shared
     shift-histogram passes cost the same ~3 column-pruned scans as a
     single rank.  approx_percentile trades error bounds for one pass;
     this is exact in the same number of passes.
@@ -6991,7 +6969,7 @@ def q119_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     to <= 2^14 bucket rows; nothing n-proportional on one thread, no
     TakeOrderedAndProject, no global window."""
     from data_engineering_nd_spark.operators.selectors import (
-        exact_ranks,
+        exact_ranks_from_totals,
     )
 
     orders = load(spark, "orders", sf_dir)
@@ -6999,33 +6977,37 @@ def q119_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("bigint")
         .alias("x")
-    ).cache()
-    try:
-        g = spend.agg(
-            F.count("x").alias("n"),
-            F.min("x").alias("mn"),
-            F.max("x").alias("mx"),
-        ).collect()[0]
-        n = int(g.n)
-        if n == 0:
-            # oracle shape on empty input: the grid CROSS JOIN still
-            # emits one row per permille — rank clamps to 1, value NULL
-            return spark.createDataFrame(
-                [(pm, 1, None, 0) for pm in _PCTL_PERMILLE],
-                "permille bigint, rank_desc bigint, value_cents bigint, "
-                "n_orders bigint",
-            )
-        ks = [
-            max((n * (1000 - pm) + 999) // 1000, 1)
-            for pm in _PCTL_PERMILLE
-        ]
-        vals = exact_ranks(
-            spend, {"x": ks}, bounds={"x": (int(g.mn), int(g.mx))}
-        )["x"]
-    finally:
-        spend.unpersist()
+    ).localCheckpoint()
+    sel = exact_ranks_from_totals(
+        spend,
+        {
+            "x": lambda n: [
+                max((n * (1000 - pm) + 999) // 1000, 1)
+                for pm in _PCTL_PERMILLE
+            ]
+            if n
+            else []
+        },
+        need_sums=False,
+    )["x"]
+    n = sel.total_mass
+    if n == 0:
+        # oracle shape on empty input: the grid CROSS JOIN still
+        # emits one row per permille — rank clamps to 1, value NULL
+        return spark.createDataFrame(
+            [(pm, 1, None, 0) for pm in _PCTL_PERMILLE],
+            "permille bigint, rank_desc bigint, value_cents bigint, "
+            "n_orders bigint",
+        )
+    ks = [
+        max((n * (1000 - pm) + 999) // 1000, 1)
+        for pm in _PCTL_PERMILLE
+    ]
     return spark.createDataFrame(
-        [(pm, k, v, n) for pm, k, v in zip(_PCTL_PERMILLE, ks, vals)],
+        [
+            (pm, k, t.value, n)
+            for pm, k, t in zip(_PCTL_PERMILLE, ks, sel.tails)
+        ],
         "permille bigint, rank_desc bigint, value_cents bigint, "
         "n_orders bigint",
     )
@@ -7069,7 +7051,9 @@ def q120_lorenz_decile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT Lorenz curve over customer spend: all nine decile cut
     points plus the cumulative top-decile revenue shares — the
     inequality table behind Gini dashboards — from ONE
-    :func:`operators.selectors.exact_ranks_with_tails` call.  The
+    :func:`operators.selectors.exact_ranks_from_totals` call, whose
+    discovery pass yields n, the total and the value extent in the
+    same job (VERDICT r13 task #4: no separate stats aggregate).  The
     tails make every cumulative sum pure driver algebra (q115's
     identity, per cut): ``sum(top k) = sum(x > v_k) + (k - count(x >
     v_k)) · v_k`` — exact under any tie distribution, because every
@@ -7082,7 +7066,7 @@ def q120_lorenz_decile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a literal 9-row result.  Shares are BIGINT floor divisions
     (HUGEINT-safe on the driver)."""
     from data_engineering_nd_spark.operators.selectors import (
-        exact_ranks_with_tails,
+        exact_ranks_from_totals,
     )
 
     orders = load(spark, "orders", sf_dir)
@@ -7093,33 +7077,31 @@ def q120_lorenz_decile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("x")
         )
-        .cache()
+        .localCheckpoint()
     )
-    try:
-        g = spend.agg(
-            F.count("x").alias("n"),
-            F.sum("x").alias("tot"),
-            F.min("x").alias("mn"),
-            F.max("x").alias("mx"),
-        ).collect()[0]
-        n = int(g.n)
-        if n == 0:
-            # oracle shape on empty input: nine grid rows, rank 0 and
-            # every value column NULL (scalar subqueries over nothing)
-            return spark.createDataFrame(
-                [(i, 0, None, None, None) for i in range(1, 10)],
-                "decile bigint, rank_desc bigint, cut_cents bigint, "
-                "top_cents bigint, cum_share_e6 bigint",
-            )
-        tot = int(g.tot)
-        ks = [(n * i + 9) // 10 for i in range(1, 10)]
-        tails = exact_ranks_with_tails(
-            spend, {"x": ks}, bounds={"x": (int(g.mn), int(g.mx))}
-        )["x"]
-    finally:
-        spend.unpersist()
+    sel = exact_ranks_from_totals(
+        spend,
+        {
+            "x": lambda n: [
+                (n * i + 9) // 10 for i in range(1, 10)
+            ]
+            if n
+            else []
+        },
+    )["x"]
+    n = sel.total_mass
+    if n == 0:
+        # oracle shape on empty input: nine grid rows, rank 0 and
+        # every value column NULL (scalar subqueries over nothing)
+        return spark.createDataFrame(
+            [(i, 0, None, None, None) for i in range(1, 10)],
+            "decile bigint, rank_desc bigint, cut_cents bigint, "
+            "top_cents bigint, cum_share_e6 bigint",
+        )
+    tot = sel.total_sum
+    ks = [(n * i + 9) // 10 for i in range(1, 10)]
     rows = []
-    for i, (k, t) in enumerate(zip(ks, tails), start=1):
+    for i, (k, t) in enumerate(zip(ks, sel.tails), start=1):
         top = t.sum_gt + (k - t.cnt_gt) * t.value
         rows.append((i, k, t.value, top, top * 1_000_000 // tot))
     return spark.createDataFrame(
@@ -7164,19 +7146,26 @@ def q121_median_acctbal_by_nation(
     """EXACT upper median of customer account balance (cents) PER
     NATION — grouped rank selection with NO per-group window and no
     sort: all <= 25 medians resolve in one
-    :func:`operators.selectors.exact_ranks_grouped` call, whose ~2-3
-    shared histogram passes serve every group at once (per-group
-    window parameters ride broadcast map literals, so 25 nations cost
-    the same per-row work as one).  The pattern is for BOUNDED group
-    cardinality (dimension-keyed groups): per-group state is a driver
-    dict.
+    :func:`operators.selectors.exact_ranks_grouped_from_totals` call,
+    whose discovery pass yields each nation's row count, NULL-balance
+    count and value extent in ONE job (VERDICT r13 task #4 — the
+    former per-nation stats aggregate is folded into the first
+    histogram pass) and whose ~2 further shared passes serve every
+    group at once (per-group window parameters ride broadcast map
+    literals, so 25 nations cost the same per-row work as one).  The
+    median rank is over ALL rows with NULLs sorting last (the
+    oracle's ROW_NUMBER order), so a rank landing past the non-null
+    region IS a NULL median — the callable returns [] and the
+    selector never overshoots and raises.  The pattern is for BOUNDED
+    group cardinality (dimension-keyed groups): per-group state is a
+    driver dict.
 
     At 100 TB: one cached narrow frame, ~2-3 scans aggregating to <=
     groups * 2^14 bucket rows, a 25-row broadcast for nation names.
     The oracle replays via PARTITION BY windows — affordable at
     oracle scale, the exact shape this query avoids at data scale."""
     from data_engineering_nd_spark.operators.selectors import (
-        exact_ranks_grouped,
+        exact_ranks_grouped_from_totals,
     )
 
     cust = load(spark, "customer", sf_dir)
@@ -7186,60 +7175,26 @@ def q121_median_acctbal_by_nation(
         (F.col("c_acctbal").cast("decimal(18,2)") * 100)
         .cast("bigint")
         .alias("x"),
-    ).cache()
-    try:
-        # n_all = COUNT(*) (the oracle's denominator), n_nn = non-null
-        # balances (the selector's domain). The median rank is over ALL
-        # rows with NULLs sorting last (the oracle's ROW_NUMBER order),
-        # so a rank landing past the non-null region IS a NULL median —
-        # never a selector call that would overshoot and raise.
-        stats = {
-            int(r["nk"]): (
-                int(r["n_all"]),
-                int(r["n_nn"]),
-                int(r["mn"]) if r["mn"] is not None else None,
-                int(r["mx"]) if r["mx"] is not None else None,
-            )
-            for r in bal.groupBy("nk")
-            .agg(
-                F.count(F.lit(1)).alias("n_all"),
-                F.count("x").alias("n_nn"),
-                F.min("x").alias("mn"),
-                F.max("x").alias("mx"),
-            )
-            .collect()
-        }
-        if not stats:
-            return spark.createDataFrame(
-                [],
-                "nation string, n_customers bigint, median_cents bigint",
-            )
-        ranks = {
-            nk: (n_all + 1) // 2 for nk, (n_all, _, _, _) in stats.items()
-        }
-        askable = sorted(
-            nk
-            for nk, (_, n_nn, _, _) in stats.items()
-            if 0 < ranks[nk] <= n_nn
-        )
-        meds = exact_ranks_grouped(
-            bal,
-            "nk",
-            "x",
-            {nk: [ranks[nk]] for nk in askable},
-            bounds={nk: (stats[nk][2], stats[nk][3]) for nk in askable},
-            need_sums=False,
-        ) if askable else {}
-    finally:
-        bal.unpersist()
+    ).localCheckpoint()
+    meds = exact_ranks_grouped_from_totals(
+        bal,
+        "nk",
+        "x",
+        lambda nk, nn, nl: (
+            [(nn + nl + 1) // 2]
+            if 0 < (nn + nl + 1) // 2 <= nn
+            else []
+        ),
+        need_sums=False,
+    )
     rows = spark.createDataFrame(
         [
             (
                 nk,
-                stats[nk][0],
-                meds[nk][0].value if nk in meds else None,
+                s.total_mass + s.null_rows,
+                s.tails[0].value if s.tails else None,
             )
-            for nk in sorted(stats)
+            for nk, s in sorted(meds.items())
         ],
         "nk int, n_customers bigint, median_cents bigint",
     )
@@ -7286,19 +7241,22 @@ def q122_weighted_price_quartiles(
 ) -> DataFrame:
     """Quantity-WEIGHTED price quartiles (p25/p50/p75) per
     (returnflag, linestatus) — the full weighted-quantile table from
-    ONE :func:`operators.selectors.exact_ranks_grouped` call with
-    ``weight_col``: each group's three cut masses are
+    ONE :func:`operators.selectors.exact_ranks_grouped_from_totals`
+    call: each group's three cut masses
     ``k_q = ((4 - q) * tot) // 4 + 1`` (the smallest v with
     ``4 * weight(x <= v) >= q * tot``, matching the oracle's crossing
-    exactly in integer arithmetic), and all 12 (group, quartile) pairs
-    share the same ~3 histogram passes.  No per-group cumulative
-    window — the q108 scale note applies: window partitions here grow
-    as n/4, the selector's passes are group-size independent.
+    exactly in integer arithmetic) are derived from the discovery
+    pass's own totals (VERDICT r13 task #4 — the separate stats
+    aggregate is folded into the first histogram pass), and all 12
+    (group, quartile) pairs share the same ~3 histogram passes.  No
+    per-group cumulative window — the q108 scale note applies: window
+    partitions here grow as n/4, the selector's passes are group-size
+    independent.
 
     At 100 TB: one cached 3-column frame, ~3 scans aggregating to <=
     groups * slots * 2^14 bucket rows, a literal 12-row result."""
     from data_engineering_nd_spark.operators.selectors import (
-        exact_ranks_grouped,
+        exact_ranks_grouped_from_totals,
     )
 
     li = load(spark, "lineitem", sf_dir).select(
@@ -7311,42 +7269,24 @@ def q122_weighted_price_quartiles(
         (F.col("l_quantity").cast("decimal(18,2)") * 100)
         .cast("bigint")
         .alias("w"),
-    ).cache()
-    try:
-        stats = {
-            r["grp"]: (int(r["tot"]), int(r["mn"]), int(r["mx"]))
-            for r in li.groupBy("grp")
-            .agg(
-                F.sum(F.col("w").cast("decimal(38,0)")).alias("tot"),
-                F.min("p").alias("mn"),
-                F.max("p").alias("mx"),
-            )
-            .collect()
-        }
-        if not stats:
-            return spark.createDataFrame(
-                [],
-                "grp string, quartile bigint, weighted_value double, "
-                "total_weight double",
-            )
-        cuts = exact_ranks_grouped(
-            li,
-            "grp",
-            "p",
-            {
-                g: [((4 - q) * stats[g][0]) // 4 + 1 for q in (1, 2, 3)]
-                for g in stats
-            },
-            bounds={g: (stats[g][1], stats[g][2]) for g in stats},
-            weight_col="w",
-            need_sums=False,
-        )
-    finally:
-        li.unpersist()
+    ).localCheckpoint()
+    cuts = exact_ranks_grouped_from_totals(
+        li,
+        "grp",
+        "p",
+        lambda g, tot, _nulls: (
+            [((4 - q) * tot) // 4 + 1 for q in (1, 2, 3)]
+            if tot
+            else []
+        ),
+        weight_col="w",
+        need_sums=False,
+    )
     return spark.createDataFrame(
         [
-            (g, q, cuts[g][q - 1].value / 100, stats[g][0] / 100)
-            for g in sorted(stats)
+            (g, q, s.tails[q - 1].value / 100, s.total_mass / 100)
+            for g, s in sorted(cuts.items())
+            if s.tails
             for q in (1, 2, 3)
         ],
         "grp string, quartile bigint, weighted_value double, "
