@@ -7292,3 +7292,80 @@ def q122_weighted_price_quartiles(
         "grp string, quartile bigint, weighted_value double, "
         "total_weight double",
     )
+
+# ---------------------------------------------------------------------------
+# q123: GLOBAL weighted percentiles — the ungrouped weighted selector
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q123_weighted_global_percentiles",
+    oracle="""
+    WITH c AS (
+        SELECT l_extendedprice AS p,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+                   ORDER BY l_extendedprice
+               ) AS cum,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER () AS tot
+        FROM lineitem
+    ),
+    qs(pct) AS (VALUES (25), (50), (75), (90))
+    SELECT CAST(pct AS BIGINT) AS pct,
+           CAST(MIN(p) AS DOUBLE) AS weighted_value,
+           CAST(MAX(tot) AS DOUBLE) AS total_weight
+    FROM c CROSS JOIN qs
+    WHERE 100 * cum >= pct * tot
+    GROUP BY pct
+    """,
+)
+def q123_weighted_global_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GLOBAL quantity-weighted price percentiles (p25/p50/p75/p90) —
+    the ungrouped twin of q122, exercising ``weight_col`` on the
+    UNGROUPED selector (VERDICT r13 task #3: before r14 this shape
+    needed a fake single-group call through the grouped machinery).
+    All four cut masses ``k_pct = ((100 - pct) * tot) // 100 + 1``
+    (the smallest v with ``100 * weight(x <= v) >= pct * tot``,
+    matching the oracle's crossing exactly in integer arithmetic) are
+    derived from the discovery pass's own total weight
+    (:func:`operators.selectors.exact_ranks_from_totals` — no stats
+    job), and share the same ~3 histogram passes.  The reference
+    anchor is the README.md:21-30 "average stay duration" class
+    generalized to exact distribution cuts.
+
+    At 100 TB: one checkpointed 2-column frame, ~3 scans aggregating
+    to <= 2^14 bucket rows per open window, a literal 4-row result;
+    no window function anywhere on the data path."""
+    from data_engineering_nd_spark.operators.selectors import (
+        exact_ranks_from_totals,
+    )
+
+    pcts = (25, 50, 75, 90)
+    li = load(spark, "lineitem", sf_dir).select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("p"),
+        (F.col("l_quantity").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("w"),
+    ).localCheckpoint()
+    sel = exact_ranks_from_totals(
+        li,
+        {
+            "p": lambda tot: [
+                ((100 - pct) * tot) // 100 + 1 for pct in pcts
+            ]
+            if tot
+            else []
+        },
+        weight_col="w",
+        need_sums=False,
+    )["p"]
+    return spark.createDataFrame(
+        [
+            (pct, t.value / 100, sel.total_mass / 100)
+            for pct, t in zip(pcts, sel.tails)
+        ],
+        "pct bigint, weighted_value double, total_weight double",
+    )

@@ -209,6 +209,11 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "stream_merge_upsert", "stream_change_feed",
         "stream_constraint_quarantine",
     ], 11),
+    # -- NEW round-14 registrations: DEFERRED (sort last; swept locally
+    # at sf0.01 AND sf0.1 this round, lead a later window) ------------
+    **dict.fromkeys([
+        "q123_weighted_global_percentiles",
+    ], 14),
     # -- latest record: CORRECTNESS_r13.json (the 50 just-recorded) ---
     **dict.fromkeys([
         "q116_rfm_segments", "q117_order_gap_survival",
