@@ -2998,3 +2998,95 @@ def test_optimize_zorder_timestamp_dimension(spark, table):
     total = max(b for _, b in spans) - min(a for a, _ in spans)
     assert len(spans) >= 4
     assert all((b - a) <= total / 2 for a, b in spans)
+
+
+def test_zorder_double_bits_surrogate(spark):
+    """DOUBLE z-dimension surrogate (VERDICT r13 task #5): the
+    arithmetic IEEE-754 bits reconstruction equals struct.pack raw
+    bits verbatim — driver-side AND as a Spark column — and is
+    monotone across negative/positive/subnormal/infinite spans."""
+    import math
+    import random
+    import struct
+
+    from data_engineering_nd_spark.tables import (
+        _double_bits,
+        _double_bits_sql,
+    )
+
+    def raw(d):
+        if d == 0:
+            return 0
+        b = struct.unpack("<q", struct.pack("<d", abs(d)))[0]
+        return -b if d < 0 else b
+
+    rng = random.Random(11)
+    vals = [0.0, -0.0, 1.0, -1.0, 1.5, 2.0**-1022, 5e-324, -5e-324,
+            1.7976931348623157e308, -1.7976931348623157e308, 0.1,
+            2.0**52, 123.456, -999.99, 1e-300, 1e300, math.pi,
+            2.0**1023, 2.0**-1074, 7e-310, float("inf"), float("-inf")]
+    for _ in range(500):
+        kind = rng.random()
+        if kind < 0.4:
+            v = struct.unpack(
+                "<d", struct.pack("<q", rng.getrandbits(63))
+            )[0]
+        elif kind < 0.7:
+            v = rng.uniform(-1e6, 1e6)
+        else:
+            try:
+                v = rng.uniform(-1, 1) * 2.0 ** rng.randint(-1074, 1023)
+            except OverflowError:
+                continue
+        if not math.isnan(v):
+            vals.append(v)
+    # driver side is struct.pack itself; monotonicity over the line
+    s = sorted(v for v in vals if not math.isnan(v))
+    surr = [_double_bits(v) for v in s]
+    assert surr == sorted(surr)
+    # the SQL reconstruction matches raw bits for every value
+    df = spark.createDataFrame([(v,) for v in vals], "d double")
+    got = [
+        r[0]
+        for r in df.select(
+            F.expr(_double_bits_sql("d")).alias("b")
+        ).collect()
+    ]
+    assert got == [raw(v) for v in vals]
+
+
+def test_optimize_zorder_double_dimension_prunes(spark, table):
+    """Clustered OPTIMIZE on a (double, numeric) pair: the double
+    dimension buckets by the exact bits surrogate (the former
+    scaled-double fallback was approximate), pruning on the value
+    range improves after the re-cluster, and no row is lost or
+    duplicated — including negative values straddling zero."""
+    import random
+    import tempfile
+
+    rng = random.Random(5)
+    rows = [
+        Row(k=i, d=round(rng.uniform(-1000.0, 9000.0), 2))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows).withColumn(
+        "lf", (F.col("k") / 100).cast("long")
+    )
+    staging = tempfile.mkdtemp(prefix="zdbl_")
+    df.repartition(1).write.mode("overwrite").partitionBy("lf").parquet(
+        staging
+    )
+    table.add_files(staging)
+    before = table.prune_files("d", 2000.0, 3500.0)
+    m = table.optimize(
+        zorder_by=["d", "k"], min_file_bytes=1 << 40,
+        target_files=16, zorder_bits=2,
+    )
+    after = table.prune_files("d", 2000.0, 3500.0)
+    assert after[2]["files_total"] > 1
+    assert before[2]["rows_scanned"] == 400
+    assert after[2]["rows_scanned"] < 400
+    assert after[2]["files_kept"] < after[2]["files_total"]
+    got = sorted((r.k, r.d) for r in table.snapshot().collect())
+    assert got == sorted((r.k, r.d) for r in rows)
+    assert table.change_feed(None, 0, 1).count() == 0
