@@ -7859,3 +7859,206 @@ def ds_tokenizer_compression_ratio_query(
         F.expr("(total_chars * 1000) div total_tokens").cast("bigint")
         .alias("chars_per_token_e3"),
     )
+
+# ---------------------------------------------------------------------------
+# tbl_zorder_double_report: clustered OPTIMIZE over a DOUBLE dimension
+# ---------------------------------------------------------------------------
+
+
+def _dbl_bits_oracle(x: str) -> str:
+    """DuckDB replay of tables._double_bits_sql, with the offset math
+    kept in HUGEINT by the caller (acctbal bits straddle zero, so the
+    surrogate span exceeds int64)."""
+    from data_engineering_nd_spark.tables import _double_bits_sql
+
+    return _double_bits_sql(x)
+
+
+_OPTZD_ORACLE = f"""
+    WITH src AS (
+        SELECT c_custkey AS k, c_acctbal AS d,
+               CAST(c_nationkey AS BIGINT) AS nk
+        FROM customer
+    ),
+    sw AS (
+        SELECT MIN(d) AS mnd, MAX(d) AS mxd,
+               MIN(nk) AS mnn, MAX(nk) AS mxn,
+               GREATEST((MAX(nk) - MIN(nk) + 1 + 3) // 4, 1) AS wn
+        FROM src
+    ),
+    pb AS (
+        SELECT CAST({_dbl_bits_oracle("sw.mnd")} AS HUGEINT) AS pmn,
+               CAST({_dbl_bits_oracle("sw.mxd")} AS HUGEINT) AS pmx
+        FROM sw
+    ),
+    pw AS (
+        SELECT pmn, GREATEST((pmx - pmn + 1 + 3) // 4, 1) AS ws FROM pb
+    ),
+    q AS (
+        SELECT mnn + wn AS nlo, mnn + 2 * wn + wn // 2 AS nhi FROM sw
+    ),
+    z AS (
+        SELECT k, d, nk,
+               CAST(LEAST(
+                   (CAST({_dbl_bits_oracle("src.d")} AS HUGEINT) - pmn)
+                   // ws, 3) AS BIGINT) AS ba,
+               LEAST((nk - mnn) // wn, 3) AS bb
+        FROM src CROSS JOIN sw CROSS JOIN pw
+    ),
+    zz AS (
+        SELECT k, d, nk,
+               (ba % 2) + ((ba // 2) % 2) * 4
+               + (bb % 2) * 2 + ((bb // 2) % 2) * 8 AS zf
+        FROM z
+    ),
+    linstats AS (
+        SELECT nk // 7 AS lf, MIN(d) AS mnd, MAX(d) AS mxd,
+               COUNT(*) AS nrows
+        FROM src GROUP BY 1
+    ),
+    zstats AS (
+        SELECT zf, MIN(d) AS mnd, MAX(d) AS mxd,
+               MIN(nk) AS mnn, MAX(nk) AS mxn, COUNT(*) AS nrows
+        FROM zz GROUP BY zf
+    ),
+    linmark AS (
+        SELECT t.*, CASE WHEN t.mxd < 2000.0 OR t.mnd > 3500.0
+                         THEN 0 ELSE 1 END AS kept
+        FROM linstats t
+    ),
+    zmark AS (
+        SELECT t.*,
+               CASE WHEN t.mxd < 2000.0 OR t.mnd > 3500.0
+                    THEN 0 ELSE 1 END AS kept_d,
+               CASE WHEN t.mxn < q.nlo OR t.mnn > q.nhi
+                    THEN 0 ELSE 1 END AS kept_n
+        FROM zstats t CROSS JOIN q
+    ),
+    matched AS (
+        SELECT k FROM src WHERE d BETWEEN 2000.0 AND 3500.0
+    )
+    SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM linmark) AS files_before,
+        (SELECT CAST(SUM(kept) AS BIGINT) FROM linmark)
+            AS lin_files_kept_bal,
+        (SELECT CAST(SUM(nrows * kept) AS BIGINT) FROM linmark)
+            AS lin_rows_scanned_bal,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM zmark) AS files_after,
+        (SELECT CAST(SUM(kept_d) AS BIGINT) FROM zmark)
+            AS z_files_kept_bal,
+        (SELECT CAST(SUM(nrows * kept_d) AS BIGINT) FROM zmark)
+            AS z_rows_scanned_bal,
+        (SELECT CAST(SUM(kept_n) AS BIGINT) FROM zmark)
+            AS z_files_kept_nation,
+        (SELECT CAST(SUM(nrows * kept_n) AS BIGINT) FROM zmark)
+            AS z_rows_scanned_nation,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM src) AS rows_total,
+        CAST(COUNT(*) AS BIGINT) AS n_result,
+        CAST(SUM(CAST(concat('0x', substr(md5(CAST(k AS VARCHAR)), 1, 10))
+                      AS BIGINT)) AS BIGINT) AS result_checksum
+    FROM matched
+"""
+
+
+@query("tbl_zorder_double_report", oracle=_OPTZD_ORACLE)
+def tbl_zorder_double_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered OPTIMIZE over a DOUBLE + numeric dimension pair
+    (VERDICT r13 task #5 — the former scaled-double fallback bucketed
+    approximately, so float dimensions were the one z-path with no
+    oracle-exact replay): customer lands as 4 files linear on
+    c_nationkey (balance pruning useless — every file spans the whole
+    acctbal range), then ``optimize(zorder_by=[c_acctbal,
+    c_nationkey])`` re-clusters on the Morton key whose double
+    dimension buckets by the EXACT IEEE-754 bits surrogate
+    (``tables._double_bits_sql``: sign-flipped raw bits reconstructed
+    arithmetically — exponent from corrected log2, mantissa from
+    staged power-of-two scaling — identical SQL in Spark and DuckDB,
+    bit-equal to struct.pack on 300k adversarial doubles).  acctbal
+    straddles zero, so the surrogate span EXCEEDS int64: the bucket
+    offset runs in DECIMAL(38,0) engine-side and HUGEINT oracle-side.
+    Both prunings are REAL manifest-stats prunings of committed
+    snapshots; the pruned scan's checksum pins that no row was lost
+    or duplicated.
+
+    The oracle replays the identical arithmetic from first principles
+    — the bits reconstruction, bucket widths, the 2-bit interleave,
+    and the per-cell double min/max pruning decisions.
+
+    At 100 TB: same shape as ``tbl_optimize_zorder`` — bounds from
+    footer stats, ONE hash shuffle on the z-file id, OCC commit
+    unchanged.  Exact double clustering is what makes metric-valued
+    keys (prices, scores, coordinates) pruneable without a lossy
+    scaled projection."""
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    cust = load(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").cast("double").alias("d"),
+        F.col("c_nationkey").cast("long").alias("nk"),
+    )
+    r = cust.agg(
+        F.min("nk").alias("mnn"), F.max("nk").alias("mxn")
+    ).collect()[0]
+    mnn, mxn = int(r.mnn), int(r.mxn)
+    wn = max(1, (mxn - mnn + 1 + 3) // 4)
+    nlo, nhi = mnn + wn, mnn + 2 * wn + wn // 2
+    dlo, dhi = 2000.0, 3500.0
+
+    work = tempfile.mkdtemp(prefix="tbl_optzd_")
+    try:
+        table = VersionedTable(spark, work + "/table")
+        staging = work + "/staging"
+        cust.withColumn(
+            "lf", F.expr("nk div 7")
+        ).repartition(1).write.partitionBy("lf").parquet(staging)
+        table.add_files(staging)
+
+        _, _, lin_d = table.prune_files("d", dlo, dhi)
+        m = table.optimize(
+            zorder_by=["d", "nk"],
+            min_file_bytes=1 << 40,
+            target_files=16,
+            zorder_bits=2,
+        )
+        _, _, z_d = table.prune_files("d", dlo, dhi)
+        _, _, z_n = table.prune_files("nk", nlo, nhi)
+
+        digest = md5_prefix_long(F.col("k").cast("string"))
+        out = (
+            table.scan("d", dlo, dhi)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_result"),
+                F.sum(digest).cast("bigint").alias("result_checksum"),
+            )
+            .select(
+                F.lit(lin_d["files_total"]).cast("bigint")
+                .alias("files_before"),
+                F.lit(lin_d["files_kept"]).cast("bigint")
+                .alias("lin_files_kept_bal"),
+                F.lit(lin_d["rows_scanned"]).cast("bigint")
+                .alias("lin_rows_scanned_bal"),
+                F.lit(z_d["files_total"]).cast("bigint")
+                .alias("files_after"),
+                F.lit(z_d["files_kept"]).cast("bigint")
+                .alias("z_files_kept_bal"),
+                F.lit(z_d["rows_scanned"]).cast("bigint")
+                .alias("z_rows_scanned_bal"),
+                F.lit(z_n["files_kept"]).cast("bigint")
+                .alias("z_files_kept_nation"),
+                F.lit(z_n["rows_scanned"]).cast("bigint")
+                .alias("z_rows_scanned_nation"),
+                F.lit(sum(
+                    st.get("num_rows", 0)
+                    for st in table._file_stats(m["files"], m).values()
+                )).cast("bigint").alias("rows_total"),
+                "n_result",
+                "result_checksum",
+            )
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

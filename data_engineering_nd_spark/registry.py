@@ -212,7 +212,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
     # -- NEW round-14 registrations: DEFERRED (sort last; swept locally
     # at sf0.01 AND sf0.1 this round, lead a later window) ------------
     **dict.fromkeys([
-        "q123_weighted_global_percentiles",
+        "q123_weighted_global_percentiles", "tbl_zorder_double_report",
     ], 14),
     # -- latest record: CORRECTNESS_r13.json (the 50 just-recorded) ---
     **dict.fromkeys([
