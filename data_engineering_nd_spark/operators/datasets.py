@@ -4238,8 +4238,13 @@ def tbl_row_tracking_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-images).
 
     Pinned properties: the two feeds agree row-for-row on a keyed
-    fixture (``n_only_keyed = n_only_keyless = 0`` via exceptAll both
-    ways); the rewrite-only OPTIMIZE commit feeds ZERO rows under
+    fixture (``n_only_keyed = n_only_keyless = 0`` via ONE exceptAll
+    direction plus exact multiset algebra — ``|B\\A| = |B| - |A| +
+    |A\\B|``, so the second full anti-join shuffle the r13 version
+    paid proves nothing the counts don't, VERDICT r13 task #8; the
+    identity holds for ANY feeds, not just agreeing ones, so the
+    reported columns are unchanged in every case); the rewrite-only
+    OPTIMIZE commit feeds ZERO rows under
     keyless pairing (every survivor pairs with itself by id —
     ``n_optimize_feed = 0``); renames don't break id pairing (the feed
     spans one); and the keyed feed's counts/checksum match the oracle's
@@ -4289,8 +4294,8 @@ def tbl_row_tracking_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         end = t.latest_version()
 
         cols = ["k", "amount", "_change_type", "_commit_version"]
-        # each feed serves three consumers (agg + both exceptAll
-        # directions) — materialize once, feed-sized
+        # each feed serves multiple consumers (agg, the exceptAll
+        # direction, counts) — materialize once, feed-sized
         keyed = t.change_feed(["k"], 0, end).select(*cols).localCheckpoint()
         keyless = (
             t.change_feed(None, 0, end).select(*cols).localCheckpoint()
@@ -4320,7 +4325,11 @@ def tbl_row_tracking_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(digest).cast("bigint").alias("feed_checksum"),
         )
         only_keyed = keyed.exceptAll(keyless).count()
-        only_keyless = keyless.exceptAll(keyed).count()
+        # |keyless \ keyed| = |keyless| - |keyed ∩ keyless|
+        #                   = |keyless| - (|keyed| - |keyed \ keyless|)
+        # — exact multiset algebra on checkpointed counts; the second
+        # full exceptAll shuffle is gone (VERDICT r13 task #8)
+        only_keyless = keyless.count() - keyed.count() + only_keyed
         n_opt = (
             keyless.where(F.col("_commit_version") == 3).count()
         )
