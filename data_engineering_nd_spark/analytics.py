@@ -5933,7 +5933,7 @@ def q108_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_quantity").cast("decimal(18,2)") * 100)
         .cast("bigint")
         .alias("w"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     meds = exact_ranks_grouped_from_totals(
         li,
         "l_returnflag",
@@ -6551,7 +6551,7 @@ def q115_top_decile_revenue_share(
             .cast("bigint")
             .alias("x")
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     sel = exact_ranks_from_totals(
         spend, {"x": lambda n: [(n + 9) // 10] if n else []}
@@ -6977,7 +6977,7 @@ def q119_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("bigint")
         .alias("x")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     sel = exact_ranks_from_totals(
         spend,
         {
@@ -7077,7 +7077,7 @@ def q120_lorenz_decile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("x")
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     sel = exact_ranks_from_totals(
         spend,
@@ -7175,7 +7175,7 @@ def q121_median_acctbal_by_nation(
         (F.col("c_acctbal").cast("decimal(18,2)") * 100)
         .cast("bigint")
         .alias("x"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     meds = exact_ranks_grouped_from_totals(
         bal,
         "nk",
@@ -7269,7 +7269,7 @@ def q122_weighted_price_quartiles(
         (F.col("l_quantity").cast("decimal(18,2)") * 100)
         .cast("bigint")
         .alias("w"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     cuts = exact_ranks_grouped_from_totals(
         li,
         "grp",
@@ -7349,7 +7349,7 @@ def q123_weighted_global_percentiles(
         (F.col("l_quantity").cast("decimal(18,2)") * 100)
         .cast("bigint")
         .alias("w"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     sel = exact_ranks_from_totals(
         li,
         {

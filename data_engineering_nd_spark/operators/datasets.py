@@ -4309,7 +4309,7 @@ def tbl_row_tracking_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("_commit_version").cast("string"),
             )
         )
-        agg = keyed.agg(
+        g = keyed.agg(
             F.sum(F.when(F.col("_change_type") == "insert", 1).otherwise(0))
             .cast("bigint").alias("n_insert"),
             F.sum(
@@ -4323,23 +4323,32 @@ def tbl_row_tracking_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("_change_type") == "delete", 1).otherwise(0))
             .cast("bigint").alias("n_delete"),
             F.sum(digest).cast("bigint").alias("feed_checksum"),
+        ).collect()[0]
+        # |keyed| is the agg's own four counts — no separate count job
+        n_keyed = (
+            int(g.n_insert) + int(g.n_update_pre)
+            + int(g.n_update_post) + int(g.n_delete)
         )
         only_keyed = keyed.exceptAll(keyless).count()
         # |keyless \ keyed| = |keyless| - |keyed ∩ keyless|
         #                   = |keyless| - (|keyed| - |keyed \ keyless|)
         # — exact multiset algebra on checkpointed counts; the second
         # full exceptAll shuffle is gone (VERDICT r13 task #8)
-        only_keyless = keyless.count() - keyed.count() + only_keyed
+        only_keyless = keyless.count() - n_keyed + only_keyed
         n_opt = (
             keyless.where(F.col("_commit_version") == 3).count()
         )
-        out = agg.select(
-            "*",
-            F.lit(only_keyed).cast("bigint").alias("n_only_keyed"),
-            F.lit(only_keyless).cast("bigint").alias("n_only_keyless"),
-            F.lit(n_opt).cast("bigint").alias("n_optimize_feed"),
+        return spark.createDataFrame(
+            [(
+                int(g.n_insert), int(g.n_update_pre),
+                int(g.n_update_post), int(g.n_delete),
+                int(g.feed_checksum), only_keyed, only_keyless, n_opt,
+            )],
+            "n_insert bigint, n_update_pre bigint, n_update_post "
+            "bigint, n_delete bigint, feed_checksum bigint, "
+            "n_only_keyed bigint, n_only_keyless bigint, "
+            "n_optimize_feed bigint",
         )
-        return out.localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -295,6 +295,82 @@ def _mass_exprs(
     return (F.col(weight_col).cast("long") if weight_col else None), wsum, aggs
 
 
+def _ungrouped_pass_frame(
+    df: DataFrame,
+    windows: dict,
+    sbits: dict,
+    first_pass: bool,
+    weight_col: str | None,
+    need_sums: bool,
+) -> DataFrame:
+    """Build the one-job pre-aggregate frame for an ungrouped pass:
+    per column a CASE chain over its (disjoint) open windows —
+    ``windows`` maps (col, lo, hi) -> window id, ``sbits`` maps
+    window id -> shift.  Single-column passes are a plain project
+    (full whole-stage codegen, no Generate — module docstring fact
+    #1, guarded by the pass-plan test); only multi-COLUMN passes
+    widen rows, one struct per column."""
+    mass = (
+        F.col(weight_col).cast("long") if weight_col is not None else None
+    )
+    by_col: dict[str, list[tuple[int, int, int]]] = {}
+    for (c, l, h), wid in windows.items():
+        by_col.setdefault(c, []).append((l, h, wid))
+    parts = []
+    for c, wins in by_col.items():
+        x = F.col(c).cast("long")
+        _, wsum, _ = _mass_exprs(x, weight_col, need_sums)
+        valid = x.isNotNull()
+        if mass is not None:
+            valid = valid & mass.isNotNull()
+        wid_cases, b_cases = [], []
+        if first_pass and wins[0][1] < _I64[1]:
+            # bounds are caller HINTS: rows above hi fold into
+            # bucket -1 once, initializing the tail counters (the
+            # invariant needs only mass(x > hi) < k, not hi == max)
+            l0, h0, wid0 = wins[0]
+            above = valid & (x > F.lit(h0))
+            wid_cases.append((above, F.lit(wid0)))
+            b_cases.append((above, F.lit(-1).cast("long")))
+        for l, h, wid in wins:
+            in_w = valid & (x >= F.lit(l)) & (x <= F.lit(h))
+            s = sbits[wid]
+            b = F.shiftright(x, s) - F.lit(l >> s)
+            wid_cases.append((in_w, F.lit(wid)))
+            b_cases.append((in_w, b))
+        fields = [
+            _when_chain(wid_cases).alias("wid"),
+            _when_chain(b_cases).alias("b"),
+            x.alias("x"),
+        ]
+        if mass is not None:
+            fields.append(mass.alias("m"))
+        if need_sums:
+            fields.append(wsum.alias("v"))
+        parts.append(fields)
+    if len(parts) == 1:
+        frame = df.select(*parts[0])
+    else:
+        frame = df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            *[f.alias(n) for f, n in zip(
+                                flds,
+                                ["wid", "b", "x"]
+                                + (["m"] if mass is not None else [])
+                                + (["v"] if need_sums else []),
+                            )]
+                        )
+                        for flds in parts
+                    ]
+                )
+            ).alias("s")
+        ).select("s.*")
+    return frame.where(F.col("b").isNotNull())
+
+
 def _exact_ranks_impl(
     df: DataFrame,
     wanted: dict,
@@ -341,73 +417,14 @@ def _exact_ranks_impl(
             wid: _sbits(l, h, bits_per_pass)
             for (c, l, h), wid in windows.items()
         }
-        mass, _, aggs = _mass_exprs(
+        _, _, aggs = _mass_exprs(
             F.lit(0).cast("long"), weight_col, need_sums
         )
-        by_col: dict[str, list[tuple[int, int, int]]] = {}
-        for (c, l, h), wid in windows.items():
-            by_col.setdefault(c, []).append((l, h, wid))
-        parts = []
-        for c, wins in by_col.items():
-            x = F.col(c).cast("long")
-            _, wsum, _ = _mass_exprs(x, weight_col, need_sums)
-            valid = x.isNotNull()
-            if mass is not None:
-                valid = valid & mass.isNotNull()
-            wid_cases, b_cases = [], []
-            if first_pass and wins[0][1] < _I64[1]:
-                # bounds are caller HINTS: rows above hi fold into
-                # bucket -1 once, initializing the tail counters (the
-                # invariant needs only mass(x > hi) < k, not hi == max)
-                l0, h0, wid0 = wins[0]
-                above = valid & (x > F.lit(h0))
-                wid_cases.append((above, F.lit(wid0)))
-                b_cases.append((above, F.lit(-1).cast("long")))
-            for l, h, wid in wins:
-                in_w = valid & (x >= F.lit(l)) & (x <= F.lit(h))
-                s = sbits[wid]
-                b = F.shiftright(x, s) - F.lit(l >> s)
-                wid_cases.append((in_w, F.lit(wid)))
-                b_cases.append((in_w, b))
-            fields = [
-                _when_chain(wid_cases).alias("wid"),
-                _when_chain(b_cases).alias("b"),
-                x.alias("x"),
-            ]
-            if mass is not None:
-                fields.append(mass.alias("m"))
-            if need_sums:
-                fields.append(wsum.alias("v"))
-            parts.append(fields)
-        if len(parts) == 1:
-            # single column: plain project — full whole-stage codegen,
-            # no Generate (structural fact #1 in the module docstring)
-            frame = df.select(*parts[0])
-        else:
-            frame = df.select(
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                *[f.alias(n) for f, n in zip(
-                                    flds,
-                                    ["wid", "b", "x"]
-                                    + (["m"] if mass is not None else [])
-                                    + (["v"] if need_sums else []),
-                                )]
-                            )
-                            for flds in parts
-                        ]
-                    )
-                ).alias("s")
-            ).select("s.*")
+        frame = _ungrouped_pass_frame(
+            df, windows, sbits, first_pass, weight_col, need_sums
+        )
         hists: dict[int, dict[int, tuple]] = {}
-        for r in (
-            frame.where(F.col("b").isNotNull())
-            .groupBy("wid", "b")
-            .agg(*aggs)
-            .collect()
-        ):
+        for r in frame.groupBy("wid", "b").agg(*aggs).collect():
             hists.setdefault(int(r["wid"]), {})[int(r["b"])] = (
                 int(r["cnt"]),
                 int(r["sm"]) if need_sums else 0,

@@ -429,6 +429,7 @@ def test_selector_pass_plans_have_no_generate_or_window(spark):
         _grouped_pass_frame,
         _mass_exprs,
         _sbits,
+        _ungrouped_pass_frame,
     )
 
     df = spark.createDataFrame(
@@ -456,21 +457,23 @@ def test_selector_pass_plans_have_no_generate_or_window(spark):
         assert bad not in plan, (bad, plan)
     assert plan.count("Exchange") <= 1, plan
 
-    # ungrouped single-column pass: same guarantees via the public API
-    # (exercise the whole call and trap any Generate with a listener-
-    # free plan check on an equivalent hand-built frame)
-    x = F.col("x").cast("long")
-    s = _sbits(0, 49, 14)
-    frame2 = (
-        df.select(
-            F.when((x >= 0) & (x <= 49), F.lit(0)).alias("wid"),
-            F.when((x >= 0) & (x <= 49), x - 0).alias("b"),
-            x.alias("x"),
-        )
-        .where(F.col("b").isNotNull())
-        .groupBy("wid", "b")
-        .agg(F.count(F.lit(1)), F.min("x"), F.max("x"))
-    )
+    # ungrouped single-column pass through the REAL frame builder the
+    # engine uses (a regression reintroducing the pre-r14 explode in
+    # the len(parts)==1 path would surface here as a Generate node)
+    windows = {("x", 0, 49): 0}
+    sbits = {0: _sbits(0, 49, 14)}
+    _, _, aggs1 = _mass_exprs(F.col("x").cast("long"), None, True)
+    frame2 = _ungrouped_pass_frame(
+        df, windows, sbits, True, None, True
+    ).groupBy("wid", "b").agg(*aggs1)
     plan2 = physical(frame2)
     for bad in ("Generate", "Window", "Sort"):
         assert bad not in plan2, (bad, plan2)
+    assert plan2.count("Exchange") <= 1, plan2
+    # the multi-COLUMN pass is the one documented Generate user
+    windows3 = {("x", 0, 49): 0, ("w", 0, 10): 1}
+    sbits3 = {0: 0, 1: 0}
+    frame3 = _ungrouped_pass_frame(
+        df, windows3, sbits3, True, None, False
+    )
+    assert "Generate" in physical(frame3)
