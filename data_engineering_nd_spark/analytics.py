@@ -7369,3 +7369,322 @@ def q123_weighted_global_percentiles(
         ],
         "pct bigint, weighted_value double, total_weight double",
     )
+
+
+# ---------------------------------------------------------------------------
+# q124: exact per-group mode — deterministic argmax without a window
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q124_modal_order_priority",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderstatus AS orderstatus,
+               CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
+                   AS order_year,
+               o_orderpriority AS mode, COUNT(*) AS cnt
+        FROM orders
+        GROUP BY 1, 2, 3
+    ),
+    r AS (
+        SELECT orderstatus, order_year, mode, cnt,
+               SUM(cnt) OVER (
+                   PARTITION BY orderstatus, order_year
+               ) AS total,
+               ROW_NUMBER() OVER (
+                   PARTITION BY orderstatus, order_year
+                   ORDER BY cnt DESC, mode
+               ) AS rn
+        FROM c
+    )
+    SELECT orderstatus, order_year,
+           mode AS modal_priority,
+           CAST(cnt AS BIGINT) AS modal_count,
+           CAST(total AS BIGINT) AS total_rows,
+           CAST(cnt * 1000000 // total AS BIGINT) AS modal_share_e6
+    FROM r WHERE rn = 1
+    """,
+)
+def q124_modal_order_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT per-group mode (most frequent ``o_orderpriority`` per
+    (orderstatus, order-year)) with a DETERMINISTIC tie-break
+    (smallest priority string wins) — the categorical "argmax of
+    counts" kernel behind dominant-category dashboards, implemented
+    as two hash-aggregations and ZERO window functions: the inner
+    ``groupBy`` counts (group, candidate) pairs, the outer reduces
+    each group with ``MIN(struct(-cnt, mode))`` — lexicographic
+    struct ordering IS the (count desc, value asc) argmax, and
+    Catalyst partial-aggregates both levels map-side.
+
+    At 100 TB: the only shuffles are the two hash-agg exchanges, the
+    second over <= groups x |priority| rows; a PARTITION-BY window
+    (the oracle's formulation) would instead sort every group's
+    candidate set.  The mode surfaces a genuine scale asymmetry: the
+    candidate table after pass 1 is BOUNDED by the category
+    cardinality, so the argmax never sees raw rows."""
+    orders = load(spark, "orders", sf_dir)
+    c = orders.groupBy(
+        F.col("o_orderstatus").alias("orderstatus"),
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.col("o_orderpriority").alias("mode"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    best = c.groupBy("orderstatus", "order_year").agg(
+        F.min(
+            F.struct(
+                (-F.col("cnt")).alias("neg"), F.col("mode").alias("m")
+            )
+        ).alias("best"),
+        F.sum("cnt").cast("bigint").alias("total_rows"),
+    )
+    return best.select(
+        "orderstatus",
+        "order_year",
+        F.col("best.m").alias("modal_priority"),
+        (-F.col("best.neg")).cast("bigint").alias("modal_count"),
+        "total_rows",
+        F.expr("(-best.neg) * 1000000L div total_rows")
+        .cast("bigint")
+        .alias("modal_share_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q125: chi-squared independence — exact-integer contingency algebra
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q125_chi2_priority_status",
+    oracle="""
+    WITH cell AS (
+        SELECT o_orderstatus AS f, o_orderpriority AS m, COUNT(*) AS o
+        FROM orders GROUP BY 1, 2
+    ),
+    rm AS (SELECT f, SUM(o) AS r FROM cell GROUP BY 1),
+    cm AS (SELECT m, SUM(o) AS c FROM cell GROUP BY 1),
+    tot AS (SELECT SUM(o) AS n, COUNT(*) AS n_cells FROM cell),
+    terms AS (
+        SELECT CAST(cell.o * tot.n - rm.r * cm.c AS DOUBLE) AS d,
+               CAST(tot.n AS DOUBLE) * CAST(rm.r AS DOUBLE)
+                   * CAST(cm.c AS DOUBLE) AS denom,
+               tot.n AS n
+        FROM cell JOIN rm USING (f) JOIN cm USING (m) CROSS JOIN tot
+    ),
+    s AS (
+        SELECT MAX(n) AS n,
+               SUM(CAST(floor(d * d / denom * 1e12 + 0.5)
+                        AS HUGEINT)) AS chi2_e12
+        FROM terms
+    ),
+    dims AS (
+        SELECT (SELECT COUNT(*) FROM rm) AS nr,
+               (SELECT COUNT(*) FROM cm) AS nc
+    )
+    SELECT CAST(s.n AS BIGINT) AS n_rows,
+           CAST((dims.nr - 1) * (dims.nc - 1) AS BIGINT) AS dof,
+           CAST(s.chi2_e12 // 1000000 AS BIGINT) AS chi2_e6,
+           CAST(floor(
+               sqrt(CAST(s.chi2_e12 AS DOUBLE) / 1e12
+                    / (CAST(s.n AS DOUBLE)
+                       * least(dims.nr - 1, dims.nc - 1)))
+               * 1e6 + 0.5
+           ) AS BIGINT) AS cramers_v_e6
+    FROM s CROSS JOIN dims
+    """,
+)
+def q125_chi2_priority_status(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Chi-squared test of independence between ``o_orderstatus`` and
+    ``o_orderpriority`` plus Cramer's V — the categorical-association
+    kernel of feature-selection and drift dashboards — with the
+    repo's exactness discipline: every margin is an exact BIGINT
+    count, each cell's term is evaluated as
+    ``(o*n - r*c)^2 / (n*r*c)`` in ONE identical IEEE-double
+    expression in both engines (the inputs are integers exactly
+    representable as doubles), snapped to an e12 integer per cell
+    BEFORE the sum so the cross-engine total is order-independent,
+    and accumulated as DECIMAL(38,0) (HUGEINT in the oracle — a
+    BIGINT sum would wrap at extreme scale).
+
+    At 100 TB: one hash-agg to |status x priority| cells (~15 rows),
+    two cell-level re-aggregations for the margins, broadcast joins
+    of three tiny frames, a 1-row result; no window, no collect of
+    raw data.  The chi-squared statistic itself scales linearly with
+    n, which is exactly why the e12 accumulator is wide."""
+    orders = load(spark, "orders", sf_dir)
+    cell = orders.groupBy(
+        F.col("o_orderstatus").alias("f"),
+        F.col("o_orderpriority").alias("m"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    cell = cell.localCheckpoint(eager=False)
+    rm = cell.groupBy("f").agg(F.sum("o").alias("r"))
+    cm = cell.groupBy("m").agg(F.sum("o").alias("c"))
+    tot = cell.agg(F.sum("o").alias("n"))
+    terms = (
+        cell.join(F.broadcast(rm), "f")
+        .join(F.broadcast(cm), "m")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("o") * F.col("n") - F.col("r") * F.col("c"))
+            .cast("double")
+            .alias("d"),
+            (
+                F.col("n").cast("double")
+                * F.col("r").cast("double")
+                * F.col("c").cast("double")
+            ).alias("denom"),
+            "n",
+        )
+    )
+    s = terms.agg(
+        F.max("n").alias("n"),
+        F.sum(
+            F.floor(
+                F.col("d") * F.col("d") / F.col("denom") * 1e12 + 0.5
+            ).cast("decimal(38,0)")
+        ).alias("chi2_e12"),
+    )
+    nr = rm.count()
+    nc = cm.count()
+    k = min(nr - 1, nc - 1)
+    return s.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.lit((nr - 1) * (nc - 1)).cast("bigint").alias("dof"),
+        F.expr("chi2_e12 div 1000000").cast("bigint").alias("chi2_e6"),
+        F.floor(
+            F.sqrt(
+                F.col("chi2_e12").cast("double")
+                / 1e12
+                / (F.col("n").cast("double") * F.lit(float(k)))
+            )
+            * 1e6
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("cramers_v_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q126: per-nation quartile dispersion — the selector's IQR consumer
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q126_acctbal_dispersion_by_nation",
+    oracle="""
+    WITH bal AS (
+        SELECT c_nationkey AS nk,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS x
+        FROM customer WHERE c_acctbal IS NOT NULL
+    ),
+    c AS (
+        SELECT nk, x,
+               ROW_NUMBER() OVER (PARTITION BY nk ORDER BY x) AS rn,
+               COUNT(*) OVER (PARTITION BY nk) AS n
+        FROM bal
+    ),
+    qs(q) AS (VALUES (1), (3)),
+    cut AS (
+        SELECT nk, q, MIN(x) AS v, MAX(n) AS n
+        FROM c CROSS JOIN qs
+        WHERE 4 * rn >= q * n
+        GROUP BY nk, q
+    ),
+    p AS (
+        SELECT nk, MAX(n) AS n,
+               MAX(CASE WHEN q = 1 THEN v END) AS q1,
+               MAX(CASE WHEN q = 3 THEN v END) AS q3
+        FROM cut GROUP BY nk
+    )
+    SELECT n_name AS nation,
+           CAST(n AS BIGINT) AS n_customers,
+           q1 AS q1_cents, q3 AS q3_cents,
+           q3 - q1 AS iqr_cents,
+           CASE WHEN q3 + q1 > 0
+                THEN CAST((q3 - q1) * 1000000 // (q3 + q1) AS BIGINT)
+           END AS dispersion_e6
+    FROM p JOIN nation ON nk = n_nationkey
+    """,
+)
+def q126_acctbal_dispersion_by_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT quartile coefficient of dispersion
+    ``(Q3-Q1)/(Q3+Q1)`` of customer account balance per nation — the
+    robust spread metric next to q113's Gini and q121's median — with
+    both quartile cuts for all <= 25 nations resolved in ONE
+    :func:`operators.selectors.exact_ranks_grouped_from_totals` call
+    (the q121/q122 pattern: ~3 shared group-size-independent
+    histogram passes, no per-nation window or sort).  Cut convention
+    matches the oracle's crossing in integer arithmetic: Q_j is the
+    smallest v with ``4 * count(x <= v) >= j * n``, i.e. descending
+    rank ``k_j = ((4 - j) * n) // 4 + 1``.  NULL balances are
+    excluded on both sides; the ratio is NULL when ``Q3 + Q1 <= 0``
+    (balances may be negative — a signed midhinge makes the
+    coefficient meaningless), identically CASEd in both engines.
+
+    At 100 TB: one checkpointed 2-column frame, ~3 scans aggregating
+    to <= nations x 2 x 2^14 bucket rows, a 25-row broadcast join
+    for names."""
+    from data_engineering_nd_spark.operators.selectors import (
+        exact_ranks_grouped_from_totals,
+    )
+
+    cust = load(spark, "customer", sf_dir)
+    nat = load(spark, "nation", sf_dir)
+    bal = (
+        cust.where(F.col("c_acctbal").isNotNull())
+        .select(
+            F.col("c_nationkey").cast("int").alias("nk"),
+            (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("x"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cuts = exact_ranks_grouped_from_totals(
+        bal,
+        "nk",
+        "x",
+        lambda nk, n, _nulls: (
+            [((4 - q) * n) // 4 + 1 for q in (1, 3)] if n else []
+        ),
+        need_sums=False,
+    )
+    rows = spark.createDataFrame(
+        [
+            (
+                nk,
+                s.total_mass,
+                s.tails[0].value,
+                s.tails[1].value,
+            )
+            for nk, s in sorted(cuts.items())
+            if s.tails
+        ],
+        "nk int, n_customers bigint, q1_cents bigint, q3_cents bigint",
+    )
+    return rows.join(
+        F.broadcast(nat), rows["nk"] == F.col("n_nationkey")
+    ).select(
+        F.col("n_name").alias("nation"),
+        "n_customers",
+        "q1_cents",
+        "q3_cents",
+        (F.col("q3_cents") - F.col("q1_cents")).alias("iqr_cents"),
+        F.when(
+            F.col("q3_cents") + F.col("q1_cents") > 0,
+            F.expr(
+                "(q3_cents - q1_cents) * 1000000L"
+                " div (q3_cents + q1_cents)"
+            ),
+        )
+        .cast("bigint")
+        .alias("dispersion_e6"),
+    )

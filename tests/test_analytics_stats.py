@@ -725,3 +725,96 @@ def test_event_path_trigrams_known_sequence(spark, tmp_path):
     out = {r.path: (r.n_paths, r.rnk)
            for r in q109_event_path_trigrams(spark, str(sf)).collect()}
     assert out == {"a>b>a": (2, 1), "b>a>b": (1, 2)}
+
+
+def test_modal_priority_deterministic_tie_break(spark, tmp_path):
+    """Tied counts resolve to the SMALLEST priority string; share is
+    exact integer-division e6."""
+    from data_engineering_nd_spark.analytics import q124_modal_order_priority
+
+    rows = pd.DataFrame(
+        {
+            "o_orderstatus": ["O"] * 4 + ["F"] * 4,
+            "o_orderdate": [datetime.date(1995, 3, 1)] * 8,
+            "o_orderpriority": [
+                "1-URGENT", "1-URGENT", "2-HIGH", "2-HIGH",
+                "3-MEDIUM", "3-MEDIUM", "3-MEDIUM", "2-HIGH",
+            ],
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write(spark, sf, "orders", rows)
+    out = {
+        (r.orderstatus, r.order_year): r
+        for r in q124_modal_order_priority(spark, str(sf)).collect()
+    }
+    tied = out[("O", 1995)]
+    assert tied.modal_priority == "1-URGENT"  # tie -> smallest wins
+    assert tied.modal_count == 2 and tied.total_rows == 4
+    assert tied.modal_share_e6 == 500000
+    maj = out[("F", 1995)]
+    assert maj.modal_priority == "3-MEDIUM"
+    assert maj.modal_share_e6 == 750000
+
+
+def test_chi2_closed_form_2x2(spark, tmp_path):
+    """A hand-computed 2x2 contingency table: chi2 = 20/3, V = 1/3."""
+    from data_engineering_nd_spark.analytics import q125_chi2_priority_status
+
+    cells = (
+        [("A", "X")] * 10 + [("A", "Y")] * 20
+        + [("B", "X")] * 20 + [("B", "Y")] * 10
+    )
+    rows = pd.DataFrame(
+        {
+            "o_orderstatus": [f for f, _ in cells],
+            "o_orderpriority": [m for _, m in cells],
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write(spark, sf, "orders", rows)
+    (r,) = q125_chi2_priority_status(spark, str(sf)).collect()
+    assert r.n_rows == 60 and r.dof == 1
+    # each cell term = (o*n - r*c)^2/(n*r*c) = 90000/54000 = 5/3;
+    # e12 snap floor(5/3*1e12 + 0.5) = 1666666666667, x4 cells
+    assert r.chi2_e6 == 6666666
+    # V = sqrt((20/3)/60) = 1/3
+    assert r.cramers_v_e6 == 333333
+
+
+def test_quartile_dispersion_null_guard_and_exact_cuts(spark, tmp_path):
+    """Negative-midhinge nation yields NULL dispersion; a positive one
+    lands the exact crossing quartiles."""
+    from data_engineering_nd_spark.analytics import (
+        q126_acctbal_dispersion_by_nation,
+    )
+
+    rows = pd.DataFrame(
+        {
+            "c_custkey": range(8),
+            "c_nationkey": [0] * 4 + [1] * 4,
+            "c_acctbal": [-100.0, -50.0, 10.0, 20.0,
+                          10.0, 20.0, 30.0, 40.0],
+        }
+    )
+    nat = pd.DataFrame(
+        {"n_nationkey": [0, 1], "n_name": ["NEG", "POS"],
+         "n_regionkey": [0, 0]}
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write(spark, sf, "customer", rows)
+    _write(spark, sf, "nation", nat)
+    out = {
+        r.nation: r
+        for r in q126_acctbal_dispersion_by_nation(spark, str(sf)).collect()
+    }
+    neg = out["NEG"]
+    assert (neg.q1_cents, neg.q3_cents) == (-10000, 1000)
+    assert neg.dispersion_e6 is None  # q3 + q1 <= 0
+    pos = out["POS"]
+    assert (pos.q1_cents, pos.q3_cents) == (1000, 3000)
+    assert pos.iqr_cents == 2000
+    assert pos.dispersion_e6 == 500000
