@@ -4169,6 +4169,171 @@ def tbl_lifecycle_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# tbl_restore_report: RESTORE TO VERSION as a new commit — rollback seams
+# ---------------------------------------------------------------------------
+
+_RESTORE_ORACLE = """
+    WITH p AS (SELECT MAX(doc_id) // 4 AS dhi FROM documents),
+    d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 AND doc_id % 7 != 0
+                    THEN md5(md5(text) || ':v2') ELSE md5(text)
+               END AS payload
+        FROM documents
+    ),
+    ck AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)
+                                            || ':' || payload), 1, 10))
+                    AS BIGINT) AS c
+        FROM d
+    )
+    SELECT 'v3_state' AS metric, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(c) AS BIGINT) AS checksum
+    FROM ck
+    UNION ALL
+    SELECT 'restore_feed_insert', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(c) AS BIGINT)
+    FROM ck CROSS JOIN p WHERE doc_id <= p.dhi
+    UNION ALL
+    SELECT 'restore_feed_other', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'time_travel_v2', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(c) AS BIGINT)
+    FROM ck CROSS JOIN p WHERE doc_id > p.dhi
+    UNION ALL
+    SELECT 'history', CAST(4 AS BIGINT), CAST(3 AS BIGINT)
+    UNION ALL
+    SELECT 'txn_watermark_kept', CAST(1 AS BIGINT), CAST(7 AS BIGINT)
+"""
+
+
+@query("tbl_restore_report", oracle=_RESTORE_ORACLE)
+def tbl_restore_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TO VERSION (the Delta ``RESTORE`` verb,
+    ``tables.py::VersionedTable.restore``) exercised end-to-end, pinning
+    the rollback SEAMS the unit tests cover individually:
+
+    - v0 commits the standing slice (doc_id % 7 != 0) with an
+      idempotent-txn watermark ``("loader", 7)``; v1 MERGEs the % 7
+      inserts plus ':v2' payload rewrites of the (% 5 and not % 7)
+      keys — so v1 holds EVERY doc_id; v2 range-DELETEs
+      ``doc_id <= max//4`` (file-granular copy-on-write); v3 is
+      ``restore(1)``.
+    - ``v3_state``: the restored snapshot must equal v1 exactly —
+      count plus order-insensitive (key, payload) md5 checksum, which
+      the oracle restates from the same modulus arithmetic without
+      ever seeing the table.
+    - ``restore_feed_insert`` / ``restore_feed_other``: the KEYLESS
+      change feed across the restore commit re-reports exactly the
+      deleted rows as inserts and NOTHING else — restore re-publishes
+      v1's files with their original base row ids (``row_id_carry``),
+      so every COW-rewrite survivor pairs with itself by stable row id
+      and drops out of the feed; without the carry each survivor would
+      churn as a delete+insert pair.
+    - ``time_travel_v2``: the rolled-back intermediate version stays
+      readable AFTER the restore (restore is additive; botched
+      versions remain for audit until vacuum).
+    - ``txn_watermark_kept``: the per-app idempotency high-water mark
+      survives the rollback — a restore must not make an exactly-once
+      writer replay batches it already applied.
+
+    At 100 TB: restore itself is METADATA-ONLY (one manifest re-publish,
+    no data file touched); the feed across it reads only the files the
+    delete rewrote plus their re-added originals — never a two-snapshot
+    scan."""
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    docs = load(spark, "documents", sf_dir).select(
+        "doc_id", "source", F.md5("text").alias("content_hash")
+    )
+    base = docs.filter(F.col("doc_id") % 7 != 0)
+    inserts = docs.filter(F.col("doc_id") % 7 == 0)
+    rewrites = docs.filter(
+        (F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 7 != 0)
+    ).withColumn(
+        "content_hash",
+        F.md5(F.concat(F.col("content_hash"), F.lit(":v2"))),
+    )
+    dhi = docs.agg(F.max("doc_id")).first()[0] // 4
+
+    def _ck() -> Column:
+        return (
+            F.sum(
+                md5_prefix_long(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("content_hash"),
+                    )
+                )
+            )
+            .cast("bigint")
+        )
+
+    work = tempfile.mkdtemp(prefix="tbl_restore_")
+    try:
+        table = VersionedTable(spark, work)
+        table.commit(base, txn=("loader", 7))                   # v0
+        table.merge(inserts.unionByName(rewrites), ["doc_id"])  # v1
+        table.delete_where("doc_id", 0, dhi)                    # v2
+        table.restore(1)                                        # v3
+        snap3 = table.snapshot(3)
+        snap2 = table.snapshot(2)
+        feed = table.change_feed(None, 2, 3)  # keyless: row-id pairing
+        ins_feed = feed.where(F.col("_change_type") == "insert")
+        other_feed = feed.where(F.col("_change_type") != "insert")
+        zero = F.lit(0).cast("bigint")
+        out = (
+            snap3.agg(
+                F.lit("v3_state").alias("metric"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                _ck().alias("checksum"),
+            )
+            .unionByName(
+                ins_feed.agg(
+                    F.lit("restore_feed_insert").alias("metric"),
+                    F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                    _ck().alias("checksum"),
+                )
+            )
+            .unionByName(
+                other_feed.agg(
+                    F.lit("restore_feed_other").alias("metric"),
+                    F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                    zero.alias("checksum"),
+                )
+            )
+            .unionByName(
+                snap2.agg(
+                    F.lit("time_travel_v2").alias("metric"),
+                    F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                    _ck().alias("checksum"),
+                )
+            )
+        )
+        hist = spark.createDataFrame(
+            [
+                ("history", len(table.versions()), table.latest_version()),
+                (
+                    "txn_watermark_kept",
+                    1,
+                    table.last_txn_version("loader"),
+                ),
+            ],
+            "metric string, n_rows bigint, checksum bigint",
+        )
+        # output-sized (6 rows); materialize so the scratch table can go
+        return out.unionByName(hist).localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # tbl_row_tracking_report: key-free change feed via stable row ids
 # ---------------------------------------------------------------------------
 

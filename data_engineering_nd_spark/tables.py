@@ -43,6 +43,7 @@ from __future__ import annotations
 import contextlib
 import json
 import os
+import re
 import shutil
 import uuid
 from urllib.parse import unquote
@@ -888,6 +889,7 @@ class VersionedTable:
         max_field_id: int | None = None,
         constraints_update: dict | None = None,
         row_id_carry: dict[str, int] | None = None,
+        partition_exprs_update: dict[str, str] | None = None,
     ) -> dict:
         """Atomic commit point: temp-file + rename within _log/.
 
@@ -905,6 +907,7 @@ class VersionedTable:
         constraints: dict = {}
         prev_bases: dict[str, int] = {}
         prev_hwm = 0
+        pexprs: dict[str, str] = {}
         if version > 0:
             try:
                 pm = self._manifest(version - 1)
@@ -914,8 +917,25 @@ class VersionedTable:
                 constraints = dict(pm.get("constraints") or {})
                 prev_bases = dict(pm.get("base_row_ids") or {})
                 prev_hwm = int(pm.get("row_id_hwm") or 0)
+                pexprs = dict(pm.get("partition_exprs") or {})
             except OSError:
                 pass
+        # partition-transform registry (name -> the sql_expr that derived
+        # the recorded values): carried across every commit kind like
+        # txn/constraints; re-using a partition NAME with a DIFFERENT
+        # transform raises — old files' recorded values came from the old
+        # expr, and range pruning through the wrong transform would
+        # silently drop matching files (pick a fresh name per layout
+        # change, the Iceberg spec-evolution practice)
+        if partition_exprs_update:
+            for k, v in partition_exprs_update.items():
+                if k in pexprs and pexprs[k] != v:
+                    raise ValueError(
+                        f"partition name {k!r} re-used with a different "
+                        f"transform ({pexprs[k]!r} -> {v!r}); use a new "
+                        f"partition name for a new transform"
+                    )
+            pexprs.update(partition_exprs_update)
         # row tracking (VERDICT r11 task #5, the Delta row-id shape):
         # every data file gets a BASE row id; a row's stable id is
         # base + row_index, unless the file carries a materialized
@@ -981,6 +1001,11 @@ class VersionedTable:
             # layout change applies to new files only, and scan planning
             # prunes each file by its own spec (VERDICT r08 task #3)
             "partitions": partitions or {},
+            # partition-transform registry (see the carry block above):
+            # lets the read path project a BASE-column range predicate
+            # through the transform (prune_partitions_range) without the
+            # caller knowing the layout
+            "partition_exprs": pexprs,
             # deletion vectors (merge-on-read DELETE, the Delta DV /
             # Iceberg position-delete shape): table-relative parquet
             # files of (file, pos) rows naming data-file positions that
@@ -1852,6 +1877,7 @@ class VersionedTable:
                     partitions,
                     dv=dv,
                     max_field_id=mfi_new,
+                    partition_exprs_update=dict(spec),
                 )
             except ConcurrentModification:
                 raise
@@ -1945,6 +1971,168 @@ class VersionedTable:
         if version is None:
             version = self.latest_version()
         kept, _, _ = self.prune_partitions(filters, version)
+        m = self._manifest(version)
+        return self._read_files(kept, m["schema"], m.get("dv"))
+
+    #: transform-expr shapes (whitespace-stripped, lowercased, with the
+    #: base column spliced in) that are ORDER-PRESERVING in the base
+    #: column — the inclusive-projection whitelist for
+    #: :meth:`prune_partitions_range`.  month()/day()/hour() alone are
+    #: deliberately absent: they cycle (month 12 < month 1 of the next
+    #: year), so a range of the base column does NOT project to a range
+    #: of the transform.
+    _MONOTONE_TRANSFORM_PATTERNS = (
+        r"^year\({c}\)$",
+        r"^substr(?:ing)?\(cast\({c}asstring\),1,\d+\)$",
+        r"^date_trunc\('(?:year|quarter|month|week|day)',{c}\)$",
+        r"^trunc\({c},'(?:year|quarter|month|week|mm|mon)'\)$",
+        r"^cast\({c}asdate\)$",
+        r"^to_date\({c}\)$",
+        r"^floor\({c}/\d+(?:\.\d+)?\)$",
+        r"^{c}$",
+    )
+
+    @classmethod
+    def _is_monotone_transform(cls, expr: str, base_col: str) -> bool:
+        norm = re.sub(r"\s+", "", expr).lower()
+        norm = norm.replace("`", "")
+        c = re.escape(base_col.lower())
+        return any(
+            re.match(p.format(c=c), norm)
+            for p in cls._MONOTONE_TRANSFORM_PATTERNS
+        )
+
+    def prune_partitions_range(
+        self,
+        base_col: str,
+        lo,
+        hi,
+        version: int | None = None,
+    ) -> tuple[list[str], list[str], dict]:
+        """Split a snapshot's files into (kept, pruned) for a range
+        predicate ``base_col BETWEEN lo AND hi`` on a SOURCE column, by
+        projecting the range THROUGH the partition transform (the Delta
+        generated-column / Iceberg inclusive-projection read path): for
+        every partition name whose recorded transform expr (manifest
+        ``partition_exprs``, written by :meth:`commit_partitioned`) is a
+        whitelisted ORDER-PRESERVING function of ``base_col``, the
+        bounds are evaluated through the SAME Spark expression that
+        derived the values at write time — ``T(lo) <= value <= T(hi)``
+        then prunes each file by its own recorded value.  The caller
+        never names the partition column: the predicate stays on the
+        data column, the layout stays hidden.
+
+        Conservative by construction: files with no recorded value for a
+        projectable name, NULL (``__HIVE_DEFAULT_PARTITION__``) or
+        unparsable values, non-whitelisted transforms (e.g. the cyclic
+        ``month(col)``), and renamed-away base columns all KEEP their
+        files — correctness never depends on the projection firing, it
+        only bounds the scan when it provably can.
+
+        Pure manifest metadata + one 2-row driver-side Spark evaluation
+        of the transform exprs; no data file is opened.  Returns
+        ``(kept, pruned, meta)`` with the :meth:`prune_partitions` meta
+        keys plus ``projected`` (name -> [T(lo), T(hi)] rendered)."""
+        import datetime as _dtmod
+        from decimal import Decimal as _Dec
+
+        from pyspark.sql.types import StructType as _ST
+
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        m = self._manifest(version)
+        pexprs = m.get("partition_exprs") or {}
+        usable = {
+            name: expr
+            for name, expr in pexprs.items()
+            if self._is_monotone_transform(expr, base_col)
+        }
+        bounds: dict[str, tuple] = {}
+        if usable:
+            schema = _ST.fromJson(json.loads(m["schema"]))
+            fields = [f for f in schema.fields if f.name == base_col]
+            if fields:
+                probe = self.spark.createDataFrame(
+                    [(lo,), (hi,)], _ST(fields)
+                ).select(
+                    *[
+                        F.expr(expr).alias(name)
+                        for name, expr in usable.items()
+                    ]
+                )
+                row_lo, row_hi = probe.collect()
+                for name in usable:
+                    tlo, thi = row_lo[name], row_hi[name]
+                    if tlo is not None and thi is not None and tlo <= thi:
+                        bounds[name] = (tlo, thi)
+
+        def _coerce(raw: str, like):
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                return None
+            try:
+                if isinstance(like, bool):
+                    return raw == "true"
+                if isinstance(like, int):
+                    return int(raw)
+                if isinstance(like, float):
+                    return float(raw)
+                if isinstance(like, _Dec):
+                    return _Dec(raw)
+                if isinstance(like, _dtmod.datetime):
+                    return _dtmod.datetime.fromisoformat(raw)
+                if isinstance(like, _dtmod.date):
+                    return _dtmod.date.fromisoformat(raw)
+                return raw
+            except (ValueError, ArithmeticError):
+                return None
+
+        parts = m.get("partitions", {})
+        stats = self._file_stats(m["files"], m)
+        kept, pruned = [], []
+        rows_total = rows_scanned = 0
+        for f in m["files"]:
+            vals = parts.get(f, {})
+            nrows = stats.get(f, {}).get("num_rows", 0)
+            rows_total += nrows
+            drop = False
+            for name, (tlo, thi) in bounds.items():
+                if name not in vals:
+                    continue
+                pv = _coerce(vals[name], tlo)
+                if pv is not None and not (tlo <= pv <= thi):
+                    drop = True
+                    break
+            if drop:
+                pruned.append(f)
+            else:
+                kept.append(f)
+                rows_scanned += nrows
+        meta = {
+            "files_total": len(m["files"]),
+            "files_kept": len(kept),
+            "files_pruned": len(pruned),
+            "rows_total": rows_total,
+            "rows_scanned": rows_scanned,
+            "projected": {
+                name: [str(b[0]), str(b[1])] for name, b in bounds.items()
+            },
+        }
+        return kept, pruned, meta
+
+    def scan_partitions_range(
+        self, base_col: str, lo, hi, version: int | None = None
+    ) -> DataFrame:
+        """Read only the files :meth:`prune_partitions_range` keeps for
+        ``base_col BETWEEN lo AND hi``.  As with :meth:`scan_partitions`
+        the caller still applies the ROW-level predicate — the
+        projection bounds which files are scanned; result-identical to
+        ``snapshot().filter(...)`` for any row predicate at least as
+        strict as the range."""
+        if version is None:
+            version = self.latest_version()
+        kept, _, _ = self.prune_partitions_range(base_col, lo, hi, version)
         m = self._manifest(version)
         return self._read_files(kept, m["schema"], m.get("dv"))
 

@@ -3090,3 +3090,155 @@ def test_optimize_zorder_double_dimension_prunes(spark, table):
     got = sorted((r.k, r.d) for r in table.snapshot().collect())
     assert got == sorted((r.k, r.d) for r in rows)
     assert table.change_feed(None, 0, 1).count() == 0
+
+
+def test_range_prune_through_year_transform(spark, table):
+    """A BETWEEN predicate on the DATE column prunes files through the
+    recorded year() transform — the caller never names the partition."""
+    import datetime
+
+    rows = [
+        Row(k=i, d=datetime.date(1992 + i % 6, 1 + i % 12, 1 + i % 28))
+        for i in range(60)
+    ]
+    table.commit_partitioned(
+        spark.createDataFrame(rows), [("p_y", "year(d)")]
+    )
+    m = table._manifest(0)
+    assert m["partition_exprs"] == {"p_y": "year(d)"}
+    lo, hi = datetime.date(1993, 6, 1), datetime.date(1995, 2, 28)
+    kept, pruned, meta = table.prune_partitions_range("d", lo, hi)
+    # projected bounds are year(lo)=1993 .. year(hi)=1995
+    assert meta["projected"]["p_y"] == ["1993", "1995"]
+    assert meta["files_kept"] == 3 and meta["files_pruned"] == 3
+    got = sorted(
+        (r.k, r.d)
+        for r in table.scan_partitions_range("d", lo, hi)
+        .where(F.col("d").between(lo, hi))
+        .collect()
+    )
+    want = sorted((r.k, r.d) for r in rows if lo <= r.d <= hi)
+    assert got == want
+
+
+def test_range_prune_through_month_substring_transform(spark, table):
+    """substring(cast(d as string), 1, 7) is an order-preserving prefix
+    of the ISO date — month-granular pruning from a date range."""
+    import datetime
+
+    rows = [
+        Row(k=i, d=datetime.date(1994, 1 + i % 12, 1 + i % 28))
+        for i in range(48)
+    ]
+    table.commit_partitioned(
+        spark.createDataFrame(rows),
+        [("p_ym", "substring(cast(d as string), 1, 7)")],
+    )
+    lo, hi = datetime.date(1994, 3, 15), datetime.date(1994, 6, 10)
+    kept, pruned, meta = table.prune_partitions_range("d", lo, hi)
+    assert meta["projected"]["p_ym"] == ["1994-03", "1994-06"]
+    assert meta["files_kept"] == 4 and meta["files_pruned"] == 8
+    got = sorted(
+        r.k
+        for r in table.scan_partitions_range("d", lo, hi)
+        .where(F.col("d").between(lo, hi))
+        .collect()
+    )
+    assert got == sorted(r.k for r in rows if lo <= r.d <= hi)
+
+
+def test_range_prune_refuses_cyclic_month_transform(spark, table):
+    """month(d) cycles across years — NOT whitelisted: no projection,
+    every file conservatively kept."""
+    import datetime
+
+    rows = [Row(k=i, d=datetime.date(1992 + i % 3, 1 + i % 12, 5))
+            for i in range(36)]
+    table.commit_partitioned(
+        spark.createDataFrame(rows), [("p_m", "month(d)")]
+    )
+    kept, pruned, meta = table.prune_partitions_range(
+        "d", datetime.date(1992, 6, 1), datetime.date(1992, 7, 31)
+    )
+    assert meta["projected"] == {}
+    assert meta["files_pruned"] == 0
+    assert meta["files_kept"] == meta["files_total"]
+
+
+def test_range_prune_keeps_null_and_foreign_spec_files(spark, table):
+    """NULL partition values and files written before the transform
+    existed (no recorded value) are conservatively kept."""
+    import datetime
+
+    table.commit(
+        spark.createDataFrame(
+            [Row(k=0, d=datetime.date(1999, 1, 1))]
+        ).repartition(1)
+    )  # v0: unpartitioned — no recorded p_y
+    rows = [Row(k=1, d=datetime.date(1992, 1, 1)),
+            Row(k=2, d=None)]
+    table.commit_partitioned(
+        spark.createDataFrame(rows), [("p_y", "year(d)")], mode="append"
+    )  # v1: one 1992 file + one NULL-partition file
+    kept, pruned, meta = table.prune_partitions_range(
+        "d", datetime.date(1998, 1, 1), datetime.date(2000, 1, 1)
+    )
+    # 1992 file pruned; NULL file and the unpartitioned v0 file kept
+    assert meta["files_pruned"] == 1
+    got = sorted(
+        r.k
+        for r in table.scan_partitions_range(
+            "d", datetime.date(1998, 1, 1), datetime.date(2000, 1, 1)
+        )
+        .where(F.col("d").between("1998-01-01", "2000-01-01"))
+        .collect()
+    )
+    assert got == [0]
+
+
+def test_partition_transform_redefinition_raises(spark, table):
+    """Re-using a partition NAME with a different transform raises —
+    old files' values came from the old expr and range pruning through
+    the new one would silently drop matching files."""
+    import datetime
+
+    rows = [Row(k=i, d=datetime.date(1992 + i, 1, 1)) for i in range(3)]
+    table.commit_partitioned(
+        spark.createDataFrame(rows), [("p_y", "year(d)")]
+    )
+    with pytest.raises(ValueError, match="different\\s+transform"):
+        table.commit_partitioned(
+            spark.createDataFrame(rows),
+            [("p_y", "substring(cast(d as string), 1, 7)")],
+            mode="append",
+        )
+
+
+def test_range_prune_survives_maintenance_commits(spark, table):
+    """partition_exprs carry across unrelated commits (delete), and the
+    projection still prunes the surviving layout."""
+    import datetime
+
+    rows = [
+        Row(k=i, d=datetime.date(1992 + i % 4, 1 + i % 12, 3))
+        for i in range(40)
+    ]
+    table.commit_partitioned(
+        spark.createDataFrame(rows), [("p_y", "year(d)")]
+    )
+    table.delete_where("k", 0, 3)  # COW rewrite of some files
+    kept, pruned, meta = table.prune_partitions_range(
+        "d", datetime.date(1994, 1, 1), datetime.date(1994, 12, 31)
+    )
+    assert meta["projected"]["p_y"] == ["1994", "1994"]
+    got = sorted(
+        r.k
+        for r in table.scan_partitions_range(
+            "d",
+            datetime.date(1994, 1, 1),
+            datetime.date(1994, 12, 31),
+            )
+        .where(F.year("d") == 1994)
+        .collect()
+    )
+    assert got == sorted(r.k for r in rows if r.d.year == 1994 and r.k > 3)
