@@ -7899,6 +7899,109 @@ def tbl_partition_stats_report_query(
 
 
 # ---------------------------------------------------------------------------
+# tbl_generated_partition_report: range pruning through the transform
+# ---------------------------------------------------------------------------
+
+_GENPART_ORACLE = """
+    WITH b AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+               o_orderdate AS d,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders
+    )
+    SELECT
+        (SELECT CAST(COUNT(DISTINCT ym) AS BIGINT) FROM b)
+            AS files_total,
+        (SELECT CAST(COUNT(DISTINCT ym) AS BIGINT) FROM b
+         WHERE ym BETWEEN '1996-05' AND '1997-02') AS files_kept,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS rows_total,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM b
+         WHERE ym BETWEEN '1996-05' AND '1997-02') AS rows_scanned,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM b
+         WHERE d BETWEEN TIMESTAMP '1996-05-15 00:00:00'
+                     AND TIMESTAMP '1997-02-10 00:00:00')
+            AS n_rows_result,
+        (SELECT CAST(SUM(cents) AS BIGINT) FROM b
+         WHERE d BETWEEN TIMESTAMP '1996-05-15 00:00:00'
+                     AND TIMESTAMP '1997-02-10 00:00:00')
+            AS revenue_cents
+"""
+
+
+@query("tbl_generated_partition_report", oracle=_GENPART_ORACLE)
+def tbl_generated_partition_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partition pruning from a predicate that NEVER names the partition
+    column (the Delta generated-column / Iceberg hidden-partitioning
+    read path, ``tables.py::VersionedTable.prune_partitions_range``):
+    orders commit under the recorded transform ``o_ym =
+    substring(cast(o_orderdate as string), 1, 7)`` (month-granular ISO
+    prefix — order-preserving), then a plain ``o_orderdate BETWEEN``
+    query projects its bounds THROUGH the transform — ``T(lo) <= o_ym <=
+    T(hi)`` keeps 10 of ~80 month files before any data is read.
+
+    The report pins both halves: the PLANNING numbers (files_total /
+    files_kept / rows_scanned — the oracle restates them from the same
+    month arithmetic, so a projection that kept or dropped the wrong
+    file breaks the hash) and the ANSWER (row count + exact DECIMAL
+    revenue over the pruned scan — identical to a full-table filter, so
+    conservative-keep bugs and over-pruning both surface as value
+    mismatches, not just count drift).
+
+    At 100 TB: the projection is one 2-row driver-side expression
+    evaluation plus a manifest walk — no footer reads, no data reads;
+    the scan touches only the ~12% of files the month range can
+    contain."""
+    import datetime
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    orders = load(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    lo = datetime.datetime(1996, 5, 15)
+    hi = datetime.datetime(1997, 2, 10)
+    work = tempfile.mkdtemp(prefix="tbl_genpart_")
+    try:
+        table = VersionedTable(spark, work)
+        table.commit_partitioned(
+            orders,
+            [("o_ym", "substring(cast(o_orderdate as string), 1, 7)")],
+        )
+        _, _, meta = table.prune_partitions_range("o_orderdate", lo, hi)
+        res = (
+            table.scan_partitions_range("o_orderdate", lo, hi)
+            .where(F.col("o_orderdate").between(lo, hi))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows_result"),
+                F.sum(
+                    (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                    .cast("bigint")
+                )
+                .cast("bigint")
+                .alias("revenue_cents"),
+            )
+        )
+        out = res.select(
+            F.lit(meta["files_total"]).cast("bigint").alias("files_total"),
+            F.lit(meta["files_kept"]).cast("bigint").alias("files_kept"),
+            F.lit(meta["rows_total"]).cast("bigint").alias("rows_total"),
+            F.lit(meta["rows_scanned"]).cast("bigint")
+            .alias("rows_scanned"),
+            "n_rows_result",
+            "revenue_cents",
+        )
+        # output-sized (1 row); materialize so the scratch table can go
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # Tags: named version pins with vacuum exemption (Iceberg refs)
 # ---------------------------------------------------------------------------
 
