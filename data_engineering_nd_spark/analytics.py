@@ -7688,3 +7688,112 @@ def q126_acctbal_dispersion_by_nation(
         .cast("bigint")
         .alias("dispersion_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q127: exact trimmed + winsorized mean — the selector's tail-sum consumer
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q127_trimmed_winsorized_mean",
+    oracle="""
+    WITH x AS (
+        SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+        FROM lineitem
+    ),
+    p AS (SELECT COUNT(*) AS n, SUM(v) AS s, COUNT(*) // 10 AS t FROM x),
+    r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v DESC) AS rn FROM x),
+    mid AS (
+        SELECT SUM(r.v) AS ms, COUNT(*) AS mc
+        FROM r CROSS JOIN p WHERE r.rn > p.t AND r.rn <= p.n - p.t
+    ),
+    cuts AS (
+        SELECT
+            (SELECT v FROM r CROSS JOIN p WHERE rn = p.t + 1) AS hi_cut,
+            (SELECT v FROM r CROSS JOIN p WHERE rn = p.n - p.t) AS lo_cut
+    )
+    SELECT CAST(p.n AS BIGINT) AS n_rows,
+           CAST(p.t AS BIGINT) AS t_trim,
+           CAST(CASE WHEN p.t > 0 THEN cuts.lo_cut END AS BIGINT)
+               AS lo_cut_cents,
+           CAST(CASE WHEN p.t > 0 THEN cuts.hi_cut END AS BIGINT)
+               AS hi_cut_cents,
+           CAST(p.s * 1000000 // p.n AS BIGINT) AS mean_e6,
+           CAST(mid.ms * 1000000 // mid.mc AS BIGINT) AS trimmed_mean_e6,
+           CAST((mid.ms + p.t * cuts.hi_cut + p.t * cuts.lo_cut)
+                * 1000000 // p.n AS BIGINT) AS winsorized_mean_e6
+    FROM p CROSS JOIN mid CROSS JOIN cuts
+    """,
+)
+def q127_trimmed_winsorized_mean(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT 10%-two-sided trimmed mean and winsorized mean of
+    ``l_extendedprice`` (cents) — the outlier-robust location estimates
+    next to q119's percentile cuts — from ONE
+    :func:`operators.selectors.exact_ranks_from_totals` call: with
+    ``t = n // 10`` known from the discovery pass, the three tail
+    resolutions at descending ranks ``t``, ``t+1`` and ``n-t`` give
+    top-k sums ``topsum(k) = sum_gt + (k - cnt_gt) * value`` (the q120
+    identity, tie-exact on duplicate prices), so
+
+    - ``trimmed = (topsum(n-t) - topsum(t)) / (n - 2t)``,
+    - ``winsorized = (trimmed_sum + t * v_(t+1) + t * v_(n-t)) / n``
+
+    are pure driver algebra over exact integers — no sort, no window,
+    no second scan for the replaced tails.  All means are floor-divided
+    e6 integers computed in arbitrary-precision driver arithmetic (the
+    oracle's HUGEINT mirror).  ``t == 0`` degenerates to the plain
+    mean, identically in both engines.
+
+    At 100 TB: one checkpointed single-column frame, ~3 shared
+    histogram passes, a literal 1-row result."""
+    from data_engineering_nd_spark.operators.selectors import (
+        exact_ranks_from_totals,
+    )
+
+    li = load(spark, "lineitem", sf_dir).select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("v")
+    ).localCheckpoint(eager=False)
+
+    def _ranks(tot: int) -> list[int]:
+        t = tot // 10
+        if t == 0:
+            return []
+        return sorted({t, t + 1, tot - t})
+
+    sel = exact_ranks_from_totals(li, {"v": _ranks})["v"]
+    n, s = sel.total_mass, sel.total_sum
+    t = n // 10
+    if t == 0:
+        mean_e6 = s * 1_000_000 // n
+        row = (n, 0, None, None, mean_e6, mean_e6, mean_e6)
+    else:
+        by_rank = dict(zip(_ranks(n), sel.tails))
+
+        def topsum(k: int) -> int:
+            tl = by_rank[k]
+            return tl.sum_gt + (k - tl.cnt_gt) * tl.value
+
+        hi_cut = by_rank[t + 1].value
+        lo_cut = by_rank[n - t].value
+        trim_sum = topsum(n - t) - topsum(t)
+        row = (
+            n,
+            t,
+            lo_cut,
+            hi_cut,
+            s * 1_000_000 // n,
+            trim_sum * 1_000_000 // (n - 2 * t),
+            (trim_sum + t * hi_cut + t * lo_cut) * 1_000_000 // n,
+        )
+    return spark.createDataFrame(
+        [row],
+        "n_rows bigint, t_trim bigint, lo_cut_cents bigint, "
+        "hi_cut_cents bigint, mean_e6 bigint, trimmed_mean_e6 bigint, "
+        "winsorized_mean_e6 bigint",
+    )

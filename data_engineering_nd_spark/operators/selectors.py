@@ -268,6 +268,32 @@ def _cut(
     return mn == mx
 
 
+def _hist_rows(agged: DataFrame, keys: list[str], need_sums: bool):
+    """Collect a bucket-histogram aggregate driver-side through Arrow
+    (``toPandas``) instead of Row objects: a refine pass of a wide
+    selector aggregates to tens of thousands of bucket rows, and
+    Row-object deserialization dominates the collect at that size
+    (~15us/row vs ~0.5us/row through an Arrow batch — measured ~0.9s
+    -> ~0.05s on q122's 61k-row pass at sf0.1).  Pass frames exclude
+    NULL values by construction, so the int64 columns convert exactly
+    (no NaN-driven float64 coercion, full-span mn/mx survive);
+    DECIMAL(38,0) sums arrive as exact ``Decimal`` objects.  Falls
+    back to the non-Arrow ``toPandas`` path (a plain collect plus
+    frame build) under a session without Arrow enabled — same values,
+    Row-speed.  Yields ``(*keys, cnt, sm, mn, mx)`` Python scalars."""
+    pdf = agged.toPandas()
+    if len(pdf) == 0:
+        return
+    sm = pdf["sm"].tolist() if need_sums else [0] * len(pdf)
+    yield from zip(
+        *(pdf[k].tolist() for k in keys),
+        pdf["cnt"].tolist(),
+        sm,
+        pdf["mn"].tolist(),
+        pdf["mx"].tolist(),
+    )
+
+
 def _sbits(lo: int, hi: int, bits_per_pass: int) -> int:
     return max(0, (hi - lo).bit_length() - bits_per_pass)
 
@@ -424,12 +450,14 @@ def _exact_ranks_impl(
             df, windows, sbits, first_pass, weight_col, need_sums
         )
         hists: dict[int, dict[int, tuple]] = {}
-        for r in frame.groupBy("wid", "b").agg(*aggs).collect():
-            hists.setdefault(int(r["wid"]), {})[int(r["b"])] = (
-                int(r["cnt"]),
-                int(r["sm"]) if need_sums else 0,
-                int(r["mn"]),
-                int(r["mx"]),
+        for wid, b, cnt, sm, mn, mx in _hist_rows(
+            frame.groupBy("wid", "b").agg(*aggs), ["wid", "b"], need_sums
+        ):
+            hists.setdefault(int(wid), {})[int(b)] = (
+                int(cnt),
+                int(sm) if need_sums else 0,
+                int(mn),
+                int(mx),
             )
         if first_pass and rank_fns is not None:
             # full-range first pass: per-column totals are the whole
@@ -776,14 +804,16 @@ def _exact_ranks_grouped_impl(
             need_sums,
         )
         hists2: dict = {}
-        for row in frame.groupBy("slot", "g", "b").agg(*aggs).collect():
-            hists2.setdefault((int(row["slot"]), row["g"]), {})[
-                int(row["b"])
-            ] = (
-                int(row["cnt"]),
-                int(row["sm"]) if need_sums else 0,
-                int(row["mn"]),
-                int(row["mx"]),
+        for slot, g, b, cnt, sm, mn, mx in _hist_rows(
+            frame.groupBy("slot", "g", "b").agg(*aggs),
+            ["slot", "g", "b"],
+            need_sums,
+        ):
+            hists2.setdefault((int(slot), g), {})[int(b)] = (
+                int(cnt),
+                int(sm) if need_sums else 0,
+                int(mn),
+                int(mx),
             )
         for (g, i), st in state.items():
             if (g, i) in done:

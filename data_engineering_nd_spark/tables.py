@@ -4931,12 +4931,31 @@ class VersionedTable:
             raise FileNotFoundError(f"no such tag {name!r}")
         return self.snapshot(tags[name])
 
-    def vacuum(self, retain_last: int = 1) -> list[str]:
+    def vacuum(
+        self,
+        retain_last: int = 1,
+        min_age_seconds: float = 0.0,
+        dry_run: bool = False,
+    ) -> list[str]:
         """Delete data files referenced by none of the last ``retain_last``
         manifests (files referenced by a CURRENT staged branch or by a
         TAGGED snapshot are kept — a tag is a retention pin, the
         Iceberg ref contract). Time travel to expired versions stops
-        working; the retained snapshots are untouched."""
+        working; the retained snapshots are untouched.
+
+        The sweep also collects ORPHANS — parquet under the data dirs
+        that no manifest ever referenced (crashed writers: every write
+        path stages files BEFORE the atomic manifest link, so a failure
+        between the two leaks files).  ``min_age_seconds`` is the
+        concurrent-writer guard (the Delta retention-window contract):
+        an unreferenced file younger than the window is SKIPPED, because
+        an in-flight commit may have staged it and not yet linked its
+        manifest — vacuuming it would let that commit succeed pointing
+        at deleted data.  Production callers should pass hours, not the
+        0 default (kept for hermetic tests and the single-writer
+        fixtures).  ``dry_run=True`` lists the data and deletion-vector
+        parquet that would be removed without touching anything (no
+        file, manifest or index sidecar is deleted)."""
         vs = self.versions()
         keep_vs = vs[-retain_last:] if retain_last > 0 else []
         keep_vs = sorted(
@@ -4949,7 +4968,10 @@ class VersionedTable:
                     live |= set(
                         self._staged_manifest(fn[: -len(".json")])["files"]
                     )
+        import time as _time
+
         removed: list[str] = []
+        now = _time.time()
         data_root = os.path.join(self.root, _DATA)
         if not os.path.isdir(data_root):
             return removed
@@ -4961,9 +4983,15 @@ class VersionedTable:
                 full = os.path.join(dp, f)
                 rel = os.path.relpath(full, self.root)
                 if f.endswith(".parquet") and rel not in live:
-                    os.remove(full)
+                    if (
+                        min_age_seconds > 0
+                        and now - os.path.getmtime(full) < min_age_seconds
+                    ):
+                        continue  # possibly an in-flight writer's file
+                    if not dry_run:
+                        os.remove(full)
                     removed.append(rel)
-            if dp != data_root and not os.listdir(dp):
+            if not dry_run and dp != data_root and not os.listdir(dp):
                 os.rmdir(dp)
         # deletion vectors referenced by no retained manifest expire with
         # the snapshots that needed them (compaction/overwrite resets the
@@ -4978,11 +5006,14 @@ class VersionedTable:
                 for f in sorted(os.listdir(subdir)):
                     rel = os.path.join(_DV, sub, f)
                     if rel not in live_dv:
-                        os.remove(os.path.join(subdir, f))
+                        if not dry_run:
+                            os.remove(os.path.join(subdir, f))
                         if f.endswith(".parquet"):
                             removed.append(rel)
-                if not os.listdir(subdir):
+                if not dry_run and not os.listdir(subdir):
                     shutil.rmtree(subdir)
+        if dry_run:
+            return removed
         # Bloom-index sidecars are version-pinned: expire them with their
         # snapshots (meta json names the version; its data dir goes too)
         idx_root = os.path.join(self.root, _INDEX)

@@ -818,3 +818,51 @@ def test_quartile_dispersion_null_guard_and_exact_cuts(spark, tmp_path):
     assert (pos.q1_cents, pos.q3_cents) == (1000, 3000)
     assert pos.iqr_cents == 2000
     assert pos.dispersion_e6 == 500000
+
+
+def test_trimmed_winsorized_mean_brute_force(spark, tmp_path):
+    """Selector-derived trimmed/winsorized means equal the sorted-list
+    brute force on a duplicate-heavy crafted column."""
+    from data_engineering_nd_spark.analytics import (
+        q127_trimmed_winsorized_mean,
+    )
+
+    # 37 values, heavy ties at both tails (t = 3)
+    cents = ([100] * 5 + [250] * 4 + list(range(300, 2300, 100))
+             + [5000] * 5 + [9900] * 3)
+    rows = pd.DataFrame({"l_extendedprice": [c / 100 for c in cents]})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write(spark, sf, "lineitem", rows)
+    (r,) = q127_trimmed_winsorized_mean(spark, str(sf)).collect()
+    v = sorted(cents, reverse=True)
+    n = len(v)
+    t = n // 10
+    mid = v[t : n - t]
+    assert r.n_rows == n and r.t_trim == t
+    assert r.hi_cut_cents == v[t]       # value at descending rank t+1
+    assert r.lo_cut_cents == v[n - t - 1]  # value at descending rank n-t
+    assert r.mean_e6 == sum(v) * 1_000_000 // n
+    assert r.trimmed_mean_e6 == sum(mid) * 1_000_000 // len(mid)
+    win = sum(mid) + t * v[t] + t * v[n - t - 1]
+    assert r.winsorized_mean_e6 == win * 1_000_000 // n
+
+
+def test_trimmed_mean_degenerates_to_plain_mean_below_ten_rows(
+    spark, tmp_path
+):
+    """t == 0: trimmed and winsorized collapse to the plain mean and
+    the cut columns are NULL."""
+    from data_engineering_nd_spark.analytics import (
+        q127_trimmed_winsorized_mean,
+    )
+
+    rows = pd.DataFrame({"l_extendedprice": [1.0, 2.0, 4.0]})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write(spark, sf, "lineitem", rows)
+    (r,) = q127_trimmed_winsorized_mean(spark, str(sf)).collect()
+    assert (r.n_rows, r.t_trim) == (3, 0)
+    assert r.lo_cut_cents is None and r.hi_cut_cents is None
+    mean = (100 + 200 + 400) * 1_000_000 // 3
+    assert r.mean_e6 == r.trimmed_mean_e6 == r.winsorized_mean_e6 == mean

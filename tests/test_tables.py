@@ -3242,3 +3242,46 @@ def test_range_prune_survives_maintenance_commits(spark, table):
         .collect()
     )
     assert got == sorted(r.k for r in rows if r.d.year == 1994 and r.k > 3)
+
+
+def test_vacuum_age_window_spares_young_orphans(spark, table, tmp_path):
+    """An unreferenced parquet younger than min_age_seconds is kept (an
+    in-flight writer may not have linked its manifest yet); an old one
+    is collected; dry_run lists without deleting."""
+    import time
+
+    table.commit(
+        spark.createDataFrame([Row(k=1, v="a")]).repartition(1)
+    )
+    data_root = os.path.join(table.root, "data")
+    sub = next(
+        d for d in os.listdir(data_root)
+        if os.path.isdir(os.path.join(data_root, d))
+    )
+    young = os.path.join(data_root, sub, "part-orphan-young.parquet")
+    old = os.path.join(data_root, sub, "part-orphan-old.parquet")
+    for p in (young, old):
+        with open(p, "wb") as f:
+            f.write(b"PAR1junkPAR1")
+    os.utime(old, (time.time() - 7200, time.time() - 7200))
+
+    listed = table.vacuum(retain_last=1, min_age_seconds=3600,
+                          dry_run=True)
+    assert [os.path.basename(p) for p in listed] == [
+        "part-orphan-old.parquet"
+    ]
+    assert os.path.exists(old) and os.path.exists(young)  # dry run
+
+    removed = table.vacuum(retain_last=1, min_age_seconds=3600)
+    assert [os.path.basename(p) for p in removed] == [
+        "part-orphan-old.parquet"
+    ]
+    assert not os.path.exists(old)
+    assert os.path.exists(young)  # still inside the writer window
+    # the committed snapshot is untouched
+    assert table.snapshot().count() == 1
+    # and with no window, the young orphan goes too
+    removed2 = table.vacuum(retain_last=1)
+    assert [os.path.basename(p) for p in removed2] == [
+        "part-orphan-young.parquet"
+    ]
