@@ -7501,71 +7501,59 @@ def q125_chi2_priority_status(
     """Chi-squared test of independence between ``o_orderstatus`` and
     ``o_orderpriority`` plus Cramer's V — the categorical-association
     kernel of feature-selection and drift dashboards — with the
-    repo's exactness discipline: every margin is an exact BIGINT
+    repo's exactness discipline: every margin is an exact integer
     count, each cell's term is evaluated as
     ``(o*n - r*c)^2 / (n*r*c)`` in ONE identical IEEE-double
     expression in both engines (the inputs are integers exactly
     representable as doubles), snapped to an e12 integer per cell
     BEFORE the sum so the cross-engine total is order-independent,
-    and accumulated as DECIMAL(38,0) (HUGEINT in the oracle — a
-    BIGINT sum would wrap at extreme scale).
+    and accumulated in unbounded integer arithmetic (HUGEINT in the
+    oracle — a BIGINT sum would wrap at extreme scale).
 
-    At 100 TB: one hash-agg to |status x priority| cells (~15 rows),
-    two cell-level re-aggregations for the margins, broadcast joins
-    of three tiny frames, a 1-row result; no window, no collect of
-    raw data.  The chi-squared statistic itself scales linearly with
-    n, which is exactly why the e12 accumulator is wide."""
+    At 100 TB: ONE distributed hash-agg to the |status x priority|
+    cell table (~15 rows, map-side partial combine), then margins and
+    terms are driver arithmetic over that bounded collect — the cell
+    cardinality is fixed by the category domains, never by n.  Each
+    term is floored in arbitrary-precision Python (a BIGINT floor
+    would saturate at 2^63 once a term exceeds ~9.2e6 — terms grow
+    O(n)); the HUGEINT oracle mirrors the same unbounded arithmetic.
+    The chi-squared statistic itself scales linearly with n, which is
+    exactly why the accumulator is unbounded."""
+    import math
+
     orders = load(spark, "orders", sf_dir)
-    cell = orders.groupBy(
-        F.col("o_orderstatus").alias("f"),
-        F.col("o_orderpriority").alias("m"),
-    ).agg(F.count(F.lit(1)).alias("o"))
-    cell = cell.localCheckpoint(eager=False)
-    rm = cell.groupBy("f").agg(F.sum("o").alias("r"))
-    cm = cell.groupBy("m").agg(F.sum("o").alias("c"))
-    tot = cell.agg(F.sum("o").alias("n"))
-    terms = (
-        cell.join(F.broadcast(rm), "f")
-        .join(F.broadcast(cm), "m")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            (F.col("o") * F.col("n") - F.col("r") * F.col("c"))
-            .cast("double")
-            .alias("d"),
-            (
-                F.col("n").cast("double")
-                * F.col("r").cast("double")
-                * F.col("c").cast("double")
-            ).alias("denom"),
-            "n",
+    cells = (
+        orders.groupBy(
+            F.col("o_orderstatus").alias("f"),
+            F.col("o_orderpriority").alias("m"),
         )
+        .agg(F.count(F.lit(1)).alias("o"))
+        .collect()
     )
-    s = terms.agg(
-        F.max("n").alias("n"),
-        F.sum(
-            F.floor(
-                F.col("d") * F.col("d") / F.col("denom") * 1e12 + 0.5
-            ).cast("decimal(38,0)")
-        ).alias("chi2_e12"),
-    )
-    nr = rm.count()
-    nc = cm.count()
+    obs = {(r["f"], r["m"]): int(r["o"]) for r in cells}
+    rmarg: dict = {}
+    cmarg: dict = {}
+    for (f, mm), o in obs.items():
+        rmarg[f] = rmarg.get(f, 0) + o
+        cmarg[mm] = cmarg.get(mm, 0) + o
+    n = sum(obs.values())
+    chi2_e12 = 0
+    for (f, mm), o in obs.items():
+        # ONE identical IEEE-double expression in both engines: the
+        # integer inputs are exact as doubles, the product order is
+        # the oracle's left-associative order
+        d = float(o * n - rmarg[f] * cmarg[mm])
+        denom = float(n) * float(rmarg[f]) * float(cmarg[mm])
+        chi2_e12 += math.floor(d * d / denom * 1e12 + 0.5)
+    nr, nc = len(rmarg), len(cmarg)
     k = min(nr - 1, nc - 1)
-    return s.select(
-        F.col("n").cast("bigint").alias("n_rows"),
-        F.lit((nr - 1) * (nc - 1)).cast("bigint").alias("dof"),
-        F.expr("chi2_e12 div 1000000").cast("bigint").alias("chi2_e6"),
-        F.floor(
-            F.sqrt(
-                F.col("chi2_e12").cast("double")
-                / 1e12
-                / (F.col("n").cast("double") * F.lit(float(k)))
-            )
-            * 1e6
-            + 0.5
-        )
-        .cast("bigint")
-        .alias("cramers_v_e6"),
+    cramers = math.floor(
+        math.sqrt(float(chi2_e12) / 1e12 / (float(n) * float(k))) * 1e6
+        + 0.5
+    )
+    return spark.createDataFrame(
+        [(n, (nr - 1) * (nc - 1), chi2_e12 // 1_000_000, cramers)],
+        "n_rows bigint, dof bigint, chi2_e6 bigint, cramers_v_e6 bigint",
     )
 
 

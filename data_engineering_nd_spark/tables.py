@@ -1980,26 +1980,40 @@ class VersionedTable:
     #: :meth:`prune_partitions_range`.  month()/day()/hour() alone are
     #: deliberately absent: they cycle (month 12 < month 1 of the next
     #: year), so a range of the base column does NOT project to a range
-    #: of the transform.
+    #: of the transform.  The substring/cast-prefix shapes additionally
+    #: require a CHRONO-OR-STRING base column (second tuple element):
+    #: the string rendering of a NUMERIC column is NOT monotone
+    #: ("-5" > "-2", "9" > "10"), so a prefix of it cannot prune.
     _MONOTONE_TRANSFORM_PATTERNS = (
-        r"^year\({c}\)$",
-        r"^substr(?:ing)?\(cast\({c}asstring\),1,\d+\)$",
-        r"^date_trunc\('(?:year|quarter|month|week|day)',{c}\)$",
-        r"^trunc\({c},'(?:year|quarter|month|week|mm|mon)'\)$",
-        r"^cast\({c}asdate\)$",
-        r"^to_date\({c}\)$",
-        r"^floor\({c}/\d+(?:\.\d+)?\)$",
-        r"^{c}$",
+        (r"^year\({c}\)$", False),
+        (r"^substr(?:ing)?\(cast\({c}asstring\),1,\d+\)$", True),
+        (r"^substr(?:ing)?\({c},1,\d+\)$", True),
+        (r"^cast\({c}asstring\)$", True),
+        (r"^date_trunc\('(?:year|quarter|month|week|day)',{c}\)$", False),
+        (r"^trunc\({c},'(?:year|quarter|month|week|mm|mon)'\)$", False),
+        (r"^cast\({c}asdate\)$", True),
+        (r"^to_date\({c}\)$", True),
+        (r"^floor\({c}/\d+(?:\.\d+)?\)$", False),
+        (r"^{c}$", False),
     )
 
     @classmethod
-    def _is_monotone_transform(cls, expr: str, base_col: str) -> bool:
+    def _is_monotone_transform(
+        cls, expr: str, base_col: str, base_type_name: str
+    ) -> bool:
         norm = re.sub(r"\s+", "", expr).lower()
         norm = norm.replace("`", "")
         c = re.escape(base_col.lower())
+        chrono_or_string = base_type_name in (
+            "string",
+            "date",
+            "timestamp",
+            "timestamp_ntz",
+        )
         return any(
             re.match(p.format(c=c), norm)
-            for p in cls._MONOTONE_TRANSFORM_PATTERNS
+            and (chrono_or_string or not needs_ordered_rendering)
+            for p, needs_ordered_rendering in cls._MONOTONE_TRANSFORM_PATTERNS
         )
 
     def prune_partitions_range(
@@ -2044,15 +2058,18 @@ class VersionedTable:
             raise FileNotFoundError(f"no committed version at {self.root}")
         m = self._manifest(version)
         pexprs = m.get("partition_exprs") or {}
+        schema = _ST.fromJson(json.loads(m["schema"]))
+        fields = [f for f in schema.fields if f.name == base_col]
+        base_type_name = (
+            fields[0].dataType.typeName() if fields else ""
+        )
         usable = {
             name: expr
             for name, expr in pexprs.items()
-            if self._is_monotone_transform(expr, base_col)
+            if self._is_monotone_transform(expr, base_col, base_type_name)
         }
         bounds: dict[str, tuple] = {}
         if usable:
-            schema = _ST.fromJson(json.loads(m["schema"]))
-            fields = [f for f in schema.fields if f.name == base_col]
             if fields:
                 probe = self.spark.createDataFrame(
                     [(lo,), (hi,)], _ST(fields)
@@ -5006,8 +5023,19 @@ class VersionedTable:
                 for f in sorted(os.listdir(subdir)):
                     rel = os.path.join(_DV, sub, f)
                     if rel not in live_dv:
+                        full = os.path.join(subdir, f)
+                        # same in-flight-writer guard as the data sweep:
+                        # delete_where_dv writes its vector BEFORE the
+                        # manifest link, so a young unreferenced DV may
+                        # belong to a commit about to publish
+                        if (
+                            min_age_seconds > 0
+                            and now - os.path.getmtime(full)
+                            < min_age_seconds
+                        ):
+                            continue
                         if not dry_run:
-                            os.remove(os.path.join(subdir, f))
+                            os.remove(full)
                         if f.endswith(".parquet"):
                             removed.append(rel)
                 if not dry_run and not os.listdir(subdir):

@@ -3285,3 +3285,24 @@ def test_vacuum_age_window_spares_young_orphans(spark, table, tmp_path):
     assert [os.path.basename(p) for p in removed2] == [
         "part-orphan-young.parquet"
     ]
+
+
+def test_range_prune_refuses_string_prefix_of_numeric(spark, table):
+    """substring(cast(k as string)) on an INT column is not
+    order-preserving ("-5" > "-2", "9" > "10") — not projectable,
+    every file conservatively kept."""
+    rows = [Row(k=v, p="x") for v in (-12, -5, -2, 9, 10, 100)]
+    table.commit_partitioned(
+        spark.createDataFrame(rows),
+        [("pk", "substring(cast(k as string), 1, 2)")],
+    )
+    kept, pruned, meta = table.prune_partitions_range("k", -12, -2)
+    assert meta["projected"] == {}
+    assert meta["files_pruned"] == 0
+    got = sorted(
+        r.k
+        for r in table.scan_partitions_range("k", -12, -2)
+        .where(F.col("k").between(-12, -2))
+        .collect()
+    )
+    assert got == [-12, -5, -2]
