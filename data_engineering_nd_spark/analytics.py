@@ -7785,3 +7785,130 @@ def q127_trimmed_winsorized_mean(
         "hi_cut_cents bigint, mean_e6 bigint, trimmed_mean_e6 bigint, "
         "winsorized_mean_e6 bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# q128: exact-moment Pearson correlation matrix — covariance discipline
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q128_correlation_matrix",
+    oracle="""
+    WITH x AS (
+        SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS q,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS p,
+               CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000
+                    AS BIGINT) AS d,
+               CAST(CAST(l_tax AS DECIMAL(18,4)) * 10000 AS BIGINT) AS t
+        FROM lineitem
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               SUM(q) AS sq, SUM(p) AS sp, SUM(d) AS sd, SUM(t) AS st,
+               SUM(q*q) AS sqq, SUM(p*p) AS spp,
+               SUM(d*d) AS sdd, SUM(t*t) AS stt,
+               SUM(q*p) AS sqp, SUM(q*d) AS sqd, SUM(q*t) AS sqt,
+               SUM(p*d) AS spd, SUM(p*t) AS spt, SUM(d*t) AS sdt
+        FROM x
+    )
+    SELECT var_a, var_b, CAST(s.n AS BIGINT) AS n_rows,
+           CAST(CASE WHEN da = 0 OR db = 0 THEN NULL ELSE floor(
+               CAST(num AS DOUBLE)
+               / sqrt(CAST(da AS DOUBLE) * CAST(db AS DOUBLE))
+               * 1e6 + 0.5
+           ) END AS BIGINT) AS r_e6
+    FROM s, LATERAL (
+        SELECT * FROM (VALUES
+            ('discount', 'extendedprice', n*spd - sd*sp,
+             n*sdd - sd*sd, n*spp - sp*sp),
+            ('discount', 'quantity', n*sqd - sd*sq,
+             n*sdd - sd*sd, n*sqq - sq*sq),
+            ('discount', 'tax', n*sdt - sd*st,
+             n*sdd - sd*sd, n*stt - st*st),
+            ('extendedprice', 'quantity', n*sqp - sp*sq,
+             n*spp - sp*sp, n*sqq - sq*sq),
+            ('extendedprice', 'tax', n*spt - sp*st,
+             n*spp - sp*sp, n*stt - st*st),
+            ('quantity', 'tax', n*sqt - sq*st,
+             n*sqq - sq*sq, n*stt - st*st)
+        ) AS v(var_a, var_b, num, da, db)
+    )
+    """,
+)
+def q128_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over the four lineitem numerics
+    (quantity, extendedprice, discount, tax) — the feature-screening
+    table in front of any modeling pipeline — with the repo's exactness
+    discipline: ONE hash-aggregate computes all 15 raw moments (4 sums,
+    4 sum-of-squares, 6 cross-products, count) as exact integers
+    (DECIMAL(38,0) accumulation; a BIGINT Σx² wraps at warehouse
+    scale), then every pairwise
+    ``r = (nΣab − ΣaΣb) / sqrt((nΣa²−(Σa)²)(nΣb²−(Σb)²))``
+    is ARBITRARY-PRECISION driver arithmetic down to one identical
+    IEEE-double expression per pair (the oracle mirrors it in HUGEINT:
+    numerator and radicands exact, one cast-to-double each, same
+    operation order) — the e6 result is bit-stable cross-engine.
+
+    Versus ``F.corr``: the built-in accumulates doubles and its result
+    differs between engines in the last ulps (partition-order
+    dependent); exact integer moments make the SINGLE rounding the
+    only float step.
+
+    At 100 TB: one scan, one 1-row aggregate (map-side partial
+    combine), a literal 6-row result; moment count grows as the
+    SQUARE of the variable count — 4 variables is 15 moments, the
+    practical envelope for one pass."""
+    import math
+
+    li = load(spark, "lineitem", sf_dir).select(
+        (F.col("l_quantity").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("q"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("p"),
+        (F.col("l_discount").cast("decimal(18,4)") * 10000)
+        .cast("bigint").alias("d"),
+        (F.col("l_tax").cast("decimal(18,4)") * 10000)
+        .cast("bigint").alias("t"),
+    )
+
+    def dsum38(e):
+        return F.sum(e.cast("decimal(38,0)"))
+
+    cols = {"q": "quantity", "p": "extendedprice",
+            "d": "discount", "t": "tax"}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for a in cols:
+        aggs.append(dsum38(F.col(a)).alias(f"s{a}"))
+        aggs.append(dsum38(F.col(a) * F.col(a)).alias(f"s{a}{a}"))
+    pairs = [("q", "p"), ("q", "d"), ("q", "t"),
+             ("p", "d"), ("p", "t"), ("d", "t")]
+    for a, b in pairs:
+        aggs.append(dsum38(F.col(a) * F.col(b)).alias(f"s{a}{b}"))
+    m = li.agg(*aggs).collect()[0].asDict()
+    n = int(m["n"])
+    s = {k: int(v) for k, v in m.items() if k != "n"}
+    rows = []
+    for a, b in pairs:
+        sab = s.get(f"s{a}{b}", s.get(f"s{b}{a}"))
+        num = n * sab - s[f"s{a}"] * s[f"s{b}"]
+        da = n * s[f"s{a}{a}"] - s[f"s{a}"] ** 2
+        db = n * s[f"s{b}{b}"] - s[f"s{b}"] ** 2
+        # a zero-variance (constant) column has no defined correlation
+        # — NULL, identically CASEd in the oracle
+        r_e6 = (
+            None
+            if da == 0 or db == 0
+            else math.floor(
+                float(num) / math.sqrt(float(da) * float(db)) * 1e6
+                + 0.5
+            )
+        )
+        va, vb = sorted((cols[a], cols[b]))
+        rows.append((va, vb, n, r_e6))
+    return spark.createDataFrame(
+        sorted(rows),
+        "var_a string, var_b string, n_rows bigint, r_e6 bigint",
+    )

@@ -866,3 +866,37 @@ def test_trimmed_mean_degenerates_to_plain_mean_below_ten_rows(
     assert r.lo_cut_cents is None and r.hi_cut_cents is None
     mean = (100 + 200 + 400) * 1_000_000 // 3
     assert r.mean_e6 == r.trimmed_mean_e6 == r.winsorized_mean_e6 == mean
+
+
+def test_correlation_matrix_closed_form(spark, tmp_path):
+    """Hand-computed correlations: perfect fit, perfect anti-fit,
+    r = 0.5, and NULL for a zero-variance column."""
+    from data_engineering_nd_spark.analytics import q128_correlation_matrix
+
+    rows = pd.DataFrame(
+        {
+            # cents/e4 scalings map these to exact small integers
+            "l_quantity": [0.01, 0.02, 0.03],        # x = 1, 2, 3
+            "l_extendedprice": [0.01, 0.03, 0.02],   # y = 1, 3, 2
+            "l_discount": [0.0002, 0.0004, 0.0006],  # z = 2x
+            "l_tax": [0.0005, 0.0005, 0.0005],       # constant
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write(spark, sf, "lineitem", rows)
+    out = {
+        (r.var_a, r.var_b): r.r_e6
+        for r in q128_correlation_matrix(spark, str(sf)).collect()
+    }
+    assert len(out) == 6
+    # x vs y: r = 3/sqrt(6*6) = 0.5
+    assert out[("extendedprice", "quantity")] == 500000
+    # z = 2x: perfect fit
+    assert out[("discount", "quantity")] == 1000000
+    # y vs z: same ranks as y vs x -> 0.5
+    assert out[("discount", "extendedprice")] == 500000
+    # constant tax: no defined correlation
+    assert out[("quantity", "tax")] is None
+    assert out[("extendedprice", "tax")] is None
+    assert out[("discount", "tax")] is None
