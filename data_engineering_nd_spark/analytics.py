@@ -7889,10 +7889,20 @@ def q128_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(dsum38(F.col(a) * F.col(b)).alias(f"s{a}{b}"))
     m = li.agg(*aggs).collect()[0].asDict()
     n = int(m["n"])
+    if n == 0:
+        # oracle shape on empty input: every SUM is NULL, the CASE
+        # falls through — 6 rows, zero count, NULL correlation
+        rows = [
+            (*sorted((cols[a], cols[b])), 0, None) for a, b in pairs
+        ]
+        return spark.createDataFrame(
+            sorted(rows),
+            "var_a string, var_b string, n_rows bigint, r_e6 bigint",
+        )
     s = {k: int(v) for k, v in m.items() if k != "n"}
     rows = []
     for a, b in pairs:
-        sab = s.get(f"s{a}{b}", s.get(f"s{b}{a}"))
+        sab = s[f"s{a}{b}"]
         num = n * sab - s[f"s{a}"] * s[f"s{b}"]
         da = n * s[f"s{a}{a}"] - s[f"s{a}"] ** 2
         db = n * s[f"s{b}{b}"] - s[f"s{b}"] ** 2

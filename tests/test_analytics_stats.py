@@ -900,3 +900,28 @@ def test_correlation_matrix_closed_form(spark, tmp_path):
     assert out[("quantity", "tax")] is None
     assert out[("extendedprice", "tax")] is None
     assert out[("discount", "tax")] is None
+
+
+def test_correlation_matrix_empty_input(spark, tmp_path):
+    """Zero-row lineitem: 6 rows, zero count, NULL correlations — the
+    oracle's NULL-arithmetic fall-through shape."""
+    from data_engineering_nd_spark.analytics import q128_correlation_matrix
+
+    rows = pd.DataFrame(
+        {
+            "l_quantity": pd.Series([], dtype="float64"),
+            "l_extendedprice": pd.Series([], dtype="float64"),
+            "l_discount": pd.Series([], dtype="float64"),
+            "l_tax": pd.Series([], dtype="float64"),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write(
+        spark, sf, "lineitem", rows,
+        schema="l_quantity double, l_extendedprice double, "
+               "l_discount double, l_tax double",
+    )
+    got = q128_correlation_matrix(spark, str(sf)).collect()
+    assert len(got) == 6
+    assert all(r.n_rows == 0 and r.r_e6 is None for r in got)
