@@ -216,7 +216,7 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "q124_modal_order_priority", "q125_chi2_priority_status",
         "q126_acctbal_dispersion_by_nation", "tbl_restore_report",
         "tbl_generated_partition_report", "q127_trimmed_winsorized_mean",
-        "q128_correlation_matrix",
+        "q128_correlation_matrix", "stream_partitioned_sink",
     ], 14),
     # -- latest record: CORRECTNESS_r13.json (the 50 just-recorded) ---
     **dict.fromkeys([

@@ -1464,6 +1464,197 @@ def stream_lakehouse_sink_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Partitioned streaming sink: exactly-once hidden-partitioned appends
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_partitioned_sink",
+    # Batch oracle straight off the source: the landed table's layout is
+    # one file per (micro-batch slice, day bucket) — repartition-by-
+    # partition-value inside commit_partitioned — so files_total /
+    # files_kept restate the slice x day-bucket arithmetic, and the
+    # range-pruned answer equals the plain filtered aggregate.  The
+    # duplicate delivery of the last batch must change nothing.
+    oracle="""
+    WITH e AS (
+        SELECT event_id, epoch_us(ts) AS tus, value FROM events
+    ),
+    b AS (SELECT MIN(tus) AS mn, MAX(tus) AS mx FROM e),
+    r AS (
+        SELECT mn + (mx - mn) // 4 AS lo, mn + (mx - mn) // 2 AS hi
+        FROM b
+    ),
+    d AS (
+        SELECT DISTINCT event_id % 3 AS slice,
+               date_trunc('week', ts) AS wk
+        FROM events
+    ),
+    f AS (SELECT COUNT(*) AS files_total FROM d),
+    k AS (
+        SELECT COUNT(*) AS files_kept
+        FROM d CROSS JOIN r
+        WHERE d.wk BETWEEN date_trunc('week', make_timestamp(r.lo))
+                       AND date_trunc('week', make_timestamp(r.hi))
+    ),
+    sel AS (
+        SELECT COUNT(*) AS n_rows,
+               SUM(CAST(value AS DECIMAL(18,4))) AS tv,
+               SUM(CAST(concat('0x',
+                    substr(md5(CAST(event_id AS VARCHAR)), 1, 10))
+                    AS BIGINT)) AS ck
+        FROM e CROSS JOIN r WHERE tus BETWEEN r.lo AND r.hi
+    )
+    SELECT CAST(3 AS BIGINT) AS n_versions,
+           CAST(2 AS BIGINT) AS last_batch,
+           CAST(f.files_total AS BIGINT) AS files_total,
+           CAST(k.files_kept AS BIGINT) AS files_kept,
+           CAST(sel.n_rows AS BIGINT) AS n_rows,
+           CAST(sel.tv AS DOUBLE) AS total_value,
+           CAST(sel.ck AS BIGINT) AS id_checksum
+    FROM f CROSS JOIN k CROSS JOIN sel
+    """,
+)
+def stream_partitioned_sink_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exactly-once streaming ingestion into a HIDDEN-PARTITIONED table
+    plus transform-projected reads — this round's lakehouse features
+    composed under streaming: events arrive as three micro-batches
+    (maxFilesPerTrigger=1) and a ``foreachBatch`` writer lands each via
+    ``commit_partitioned(..., mode="append", txn=(app, batch_id))``
+    under the week-bucket transform ``p_week = date_trunc('week', ts)``.
+    The last micro-batch is then re-delivered (the at-least-once
+    recovery path) and the txn watermark must absorb it — partitioned
+    appends carry the same idempotency contract as plain commits.
+
+    The read side never names the partition column:
+    ``prune_partitions_range("ts", lo, hi)`` projects the event-time
+    bounds through the recorded transform (``partition_exprs`` carried
+    across the three append commits), and the report pins BOTH the
+    planning numbers (files kept of total — one file per slice x week,
+    restated by the oracle from the same modulus/day arithmetic) and
+    the pruned-scan answer (count, decimal-exact value total, id
+    checksum) against the plain batch oracle.  Bound arithmetic is
+    exact epoch-micros integers on both sides (min/max epoch_us, the
+    quartile offsets in integer division; a timestamp-interval
+    division would not be bit-replayable).
+
+    At 100 TB this is the standard partitioned-ingest topology: stream
+    -> foreachBatch -> partitioned append, readers prune by event-time
+    range with no knowledge of the layout."""
+    import datetime as _dt
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from data_engineering_nd_spark.catalog import load
+    from data_engineering_nd_spark.functions.hashing import md5_prefix_long
+    from data_engineering_nd_spark.tables import VersionedTable
+
+    ev = (
+        load(spark, "events", sf_dir)
+        .select("event_id", "ts", "value")
+        .localCheckpoint()
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_partsink_")
+    try:
+        os.makedirs(os.path.join(tmp, "in"))
+        now = _time.time()
+        for i in range(3):
+            _write_stream_file(
+                ev.filter(F.col("event_id") % 3 == i), tmp, f"{i}_slice",
+                now - 120 + 30 * i,
+            )
+        stream_dir = os.path.join(tmp, "in")
+        schema = spark.read.parquet(stream_dir).schema
+        table = VersionedTable(spark, os.path.join(tmp, "table"))
+        spec = [("p_week", "date_trunc('week', ts)")]
+
+        def sink(batch_df, batch_id) -> None:
+            table.commit_partitioned(
+                batch_df, spec, mode="append",
+                txn=("part-sink", int(batch_id)),
+            )
+
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        # at-least-once re-delivery of the final micro-batch: the
+        # partitioned append's txn watermark must absorb it
+        last = table.last_txn_version("part-sink")
+        versions_before = len(table.versions())
+        replay = spark.read.schema(schema).parquet(
+            os.path.join(stream_dir, "2_slice.parquet")
+        )
+        sink(replay, last)
+        assert len(table.versions()) == versions_before  # absorbed
+
+        mn, mx = ev.agg(F.min("ts"), F.max("ts")).first()
+
+        def _us(d: _dt.datetime) -> int:
+            td = d - _dt.datetime(1970, 1, 1)
+            return (
+                td.days * 86_400_000_000
+                + td.seconds * 1_000_000
+                + td.microseconds
+            )
+
+        def _ts(us: int) -> _dt.datetime:
+            return _dt.datetime(1970, 1, 1) + _dt.timedelta(
+                microseconds=us
+            )
+
+        mn_us, mx_us = _us(mn), _us(mx)
+        lo = _ts(mn_us + (mx_us - mn_us) // 4)
+        hi = _ts(mn_us + (mx_us - mn_us) // 2)
+        _, _, meta = table.prune_partitions_range("ts", lo, hi)
+        out = (
+            table.scan_partitions_range("ts", lo, hi)
+            .where(
+                F.col("ts").between(
+                    F.lit(lo).cast("timestamp_ntz"),
+                    F.lit(hi).cast("timestamp_ntz"),
+                )
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(F.col("value").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("total_value"),
+                F.sum(md5_prefix_long(F.col("event_id").cast("string")))
+                .cast("bigint")
+                .alias("id_checksum"),
+            )
+            .select(
+                F.lit(len(table.versions())).cast("bigint")
+                .alias("n_versions"),
+                F.lit(last).cast("bigint").alias("last_batch"),
+                F.lit(meta["files_total"]).cast("bigint")
+                .alias("files_total"),
+                F.lit(meta["files_kept"]).cast("bigint")
+                .alias("files_kept"),
+                "n_rows",
+                "total_value",
+                "id_checksum",
+            )
+        )
+        # output-sized; materialize before the scratch table goes away
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # Streaming CDF source: incremental change_feed micro-batches, exactly-once
 # ---------------------------------------------------------------------------
 

@@ -1743,6 +1743,7 @@ class VersionedTable:
         mode: str = "overwrite",
         read_version: int | None = None,
         max_retries: int = 10,
+        txn: tuple[str, int] | None = None,
     ) -> dict:
         """Publish df under a PARTITION SPEC (Iceberg-style hidden
         partitioning): ``spec`` is ``(partition_name, sql_expr)`` pairs
@@ -1767,6 +1768,12 @@ class VersionedTable:
         reads; size-bounded splitting within a partition is the
         ``files_per_partition`` story in ``io.py``.
 
+        ``txn=(app_id, version)`` makes the commit IDEMPOTENT exactly as
+        on :meth:`commit` (skip-before-write on a replayed batch; the
+        watermark survives restores and unrelated maintenance) — a
+        streaming ``foreachBatch`` sink can land partitioned appends
+        exactly-once.
+
         Optimistic concurrency mirrors :meth:`commit`, with the partition
         values of the staged files as the write's declared FOOTPRINT:
         against a concurrent mutation that also carries full partition
@@ -1775,6 +1782,16 @@ class VersionedTable:
         :class:`ConcurrentModification`."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+        # idempotent-txn contract, exactly as :meth:`commit`: a replayed
+        # batch at or below the app's high-water mark is SKIPPED before
+        # any file is written (the streaming foreachBatch sink's
+        # exactly-once story works for partitioned appends too)
+        if txn is not None:
+            last = self.last_txn_version(txn[0])
+            if last is not None and int(txn[1]) <= last:
+                out = dict(self._manifest(self.latest_version()))
+                out["idempotent_skip"] = True
+                return out
         pcols = [name for name, _ in spec]
         clash = set(pcols) & set(df.columns)
         if clash:
@@ -1878,6 +1895,9 @@ class VersionedTable:
                     dv=dv,
                     max_field_id=mfi_new,
                     partition_exprs_update=dict(spec),
+                    txn_update=(
+                        {txn[0]: int(txn[1])} if txn is not None else None
+                    ),
                 )
             except ConcurrentModification:
                 raise
@@ -1887,6 +1907,15 @@ class VersionedTable:
                     raise
                 # lost the link race; re-validate against the ORIGINAL
                 # basis next pass and rebase metadata-only
+                # (absorb idempotent replays that landed concurrently)
+                if txn is not None:
+                    last = self.last_txn_version(txn[0])
+                    if last is not None and int(txn[1]) <= last:
+                        out = dict(
+                            self._manifest(self.latest_version())
+                        )
+                        out["idempotent_skip"] = True
+                        return out
 
     def prune_partitions(
         self, filters: dict[str, object], version: int | None = None
@@ -1994,6 +2023,10 @@ class VersionedTable:
         (r"^cast\({c}asdate\)$", True),
         (r"^to_date\({c}\)$", True),
         (r"^floor\({c}/\d+(?:\.\d+)?\)$", False),
+        # integral division (exact on int64 where floor(x/N)'s double
+        # quotient can mis-bucket near boundaries past 2^53); trunc
+        # division is nondecreasing for N > 0 over the full signed range
+        (r"^{c}div\d+$", False),
         (r"^{c}$", False),
     )
 

@@ -3306,3 +3306,25 @@ def test_range_prune_refuses_string_prefix_of_numeric(spark, table):
         .collect()
     )
     assert got == [-12, -5, -2]
+
+
+def test_commit_partitioned_txn_idempotent(spark, table):
+    """commit_partitioned(txn=) absorbs a replayed batch exactly like
+    commit(txn=): no new version, idempotent_skip flagged, and the
+    watermark survives for the next batch id."""
+    import datetime
+
+    rows = [Row(k=i, d=datetime.date(1995, 1 + i % 3, 1)) for i in range(9)]
+    df = spark.createDataFrame(rows)
+    spec = [("p_m", "substring(cast(d as string), 1, 7)")]
+    table.commit_partitioned(df, spec, mode="append", txn=("app", 0))
+    table.commit_partitioned(df, spec, mode="append", txn=("app", 1))
+    assert len(table.versions()) == 2
+    m = table.commit_partitioned(df, spec, mode="append", txn=("app", 1))
+    assert m.get("idempotent_skip") is True
+    assert len(table.versions()) == 2          # replay absorbed
+    assert table.snapshot().count() == 18      # not 27
+    assert table.last_txn_version("app") == 1
+    m2 = table.commit_partitioned(df, spec, mode="append", txn=("app", 2))
+    assert not m2.get("idempotent_skip")
+    assert table.snapshot().count() == 27
