@@ -2779,13 +2779,20 @@ def q69_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             % w
         )
 
-    rows = li.select(
-        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("j"), "l_suppkey"
-    ).select("j", bucket(F.col("j"), F.col("l_suppkey")).alias("bucket"))
-    cms = rows.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    # Aggregate BEFORE hashing (guide §2.3): the sketch counts depend only
+    # on each key's multiplicity, so one cheap codegen hash-agg reduces the
+    # fact to |suppkey| rows and the md5 family runs d x |suppkey| times
+    # (4k at sf0.1) instead of d x |lineitem| (2.4M) — bucket counts are
+    # the identical integers, summed per (j, bucket) instead of counted.
+    per_key = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n"))
+    rows = per_key.select(
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("j"),
+        "l_suppkey",
+        "n",
+    ).select("j", bucket(F.col("j"), F.col("l_suppkey")).alias("bucket"), "n")
+    cms = rows.groupBy("j", "bucket").agg(F.sum("n").alias("c"))
     top = (
-        li.groupBy("l_suppkey")
-        .agg(F.count(F.lit(1)).alias("exact_n"))
+        per_key.select("l_suppkey", F.col("n").alias("exact_n"))
         .orderBy(F.desc("exact_n"), "l_suppkey")
         .limit(10)
     )

@@ -31,6 +31,30 @@ from data_engineering_nd_spark.catalog import load
 from data_engineering_nd_spark.registry import query
 
 
+def _spread(df: DataFrame, by: str | None = None) -> DataFrame:
+    """Repartition a frame whose planned partition count is far below the
+    session's parallelism, so heavy per-row work downstream (pair fanout +
+    cosine folds) does not serialize on one core.
+
+    The testdata parquet files are single-row-group, so their scans are
+    ONE task no matter what ``maxPartitionBytes`` says, and AQE's
+    byte-based coalescing folds the tiny exchanges these operators emit
+    down to one partition — either way the millions of interpreted dot
+    folds that follow ran single-threaded (r14 optimization round,
+    event-log profiles). At production scale the scan already has >= the
+    session's parallelism in splits and this is a no-op — the payload is
+    never re-shuffled when the layout is already parallel."""
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - planning-only guard
+        return df
+    if n >= max(2, par // 2):
+        return df
+    return df.repartition(par, by) if by else df.repartition(par)
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential left-fold dot product in double — same order DuckDB's
     list_dot_product evaluates, so results agree bit-for-bit on equal input."""
@@ -74,7 +98,9 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_vec"))
+    v = _spread(vectors).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_vec")
+    )
     sim = (
         v.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -112,7 +138,7 @@ def ivf_topk(
         F.col(vec_col).alias("q_vec"),
         F.col(cell_col).alias("cell"),
     )
-    v = vectors.select(
+    v = _spread(vectors).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("v_vec"),
         F.col(cell_col).alias("cell"),
@@ -202,7 +228,7 @@ def cosine_range_search(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    v = vectors.select(
+    v = _spread(vectors).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_vec")
     )
     return (
@@ -842,7 +868,7 @@ def knn_join(
     # sim = dot(q,v) / (q_norm · v_norm) is the exact same arithmetic as
     # cosine() per pair — same values, same multiply — so the SQL mirror
     # (which factors norms identically) still hashes bit-for-bit.
-    a = vectors.select(
+    a = _spread(vectors).select(
         F.col(id_col).alias("query_id"),
         F.col(block_col).alias("block"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
@@ -2402,32 +2428,51 @@ def nndescent_topk(
     ).localCheckpoint()  # feeds every round's vector fetch
 
     # -- init: union of per-blocking exact top-K ---------------------------
-    g = None
-    for salt in _NND_SALTS:
-        bkt = (
-            md5_prefix_long(
-                F.concat(F.col("vid").cast("string"), F.lit(salt)), 8
+    # All _NND_SALTS blockings ride ONE self-join keyed (salt, bucket) —
+    # identical pair set and per-blocking top-K to the former per-salt
+    # loop, but the quadratic-per-block dot work spreads over
+    # salts x buckets join keys instead of 3 sequential jobs whose tiny
+    # (2000-row) exchanges AQE coalesced to ONE task each (r14 opt:
+    # event-log profile showed 3 x ~3s single-task stages here).
+    par = vectors.sparkSession.sparkContext.defaultParallelism
+    vb = v.select(
+        "vid",
+        "emb",
+        F.explode(
+            F.array(
+                *[
+                    (
+                        md5_prefix_long(
+                            F.concat(
+                                F.col("vid").cast("string"), F.lit(salt)
+                            ),
+                            8,
+                        )
+                        % _NND_BUCKETS
+                        + _NND_BUCKETS * si
+                    ).alias(f"b{si}")
+                    for si, salt in enumerate(_NND_SALTS)
+                ]
             )
-            % _NND_BUCKETS
-        )
-        vb = v.withColumn("bkt", bkt)
-        a, b = vb.alias("a"), vb.alias("b")
-        sim0 = a.join(
-            b,
-            (F.col("a.bkt") == F.col("b.bkt"))
-            & (F.col("a.vid") != F.col("b.vid")),
-        ).select(
-            F.col("a.vid").alias("u"),
-            F.col("b.vid").alias("nb"),
-            dot(F.col("a.emb"), F.col("b.emb")).alias("s"),
-        )
-        w0 = Window.partitionBy("u").orderBy(F.desc("s"), "nb")
-        top = (
-            sim0.withColumn("rn", F.row_number().over(w0))
-            .filter(F.col("rn") <= _NND_K)
-            .select("u", "nb", "s")
-        )
-        g = top if g is None else g.unionByName(top)
+        ).alias("sbkt"),
+    ).repartition(par, "sbkt")
+    a, b = vb.alias("a"), vb.alias("b")
+    sim0 = a.join(
+        b,
+        (F.col("a.sbkt") == F.col("b.sbkt"))
+        & (F.col("a.vid") != F.col("b.vid")),
+    ).select(
+        F.col("a.sbkt").alias("sbkt"),
+        F.col("a.vid").alias("u"),
+        F.col("b.vid").alias("nb"),
+        dot(F.col("a.emb"), F.col("b.emb")).alias("s"),
+    )
+    w0 = Window.partitionBy("sbkt", "u").orderBy(F.desc("s"), "nb")
+    g = (
+        sim0.withColumn("rn", F.row_number().over(w0))
+        .filter(F.col("rn") <= _NND_K)
+        .select("u", "nb", "s")
+    )
     wk = Window.partitionBy("u").orderBy(F.desc("s"), "nb")
     g = (
         g.dropDuplicates(["u", "nb"])
@@ -2457,16 +2502,24 @@ def nndescent_topk(
             .filter(F.col("rn") <= _NND_CAP)
             .select("u", "nb")
         )
-        ua, ub = und.alias("ua"), und.alias("ub")
+        # the two-hop expansion fans ~96k capped edges out to millions of
+        # candidate pairs: broadcast the probe side and PIN the stream
+        # side's partition count (explicit N disables AQE coalescing,
+        # which otherwise folds the tiny pre-fanout exchange to ONE
+        # partition and runs the whole expansion + dot + dedup on a
+        # single core — r14 opt: 6.4s single-task stages per round)
+        ua, ub = und.repartition(par).alias("ua"), und.alias("ub")
         two_hop = (
-            ua.join(ub, F.col("ua.nb") == F.col("ub.u"))
+            ua.join(F.broadcast(ub), F.col("ua.nb") == F.col("ub.u"))
             .select(F.col("ua.u").alias("u"), F.col("ub.nb").alias("nb"))
             .filter(F.col("u") != F.col("nb"))
         )
-        cand = und.unionByName(two_hop).distinct()
+        cand = (
+            und.unionByName(two_hop).distinct().repartition(par, "u")
+        )
         sim = (
-            cand.join(vu, "u")
-            .join(vn, "nb")
+            cand.join(F.broadcast(vu), "u")
+            .join(F.broadcast(vn), "nb")
             .select("u", "nb", dot(F.col("ue"), F.col("ne")).alias("s"))
         )
         # localCheckpoint per round: truncates the growing lineage, same
@@ -2488,7 +2541,8 @@ def nndescent_topk(
         F.col("vid").alias("u"), F.col("emb").alias("ue")
     )
     ex_sim = (
-        v.crossJoin(F.broadcast(qs))
+        v.repartition(par)
+        .crossJoin(F.broadcast(qs))
         .filter(F.col("u") != F.col("vid"))
         .select(
             "u",
