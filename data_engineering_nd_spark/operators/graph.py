@@ -17,7 +17,7 @@ rank frame.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from data_engineering_nd_spark.catalog import load
@@ -1441,18 +1441,26 @@ def scc(
     subgraph's diameter, outer peels <= the condensation depth that
     survives trimming. Both loops carry convergence-or-raise guards —
     never a silent wrong answer. Self-loops are fine (singleton with a
-    cycle still gets scc_id = its own id)."""
+    cycle still gets scc_id = its own id).
+
+    Job shape: every fixpoint's convergence witness (row count / color
+    sum) rides the checkpoint materialization itself via ``observe`` —
+    one submitted job per iteration, not a checkpoint job plus a
+    separate count/agg action."""
     e_all = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
         .localCheckpoint()
     )
+    ob_n = Observation()
     live_nodes = (
         e_all.select(F.col("src").alias("id"))
         .union(e_all.select(F.col("dst").alias("id")))
         .distinct()
+        .observe(ob_n, F.count(F.lit(1)).alias("n"))
         .localCheckpoint()
     )
+    n_live = ob_n.get["n"]
     live_edges = e_all
     # Start from an EMPTY (id, scc_id) frame rather than None so an empty
     # edge set returns an empty DataFrame, not None (ADVICE r08) — callers
@@ -1465,20 +1473,25 @@ def scc(
         return res.unionByName(part).localCheckpoint()
 
     for _ in range(max_peels):
-        if live_nodes.isEmpty():
+        if n_live == 0:
             return out
         # -- 1. trim fixpoint ---------------------------------------------
         for _t in range(max_inner):
             has_out = live_edges.select(F.col("src").alias("id")).distinct()
             has_in = live_edges.select(F.col("dst").alias("id")).distinct()
-            keep = live_nodes.join(has_out, "id", "left_semi").join(
-                has_in, "id", "left_semi"
-            ).localCheckpoint()
-            trimmed = live_nodes.join(keep, "id", "left_anti")
-            if trimmed.isEmpty():
+            ob_k = Observation()
+            keep = (
+                live_nodes.join(has_out, "id", "left_semi")
+                .join(has_in, "id", "left_semi")
+                .observe(ob_k, F.count(F.lit(1)).alias("n"))
+                .localCheckpoint()
+            )
+            n_keep = ob_k.get["n"]
+            if n_keep == n_live:
                 break
+            trimmed = live_nodes.join(keep, "id", "left_anti")
             out = _acc(out, trimmed.select("id", F.col("id").alias("scc_id")))
-            live_nodes = keep
+            live_nodes, n_live = keep, n_keep
             live_edges = (
                 live_edges.join(
                     live_nodes.select(F.col("id").alias("src")), "src"
@@ -1489,22 +1502,29 @@ def scc(
             )
         else:
             raise RuntimeError("scc: trim fixpoint exceeded max_inner")
-        if live_nodes.isEmpty():
+        if n_live == 0:
             return out
         # -- 2. forward max-color fixpoint --------------------------------
-        colors = live_nodes.select("id", F.col("id").alias("c")).localCheckpoint()
-        prev = colors.agg(F.sum("c")).collect()[0][0]
+        ob_c0 = Observation()
+        colors = (
+            live_nodes.select("id", F.col("id").alias("c"))
+            .observe(ob_c0, F.sum("c").alias("s"))
+            .localCheckpoint()
+        )
+        prev = ob_c0.get["s"]
         for _i in range(max_inner):
             incoming = live_edges.join(
                 colors.select(F.col("id").alias("src"), F.col("c")), "src"
             ).select(F.col("dst").alias("id"), "c")
+            ob_c = Observation()
             colors = (
                 colors.unionByName(incoming)
                 .groupBy("id")
                 .agg(F.max("c").alias("c"))
+                .observe(ob_c, F.sum("c").alias("s"))
                 .localCheckpoint()
             )
-            cur = colors.agg(F.sum("c")).collect()[0][0]
+            cur = ob_c.get["s"]
             if cur == prev:
                 break
             prev = cur
@@ -1524,22 +1544,39 @@ def scc(
             .select("src", "dst", F.col("cs").alias("c"))
             .localCheckpoint()
         )
-        marked = colors.filter(F.col("c") == F.col("id")).localCheckpoint()
-        prev_n = marked.count()
+        ob_m0 = Observation()
+        marked = (
+            colors.filter(F.col("c") == F.col("id"))
+            .observe(ob_m0, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint()
+        )
+        prev_n = ob_m0.get["n"]
         for _i in range(max_inner):
             new = same_color.join(
                 marked.select(F.col("id").alias("dst"), F.col("c")),
                 ["dst", "c"],
             ).select(F.col("src").alias("id"), "c")
-            marked = marked.unionByName(new).distinct().localCheckpoint()
-            cur_n = marked.count()
+            ob_m = Observation()
+            marked = (
+                marked.unionByName(new)
+                .distinct()
+                .observe(ob_m, F.count(F.lit(1)).alias("n"))
+                .localCheckpoint()
+            )
+            cur_n = ob_m.get["n"]
             if cur_n == prev_n:
                 break
             prev_n = cur_n
         else:
             raise RuntimeError("scc: marking fixpoint exceeded max_inner")
         out = _acc(out, marked.select("id", F.col("c").alias("scc_id")))
-        live_nodes = live_nodes.join(marked, "id", "left_anti").localCheckpoint()
+        ob_l = Observation()
+        live_nodes = (
+            live_nodes.join(marked, "id", "left_anti")
+            .observe(ob_l, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint()
+        )
+        n_live = ob_l.get["n"]
         live_edges = (
             live_edges.join(live_nodes.select(F.col("id").alias("src")), "src")
             .join(live_nodes.select(F.col("id").alias("dst")), "dst")
@@ -1638,46 +1675,62 @@ def hits(
     instead of a sqrt). Returns (id, hub, authority) with 0.0 for the
     side a node does not participate in.
 
-    Scale shape per round: two equi-joins + two hash-aggs + two 1-row
-    normalization broadcasts, with a localCheckpoint per round (constant
-    plan size — the iterative-lineage rule every loop here follows).
+    Scale shape per round: the edge list is materialized TWICE up front —
+    once hash-partitioned by dst (the a-pass grouping key) and once by
+    src (the h-pass key) — so each half-round is a single shuffle-free
+    job: broadcast the node-sized score vector into the co-partitioned
+    edge scan, hash-agg on the partitioning key (no Exchange — the
+    checkpoint's partitioning satisfies the grouping distribution), and
+    read the L1 total off the same job via ``observe``. The old shape
+    paid two Exchanges plus a separate normalization job per half-round,
+    and under AQE each of those was its own scheduled job — ~135 driver
+    round-trips for 8 rounds; this shape runs ~2 per half-round.
     On the bipartite trading graph hubs are customers and authorities
     suppliers, so the two score vectors never mix; on a general digraph
-    both sides exist for every node."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    e = e.distinct().localCheckpoint()
-    hub = e.select("src").distinct().select(
+    both sides exist for every node. At cluster scale the same shape
+    holds with the broadcast swapped for a co-partitioned join
+    (bucketing.py) once the score vector outgrows a broadcast."""
+    e_dst = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition("dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    e_src = e_dst.repartition("src").localCheckpoint()
+    hub = e_src.select("src").distinct().select(
         F.col("src").alias("id"), F.lit(1.0).alias("h")
-    ).localCheckpoint()
+    )
     auth = None
     for _ in range(iterations):
+        ob_a = Observation()
         a_raw = (
-            e.join(hub.select(F.col("id").alias("src"), "h"), "src")
+            e_dst.join(
+                F.broadcast(hub.select(F.col("id").alias("src"), "h")), "src"
+            )
             .groupBy("dst")
             .agg(F.sum("h").alias("raw"))
-        )
-        a_tot = a_raw.agg(F.sum("raw").alias("tot"))
-        auth = (
-            a_raw.crossJoin(F.broadcast(a_tot))
-            .select(
-                F.col("dst").alias("id"),
-                (F.col("raw") / F.col("tot")).alias("a"),
-            )
+            .observe(ob_a, F.sum("raw").alias("tot"))
             .localCheckpoint()
         )
+        a_tot = float(ob_a.get["tot"])
+        auth = a_raw.select(
+            F.col("dst").alias("id"),
+            (F.col("raw") / F.lit(a_tot)).alias("a"),
+        )
+        ob_h = Observation()
         h_raw = (
-            e.join(auth.select(F.col("id").alias("dst"), "a"), "dst")
+            e_src.join(
+                F.broadcast(auth.select(F.col("id").alias("dst"), "a")), "dst"
+            )
             .groupBy("src")
             .agg(F.sum("a").alias("raw"))
-        )
-        h_tot = h_raw.agg(F.sum("raw").alias("tot"))
-        hub = (
-            h_raw.crossJoin(F.broadcast(h_tot))
-            .select(
-                F.col("src").alias("id"),
-                (F.col("raw") / F.col("tot")).alias("h"),
-            )
+            .observe(ob_h, F.sum("raw").alias("tot"))
             .localCheckpoint()
+        )
+        h_tot = float(ob_h.get["tot"])
+        hub = h_raw.select(
+            F.col("src").alias("id"),
+            (F.col("raw") / F.lit(h_tot)).alias("h"),
         )
     return hub.join(auth, "id", "full_outer").select(
         "id",

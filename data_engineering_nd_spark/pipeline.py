@@ -83,9 +83,17 @@ def run(
     )
 
     result = PipelineResult()
-    for name, df in tables.items():
+    # the per-table writes are independent jobs into disjoint directories;
+    # submit a few at a time so one table's straggler tail back-fills with
+    # the next table's tasks (the orchestration-level §2.6 overlap the
+    # reference delegated to Airflow's sequential DAG). pool.map preserves
+    # input order, so the result dict stays deterministic.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_one(item):
+        name, df = item
         layout = TABLE_LAYOUT.get(name, {"fmt": "parquet", "partition_keys": ()})
-        result.tables[name] = engine_io.write(
+        return name, engine_io.write(
             df,
             os.path.join(out_dir, name),
             fmt=layout["fmt"],
@@ -93,16 +101,31 @@ def run(
             partition_keys=layout["partition_keys"],
         )
 
-    # quality gate on what actually landed (one pass per table). The read
-    # gets the builder's declared schema: schema inference on an empty
-    # partitioned write (no data files) throws UNABLE_TO_INFER_SCHEMA.
-    for name, cols in (pk_checks or DEFAULT_PK_CHECKS).items():
-        if name not in result.tables:
-            continue
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        for name, written in pool.map(_write_one, list(tables.items())):
+            result.tables[name] = written
+
+    # quality gate on what actually landed (one pass per table, tables
+    # audited concurrently — each is an independent read of its own
+    # landed files). The read gets the builder's declared schema: schema
+    # inference on an empty partitioned write (no data files) throws
+    # UNABLE_TO_INFER_SCHEMA.
+    audits = [
+        (name, cols)
+        for name, cols in (pk_checks or DEFAULT_PK_CHECKS).items()
+        if name in result.tables
+    ]
+
+    def _audit_one(item):
+        name, cols = item
         landed: DataFrame = engine_io.read(
             spark, result.tables[name].path, schema=tables[name].schema
         )
-        result.quality[name] = null_audit(landed, cols, table=name)
+        return name, null_audit(landed, cols, table=name)
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        for name, audit in pool.map(_audit_one, audits):
+            result.quality[name] = audit
     return result
 
 

@@ -3784,6 +3784,13 @@ class VersionedTable:
         prev = read_version
         if prev is None:
             return self.commit(source, mode="overwrite")
+        # the caller's source is an ARBITRARY lazy plan that merge would
+        # otherwise re-execute 4-5 times (stats agg, membership join, the
+        # key broadcast, the rewrite union); a lazy localCheckpoint
+        # materializes it exactly once, batch-sized — the upsert contract
+        # is small batches, so this is match-count-scale state, never a
+        # table-scale cache
+        source = source.localCheckpoint(eager=False)
         m = self._manifest(prev)
         version = prev + 1
         self._enforce_table_checks(source, prev)
@@ -4143,6 +4150,9 @@ class VersionedTable:
         prev = read_version
         if prev is None:
             return self.commit(source, mode="overwrite")
+        # one materialization of the caller's lazy source plan instead of
+        # a re-execution per consumer (same rationale as :meth:`merge`)
+        source = source.localCheckpoint(eager=False)
         m = self._manifest(prev)
         version = prev + 1
         prev_dv = m.get("dv") or []
