@@ -4124,46 +4124,60 @@ def tbl_lifecycle_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("_commit_version").cast("string"),
             )
         )
-        frow = feed.agg(
-            *[
-                F.sum(
-                    F.when(F.col("_commit_version") == v, 1).otherwise(0)
-                ).alias(f"n_{v}")
-                for v in (2, 3, 4, 5)
-            ],
-            F.sum(feed_digest).alias("fsum"),
-        ).collect()[0]
+        key_digest = md5_prefix_long(F.col("o_orderkey").cast("string"))
+        # the feed aggregate and the final-snapshot aggregate are
+        # independent jobs — overlap them (guide §2.6) and assemble the
+        # 1-row report from the two collected rows
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_feed = pool.submit(
+                lambda: feed.agg(
+                    *[
+                        F.sum(
+                            F.when(F.col("_commit_version") == v, 1)
+                            .otherwise(0)
+                        ).alias(f"n_{v}")
+                        for v in (2, 3, 4, 5)
+                    ],
+                    F.sum(feed_digest).alias("fsum"),
+                ).collect()[0]
+            )
+            f_snap = pool.submit(
+                lambda: table.snapshot().agg(
+                    F.count(F.lit(1)).cast("bigint").alias("rows_total"),
+                    F.sum(key_digest).cast("bigint").alias("key_checksum"),
+                    F.sum(F.col("price").cast("decimal(18,2)"))
+                    .cast("double").alias("price_total"),
+                ).collect()[0]
+            )
+            frow = f_feed.result()
+            srow = f_snap.result()
         merge_feed = int(frow["n_2"] or 0)
         rename_feed = int(frow["n_3"] or 0)
         optimize_feed = int(frow["n_4"] or 0)
         delete_feed = int(frow["n_5"] or 0)
         feed_checksum = int(frow["fsum"] or 0)
-        key_digest = md5_prefix_long(F.col("o_orderkey").cast("string"))
-        out = table.snapshot().agg(
-            F.count(F.lit(1)).cast("bigint").alias("rows_total"),
-            F.sum(key_digest).cast("bigint").alias("key_checksum"),
-            F.sum(F.col("price").cast("decimal(18,2)"))
-            .cast("double").alias("price_total"),
-        ).select(
-            F.lit(len(table.versions())).cast("bigint")
-            .alias("n_versions"),
-            F.lit(part["rows_scanned"]).cast("bigint")
-            .alias("part_rows_scanned"),
-            F.lit(merge_feed).cast("bigint").alias("merge_feed_rows"),
-            F.lit(rename_feed).cast("bigint").alias("rename_feed_rows"),
-            F.lit(optimize_feed).cast("bigint")
-            .alias("optimize_feed_rows"),
-            F.lit(delete_feed).cast("bigint").alias("delete_feed_rows"),
-            F.lit(feed_checksum).cast("bigint").alias("feed_checksum"),
-            F.lit(
-                1 if zp["files_kept"] < zp["files_total"] else 0
-            ).cast("bigint").alias("z_pruned_any"),
-            "rows_total",
-            "key_checksum",
-            "price_total",
+        return spark.createDataFrame(
+            [(
+                len(table.versions()),
+                int(part["rows_scanned"]),
+                merge_feed,
+                rename_feed,
+                optimize_feed,
+                delete_feed,
+                feed_checksum,
+                1 if zp["files_kept"] < zp["files_total"] else 0,
+                int(srow["rows_total"]),
+                int(srow["key_checksum"]),
+                float(srow["price_total"]),
+            )],
+            "n_versions bigint, part_rows_scanned bigint, "
+            "merge_feed_rows bigint, rename_feed_rows bigint, "
+            "optimize_feed_rows bigint, delete_feed_rows bigint, "
+            "feed_checksum bigint, z_pruned_any bigint, "
+            "rows_total bigint, key_checksum bigint, price_total double",
         )
-        # output-sized (1 row); materialize so the scratch table can go
-        return out.localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -182,26 +182,30 @@ def minhash_lsh_pairs(
     ex = base.select("id", F.explode("shingles").alias("sh")).select(
         "id", F.xxhash64("sh").bitwiseAND(F.lit(0xFFFFFFFF)).alias("h32")
     )
+    # SQL-string builds (one parse each) — the Column-API loops here cost
+    # hundreds of py4j round trips per plan build; operators unchanged
     sig = ex.groupBy("id").agg(
-        *[F.min(_derived_hash(F.col("h32"), i)).alias(f"h{i}") for i in range(num_hashes)]
+        *[
+            F.expr(
+                f"min((h32 * {_MINHASH_AB[i][0]} + {_MINHASH_AB[i][1]}) "
+                f"% {_MINHASH_P})"
+            ).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     )
     # band bucket key = xxhash64 over that band's signature columns directly.
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'bucket', xxhash64({b}, {cols}))".format(
+            b=b,
+            cols=", ".join(
+                f"h{b * rows_per_band + j}" for j in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
     bucketed = sig.select(
         "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.lit(b),
-                            *[F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)],
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        F.explode(F.expr(f"array({band_structs})")).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     if max_bucket is not None:
         from pyspark.sql.window import Window
@@ -256,23 +260,29 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     folds per row. Empty documents produce no tokens and drop out (SimHash
     is undefined for them).
     """
+    # vote aggregates and the 64-bit fold are SQL strings parsed in one
+    # F.expr each: the Column-API loops cost ~500 py4j round trips
+    # (~1.5s of driver Python per plan build, measured) for expressions
+    # the JVM parses in milliseconds. Operators are identical.
     ex = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
     ).select("id", F.xxhash64("tok").alias("h"))
     votes = ex.groupBy("id").agg(
         *[
-            F.sum(
-                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.expr(
+                f"sum(CASE WHEN (shiftright(h, {b}) & 1) = 1 "
+                "THEN 1 ELSE -1 END)"
             ).alias(f"b{b}")
             for b in range(64)
         ]
     )
-    fp = None
-    for b in range(64):
-        bit = F.when(
-            F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
-        ).otherwise(F.lit(0).cast("long"))
-        fp = bit if fp is None else fp.bitwiseOR(bit)
+    fp = F.expr(
+        " | ".join(
+            f"(CASE WHEN b{b} > 0 THEN shiftleft(CAST(1 AS BIGINT), {b}) "
+            "ELSE CAST(0 AS BIGINT) END)"
+            for b in range(64)
+        )
+    )
     return votes.select("id", fp.alias("fp"))
 
 
@@ -1086,20 +1096,23 @@ def simhash_md5(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "id",
         F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h"),
     )
+    # SQL-string builds, one parse per expression (see simhash64)
     votes = ex.groupBy("id").agg(
         *[
-            F.sum(
-                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.expr(
+                f"sum(CASE WHEN (shiftright(h, {b}) & 1) = 1 "
+                "THEN 1 ELSE -1 END)"
             ).alias(f"b{b}")
             for b in range(_SIMHASH_MD5_BITS)
         ]
     )
-    fp = None
-    for b in range(_SIMHASH_MD5_BITS):
-        bit = F.when(
-            F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
-        ).otherwise(F.lit(0).cast("long"))
-        fp = bit if fp is None else fp.bitwiseOR(bit)
+    fp = F.expr(
+        " | ".join(
+            f"(CASE WHEN b{b} > 0 THEN shiftleft(CAST(1 AS BIGINT), {b}) "
+            "ELSE CAST(0 AS BIGINT) END)"
+            for b in range(_SIMHASH_MD5_BITS)
+        )
+    )
     return votes.select("id", fp.alias("fp"))
 
 

@@ -4295,7 +4295,26 @@ class VersionedTable:
         ``tbl_row_tracking_report``); the keyless mode additionally
         serves tables with NO natural key, and rewrite-only maintenance
         commits feed ZERO rows because every survivor pairs with itself."""
-        from pyspark.sql.types import StructType
+        from pyspark.sql.types import (
+            ArrayType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        def _evt_type(frame: DataFrame, payload_cols: list[str]):
+            """Array-of-classified-payload-struct type for the
+            single-pass feed classification (typed NULL for the
+            unchanged-survivor branch — ``explode`` emits nothing)."""
+            return ArrayType(
+                StructType(
+                    [
+                        StructField(c, frame.schema[c].dataType)
+                        for c in payload_cols
+                    ]
+                    + [StructField("_change_type", StringType())]
+                )
+            )
 
         vs = self.versions()
         if to_version is None:
@@ -4463,39 +4482,52 @@ class VersionedTable:
             # keyless output drops the internal __rid — both modes emit
             # exactly the current-schema columns
             keysel = [] if rid_mode else [F.col(c) for c in key_cols]
-            acols = [F.col(f"a.{c}").alias(c) for c in payload]
-            bcols = [F.col(f"b.{c}").alias(c) for c in payload]
-            ins = (
-                j.filter(F.col("a.__pre").isNull())
-                .select(*keysel, *bcols)
-                .withColumn("_change_type", F.lit("insert"))
-            )
-            dele = (
-                j.filter(F.col("b.__post").isNull())
-                .select(*keysel, *acols)
-                .withColumn("_change_type", F.lit("delete"))
-            )
-            both = j.filter(
-                F.col("a.__pre").isNotNull() & F.col("b.__post").isNotNull()
-            )
+            # SINGLE-PASS classification: the old shape filtered the
+            # full-outer join FOUR times (insert/delete/pre/post) and
+            # unioned the branches — four executions of the join per
+            # commit per feed. One CASE builds 0-2 classified payload
+            # structs per joined row and explode emits them: the join
+            # runs once, the row multiset is identical.
+            def _evt(side: str, ct: str):
+                return F.struct(
+                    *[F.col(f"{side}.{c}").alias(c) for c in payload],
+                    F.lit(ct).alias("_change_type"),
+                )
+
             if payload:
-                changed = both.filter(
-                    ~F.struct(*[F.col(f"a.{c}") for c in payload]).eqNullSafe(
-                        F.struct(*[F.col(f"b.{c}") for c in payload])
-                    )
+                changed_cond = ~F.struct(
+                    *[F.col(f"a.{c}") for c in payload]
+                ).eqNullSafe(
+                    F.struct(*[F.col(f"b.{c}") for c in payload])
                 )
             else:  # key-only table: presence on both sides == unchanged
-                changed = both.filter(F.lit(False))
-            upre = changed.select(*keysel, *acols).withColumn(
-                "_change_type", F.lit("update_preimage")
-            )
-            upost = changed.select(*keysel, *bcols).withColumn(
-                "_change_type", F.lit("update_postimage")
+                changed_cond = F.lit(False)
+            events = (
+                F.when(
+                    F.col("a.__pre").isNull(),
+                    F.array(_evt("b", "insert")),
+                )
+                .when(
+                    F.col("b.__post").isNull(),
+                    F.array(_evt("a", "delete")),
+                )
+                .when(
+                    changed_cond,
+                    F.array(
+                        _evt("a", "update_preimage"),
+                        _evt("b", "update_postimage"),
+                    ),
+                )
+                # unchanged survivor: NULL array — explode emits nothing
+                .otherwise(F.lit(None).cast(_evt_type(post, payload)))
             )
             part = (
-                ins.unionByName(dele)
-                .unionByName(upre)
-                .unionByName(upost)
+                j.select(*keysel, F.explode(events).alias("__e"))
+                .select(
+                    *keysel,
+                    *[F.col(f"__e.{c}").alias(c) for c in payload],
+                    F.col("__e._change_type").alias("_change_type"),
+                )
                 .withColumn("_commit_version", F.lit(v).cast("bigint"))
             )
             # commits in the range may carry different schema SHAPES
