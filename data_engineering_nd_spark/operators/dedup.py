@@ -688,13 +688,30 @@ def connected_components_star(
     convergence witness. The per-round frames carry only (bigint, bigint)
     pairs — node payloads never enter the loop.
     """
+    from pyspark.sql import Observation
+
+    def _sig_obs():
+        """(count, xxhash-checksum) observation riding a checkpoint job —
+        the convergence witness costs no separate action (decimal
+        accumulation: a sum of 64-bit hashes overflows bigint under ANSI
+        mode)."""
+        return Observation(), [
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ]
+
     und = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
     )
+    ob0, metrics0 = _sig_obs()
     cur = (
         und.union(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
+        .observe(ob0, *metrics0)
         .localCheckpoint()
     )
 
@@ -725,23 +742,18 @@ def connected_components_star(
         )
         return out.filter(F.col("src") != F.col("dst")).distinct()
 
-    def _sig(e: DataFrame) -> tuple[int, int]:
-        row = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            # decimal accumulation: a sum of 64-bit hashes overflows bigint
-            # under ANSI mode
-            F.coalesce(
-                F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
-                F.lit(0).cast("decimal(38,0)"),
-            ).alias("h"),
-        ).collect()[0]
-        return row["n"], row["h"]
-
-    prev = _sig(cur)
+    m0 = ob0.get
+    prev = (m0["n"], m0["h"])
     converged = False
     for _ in range(max_iterations):
-        cur = _small_star(_large_star(cur)).localCheckpoint()
-        sig = _sig(cur)
+        ob, metrics = _sig_obs()
+        cur = (
+            _small_star(_large_star(cur))
+            .observe(ob, *metrics)
+            .localCheckpoint()
+        )
+        m = ob.get
+        sig = (m["n"], m["h"])
         if sig == prev:
             converged = True
             break
@@ -784,33 +796,39 @@ def dedup_clusters(
     identical (id, min-reachable-id) labelling (pinned equal on random
     graphs in tests/test_dedup.py), so callers choose by topology.
     """
+    from pyspark.sql import Observation
+
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     edges = fwd.union(rev).distinct().localCheckpoint()
+    # labels only ever decrease, so sum(comp) is a strictly decreasing
+    # fixed-point witness: equal sums on consecutive rounds == converged.
+    # The witness rides each round's checkpoint job via observe — no
+    # separate aggregate action per round.
+    ob0 = Observation()
     labels = (
         edges.select("src")
         .distinct()
         .select(F.col("src").alias("id"), F.col("src").alias("comp"))
+        .observe(ob0, F.sum("comp").alias("s"))
         .localCheckpoint()
     )
-    # labels only ever decrease, so sum(comp) is a strictly decreasing
-    # fixed-point witness: equal sums on consecutive rounds == converged.
-    # One scalar aggregate per round on the checkpointed frame — cheaper
-    # than the old/new join a direct changed-row count would need.
-    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    prev_sum = ob0.get["s"]
     converged = False
     for _ in range(max_iterations):
         e, l = edges.alias("e"), labels.alias("l")
         neigh = e.join(l, F.col("e.dst") == F.col("l.id")).select(
             F.col("e.src").alias("id"), F.col("l.comp").alias("comp")
         )
+        ob = Observation()
         labels = (
             labels.unionByName(neigh)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
+            .observe(ob, F.sum("comp").alias("s"))
             .localCheckpoint()
         )
-        new_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        new_sum = ob.get["s"]
         if new_sum == prev_sum:
             converged = True
             break

@@ -1456,8 +1456,17 @@ def bpe_encode(
                     + F.when(F.col("__best").isNull(), 0).otherwise(1)
                 ).alias("rounds_applied"),
                 F.col("__best").isNotNull().alias("__changed"),
+            )
+            # the changed-count witness rides the checkpoint job itself
+            # (observe) — no separate filter/isEmpty action per round
+            from pyspark.sql import Observation
+
+            ob = Observation()
+            state = state.observe(
+                ob,
+                F.sum(F.when(F.col("__changed"), 1).otherwise(0)).alias("c"),
             ).localCheckpoint()
-            if early_stop and state.filter("__changed").isEmpty():
+            if early_stop and not ob.get["c"]:
                 break
         return state.drop("__changed")
 
@@ -1478,14 +1487,23 @@ def bpe_encode(
                 )
             ).alias("p"),
         ).select("__w", "p.lft", "p.rgt")
+        # checkpoint + observe: the old isEmpty probe executed the
+        # pr-join-agg subplan once, then the state join re-executed it —
+        # now it runs once per round and the emptiness witness rides the
+        # same job
+        from pyspark.sql import Observation
+
+        ob = Observation()
         chosen = (
             pr.join(F.broadcast(mt), ["lft", "rgt"])
             .groupBy("__w")
             .agg(F.min("rank").alias("rank"))
             .join(F.broadcast(mt), "rank")
             .select("__w", "lft", "rgt", "merged")
+            .observe(ob, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint()
         )
-        if early_stop and chosen.isEmpty():
+        if early_stop and ob.get["n"] == 0:
             break
         st = state.join(chosen, state[word_col] == chosen["__w"], "left")
         folded = _bpe_merge_fold(
