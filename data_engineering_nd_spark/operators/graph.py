@@ -1675,36 +1675,33 @@ def hits(
     instead of a sqrt). Returns (id, hub, authority) with 0.0 for the
     side a node does not participate in.
 
-    Scale shape per round: the edge list is materialized TWICE up front —
-    once hash-partitioned by dst (the a-pass grouping key) and once by
-    src (the h-pass key) — so each half-round is a single shuffle-free
-    job: broadcast the node-sized score vector into the co-partitioned
-    edge scan, hash-agg on the partitioning key (no Exchange — the
-    checkpoint's partitioning satisfies the grouping distribution), and
-    read the L1 total off the same job via ``observe``. The old shape
-    paid two Exchanges plus a separate normalization job per half-round,
-    and under AQE each of those was its own scheduled job — ~135 driver
-    round-trips for 8 rounds; this shape runs ~2 per half-round.
+    Scale shape per round: the node-sized score vector BROADCASTS into
+    the checkpointed edge scan (the edge side never shuffles — the old
+    shape exchanged edge-sized contribution streams every half-round),
+    the hash-agg exchanges only its partial-aggregate output (node-
+    count-sized rows), and the L1 normalization total rides the same
+    job via ``observe`` → literal divisor. The old shape additionally
+    ran the full edge-join TWICE per half-round (once under the
+    broadcast-total subtree, once in the checkpoint) — ~135 driver
+    round-trips for 8 rounds; this shape runs ~2 jobs per half-round.
     On the bipartite trading graph hubs are customers and authorities
     suppliers, so the two score vectors never mix; on a general digraph
     both sides exist for every node. At cluster scale the same shape
     holds with the broadcast swapped for a co-partitioned join
     (bucketing.py) once the score vector outgrows a broadcast."""
-    e_dst = (
+    e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .repartition("dst")
         .distinct()
         .localCheckpoint()
     )
-    e_src = e_dst.repartition("src").localCheckpoint()
-    hub = e_src.select("src").distinct().select(
+    hub = e.select("src").distinct().select(
         F.col("src").alias("id"), F.lit(1.0).alias("h")
     )
     auth = None
     for _ in range(iterations):
         ob_a = Observation()
         a_raw = (
-            e_dst.join(
+            e.join(
                 F.broadcast(hub.select(F.col("id").alias("src"), "h")), "src"
             )
             .groupBy("dst")
@@ -1719,7 +1716,7 @@ def hits(
         )
         ob_h = Observation()
         h_raw = (
-            e_src.join(
+            e.join(
                 F.broadcast(auth.select(F.col("id").alias("dst"), "a")), "dst"
             )
             .groupBy("src")
