@@ -2778,13 +2778,23 @@ def tbl_change_feed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     work = tempfile.mkdtemp(prefix="tbl_change_feed_")
     try:
-        table = VersionedTable(spark, work)
+        # versions 0..7, one range-chunk file each: ONE partitionBy
+        # write lays down all 8 chunk files in a single job, then
+        # add_files registers each chunk as its own commit
+        # METADATA-ONLY — identical file boundaries and version
+        # history to the former 8 sequential commit writes, minus 7
+        # write jobs (r14 opt; the add_files docstring's 100 TB
+        # boundary-control pattern applied to the fixture itself)
+        staging = work + "/staging"
+        base.withColumn(
+            "cid", F.expr(f"o_orderkey div {width}")
+        ).repartition(1).write.partitionBy("cid").parquet(staging)
+        table = VersionedTable(spark, work + "/table")
         for i in range(8):  # versions 0..7: one range-chunk file each
-            chunk = base.filter(
-                (F.col("o_orderkey") >= i * width)
-                & (F.col("o_orderkey") < (i + 1) * width)
-            ).repartition(1)
-            table.commit(chunk, mode="overwrite" if i == 0 else "append")
+            table.add_files(
+                f"{staging}/cid={i}",
+                mode="overwrite" if i == 0 else "append",
+            )
         updates = base.filter(
             (F.col("o_orderkey") % 5 == 0)
             & F.col("o_orderkey").between(lo, hi)
@@ -3304,13 +3314,20 @@ def tbl_skipping_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="tbl_skipping_")
     try:
-        table = VersionedTable(spark, work)
+        # ONE partitionBy write stages all 8 range-chunk files (single
+        # job), then add_files registers each as its own commit
+        # metadata-only — same boundaries/manifests as the former 8
+        # sequential commit writes, minus 7 write jobs (r14 opt)
+        staging = work + "/staging"
+        orders.withColumn(
+            "cid", F.expr(f"o_orderkey div {width}")
+        ).repartition(1).write.partitionBy("cid").parquet(staging)
+        table = VersionedTable(spark, work + "/table")
         for i in range(8):
-            chunk = orders.filter(
-                (F.col("o_orderkey") >= i * width)
-                & (F.col("o_orderkey") < (i + 1) * width)
-            ).repartition(1)
-            table.commit(chunk, mode="overwrite" if i == 0 else "append")
+            table.add_files(
+                f"{staging}/cid={i}",
+                mode="overwrite" if i == 0 else "append",
+            )
 
         _, _, meta = table.prune_files("o_orderkey", lo, hi)
         key_digest = md5_prefix_long(F.col("o_orderkey").cast("string"))
@@ -6774,10 +6791,18 @@ def tbl_log_checkpoint_report_query(
             spark, work + "/table", checkpoint_interval=5
         )
         n_commits = 13
+        # ONE partitionBy write stages all 13 modulus slices (one pass
+        # over orders instead of 13 filtered re-scans), then add_files
+        # lands each slice as its own commit metadata-only — same
+        # 13-version history, checkpoint roll at v4/v9 unchanged
+        # (checkpointing rides _publish, which add_files shares)
+        staging = work + "/staging"
+        orders.withColumn(
+            "m", F.col("o_orderkey") % n_commits
+        ).repartition(1).write.partitionBy("m").parquet(staging)
         for i in range(n_commits):
-            table.commit(
-                orders.filter(F.col("o_orderkey") % n_commits == i),
-                mode="append" if i else "overwrite",
+            table.add_files(
+                f"{staging}/m={i}", mode="append" if i else "overwrite"
             )
         with_ck = VersionedTable(spark, work + "/table")
         no_ck = VersionedTable(

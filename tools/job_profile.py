@@ -39,6 +39,10 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": evdir,
+            # sandboxes may lack both the zstd binary and the zstandard
+            # module — write the log uncompressed
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.compression.codec": "none",
         },
     )
     qs = entry_mod.queries()
@@ -67,8 +71,17 @@ def main() -> None:
 
     def _lines(path):
         if path.endswith(".zstd"):
-            p = subprocess.run(["zstd", "-dc", path], capture_output=True, text=True)
-            return p.stdout.splitlines()
+            try:
+                p = subprocess.run(
+                    ["zstd", "-dc", path], capture_output=True, text=True
+                )
+                return p.stdout.splitlines()
+            except FileNotFoundError:
+                import zstandard  # bundled with pyarrow envs
+
+                with open(path, "rb") as f:
+                    raw = zstandard.ZstdDecompressor().stream_reader(f).read()
+                return raw.decode("utf-8", "replace").splitlines()
         with open(path) as f:
             return f.read().splitlines()
 
