@@ -3190,8 +3190,16 @@ def tbl_cdc_apply_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame
         table.commit(base)                                    # v0
         table.merge(upd.unionByName(ins), ["k"])              # v1
         table.delete_where("k", lo=0, hi=mx // 10)            # v2
-        feed = table.change_feed(["k"], from_version=0, to_version=2)
-        n_feed = feed.count()
+        # the feed has TWO consumers (row count + replay) — materialize
+        # it once, feed-sized, instead of re-running the per-commit
+        # file-diff read for each; the count rides the checkpoint
+        # materialization itself via observe (no separate count job)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        feed = table.change_feed(
+            ["k"], from_version=0, to_version=2
+        ).observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint()
         applied = apply_change_feed(table.snapshot(version=0), feed, ["k"])
         key_digest = md5_prefix_long(F.col("k").cast("string"))
         pay_digest = md5_prefix_long(F.col("payload"))
@@ -3203,13 +3211,28 @@ def tbl_cdc_apply_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame
                 F.sum(pay_digest).cast("bigint").alias("pc"),
             ).collect()[0]
 
-        got = _sig(applied)
-        want = _sig(table.snapshot())
+        # replayed-state sig, v2-snapshot sig and the feed count are
+        # mutually independent jobs over checkpointed/committed state —
+        # overlap them (guide §2.6); n_base comes from the v0 manifest's
+        # recorded per-file row counts (metadata) instead of a second
+        # orders-derived scan
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_got = pool.submit(_sig, applied)
+            f_want = pool.submit(_sig, table.snapshot())
+            got, want = f_got.result(), f_want.result()
+        n_feed = int(obs.get["n"])
+        m0 = table._manifest(0)
+        n_base = sum(
+            st["num_rows"]
+            for st in table._file_stats(m0["files"], m0).values()
+        )
         match = int(tuple(got) == tuple(want))
         out = spark.createDataFrame(
             [
                 (
-                    base.count(),
+                    n_base,
                     n_feed,
                     got["n"],
                     got["kc"],

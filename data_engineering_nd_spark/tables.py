@@ -3663,15 +3663,26 @@ class VersionedTable:
                 bounds.append((f, cs["min"], cs["max"]))
         if not bounds:
             return list(m["files"]), []
-        row = source.agg(
-            F.min(key).alias("mn"), F.max(key).alias("mx")
-        ).collect()[0]
-        smin, smax = row["mn"], row["mx"]
-        if smin is None:  # all-null source keys: nothing can match
-            return no_stats, [f for f, _, _ in bounds]
-        overlap = [(f, mn, mx) for f, mn, mx in bounds
-                   if not (mx < smin or mn > smax)]
-        pruned = [f for f, mn, mx in bounds if mx < smin or mn > smax]
+        if len(bounds) <= membership_cap:
+            # the whole file list already fits the exact membership
+            # join below — the range pre-filter's only job is to SHRINK
+            # the list to that cap, and running its source min/max
+            # aggregate here would be a pure extra driver round-trip: a
+            # file with no actual key hit is pruned by the join whether
+            # or not its interval overlaps the source range, so the
+            # returned (candidates, pruned) split is identical (r14
+            # opt: one fewer collect per merge across every fixture)
+            overlap, pruned = list(bounds), []
+        else:
+            row = source.agg(
+                F.min(key).alias("mn"), F.max(key).alias("mx")
+            ).collect()[0]
+            smin, smax = row["mn"], row["mx"]
+            if smin is None:  # all-null source keys: nothing can match
+                return no_stats, [f for f, _, _ in bounds]
+            overlap = [(f, mn, mx) for f, mn, mx in bounds
+                       if not (mx < smin or mn > smax)]
+            pruned = [f for f, mn, mx in bounds if mx < smin or mn > smax]
         if overlap and len(overlap) <= membership_cap:
             ktype = source.schema[key].dataType
             bdf = self.spark.createDataFrame(
