@@ -4338,7 +4338,10 @@ def tbl_restore_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         table.restore(1)                                        # v3
         snap3 = table.snapshot(3)
         snap2 = table.snapshot(2)
-        feed = table.change_feed(None, 2, 3)  # keyless: row-id pairing
+        # keyless feed (row-id pairing); TWO union branches below read
+        # it — materialize the per-commit file-diff join once,
+        # feed-sized, instead of executing it per branch (r14 opt)
+        feed = table.change_feed(None, 2, 3).localCheckpoint()
         ins_feed = feed.where(F.col("_change_type") == "insert")
         other_feed = feed.where(F.col("_change_type") != "insert")
         zero = F.lit(0).cast("bigint")
