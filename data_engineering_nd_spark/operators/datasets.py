@@ -2681,6 +2681,25 @@ def tbl_snapshot_diff_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _stage_slice_commits(table, df, part_expr, n: int, staging: str) -> None:
+    """Land ``n`` integer-valued slices of ``df`` (``part_expr`` maps a
+    row to its slice id 0..n-1) as versions 0..n-1 of ``table``: ONE
+    ``partitionBy`` write job stages every slice file, then ``add_files``
+    registers each slice directory as its own commit METADATA-ONLY
+    (footer stats + manifest — no further Spark job). Identical file
+    boundaries, version history, checkpoint roll and stats to an
+    n-iteration ``commit()`` loop, minus n-1 write jobs (r14 opt; the
+    ``add_files`` docstring's 100 TB boundary-control pattern)."""
+    df.withColumn("__slice", part_expr).repartition(1).write.partitionBy(
+        "__slice"
+    ).parquet(staging)
+    for i in range(n):
+        table.add_files(
+            f"{staging}/__slice={i}",
+            mode="overwrite" if i == 0 else "append",
+        )
+
+
 @query(
     "tbl_change_feed",
     # orders is committed as 8 single-file range chunks (width =
@@ -2778,23 +2797,12 @@ def tbl_change_feed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     work = tempfile.mkdtemp(prefix="tbl_change_feed_")
     try:
-        # versions 0..7, one range-chunk file each: ONE partitionBy
-        # write lays down all 8 chunk files in a single job, then
-        # add_files registers each chunk as its own commit
-        # METADATA-ONLY — identical file boundaries and version
-        # history to the former 8 sequential commit writes, minus 7
-        # write jobs (r14 opt; the add_files docstring's 100 TB
-        # boundary-control pattern applied to the fixture itself)
-        staging = work + "/staging"
-        base.withColumn(
-            "cid", F.expr(f"o_orderkey div {width}")
-        ).repartition(1).write.partitionBy("cid").parquet(staging)
         table = VersionedTable(spark, work + "/table")
-        for i in range(8):  # versions 0..7: one range-chunk file each
-            table.add_files(
-                f"{staging}/cid={i}",
-                mode="overwrite" if i == 0 else "append",
-            )
+        # versions 0..7: one range-chunk file each, staged in ONE write
+        _stage_slice_commits(
+            table, base, F.expr(f"o_orderkey div {width}"), 8,
+            work + "/staging",
+        )
         updates = base.filter(
             (F.col("o_orderkey") % 5 == 0)
             & F.col("o_orderkey").between(lo, hi)
@@ -3337,20 +3345,12 @@ def tbl_skipping_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="tbl_skipping_")
     try:
-        # ONE partitionBy write stages all 8 range-chunk files (single
-        # job), then add_files registers each as its own commit
-        # metadata-only — same boundaries/manifests as the former 8
-        # sequential commit writes, minus 7 write jobs (r14 opt)
-        staging = work + "/staging"
-        orders.withColumn(
-            "cid", F.expr(f"o_orderkey div {width}")
-        ).repartition(1).write.partitionBy("cid").parquet(staging)
         table = VersionedTable(spark, work + "/table")
-        for i in range(8):
-            table.add_files(
-                f"{staging}/cid={i}",
-                mode="overwrite" if i == 0 else "append",
-            )
+        # 8 single-file range chunks, staged in ONE write
+        _stage_slice_commits(
+            table, orders, F.expr(f"o_orderkey div {width}"), 8,
+            work + "/staging",
+        )
 
         _, _, meta = table.prune_files("o_orderkey", lo, hi)
         key_digest = md5_prefix_long(F.col("o_orderkey").cast("string"))
@@ -6817,19 +6817,13 @@ def tbl_log_checkpoint_report_query(
             spark, work + "/table", checkpoint_interval=5
         )
         n_commits = 13
-        # ONE partitionBy write stages all 13 modulus slices (one pass
-        # over orders instead of 13 filtered re-scans), then add_files
-        # lands each slice as its own commit metadata-only — same
-        # 13-version history, checkpoint roll at v4/v9 unchanged
+        # 13 modulus slices in ONE staged pass over orders instead of
+        # 13 filtered re-scans; checkpoint roll at v4/v9 unchanged
         # (checkpointing rides _publish, which add_files shares)
-        staging = work + "/staging"
-        orders.withColumn(
-            "m", F.col("o_orderkey") % n_commits
-        ).repartition(1).write.partitionBy("m").parquet(staging)
-        for i in range(n_commits):
-            table.add_files(
-                f"{staging}/m={i}", mode="append" if i else "overwrite"
-            )
+        _stage_slice_commits(
+            table, orders, F.col("o_orderkey") % n_commits, n_commits,
+            work + "/staging",
+        )
         with_ck = VersionedTable(spark, work + "/table")
         no_ck = VersionedTable(
             spark, work + "/table", use_checkpoints=False

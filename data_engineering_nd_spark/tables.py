@@ -3449,7 +3449,8 @@ class VersionedTable:
             self._enforce_table_checks(
                 self.spark.read.parquet(*src_files), prev
             )
-        rel_dir = os.path.join(_DATA, f"v{version:011d}-{uuid.uuid4().hex[:8]}")
+        salt = uuid.uuid4().hex[:8]
+        rel_dir = os.path.join(_DATA, f"v{version:011d}-{salt}")
         os.makedirs(os.path.join(self.root, rel_dir), exist_ok=True)
         files = []
         # shutil.move, not os.rename: staging on another mount (EXDEV)
@@ -3457,8 +3458,15 @@ class VersionedTable:
         # here still cannot corrupt the table — nothing is committed
         # until _publish, and the salted rel_dir holds any partially
         # moved files where vacuum() collects them as ordinary orphans.
+        # The commit salt goes into each BASENAME too: merge/merge_when
+        # match affected files by basename (Spark part names embed a
+        # per-job UUID, but two add_files calls can register files from
+        # ONE staging write — e.g. partitionBy dirs — whose basenames
+        # collide across commits without it).
         for i, src in enumerate(src_files):
-            rel = os.path.join(rel_dir, f"part-{i:05d}-{os.path.basename(src)}")
+            rel = os.path.join(
+                rel_dir, f"part-{i:05d}-{salt}-{os.path.basename(src)}"
+            )
             shutil.move(src, os.path.join(self.root, rel))
             files.append(rel)
         sizes = self._file_sizes(files)
@@ -3643,9 +3651,20 @@ class VersionedTable:
            survives only if at least one ACTUAL source key falls inside
            its [min, max]. Implemented as source-keys ⋈ broadcast(file
            boundaries) — cost |source| x |surviving files|, so it only
-           runs when stage 1 left ≤ ``membership_cap`` files (at 100 TB
-           stage 1 already cut the list to the overlap neighborhood;
-           nested-loop over an unbounded file list would not scale).
+           runs when ≤ ``membership_cap`` files remain after stage 1
+           (at 100 TB stage 1 already cut the list to the overlap
+           neighborhood; nested-loop over an unbounded file list would
+           not scale).
+
+        When the table's whole stats-bearing file list already fits the
+        cap, stage 1's SEPARATE driver round-trip is skipped and the
+        range overlap rides the membership join itself: the broadcast
+        boundary table is filtered against the source's min/max inside
+        the same submitted job, so the nested loop still only sees
+        range-overlapping files but the merge pays one collect instead
+        of two (r14 opt). The (candidates, pruned) split is identical
+        either way — a file with no actual key hit is pruned by the
+        join whether or not its interval overlaps the source range.
 
         Files with no recorded stats for ``key`` are always candidates
         (conservative — correctness never depends on stats existing).
@@ -3663,15 +3682,10 @@ class VersionedTable:
                 bounds.append((f, cs["min"], cs["max"]))
         if not bounds:
             return list(m["files"]), []
-        if len(bounds) <= membership_cap:
-            # the whole file list already fits the exact membership
-            # join below — the range pre-filter's only job is to SHRINK
-            # the list to that cap, and running its source min/max
-            # aggregate here would be a pure extra driver round-trip: a
-            # file with no actual key hit is pruned by the join whether
-            # or not its interval overlaps the source range, so the
-            # returned (candidates, pruned) split is identical (r14
-            # opt: one fewer collect per merge across every fixture)
+        fused_range = len(bounds) <= membership_cap
+        if fused_range:
+            # skip stage 1's separate collect; the range prune rides
+            # the membership join's broadcast build below instead
             overlap, pruned = list(bounds), []
         else:
             row = source.agg(
@@ -3693,6 +3707,21 @@ class VersionedTable:
                 F.col("__mn").cast(ktype).alias("__mn"),
                 F.col("__mx").cast(ktype).alias("__mx"),
             )
+            if fused_range:
+                # the range prune, folded into the broadcast build: the
+                # boundary table is filtered against the source's
+                # min/max INSIDE this job, so the nested loop below
+                # still iterates only range-overlapping files (a huge
+                # disjoint-range batch costs |files| interval checks,
+                # not |keys| x |files|) — but no separate driver
+                # round-trip ran for it
+                rng = source.agg(
+                    F.min(key).alias("__smn"), F.max(key).alias("__smx")
+                )
+                bdf = bdf.crossJoin(F.broadcast(rng)).where(
+                    (F.col("__mx") >= F.col("__smn"))
+                    & (F.col("__mn") <= F.col("__smx"))
+                ).select("__mfile", "__mn", "__mx")
             hit = {
                 r["__mfile"]
                 for r in source.select(F.col(key).alias("__k"))

@@ -35,6 +35,9 @@ def main() -> None:
     warmup(spark, args.sf)
 
     names = args.queries or sorted(qs)
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        sys.exit(f"unknown queries: {unknown}; see entry.queries()")
     rows = []
     for name in names:
         t0 = time.perf_counter()

@@ -42,7 +42,6 @@ def main() -> None:
             # sandboxes may lack both the zstd binary and the zstandard
             # module — write the log uncompressed
             "spark.eventLog.compress": "false",
-            "spark.eventLog.compression.codec": "none",
         },
     )
     qs = entry_mod.queries()
