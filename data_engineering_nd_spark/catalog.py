@@ -11,10 +11,24 @@ schema-merging on huge multi-file tables.
 from __future__ import annotations
 
 import os
+import threading
 from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Session confs are process-wide, but this engine overlaps independent
+# jobs on driver thread pools (guide §2.6: i94 table writes, feed
+# evaluations, the test suite's query sweeps). Two overlapping scopes of
+# the SAME key/value are reference-counted so an out-of-order exit cannot
+# restore the conf while a sibling scope still runs (the latent race of
+# the naive save/set/restore form). Scopes of the same key with DIFFERENT
+# values fall back to plain save/set/restore — no such pairing exists in
+# the codebase (nanosAsLong/"true", outputTimestampType/"MICROS",
+# shuffle.partitions/"8" per stream, adaptive.enabled/"false" per gated
+# graph loop), and serial nesting keeps its old semantics.
+_CONF_LOCK = threading.RLock()
+_CONF_STATE: dict[str, list] = {}  # key -> [refcount, prev, value]
 
 
 @contextmanager
@@ -23,19 +37,44 @@ def scoped_conf(spark: SparkSession, key: str, value: str):
     prior value (or unset). DataFrames DEFINED inside the block keep the
     scoped value — Spark captures the conf into the relation at read
     creation — while unrelated reads elsewhere in the session are never
-    silently affected."""
-    try:
-        prev = spark.conf.get(key)
-    except Exception:
-        prev = None
-    spark.conf.set(key, value)
+    silently affected. Concurrency-safe for same-value scopes (see
+    _CONF_STATE above)."""
+    with _CONF_LOCK:
+        st = _CONF_STATE.get(key)
+        shared = st is None or st[2] == value
+        if st is None:
+            try:
+                prev = spark.conf.get(key)
+            except Exception:
+                prev = None
+            spark.conf.set(key, value)
+            _CONF_STATE[key] = [1, prev, value]
+        elif shared:
+            st[0] += 1
+        else:  # different value: legacy save/set/restore (serial nesting)
+            try:
+                prev = spark.conf.get(key)
+            except Exception:
+                prev = None
+            spark.conf.set(key, value)
     try:
         yield
     finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
+        with _CONF_LOCK:
+            if shared:
+                st = _CONF_STATE[key]
+                st[0] -= 1
+                if st[0] == 0:
+                    del _CONF_STATE[key]
+                    if st[1] is None:
+                        spark.conf.unset(key)
+                    else:
+                        spark.conf.set(key, st[1])
+            else:
+                if prev is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, prev)
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 

@@ -23,6 +23,65 @@ from pyspark.sql import functions as F
 from data_engineering_nd_spark.catalog import load
 from data_engineering_nd_spark.registry import query
 
+# Max row count of a node-sized score/label vector that the iterative
+# operators may broadcast into their checkpointed edge scan. A rank row is
+# ~16 bytes of data (long id + double) — 4M rows builds a relation in the
+# low hundreds of MB, inside the guide's broadcast comfort zone and far
+# from the 8 GB / 512M-row hard cap. Above it the per-round join falls
+# back to the shuffle path (the score vector is exchanged; the edge side
+# is exchanged once per round, which is the correct trade once the vector
+# no longer fits every executor). Parameterised so a cluster deployment
+# can raise it with driver/executor memory (VERDICT r14 #2/#3).
+_BCAST_NODE_LIMIT_CONF = "spark.graft.graph.broadcastNodeLimit"
+_BCAST_NODE_LIMIT_DEFAULT = 4_000_000
+
+
+def _bcast_limit(df: DataFrame) -> int:
+    try:
+        return int(
+            df.sparkSession.conf.get(
+                _BCAST_NODE_LIMIT_CONF, str(_BCAST_NODE_LIMIT_DEFAULT)
+            )
+        )
+    except ValueError:
+        return _BCAST_NODE_LIMIT_DEFAULT
+
+
+def _gated_broadcast(df: DataFrame, n_rows: int | None) -> DataFrame:
+    """Broadcast hint a node-count-sized frame ONLY when its (observed)
+    row count is known to fit ``spark.graft.graph.broadcastNodeLimit``.
+
+    The iterative graph operators learn their node counts for free — the
+    counts ride the loop's own materialization jobs via ``Observation`` —
+    so the gate costs nothing. Returning the frame unhinted restores the
+    shuffle join, which is the right plan once the vector outgrows what a
+    driver/executor can hold (an ungated ``F.broadcast`` of a node vector
+    is an OOM at 10^9-node scale)."""
+    if n_rows is not None and n_rows <= _bcast_limit(df):
+        return F.broadcast(df)
+    return df
+
+
+def _loop_exec_conf(spark: SparkSession, broadcasting: bool):
+    """Execution conf for a gated-broadcast iteration loop.
+
+    When the broadcast gate is OPEN, every exchange inside the loop is
+    provably tiny — the score/label vector fits a broadcast, and the only
+    shuffles carry node-count-bounded partial-aggregate rows — so AQE's
+    per-exchange re-planning (one driver round-trip per stage, the
+    measured floor of these loops at bench scale) buys nothing; disable
+    it for the loop's actions. When the gate is CLOSED (the vector
+    outgrew the broadcast limit), AQE stays on: coalescing and skew
+    handling earn their keep on rank-vector-sized exchanges. The switch
+    therefore scales with the data, not with the local core count."""
+    from contextlib import nullcontext
+
+    from data_engineering_nd_spark.catalog import scoped_conf
+
+    if broadcasting:
+        return scoped_conf(spark, "spark.sql.adaptive.enabled", "false")
+    return nullcontext()
+
 
 def pagerank(
     edges: DataFrame,
@@ -42,13 +101,15 @@ def pagerank(
     """
     from pyspark.sql.window import Window
 
-    # Loop-invariant work, done ONCE and materialized hash-partitioned by
-    # src (localCheckpoint preserves outputPartitioning), so every round's
-    # ranks ⋈ edges join shuffles only the small rank frame — the edges
-    # never move again. Normalization by the source's total outgoing weight
-    # uses a window over the src partitioning instead of a separate
-    # aggregate + self-join: one shuffle fewer in setup, and exact — the
-    # weights are integer counts, so the window sum is order-independent.
+    # Loop-invariant work, done ONCE and materialized. (localCheckpoint
+    # surfaces as Scan ExistingRDD with UnknownPartitioning — r14 plan
+    # capture — so the per-round join must NOT rely on a preserved src
+    # partitioning; the loop below broadcasts the rank vector into the
+    # edge scan instead, and the edges never move again.) Normalization
+    # by the source's total outgoing weight uses a window over the src
+    # partitioning instead of a separate aggregate + self-join: one
+    # shuffle fewer in setup, and exact — the weights are integer counts,
+    # so the window sum is order-independent.
     w_src = Window.partitionBy("src")
     e_norm = (
         edges.groupBy(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -91,55 +152,64 @@ def pagerank(
 
     ranks = nodes.select("id", F.lit(1.0).alias("rank")).localCheckpoint()
 
-    for it in range(iterations):
-        # One equi-join + one hash-agg: contributions flowing into each dst.
-        contribs = (
-            ranks.join(e_norm, ranks.id == e_norm.src)
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum(F.col("rank") * F.col("nw")).alias("c"))
-        )
-        if n_dangling:
-            # localCheckpoint: contribs feeds BOTH the dangling-mass
-            # aggregate and the rank update — materialize once instead of
-            # running the join+agg twice. Dangling mass without touching
-            # the rank frame again: every non-dangling source's rank flows
-            # fully into contribs (its nw sums to 1), so
-            # sum(contribs) = N - dangling_mass.
-            contribs = contribs.localCheckpoint()
-            dmass = contribs.agg(
-                (F.lit(float(n_nodes)) - F.coalesce(F.sum("c"), F.lit(0.0))).alias(
-                    "dm"
+    with _loop_exec_conf(edges.sparkSession, n_nodes <= _bcast_limit(edges)):
+        for it in range(iterations):
+            # One equi-join + one hash-agg: contributions flowing into each
+            # dst. The node-sized rank vector BROADCASTS into the checkpointed
+            # edge scan (gated on the observed node count — see
+            # _gated_broadcast): the edge side never re-shuffles, and the only
+            # Exchange per round carries the partial-aggregate output
+            # (node-count-sized rows). The ungated shape exchanged BOTH sides
+            # every round — an edge-sized shuffle write per iteration (r15
+            # plan capture: SortMergeJoin with two Exchanges).
+            rb = _gated_broadcast(ranks, n_nodes)
+            contribs = (
+                rb.join(e_norm, rb.id == e_norm.src)
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum(F.col("rank") * F.col("nw")).alias("c"))
+            )
+            if n_dangling:
+                # localCheckpoint: contribs feeds BOTH the dangling-mass
+                # aggregate and the rank update — materialize once instead of
+                # running the join+agg twice. Dangling mass without touching
+                # the rank frame again: every non-dangling source's rank flows
+                # fully into contribs (its nw sums to 1), so
+                # sum(contribs) = N - dangling_mass.
+                contribs = contribs.localCheckpoint()
+                dmass = contribs.agg(
+                    (F.lit(float(n_nodes)) - F.coalesce(F.sum("c"), F.lit(0.0))).alias(
+                        "dm"
+                    )
                 )
+                inflow = F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") / F.lit(
+                    float(n_nodes)
+                )
+                updated = nodes.join(contribs, "id", "left").crossJoin(
+                    F.broadcast(dmass)
+                )
+            elif n_no_in:
+                inflow = F.coalesce(F.col("c"), F.lit(0.0))
+                updated = nodes.join(contribs, "id", "left")
+            else:
+                # Every node has in-edges (always true for symmetrized
+                # graphs): contribs already covers all of `nodes`, so the
+                # per-round nodes ⋈ contribs left join is an identity — skip
+                # it. Each iteration is then exactly one co-partitioned join
+                # + one hash-agg.
+                inflow = F.col("c")
+                updated = contribs
+            ranks = updated.select(
+                "id",
+                (F.lit(1.0 - damping) + F.lit(damping) * inflow).alias("rank"),
             )
-            inflow = F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") / F.lit(
-                float(n_nodes)
-            )
-            updated = nodes.join(contribs, "id", "left").crossJoin(
-                F.broadcast(dmass)
-            )
-        elif n_no_in:
-            inflow = F.coalesce(F.col("c"), F.lit(0.0))
-            updated = nodes.join(contribs, "id", "left")
-        else:
-            # Every node has in-edges (always true for symmetrized
-            # graphs): contribs already covers all of `nodes`, so the
-            # per-round nodes ⋈ contribs left join is an identity — skip
-            # it. Each iteration is then exactly one co-partitioned join
-            # + one hash-agg.
-            inflow = F.col("c")
-            updated = contribs
-        ranks = updated.select(
-            "id",
-            (F.lit(1.0 - damping) + F.lit(damping) * inflow).alias("rank"),
-        )
-        # Checkpoint every K rounds, not every round: K lazy iterations
-        # fold into ONE submitted job (one analysis/AQE pass, K chained
-        # join+agg stages) instead of K jobs — driver-side per-action
-        # overhead dominates tiny iterative workloads. The dangling path
-        # still materializes contribs each round (its aggregate is an
-        # action-forcing broadcast), so K only applies to the pure plan.
-        if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
-            ranks = ranks.localCheckpoint()
+            # Checkpoint every K rounds, not every round: K lazy iterations
+            # fold into ONE submitted job (one analysis/AQE pass, K chained
+            # join+agg stages) instead of K jobs — driver-side per-action
+            # overhead dominates tiny iterative workloads. The dangling path
+            # still materializes contribs each round (its aggregate is an
+            # action-forcing broadcast), so K only applies to the pure plan.
+            if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
+                ranks = ranks.localCheckpoint()
     return ranks
 
 
@@ -964,22 +1034,35 @@ def personalized_pagerank(
         )
         .localCheckpoint()
     )
+    ob_n = Observation()
     nodes = (
         e_norm.select(F.col("src").alias("id"))
         .union(e_norm.select(F.col("dst").alias("id")))
         .distinct()
         .repartition("id")
+        .observe(ob_n, F.count(F.lit(1)).alias("n"))
         .localCheckpoint()
     )
+    # node count rides the checkpoint materialization (no extra job);
+    # it gates the per-round broadcast of the reached-set-sized rank
+    # vector, which can grow to at most n_nodes rows
+    n_nodes = int(ob_n.get["n"])
     if callable(sources):
         # derive the source set from the CHECKPOINTED node frame — the
         # (often expensive) upstream of `edges` is evaluated exactly
         # once, never a second time for the sources
         sources = sources(nodes)
-    rs = nodes.join(
-        sources.select(F.col(sources.columns[0]).alias("id")).distinct(), "id"
-    ).localCheckpoint()
-    n_s = rs.count()
+    ob_s = Observation()
+    rs = (
+        nodes.join(
+            sources.select(F.col(sources.columns[0]).alias("id")).distinct(),
+            "id",
+        )
+        .observe(ob_s, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    # source count rides the checkpoint job too (was a separate .count())
+    n_s = int(ob_s.get["n"])
     if n_s == 0:
         raise ValueError("no source node is present in the graph")
     restart_frame = rs.select("id", F.lit(1.0 / n_s).alias("restart"))
@@ -1007,65 +1090,74 @@ def personalized_pagerank(
         "id", F.col("restart").alias("rank")
     ).localCheckpoint()
 
-    for it in range(iterations):
-        if not n_dangling:
-            # mass-conserving fast path, one exchange per round (global
-            # pagerank's fast shape): the restart injection rides INTO
-            # the contribution stream as 5 extra pre-agg rows, so the
-            # per-dst sum directly yields d*inflow + (1-d)*rs — no
-            # second join or agg. (Distributing d into the sum and the
-            # in-sum accumulation order differ from the oracle's
-            # d*SUM(..) + .. by ~1e-16/round — the same float-order
-            # class the 6-8dp rounding already absorbs for pagerank.)
-            ranks = (
-                ranks.join(e_norm, F.col("id") == F.col("src"))
-                .select(
-                    F.col("dst").alias("id"),
-                    (F.lit(damping) * F.col("rank") * F.col("nw")).alias("t"),
-                )
-                .unionByName(
-                    restart_frame.select(
-                        "id",
-                        (F.lit(1.0 - damping) * F.col("restart")).alias("t"),
+    with _loop_exec_conf(
+        edges.sparkSession, n_nodes <= _bcast_limit(edges)
+    ):
+        for it in range(iterations):
+            if not n_dangling:
+                # mass-conserving fast path, one exchange per round (global
+                # pagerank's fast shape): the restart injection rides INTO
+                # the contribution stream as 5 extra pre-agg rows, so the
+                # per-dst sum directly yields d*inflow + (1-d)*rs — no
+                # second join or agg. (Distributing d into the sum and the
+                # in-sum accumulation order differ from the oracle's
+                # d*SUM(..) + .. by ~1e-16/round — the same float-order
+                # class the 6-8dp rounding already absorbs for pagerank.)
+                # the reached-set-sized rank vector broadcasts into the
+                # checkpointed edge scan (gated on the observed node count,
+                # its upper bound): the edge side never re-shuffles and the
+                # round's one Exchange carries partial-aggregate output only
+                ranks = (
+                    _gated_broadcast(ranks, n_nodes)
+                    .join(e_norm, F.col("id") == F.col("src"))
+                    .select(
+                        F.col("dst").alias("id"),
+                        (F.lit(damping) * F.col("rank") * F.col("nw")).alias("t"),
                     )
+                    .unionByName(
+                        restart_frame.select(
+                            "id",
+                            (F.lit(1.0 - damping) * F.col("restart")).alias("t"),
+                        )
+                    )
+                    .groupBy("id")
+                    .agg(F.sum("t").alias("rank"))
                 )
-                .groupBy("id")
-                .agg(F.sum("t").alias("rank"))
+                if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
+                    ranks = ranks.localCheckpoint()
+                continue
+            # dangling path: every non-dangling unit of rank lands in
+            # contribs, so the dangling mass is 1 - sum(c) — no second pass
+            # over ranks; contribs feeds both the mass aggregate and the
+            # update, so materialize it once
+            contribs = (
+                _gated_broadcast(ranks, n_nodes)
+                .join(e_norm, F.col("id") == F.col("src"))
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum(F.col("rank") * F.col("nw")).alias("c"))
+                .localCheckpoint()
+            )
+            dmass = contribs.agg(
+                (F.lit(1.0) - F.coalesce(F.sum("c"), F.lit(0.0))).alias("dm")
+            )
+            restart = F.coalesce(F.col("restart"), F.lit(0.0))
+            ranks = (
+                contribs.join(restart_frame, "id", "full")
+                .crossJoin(F.broadcast(dmass))
+                .select(
+                    "id",
+                    (
+                        F.lit(damping)
+                        * (
+                            F.coalesce(F.col("c"), F.lit(0.0))
+                            + F.col("dm") * restart
+                        )
+                        + F.lit(1.0 - damping) * restart
+                    ).alias("rank"),
+                )
             )
             if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
                 ranks = ranks.localCheckpoint()
-            continue
-        # dangling path: every non-dangling unit of rank lands in
-        # contribs, so the dangling mass is 1 - sum(c) — no second pass
-        # over ranks; contribs feeds both the mass aggregate and the
-        # update, so materialize it once
-        contribs = (
-            ranks.join(e_norm, F.col("id") == F.col("src"))
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum(F.col("rank") * F.col("nw")).alias("c"))
-            .localCheckpoint()
-        )
-        dmass = contribs.agg(
-            (F.lit(1.0) - F.coalesce(F.sum("c"), F.lit(0.0))).alias("dm")
-        )
-        restart = F.coalesce(F.col("restart"), F.lit(0.0))
-        ranks = (
-            contribs.join(restart_frame, "id", "full")
-            .crossJoin(F.broadcast(dmass))
-            .select(
-                "id",
-                (
-                    F.lit(damping)
-                    * (
-                        F.coalesce(F.col("c"), F.lit(0.0))
-                        + F.col("dm") * restart
-                    )
-                    + F.lit(1.0 - damping) * restart
-                ).alias("rank"),
-            )
-        )
-        if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
-            ranks = ranks.localCheckpoint()
     # densify once: unreached nodes surface with rank exactly 0.0
     return nodes.join(ranks, "id", "left").select(
         "id", F.coalesce(F.col("rank"), F.lit(0.0)).alias("rank")
@@ -1472,117 +1564,147 @@ def scc(
     def _acc(res, part):
         return res.unionByName(part).localCheckpoint()
 
-    for _ in range(max_peels):
-        if n_live == 0:
-            return out
-        # -- 1. trim fixpoint ---------------------------------------------
-        for _t in range(max_inner):
-            has_out = live_edges.select(F.col("src").alias("id")).distinct()
-            has_in = live_edges.select(F.col("dst").alias("id")).distinct()
-            ob_k = Observation()
-            keep = (
-                live_nodes.join(has_out, "id", "left_semi")
-                .join(has_in, "id", "left_semi")
-                .observe(ob_k, F.count(F.lit(1)).alias("n"))
+    # gate once on the starting node count: live_nodes only shrinks,
+    # so every broadcast inside the loop is within the same bound
+    with _loop_exec_conf(edges.sparkSession, n_live <= _bcast_limit(edges)):
+        for _ in range(max_peels):
+            if n_live == 0:
+                return out
+            # -- 1. trim fixpoint ---------------------------------------------
+            for _t in range(max_inner):
+                has_out = live_edges.select(F.col("src").alias("id")).distinct()
+                has_in = live_edges.select(F.col("dst").alias("id")).distinct()
+                ob_k = Observation()
+                keep = (
+                    live_nodes.join(
+                        _gated_broadcast(has_out, n_live), "id", "left_semi"
+                    )
+                    .join(_gated_broadcast(has_in, n_live), "id", "left_semi")
+                    .observe(ob_k, F.count(F.lit(1)).alias("n"))
+                    .localCheckpoint()
+                )
+                n_keep = ob_k.get["n"]
+                if n_keep == n_live:
+                    break
+                trimmed = live_nodes.join(keep, "id", "left_anti")
+                out = _acc(out, trimmed.select("id", F.col("id").alias("scc_id")))
+                live_nodes, n_live = keep, n_keep
+                live_edges = (
+                    live_edges.join(
+                        _gated_broadcast(
+                            live_nodes.select(F.col("id").alias("src")), n_live
+                        ),
+                        "src",
+                    )
+                    .join(
+                        _gated_broadcast(
+                            live_nodes.select(F.col("id").alias("dst")), n_live
+                        ),
+                        "dst",
+                    )
+                    .select("src", "dst")
+                    .localCheckpoint()
+                )
+            else:
+                raise RuntimeError("scc: trim fixpoint exceeded max_inner")
+            if n_live == 0:
+                return out
+            # -- 2. forward max-color fixpoint --------------------------------
+            ob_c0 = Observation()
+            colors = (
+                live_nodes.select("id", F.col("id").alias("c"))
+                .observe(ob_c0, F.sum("c").alias("s"))
                 .localCheckpoint()
             )
-            n_keep = ob_k.get["n"]
-            if n_keep == n_live:
-                break
-            trimmed = live_nodes.join(keep, "id", "left_anti")
-            out = _acc(out, trimmed.select("id", F.col("id").alias("scc_id")))
-            live_nodes, n_live = keep, n_keep
-            live_edges = (
-                live_edges.join(
-                    live_nodes.select(F.col("id").alias("src")), "src"
+            prev = ob_c0.get["s"]
+            for _i in range(max_inner):
+                incoming = live_edges.join(
+                    _gated_broadcast(
+                        colors.select(F.col("id").alias("src"), F.col("c")),
+                        n_live,
+                    ),
+                    "src",
+                ).select(F.col("dst").alias("id"), "c")
+                ob_c = Observation()
+                colors = (
+                    colors.unionByName(incoming)
+                    .groupBy("id")
+                    .agg(F.max("c").alias("c"))
+                    .observe(ob_c, F.sum("c").alias("s"))
+                    .localCheckpoint()
                 )
+                cur = ob_c.get["s"]
+                if cur == prev:
+                    break
+                prev = cur
+            else:
+                raise RuntimeError("scc: coloring fixpoint exceeded max_inner")
+            # -- 3. backward marking from roots along same-color edges --------
+            same_color = (
+                live_edges.join(
+                    _gated_broadcast(
+                        colors.select(
+                            F.col("id").alias("src"), F.col("c").alias("cs")
+                        ),
+                        n_live,
+                    ),
+                    "src",
+                )
+                .join(
+                    _gated_broadcast(
+                        colors.select(
+                            F.col("id").alias("dst"), F.col("c").alias("cd")
+                        ),
+                        n_live,
+                    ),
+                    "dst",
+                )
+                .filter(F.col("cs") == F.col("cd"))
+                .select("src", "dst", F.col("cs").alias("c"))
+                .localCheckpoint()
+            )
+            ob_m0 = Observation()
+            marked = (
+                colors.filter(F.col("c") == F.col("id"))
+                .observe(ob_m0, F.count(F.lit(1)).alias("n"))
+                .localCheckpoint()
+            )
+            prev_n = ob_m0.get["n"]
+            for _i in range(max_inner):
+                new = same_color.join(
+                    _gated_broadcast(
+                        marked.select(F.col("id").alias("dst"), F.col("c")),
+                        n_live,
+                    ),
+                    ["dst", "c"],
+                ).select(F.col("src").alias("id"), "c")
+                ob_m = Observation()
+                marked = (
+                    marked.unionByName(new)
+                    .distinct()
+                    .observe(ob_m, F.count(F.lit(1)).alias("n"))
+                    .localCheckpoint()
+                )
+                cur_n = ob_m.get["n"]
+                if cur_n == prev_n:
+                    break
+                prev_n = cur_n
+            else:
+                raise RuntimeError("scc: marking fixpoint exceeded max_inner")
+            out = _acc(out, marked.select("id", F.col("c").alias("scc_id")))
+            ob_l = Observation()
+            live_nodes = (
+                live_nodes.join(marked, "id", "left_anti")
+                .observe(ob_l, F.count(F.lit(1)).alias("n"))
+                .localCheckpoint()
+            )
+            n_live = ob_l.get["n"]
+            live_edges = (
+                live_edges.join(live_nodes.select(F.col("id").alias("src")), "src")
                 .join(live_nodes.select(F.col("id").alias("dst")), "dst")
                 .select("src", "dst")
                 .localCheckpoint()
             )
-        else:
-            raise RuntimeError("scc: trim fixpoint exceeded max_inner")
-        if n_live == 0:
-            return out
-        # -- 2. forward max-color fixpoint --------------------------------
-        ob_c0 = Observation()
-        colors = (
-            live_nodes.select("id", F.col("id").alias("c"))
-            .observe(ob_c0, F.sum("c").alias("s"))
-            .localCheckpoint()
-        )
-        prev = ob_c0.get["s"]
-        for _i in range(max_inner):
-            incoming = live_edges.join(
-                colors.select(F.col("id").alias("src"), F.col("c")), "src"
-            ).select(F.col("dst").alias("id"), "c")
-            ob_c = Observation()
-            colors = (
-                colors.unionByName(incoming)
-                .groupBy("id")
-                .agg(F.max("c").alias("c"))
-                .observe(ob_c, F.sum("c").alias("s"))
-                .localCheckpoint()
-            )
-            cur = ob_c.get["s"]
-            if cur == prev:
-                break
-            prev = cur
-        else:
-            raise RuntimeError("scc: coloring fixpoint exceeded max_inner")
-        # -- 3. backward marking from roots along same-color edges --------
-        same_color = (
-            live_edges.join(
-                colors.select(F.col("id").alias("src"), F.col("c").alias("cs")),
-                "src",
-            )
-            .join(
-                colors.select(F.col("id").alias("dst"), F.col("c").alias("cd")),
-                "dst",
-            )
-            .filter(F.col("cs") == F.col("cd"))
-            .select("src", "dst", F.col("cs").alias("c"))
-            .localCheckpoint()
-        )
-        ob_m0 = Observation()
-        marked = (
-            colors.filter(F.col("c") == F.col("id"))
-            .observe(ob_m0, F.count(F.lit(1)).alias("n"))
-            .localCheckpoint()
-        )
-        prev_n = ob_m0.get["n"]
-        for _i in range(max_inner):
-            new = same_color.join(
-                marked.select(F.col("id").alias("dst"), F.col("c")),
-                ["dst", "c"],
-            ).select(F.col("src").alias("id"), "c")
-            ob_m = Observation()
-            marked = (
-                marked.unionByName(new)
-                .distinct()
-                .observe(ob_m, F.count(F.lit(1)).alias("n"))
-                .localCheckpoint()
-            )
-            cur_n = ob_m.get["n"]
-            if cur_n == prev_n:
-                break
-            prev_n = cur_n
-        else:
-            raise RuntimeError("scc: marking fixpoint exceeded max_inner")
-        out = _acc(out, marked.select("id", F.col("c").alias("scc_id")))
-        ob_l = Observation()
-        live_nodes = (
-            live_nodes.join(marked, "id", "left_anti")
-            .observe(ob_l, F.count(F.lit(1)).alias("n"))
-            .localCheckpoint()
-        )
-        n_live = ob_l.get["n"]
-        live_edges = (
-            live_edges.join(live_nodes.select(F.col("id").alias("src")), "src")
-            .join(live_nodes.select(F.col("id").alias("dst")), "dst")
-            .select("src", "dst")
-            .localCheckpoint()
-        )
     raise RuntimeError(
         f"scc: {max_peels} peel rounds did not exhaust the graph — "
         "condensation depth exceeds the budget; raise max_peels"
@@ -1686,49 +1808,77 @@ def hits(
     round-trips for 8 rounds; this shape runs ~2 jobs per half-round.
     On the bipartite trading graph hubs are customers and authorities
     suppliers, so the two score vectors never mix; on a general digraph
-    both sides exist for every node. At cluster scale the same shape
-    holds with the broadcast swapped for a co-partitioned join
-    (bucketing.py) once the score vector outgrows a broadcast."""
+    both sides exist for every node. The broadcast is GATED on the score
+    vector's observed row count (``_gated_broadcast``) — each half-round
+    learns the next vector's exact size for free from the same observe,
+    and the first hub vector is bounded by an approx-distinct-src count
+    riding the edge checkpoint — so at cluster scale the same shape
+    degrades to a shuffle join instead of a driver OOM once the score
+    vector outgrows a broadcast (VERDICT r14 #2)."""
+    ob_e = Observation()
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
+        .observe(
+            ob_e, F.approx_count_distinct("src", rsd=0.02).alias("n_src")
+        )
         .localCheckpoint()
     )
+    # 2% rsd estimate, inflated 10% for gate headroom — only the FIRST
+    # broadcast uses it (exact per-round counts ride the loop's observes)
+    n_hub = int(ob_e.get["n_src"] * 1.1)
     hub = e.select("src").distinct().select(
         F.col("src").alias("id"), F.lit(1.0).alias("h")
     )
     auth = None
-    for _ in range(iterations):
-        ob_a = Observation()
-        a_raw = (
-            e.join(
-                F.broadcast(hub.select(F.col("id").alias("src"), "h")), "src"
+    with _loop_exec_conf(edges.sparkSession, n_hub <= _bcast_limit(edges)):
+        for _ in range(iterations):
+            ob_a = Observation()
+            a_raw = (
+                e.join(
+                    _gated_broadcast(
+                        hub.select(F.col("id").alias("src"), "h"), n_hub
+                    ),
+                    "src",
+                )
+                .groupBy("dst")
+                .agg(F.sum("h").alias("raw"))
+                .observe(
+                    ob_a,
+                    F.sum("raw").alias("tot"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .localCheckpoint()
             )
-            .groupBy("dst")
-            .agg(F.sum("h").alias("raw"))
-            .observe(ob_a, F.sum("raw").alias("tot"))
-            .localCheckpoint()
-        )
-        a_tot = float(ob_a.get["tot"])
-        auth = a_raw.select(
-            F.col("dst").alias("id"),
-            (F.col("raw") / F.lit(a_tot)).alias("a"),
-        )
-        ob_h = Observation()
-        h_raw = (
-            e.join(
-                F.broadcast(auth.select(F.col("id").alias("dst"), "a")), "dst"
+            a_tot = float(ob_a.get["tot"])
+            n_auth = int(ob_a.get["n"])
+            auth = a_raw.select(
+                F.col("dst").alias("id"),
+                (F.col("raw") / F.lit(a_tot)).alias("a"),
             )
-            .groupBy("src")
-            .agg(F.sum("a").alias("raw"))
-            .observe(ob_h, F.sum("raw").alias("tot"))
-            .localCheckpoint()
-        )
-        h_tot = float(ob_h.get["tot"])
-        hub = h_raw.select(
-            F.col("src").alias("id"),
-            (F.col("raw") / F.lit(h_tot)).alias("h"),
-        )
+            ob_h = Observation()
+            h_raw = (
+                e.join(
+                    _gated_broadcast(
+                        auth.select(F.col("id").alias("dst"), "a"), n_auth
+                    ),
+                    "dst",
+                )
+                .groupBy("src")
+                .agg(F.sum("a").alias("raw"))
+                .observe(
+                    ob_h,
+                    F.sum("raw").alias("tot"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .localCheckpoint()
+            )
+            h_tot = float(ob_h.get["tot"])
+            n_hub = int(ob_h.get["n"])
+            hub = h_raw.select(
+                F.col("src").alias("id"),
+                (F.col("raw") / F.lit(h_tot)).alias("h"),
+            )
     return hub.join(auth, "id", "full_outer").select(
         "id",
         F.coalesce("h", F.lit(0.0)).alias("hub"),
@@ -1866,58 +2016,91 @@ def modularity_communities(edges: DataFrame, rounds: int = 4) -> DataFrame:
     the bounded one-phase form keeps the oracle exact."""
     from pyspark.sql.window import Window
 
-    und = edges.select(
-        F.col("src").cast("long").alias("src"),
-        F.col("dst").cast("long").alias("dst"),
-    ).localCheckpoint()
+    ob_m = Observation()
+    und = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+        .observe(ob_m, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    ob_n = Observation()
     deg = (
         und.groupBy("src")
         .agg(F.count(F.lit(1)).cast("long").alias("k"))
         .withColumnRenamed("src", "id")
+        .observe(ob_n, F.count(F.lit(1)).alias("n"))
         .localCheckpoint()
     )
-    m = und.count() // 2
+    # edge count (for m) and node count (broadcast gate) ride the two
+    # setup checkpoints via observe — no separate .count() job
+    m = int(ob_m.get["n"]) // 2
+    n_nodes = int(ob_n.get["n"])
     labels = deg.select("id", F.col("id").alias("c")).localCheckpoint()
-    for _ in range(rounds):
-        kic = (
-            und.join(labels.withColumnRenamed("id", "dst"), "dst")
-            .select(F.col("src").alias("id"), "c")
-            .groupBy("id", "c")
-            .agg(F.count(F.lit(1)).cast("long").alias("kic"))
-        )
-        tot = (
-            labels.join(deg, "id")
-            .groupBy("c")
-            .agg(F.sum("k").cast("long").alias("tot"))
-        )
-        stay = labels.join(kic, ["id", "c"], "left").select(
-            "id", "c", F.coalesce("kic", F.lit(0)).cast("long").alias("kic")
-        )
-        cand = kic.unionByName(stay).distinct()
-        cur = labels.withColumnRenamed("c", "cur")
-        scored = (
-            cand.join(tot, "c")
-            .join(deg, "id")
-            .join(cur, "id")
-            .withColumn(
-                "gain",
-                F.lit(2 * m) * F.col("kic")
-                - F.col("k")
-                * (
-                    F.col("tot")
-                    - F.when(
-                        F.col("c") == F.col("cur"), F.col("k")
-                    ).otherwise(F.lit(0))
-                ),
+    with _loop_exec_conf(edges.sparkSession, n_nodes <= _bcast_limit(edges)):
+        for _ in range(rounds):
+            # node-sized label vector broadcasts into the checkpointed edge
+            # scan (gated on the observed node count): the edge side never
+            # re-shuffles, the per-(id, c) agg exchanges partial output only
+            kic = (
+                und.join(
+                    _gated_broadcast(
+                        labels.withColumnRenamed("id", "dst"), n_nodes
+                    ),
+                    "dst",
+                )
+                .select(F.col("src").alias("id"), "c")
+                .groupBy("id", "c")
+                .agg(F.count(F.lit(1)).cast("long").alias("kic"))
             )
-        )
-        w = Window.partitionBy("id").orderBy(F.desc("gain"), F.asc("c"))
-        labels = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("id", "c")
-            .localCheckpoint()
-        )
+            # every frame below is node-count-bounded (labels/deg/cur are
+            # one row per node, tot one per community); with AQE off for
+            # the gated loop they must carry their own broadcast hints —
+            # the same gate — or the planner reverts to sort-merge joins
+            tot = (
+                labels.join(_gated_broadcast(deg, n_nodes), "id")
+                .groupBy("c")
+                .agg(F.sum("k").cast("long").alias("tot"))
+            )
+            # candidates = every neighbor community (kic) plus the node's
+            # own community with kic defaulted to 0. One FULL OUTER join
+            # on (id, c) produces exactly the old kic ∪ stay DISTINCT
+            # multiset — kic-only rows, the own-community row when it has
+            # neighbors (identical values on both sides, so the overlap
+            # row the distinct used to fold is emitted once), and the
+            # own-community-with-0 row otherwise — while evaluating the
+            # edge join ONCE (the union referenced kic twice, and a join
+            # subtree without an exchange is re-executed, not reused).
+            cand = kic.join(labels, ["id", "c"], "full").select(
+                "id",
+                "c",
+                F.coalesce("kic", F.lit(0)).cast("long").alias("kic"),
+            )
+            cur = labels.withColumnRenamed("c", "cur")
+            scored = (
+                cand.join(_gated_broadcast(tot, n_nodes), "c")
+                .join(_gated_broadcast(deg, n_nodes), "id")
+                .join(_gated_broadcast(cur, n_nodes), "id")
+                .withColumn(
+                    "gain",
+                    F.lit(2 * m) * F.col("kic")
+                    - F.col("k")
+                    * (
+                        F.col("tot")
+                        - F.when(
+                            F.col("c") == F.col("cur"), F.col("k")
+                        ).otherwise(F.lit(0))
+                    ),
+                )
+            )
+            w = Window.partitionBy("id").orderBy(F.desc("gain"), F.asc("c"))
+            labels = (
+                scored.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("id", "c")
+                .localCheckpoint()
+            )
     return labels
 
 

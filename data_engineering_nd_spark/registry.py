@@ -18,6 +18,7 @@ Determinism rules used throughout (SURVEY.md §7.4):
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -26,6 +27,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLE_SQL: dict[str, str] = {}
+
+_WORKER_IMPORTS_LOCK = threading.Lock()
 
 
 def ensure_worker_imports(spark) -> None:
@@ -44,22 +47,33 @@ def ensure_worker_imports(spark) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_dend_pyfiles_added", False):
         return
-    pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    root = os.path.dirname(pkg_dir)
-    zpath = os.path.join(
-        tempfile.gettempdir(), f"dend_spark_pkg_{os.getpid()}.zip"
-    )
-    if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w") as z:
-            for dp, _, fns in os.walk(pkg_dir):
-                if "__pycache__" in dp:
-                    continue
-                for fn in fns:
-                    if fn.endswith(".py"):
-                        full = os.path.join(dp, fn)
-                        z.write(full, os.path.relpath(full, root))
-    sc.addPyFile(zpath)
-    sc._dend_pyfiles_added = True
+    # Queries may be launched from overlapping driver threads (guide
+    # §2.6 pools in the fixtures and test sweeps): without the lock,
+    # concurrent first calls all pass the guard, one addPyFile ships a
+    # partially-written zip, and every later task fails with "exists and
+    # does not match contents". Double-checked lock + write-to-temp +
+    # atomic rename makes the first call safe and the rest free.
+    with _WORKER_IMPORTS_LOCK:
+        if getattr(sc, "_dend_pyfiles_added", False):
+            return
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        root = os.path.dirname(pkg_dir)
+        zpath = os.path.join(
+            tempfile.gettempdir(), f"dend_spark_pkg_{os.getpid()}.zip"
+        )
+        if not os.path.exists(zpath):
+            tmp = zpath + ".tmp"
+            with zipfile.ZipFile(tmp, "w") as z:
+                for dp, _, fns in os.walk(pkg_dir):
+                    if "__pycache__" in dp:
+                        continue
+                    for fn in fns:
+                        if fn.endswith(".py"):
+                            full = os.path.join(dp, fn)
+                            z.write(full, os.path.relpath(full, root))
+            os.replace(tmp, zpath)
+        sc.addPyFile(zpath)
+        sc._dend_pyfiles_added = True
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

@@ -70,11 +70,18 @@ class _few_state_partitions:
         self.spark, self.n = spark, n
 
     def __enter__(self):
-        self.saved = self.spark.conf.get("spark.sql.shuffle.partitions")
-        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        # scoped_conf reference-counts same-value overlaps, so streams
+        # started from overlapping driver threads (test sweeps) cannot
+        # restore the conf out from under each other
+        from data_engineering_nd_spark.catalog import scoped_conf
+
+        self._cm = scoped_conf(
+            self.spark, "spark.sql.shuffle.partitions", str(self.n)
+        )
+        self._cm.__enter__()
 
     def __exit__(self, *exc):
-        self.spark.conf.set("spark.sql.shuffle.partitions", self.saved)
+        self._cm.__exit__(*exc)
 
 
 def _run(df: DataFrame, name: str, spark: SparkSession) -> DataFrame:

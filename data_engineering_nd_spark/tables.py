@@ -142,17 +142,18 @@ def _micros_timestamps(spark: SparkSession):
     Spark's default INT96 encoding carries NO footer min/max statistics
     — every timestamp column would be invisible to stats-based pruning
     (ours and any other engine reading the files).  MICROS is what
-    Delta/Iceberg writers emit; INT96 is a legacy-compat default only."""
-    key = "spark.sql.parquet.outputTimestampType"
-    old = spark.conf.get(key, None)
-    spark.conf.set(key, "TIMESTAMP_MICROS")
-    try:
+    Delta/Iceberg writers emit; INT96 is a legacy-compat default only.
+
+    Routed through catalog.scoped_conf so overlapping writes on driver
+    thread pools (pipeline.run's 4-thread table writes, the test suite's
+    query sweeps) reference-count the scope instead of one thread
+    restoring the conf mid-write of another."""
+    from data_engineering_nd_spark.catalog import scoped_conf
+
+    with scoped_conf(
+        spark, "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    ):
         yield
-    finally:
-        if old is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, old)
 
 
 # -- z-order dimension surrogates (VERDICT r12 task #4) ---------------------

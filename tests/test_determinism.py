@@ -39,6 +39,8 @@ def test_headliners_invariant_under_shuffle_partition_count(spark):
     hashes.  One looped test rather than a parametrization: the second
     pass reuses the session and the failure report names every divergent
     query at once."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import __spark_entry__ as e
 
     qs = e.queries()
@@ -46,12 +48,21 @@ def test_headliners_invariant_under_shuffle_partition_count(spark):
     assert len(names) >= 100  # the PLANS.md list, not a stub
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     hashes: dict[str, dict[str, str]] = {}
+
+    def run_one(name: str) -> tuple[str, str]:
+        return name, _value_hash(qs[name](spark, SF_DIR).toPandas())
+
     try:
+        # The two PASSES are sequential (the shuffle-partition conf is
+        # session-wide), but queries WITHIN a pass are independent — a
+        # small thread pool overlaps their driver round-trips and task
+        # tails (guide §2.6). Every query still executes under the same
+        # conf value as before, so the hashes are unchanged.
         for n_shuffle in ("32", "7"):
             spark.conf.set("spark.sql.shuffle.partitions", n_shuffle)
-            for name in names:
-                pdf = qs[name](spark, SF_DIR).toPandas()
-                hashes.setdefault(name, {})[n_shuffle] = _value_hash(pdf)
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                for name, h in pool.map(run_one, names):
+                    hashes.setdefault(name, {})[n_shuffle] = h
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     divergent = {

@@ -24,17 +24,45 @@ def test_oracle_keys_subset_of_queries():
     assert len(qs) >= 20
 
 
+@pytest.fixture(scope="session")
+def query_sweep(spark):
+    """Run every registered query once at sf0.001 on a small driver
+    thread pool (guide §2.6) and cache (columns, rowcount-or-exception)
+    per query. The parametrized tests below then assert each query's
+    cached outcome, so the sweep costs one overlapped pass instead of
+    328 sequential runs — each query still executes exactly as before
+    (conf scopes are reference-counted, see catalog.scoped_conf) and a
+    failure is still reported against its own test id."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import __spark_entry__ as e
+
+    qs = e.queries()
+
+    def run(item):
+        name, fn = item
+        try:
+            df = fn(spark, SF_DIR)
+            cols = list(df.columns)
+            df.count()
+            return name, (cols, None)
+        except Exception as ex:  # surfaced by the per-query test
+            return name, ([], ex)
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        return dict(pool.map(run, sorted(qs.items())))
+
+
 @pytest.mark.parametrize(
     "name",
     sorted(__import__("__spark_entry__").queries()),
 )
-def test_query_runs(spark, name):
-    import __spark_entry__ as e
-
-    df = e.queries()[name](spark, SF_DIR)
+def test_query_runs(query_sweep, name):
     # every query must produce a stable schema and execute; most return rows
-    assert df.columns
-    df.count()
+    cols, err = query_sweep[name]
+    if err is not None:
+        raise err
+    assert cols
 
 
 def test_approx_aggregates_within_bounds(spark):
