@@ -4775,7 +4775,11 @@ def _dpp_frames(spark: SparkSession, sf_dir: str, work: str):
     fact_src = orders.withColumn(
         "o_month", F.date_format("o_orderdate", "yyyy-MM")
     ).select("o_orderkey", "o_totalprice", "o_month")
-    fact_src.repartition(4).write.partitionBy("o_month").parquet(
+    # repartition BY the partition column: each month lands in one task →
+    # one file per partition (~80 files) instead of round-robin writing
+    # up to 4 files in every month directory (~320 tiny files — guide §6
+    # small-files tax on both this write and the fixture's read-back)
+    fact_src.repartition("o_month").write.partitionBy("o_month").parquet(
         work + "/fact"
     )
     dim_src = (

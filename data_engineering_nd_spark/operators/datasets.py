@@ -2690,14 +2690,25 @@ def _stage_slice_commits(table, df, part_expr, n: int, staging: str) -> None:
     boundaries, version history, checkpoint roll and stats to an
     n-iteration ``commit()`` loop, minus n-1 write jobs (r14 opt; the
     ``add_files`` docstring's 100 TB boundary-control pattern)."""
+    import os
+
     df.withColumn("__slice", part_expr).repartition(1).write.partitionBy(
         "__slice"
     ).parquet(staging)
     for i in range(n):
-        table.add_files(
-            f"{staging}/__slice={i}",
-            mode="overwrite" if i == 0 else "append",
-        )
+        slice_dir = f"{staging}/__slice={i}"
+        if os.path.isdir(slice_dir):
+            table.add_files(
+                slice_dir, mode="overwrite" if i == 0 else "append"
+            )
+        else:
+            # a zero-row slice writes no directory; an empty commit keeps
+            # the version numbering identical to the old per-chunk
+            # commit() loop (ADVICE r14 #1 — latent at sparser SFs)
+            table.commit(
+                df.filter(F.lit(False)).drop("__slice"),
+                mode="overwrite" if i == 0 else "append",
+            )
 
 
 @query(
@@ -4109,20 +4120,24 @@ def tbl_lifecycle_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_engineering_nd_spark.functions.hashing import md5_prefix_long
     from data_engineering_nd_spark.tables import VersionedTable
 
+    from pyspark.sql import Observation
+
     orders = (
         load(spark, "orders", sf_dir)
         .select("o_orderkey", "o_custkey", "o_totalprice")
         # a third of the table: the fixture proves seams, not volume
         .filter(F.col("o_orderkey") % 3 == 0)
     )
-    mk = orders.agg(F.max("o_orderkey")).collect()[0][0]
-    dlo, dhi = mk // 3, mk // 3 + mk // 10
+    ob_mk = Observation()
     work = tempfile.mkdtemp(prefix="tbl_lifec_")
     try:
         table = VersionedTable(spark, work + "/table")
-        table.commit_partitioned(  # v0
-            orders, spec=[("p_mod", "pmod(o_orderkey, 4)")]
+        table.commit_partitioned(  # v0; max key rides the write via observe
+            orders.observe(ob_mk, F.max("o_orderkey").alias("mk")),
+            spec=[("p_mod", "pmod(o_orderkey, 4)")],
         )
+        mk = int(ob_mk.get["mk"])
+        dlo, dhi = mk // 3, mk // 3 + mk // 10
         table.enable_column_mapping()  # v1 (metadata-only)
         _, _, part = table.prune_partitions({"p_mod": 1}, version=1)
         src = (

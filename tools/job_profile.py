@@ -70,17 +70,28 @@ def main() -> None:
 
     def _lines(path):
         if path.endswith(".zstd"):
+            # fall through to the zstandard module on BOTH a missing
+            # binary and a present-but-failing one (ADVICE r14 #3: the
+            # old code returned silently-empty lines on nonzero exit)
             try:
                 p = subprocess.run(
                     ["zstd", "-dc", path], capture_output=True, text=True
                 )
-                return p.stdout.splitlines()
+                if p.returncode == 0:
+                    return p.stdout.splitlines()
             except FileNotFoundError:
+                pass
+            try:
                 import zstandard  # bundled with pyarrow envs
-
-                with open(path, "rb") as f:
-                    raw = zstandard.ZstdDecompressor().stream_reader(f).read()
-                return raw.decode("utf-8", "replace").splitlines()
+            except ImportError as ex:  # pragma: no cover
+                raise RuntimeError(
+                    f"cannot decode {path}: no zstd binary and no "
+                    "zstandard module; re-run with eventLog compression "
+                    "disabled"
+                ) from ex
+            with open(path, "rb") as f:
+                raw = zstandard.ZstdDecompressor().stream_reader(f).read()
+            return raw.decode("utf-8", "replace").splitlines()
         with open(path) as f:
             return f.read().splitlines()
 
