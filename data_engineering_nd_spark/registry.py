@@ -283,6 +283,29 @@ LAST_RECORDED_ROUND: dict[str, int] = {
         "multimodal_dhash_dedup", "multimodal_vad_segments",
         "dq_expectation_suite", "ann_quantized_topk",
     ], 12),
+    # -- latest record: CORRECTNESS_r14.json (r15 refresh, the
+    # established per-round protocol): the 50 names the r14 driver
+    # window recorded — all green — roll to the back so the r15
+    # window records the stalest names instead of re-recording them
+    **dict.fromkeys([
+        "ann_brute_force_topk", "ann_ivf_kmeans_topk", "ann_ivf_topk",
+        "ann_lsh_topk", "dedup_cluster_star", "dq_key_skew_report",
+        "ds_contamination_check", "ds_corpus_build_report", "ds_domain_mix_sample",
+        "ds_epoch_shards", "ds_keep_best_per_cluster", "ds_label_centroids",
+        "ds_training_order", "graph_degree_distribution", "graph_pagerank_topk",
+        "multimodal_audio_chunks", "multimodal_metadata_stats", "multimodal_resize_thumbnails",
+        "q06_top_customers_per_nation", "q07_date_dimension", "q08_sas_date_kernel",
+        "q09_flexible_date_kernel", "q10_avg_ship_delay", "q119_exact_percentiles",
+        "q11_union_by_name", "q120_lorenz_decile_table", "q121_median_acctbal_by_nation",
+        "q122_weighted_price_quartiles", "q12_string_kernels", "q13_dictionary_broadcast_join",
+        "q14_filtered_distinct", "q15_props_extraction", "q16_sessionize",
+        "q17_anti_join", "q18_semi_join", "q19_top_parts_by_revenue",
+        "q20_column_profile", "q21_sql_api_revenue_by_region", "q22_running_total",
+        "q23_moving_average", "q79_forward_asof_join", "stream_restart_recovery",
+        "tbl_lifecycle_composition", "tbl_zorder_string_report", "text_fingerprint",
+        "text_pii_scan", "text_repetition_metrics", "text_stats",
+        "text_tfidf_top_terms", "text_unigram_logprob",
+    ], 14),
 }
 
 

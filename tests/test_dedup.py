@@ -100,16 +100,23 @@ def test_embedding_cosine_blocked_matches_allpairs(spark):
         Row(vec_id=6, embedding=[0.0, 0.0, 0.0], label=1),     # zero vector
     ]
     vecs = spark.createDataFrame(rows)
-    blocked = {
-        (r.id_a, r.id_b): r.cosine_sim
-        for r in embedding_cosine_pairs(vecs, threshold=0.9).collect()
-    }
+    # blocked and all-pairs evaluations are independent — overlap them
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_blocked = pool.submit(
+            lambda: embedding_cosine_pairs(vecs, threshold=0.9).collect()
+        )
+        f_all = pool.submit(
+            lambda: embedding_cosine_pairs(
+                vecs, block_col=None, threshold=0.9
+            ).collect()
+        )
+        blocked = {(r.id_a, r.id_b): r.cosine_sim for r in f_blocked.result()}
+        all_rows = f_all.result()
     assert set(blocked) == {(1, 2), (4, 5)}
     # numpy Gram path agrees with the JVM fold path on the same pairs
-    allpairs = {
-        (r.id_a, r.id_b): r.cosine_sim
-        for r in embedding_cosine_pairs(vecs, block_col=None, threshold=0.9).collect()
-    }
+    allpairs = {(r.id_a, r.id_b): r.cosine_sim for r in all_rows}
     assert set(blocked) <= set(allpairs)
     for k in blocked:
         assert abs(blocked[k] - allpairs[k]) < 1e-9
@@ -138,11 +145,13 @@ def test_star_cc_matches_label_propagation_and_union_find(spark):
         dedup_clusters,
     )
 
-    rng = random.Random(7)
-    for trial in range(3):
+    def one_trial(trial):
+        # per-trial seed: each trial's edge set is deterministic on its
+        # own, independent of execution order across threads
+        trng = random.Random(7000 + trial)
         n, m = 60, 45
         edges = [
-            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+            (trng.randrange(n), trng.randrange(n)) for _ in range(m)
         ]
         edges = [(a, b) for a, b in edges if a != b]
         # union-find ground truth: comp = min id reachable
@@ -176,6 +185,13 @@ def test_star_cc_matches_label_propagation_and_union_find(spark):
         }
         assert star == truth, f"trial {trial}: star != union-find"
         assert prop == truth, f"trial {trial}: propagation != union-find"
+
+    # the three random-graph trials are independent CC computations whose
+    # iterative loops are driver-round-trip-bound — overlap them
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(one_trial, range(3)))
 
 
 def test_star_cc_long_chain_converges_fast(spark):
@@ -392,18 +408,30 @@ def test_ppjoin_matches_brute_force_jaccard(spark):
         (6, "quick brown fox jumps over lazy dog the extra"), # superset-ish
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    for t in (0.5, 0.8):
-        got = sorted(
-            (r["id_a"], r["id_b"], r["jaccard"])
-            for r in ppjoin_pairs(docs, "doc_id", "text", t).collect()
-        )
-        want = sorted(
-            (r["id_a"], r["id_b"], r["jaccard"])
-            for r in jaccard_pairs(
+
+    # the four (threshold, implementation) evaluations are independent —
+    # overlap their driver round-trips (guide §2.6), assert after
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run(spec):
+        t, which = spec
+        df = (
+            ppjoin_pairs(docs, "doc_id", "text", t)
+            if which == "ppjoin"
+            else jaccard_pairs(
                 docs.selectExpr("doc_id", "text", "1 AS blk"),
-                "doc_id", "text", "blk", t
-            ).collect()
+                "doc_id", "text", "blk", t,
+            )
         )
+        return spec, sorted(
+            (r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()
+        )
+
+    specs = [(t, w) for t in (0.5, 0.8) for w in ("ppjoin", "brute")]
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        res = dict(pool.map(run, specs))
+    for t in (0.5, 0.8):
+        got, want = res[(t, "ppjoin")], res[(t, "brute")]
         assert got == want and got, f"t={t}: {got} != {want}"
 
 

@@ -511,23 +511,44 @@ def _fingerprint_snapshot():
 import pytest  # noqa: E402
 
 
+@pytest.fixture(scope="session")
+def fingerprint_sweep(spark):
+    """Build every headliner's plan fingerprint once on a small driver
+    thread pool (guide §2.6) — plan construction is driver-side and
+    independent per query, so the sweep overlaps the py4j round-trips;
+    each parametrized test below asserts its own cached fingerprint."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from data_engineering_nd_spark.plans.inspect import plan_fingerprint
+    from data_engineering_nd_spark.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+
+    def one(name):
+        try:
+            return name, (plan_fingerprint(QUERIES[name](spark, SF_DIR)), None)
+        except Exception as ex:  # surfaced by the per-query test
+            return name, (None, ex)
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        return dict(pool.map(one, _headliner_names()))
+
+
 @pytest.mark.parametrize("name", _headliner_names())
-def test_plan_fingerprint_no_silent_drift(spark, name):
+def test_plan_fingerprint_no_silent_drift(spark, fingerprint_sweep, name):
     """Drift-snapshot guard over every PLANS.md headliner (VERDICT r06
     #7): regenerate the operator multiset and fail on UN-ANNOTATED growth
     in shuffle count, nested loops, row-wise Python, or scan count — the
     silent plan regressions the bench's noise band hides. Deliberate plan
     changes refresh the snapshot via tools/plan_fingerprints.py (with the
     reason in the commit message)."""
-    from data_engineering_nd_spark.plans.inspect import plan_fingerprint
-    from data_engineering_nd_spark.registry import QUERIES, load_all_modules
-
-    load_all_modules()
     snap = _fingerprint_snapshot()
     if name not in snap:
         pytest.skip(f"new headliner {name}: no committed fingerprint yet — "
                     "run tools/plan_fingerprints.py")
-    fp = plan_fingerprint(QUERIES[name](spark, SF_DIR))
+    fp, err = fingerprint_sweep[name]
+    if err is not None:
+        raise err
     base = snap[name]
     for k in ("exchanges", "nested_loops", "rowwise_python", "scans"):
         assert fp[k] <= base[k], (
