@@ -41,21 +41,22 @@ def scoped_conf(spark: SparkSession, key: str, value: str):
     _CONF_STATE above)."""
     with _CONF_LOCK:
         st = _CONF_STATE.get(key)
-        shared = st is None or st[2] == value
+        try:
+            live = spark.conf.get(key)
+        except Exception:
+            live = None
+        # refcount ONLY a genuine same-value overlap (state and the live
+        # conf both match); a serially-nested different-value scope
+        # (a → b → a) leaves live == 'b', and the inner 'a' must take
+        # the legacy push/pop branch so its exit restores 'b'
+        shared = st is None or (st[2] == value and live == value)
         if st is None:
-            try:
-                prev = spark.conf.get(key)
-            except Exception:
-                prev = None
             spark.conf.set(key, value)
-            _CONF_STATE[key] = [1, prev, value]
+            _CONF_STATE[key] = [1, live, value]
         elif shared:
             st[0] += 1
         else:  # different value: legacy save/set/restore (serial nesting)
-            try:
-                prev = spark.conf.get(key)
-            except Exception:
-                prev = None
+            prev = live
             spark.conf.set(key, value)
     try:
         yield

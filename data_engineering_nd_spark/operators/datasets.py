@@ -2695,11 +2695,22 @@ def _stage_slice_commits(table, df, part_expr, n: int, staging: str) -> None:
     df.withColumn("__slice", part_expr).repartition(1).write.partitionBy(
         "__slice"
     ).parquet(staging)
+    # driver-local staging by contract (every caller stages under
+    # tempfile.mkdtemp); guard it so a non-local staging path fails loud
+    # instead of os.path.isdir treating every slice as empty below
+    present = {
+        d for d in os.listdir(staging) if d.startswith("__slice=")
+    }
+    if not present:
+        raise FileNotFoundError(
+            f"stage_slice_commits: no __slice=* directories under "
+            f"{staging} — empty input or non-driver-local staging path"
+        )
     for i in range(n):
-        slice_dir = f"{staging}/__slice={i}"
-        if os.path.isdir(slice_dir):
+        if f"__slice={i}" in present:
             table.add_files(
-                slice_dir, mode="overwrite" if i == 0 else "append"
+                f"{staging}/__slice={i}",
+                mode="overwrite" if i == 0 else "append",
             )
         else:
             # a zero-row slice writes no directory; an empty commit keeps

@@ -184,12 +184,17 @@ def pagerank(
                 inflow = F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") / F.lit(
                     float(n_nodes)
                 )
-                updated = nodes.join(contribs, "id", "left").crossJoin(
-                    F.broadcast(dmass)
-                )
+                # contribs is node-count-bounded: same gate as the rank
+                # vector (with AQE off in the gated loop an unhinted join
+                # would revert to a per-round SortMergeJoin of both sides)
+                updated = nodes.join(
+                    _gated_broadcast(contribs, n_nodes), "id", "left"
+                ).crossJoin(F.broadcast(dmass))
             elif n_no_in:
                 inflow = F.coalesce(F.col("c"), F.lit(0.0))
-                updated = nodes.join(contribs, "id", "left")
+                updated = nodes.join(
+                    _gated_broadcast(contribs, n_nodes), "id", "left"
+                )
             else:
                 # Every node has in-edges (always true for symmetrized
                 # graphs): contribs already covers all of `nodes`, so the
@@ -1700,8 +1705,18 @@ def scc(
             )
             n_live = ob_l.get["n"]
             live_edges = (
-                live_edges.join(live_nodes.select(F.col("id").alias("src")), "src")
-                .join(live_nodes.select(F.col("id").alias("dst")), "dst")
+                live_edges.join(
+                    _gated_broadcast(
+                        live_nodes.select(F.col("id").alias("src")), n_live
+                    ),
+                    "src",
+                )
+                .join(
+                    _gated_broadcast(
+                        live_nodes.select(F.col("id").alias("dst")), n_live
+                    ),
+                    "dst",
+                )
                 .select("src", "dst")
                 .localCheckpoint()
             )
@@ -1824,9 +1839,11 @@ def hits(
         )
         .localCheckpoint()
     )
-    # 2% rsd estimate, inflated 10% for gate headroom — only the FIRST
-    # broadcast uses it (exact per-round counts ride the loop's observes)
-    n_hub = int(ob_e.get["n_src"] * 1.1)
+    # 2% rsd estimate, inflated 25% for gate headroom (HLL error has
+    # heavier-than-Gaussian tails at specific cardinalities) — only the
+    # FIRST broadcast uses it; exact per-round counts ride the loop's
+    # observes
+    n_hub = int(ob_e.get["n_src"] * 1.25)
     hub = e.select("src").distinct().select(
         F.col("src").alias("id"), F.lit(1.0).alias("h")
     )

@@ -56,8 +56,11 @@ def test_headliners_invariant_under_shuffle_partition_count(spark):
         # The two PASSES are sequential (the shuffle-partition conf is
         # session-wide), but queries WITHIN a pass are independent — a
         # small thread pool overlaps their driver round-trips and task
-        # tails (guide §2.6). Every query still executes under the same
-        # conf value as before, so the hashes are unchanged.
+        # tails (guide §2.6). Queries that scope their own confs
+        # (streaming state partitions, gated graph loops) may overlap
+        # others inside a pass — which is precisely what this test
+        # exists to prove harmless: results must be invariant to
+        # partition counts and planning knobs, or the assert fires.
         for n_shuffle in ("32", "7"):
             spark.conf.set("spark.sql.shuffle.partitions", n_shuffle)
             with ThreadPoolExecutor(max_workers=4) as pool:

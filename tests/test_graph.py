@@ -485,9 +485,14 @@ def test_broadcast_gate_fallback_matches_broadcast_path(spark):
         return pr, hs
 
     broadcast_path = run_all()
+    # limit 0 drops the hint AND autoBroadcastJoinThreshold=-1 stops the
+    # planner re-broadcasting the tiny sides on its own — the fallback
+    # actually executes shuffle joins (different accumulation grouping)
     spark.conf.set(_BCAST_NODE_LIMIT_CONF, "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         fallback_path = run_all()
     finally:
         spark.conf.unset(_BCAST_NODE_LIMIT_CONF)
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     assert broadcast_path == fallback_path
